@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Canonical access to the testdata star schema plus shared
+  * numeric-exactness helpers used by every operator.
+  *
+  * Money math policy (see SURVEY.md §5): all monetary aggregates are
+  * computed over exact decimals (cast before the agg) and the final
+  * result is cast back to double. Sums of doubles are
+  * order-dependent under Spark's partitioned execution; sums of
+  * decimals are exact and therefore deterministic under ANY
+  * partitioning — which also makes them comparable bit-for-bit with
+  * the DuckDB oracle at any scale factor.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Exact decimal view of a money/measure column. Precision 12 keeps
+    * triple products (price * (1-disc) * (1+tax)) within Spark's
+    * 38-digit decimal cap with zero rounding.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 4))
+
+  /** Finalize an exact decimal aggregate back to double.
+    *
+    * The round(·,4) first drops the scale so the unscaled value fits
+    * in 2^53: decimal→double is then the exactly-representable
+    * n/10^4 in every engine. Without it, wide-scale decimals hit
+    * Java's BigDecimal.doubleValue 1-ULP rounding quirk and differ
+    * from the oracle in the last bit.
+    */
+  def asDouble(c: Column): Column = round(c, 4).cast("double")
+
+  /** events.ts is written as parquet INT64 nanos; normalized here if
+    * the runtime surfaces it as a long (see Sessions.nanosAsLong).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType.typeName match {
+      case "long" | "bigint" =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+}

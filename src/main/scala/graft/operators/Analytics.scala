@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{asDouble, dec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch SQL analytics (SURVEY.md §2.D): the reference's dashboard
+  * queries (Instructor/02- Databricks_SQL_Scripts.sql:14-41) plus
+  * TPC-H-grade scan/join/agg/window workloads over the same star
+  * schema.
+  *
+  * Scale posture: dimension tables (region/nation/customer/supplier/
+  * part at TPC-H ratios) are explicitly `broadcast` in star joins so
+  * the fact table never shuffles for them; all money aggregates are
+  * decimal-exact (deterministic under any partitioning); windows
+  * partition by a key before sorting so the sort is distributed.
+  */
+object Analytics {
+
+  /** 02-SQL "Total Loan Amount": SUM over the fact table. */
+  def totalAmount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .agg(asDouble(sum(dec(col("o_totalprice")))).as("total_amount"))
+
+  /** 02-SQL "Purpose of loan": single-key GROUP BY sum. */
+  def amountByPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(asDouble(sum(dec(col("o_totalprice")))).as("total_amount"))
+
+  /** 02-SQL third query: multi-key GROUP BY count (addr_state ×
+    * verification_status analog = nation × market segment).
+    */
+  def countByState(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val n = Tables.load(spark, sfDir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** TPC-H Q1-grade pricing summary: multi-measure agg with
+    * decimal-exact money math. Filter is pushed to the parquet scan.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+    // (12,4)·(6,4)·(6,4) → decimal(26,12): inside Spark's 38-digit cap,
+    // so the triple product is EXACT. Wider intermediate types would
+    // silently round when the product precision tops 38.
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+    val charge = discPrice * (lit(1).cast("decimal(5,4)") + col("l_tax").cast("decimal(5,4)"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        asDouble(sum(discPrice)).as("sum_disc_price"),
+        asDouble(sum(charge)).as("sum_charge"),
+        (asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (asDouble(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (asDouble(sum(dec(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-grade: selective dim filter, 3-way join, agg, top-k.
+    * customer is broadcast; orders⋈lineitem shuffles once on the
+    * order key. Deterministic top-k: tie-broken by key.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val c = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val discPrice = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(asDouble(sum(discPrice)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-grade: 6-way star join; every dimension broadcast, the
+    * lineitem⋈orders fact join is the only shuffle.
+    */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.load(spark, sfDir, "region")
+    val n = Tables.load(spark, sfDir, "nation")
+    val c = Tables.load(spark, sfDir, "customer")
+    val s = Tables.load(spark, sfDir, "supplier")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val discPrice = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(asDouble(sum(discPrice)).as("revenue"))
+  }
+
+  /** Top-k per group via row_number window (deterministic ordering). */
+  def topCustomersWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(asDouble(sum(dec(col("o_totalprice")))).as("revenue"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+    perCust.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("c_mktsegment"), col("rank"), col("o_custkey"), col("revenue"))
+  }
+
+  /** Running per-customer balance: sum over an ordered window frame. */
+  def runningTotalWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      asDouble(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
+  }
+
+  /** 03-ML cell 66: numeric bucketing `cast(x/1000 as int)*1000`.
+    * floor() (not cast) on both sides — Spark casts double→int by
+    * truncation while DuckDB rounds, so an explicit floor is the only
+    * portable spelling.
+    */
+  def bucketedAmounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .withColumn("amount_bucket",
+        (floor(col("o_totalprice") / 1000).cast("long") * 1000))
+      .groupBy(col("amount_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total_amount"))
+
+  /** Exact distinct counting per group (plus approx variant in spec). */
+  def distinctParts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** Pivot: order-month × status count matrix. Explicit pivot values
+    * keep the plan single-pass (no values-discovery job); coalesce to
+    * 0 matches SQL FILTER-agg semantics.
+    */
+  def pivotStatusMonth(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .withColumn("order_month", month(col("o_orderdate")))
+      .groupBy(col("order_month"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("order_month"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** ROLLUP hierarchy totals (status → priority → grand total). */
+  def rollupPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total_amount"))
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-data pipelines (SURVEY.md §2.I), over the
+  * `documents` table. All metrics are integer-ratio based (exact
+  * doubles from identical integer inputs → deterministic at any
+  * scale and bit-comparable with the SQL oracle), computed as
+  * codegen'd native expressions — no UDFs, map-side only, zero
+  * shuffle.
+  */
+object TextAnalysis {
+
+  private val wordPat = "[a-zA-Z0-9]+"
+  // BPE-ish pre-tokenizer: letter runs | single digits | single
+  // non-alnum marks (GPT-2-style pre-tokenization shape).
+  private val bpePat = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+  private val stopPat = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
+  private val punctPat = "[^a-zA-Z0-9\\s]"
+
+  private def nMatches(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0)))
+
+  /** Per-document quality metrics + keep/drop flag. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      nMatches(col("text"), wordPat).as("n_words"),
+      nMatches(col("text"), punctPat).as("n_punct"),
+      nMatches(lower(col("text")), stopPat).as("n_stop"),
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")).as("n_word_chars"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / greatest(col("n_chars_m"), lit(1)))
+      .withColumn("stopword_ratio",
+        col("n_stop").cast("double") / greatest(col("n_words"), lit(1)))
+      .withColumn("avg_word_len",
+        col("n_word_chars").cast("double") / greatest(col("n_words"), lit(1)))
+      .withColumn("keep_flag",
+        (col("n_words") >= 5 && col("n_words") <= 10000 &&
+          col("punct_ratio") < lit(0.3)).cast("int"))
+  }
+
+  /** Marker-token language ID: count hits of per-language marker
+    * regexes, predict the argmax (deterministic tie-break by
+    * en>de>fr>es priority). An n-gram-frequency heuristic in the
+    * classic langid.py shape, expressible as pure relational ops.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val t = lower(col("text"))
+    val sEn = nMatches(t, "\\b(the|and|of|is|in|that|with)\\b")
+    val sDe = nMatches(t, "\\b(der|die|das|und|ist|nicht|mit)\\b")
+    val sFr = nMatches(t, "\\b(le|la|les|et|est|dans|avec)\\b")
+    val sEs = nMatches(t, "\\b(el|los|las|es|en|que|con)\\b")
+    d.select(col("doc_id"), col("lang").as("lang_tagged"),
+      sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"), sEs.as("s_es"))
+      .withColumn("lang_pred",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+  }
+
+  /** Whitespace + BPE-ish token counts (cost estimation for LLM
+    * training corpora).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"),
+      nMatches(col("text"), "\\S+").as("ws_tokens"),
+      nMatches(col("text"), bpePat).as("bpe_tokens"))
+
+  /** Content fingerprint of whitespace-normalized text. The md5 form
+    * is the portable/oracle-checkable spelling; the codegen'd
+    * RollingHash expression (graft.functions.RollingHash) is the
+    * cheap scale path, spec-verified against a reference impl.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"),
+      substring(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))), 1, 16)
+        .as("fingerprint"))
+}

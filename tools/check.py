@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+reads each <outDir>/<name> parquet, runs the matching oracle_sql.json
+statement in DuckDB over views of the testdata tables, sorts columns
+by name and rows by value, and compares cell-by-cell (exact; doubles
+must match bit-for-bit given the decimal-exact policy).
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    got = pd.read_parquet(d)
+    if name not in oracle:
+        status = "rows-only:%d" % len(got)
+        (passes if len(got) > 0 else fails).append((name, status))
+        skips.append(name)
+        continue
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        fails.append((name, f"columns differ: got {list(got.columns)} exp {list(exp.columns)}"))
+        continue
+    if len(got) != len(exp):
+        fails.append((name, f"rowcount differ: got {len(got)} exp {len(exp)}"))
+        continue
+    g = got.sort_values(by=list(got.columns), na_position="last").reset_index(drop=True)
+    e = exp.sort_values(by=list(exp.columns), na_position="last").reset_index(drop=True)
+    bad = None
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            eq = (gv.astype(float).fillna(1e308) == ev.astype(float).fillna(1e308))
+        else:
+            eq = gv.astype(str).fillna("<null>") == ev.astype(str).fillna("<null>")
+        if not eq.all():
+            i = int(np.argmin(eq.values))
+            bad = f"col {c} row {i}: got {gv.iloc[i]!r} exp {ev.iloc[i]!r} ({int((~eq).sum())} diffs)"
+            break
+    if bad:
+        fails.append((name, bad))
+    else:
+        passes.append((name, f"ok:{len(got)}"))
+
+for n, s in passes:
+    print(f"PASS {n} {s}")
+for n, s in fails:
+    print(f"FAIL {n} {s}")
+print(f"\n{len(passes)} pass, {len(fails)} fail ({len(skips)} rows-only)")
+sys.exit(1 if fails else 0)
