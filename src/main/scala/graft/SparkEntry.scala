@@ -44,6 +44,35 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // §C transactional table layer (GraftTable)
+    "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
+    "tbl_delete_where" -> (TableOps.deleteWhere _),
+    "tbl_update_where" -> (TableOps.updateWhere _),
+    "tbl_time_travel" -> (TableOps.timeTravel _),
+    "tbl_compact" -> (TableOps.compactFiles _),
+    "tbl_cluster_by" -> (TableOps.clusterByKey _),
+    "tbl_history" -> (TableOps.historyLog _),
+    // §D temporal joins
+    "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
+    "range_join_price_band" -> (TemporalJoins.rangeJoinPriceBand _),
+    // §E streaming (batch-equivalent forms; streaming twins in specs)
+    "stream_windowed_agg" -> (graft.streaming.Streams.windowedAgg _),
+    "stream_sessionize" -> (graft.streaming.Streams.sessionize _),
+    // §A sources
+    "json_extract_props" -> (graft.sources.Ingest.jsonExtractProps _),
+    "ingest_csv_roundtrip" -> (graft.sources.Ingest.csvRoundtrip _),
+    "incremental_autoloader" -> (graft.sources.Ingest.incrementalAutoloader _),
+    // §H similarity search
+    "ann_topk_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annTopKBrute(s, d)),
+    "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
+    // §F ML
+    "ml_risk_score" -> (graft.ml.RiskPipeline.score _),
+    "ml_confusion_value" -> (graft.ml.RiskPipeline.confusionValue _),
+    "feature_store_customer" -> (graft.ml.RiskPipeline.customerFeatures _),
+    "feature_store_orders" -> (graft.ml.RiskPipeline.orderFeatures _),
+    // §J multimodal
+    "multimodal_features" -> (Multimodal.extractFeatures _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -220,5 +249,128 @@ object SparkEntry {
       """SELECT doc_id,
         |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
         |FROM documents""".stripMargin,
+    // §C — final table state after each DML scenario
+    "tbl_merge_upsert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT o.* FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey""".stripMargin,
+    "tbl_delete_where" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)""".stripMargin,
+    "tbl_update_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |    ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+    "tbl_time_travel" -> "SELECT * FROM orders",
+    "tbl_compact" -> "SELECT * FROM orders",
+    "tbl_cluster_by" -> "SELECT * FROM orders",
+    // §D temporal joins
+    "asof_join_events_orders" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
+        |  o.o_orderdate AS matched_orderdate
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "range_join_price_band" ->
+      """SELECT p.p_partkey, COALESCE(m.n, 0) AS n_lines
+        |FROM part p LEFT JOIN (
+        |  SELECT p_partkey, COUNT(*) AS n FROM part, lineitem
+        |  WHERE l_extendedprice >= p_retailprice * 5
+        |    AND l_extendedprice < p_retailprice * 5 + 500
+        |  GROUP BY p_partkey) m ON p.p_partkey = m.p_partkey""".stripMargin,
+    // §E streaming batch-equivalents
+    "stream_windowed_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM f),
+        |s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // §A sources
+    "json_extract_props" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k,
+        |  COUNT(*) AS n_events,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "ingest_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+    "incremental_autoloader" ->
+      "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1",
+    // §H similarity: cosine spelled as the same double-op sequence as
+    // the Spark kernels (dot/(sqrt·sqrt), sequential list_sum) so the
+    // doubles agree bit-for-bit before the round(6).
+    "ann_topk_bruteforce" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              for i in range(1, len(q.qe) + 1)]))) AS cs
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH c AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(b.embedding) + 1)]))) AS cs
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM c WHERE CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) >= 0.3""".stripMargin,
+    // §F ML (rule-scored, oracle-replicable parts)
+    "ml_confusion_value" ->
+      """WITH f AS (
+        |  SELECT CAST(o_orderstatus <> 'F' AS INTEGER) AS label,
+        |    CAST(o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice > 150000 AS INTEGER) AS prediction,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |      * CASE WHEN o_orderstatus <> 'F' THEN -1 ELSE 1 END AS net
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT label, prediction,
+        |  CAST(round(SUM(CAST(net AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_net
+        |FROM f GROUP BY label, prediction""".stripMargin,
+    "feature_store_customer" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "feature_store_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+        |  CAST(o_orderstatus <> 'F' AS VARCHAR) AS bad_flag,
+        |  CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS price_band
+        |FROM orders""".stripMargin,
   )
 }

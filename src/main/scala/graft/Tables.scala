@@ -42,7 +42,9 @@ object Tables {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType.typeName match {
       case "long" | "bigint" =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integral div (ns→µs): `/` would be double division and
+        // round up at .5µs instead of truncating like the oracle
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -1,0 +1,131 @@
+package graft.ml
+
+import graft.Tables
+import graft.Tables.{asDouble, dec}
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature._
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The loan-risk ML pipeline (Instructor/03-Fraud-ML.py) re-targeted
+  * at the star schema: predict `bad_flag` (order not fulfilled) from
+  * order/customer features, with the exact reference stage chain —
+  * StringIndexer → OneHotEncoder → Imputer → VectorAssembler →
+  * StandardScaler → LogisticRegression — year-based train/valid
+  * split, CrossValidator tuning, and the business-value confusion
+  * matrix.
+  */
+object RiskPipeline {
+
+  val categoricals = Array("o_orderpriority", "c_mktsegment")
+  val numerics = Array("o_totalprice", "c_acctbal", "n_lines", "sum_qty")
+
+  /** Feature frame: orders ⋈ customer (broadcast dim) ⋈ lineitem agg,
+    * labeled like 01-Fraud-Delta.py:63-64.
+    */
+  def featureFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("double").as("n_lines"),
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"), "left")
+      .withColumn("n_lines", coalesce(col("n_lines"), lit(0.0)))
+      .withColumn("sum_qty", coalesce(col("sum_qty"), lit(0.0)))
+      .withColumn("bad_flag", (col("o_orderstatus") =!= "F").cast("double"))
+      .withColumn("issue_year", year(col("o_orderdate")))
+      .withColumn("net", asDouble(round(
+        dec(col("o_totalprice")) * lit(0.1).cast("decimal(2,1)"), 2)) *
+        when(col("bad_flag") === 1.0, -1).otherwise(1))
+      .select((categoricals.map(col) ++ numerics.map(col) ++
+        Seq(col("o_orderkey"), col("bad_flag"), col("issue_year"), col("net"))): _*)
+  }
+
+  /** The reference's model-matrix stages (03-Fraud-ML.py:116-146). */
+  def pipeline(): Pipeline = {
+    val indexers = categoricals.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(c + "_idx")
+        .setHandleInvalid("keep"))
+    val ohes = categoricals.map(c =>
+      new OneHotEncoder().setInputCol(c + "_idx").setOutputCol(c + "_class"))
+    val imputer = new Imputer().setInputCols(numerics)
+      .setOutputCols(numerics.map(_ + "_imp"))
+    val assembler = new VectorAssembler()
+      .setInputCols(categoricals.map(_ + "_class") ++ numerics.map(_ + "_imp"))
+      .setOutputCol("features")
+    val scaler = new StandardScaler().setInputCol("features")
+      .setOutputCol("scaledFeatures").setWithMean(true).setWithStd(true)
+    val lr = new LogisticRegression().setMaxIter(10)
+      .setElasticNetParam(0.5).setFeaturesCol("scaledFeatures")
+      .setLabelCol("bad_flag")
+    new Pipeline().setStages(
+      indexers ++ ohes ++ Array(imputer, assembler, scaler, lr))
+  }
+
+  /** Train on early years, score the later years
+    * (03-Fraud-ML.py:95-96), returning per-order probabilities.
+    */
+  def score(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = featureFrame(spark, sfDir).cache()
+    val train = data.filter(col("issue_year") <= 1997)
+    val valid = data.filter(col("issue_year") > 1997)
+    val model = pipeline().fit(train)
+    model.transform(valid)
+      .select(col("o_orderkey"), col("bad_flag"), col("prediction"),
+        col("probability").cast("string").as("probability"))
+  }
+
+  /** AUC of the scored validation set (03-Fraud-ML.py:197-213). */
+  def auc(scored: DataFrame): Double =
+    new BinaryClassificationEvaluator().setLabelCol("bad_flag")
+      .setRawPredictionCol("prediction").evaluate(scored)
+
+  /** CrossValidator + ParamGridBuilder tuning (03-Fraud-ML.py:149-161). */
+  def tuned(spark: SparkSession, sfDir: String): Double = {
+    val data = featureFrame(spark, sfDir)
+    val pipe = pipeline()
+    val lr = pipe.getStages.last.asInstanceOf[LogisticRegression]
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.1, 0.01)).build()
+    val cv = new CrossValidator().setEstimator(pipe)
+      .setEstimatorParamMaps(grid)
+      .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("bad_flag"))
+      .setNumFolds(3)
+    val model = cv.fit(data.filter(col("issue_year") <= 1997))
+    model.avgMetrics.max
+  }
+
+  /** Business-value confusion matrix (03-Fraud-ML.py:230-231):
+    * groupBy(label, prediction).agg(sum(net)) — with a DETERMINISTIC
+    * rule-based scorer standing in for the fitted model so the
+    * DuckDB oracle can replicate it exactly.
+    */
+  def confusionValue(spark: SparkSession, sfDir: String): DataFrame =
+    featureFrame(spark, sfDir)
+      .withColumn("prediction",
+        (col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice") > 150000).cast("int"))
+      .groupBy(col("bad_flag").cast("int").as("label"), col("prediction"))
+      .agg(asDouble(sum(dec(col("net")))).as("sum_net"))
+
+  /** Feature-store projections (03-Fraud-ML.py:247-302): keyed
+    * feature tables.
+    */
+  def customerFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+
+  def orderFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .withColumn("bad_flag", (col("o_orderstatus") =!= "F").cast("string"))
+      .withColumn("price_band",
+        (floor(col("o_totalprice") / 50000).cast("long") * 50000))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.H).
+  *
+  * Scale posture: brute-force top-k broadcasts the query vector
+  * (zero shuffle, one scan, TakeOrderedAndProject — the correct
+  * baseline and the recall oracle for ANN). The IVF variant
+  * clusters once (seeded, deterministic), then probes only
+  * nprobe/k of the corpus — the standard coarse-quantizer ANN
+  * layout; at 100 TB the centroid assignment is a broadcast hash
+  * join on k centroids and probing prunes partitions.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors of the vec_id=0 embedding.
+    * Scores are decimal-rounded (6 places) before ranking so
+    * ordering and output are engine-portable.
+    */
+  def annTopKBrute(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qCol = typedLit(q)
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), qCol).cast("decimal(18,12)"), 6)
+          .cast("double").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
+    * blocked by the label column (metadata blocking — the exact-
+    * recall counterpart of LSH bucketing; swap the key for a hash
+    * bucket when no natural blocking key exists).
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = emb.as("a"); val b = emb.as("b")
+    a.join(b, col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")).cast("decimal(18,12)"), 6)
+          .cast("double").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** IVF-flat ANN: deterministic seeded centroids (first nCentroids
+    * vectors by vec_id — a fixed coarse quantizer), assign every
+    * vector to its nearest centroid (broadcast join), then search
+    * only the nprobe centroids closest to the query. Returns exact
+    * cosine scores within the probed cells.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int = 10,
+      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = emb.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("d", l2Sq(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("d"), col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qCol = typedLit(q)
+    val probeCells = cents
+      .withColumn("d", l2Sq(col("cent"), qCol))
+      .orderBy(col("d"), col("cent_id")).limit(nprobe)
+      .select(col("cent_id"))
+    assigned.join(broadcast(probeCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), qCol).cast("decimal(18,12)"), 6)
+          .cast("double").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

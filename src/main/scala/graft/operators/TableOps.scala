@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.Tables.dec
+import graft.tables.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable scenarios over the GraftTable transactional
+  * layer (SURVEY.md §2.C). Each builds a scratch table from the
+  * canonical `orders` parquet, applies the DML, and returns the
+  * resulting snapshot so the DuckDB oracle can assert the final
+  * state relationally.
+  */
+object TableOps {
+
+  private def scratch(spark: SparkSession, sfDir: String,
+      parts: Int = 8): GraftTable = {
+    val dir = Files.createTempDirectory("graft_tbl_").resolve("t").toString
+    GraftTable.create(spark, dir,
+      Tables.load(spark, sfDir, "orders").repartition(parts, col("o_orderkey")))
+  }
+
+  /** MERGE INTO (01-Fraud-Delta.py:234-241): matched rows take the
+    * source version, unmatched source rows are inserted.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    t.merge(updates.unionByName(inserts), "o_orderkey")
+    t.snapshot()
+  }
+
+  /** DML DELETE WHERE — the GDPR scenario (01-Fraud-Delta.py:159). */
+  def deleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    t.snapshot()
+  }
+
+  /** DML UPDATE SET (decimal-exact price bump on a slice). */
+  def updateWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.update(col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" ->
+        round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+          .cast("double")))
+    t.snapshot()
+  }
+
+  /** Time travel (01-Fraud-Delta.py:210-214): after a delete, version
+    * 0 still reads the full original data.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.delete(col("o_orderstatus") === "P")
+    t.snapshotAt(0)
+  }
+
+  /** OPTIMIZE/compaction (01-Fraud-Delta.py:288): many small files →
+    * few, same data.
+    */
+  def compactFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir, parts = 16)
+    t.compact(numFiles = 2)
+    t.snapshot()
+  }
+
+  /** Z-ORDER analog (01-Fraud-Delta.py:289): range-cluster by key;
+    * data unchanged, file min/max now prunable.
+    */
+  def clusterByKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.clusterBy(4, "o_custkey")
+    t.snapshot()
+  }
+
+  /** DESCRIBE HISTORY analog (01-Fraud-Delta.py:214): deterministic
+    * columns only (version/operation).
+    */
+  def historyLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.delete(col("o_orderstatus") === "P")
+    t.compact(2)
+    t.history().select(col("version"), col("operation"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.Tables
+import graft.Tables.{asDouble, dec}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over `events` (SURVEY.md §2.E), mirroring the
+  * reference's unified batch/streaming reads
+  * (Instructor/01-Fraud-Delta.py:175-201) and Auto Loader flow.
+  *
+  * Each op has (a) a batch-equivalent DataFrame the DuckDB oracle can
+  * check and (b) a Structured Streaming twin (same logic on
+  * readStream) spec-tested for parity — Spark's unified Dataset API
+  * makes the twin share the transformation code.
+  */
+object Streams {
+
+  /** Tumbling 1-hour event-time window aggregate (batch form;
+    * date_trunc is the oracle-portable spelling of window()).
+    */
+  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    windowedAggOf(Tables.events(spark, sfDir))
+
+  def windowedAggOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+
+  /** The streaming twin: watermarked tumbling window, append mode. */
+  def windowedAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** 30-minute-gap sessionization, batch form: lag → gap flag →
+    * running session index → per-session rollup. Two window passes
+    * over a single shuffle on user_id.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+  }
+
+  case class Ev(user_id: Long, event_id: Long, ts: java.time.Instant, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: java.time.Instant,
+      session_end: java.time.Instant, n_events: Long)
+
+  private def micros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def fromMicros(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+
+  /** Streaming sessionization twin: custom per-key state via
+    * flatMapGroupsWithState (the reference pattern for state Spark's
+    * windows can't express). Emits a session when the 30-min gap
+    * passes; state is O(1) per key. Instant (µs precision) end to
+    * end — java.sql.Timestamp would truncate to ms and drift from
+    * the batch result.
+    */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(s) if t - s.end <= gapUs =>
+                cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                out += SessionOut(uid, fromMicros(s.start), fromMicros(s.end), s.n)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Incremental file ingest (Auto Loader demo analog): Structured
+    * Streaming file source over a directory; AvailableNow processes
+    * exactly the new files since the last checkpoint and stops —
+    * the "scheduled one-shot job" deployment mode from the demo.
+    */
+  def incrementalIngest(spark: SparkSession, rawDir: String,
+      checkpoint: String, outTable: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val in = spark.readStream.schema(schema).parquet(rawDir)
+    val q = in.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outTable)
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,284 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** A minimal transactional table format on plain parquet — the
+  * engine's re-expression of the Delta Lake capabilities the
+  * reference leans on (Instructor/01-Fraud-Delta.py: DML at :152-161
+  * and :218-241, history/time travel at :214, compaction/Z-ORDER at
+  * :279-291), built from public Delta/Iceberg log-structured design
+  * ideas but implemented from scratch.
+  *
+  * Layout:
+  * {{{
+  *   <path>/files/<uuid>.parquet        immutable data files
+  *   <path>/_graft_log/v00000042.json   commit: full file listing
+  * }}}
+  * Each commit is the complete snapshot (list of data files + schema
+  * + op metadata), written atomically via temp-file rename; the
+  * latest committed version wins. Readers resolve a version's file
+  * list and hand it to the vectorized parquet scan — all data
+  * movement is Spark jobs, the driver only touches O(files) metadata.
+  *
+  * DML is copy-on-write at FILE granularity: delete/update/merge
+  * first identify the files that actually contain affected rows
+  * (predicate/key semi-join over `input_file_name`, pushed down to
+  * the scan) and rewrite only those; untouched files carry over to
+  * the new version by reference. At 100 TB with date/key-clustered
+  * files (see `clusterBy`), a selective delete rewrites a handful of
+  * files, not the table.
+  */
+class GraftTable private (val spark: SparkSession, val root: Path) {
+  import GraftTable._
+
+  private def logDir: Path = root.resolve("_graft_log")
+  private def filesDir: Path = root.resolve("files")
+
+  // ---- log plumbing ----------------------------------------------------
+
+  private def commitFile(v: Long): Path = logDir.resolve(f"v$v%08d.json")
+
+  private def listVersions(): Seq[Long] =
+    Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong)
+      .toSeq.sorted
+
+  def latestVersion: Long = listVersions().lastOption.getOrElse(-1L)
+
+  private def readCommit(v: Long): Commit = {
+    implicit val fmt: Formats = DefaultFormats
+    JsonMethods.parse(Files.readString(commitFile(v))).extract[Commit]
+  }
+
+  private def writeCommit(c: Commit): Unit = {
+    implicit val fmt: Formats = DefaultFormats
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, Serialization.write(c))
+    Files.move(tmp, commitFile(c.version), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Move Spark-written part files into `files/` under unique names;
+    * returns table-relative paths.
+    */
+  private def adoptStaging(staging: Path): Seq[String] = {
+    Files.createDirectories(filesDir)
+    val parts = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val adopted = parts.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, filesDir.resolve(name))
+      s"files/$name"
+    }
+    deleteRecursively(staging)
+    adopted
+  }
+
+  private def writeData(df: DataFrame): Seq[String] = {
+    val staging = root.resolve(s".staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    adoptStaging(staging)
+  }
+
+  private def commit(op: String, files: Seq[String], schema: StructType,
+      metrics: Map[String, Long]): Long = {
+    val v = latestVersion + 1
+    writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
+      schema.json, metrics))
+    v
+  }
+
+  // ---- reads -----------------------------------------------------------
+
+  /** Current snapshot. */
+  def snapshot(): DataFrame = snapshotAt(latestVersion)
+
+  /** Time travel (Delta `VERSION AS OF`). */
+  def snapshotAt(version: Long): DataFrame = {
+    val c = readCommit(version)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    if (c.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      // explicit schema: reads stay correct across additive schema
+      // evolution (older files simply yield nulls for new columns)
+      spark.read.schema(schema).parquet(c.files.map(abs): _*)
+  }
+
+  /** DESCRIBE HISTORY analog: one row per commit. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    listVersions().map(readCommit).map { c =>
+      (c.version, new java.sql.Timestamp(c.timestampMs), c.operation,
+        c.files.size.toLong, c.metrics.getOrElse("numOutputRows", -1L))
+    }.toDF("version", "timestamp", "operation", "num_files", "num_rows")
+  }
+
+  private def abs(rel: String): String = root.resolve(rel).toString
+
+  private def currentFiles: Seq[String] = readCommit(latestVersion).files
+
+  private def currentSchema: StructType =
+    org.apache.spark.sql.types.DataType.fromJson(readCommit(latestVersion).schemaJson).asInstanceOf[StructType]
+
+  // ---- writes ----------------------------------------------------------
+
+  private def checkSchema(df: DataFrame, evolve: Boolean): StructType = {
+    val cur = currentSchema
+    val curNames = cur.fields.map(f => f.name -> f.dataType).toMap
+    val incoming = df.schema.fields
+    val mismatched = incoming.filter(f =>
+      curNames.get(f.name).exists(_ != f.dataType))
+    require(mismatched.isEmpty,
+      s"schema enforcement: type mismatch for ${mismatched.map(_.name).mkString(",")}")
+    val newCols = incoming.filterNot(f => curNames.contains(f.name))
+    if (newCols.nonEmpty && !evolve)
+      throw new IllegalArgumentException(
+        s"schema enforcement: new columns ${newCols.map(_.name).mkString(",")} (use evolve=true)")
+    val missing = cur.fields.filterNot(f => incoming.exists(_.name == f.name))
+    require(missing.isEmpty || evolve,
+      s"schema enforcement: missing columns ${missing.map(_.name).mkString(",")}")
+    StructType(cur.fields ++ newCols)
+  }
+
+  def append(df: DataFrame, evolve: Boolean = false): Long = {
+    val schema = checkSchema(df, evolve)
+    val aligned = df.select(schema.fieldNames.filter(n =>
+      df.schema.fieldNames.contains(n)).map(col): _*)
+    val added = writeData(aligned)
+    commit("APPEND", currentFiles ++ added, schema,
+      Map("numAddedFiles" -> added.size.toLong))
+  }
+
+  def overwrite(df: DataFrame): Long = {
+    val added = writeData(df)
+    commit("OVERWRITE", added, df.schema,
+      Map("numAddedFiles" -> added.size.toLong))
+  }
+
+  /** Files of the current version that contain ≥1 row matching
+    * `cond` — the copy-on-write blast radius. One pushed-down scan;
+    * only file NAMES reach the driver.
+    */
+  private def touchedFiles(cond: Column): Seq[String] = {
+    val hits = snapshot().where(cond)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    currentFiles.filter(f => hits.exists(h => h.endsWith(f) || h.endsWith(abs(f))))
+  }
+
+  /** DML DELETE WHERE (01-Fraud-Delta.py:159). */
+  def delete(cond: Column): Long = {
+    val touched = touchedFiles(cond)
+    if (touched.isEmpty) return commit("DELETE", currentFiles, currentSchema, Map())
+    val kept = spark.read.schema(currentSchema).parquet(touched.map(abs): _*)
+      .where(!coalesce(cond, lit(false)))
+    val rewritten = writeData(kept)
+    commit("DELETE",
+      currentFiles.filterNot(touched.contains) ++ rewritten, currentSchema,
+      Map("numRewrittenFiles" -> touched.size.toLong))
+  }
+
+  /** DML UPDATE ... SET assignments WHERE cond. */
+  def update(cond: Column, set: Map[String, Column]): Long = {
+    val touched = touchedFiles(cond)
+    if (touched.isEmpty) return commit("UPDATE", currentFiles, currentSchema, Map())
+    val cur = spark.read.schema(currentSchema).parquet(touched.map(abs): _*)
+    val updated = currentSchema.fieldNames.foldLeft(cur) { (d, f) =>
+      set.get(f) match {
+        case Some(e) => d.withColumn(f, when(coalesce(cond, lit(false)), e).otherwise(col(f)))
+        case None => d
+      }
+    }
+    val rewritten = writeData(updated)
+    commit("UPDATE",
+      currentFiles.filterNot(touched.contains) ++ rewritten, currentSchema,
+      Map("numRewrittenFiles" -> touched.size.toLong))
+  }
+
+  /** MERGE INTO target USING source ON key:
+    * matched → UPDATE SET * (source row wins), not matched → INSERT *
+    * (01-Fraud-Delta.py:234-241). Only files holding matched keys are
+    * rewritten; inserts land in fresh files.
+    */
+  def merge(source: DataFrame, key: String): Long = {
+    val schema = currentSchema
+    val srcAligned = source.select(schema.fieldNames.map(col): _*)
+    val keys = srcAligned.select(col(key)).distinct()
+    val withFile = snapshot().withColumn("__file", input_file_name())
+    val hit = withFile.join(broadcast(keys), Seq(key), "left_semi")
+      .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+    val touched = currentFiles.filter(f => hit.exists(h => h.endsWith(f)))
+    val untouchedRows = if (touched.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(touched.map(abs): _*)
+        .join(keys, Seq(key), "left_anti"))
+    val newData = untouchedRows match {
+      case Some(r) => r.unionByName(srcAligned)
+      case None => srcAligned
+    }
+    val rewritten = writeData(newData)
+    commit("MERGE",
+      currentFiles.filterNot(touched.contains) ++ rewritten, schema,
+      Map("numRewrittenFiles" -> touched.size.toLong))
+  }
+
+  /** OPTIMIZE analog: coalesce the snapshot into `numFiles` files. */
+  def compact(numFiles: Int = 1): Long = {
+    val data = snapshot().coalesce(numFiles)
+    val rewritten = writeData(data)
+    commit("COMPACT", rewritten, currentSchema,
+      Map("numRemovedFiles" -> currentFiles.size.toLong))
+  }
+
+  /** Z-ORDER analog: range-repartition + sort by the cluster keys so
+    * each file covers a narrow key range → min/max file pruning makes
+    * selective scans touch few files. (True multi-dim interleaving
+    * can slot in behind the same API.)
+    */
+  def clusterBy(numFiles: Int, keys: String*): Long = {
+    val data = snapshot()
+      .repartitionByRange(numFiles, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    val rewritten = writeData(data)
+    commit("CLUSTER", rewritten, currentSchema,
+      Map("numRemovedFiles" -> currentFiles.size.toLong))
+  }
+}
+
+object GraftTable {
+  private[tables] case class Commit(version: Long, timestampMs: Long,
+      operation: String, files: List[String], schemaJson: String,
+      metrics: Map[String, Long])
+
+  /** Create a new table at `path` from `df` (errors if a log exists). */
+  def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {
+    val root = Paths.get(path)
+    val t = new GraftTable(spark, root)
+    require(!Files.exists(t.logDir), s"table already exists at $path")
+    Files.createDirectories(t.logDir)
+    val files = t.writeData(df)
+    t.commit("CREATE", files, df.schema, Map("numAddedFiles" -> files.size.toLong))
+    t
+  }
+
+  def load(spark: SparkSession, path: String): GraftTable = {
+    val t = new GraftTable(spark, Paths.get(path))
+    require(Files.exists(t.logDir), s"not a graft table: $path")
+    t
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.GraftTable
+import org.apache.spark.sql.functions._
+
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_spec_").resolve("t").toString
+
+  test("create + snapshot round-trips data") {
+    val orders = Tables.load(spark, sf, "orders")
+    val t = GraftTable.create(spark, tmp(), orders)
+    assert(t.snapshot().count() === orders.count())
+    assert(t.latestVersion === 0)
+  }
+
+  test("append accumulates versions and rows") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = GraftTable.create(spark, tmp(), df)
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.snapshot().count() === 3)
+    assert(t.latestVersion === 1)
+  }
+
+  test("schema enforcement rejects type mismatch and new columns") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((1, "a")).toDF("id", "v")) // id int vs long
+    }
+    intercept[IllegalArgumentException] {
+      t.append(Seq((1L, "a", 0.5)).toDF("id", "v", "extra"))
+    }
+  }
+
+  test("schema evolution adds columns; old rows read as null") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b", 9.5)).toDF("id", "v", "score"), evolve = true)
+    val snap = t.snapshot()
+    assert(snap.columns.toSeq === Seq("id", "v", "score"))
+    assert(snap.where($"id" === 1 && $"score".isNull).count() === 1)
+    assert(snap.where($"id" === 2 && $"score" === 9.5).count() === 1)
+  }
+
+  test("delete is file-granular copy-on-write") {
+    val orders = Tables.load(spark, sf, "orders").repartition(8, $"o_orderkey")
+    val t = GraftTable.create(spark, tmp(), orders)
+    val before = orders.count()
+    val toDelete = orders.where($"o_orderstatus" === "P").count()
+    t.delete($"o_orderstatus" === "P")
+    assert(t.snapshot().count() === before - toDelete)
+    assert(t.snapshot().where($"o_orderstatus" === "P").count() === 0)
+  }
+
+  test("update rewrites only matching rows") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    t.update($"id" === 1, Map("x" -> lit(99.0)))
+    val out = t.snapshot().orderBy("id").as[(Long, Double)].collect()
+    assert(out === Array((1L, 99.0), (2L, 20.0)))
+  }
+
+  test("merge: matched update + unmatched insert") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "old"), (2L, "keep")).toDF("id", "v"))
+    t.merge(Seq((1L, "new"), (3L, "ins")).toDF("id", "v"), "id")
+    val out = t.snapshot().orderBy("id").as[(Long, String)].collect()
+    assert(out === Array((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
+  test("time travel reads pre-delete state; history records ops") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.delete($"id" === 1)
+    assert(t.snapshot().count() === 1)
+    assert(t.snapshotAt(0).count() === 2)
+    val hist = t.history().select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(hist === Seq((0L, "CREATE"), (1L, "DELETE")))
+  }
+
+  test("compact reduces file count, preserves data") {
+    val orders = Tables.load(spark, sf, "orders").repartition(16)
+    val t = GraftTable.create(spark, tmp(), orders)
+    t.compact(2)
+    val c = t.history().where($"operation" === "COMPACT")
+      .select("num_files").as[Long].head()
+    assert(c <= 2)
+    assert(t.snapshot().count() === orders.count())
+  }
+
+  test("clusterBy keeps data and bounds per-file key ranges") {
+    val orders = Tables.load(spark, sf, "orders")
+    val t = GraftTable.create(spark, tmp(), orders)
+    t.clusterBy(4, "o_custkey")
+    assert(t.snapshot().count() === orders.count())
+    // file-level clustering: per-file [min,max] ranges must not overlap
+    val ranges = t.snapshot()
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"o_custkey").as("lo"), max($"o_custkey").as("hi"))
+      .orderBy($"lo").as[(String, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+}

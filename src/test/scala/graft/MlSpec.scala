@@ -1,0 +1,35 @@
+package graft
+
+import graft.ml.RiskPipeline
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("feature frame labels and features are complete") {
+    val f = RiskPipeline.featureFrame(spark, sf)
+    assert(f.where($"bad_flag".isNull).count() === 0)
+    assert(f.count() === Tables.load(spark, sf, "orders").count())
+  }
+
+  test("risk pipeline trains and scores the validation years") {
+    val scored = RiskPipeline.score(spark, sf)
+    assert(scored.count() > 0)
+    assert(scored.where(!$"prediction".isin(0.0, 1.0)).count() === 0)
+  }
+
+  test("crossvalidated tuning returns a sane AUC") {
+    // synthetic labels are ~independent of features, so AUC ≈ 0.5 is
+    // CORRECT here; the spec asserts the CV machinery produces a
+    // valid, finite metric, not model skill on noise
+    val metric = RiskPipeline.tuned(spark, sf)
+    assert(metric >= 0.35 && metric <= 0.75, s"cv AUC $metric")
+  }
+
+  test("confusion value covers the label×prediction grid") {
+    val cm = RiskPipeline.confusionValue(spark, sf)
+    assert(cm.count() <= 4 && cm.count() >= 2)
+    val total = cm.agg(sum($"sum_net")).as[Double].head()
+    assert(total != 0.0)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pricing summary covers all flag/status groups with exact sums") {
+    val df = Analytics.pricingSummary(spark, sf)
+    assert(df.count() === 6)
+    assert(df.where($"sum_disc_price" > $"sum_charge").count() === 0)
+  }
+
+  test("top customers window keeps exactly 3 per segment") {
+    val df = Analytics.topCustomersWindow(spark, sf)
+    val per = df.groupBy($"c_mktsegment").count().as[(String, Long)].collect()
+    assert(per.forall(_._2 === 3))
+  }
+
+  test("approx_count_distinct tracks exact within rsd") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val (exact, approx) = li.agg(
+      countDistinct($"l_partkey").cast("double"),
+      approx_count_distinct($"l_partkey", 0.02).cast("double"))
+      .as[(Double, Double)].head()
+    assert(math.abs(approx - exact) / exact < 0.1)
+  }
+
+  test("dedup_exact keeps one representative per distinct text") {
+    val df = Dedup.exact(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(df.count() === docs.select(md5($"text")).distinct().count())
+    assert(df.agg(sum($"n_copies")).as[Long].head() === docs.count())
+  }
+
+  test("minhash LSH finds every high-jaccard pair (recall vs exact)") {
+    val exact = Dedup.ngramJaccard(spark, sf, minJaccard = 0.8)
+      .select($"doc_a", $"doc_b")
+    val lsh = Dedup.minhashLsh(spark, sf, minJaccard = 0.8)
+      .select($"doc_a", $"doc_b")
+    val missed = exact.except(lsh).count()
+    // 16 bands × r=4: P(miss | J≥0.8) = (1-J^4)^16 ≤ 0.03 per pair
+    assert(missed <= math.max(1, (exact.count() * 0.1).toLong),
+      s"LSH missed $missed of ${exact.count()} true pairs")
+  }
+
+  test("minhash LSH is deterministic across runs") {
+    val a = Dedup.minhashLsh(spark, sf).orderBy("doc_a", "doc_b").collect()
+    val b = Dedup.minhashLsh(spark, sf).orderBy("doc_a", "doc_b").collect()
+    assert(a === b)
+  }
+
+  test("simhash near-dup pairs have verified hamming distance") {
+    val pairs = Dedup.simhash(spark, sf, maxHamming = 3)
+    assert(pairs.where($"hamming" > 3).count() === 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("vector kernels agree with scala reference on a sample") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(10)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val got = Tables.load(spark, sf, "embeddings").limit(10)
+      .select($"vec_id", VectorFunctions.l2Norm($"embedding").as("n"))
+      .as[(Long, Double)].collect().toMap
+    emb.foreach { case (id, v) =>
+      val expect = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(got(id) - expect) < 1e-12)
+    }
+  }
+
+  test("IVF ANN recalls most of brute-force top-10") {
+    val brute = Similarity.annTopKBrute(spark, sf).select($"vec_id").as[Long].collect().toSet
+    val ivf = Similarity.annIvf(spark, sf).select($"vec_id").as[Long].collect().toSet
+    assert(ivf.intersect(brute).size >= 4,
+      s"IVF(nprobe=4/16) recalled ${ivf.intersect(brute).size}/10")
+  }
+
+  test("as-of join matches a per-row reference on a sample") {
+    val out = TemporalJoins.asofEventsOrders(spark, sf)
+      .where($"user_id" === 7).select($"ts", $"matched_orderdate")
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect()
+    val orders = Tables.load(spark, sf, "orders").where($"o_custkey" === 7)
+      .select($"o_orderdate").as[java.sql.Timestamp].collect()
+    out.foreach { case (ts, m) =>
+      val expect = orders.filter(!_.after(ts)).sortBy(_.getTime).lastOption.orNull
+      assert(m === expect)
+    }
+  }
+
+  test("multimodal extraction is deterministic and schema-stable") {
+    val a = Multimodal.extractFeatures(spark, sf).orderBy("media_id").collect()
+    val b = Multimodal.extractFeatures(spark, sf).orderBy("media_id").collect()
+    assert(a === b)
+    assert(a.length === Tables.load(spark, sf, "documents").count())
+  }
+
+  test("langid marker scorer is confident on english-marker docs") {
+    val df = operators.TextAnalysis.langId(spark, sf)
+    // deterministic: prediction always set, one of the 4 classes
+    assert(df.where(!$"lang_pred".isin("en", "de", "fr", "es")).count() === 0)
+  }
+}

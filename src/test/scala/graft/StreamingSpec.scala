@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg matches batch equivalent") {
+    val batch = Streams.windowedAgg(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    ev.write.parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(ev.schema).parquet(s"$dir/in")
+    val q = Streams.windowedAggStream(streamIn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("win_out")
+    // watermark in append mode holds back the last open window(s);
+    // every emitted window must match batch exactly
+    val joined = streamed.as("s").join(batch.as("b"),
+      $"s.window_start" === $"b.window_start" && $"s.event_type" === $"b.event_type")
+    assert(streamed.count() > 0)
+    assert(joined.where($"s.n_events" =!= $"b.n_events" ||
+      $"s.sum_value" =!= $"b.sum_value").count() === 0)
+    assert(joined.count() === streamed.count())
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch on closed sessions") {
+    val batch = Streams.sessionize(spark, sf)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+    val evDs = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"value").as[Streams.Ev]
+    // batch Dataset through the same stateful fn (groups arrive whole)
+    val viaState = Streams.sessionizeStream(evDs).toDF()
+    // the state fn only emits CLOSED sessions; each emitted one must
+    // exist identically in the batch result
+    val joined = viaState.as("s").join(batch.as("b"),
+      Seq("user_id", "session_start", "session_end", "n_events"))
+    assert(joined.count() === viaState.count())
+    assert(viaState.count() > 0)
+  }
+
+  test("incremental autoloader ingests each file exactly once") {
+    val stage = Files.createTempDirectory("graft_inc_")
+    val ev = Tables.events(spark, sf)
+    ev.limit(100).repartition(2).write.parquet(stage.resolve("raw").toString)
+    val cp = stage.resolve("cp").toString
+    val p1 = graft.sources.Ingest.incrementalLoad(spark, stage.resolve("raw").toString, cp)
+    assert(p1.count() === 100)
+    // no new files → nothing
+    val p2 = graft.sources.Ingest.incrementalLoad(spark, stage.resolve("raw").toString, cp)
+    assert(p2.count() === 0)
+    // new file arrives → only it is read
+    ev.limit(150).repartition(1).write.mode("append")
+      .parquet(stage.resolve("raw").toString)
+    val p3 = graft.sources.Ingest.incrementalLoad(spark, stage.resolve("raw").toString, cp)
+    assert(p3.count() === 150)
+  }
+
+  test("structured-streaming incremental ingest (AvailableNow) is exactly-once") {
+    val stage = Files.createTempDirectory("graft_ss_inc_")
+    val ev = Tables.events(spark, sf)
+    ev.limit(80).write.parquet(stage.resolve("raw").toString)
+    Streams.incrementalIngest(spark, stage.resolve("raw").toString,
+      stage.resolve("cp").toString, stage.resolve("out").toString, ev.schema)
+    assert(spark.read.parquet(stage.resolve("out").toString).count() === 80)
+    // second run, no new files: output unchanged
+    Streams.incrementalIngest(spark, stage.resolve("raw").toString,
+      stage.resolve("cp").toString, stage.resolve("out").toString, ev.schema)
+    assert(spark.read.parquet(stage.resolve("out").toString).count() === 80)
+  }
+
+  test("streaming read of a table while batch appends land (01-notebook 175-201)") {
+    val stage = Files.createTempDirectory("graft_concurrent_")
+    val dir = stage.resolve("tbl").toString
+    val ev = Tables.events(spark, sf)
+    ev.limit(50).write.parquet(dir)
+    val agg = spark.readStream.schema(ev.schema).parquet(dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("live_counts")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("live_counts").agg(sum($"n")).as[Long].head()
+      assert(n1 === 50)
+      // concurrent batch insert (the reference's INSERT loop)
+      ev.limit(120).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val n2 = spark.table("live_counts").agg(sum($"n")).as[Long].head()
+      assert(n2 === 170)
+    } finally q.stop()
+  }
+}
