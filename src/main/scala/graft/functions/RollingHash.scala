@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit polynomial rolling hash over a string's UTF-8 bytes:
+  * h = Σ bᵢ · 31^(n-1-i) (mod 2^64), evaluated as h = h·31 + b.
+  *
+  * A native Catalyst expression WITH whole-stage codegen: document
+  * fingerprinting at corpus scale is a pure map-side byte scan, and
+  * keeping it inside the generated loop (vs a Scala UDF's
+  * ser/de + closure call per row) is the difference between
+  * scan-speed and UDF-speed on 100 TB of text. The md5-prefix
+  * fingerprint (TextAnalysis.fingerprint) stays the oracle-portable
+  * spelling; this is the cheap path.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"rolling_hash needs STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    RollingHash.hashBytes(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |byte[] rhBytes = $c.getBytes();
+         |long rh = 0L;
+         |for (int i = 0; i < rhBytes.length; i++) {
+         |  rh = rh * 31L + (long)(rhBytes[i] & 0xff);
+         |}
+         |${ev.value} = rh;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
+object RollingHash {
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
+  /** Register `rolling_hash` in the session's function registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+
+  /** Column API (requires register() on the session first). */
+  def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+}

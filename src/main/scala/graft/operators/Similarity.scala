@@ -41,13 +41,18 @@ object Similarity {
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
+    // Precompute each vector's norm ONCE before the pair join: the
+    // join then evaluates only the dot product per pair (vs 3 array
+    // passes), and the per-vector work stays linear in corpus size.
     val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
     val a = emb.as("a"); val b = emb.as("b")
     a.join(b, col("a.label") === col("b.label") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")).cast("decimal(18,12)"), 6)
+        round((dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).cast("decimal(18,12)"), 6)
           .cast("double").as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
