@@ -30,6 +30,14 @@ object SparkEntry {
     "q_distinct_parts" -> (Analytics.distinctParts _),
     "q_pivot_status_month" -> (Analytics.pivotStatusMonth _),
     "q_rollup_priority" -> (Analytics.rollupPriority _),
+    "q4_priority_exists" -> (Analytics.priorityExists _),
+    "q_cust_no_orders" -> (Analytics.customersNoOrders _),
+    "q17_small_qty_revenue" -> (Analytics.smallQtyRevenue _),
+    "q14_promo_share" -> (Analytics.promoShare _),
+    "q_set_ops_customers" -> (Analytics.setOpsCustomers _),
+    "q_percentile_bands" -> (Analytics.percentileBands _),
+    "q_string_filters" -> (Analytics.stringFilters _),
+    "q_case_agg_by_year" -> (Analytics.caseAggByYear _),
     // §B medallion
     "ingest_bronze" -> (Medallion.ingestBronze _),
     "silver_clean" -> (Medallion.silverClean _),
@@ -249,6 +257,69 @@ object SparkEntry {
       """SELECT doc_id,
         |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
         |FROM documents""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_cust_no_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS ap,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN pa ON l_partkey = ap
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT 100.0 *
+        |  CAST(round(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+        |    ELSE CAST(0 AS DECIMAL(12,4)) END), 4) AS DOUBLE) /
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE)
+        |  AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q_set_ops_customers" ->
+      """SELECT 'both' AS grp, COUNT(*) AS n FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |UNION ALL
+        |SELECT 'only_1996', COUNT(*) FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin,
+    "q_percentile_bands" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(round(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |    THEN CAST(o_totalprice AS DECIMAL(12,4)) END), 4) AS DOUBLE) /
+        |  SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN 1 END) AS median_price,
+        |  CAST(round(SUM(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+        |    THEN CAST(o_totalprice AS DECIMAL(12,4)) END), 4) AS DOUBLE) AS p90_price
+        |FROM ranked GROUP BY o_orderpriority""".stripMargin,
+    "q_string_filters" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(round(SUM(CAST(p_retailprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS total_retail
+        |FROM part WHERE p_name LIKE 'small%' OR p_name LIKE '%bolt'
+        |GROUP BY p_brand""".stripMargin,
+    "q_case_agg_by_year" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(round(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,4)) ELSE CAST(0 AS DECIMAL(12,4)) END), 4) AS DOUBLE) AS fulfilled_amount,
+        |  CAST(round(SUM(CASE WHEN o_orderstatus <> 'F' THEN CAST(o_totalprice AS DECIMAL(12,4)) ELSE CAST(0 AS DECIMAL(12,4)) END), 4) AS DOUBLE) AS open_amount,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
+        |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "tbl_history" ->
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'CREATE'),
+        |  (CAST(1 AS BIGINT), 'DELETE'), (CAST(2 AS BIGINT), 'COMPACT'))
+        |  t(version, operation)""".stripMargin,
     // §C — final table state after each DML scenario
     "tbl_merge_upsert" ->
       """WITH src AS (
@@ -354,6 +425,51 @@ object SparkEntry {
         |SELECT vec_a, vec_b,
         |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
         |FROM c WHERE CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) >= 0.3""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+        |  ORDER BY vec_id LIMIT 16),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |assigned AS (
+        |  SELECT vec_id, label, embedding, cent_id FROM (
+        |    SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+        |                * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+        |                for i in range(1, len(e.embedding) + 1)]), c.cent_id) AS rn
+        |    FROM embeddings e, cents c) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cent_id FROM (
+        |    SELECT c.cent_id, row_number() OVER (ORDER BY
+        |      list_sum([(CAST(c.cent[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+        |              * (CAST(c.cent[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+        |              for i in range(1, len(c.cent) + 1)]), c.cent_id) AS rn
+        |    FROM cents c, q) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT a.vec_id, a.label,
+        |    list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              for i in range(1, len(q.qe) + 1)]))) AS cs
+        |  FROM assigned a JOIN probe USING (cent_id), q WHERE a.vec_id <> 0)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |    length(text) AS n,
+        |    list_sum([unicode(c) for c in string_split(text, '')]) AS bsum
+        |  FROM documents)
+        |SELECT media_id, kind, CAST(n AS INTEGER) AS n_bytes,
+        |  CAST(n % 1024 AS INTEGER) AS width,
+        |  CAST((n // 3) % 768 AS INTEGER) AS height,
+        |  CAST(bsum % 100000 AS BIGINT) AS duration_ms,
+        |  CAST(bsum AS DOUBLE) / greatest(n, 1) AS mean_byte
+        |FROM m""".stripMargin,
     // §F ML (rule-scored, oracle-replicable parts)
     "ml_confusion_value" ->
       """WITH f AS (

@@ -176,4 +176,110 @@ object Analytics {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         asDouble(sum(dec(col("o_totalprice")))).as("total_amount"))
+
+  /** TPC-H Q4 shape — EXISTS as a left-semi join (no row
+    * duplication, the probe side short-circuits per key).
+    */
+  def priorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** NOT EXISTS as a left-anti join: customers with no orders. */
+  def customersNoOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val o = Tables.load(spark, sfDir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** TPC-H Q17 shape — correlated scalar subquery (per-part avg
+    * quantity) decorrelated into a pre-aggregated broadcast join:
+    * ONE pass over lineitem for the averages, one for the probe.
+    */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("ap"))
+      .agg((asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q14 shape — conditional aggregation share (promo revenue
+    * percentage); part is broadcast.
+    */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val p = Tables.load(spark, sfDir, "part").select(col("p_partkey"), col("p_type"))
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        asDouble(sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast("decimal(12,4)")))) /
+        asDouble(sum(discPrice))).as("promo_share"))
+  }
+
+  /** Set operations: customers ordering in both 1996 and 1997
+    * (INTERSECT) vs only-1996 (EXCEPT) — distinct-set semantics.
+    */
+  def setOpsCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    def custsIn(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val both = custsIn(1996).intersect(custsIn(1997))
+    val only96 = custsIn(1996).except(custsIn(1997))
+    both.agg(count(lit(1)).as("n")).withColumn("grp", lit("both"))
+      .unionByName(only96.agg(count(lit(1)).as("n")).withColumn("grp", lit("only_1996")))
+      .select(col("grp"), col("n"))
+  }
+
+  /** Percentiles per group WITHOUT interpolation FP drift: exact
+    * median as the decimal-mean of the middle element(s), p90 by
+    * nearest-rank selection — both pure row selection + exact
+    * arithmetic, so any engine agrees bit-for-bit.
+    */
+  def percentileBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = o.select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    // integral div for the middle ranks (Column./ is double division)
+    val isMid = col("rn") === expr("(n + 1) div 2") ||
+      col("rn") === expr("n div 2 + 1")
+    ranked.groupBy(col("o_orderpriority"))
+      .agg(
+        (asDouble(sum(when(isMid, dec(col("o_totalprice"))))) /
+          sum(when(isMid, 1))).as("median_price"),
+        asDouble(sum(when(col("rn") === ceil(col("n") * 0.9), dec(col("o_totalprice")))))
+          .as("p90_price"))
+  }
+
+  /** String predicate pushdown: LIKE prefix/contains filters. */
+  def stringFilters(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").like("small%") || col("p_name").like("%bolt"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        asDouble(sum(dec(col("p_retailprice")))).as("total_retail"))
+
+  /** CASE-driven measures per order year. */
+  def caseAggByYear(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        asDouble(sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
+          .otherwise(lit(0).cast("decimal(12,4)")))).as("fulfilled_amount"),
+        asDouble(sum(when(col("o_orderstatus") =!= "F", dec(col("o_totalprice")))
+          .otherwise(lit(0).cast("decimal(12,4)")))).as("open_amount"),
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"))
 }
