@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     // §F ML
     "ml_risk_score" -> (graft.ml.RiskPipeline.score _),
+    "ml_risk_features" -> (graft.ml.RiskPipeline.featureFrame _),
     "ml_confusion_value" -> (graft.ml.RiskPipeline.confusionValue _),
     "feature_store_customer" -> (graft.ml.RiskPipeline.customerFeatures _),
     "feature_store_orders" -> (graft.ml.RiskPipeline.orderFeatures _),
@@ -471,6 +472,19 @@ object SparkEntry {
         |  CAST(bsum AS DOUBLE) / greatest(n, 1) AS mean_byte
         |FROM m""".stripMargin,
     // §F ML (rule-scored, oracle-replicable parts)
+    "ml_risk_features" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS n_lines,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderpriority, c_mktsegment, o_totalprice, c_acctbal,
+        |  COALESCE(li.n_lines, 0.0) AS n_lines, COALESCE(li.sum_qty, 0.0) AS sum_qty,
+        |  o_orderkey, CAST(o_orderstatus <> 'F' AS DOUBLE) AS bad_flag,
+        |  CAST(year(o_orderdate) AS INTEGER) AS issue_year,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |    * CASE WHEN o_orderstatus <> 'F' THEN -1 ELSE 1 END AS net
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN li ON o_orderkey = li.l_orderkey""".stripMargin,
     "ml_confusion_value" ->
       """WITH f AS (
         |  SELECT CAST(o_orderstatus <> 'F' AS INTEGER) AS label,

@@ -56,6 +56,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def latestVersion: Long = listVersions().lastOption.getOrElse(-1L)
 
   private def readCommit(v: Long): Commit = {
+    require(Files.exists(commitFile(v)),
+      s"version $v does not exist for table at $root (latest: $latestVersion)")
     implicit val fmt: Formats = DefaultFormats
     JsonMethods.parse(Files.readString(commitFile(v))).extract[Commit]
   }
@@ -241,8 +243,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   /** Z-ORDER analog: range-repartition + sort by the cluster keys so
     * each file covers a narrow key range → min/max file pruning makes
-    * selective scans touch few files. (True multi-dim interleaving
-    * can slot in behind the same API.)
+    * selective scans touch few files.
     */
   def clusterBy(numFiles: Int, keys: String*): Long = {
     val data = snapshot()
@@ -251,6 +252,56 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val rewritten = writeData(data)
     commit("CLUSTER", rewritten, currentSchema,
       Map("numRemovedFiles" -> currentFiles.size.toLong))
+  }
+
+  /** TRUE multi-dimensional Z-ordering: interleave the bits of the
+    * two keys' 16-bit range-ranks into one Morton code and cluster
+    * files along it, so per-file min/max stays narrow on BOTH
+    * dimensions — selective scans on either key (or a box on both)
+    * prune files. Rank normalization uses global min/max (one cheap
+    * agg), so the code is data-distribution robust for roughly
+    * uniform keys.
+    */
+  def clusterByZOrder(numFiles: Int, keyA: String, keyB: String): Long = {
+    val snap = snapshot()
+    val Array(loA, hiA, loB, hiB) = snap.agg(
+      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    def rank16(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+        .cast("long"), lit(65535L))
+    val ra = rank16(col(keyA), loA, hiA)
+    val rb = rank16(col(keyB), loB, hiB)
+    // morton = interleave bits of ra (even positions) and rb (odd)
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(ra, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftrightunsigned(rb, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val data = snap.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val rewritten = writeData(data)
+    commit("ZORDER", rewritten, currentSchema,
+      Map("numRemovedFiles" -> currentFiles.size.toLong))
+  }
+
+  /** Incremental consumption primitive (the streaming-source shape):
+    * rows in data files ADDED after `sinceVersion` — what a polling
+    * `readStream` job would pick up per micro-batch. Copy-on-write
+    * rewrites surface their rewritten files too (an honest
+    * changes-feed needs CDC metadata; appends — the streaming case —
+    * are exact).
+    */
+  def changesSince(sinceVersion: Long): DataFrame = {
+    val base = readCommit(sinceVersion).files.toSet
+    val added = currentFiles.filterNot(base)
+    val schema = currentSchema
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(added.map(abs): _*)
   }
 }
 
