@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_portable" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     // §I text analysis
     "text_quality" -> (TextAnalysis.quality _),
@@ -216,6 +217,44 @@ object SparkEntry {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6""".stripMargin,
+    "dedup_minhash_portable" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |hp AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 1000000007 AS h2
+        |  FROM posts),
+        |sig AS (
+        |  SELECT doc_id, i, MIN(h1 + i * h2) AS m
+        |  FROM hp, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i),
+        |bandsig AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |common AS (
+        |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, COUNT(*) AS nc
+        |  FROM posts pa JOIN posts pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+        |SELECT c.doc_a, c.doc_b, CAST(nc AS INTEGER) AS n_common,
+        |  CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) AS jaccard
+        |FROM cand c
+        |JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+        |JOIN sizes sa ON c.doc_a = sa.doc_id
+        |JOIN sizes sb ON c.doc_b = sb.doc_id
+        |WHERE CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) >= 0.6""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars_m,

@@ -91,11 +91,55 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     adoptStaging(staging)
   }
 
+  /** Columns eligible for file-level min/max stats (stored as
+    * doubles: numerics + timestamps-as-epoch-micros).
+    */
+  private def statsCols(schema: StructType): Seq[(String, Column)] =
+    schema.fields.toSeq.collect {
+      case f if Set("integer", "long", "double", "float", "short")
+          .contains(f.dataType.typeName) => f.name -> col(f.name).cast("double")
+      case f if f.dataType.typeName == "timestamp" =>
+        f.name -> unix_micros(col(f.name)).cast("double")
+    }
+
+  /** One post-write pass over the new files → per-file min/max per
+    * eligible column. O(new data) once at write time buys O(files)
+    * pruning on every later selective read/DML — the Delta/Iceberg
+    * data-skipping trade, reimplemented on the commit log.
+    */
+  private def collectStats(files: Seq[String]): Map[String, FileStats] = {
+    val df = spark.read.parquet(files.map(abs): _*)
+    val sc = statsCols(df.schema)
+    if (sc.isEmpty) return Map.empty
+    val aggs = sc.flatMap { case (n, c) =>
+      Seq(min(c).as(s"min_$n"), max(c).as(s"max_$n")) }
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      val fname = r.getString(0)
+      files.find(f => fname.endsWith(f)).map { rel =>
+        rel -> FileStats(
+          sc.map { case (n, _) => n ->
+            (if (r.isNullAt(r.fieldIndex(s"min_$n"))) null
+             else java.lang.Double.valueOf(r.getDouble(r.fieldIndex(s"min_$n")))) }
+            .collect { case (n, v) if v != null => n -> v.doubleValue }.toMap,
+          sc.map { case (n, _) => n ->
+            (if (r.isNullAt(r.fieldIndex(s"max_$n"))) null
+             else java.lang.Double.valueOf(r.getDouble(r.fieldIndex(s"max_$n")))) }
+            .collect { case (n, v) if v != null => n -> v.doubleValue }.toMap)
+      }
+    }.toMap
+  }
+
   private def commit(op: String, files: Seq[String], schema: StructType,
-      metrics: Map[String, Long]): Long = {
+      metrics: Map[String, Long], newStats: Map[String, FileStats] = Map.empty): Long = {
     val v = latestVersion + 1
+    // carry forward stats of surviving files, add the new ones
+    val carried = if (v == 0) Map.empty[String, FileStats]
+      else readCommit(v - 1).stats.getOrElse(Map.empty)
+        .filter { case (f, _) => files.contains(f) }
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
-      schema.json, metrics))
+      schema.json, metrics, Some(carried ++ newStats)))
     v
   }
 
@@ -114,6 +158,32 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       // explicit schema: reads stay correct across additive schema
       // evolution (older files simply yield nulls for new columns)
       spark.read.schema(schema).parquet(c.files.map(abs): _*)
+  }
+
+  /** Data-skipping read: only files whose [min,max] interval for
+    * `key` overlaps [lo, hi] are handed to the scan — O(files)
+    * driver-side pruning from commit-log stats, before any I/O.
+    * Files without stats are conservatively kept. The caller still
+    * applies the row-level filter; this prunes at FILE granularity
+    * (after clusterBy/clusterByZOrder most files drop out).
+    */
+  def snapshotPruned(key: String, lo: Double, hi: Double): DataFrame = {
+    val c = readCommit(latestVersion)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val stats = c.stats.getOrElse(Map.empty)
+    val keep = c.files.filter { f =>
+      stats.get(f) match {
+        case Some(fs) =>
+          (fs.mins.get(key), fs.maxs.get(key)) match {
+            case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+            case _ => true
+          }
+        case None => true
+      }
+    }
+    if (keep.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(keep.map(abs): _*)
   }
 
   /** DESCRIBE HISTORY analog: one row per commit. */
@@ -158,13 +228,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       df.schema.fieldNames.contains(n)).map(col): _*)
     val added = writeData(aligned)
     commit("APPEND", currentFiles ++ added, schema,
-      Map("numAddedFiles" -> added.size.toLong))
+      Map("numAddedFiles" -> added.size.toLong), collectStats(added))
   }
 
   def overwrite(df: DataFrame): Long = {
     val added = writeData(df)
     commit("OVERWRITE", added, df.schema,
-      Map("numAddedFiles" -> added.size.toLong))
+      Map("numAddedFiles" -> added.size.toLong), collectStats(added))
   }
 
   /** Files of the current version that contain ≥1 row matching
@@ -187,7 +257,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val rewritten = writeData(kept)
     commit("DELETE",
       currentFiles.filterNot(touched.contains) ++ rewritten, currentSchema,
-      Map("numRewrittenFiles" -> touched.size.toLong))
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
   }
 
   /** DML UPDATE ... SET assignments WHERE cond. */
@@ -204,7 +274,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val rewritten = writeData(updated)
     commit("UPDATE",
       currentFiles.filterNot(touched.contains) ++ rewritten, currentSchema,
-      Map("numRewrittenFiles" -> touched.size.toLong))
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
   }
 
   /** MERGE INTO target USING source ON key:
@@ -230,7 +300,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val rewritten = writeData(newData)
     commit("MERGE",
       currentFiles.filterNot(touched.contains) ++ rewritten, schema,
-      Map("numRewrittenFiles" -> touched.size.toLong))
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
   }
 
   /** OPTIMIZE analog: coalesce the snapshot into `numFiles` files. */
@@ -238,7 +308,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val data = snapshot().coalesce(numFiles)
     val rewritten = writeData(data)
     commit("COMPACT", rewritten, currentSchema,
-      Map("numRemovedFiles" -> currentFiles.size.toLong))
+      Map("numRemovedFiles" -> currentFiles.size.toLong), collectStats(rewritten))
   }
 
   /** Z-ORDER analog: range-repartition + sort by the cluster keys so
@@ -251,7 +321,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .sortWithinPartitions(keys.map(col): _*)
     val rewritten = writeData(data)
     commit("CLUSTER", rewritten, currentSchema,
-      Map("numRemovedFiles" -> currentFiles.size.toLong))
+      Map("numRemovedFiles" -> currentFiles.size.toLong), collectStats(rewritten))
   }
 
   /** TRUE multi-dimensional Z-ordering: interleave the bits of the
@@ -285,7 +355,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .drop("__z")
     val rewritten = writeData(data)
     commit("ZORDER", rewritten, currentSchema,
-      Map("numRemovedFiles" -> currentFiles.size.toLong))
+      Map("numRemovedFiles" -> currentFiles.size.toLong), collectStats(rewritten))
   }
 
   /** Incremental consumption primitive (the streaming-source shape):
@@ -306,9 +376,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 }
 
 object GraftTable {
+  private[tables] case class FileStats(mins: Map[String, Double],
+      maxs: Map[String, Double])
+
   private[tables] case class Commit(version: Long, timestampMs: Long,
       operation: String, files: List[String], schemaJson: String,
-      metrics: Map[String, Long])
+      metrics: Map[String, Long],
+      stats: Option[Map[String, FileStats]] = None)
 
   /** Create a new table at `path` from `df` (errors if a log exists). */
   def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {
@@ -317,7 +391,8 @@ object GraftTable {
     require(!Files.exists(t.logDir), s"table already exists at $path")
     Files.createDirectories(t.logDir)
     val files = t.writeData(df)
-    t.commit("CREATE", files, df.schema, Map("numAddedFiles" -> files.size.toLong))
+    t.commit("CREATE", files, df.schema,
+      Map("numAddedFiles" -> files.size.toLong), t.collectStats(files))
     t
   }
 

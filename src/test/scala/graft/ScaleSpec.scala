@@ -90,6 +90,20 @@ class ScaleSpec extends SparkSpec {
     assert(avgB < globalB * 0.8, s"avg orderkey span $avgB")
   }
 
+  test("stats-based data skipping reads only overlapping files") {
+    val dir = Files.createTempDirectory("graft_skip_").resolve("t").toString
+    val t = GraftTable.create(spark, dir, Tables.load(spark, sf, "orders"))
+    t.clusterBy(8, "o_custkey")
+    val all = t.snapshot().select(input_file_name()).distinct().count()
+    val pruned = t.snapshotPruned("o_custkey", 0, 100)
+    val readFiles = pruned.select(input_file_name()).distinct().count()
+    assert(readFiles < all, s"read $readFiles of $all files")
+    // pruned read + row filter ≡ full read + row filter
+    val expect = t.snapshot().where($"o_custkey".between(0, 100)).count()
+    assert(pruned.where($"o_custkey".between(0, 100)).count() === expect)
+    assert(expect > 0)
+  }
+
   test("changesSince surfaces only newly appended rows") {
     val dir = Files.createTempDirectory("graft_cdc_").resolve("t").toString
     val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
