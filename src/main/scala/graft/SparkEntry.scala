@@ -75,6 +75,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annTopKBrute(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
     // §F ML
     "ml_risk_score" -> (graft.ml.RiskPipeline.score _),
     "ml_risk_features" -> (graft.ml.RiskPipeline.featureFrame _),
@@ -228,11 +229,12 @@ object SparkEntry {
         |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
         |hp AS (
         |  SELECT doc_id,
-        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h1,
-        |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 1000000007 AS h2
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x,
+        |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 2147483647 AS y
         |  FROM posts),
         |sig AS (
-        |  SELECT doc_id, i, MIN(h1 + i * h2) AS m
+        |  SELECT doc_id, i,
+        |    MIN((((i * 1103515245 + 12345) % 2147483647) * x + y) % 2147483647) AS m
         |  FROM hp, (SELECT unnest(range(0, 16)) AS i)
         |  GROUP BY doc_id, i),
         |bandsig AS (

@@ -85,6 +85,37 @@ object RiskPipeline {
     new BinaryClassificationEvaluator().setLabelCol("bad_flag")
       .setRawPredictionCol("prediction").evaluate(scored)
 
+  /** Max-F1 threshold selection (03-Fraud-ML.py:172-179): sweep the
+    * training summary's fMeasureByThreshold, return the argmax
+    * threshold — applied to the fitted LR before scoring.
+    */
+  def bestF1Threshold(spark: SparkSession, sfDir: String): Double = {
+    val data = featureFrame(spark, sfDir)
+    val train = data.filter(col("issue_year") <= 1997)
+    val model = pipeline().fit(train)
+    val lrModel = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val f = lrModel.binarySummary.fMeasureByThreshold
+    val best = f.orderBy(col("F-Measure").desc, col("threshold")).head()
+    best.getDouble(f.columns.indexOf("threshold"))
+  }
+
+  /** GBTClassifier alternative (03-Fraud-ML.py:109 references the
+    * gradient-boosted-trees member of the same pipeline family).
+    */
+  def gbtScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = featureFrame(spark, sfDir).cache()
+    val train = data.filter(col("issue_year") <= 1997)
+    val valid = data.filter(col("issue_year") > 1997)
+    val stages = pipeline().getStages
+    val gbt = new org.apache.spark.ml.classification.GBTClassifier()
+      .setMaxIter(5).setMaxDepth(3).setFeaturesCol("scaledFeatures")
+      .setLabelCol("bad_flag").setSeed(42L)
+    val pipe = new Pipeline().setStages(stages.dropRight(1) :+ gbt)
+    pipe.fit(train).transform(valid)
+      .select(col("o_orderkey"), col("bad_flag"), col("prediction"))
+  }
+
   /** CrossValidator + ParamGridBuilder tuning (03-Fraud-ML.py:149-161). */
   def tuned(spark: SparkSession, sfDir: String): Double = {
     val data = featureFrame(spark, sfDir)

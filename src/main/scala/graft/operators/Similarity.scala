@@ -57,6 +57,46 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Random-hyperplane (SimHash-for-cosine) LSH near-dup pairs: the
+    * scale path when NO natural blocking key exists. Each vector gets
+    * a b-bit signature (sign of dot with b deterministic pseudo-
+    * random hyperplanes); vectors agreeing on a band of bits land in
+    * a bucket, pairs are verified with exact cosine. P(bit match) =
+    * 1 − θ/π, so high-cosine pairs collide with high probability
+    * while the bucket join only shuffles (band, signature) keys.
+    * Hyperplanes derive from a seeded hash of (dim, plane) — no
+    * driver-side randomness, reproducible across runs/cluster sizes.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val r = nBits / bands
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    // bit j = sign(Σ_d v[d] · h(j,d)) with h a deterministic ±1 hash
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), lit(63)), (v, d) =>
+          v.cast("double") *
+            when(pmod(xxhash64(lit(j), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, 1).otherwise(0).as(s"bit$j")
+    }
+    val sig = emb.select((Seq(col("vec_id"), col("embedding"), col("nrm")) ++ bits): _*)
+    val banded = sig.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("", (0 until r).map(i => col(s"bit${b * r + i}")): _*).as("bsig"))): _*))
+        .as("bk"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round((dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).cast("decimal(18,12)"), 6)
+          .cast("double").as("cos_sim"))
+      .dropDuplicates("vec_a", "vec_b")
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF-flat ANN: deterministic seeded centroids (first nCentroids
     * vectors by vec_id — a fixed coarse quantizer), assign every
     * vector to its nearest centroid (broadcast join), then search

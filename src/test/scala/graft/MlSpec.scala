@@ -26,6 +26,17 @@ class MlSpec extends SparkSpec {
     assert(metric >= 0.35 && metric <= 0.75, s"cv AUC $metric")
   }
 
+  test("best-F1 threshold is a valid probability") {
+    val th = RiskPipeline.bestF1Threshold(spark, sf)
+    assert(th >= 0.0 && th <= 1.0, s"threshold $th")
+  }
+
+  test("GBT pipeline variant trains and scores") {
+    val scored = RiskPipeline.gbtScore(spark, sf)
+    assert(scored.count() > 0)
+    assert(scored.where(!$"prediction".isin(0.0, 1.0)).count() === 0)
+  }
+
   test("confusion value covers the label×prediction grid") {
     val cm = RiskPipeline.confusionValue(spark, sf)
     assert(cm.count() <= 4 && cm.count() >= 2)

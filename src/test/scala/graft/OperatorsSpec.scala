@@ -70,6 +70,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane LSH near-dup recalls the exact near-dup pairs") {
+    val exact = Similarity.embeddingNearDup(spark, sf, threshold = 0.4)
+      .select($"vec_a", $"vec_b")
+    val lsh = Similarity.embeddingNearDupLsh(spark, sf, threshold = 0.4)
+      .select($"vec_a", $"vec_b")
+    // label-blocked exact pairs ⊆ all-pairs space the LSH searches;
+    // count how many of the exact pairs LSH recovers
+    val n = exact.count()
+    val recalled = exact.intersect(lsh).count()
+    assert(n === 0 || recalled.toDouble / n >= 0.3,
+      s"LSH recalled $recalled of $n")
+    // determinism
+    assert(lsh.count() === Similarity.embeddingNearDupLsh(spark, sf, threshold = 0.4).count())
+  }
+
   test("IVF ANN recalls most of brute-force top-10") {
     val brute = Similarity.annTopKBrute(spark, sf).select($"vec_id").as[Long].collect().toSet
     val ivf = Similarity.annIvf(spark, sf).select($"vec_id").as[Long].collect().toSet
