@@ -38,6 +38,7 @@ object SparkEntry {
     "q_percentile_bands" -> (Analytics.percentileBands _),
     "q_string_filters" -> (Analytics.stringFilters _),
     "q_case_agg_by_year" -> (Analytics.caseAggByYear _),
+    "q_mom_growth" -> (Analytics.momGrowth _),
     // §B medallion
     "ingest_bronze" -> (Medallion.ingestBronze _),
     "silver_clean" -> (Medallion.silverClean _),
@@ -358,6 +359,16 @@ object SparkEntry {
         |  CAST(round(SUM(CASE WHEN o_orderstatus <> 'F' THEN CAST(o_totalprice AS DECIMAL(12,4)) ELSE CAST(0 AS DECIMAL(12,4)) END), 4) AS DOUBLE) AS open_amount,
         |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_mom_growth" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+        |  (revenue - lag(revenue) OVER (ORDER BY month))
+        |    / lag(revenue) OVER (ORDER BY month) AS mom_growth
+        |FROM m""".stripMargin,
     "tbl_history" ->
       """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'CREATE'),
         |  (CAST(1 AS BIGINT), 'DELETE'), (CAST(2 AS BIGINT), 'COMPACT'))

@@ -272,6 +272,21 @@ object Analytics {
       .agg(count(lit(1)).as("n_parts"),
         asDouble(sum(dec(col("p_retailprice")))).as("total_retail"))
 
+  /** Time-intelligence: monthly revenue with month-over-month growth
+    * via lag window. Growth is double division of two exact decimal-
+    * derived doubles — engine-portable.
+    */
+  def momGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(asDouble(sum(dec(col("o_totalprice")))).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_growth",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+  }
+
   /** CASE-driven measures per order year. */
   def caseAggByYear(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "orders")

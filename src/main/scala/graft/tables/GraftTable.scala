@@ -62,11 +62,23 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     JsonMethods.parse(Files.readString(commitFile(v))).extract[Commit]
   }
 
+  /** Atomic optimistic-concurrency commit: content goes to a temp
+    * file, then a hard LINK claims the version slot — link(2) fails
+    * atomically if the slot exists, unlike rename(2) which silently
+    * replaces it. A concurrent writer racing for the same version
+    * gets a CommitConflictException and can re-read + retry (the
+    * Delta/Iceberg optimistic protocol).
+    */
   private def writeCommit(c: Commit): Unit = {
     implicit val fmt: Formats = DefaultFormats
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, Serialization.write(c))
-    Files.move(tmp, commitFile(c.version), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(commitFile(c.version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"concurrent commit: version ${c.version} already exists at $root")
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Move Spark-written part files into `files/` under unique names;
@@ -131,17 +143,28 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     }.toMap
   }
 
-  private def commit(op: String, files: Seq[String], schema: StructType,
-      metrics: Map[String, Long], newStats: Map[String, FileStats] = Map.empty): Long = {
-    val v = latestVersion + 1
-    // carry forward stats of surviving files, add the new ones
+  /** Commit against an explicit BASE version: the new commit claims
+    * exactly base+1. If a concurrent writer committed after `base`
+    * was read, the hard-link claim fails → CommitConflictException —
+    * instead of silently publishing a file list computed from a
+    * stale snapshot (the lost-update the version must guard).
+    */
+  private def commit(op: String, base: Long, files: Seq[String],
+      schema: StructType, metrics: Map[String, Long],
+      newStats: Map[String, FileStats] = Map.empty): Long = {
+    val v = base + 1
     val carried = if (v == 0) Map.empty[String, FileStats]
-      else readCommit(v - 1).stats.getOrElse(Map.empty)
+      else readCommit(base).stats.getOrElse(Map.empty)
         .filter { case (f, _) => files.contains(f) }
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
       schema.json, metrics, Some(carried ++ newStats)))
     v
   }
+
+  private def filesAt(v: Long): Seq[String] = readCommit(v).files
+  private def schemaAt(v: Long): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(readCommit(v).schemaJson)
+      .asInstanceOf[StructType]
 
   // ---- reads -----------------------------------------------------------
 
@@ -223,17 +246,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   }
 
   def append(df: DataFrame, evolve: Boolean = false): Long = {
+    val base = latestVersion
     val schema = checkSchema(df, evolve)
     val aligned = df.select(schema.fieldNames.filter(n =>
       df.schema.fieldNames.contains(n)).map(col): _*)
     val added = writeData(aligned)
-    commit("APPEND", currentFiles ++ added, schema,
+    commit("APPEND", base, filesAt(base) ++ added, schema,
       Map("numAddedFiles" -> added.size.toLong), collectStats(added))
   }
 
   def overwrite(df: DataFrame): Long = {
+    val base = latestVersion
     val added = writeData(df)
-    commit("OVERWRITE", added, df.schema,
+    commit("OVERWRITE", base, added, df.schema,
       Map("numAddedFiles" -> added.size.toLong), collectStats(added))
   }
 
@@ -250,30 +275,34 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   /** DML DELETE WHERE (01-Fraud-Delta.py:159). */
   def delete(cond: Column): Long = {
+    val base = latestVersion
     val touched = touchedFiles(cond)
-    if (touched.isEmpty) return commit("DELETE", currentFiles, currentSchema, Map())
-    val kept = spark.read.schema(currentSchema).parquet(touched.map(abs): _*)
+    if (touched.isEmpty)
+      return commit("DELETE", base, filesAt(base), schemaAt(base), Map())
+    val kept = spark.read.schema(schemaAt(base)).parquet(touched.map(abs): _*)
       .where(!coalesce(cond, lit(false)))
     val rewritten = writeData(kept)
-    commit("DELETE",
-      currentFiles.filterNot(touched.contains) ++ rewritten, currentSchema,
+    commit("DELETE", base,
+      filesAt(base).filterNot(touched.contains) ++ rewritten, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
   }
 
   /** DML UPDATE ... SET assignments WHERE cond. */
   def update(cond: Column, set: Map[String, Column]): Long = {
+    val base = latestVersion
     val touched = touchedFiles(cond)
-    if (touched.isEmpty) return commit("UPDATE", currentFiles, currentSchema, Map())
-    val cur = spark.read.schema(currentSchema).parquet(touched.map(abs): _*)
-    val updated = currentSchema.fieldNames.foldLeft(cur) { (d, f) =>
+    if (touched.isEmpty)
+      return commit("UPDATE", base, filesAt(base), schemaAt(base), Map())
+    val cur = spark.read.schema(schemaAt(base)).parquet(touched.map(abs): _*)
+    val updated = schemaAt(base).fieldNames.foldLeft(cur) { (d, f) =>
       set.get(f) match {
         case Some(e) => d.withColumn(f, when(coalesce(cond, lit(false)), e).otherwise(col(f)))
         case None => d
       }
     }
     val rewritten = writeData(updated)
-    commit("UPDATE",
-      currentFiles.filterNot(touched.contains) ++ rewritten, currentSchema,
+    commit("UPDATE", base,
+      filesAt(base).filterNot(touched.contains) ++ rewritten, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
   }
 
@@ -283,13 +312,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * rewritten; inserts land in fresh files.
     */
   def merge(source: DataFrame, key: String): Long = {
-    val schema = currentSchema
+    val base = latestVersion
+    val schema = schemaAt(base)
     val srcAligned = source.select(schema.fieldNames.map(col): _*)
     val keys = srcAligned.select(col(key)).distinct()
     val withFile = snapshot().withColumn("__file", input_file_name())
     val hit = withFile.join(broadcast(keys), Seq(key), "left_semi")
       .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-    val touched = currentFiles.filter(f => hit.exists(h => h.endsWith(f)))
+    val touched = filesAt(base).filter(f => hit.exists(h => h.endsWith(f)))
     val untouchedRows = if (touched.isEmpty) None
       else Some(spark.read.schema(schema).parquet(touched.map(abs): _*)
         .join(keys, Seq(key), "left_anti"))
@@ -298,17 +328,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       case None => srcAligned
     }
     val rewritten = writeData(newData)
-    commit("MERGE",
-      currentFiles.filterNot(touched.contains) ++ rewritten, schema,
+    commit("MERGE", base,
+      filesAt(base).filterNot(touched.contains) ++ rewritten, schema,
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
   }
 
   /** OPTIMIZE analog: coalesce the snapshot into `numFiles` files. */
   def compact(numFiles: Int = 1): Long = {
-    val data = snapshot().coalesce(numFiles)
+    val base = latestVersion
+    val data = snapshotAt(base).coalesce(numFiles)
     val rewritten = writeData(data)
-    commit("COMPACT", rewritten, currentSchema,
-      Map("numRemovedFiles" -> currentFiles.size.toLong), collectStats(rewritten))
+    commit("COMPACT", base, rewritten, schemaAt(base),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten))
   }
 
   /** Z-ORDER analog: range-repartition + sort by the cluster keys so
@@ -316,12 +347,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * selective scans touch few files.
     */
   def clusterBy(numFiles: Int, keys: String*): Long = {
-    val data = snapshot()
+    val base = latestVersion
+    val data = snapshotAt(base)
       .repartitionByRange(numFiles, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val rewritten = writeData(data)
-    commit("CLUSTER", rewritten, currentSchema,
-      Map("numRemovedFiles" -> currentFiles.size.toLong), collectStats(rewritten))
+    commit("CLUSTER", base, rewritten, schemaAt(base),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten))
   }
 
   /** TRUE multi-dimensional Z-ordering: interleave the bits of the
@@ -333,7 +365,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * uniform keys.
     */
   def clusterByZOrder(numFiles: Int, keyA: String, keyB: String): Long = {
-    val snap = snapshot()
+    val base = latestVersion
+    val snap = snapshotAt(base)
     val Array(loA, hiA, loB, hiB) = snap.agg(
       min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
       min(col(keyB)).cast("double"), max(col(keyB)).cast("double"))
@@ -354,8 +387,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
     val rewritten = writeData(data)
-    commit("ZORDER", rewritten, currentSchema,
-      Map("numRemovedFiles" -> currentFiles.size.toLong), collectStats(rewritten))
+    commit("ZORDER", base, rewritten, schemaAt(base),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten))
   }
 
   /** Incremental consumption primitive (the streaming-source shape):
@@ -375,6 +408,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   }
 }
 
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 object GraftTable {
   private[tables] case class FileStats(mins: Map[String, Double],
       maxs: Map[String, Double])
@@ -391,7 +426,7 @@ object GraftTable {
     require(!Files.exists(t.logDir), s"table already exists at $path")
     Files.createDirectories(t.logDir)
     val files = t.writeData(df)
-    t.commit("CREATE", files, df.schema,
+    t.commit("CREATE", -1L, files, df.schema,
       Map("numAddedFiles" -> files.size.toLong), t.collectStats(files))
     t
   }

@@ -80,6 +80,28 @@ class GraftTableSpec extends SparkSpec {
     assert(hist === Seq((0L, "CREATE"), (1L, "DELETE")))
   }
 
+  test("optimistic concurrency: racing appenders conflict instead of clobbering") {
+    val path = tmp()
+    GraftTable.create(spark, path, Seq((0L, "seed")).toDF("id", "v"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 6).map { i =>
+      Future {
+        val handle = GraftTable.load(spark, path)
+        try { handle.append(Seq((i.toLong, s"w$i")).toDF("id", "v")); 1 }
+        catch { case _: graft.tables.CommitConflictException => 0 }
+      }
+    }), 120.seconds).toList
+    val succeeded = results.sum
+    assert(succeeded >= 1)
+    // every successful append's row is present exactly once; no
+    // commit was silently overwritten (count = seed + successes)
+    val t = GraftTable.load(spark, path)
+    assert(t.snapshot().count() === 1 + succeeded)
+    assert(t.latestVersion === succeeded.toLong)
+  }
+
   test("compact reduces file count, preserves data") {
     val orders = Tables.load(spark, sf, "orders").repartition(16)
     val t = GraftTable.create(spark, tmp(), orders)
