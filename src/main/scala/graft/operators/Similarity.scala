@@ -72,16 +72,23 @@ object Similarity {
     val r = nBits / bands
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
-    // bit j = sign(Σ_d v[d] · h(j,d)) with h a deterministic ±1 hash
-    val bits = (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), lit(63)), (v, d) =>
-          v.cast("double") *
-            when(pmod(xxhash64(lit(j), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, 1).otherwise(0).as(s"bit$j")
+    // bit j = sign(Σ_d v[d] · h(j,d)) with h a deterministic ±1 hash.
+    // Computed as posexplode + nBits codegen'd SUM aggregates (the
+    // aggregates-over-postings shape — array HOF lambdas would run
+    // interpreted outside whole-stage codegen).
+    val posts = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"), col("v").cast("double").as("v"))
+    val projAggs = (0 until nBits).map { j =>
+      sum(when(pmod(xxhash64(lit(j), col("d")), lit(2)) === 0, col("v"))
+        .otherwise(-col("v"))).as(s"p$j")
     }
-    val sig = emb.select((Seq(col("vec_id"), col("embedding"), col("nrm")) ++ bits): _*)
+    val projections = posts.groupBy(col("vec_id"))
+      .agg(projAggs.head, projAggs.tail: _*)
+    val bits = (0 until nBits).map(j =>
+      when(col(s"p$j") >= 0, 1).otherwise(0).as(s"bit$j"))
+    val sig = projections.join(emb, Seq("vec_id"))
+      .select((Seq(col("vec_id"), col("embedding"), col("nrm")) ++ bits): _*)
     val banded = sig.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
