@@ -54,6 +54,10 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "text_repetition_ratio" -> (TextAnalysis.repetitionRatio _),
+    "text_deterministic_split" -> (TextAnalysis.deterministicSplit _),
+    "text_corpus_stats" -> (TextAnalysis.corpusStats _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
     "tbl_delete_where" -> (TableOps.deleteWhere _),
@@ -373,6 +377,42 @@ object SparkEntry {
       """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'CREATE'),
         |  (CAST(1 AS BIGINT), 'DELETE'), (CAST(2 AS BIGINT), 'COMPACT'))
         |  t(version, operation)""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |    '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '[PHONE]', 'g') AS text_scrubbed
+        |FROM documents""".stripMargin,
+    "text_repetition_ratio" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest([concat_ws(' ', w[i], w[i+1], w[i+2])
+        |    for i in range(1, len(w) - 1)]) AS shingle
+        |  FROM w WHERE len(w) >= 3),
+        |cnt AS (
+        |  SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(MAX(c) AS INTEGER) AS max_rep,
+        |  CAST(SUM(c) AS INTEGER) AS n_shingles,
+        |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio
+        |FROM cnt GROUP BY doc_id""".stripMargin,
+    "text_deterministic_split" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "text_corpus_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
     // §C — final table state after each DML scenario
     "tbl_merge_upsert" ->
       """WITH src AS (

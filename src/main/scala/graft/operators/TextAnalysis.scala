@@ -74,6 +74,70 @@ object TextAnalysis {
       nMatches(col("text"), "\\S+").as("ws_tokens"),
       nMatches(col("text"), bpePat).as("bpe_tokens"))
 
+  /** PII scrubbing: regexp redaction of emails / phone-shaped /
+    * SSN-shaped spans — the standard pre-training privacy pass,
+    * expressed as codegen'd regexp_replace chains (map-side, zero
+    * shuffle at any corpus size).
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+          "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+        "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b", "[PHONE]").as("text_scrubbed"))
+
+  /** Repetition ratio (Gopher/C4-style quality filter): fraction of
+    * all word-3-gram occurrences taken by the single most repeated
+    * one. High ratio ⇒ boilerplate/loops. Non-distinct shingles by
+    * construction; two partial-aggregated group-bys.
+    */
+  def repetitionRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val sh = d.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))
+        .as("shingle"))
+    sh.groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_shingles"))
+      .select(col("doc_id"), col("max_rep").cast("int").as("max_rep"),
+        col("n_shingles").cast("int").as("n_shingles"),
+        (col("max_rep").cast("double") / col("n_shingles")).as("rep_ratio"))
+  }
+
+  /** Deterministic train/val/test assignment from a content-stable
+    * hash of the key — reproducible splits across runs, engines and
+    * cluster sizes (no RNG, no global sort). md5-residue spelling so
+    * the oracle replicates it exactly.
+    */
+  def deterministicSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"), bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Corpus accounting rollup: docs / chars / whitespace tokens per
+    * (lang, source) — the bookkeeping query behind token budgets.
+    */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+          .as("total_ws_tokens"))
+      .withColumn("avg_chars",
+        col("total_chars").cast("double") / col("n_docs"))
+
   /** Content fingerprint of whitespace-normalized text. The md5 form
     * is the portable/oracle-checkable spelling; the codegen'd
     * RollingHash expression (graft.functions.RollingHash) is the
