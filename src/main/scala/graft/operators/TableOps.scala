@@ -16,11 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object TableOps {
 
+  // One Spark-written template table per (sfDir, parts); each scenario
+  // clones it with a filesystem copy — O(bytes) file copy instead of a
+  // full Spark write + stats pass per query.
+  private val templates =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.nio.file.Path]()
+
   private def scratch(spark: SparkSession, sfDir: String,
       parts: Int = 8): GraftTable = {
-    val dir = Files.createTempDirectory("graft_tbl_").resolve("t").toString
-    GraftTable.create(spark, dir,
-      Tables.load(spark, sfDir, "orders").repartition(parts, col("o_orderkey")))
+    val template = templates.computeIfAbsent((sfDir, parts), { _ =>
+      val dir = Files.createTempDirectory("graft_tbl_template_").resolve("t")
+      GraftTable.create(spark, dir.toString,
+        Tables.load(spark, sfDir, "orders").repartition(parts, col("o_orderkey")))
+      dir
+    })
+    val clone = Files.createTempDirectory("graft_tbl_").resolve("t")
+    copyTree(template, clone)
+    GraftTable.load(spark, clone.toString)
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val target = dst.resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** MERGE INTO (01-Fraud-Delta.py:234-241): matched rows take the

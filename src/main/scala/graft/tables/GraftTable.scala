@@ -391,6 +391,35 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten))
   }
 
+  /** RESTORE analog (roll the table back to an old version): commits
+    * a new version whose file list IS the old version's — history
+    * stays append-only, nothing is rewritten.
+    */
+  def restore(version: Long): Long = {
+    val base = latestVersion
+    val c = readCommit(version)
+    commit("RESTORE", base, c.files,
+      org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+        .asInstanceOf[StructType],
+      Map("restoredVersion" -> version))
+  }
+
+  /** VACUUM analog: physically delete data files no commit in the
+    * retained window (last `retainVersions` versions) references.
+    * Older commits whose files were reclaimed can no longer be
+    * time-traveled to — exactly Delta's retention trade-off.
+    */
+  def vacuum(retainVersions: Int = 2): Long = {
+    val versions = listVersions()
+    val retained = versions.takeRight(retainVersions)
+    val live: Set[String] = retained.flatMap(v => readCommit(v).files).toSet
+    val all = Files.list(filesDir).iterator().asScala
+      .map(p => s"files/${p.getFileName}").toSeq
+    val dead = all.filterNot(live)
+    dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    dead.size.toLong
+  }
+
   /** Incremental consumption primitive (the streaming-source shape):
     * rows in data files ADDED after `sinceVersion` — what a polling
     * `readStream` job would pick up per micro-batch. Copy-on-write

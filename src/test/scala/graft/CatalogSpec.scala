@@ -51,6 +51,19 @@ class CatalogSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q5 star join: filters pushed, columns pruned, all dims broadcast") {
+    val plan = graft.operators.Analytics.regionRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"), "filter pushdown missing")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) === 5,
+      "expected all 5 dimension joins broadcast")
+    // the lineitem scan must read only the 4 needed columns
+    val liScan = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(liScan.contains("l_orderkey") && !liScan.contains("l_comment") &&
+      !liScan.contains("l_returnflag"), liScan.take(200))
+  }
+
   test("as-of join plans exactly one shuffle (the key partition)") {
     val plan = graft.operators.TemporalJoins.asofEventsOrders(spark, sf)
       .queryExecution.executedPlan.toString

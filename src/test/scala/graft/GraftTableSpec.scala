@@ -102,6 +102,27 @@ class GraftTableSpec extends SparkSpec {
     assert(t.latestVersion === succeeded.toLong)
   }
 
+  test("restore rolls back to an old version without rewriting data") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.delete($"id" === 1)
+    assert(t.snapshot().count() === 1)
+    t.restore(0)
+    assert(t.snapshot().count() === 2)
+    val hist = t.history().select("operation").as[String].collect().toSeq
+    assert(hist === Seq("CREATE", "DELETE", "RESTORE"))
+  }
+
+  test("vacuum reclaims unreferenced files; retained versions still read") {
+    val orders = Tables.load(spark, sf, "orders").repartition(4, $"o_orderkey")
+    val t = GraftTable.create(spark, tmp(), orders)
+    t.delete($"o_orderstatus" === "P")   // v1 rewrites all 4 files
+    val rows = t.snapshot().count()
+    val reclaimed = t.vacuum(retainVersions = 1)
+    assert(reclaimed >= 1, s"reclaimed $reclaimed")
+    assert(t.snapshot().count() === rows)   // latest unaffected
+    intercept[Exception] { t.snapshotAt(0).count() }  // pre-vacuum history gone
+  }
+
   test("compact reduces file count, preserves data") {
     val orders = Tables.load(spark, sf, "orders").repartition(16)
     val t = GraftTable.create(spark, tmp(), orders)
