@@ -72,6 +72,7 @@ object SparkEntry {
     // §E streaming (batch-equivalent forms; streaming twins in specs)
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAgg _),
     "stream_sessionize" -> (graft.streaming.Streams.sessionize _),
+    "stream_session_window" -> (graft.streaming.Streams.sessionWindow _),
     // §A sources
     "json_extract_props" -> (graft.sources.Ingest.jsonExtractProps _),
     "ingest_csv_roundtrip" -> (graft.sources.Ingest.csvRoundtrip _),
@@ -473,6 +474,27 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // session_window: end = last event + gap; boundary is EXCLUSIVE
+    // (an event exactly gap-after starts a new session → >= in the
+    // gap rule, unlike stream_sessionize's > convention)
+    "stream_session_window" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM f),
+        |s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
         |  COUNT(*) AS n_events,
         |  CAST(round(SUM(CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,

@@ -106,6 +106,32 @@ object Streams {
         })
   }
 
+  /** Session windows via Spark's native session_window operator —
+    * the built-in counterpart of `sessionize` (identical gap
+    * semantics, streaming-capable with a watermark).
+    */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming read over a GraftTable (Delta streaming-source shape,
+    * append-only tables): a file stream over the table's data
+    * directory — appends surface as new files; checkpointing gives
+    * exactly-once. (COW rewrites would surface rewritten files too —
+    * append-only is the supported streaming contract, as with Delta
+    * sources without CDF; `changesSince` is the version-aware
+    * primitive.)
+    */
+  def followTable(spark: SparkSession, tableRoot: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(s"$tableRoot/files")
+
   /** Incremental file ingest (Auto Loader demo analog): Structured
     * Streaming file source over a directory; AvailableNow processes
     * exactly the new files since the last checkpoint and stops —

@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     assert(viaState.count() > 0)
   }
 
+  test("streaming read of a GraftTable picks up appended versions") {
+    val dir = Files.createTempDirectory("graft_follow_").resolve("t").toString
+    val ev = Tables.events(spark, sf)
+    val t = graft.tables.GraftTable.create(spark, dir, ev.limit(40))
+    val stream = Streams.followTable(spark, dir, ev.schema)
+    val q = stream.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tbl_follow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tbl_follow").agg(sum($"n")).as[Long].head() === 40)
+      t.append(ev.limit(100).except(ev.limit(40)).toDF())
+      q.processAllAvailable()
+      assert(spark.table("tbl_follow").agg(sum($"n")).as[Long].head() === 100)
+    } finally q.stop()
+  }
+
   test("incremental autoloader ingests each file exactly once") {
     val stage = Files.createTempDirectory("graft_inc_")
     val ev = Tables.events(spark, sf)
