@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_portable" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPortable(s, d)),
     // §I text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
@@ -263,6 +264,32 @@ object SparkEntry {
         |JOIN sizes sa ON c.doc_a = sa.doc_id
         |JOIN sizes sb ON c.doc_b = sb.doc_id
         |WHERE CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) >= 0.6""".stripMargin,
+    "dedup_simhash_portable" ->
+      """WITH posts AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM posts),
+        |bits AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hs, (SELECT unnest(range(0, 60)) AS b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |blocked AS (
+        |  SELECT doc_id, simhash, blk, (simhash >> (blk * 15)) & 32767 AS bval
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS blk)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM blocked a JOIN blocked b
+        |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars_m,
