@@ -81,6 +81,7 @@ object SparkEntry {
     // §H similarity search
     "ann_topk_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annTopKBrute(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "ann_topk_batch" -> ((s: SparkSession, d: String) => Similarity.annTopKBatch(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
     // §F ML
@@ -553,6 +554,28 @@ object SparkEntry {
         |SELECT vec_id, label,
         |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
         |FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_topk_batch" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |          for i in range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+        |      FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(round(CAST(
+        |      list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |            for i in range(1, len(e.embedding) + 1)]) / (e.nrm * q.qnrm)
+        |      AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |  FROM e, q WHERE e.vec_id >= 5)
+        |SELECT query_id, vec_id, cos_sim,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH c AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -34,6 +34,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch retrieval: exact top-k cosine neighbors for EACH query
+    * vector (here: vec_id < nQueries as the query set). The query
+    * side is broadcast; ranking is a per-query window — one corpus
+    * scan total regardless of query count, the right shape for
+    * serving embedding-search batches at scale.
+    */
+  def annTopKBatch(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.filter(col("vec_id") >= nQueries)
+      .join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round((dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")))
+          .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * blocked by the label column (metadata blocking — the exact-
     * recall counterpart of LSH bucketing; swap the key for a hash
