@@ -59,6 +59,7 @@ object SparkEntry {
     "text_repetition_ratio" -> (TextAnalysis.repetitionRatio _),
     "text_deterministic_split" -> (TextAnalysis.deterministicSplit _),
     "text_corpus_stats" -> (TextAnalysis.corpusStats _),
+    "text_heavy_hitters" -> (TextAnalysis.heavyHitterLangs _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
     "tbl_delete_where" -> (TableOps.deleteWhere _),
@@ -406,6 +407,9 @@ object SparkEntry {
       """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'CREATE'),
         |  (CAST(1 AS BIGINT), 'DELETE'), (CAST(2 AS BIGINT), 'COMPACT'))
         |  t(version, operation)""".stripMargin,
+    "text_heavy_hitters" ->
+      """SELECT lang AS item, COUNT(*) AS cnt FROM documents
+        |GROUP BY lang ORDER BY cnt DESC, lang LIMIT 5""".stripMargin,
     "text_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(

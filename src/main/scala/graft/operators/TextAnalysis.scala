@@ -138,6 +138,20 @@ object TextAnalysis {
       .withColumn("avg_chars",
         col("total_chars").cast("double") / col("n_docs"))
 
+  /** Heavy-hitter languages via the custom space-saving
+    * TypedImperativeAggregate (graft.functions.TopKItemsAgg) —
+    * bounded-memory top-k with mergeable partials; capacity ≥
+    * distinct langs here, so the result is exact and
+    * oracle-checkable.
+    */
+  def heavyHitterLangs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TopKItems.register(spark)
+    Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.TopKItems.top_k_items(col("lang"), 5, 64).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("item"), col("t.cnt").as("cnt"))
+  }
+
   /** Content fingerprint of whitespace-normalized text. The md5 form
     * is the portable/oracle-checkable spelling; the codegen'd
     * RollingHash expression (graft.functions.RollingHash) is the
