@@ -65,6 +65,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events in append-mode windowed agg (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedAggStream(events)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: events in hour 10 and hour 13 → watermark advances to 12:00
+      input.addData((t("2024-01-01 10:10:00"), "click", 1.0),
+        (t("2024-01-01 10:20:00"), "click", 2.0),
+        (t("2024-01-01 13:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event for hour 10 (behind the 12:00 watermark)
+      // plus a fresh one that closes hour 13
+      input.addData((t("2024-01-01 10:30:00"), "click", 100.0),
+        (t("2024-01-01 15:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("late_out")
+        .where($"event_type" === "click")
+        .select($"n_events", $"sum_value").as[(Long, Double)].collect()
+      // the hour-10 click window must have closed with ONLY the two
+      // on-time events; the late 100.0 was dropped by the watermark
+      assert(out.toSeq === Seq((2L, 3.0)), out.mkString(","))
+    } finally q.stop()
+  }
+
   test("incremental autoloader ingests each file exactly once") {
     val stage = Files.createTempDirectory("graft_inc_")
     val ev = Tables.events(spark, sf)
