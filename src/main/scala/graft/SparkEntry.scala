@@ -70,6 +70,14 @@ object SparkEntry {
     "tbl_history" -> (TableOps.historyLog _),
     // §D temporal joins
     "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
+    "asof_join_native" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      graft.plans.AsOfJoinNative.join(
+        graft.Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        graft.Tables.load(s, d, "orders").select(col("o_custkey"), col("o_orderdate"))
+          .dropDuplicates("o_custkey", "o_orderdate"),
+        "user_id", "o_custkey", "ts", "o_orderdate")
+    }),
     "range_join_price_band" -> (TemporalJoins.rangeJoinPriceBand _),
     // §E streaming (batch-equivalent forms; streaming twins in specs)
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAgg _),
@@ -476,6 +484,11 @@ object SparkEntry {
     "asof_join_events_orders" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
         |  o.o_orderdate AS matched_orderdate
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "asof_join_native" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
+        |  o.o_orderdate AS matched_o_orderdate
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "range_join_price_band" ->

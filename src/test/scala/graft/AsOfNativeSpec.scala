@@ -1,0 +1,51 @@
+package graft
+
+import graft.plans.AsOfJoinNative
+import org.apache.spark.sql.functions._
+
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native as-of exec matches the composed union+window operator") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts")
+    val ord = Tables.load(spark, sf, "orders")
+      .select($"o_custkey", $"o_orderdate")
+      .dropDuplicates("o_custkey", "o_orderdate")
+    val native = AsOfJoinNative.join(ev, ord,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .select($"event_id", $"matched_o_orderdate")
+    val composed = operators.TemporalJoins.asofEventsOrders(spark, sf)
+      .select($"event_id", $"matched_orderdate".as("matched_o_orderdate"))
+    assert(native.count() === ev.count())
+    assert(native.except(composed).count() === 0)
+    assert(composed.except(native).count() === 0)
+  }
+
+  test("native as-of plan contains the custom exec and shuffles on the key") {
+    val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
+    val ord = Tables.load(spark, sf, "orders").select($"o_custkey", $"o_orderdate")
+    val df = AsOfJoinNative.join(ev, ord,
+      "user_id", "o_custkey", "ts", "o_orderdate")
+    // sparkPlan: the physical plan before AQE's lazy wrapper hides it
+    // nodeName strips the Exec suffix: the physical node prints "AsOfJoin"
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.startsWith("AsOfJoin "), plan.take(400))
+    df.count() // materialize so EnsureRequirements' exchanges are final
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("hashpartitioning(user_id"), finalPlan.take(800))
+  }
+
+  test("left rows with no prior right row get null matches") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-05 00:00:00")))
+      .toDF("k", "t")
+    val r = Seq((1L, ts("2024-01-02 00:00:00"))).toDF("k", "rt")
+    val out = AsOfJoinNative.join(l, r, "k", "k", "t", "rt")
+      .select($"k", $"matched_rt").as[(Long, Option[java.sql.Timestamp])]
+      .collect().toMap
+    assert(out(1L).isEmpty)   // right row is AFTER the left time
+    assert(out(2L).isEmpty)   // different key never matches k=2
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+}
