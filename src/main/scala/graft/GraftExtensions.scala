@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Builder-time registration of every graft Catalyst extension:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * Injects the native as-of join strategy and the custom functions
+  * (rolling_hash scalar, top_k_items aggregate). The session-scoped
+  * alternatives (`AsOfJoinNative.register`, `RollingHash.register`,
+  * `TopKItems.register`) do the same against a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RollingHash(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("top_k_items"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TopKItemsAgg].getName, "top_k_items"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3,
+          s"top_k_items(col, k, capacity) takes 3 arguments, got ${exprs.length}")
+        graft.functions.TopKItemsAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue,
+          exprs(2).eval().asInstanceOf[Number].intValue).toAggregateExpression()
+      }))
+  }
+}
