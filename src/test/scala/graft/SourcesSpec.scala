@@ -13,6 +13,14 @@ class SourcesSpec extends SparkSpec {
 
   private def orders = Tables.load(spark, sf, "orders")
 
+  test("CSV ingest honors header/delimiter/schema options (01-notebook options)") {
+    val df = graft.sources.Ingest.csvRoundtrip(spark, sf)
+    assert(df.count() === orders.count())
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    assert(df.where($"o_orderdate".isNull).count() === 0)
+  }
+
   test("ORC write/read roundtrip preserves data") {
     val dir = Files.createTempDirectory("graft_orc_").resolve("o").toString
     orders.write.orc(dir)
