@@ -156,10 +156,48 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val carried = if (v == 0) Map.empty[String, FileStats]
       else readCommit(base).stats.getOrElse(Map.empty)
         .filter { case (f, _) => files.contains(f) }
+    val carriedConstraints =
+      if (v == 0) Map.empty[String, String]
+      else readCommit(base).constraints.getOrElse(Map.empty)
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
-      schema.json, metrics, Some(carried ++ newStats)))
+      schema.json, metrics, Some(carried ++ newStats),
+      Some(carriedConstraints ++ pendingConstraints)))
+    pendingConstraints = Map.empty
     v
   }
+
+  // constraints added by the in-flight ALTER, folded into the next commit
+  @volatile private var pendingConstraints: Map[String, String] = Map.empty
+
+  /** Current CHECK constraints (name → SQL predicate). */
+  def constraints: Map[String, String] =
+    if (latestVersion < 0) Map.empty
+    else readCommit(latestVersion).constraints.getOrElse(Map.empty)
+
+  /** ALTER TABLE ADD CONSTRAINT analog: the predicate must hold for
+    * the EXISTING data (validated now) and every future append/merge.
+    * Stored in the commit log; enforcement is a pushed-down
+    * violation count per write.
+    */
+  def addConstraint(name: String, predicateSql: String): Long = {
+    val base = latestVersion
+    val violations = snapshotAt(base).where(s"NOT ($predicateSql)").count()
+    if (violations > 0)
+      throw new ConstraintViolationException(
+        s"constraint $name [$predicateSql] violated by $violations existing row(s)")
+    pendingConstraints = Map(name -> predicateSql)
+    commit("ADD CONSTRAINT", base, filesAt(base), schemaAt(base),
+      Map("numViolations" -> 0L))
+  }
+
+  /** Enforce all stored constraints against a batch about to land. */
+  private def enforceConstraints(df: DataFrame): Unit =
+    constraints.foreach { case (name, pred) =>
+      val bad = df.where(s"NOT ($pred)").count()
+      if (bad > 0)
+        throw new ConstraintViolationException(
+          s"constraint $name [$pred] violated by $bad incoming row(s)")
+    }
 
   private def filesAt(v: Long): Seq[String] = readCommit(v).files
   private def schemaAt(v: Long): StructType =
@@ -247,6 +285,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   def append(df: DataFrame, evolve: Boolean = false): Long = {
     val base = latestVersion
+    enforceConstraints(df)
     val schema = checkSchema(df, evolve)
     val aligned = df.select(schema.fieldNames.filter(n =>
       df.schema.fieldNames.contains(n)).map(col): _*)
@@ -313,6 +352,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   def merge(source: DataFrame, key: String): Long = {
     val base = latestVersion
+    enforceConstraints(source.select(schemaAt(base).fieldNames.map(col): _*))
     val schema = schemaAt(base)
     val srcAligned = source.select(schema.fieldNames.map(col): _*)
     val keys = srcAligned.select(col(key)).distinct()
@@ -438,6 +478,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 }
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
+class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
 object GraftTable {
   private[tables] case class FileStats(mins: Map[String, Double],
@@ -446,7 +487,8 @@ object GraftTable {
   private[tables] case class Commit(version: Long, timestampMs: Long,
       operation: String, files: List[String], schemaJson: String,
       metrics: Map[String, Long],
-      stats: Option[Map[String, FileStats]] = None)
+      stats: Option[Map[String, FileStats]] = None,
+      constraints: Option[Map[String, String]] = None)
 
   /** Create a new table at `path` from `df` (errors if a log exists). */
   def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {

@@ -102,6 +102,26 @@ class GraftTableSpec extends SparkSpec {
     assert(t.latestVersion === succeeded.toLong)
   }
 
+  test("CHECK constraints validate existing data and reject bad writes") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    t.addConstraint("x_positive", "x > 0")
+    assert(t.constraints === Map("x_positive" -> "x > 0"))
+    // good append passes
+    t.append(Seq((3L, 5.0)).toDF("id", "x"))
+    // violating append rejected, table unchanged
+    intercept[graft.tables.ConstraintViolationException] {
+      t.append(Seq((4L, -1.0)).toDF("id", "x"))
+    }
+    assert(t.snapshot().count() === 3)
+    // constraint that existing data violates is refused
+    intercept[graft.tables.ConstraintViolationException] {
+      t.addConstraint("x_small", "x < 15")
+    }
+    // constraints survive load() from the log
+    assert(GraftTable.load(spark, t.root.toString).constraints.contains("x_positive"))
+  }
+
   test("restore rolls back to an old version without rewriting data") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     t.delete($"id" === 1)
