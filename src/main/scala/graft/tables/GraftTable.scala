@@ -103,43 +103,53 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     adoptStaging(staging)
   }
 
-  /** Columns eligible for file-level min/max stats (stored as
-    * doubles: numerics + timestamps-as-epoch-micros).
-    */
-  private def statsCols(schema: StructType): Seq[(String, Column)] =
-    schema.fields.toSeq.collect {
-      case f if Set("integer", "long", "double", "float", "short")
-          .contains(f.dataType.typeName) => f.name -> col(f.name).cast("double")
-      case f if f.dataType.typeName == "timestamp" =>
-        f.name -> unix_micros(col(f.name)).cast("double")
-    }
-
-  /** One post-write pass over the new files → per-file min/max per
-    * eligible column. O(new data) once at write time buys O(files)
-    * pruning on every later selective read/DML — the Delta/Iceberg
-    * data-skipping trade, reimplemented on the commit log.
+  /** Per-file min/max per eligible column, read straight from the
+    * parquet FOOTERS the writers already produced — zero extra data
+    * scan (vs an aggregation job over the new files). O(files)
+    * footer reads at write time buy O(files) pruning on every later
+    * selective read/DML — the Delta/Iceberg data-skipping trade on
+    * the commit log.
     */
   private def collectStats(files: Seq[String]): Map[String, FileStats] = {
-    val df = spark.read.parquet(files.map(abs): _*)
-    val sc = statsCols(df.schema)
-    if (sc.isEmpty) return Map.empty
-    val aggs = sc.flatMap { case (n, c) =>
-      Seq(min(c).as(s"min_$n"), max(c).as(s"max_$n")) }
-    val rows = df.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    rows.flatMap { r =>
-      val fname = r.getString(0)
-      files.find(f => fname.endsWith(f)).map { rel =>
-        rel -> FileStats(
-          sc.map { case (n, _) => n ->
-            (if (r.isNullAt(r.fieldIndex(s"min_$n"))) null
-             else java.lang.Double.valueOf(r.getDouble(r.fieldIndex(s"min_$n")))) }
-            .collect { case (n, v) if v != null => n -> v.doubleValue }.toMap,
-          sc.map { case (n, _) => n ->
-            (if (r.isNullAt(r.fieldIndex(s"max_$n"))) null
-             else java.lang.Double.valueOf(r.getDouble(r.fieldIndex(s"max_$n")))) }
-            .collect { case (n, v) if v != null => n -> v.doubleValue }.toMap)
-      }
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { rel =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs(rel)), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val footer = reader.getFooter
+        val mins = scala.collection.mutable.Map[String, Double]()
+        val maxs = scala.collection.mutable.Map[String, Double]()
+        footer.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { cc =>
+            val name = cc.getPath.toDotString
+            val st = cc.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val prim = cc.getPrimitiveType.getPrimitiveTypeName
+              val lohi: Option[(Double, Double)] = prim match {
+                case INT32 => Some((
+                  st.genericGetMin.asInstanceOf[Number].doubleValue,
+                  st.genericGetMax.asInstanceOf[Number].doubleValue))
+                case INT64 => Some((
+                  st.genericGetMin.asInstanceOf[Number].doubleValue,
+                  st.genericGetMax.asInstanceOf[Number].doubleValue))
+                case FLOAT | DOUBLE => Some((
+                  st.genericGetMin.asInstanceOf[Number].doubleValue,
+                  st.genericGetMax.asInstanceOf[Number].doubleValue))
+                case _ => None
+              }
+              lohi.foreach { case (lo, hi) =>
+                mins.update(name, math.min(mins.getOrElse(name, lo), lo))
+                maxs.update(name, math.max(maxs.getOrElse(name, hi), hi))
+              }
+            }
+          }
+        }
+        rel -> FileStats(mins.toMap, maxs.toMap)
+      } finally reader.close()
     }.toMap
   }
 
