@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.VectorFunctions._
+import graft.functions.VectorExprs
+import graft.functions.VectorExprs.{vec_cosine, vec_dot, vec_l2sq, vec_norm}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,13 +23,14 @@ object Similarity {
     * ordering and output are engine-portable.
     */
   def annTopKBrute(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val qCol = typedLit(q)
     emb.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), qCol).cast("decimal(18,12)"), 6)
+        round(vec_cosine(col("embedding"), qCol).cast("decimal(18,12)"), 6)
           .cast("double").as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -42,8 +44,9 @@ object Similarity {
     */
   def annTopKBatch(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 5): DataFrame = {
+    VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qnrm"))
@@ -53,7 +56,7 @@ object Similarity {
     emb.filter(col("vec_id") >= nQueries)
       .join(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
-        round((dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")))
+        round((vec_dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")))
           .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -69,14 +72,15 @@ object Similarity {
     // Precompute each vector's norm ONCE before the pair join: the
     // join then evaluates only the dot product per pair (vs 3 array
     // passes), and the per-vector work stays linear in corpus size.
+    VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"))
+        vec_norm(col("embedding")).as("nrm"))
     val a = emb.as("a"); val b = emb.as("b")
     a.join(b, col("a.label") === col("b.label") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round((dot(col("a.embedding"), col("b.embedding")) /
+        round((vec_dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).cast("decimal(18,12)"), 6)
           .cast("double").as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -95,8 +99,9 @@ object Similarity {
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3, nBits: Int = 16, bands: Int = 4): DataFrame = {
     val r = nBits / bands
+    VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
     // bit j = sign(Σ_d v[d] · h(j,d)) with h a deterministic ±1 hash.
     // Computed as posexplode + nBits codegen'd SUM aggregates (the
     // aggregates-over-postings shape — array HOF lambdas would run
@@ -122,7 +127,7 @@ object Similarity {
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round((dot(col("a.embedding"), col("b.embedding")) /
+        round((vec_dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).cast("decimal(18,12)"), 6)
           .cast("double").as("cos_sim"))
       .dropDuplicates("vec_a", "vec_b")
@@ -137,11 +142,12 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, sfDir: String, k: Int = 10,
       nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
     val cents = emb.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("d", l2Sq(col("embedding"), col("cent")))
+      .withColumn("d", vec_l2sq(col("embedding"), col("cent")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
           .orderBy(col("d"), col("cent_id"))))
@@ -151,13 +157,13 @@ object Similarity {
       .select(col("embedding")).head().getSeq[Float](0)
     val qCol = typedLit(q)
     val probeCells = cents
-      .withColumn("d", l2Sq(col("cent"), qCol))
+      .withColumn("d", vec_l2sq(col("cent"), qCol))
       .orderBy(col("d"), col("cent_id")).limit(nprobe)
       .select(col("cent_id"))
     assigned.join(broadcast(probeCells), Seq("cent_id"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), qCol).cast("decimal(18,12)"), 6)
+        round(vec_cosine(col("embedding"), qCol).cast("decimal(18,12)"), 6)
           .cast("double").as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)

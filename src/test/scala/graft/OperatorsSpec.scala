@@ -58,6 +58,22 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("native codegen vector kernels are bit-identical to the HOF forms") {
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.{VectorExprs => VE, VectorFunctions => VF}
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+    val q = emb.orderBy($"vec_id").select($"embedding").as[Seq[Float]].head()
+    val both = emb.select($"vec_id",
+      VE.vec_dot($"embedding", typedLit(q)).as("nd"),
+      VF.dot($"embedding", typedLit(q)).as("hd"),
+      VE.vec_norm($"embedding").as("nn"),
+      VF.l2Norm($"embedding").as("hn"),
+      VE.vec_l2sq($"embedding", typedLit(q)).as("nl"),
+      VF.l2Sq($"embedding", typedLit(q)).as("hl"))
+    assert(both.where($"nd" =!= $"hd" || $"nn" =!= $"hn" || $"nl" =!= $"hl")
+      .count() === 0)
+  }
+
   test("vector kernels agree with scala reference on a sample") {
     val emb = Tables.load(spark, sf, "embeddings").limit(10)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
