@@ -68,6 +68,7 @@ object SparkEntry {
     "tbl_compact" -> (TableOps.compactFiles _),
     "tbl_cluster_by" -> (TableOps.clusterByKey _),
     "tbl_history" -> (TableOps.historyLog _),
+    "tbl_change_feed" -> (TableOps.changeFeedScenario _),
     // §D temporal joins
     "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
     "asof_join_native" -> ((s: SparkSession, d: String) => {
@@ -477,6 +478,22 @@ object SparkEntry {
         |    ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
+    "tbl_change_feed" ->
+      """WITH pre AS (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |post AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM pre),
+        |state1 AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |           UNION ALL SELECT * FROM post),
+        |del AS (SELECT * FROM state1 WHERE o_orderstatus = 'P' AND o_custkey % 7 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |  'update_preimage' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM pre
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |  'update_postimage', CAST(1 AS BIGINT) FROM post
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |  'delete', CAST(2 AS BIGINT) FROM del""".stripMargin,
     "tbl_time_travel" -> "SELECT * FROM orders",
     "tbl_compact" -> "SELECT * FROM orders",
     "tbl_cluster_by" -> "SELECT * FROM orders",

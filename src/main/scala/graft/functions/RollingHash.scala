@@ -30,15 +30,20 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     RollingHash.hashBytes(v.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two rolling_hash calls in one generated function
+      // would otherwise redeclare the same locals and kill codegen
+      val bytes = ctx.freshName("rhBytes"); val h = ctx.freshName("rh")
+      val i = ctx.freshName("i")
       s"""
-         |byte[] rhBytes = $c.getBytes();
-         |long rh = 0L;
-         |for (int i = 0; i < rhBytes.length; i++) {
-         |  rh = rh * 31L + (long)(rhBytes[i] & 0xff);
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * 31L + (long)($bytes[$i] & 0xff);
          |}
-         |${ev.value} = rh;
-       """.stripMargin)
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
 }

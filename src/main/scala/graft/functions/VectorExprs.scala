@@ -29,15 +29,22 @@ case class VecDot(left: Expression, right: Expression)
     acc
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: several vector kernels commonly share one generated
+      // function (vec_cosine = dot + 2 norms) — fixed names collide and
+      // Janino's failure silently drops the whole projection to the
+      // interpreted path
+      val n = ctx.freshName("vdN"); val acc = ctx.freshName("vdAcc")
+      val i = ctx.freshName("i")
       s"""
-         |int vdN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double vdAcc = 0.0;
-         |for (int i = 0; i < vdN; i++) {
-         |  vdAcc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = vdAcc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -53,15 +60,18 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     math.sqrt(acc)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
+    nullSafeCodeGen(ctx, ev, a => {
+      val acc = ctx.freshName("vnAcc"); val v = ctx.freshName("vnV")
+      val i = ctx.freshName("i")
       s"""
-         |double vnAcc = 0.0;
-         |for (int i = 0; i < $a.numElements(); i++) {
-         |  double vnV = (double) $a.getFloat(i);
-         |  vnAcc += vnV * vnV;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $acc += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt(vnAcc);
-       """.stripMargin)
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -79,16 +89,19 @@ case class VecL2Sq(left: Expression, right: Expression)
     acc
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("vlN"); val acc = ctx.freshName("vlAcc")
+      val d = ctx.freshName("vlD"); val i = ctx.freshName("i")
       s"""
-         |int vlN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double vlAcc = 0.0;
-         |for (int i = 0; i < vlN; i++) {
-         |  double vlD = (double) $a.getFloat(i) - (double) $b.getFloat(i);
-         |  vlAcc += vlD * vlD;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
          |}
-         |${ev.value} = vlAcc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

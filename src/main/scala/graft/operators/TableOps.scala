@@ -106,6 +106,20 @@ object TableOps {
     t.snapshot()
   }
 
+  /** Row-level CDC change feed (Delta CHANGE DATA FEED analog): an
+    * UPDATE then a DELETE, then read the full feed from version 0 —
+    * preimages, postimages and deletes with their commit versions.
+    */
+  def changeFeedScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.update(col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" ->
+        round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+          .cast("double")))
+    t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    t.changeFeed(0)
+  }
+
   /** DESCRIBE HISTORY analog (01-Fraud-Delta.py:214): deterministic
     * columns only (version/operation).
     */

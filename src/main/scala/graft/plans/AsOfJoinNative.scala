@@ -80,12 +80,27 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val proj = UnsafeProjection.create(out, out)
       val matched = new GenericInternalRow(1)
       val joined = new JoinedRow()
-      // single forward pass: rows sorted by (key, time) on both sides
-      var rRow: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      // single forward pass: rows sorted by (key, time) on both sides.
+      // Null right keys/times can never be the as-of match (SQL null
+      // semantics) — skip them; ascending sort puts them first, so
+      // this drains once per partition.
+      def nextRight(): InternalRow = {
+        while (rIter.hasNext) {
+          val r = rIter.next()
+          if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) return r.copy()
+        }
+        null
+      }
+      var rRow: InternalRow = nextRight()
       var lastKey = Long.MinValue
       var lastTime = Long.MinValue
       var hasLast = false
       lIter.map { lRow =>
+        if (lRow.isNullAt(lKeyIdx) || lRow.isNullAt(lTimeIdx)) {
+          // null key/time joins nothing — emit the row with a null match
+          matched.setNullAt(0)
+          proj(joined(lRow, matched))
+        } else {
         val k = lRow.getLong(lKeyIdx)
         val t = lRow.getLong(lTimeIdx)
         if (hasLast && lastKey != k) hasLast = false
@@ -96,12 +111,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val rt = rRow.getLong(rTimeIdx)
           if (rk < k || (rk == k && rt <= t)) {
             if (rk == k) { lastKey = rk; lastTime = rt; hasLast = true }
-            rRow = if (rIter.hasNext) rIter.next().copy() else null
+            rRow = nextRight()
           } else advancing = false
         }
         if (hasLast && lastKey == k) matched.update(0, lastTime)
         else matched.setNullAt(0)
         proj(joined(lRow, matched))
+        }
       }
     }
   }
@@ -135,13 +151,24 @@ object AsOfJoinNative {
       leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
     register(spark)
-    // eager name validation: after ColumnPruning the runtime error
-    // would name a pruned column list and confuse the caller
-    Seq(leftKey -> left, leftTime -> left, rightKey -> right, rightTime -> right)
-      .foreach { case (n, df) =>
-        require(df.columns.contains(n),
-          s"as-of join column '$n' not found in [${df.columns.mkString(", ")}]")
-      }
+    // eager name AND type validation: the exec reads keys/times via
+    // getLong, so an IntegerType key would ClassCastException (or
+    // silently misread) deep inside a task — fail at the API instead
+    def check(df: DataFrame, n: String,
+        want: Seq[org.apache.spark.sql.types.DataType], role: String): Unit = {
+      val f = df.schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of join column '$n' not found in [${df.columns.mkString(", ")}]"))
+      require(want.contains(f.dataType),
+        s"as-of join $role column '$n' must be ${want.mkString(" or ")}, " +
+          s"got ${f.dataType} (cast it before joining)")
+    }
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // both timestamp flavors store micros as a Long internally
+    check(left, leftKey, Seq(LongType), "key")
+    check(right, rightKey, Seq(LongType), "key")
+    check(left, leftTime, Seq(TimestampType, TimestampNTZType), "time")
+    check(right, rightTime, Seq(TimestampType, TimestampNTZType), "time")
     val matched = AttributeReference(s"matched_$rightTime", TimestampType)()
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,

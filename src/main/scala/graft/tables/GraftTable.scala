@@ -133,9 +133,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
                 case INT32 => Some((
                   st.genericGetMin.asInstanceOf[Number].doubleValue,
                   st.genericGetMax.asInstanceOf[Number].doubleValue))
-                case INT64 => Some((
-                  st.genericGetMin.asInstanceOf[Number].doubleValue,
-                  st.genericGetMax.asInstanceOf[Number].doubleValue))
+                case INT64 =>
+                  // long → double is lossy beyond 2^53; a rounded-UP
+                  // min (or rounded-down max) would let snapshotPruned
+                  // drop a file that holds matching rows. Widen one
+                  // ULP outward in that range — pruning must only
+                  // ever be conservative.
+                  val lo = st.genericGetMin.asInstanceOf[Number].longValue
+                  val hi = st.genericGetMax.asInstanceOf[Number].longValue
+                  val exact = 1L << 53
+                  val loD = if (math.abs(lo) > exact) Math.nextDown(lo.toDouble) else lo.toDouble
+                  val hiD = if (math.abs(hi) > exact) Math.nextUp(hi.toDouble) else hi.toDouble
+                  Some((loD, hiD))
                 case FLOAT | DOUBLE => Some((
                   st.genericGetMin.asInstanceOf[Number].doubleValue,
                   st.genericGetMax.asInstanceOf[Number].doubleValue))
@@ -161,7 +170,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private def commit(op: String, base: Long, files: Seq[String],
       schema: StructType, metrics: Map[String, Long],
-      newStats: Map[String, FileStats] = Map.empty): Long = {
+      newStats: Map[String, FileStats] = Map.empty,
+      newConstraints: Map[String, String] = Map.empty): Long = {
     val v = base + 1
     val carried = if (v == 0) Map.empty[String, FileStats]
       else readCommit(base).stats.getOrElse(Map.empty)
@@ -171,13 +181,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       else readCommit(base).constraints.getOrElse(Map.empty)
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
       schema.json, metrics, Some(carried ++ newStats),
-      Some(carriedConstraints ++ pendingConstraints)))
-    pendingConstraints = Map.empty
+      Some(carriedConstraints ++ newConstraints)))
     v
   }
-
-  // constraints added by the in-flight ALTER, folded into the next commit
-  @volatile private var pendingConstraints: Map[String, String] = Map.empty
 
   /** Current CHECK constraints (name → SQL predicate). */
   def constraints: Map[String, String] =
@@ -195,9 +201,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (violations > 0)
       throw new ConstraintViolationException(
         s"constraint $name [$predicateSql] violated by $violations existing row(s)")
-    pendingConstraints = Map(name -> predicateSql)
+    // the constraint rides in the commit call itself — a failed commit
+    // (e.g. CommitConflictException) leaves no state behind to leak
+    // into a later unrelated commit
     commit("ADD CONSTRAINT", base, filesAt(base), schemaAt(base),
-      Map("numViolations" -> 0L))
+      Map("numViolations" -> 0L),
+      newConstraints = Map(name -> predicateSql))
   }
 
   /** Enforce all stored constraints against a batch about to land. */
@@ -306,6 +315,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   def overwrite(df: DataFrame): Long = {
     val base = latestVersion
+    enforceConstraints(df)
     val added = writeData(df)
     commit("OVERWRITE", base, added, df.schema,
       Map("numAddedFiles" -> added.size.toLong), collectStats(added))
@@ -349,6 +359,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         case None => d
       }
     }
+    // constraints hold on every write path, not just append/merge:
+    // untouched files were validated when they landed; the rewritten
+    // rows are what an UPDATE can push into a violating state
+    enforceConstraints(updated)
     val rewritten = writeData(updated)
     commit("UPDATE", base,
       filesAt(base).filterNot(touched.contains) ++ rewritten, schemaAt(base),
@@ -484,6 +498,78 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(added.map(abs): _*)
+  }
+
+  /** Row-level CDC change feed (Delta CHANGE DATA FEED analog),
+    * computed ON READ from each commit's file-level diff — the write
+    * path pays nothing. Every emitted row carries `_change_type` and
+    * `_commit_version`.
+    *
+    * Per commit, `added` = files new in v, `removed` = files dropped
+    * from v−1; unchanged rows inside rewritten files appear in both
+    * sides and cancel under multiset EXCEPT ALL, so only genuinely
+    * changed rows survive — cost scales with the commit's blast
+    * radius (touched files), not table size. Change types by op:
+    *  - CREATE/APPEND → `insert`
+    *  - DELETE → `delete`
+    *  - UPDATE → `update_preimage` / `update_postimage`
+    *  - MERGE → `update_preimage` for replaced rows, `upsert` for
+    *    new-or-updated rows (file diffs alone can't split matched
+    *    updates from inserts — that distinction needs the merge key,
+    *    which the log doesn't persist)
+    *  - OVERWRITE/RESTORE → `delete` + `insert` of the content diff
+    *  - COMPACT/CLUSTER/ZORDER/ADD CONSTRAINT → no logical change,
+    *    nothing emitted
+    */
+  def changeFeed(fromVersion: Long): DataFrame =
+    changeFeed(fromVersion, latestVersion)
+
+  def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    // fromVersion is EXCLUSIVE (changes after it); -1 reads from CREATE
+    require(fromVersion >= -1 && toVersion >= fromVersion,
+      s"bad change-feed range [$fromVersion, $toVersion]")
+    val outSchema = schemaAt(toVersion)
+    def rowsOf(files: Seq[String], schema: StructType): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(abs): _*)
+    def tag(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.select(outSchema.fieldNames.map(col): _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v))
+    val parts: Seq[DataFrame] =
+      ((fromVersion + 1) to toVersion).flatMap { v =>
+        val cur = readCommit(v)
+        val prev = if (v == 0) Set.empty[String]
+          else readCommit(v - 1).files.toSet
+        // read BOTH sides with the commit's schema: under additive
+        // evolution older files just surface nulls for new columns
+        val schemaV = org.apache.spark.sql.types.DataType
+          .fromJson(cur.schemaJson).asInstanceOf[StructType]
+        val added = cur.files.filterNot(prev)
+        val removed = (prev -- cur.files.toSet).toSeq
+        lazy val addRows = rowsOf(added, schemaV)
+        lazy val remRows = rowsOf(removed, schemaV)
+        cur.operation match {
+          case "COMPACT" | "CLUSTER" | "ZORDER" | "ADD CONSTRAINT" => Nil
+          case "CREATE" | "APPEND" =>
+            if (added.isEmpty) Nil else Seq(tag(addRows, "insert", v))
+          case "DELETE" =>
+            Seq(tag(remRows.exceptAll(addRows), "delete", v))
+          case "UPDATE" =>
+            Seq(tag(remRows.exceptAll(addRows), "update_preimage", v),
+              tag(addRows.exceptAll(remRows), "update_postimage", v))
+          case "MERGE" =>
+            Seq(tag(remRows.exceptAll(addRows), "update_preimage", v),
+              tag(addRows.exceptAll(remRows), "upsert", v))
+          case _ => // OVERWRITE, RESTORE, anything content-changing
+            Seq(tag(remRows.exceptAll(addRows), "delete", v),
+              tag(addRows.exceptAll(remRows), "insert", v))
+        }
+      }
+    val empty = tag(rowsOf(Nil, outSchema), "none", -1L).limit(0)
+    parts.foldLeft(empty)(_ unionByName _)
   }
 }
 

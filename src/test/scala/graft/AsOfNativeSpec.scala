@@ -47,5 +47,39 @@ class AsOfNativeSpec extends SparkSpec {
     assert(out(2L).isEmpty)   // different key never matches k=2
   }
 
+  test("wrong key/time types are rejected at the API, not mid-task") {
+    val l = Seq((1, ts("2024-01-01 00:00:00"))).toDF("k", "t")   // Int key
+    val r = Seq((1L, ts("2024-01-02 00:00:00"))).toDF("k", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNative.join(l, r, "k", "k", "t", "rt")
+    }
+    assert(e.getMessage.contains("must be LongType"))
+    val l2 = Seq((1L, "2024-01-01")).toDF("k", "t")              // String time
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinNative.join(l2, r, "k", "k", "t", "rt")
+    }
+    assert(e2.getMessage.contains("must be TimestampType"))
+  }
+
+  test("null keys/times join nothing instead of misreading as 0") {
+    val l = Seq(
+      (Some(1L), Some(ts("2024-01-03 00:00:00"))),
+      (None,     Some(ts("2024-01-03 00:00:00"))),  // null key
+      (Some(1L), None))                              // null time
+      .toDF("k", "t")
+    val r = Seq(
+      (Some(1L), Some(ts("2024-01-02 00:00:00"))),
+      (None,     Some(ts("2024-01-01 00:00:00"))),  // null right key: never a match
+      (Some(1L), None))                              // null right time: never a match
+      .toDF("k", "rt")
+    val out = AsOfJoinNative.join(l, r, "k", "k", "t", "rt")
+      .select($"k", $"t", $"matched_rt").collect()
+    assert(out.length === 3)
+    val matchedFor1 = out.find(row => !row.isNullAt(0) && !row.isNullAt(1)).get
+    assert(matchedFor1.getTimestamp(2) === ts("2024-01-02 00:00:00"))
+    // the two null-side left rows emit null matches
+    assert(out.count(_.isNullAt(2)) === 2)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }

@@ -122,6 +122,65 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.load(spark, t.root.toString).constraints.contains("x_positive"))
   }
 
+  test("CHECK constraints are enforced on update and overwrite too") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    t.addConstraint("x_positive", "x > 0")
+    // UPDATE that would push a row into a violating state is rejected
+    intercept[graft.tables.ConstraintViolationException] {
+      t.update($"id" === 1, Map("x" -> lit(-5.0)))
+    }
+    // ... and the table is unchanged (no partial commit)
+    assert(t.snapshot().where($"x" <= 0).count() === 0)
+    // OVERWRITE with violating data is rejected
+    intercept[graft.tables.ConstraintViolationException] {
+      t.overwrite(Seq((9L, -1.0)).toDF("id", "x"))
+    }
+    assert(t.snapshot().count() === 2)
+    // compliant update/overwrite still work
+    t.update($"id" === 1, Map("x" -> lit(99.0)))
+    t.overwrite(Seq((9L, 1.0)).toDF("id", "x"))
+    assert(t.snapshot().count() === 1)
+  }
+
+  test("stats pruning stays conservative for longs beyond 2^53") {
+    // (2^53 + 3).toDouble rounds UP to 2^53 + 4 — an unwidened min
+    // would exceed the true min and could prune a file that matches.
+    val v = (1L << 53) + 3L
+    val t = GraftTable.create(spark, tmp(), Seq((v, "a")).toDF("id", "s"))
+    val kept = t.snapshotPruned("id", v.toDouble, v.toDouble)
+    assert(kept.count() === 1)
+    // far-away ranges still prune to empty
+    assert(t.snapshotPruned("id", 0.0, 1000.0).count() === 0)
+  }
+
+  test("change feed classifies inserts/updates/deletes per commit") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "s", "x"))
+    t.append(Seq((4L, "d", 4.0)).toDF("id", "s", "x"))             // v1
+    t.update($"id" === 2, Map("x" -> lit(20.0)))                   // v2
+    t.delete($"id" === 1)                                          // v3
+    t.compact(1)                                                   // v4: no change
+    t.merge(Seq((3L, "c2", 30.0), (5L, "e", 5.0)).toDF("id", "s", "x"), "id") // v5
+    val feed = t.changeFeed(0)
+      .select($"id", $"s", $"x", $"_change_type", $"_commit_version")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    assert(feed === Set(
+      (4L, "d", 4.0, "insert", 1L),
+      (2L, "b", 2.0, "update_preimage", 2L),
+      (2L, "b", 20.0, "update_postimage", 2L),
+      (1L, "a", 1.0, "delete", 3L),
+      (3L, "c", 3.0, "update_preimage", 5L),
+      (3L, "c2", 30.0, "upsert", 5L),
+      (5L, "e", 5.0, "upsert", 5L)))
+    // bounded range reads a sub-window of the feed
+    assert(t.changeFeed(1, 3).select($"_change_type").distinct()
+      .as[String].collect().toSet === Set("update_preimage", "update_postimage", "delete"))
+    // fromVersion = -1 reads from CREATE: initial rows appear as inserts
+    assert(t.changeFeed(-1, 0)
+      .where($"_change_type" === "insert").count() === 3)
+  }
+
   test("restore rolls back to an old version without rewriting data") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     t.delete($"id" === 1)

@@ -35,6 +35,17 @@ class OperatorsSpec extends SparkSpec {
     assert(df.agg(sum($"n_copies")).as[Long].head() === docs.count())
   }
 
+  test("shingles handle docs shorter than the n-gram size") {
+    // regression: sequence(0, -1) steps DOWN → slice(w, 0, 3) threw
+    // "array indices start at 1" for any doc with < 3 tokens
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "two words"),
+      (4L, "exactly three words"), (5L, "now four whole words"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs).select($"doc_id", size($"sh").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(sh === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 2))
+  }
+
   test("minhash LSH finds every high-jaccard pair (recall vs exact)") {
     val exact = Dedup.ngramJaccard(spark, sf, minJaccard = 0.8)
       .select($"doc_a", $"doc_b")
@@ -72,6 +83,37 @@ class OperatorsSpec extends SparkSpec {
       VF.l2Sq($"embedding", typedLit(q)).as("hl"))
     assert(both.where($"nd" =!= $"hd" || $"nn" =!= $"hn" || $"nl" =!= $"hl")
       .count() === 0)
+  }
+
+  test("multiple custom kernels codegen-compile in ONE projection") {
+    // regression: fixed local names ("i", "rh", ...) in doGenCode made
+    // any projection holding 2+ kernels (vec_cosine = dot + 2 norms)
+    // fail Janino compilation and silently run interpreted
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Add, BoundReference, Divide, Multiply}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val arrT = ArrayType(FloatType)
+    val a = BoundReference(0, arrT, nullable = true)
+    val b = BoundReference(1, arrT, nullable = true)
+    val s = BoundReference(2, StringType, nullable = true)
+    val cos = Divide(graft.functions.VecDot(a, b),
+      Multiply(graft.functions.VecNorm(a), graft.functions.VecNorm(b)))
+    val allKernels = Seq(cos,
+      graft.functions.VecL2Sq(a, b),
+      Add(graft.functions.RollingHash(s), graft.functions.RollingHash(s)))
+    // generate() throws CompileException on collision — no fallback here
+    val proj = GenerateUnsafeProjection.generate(allKernels)
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(3.0f, 4.0f)),
+      ArrayData.toArrayData(Array(3.0f, 4.0f)),
+      UTF8String.fromString("ab"))
+    val out = proj(row)
+    assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)          // cos(self) = 1
+    assert(out.getDouble(1) === 0.0)                          // l2sq(self) = 0
+    assert(out.getLong(2) === 2 * (('a'.toLong * 31) + 'b'))  // 2×rolling hash
   }
 
   test("vector kernels agree with scala reference on a sample") {
