@@ -60,6 +60,8 @@ object SparkEntry {
     "text_deterministic_split" -> (TextAnalysis.deterministicSplit _),
     "text_corpus_stats" -> (TextAnalysis.corpusStats _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitterLangs _),
+    "sample_stratified" -> (TextAnalysis.sampleStratified _),
+    "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
     "tbl_delete_where" -> (TableOps.deleteWhere _),
@@ -92,6 +94,8 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annTopKBrute(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "ann_topk_batch" -> ((s: SparkSession, d: String) => Similarity.annTopKBatch(s, d)),
+    "ann_quantized_topk" -> ((s: SparkSession, d: String) => Similarity.annQuantizedTopK(s, d)),
+    "ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
     // §F ML
@@ -449,6 +453,29 @@ object SparkEntry {
         |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS residue
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 400
+        |       WHEN lang IN ('fr', 'de') THEN 700
+        |       ELSE 1000 END""".stripMargin,
+    "text_pack_bins" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d)
+        |SELECT lang, CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS bin_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY lang, CAST(FLOOR(tokens_before / 2048) AS BIGINT)""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
@@ -610,6 +637,31 @@ object SparkEntry {
         |    ORDER BY cos_sim DESC, vec_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "ann_quantized_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |              for i in range(1, len(embedding) + 1)]) AS amax
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id, label,
+        |    [CASE WHEN amax = 0 THEN 0
+        |          ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / amax * 127.0 + 0.5) AS BIGINT) END
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM e),
+        |n8 AS (
+        |  SELECT vec_id, label, qv,
+        |    list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)]) AS qnormsq
+        |  FROM q8),
+        |q AS (SELECT qv AS qqv, qnormsq AS qn FROM n8 WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT n.vec_id, n.label,
+        |    CAST(list_sum([n.qv[i] * q.qqv[i] for i in range(1, len(n.qv) + 1)]) AS DOUBLE) /
+        |    (sqrt(CAST(n.qnormsq AS DOUBLE)) * sqrt(CAST(q.qn AS DOUBLE))) AS cs
+        |  FROM n8 n, q WHERE n.vec_id <> 0)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS q_cos_sim
+        |FROM scored ORDER BY q_cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH c AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -653,6 +705,67 @@ object SparkEntry {
         |     sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
         |              for i in range(1, len(q.qe) + 1)]))) AS cs
         |  FROM assigned a JOIN probe USING (cent_id), q WHERE a.vec_id <> 0)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_ivf_trained" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label, embedding,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |dim AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id, qv AS cent
+        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 16)),
+        |a1 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c0 c) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a1 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a2 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c1 c) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a2 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a3 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c2 c) WHERE rn = 1),
+        |q AS (SELECT qv AS qqv, embedding AS qvec FROM qe WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cent_id FROM (
+        |    SELECT c.cent_id, row_number() OVER (ORDER BY
+        |      list_sum([(c.cent[i] - q.qqv[i]) * (c.cent[i] - q.qqv[i])
+        |                for i in range(1, len(c.cent) + 1)]), c.cent_id) AS rn
+        |    FROM c2 c, q) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)
+        |              for i in range(1, len(q.qvec) + 1)]))) AS cs
+        |  FROM embeddings e JOIN a3 USING (vec_id) JOIN probe USING (cent_id), q
+        |  WHERE e.vec_id <> 0)
         |SELECT vec_id, label,
         |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
         |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,

@@ -134,6 +134,116 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Int8-quantized top-k (scalar quantization, the memory-bound
+    * scale path): each vector is quantized per-vector to 8-bit codes
+    * (q_i = round(v_i / amax · 127), half-up), similarity is the
+    * INTEGER dot product of codes normalized by integer code norms.
+    * 4× less scan traffic and an exact-integer dot — at 100 TB the
+    * quantized corpus is what stays hot; full-precision re-ranking
+    * of the short list is the standard follow-up (`annTopKBrute` on
+    * the survivors).
+    *
+    * Integer arithmetic is engine-exact, so the WHOLE index —
+    * quantization, dot, norms, ranking — replays bit-identically in
+    * the DuckDB oracle.
+    */
+  def annQuantizedTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val amax = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val q8 = emb
+      .withColumn("amax", amax)
+      .withColumn("qv", transform(col("embedding"), x =>
+        when(col("amax") === 0.0, lit(0L)).otherwise(
+          floor(x.cast("double") / col("amax") * 127.0 + 0.5).cast("long"))))
+      .withColumn("qnormsq",
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      .select(col("vec_id"), col("label"), col("qv"), col("qnormsq"))
+    val qRow = q8.filter(col("vec_id") === 0)
+      .select(col("qv"), col("qnormsq")).head()
+    val qv = qRow.getSeq[Long](0); val qn = qRow.getLong(1)
+    q8.filter(col("vec_id") =!= 0)
+      .withColumn("dotq",
+        aggregate(zip_with(col("qv"), typedLit(qv), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("vec_id"), col("label"),
+        round((col("dotq").cast("double") /
+          (sqrt(col("qnormsq").cast("double")) * sqrt(lit(qn.toDouble))))
+          .cast("decimal(18,12)"), 6).cast("double").as("q_cos_sim"))
+      .orderBy(col("q_cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF with TRAINED centroids: k-means (Lloyd) iterations refine
+    * the coarse quantizer before indexing, then nprobe cells are
+    * searched and survivors re-ranked with EXACT cosine on the
+    * full-precision vectors — the production IVF-flat layout
+    * (train → assign → probe → re-rank).
+    *
+    * All k-means arithmetic runs in scaled integers (qv_i =
+    * floor(v_i·10^6); centroid_i = floor(mean)): exact under any
+    * partitioning AND engine-portable, so train/assign/probe all
+    * replay bit-identically in the DuckDB oracle — no FP-mean drift.
+    *
+    * Scale posture: each iteration is one broadcast of k·dim longs
+    * out, one map-side argmin, one (cent,dim)-grouped partial-agg
+    * shuffle back; the driver only ever holds the k·dim centroid
+    * table (here 16×64 longs). Assignment and probing never shuffle
+    * the vectors themselves.
+    */
+  def annIvfTrained(spark: SparkSession, sfDir: String, k: Int = 10,
+      nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val intL2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qemb = emb.select(col("vec_id"), col("label"), col("embedding"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+    // init: first nCentroids vectors by vec_id (deterministic seed)
+    var cents: Seq[(Int, Seq[Long])] = qemb.orderBy(col("vec_id"))
+      .limit(nCentroids).select(col("qv")).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](0)) }
+    def centsDf() = broadcast(cents.toDF("cent_id", "cent"))
+    def assign() = qemb.crossJoin(centsDf())
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(intL2(col("qv"), col("cent")), col("cent_id"))))
+      .filter(col("rn") === 1)
+    for (_ <- 1 to iters) {
+      // Lloyd step: integer-mean per (centroid, dimension); empty
+      // clusters drop out (both engines agree — no re-seeding)
+      val dims = assign()
+        .select(col("cent_id"), posexplode(col("qv")).as(Seq("d", "v")))
+        .groupBy(col("cent_id"), col("d"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("m"))
+        .collect()
+      cents = dims.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }.sortBy(_._1)
+    }
+    val assigned = assign()
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    val qRow = qemb.filter(col("vec_id") === 0)
+      .select(col("qv"), col("embedding")).head()
+    val qQv = typedLit(qRow.getSeq[Long](0))
+    val qVec = typedLit(qRow.getSeq[Float](1))
+    val probeCells = cents.toDF("cent_id", "cent")
+      .withColumn("d", intL2(col("cent"), qQv))
+      .orderBy(col("d"), col("cent_id")).limit(nprobe)
+      .select(col("cent_id"))
+    // re-rank the probed candidates with exact full-precision cosine
+    assigned.join(broadcast(probeCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(vec_cosine(col("embedding"), qVec).cast("decimal(18,12)"), 6)
+          .cast("double").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-flat ANN: deterministic seeded centroids (first nCentroids
     * vectors by vec_id — a fixed coarse quantizer), assign every
     * vector to its nearest centroid (broadcast join), then search

@@ -125,6 +125,56 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Stratified deterministic sampling — the data-mixing primitive:
+    * each stratum (lang) keeps a configured fraction of its docs,
+    * selected by a content-stable md5 residue on doc_id. No RNG, no
+    * per-stratum pass: one map-side predicate whatever the corpus
+    * size, and the SAME docs survive on any cluster/engine (the
+    * oracle replays the residues exactly). Rates here model a
+    * high-resource-language downsample (en 40%, fr/de 70%, rest
+    * kept).
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val residue = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000
+    val keepBelow = when(col("lang") === "en", 400)
+      .when(col("lang").isin("fr", "de"), 700)
+      .otherwise(1000)
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("residue", residue)
+      .filter(col("residue") < keepBelow)
+      .select(col("doc_id"), col("lang"), col("source"), col("residue"))
+  }
+
+  /** Sequence packing plan — assign docs to fixed-token-budget bins
+    * (the pretraining batch-packing layout): within each stratum
+    * (lang — one packed stream per sub-corpus, which is how mixing
+    * pipelines pack anyway), docs in deterministic doc_id order get
+    * bin b = floor(tokens-before-this-doc / budget); emits per-bin
+    * doc and token accounting. The window is PARTITIONED by the
+    * stratum, so the cumsum parallelizes across strata instead of
+    * serializing on one global sort; identical window spelling on
+    * the oracle side.
+    */
+  def packBins(spark: SparkSession, sfDir: String,
+      tokenBudget: Int = 2048): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("tokens_before") / tokenBudget))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** Corpus accounting rollup: docs / chars / whitespace tokens per
     * (lang, source) — the bookkeeping query behind token budgets.
     */

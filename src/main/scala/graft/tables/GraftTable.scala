@@ -500,6 +500,29 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else spark.read.schema(schema).parquet(added.map(abs): _*)
   }
 
+  /** Files (absolute paths) added in versions (fromVersion, toVersion]
+    * plus the end schema — the micro-batch unit for the streaming
+    * source. Walks each crossed commit and REFUSES any that removed
+    * files (copy-on-write DML/compaction): replaying those as
+    * appends would double-read rewritten rows; `changeFeed` is the
+    * honest primitive there.
+    */
+  def filesAddedIn(fromVersion: Long, toVersion: Long): GraftTable.VersionBatch = {
+    val endSchema = schemaAt(toVersion)
+    val added = (((fromVersion max -1L) + 1L) to toVersion).flatMap { v =>
+      val c = readCommit(v)
+      val prev = if (v == 0) Set.empty[String]
+        else readCommit(v - 1).files.toSet
+      val removed = prev -- c.files.toSet
+      if (removed.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"streaming read crossed non-append commit v$v (${c.operation}) " +
+            s"which rewrote ${removed.size} file(s); consume changeFeed() instead")
+      c.files.filterNot(prev)
+    }
+    GraftTable.VersionBatch(added.map(abs), endSchema)
+  }
+
   /** Row-level CDC change feed (Delta CHANGE DATA FEED analog),
     * computed ON READ from each commit's file-level diff — the write
     * path pays nothing. Every emitted row carries `_change_type` and
@@ -577,6 +600,9 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
 class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
 object GraftTable {
+  /** A streaming micro-batch: absolute file paths + schema to read them with. */
+  case class VersionBatch(files: Seq[String], schema: StructType)
+
   private[tables] case class FileStats(mins: Map[String, Double],
       maxs: Map[String, Double])
 

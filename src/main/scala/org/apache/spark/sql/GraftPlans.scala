@@ -11,4 +11,20 @@ import org.apache.spark.sql.classic.{DataFrame => CDataFrame, SparkSession => CS
 object GraftPlans {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** Build a DataFrame flagged `isStreaming=true` from already-planned
+    * InternalRows — what a V1 streaming Source's getBatch must return
+    * (MicroBatchExecution asserts the flag). Same shape MemoryStream
+    * uses via the private[sql] internalCreateDataFrame.
+    */
+  def streamingDF(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[CSparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The planned InternalRow RDD of a batch DataFrame. */
+  def toInternalRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[CDataFrame].queryExecution.toRdd
 }

@@ -150,6 +150,63 @@ class OperatorsSpec extends SparkSpec {
       s"IVF(nprobe=4/16) recalled ${ivf.intersect(brute).size}/10")
   }
 
+  test("trained IVF recalls at least as well as seed-centroid IVF") {
+    val brute = Similarity.annTopKBrute(spark, sf).select($"vec_id").as[Long].collect().toSet
+    val seed = Similarity.annIvf(spark, sf).select($"vec_id").as[Long].collect().toSet
+    val trained = Similarity.annIvfTrained(spark, sf).select($"vec_id").as[Long].collect().toSet
+    assert(trained.intersect(brute).size >= 4,
+      s"trained IVF recalled ${trained.intersect(brute).size}/10")
+    // Lloyd iterations should not hurt recall on this corpus
+    assert(trained.intersect(brute).size >= seed.intersect(brute).size - 2)
+  }
+
+  test("quantized top-k tracks brute-force top-k closely") {
+    val brute = Similarity.annTopKBrute(spark, sf, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val quant = Similarity.annQuantizedTopK(spark, sf, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    // int8 codes keep ~2 decimal places of cosine — near-total overlap
+    assert(quant.intersect(brute).size >= 7,
+      s"quantized recalled ${quant.intersect(brute).size}/10")
+  }
+
+  test("stratified sample respects per-stratum rates and determinism") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sample = TextAnalysis.sampleStratified(spark, sf)
+    val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val kept = sample.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    for ((lang, total) <- totals if total >= 50) {
+      val rate = kept.getOrElse(lang, 0L).toDouble / total
+      val want = if (lang == "en") 0.4 else if (lang == "fr" || lang == "de") 0.7 else 1.0
+      assert(math.abs(rate - want) < 0.15, s"$lang: kept $rate, want ~$want")
+    }
+    // same docs survive on a re-run (hash-based, no RNG)
+    val again = TextAnalysis.sampleStratified(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === sample.select($"doc_id").as[Long].collect().toSet)
+  }
+
+  test("pack bins preserve tokens and form contiguous doc ranges") {
+    val bins = TextAnalysis.packBins(spark, sf).cache()
+    val docs = Tables.load(spark, sf, "documents")
+    val totalTokens = docs.select(
+      sum(size(regexp_extract_all($"text", lit("\\S+"), lit(0))).cast("long")))
+      .as[Long].head()
+    assert(bins.agg(sum($"bin_tokens")).as[Long].head() === totalTokens)
+    // within a lang, bins cover disjoint, ordered doc_id ranges
+    val ranges = bins.orderBy($"lang", $"bin_id")
+      .select($"lang", $"first_doc", $"last_doc")
+      .as[(String, Long, Long)].collect()
+    ranges.groupBy(_._1).values.foreach { rs =>
+      rs.sliding(2).foreach {
+        case Array((_, _, lastA), (_, firstB, _)) => assert(lastA < firstB)
+        case _ =>
+      }
+    }
+    // every bin except possibly a lang's last starts before its quota line
+    assert(bins.where($"n_docs" <= 0).count() === 0)
+  }
+
   test("as-of join matches a per-row reference on a sample") {
     val out = TemporalJoins.asofEventsOrders(spark, sf)
       .where($"user_id" === 7).select($"ts", $"matched_orderdate")

@@ -65,6 +65,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-table V1 source streams commit versions exactly-once") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_src_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val ckpt = Files.createTempDirectory("graft_src_ckpt_").toString
+    val outDir = Files.createTempDirectory("graft_src_sink_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", root).load()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sink() = spark.read.parquet(outDir).as[(Long, String)].collect()
+    drain()
+    assert(sink().toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // new commits after the checkpoint are picked up exactly once
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    t.append(Seq((5L, "e")).toDF("id", "v"))
+    drain()
+    assert(sink().groupBy(identity).forall(_._2.length == 1))
+    assert(sink().length === 5)
+    // a copy-on-write commit poisons the stream rather than double-reading
+    t.delete($"id" === 1)
+    t.append(Seq((6L, "f")).toDF("id", "v"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(err.getMessage.contains("non-append") ||
+      Option(err.getCause).exists(_.getMessage.contains("non-append")))
+  }
+
   test("watermark drops late events in append-mode windowed agg (MemoryStream)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
