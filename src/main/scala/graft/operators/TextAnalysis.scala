@@ -95,13 +95,13 @@ object TextAnalysis {
     * construction; two partial-aggregated group-bys.
     */
   def repetitionRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
     val d = Tables.load(spark, sfDir, "documents")
     val sh = d.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))
-        .as("shingle"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordShingles.word_shingles(col("w"), 3)).as("shingle"))
     sh.groupBy(col("doc_id"), col("shingle"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

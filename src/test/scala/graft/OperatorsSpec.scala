@@ -35,6 +35,18 @@ class OperatorsSpec extends SparkSpec {
     assert(df.agg(sum($"n_copies")).as[Long].head() === docs.count())
   }
 
+  test("native word_shingles is identical to the HOF spelling") {
+    graft.functions.WordShingles.register(spark)
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+      .select($"doc_id",
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)).as("w"))
+    val both = docs.select($"doc_id",
+      graft.functions.WordShingles.word_shingles($"w", 3).as("native"),
+      expr("case when size(w) >= 3 then transform(sequence(0, size(w) - 3), " +
+        "i -> concat_ws(' ', slice(w, i + 1, 3))) else array() end").as("hof"))
+    assert(both.where(not($"native" <=> $"hof")).count() === 0)
+  }
+
   test("shingles handle docs shorter than the n-gram size") {
     // regression: sequence(0, -1) steps DOWN → slice(w, 0, 3) threw
     // "array indices start at 1" for any doc with < 3 tokens
