@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_topk_batch" -> ((s: SparkSession, d: String) => Similarity.annTopKBatch(s, d)),
     "ann_quantized_topk" -> ((s: SparkSession, d: String) => Similarity.annQuantizedTopK(s, d)),
     "ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
+    "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
     // §F ML
@@ -769,6 +770,50 @@ object SparkEntry {
         |SELECT vec_id, label,
         |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
         |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "embedding_kmeans" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label, embedding,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |dim AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id, qv AS cent
+        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 16)),
+        |a1 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c0 c) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a1 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a2 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c1 c) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a2 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a3 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c2 c) WHERE rn = 1)
+        |SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+        |FROM a3 GROUP BY cent_id""".stripMargin,
     "multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

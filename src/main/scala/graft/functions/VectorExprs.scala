@@ -106,6 +106,42 @@ case class VecL2Sq(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Integer (long-array) squared-L2 — the k-means/quantized-code
+  * counterpart of VecL2Sq: exact integer accumulation, same tight
+  * codegen loop. Both arrays must be long-typed (scaled-integer
+  * vectors); result is exact for |values| ≤ 2^31 per element.
+  */
+case class VecL2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d; i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("vqN"); val acc = ctx.freshName("vqAcc")
+      val d = ctx.freshName("vqD"); val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -114,11 +150,15 @@ object VectorExprs {
       "vec_norm", exprs => VecNorm(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_l2sq", exprs => VecL2Sq(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2sq_long", exprs => VecL2SqLong(exprs(0), exprs(1)), "built-in")
   }
 
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_norm(a: Column): Column = call_function("vec_norm", a)
   def vec_l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
+  def vec_l2sq_long(a: Column, b: Column): Column =
+    call_function("vec_l2sq_long", a, b)
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 }

@@ -59,7 +59,13 @@ object WordShingles {
     while (i < out) {
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      while (j < n) {
+        // null tokens stay null: concatWs skips them, exactly like
+        // the concat_ws(' ', slice(...)) spelling this replaces
+        parts(j) = if (tokens.isNullAt(i + j)) null
+          else tokens.getUTF8String(i + j)
+        j += 1
+      }
       res(i) = UTF8String.concatWs(SPACE, parts: _*)
       i += 1
     }

@@ -191,13 +191,24 @@ object Similarity {
     * table (here 16×64 longs). Assignment and probing never shuffle
     * the vectors themselves.
     */
-  def annIvfTrained(spark: SparkSession, sfDir: String, k: Int = 10,
-      nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+  // codegen'd integer L2 (VecL2SqLong) — the zip_with/aggregate HOF
+  // spelling runs interpreted and kmeans evaluates this k× per vector
+  private def intL2(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    VectorExprs.vec_l2sq_long(a, b)
+
+  /** k-means (Lloyd) over the integer-quantized embeddings; returns
+    * (final centroid table, per-vector assignment frame). All
+    * arithmetic in scaled integers — exact under any partitioning and
+    * engine-portable. Each iteration: one broadcast of k·dim longs
+    * out, one map-side argmin, one (cent,dim) partial-agg shuffle
+    * back; the driver only holds the k·dim centroid table.
+    */
+  private[graft] def kmeansFit(spark: SparkSession, sfDir: String,
+      nCentroids: Int, iters: Int)
+      : (Seq[(Int, Seq[Long])], DataFrame) = {
     import spark.implicits._
     VectorExprs.register(spark)
-    val intL2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
     val emb = Tables.load(spark, sfDir, "embeddings")
     val qemb = emb.select(col("vec_id"), col("label"), col("embedding"),
       transform(col("embedding"),
@@ -206,8 +217,7 @@ object Similarity {
     var cents: Seq[(Int, Seq[Long])] = qemb.orderBy(col("vec_id"))
       .limit(nCentroids).select(col("qv")).collect()
       .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](0)) }
-    def centsDf() = broadcast(cents.toDF("cent_id", "cent"))
-    def assign() = qemb.crossJoin(centsDf())
+    def assign() = qemb.crossJoin(broadcast(cents.toDF("cent_id", "cent")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
           .orderBy(intL2(col("qv"), col("cent")), col("cent_id"))))
@@ -224,9 +234,29 @@ object Similarity {
         (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
       }.sortBy(_._1)
     }
-    val assigned = assign()
+    (cents, assign())
+  }
+
+  /** Distributed document/embedding clustering as a first-class
+    * output: k-means cluster id + size per cluster (the corpus-
+    * curation view: topic balance, cluster-based filtering/sampling).
+    */
+  def embeddingKmeans(spark: SparkSession, sfDir: String,
+      nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    val (_, assigned) = kmeansFit(spark, sfDir, nCentroids, iters)
+    assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+  }
+
+  def annIvfTrained(spark: SparkSession, sfDir: String, k: Int = 10,
+      nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val (cents, assignedRaw) = kmeansFit(spark, sfDir, nCentroids, iters)
+    val assigned = assignedRaw
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
-    val qRow = qemb.filter(col("vec_id") === 0)
+    val qRow = assignedRaw.filter(col("vec_id") === 0)
       .select(col("qv"), col("embedding")).head()
     val qQv = typedLit(qRow.getSeq[Long](0))
     val qVec = typedLit(qRow.getSeq[Float](1))

@@ -12,6 +12,30 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(e)
   }
 
+  test("ShingleRewriteRule fuses the HOF shingle spelling into WordShingles") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.ShingleRewriteRule
+    try {
+      val hofExpr = "case when size(w) >= 3 then transform(sequence(0, size(w) - 3), " +
+        "i -> concat_ws(' ', slice(w, i + 1, 3))) else array() end"
+      val docs = Tables.load(spark, sf, "documents").limit(100)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      val df = docs.select(col("doc_id"), expr(hofExpr).as("sh"))
+      // the optimized plan carries the fused native kernel...
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("wordshingles"), optimized.take(500))
+      // ...and produces exactly the unrewritten results
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.ShingleRewriteRule)
+      val unfused = docs.select(col("doc_id"), expr(hofExpr).as("sh"))
+      assert(df.exceptAll(unfused).count() === 0)
+      assert(unfused.exceptAll(df).count() === 0)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.ShingleRewriteRule)
+  }
+
   test("extension-injected functions resolve in a session") {
     // same injections applied session-scoped (the runtime path)
     graft.functions.RollingHash.register(spark)

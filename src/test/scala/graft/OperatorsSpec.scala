@@ -128,6 +128,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getLong(2) === 2 * (('a'.toLong * 31) + 'b'))  // 2×rolling hash
   }
 
+  test("long-array L2 kernel matches the HOF spelling exactly") {
+    graft.functions.VectorExprs.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+    val q = emb.orderBy($"vec_id").select($"qv").as[Seq[Long]].head()
+    val both = emb.select(
+      graft.functions.VectorExprs.vec_l2sq_long($"qv", typedLit(q)).as("native"),
+      aggregate(zip_with($"qv", typedLit(q), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("hof"))
+    assert(both.where($"native" =!= $"hof").count() === 0)
+  }
+
   test("vector kernels agree with scala reference on a sample") {
     val emb = Tables.load(spark, sf, "embeddings").limit(10)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
