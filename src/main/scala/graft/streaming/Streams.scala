@@ -132,6 +132,23 @@ object Streams {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(s"$tableRoot/files")
 
+  /** EXACTLY-ONCE streaming sink into a GraftTable: foreachBatch +
+    * idempotent transactional append (`appendIfNew`, the Delta
+    * txnAppId/txnVersion pattern). A replayed epoch after a restart
+    * or sink-side failure commits nothing — the batch-id watermark
+    * lives in the commit log, so the guarantee survives restarts.
+    * Together with the `graft-table` source this closes the loop:
+    * GraftTable → stream → GraftTable is end-to-end exactly-once.
+    */
+  def streamToTable(stream: DataFrame, table: graft.tables.GraftTable,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        table.appendIfNew(df, id); ()
+      }
+      .start()
+
   /** Incremental file ingest (Auto Loader demo analog): Structured
     * Streaming file source over a directory; AvailableNow processes
     * exactly the new files since the last checkpoint and stops —

@@ -302,7 +302,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     StructType(cur.fields ++ newCols)
   }
 
-  def append(df: DataFrame, evolve: Boolean = false): Long = {
+  def append(df: DataFrame, evolve: Boolean = false): Long =
+    appendInternal(df, evolve, Map.empty)
+
+  private def appendInternal(df: DataFrame, evolve: Boolean,
+      extraMetrics: Map[String, Long]): Long = {
     val base = latestVersion
     enforceConstraints(df)
     val schema = checkSchema(df, evolve)
@@ -310,7 +314,27 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       df.schema.fieldNames.contains(n)).map(col): _*)
     val added = writeData(aligned)
     commit("APPEND", base, filesAt(base) ++ added, schema,
-      Map("numAddedFiles" -> added.size.toLong), collectStats(added))
+      Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics,
+      collectStats(added))
+  }
+
+  /** Highest micro-batch id ever committed via [[appendIfNew]] —
+    * the sink-side transaction watermark (Delta's txnVersion).
+    */
+  def lastStreamBatchId: Long =
+    listVersions().flatMap(v => readCommit(v).metrics.get("txnBatchId"))
+      .maxOption.getOrElse(-1L)
+
+  /** IDEMPOTENT append keyed by a monotonically increasing batch id —
+    * the exactly-once streaming-sink primitive (Delta's
+    * txnAppId/txnVersion pattern): a replayed foreachBatch epoch
+    * (restart after a sink-side failure, speculative re-run) is a
+    * NO-OP instead of a duplicate append. The id rides in the commit
+    * metrics, so the watermark survives restarts with the log.
+    */
+  def appendIfNew(df: DataFrame, batchId: Long): Long = {
+    if (batchId <= lastStreamBatchId) latestVersion
+    else appendInternal(df, evolve = false, Map("txnBatchId" -> batchId))
   }
 
   def overwrite(df: DataFrame): Long = {
@@ -627,6 +651,38 @@ object GraftTable {
   def load(spark: SparkSession, path: String): GraftTable = {
     val t = new GraftTable(spark, Paths.get(path))
     require(Files.exists(t.logDir), s"not a graft table: $path")
+    t
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` analog):
+    * a new table whose first commit REFERENCES the source's current
+    * data files by absolute path — zero bytes copied, O(files)
+    * metadata. Subsequent writes land in the clone's own directory;
+    * copy-on-write DML naturally un-shares files, so the clone is a
+    * cheap writable fork (dev/test against production data). Stats
+    * and CHECK constraints carry over. The clone must not be
+    * vacuumed-ahead by the source: as with Delta, dropping source
+    * files the clone still references breaks it — retention policy
+    * is the operator's contract.
+    */
+  def shallowClone(spark: SparkSession, srcPath: String,
+      dstPath: String): GraftTable = {
+    val src = load(spark, srcPath)
+    val c = src.readCommit(src.latestVersion)
+    val t = new GraftTable(spark, Paths.get(dstPath))
+    require(!Files.exists(t.logDir), s"table already exists at $dstPath")
+    Files.createDirectories(t.logDir)
+    // absolute refs: Path.resolve passes absolute paths through, so
+    // reads and DML on the clone address the source's files directly
+    val absFiles = c.files.map(src.abs)
+    val absStats = c.stats.getOrElse(Map.empty).map {
+      case (f, s) => src.abs(f) -> s
+    }
+    t.commit("CLONE", -1L, absFiles,
+      org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+        .asInstanceOf[StructType],
+      Map("sourceVersion" -> src.latestVersion), absStats,
+      c.constraints.getOrElse(Map.empty))
     t
   }
 

@@ -181,6 +181,43 @@ class GraftTableSpec extends SparkSpec {
       .where($"_change_type" === "insert").count() === 3)
   }
 
+  test("appendIfNew is idempotent per batch id (exactly-once sink)") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
+    t.appendIfNew(Seq((2L, "b")).toDF("id", "v"), batchId = 0)
+    // replayed epoch: same id commits nothing
+    t.appendIfNew(Seq((2L, "b")).toDF("id", "v"), batchId = 0)
+    t.appendIfNew(Seq((3L, "c")).toDF("id", "v"), batchId = 1)
+    // stale epoch after progress is also skipped
+    t.appendIfNew(Seq((9L, "x")).toDF("id", "v"), batchId = 0)
+    assert(t.snapshot().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.lastStreamBatchId === 1L)
+    // and the watermark survives a fresh load() from the log
+    assert(GraftTable.load(spark, t.root.toString).lastStreamBatchId === 1L)
+  }
+
+  test("shallow clone shares files zero-copy until DML un-shares them") {
+    val srcPath = tmp()
+    val src = GraftTable.create(spark, srcPath,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    src.addConstraint("id_positive", "id > 0")
+    val dstPath = tmp()
+    val clone = GraftTable.shallowClone(spark, srcPath, dstPath)
+    // same data, no data files under the clone's own directory
+    assert(clone.snapshot().as[(Long, String)].collect().toSet ===
+      src.snapshot().as[(Long, String)].collect().toSet)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dstPath).resolve("files")))
+    // constraints carried over
+    assert(clone.constraints.contains("id_positive"))
+    // writes to the clone never touch the source
+    clone.delete($"id" === 1)
+    clone.append(Seq((4L, "d")).toDF("id", "v"))
+    assert(clone.snapshot().count() === 3)
+    assert(src.snapshot().count() === 3)
+    assert(src.snapshot().where($"id" === 1).count() === 1)
+  }
+
   test("restore rolls back to an old version without rewriting data") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     t.delete($"id" === 1)
