@@ -107,6 +107,7 @@ object SparkEntry {
     "feature_store_orders" -> (graft.ml.RiskPipeline.orderFeatures _),
     // §J multimodal
     "multimodal_features" -> (Multimodal.extractFeatures _),
+    "multimodal_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -827,6 +828,25 @@ object SparkEntry {
         |  CAST(bsum % 100000 AS BIGINT) AS duration_ms,
         |  CAST(bsum AS DOUBLE) / greatest(n, 1) AS mean_byte
         |FROM m""".stripMargin,
+    "multimodal_framesample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |    text, length(text) AS n
+        |  FROM documents),
+        |f0 AS (
+        |  SELECT media_id, kind, text, n,
+        |    unnest(range(0, (n + 127) // 128)) AS fi
+        |  FROM m),
+        |f AS (
+        |  SELECT media_id, kind, CAST(fi AS INTEGER) AS frame_idx,
+        |    CAST(fi * 128 AS INTEGER) AS frame_offset,
+        |    CAST(least(64, n - fi * 128) AS INTEGER) AS frame_len,
+        |    CAST(list_sum([unicode(c) for c in string_split(substring(text, CAST(fi * 128 + 1 AS INTEGER), CAST(least(64, n - fi * 128) AS INTEGER)), '')]) AS BIGINT) AS byte_sum
+        |  FROM f0)
+        |SELECT media_id, kind, frame_idx, frame_offset, frame_len, byte_sum,
+        |  CAST(byte_sum AS DOUBLE) / greatest(frame_len, 1) AS mean_byte
+        |FROM f""".stripMargin,
     // §F ML (rule-scored, oracle-replicable parts)
     "ml_risk_features" ->
       """WITH li AS (

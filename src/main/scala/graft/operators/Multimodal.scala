@@ -55,6 +55,35 @@ object Multimodal {
   case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int, duration_ms: Long, mean_byte: Double)
 
+  case class FrameFeature(media_id: Long, kind: String, frame_idx: Int,
+      frame_offset: Int, frame_len: Int, byte_sum: Long, mean_byte: Double)
+
+  /** Frame sampling: every `stride` bytes take a `frameSize`-byte
+    * "frame" from the payload and emit per-frame stub features — the
+    * video/audio frame-extraction plumbing (one row in → many frame
+    * rows out, flatMap over the typed Dataset, no shuffle; a real
+    * decoder slots into the per-frame loop). At 100 TB the frame
+    * explosion is map-side and the downstream sees a normal columnar
+    * frame table.
+    */
+  def frameSample(spark: SparkSession, sfDir: String,
+      frameSize: Int = 64, stride: Int = 128): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, kind, p) =>
+        Iterator.range(0, p.length, stride).zipWithIndex.map { case (off, idx) =>
+          val end = math.min(off + frameSize, p.length)
+          var s = 0L; var i = off
+          while (i < end) { s += p(i) & 0xff; i += 1 }
+          val len = end - off
+          FrameFeature(id, kind, idx, off, len, s,
+            s.toDouble / math.max(len, 1))
+        }
+      }.toDF()
+  }
+
   /** Feature extraction over the media table: mapPartitions over the
     * typed Dataset — one decode batch per partition, partitioning
     * preserved (no shuffle), columnar in/out.

@@ -251,6 +251,21 @@ class OperatorsSpec extends SparkSpec {
     assert(a.length === Tables.load(spark, sf, "documents").count())
   }
 
+  test("frame sampling covers payloads at the configured stride") {
+    val frames = Multimodal.frameSample(spark, sf).cache()
+    val media = Multimodal.mediaTable(spark, sf)
+      .select($"media_id", length($"payload").as("n"))
+    // every media row with bytes yields ceil(n/stride) frames
+    val got = frames.groupBy($"media_id").count()
+    val want = media.where($"n" > 0)
+      .select($"media_id", ceil($"n" / 128.0).cast("long").as("count"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // frames never exceed the frame size and sums bound by 255·len
+    assert(frames.where($"frame_len" > 64 ||
+      $"byte_sum" > $"frame_len" * 255).count() === 0)
+  }
+
   test("langid marker scorer is confident on english-marker docs") {
     val df = operators.TextAnalysis.langId(spark, sf)
     // deterministic: prediction always set, one of the 4 classes
