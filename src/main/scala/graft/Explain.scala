@@ -3,7 +3,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(8)
     val sf = "/root/testdata/sf0.01"
-    for (q <- Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue")) {
+    val queries = if (args.nonEmpty) args.toSeq
+      else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue")
+    for (q <- queries) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, sf)
       val plan = df.queryExecution.executedPlan.toString

@@ -46,6 +46,7 @@ object SparkEntry {
     // §G dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_cross_split_leaks" -> ((s: SparkSession, d: String) => Dedup.crossSplitLeaks(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_portable" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
@@ -242,6 +243,37 @@ object SparkEntry {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6""".stripMargin,
+    "dedup_cross_split_leaks" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |  FROM common
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6),
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT doc_a, doc_b, x.split AS split_a, y.split AS split_b, jaccard
+        |FROM pairs JOIN splits x ON doc_a = x.doc_id
+        |           JOIN splits y ON doc_b = y.doc_id
+        |WHERE x.split <> y.split""".stripMargin,
     "dedup_minhash_portable" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
