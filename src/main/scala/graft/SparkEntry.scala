@@ -34,6 +34,9 @@ object SparkEntry {
     "q_cust_no_orders" -> (Analytics.customersNoOrders _),
     "q17_small_qty_revenue" -> (Analytics.smallQtyRevenue _),
     "q14_promo_share" -> (Analytics.promoShare _),
+    "q7_nation_volume" -> (Analytics.nationVolume _),
+    "q8_market_share" -> (Analytics.marketShare _),
+    "q9_profit_nation" -> (Analytics.profitByNation _),
     "q_set_ops_customers" -> (Analytics.setOpsCustomers _),
     "q_percentile_bands" -> (Analytics.percentileBands _),
     "q_string_filters" -> (Analytics.stringFilters _),
@@ -406,6 +409,45 @@ object SparkEntry {
         |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE)
         |  AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
+    "q8_market_share" ->
+      """WITH x AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, ns.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS v
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE')
+        |SELECT o_year,
+        |  CAST(round(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE CAST(0 AS DECIMAL(12,4)) END), 4) AS DOUBLE) /
+        |  CAST(round(SUM(v), 4) AS DOUBLE) AS mkt_share
+        |FROM x GROUP BY o_year""".stripMargin,
+    "q9_profit_nation" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, year(l_shipdate)""".stripMargin,
     "q_set_ops_customers" ->
       """SELECT 'both' AS grp, COUNT(*) AS n FROM (
         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996

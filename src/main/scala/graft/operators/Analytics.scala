@@ -111,6 +111,83 @@ object Analytics {
       .agg(asDouble(sum(discPrice)).as("revenue"))
   }
 
+  /** TPC-H Q7 shape: bilateral shipping volume between two nations by
+    * ship year — 4-way fact joins with both nation dims broadcast
+    * twice (supplier side and customer side), symmetric pair filter.
+    */
+  def nationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    val s = Tables.load(spark, sfDir, "supplier")
+    val n = Tables.load(spark, sfDir, "nation")
+    val n1 = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+        (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(asDouble(sum(discPrice)).as("revenue"))
+  }
+
+  /** TPC-H Q8 shape: a nation's market share inside one region's
+    * customer volume for one part type, by year — conditional share
+    * over decimal-exact sums, region dim chain broadcast.
+    */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    val s = Tables.load(spark, sfDir, "supplier")
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val p = Tables.load(spark, sfDir, "part").select(col("p_partkey"), col("p_type"))
+    val nCust = n.select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val nSupp = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_type") === "ECONOMY")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((asDouble(sum(when(col("supp_nation") === "NATION_3", discPrice)
+          .otherwise(lit(0).cast("decimal(12,4)")))) /
+        asDouble(sum(discPrice))).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 shape: profit (volume proxy) by supplier nation × ship
+    * year over parts matching a name substring — LIKE filter on a
+    * broadcast dim reaching the fact join.
+    */
+  def profitByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val s = Tables.load(spark, sfDir, "supplier")
+    val n = Tables.load(spark, sfDir, "nation")
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"))
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(asDouble(sum(discPrice)).as("profit"))
+  }
+
   /** Top-k per group via row_number window (deterministic ordering). */
   def topCustomersWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.load(spark, sfDir, "orders")

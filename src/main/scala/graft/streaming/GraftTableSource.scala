@@ -39,21 +39,47 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
     GraftTable.load(sqlContext.sparkSession, path)
   }
 
+  private def cdcMode(parameters: Map[String, String]): Boolean =
+    parameters.get("mode").exists(_.equalsIgnoreCase("cdc"))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      tableOf(sqlContext, parameters).snapshot().schema))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      tableOf(sqlContext, parameters).snapshot().schema)
+    val out = if (cdcMode(parameters))
+      StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    else base
+    (shortName(), out)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftTableSource(sqlContext.sparkSession, tableOf(sqlContext, parameters))
+    new GraftTableSource(sqlContext.sparkSession,
+      tableOf(sqlContext, parameters), cdc = cdcMode(parameters))
 }
 
-class GraftTableSource(spark: SparkSession, table: GraftTable) extends Source {
+/** @param cdc when true, micro-batches are the row-level CHANGE FEED
+  *   between the offsets (insert/delete/update pre+post images with
+  *   `_change_type`/`_commit_version`) — Delta's `readChangeFeed`
+  *   streaming analog. Unlike the default append-only mode, CDC mode
+  *   crosses copy-on-write commits fine: the diff IS the payload.
+  */
+class GraftTableSource(spark: SparkSession, table: GraftTable,
+    cdc: Boolean = false) extends Source {
 
-  override def schema: StructType = table.snapshot().schema
+  override def schema: StructType =
+    if (!cdc) table.snapshot().schema
+    else StructType(table.snapshot().schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Latest committed version — the high-watermark offset. */
   override def getOffset: Option[Offset] = {
@@ -64,14 +90,17 @@ class GraftTableSource(spark: SparkSession, table: GraftTable) extends Source {
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(toVersion).getOrElse(-1L)
     val endV = toVersion(end)
-    val batch = table.filesAddedIn(startV, endV)
     val df =
-      if (batch.files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-      else spark.read.schema(batch.schema).parquet(batch.files: _*)
+      if (cdc) table.changeFeed(startV, endV)
+      else {
+        val batch = table.filesAddedIn(startV, endV)
+        if (batch.files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        else spark.read.schema(batch.schema).parquet(batch.files: _*)
+      }
     // V1 sources must hand back an isStreaming=true frame
-    GraftPlans.streamingDF(spark, GraftPlans.toInternalRdd(df), batch.schema)
+    GraftPlans.streamingDF(spark, GraftPlans.toInternalRdd(df), df.schema)
   }
 
   private def toVersion(o: Offset): Long = o match {

@@ -100,6 +100,44 @@ class StreamingSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("non-append")))
   }
 
+  test("graft-table source in cdc mode streams the change feed") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_cdc_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.update($"id" === 1, Map("v" -> lit("a2")))       // v1
+    t.delete($"id" === 2)                              // v2
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt_").toString
+    val outDir = Files.createTempDirectory("graft_cdc_sink_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("path", root).option("mode", "cdc").load()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val feed = spark.read.parquet(outDir)
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    // the first batch starts before CREATE: initial rows arrive as
+    // inserts at v0 (Delta startingVersion=0 semantics)
+    assert(feed === Set(
+      (1L, "a", "insert", 0L),
+      (2L, "b", "insert", 0L),
+      (1L, "a", "update_preimage", 1L),
+      (1L, "a2", "update_postimage", 1L),
+      (2L, "b", "delete", 2L)))
+    // further DML streams incrementally (copy-on-write commits are fine in cdc mode)
+    t.append(Seq((3L, "c")).toDF("id", "v"))           // v3
+    drain()
+    assert(spark.read.parquet(outDir).count() === 6)
+    assert(spark.read.parquet(outDir)
+      .where($"_change_type" === "insert" && $"id" === 3).count() === 1)
+  }
+
   test("streamToTable lands each micro-batch exactly once") {
     import graft.tables.GraftTable
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
