@@ -99,6 +99,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "ann_topk_batch" -> ((s: SparkSession, d: String) => Similarity.annTopKBatch(s, d)),
     "ann_quantized_topk" -> ((s: SparkSession, d: String) => Similarity.annQuantizedTopK(s, d)),
+    "ann_pq_topk" -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
     "ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
@@ -845,6 +846,44 @@ object SparkEntry {
         |SELECT vec_id, label,
         |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
         |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_pq_topk" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |params AS (SELECT (SELECT len(embedding) FROM embeddings LIMIT 1) // 8 AS sub),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv
+        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 16)),
+        |sdim AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s),
+        |cb AS (
+        |  SELECT sdim.s, seeds.j,
+        |    list_slice(qv, sdim.s * params.sub + 1, sdim.s * params.sub + params.sub) AS cent
+        |  FROM seeds, sdim, params),
+        |subv AS (
+        |  SELECT vec_id, sdim.s,
+        |    list_slice(qv, sdim.s * params.sub + 1, sdim.s * params.sub + params.sub) AS sv
+        |  FROM qe, sdim, params),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT v.vec_id, v.s, c.j,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        |        list_sum([(v.sv[i] - c.cent[i]) * (v.sv[i] - c.cent[i]) for i in range(1, len(v.sv) + 1)]), c.j) AS rn
+        |    FROM subv v JOIN cb c ON v.s = c.s) WHERE rn = 1),
+        |qsub AS (
+        |  SELECT sdim.s,
+        |    list_slice(q.qv, sdim.s * params.sub + 1, sdim.s * params.sub + params.sub) AS sv
+        |  FROM (SELECT qv FROM qe WHERE vec_id = 0) q, sdim, params),
+        |dt AS (
+        |  SELECT c.s, c.j AS code,
+        |    list_sum([(x.sv[i] - c.cent[i]) * (x.sv[i] - c.cent[i]) for i in range(1, len(x.sv) + 1)]) AS d
+        |  FROM cb c JOIN qsub x ON c.s = x.s)
+        |SELECT e.vec_id, e.label, CAST(SUM(dt.d) AS BIGINT) AS approx_dist
+        |FROM codes JOIN dt USING (s, code) JOIN embeddings e USING (vec_id)
+        |WHERE vec_id <> 0
+        |GROUP BY e.vec_id, e.label
+        |ORDER BY approx_dist, e.vec_id LIMIT 10""".stripMargin,
     "embedding_kmeans" ->
       """WITH qe AS (
         |  SELECT vec_id, label, embedding,

@@ -274,6 +274,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization ANN (PQ/ADC): split each vector into m
+    * subspaces, encode every subvector as its nearest codebook entry
+    * (m codes of log2(ksub) bits — 8 bytes/vector here vs 256 for
+    * the raw floats), then answer queries with the ASYMMETRIC
+    * distance: per-subspace lookup tables from the query to every
+    * codebook entry, approx distance = Σ table[code]. The scan reads
+    * only codes; at 100 TB the code table is what stays resident,
+    * the standard memory-bound ANN layout (Jégou et al., PQ).
+    *
+    * Codebooks are deterministic (first ksub vectors' subvectors —
+    * the integer-Lloyd trainer from kmeansFit slots in per subspace)
+    * and all arithmetic is scaled-integer, so encode, tables and
+    * ranking replay bit-identically in the DuckDB oracle.
+    */
+  def annPqTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qemb = emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+    val dim = qemb.select(size(col("qv"))).head().getInt(0)
+    val sub = dim / m
+    // codebook: subvectors of the first ksub vectors (driver holds
+    // ksub·dim longs); j is the codebook index within each subspace
+    val seeds = qemb.orderBy(col("vec_id")).limit(ksub)
+      .select(col("qv")).collect().map(_.getSeq[Long](0))
+    val codebook = for (s <- 0 until m; j <- 0 until ksub)
+      yield (s, j, seeds(j).slice(s * sub, (s + 1) * sub))
+    val cbDf = broadcast(codebook.toDF("s", "j", "cent"))
+    // encode: explode each vector into its m subvectors, broadcast-join
+    // the codebook, argmin via min(struct(dist, j)) — partial-agg
+    // friendly and deterministically tie-broken by j
+    val subvecs = qemb.select(col("vec_id"), col("qv"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col("qv"), s * sub + 1, sub).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+    val codes = subvecs.join(cbDf, Seq("s"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(VectorExprs.vec_l2sq_long(col("sv"), col("cent")).as("d"),
+        col("j").as("j"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.j").as("code"))
+    // ADC lookup tables: distance from the QUERY's subvectors to every
+    // codebook entry — ksub·m integers, computed on the driver
+    val qv = qemb.filter(col("vec_id") === 0).select(col("qv"))
+      .head().getSeq[Long](0)
+    val dt = codebook.map { case (s, j, cent) =>
+      val qs = qv.slice(s * sub, (s + 1) * sub)
+      var acc = 0L; var i = 0
+      while (i < sub) { val d = qs(i) - cent(i); acc += d * d; i += 1 }
+      (s, j, acc)
+    }
+    val dtDf = broadcast(dt.toDF("s", "code", "d"))
+    codes.join(dtDf, Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d")).as("approx_dist"))
+      .filter(col("vec_id") =!= 0)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-flat ANN: deterministic seeded centroids (first nCentroids
     * vectors by vec_id — a fixed coarse quantizer), assign every
     * vector to its nearest centroid (broadcast join), then search

@@ -195,6 +195,26 @@ class OperatorsSpec extends SparkSpec {
       s"quantized recalled ${quant.intersect(brute).size}/10")
   }
 
+  test("PQ/ADC top-k overlaps exact nearest neighbors") {
+    graft.functions.VectorExprs.register(spark)
+    val pq = Similarity.annPqTopK(spark, sf, k = 10)
+      .select($"vec_id").as[Long].collect()
+    assert(pq.length === 10)
+    // exact L2 top-10 on the same scaled-integer vectors
+    val qemb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+    val q = qemb.where($"vec_id" === 0).select($"qv").as[Seq[Long]].head()
+    val exact = qemb.where($"vec_id" =!= 0)
+      .select($"vec_id",
+        graft.functions.VectorExprs.vec_l2sq_long($"qv", typedLit(q)).as("d"))
+      .orderBy($"d", $"vec_id").limit(10).select($"vec_id").as[Long].collect()
+    // 8-byte codes vs 256-byte vectors: meaningful but lossy — on this
+    // near-random corpus untrained codebooks still recall a few
+    assert(pq.toSet.intersect(exact.toSet).size >= 2,
+      s"PQ recalled ${pq.toSet.intersect(exact.toSet).size}/10")
+  }
+
   test("stratified sample respects per-stratum rates and determinism") {
     val docs = Tables.load(spark, sf, "documents")
     val sample = TextAnalysis.sampleStratified(spark, sf)
