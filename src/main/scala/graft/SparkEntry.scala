@@ -37,6 +37,8 @@ object SparkEntry {
     "q7_nation_volume" -> (Analytics.nationVolume _),
     "q8_market_share" -> (Analytics.marketShare _),
     "q9_profit_nation" -> (Analytics.profitByNation _),
+    "events_funnel" -> (Analytics.eventFunnel _),
+    "ml_feature_hash" -> ((s: SparkSession, d: String) => Analytics.featureHash(s, d)),
     "q_set_ops_customers" -> (Analytics.setOpsCustomers _),
     "q_percentile_bands" -> (Analytics.percentileBands _),
     "q_string_filters" -> (Analytics.stringFilters _),
@@ -410,6 +412,25 @@ object SparkEntry {
         |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DOUBLE)
         |  AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, MIN(ev.ts) AS t2 FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ev.ts > s1.t1 GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, MIN(ev.ts) AS t3 FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ev.ts > s2.t2 GROUP BY ev.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_view_click', COUNT(*) FROM s2
+        |UNION ALL SELECT '3_full_funnel', COUNT(*) FROM s3""".stripMargin,
+    "ml_feature_hash" ->
+      """WITH f AS (
+        |  SELECT unnest(['priority=' || o_orderpriority,
+        |                 'segment=' || c_mktsegment,
+        |                 'status=' || o_orderstatus]) AS feat
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT CAST(CAST(concat('0x', substr(md5(feat), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS bucket,
+        |  COUNT(*) AS n
+        |FROM f GROUP BY 1""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,

@@ -188,6 +188,55 @@ object Analytics {
       .agg(asDouble(sum(discPrice)).as("profit"))
   }
 
+  /** Ordered funnel analytics over the event stream: users reaching
+    * view → click → purchase IN ORDER (each stage's first event must
+    * follow the previous stage's). Three conditional min-aggs, each
+    * shuffling only (user, ts) on the user key — no per-user
+    * sequence materialization, the shape that holds on billions of
+    * events.
+    */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(s2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_view_click")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_full_funnel")))
+      .select(col("stage"), col("n_users"))
+  }
+
+  /** Hash-trick feature bucketing (HashingTF shape) with a PORTABLE
+    * hash: each categorical feature string lands in an md5-residue
+    * bucket; the per-bucket counts are the hashed design-matrix
+    * column sums. Map-side explode + one count shuffle at any scale;
+    * the md5 spelling replays exactly in the oracle.
+    */
+  def featureHash(spark: SparkSession, sfDir: String,
+      numBuckets: Int = 64): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    val feats = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(explode(array(
+        concat(lit("priority="), col("o_orderpriority")),
+        concat(lit("segment="), col("c_mktsegment")),
+        concat(lit("status="), col("o_orderstatus")))).as("feat"))
+    feats
+      .withColumn("bucket",
+        (conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long") % numBuckets)
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Top-k per group via row_number window (deterministic ordering). */
   def topCustomersWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.load(spark, sfDir, "orders")
