@@ -67,7 +67,19 @@ object ShingleRewriteRule extends Rule[LogicalPlan] {
         (w1.dataType match {
           case ArrayType(StringType, _) => true; case _ => false
         }) =>
-      WordShingles(w1, n1)
+      // NULL-input semantics differ: the guarded CASE yields an EMPTY
+      // array for a NULL input array (size(NULL) >= n is NULL → the
+      // ELSE array() branch fires), while WordShingles is
+      // null-intolerant and returns NULL. For nullable inputs the
+      // rewrite must keep the empty-array-on-null behavior — the rule
+      // is injected globally, so "close enough" would silently change
+      // user results (e.g. size(sh) flipping 0 → -1).
+      if (w1.nullable)
+        If(IsNull(w1),
+          Literal(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array.empty[Any]), ArrayType(StringType, containsNull = false)),
+          WordShingles(w1, n1))
+      else WordShingles(w1, n1)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

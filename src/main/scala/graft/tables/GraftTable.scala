@@ -581,10 +581,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(files.map(abs): _*)
-    def tag(df: DataFrame, tpe: String, v: Long): DataFrame =
-      df.select(outSchema.fieldNames.map(col): _*)
+    // commits older than a later ADD-COLUMN evolution lack the new
+    // columns — pad them with typed nulls so the outSchema select
+    // resolves (the "older files surface nulls" contract holds across
+    // the feed, not just within snapshot reads)
+    def tag(df: DataFrame, tpe: String, v: Long): DataFrame = {
+      val present = df.schema.fieldNames.toSet
+      df.select(outSchema.fields.map(f =>
+          if (present.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
+    }
     val parts: Seq[DataFrame] =
       ((fromVersion + 1) to toVersion).flatMap { v =>
         val cur = readCommit(v)

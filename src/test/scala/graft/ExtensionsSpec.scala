@@ -36,6 +36,29 @@ class ExtensionsSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.ShingleRewriteRule)
   }
 
+  test("ShingleRewriteRule preserves empty-array-on-NULL for nullable inputs") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.ShingleRewriteRule
+    try {
+      val hofExpr = "case when size(w) >= 3 then transform(sequence(0, size(w) - 3), " +
+        "i -> concat_ws(' ', slice(w, i + 1, 3))) else array() end"
+      // a nullable array column: NULL rows must surface size(sh) = 0,
+      // not NULL/-1 (WordShingles alone is null-intolerant)
+      val df = spark.range(4)
+        .selectExpr("id",
+          "case when id = 2 then cast(null as array<string>) " +
+            "else array('a','b','c','d') end as w")
+        .selectExpr("id", s"size($hofExpr) as n")
+      val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(opt.contains("wordshingles"), opt.take(500))
+      val byId = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(byId(2L) === 0, "NULL input must yield an empty shingle array")
+      assert(byId(0L) === 2)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.ShingleRewriteRule)
+  }
+
   test("extension-injected functions resolve in a session") {
     // same injections applied session-scoped (the runtime path)
     graft.functions.RollingHash.register(spark)

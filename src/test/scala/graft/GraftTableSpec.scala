@@ -181,6 +181,21 @@ class GraftTableSpec extends SparkSpec {
       .where($"_change_type" === "insert").count() === 3)
   }
 
+  test("change feed spans additive schema evolution (old commits pad nulls)") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))                          // v1: pre-evolve
+    t.append(Seq((3L, "c", 9.5)).toDF("id", "v", "score"), evolve = true) // v2
+    t.update($"id" === 1, Map("v" -> lit("a2")))                      // v3
+    val feed = t.changeFeed(0)
+      .select($"id", $"v", $"score", $"_change_type", $"_commit_version")
+      .as[(Long, String, Option[Double], String, Long)].collect().toSet
+    assert(feed === Set(
+      (2L, "b", None, "insert", 1L),           // pre-evolve commit: score padded null
+      (3L, "c", Some(9.5), "insert", 2L),
+      (1L, "a", None, "update_preimage", 3L),
+      (1L, "a2", None, "update_postimage", 3L)))
+  }
+
   test("appendIfNew is idempotent per batch id (exactly-once sink)") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
     t.appendIfNew(Seq((2L, "b")).toDF("id", "v"), batchId = 0)
