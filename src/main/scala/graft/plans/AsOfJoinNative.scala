@@ -169,7 +169,17 @@ object AsOfJoinNative {
     check(right, rightKey, Seq(LongType), "key")
     check(left, leftTime, Seq(TimestampType, TimestampNTZType), "time")
     check(right, rightTime, Seq(TimestampType, TimestampNTZType), "time")
-    val matched = AttributeReference(s"matched_$rightTime", TimestampType)()
+    // the two time columns must agree on flavor: comparing NTZ micros
+    // against session-TZ micros shifts semantics silently
+    val ltType = left.schema(leftTime).dataType
+    val rtType = right.schema(rightTime).dataType
+    require(ltType == rtType,
+      s"as-of join time columns must share one timestamp type, got " +
+        s"'$leftTime': $ltType vs '$rightTime': $rtType (cast one side)")
+    // the matched column keeps the RIGHT time column's actual type —
+    // declaring TimestampType for an NTZ input would relabel the same
+    // micros into session-timezone display/comparison semantics
+    val matched = AttributeReference(s"matched_$rightTime", rtType)()
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       leftKey, rightKey, leftTime, rightTime, matched)

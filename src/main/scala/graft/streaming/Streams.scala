@@ -139,13 +139,17 @@ object Streams {
     * lives in the commit log, so the guarantee survives restarts.
     * Together with the `graft-table` source this closes the loop:
     * GraftTable → stream → GraftTable is end-to-end exactly-once.
+    * The checkpoint path doubles as the transaction APP ID (Delta's
+    * txnAppId): a second query with its own checkpoint gets its own
+    * watermark, and a restart from the SAME checkpoint replays
+    * against the same watermark — both without cross-query skips.
     */
   def streamToTable(stream: DataFrame, table: graft.tables.GraftTable,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        table.appendIfNew(df, id); ()
+        table.appendIfNew(df, id, appId = checkpoint); ()
       }
       .start()
 

@@ -318,23 +318,33 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       collectStats(added))
   }
 
-  /** Highest micro-batch id ever committed via [[appendIfNew]] —
-    * the sink-side transaction watermark (Delta's txnVersion).
+  /** Highest micro-batch id ever committed via [[appendIfNew]] for
+    * the given app — the sink-side transaction watermark (Delta's
+    * txnVersion, keyed by txnAppId). Watermarks are PER APP: two
+    * streaming queries sinking into the same table (or one query
+    * restarted with a fresh checkpoint dir, whose batch ids restart
+    * at 0) track independent progress instead of silently skipping
+    * each other's batches.
     */
-  def lastStreamBatchId: Long =
-    listVersions().flatMap(v => readCommit(v).metrics.get("txnBatchId"))
+  def lastStreamBatchId(appId: String = "default"): Long =
+    listVersions().flatMap(v => readCommit(v).metrics.get(txnKey(appId)))
       .maxOption.getOrElse(-1L)
 
-  /** IDEMPOTENT append keyed by a monotonically increasing batch id —
-    * the exactly-once streaming-sink primitive (Delta's
+  private def txnKey(appId: String): String = s"txn:$appId"
+
+  /** IDEMPOTENT append keyed by (appId, monotonically increasing
+    * batch id) — the exactly-once streaming-sink primitive (Delta's
     * txnAppId/txnVersion pattern): a replayed foreachBatch epoch
     * (restart after a sink-side failure, speculative re-run) is a
-    * NO-OP instead of a duplicate append. The id rides in the commit
-    * metrics, so the watermark survives restarts with the log.
+    * NO-OP instead of a duplicate append. The pair rides in the
+    * commit metrics, so the watermark survives restarts with the log.
+    * `appId` identifies the writing query (use its checkpoint path or
+    * query id) — distinct apps never shadow one another's watermarks.
     */
-  def appendIfNew(df: DataFrame, batchId: Long): Long = {
-    if (batchId <= lastStreamBatchId) latestVersion
-    else appendInternal(df, evolve = false, Map("txnBatchId" -> batchId))
+  def appendIfNew(df: DataFrame, batchId: Long,
+      appId: String = "default"): Long = {
+    if (batchId <= lastStreamBatchId(appId)) latestVersion
+    else appendInternal(df, evolve = false, Map(txnKey(appId) -> batchId))
   }
 
   def overwrite(df: DataFrame): Long = {

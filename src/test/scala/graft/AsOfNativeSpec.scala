@@ -61,6 +61,24 @@ class AsOfNativeSpec extends SparkSpec {
     assert(e2.getMessage.contains("must be TimestampType"))
   }
 
+  test("NTZ time columns keep NTZ output type; mixed flavors rejected") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val l = Seq((1L, ts("2024-01-03 00:00:00"))).toDF("k", "t")
+      .select($"k", $"t".cast(TimestampNTZType).as("t"))
+    val r = Seq((1L, ts("2024-01-02 00:00:00"))).toDF("k", "rt")
+    // mixed TZ/NTZ must be rejected (same micros, shifted semantics)
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNative.join(l, r, "k", "k", "t", "rt")
+    }
+    assert(e.getMessage.contains("share one timestamp type"))
+    // both NTZ: joins fine and the matched column STAYS NTZ
+    val rNtz = r.select($"k", $"rt".cast(TimestampNTZType).as("rt"))
+    val out = AsOfJoinNative.join(l, rNtz, "k", "k", "t", "rt")
+    assert(out.schema("matched_rt").dataType === TimestampNTZType)
+    assert(out.select($"matched_rt".cast("string")).as[String].collect()
+      .toSeq === Seq("2024-01-02 00:00:00"))
+  }
+
   test("null keys/times join nothing instead of misreading as 0") {
     val l = Seq(
       (Some(1L), Some(ts("2024-01-03 00:00:00"))),

@@ -206,9 +206,25 @@ class GraftTableSpec extends SparkSpec {
     t.appendIfNew(Seq((9L, "x")).toDF("id", "v"), batchId = 0)
     assert(t.snapshot().as[(Long, String)].collect().toSet ===
       Set((1L, "a"), (2L, "b"), (3L, "c")))
-    assert(t.lastStreamBatchId === 1L)
+    assert(t.lastStreamBatchId() === 1L)
     // and the watermark survives a fresh load() from the log
-    assert(GraftTable.load(spark, t.root.toString).lastStreamBatchId === 1L)
+    assert(GraftTable.load(spark, t.root.toString).lastStreamBatchId() === 1L)
+  }
+
+  test("appendIfNew watermarks are independent per app id") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
+    // query A makes progress to batch 5
+    t.appendIfNew(Seq((2L, "b")).toDF("id", "v"), batchId = 5, appId = "qA")
+    // query B starts from batch 0 (fresh checkpoint) — must NOT be
+    // skipped by A's watermark (that would be silent data loss)
+    t.appendIfNew(Seq((3L, "c")).toDF("id", "v"), batchId = 0, appId = "qB")
+    assert(t.snapshot().count() === 3)
+    // each app replays idempotently against ITS OWN watermark
+    t.appendIfNew(Seq((3L, "c")).toDF("id", "v"), batchId = 0, appId = "qB")
+    t.appendIfNew(Seq((2L, "b")).toDF("id", "v"), batchId = 5, appId = "qA")
+    assert(t.snapshot().count() === 3)
+    assert(t.lastStreamBatchId("qA") === 5L)
+    assert(t.lastStreamBatchId("qB") === 0L)
   }
 
   test("shallow clone shares files zero-copy until DML un-shares them") {
