@@ -83,7 +83,12 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       graft.plans.AsOfJoinNative.join(
         graft.Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
-        graft.Tables.load(s, d, "orders").select(col("o_custkey"), col("o_orderdate"))
+        // o_orderdate reads as TimestampNTZ under Spark 4's parquet
+        // inference; the native as-of join (correctly) refuses mixed
+        // timestamp flavors, so align it with events.ts (TimestampType).
+        // Session TZ is UTC (Sessions.tune), so the cast is micros-exact.
+        graft.Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"))
           .dropDuplicates("o_custkey", "o_orderdate"),
         "user_id", "o_custkey", "ts", "o_orderdate")
     }),

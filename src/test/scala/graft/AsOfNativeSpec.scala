@@ -10,7 +10,7 @@ class AsOfNativeSpec extends SparkSpec {
     val ev = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"ts")
     val ord = Tables.load(spark, sf, "orders")
-      .select($"o_custkey", $"o_orderdate")
+      .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_orderdate"))
       .dropDuplicates("o_custkey", "o_orderdate")
     val native = AsOfJoinNative.join(ev, ord,
         "user_id", "o_custkey", "ts", "o_orderdate")
@@ -24,7 +24,8 @@ class AsOfNativeSpec extends SparkSpec {
 
   test("native as-of plan contains the custom exec and shuffles on the key") {
     val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
-    val ord = Tables.load(spark, sf, "orders").select($"o_custkey", $"o_orderdate")
+    val ord = Tables.load(spark, sf, "orders")
+      .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_orderdate"))
     val df = AsOfJoinNative.join(ev, ord,
       "user_id", "o_custkey", "ts", "o_orderdate")
     // sparkPlan: the physical plan before AQE's lazy wrapper hides it

@@ -154,9 +154,12 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(t.snapshot().as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
-    // simulate an epoch replay at the sink: nothing lands twice
+    // simulate an epoch replay at the sink: nothing lands twice.
+    // the sink keys its watermark by appId = checkpoint path, so the
+    // replay must present the SAME app id — a different appId is a
+    // different query and legitimately starts its own batch sequence.
     val before = t.latestVersion
-    t.appendIfNew(Seq(1L).toDF("value"), batchId = 0)
+    t.appendIfNew(Seq(1L).toDF("value"), batchId = 0, appId = ckpt)
     assert(t.latestVersion === before)
   }
 

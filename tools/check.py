@@ -28,6 +28,10 @@ for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue
+    err_marker = os.path.join(d, "_error.txt")
+    if os.path.exists(err_marker):
+        fails.append((name, "err: " + open(err_marker).read().strip()))
+        continue
     got = pd.read_parquet(d)
     if name not in oracle:
         status = "rows-only:%d" % len(got)
