@@ -77,6 +77,7 @@ object SparkEntry {
     "tbl_cluster_by" -> (TableOps.clusterByKey _),
     "tbl_history" -> (TableOps.historyLog _),
     "tbl_change_feed" -> (TableOps.changeFeedScenario _),
+    "tbl_dsv2_read" -> (TableOps.dsv2Read _),
     // §D temporal joins
     "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
     "asof_join_native" -> ((s: SparkSession, d: String) => {
@@ -625,6 +626,8 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
         |  'delete', CAST(2 AS BIGINT) FROM del""".stripMargin,
     "tbl_time_travel" -> "SELECT * FROM orders",
+    "tbl_dsv2_read" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey <= 100",
     "tbl_compact" -> "SELECT * FROM orders",
     "tbl_cluster_by" -> "SELECT * FROM orders",
     // §D temporal joins

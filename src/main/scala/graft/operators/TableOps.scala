@@ -120,6 +120,20 @@ object TableOps {
     t.changeFeed(0)
   }
 
+  /** Batch read through the registered `graft-table` data source
+    * (reference: registered Delta tables, 01-Fraud-Delta.py:116-134):
+    * the scan plans through GraftTableFileIndex, so the selective
+    * predicate data-skips whole files from commit-log min/max stats
+    * before any I/O — catalog SQL and DataFrame reads prune alike.
+    */
+  def dsv2Read(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.clusterBy(8, "o_custkey")
+    spark.read.format("graft-table").load(t.root.toString)
+      .where(col("o_custkey") <= 100L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
   /** DESCRIBE HISTORY analog (01-Fraud-Delta.py:214): deterministic
     * columns only (version/operation).
     */

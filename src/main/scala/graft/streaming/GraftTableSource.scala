@@ -1,10 +1,12 @@
 package graft.streaming
 
-import graft.tables.GraftTable
+import graft.tables.{GraftTable, GraftTableFileIndex}
 import org.apache.spark.sql.{DataFrame, GraftPlans, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** A real Structured Streaming SOURCE over a GraftTable's commit log
@@ -29,14 +31,39 @@ import org.apache.spark.sql.types.StructType
   * UPDATE / MERGE commit would surface rewritten files as if new, so
   * getBatch refuses non-append commits instead of double-reading.
   */
-class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftTableSourceProvider extends StreamSourceProvider
+    with RelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** BATCH read path: `spark.read.format("graft-table").load(path)`
+    * and `CREATE TABLE t USING `graft-table` OPTIONS (path '...')` —
+    * a parquet HadoopFsRelation over [[GraftTableFileIndex]], so
+    * commit-log min/max data skipping runs inside scan planning for
+    * every consumer (DataFrame or catalog SQL), with the full
+    * vectorized parquet reader, pushdown and column pruning intact.
+    * `.option("versionAsOf", v)` time-travels the scan.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = tableOf(sqlContext, parameters)
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .getOrElse(table.latestVersion)
+    val index = new GraftTableFileIndex(spark, table, version)
+    HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
+      new ParquetFileFormat, parameters)(spark)
+  }
 
   private def tableOf(sqlContext: SQLContext,
       parameters: Map[String, String]): GraftTable = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table source requires .option(\"path\", ...)"))
-    GraftTable.load(sqlContext.sparkSession, path)
+    // the catalog hands CREATE TABLE locations back as file: URIs
+    val local = new org.apache.hadoop.fs.Path(path).toUri.getPath match {
+      case null => path
+      case p => p
+    }
+    GraftTable.load(sqlContext.sparkSession, local)
   }
 
   private def cdcMode(parameters: Map[String, String]): Boolean =

@@ -277,6 +277,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   private def abs(rel: String): String = root.resolve(rel).toString
 
+  /** Version snapshot metadata for the scan-planning integration
+    * ([[GraftTableFileIndex]]): files and stats keyed by ABSOLUTE
+    * path, plus the commit's schema. O(files) driver metadata.
+    */
+  private[graft] def snapshotInfo(version: Long): GraftTable.SnapshotInfo = {
+    val c = readCommit(version)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[StructType]
+    GraftTable.SnapshotInfo(c.files.map(abs),
+      c.stats.getOrElse(Map.empty).map { case (f, s) => abs(f) -> s }, schema)
+  }
+
   private def currentFiles: Seq[String] = readCommit(latestVersion).files
 
   private def currentSchema: StructType =
@@ -299,7 +311,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val missing = cur.fields.filterNot(f => incoming.exists(_.name == f.name))
     require(missing.isEmpty || evolve,
       s"schema enforcement: missing columns ${missing.map(_.name).mkString(",")}")
-    StructType(cur.fields ++ newCols)
+    // evolved columns are nullable by definition: every pre-evolution
+    // file surfaces null for them, whatever the incoming batch claimed
+    StructType(cur.fields ++ newCols.map(_.copy(nullable = true)))
   }
 
   def append(df: DataFrame, evolve: Boolean = false): Long =
@@ -645,8 +659,14 @@ object GraftTable {
   /** A streaming micro-batch: absolute file paths + schema to read them with. */
   case class VersionBatch(files: Seq[String], schema: StructType)
 
-  private[tables] case class FileStats(mins: Map[String, Double],
+  private[graft] case class FileStats(mins: Map[String, Double],
       maxs: Map[String, Double])
+
+  /** A resolved version snapshot for scan planning: absolute file
+    * paths, their commit-log stats, and the schema to read with.
+    */
+  private[graft] case class SnapshotInfo(files: Seq[String],
+      stats: Map[String, FileStats], schema: StructType)
 
   private[tables] case class Commit(version: Long, timestampMs: Long,
       operation: String, files: List[String], schemaJson: String,

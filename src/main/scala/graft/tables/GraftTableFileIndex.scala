@@ -1,0 +1,130 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{Decimal, StructType}
+
+/** Scan-planning integration for GraftTable batch reads: a custom
+  * [[FileIndex]] whose `listFiles` applies the commit log's per-file
+  * min/max stats against the query's pushed data filters — so
+  * data-skipping happens INSIDE Catalyst's planning (FileSourceStrategy
+  * hands every scan's filters here), not as an out-of-band API the
+  * caller must remember to use. This is the public Delta Lake
+  * architecture (a log-backed file index under a parquet
+  * HadoopFsRelation); SQL over a registered table
+  * (`CREATE TABLE ... USING graft-table`, reference capability
+  * Instructor/01-Fraud-Delta.py:116-134, 02- Databricks_SQL_Scripts
+  * .sql:2-10) prunes files exactly like the Scala API.
+  *
+  * Scale posture: pruning is O(files) driver-side interval checks on
+  * metadata already in memory — no file I/O, no listing; at 100 TB
+  * with clusterBy'd files a selective predicate drops most of the
+  * scan before a single row is read.
+  */
+class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
+    version: Long) extends FileIndex {
+  import GraftTable.FileStats
+
+  private val snap = table.snapshotInfo(version)
+
+  /** Schema the scan must use (commit-log authoritative — older files
+    * from before an additive evolution surface nulls via parquet
+    * schema clipping).
+    */
+  def dataSchema: StructType = snap.schema
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(table.root.toUri))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def refresh(): Unit = ()
+
+  override def inputFiles: Array[String] = snap.files.toArray
+
+  private lazy val statuses: Seq[(FileStatus, Option[FileStats])] =
+    snap.files.map { p =>
+      val f = new java.io.File(p)
+      (new FileStatus(f.length, false, 1, 128L * 1024 * 1024,
+        f.lastModified, new HPath(f.toURI)), snap.stats.get(p))
+    }
+
+  override lazy val sizeInBytes: Long = statuses.map(_._1.getLen).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = statuses.collect {
+      case (st, stats) if dataFilters.forall(mayMatch(_, stats)) => st
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+
+  // ---- conservative interval evaluation of pushed filters --------------
+
+  /** Can any row of a file with these stats satisfy `e`? MUST only
+    * ever answer a false "no" never — unknown shapes, columns without
+    * stats, and null-semantics corners all answer true (keep).
+    */
+  private def mayMatch(e: Expression, stats: Option[FileStats]): Boolean = {
+    def range(name: String): Option[(Double, Double)] =
+      stats.flatMap(s =>
+        for { lo <- s.mins.get(name); hi <- s.maxs.get(name) } yield (lo, hi))
+    def check(name: String, v: Double)(p: (Double, Double) => Boolean): Boolean =
+      range(name).forall { case (lo, hi) => p(lo, hi) }
+    e match {
+      case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
+      case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+      case EqualTo(AttrName(a), Num(v)) => check(a, v)((lo, hi) => lo <= v && v <= hi)
+      case EqualTo(Num(v), AttrName(a)) => check(a, v)((lo, hi) => lo <= v && v <= hi)
+      case GreaterThan(AttrName(a), Num(v)) => check(a, v)((_, hi) => hi > v)
+      case GreaterThan(Num(v), AttrName(a)) => check(a, v)((lo, _) => lo < v)
+      case GreaterThanOrEqual(AttrName(a), Num(v)) => check(a, v)((_, hi) => hi >= v)
+      case GreaterThanOrEqual(Num(v), AttrName(a)) => check(a, v)((lo, _) => lo <= v)
+      case LessThan(AttrName(a), Num(v)) => check(a, v)((lo, _) => lo < v)
+      case LessThan(Num(v), AttrName(a)) => check(a, v)((_, hi) => hi > v)
+      case LessThanOrEqual(AttrName(a), Num(v)) => check(a, v)((lo, _) => lo <= v)
+      case LessThanOrEqual(Num(v), AttrName(a)) => check(a, v)((_, hi) => hi >= v)
+      case In(AttrName(a), vs) if vs.forall(Num.unapply(_).isDefined) =>
+        vs.flatMap(Num.unapply).exists(v =>
+          check(a, v)((lo, hi) => lo <= v && v <= hi))
+      case InSet(AttrName(a), vs) =>
+        val nums = vs.toSeq.map(Num.fromValue)
+        // a non-numeric member means we can't bound the set → keep
+        nums.exists(_.isEmpty) || nums.flatten.exists(v =>
+          check(a, v)((lo, hi) => lo <= v && v <= hi))
+      case _ => true
+    }
+  }
+
+  /** Bare column reference (no Cast unwrapping: equality under a cast
+    * can reorder values, and pruning must stay conservative).
+    */
+  private object AttrName {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+  }
+
+  /** Numeric literal as a double, the commit log's stats domain. */
+  private object Num {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v, _) => fromValue(v)
+      case _ => None
+    }
+    def fromValue(v: Any): Option[Double] = v match {
+      case null => None
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case f: Float => Some(f.toDouble)
+      case d: Double => Some(d)
+      case s: Short => Some(s.toDouble)
+      case b: Byte => Some(b.toDouble)
+      case d: Decimal => Some(d.toDouble)
+      case n: java.lang.Number => Some(n.doubleValue)
+      case _ => None
+    }
+  }
+}
