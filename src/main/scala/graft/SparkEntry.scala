@@ -78,6 +78,10 @@ object SparkEntry {
     "tbl_history" -> (TableOps.historyLog _),
     "tbl_change_feed" -> (TableOps.changeFeedScenario _),
     "tbl_dsv2_read" -> (TableOps.dsv2Read _),
+    "tbl_sql_delete" -> (TableOps.sqlDelete _),
+    "tbl_sql_update" -> (TableOps.sqlUpdate _),
+    "tbl_sql_merge" -> (TableOps.sqlMerge _),
+    "tbl_merge_conditional" -> (TableOps.mergeConditional _),
     // §D temporal joins
     "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
     "asof_join_native" -> ((s: SparkSession, d: String) => {
@@ -628,6 +632,41 @@ object SparkEntry {
     "tbl_time_travel" -> "SELECT * FROM orders",
     "tbl_dsv2_read" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey <= 100",
+    // SQL-text DML drives the same transactional scenarios → same oracles
+    "tbl_sql_delete" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)""".stripMargin,
+    "tbl_sql_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |    ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+    "tbl_sql_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT o.* FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey""".stripMargin,
+    "tbl_merge_conditional" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0
+        |    THEN CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE)
+        |    ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 0 AND o_orderstatus = 'P')
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0 AND o_custkey % 2 = 0""".stripMargin,
     "tbl_compact" -> "SELECT * FROM orders",
     "tbl_cluster_by" -> "SELECT * FROM orders",
     // §D temporal joins

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.Tables
 import graft.Tables.dec
-import graft.tables.GraftTable
+import graft.tables.{GraftSql, GraftTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,82 @@ object TableOps {
           .cast("double")))
     t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
     t.changeFeed(0)
+  }
+
+  /** Register a fresh scratch table in the session catalog so SQL
+    * text can address it by name.
+    */
+  private def registerScratch(spark: SparkSession, sfDir: String,
+      name: String): GraftTable = {
+    val t = scratch(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING `graft-table` OPTIONS (path '${t.root}')")
+    t
+  }
+
+  /** The GDPR delete driven by SQL TEXT (the reference's literal
+    * surface, 01-Fraud-Delta.py:159) — same oracle as the Scala API.
+    */
+  def sqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = registerScratch(spark, sfDir, "graft_sql_del")
+    GraftSql.sql(spark,
+      "DELETE FROM graft_sql_del WHERE o_orderstatus = 'P' AND o_custkey % 7 = 0")
+    t.snapshot()
+  }
+
+  /** SQL-text UPDATE with an expression SET clause. */
+  def sqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = registerScratch(spark, sfDir, "graft_sql_upd")
+    GraftSql.sql(spark,
+      """UPDATE graft_sql_upd
+        |SET o_totalprice = CAST(round(CAST(o_totalprice AS DECIMAL(12,4))
+        |  * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+    t.snapshot()
+  }
+
+  /** SQL-text MERGE INTO (01-Fraud-Delta.py:218-241): UPDATE SET * /
+    * INSERT * — same scenario and oracle as tbl_merge_upsert.
+    */
+  def sqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = registerScratch(spark, sfDir, "graft_sql_mrg")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    updates.unionByName(inserts).createOrReplaceTempView("graft_sql_mrg_src")
+    GraftSql.sql(spark,
+      """MERGE INTO graft_sql_mrg t USING graft_sql_mrg_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    t.snapshot()
+  }
+
+  /** Conditional MERGE clauses (Delta's full WHEN surface): matched
+    * 'P' rows are DELETEd, other matched rows get a decimal-exact
+    * price bump from the source, and only even-custkey source rows
+    * are INSERTed.
+    */
+  def mergeConditional(spark: SparkSession, sfDir: String): DataFrame = {
+    import GraftTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    val t = scratch(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+    val inserts = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    t.merge(updates.unionByName(inserts), "o_orderkey",
+      Seq(
+        MatchedDelete(Some(col("o_orderstatus") === "P")),
+        MatchedUpdate(None, Some(Map("o_totalprice" ->
+          round(dec(col("src.o_totalprice")) * lit(1.05).cast("decimal(3,2)"), 2)
+            .cast("double"))))),
+      Some(NotMatchedInsert(Some(col("o_custkey") % 2 === 0), None)))
+    t.snapshot()
   }
 
   /** Batch read through the registered `graft-table` data source

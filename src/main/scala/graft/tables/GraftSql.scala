@@ -1,0 +1,210 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, GraftPlans, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** SQL-string DML over catalog-registered graft tables — the
+  * reference's day-one surface (`DELETE FROM loans WHERE ...`,
+  * Instructor/01-Fraud-Delta.py:159; `MERGE INTO` :218-241; SQL
+  * UPDATE). Spark's own parser produces DeleteFromTable /
+  * UpdateTable / MergeIntoTable logical plans but its analyzer only
+  * accepts them for DSv2 writable tables, so `GraftSql.sql`
+  * intercepts those three BEFORE analysis, resolves the target
+  * through the session catalog (any `CREATE TABLE ... USING
+  * graft-table` table), rewrites the parsed expressions into the
+  * GraftTable clause API, and executes the transactional
+  * copy-on-write DML. Every other statement passes straight to
+  * `spark.sql` — so this is a drop-in `sql()` for mixed workloads.
+  *
+  * All heavy lifting stays in [[GraftTable]]'s file-granular COW
+  * paths; the dispatcher itself is O(statement) parsing.
+  */
+object GraftSql {
+
+  def sql(spark: SparkSession, text: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(text) match {
+      case d: DeleteFromTable =>
+        val target = resolveTarget(spark, d.table)
+        target.table.delete(rewriteTarget(d.condition, target))
+        emptyResult(spark)
+      case u: UpdateTable =>
+        val target = resolveTarget(spark, u.table)
+        val set = u.assignments.map(a =>
+          attrName(a.key) -> rewriteTarget(a.value, target)).toMap
+        target.table.update(
+          u.condition.map(rewriteTarget(_, target))
+            .getOrElse(org.apache.spark.sql.functions.lit(true)), set)
+        emptyResult(spark)
+      case m: MergeIntoTable =>
+        mergeInto(spark, m)
+        emptyResult(spark)
+      case _ => spark.sql(text)
+    }
+
+  // ---- target/source resolution ---------------------------------------
+
+  private case class Target(table: GraftTable, quals: Set[String])
+
+  /** Unwrap optional alias, load the graft table behind the catalog
+    * entry, and collect the identifiers that qualify its columns.
+    */
+  private def resolveTarget(spark: SparkSession, plan: LogicalPlan): Target =
+    plan match {
+      case SubqueryAlias(ident, child) =>
+        val t = resolveTarget(spark, child)
+        Target(t.table, t.quals + ident.name.toLowerCase)
+      case u: UnresolvedRelation =>
+        val parts = u.multipartIdentifier
+        val ident = parts match {
+          case Seq(t) => TableIdentifier(t)
+          case Seq(db, t) => TableIdentifier(t, Some(db))
+          case _ => throw new IllegalArgumentException(
+            s"unsupported table identifier ${parts.mkString(".")}")
+        }
+        val meta = spark.sessionState.catalog.getTableMetadata(ident)
+        require(meta.provider.exists(_.equalsIgnoreCase("graft-table")),
+          s"${parts.mkString(".")} is not a graft-table (provider=${meta.provider})")
+        val path = meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.getPath))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no path for graft table ${parts.mkString(".")}"))
+        val local = new org.apache.hadoop.fs.Path(path).toUri.getPath match {
+          case null => path
+          case p => p
+        }
+        Target(GraftTable.load(spark, local),
+          Set(parts.last.toLowerCase))
+      case other => throw new IllegalArgumentException(
+        s"unsupported DML target: ${other.nodeName}")
+    }
+
+  /** Source side of MERGE: a named table (any catalog table) or a
+    * parenthesized subquery, with its alias set for rewrites.
+    */
+  private def resolveSource(spark: SparkSession,
+      plan: LogicalPlan): (DataFrame, Set[String]) = plan match {
+    case SubqueryAlias(ident, child) =>
+      val (df, quals) = resolveSource(spark, child)
+      (df, quals + ident.name.toLowerCase)
+    case u: UnresolvedRelation =>
+      (spark.table(u.multipartIdentifier.mkString(".")),
+        Set(u.multipartIdentifier.last.toLowerCase))
+    case other => (GraftPlans.ofRows(spark, other), Set.empty)
+  }
+
+  // ---- expression rewriting -------------------------------------------
+
+  private def attrName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"unsupported assignment key: $other")
+  }
+
+  /** DELETE/UPDATE context: strip the target's qualifier so the
+    * expression resolves over the bare snapshot frame.
+    */
+  private def rewriteTarget(e: Expression, target: Target): Column =
+    GraftPlans.column(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          target.quals(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    })
+
+  /** Matched-clause context: source-qualified refs become `src.<col>`
+    * (the struct GraftTable.merge exposes), target-qualified refs go
+    * bare.
+    */
+  private def rewriteMatched(e: Expression, tgt: Set[String],
+      src: Set[String]): Column =
+    GraftPlans.column(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          src(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute("src" +: a.nameParts.tail)
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          tgt(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    })
+
+  /** Not-matched context: the expression runs over the bare source
+    * frame, so source-qualified refs just lose their qualifier.
+    */
+  private def rewriteSource(e: Expression, src: Set[String]): Column =
+    GraftPlans.column(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          src(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    })
+
+  // ---- MERGE ----------------------------------------------------------
+
+  private def mergeInto(spark: SparkSession, m: MergeIntoTable): Unit = {
+    val target = resolveTarget(spark, m.targetTable)
+    val (srcDf0, srcQuals) = resolveSource(spark, m.sourceTable)
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported")
+
+    // ON <attr> = <attr>: classify sides by qualifier; unqualified
+    // single-key conditions fall back to name equality
+    val (tgtKey, srcKey) = m.mergeCondition match {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+        def isSrc(a: UnresolvedAttribute) =
+          a.nameParts.length > 1 && srcQuals(a.nameParts.head.toLowerCase)
+        def isTgt(a: UnresolvedAttribute) =
+          a.nameParts.length > 1 && target.quals(a.nameParts.head.toLowerCase)
+        if (isSrc(l) && !isSrc(r)) (r.nameParts.last, l.nameParts.last)
+        else if (isSrc(r) && !isSrc(l)) (l.nameParts.last, r.nameParts.last)
+        else if (isTgt(l)) (l.nameParts.last, r.nameParts.last)
+        else if (isTgt(r)) (r.nameParts.last, l.nameParts.last)
+        else if (l.nameParts.last == r.nameParts.last)
+          (l.nameParts.last, r.nameParts.last)
+        else throw new IllegalArgumentException(
+          s"cannot orient merge condition ${m.mergeCondition.sql}")
+      case other => throw new IllegalArgumentException(
+        s"only single-key equality merge conditions are supported, got ${other.sql}")
+    }
+    // GraftTable.merge keys on ONE shared column name
+    val srcDf = if (srcKey == tgtKey) srcDf0
+      else {
+        require(!srcDf0.columns.contains(tgtKey),
+          s"source already has a column named $tgtKey")
+        srcDf0.withColumnRenamed(srcKey, tgtKey)
+      }
+
+    val matched: Seq[GraftTable.MatchedClause] = m.matchedActions.map {
+      case a: UpdateStarAction =>
+        GraftTable.MatchedUpdate(
+          a.condition.map(rewriteMatched(_, target.quals, srcQuals)), None)
+      case a: UpdateAction =>
+        GraftTable.MatchedUpdate(
+          a.condition.map(rewriteMatched(_, target.quals, srcQuals)),
+          Some(a.assignments.map(as => attrName(as.key) ->
+            rewriteMatched(as.value, target.quals, srcQuals)).toMap))
+      case a: DeleteAction =>
+        GraftTable.MatchedDelete(
+          a.condition.map(rewriteMatched(_, target.quals, srcQuals)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    val notMatched: Option[GraftTable.NotMatchedInsert] =
+      m.notMatchedActions match {
+        case Seq() => None
+        case Seq(a: InsertStarAction) =>
+          Some(GraftTable.NotMatchedInsert(
+            a.condition.map(rewriteSource(_, srcQuals)), None))
+        case Seq(a: InsertAction) =>
+          Some(GraftTable.NotMatchedInsert(
+            a.condition.map(rewriteSource(_, srcQuals)),
+            Some(a.assignments.map(as => attrName(as.key) ->
+              rewriteSource(as.value, srcQuals)).toMap)))
+        case other => throw new IllegalArgumentException(
+          s"at most one WHEN NOT MATCHED clause is supported, got ${other.size}")
+      }
+    target.table.merge(srcDf, tgtKey, matched, notMatched)
+  }
+
+  private def emptyResult(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame
+}

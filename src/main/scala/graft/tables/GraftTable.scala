@@ -417,28 +417,92 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
   }
 
-  /** MERGE INTO target USING source ON key:
+  /** MERGE INTO target USING source ON key — the default clause set:
     * matched → UPDATE SET * (source row wins), not matched → INSERT *
-    * (01-Fraud-Delta.py:234-241). Only files holding matched keys are
-    * rewritten; inserts land in fresh files.
+    * (01-Fraud-Delta.py:234-241).
     */
-  def merge(source: DataFrame, key: String): Long = {
+  def merge(source: DataFrame, key: String): Long =
+    merge(source, key, Seq(GraftTable.MatchedUpdate()),
+      Some(GraftTable.NotMatchedInsert()))
+
+  /** Full MERGE with conditional WHEN clauses (the Delta SQL surface):
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT`. Matched clauses fire
+    * in declaration order, first condition that holds wins (Delta
+    * semantics); a matched row no clause accepts stays unchanged.
+    *
+    * Expression context: matched-clause conditions and SET values see
+    * the TARGET row's columns bare (`col("o_totalprice")`) and the
+    * source row under a struct (`col("src.o_totalprice")`); the
+    * not-matched clause's condition and values see the SOURCE row
+    * bare. Only files holding matched keys are rewritten; inserts
+    * land in fresh files — blast radius stays file-granular.
+    */
+  def merge(source: DataFrame, key: String,
+      matched: Seq[GraftTable.MatchedClause],
+      notMatched: Option[GraftTable.NotMatchedInsert]): Long = {
+    import GraftTable.{MatchedDelete, MatchedUpdate}
     val base = latestVersion
-    enforceConstraints(source.select(schemaAt(base).fieldNames.map(col): _*))
     val schema = schemaAt(base)
-    val srcAligned = source.select(schema.fieldNames.map(col): _*)
-    val keys = srcAligned.select(col(key)).distinct()
+    val keys = source.select(col(key)).distinct()
     val withFile = snapshot().withColumn("__file", input_file_name())
-    val hit = withFile.join(broadcast(keys), Seq(key), "left_semi")
+    // no broadcast hint: the planner (and AQE) picks the join — a
+    // corpus-sized source must not be forced through the driver
+    val hit = withFile.join(keys, Seq(key), "left_semi")
       .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
     val touched = filesAt(base).filter(f => hit.exists(h => h.endsWith(f)))
-    val untouchedRows = if (touched.isEmpty) None
-      else Some(spark.read.schema(schema).parquet(touched.map(abs): _*)
-        .join(keys, Seq(key), "left_anti"))
-    val newData = untouchedRows match {
-      case Some(r) => r.unionByName(srcAligned)
-      case None => srcAligned
+    val tgtRows = if (touched.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(touched.map(abs): _*)
+    // one left join exposes each target row with its (optional)
+    // source match as a struct; clause resolution is pure projection
+    val srcStruct = source.select(col(key).as("__sk"),
+      struct(source.columns.map(col): _*).as("src"))
+    val joined = tgtRows.join(srcStruct, col(key) === col("__sk"), "left")
+    val isMatched = col("src").isNotNull
+    val action = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+      case (acc, (cl, i)) =>
+        val cond = cl match {
+          case MatchedUpdate(c, _) => c
+          case MatchedDelete(c) => c
+        }
+        acc.when(isMatched && cond.getOrElse(lit(true)), lit(i))
+    }.otherwise(lit(-1))
+    val deleteIdx = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => i }
+    val tagged = joined.withColumn("__action", action)
+    val survivors = if (deleteIdx.isEmpty) tagged
+      else tagged.where(!col("__action").isin(deleteIdx.map(Integer.valueOf): _*))
+    val resolvedFields = schema.fieldNames.map { f =>
+      val updates = matched.zipWithIndex.collect { case (MatchedUpdate(_, set), i) =>
+        val v = set match {
+          case None => col(s"src.$f").cast(schema(f).dataType)
+          case Some(m) => m.getOrElse(f, col(f))
+        }
+        (i, v)
+      }
+      updates.foldLeft(when(lit(false), col(f))) { case (acc, (i, v)) =>
+        acc.when(col("__action") === i, v)
+      }.otherwise(col(f)).as(f)
     }
+    val newTouched = survivors.select(resolvedFields.toIndexedSeq: _*)
+    // keys matched in touched files ARE the table's matching keys
+    // (touchedFiles covers every file containing one), so the insert
+    // set is source anti-join those keys
+    val inserts = notMatched.map { ni =>
+      val unmatched = source.join(tgtRows.select(col(key)).distinct(),
+        Seq(key), "left_anti")
+      val accepted = ni.condition.map(unmatched.where).getOrElse(unmatched)
+      ni.values match {
+        case None => accepted.select(schema.fieldNames.map(col): _*)
+        case Some(m) => accepted.select(schema.fields.map(fl =>
+          m.getOrElse(fl.name, lit(null)).cast(fl.dataType).as(fl.name)): _*)
+      }
+    }
+    val newData = inserts match {
+      case Some(i) => newTouched.unionByName(i)
+      case None => newTouched
+    }
+    enforceConstraints(newData)
     val rewritten = writeData(newData)
     commit("MERGE", base,
       filesAt(base).filterNot(touched.contains) ++ rewritten, schema,
@@ -658,6 +722,20 @@ class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 object GraftTable {
   /** A streaming micro-batch: absolute file paths + schema to read them with. */
   case class VersionBatch(files: Seq[String], schema: StructType)
+
+  /** WHEN MATCHED clauses for [[GraftTable.merge]]. Conditions and SET
+    * values see target columns bare and the source row as `src.<col>`.
+    */
+  sealed trait MatchedClause
+  /** UPDATE SET: `set=None` = SET * (every column from the source). */
+  case class MatchedUpdate(condition: Option[Column] = None,
+      set: Option[Map[String, Column]] = None) extends MatchedClause
+  case class MatchedDelete(condition: Option[Column] = None) extends MatchedClause
+  /** WHEN NOT MATCHED THEN INSERT: condition/values see SOURCE columns
+    * bare; `values=None` = INSERT * (schema-aligned source row).
+    */
+  case class NotMatchedInsert(condition: Option[Column] = None,
+      values: Option[Map[String, Column]] = None)
 
   private[graft] case class FileStats(mins: Map[String, Double],
       maxs: Map[String, Double])

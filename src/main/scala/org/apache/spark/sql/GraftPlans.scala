@@ -12,6 +12,12 @@ object GraftPlans {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 
+  /** Wrap a Catalyst expression as a public Column (the classic
+    * ExpressionUtils is private[sql]).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Build a DataFrame flagged `isStreaming=true` from already-planned
     * InternalRows — what a V1 streaming Source's getBatch must return
     * (MicroBatchExecution asserts the flag). Same shape MemoryStream

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.{GraftSql, GraftTable}
+import org.apache.spark.sql.functions._
+
+/** SQL-string DML over catalog-registered graft tables, plus the
+  * conditional MERGE clause surface underneath it.
+  */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def registered(name: String): (GraftTable, String) = {
+    val dir = Files.createTempDirectory("graft_sql_").resolve("t").toString
+    val t = GraftTable.create(spark, dir,
+      Tables.load(spark, sf, "orders").repartition(4, $"o_orderkey"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING `graft-table` OPTIONS (path '$dir')")
+    (t, dir)
+  }
+
+  test("DELETE FROM <table> WHERE runs the transactional delete") {
+    val (t, _) = registered("gs_del")
+    try {
+      val expect = t.snapshot()
+        .where(!($"o_orderstatus" === "P" && $"o_custkey" % 7 === 0)).count()
+      GraftSql.sql(spark,
+        "DELETE FROM gs_del WHERE o_orderstatus = 'P' AND o_custkey % 7 = 0")
+      assert(t.snapshot().count() === expect)
+      assert(t.history().where($"operation" === "DELETE").count() === 1)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_del")
+  }
+
+  test("UPDATE <table> SET ... WHERE runs the transactional update") {
+    val (t, _) = registered("gs_upd")
+    try {
+      GraftSql.sql(spark,
+        "UPDATE gs_upd SET o_totalprice = o_totalprice + 100.0 " +
+          "WHERE o_orderpriority = '1-URGENT'")
+      val bumped = t.snapshot().where($"o_orderpriority" === "1-URGENT")
+      val orig = Tables.load(spark, sf, "orders")
+        .where($"o_orderpriority" === "1-URGENT")
+      val got = bumped.agg(sum($"o_totalprice")).head.getDouble(0)
+      val expect = orig.agg(sum($"o_totalprice") + count(lit(1)) * 100.0)
+        .head.getDouble(0)
+      assert(math.abs(got - expect) < 1e-4, s"$got vs $expect")
+    } finally spark.sql("DROP TABLE IF EXISTS gs_upd")
+  }
+
+  test("MERGE INTO with UPDATE SET * / INSERT * matches the Scala API") {
+    val (t, _) = registered("gs_merge")
+    try {
+      val src = Tables.load(spark, sf, "orders")
+        .where($"o_orderkey" % 10 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+      src.createOrReplaceTempView("gs_merge_src")
+      GraftSql.sql(spark,
+        """MERGE INTO gs_merge t USING gs_merge_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val snap = t.snapshot()
+      assert(snap.count() === Tables.load(spark, sf, "orders").count())
+      assert(snap.where($"o_orderstatus" === "U").count() === src.count())
+    } finally spark.sql("DROP TABLE IF EXISTS gs_merge")
+  }
+
+  test("MERGE with conditional UPDATE / DELETE / qualified assignments") {
+    val (t, _) = registered("gs_cmerge")
+    try {
+      val src = Tables.load(spark, sf, "orders")
+        .where($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey", $"o_totalprice".as("new_price"))
+      src.createOrReplaceTempView("gs_cmerge_src")
+      val before = t.snapshot()
+      val matchedKeys = before.join(src, "o_orderkey").select(
+        $"o_orderkey",
+        ($"o_orderstatus" === "P").as("isP"))
+      val nDel = matchedKeys.where($"isP").count()
+      val nUpd = matchedKeys.where(!$"isP").count()
+      assert(nDel > 0 && nUpd > 0)
+      GraftSql.sql(spark,
+        """MERGE INTO gs_cmerge t USING gs_cmerge_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND t.o_orderstatus = 'P' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.new_price + 1.0""".stripMargin)
+      val after = t.snapshot()
+      assert(after.count() === before.count() - nDel)
+      val updated = after.join(src, "o_orderkey")
+      assert(updated.count() === nUpd)
+      assert(updated.where($"o_totalprice" =!= $"new_price" + 1.0).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_cmerge")
+  }
+
+  test("MERGE conditional INSERT only admits accepted source rows") {
+    val (t, _) = registered("gs_imerge")
+    try {
+      val src = spark.range(1, 11)
+        .select(($"id" + 20000000L).as("o_orderkey"),
+          lit(1L).as("o_custkey"), lit("N").as("o_orderstatus"),
+          ($"id" * 10.0).as("o_totalprice"),
+          lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).cast(
+            t.snapshot().schema("o_orderdate").dataType).as("o_orderdate"),
+          lit("3-MEDIUM").as("o_orderpriority"))
+      src.createOrReplaceTempView("gs_imerge_src")
+      val before = t.snapshot().count()
+      GraftSql.sql(spark,
+        """MERGE INTO gs_imerge t USING gs_imerge_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN NOT MATCHED AND s.o_totalprice > 50.0 THEN INSERT *""".stripMargin)
+      assert(t.snapshot().count() === before + 5)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_imerge")
+  }
+
+  test("non-DML statements pass through to spark.sql") {
+    val df = GraftSql.sql(spark, "SELECT 1 AS one")
+    assert(df.head.getInt(0) === 1)
+  }
+}
