@@ -23,8 +23,8 @@ object RiskPipeline {
   val categoricals = Array("o_orderpriority", "c_mktsegment")
   val numerics = Array("o_totalprice", "c_acctbal", "n_lines", "sum_qty")
 
-  /** Feature frame: orders ⋈ customer (broadcast dim) ⋈ lineitem agg,
-    * labeled like 01-Fraud-Delta.py:63-64.
+  /** Feature frame: orders ⋈ customer (planner-sized join) ⋈
+    * lineitem agg, labeled like 01-Fraud-Delta.py:63-64.
     */
   def featureFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.load(spark, sfDir, "orders")
@@ -33,7 +33,7 @@ object RiskPipeline {
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).cast("double").as("n_lines"),
         asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(li, o("o_orderkey") === li("l_orderkey"), "left")
       .withColumn("n_lines", coalesce(col("n_lines"), lit(0.0)))
       .withColumn("sum_qty", coalesce(col("sum_qty"), lit(0.0)))

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * TPC-H-grade scan/join/agg/window workloads over the same star
   * schema.
   *
-  * Scale posture: dimension tables (region/nation/customer/supplier/
-  * part at TPC-H ratios) are explicitly `broadcast` in star joins so
-  * the fact table never shuffles for them; all money aggregates are
-  * decimal-exact (deterministic under any partitioning); windows
-  * partition by a key before sorting so the sort is distributed.
+  * Scale posture: only FIXED-cardinality dimensions (region=5,
+  * nation=25 rows) carry explicit `broadcast` hints; sf-proportional
+  * sides (customer/supplier/part, pre-aggregates) are left to the
+  * planner + AQE, which broadcasts them while they fit the threshold
+  * and degrades to a shuffle join — not a driver OOM — at 100 TB.
+  * All money aggregates are decimal-exact (deterministic under any
+  * partitioning); windows partition by a key before sorting so the
+  * sort is distributed.
   */
 object Analytics {
 
@@ -66,8 +69,9 @@ object Analytics {
   }
 
   /** TPC-H Q3-grade: selective dim filter, 3-way join, agg, top-k.
-    * customer is broadcast; orders⋈lineitem shuffles once on the
-    * order key. Deterministic top-k: tie-broken by key.
+    * The filtered customer keys stay planner-sized (AQE broadcasts
+    * while they fit); orders⋈lineitem shuffles once on the order
+    * key. Deterministic top-k: tie-broken by key.
     */
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
@@ -81,15 +85,16 @@ object Analytics {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val discPrice = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(asDouble(sum(discPrice)).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
-  /** TPC-H Q5-grade: 6-way star join; every dimension broadcast, the
-    * lineitem⋈orders fact join is the only shuffle.
+  /** TPC-H Q5-grade: 6-way star join; fixed dims (nation/region)
+    * broadcast by hint, supplier/customer sized by the planner, the
+    * lineitem⋈orders fact join is the only guaranteed shuffle.
     */
   def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val r = Tables.load(spark, sfDir, "region")
@@ -102,8 +107,8 @@ object Analytics {
     val li = Tables.load(spark, sfDir, "lineitem")
     val discPrice = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") &&
         c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -112,8 +117,9 @@ object Analytics {
   }
 
   /** TPC-H Q7 shape: bilateral shipping volume between two nations by
-    * ship year — 4-way fact joins with both nation dims broadcast
-    * twice (supplier side and customer side), symmetric pair filter.
+    * ship year — 4-way fact joins with the 25-row nation dim
+    * broadcast twice (supplier side and customer side), symmetric
+    * pair filter; supplier/customer joins are planner-sized.
     */
   def nationVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
@@ -126,8 +132,8 @@ object Analytics {
     val discPrice = dec(col("l_extendedprice")) *
       (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
@@ -139,7 +145,8 @@ object Analytics {
 
   /** TPC-H Q8 shape: a nation's market share inside one region's
     * customer volume for one part type, by year — conditional share
-    * over decimal-exact sums, region dim chain broadcast.
+    * over decimal-exact sums; only the fixed nation/region chain
+    * carries broadcast hints.
     */
   def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
@@ -154,10 +161,10 @@ object Analytics {
     val discPrice = dec(col("l_extendedprice")) *
       (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .filter(col("p_type") === "ECONOMY")
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
       .join(broadcast(r), col("c_rk") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
@@ -169,8 +176,8 @@ object Analytics {
   }
 
   /** TPC-H Q9 shape: profit (volume proxy) by supplier nation × ship
-    * year over parts matching a name substring — LIKE filter on a
-    * broadcast dim reaching the fact join.
+    * year over parts matching a name substring — the LIKE filter on
+    * part reaches the fact join; the planner sizes the dim joins.
     */
   def profitByNation(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
@@ -181,8 +188,8 @@ object Analytics {
       .select(col("p_partkey"))
     val discPrice = dec(col("l_extendedprice")) *
       (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
       .agg(asDouble(sum(discPrice)).as("profit"))
@@ -224,7 +231,7 @@ object Analytics {
       numBuckets: Int = 64): DataFrame = {
     val o = Tables.load(spark, sfDir, "orders")
     val c = Tables.load(spark, sfDir, "customer")
-    val feats = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val feats = o.join(c, col("o_custkey") === col("c_custkey"))
       .select(explode(array(
         concat(lit("priority="), col("o_orderpriority")),
         concat(lit("segment="), col("c_mktsegment")),
@@ -243,7 +250,7 @@ object Analytics {
     val c = Tables.load(spark, sfDir, "customer")
     val perCust = o.groupBy(col("o_custkey"))
       .agg(asDouble(sum(dec(col("o_totalprice")))).as("revenue"))
-      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .join(c, col("o_custkey") === c("c_custkey"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("revenue").desc, col("o_custkey"))
     perCust.withColumn("rank", row_number().over(w))
@@ -326,27 +333,29 @@ object Analytics {
   }
 
   /** TPC-H Q17 shape — correlated scalar subquery (per-part avg
-    * quantity) decorrelated into a pre-aggregated broadcast join:
-    * ONE pass over lineitem for the averages, one for the probe.
+    * quantity) decorrelated into a pre-aggregated join: ONE pass
+    * over lineitem for the averages, one for the probe. The
+    * per-partkey aggregate is sf-proportional, so no broadcast
+    * hint — at 100 TB it must shuffle, not flood the driver.
     */
   def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val avgQty = li.groupBy(col("l_partkey").as("ap"))
       .agg((asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
-    li.join(broadcast(avgQty), col("l_partkey") === col("ap"))
+    li.join(avgQty, col("l_partkey") === col("ap"))
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
       .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"))
   }
 
   /** TPC-H Q14 shape — conditional aggregation share (promo revenue
-    * percentage); part is broadcast.
+    * percentage); the part join is planner-sized.
     */
   def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val p = Tables.load(spark, sfDir, "part").select(col("p_partkey"), col("p_type"))
     val discPrice = dec(col("l_extendedprice")) *
       (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
         asDouble(sum(when(col("p_type") === "PROMO", discPrice)
           .otherwise(lit(0).cast("decimal(12,4)")))) /

@@ -112,4 +112,25 @@ class ScaleSpec extends SparkSpec {
     assert(delta === Array((2L, "b"), (3L, "c")))
     assert(t.changesSince(t.latestVersion).count() === 0)
   }
+
+  test("sf-proportional join sides degrade to shuffle joins, not driver OOM") {
+    // customer/supplier/part carry no broadcast hint: under the default
+    // threshold the planner broadcasts them at test scale, but when the
+    // build side outgrows the threshold (the 100 TB case, simulated by
+    // shrinking the threshold) the SAME query plans a shuffle join.
+    import graft.operators.Analytics
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10485760")
+      val small = Analytics.shippingPriority(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(small.contains("BroadcastHashJoin"), small)
+      spark.conf.set(key, "64")
+      val big = Analytics.shippingPriority(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!big.contains("BroadcastHashJoin"), big)
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"), big)
+    } finally spark.conf.set(key, prev)
+  }
 }
