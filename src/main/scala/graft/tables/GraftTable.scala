@@ -103,6 +103,29 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     adoptStaging(staging)
   }
 
+  /** Write a commit's row-level change set (tagged with
+    * `_change_type`) under `cdc/` — Delta's write-time CHANGE DATA
+    * FEED files. Cost is one extra write over the commit's blast
+    * radius; every later changeFeed read skips the 2×EXCEPT ALL
+    * reconstruction entirely. Unreferenced files from failed commits
+    * are harmless orphans.
+    */
+  private def writeCdc(df: DataFrame): Seq[String] = {
+    val staging = root.resolve(s".staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val cdcDir = root.resolve("cdc")
+    Files.createDirectories(cdcDir)
+    val parts = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val adopted = parts.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, cdcDir.resolve(name))
+      s"cdc/$name"
+    }
+    deleteRecursively(staging)
+    adopted
+  }
+
   /** Per-file min/max per eligible column, read straight from the
     * parquet FOOTERS the writers already produced — zero extra data
     * scan (vs an aggregation job over the new files). O(files)
@@ -171,7 +194,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   private def commit(op: String, base: Long, files: Seq[String],
       schema: StructType, metrics: Map[String, Long],
       newStats: Map[String, FileStats] = Map.empty,
-      newConstraints: Map[String, String] = Map.empty): Long = {
+      newConstraints: Map[String, String] = Map.empty,
+      cdcFiles: Option[Seq[String]] = None): Long = {
     val v = base + 1
     val carried = if (v == 0) Map.empty[String, FileStats]
       else readCommit(base).stats.getOrElse(Map.empty)
@@ -181,7 +205,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       else readCommit(base).constraints.getOrElse(Map.empty)
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
       schema.json, metrics, Some(carried ++ newStats),
-      Some(carriedConstraints ++ newConstraints)))
+      Some(carriedConstraints ++ newConstraints),
+      cdcFiles.map(_.toList)))
     v
   }
 
@@ -385,13 +410,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val base = latestVersion
     val touched = touchedFiles(cond)
     if (touched.isEmpty)
-      return commit("DELETE", base, filesAt(base), schemaAt(base), Map())
-    val kept = spark.read.schema(schemaAt(base)).parquet(touched.map(abs): _*)
-      .where(!coalesce(cond, lit(false)))
+      return commit("DELETE", base, filesAt(base), schemaAt(base), Map(),
+        cdcFiles = Some(Nil))
+    val touchedDf = spark.read.schema(schemaAt(base)).parquet(touched.map(abs): _*)
+    val kept = touchedDf.where(!coalesce(cond, lit(false)))
     val rewritten = writeData(kept)
+    // write-time CDC: the deleted rows are exactly the cond-matching
+    // rows of the touched files — one extra pruned scan, no EXCEPT ALL
+    val cdc = writeCdc(touchedDf.where(coalesce(cond, lit(false)))
+      .withColumn("_change_type", lit("delete")))
     commit("DELETE", base,
       filesAt(base).filterNot(touched.contains) ++ rewritten, schemaAt(base),
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
+      cdcFiles = Some(cdc))
   }
 
   /** DML UPDATE ... SET assignments WHERE cond. */
@@ -399,22 +430,38 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val base = latestVersion
     val touched = touchedFiles(cond)
     if (touched.isEmpty)
-      return commit("UPDATE", base, filesAt(base), schemaAt(base), Map())
+      return commit("UPDATE", base, filesAt(base), schemaAt(base), Map(),
+        cdcFiles = Some(Nil))
     val cur = spark.read.schema(schemaAt(base)).parquet(touched.map(abs): _*)
-    val updated = schemaAt(base).fieldNames.foldLeft(cur) { (d, f) =>
+    // evaluate cond ONCE against the original row, then apply every
+    // SET against it — a set-column appearing in cond (or in another
+    // assignment) must see the pre-update value
+    val marked = cur.withColumn("__hit", coalesce(cond, lit(false)))
+    // ONE projection: every assignment sees pre-update values even
+    // when another assignment targets a column it references
+    val applied = marked.select((schemaAt(base).fieldNames.map { f =>
       set.get(f) match {
-        case Some(e) => d.withColumn(f, when(coalesce(cond, lit(false)), e).otherwise(col(f)))
-        case None => d
+        case Some(e) => when(col("__hit"), e).otherwise(col(f)).as(f)
+        case None => col(f)
       }
-    }
+    } :+ col("__hit")).toIndexedSeq: _*)
+    val updated = applied.drop("__hit")
     // constraints hold on every write path, not just append/merge:
     // untouched files were validated when they landed; the rewritten
     // rows are what an UPDATE can push into a violating state
     enforceConstraints(updated)
     val rewritten = writeData(updated)
+    // write-time CDC: pre/post images of exactly the cond rows — two
+    // extra file-pruned scans at write, zero shuffles at read
+    val cdc = writeCdc(
+      marked.where(col("__hit")).drop("__hit")
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(applied.where(col("__hit")).drop("__hit")
+          .withColumn("_change_type", lit("update_postimage"))))
     commit("UPDATE", base,
       filesAt(base).filterNot(touched.contains) ++ rewritten, schemaAt(base),
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
+      cdcFiles = Some(cdc))
   }
 
   /** MERGE INTO target USING source ON key — the default clause set:
@@ -469,7 +516,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         acc.when(isMatched && cond.getOrElse(lit(true)), lit(i))
     }.otherwise(lit(-1))
     val deleteIdx = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => i }
+    val updateIdx = matched.zipWithIndex.collect { case (MatchedUpdate(_, _), i) => i }
+    // the join is recomputed by the data write AND the CDC branches —
+    // persist the blast radius once instead of re-shuffling per branch
     val tagged = joined.withColumn("__action", action)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val survivors = if (deleteIdx.isEmpty) tagged
       else tagged.where(!col("__action").isin(deleteIdx.map(Integer.valueOf): _*))
     val resolvedFields = schema.fieldNames.map { f =>
@@ -484,7 +535,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         acc.when(col("__action") === i, v)
       }.otherwise(col(f)).as(f)
     }
-    val newTouched = survivors.select(resolvedFields.toIndexedSeq: _*)
+    val newTouched = survivors.select((resolvedFields :+ col("__action")).toIndexedSeq: _*)
     // keys matched in touched files ARE the table's matching keys
     // (touchedFiles covers every file containing one), so the insert
     // set is source anti-join those keys
@@ -499,14 +550,32 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       }
     }
     val newData = inserts match {
-      case Some(i) => newTouched.unionByName(i)
-      case None => newTouched
+      case Some(i) => newTouched.drop("__action").unionByName(i)
+      case None => newTouched.drop("__action")
     }
     enforceConstraints(newData)
     val rewritten = writeData(newData)
+    // write-time CDC with EXACT tags (the file-diff fallback can only
+    // say "upsert"): updated rows get pre+post images, deleted rows
+    // 'delete', fresh source rows 'insert'
+    val schemaCols = schema.fieldNames.map(col).toIndexedSeq
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.select(schemaCols: _*).withColumn("_change_type", lit(t))
+    val updatedPre = tag(tagged.where(col("__action")
+      .isin(updateIdx.map(Integer.valueOf): _*)), "update_preimage")
+    val updatedPost = tag(newTouched.where(col("__action")
+      .isin(updateIdx.map(Integer.valueOf): _*)), "update_postimage")
+    val deletedRows = tag(tagged.where(col("__action")
+      .isin(deleteIdx.map(Integer.valueOf): _*)), "delete")
+    val insertedRows = inserts.map(tag(_, "insert"))
+    val cdcAll = (Seq(updatedPre, updatedPost, deletedRows) ++ insertedRows)
+      .reduce(_ unionByName _)
+    val cdc = writeCdc(cdcAll)
+    tagged.unpersist()
     commit("MERGE", base,
       filesAt(base).filterNot(touched.contains) ++ rewritten, schema,
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten))
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
+      cdcFiles = Some(cdc))
   }
 
   /** OPTIMIZE analog: coalesce the snapshot into `numFiles` files. */
@@ -635,23 +704,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     GraftTable.VersionBatch(added.map(abs), endSchema)
   }
 
-  /** Row-level CDC change feed (Delta CHANGE DATA FEED analog),
-    * computed ON READ from each commit's file-level diff — the write
-    * path pays nothing. Every emitted row carries `_change_type` and
-    * `_commit_version`.
+  /** Row-level CDC change feed (Delta CHANGE DATA FEED analog).
+    * Every emitted row carries `_change_type` and `_commit_version`.
     *
-    * Per commit, `added` = files new in v, `removed` = files dropped
-    * from v−1; unchanged rows inside rewritten files appear in both
-    * sides and cancel under multiset EXCEPT ALL, so only genuinely
-    * changed rows survive — cost scales with the commit's blast
-    * radius (touched files), not table size. Change types by op:
-    *  - CREATE/APPEND → `insert`
+    * DML commits (DELETE/UPDATE/MERGE) persist their change set at
+    * WRITE time under `cdc/` (Delta's CDF files) — the feed just
+    * reads those, no reconstruction, and MERGE rows carry exact
+    * `insert`/`update_*`/`delete` tags. Commits without CDC files
+    * (appends; tables written before CDC; OVERWRITE/RESTORE) fall
+    * back to the file-diff reconstruction: `added` = files new in v,
+    * `removed` = files dropped from v−1; unchanged rows inside
+    * rewritten files appear in both sides and cancel under multiset
+    * EXCEPT ALL — cost scales with the commit's blast radius, not
+    * table size. Fallback change types by op:
+    *  - CREATE/APPEND → `insert` (added files ARE the change set)
     *  - DELETE → `delete`
     *  - UPDATE → `update_preimage` / `update_postimage`
     *  - MERGE → `update_preimage` for replaced rows, `upsert` for
     *    new-or-updated rows (file diffs alone can't split matched
-    *    updates from inserts — that distinction needs the merge key,
-    *    which the log doesn't persist)
+    *    updates from inserts)
     *  - OVERWRITE/RESTORE → `delete` + `insert` of the content diff
     *  - COMPACT/CLUSTER/ZORDER/ADD CONSTRAINT → no logical change,
     *    nothing emitted
@@ -681,6 +752,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
     }
+    // a persisted change set keeps its own _change_type column; pad
+    // to outSchema and stamp the version like the computed branches
+    def fromCdc(files: Seq[String], schemaV: StructType, v: Long): DataFrame = {
+      val cdcSchema = StructType(schemaV.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false))
+      val df = spark.read.schema(cdcSchema).parquet(files.map(abs): _*)
+      val present = df.schema.fieldNames.toSet
+      df.select((outSchema.fields.map(f =>
+          if (present.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)) :+ col("_change_type")).toIndexedSeq: _*)
+        .withColumn("_commit_version", lit(v))
+    }
     val parts: Seq[DataFrame] =
       ((fromVersion + 1) to toVersion).flatMap { v =>
         val cur = readCommit(v)
@@ -690,6 +774,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         // evolution older files just surface nulls for new columns
         val schemaV = org.apache.spark.sql.types.DataType
           .fromJson(cur.schemaJson).asInstanceOf[StructType]
+        if (cur.cdc.isDefined) {
+          val files = cur.cdc.get
+          if (files.isEmpty) Nil else Seq(fromCdc(files, schemaV, v))
+        } else {
         val added = cur.files.filterNot(prev)
         val removed = (prev -- cur.files.toSet).toSeq
         lazy val addRows = rowsOf(added, schemaV)
@@ -709,6 +797,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           case _ => // OVERWRITE, RESTORE, anything content-changing
             Seq(tag(remRows.exceptAll(addRows), "delete", v),
               tag(addRows.exceptAll(remRows), "insert", v))
+        }
         }
       }
     val empty = tag(rowsOf(Nil, outSchema), "none", -1L).limit(0)
@@ -750,7 +839,8 @@ object GraftTable {
       operation: String, files: List[String], schemaJson: String,
       metrics: Map[String, Long],
       stats: Option[Map[String, FileStats]] = None,
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      cdc: Option[List[String]] = None)
 
   /** Create a new table at `path` from `df` (errors if a log exists). */
   def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {

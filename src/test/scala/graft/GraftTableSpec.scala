@@ -170,15 +170,46 @@ class GraftTableSpec extends SparkSpec {
       (2L, "b", 2.0, "update_preimage", 2L),
       (2L, "b", 20.0, "update_postimage", 2L),
       (1L, "a", 1.0, "delete", 3L),
+      // write-time CDC splits merge rows exactly (the file-diff
+      // fallback could only say "upsert")
       (3L, "c", 3.0, "update_preimage", 5L),
-      (3L, "c2", 30.0, "upsert", 5L),
-      (5L, "e", 5.0, "upsert", 5L)))
+      (3L, "c2", 30.0, "update_postimage", 5L),
+      (5L, "e", 5.0, "insert", 5L)))
     // bounded range reads a sub-window of the feed
     assert(t.changeFeed(1, 3).select($"_change_type").distinct()
       .as[String].collect().toSet === Set("update_preimage", "update_postimage", "delete"))
     // fromVersion = -1 reads from CREATE: initial rows appear as inserts
     assert(t.changeFeed(-1, 0)
       .where($"_change_type" === "insert").count() === 3)
+  }
+
+  test("persisted CDC equals the file-diff reconstruction") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "s", "x"))
+    t.update($"id" >= 2, Map("x" -> ($"x" * 10)))
+    t.delete($"id" === 1)
+    val persisted = t.changeFeed(0)
+      .select($"id", $"s", $"x", $"_change_type", $"_commit_version")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    // strip the cdc pointers from every commit → the reader must fall
+    // back to the EXCEPT ALL reconstruction and produce the same feed
+    import scala.jdk.CollectionConverters._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val logDir = java.nio.file.Paths.get(dir, "_graft_log")
+    java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).foreach { p =>
+        val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+        val stripped = j.removeField { case (k, _) => k == "cdc" }
+        java.nio.file.Files.writeString(p,
+          JsonMethods.compact(JsonMethods.render(stripped)))
+      }
+    val computed = GraftTable.load(spark, dir).changeFeed(0)
+      .select($"id", $"s", $"x", $"_change_type", $"_commit_version")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    assert(persisted === computed)
+    assert(persisted.nonEmpty)
   }
 
   test("change feed spans additive schema evolution (old commits pad nulls)") {
