@@ -200,28 +200,37 @@ object Similarity {
   /** k-means (Lloyd) over the integer-quantized embeddings; returns
     * (final centroid table, per-vector assignment frame). All
     * arithmetic in scaled integers — exact under any partitioning and
-    * engine-portable. Each iteration: one broadcast of k·dim longs
-    * out, one map-side argmin, one (cent,dim) partial-agg shuffle
-    * back; the driver only holds the k·dim centroid table.
+    * engine-portable.
+    *
+    * Scale shape: the quantized corpus is PERSISTED once (at 100 TB
+    * each Lloyd iteration would otherwise rescan and re-quantize it);
+    * the k centroids ride into each assignment as LITERALS, so the
+    * per-vector argmin is a pure projection (`array_min` over k
+    * struct(dist, id) candidates — min dist, ties to the lower id) —
+    * zero shuffle, no k× row inflation. The only shuffle per
+    * iteration is the (cent,dim) partial-agg for the new means; the
+    * driver only ever holds the k·dim centroid table.
     */
   private[graft] def kmeansFit(spark: SparkSession, sfDir: String,
       nCentroids: Int, iters: Int)
       : (Seq[(Int, Seq[Long])], DataFrame) = {
-    import spark.implicits._
     VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
     val qemb = emb.select(col("vec_id"), col("label"), col("embedding"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: first nCentroids vectors by vec_id (deterministic seed)
     var cents: Seq[(Int, Seq[Long])] = qemb.orderBy(col("vec_id"))
       .limit(nCentroids).select(col("qv")).collect()
       .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](0)) }
-    def assign() = qemb.crossJoin(broadcast(cents.toDF("cent_id", "cent")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(intL2(col("qv"), col("cent")), col("cent_id"))))
-      .filter(col("rn") === 1)
+    def assign() = {
+      val candidates = array(cents.map { case (cid, v) =>
+        struct(intL2(col("qv"), typedLit(v)).as("d"),
+          lit(cid).as("cent_id"))
+      }.toIndexedSeq: _*)
+      qemb.withColumn("cent_id", array_min(candidates).getField("cent_id"))
+    }
     for (_ <- 1 to iters) {
       // Lloyd step: integer-mean per (centroid, dimension); empty
       // clusters drop out (both engines agree — no re-seeding)
