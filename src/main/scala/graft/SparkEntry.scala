@@ -118,6 +118,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
     // §F ML
     "ml_risk_score" -> (graft.ml.RiskPipeline.score _),
+    "ml_score_fixed" -> (graft.ml.RiskPipeline.scoreFixed _),
     "ml_risk_features" -> (graft.ml.RiskPipeline.featureFrame _),
     "ml_confusion_value" -> (graft.ml.RiskPipeline.confusionValue _),
     "feature_store_customer" -> (graft.ml.RiskPipeline.customerFeatures _),
@@ -1029,6 +1030,32 @@ object SparkEntry {
         |  CAST(byte_sum AS DOUBLE) / greatest(frame_len, 1) AS mean_byte
         |FROM f""".stripMargin,
     // §F ML (rule-scored, oracle-replicable parts)
+    "ml_score_fixed" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS n_lines,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey),
+        |f AS (
+        |  SELECT o_orderkey, o_orderpriority, c_mktsegment, o_totalprice, c_acctbal,
+        |    COALESCE(li.n_lines, 0.0) AS n_lines, COALESCE(li.sum_qty, 0.0) AS sum_qty,
+        |    CAST(o_orderstatus <> 'F' AS INTEGER) AS bad_flag,
+        |    CAST(year(o_orderdate) AS INTEGER) AS issue_year
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  LEFT JOIN li ON o_orderkey = li.l_orderkey),
+        |scored AS (
+        |  SELECT o_orderkey, bad_flag,
+        |    CAST(round(
+        |      CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(0.8 AS DECIMAL(2,1)) ELSE CAST(0 AS DECIMAL(2,1)) END
+        |      + CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(0.5 AS DECIMAL(2,1)) ELSE CAST(0 AS DECIMAL(2,1)) END
+        |      + CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(0.3 AS DECIMAL(2,1)) ELSE CAST(0 AS DECIMAL(2,1)) END
+        |      + CAST(o_totalprice AS DECIMAL(12,4)) * CAST(0.000002 AS DECIMAL(7,6))
+        |      + CAST(c_acctbal AS DECIMAL(12,4)) * CAST(0.00005 AS DECIMAL(7,6))
+        |      + CAST(n_lines AS DECIMAL(10,1)) * CAST(0.01 AS DECIMAL(3,2))
+        |      + CAST(sum_qty AS DECIMAL(14,4)) * CAST(0.001 AS DECIMAL(4,3)), 6) AS DOUBLE) AS score
+        |  FROM f WHERE issue_year > 1997)
+        |SELECT o_orderkey, bad_flag, score,
+        |  CAST(score > 1.0 AS INTEGER) AS prediction
+        |FROM scored""".stripMargin,
     "ml_risk_features" ->
       """WITH li AS (
         |  SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS n_lines,

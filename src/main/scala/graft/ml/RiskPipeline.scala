@@ -80,6 +80,35 @@ object RiskPipeline {
         col("probability").cast("string").as("probability"))
   }
 
+  /** Deterministic FIXED-coefficient scoring of the transform path —
+    * the oracle-checkable twin of [[score]]: the same one-hot
+    * indicators and numeric features, combined by a CONSTANT
+    * coefficient vector into a decimal-exact linear score and a
+    * thresholded prediction. Training stays rows-only (LBFGS isn't
+    * engine-portable); everything downstream of the fitted
+    * coefficients — the part `model.transform` actually executes —
+    * is replayed bit-identically by the DuckDB oracle.
+    */
+  def scoreFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def ind(c: Column, coef: String): Column =
+      when(c, lit(coef).cast("decimal(2,1)"))
+        .otherwise(lit(0).cast("decimal(2,1)"))
+    val score = round(
+      ind(col("o_orderpriority") === "1-URGENT", "0.8") +
+        ind(col("o_orderpriority") === "2-HIGH", "0.5") +
+        ind(col("c_mktsegment") === "BUILDING", "0.3") +
+        dec(col("o_totalprice")) * lit("0.000002").cast("decimal(7,6)") +
+        dec(col("c_acctbal")) * lit("0.00005").cast("decimal(7,6)") +
+        col("n_lines").cast("decimal(10,1)") * lit("0.01").cast("decimal(3,2)") +
+        col("sum_qty").cast("decimal(14,4)") * lit("0.001").cast("decimal(4,3)"),
+      6).cast("double")
+    featureFrame(spark, sfDir).filter(col("issue_year") > 1997)
+      .select(col("o_orderkey"), col("bad_flag").cast("int").as("bad_flag"),
+        score.as("score"))
+      .withColumn("prediction", (col("score") > 1.0).cast("int"))
+  }
+
   /** AUC of the scored validation set (03-Fraud-ML.py:197-213). */
   def auc(scored: DataFrame): Double =
     new BinaryClassificationEvaluator().setLabelCol("bad_flag")
