@@ -51,6 +51,20 @@ object Ingest {
       .csv(dir)
   }
 
+  /** CSV ingest with SCHEMA INFERENCE (01-Fraud-Delta.py:37-51 sets
+    * `inferSchema true`): one extra pass over the data buys typed
+    * columns without a declared schema. Long/double/timestamp/string
+    * all round-trip; `SourcesSpec` asserts the inferred read equals
+    * the explicit-schema read column-for-column.
+    */
+  def csvInferRead(spark: SparkSession, dir: String,
+      sep: String = "|"): DataFrame =
+    spark.read
+      .option("header", "true").option("sep", sep)
+      .option("inferSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+      .csv(dir)
+
   /** Auto-Loader-style incremental batch ingest: a ledger file under
     * the checkpoint dir records already-processed files; each run
     * reads only new files and appends them to the output, exactly

@@ -21,6 +21,33 @@ class SourcesSpec extends SparkSpec {
     assert(df.where($"o_orderdate".isNull).count() === 0)
   }
 
+  test("CSV schema inference matches the explicit-schema read") {
+    val src = orders.select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+      $"o_orderdate", $"o_orderpriority")
+    val dir = Files.createTempDirectory("graft_csvinf_").resolve("c").toString
+    src.write.option("header", "true").option("sep", "|").csv(dir)
+    val inferred = graft.sources.Ingest.csvInferRead(spark, dir)
+    assert(inferred.schema.fieldNames.toSeq === src.schema.fieldNames.toSeq)
+    val types = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
+    // smallest integral type that fits wins (IntegerType at low sf)
+    assert(Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(types("o_orderkey")),
+      types("o_orderkey").toString)
+    assert(types("o_totalprice") === org.apache.spark.sql.types.DoubleType)
+    assert(types("o_orderstatus") === org.apache.spark.sql.types.StringType)
+    assert(types("o_orderdate").typeName.startsWith("timestamp"),
+      types("o_orderdate").toString)
+    // inferred read ≡ explicit read, cell for cell
+    val explicit = graft.sources.Ingest.csvRoundtrip(spark, sf)
+      .select(src.columns.map(col): _*)
+    assert(inferred.count() === explicit.count())
+    assert(inferred.select($"o_orderkey".cast("long"), $"o_totalprice", $"o_orderstatus")
+      .exceptAll(explicit.select($"o_orderkey".cast("long"), $"o_totalprice", $"o_orderstatus"))
+      .count() === 0)
+    assert(inferred.where($"o_orderdate".isNull).count() === 0)
+  }
+
   test("ORC write/read roundtrip preserves data") {
     val dir = Files.createTempDirectory("graft_orc_").resolve("o").toString
     orders.write.orc(dir)
