@@ -601,32 +601,40 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten))
   }
 
-  /** TRUE multi-dimensional Z-ordering: interleave the bits of the
-    * two keys' 16-bit range-ranks into one Morton code and cluster
-    * files along it, so per-file min/max stays narrow on BOTH
-    * dimensions — selective scans on either key (or a box on both)
-    * prune files. Rank normalization uses global min/max (one cheap
-    * agg), so the code is data-distribution robust for roughly
-    * uniform keys.
+  /** TRUE multi-dimensional Z-ordering over ANY number of keys:
+    * interleave the bits of each key's range-rank round-robin into
+    * one Morton code and cluster files along it, so per-file min/max
+    * stays narrow on EVERY dimension — selective scans on any key
+    * (or a box over several) prune files. Rank normalization uses
+    * global min/max (one cheap agg), so the code is
+    * data-distribution robust for roughly uniform keys. Rank width
+    * is 16 bits up to 3 keys, then shrinks so the code stays in a
+    * long (`min(16, 62/n)` bits/key).
     */
-  def clusterByZOrder(numFiles: Int, keyA: String, keyB: String): Long = {
+  def clusterByZOrder(numFiles: Int, keys: String*): Long = {
+    require(keys.nonEmpty, "clusterByZOrder needs at least one key")
     val base = latestVersion
     val snap = snapshotAt(base)
-    val Array(loA, hiA, loB, hiB) = snap.agg(
-      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
-      min(col(keyB)).cast("double"), max(col(keyB)).cast("double"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
-    def rank16(c: Column, lo: Double, hi: Double): Column =
+    val n = keys.size
+    val bitsPerKey = math.min(16, 62 / n)
+    val maxRank = (1L << bitsPerKey) - 1L
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).cast("double"), max(col(k)).cast("double")))
+    val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def rank(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
-        .cast("long"), lit(65535L))
-    val ra = rank16(col(keyA), loA, hiA)
-    val rb = rank16(col(keyB), loB, hiB)
-    // morton = interleave bits of ra (even positions) and rb (odd)
-    val z = (0 until 16).map { i =>
-      shiftleft(shiftrightunsigned(ra, i).bitwiseAND(1L), 2 * i)
-        .bitwiseOR(shiftleft(shiftrightunsigned(rb, i).bitwiseAND(1L), 2 * i + 1))
-    }.reduce((x, y) => x.bitwiseOR(y))
+      else least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) * maxRank.toDouble)
+        .cast("long"), lit(maxRank))
+    val ranks = keys.zipWithIndex.map { case (k, i) =>
+      rank(col(k), row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
+    // bit b of key i lands at position b·n + i (round-robin
+    // interleave; for n=2 this is the classic even/odd Morton layout)
+    val z = (for {
+      b <- 0 until bitsPerKey
+      (r, i) <- ranks.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(r, b).bitwiseAND(1L), b * n + i))
+      .reduce((x, y) => x.bitwiseOR(y))
     val data = snap.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

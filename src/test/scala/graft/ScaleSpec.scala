@@ -113,6 +113,32 @@ class ScaleSpec extends SparkSpec {
     assert(t.changesSince(t.latestVersion).count() === 0)
   }
 
+  test("3-key z-order narrows per-file ranges on EVERY key") {
+    val dir = Files.createTempDirectory("graft_z3_").resolve("t").toString
+    val t = GraftTable.create(spark, dir,
+      Tables.load(spark, sf, "orders")
+        .withColumn("price_band",
+          floor($"o_totalprice" / 1000).cast("long")))
+    t.clusterByZOrder(8, "o_custkey", "o_orderkey", "price_band")
+    val snap = t.snapshot()
+    val stats = snap.groupBy(input_file_name().as("f"))
+      .agg((max($"o_custkey") - min($"o_custkey")).as("sA"),
+        (max($"o_orderkey") - min($"o_orderkey")).as("sB"),
+        (max($"price_band") - min($"price_band")).as("sC"))
+      .as[(String, Long, Long, Long)].collect()
+    val Seq(gA, gB, gC) = Seq("o_custkey", "o_orderkey", "price_band").map { k =>
+      val r = snap.agg((max(col(k)) - min(col(k))).cast("double")).head.getDouble(0)
+      r
+    }
+    def avg(f: ((String, Long, Long, Long)) => Long) =
+      stats.map(f).sum.toDouble / stats.length
+    assert(avg(_._2) < gA * 0.8, s"custkey span ${avg(_._2)} of $gA")
+    assert(avg(_._3) < gB * 0.8, s"orderkey span ${avg(_._3)} of $gB")
+    assert(avg(_._4) < gC * 0.8, s"price_band span ${avg(_._4)} of $gC")
+    // 8 files, data intact
+    assert(snap.count() === Tables.load(spark, sf, "orders").count())
+  }
+
   test("sf-proportional join sides degrade to shuffle joins, not driver OOM") {
     // customer/supplier/part carry no broadcast hint: under the default
     // threshold the planner broadcasts them at test scale, but when the
