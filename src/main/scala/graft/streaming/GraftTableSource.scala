@@ -1,12 +1,13 @@
 package graft.streaming
 
 import graft.tables.{GraftTable, GraftTableFileIndex}
-import org.apache.spark.sql.{DataFrame, GraftPlans, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftPlans, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** A real Structured Streaming SOURCE over a GraftTable's commit log
@@ -32,8 +33,54 @@ import org.apache.spark.sql.types.StructType
   * getBatch refuses non-append commits instead of double-reading.
   */
 class GraftTableSourceProvider extends StreamSourceProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** BATCH write path: `df.write.format("graft-table").mode(...)
+    * .save(path)` — creates the table on first write, then maps
+    * SaveMode onto the transactional commits (append/overwrite;
+    * ErrorIfExists/Ignore follow their contracts).
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table sink requires a path"))
+    val local = new org.apache.hadoop.fs.Path(path).toUri.getPath match {
+      case null => path
+      case p => p
+    }
+    val exists =
+      try { GraftTable.load(spark, local); true }
+      catch { case _: IllegalArgumentException => false }
+    (exists, mode) match {
+      case (false, _) => GraftTable.create(spark, local, data)
+      case (true, SaveMode.Append) => GraftTable.load(spark, local).append(data)
+      case (true, SaveMode.Overwrite) => GraftTable.load(spark, local).overwrite(data)
+      case (true, SaveMode.Ignore) => ()
+      case (true, SaveMode.ErrorIfExists) =>
+        throw new IllegalArgumentException(s"graft table already exists at $local")
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** STREAMING sink: `ds.writeStream.format("graft-table")
+    * .option("path", ...).start()` — each micro-batch lands through
+    * the idempotent `appendIfNew` keyed by the query's checkpoint
+    * (exactly-once across restarts, the Delta txn pattern;
+    * `Streams.streamToTable` is the foreachBatch twin).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink supports Append output mode, got $outputMode")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table sink requires .option(\"path\", ...)"))
+    val appId = parameters.getOrElse("checkpointLocation", path)
+    new GraftTableSink(sqlContext.sparkSession, path, appId)
+  }
 
   /** BATCH read path: `spark.read.format("graft-table").load(path)`
     * and `CREATE TABLE t USING `graft-table` OPTIONS (path '...')` —
@@ -89,6 +136,35 @@ class GraftTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new GraftTableSource(sqlContext.sparkSession,
       tableOf(sqlContext, parameters), cdc = cdcMode(parameters))
+}
+
+/** V1 streaming Sink over a GraftTable: micro-batches land through
+  * the idempotent transactional append keyed by (appId, batchId), so
+  * replayed epochs after a restart are no-ops — exactly-once without
+  * any sink-side dedup state beyond the commit log itself.
+  */
+class GraftTableSink(spark: SparkSession, path: String,
+    appId: String) extends Sink {
+  private val local = new org.apache.hadoop.fs.Path(path).toUri.getPath match {
+    case null => path
+    case p => p
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // addBatch data must be drained via its incremental plan, not
+    // re-executed as a fresh query (the FileStreamSink pattern)
+    val batch = GraftPlans.batchDF(spark,
+      GraftPlans.toInternalRdd(data), data.schema)
+    val table =
+      try GraftTable.load(spark, local)
+      catch {
+        case _: IllegalArgumentException =>
+          // empty CREATE first so even batch 0 lands through the
+          // watermarked append (create itself records no txn id)
+          GraftTable.create(spark, local, batch.limit(0))
+      }
+    table.appendIfNew(batch, batchId, appId)
+  }
 }
 
 /** @param cdc when true, micro-batches are the row-level CHANGE FEED

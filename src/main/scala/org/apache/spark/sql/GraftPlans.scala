@@ -29,6 +29,16 @@ object GraftPlans {
     spark.asInstanceOf[CSparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** A plain batch DataFrame from already-planned InternalRows (the
+    * V1 Sink.addBatch drain: re-planning the incremental frame as a
+    * fresh query is incorrect there).
+    */
+  def batchDF(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[CSparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** The planned InternalRow RDD of a batch DataFrame. */
   def toInternalRdd(df: DataFrame)
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
