@@ -24,7 +24,54 @@ import org.apache.spark.sql.catalyst.plans.logical._
   */
 object GraftSql {
 
-  def sql(spark: SparkSession, text: String): DataFrame =
+  // Delta's table-utility SQL surface (all used by the reference:
+  // DESCRIBE HISTORY 01-Fraud-Delta.py:214, OPTIMIZE/ZORDER :288-289,
+  // VACUUM/RESTORE are the same family). Spark's parser has no
+  // grammar for these, so they dispatch on shape before parsing.
+  private val DescribeHistory =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*""".r
+  private val OptimizeZorder =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*""".r
+  private val VacuumRetain =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s*""".r
+  private val RestoreVersion =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+
+  def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case DescribeHistory(ident) => tableByName(spark, ident).history()
+    case OptimizeZorder(ident, keys) =>
+      val ks = keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+      tableByName(spark, ident).clusterByZOrder(8, ks.toIndexedSeq: _*)
+      emptyResult(spark)
+    case Optimize(ident) =>
+      tableByName(spark, ident).compact()
+      emptyResult(spark)
+    case VacuumRetain(ident, n) =>
+      tableByName(spark, ident).vacuum(n.toInt)
+      emptyResult(spark)
+    case Vacuum(ident) =>
+      tableByName(spark, ident).vacuum()
+      emptyResult(spark)
+    case RestoreVersion(ident, v) =>
+      tableByName(spark, ident).restore(v.toLong)
+      emptyResult(spark)
+    case _ => sqlParsed(spark, text)
+  }
+
+  private def tableByName(spark: SparkSession, ident: String): GraftTable = {
+    val parts = ident.split("\\.").toSeq
+      .map(_.stripPrefix("`").stripSuffix("`"))
+    resolveTarget(spark,
+      UnresolvedRelation(parts,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()), false)).table
+  }
+
+  private def sqlParsed(spark: SparkSession, text: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(text) match {
       case d: DeleteFromTable =>
         val target = resolveTarget(spark, d.table)

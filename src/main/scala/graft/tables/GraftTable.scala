@@ -660,7 +660,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   /** VACUUM analog: physically delete data files no commit in the
     * retained window (last `retainVersions` versions) references.
     * Older commits whose files were reclaimed can no longer be
-    * time-traveled to — exactly Delta's retention trade-off.
+    * time-traveled to — exactly Delta's retention trade-off. CDC
+    * files of commits OUTSIDE the window are reclaimed too (their
+    * change feed is gone with their versions).
     */
   def vacuum(retainVersions: Int = 2): Long = {
     val versions = listVersions()
@@ -670,7 +672,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .map(p => s"files/${p.getFileName}").toSeq
     val dead = all.filterNot(live)
     dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
-    dead.size.toLong
+    val cdcDir = root.resolve("cdc")
+    val deadCdc = if (!Files.exists(cdcDir)) Nil else {
+      val liveCdc: Set[String] =
+        retained.flatMap(v => readCommit(v).cdc.getOrElse(Nil)).toSet
+      Files.list(cdcDir).iterator().asScala
+        .map(p => s"cdc/${p.getFileName}").toSeq.filterNot(liveCdc)
+    }
+    deadCdc.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    (dead.size + deadCdc.size).toLong
   }
 
   /** Incremental consumption primitive (the streaming-source shape):

@@ -47,6 +47,26 @@ class Dsv2Spec extends SparkSpec {
       t.snapshot().where($"o_custkey" === 7L).count())
   }
 
+  test("timestamp predicates prune through commit-log stats") {
+    // the 100 TB bread-and-butter: date-range scans. Parquet stores
+    // timestamps as INT64 micros, so footer stats and the pushed
+    // literal live in the same domain.
+    val (t, dir) = freshTable()
+    t.clusterBy(8, "o_orderdate")
+    val df = spark.read.format("graft-table").load(dir)
+      .where($"o_orderdate" >=
+        java.sql.Timestamp.valueOf("1997-06-01 00:00:00"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    df.collect()
+    val scanned = scan.metrics("numFiles").value
+    assert(scanned < 8, s"scanned $scanned of 8 files — no timestamp skipping")
+    assert(df.count() === t.snapshot()
+      .where($"o_orderdate" >= java.sql.Timestamp.valueOf("1997-06-01 00:00:00"))
+      .count())
+  }
+
   test("CREATE TABLE USING graft-table: catalog SQL reads and prunes") {
     val (t, dir) = freshTable()
     t.clusterBy(8, "o_custkey")

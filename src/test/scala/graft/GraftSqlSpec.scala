@@ -113,6 +113,26 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_imerge")
   }
 
+  test("table-utility SQL: DESCRIBE HISTORY / OPTIMIZE / VACUUM / RESTORE") {
+    val (t, _) = registered("gs_util")
+    try {
+      GraftSql.sql(spark, "DELETE FROM gs_util WHERE o_orderkey % 2 = 0")
+      val hist = GraftSql.sql(spark, "DESCRIBE HISTORY gs_util")
+      assert(hist.select("operation").as[String].collect().toSeq ===
+        Seq("CREATE", "DELETE"))
+      GraftSql.sql(spark, "OPTIMIZE gs_util")
+      assert(t.history().where($"operation" === "COMPACT").count() === 1)
+      GraftSql.sql(spark, "OPTIMIZE gs_util ZORDER BY (o_custkey, o_orderkey)")
+      assert(t.history().where($"operation" === "ZORDER").count() === 1)
+      val preRestore = t.snapshot().count()
+      GraftSql.sql(spark, "RESTORE TABLE gs_util TO VERSION AS OF 0")
+      assert(t.snapshot().count() > preRestore)
+      GraftSql.sql(spark, "VACUUM gs_util RETAIN 2 VERSIONS")
+      // post-vacuum, the current snapshot still reads fine
+      assert(t.snapshot().count() === Tables.load(spark, sf, "orders").count())
+    } finally spark.sql("DROP TABLE IF EXISTS gs_util")
+  }
+
   test("non-DML statements pass through to spark.sql") {
     val df = GraftSql.sql(spark, "SELECT 1 AS one")
     assert(df.head.getInt(0) === 1)
