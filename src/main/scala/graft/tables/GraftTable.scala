@@ -146,12 +146,37 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         val footer = reader.getFooter
         val mins = scala.collection.mutable.Map[String, Double]()
         val maxs = scala.collection.mutable.Map[String, Double]()
+        val smins = scala.collection.mutable.Map[String, String]()
+        val smaxs = scala.collection.mutable.Map[String, String]()
+        // a column with ANY non-qualifying block must drop its string
+        // stat entirely — partial coverage would mis-prune
+        val sInvalid = scala.collection.mutable.Set[String]()
+        // pure-ASCII, bounded-length strings only: parquet BINARY
+        // stats are byte-ordered, which equals char order just for
+        // ASCII; a truncated max would under-report, so long values
+        // drop the stat instead
+        def asciiOk(s: String): Boolean =
+          s.length <= 64 && s.forall(c => c >= ' ' && c < 127)
         footer.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala.foreach { cc =>
             val name = cc.getPath.toDotString
             val st = cc.getStatistics
             if (st != null && st.hasNonNullValue) {
               val prim = cc.getPrimitiveType.getPrimitiveTypeName
+              if (prim == BINARY &&
+                  cc.getPrimitiveType.getLogicalTypeAnnotation ==
+                    org.apache.parquet.schema.LogicalTypeAnnotation.stringType()) {
+                val lo = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val hi = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                if (asciiOk(lo) && asciiOk(hi)) {
+                  smins.update(name,
+                    smins.get(name).filter(_ <= lo).getOrElse(lo))
+                  smaxs.update(name,
+                    smaxs.get(name).filter(_ >= hi).getOrElse(hi))
+                } else sInvalid.add(name)
+              }
               val lohi: Option[(Double, Double)] = prim match {
                 case INT32 => Some((
                   st.genericGetMin.asInstanceOf[Number].doubleValue,
@@ -180,7 +205,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
             }
           }
         }
-        rel -> FileStats(mins.toMap, maxs.toMap)
+        val sm = (smins -- sInvalid).toMap
+        val sx = (smaxs -- sInvalid).toMap
+        rel -> FileStats(mins.toMap, maxs.toMap,
+          if (sm.isEmpty) None else Some(sm),
+          if (sx.isEmpty) None else Some(sx))
       } finally reader.close()
     }.toMap
   }
@@ -844,8 +873,16 @@ object GraftTable {
   case class NotMatchedInsert(condition: Option[Column] = None,
       values: Option[Map[String, Column]] = None)
 
+  /** Per-file column stats: numeric [min,max] plus ASCII-only string
+    * [min,max] (byte order == char order only holds for ASCII, so
+    * non-ASCII string stats are dropped rather than risk a wrong
+    * prune; long strings likewise). Older commit logs lack the
+    * string maps — json4s defaults them to None.
+    */
   private[graft] case class FileStats(mins: Map[String, Double],
-      maxs: Map[String, Double])
+      maxs: Map[String, Double],
+      smins: Option[Map[String, String]] = None,
+      smaxs: Option[Map[String, String]] = None)
 
   /** A resolved version snapshot for scan planning: absolute file
     * paths, their commit-log stats, and the schema to read with.

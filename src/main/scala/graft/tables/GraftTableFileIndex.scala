@@ -73,6 +73,37 @@ class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
         for { lo <- s.mins.get(name); hi <- s.maxs.get(name) } yield (lo, hi))
     def check(name: String, v: Double)(p: (Double, Double) => Boolean): Boolean =
       range(name).forall { case (lo, hi) => p(lo, hi) }
+    // string interval: only ASCII-vs-ASCII compares are byte-order
+    // faithful (matching the collector's guard on the stats side)
+    def srange(name: String): Option[(String, String)] =
+      stats.flatMap(s => for {
+        lo <- s.smins.flatMap(_.get(name))
+        hi <- s.smaxs.flatMap(_.get(name))
+      } yield (lo, hi))
+    def scheck(name: String, v: String)(p: (String, String) => Boolean): Boolean =
+      if (!v.forall(c => c >= ' ' && c < 127)) true
+      else srange(name).forall { case (lo, hi) => p(lo, hi) }
+    e match {
+      case EqualTo(AttrName(a), Str(v)) => scheck(a, v)((lo, hi) => lo <= v && v <= hi)
+      case EqualTo(Str(v), AttrName(a)) => scheck(a, v)((lo, hi) => lo <= v && v <= hi)
+      case GreaterThan(AttrName(a), Str(v)) => scheck(a, v)((_, hi) => hi > v)
+      case GreaterThan(Str(v), AttrName(a)) => scheck(a, v)((lo, _) => lo < v)
+      case GreaterThanOrEqual(AttrName(a), Str(v)) => scheck(a, v)((_, hi) => hi >= v)
+      case GreaterThanOrEqual(Str(v), AttrName(a)) => scheck(a, v)((lo, _) => lo <= v)
+      case LessThan(AttrName(a), Str(v)) => scheck(a, v)((lo, _) => lo < v)
+      case LessThan(Str(v), AttrName(a)) => scheck(a, v)((_, hi) => hi > v)
+      case LessThanOrEqual(AttrName(a), Str(v)) => scheck(a, v)((lo, _) => lo <= v)
+      case LessThanOrEqual(Str(v), AttrName(a)) => scheck(a, v)((_, hi) => hi >= v)
+      case In(AttrName(a), vs) if vs.nonEmpty && vs.forall(Str.unapply(_).isDefined) =>
+        vs.flatMap(Str.unapply).exists(v =>
+          scheck(a, v)((lo, hi) => lo <= v && v <= hi))
+      case _ => mayMatchNumeric(e, stats, check)
+    }
+  }
+
+  private def mayMatchNumeric(e: Expression, stats: Option[FileStats],
+      check: (String, Double) => ((Double, Double) => Boolean) => Boolean)
+      : Boolean = {
     e match {
       case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
       case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
@@ -104,6 +135,16 @@ class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
   private object AttrName {
     def unapply(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+  }
+
+  /** String literal (UTF8String at the Catalyst layer). */
+  private object Str {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case Literal(v: String, _) => Some(v)
       case _ => None
     }
   }

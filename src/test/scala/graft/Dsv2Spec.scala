@@ -67,6 +67,21 @@ class Dsv2Spec extends SparkSpec {
       .count())
   }
 
+  test("string equality predicates prune through ASCII min/max stats") {
+    val (t, dir) = freshTable()
+    t.clusterBy(8, "o_orderpriority")
+    val df = spark.read.format("graft-table").load(dir)
+      .where($"o_orderpriority" === "5-LOW")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    df.collect()
+    assert(scan.metrics("numFiles").value < 8,
+      s"scanned ${scan.metrics("numFiles").value} of 8 files")
+    assert(df.count() ===
+      t.snapshot().where($"o_orderpriority" === "5-LOW").count())
+  }
+
   test("CREATE TABLE USING graft-table: catalog SQL reads and prunes") {
     val (t, dir) = freshTable()
     t.clusterBy(8, "o_custkey")
