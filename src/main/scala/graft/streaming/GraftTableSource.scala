@@ -94,6 +94,21 @@ class GraftTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val table = tableOf(sqlContext, parameters)
+    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
+      // batch CDF read (Delta's readChangeFeed option):
+      // startingVersion is INCLUSIVE, endingVersion defaults to HEAD
+      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+      val to = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(table.latestVersion)
+      val feed = table.changeFeed(from - 1, to)
+      val ctx = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = feed.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          feed.rdd
+      }
+    }
     val version = parameters.get("versionAsOf").map(_.toLong)
       .getOrElse(table.latestVersion)
     val index = new GraftTableFileIndex(spark, table, version)

@@ -167,6 +167,27 @@ class Dsv2Spec extends SparkSpec {
     assert(spark.read.format("graft-table").load(dir).count() === 5)
   }
 
+  test("readChangeFeed option reads the batch CDF between versions") {
+    val (t, dir) = freshTable(parts = 2)
+    t.delete($"o_orderstatus" === "P")                    // v1
+    t.update($"o_orderpriority" === "1-URGENT",
+      Map("o_totalprice" -> ($"o_totalprice" + 1.0)))     // v2
+    val feed = spark.read.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(dir)
+    assert(feed.columns.contains("_change_type"))
+    val byType = feed.groupBy($"_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType.keySet === Set("delete", "update_preimage", "update_postimage"))
+    assert(byType("update_preimage") === byType("update_postimage"))
+    // bounded window: only v1
+    val v1only = spark.read.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1").load(dir)
+    assert(v1only.select($"_change_type").distinct()
+      .as[String].collect().toSeq === Seq("delete"))
+  }
+
   test("read after additive schema evolution pads old files with nulls") {
     val (t, dir) = freshTable(parts = 2)
     val extra = t.snapshot().limit(10)
