@@ -381,9 +381,37 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val aligned = df.select(schema.fieldNames.filter(n =>
       df.schema.fieldNames.contains(n)).map(col): _*)
     val added = writeData(aligned)
-    commit("APPEND", base, filesAt(base) ++ added, schema,
-      Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics,
-      collectStats(added))
+    val stats = collectStats(added)
+    // blind appends never conflict SEMANTICALLY — a racing commit just
+    // moved the version forward. Re-resolve the base and re-claim
+    // (data files are already on disk; only the O(files) commit JSON
+    // is retried) — the Delta win-by-reresolution protocol. DML stays
+    // fail-fast: its file list was computed against a now-stale
+    // snapshot.
+    var attempts = 0
+    while (true) {
+      val b = if (attempts == 0) base else latestVersion
+      try {
+        return commit("APPEND", b, filesAt(b) ++ added, schema,
+          Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics, stats)
+      } catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          // exactly-once sink race: if the SAME (appId, batchId)
+          // landed via the racing commit, this append is a no-op
+          val superseded = extraMetrics.exists { case (k, v) =>
+            k.startsWith("txn:") && listVersions()
+              .flatMap(vv => readCommit(vv).metrics.get(k))
+              .maxOption.exists(_ >= v)
+          }
+          if (superseded) return latestVersion
+          // a racer that EVOLVED the schema invalidates our aligned
+          // projection — surface the conflict instead of clobbering
+          if (schemaAt(latestVersion) != schemaAt(base)) throw e
+          if (attempts > 10) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Highest micro-batch id ever committed via [[appendIfNew]] for
