@@ -73,6 +73,21 @@ object GraftSql {
 
   private def sqlParsed(spark: SparkSession, text: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(text) match {
+      case p if p.collectFirst({
+          case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => t
+        }).isDefined =>
+        // SELECT ... FROM t VERSION AS OF n: the analyzer only accepts
+        // time travel for DSv2 tables, so substitute the versioned
+        // graft relation's plan before analysis
+        val rewritten = p.transformUp {
+          case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+            val target = resolveTarget(spark, t.relation)
+            val version = t.version.map(_.toLong).getOrElse(
+              throw new IllegalArgumentException(
+                "TIMESTAMP AS OF is not supported; use VERSION AS OF"))
+            target.table.snapshotAt(version).queryExecution.logical
+        }
+        GraftPlans.ofRows(spark, rewritten)
       case d: DeleteFromTable =>
         val target = resolveTarget(spark, d.table)
         target.table.delete(rewriteTarget(d.condition, target))

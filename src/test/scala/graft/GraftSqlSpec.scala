@@ -133,6 +133,38 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_util")
   }
 
+  test("SELECT ... VERSION AS OF time-travels a registered graft table") {
+    val (t, _) = registered("gs_tt")
+    try {
+      val before = t.snapshot().count()
+      GraftSql.sql(spark, "DELETE FROM gs_tt WHERE o_orderstatus = 'P'")
+      assert(t.snapshot().count() < before)
+      val v0 = GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM gs_tt VERSION AS OF 0")
+      assert(v0.head.getLong(0) === before)
+      // joins/aggregates around the travel clause still work
+      val agg = GraftSql.sql(spark,
+        """SELECT o_orderstatus, count(*) AS n
+          |FROM gs_tt VERSION AS OF 0 GROUP BY o_orderstatus""".stripMargin)
+      assert(agg.where($"o_orderstatus" === "P").head.getLong(1) > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_tt")
+  }
+
+  test("MERGE with a subquery source resolves through ofRows") {
+    val (t, _) = registered("gs_sub")
+    try {
+      GraftSql.sql(spark,
+        """MERGE INTO gs_sub t
+          |USING (SELECT o_orderkey, 'Z' AS new_status FROM gs_sub
+          |       WHERE o_orderkey % 50 = 0) s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = s.new_status""".stripMargin)
+      val expect = t.snapshot().where($"o_orderkey" % 50 === 0).count()
+      assert(t.snapshot().where($"o_orderstatus" === "Z").count() === expect)
+      assert(expect > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_sub")
+  }
+
   test("non-DML statements pass through to spark.sql") {
     val df = GraftSql.sql(spark, "SELECT 1 AS one")
     assert(df.head.getInt(0) === 1)
