@@ -48,7 +48,7 @@ object GraftSql {
       tableByName(spark, ident).clusterByZOrder(8, ks.toIndexedSeq: _*)
       emptyResult(spark)
     case Optimize(ident) =>
-      tableByName(spark, ident).compact()
+      tableByName(spark, ident).compactToSize()
       emptyResult(spark)
     case VacuumRetain(ident, n) =>
       tableByName(spark, ident).vacuum(n.toInt)

@@ -644,6 +644,16 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten))
   }
 
+  /** OPTIMIZE with a TARGET FILE SIZE (how Delta's OPTIMIZE actually
+    * sizes output — "compact to one file" is wrong at 100 TB): file
+    * count = ceil(current bytes / targetBytes), from O(files) driver
+    * metadata.
+    */
+  def compactToSize(targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val bytes = currentFiles.map(f => Files.size(root.resolve(f))).sum
+    compact(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+  }
+
   /** Z-ORDER analog: range-repartition + sort by the cluster keys so
     * each file covers a narrow key range → min/max file pruning makes
     * selective scans touch few files.

@@ -184,6 +184,19 @@ class GraftTableSpec extends SparkSpec {
       .where($"_change_type" === "insert").count() === 3)
   }
 
+  test("compactToSize targets output file count from current bytes") {
+    val t = GraftTable.create(spark, tmp(),
+      spark.range(0, 20000).select($"id", ($"id" * 2).as("v"))
+        .repartition(16))
+    val bytes = t.snapshotInfo(t.latestVersion).files
+      .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+    // pick a target that should produce ~4 files
+    t.compactToSize(targetBytes = math.max(1L, bytes / 4))
+    val n = t.snapshotInfo(t.latestVersion).files.size
+    assert(n >= 2 && n <= 6, s"got $n files for a 4-file target")
+    assert(t.snapshot().count() === 20000)
+  }
+
   test("persisted CDC equals the file-diff reconstruction") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir,
