@@ -243,4 +243,19 @@ class StreamingSpec extends SparkSpec {
       assert(n2 === 170)
     } finally q.stop()
   }
+
+  test("graft-table source drains with Trigger.AvailableNow (trigger-once)") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_avnow_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 5).select($"id".as("value")))
+    t.append(spark.range(5, 9).select($"id".as("value")))
+    val q = spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.format("memory").queryName("gt_avnow")
+      .trigger(Trigger.AvailableNow()).start()
+    // AvailableNow terminates once the current high watermark drains
+    assert(q.awaitTermination(60000), "query did not self-terminate")
+    assert(spark.table("gt_avnow").as[Long].collect().toSet ===
+      (0L until 9L).toSet)
+  }
 }
