@@ -548,6 +548,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     import GraftTable.{MatchedDelete, MatchedUpdate}
     val base = latestVersion
     val schema = schemaAt(base)
+    // Delta semantics: a target row matched by MULTIPLE source rows is
+    // an error, not a silent row multiplication through the join
+    val dupKeys = source.groupBy(col(key)).count()
+      .where(col("count") > 1).limit(1).collect()
+    if (dupKeys.nonEmpty)
+      throw new IllegalArgumentException(
+        s"MERGE source has duplicate join keys (e.g. $key=${dupKeys(0).get(0)}); " +
+          "each target row must match at most one source row")
     val keys = source.select(col(key)).distinct()
     val withFile = snapshot().withColumn("__file", input_file_name())
     // no broadcast hint: the planner (and AQE) picks the join — a

@@ -165,6 +165,18 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_sub")
   }
 
+  test("MERGE rejects duplicate source keys instead of multiplying rows") {
+    val (t, _) = registered("gs_dup")
+    try {
+      val dup = Tables.load(spark, sf, "orders").limit(5)
+        .unionByName(Tables.load(spark, sf, "orders").limit(5))
+      val e = intercept[IllegalArgumentException] {
+        t.merge(dup, "o_orderkey")
+      }
+      assert(e.getMessage.contains("duplicate join keys"))
+    } finally spark.sql("DROP TABLE IF EXISTS gs_dup")
+  }
+
   test("non-DML statements pass through to spark.sql") {
     val df = GraftSql.sql(spark, "SELECT 1 AS one")
     assert(df.head.getInt(0) === 1)
