@@ -97,6 +97,11 @@ class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
       case In(AttrName(a), vs) if vs.nonEmpty && vs.forall(Str.unapply(_).isDefined) =>
         vs.flatMap(Str.unapply).exists(v =>
           scheck(a, v)((lo, hi) => lo <= v && v <= hi))
+      case StartsWith(AttrName(a), Str(p)) if p.nonEmpty =>
+        // LIKE 'P%' matches rows in [P, P⁺) with P⁺ = P last-char+1;
+        // the file may match iff its interval overlaps that range
+        scheck(a, p)((lo, hi) =>
+          hi >= p && (p.last >= 126 || lo < p.init + (p.last + 1).toChar))
       case _ => mayMatchNumeric(e, stats, check)
     }
   }

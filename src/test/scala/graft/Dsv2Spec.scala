@@ -67,6 +67,21 @@ class Dsv2Spec extends SparkSpec {
       .count())
   }
 
+  test("LIKE-prefix predicates prune through string stats") {
+    val (t, dir) = freshTable()
+    t.clusterBy(8, "o_orderpriority")
+    val df = spark.read.format("graft-table").load(dir)
+      .where($"o_orderpriority".startsWith("5-"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    df.collect()
+    assert(scan.metrics("numFiles").value < 8,
+      s"scanned ${scan.metrics("numFiles").value} of 8 files")
+    assert(df.count() ===
+      t.snapshot().where($"o_orderpriority".startsWith("5-")).count())
+  }
+
   test("string equality predicates prune through ASCII min/max stats") {
     val (t, dir) = freshTable()
     t.clusterBy(8, "o_orderpriority")
@@ -101,6 +116,24 @@ class Dsv2Spec extends SparkSpec {
       assert(scan.requiredSchema.fieldNames.toSet ===
         Set("o_orderkey", "o_totalprice", "o_custkey"))
     } finally spark.sql("DROP TABLE IF EXISTS gt_orders")
+  }
+
+  test("CREATE TABLE ... USING graft-table AS SELECT (CTAS)") {
+    spark.sql("DROP TABLE IF EXISTS gt_ctas")
+    val wh = Files.createTempDirectory("graft_ctas_").toString
+    spark.sql(
+      s"""CREATE TABLE gt_ctas USING `graft-table` OPTIONS (path '$wh/t') AS
+         |SELECT o_orderkey, o_totalprice
+         |FROM parquet.`$sf/orders.parquet` WHERE o_custkey <= 50""".stripMargin)
+    try {
+      val viaSql = spark.table("gt_ctas")
+      val expect = spark.read.parquet(s"$sf/orders.parquet")
+        .where($"o_custkey" <= 50).count()
+      assert(viaSql.count() === expect && expect > 0)
+      // it's a real graft table underneath: history + DML work
+      val t = GraftTable.load(spark, s"$wh/t")
+      assert(t.history().count() === 1)
+    } finally spark.sql("DROP TABLE IF EXISTS gt_ctas")
   }
 
   test("versionAsOf option time-travels the relation") {

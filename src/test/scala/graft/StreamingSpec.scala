@@ -258,4 +258,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("gt_avnow").as[Long].collect().toSet ===
       (0L until 9L).toSet)
   }
+
+  test("stream-static join enriches the graft-table stream with a dim") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_ssj_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 6).select($"id".as("k"), ($"id" * 10).as("amount")))
+    val dim = spark.range(0, 6)
+      .select($"id".as("k"), concat(lit("seg_"), ($"id" % 2)).as("segment"))
+    val q = spark.readStream.format("graft-table").option("path", root).load()
+      .join(dim, Seq("k"))
+      .groupBy($"segment").agg(sum($"amount").as("total"))
+      .writeStream.format("memory").queryName("gt_ssj")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000))
+    val got = spark.table("gt_ssj").as[(String, Long)].collect().toMap
+    assert(got === Map("seg_0" -> 60L, "seg_1" -> 90L))
+  }
 }
