@@ -20,6 +20,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // plain spark.sql(...) gains the graft-table SQL surface: DML,
+    // DESCRIBE HISTORY / OPTIMIZE / VACUUM / RESTORE, VERSION AS OF
+    e.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     // optimizer rule: fuse the composed-HOF shingle spelling into the
     // native WordShingles kernel (Photon/Gluten-style replacement)
     e.injectOptimizerRule(_ => graft.plans.ShingleRewriteRule)

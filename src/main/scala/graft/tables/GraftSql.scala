@@ -46,9 +46,11 @@ object GraftSql {
     case OptimizeZorder(ident, keys) =>
       val ks = keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
       tableByName(spark, ident).clusterByZOrder(8, ks.toIndexedSeq: _*)
+      refreshName(spark, ident)
       emptyResult(spark)
     case Optimize(ident) =>
       tableByName(spark, ident).compactToSize()
+      refreshName(spark, ident)
       emptyResult(spark)
     case VacuumRetain(ident, n) =>
       tableByName(spark, ident).vacuum(n.toInt)
@@ -58,9 +60,70 @@ object GraftSql {
       emptyResult(spark)
     case RestoreVersion(ident, v) =>
       tableByName(spark, ident).restore(v.toLong)
+      refreshName(spark, ident)
       emptyResult(spark)
     case _ => sqlParsed(spark, text)
   }
+
+  /** Parser-injection hooks ([[graft.plans.GraftSqlParser]]). */
+  private[graft] def isUtilityStatement(text: String): Boolean = text match {
+    case DescribeHistory(_) | OptimizeZorder(_, _) | Optimize(_) |
+         VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) => true
+    case _ => false
+  }
+
+  private[graft] def isDescribeHistory(text: String): Boolean = text match {
+    case DescribeHistory(_) => true
+    case _ => false
+  }
+
+  /** Schema of DESCRIBE HISTORY output (mirrors GraftTable.history). */
+  private[graft] def historySchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType),
+      StructField("operation", StringType),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_rows", LongType, nullable = false)))
+  }
+
+  private[graft] def utilityTargetIsGraft(spark: SparkSession,
+      text: String): Boolean = {
+    val ident = text match {
+      case DescribeHistory(i) => Some(i)
+      case OptimizeZorder(i, _) => Some(i)
+      case Optimize(i) => Some(i)
+      case VacuumRetain(i, _) => Some(i)
+      case Vacuum(i) => Some(i)
+      case RestoreVersion(i, _) => Some(i)
+      case _ => None
+    }
+    ident.exists(i =>
+      try { tableByName(spark, i); true } catch { case _: Exception => false })
+  }
+
+  /** Can `plan`'s relation be resolved to a registered graft table? */
+  private[graft] def tryResolveTarget(spark: SparkSession,
+      plan: LogicalPlan): Boolean =
+    try { resolveTarget(spark, plan); true }
+    catch { case _: Exception => false }
+
+  /** Replace every graft RelationTimeTravel node with the versioned
+    * snapshot's plan (pre-analysis; the analyzer only accepts time
+    * travel for DSv2 tables).
+    */
+  private[graft] def substituteTimeTravel(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+          if tryResolveTarget(spark, t.relation) =>
+        val target = resolveTarget(spark, t.relation)
+        val version = t.version.map(_.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            "TIMESTAMP AS OF is not supported; use VERSION AS OF"))
+        target.table.snapshotAt(version).queryExecution.logical
+    }
 
   private def tableByName(spark: SparkSession, ident: String): GraftTable = {
     val parts = ident.split("\\.").toSeq
@@ -71,26 +134,27 @@ object GraftSql {
           java.util.Collections.emptyMap()), false)).table
   }
 
+  /** Stock Spark grammar, NOT the session's parser: with the
+    * GraftSqlParser injected, using the session parser here would
+    * re-wrap DML into GraftSqlCommand and recurse infinitely
+    * (command.run → GraftSql.sql → session parser → command...).
+    */
+  private lazy val stockParser: org.apache.spark.sql.catalyst.parser.ParserInterface =
+    new org.apache.spark.sql.execution.SparkSqlParser()
+
   private def sqlParsed(spark: SparkSession, text: String): DataFrame =
-    spark.sessionState.sqlParser.parsePlan(text) match {
+    stockParser.parsePlan(text) match {
       case p if p.collectFirst({
           case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => t
         }).isDefined =>
         // SELECT ... FROM t VERSION AS OF n: the analyzer only accepts
         // time travel for DSv2 tables, so substitute the versioned
         // graft relation's plan before analysis
-        val rewritten = p.transformUp {
-          case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
-            val target = resolveTarget(spark, t.relation)
-            val version = t.version.map(_.toLong).getOrElse(
-              throw new IllegalArgumentException(
-                "TIMESTAMP AS OF is not supported; use VERSION AS OF"))
-            target.table.snapshotAt(version).queryExecution.logical
-        }
-        GraftPlans.ofRows(spark, rewritten)
+        GraftPlans.ofRows(spark, substituteTimeTravel(spark, p))
       case d: DeleteFromTable =>
         val target = resolveTarget(spark, d.table)
         target.table.delete(rewriteTarget(d.condition, target))
+        refresh(spark, target)
         emptyResult(spark)
       case u: UpdateTable =>
         val target = resolveTarget(spark, u.table)
@@ -99,6 +163,7 @@ object GraftSql {
         target.table.update(
           u.condition.map(rewriteTarget(_, target))
             .getOrElse(org.apache.spark.sql.functions.lit(true)), set)
+        refresh(spark, target)
         emptyResult(spark)
       case m: MergeIntoTable =>
         mergeInto(spark, m)
@@ -108,7 +173,8 @@ object GraftSql {
 
   // ---- target/source resolution ---------------------------------------
 
-  private case class Target(table: GraftTable, quals: Set[String])
+  private case class Target(table: GraftTable, quals: Set[String],
+      catalogName: Option[String] = None)
 
   /** Unwrap optional alias, load the graft table behind the catalog
     * entry, and collect the identifiers that qualify its columns.
@@ -117,7 +183,7 @@ object GraftSql {
     plan match {
       case SubqueryAlias(ident, child) =>
         val t = resolveTarget(spark, child)
-        Target(t.table, t.quals + ident.name.toLowerCase)
+        Target(t.table, t.quals + ident.name.toLowerCase, t.catalogName)
       case u: UnresolvedRelation =>
         val parts = u.multipartIdentifier
         val ident = parts match {
@@ -138,7 +204,7 @@ object GraftSql {
           case p => p
         }
         Target(GraftTable.load(spark, local),
-          Set(parts.last.toLowerCase))
+          Set(parts.last.toLowerCase), Some(parts.mkString(".")))
       case other => throw new IllegalArgumentException(
         s"unsupported DML target: ${other.nodeName}")
     }
@@ -265,7 +331,20 @@ object GraftSql {
           s"at most one WHEN NOT MATCHED clause is supported, got ${other.size}")
       }
     target.table.merge(srcDf, tgtKey, matched, notMatched)
+    refresh(spark, target)
   }
+
+  /** DML invalidates the catalog's cached V1 relation — without this
+    * a post-DML `spark.table(name)` keeps reading the old snapshot's
+    * file list.
+    */
+  private def refresh(spark: SparkSession, target: Target): Unit =
+    target.catalogName.foreach(n =>
+      try spark.catalog.refreshTable(n) catch { case _: Exception => () })
+
+  private def refreshName(spark: SparkSession, ident: String): Unit =
+    try spark.catalog.refreshTable(ident.replace("`", ""))
+    catch { case _: Exception => () }
 
   private def emptyResult(spark: SparkSession): DataFrame =
     spark.emptyDataFrame

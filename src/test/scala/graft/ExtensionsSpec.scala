@@ -71,4 +71,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(!row.isNullAt(0))
     assert(row.getString(1).nonEmpty)
   }
+
+  test("injected parser: plain spark.sql speaks the graft-table surface") {
+    import org.apache.spark.sql.SparkSession
+    // a sibling session (same context) built WITH the extensions
+    val prev = spark // keep the shared session alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = Sessions.tune(SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions), 4).getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_parser_")
+        .resolve("t").toString
+      graft.tables.GraftTable.create(s2, dir,
+        Tables.load(s2, sf, "orders").repartition(4))
+      s2.sql("DROP TABLE IF EXISTS gp_orders")
+      s2.sql(s"CREATE TABLE gp_orders USING `graft-table` OPTIONS (path '$dir')")
+      val before = s2.table("gp_orders").count()
+      // DML straight through spark.sql — no GraftSql wrapper
+      s2.sql("DELETE FROM gp_orders WHERE o_orderstatus = 'P'")
+      val after = s2.table("gp_orders").count()
+      assert(after < before)
+      // DESCRIBE HISTORY returns typed rows
+      val hist = s2.sql("DESCRIBE HISTORY gp_orders")
+      assert(hist.select("operation").collect().map(_.getString(0)).toSeq ===
+        Seq("CREATE", "DELETE"))
+      // time travel inside an ordinary SELECT
+      assert(s2.sql("SELECT count(*) FROM gp_orders VERSION AS OF 0")
+        .head.getLong(0) === before)
+      // non-graft SQL is untouched
+      assert(s2.sql("SELECT 1 + 1").head.getInt(0) === 2)
+      s2.sql("DROP TABLE IF EXISTS gp_orders")
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
