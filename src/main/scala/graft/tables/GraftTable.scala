@@ -961,6 +961,29 @@ object GraftTable {
     t
   }
 
+  /** CONVERT TO DELTA analog: adopt an existing plain-parquet
+    * directory as a graft table IN PLACE — zero bytes moved, one
+    * commit listing the existing files with footer-harvested stats.
+    * Subsequent DML/compaction runs copy-on-write as usual (new
+    * files land under `files/`; the adopted originals are retired
+    * from the listing when rewritten, reclaimed by VACUUM).
+    */
+  def convert(spark: SparkSession, path: String): GraftTable = {
+    val root = Paths.get(path)
+    val t = new GraftTable(spark, root)
+    require(!Files.exists(t.logDir), s"already a graft table: $path")
+    val parts = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        Files.isRegularFile(p))
+      .map(p => root.relativize(p).toString).toSeq.sorted
+    require(parts.nonEmpty, s"no parquet files to convert at $path")
+    val schema = spark.read.parquet(path).schema
+    Files.createDirectories(t.logDir)
+    t.commit("CONVERT", -1L, parts, schema,
+      Map("numAddedFiles" -> parts.size.toLong), t.collectStats(parts))
+    t
+  }
+
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` analog):
     * a new table whose first commit REFERENCES the source's current
     * data files by absolute path — zero bytes copied, O(files)

@@ -184,6 +184,24 @@ class GraftTableSpec extends SparkSpec {
       .where($"_change_type" === "insert").count() === 3)
   }
 
+  test("convert adopts a plain parquet directory in place") {
+    val dir = Files.createTempDirectory("graft_conv_").resolve("t").toString
+    val src = spark.range(0, 1000).select($"id", ($"id" % 7).as("g"))
+    src.repartition(4).write.parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    assert(t.snapshot().count() === 1000)
+    assert(t.history().select("operation").as[String].head() === "CONVERT")
+    // DML on the converted table is transactional copy-on-write
+    t.delete($"g" === 0)
+    assert(t.snapshot().count() === src.where($"g" =!= 0).count())
+    // time travel back to the adopted state
+    assert(t.snapshotAt(0).count() === 1000)
+    // and the registered source reads it with stats pruning available
+    assert(spark.read.format("graft-table").load(dir).count() ===
+      t.snapshot().count())
+    intercept[IllegalArgumentException] { GraftTable.convert(spark, dir) }
+  }
+
   test("compactToSize targets output file count from current bytes") {
     val t = GraftTable.create(spark, tmp(),
       spark.range(0, 20000).select($"id", ($"id" * 2).as("v"))
