@@ -148,9 +148,17 @@ class GraftTableSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftTableSource(sqlContext.sparkSession,
-      tableOf(sqlContext, parameters), cdc = cdcMode(parameters))
+      parameters: Map[String, String]): Source = {
+    val table = tableOf(sqlContext, parameters)
+    // Delta's startingVersion: begin the stream at commit n instead of
+    // replaying the whole table; "latest" = only future commits
+    val startV = parameters.get("startingVersion").map {
+      case s if s.equalsIgnoreCase("latest") => table.latestVersion
+      case s => s.toLong - 1
+    }
+    new GraftTableSource(sqlContext.sparkSession, table,
+      cdc = cdcMode(parameters), startVersion = startV)
+  }
 }
 
 /** V1 streaming Sink over a GraftTable: micro-batches land through
@@ -188,8 +196,12 @@ class GraftTableSink(spark: SparkSession, path: String,
   *   streaming analog. Unlike the default append-only mode, CDC mode
   *   crosses copy-on-write commits fine: the diff IS the payload.
   */
+/** @param startVersion exclusive lower bound for the FIRST batch
+  *   (None = replay from table creation) — only consulted when the
+  *   checkpoint holds no prior offset.
+  */
 class GraftTableSource(spark: SparkSession, table: GraftTable,
-    cdc: Boolean = false) extends Source {
+    cdc: Boolean = false, startVersion: Option[Long] = None) extends Source {
 
   override def schema: StructType =
     if (!cdc) table.snapshot().schema
@@ -206,7 +218,8 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val startV = start.map(toVersion).getOrElse(-1L)
+    val startV = start.map(toVersion)
+      .orElse(startVersion).getOrElse(-1L)
     val endV = toVersion(end)
     val df =
       if (cdc) table.changeFeed(startV, endV)

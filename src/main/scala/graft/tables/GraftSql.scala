@@ -40,6 +40,8 @@ object GraftSql {
     """(?is)\s*VACUUM\s+([\w.`]+)\s*""".r
   private val RestoreVersion =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val ShallowClone =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case DescribeHistory(ident) => tableByName(spark, ident).history()
@@ -62,13 +64,21 @@ object GraftSql {
       tableByName(spark, ident).restore(v.toLong)
       refreshName(spark, ident)
       emptyResult(spark)
+    case ShallowClone(newIdent, srcIdent, location) =>
+      // zero-copy writable fork + catalog registration in one step
+      val src = tableByName(spark, srcIdent)
+      GraftTable.shallowClone(spark, src.root.toString, location)
+      spark.sql(s"CREATE TABLE $newIdent USING `graft-table` " +
+        s"OPTIONS (path '$location')")
+      emptyResult(spark)
     case _ => sqlParsed(spark, text)
   }
 
   /** Parser-injection hooks ([[graft.plans.GraftSqlParser]]). */
   private[graft] def isUtilityStatement(text: String): Boolean = text match {
     case DescribeHistory(_) | OptimizeZorder(_, _) | Optimize(_) |
-         VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) => true
+         VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
+         ShallowClone(_, _, _) => true
     case _ => false
   }
 
@@ -97,6 +107,7 @@ object GraftSql {
       case VacuumRetain(i, _) => Some(i)
       case Vacuum(i) => Some(i)
       case RestoreVersion(i, _) => Some(i)
+      case ShallowClone(_, srcIdent, _) => Some(srcIdent)
       case _ => None
     }
     ident.exists(i =>

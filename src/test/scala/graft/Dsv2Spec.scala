@@ -221,6 +221,17 @@ class Dsv2Spec extends SparkSpec {
       .as[String].collect().toSeq === Seq("delete"))
   }
 
+  test("accurate sizeInBytes lets the planner broadcast small graft tables") {
+    val dir = Files.createTempDirectory("graft_bc_").resolve("t").toString
+    GraftTable.create(spark, dir,
+      Tables.load(spark, sf, "nation"))
+    val small = spark.read.format("graft-table").load(dir)
+    val big = Tables.load(spark, sf, "customer")
+    val plan = big.join(small, big("c_nationkey") === small("n_nationkey"))
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("read after additive schema evolution pads old files with nulls") {
     val (t, dir) = freshTable(parts = 2)
     val extra = t.snapshot().limit(10)

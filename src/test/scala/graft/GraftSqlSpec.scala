@@ -177,6 +177,25 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_dup")
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE registers a zero-copy fork") {
+    val (t, _) = registered("gs_clone_src")
+    val dst = Files.createTempDirectory("graft_clone_").resolve("c").toString
+    spark.sql("DROP TABLE IF EXISTS gs_clone_dst")
+    try {
+      GraftSql.sql(spark,
+        s"CREATE TABLE gs_clone_dst SHALLOW CLONE gs_clone_src LOCATION '$dst'")
+      assert(spark.table("gs_clone_dst").count() === t.snapshot().count())
+      // writable fork: DML on the clone leaves the source untouched
+      val srcBefore = t.snapshot().count()
+      GraftSql.sql(spark, "DELETE FROM gs_clone_dst WHERE o_orderstatus = 'P'")
+      assert(spark.table("gs_clone_dst").count() < srcBefore)
+      assert(t.snapshot().count() === srcBefore)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_clone_dst")
+      spark.sql("DROP TABLE IF EXISTS gs_clone_src")
+    }
+  }
+
   test("non-DML statements pass through to spark.sql") {
     val df = GraftSql.sql(spark, "SELECT 1 AS one")
     assert(df.head.getInt(0) === 1)

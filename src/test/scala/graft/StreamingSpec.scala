@@ -275,4 +275,20 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("gt_ssj").as[(String, Long)].collect().toMap
     assert(got === Map("seg_0" -> 60L, "seg_1" -> 90L))
   }
+
+  test("startingVersion option skips the table's history") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_sv_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 3).select($"id".as("value")))     // v0
+    t.append(spark.range(3, 6).select($"id".as("value"))) // v1
+    t.append(spark.range(6, 8).select($"id".as("value"))) // v2
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("startingVersion", "2").load()
+      .writeStream.format("memory").queryName("gt_sv")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000))
+    // only the v2 commit's rows stream out
+    assert(spark.table("gt_sv").as[Long].collect().toSet === Set(6L, 7L))
+  }
 }
