@@ -55,11 +55,22 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   def latestVersion: Long = listVersions().lastOption.getOrElse(-1L)
 
+  // committed versions are IMMUTABLE (the hard-link claim means a
+  // version file is never rewritten), so parsed commits memoize —
+  // O(versions) walks (history, change feeds, sink watermarks) stop
+  // re-reading and re-parsing the same JSON
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Commit]()
+
   private def readCommit(v: Long): Commit = {
+    val cached = commitCache.get(v)
+    if (cached != null) return cached
     require(Files.exists(commitFile(v)),
       s"version $v does not exist for table at $root (latest: $latestVersion)")
     implicit val fmt: Formats = DefaultFormats
-    JsonMethods.parse(Files.readString(commitFile(v))).extract[Commit]
+    val c = JsonMethods.parse(Files.readString(commitFile(v))).extract[Commit]
+    commitCache.put(v, c)
+    c
   }
 
   /** Atomic optimistic-concurrency commit: content goes to a temp
@@ -134,11 +145,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * the commit log.
     */
   private def collectStats(files: Seq[String]): Map[String, FileStats] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    // footer reads are independent driver-side I/O — at thousands of
+    // files per commit, serial reads would dominate the write path
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = files.map(rel => Future(collectStatsOne(rel)))
+    Await.result(Future.sequence(fs), 30.minutes).toMap
+  }
+
+  private def collectStatsOne(rel: String): (String, FileStats) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val conf = spark.sessionState.newHadoopConf()
-    files.map { rel =>
+    Seq(rel).map { rel =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(abs(rel)), conf)
       val reader = ParquetFileReader.open(in)
@@ -211,7 +232,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           if (sm.isEmpty) None else Some(sm),
           if (sx.isEmpty) None else Some(sx))
       } finally reader.close()
-    }.toMap
+    }.head
   }
 
   /** Commit against an explicit BASE version: the new commit claims
