@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_minhash_portable" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPortable(s, d)),
+    "dedup_cluster_survivors" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivors(s, d)),
     // §I text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
@@ -260,6 +261,35 @@ object SparkEntry {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6""".stripMargin,
+    "dedup_cluster_survivors" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6),
+        |undirected AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        |  UNION
+        |  SELECT e.u, r.label FROM undirected e JOIN reach r ON e.v = r.u)
+        |SELECT u AS doc_id, MIN(label) AS cluster_id,
+        |  CAST(u = MIN(label) AS INTEGER) AS is_survivor
+        |FROM reach GROUP BY u""".stripMargin,
     "dedup_cross_split_leaks" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w

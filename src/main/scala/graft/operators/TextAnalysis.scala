@@ -212,4 +212,35 @@ object TextAnalysis {
       col("doc_id"),
       substring(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))), 1, 16)
         .as("fingerprint"))
+
+  /** Boilerplate LINE stripping (the C4/RefinedWeb cleaning step):
+    * a line occurring in ≥ `minDocs` distinct documents of the same
+    * `source` is template chrome (nav, footers, cookie banners) and
+    * is removed from every document; survivors reassemble in their
+    * original order. Expects columns (doc_id, source, text).
+    *
+    * Scale shape: one posexplode + one (source, line) count — only
+    * line hashes and doc ids shuffle; the boilerplate dictionary is
+    * tiny (it's the REPEATED lines) so the anti-join broadcasts; the
+    * reassembly groups each document's own lines (no cross-doc
+    * traffic). Docs stripped to nothing stay present with empty text.
+    */
+  def stripBoilerplate(docs: DataFrame, minDocs: Int = 5): DataFrame = {
+    val lines = docs.select(col("doc_id"), col("source"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val boilerplate = lines
+      .where(length(trim(col("line"))) > 0)
+      .groupBy(col("source"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("source"), col("line"))
+    val kept = lines.join(boilerplate, Seq("source", "line"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -291,4 +291,26 @@ class OperatorsSpec extends SparkSpec {
     // deterministic: prediction always set, one of the 4 classes
     assert(df.where(!$"lang_pred".isin("en", "de", "fr", "es")).count() === 0)
   }
+
+  test("stripBoilerplate removes cross-doc template lines, keeps order") {
+    val bp = "cookie banner: accept all"
+    val docs = Seq(
+      (1L, "web", s"intro one\n$bp\nbody A\nfooter x"),
+      (2L, "web", s"$bp\nbody B\nfooter x"),
+      (3L, "web", s"body C\n$bp\nfooter x"),
+      (4L, "web", s"unique doc\nno chrome here"),
+      (5L, "wiki", s"$bp\nwiki body"), // different source: its own counts
+      (6L, "web", bp)                  // all-boilerplate doc survives empty
+    ).toDF("doc_id", "source", "text")
+    val out = operators.TextAnalysis.stripBoilerplate(docs, minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    // both "cookie banner" (4 web docs) and "footer x" (3 web docs)
+    // clear the minDocs=3 bar; body lines and order survive
+    assert(out(1L) === "intro one\nbody A")
+    assert(out(2L) === "body B")
+    assert(out(3L) === "body C")
+    assert(out(4L) === "unique doc\nno chrome here")
+    assert(out(5L) === s"$bp\nwiki body") // wiki source: bp count = 1 there
+    assert(out(6L) === "")
+  }
 }
