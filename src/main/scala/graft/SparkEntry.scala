@@ -44,6 +44,7 @@ object SparkEntry {
     "q_string_filters" -> (Analytics.stringFilters _),
     "q_case_agg_by_year" -> (Analytics.caseAggByYear _),
     "q_mom_growth" -> (Analytics.momGrowth _),
+    "profile_orders" -> (Profile.profileOrders _),
     // §B medallion
     "ingest_bronze" -> (Medallion.ingestBronze _),
     "silver_clean" -> (Medallion.silverClean _),
@@ -1060,6 +1061,40 @@ object SparkEntry {
         |  CAST(byte_sum AS DOUBLE) / greatest(frame_len, 1) AS mean_byte
         |FROM f""".stripMargin,
     // §F ML (rule-scored, oracle-replicable parts)
+    "profile_orders" ->
+      """WITH m AS (
+        |  SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(o_orderkey) AS null_count,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_num, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+        |    NULL, NULL
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus), NULL, NULL,
+        |    MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority), NULL, NULL,
+        |    MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders)
+        |SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(null_count AS BIGINT) AS null_count,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  min_num, max_num, min_str, max_str
+        |FROM m""".stripMargin,
     "ml_score_fixed" ->
       """WITH li AS (
         |  SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS n_lines,
