@@ -114,6 +114,7 @@ object SparkEntry {
     "ann_topk_batch" -> ((s: SparkSession, d: String) => Similarity.annTopKBatch(s, d)),
     "ann_quantized_topk" -> ((s: SparkSession, d: String) => Similarity.annQuantizedTopK(s, d)),
     "ann_pq_topk" -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
+    "ann_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.annQuantizedRerank(s, d)),
     "ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
@@ -1095,6 +1096,45 @@ object SparkEntry {
         |  CAST(n_distinct AS BIGINT) AS n_distinct,
         |  min_num, max_num, min_str, max_str
         |FROM m""".stripMargin,
+    "ann_quantized_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |              for i in range(1, len(embedding) + 1)]) AS amax
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id, label,
+        |    [CASE WHEN amax = 0 THEN 0
+        |          ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / amax * 127.0 + 0.5) AS BIGINT) END
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM e),
+        |n8 AS (
+        |  SELECT vec_id, label, qv,
+        |    list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)]) AS qnormsq
+        |  FROM q8),
+        |q AS (SELECT qv AS qqv, qnormsq AS qn FROM n8 WHERE vec_id = 0),
+        |short AS (
+        |  SELECT vec_id FROM (
+        |    SELECT n.vec_id,
+        |      CAST(round(CAST(
+        |        CAST(list_sum([n.qv[i] * q.qqv[i] for i in range(1, len(n.qv) + 1)]) AS DOUBLE) /
+        |        (sqrt(CAST(n.qnormsq AS DOUBLE)) * sqrt(CAST(q.qn AS DOUBLE)))
+        |      AS DECIMAL(18,12)), 6) AS DOUBLE) AS qcs
+        |    FROM n8 n, q WHERE n.vec_id <> 0)
+        |  ORDER BY qcs DESC, vec_id LIMIT 50),
+        |qe AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)
+        |              for i in range(1, len(q.qvec) + 1)]))) AS cs
+        |  FROM embeddings e JOIN short USING (vec_id), qe q)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "ml_score_fixed" ->
       """WITH li AS (
         |  SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS n_lines,

@@ -283,6 +283,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage retrieval (the standard ANN serving layout): a cheap
+    * int8-quantized scan produces a `shortlist`, full-precision
+    * cosine re-ranks only those survivors to the final top-k. The
+    * scan stays memory-bound on 8-bit codes; the expensive exact
+    * math touches `shortlist` rows, not the corpus. Both stages are
+    * integer/decimal-exact → the whole cascade replays in DuckDB.
+    */
+  def annQuantizedRerank(spark: SparkSession, sfDir: String,
+      k: Int = 10, shortlist: Int = 50): DataFrame = {
+    VectorExprs.register(spark)
+    val short = annQuantizedTopK(spark, sfDir, shortlist).select(col("vec_id"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qVec = typedLit(emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0))
+    emb.join(short, Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        round(vec_cosine(col("embedding"), qVec).cast("decimal(18,12)"), 6)
+          .cast("double").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Product-quantization ANN (PQ/ADC): split each vector into m
     * subspaces, encode every subvector as its nearest codebook entry
     * (m codes of log2(ksub) bits — 8 bytes/vector here vs 256 for
