@@ -42,7 +42,7 @@ object Profile {
 
   /** Driver query: profile the orders fact table's key columns. */
   def profileOrders(spark: SparkSession, sfDir: String): DataFrame =
-    profile(Tables.load(spark, sfDir, "orders").cache(),
+    profile(Tables.load(spark, sfDir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_totalprice",
         "o_orderstatus", "o_orderpriority"))
 }

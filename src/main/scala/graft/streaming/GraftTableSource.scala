@@ -47,10 +47,7 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table sink requires a path"))
-    val local = new org.apache.hadoop.fs.Path(path).toUri.getPath match {
-      case null => path
-      case p => p
-    }
+    val local = GraftTable.localPath(path)
     val exists =
       try { GraftTable.load(spark, local); true }
       catch { case _: IllegalArgumentException => false }
@@ -78,7 +75,14 @@ class GraftTableSourceProvider extends StreamSourceProvider
       s"graft-table sink supports Append output mode, got $outputMode")
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table sink requires .option(\"path\", ...)"))
-    val appId = parameters.getOrElse("checkpointLocation", path)
+    // the idempotency watermark is keyed by the query's checkpoint;
+    // defaulting it (e.g. to the table path) would make DISTINCT
+    // queries share a watermark and silently drop each other's
+    // batches — refuse instead
+    val appId = parameters.getOrElse("checkpointLocation",
+      throw new IllegalArgumentException(
+        "graft-table sink requires .option(\"checkpointLocation\", ...) — " +
+          "it keys the exactly-once watermark per query"))
     new GraftTableSink(sqlContext.sparkSession, path, appId)
   }
 
@@ -120,12 +124,7 @@ class GraftTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): GraftTable = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table source requires .option(\"path\", ...)"))
-    // the catalog hands CREATE TABLE locations back as file: URIs
-    val local = new org.apache.hadoop.fs.Path(path).toUri.getPath match {
-      case null => path
-      case p => p
-    }
-    GraftTable.load(sqlContext.sparkSession, local)
+    GraftTable.load(sqlContext.sparkSession, GraftTable.localPath(path))
   }
 
   private def cdcMode(parameters: Map[String, String]): Boolean =
@@ -168,10 +167,7 @@ class GraftTableSourceProvider extends StreamSourceProvider
   */
 class GraftTableSink(spark: SparkSession, path: String,
     appId: String) extends Sink {
-  private val local = new org.apache.hadoop.fs.Path(path).toUri.getPath match {
-    case null => path
-    case p => p
-  }
+  private val local = GraftTable.localPath(path)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // addBatch data must be drained via its incremental plan, not

@@ -210,11 +210,7 @@ object GraftSql {
           .orElse(meta.storage.locationUri.map(_.getPath))
           .getOrElse(throw new IllegalArgumentException(
             s"no path for graft table ${parts.mkString(".")}"))
-        val local = new org.apache.hadoop.fs.Path(path).toUri.getPath match {
-          case null => path
-          case p => p
-        }
-        Target(GraftTable.load(spark, local),
+        Target(GraftTable.load(spark, GraftTable.localPath(path)),
           Set(parts.last.toLowerCase), Some(parts.mkString(".")))
       case other => throw new IllegalArgumentException(
         s"unsupported DML target: ${other.nodeName}")
@@ -304,12 +300,16 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"only single-key equality merge conditions are supported, got ${other.sql}")
     }
-    // GraftTable.merge keys on ONE shared column name
+    // GraftTable.merge keys on ONE shared column name: ADD the target
+    // key as an alias of the source key (keeping the original column,
+    // so clause expressions referencing s.<srcKey> still resolve in
+    // the src struct)
     val srcDf = if (srcKey == tgtKey) srcDf0
       else {
         require(!srcDf0.columns.contains(tgtKey),
-          s"source already has a column named $tgtKey")
-        srcDf0.withColumnRenamed(srcKey, tgtKey)
+          s"source already has an unrelated column named $tgtKey; " +
+            s"alias it away before merging on $srcKey")
+        srcDf0.withColumn(tgtKey, org.apache.spark.sql.functions.col(srcKey))
       }
 
     val matched: Seq[GraftTable.MatchedClause] = m.matchedActions.map {

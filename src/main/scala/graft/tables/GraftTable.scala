@@ -198,22 +198,44 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
                     smaxs.get(name).filter(_ >= hi).getOrElse(hi))
                 } else sInvalid.add(name)
               }
+              // stats must live in the SAME domain as the pushed
+              // Catalyst literal or pruning silently drops matching
+              // files: decimals store UNSCALED ints (descale by the
+              // logical type's scale), and timestamp stats are only
+              // trusted in MICROS (Catalyst's literal unit)
+              import org.apache.parquet.schema.LogicalTypeAnnotation
+              val logical = cc.getPrimitiveType.getLogicalTypeAnnotation
+              val decimalScale: Option[Int] = logical match {
+                case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  Some(d.getScale)
+                case _ => None
+              }
+              val nonMicrosTimestamp = logical match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS
+                case _ => false
+              }
               val lohi: Option[(Double, Double)] = prim match {
-                case INT32 => Some((
-                  st.genericGetMin.asInstanceOf[Number].doubleValue,
-                  st.genericGetMax.asInstanceOf[Number].doubleValue))
-                case INT64 =>
+                case _ if nonMicrosTimestamp => None
+                case INT32 | INT64 =>
                   // long → double is lossy beyond 2^53; a rounded-UP
-                  // min (or rounded-down max) would let snapshotPruned
-                  // drop a file that holds matching rows. Widen one
-                  // ULP outward in that range — pruning must only
-                  // ever be conservative.
+                  // min (or rounded-down max) would let pruning drop
+                  // a file that holds matching rows. Widen one ULP
+                  // outward in that range — pruning must only ever
+                  // be conservative.
                   val lo = st.genericGetMin.asInstanceOf[Number].longValue
                   val hi = st.genericGetMax.asInstanceOf[Number].longValue
                   val exact = 1L << 53
                   val loD = if (math.abs(lo) > exact) Math.nextDown(lo.toDouble) else lo.toDouble
                   val hiD = if (math.abs(hi) > exact) Math.nextUp(hi.toDouble) else hi.toDouble
-                  Some((loD, hiD))
+                  decimalScale match {
+                    case Some(s) =>
+                      val f = math.pow(10, s)
+                      // descaled bounds widened one ULP outward:
+                      // the division may round toward the interior
+                      Some((Math.nextDown(loD / f), Math.nextUp(hiD / f)))
+                    case None => Some((loD, hiD))
+                  }
                 case FLOAT | DOUBLE => Some((
                   st.genericGetMin.asInstanceOf[Number].doubleValue,
                   st.genericGetMax.asInstanceOf[Number].doubleValue))
@@ -427,8 +449,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           }
           if (superseded) return latestVersion
           // a racer that EVOLVED the schema invalidates our aligned
-          // projection — surface the conflict instead of clobbering
+          // projection, and one that ADDED a constraint invalidates
+          // our pre-write validation — surface the conflict instead
+          // of clobbering / landing now-violating rows
           if (schemaAt(latestVersion) != schemaAt(base)) throw e
+          if (readCommit(latestVersion).constraints.getOrElse(Map.empty) !=
+              readCommit(base).constraints.getOrElse(Map.empty)) throw e
           if (attempts > 10) throw e
       }
     }
@@ -503,9 +529,23 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       cdcFiles = Some(cdc))
   }
 
+  /** Resolve assignment keys against the schema (case-insensitively,
+    * matching Spark SQL's resolution) — a typo'd SET column must be
+    * an error, not a silently committed no-op.
+    */
+  private def resolveAssignments(schema: StructType,
+      m: Map[String, Column], context: String): Map[String, Column] =
+    m.map { case (k, v) =>
+      schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$context references unknown column '$k' " +
+            s"(columns: ${schema.fieldNames.mkString(", ")})")) -> v
+    }
+
   /** DML UPDATE ... SET assignments WHERE cond. */
-  def update(cond: Column, set: Map[String, Column]): Long = {
+  def update(cond: Column, set0: Map[String, Column]): Long = {
     val base = latestVersion
+    val set = resolveAssignments(schemaAt(base), set0, "UPDATE SET")
     val touched = touchedFiles(cond)
     if (touched.isEmpty)
       return commit("UPDATE", base, filesAt(base), schemaAt(base), Map(),
@@ -530,7 +570,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     enforceConstraints(updated)
     val rewritten = writeData(updated)
     // write-time CDC: pre/post images of exactly the cond rows — two
-    // extra file-pruned scans at write, zero shuffles at read
+    // extra file-pruned scans at write, zero shuffles at read.
+    // Delta semantics: identity assignments (SET x = x) still emit
+    // pre/post pairs here; the EXCEPT ALL fallback cancels them, so
+    // the two paths differ only for value-preserving updates
     val cdc = writeCdc(
       marked.where(col("__hit")).drop("__hit")
         .withColumn("_change_type", lit("update_preimage"))
@@ -564,20 +607,37 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * land in fresh files — blast radius stays file-granular.
     */
   def merge(source: DataFrame, key: String,
-      matched: Seq[GraftTable.MatchedClause],
-      notMatched: Option[GraftTable.NotMatchedInsert]): Long = {
-    import GraftTable.{MatchedDelete, MatchedUpdate}
+      matched0: Seq[GraftTable.MatchedClause],
+      notMatched0: Option[GraftTable.NotMatchedInsert]): Long = {
+    import GraftTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
     val base = latestVersion
     val schema = schemaAt(base)
+    // typo'd clause assignment keys fail loudly, like UPDATE's
+    val matched = matched0.map {
+      case MatchedUpdate(c, Some(m)) =>
+        MatchedUpdate(c, Some(resolveAssignments(schema, m, "MERGE UPDATE SET")))
+      case other => other
+    }
+    val notMatched = notMatched0.map {
+      case NotMatchedInsert(c, Some(m)) =>
+        NotMatchedInsert(c, Some(resolveAssignments(schema, m, "MERGE INSERT")))
+      case other => other
+    }
+    // the source is consulted by the dup-key check, the touched-file
+    // probe, the clause join, the not-matched anti-join and the CDC
+    // write — persist ONE evaluation (a non-deterministic or
+    // concurrently-changing source must not answer differently per
+    // branch)
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Delta semantics: a target row matched by MULTIPLE source rows is
     // an error, not a silent row multiplication through the join
-    val dupKeys = source.groupBy(col(key)).count()
+    val dupKeys = src.groupBy(col(key)).count()
       .where(col("count") > 1).limit(1).collect()
     if (dupKeys.nonEmpty)
       throw new IllegalArgumentException(
         s"MERGE source has duplicate join keys (e.g. $key=${dupKeys(0).get(0)}); " +
           "each target row must match at most one source row")
-    val keys = source.select(col(key)).distinct()
+    val keys = src.select(col(key)).distinct()
     val withFile = snapshot().withColumn("__file", input_file_name())
     // no broadcast hint: the planner (and AQE) picks the join — a
     // corpus-sized source must not be forced through the driver
@@ -589,8 +649,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else spark.read.schema(schema).parquet(touched.map(abs): _*)
     // one left join exposes each target row with its (optional)
     // source match as a struct; clause resolution is pure projection
-    val srcStruct = source.select(col(key).as("__sk"),
-      struct(source.columns.map(col): _*).as("src"))
+    val srcStruct = src.select(col(key).as("__sk"),
+      struct(src.columns.map(col): _*).as("src"))
     val joined = tgtRows.join(srcStruct, col(key) === col("__sk"), "left")
     val isMatched = col("src").isNotNull
     val action = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
@@ -626,7 +686,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // (touchedFiles covers every file containing one), so the insert
     // set is source anti-join those keys
     val inserts = notMatched.map { ni =>
-      val unmatched = source.join(tgtRows.select(col(key)).distinct(),
+      val unmatched = src.join(tgtRows.select(col(key)).distinct(),
         Seq(key), "left_anti")
       val accepted = ni.condition.map(unmatched.where).getOrElse(unmatched)
       ni.values match {
@@ -658,6 +718,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .reduce(_ unionByName _)
     val cdc = writeCdc(cdcAll)
     tagged.unpersist()
+    src.unpersist()
     commit("MERGE", base,
       filesAt(base).filterNot(touched.contains) ++ rewritten, schema,
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
@@ -923,6 +984,15 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
 class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
 object GraftTable {
+  /** Normalize catalog-supplied `file:` URIs to plain local paths
+    * (CREATE TABLE hands providers URI-form locations).
+    */
+  def localPath(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath match {
+      case null => path
+      case p => p
+    }
+
   /** A streaming micro-batch: absolute file paths + schema to read them with. */
   case class VersionBatch(files: Seq[String], schema: StructType)
 

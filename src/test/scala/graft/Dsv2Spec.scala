@@ -232,6 +232,24 @@ class Dsv2Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("decimal predicates never mis-prune (unscaled footer stats descaled)") {
+    // parquet stores DecimalType(10,2) as unscaled INT64 — stats must
+    // be descaled or a scaled literal falls outside every interval
+    // and the scan silently returns nothing
+    val dir = Files.createTempDirectory("graft_decimal_").resolve("t").toString
+    val df = spark.range(1, 101)
+      .select($"id", ($"id".cast("decimal(10,2)") / 4).as("price"))
+    GraftTable.create(spark, dir, df)
+    val read = spark.read.format("graft-table").load(dir)
+      .where($"price" === java.math.BigDecimal.valueOf(2.50))
+    assert(read.count() === df.where($"price" === 2.50).count())
+    assert(read.count() === 1)
+    // range predicate too
+    assert(spark.read.format("graft-table").load(dir)
+      .where($"price" > java.math.BigDecimal.valueOf(20.0)).count() ===
+      df.where($"price" > 20.0).count())
+  }
+
   test("read after additive schema evolution pads old files with nulls") {
     val (t, dir) = freshTable(parts = 2)
     val extra = t.snapshot().limit(10)

@@ -165,6 +165,22 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_sub")
   }
 
+  test("typo'd SET columns fail loudly instead of committing a no-op") {
+    val (t, _) = registered("gs_typo")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          "UPDATE gs_typo SET o_totalprics = 0 WHERE o_orderkey = 1")
+      }
+      assert(e.getMessage.contains("unknown column"))
+      // case-insensitive resolution still works (Spark SQL semantics)
+      GraftSql.sql(spark,
+        "UPDATE gs_typo SET O_TOTALPRICE = 1.0 WHERE o_orderkey = 1")
+      assert(t.snapshot().where($"o_orderkey" === 1)
+        .head.getAs[Double]("o_totalprice") === 1.0)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_typo")
+  }
+
   test("MERGE rejects duplicate source keys instead of multiplying rows") {
     val (t, _) = registered("gs_dup")
     try {
