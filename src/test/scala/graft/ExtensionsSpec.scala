@@ -102,6 +102,14 @@ class ExtensionsSpec extends SparkSpec {
         .head.getLong(0) === before)
       // non-graft SQL is untouched
       assert(s2.sql("SELECT 1 + 1").head.getInt(0) === 2)
+      // DML on a non-graft target falls through to Spark's own
+      // behavior (analyzer rejection), not a graft error
+      val err = intercept[Exception] {
+        s2.sql(s"DELETE FROM parquet.`$sf/orders.parquet` WHERE 1 = 1")
+      }
+      assert(!err.getMessage.contains("graft"), err.getMessage)
+      // and a non-graft DESCRIBE HISTORY is not claimed either
+      intercept[Exception] { s2.sql("DESCRIBE HISTORY not_a_graft_table") }
       s2.sql("DROP TABLE IF EXISTS gp_orders")
     } finally {
       SparkSession.setActiveSession(prev)
