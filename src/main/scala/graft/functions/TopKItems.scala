@@ -80,7 +80,12 @@ case class TopKItemsAgg(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (kk, vv) => out.writeUTF(kk); out.writeLong(vv) }
+    buf.foreach { case (kk, vv) =>
+      // length-prefixed bytes, not writeUTF: items beyond 64 KiB of
+      // UTF-8 (arbitrary string columns) must not crash the shuffle
+      val bs = kk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bs.length); out.write(bs); out.writeLong(vv)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -88,7 +93,12 @@ case class TopKItemsAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val bs = new Array[Byte](len); in.readFully(bs)
+      buf.update(new String(bs, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     buf
   }
 

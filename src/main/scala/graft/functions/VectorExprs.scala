@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native codegen'd vector kernels over Array[Float] columns — the
   * hot path of every similarity operator. Spark's array
@@ -18,9 +19,28 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * sequential list_sum, so results stay bit-identical (spec-checked)
   * while the loop runs at codegen speed.
   */
+
+/** Analysis-time input validation shared by the vector kernels: the
+  * unsafe getFloat/getLong readers would silently misread any other
+  * element width (e.g. array<double> read 4 bytes at a time).
+  */
+private[functions] object VecTypeCheck {
+  def arrays(elem: DataType, kinds: Seq[(String, DataType)]): TypeCheckResult = {
+    kinds.collectFirst {
+      case (name, t) if !t.isInstanceOf[ArrayType] ||
+          t.asInstanceOf[ArrayType].elementType != elem =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name must be array<${elem.simpleString}>, got ${t.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+}
+
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrays(FloatType,
+      Seq(("left", left.dataType), ("right", right.dataType)))
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
@@ -51,6 +71,8 @@ case class VecDot(left: Expression, right: Expression)
 
 case class VecNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrays(FloatType, Seq(("input", child.dataType)))
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var acc = 0.0; var i = 0
@@ -78,6 +100,9 @@ case class VecNorm(child: Expression) extends UnaryExpression {
 case class VecL2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrays(FloatType,
+      Seq(("left", left.dataType), ("right", right.dataType)))
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
@@ -113,6 +138,9 @@ case class VecL2Sq(left: Expression, right: Expression)
   */
 case class VecL2SqLong(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrays(LongType,
+      Seq(("left", left.dataType), ("right", right.dataType)))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]

@@ -75,9 +75,16 @@ object RiskPipeline {
     val train = data.filter(col("issue_year") <= 1997)
     val valid = data.filter(col("issue_year") > 1997)
     val model = pipeline().fit(train)
+    // fit (the multi-pass consumer) is done — release the cache; the
+    // single transform pass below recomputes lazily
+    data.unpersist()
     model.transform(valid)
       .select(col("o_orderkey"), col("bad_flag"), col("prediction"),
-        col("probability").cast("string").as("probability"))
+        col("probability").cast("string").as("probability"),
+        // the REAL positive-class score for ranking metrics — a
+        // thresholded 0/1 column degenerates AUC to a 2-point ROC
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1).as("prob_bad"))
   }
 
   /** Deterministic FIXED-coefficient scoring of the transform path —
@@ -109,10 +116,13 @@ object RiskPipeline {
       .withColumn("prediction", (col("score") > 1.0).cast("int"))
   }
 
-  /** AUC of the scored validation set (03-Fraud-ML.py:197-213). */
+  /** AUC of the scored validation set (03-Fraud-ML.py:197-213),
+    * evaluated on the model's probability (`prob_bad` from [[score]]),
+    * not the hard 0/1 prediction.
+    */
   def auc(scored: DataFrame): Double =
     new BinaryClassificationEvaluator().setLabelCol("bad_flag")
-      .setRawPredictionCol("prediction").evaluate(scored)
+      .setRawPredictionCol("prob_bad").evaluate(scored)
 
   /** Max-F1 threshold selection (03-Fraud-ML.py:172-179): sweep the
     * training summary's fMeasureByThreshold, return the argmax
@@ -141,7 +151,9 @@ object RiskPipeline {
       .setMaxIter(5).setMaxDepth(3).setFeaturesCol("scaledFeatures")
       .setLabelCol("bad_flag").setSeed(42L)
     val pipe = new Pipeline().setStages(stages.dropRight(1) :+ gbt)
-    pipe.fit(train).transform(valid)
+    val model = pipe.fit(train)
+    data.unpersist()
+    model.transform(valid)
       .select(col("o_orderkey"), col("bad_flag"), col("prediction"))
   }
 

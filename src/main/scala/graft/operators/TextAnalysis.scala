@@ -59,7 +59,10 @@ object TextAnalysis {
     d.select(col("doc_id"), col("lang").as("lang_tagged"),
       sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"), sEs.as("s_es"))
       .withColumn("lang_pred",
-        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+        // null text ⇒ null scores ⇒ every comparison is null and the
+        // otherwise() branch would confidently claim "es" — guard it
+        when(col("s_en").isNull, lit(null).cast("string"))
+          .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
           .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
           .when(col("s_fr") >= col("s_es"), "fr")
           .otherwise("es"))

@@ -20,6 +20,11 @@ object Streams {
 
   /** Tumbling 1-hour event-time window aggregate (batch form;
     * date_trunc is the oracle-portable spelling of window()).
+    * Batch/stream parity holds under whole-hour-offset session
+    * timezones (graft pins UTC in Sessions.tune): date_trunc cuts
+    * on the session-TZ wall clock while window() tumbles from the
+    * epoch — a fractional-offset TZ (e.g. +5:30) would shift the
+    * two bucketings against each other.
     */
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame =
     windowedAggOf(Tables.events(spark, sfDir))
@@ -93,7 +98,10 @@ object Streams {
             val t = micros(e.ts)
             cur match {
               case Some(s) if t - s.end <= gapUs =>
-                cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+                // a LATE event (t inside the open session) must never
+                // move the session end backward — bounds only widen
+                cur = Some(s.copy(start = math.min(s.start, t),
+                  end = math.max(s.end, t), n = s.n + 1, sum = s.sum + e.value))
               case Some(s) =>
                 out += SessionOut(uid, fromMicros(s.start), fromMicros(s.end), s.n)
                 cur = Some(SessionState(t, t, 1, e.value))
@@ -107,8 +115,12 @@ object Streams {
   }
 
   /** Session windows via Spark's native session_window operator —
-    * the built-in counterpart of `sessionize` (identical gap
-    * semantics, streaming-capable with a watermark).
+    * the built-in counterpart of `sessionize`. NOT bit-identical
+    * semantics: session_window's end is last-event-ts + gap (vs
+    * sessionize's max event ts), and an exactly-gap-sized pause
+    * still merges in `sessionize` (split needs gap STRICTLY
+    * exceeded) while session_window's half-open windows make it
+    * split — each form has its own oracle.
     */
   def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -47,6 +47,23 @@ class LshEquivalenceSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("vector kernels reject wrong-typed arrays at analysis time") {
+    graft.functions.VectorExprs.register(spark)
+    import org.apache.spark.sql.functions._
+    val doubles = spark.range(1).select(array(lit(0.1), lit(0.2)).as("v"))
+    // array<double> through the float kernels would silently misread
+    // 4 bytes of each 8-byte element — must fail analysis instead
+    val e = intercept[Exception] {
+      doubles.select(graft.functions.VectorExprs.vec_dot($"v", $"v")).collect()
+    }
+    assert(e.getMessage.contains("array<float>"), e.getMessage)
+    val longs = spark.range(1).select(array(lit(1), lit(2)).as("v")) // array<int>
+    val e2 = intercept[Exception] {
+      longs.select(graft.functions.VectorExprs.vec_l2sq_long($"v", $"v")).collect()
+    }
+    assert(e2.getMessage.contains("array<bigint>"), e2.getMessage)
+  }
+
   test("embedding LSH pairs ⊆ brute-force cosine pairs, measured recall") {
     graft.functions.VectorExprs.register(spark)
     val emb = Tables.load(spark, sf, "embeddings")

@@ -291,4 +291,34 @@ class StreamingSpec extends SparkSpec {
     // only the v2 commit's rows stream out
     assert(spark.table("gt_sv").as[Long].collect().toSet === Set(6L, 7L))
   }
+
+  test("late in-session events never move the streaming session end backward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minute: Int) = Streams.Ev(1L, id,
+      java.time.Instant.parse(f"2024-01-01T10:$minute%02d:00Z"), 1.0)
+    val mem = MemoryStream[Streams.Ev]
+    val out = Files.createTempDirectory("graft_late_").toString
+    val ckpt = Files.createTempDirectory("graft_late_ckpt_").toString
+    val q = Streams.sessionizeStream(mem.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(ev(1, 0), ev(2, 20))      // open session [10:00, 10:20]
+    q.processAllAvailable()
+    mem.addData(ev(3, 5))                 // LATE event inside the session
+    q.processAllAvailable()
+    mem.addData(ev(4, 40), ev(5, 59))     // 20min after 10:20 -> same session
+    q.processAllAvailable()
+    // force the open session to flush: an event far in the future
+    mem.addData(ev(6, 0).copy(ts = java.time.Instant.parse("2024-01-01T23:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.read.parquet(out)
+      .select($"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    // ONE session 10:00-10:59 with all 5 events — before the fix the
+    // late 10:05 event regressed the end and 10:40 split the session
+    assert(sessions.head === ("2024-01-01 10:00:00", "2024-01-01 10:59:00", 5L),
+      sessions.mkString(", "))
+  }
 }
