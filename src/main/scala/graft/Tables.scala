@@ -35,6 +35,16 @@ object Tables {
     */
   def asDouble(c: Column): Column = round(c, 4).cast("double")
 
+  /** The engine-portable hash residue: 15 md5 hex chars (60 bits,
+    * sign-safe in a long) parsed base-16 — equals DuckDB's
+    * CAST('0x'||substr(md5(x),1,15) AS BIGINT). ONE spelling shared
+    * by every operator whose oracle replays it (splits, sampling,
+    * feature hashing, portable sketches); `offset` picks an
+    * independent 60-bit slice of the digest.
+    */
+  def md5Residue(c: Column, offset: Int = 1): Column =
+    conv(substring(md5(c), offset, 15), 16, 10).cast("long")
+
   /** events.ts is written as parquet INT64 nanos; normalized here if
     * the runtime surfaces it as a long (see Sessions.nanosAsLong).
     */

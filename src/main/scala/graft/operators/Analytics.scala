@@ -238,8 +238,7 @@ object Analytics {
         concat(lit("status="), col("o_orderstatus")))).as("feat"))
     feats
       .withColumn("bucket",
-        (conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long") % numBuckets)
-          .cast("int"))
+        (Tables.md5Residue(col("feat")) % numBuckets).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
   }

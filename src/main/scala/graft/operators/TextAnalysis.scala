@@ -120,8 +120,7 @@ object TextAnalysis {
     * the oracle replicates it exactly.
     */
   def deterministicSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
+    val bucket = Tables.md5Residue(col("doc_id").cast("string")) % 100
     Tables.load(spark, sfDir, "documents").select(
       col("doc_id"), bucket.as("bucket"),
       when(bucket < 80, "train").when(bucket < 90, "val")
@@ -138,8 +137,7 @@ object TextAnalysis {
     * kept).
     */
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
-    val residue = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 1000
+    val residue = Tables.md5Residue(col("doc_id").cast("string")) % 1000
     val keepBelow = when(col("lang") === "en", 400)
       .when(col("lang").isin("fr", "de"), 700)
       .otherwise(1000)
