@@ -94,12 +94,40 @@ object Streams {
           val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var cur = state.getOption
           val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
+          // An event more than the gap OLDER than the open session's
+          // start can never belong to it — batch sessionize closes
+          // its session strictly before state.start, so merging it
+          // would widen the live session backward into shapes the
+          // batch twin can never emit. Policy: sessionize the
+          // too-late prefix among itself and emit those sessions
+          // already CLOSED (without a watermark there is nothing
+          // further to merge them with). Sorted ascending, the
+          // too-late events are exactly a prefix.
+          val (ancient, live) = cur match {
+            case Some(s) => sorted.span(e => micros(e.ts) < s.start - gapUs)
+            case None => (Seq.empty[Ev], sorted)
+          }
+          var anc: Option[SessionState] = None
+          ancient.foreach { e =>
+            val t = micros(e.ts)
+            anc match {
+              case Some(a) if t - a.end <= gapUs =>
+                anc = Some(a.copy(end = t, n = a.n + 1, sum = a.sum + e.value))
+              case _ =>
+                anc.foreach(a =>
+                  out += SessionOut(uid, fromMicros(a.start), fromMicros(a.end), a.n))
+                anc = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          anc.foreach(a =>
+            out += SessionOut(uid, fromMicros(a.start), fromMicros(a.end), a.n))
+          live.foreach { e =>
             val t = micros(e.ts)
             cur match {
               case Some(s) if t - s.end <= gapUs =>
-                // a LATE event (t inside the open session) must never
-                // move the session end backward — bounds only widen
+                // a LATE event (t inside the open session, but within
+                // the gap of its start) must never move the session
+                // end backward — bounds only widen
                 cur = Some(s.copy(start = math.min(s.start, t),
                   end = math.max(s.end, t), n = s.n + 1, sum = s.sum + e.value))
               case Some(s) =>

@@ -630,8 +630,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // branch)
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Delta semantics: a target row matched by MULTIPLE source rows is
-    // an error, not a silent row multiplication through the join
-    val dupKeys = src.groupBy(col(key)).count()
+    // an error, not a silent row multiplication through the join.
+    // Null keys are exempt — they never equi-match a target row, so
+    // any number of them are legitimate NOT MATCHED inserts
+    val dupKeys = src.where(col(key).isNotNull).groupBy(col(key)).count()
       .where(col("count") > 1).limit(1).collect()
     if (dupKeys.nonEmpty)
       throw new IllegalArgumentException(

@@ -71,6 +71,21 @@ class GraftTableSpec extends SparkSpec {
     assert(out === Array((1L, "new"), (2L, "keep"), (3L, "ins")))
   }
 
+  test("merge: several null-key source rows are inserts, not duplicates") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((Option(1L), "old")).toDF("id", "v"))
+    // null keys never equi-match a target row — Delta treats each as
+    // NOT MATCHED; only real key collisions are a merge error
+    t.merge(Seq((Option.empty[Long], "x"), (Option.empty[Long], "y"),
+      (Option(1L), "new")).toDF("id", "v"), "id")
+    val out = t.snapshot().as[(Option[Long], String)].collect().sortBy(_._2)
+    assert(out === Array((Option(1L), "new"), (None, "x"), (None, "y")))
+    val err = intercept[IllegalArgumentException] {
+      t.merge(Seq((Option(2L), "a"), (Option(2L), "b")).toDF("id", "v"), "id")
+    }
+    assert(err.getMessage.contains("duplicate join keys"))
+  }
+
   test("time travel reads pre-delete state; history records ops") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     t.delete($"id" === 1)

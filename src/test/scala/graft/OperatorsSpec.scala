@@ -313,4 +313,45 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L) === s"$bp\nwiki body") // wiki source: bp count = 1 there
     assert(out(6L) === "")
   }
+
+  test("connected components on an empty pair set is the empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(empty)
+    assert(out.columns.toSeq === Seq("doc_id", "cluster_id", "is_survivor"))
+    assert(out.count() === 0)
+  }
+
+  test("connected components resolves chains to the min label") {
+    // path graph 5-4, 4-3, 3-2, 2-1 plus an isolated pair 10-11:
+    // diameter forces several propagation rounds
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (10L, 10L), (11L, 10L)))
+    assert(out.filter(_._3 === 1).map(_._1).toSeq === Seq(1L, 10L))
+  }
+
+  test("profile runs ONE scan and matches per-column direct stats") {
+    val out = Profile.profileOrders(spark, sf)
+    // count source relations in the optimized logical plan (the
+    // physical scan hides inside AdaptiveSparkPlanExec pre-execution)
+    val scans = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(scans.size === 1, "profile must read the table exactly once")
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    val orders = Tables.load(spark, sf, "orders")
+    val n = orders.count()
+    val direct = orders.agg(
+      countDistinct($"o_custkey"), min($"o_totalprice").cast("double"),
+      max($"o_totalprice").cast("double"), min($"o_orderstatus"),
+      max($"o_orderstatus")).head()
+    assert(rows("o_custkey").getAs[Long]("n_rows") === n)
+    assert(rows("o_custkey").getAs[Long]("n_distinct") === direct.getLong(0))
+    assert(rows("o_totalprice").getAs[Double]("min_num") === direct.getDouble(1))
+    assert(rows("o_totalprice").getAs[Double]("max_num") === direct.getDouble(2))
+    assert(rows("o_orderstatus").getAs[String]("min_str") === direct.getString(3))
+    assert(rows("o_orderstatus").getAs[String]("max_str") === direct.getString(4))
+    assert(rows("o_orderkey").getAs[Long]("null_count") === 0L)
+  }
 }

@@ -321,4 +321,35 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head === ("2024-01-01 10:00:00", "2024-01-01 10:59:00", 5L),
       sessions.mkString(", "))
   }
+
+  test("events older than the open session by over the gap close separately") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(id: Long, iso: String) = Streams.Ev(1L, id,
+      java.time.Instant.parse(iso), 1.0)
+    val mem = MemoryStream[Streams.Ev]
+    val out = Files.createTempDirectory("graft_anc_").toString
+    val ckpt = Files.createTempDirectory("graft_anc_ckpt_").toString
+    val q = Streams.sessionizeStream(mem.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(at(1, "2024-01-01T10:00:00Z"), at(2, "2024-01-01T10:20:00Z"))
+    q.processAllAvailable()
+    // 2h-stale stragglers: gap-mergeable with each other, never with
+    // the open 10:00 session — they must NOT widen it backward
+    mem.addData(at(3, "2024-01-01T08:00:00Z"), at(4, "2024-01-01T08:10:00Z"))
+    q.processAllAvailable()
+    // flush the live session with a far-future event
+    mem.addData(at(5, "2024-01-01T23:00:00Z"))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.read.parquet(out)
+      .select($"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    // the stale pair forms ONE already-closed session; the live
+    // session's bounds are untouched by them
+    assert(sessions.toSeq.take(2) === Seq(
+      ("2024-01-01 08:00:00", "2024-01-01 08:10:00", 2L),
+      ("2024-01-01 10:00:00", "2024-01-01 10:20:00", 2L)), sessions.mkString(", "))
+  }
 }
