@@ -22,27 +22,35 @@ import org.apache.spark.sql.types.{NumericType, StringType}
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    def metrics(c: String): Seq[Column] = {
+    // Metric aliases are INDEX-based (m0_null, m1_null, …), never
+    // embedding the raw column name: re-referencing an alias through
+    // col() parses dots/backticks as nested-field access, so a name
+    // like "a.b" (or the same column listed twice) would break the
+    // rebind below. The data column itself is fetched positionally
+    // from the input schema for the same reason.
+    def metrics(c: String, i: Int): Seq[Column] = {
       val dt = df.schema(c).dataType
       val isNum = dt.isInstanceOf[NumericType]
       val isStr = dt == StringType
+      val in = df(s"`${c.replace("`", "``")}`")
       Seq(
-        (count(lit(1)) - count(col(c))).as(s"null_count_$c"),
-        countDistinct(col(c)).as(s"n_distinct_$c"),
-        (if (isNum) min(col(c)).cast("double") else lit(null).cast("double")).as(s"min_num_$c"),
-        (if (isNum) max(col(c)).cast("double") else lit(null).cast("double")).as(s"max_num_$c"),
-        (if (isStr) min(col(c)) else lit(null).cast("string")).as(s"min_str_$c"),
-        (if (isStr) max(col(c)) else lit(null).cast("string")).as(s"max_str_$c"))
+        (count(lit(1)) - count(in)).as(s"m${i}_null"),
+        countDistinct(in).as(s"m${i}_distinct"),
+        (if (isNum) min(in).cast("double") else lit(null).cast("double")).as(s"m${i}_min_num"),
+        (if (isNum) max(in).cast("double") else lit(null).cast("double")).as(s"m${i}_max_num"),
+        (if (isStr) min(in) else lit(null).cast("string")).as(s"m${i}_min_str"),
+        (if (isStr) max(in) else lit(null).cast("string")).as(s"m${i}_max_str"))
     }
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(metrics)
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.zipWithIndex.flatMap { case (c, i) => metrics(c, i) }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // one row of driver scalars → long format; no second scan
-    val perCol = cols.map { c =>
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
       struct(lit(c).as("column"), col("n_rows"),
-        col(s"null_count_$c").as("null_count"),
-        col(s"n_distinct_$c").as("n_distinct"),
-        col(s"min_num_$c").as("min_num"), col(s"max_num_$c").as("max_num"),
-        col(s"min_str_$c").as("min_str"), col(s"max_str_$c").as("max_str"))
+        col(s"m${i}_null").as("null_count"),
+        col(s"m${i}_distinct").as("n_distinct"),
+        col(s"m${i}_min_num").as("min_num"), col(s"m${i}_max_num").as("max_num"),
+        col(s"m${i}_min_str").as("min_str"), col(s"m${i}_max_str").as("max_str"))
     }
     wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }

@@ -91,50 +91,33 @@ object Streams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
-          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var cur = state.getOption
+          // ONE sessionization over the whole batch PLUS the open
+          // state, treated as proto-sessions (each event a singleton,
+          // the state an interval) merged in start order under the
+          // gap rule. A session is emitted CLOSED only when the next
+          // proto-session starts more than the gap after it ends —
+          // since starts are ascending, nothing later can bridge back
+          // to it. This keeps chain-bridging correct: late stragglers
+          // within the gap of each other and of the open session's
+          // (possibly backward-widened) start all collapse into one
+          // session, exactly as the batch twin would merge them.
+          val items = (state.getOption.toSeq ++ evs.map(e =>
+              SessionState(micros(e.ts), micros(e.ts), 1, e.value)))
+            .sortBy(s => (s.start, s.end))
           val out = Seq.newBuilder[SessionOut]
-          // An event more than the gap OLDER than the open session's
-          // start can never belong to it — batch sessionize closes
-          // its session strictly before state.start, so merging it
-          // would widen the live session backward into shapes the
-          // batch twin can never emit. Policy: sessionize the
-          // too-late prefix among itself and emit those sessions
-          // already CLOSED (without a watermark there is nothing
-          // further to merge them with). Sorted ascending, the
-          // too-late events are exactly a prefix.
-          val (ancient, live) = cur match {
-            case Some(s) => sorted.span(e => micros(e.ts) < s.start - gapUs)
-            case None => (Seq.empty[Ev], sorted)
-          }
-          var anc: Option[SessionState] = None
-          ancient.foreach { e =>
-            val t = micros(e.ts)
-            anc match {
-              case Some(a) if t - a.end <= gapUs =>
-                anc = Some(a.copy(end = t, n = a.n + 1, sum = a.sum + e.value))
-              case _ =>
-                anc.foreach(a =>
-                  out += SessionOut(uid, fromMicros(a.start), fromMicros(a.end), a.n))
-                anc = Some(SessionState(t, t, 1, e.value))
-            }
-          }
-          anc.foreach(a =>
-            out += SessionOut(uid, fromMicros(a.start), fromMicros(a.end), a.n))
-          live.foreach { e =>
-            val t = micros(e.ts)
+          var cur: Option[SessionState] = None
+          items.foreach { s =>
             cur match {
-              case Some(s) if t - s.end <= gapUs =>
-                // a LATE event (t inside the open session, but within
-                // the gap of its start) must never move the session
-                // end backward — bounds only widen
-                cur = Some(s.copy(start = math.min(s.start, t),
-                  end = math.max(s.end, t), n = s.n + 1, sum = s.sum + e.value))
-              case Some(s) =>
-                out += SessionOut(uid, fromMicros(s.start), fromMicros(s.end), s.n)
-                cur = Some(SessionState(t, t, 1, e.value))
+              case Some(c) if s.start - c.end <= gapUs =>
+                // bounds only widen (an event inside the open
+                // interval must never move its end backward)
+                cur = Some(SessionState(math.min(c.start, s.start),
+                  math.max(c.end, s.end), c.n + s.n, c.sum + s.sum))
+              case Some(c) =>
+                out += SessionOut(uid, fromMicros(c.start), fromMicros(c.end), c.n)
+                cur = Some(s)
               case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+                cur = Some(s)
             }
           }
           cur.foreach(state.update)

@@ -354,4 +354,20 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("o_orderstatus").getAs[String]("max_str") === direct.getString(4))
     assert(rows("o_orderkey").getAs[Long]("null_count") === 0L)
   }
+
+  test("profile survives dotted column names and duplicate entries") {
+    val df = Seq((1L, "x"), (2L, null), (3L, "x"))
+      .toDF("id", "v").withColumnRenamed("v", "props.lang")
+    val out = Profile.profile(df, Seq("props.lang", "id", "props.lang"))
+      .collect()
+    assert(out.length === 3)
+    val dotted = out.filter(_.getString(0) == "props.lang")
+    assert(dotted.length === 2)
+    dotted.foreach { r =>
+      assert(r.getAs[Long]("null_count") === 1L)
+      assert(r.getAs[Long]("n_distinct") === 1L)
+      assert(r.getAs[String]("min_str") === "x")
+    }
+    assert(out.find(_.getString(0) == "id").get.getAs[Double]("max_num") === 3.0)
+  }
 }

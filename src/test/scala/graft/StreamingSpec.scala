@@ -352,4 +352,34 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 08:00:00", "2024-01-01 08:10:00", 2L),
       ("2024-01-01 10:00:00", "2024-01-01 10:20:00", 2L)), sessions.mkString(", "))
   }
+
+  test("straggler chain bridging into the open session merges, not splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(id: Long, iso: String) = Streams.Ev(1L, id,
+      java.time.Instant.parse(iso), 1.0)
+    val mem = MemoryStream[Streams.Ev]
+    val out = Files.createTempDirectory("graft_bridge_").toString
+    val ckpt = Files.createTempDirectory("graft_bridge_ckpt_").toString
+    val q = Streams.sessionizeStream(mem.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(at(1, "2024-01-01T10:00:00Z"), at(2, "2024-01-01T10:20:00Z"))
+    q.processAllAvailable()
+    // 09:25 is over the gap before the open session's start, but
+    // 09:31 bridges them: 09:25→09:31 (6m) and 09:31→10:00 (29m) are
+    // both within the 30m gap — batch sessionize merges all four
+    // events into ONE session, so the stream must too
+    mem.addData(at(3, "2024-01-01T09:25:00Z"), at(4, "2024-01-01T09:31:00Z"))
+    q.processAllAvailable()
+    mem.addData(at(5, "2024-01-01T23:00:00Z"))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.read.parquet(out)
+      .select($"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    assert(sessions.toSeq ===
+      Seq(("2024-01-01 09:25:00", "2024-01-01 10:20:00", 4L)),
+      sessions.mkString(", "))
+  }
 }
