@@ -73,6 +73,8 @@ object SparkEntry {
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
     "tbl_delete_where" -> (TableOps.deleteWhere _),
+    "tbl_delete_dv" -> (TableOps.deleteMorScenario _),
+    "tbl_delete_dv_purge" -> (TableOps.deleteMorPurge _),
     "tbl_update_where" -> (TableOps.updateWhere _),
     "tbl_time_travel" -> (TableOps.timeTravel _),
     "tbl_compact" -> (TableOps.compactFiles _),
@@ -639,6 +641,14 @@ object SparkEntry {
     "tbl_delete_where" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)""".stripMargin,
+    "tbl_delete_dv" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)
+        |  AND NOT (o_totalprice < 5000.0)""".stripMargin,
+    "tbl_delete_dv_purge" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)
+        |  AND NOT (o_totalprice < 5000.0)""".stripMargin,
     "tbl_update_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderpriority = '1-URGENT'

@@ -69,6 +69,31 @@ object TableOps {
     t.snapshot()
   }
 
+  /** MERGE-ON-READ delete via DELETION VECTORS (Delta DV analog):
+    * two accumulating `deleteMor` calls write (file, position)
+    * tombstones — zero data files rewritten — and the snapshot
+    * masks them on read.
+    */
+  def deleteMorScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.deleteMor(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    t.deleteMor(col("o_totalprice") < lit(5000.0))
+    t.snapshot()
+  }
+
+  /** REORG ... APPLY (PURGE) analog: after merge-on-read deletes,
+    * purge rewrites ONLY the tombstoned files and drops the DVs —
+    * same logical state, now readable through the file-granular
+    * `graft-table` scan again (the reader-feature gate lifts).
+    */
+  def deleteMorPurge(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.deleteMor(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    t.deleteMor(col("o_totalprice") < lit(5000.0))
+    t.purgeDvs()
+    spark.read.format("graft-table").load(t.root.toString)
+  }
+
   /** DML UPDATE SET (decimal-exact price bump on a slice). */
   def updateWhere(spark: SparkSession, sfDir: String): DataFrame = {
     val t = scratch(spark, sfDir)

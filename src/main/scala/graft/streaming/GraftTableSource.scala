@@ -115,6 +115,16 @@ class GraftTableSourceProvider extends StreamSourceProvider
     }
     val version = parameters.get("versionAsOf").map(_.toLong)
       .getOrElse(table.latestVersion)
+    // reader-feature gate (Delta protocol semantics): this path plans
+    // scans at FILE granularity and cannot apply row-level deletion
+    // vectors — reading through it would resurrect deleted rows.
+    // Refuse; snapshot()/snapshotAt() apply DVs, and purgeDvs()
+    // returns the table to plain copy-on-write.
+    if (table.hasDvs(version))
+      throw new UnsupportedOperationException(
+        s"graft table at version $version has active deletion vectors, " +
+          "which the file-granular batch scan cannot apply; read via " +
+          "GraftTable.snapshotAt or run purgeDvs()/compact() first")
     val index = new GraftTableFileIndex(spark, table, version)
     HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
       new ParquetFileFormat, parameters)(spark)

@@ -137,6 +137,68 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     adopted
   }
 
+  /** Write a DELETION VECTOR file under `dv/`: rows of
+    * (file_path, pos) naming deleted row positions in immutable data
+    * files — the merge-on-read tombstone set. Parquet keeps it
+    * mergeable and scannable; at 100 TB the DV set is orders of
+    * magnitude smaller than the data it masks.
+    */
+  private def writeDv(df: DataFrame): Seq[String] = {
+    val staging = root.resolve(s".staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val dvDir = root.resolve("dv")
+    Files.createDirectories(dvDir)
+    val parts = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val adopted = parts.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, dvDir.resolve(name))
+      s"dv/$name"
+    }
+    deleteRecursively(staging)
+    adopted
+  }
+
+  /** Scan `files` with the row's physical address attached — schema
+    * columns plus `__fp` (absolute file path, from the parquet
+    * `_metadata` column, which unlike input_file_name() survives
+    * joins) and `__pos` (row index within the file) — minus any rows
+    * masked by the given deletion vectors. The DV mask is a LEFT ANTI
+    * join on (file, position): the DV side is tombstones only, so AQE
+    * broadcasts it against any realistically sized table.
+    */
+  private def scanWithPos(files: Seq[String], schema: StructType,
+      dv: Seq[String]): DataFrame = {
+    if (files.isEmpty) {
+      val withAddr = StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("__fp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pos",
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withAddr)
+    }
+    val raw = spark.read.schema(schema).parquet(files.map(abs): _*)
+      .select(col("*"), col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+    if (dv.isEmpty) raw
+    else raw.join(
+      spark.read.parquet(dv.map(abs): _*)
+        .select(col("file_path").as("__fp"), col("pos").as("__pos"))
+        .dropDuplicates("__fp", "__pos"),
+      Seq("__fp", "__pos"), "left_anti")
+  }
+
+  /** Read `files` under `schema` with deletion vectors applied (plain
+    * vectorized scan when there are none — the common case costs
+    * nothing).
+    */
+  private def readFilesDvAware(files: Seq[String], schema: StructType,
+      dv: Seq[String]): DataFrame =
+    if (dv.isEmpty) spark.read.schema(schema).parquet(files.map(abs): _*)
+    else scanWithPos(files, schema, dv)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+
   /** Per-file min/max per eligible column, read straight from the
     * parquet FOOTERS the writers already produced — zero extra data
     * scan (vs an aggregation job over the new files). O(files)
@@ -262,12 +324,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * was read, the hard-link claim fails → CommitConflictException —
     * instead of silently publishing a file list computed from a
     * stale snapshot (the lost-update the version must guard).
+    *
+    * `dv`: None carries the base version's deletion-vector list
+    * forward (stale entries for files no longer listed are harmless —
+    * the read-side anti-join keys on exact file paths and rewritten
+    * files get fresh names); Some(list) sets it explicitly
+    * (Some(Nil) clears, for ops that rewrite every file).
     */
   private def commit(op: String, base: Long, files: Seq[String],
       schema: StructType, metrics: Map[String, Long],
       newStats: Map[String, FileStats] = Map.empty,
       newConstraints: Map[String, String] = Map.empty,
-      cdcFiles: Option[Seq[String]] = None): Long = {
+      cdcFiles: Option[Seq[String]] = None,
+      dv: Option[Seq[String]] = None): Long = {
     val v = base + 1
     val carried = if (v == 0) Map.empty[String, FileStats]
       else readCommit(base).stats.getOrElse(Map.empty)
@@ -275,12 +344,27 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val carriedConstraints =
       if (v == 0) Map.empty[String, String]
       else readCommit(base).constraints.getOrElse(Map.empty)
+    val dvList = dv.getOrElse(if (v == 0) Nil else dvAt(base)).toList
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
       schema.json, metrics, Some(carried ++ newStats),
       Some(carriedConstraints ++ newConstraints),
-      cdcFiles.map(_.toList)))
+      cdcFiles.map(_.toList),
+      if (dvList.isEmpty) None else Some(dvList)))
     v
   }
+
+  /** Deletion-vector files active at `version` (relative paths under
+    * `dv/`, or absolute for cloned tables). Empty for most tables.
+    */
+  private def dvAt(version: Long): Seq[String] =
+    readCommit(version).dv.getOrElse(Nil)
+
+  /** Whether `version` has ACTIVE deletion vectors. Surfaces that
+    * cannot apply them (file-granular scan planning, append-only
+    * streaming replay) must refuse to read rather than resurrect
+    * deleted rows — the Delta reader-feature gate.
+    */
+  private[graft] def hasDvs(version: Long): Boolean = dvAt(version).nonEmpty
 
   /** Current CHECK constraints (name → SQL predicate). */
   def constraints: Map[String, String] =
@@ -333,8 +417,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       // explicit schema: reads stay correct across additive schema
-      // evolution (older files simply yield nulls for new columns)
-      spark.read.schema(schema).parquet(c.files.map(abs): _*)
+      // evolution (older files simply yield nulls for new columns);
+      // merge-on-read deletes are masked via the version's DVs
+      readFilesDvAware(c.files, schema, dvAt(version))
   }
 
   /** Data-skipping read: only files whose [min,max] interval for
@@ -360,7 +445,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     }
     if (keep.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(keep.map(abs): _*)
+    else readFilesDvAware(keep, schema, dvAt(latestVersion))
   }
 
   /** DESCRIBE HISTORY analog: one row per commit. */
@@ -495,16 +580,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     enforceConstraints(df)
     val added = writeData(df)
     commit("OVERWRITE", base, added, df.schema,
-      Map("numAddedFiles" -> added.size.toLong), collectStats(added))
+      Map("numAddedFiles" -> added.size.toLong), collectStats(added),
+      dv = Some(Nil))
   }
 
-  /** Files of the current version that contain ≥1 row matching
+  /** Files of the current version that contain ≥1 LIVE row matching
     * `cond` — the copy-on-write blast radius. One pushed-down scan;
-    * only file NAMES reach the driver.
+    * only file NAMES reach the driver. Uses the `_metadata` file path
+    * (not input_file_name(), which goes blank after the DV anti-join's
+    * shuffle) and ignores DV-masked rows: a file whose only matches
+    * are already deleted needs no rewrite.
     */
   private def touchedFiles(cond: Column): Seq[String] = {
-    val hits = snapshot().where(cond)
-      .select(input_file_name().as("f")).distinct()
+    val hits = scanWithPos(currentFiles, currentSchema, dvAt(latestVersion))
+      .where(cond)
+      .select(col("__fp").as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     currentFiles.filter(f => hits.exists(h => h.endsWith(f) || h.endsWith(abs(f))))
   }
@@ -516,7 +606,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (touched.isEmpty)
       return commit("DELETE", base, filesAt(base), schemaAt(base), Map(),
         cdcFiles = Some(Nil))
-    val touchedDf = spark.read.schema(schemaAt(base)).parquet(touched.map(abs): _*)
+    // DV-aware: rows already masked by deletion vectors must neither
+    // survive into the rewrite nor re-appear in the CDC delete set
+    val touchedDf = readFilesDvAware(touched, schemaAt(base), dvAt(base))
     val kept = touchedDf.where(!coalesce(cond, lit(false)))
     val rewritten = writeData(kept)
     // write-time CDC: the deleted rows are exactly the cond-matching
@@ -527,6 +619,68 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       filesAt(base).filterNot(touched.contains) ++ rewritten, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
       cdcFiles = Some(cdc))
+  }
+
+  /** MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV feature):
+    * instead of copy-on-write rewriting every file that holds a
+    * matching row, record the matching rows' (file, position)
+    * tombstones in a DV file and leave every data file untouched —
+    * O(deleted rows) written instead of O(touched files' bytes).
+    * Reads mask the tombstones with an anti-join; repeated
+    * merge-on-read deletes accumulate DV files until [[purgeDvs]] /
+    * [[compact]] rewrites them away. The write-time CDC change set is
+    * still persisted, so the change feed stays exact.
+    *
+    * The trade-off is Delta's: writes get cheaper, reads carry the
+    * mask until a purge. Surfaces that cannot apply the mask — the
+    * file-granular scan-planning path and append-only streaming
+    * replay — REFUSE tables with active DVs instead of resurrecting
+    * deleted rows (the reader-feature gate).
+    */
+  def deleteMor(cond: Column): Long = {
+    val base = latestVersion
+    val schema = schemaAt(base)
+    // one scan feeds the tombstone write AND the CDC set
+    val victims = scanWithPos(filesAt(base), schema, dvAt(base))
+      .where(coalesce(cond, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = victims.count()
+      if (n == 0)
+        return commit("DELETE_DV", base, filesAt(base), schema,
+          Map("numDeletedRows" -> 0L), cdcFiles = Some(Nil))
+      val newDv = writeDv(
+        victims.select(col("__fp").as("file_path"), col("__pos").as("pos")))
+      val cdc = writeCdc(victims.drop("__fp", "__pos")
+        .withColumn("_change_type", lit("delete")))
+      commit("DELETE_DV", base, filesAt(base), schema,
+        Map("numDeletedRows" -> n, "numAddedDvFiles" -> newDv.size.toLong),
+        cdcFiles = Some(cdc), dv = Some(dvAt(base) ++ newDv))
+    } finally victims.unpersist()
+  }
+
+  /** REORG TABLE ... APPLY (PURGE) analog: materialize the deletion
+    * vectors by rewriting ONLY the files that carry tombstones, then
+    * drop the DVs — no logical change, the table just becomes plain
+    * copy-on-write again (and DV-refusing surfaces can read it).
+    */
+  def purgeDvs(): Long = {
+    val base = latestVersion
+    val dv = dvAt(base)
+    if (dv.isEmpty) return base
+    val schema = schemaAt(base)
+    val masked = spark.read.parquet(dv.map(abs): _*)
+      .select(col("file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // stale tombstones (files since rewritten by COW DML) name files
+    // no longer listed — purge only current ones
+    val touched = filesAt(base).filter(f => masked.exists(h => h.endsWith(f)))
+    val kept = readFilesDvAware(touched, schema, dv)
+    val rewritten = if (touched.isEmpty) Nil else writeData(kept)
+    commit("PURGE", base,
+      filesAt(base).filterNot(touched.contains) ++ rewritten, schema,
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
+      cdcFiles = Some(Nil), dv = Some(Nil))
   }
 
   /** Resolve assignment keys against the schema (case-insensitively,
@@ -550,7 +704,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (touched.isEmpty)
       return commit("UPDATE", base, filesAt(base), schemaAt(base), Map(),
         cdcFiles = Some(Nil))
-    val cur = spark.read.schema(schemaAt(base)).parquet(touched.map(abs): _*)
+    val cur = readFilesDvAware(touched, schemaAt(base), dvAt(base))
     // evaluate cond ONCE against the original row, then apply every
     // SET against it — a set-column appearing in cond (or in another
     // assignment) must see the pre-update value
@@ -640,7 +794,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         s"MERGE source has duplicate join keys (e.g. $key=${dupKeys(0).get(0)}); " +
           "each target row must match at most one source row")
     val keys = src.select(col(key)).distinct()
-    val withFile = snapshot().withColumn("__file", input_file_name())
+    val withFile = scanWithPos(filesAt(base), schema, dvAt(base))
+      .withColumnRenamed("__fp", "__file")
     // no broadcast hint: the planner (and AQE) picks the join — a
     // corpus-sized source must not be forced through the driver
     val hit = withFile.join(keys, Seq(key), "left_semi")
@@ -648,7 +803,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val touched = filesAt(base).filter(f => hit.exists(h => h.endsWith(f)))
     val tgtRows = if (touched.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(touched.map(abs): _*)
+    else readFilesDvAware(touched, schema, dvAt(base))
     // one left join exposes each target row with its (optional)
     // source match as a struct; clause resolution is pure projection
     val srcStruct = src.select(col(key).as("__sk"),
@@ -732,8 +887,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val base = latestVersion
     val data = snapshotAt(base).coalesce(numFiles)
     val rewritten = writeData(data)
+    // the rewrite read the snapshot DV-aware, so the DVs are applied
+    // (purged) by compaction — clear them
     commit("COMPACT", base, rewritten, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten))
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten),
+      dv = Some(Nil))
   }
 
   /** OPTIMIZE with a TARGET FILE SIZE (how Delta's OPTIMIZE actually
@@ -757,7 +915,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .sortWithinPartitions(keys.map(col): _*)
     val rewritten = writeData(data)
     commit("CLUSTER", base, rewritten, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten))
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten),
+      dv = Some(Nil))
   }
 
   /** TRUE multi-dimensional Z-ordering over ANY number of keys:
@@ -800,7 +959,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .drop("__z")
     val rewritten = writeData(data)
     commit("ZORDER", base, rewritten, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten))
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten),
+      dv = Some(Nil))
   }
 
   /** RESTORE analog (roll the table back to an old version): commits
@@ -813,7 +973,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commit("RESTORE", base, c.files,
       org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
         .asInstanceOf[StructType],
-      Map("restoredVersion" -> version))
+      Map("restoredVersion" -> version),
+      // the restored STATE includes that version's deletion vectors
+      dv = Some(c.dv.getOrElse(Nil)))
   }
 
   /** VACUUM analog: physically delete data files no commit in the
@@ -839,7 +1001,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         .map(p => s"cdc/${p.getFileName}").toSeq.filterNot(liveCdc)
     }
     deadCdc.foreach(f => Files.deleteIfExists(root.resolve(f)))
-    (dead.size + deadCdc.size).toLong
+    val dvDir = root.resolve("dv")
+    val deadDv = if (!Files.exists(dvDir)) Nil else {
+      val liveDv: Set[String] =
+        retained.flatMap(v => readCommit(v).dv.getOrElse(Nil)).toSet
+      Files.list(dvDir).iterator().asScala
+        .map(p => s"dv/${p.getFileName}").toSeq.filterNot(liveDv)
+    }
+    deadDv.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    (dead.size + deadCdc.size + deadDv.size).toLong
   }
 
   /** Incremental consumption primitive (the streaming-source shape):
@@ -855,7 +1025,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val schema = currentSchema
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(added.map(abs): _*)
+    else readFilesDvAware(added, schema, dvAt(latestVersion))
   }
 
   /** Files (absolute paths) added in versions (fromVersion, toVersion]
@@ -876,6 +1046,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         throw new UnsupportedOperationException(
           s"streaming read crossed non-append commit v$v (${c.operation}) " +
             s"which rewrote ${removed.size} file(s); consume changeFeed() instead")
+      // a commit that ADDED deletion vectors is a row-level delete:
+      // replaying it as an append would silently drop the deletions
+      val prevDv = if (v == 0) Set.empty[String]
+        else readCommit(v - 1).dv.getOrElse(Nil).toSet
+      if (c.dv.getOrElse(Nil).exists(!prevDv.contains(_)))
+        throw new UnsupportedOperationException(
+          s"streaming read crossed commit v$v (${c.operation}) which added " +
+            "deletion vectors; consume changeFeed() instead")
       c.files.filterNot(prev)
     }
     GraftTable.VersionBatch(added.map(abs), endSchema)
@@ -1034,7 +1212,8 @@ object GraftTable {
       metrics: Map[String, Long],
       stats: Option[Map[String, FileStats]] = None,
       constraints: Option[Map[String, String]] = None,
-      cdc: Option[List[String]] = None)
+      cdc: Option[List[String]] = None,
+      dv: Option[List[String]] = None)
 
   /** Create a new table at `path` from `df` (errors if a log exists). */
   def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {
@@ -1105,7 +1284,11 @@ object GraftTable {
       org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
         .asInstanceOf[StructType],
       Map("sourceVersion" -> src.latestVersion), absStats,
-      c.constraints.getOrElse(Map.empty))
+      c.constraints.getOrElse(Map.empty),
+      // DV tombstones key on the source's absolute file paths — which
+      // is exactly how the clone references those files, so carried
+      // DVs mask the same rows
+      dv = Some(c.dv.getOrElse(Nil).map(src.abs)))
     t
   }
 

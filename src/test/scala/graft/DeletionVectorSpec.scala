@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.tables.GraftTable
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Merge-on-read DELETE via deletion vectors (Delta DV analog):
+  * tombstones instead of file rewrites, read-side masking, purge,
+  * and the reader-feature gate on surfaces that cannot apply DVs.
+  */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_dv_").resolve("t").toString
+
+  private def dataFiles(root: String): Set[String] =
+    Files.list(Paths.get(root).resolve("files")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+
+  test("deleteMor masks rows without rewriting any data file") {
+    val dir = tmp()
+    val df = spark.range(0, 100).select($"id", ($"id" % 10).as("grp"))
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    val before = dataFiles(dir)
+    t.deleteMor($"grp" === 3)
+    assert(dataFiles(dir) === before, "merge-on-read must not rewrite data files")
+    assert(t.snapshot().count() === 90)
+    assert(t.snapshot().where($"grp" === 3).count() === 0)
+    // second DV delete ACCUMULATES (ids 0,1,2,4..9; 3 is already gone)
+    t.deleteMor($"id" < 10)
+    assert(dataFiles(dir) === before)
+    assert(t.snapshot().count() === 81)
+    assert(t.snapshotAt(1).count() === 90, "time travel sees only v1's DVs")
+    assert(t.snapshotAt(0).count() === 100)
+  }
+
+  test("deleteMor with no live matches is a no-op commit") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 10).select($"id", ($"id" % 2).as("grp")))
+    t.deleteMor($"grp" === 1)
+    val v = t.deleteMor($"grp" === 1) // every match already masked
+    assert(t.snapshot().count() === 5)
+    assert(v === 2)
+    // the no-op commit added no DV files, so streams may cross it
+    // (only the first DV commit refuses)
+    val batch = t.filesAddedIn(1, v)
+    assert(batch.files.isEmpty)
+  }
+
+  test("copy-on-write DML after deleteMor never resurrects masked rows") {
+    val dir = tmp()
+    val df = spark.range(0, 100).select($"id", ($"id" % 10).as("grp"))
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    t.deleteMor($"grp" === 3)
+    // the COW rewrite reads files that also hold masked grp-3 rows
+    t.update($"grp" === 5, Map("grp" -> lit(50L)))
+    assert(t.snapshot().count() === 90)
+    assert(t.snapshot().where($"grp" === 3).count() === 0)
+    assert(t.snapshot().where($"grp" === 50).count() === 10)
+    // MERGE sees the LIVE state: a masked key is NOT MATCHED → insert
+    t.deleteMor($"id" === 7)
+    assert(t.snapshot().count() === 89)
+    t.merge(Seq((7L, 700L)).toDF("id", "grp"), "id")
+    val row7 = t.snapshot().where($"id" === 7).collect()
+    assert(row7.length === 1 && row7(0).getLong(1) === 700L)
+  }
+
+  test("purgeDvs rewrites only tombstoned files and lifts the scan gate") {
+    val dir = tmp()
+    val df = spark.range(0, 100).toDF("id")
+    val t = GraftTable.create(spark, dir,
+      df.repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    t.deleteMor($"id" === 5) // lands in exactly one range file
+    // file-granular batch scan REFUSES while DVs are active
+    val gate = intercept[UnsupportedOperationException] {
+      spark.read.format("graft-table").load(dir).count()
+    }
+    assert(gate.getMessage.contains("deletion vectors"))
+    val before = dataFiles(dir)
+    t.purgeDvs()
+    val after = dataFiles(dir)
+    // purge adds rewritten file(s) for the ONE tombstoned file only
+    assert(t.snapshot().count() === 99)
+    assert((after -- before).nonEmpty)
+    assert((before -- dataFiles(dir)).isEmpty, "old files are retired by vacuum, not purge")
+    val listed = t.history().where($"operation" === "PURGE").count()
+    assert(listed === 1)
+    // gate lifted: the registered scan reads the purged state
+    assert(spark.read.format("graft-table").load(dir).count() === 99)
+    assert(spark.read.format("graft-table").load(dir)
+      .where($"id" === 5).count() === 0)
+    // purging a DV-less table is a no-op (no new commit)
+    val v = t.latestVersion
+    assert(t.purgeDvs() === v)
+  }
+
+  test("streaming replay refuses to cross a DV commit; CDC feed is exact") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 20).select($"id", ($"id" % 4).as("grp")))
+    t.deleteMor($"grp" === 2) // v1: 5 rows masked
+    val err = intercept[UnsupportedOperationException] {
+      t.filesAddedIn(-1, t.latestVersion)
+    }
+    assert(err.getMessage.contains("deletion vectors"))
+    // the write-time CDC set makes the change feed exact
+    val feed = t.changeFeed(0).where($"_commit_version" === 1)
+    assert(feed.count() === 5)
+    assert(feed.select("_change_type").distinct().as[String].collect()
+      .toSeq === Seq("delete"))
+    // purge is physical reorganization only — nothing in the feed
+    t.purgeDvs()
+    assert(t.changeFeed(1).count() === 0)
+  }
+
+  test("restore and shallow clone carry deletion vectors with the state") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, spark.range(0, 50).toDF("id"))
+    t.deleteMor($"id" >= 40) // v1: 40 live
+    t.restore(0) // v2: full state back, DVs dropped with it
+    assert(t.snapshot().count() === 50)
+    t.restore(1) // v3: the masked state again
+    assert(t.snapshot().count() === 40)
+    val cloneDir = tmp()
+    val c = GraftTable.shallowClone(spark, dir, cloneDir)
+    assert(c.snapshot().count() === 40, "clone must inherit the source's DV mask")
+    assert(c.snapshot().where($"id" >= 40).count() === 0)
+  }
+}
