@@ -235,6 +235,32 @@ object TableOps {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  /** INCREMENTAL MATERIALIZED VIEW maintenance: a per-status rollup
+    * is materialized once, then the source takes an UPDATE, a
+    * copy-on-write DELETE, an APPEND and a merge-on-read DV delete —
+    * and one `refresh()` folds only the change feed in. The oracle
+    * recomputes the final state relationally, so it asserts the
+    * maintained view ≡ recompute (the IVM correctness property).
+    */
+  def mvIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val mvPath = Files.createTempDirectory("graft_mv_").resolve("mv").toString
+    val mv = graft.tables.IncrementalMatView.create(spark, t, mvPath,
+      Seq("o_orderstatus"), "o_totalprice")
+    t.update(col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" ->
+        round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+          .cast("double")))
+    t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    val orders = Tables.load(spark, sfDir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N")))
+    t.deleteMor(col("o_totalprice") < lit(1000.0))
+    mv.refresh()
+    mv.view()
+  }
+
   /** DESCRIBE HISTORY analog (01-Fraud-Delta.py:214): deterministic
     * columns only (version/operation).
     */

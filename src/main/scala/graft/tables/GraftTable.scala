@@ -555,8 +555,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * each other's batches.
     */
   def lastStreamBatchId(appId: String = "default"): Long =
-    listVersions().flatMap(v => readCommit(v).metrics.get(txnKey(appId)))
-      .maxOption.getOrElse(-1L)
+    maxMetric(txnKey(appId)).getOrElse(-1L)
+
+  /** Highest value ever committed under metric `key` — the generic
+    * watermark read (streaming batch ids, materialized-view source
+    * versions) that survives restarts with the log.
+    */
+  def maxMetric(key: String): Option[Long] =
+    listVersions().flatMap(v => readCommit(v).metrics.get(key)).maxOption
 
   private def txnKey(appId: String): String = s"txn:$appId"
 
@@ -575,13 +581,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else appendInternal(df, evolve = false, Map(txnKey(appId) -> batchId))
   }
 
-  def overwrite(df: DataFrame): Long = {
+  def overwrite(df: DataFrame,
+      extraMetrics: Map[String, Long] = Map.empty): Long = {
     val base = latestVersion
     enforceConstraints(df)
     val added = writeData(df)
     commit("OVERWRITE", base, added, df.schema,
-      Map("numAddedFiles" -> added.size.toLong), collectStats(added),
-      dv = Some(Nil))
+      Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics,
+      collectStats(added), dv = Some(Nil))
   }
 
   /** Files of the current version that contain ≥1 LIVE row matching

@@ -130,4 +130,36 @@ class DeletionVectorSpec extends SparkSpec {
     assert(c.snapshot().count() === 40, "clone must inherit the source's DV mask")
     assert(c.snapshot().where($"id" >= 40).count() === 0)
   }
+
+  test("incremental materialized view equals recompute across all DML kinds") {
+    import graft.tables.IncrementalMatView
+    val dir = tmp()
+    val df = spark.range(0, 200)
+      .select($"id", ($"id" % 5).cast("string").as("grp"),
+        ($"id" * 7 % 100).cast("double").as("v"))
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    val mv = IncrementalMatView.create(spark, t, tmp(), Seq("grp"), "v")
+    t.update($"grp" === "1", Map("v" -> ($"v" + lit(10.0))))
+    t.delete($"grp" === "2" && $"id" < 100)
+    t.append(spark.range(200, 230)
+      .select($"id", lit("9").as("grp"), lit(3.5).as("v")))
+    t.deleteMor($"v" < 20.0)
+    t.merge(Seq((42L, "7", 12.25), (500L, "7", 99.5)).toDF("id", "grp", "v"), "id")
+    assert(mv.refresh() === t.latestVersion)
+    val maintained = mv.view().orderBy($"grp")
+      .as[(String, Double, Long)].collect().toSeq
+    val recomputed = t.snapshot().groupBy($"grp")
+      .agg(round(sum($"v".cast("decimal(12,4)")), 4).cast("double").as("s"),
+        count(lit(1)).as("c"))
+      .orderBy($"grp").as[(String, Double, Long)].collect().toSeq
+    assert(maintained === recomputed)
+    // refresh with no new commits is a watermark no-op
+    val v = mv.mv.latestVersion
+    assert(mv.refresh() === t.latestVersion)
+    assert(mv.mv.latestVersion === v)
+    // vanished groups drop out entirely
+    t.delete($"grp" === "9")
+    mv.refresh()
+    assert(mv.view().where($"grp" === "9").count() === 0)
+  }
 }
