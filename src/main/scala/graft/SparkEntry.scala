@@ -105,6 +105,8 @@ object SparkEntry {
     "range_join_price_band" -> (TemporalJoins.rangeJoinPriceBand _),
     // §E streaming (batch-equivalent forms; streaming twins in specs)
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAgg _),
+    "stream_interval_join" -> (graft.streaming.Streams.intervalJoin _),
+    "stream_dedup" -> (graft.streaming.Streams.dedupEvents _),
     "stream_sessionize" -> (graft.streaming.Streams.sessionize _),
     "stream_session_window" -> (graft.streaming.Streams.sessionWindow _),
     // §A sources
@@ -758,6 +760,20 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(round(SUM(CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  CAST(v.ts AS TIMESTAMP) AS view_ts,
+        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM (SELECT DISTINCT event_id, event_type, user_id FROM events)
+        |GROUP BY event_type""".stripMargin,
     "stream_sessionize" ->
       """WITH f AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

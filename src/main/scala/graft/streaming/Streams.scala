@@ -143,6 +143,70 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream INTERVAL JOIN, batch form: each purchase event
+    * joined to the same user's view events in the preceding hour —
+    * the attribution join every event pipeline runs. One shuffle on
+    * user_id; the time band rides the join condition.
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+    intervalJoinOf(Tables.events(spark, sfDir))
+
+  private def viewsOf(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+
+  private def purchasesOf(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+
+  def intervalJoinOf(events: DataFrame): DataFrame =
+    viewsOf(events).join(purchasesOf(events),
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+
+  /** The streaming twin: watermarked stream-stream inner join with
+    * the event-time band bounding join state (Spark drops view state
+    * older than the watermark minus the interval). Inner interval
+    * joins emit exactly the batch result once both sides arrive.
+    */
+  def intervalJoinStream(views: DataFrame, purchases: DataFrame): DataFrame =
+    views.withWatermark("view_ts", "2 hours")
+      .join(purchases.withWatermark("purchase_ts", "2 hours"),
+        expr("""user_id = p_user AND
+                purchase_ts >= view_ts AND
+                purchase_ts <= view_ts + INTERVAL 1 HOUR"""))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+
+  /** Ingestion DEDUP, batch form: at-least-once delivery re-delivers
+    * events, so the pipeline keeps one row per event_id before
+    * aggregating (the doubled input simulates redelivery; duplicate
+    * rows are bit-identical, so the keep-any semantics of
+    * dropDuplicates stays deterministic).
+    */
+  def dedupEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.unionByName(ev)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** The streaming twin: dropDuplicatesWithinWatermark keyed on
+    * event_id — redelivered events inside the watermark window are
+    * suppressed with bounded state (the exactly-once ingest guard).
+    */
+  def dedupEventsStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming read over a GraftTable (Delta streaming-source shape,
     * append-only tables): a file stream over the table's data
     * directory — appends surface as new files; checkpointing gives

@@ -46,6 +46,52 @@ class StreamingSpec extends SparkSpec {
     assert(viaState.count() > 0)
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val batch = Streams.intervalJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val dir = Files.createTempDirectory("graft_ssj_").toString
+    ev.write.parquet(s"$dir/in")
+    def side(sel: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      sel(spark.readStream.schema(ev.schema).parquet(s"$dir/in"))
+    val views = side(_.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts")))
+    val purchases = side(_.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"), $"value"))
+    val q = Streams.intervalJoinStream(views, purchases)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj_out")
+    assert(streamed.count() === batch.count())
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("streaming dedup suppresses redelivered events within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minute: Int) = Streams.Ev(1L, id,
+      java.time.Instant.parse(f"2024-01-01T10:$minute%02d:00Z"), 1.0)
+    val mem = MemoryStream[Streams.Ev]
+    val out = Files.createTempDirectory("graft_sdd_").toString
+    val ckpt = Files.createTempDirectory("graft_sdd_ckpt_").toString
+    val q = Streams.dedupEventsStream(
+        mem.toDS().toDF("user_id", "event_id", "ts", "value"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(ev(1, 0), ev(2, 5), ev(1, 0)) // in-batch duplicate
+    q.processAllAvailable()
+    mem.addData(ev(2, 5), ev(3, 10))          // cross-batch redelivery
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(out).select($"event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L), "each event id must land exactly once")
+  }
+
   test("streaming read of a GraftTable picks up appended versions") {
     val dir = Files.createTempDirectory("graft_follow_").resolve("t").toString
     val ev = Tables.events(spark, sf)
