@@ -381,12 +381,21 @@ object Similarity {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val cents = emb.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("d", vec_l2sq(col("embedding"), col("cent")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("d"), col("cent_id"))))
-      .filter(col("rn") === 1)
+    // centroids ride into the assignment as LITERALS (k·dim driver
+    // floats), so the per-vector argmin is a pure map-side projection
+    // — `array_min` over k struct(dist, id) candidates, min distance
+    // with ties to the lower id — instead of a k× crossJoin row
+    // inflation plus a window shuffle per vector (the kmeansFit
+    // assignment shape; distances come from the same codegen'd
+    // VecL2Sq, so the assignment is value-identical)
+    val centLit = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val candidates = array(centLit.map { case (cid, v) =>
+      struct(vec_l2sq(col("embedding"), typedLit(v)).as("d"),
+        lit(cid).as("cent_id"))
+    }.toIndexedSeq: _*)
+    val assigned = emb
+      .withColumn("cent_id", array_min(candidates).getField("cent_id"))
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
