@@ -73,6 +73,8 @@ object SparkEntry {
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
     "tbl_delete_where" -> (TableOps.deleteWhere _),
+    "tbl_partition_overwrite" -> (TableOps.partitionOverwrite _),
+    "tbl_replace_where" -> (TableOps.replaceWhereScenario _),
     "tbl_delete_dv" -> (TableOps.deleteMorScenario _),
     "tbl_delete_dv_purge" -> (TableOps.deleteMorPurge _),
     "tbl_update_where" -> (TableOps.updateWhere _),
@@ -644,6 +646,15 @@ object SparkEntry {
     "tbl_delete_where" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)""".stripMargin,
+    "tbl_partition_overwrite" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'P' THEN 0.0 ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+    "tbl_replace_where" ->
+      """SELECT * FROM orders
+        |WHERE o_orderstatus <> 'F' OR o_orderkey % 2 = 0""".stripMargin,
     "tbl_delete_dv" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)

@@ -94,6 +94,39 @@ object TableOps {
     spark.read.format("graft-table").load(t.root.toString)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (Delta `partitionOverwriteMode=
+    * dynamic`): the table is PARTITIONED by o_orderstatus; a re-load
+    * of the 'P' partition (prices zeroed) atomically replaces exactly
+    * that partition — the other partitions' files are not rewritten.
+    * The replaced-file set comes from commit-log partition tuples
+    * (O(files) metadata, no scan), which is what keeps a daily
+    * re-load of one partition into a 100 TB table a small commit.
+    */
+  def partitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_tblpo_").resolve("t")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val t = GraftTable.create(spark, dir.toString,
+      orders.repartition(4, col("o_orderkey")),
+      partitionBy = Seq("o_orderstatus"))
+    t.overwritePartitions(
+      orders.where(col("o_orderstatus") === "P")
+        .withColumn("o_totalprice", lit(0.0)))
+    t.snapshot()
+  }
+
+  /** `replaceWhere` (Delta's guarded selective overwrite): the 'F'
+    * slice is atomically replaced by only its even-keyed rows —
+    * validation rejects any incoming row outside the predicate, and
+    * the rewrite touches only cond-matching files.
+    */
+  def replaceWhereScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    t.replaceWhere(col("o_orderstatus") === "F",
+      orders.where(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0))
+    t.snapshot()
+  }
+
   /** DML UPDATE SET (decimal-exact price bump on a slice). */
   def updateWhere(spark: SparkSession, sfDir: String): DataFrame = {
     val t = scratch(spark, sfDir)

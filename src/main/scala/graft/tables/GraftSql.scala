@@ -42,6 +42,11 @@ object GraftSql {
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*""".r
+  // Delta's guarded selective overwrite (`INSERT INTO t REPLACE WHERE
+  // cond SELECT ...`): delete the cond slice, insert the query's rows
+  // (each validated against cond), one atomic commit
+  private val InsertReplaceWhere =
+    """(?is)\s*INSERT\s+INTO\s+([\w.`]+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+)""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case DescribeHistory(ident) => tableByName(spark, ident).history()
@@ -71,6 +76,12 @@ object GraftSql {
       spark.sql(s"CREATE TABLE $newIdent USING `graft-table` " +
         s"OPTIONS (path '$location')")
       emptyResult(spark)
+    case InsertReplaceWhere(ident, condText, query) =>
+      val target = targetByName(spark, ident)
+      val cond = rewriteTarget(stockParser.parseExpression(condText), target)
+      target.table.replaceWhere(cond, spark.sql(query))
+      refresh(spark, target)
+      emptyResult(spark)
     case _ => sqlParsed(spark, text)
   }
 
@@ -78,7 +89,7 @@ object GraftSql {
   private[graft] def isUtilityStatement(text: String): Boolean = text match {
     case DescribeHistory(_) | OptimizeZorder(_, _) | Optimize(_) |
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
-         ShallowClone(_, _, _) => true
+         ShallowClone(_, _, _) | InsertReplaceWhere(_, _, _) => true
     case _ => false
   }
 
@@ -108,6 +119,7 @@ object GraftSql {
       case Vacuum(i) => Some(i)
       case RestoreVersion(i, _) => Some(i)
       case ShallowClone(_, srcIdent, _) => Some(srcIdent)
+      case InsertReplaceWhere(i, _, _) => Some(i)
       case _ => None
     }
     ident.exists(i =>
@@ -136,14 +148,17 @@ object GraftSql {
         target.table.snapshotAt(version).queryExecution.logical
     }
 
-  private def tableByName(spark: SparkSession, ident: String): GraftTable = {
+  private def targetByName(spark: SparkSession, ident: String): Target = {
     val parts = ident.split("\\.").toSeq
       .map(_.stripPrefix("`").stripSuffix("`"))
     resolveTarget(spark,
       UnresolvedRelation(parts,
         new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-          java.util.Collections.emptyMap()), false)).table
+          java.util.Collections.emptyMap()), false))
   }
+
+  private def tableByName(spark: SparkSession, ident: String): GraftTable =
+    targetByName(spark, ident).table
 
   /** Stock Spark grammar, NOT the session's parser: with the
     * GraftSqlParser injected, using the session parser here would

@@ -108,10 +108,79 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     adopted
   }
 
-  private def writeData(df: DataFrame): Seq[String] = {
+  /** Files written by one staging round plus, for partitioned tables,
+    * each file's partition-column values (Hive-style strings;
+    * `__HIVE_DEFAULT_PARTITION__` encodes null).
+    */
+  private[tables] case class Written(files: Seq[String],
+      partValues: Map[String, Map[String, String]])
+
+  private def writeData(df: DataFrame): Written =
+    writeData(df, partitionColumnsAt(latestVersion))
+
+  /** Stage and adopt `df`. With partition columns the staging write
+    * goes through `partitionBy` on DUPLICATED columns (`__gp_<col>`),
+    * so the layout is partition-aligned — no data file ever spans two
+    * partition tuples — while the data files keep the full schema
+    * (self-describing: every read/DML path scans them unchanged).
+    * Partition values are parsed from the staging directory names and
+    * recorded in the commit, which is what makes dynamic partition
+    * overwrite exact and partition pruning type-faithful for values
+    * (e.g. non-ASCII strings) the footer-stats path must drop.
+    */
+  private def writeData(df: DataFrame, pcols: Seq[String]): Written = {
     val staging = root.resolve(s".staging-${UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
-    adoptStaging(staging)
+    if (pcols.isEmpty) {
+      df.write.parquet(staging.toString)
+      Written(adoptStaging(staging), Map.empty)
+    } else {
+      val dup = pcols.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
+      dup.write.partitionBy(pcols.map("__gp_" + _): _*).parquet(staging.toString)
+      adoptPartitionedStaging(staging, pcols)
+    }
+  }
+
+  /** Undo Hive/Spark partition-path escaping (`%2F` etc) — the exact
+    * inverse of the `escapePathName` applied by the parquet writer's
+    * dynamic-partition layout.
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def adoptPartitionedStaging(staging: Path,
+      pcols: Seq[String]): Written = {
+    Files.createDirectories(filesDir)
+    val leaves = Files.walk(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        Files.isRegularFile(p)).toSeq
+    val adopted = leaves.map { p =>
+      val rel = staging.relativize(p)
+      val vals = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        .filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i).stripPrefix("__gp_") ->
+            unescapePathName(seg.substring(i + 1))
+        }.toMap
+      require(pcols.forall(vals.contains),
+        s"staging layout missing partition value(s) in $rel")
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, filesDir.resolve(name))
+      (s"files/$name", vals)
+    }
+    deleteRecursively(staging)
+    Written(adopted.map(_._1), adopted.toMap)
   }
 
   /** Write a commit's row-level change set (tagged with
@@ -234,12 +303,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         // a column with ANY non-qualifying block must drop its string
         // stat entirely — partial coverage would mis-prune
         val sInvalid = scala.collection.mutable.Set[String]()
-        // pure-ASCII, bounded-length strings only: parquet BINARY
-        // stats are byte-ordered, which equals char order just for
-        // ASCII; a truncated max would under-report, so long values
-        // drop the stat instead
-        def asciiOk(s: String): Boolean =
-          s.length <= 64 && s.forall(c => c >= ' ' && c < 127)
+        // parquet BINARY stats are unsigned-byte-lexicographic, which
+        // for UTF-8 equals CODE-POINT order — so any string qualifies
+        // as long as both sides compare code-point-wise (Java String
+        // order diverges only in the surrogate range; see utf8Cmp).
+        // Bounded length stays as a truncation guard: an abbreviated
+        // max would under-report and mis-prune
+        def statOk(s: String): Boolean = s.length <= 64
         footer.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala.foreach { cc =>
             val name = cc.getPath.toDotString
@@ -253,11 +323,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
                   .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
                 val hi = st.genericGetMax
                   .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                if (asciiOk(lo) && asciiOk(hi)) {
-                  smins.update(name,
-                    smins.get(name).filter(_ <= lo).getOrElse(lo))
-                  smaxs.update(name,
-                    smaxs.get(name).filter(_ >= hi).getOrElse(hi))
+                if (statOk(lo) && statOk(hi)) {
+                  smins.update(name, smins.get(name)
+                    .filter(GraftTable.utf8Cmp(_, lo) <= 0).getOrElse(lo))
+                  smaxs.update(name, smaxs.get(name)
+                    .filter(GraftTable.utf8Cmp(_, hi) >= 0).getOrElse(hi))
                 } else sInvalid.add(name)
               }
               // stats must live in the SAME domain as the pushed
@@ -336,7 +406,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       newStats: Map[String, FileStats] = Map.empty,
       newConstraints: Map[String, String] = Map.empty,
       cdcFiles: Option[Seq[String]] = None,
-      dv: Option[Seq[String]] = None): Long = {
+      dv: Option[Seq[String]] = None,
+      newPartValues: Map[String, Map[String, String]] = Map.empty,
+      partitionByOpt: Option[Seq[String]] = None): Long = {
     val v = base + 1
     val carried = if (v == 0) Map.empty[String, FileStats]
       else readCommit(base).stats.getOrElse(Map.empty)
@@ -345,13 +417,28 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       if (v == 0) Map.empty[String, String]
       else readCommit(base).constraints.getOrElse(Map.empty)
     val dvList = dv.getOrElse(if (v == 0) Nil else dvAt(base)).toList
+    // partition spec is immutable after CREATE/CLONE; per-file values
+    // carry with the files they describe, exactly like stats
+    val pb = if (v == 0) partitionByOpt.map(_.toList)
+      else readCommit(base).partitionBy
+    val carriedPv = if (v == 0) Map.empty[String, Map[String, String]]
+      else readCommit(base).partValues.getOrElse(Map.empty)
+        .filter { case (f, _) => files.contains(f) }
+    val pvAll = carriedPv ++ newPartValues
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
       schema.json, metrics, Some(carried ++ newStats),
       Some(carriedConstraints ++ newConstraints),
       cdcFiles.map(_.toList),
-      if (dvList.isEmpty) None else Some(dvList)))
+      if (dvList.isEmpty) None else Some(dvList),
+      pb, if (pvAll.isEmpty) None else Some(pvAll)))
     v
   }
+
+  /** Partition columns declared at CREATE (empty = unpartitioned). */
+  def partitionColumns: Seq[String] = partitionColumnsAt(latestVersion)
+
+  private def partitionColumnsAt(v: Long): Seq[String] =
+    if (v < 0) Nil else readCommit(v).partitionBy.getOrElse(Nil)
 
   /** Deletion-vector files active at `version` (relative paths under
     * `dv/`, or absolute for cloned tables). Empty for most tables.
@@ -468,7 +555,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
       .asInstanceOf[StructType]
     GraftTable.SnapshotInfo(c.files.map(abs),
-      c.stats.getOrElse(Map.empty).map { case (f, s) => abs(f) -> s }, schema)
+      c.stats.getOrElse(Map.empty).map { case (f, s) => abs(f) -> s }, schema,
+      c.partitionBy.getOrElse(Nil),
+      c.partValues.getOrElse(Map.empty).map { case (f, m) => abs(f) -> m })
   }
 
   private def currentFiles: Seq[String] = readCommit(latestVersion).files
@@ -508,7 +597,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val schema = checkSchema(df, evolve)
     val aligned = df.select(schema.fieldNames.filter(n =>
       df.schema.fieldNames.contains(n)).map(col): _*)
-    val added = writeData(aligned)
+    val w = writeData(aligned)
+    val added = w.files
     val stats = collectStats(added)
     // blind appends never conflict SEMANTICALLY — a racing commit just
     // moved the version forward. Re-resolve the base and re-claim
@@ -521,7 +611,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       val b = if (attempts == 0) base else latestVersion
       try {
         return commit("APPEND", b, filesAt(b) ++ added, schema,
-          Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics, stats)
+          Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics, stats,
+          newPartValues = w.partValues)
       } catch {
         case e: CommitConflictException =>
           attempts += 1
@@ -585,10 +676,88 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       extraMetrics: Map[String, Long] = Map.empty): Long = {
     val base = latestVersion
     enforceConstraints(df)
-    val added = writeData(df)
-    commit("OVERWRITE", base, added, df.schema,
-      Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics,
-      collectStats(added), dv = Some(Nil))
+    val w = writeData(df)
+    commit("OVERWRITE", base, w.files, df.schema,
+      Map("numAddedFiles" -> w.files.size.toLong) ++ extraMetrics,
+      collectStats(w.files), dv = Some(Nil), newPartValues = w.partValues)
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (Delta `partitionOverwriteMode=
+    * dynamic` / `insert overwrite ... partition` analog): atomically
+    * replace exactly the partitions PRESENT IN `df`, keeping every
+    * other partition's files untouched. The replaced-file set comes
+    * from the commit log's per-file partition values — O(files)
+    * driver metadata, no scan of the existing data; blast radius is
+    * the incoming partitions only, which is what makes a daily
+    * re-load of one day into a years-deep 100 TB table a small
+    * commit. Write-time CDC records the replaced partitions' live
+    * rows as deletes and the incoming rows as inserts.
+    */
+  def overwritePartitions(df: DataFrame): Long = {
+    val base = latestVersion
+    val pcols = partitionColumnsAt(base)
+    require(pcols.nonEmpty,
+      "overwritePartitions requires a table created with partitionBy")
+    enforceConstraints(df)
+    val schema = checkSchema(df, evolve = false)
+    val aligned = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val w = writeData(aligned, pcols)
+    val newTuples: Set[Seq[String]] =
+      w.partValues.values.map(m => pcols.map(m(_))).toSet
+    val pv = readCommit(base).partValues.getOrElse(Map.empty)
+    // a file without its partition tuple cannot be classified — kept
+    // silently it would leak stale rows of a replaced partition, so
+    // refuse (cannot happen through this API: every write path on a
+    // partitioned table records values; the guard catches log surgery)
+    val orphans = filesAt(base)
+      .filterNot(f => pv.get(f).exists(m => pcols.forall(m.contains)))
+    require(orphans.isEmpty,
+      s"file(s) missing partition metadata: ${orphans.take(3).mkString(", ")}")
+    val replaced = filesAt(base).filter(f =>
+      newTuples.contains(pcols.map(pv(f)(_))))
+    val cdc = writeCdc(
+      readFilesDvAware(replaced, schema, dvAt(base))
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(aligned.withColumn("_change_type", lit("insert"))))
+    commit("OVERWRITE_PARTITIONS", base,
+      filesAt(base).filterNot(replaced.contains) ++ w.files, schema,
+      Map("numReplacedFiles" -> replaced.size.toLong,
+        "numAddedFiles" -> w.files.size.toLong),
+      collectStats(w.files), cdcFiles = Some(cdc),
+      newPartValues = w.partValues)
+  }
+
+  /** `replaceWhere` (Delta's selective overwrite): atomically delete
+    * every live row matching `cond` and insert `df`, after VALIDATING
+    * that each incoming row satisfies `cond` — the guarded
+    * "rebuild this slice" write. Blast radius is the cond-touched
+    * files (stats/partition-pruned via the same scan as DELETE), not
+    * the table.
+    */
+  def replaceWhere(cond: Column, df: DataFrame): Long = {
+    val base = latestVersion
+    enforceConstraints(df)
+    val schema = checkSchema(df, evolve = false)
+    val aligned = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val bad = aligned.where(!coalesce(cond, lit(false))).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"replaceWhere: $bad incoming row(s) do not satisfy the predicate")
+    val touched = touchedFiles(cond)
+    val touchedDf = readFilesDvAware(touched, schema, dvAt(base))
+    val wSurv = if (touched.isEmpty) Written(Nil, Map.empty)
+      else writeData(touchedDf.where(!coalesce(cond, lit(false))))
+    val wNew = writeData(aligned)
+    val cdc = writeCdc(
+      touchedDf.where(coalesce(cond, lit(false)))
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(aligned.withColumn("_change_type", lit("insert"))))
+    commit("REPLACE_WHERE", base,
+      filesAt(base).filterNot(touched.contains) ++ wSurv.files ++ wNew.files,
+      schema,
+      Map("numRewrittenFiles" -> touched.size.toLong,
+        "numAddedFiles" -> wNew.files.size.toLong),
+      collectStats(wSurv.files ++ wNew.files), cdcFiles = Some(cdc),
+      newPartValues = wSurv.partValues ++ wNew.partValues)
   }
 
   /** Files of the current version that contain ≥1 LIVE row matching
@@ -617,15 +786,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // survive into the rewrite nor re-appear in the CDC delete set
     val touchedDf = readFilesDvAware(touched, schemaAt(base), dvAt(base))
     val kept = touchedDf.where(!coalesce(cond, lit(false)))
-    val rewritten = writeData(kept)
+    val w = writeData(kept)
     // write-time CDC: the deleted rows are exactly the cond-matching
     // rows of the touched files — one extra pruned scan, no EXCEPT ALL
     val cdc = writeCdc(touchedDf.where(coalesce(cond, lit(false)))
       .withColumn("_change_type", lit("delete")))
     commit("DELETE", base,
-      filesAt(base).filterNot(touched.contains) ++ rewritten, schemaAt(base),
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
-      cdcFiles = Some(cdc))
+      filesAt(base).filterNot(touched.contains) ++ w.files, schemaAt(base),
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      cdcFiles = Some(cdc), newPartValues = w.partValues)
   }
 
   /** MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV feature):
@@ -683,11 +852,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // no longer listed — purge only current ones
     val touched = filesAt(base).filter(f => masked.exists(h => h.endsWith(f)))
     val kept = readFilesDvAware(touched, schema, dv)
-    val rewritten = if (touched.isEmpty) Nil else writeData(kept)
+    val w = if (touched.isEmpty) Written(Nil, Map.empty) else writeData(kept)
     commit("PURGE", base,
-      filesAt(base).filterNot(touched.contains) ++ rewritten, schema,
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
-      cdcFiles = Some(Nil), dv = Some(Nil))
+      filesAt(base).filterNot(touched.contains) ++ w.files, schema,
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      cdcFiles = Some(Nil), dv = Some(Nil), newPartValues = w.partValues)
   }
 
   /** Resolve assignment keys against the schema (case-insensitively,
@@ -729,7 +898,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // untouched files were validated when they landed; the rewritten
     // rows are what an UPDATE can push into a violating state
     enforceConstraints(updated)
-    val rewritten = writeData(updated)
+    val w = writeData(updated)
     // write-time CDC: pre/post images of exactly the cond rows — two
     // extra file-pruned scans at write, zero shuffles at read.
     // Delta semantics: identity assignments (SET x = x) still emit
@@ -741,9 +910,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         .unionByName(applied.where(col("__hit")).drop("__hit")
           .withColumn("_change_type", lit("update_postimage"))))
     commit("UPDATE", base,
-      filesAt(base).filterNot(touched.contains) ++ rewritten, schemaAt(base),
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
-      cdcFiles = Some(cdc))
+      filesAt(base).filterNot(touched.contains) ++ w.files, schemaAt(base),
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      cdcFiles = Some(cdc), newPartValues = w.partValues)
   }
 
   /** MERGE INTO target USING source ON key — the default clause set:
@@ -864,7 +1033,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       case None => newTouched.drop("__action")
     }
     enforceConstraints(newData)
-    val rewritten = writeData(newData)
+    val w = writeData(newData)
     // write-time CDC with EXACT tags (the file-diff fallback can only
     // say "upsert"): updated rows get pre+post images, deleted rows
     // 'delete', fresh source rows 'insert'
@@ -884,21 +1053,24 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     tagged.unpersist()
     src.unpersist()
     commit("MERGE", base,
-      filesAt(base).filterNot(touched.contains) ++ rewritten, schema,
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(rewritten),
-      cdcFiles = Some(cdc))
+      filesAt(base).filterNot(touched.contains) ++ w.files, schema,
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      cdcFiles = Some(cdc), newPartValues = w.partValues)
   }
 
-  /** OPTIMIZE analog: coalesce the snapshot into `numFiles` files. */
+  /** OPTIMIZE analog: coalesce the snapshot into `numFiles` files
+    * (per partition on a partitioned table — compaction never merges
+    * across partition boundaries).
+    */
   def compact(numFiles: Int = 1): Long = {
     val base = latestVersion
     val data = snapshotAt(base).coalesce(numFiles)
-    val rewritten = writeData(data)
+    val w = writeData(data)
     // the rewrite read the snapshot DV-aware, so the DVs are applied
     // (purged) by compaction — clear them
-    commit("COMPACT", base, rewritten, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten),
-      dv = Some(Nil))
+    commit("COMPACT", base, w.files, schemaAt(base),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
+      dv = Some(Nil), newPartValues = w.partValues)
   }
 
   /** OPTIMIZE with a TARGET FILE SIZE (how Delta's OPTIMIZE actually
@@ -920,10 +1092,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val data = snapshotAt(base)
       .repartitionByRange(numFiles, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-    val rewritten = writeData(data)
-    commit("CLUSTER", base, rewritten, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten),
-      dv = Some(Nil))
+    val w = writeData(data)
+    commit("CLUSTER", base, w.files, schemaAt(base),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
+      dv = Some(Nil), newPartValues = w.partValues)
   }
 
   /** TRUE multi-dimensional Z-ordering over ANY number of keys:
@@ -964,10 +1136,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    val rewritten = writeData(data)
-    commit("ZORDER", base, rewritten, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(rewritten),
-      dv = Some(Nil))
+    val w = writeData(data)
+    commit("ZORDER", base, w.files, schemaAt(base),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
+      dv = Some(Nil), newPartValues = w.partValues)
   }
 
   /** RESTORE analog (roll the table back to an old version): commits
@@ -981,8 +1153,16 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
         .asInstanceOf[StructType],
       Map("restoredVersion" -> version),
+      // re-supply the restored version's file metadata: the base
+      // commit's carry filter only covers files IT still lists, and
+      // files resurrected from the old version would otherwise lose
+      // their stats (no pruning) and partition values (excluded from
+      // dynamic partition overwrite — stale-row correctness, not
+      // just perf)
+      newStats = c.stats.getOrElse(Map.empty),
       // the restored STATE includes that version's deletion vectors
-      dv = Some(c.dv.getOrElse(Nil)))
+      dv = Some(c.dv.getOrElse(Nil)),
+      newPartValues = c.partValues.getOrElse(Map.empty))
   }
 
   /** VACUUM analog: physically delete data files no commit in the
@@ -1171,6 +1351,26 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
 class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
 object GraftTable {
+  /** Compare two strings in UTF-8 BYTE order (= Unicode code-point
+    * order) — the order parquet BINARY statistics are computed in.
+    * Java String's natural order is UTF-16 code-unit order, which
+    * ranks supplementary characters BELOW U+E000..U+FFFF; comparing
+    * code points restores the byte-faithful order, so string
+    * min/max pruning is exact for every string, not just ASCII.
+    */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Normalize catalog-supplied `file:` URIs to plain local paths
     * (CREATE TABLE hands providers URI-form locations).
     */
@@ -1197,11 +1397,11 @@ object GraftTable {
   case class NotMatchedInsert(condition: Option[Column] = None,
       values: Option[Map[String, Column]] = None)
 
-  /** Per-file column stats: numeric [min,max] plus ASCII-only string
-    * [min,max] (byte order == char order only holds for ASCII, so
-    * non-ASCII string stats are dropped rather than risk a wrong
-    * prune; long strings likewise). Older commit logs lack the
-    * string maps — json4s defaults them to None.
+  /** Per-file column stats: numeric [min,max] plus string [min,max]
+    * compared in UTF-8 byte order via [[utf8Cmp]] (exact for every
+    * string; only over-long values are dropped, as a truncated max
+    * would mis-prune). Older commit logs lack the string maps —
+    * json4s defaults them to None.
     */
   private[graft] case class FileStats(mins: Map[String, Double],
       maxs: Map[String, Double],
@@ -1212,7 +1412,9 @@ object GraftTable {
     * paths, their commit-log stats, and the schema to read with.
     */
   private[graft] case class SnapshotInfo(files: Seq[String],
-      stats: Map[String, FileStats], schema: StructType)
+      stats: Map[String, FileStats], schema: StructType,
+      partitionBy: Seq[String] = Nil,
+      partValues: Map[String, Map[String, String]] = Map.empty)
 
   private[tables] case class Commit(version: Long, timestampMs: Long,
       operation: String, files: List[String], schemaJson: String,
@@ -1220,17 +1422,30 @@ object GraftTable {
       stats: Option[Map[String, FileStats]] = None,
       constraints: Option[Map[String, String]] = None,
       cdc: Option[List[String]] = None,
-      dv: Option[List[String]] = None)
+      dv: Option[List[String]] = None,
+      partitionBy: Option[List[String]] = None,
+      partValues: Option[Map[String, Map[String, String]]] = None)
 
-  /** Create a new table at `path` from `df` (errors if a log exists). */
-  def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {
+  /** Create a new table at `path` from `df` (errors if a log exists).
+    * With `partitionBy`, the table is PARTITIONED: every write lands
+    * partition-aligned (no file spans two partition tuples) with the
+    * tuple recorded per-file in the commit log — the metadata behind
+    * [[GraftTable.overwritePartitions]] and exact partition pruning.
+    */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): GraftTable = {
     val root = Paths.get(path)
     val t = new GraftTable(spark, root)
     require(!Files.exists(t.logDir), s"table already exists at $path")
+    val missing = partitionBy.filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partitionBy names unknown column(s): ${missing.mkString(", ")}")
     Files.createDirectories(t.logDir)
-    val files = t.writeData(df)
-    t.commit("CREATE", -1L, files, df.schema,
-      Map("numAddedFiles" -> files.size.toLong), t.collectStats(files))
+    val w = t.writeData(df, partitionBy)
+    t.commit("CREATE", -1L, w.files, df.schema,
+      Map("numAddedFiles" -> w.files.size.toLong), t.collectStats(w.files),
+      newPartValues = w.partValues,
+      partitionByOpt = if (partitionBy.isEmpty) None else Some(partitionBy))
     t
   }
 
@@ -1295,7 +1510,11 @@ object GraftTable {
       // DV tombstones key on the source's absolute file paths — which
       // is exactly how the clone references those files, so carried
       // DVs mask the same rows
-      dv = Some(c.dv.getOrElse(Nil).map(src.abs)))
+      dv = Some(c.dv.getOrElse(Nil).map(src.abs)),
+      newPartValues = c.partValues.getOrElse(Map.empty).map {
+        case (f, m) => src.abs(f) -> m
+      },
+      partitionByOpt = c.partitionBy)
     t
   }
 

@@ -216,4 +216,27 @@ class GraftSqlSpec extends SparkSpec {
     val df = GraftSql.sql(spark, "SELECT 1 AS one")
     assert(df.head.getInt(0) === 1)
   }
+
+  test("INSERT INTO ... REPLACE WHERE swaps the slice atomically") {
+    val (t, _) = registered("gs_rw")
+    try {
+      val total = t.snapshot().count()
+      val f = t.snapshot().where($"o_orderstatus" === "F").count()
+      val fEven = t.snapshot()
+        .where($"o_orderstatus" === "F" && $"o_orderkey" % 2 === 0).count()
+      GraftSql.sql(spark,
+        "INSERT INTO gs_rw REPLACE WHERE o_orderstatus = 'F' " +
+          "SELECT * FROM gs_rw WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0")
+      assert(t.snapshot().count() === total - f + fEven)
+      assert(t.history().where($"operation" === "REPLACE_WHERE").count() === 1)
+      // an out-of-predicate row is rejected, nothing committed
+      val v = t.latestVersion
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          "INSERT INTO gs_rw REPLACE WHERE o_orderstatus = 'F' " +
+            "SELECT * FROM gs_rw WHERE o_orderstatus = 'O' LIMIT 5")
+      }
+      assert(t.latestVersion === v)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_rw")
+  }
 }

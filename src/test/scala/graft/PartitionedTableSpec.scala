@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.GraftTable
+import org.apache.spark.sql.functions._
+
+/** Partition-column support on GraftTable: partition-aligned layout,
+  * per-file tuple metadata, dynamic partition overwrite, replaceWhere,
+  * and exact partition pruning through the registered scan path.
+  */
+class PartitionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_part_").resolve("t").toString
+
+  private def orders = Tables.load(spark, sf, "orders")
+
+  test("partitioned create: no data file spans two partition values") {
+    val t = GraftTable.create(spark, tmp(),
+      orders.repartition(4), partitionBy = Seq("o_orderstatus"))
+    assert(t.partitionColumns === Seq("o_orderstatus"))
+    // every file is value-homogeneous: per-file distinct count is 1
+    val perFile = t.snapshot()
+      .select(col("o_orderstatus"), col("_metadata.file_path").as("f"))
+      .groupBy("f").agg(countDistinct("o_orderstatus").as("n"))
+    assert(perFile.where(col("n") =!= 1).count() === 0)
+    // and the round-trip loses nothing (partition cols stay in data)
+    assert(t.snapshot().count() === orders.count())
+    assert(t.snapshot().columns.toSeq === orders.columns.toSeq)
+  }
+
+  test("append to a partitioned table stays aligned and recorded") {
+    val df = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "k", "x")
+    val t = GraftTable.create(spark, tmp(), df, partitionBy = Seq("k"))
+    t.append(Seq((3L, "A", 3.0), (4L, "C", 4.0)).toDF("id", "k", "x"))
+    assert(t.snapshot().count() === 4)
+    // dynamic overwrite of A must see BOTH A files (create + append)
+    t.overwritePartitions(Seq((9L, "A", 9.0)).toDF("id", "k", "x"))
+    val rows = t.snapshot().orderBy("id").as[(Long, String, Double)].collect()
+    assert(rows === Array((2L, "B", 2.0), (4L, "C", 4.0), (9L, "A", 9.0)))
+  }
+
+  test("overwritePartitions touches only incoming partitions") {
+    val t = GraftTable.create(spark, tmp(),
+      orders, partitionBy = Seq("o_orderstatus"))
+    val before = t.snapshot()
+    val total = before.count()
+    val pCount = before.where($"o_orderstatus" === "P").count()
+    // replace partition P with a single synthetic row
+    val one = before.where($"o_orderstatus" === "P").limit(1)
+      .withColumn("o_totalprice", lit(java.math.BigDecimal.ZERO)
+        .cast(before.schema("o_totalprice").dataType))
+    t.overwritePartitions(one)
+    val after = t.snapshot()
+    assert(after.where($"o_orderstatus" === "P").count() === 1)
+    assert(after.where($"o_orderstatus" =!= "P").count() === total - pCount)
+    // untouched partitions kept their FILES (no rewrite): commit diff
+    val hist = t.history().orderBy(desc("version")).limit(1).collect()(0)
+    assert(hist.getAs[String]("operation") === "OVERWRITE_PARTITIONS")
+  }
+
+  test("overwritePartitions change feed: deletes out, inserts in") {
+    val df = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0))
+      .toDF("id", "k", "x")
+    val t = GraftTable.create(spark, tmp(), df, partitionBy = Seq("k"))
+    t.overwritePartitions(Seq((7L, "A", 7.0)).toDF("id", "k", "x"))
+    val feed = t.changeFeed(0).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(feed === Set((1L, "delete"), (2L, "delete"), (7L, "insert")))
+  }
+
+  test("replaceWhere validates and atomically swaps the slice") {
+    val df = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0))
+      .toDF("id", "k", "x")
+    val t = GraftTable.create(spark, tmp(), df)
+    // a row violating the predicate is rejected, nothing committed
+    intercept[IllegalArgumentException] {
+      t.replaceWhere($"k" === "A", Seq((9L, "B", 9.0)).toDF("id", "k", "x"))
+    }
+    assert(t.latestVersion === 0)
+    t.replaceWhere($"k" === "A", Seq((9L, "A", 9.0)).toDF("id", "k", "x"))
+    val rows = t.snapshot().orderBy("id").as[(Long, String, Double)].collect()
+    assert(rows === Array((3L, "B", 3.0), (9L, "A", 9.0)))
+    val feed = t.changeFeed(0).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(feed === Set((1L, "delete"), (2L, "delete"), (9L, "insert")))
+  }
+
+  test("DML and compaction preserve partition metadata") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "E" else "O", i * 1.0))
+      .toDF("id", "k", "x")
+    val t = GraftTable.create(spark, tmp(), df, partitionBy = Seq("k"))
+    t.delete($"id" <= 10)
+    t.update($"id" === 50, Map("x" -> lit(-1.0)))
+    t.compact(1)
+    // after rewrites, dynamic overwrite still classifies every file
+    t.overwritePartitions(Seq((1000L, "E", 0.0)).toDF("id", "k", "x"))
+    val snap = t.snapshot()
+    assert(snap.where($"k" === "E").count() === 1)
+    assert(snap.where($"k" === "O").count() === 45) // 50 odd - 5 deleted
+    assert(snap.where($"x" === -1.0).count() === 0) // id 50 was even
+  }
+
+  test("restore keeps partition metadata usable") {
+    val df = Seq((1L, "A"), (2L, "B")).toDF("id", "k")
+    val t = GraftTable.create(spark, tmp(), df, partitionBy = Seq("k"))
+    t.overwritePartitions(Seq((9L, "A")).toDF("id", "k")) // v1
+    t.restore(0) // v2: back to {1,2}
+    // overwrite on the RESTORED state must still classify v0's files
+    t.overwritePartitions(Seq((8L, "B")).toDF("id", "k"))
+    assert(t.snapshot().orderBy("id").as[(Long, String)].collect()
+      === Array((1L, "A"), (8L, "B")))
+  }
+
+  test("registered scan prunes files by partition value exactly") {
+    // keys longer than 64 chars: the footer-stats path drops them
+    // (truncation risk), so only the partition-tuple path can prune
+    val df = (1L to 90L).map(i =>
+      (i, ("seller_" + ("x" * 70) + (i % 3)), i * 1.0))
+      .toDF("id", "k", "x").repartition(3)
+    val path = tmp()
+    GraftTable.create(spark, path, df, partitionBy = Seq("k"))
+    val all = spark.read.format("graft-table").load(path)
+    assert(all.count() === 90)
+    val q = all.where($"k" === ("seller_" + ("x" * 70) + "1"))
+    assert(q.count() === 30)
+    // plan-level: the scan lists exactly the one partition's files
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(Nil,
+          f.dataFilters).map(_.files.length).sum
+    }.sum
+    val total = spark.read.format("graft-table").load(path)
+      .queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(Nil, Nil).map(_.files.length).sum
+    }.sum
+    assert(scanned < total, s"expected pruning: $scanned < $total")
+  }
+
+  test("partition values survive hive escaping round-trip") {
+    val df = Seq((1L, "a/b c=d%e"), (2L, "plain")).toDF("id", "k")
+    val t = GraftTable.create(spark, tmp(), df, partitionBy = Seq("k"))
+    assert(t.snapshot().orderBy("id").as[(Long, String)].collect()
+      === Array((1L, "a/b c=d%e"), (2L, "plain")))
+    t.overwritePartitions(Seq((9L, "a/b c=d%e")).toDF("id", "k"))
+    assert(t.snapshot().orderBy("id").as[(Long, String)].collect()
+      === Array((2L, "plain"), (9L, "a/b c=d%e")))
+  }
+
+  test("null partition values round-trip and classify") {
+    val df = Seq((1L, Some("A")), (2L, None), (3L, None))
+      .toDF("id", "k")
+    val t = GraftTable.create(spark, tmp(), df, partitionBy = Seq("k"))
+    assert(t.snapshot().where($"k".isNull).count() === 2)
+    t.overwritePartitions(Seq((9L, Option.empty[String])).toDF("id", "k"))
+    val rows = t.snapshot().orderBy("id").as[(Long, Option[String])].collect()
+    assert(rows === Array((1L, Some("A")), (9L, None)))
+  }
+}
