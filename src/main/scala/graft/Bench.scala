@@ -17,11 +17,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
-      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
-    }.toMap
+    // optional subset (comma-separated names) and sample count for
+    // targeted perf iteration; the driver's full run uses defaults
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val ts = (1 to samples).map(_ => timeOnce(fn))
+        name -> (if (ts.exists(_ < 0)) ts.max else ts.min)
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

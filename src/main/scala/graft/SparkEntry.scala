@@ -39,6 +39,13 @@ object SparkEntry {
     "q9_profit_nation" -> (Analytics.profitByNation _),
     "events_funnel" -> (Analytics.eventFunnel _),
     "ml_feature_hash" -> ((s: SparkSession, d: String) => Analytics.featureHash(s, d)),
+    "q6_forecast_revenue" -> (Analytics.forecastRevenue _),
+    "q10_returned_revenue" -> (Analytics.returnedRevenue _),
+    "q13_order_distribution" -> (Analytics.orderDistribution _),
+    "q15_top_supplier" -> (Analytics.topSupplier _),
+    "q18_large_orders" -> (Analytics.largeOrders _),
+    "q19_brand_revenue" -> (Analytics.brandRevenue _),
+    "q22_idle_customers" -> (Analytics.idleCustomers _),
     "q_set_ops_customers" -> (Analytics.setOpsCustomers _),
     "q_percentile_bands" -> (Analytics.percentileBands _),
     "q_string_filters" -> (Analytics.stringFilters _),
@@ -520,6 +527,71 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%widget%'
         |GROUP BY n_name, year(l_shipdate)""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    CAST(l_discount AS DECIMAL(5,4))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(round(SUM($decPrice), 4) AS DOUBLE) AS revenue
+         |FROM lineitem, orders, customer, nation
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(round(SUM($decPrice), 4) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    "q18_large_orders" ->
+      """WITH heavy AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM heavy, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_brand_revenue" ->
+      s"""SELECT CAST(round(SUM($decPrice), 4) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(round(SUM(CAST(c_acctbal AS DECIMAL(12,4))), 4) AS DOUBLE)
+        |    / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(round(SUM(CAST(c_acctbal AS DECIMAL(12,4))), 4) AS DOUBLE) AS totacctbal
+        |FROM customer, nation, avg_bal
+        |WHERE c_nationkey = n_nationkey AND c_acctbal > avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY n_name""".stripMargin,
     "q_set_ops_customers" ->
       """SELECT 'both' AS grp, COUNT(*) AS n FROM (
         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996

@@ -406,6 +406,152 @@ object Analytics {
       .agg(count(lit(1)).as("n_parts"),
         asDouble(sum(dec(col("p_retailprice")))).as("total_retail"))
 
+  /** TPC-H Q6 shape: pure fact-scan forecast — every predicate
+    * (shipdate range, discount band, quantity cap) pushes to the
+    * parquet scan; the agg is one map-side-partial sum. The cheapest
+    * possible plan at any scale: no join, no wide shuffle.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+    li.agg(asDouble(sum(dec(col("l_extendedprice")) *
+      col("l_discount").cast("decimal(5,4)"))).as("revenue"))
+  }
+
+  /** TPC-H Q10 shape: returned-item revenue per customer — selective
+    * date window on orders, returnflag filter on lineitem, one fact
+    * shuffle on the order key, 25-row nation broadcast, top 20.
+    */
+  def returnedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.load(spark, sfDir, "customer")
+    val n = Tables.load(spark, sfDir, "nation")
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(asDouble(sum(discPrice)).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape: order-count distribution over customers —
+    * LEFT join so order-less customers land in bucket 0, then a
+    * count-of-counts. Two shuffles (custkey, then count), both on
+    * shrinking data.
+    */
+  def orderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer").select("c_custkey")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue — the
+    * per-supplier agg is computed once and self-compared against its
+    * own 1-row max (a broadcast-able scalar, not an sf-proportional
+    * side).
+    */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(asDouble(sum(discPrice)).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    val s = Tables.load(spark, sfDir, "supplier")
+    rev.join(top, rev("total_revenue") === top("max_revenue"))
+      .join(s, rev("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — the HAVING pre-aggregate
+    * keeps only heavy orders BEFORE joining back to orders/customer,
+    * so the expensive joins see a tiny filtered key set.
+    */
+  def largeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val heavy = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 180)
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    heavy.join(o, heavy("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape: OR-of-ANDs brand/size/quantity bands — the
+    * disjunction references both sides, so it rides the join
+    * CONDITION (pairs drop inside the join, nothing post-filters);
+    * part is planner-sized, not hint-broadcast.
+    */
+  def brandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val p = Tables.load(spark, sfDir, "part")
+    val band = (p("p_brand") === "Brand#15" && p("p_size").between(1, 5) &&
+        li("l_quantity").between(1, 11)) ||
+      (p("p_brand") === "Brand#19" && p("p_size").between(1, 10) &&
+        li("l_quantity").between(10, 20)) ||
+      (p("p_brand") === "Brand#23" && p("p_size").between(1, 15) &&
+        li("l_quantity").between(20, 30))
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(12,4)") - dec(col("l_discount")))
+    li.join(p, li("l_partkey") === p("p_partkey") && band)
+      .agg(asDouble(sum(discPrice)).as("revenue"))
+  }
+
+  /** TPC-H Q22 shape: well-funded customers who never ordered —
+    * the positive-balance average is a 1-row scalar (cross-joined,
+    * planner broadcasts it for free), the "no orders" test is a
+    * LEFT ANTI join on the order's customer key.
+    */
+  def idleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    // NOT avg(double): summation order varies per engine/partitioning
+    // in the last ULP, and a boundary customer would flip. Exact
+    // decimal sum finalized to double, then one IEEE division — the
+    // same two numbers in every engine.
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((asDouble(sum(dec(col("c_acctbal")))) /
+        count(lit(1))).as("avg_bal"))
+    // "no RECENT orders" — the synthetic generator gives nearly every
+    // customer SOME order, so the unwindowed test is degenerate
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .select("o_custkey")
+    val n = Tables.load(spark, sfDir, "nation")
+    c.crossJoin(avgBal)
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        asDouble(sum(dec(col("c_acctbal")))).as("totacctbal"))
+  }
+
   /** Time-intelligence: monthly revenue with month-over-month growth
     * via lag window. Growth is double division of two exact decimal-
     * derived doubles — engine-portable.
