@@ -125,6 +125,14 @@ class GraftTableSourceProvider extends StreamSourceProvider
         s"graft table at version $version has active deletion vectors, " +
           "which the file-granular batch scan cannot apply; read via " +
           "GraftTable.snapshotAt or run purgeDvs()/compact() first")
+    // same reader-feature gate for column mapping: this path reads
+    // files under their RAW column names and cannot apply the
+    // rename indirection (a renamed column would silently read null)
+    if (table.hasColumnMapping(version))
+      throw new UnsupportedOperationException(
+        s"graft table at version $version has active column mapping " +
+          "(RENAME/DROP COLUMN); read via GraftTable.snapshotAt, or " +
+          "overwrite()/re-create to clear the mapping")
     val index = new GraftTableFileIndex(spark, table, version)
     HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
       new ParquetFileFormat, parameters)(spark)

@@ -47,6 +47,12 @@ object GraftSql {
   // (each validated against cond), one atomic commit
   private val InsertReplaceWhere =
     """(?is)\s*INSERT\s+INTO\s+([\w.`]+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+)""".r
+  // column mapping DDL (Delta ALTER TABLE analogs): O(1) metadata
+  // commits on the graft log, no files rewritten
+  private val RenameColumnSql =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+COLUMN\s+`?([\w]+)`?\s+TO\s+`?([\w]+)`?\s*""".r
+  private val DropColumnSql =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+`?([\w]+)`?\s*""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case DescribeHistory(ident) => tableByName(spark, ident).history()
@@ -82,6 +88,14 @@ object GraftSql {
       target.table.replaceWhere(cond, spark.sql(query))
       refresh(spark, target)
       emptyResult(spark)
+    case RenameColumnSql(ident, oldName, newName) =>
+      tableByName(spark, ident).renameColumn(oldName, newName)
+      refreshName(spark, ident)
+      emptyResult(spark)
+    case DropColumnSql(ident, colName) =>
+      tableByName(spark, ident).dropColumn(colName)
+      refreshName(spark, ident)
+      emptyResult(spark)
     case _ => sqlParsed(spark, text)
   }
 
@@ -89,7 +103,8 @@ object GraftSql {
   private[graft] def isUtilityStatement(text: String): Boolean = text match {
     case DescribeHistory(_) | OptimizeZorder(_, _) | Optimize(_) |
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
-         ShallowClone(_, _, _) | InsertReplaceWhere(_, _, _) => true
+         ShallowClone(_, _, _) | InsertReplaceWhere(_, _, _) |
+         RenameColumnSql(_, _, _) | DropColumnSql(_, _) => true
     case _ => false
   }
 
@@ -120,6 +135,8 @@ object GraftSql {
       case RestoreVersion(i, _) => Some(i)
       case ShallowClone(_, srcIdent, _) => Some(srcIdent)
       case InsertReplaceWhere(i, _, _) => Some(i)
+      case RenameColumnSql(i, _, _) => Some(i)
+      case DropColumnSql(i, _) => Some(i)
       case _ => None
     }
     ident.exists(i =>

@@ -116,7 +116,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       partValues: Map[String, Map[String, String]])
 
   private def writeData(df: DataFrame): Written =
-    writeData(df, partitionColumnsAt(latestVersion))
+    writeData(df, partitionColumnsAt(latestVersion),
+      columnMapAt(latestVersion))
 
   /** Stage and adopt `df`. With partition columns the staging write
     * goes through `partitionBy` on DUPLICATED columns (`__gp_<col>`),
@@ -128,13 +129,20 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * overwrite exact and partition pruning type-faithful for values
     * (e.g. non-ASCII strings) the footer-stats path must drop.
     */
-  private def writeData(df: DataFrame, pcols: Seq[String]): Written = {
+  private def writeData(df: DataFrame, pcols: Seq[String],
+      cm: Map[String, String] = Map.empty): Written = {
+    // incoming frames carry LOGICAL names; files always store PHYSICAL
+    // (partition columns are rename-immutable, so pcols need no
+    // translation)
+    val out = if (cm.isEmpty) df
+      else df.select(df.columns.map(c =>
+        col(s"`$c`").as(cm.getOrElse(c, c))).toIndexedSeq: _*)
     val staging = root.resolve(s".staging-${UUID.randomUUID()}")
     if (pcols.isEmpty) {
-      df.write.parquet(staging.toString)
+      out.write.parquet(staging.toString)
       Written(adoptStaging(staging), Map.empty)
     } else {
-      val dup = pcols.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
+      val dup = pcols.foldLeft(out)((d, c) => d.withColumn(s"__gp_$c", col(c)))
       dup.write.partitionBy(pcols.map("__gp_" + _): _*).parquet(staging.toString)
       adoptPartitionedStaging(staging, pcols)
     }
@@ -237,7 +245,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * broadcasts it against any realistically sized table.
     */
   private def scanWithPos(files: Seq[String], schema: StructType,
-      dv: Seq[String]): DataFrame = {
+      dv: Seq[String], cm: Map[String, String] = Map.empty): DataFrame = {
     if (files.isEmpty) {
       val withAddr = StructType(schema.fields ++ Seq(
         org.apache.spark.sql.types.StructField("__fp",
@@ -247,9 +255,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withAddr)
     }
-    val raw = spark.read.schema(schema).parquet(files.map(abs): _*)
-      .select(col("*"), col("_metadata.file_path").as("__fp"),
-        col("_metadata.row_index").as("__pos"))
+    // files store PHYSICAL column names; surface the caller's LOGICAL
+    // names (identity for unmapped tables)
+    val phys = physicalSchema(schema, cm)
+    val raw = spark.read.schema(phys).parquet(files.map(abs): _*)
+      .select(schema.fields.map(f =>
+          col(physName(cm, f.name)).as(f.name)).toIndexedSeq :+
+        col("_metadata.file_path").as("__fp") :+
+        col("_metadata.row_index").as("__pos"): _*)
     if (dv.isEmpty) raw
     else raw.join(
       spark.read.parquet(dv.map(abs): _*)
@@ -258,14 +271,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       Seq("__fp", "__pos"), "left_anti")
   }
 
-  /** Read `files` under `schema` with deletion vectors applied (plain
-    * vectorized scan when there are none — the common case costs
-    * nothing).
+  /** Read `files` under the LOGICAL `schema` with deletion vectors
+    * applied and column mapping translated (plain vectorized scan
+    * when neither is active — the common case costs nothing).
     */
   private def readFilesDvAware(files: Seq[String], schema: StructType,
-      dv: Seq[String]): DataFrame =
-    if (dv.isEmpty) spark.read.schema(schema).parquet(files.map(abs): _*)
-    else scanWithPos(files, schema, dv)
+      dv: Seq[String], cm: Map[String, String] = Map.empty): DataFrame =
+    if (dv.isEmpty) {
+      val raw = spark.read.schema(physicalSchema(schema, cm))
+        .parquet(files.map(abs): _*)
+      if (cm.isEmpty) raw
+      else raw.select(schema.fields.map(f =>
+        col(physName(cm, f.name)).as(f.name)).toIndexedSeq: _*)
+    } else scanWithPos(files, schema, dv, cm)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** Per-file min/max per eligible column, read straight from the
@@ -408,7 +426,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       cdcFiles: Option[Seq[String]] = None,
       dv: Option[Seq[String]] = None,
       newPartValues: Map[String, Map[String, String]] = Map.empty,
-      partitionByOpt: Option[Seq[String]] = None): Long = {
+      partitionByOpt: Option[Seq[String]] = None,
+      newColumnMap: Option[Map[String, String]] = None): Long = {
     val v = base + 1
     val carried = if (v == 0) Map.empty[String, FileStats]
       else readCommit(base).stats.getOrElse(Map.empty)
@@ -425,13 +444,114 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       else readCommit(base).partValues.getOrElse(Map.empty)
         .filter { case (f, _) => files.contains(f) }
     val pvAll = carriedPv ++ newPartValues
+    // the logical→physical column map carries forward like
+    // constraints; RENAME/DROP/evolve commits replace it wholesale
+    val cmOut = newColumnMap.getOrElse(
+      if (v == 0) Map.empty[String, String] else columnMapAt(base))
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
       schema.json, metrics, Some(carried ++ newStats),
       Some(carriedConstraints ++ newConstraints),
       cdcFiles.map(_.toList),
       if (dvList.isEmpty) None else Some(dvList),
-      pb, if (pvAll.isEmpty) None else Some(pvAll)))
+      pb, if (pvAll.isEmpty) None else Some(pvAll),
+      if (cmOut.isEmpty) None else Some(cmOut)))
     v
+  }
+
+  // ---- column mapping (rename/drop without rewrite) --------------------
+
+  /** Logical→PHYSICAL column names at `v` (Delta column mapping:
+    * files keep their original column names forever; RENAME/DROP are
+    * pure metadata commits). Identity entries are omitted.
+    */
+  private def columnMapAt(v: Long): Map[String, String] =
+    if (v < 0) Map.empty else readCommit(v).columnMap.getOrElse(Map.empty)
+
+  /** Reader-feature gate twin of [[hasDvs]]: surfaces that read data
+    * files by their raw column names (the registered file-granular
+    * scan, streaming replay) cannot apply the rename indirection.
+    */
+  private[graft] def hasColumnMapping(v: Long): Boolean =
+    columnMapAt(v).nonEmpty
+
+  private def physName(cm: Map[String, String], logical: String): String =
+    cm.getOrElse(logical, logical)
+
+  private def physicalSchema(schema: StructType,
+      cm: Map[String, String]): StructType =
+    if (cm.isEmpty) schema
+    else StructType(schema.fields.map(f => f.copy(name = physName(cm, f.name))))
+
+  /** Every physical column name any commit ≤ `v` ever used — the
+    * collision set for fresh-name allocation (a re-added logical name
+    * must NOT resurrect a dropped physical column's bytes).
+    */
+  private def usedPhysicalNames(v: Long): Set[String] =
+    (0L to v).flatMap { vv =>
+      val c = readCommit(vv)
+      val s = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+        .asInstanceOf[StructType]
+      val cm = c.columnMap.getOrElse(Map.empty)
+      s.fieldNames.map(physName(cm, _))
+    }.toSet
+
+  private def requireUnconstrained(base: Long, colName: String,
+      op: String): Unit = {
+    val hit = readCommit(base).constraints.getOrElse(Map.empty).collectFirst {
+      case (n, pred) if ("\\b" + java.util.regex.Pattern.quote(colName) +
+          "\\b").r.findFirstIn(pred).isDefined => n
+    }
+    require(hit.isEmpty,
+      s"cannot $op column '$colName': referenced by CHECK constraint '${hit.get}'")
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN analog: O(1) metadata commit, no
+    * file rewritten — the new logical name maps to the old PHYSICAL
+    * name, and every read/write path translates at its choke point.
+    * Partition and constraint columns are immutable (their names are
+    * baked into commit metadata / predicate SQL).
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val base = latestVersion
+    val schema = schemaAt(base)
+    val cm = columnMapAt(base)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column '$oldName' (columns: ${schema.fieldNames.mkString(", ")})"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    require(!partitionColumnsAt(base).contains(field.name),
+      s"cannot rename partition column '${field.name}'")
+    requireUnconstrained(base, field.name, "rename")
+    val phys = physName(cm, field.name)
+    val cm2 = cm - field.name
+    val cmNew = if (phys == newName) cm2 else cm2 + (newName -> phys)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == field.name) f.copy(name = newName) else f))
+    commit("RENAME COLUMN", base, filesAt(base), newSchema,
+      Map(), cdcFiles = Some(Nil), newColumnMap = Some(cmNew))
+  }
+
+  /** ALTER TABLE ... DROP COLUMN analog: metadata-only — the physical
+    * column stays in the files (ignored by every read) until files
+    * are naturally rewritten. A later evolve-append re-adding the
+    * name gets a FRESH physical name, so the dropped bytes can never
+    * resurface.
+    */
+  def dropColumn(name: String): Long = {
+    val base = latestVersion
+    val schema = schemaAt(base)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column '$name' (columns: ${schema.fieldNames.mkString(", ")})"))
+    require(schema.fields.length > 1, "cannot drop the only column")
+    require(!partitionColumnsAt(base).contains(field.name),
+      s"cannot drop partition column '${field.name}'")
+    requireUnconstrained(base, field.name, "drop")
+    val newSchema = StructType(schema.fields.filterNot(_.name == field.name))
+    commit("DROP COLUMN", base, filesAt(base), newSchema,
+      Map(), cdcFiles = Some(Nil),
+      newColumnMap = Some(columnMapAt(base) - field.name))
   }
 
   /** Partition columns declared at CREATE (empty = unpartitioned). */
@@ -506,7 +626,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       // explicit schema: reads stay correct across additive schema
       // evolution (older files simply yield nulls for new columns);
       // merge-on-read deletes are masked via the version's DVs
-      readFilesDvAware(c.files, schema, dvAt(version))
+      readFilesDvAware(c.files, schema, dvAt(version), columnMapAt(version))
   }
 
   /** Data-skipping read: only files whose [min,max] interval for
@@ -520,10 +640,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val c = readCommit(latestVersion)
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     val stats = c.stats.getOrElse(Map.empty)
+    // footer stats are keyed by PHYSICAL column name
+    val pk = physName(c.columnMap.getOrElse(Map.empty), key)
     val keep = c.files.filter { f =>
       stats.get(f) match {
         case Some(fs) =>
-          (fs.mins.get(key), fs.maxs.get(key)) match {
+          (fs.mins.get(pk), fs.maxs.get(pk)) match {
             case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
             case _ => true
           }
@@ -532,7 +654,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     }
     if (keep.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readFilesDvAware(keep, schema, dvAt(latestVersion))
+    else readFilesDvAware(keep, schema, dvAt(latestVersion), columnMapAt(latestVersion))
   }
 
   /** DESCRIBE HISTORY analog: one row per commit. */
@@ -597,7 +719,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val schema = checkSchema(df, evolve)
     val aligned = df.select(schema.fieldNames.filter(n =>
       df.schema.fieldNames.contains(n)).map(col): _*)
-    val w = writeData(aligned)
+    // evolve-added columns whose name matches ANY physical name a past
+    // commit used (e.g. a previously DROPPED column) get a fresh
+    // physical name — otherwise old files' stale bytes would resurface
+    // under the new logical column
+    val baseCm = columnMapAt(base)
+    val addedCols = schema.fieldNames
+      .filterNot(n => base >= 0 && schemaAt(base).fieldNames.contains(n))
+    val fresh =
+      if (addedCols.isEmpty || base < 0) Map.empty[String, String]
+      else {
+        val used = usedPhysicalNames(base)
+        addedCols.filter(used.contains).map(n => n -> s"${n}__c${base + 1}").toMap
+      }
+    val cm = baseCm ++ fresh
+    val w = writeData(aligned, partitionColumnsAt(base), cm)
     val added = w.files
     val stats = collectStats(added)
     // blind appends never conflict SEMANTICALLY — a racing commit just
@@ -612,7 +748,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       try {
         return commit("APPEND", b, filesAt(b) ++ added, schema,
           Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics, stats,
-          newPartValues = w.partValues)
+          newPartValues = w.partValues,
+          newColumnMap = if (fresh.isEmpty) None else Some(cm))
       } catch {
         case e: CommitConflictException =>
           attempts += 1
@@ -676,10 +813,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       extraMetrics: Map[String, Long] = Map.empty): Long = {
     val base = latestVersion
     enforceConstraints(df)
-    val w = writeData(df)
+    // a full rewrite leaves no old files behind, so the logical
+    // names can become physical again — reset the column map (also
+    // sidesteps an incoming column colliding with a mapped physical)
+    val w = writeData(df, partitionColumnsAt(base), Map.empty)
     commit("OVERWRITE", base, w.files, df.schema,
       Map("numAddedFiles" -> w.files.size.toLong) ++ extraMetrics,
-      collectStats(w.files), dv = Some(Nil), newPartValues = w.partValues)
+      collectStats(w.files), dv = Some(Nil), newPartValues = w.partValues,
+      newColumnMap = Some(Map.empty))
   }
 
   /** DYNAMIC PARTITION OVERWRITE (Delta `partitionOverwriteMode=
@@ -716,7 +857,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val replaced = filesAt(base).filter(f =>
       newTuples.contains(pcols.map(pv(f)(_))))
     val cdc = writeCdc(
-      readFilesDvAware(replaced, schema, dvAt(base))
+      readFilesDvAware(replaced, schema, dvAt(base), columnMapAt(base))
         .withColumn("_change_type", lit("delete"))
         .unionByName(aligned.withColumn("_change_type", lit("insert"))))
     commit("OVERWRITE_PARTITIONS", base,
@@ -743,7 +884,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (bad > 0) throw new IllegalArgumentException(
       s"replaceWhere: $bad incoming row(s) do not satisfy the predicate")
     val touched = touchedFiles(cond)
-    val touchedDf = readFilesDvAware(touched, schema, dvAt(base))
+    val touchedDf = readFilesDvAware(touched, schema, dvAt(base), columnMapAt(base))
     val wSurv = if (touched.isEmpty) Written(Nil, Map.empty)
       else writeData(touchedDf.where(!coalesce(cond, lit(false))))
     val wNew = writeData(aligned)
@@ -768,7 +909,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * are already deleted needs no rewrite.
     */
   private def touchedFiles(cond: Column): Seq[String] = {
-    val hits = scanWithPos(currentFiles, currentSchema, dvAt(latestVersion))
+    val hits = scanWithPos(currentFiles, currentSchema, dvAt(latestVersion),
+      columnMapAt(latestVersion))
       .where(cond)
       .select(col("__fp").as("f")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -784,7 +926,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         cdcFiles = Some(Nil))
     // DV-aware: rows already masked by deletion vectors must neither
     // survive into the rewrite nor re-appear in the CDC delete set
-    val touchedDf = readFilesDvAware(touched, schemaAt(base), dvAt(base))
+    val touchedDf = readFilesDvAware(touched, schemaAt(base), dvAt(base),
+      columnMapAt(base))
     val kept = touchedDf.where(!coalesce(cond, lit(false)))
     val w = writeData(kept)
     // write-time CDC: the deleted rows are exactly the cond-matching
@@ -817,7 +960,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val base = latestVersion
     val schema = schemaAt(base)
     // one scan feeds the tombstone write AND the CDC set
-    val victims = scanWithPos(filesAt(base), schema, dvAt(base))
+    val victims = scanWithPos(filesAt(base), schema, dvAt(base), columnMapAt(base))
       .where(coalesce(cond, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -851,7 +994,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // stale tombstones (files since rewritten by COW DML) name files
     // no longer listed — purge only current ones
     val touched = filesAt(base).filter(f => masked.exists(h => h.endsWith(f)))
-    val kept = readFilesDvAware(touched, schema, dv)
+    val kept = readFilesDvAware(touched, schema, dv, columnMapAt(base))
     val w = if (touched.isEmpty) Written(Nil, Map.empty) else writeData(kept)
     commit("PURGE", base,
       filesAt(base).filterNot(touched.contains) ++ w.files, schema,
@@ -880,7 +1023,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (touched.isEmpty)
       return commit("UPDATE", base, filesAt(base), schemaAt(base), Map(),
         cdcFiles = Some(Nil))
-    val cur = readFilesDvAware(touched, schemaAt(base), dvAt(base))
+    val cur = readFilesDvAware(touched, schemaAt(base), dvAt(base),
+      columnMapAt(base))
     // evaluate cond ONCE against the original row, then apply every
     // SET against it — a set-column appearing in cond (or in another
     // assignment) must see the pre-update value
@@ -970,7 +1114,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         s"MERGE source has duplicate join keys (e.g. $key=${dupKeys(0).get(0)}); " +
           "each target row must match at most one source row")
     val keys = src.select(col(key)).distinct()
-    val withFile = scanWithPos(filesAt(base), schema, dvAt(base))
+    val withFile = scanWithPos(filesAt(base), schema, dvAt(base), columnMapAt(base))
       .withColumnRenamed("__fp", "__file")
     // no broadcast hint: the planner (and AQE) picks the join — a
     // corpus-sized source must not be forced through the driver
@@ -979,7 +1123,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val touched = filesAt(base).filter(f => hit.exists(h => h.endsWith(f)))
     val tgtRows = if (touched.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readFilesDvAware(touched, schema, dvAt(base))
+    else readFilesDvAware(touched, schema, dvAt(base), columnMapAt(base))
     // one left join exposes each target row with its (optional)
     // source match as a struct; clause resolution is pure projection
     val srcStruct = src.select(col(key).as("__sk"),
@@ -1162,7 +1306,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       newStats = c.stats.getOrElse(Map.empty),
       // the restored STATE includes that version's deletion vectors
       dv = Some(c.dv.getOrElse(Nil)),
-      newPartValues = c.partValues.getOrElse(Map.empty))
+      newPartValues = c.partValues.getOrElse(Map.empty),
+      // ... and that version's column mapping (its files' physical
+      // names are what the restored logical schema maps onto)
+      newColumnMap = Some(c.columnMap.getOrElse(Map.empty)))
   }
 
   /** VACUUM analog: physically delete data files no commit in the
@@ -1212,7 +1359,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val schema = currentSchema
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readFilesDvAware(added, schema, dvAt(latestVersion))
+    else readFilesDvAware(added, schema, dvAt(latestVersion), columnMapAt(latestVersion))
   }
 
   /** Files (absolute paths) added in versions (fromVersion, toVersion]
@@ -1241,6 +1388,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         throw new UnsupportedOperationException(
           s"streaming read crossed commit v$v (${c.operation}) which added " +
             "deletion vectors; consume changeFeed() instead")
+      // reader-feature gate: batch files are handed out raw — a
+      // renamed column's physical name would not match endSchema
+      if (hasColumnMapping(v))
+        throw new UnsupportedOperationException(
+          s"streaming read crossed commit v$v with active column mapping " +
+            "(RENAME/DROP COLUMN); raw file replay cannot translate names")
       c.files.filterNot(prev)
     }
     GraftTable.VersionBatch(added.map(abs), endSchema)
@@ -1277,34 +1430,57 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     require(fromVersion >= -1 && toVersion >= fromVersion,
       s"bad change-feed range [$fromVersion, $toVersion]")
     val outSchema = schemaAt(toVersion)
-    def rowsOf(files: Seq[String], schema: StructType): DataFrame =
+    val cmTo = columnMapAt(toVersion)
+    // the rename-aware bridge: the version-v LOGICAL name of the same
+    // PHYSICAL column the out-schema field names — so a column
+    // renamed mid-window still carries its values through the feed
+    // instead of degrading to drop+add nulls
+    def vNameFor(f: org.apache.spark.sql.types.StructField,
+        cmV: Map[String, String]): String = {
+      val phys = physName(cmTo, f.name)
+      cmV.collectFirst { case (l, p) if p == phys => l }.getOrElse(phys)
+    }
+    def rowsOf(files: Seq[String], schema: StructType,
+        cmV: Map[String, String]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files.map(abs): _*)
+      else {
+        val raw = spark.read.schema(physicalSchema(schema, cmV))
+          .parquet(files.map(abs): _*)
+        if (cmV.isEmpty) raw
+        else raw.select(schema.fields.map(f =>
+          col(physName(cmV, f.name)).as(f.name)).toIndexedSeq: _*)
+      }
     // commits older than a later ADD-COLUMN evolution lack the new
     // columns — pad them with typed nulls so the outSchema select
     // resolves (the "older files surface nulls" contract holds across
     // the feed, not just within snapshot reads)
-    def tag(df: DataFrame, tpe: String, v: Long): DataFrame = {
+    def tag(df: DataFrame, tpe: String, v: Long,
+        cmV: Map[String, String]): DataFrame = {
       val present = df.schema.fieldNames.toSet
-      df.select(outSchema.fields.map(f =>
-          if (present.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)): _*)
+      df.select(outSchema.fields.map { f =>
+          val vn = vNameFor(f, cmV)
+          if (present.contains(vn)) col(s"`$vn`").as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
     }
     // a persisted change set keeps its own _change_type column; pad
     // to outSchema and stamp the version like the computed branches
-    def fromCdc(files: Seq[String], schemaV: StructType, v: Long): DataFrame = {
+    def fromCdc(files: Seq[String], schemaV: StructType, v: Long,
+        cmV: Map[String, String]): DataFrame = {
       val cdcSchema = StructType(schemaV.fields :+
         org.apache.spark.sql.types.StructField("_change_type",
           org.apache.spark.sql.types.StringType, nullable = false))
       val df = spark.read.schema(cdcSchema).parquet(files.map(abs): _*)
       val present = df.schema.fieldNames.toSet
-      df.select((outSchema.fields.map(f =>
-          if (present.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)) :+ col("_change_type")).toIndexedSeq: _*)
+      df.select((outSchema.fields.map { f =>
+          val vn = vNameFor(f, cmV)
+          if (present.contains(vn)) col(s"`$vn`").as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } :+ col("_change_type")).toIndexedSeq: _*)
         .withColumn("_commit_version", lit(v))
     }
     val parts: Seq[DataFrame] =
@@ -1316,33 +1492,35 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         // evolution older files just surface nulls for new columns
         val schemaV = org.apache.spark.sql.types.DataType
           .fromJson(cur.schemaJson).asInstanceOf[StructType]
+        val cmV = cur.columnMap.getOrElse(Map.empty)
         if (cur.cdc.isDefined) {
           val files = cur.cdc.get
-          if (files.isEmpty) Nil else Seq(fromCdc(files, schemaV, v))
+          if (files.isEmpty) Nil else Seq(fromCdc(files, schemaV, v, cmV))
         } else {
         val added = cur.files.filterNot(prev)
         val removed = (prev -- cur.files.toSet).toSeq
-        lazy val addRows = rowsOf(added, schemaV)
-        lazy val remRows = rowsOf(removed, schemaV)
+        lazy val addRows = rowsOf(added, schemaV, cmV)
+        lazy val remRows = rowsOf(removed, schemaV, cmV)
         cur.operation match {
-          case "COMPACT" | "CLUSTER" | "ZORDER" | "ADD CONSTRAINT" => Nil
+          case "COMPACT" | "CLUSTER" | "ZORDER" | "ADD CONSTRAINT" |
+               "RENAME COLUMN" | "DROP COLUMN" => Nil
           case "CREATE" | "APPEND" =>
-            if (added.isEmpty) Nil else Seq(tag(addRows, "insert", v))
+            if (added.isEmpty) Nil else Seq(tag(addRows, "insert", v, cmV))
           case "DELETE" =>
-            Seq(tag(remRows.exceptAll(addRows), "delete", v))
+            Seq(tag(remRows.exceptAll(addRows), "delete", v, cmV))
           case "UPDATE" =>
-            Seq(tag(remRows.exceptAll(addRows), "update_preimage", v),
-              tag(addRows.exceptAll(remRows), "update_postimage", v))
+            Seq(tag(remRows.exceptAll(addRows), "update_preimage", v, cmV),
+              tag(addRows.exceptAll(remRows), "update_postimage", v, cmV))
           case "MERGE" =>
-            Seq(tag(remRows.exceptAll(addRows), "update_preimage", v),
-              tag(addRows.exceptAll(remRows), "upsert", v))
+            Seq(tag(remRows.exceptAll(addRows), "update_preimage", v, cmV),
+              tag(addRows.exceptAll(remRows), "upsert", v, cmV))
           case _ => // OVERWRITE, RESTORE, anything content-changing
-            Seq(tag(remRows.exceptAll(addRows), "delete", v),
-              tag(addRows.exceptAll(remRows), "insert", v))
+            Seq(tag(remRows.exceptAll(addRows), "delete", v, cmV),
+              tag(addRows.exceptAll(remRows), "insert", v, cmV))
         }
         }
       }
-    val empty = tag(rowsOf(Nil, outSchema), "none", -1L).limit(0)
+    val empty = tag(rowsOf(Nil, outSchema, cmTo), "none", -1L, cmTo).limit(0)
     parts.foldLeft(empty)(_ unionByName _)
   }
 }
@@ -1424,7 +1602,8 @@ object GraftTable {
       cdc: Option[List[String]] = None,
       dv: Option[List[String]] = None,
       partitionBy: Option[List[String]] = None,
-      partValues: Option[Map[String, Map[String, String]]] = None)
+      partValues: Option[Map[String, Map[String, String]]] = None,
+      columnMap: Option[Map[String, String]] = None)
 
   /** Create a new table at `path` from `df` (errors if a log exists).
     * With `partitionBy`, the table is PARTITIONED: every write lands
@@ -1514,7 +1693,8 @@ object GraftTable {
       newPartValues = c.partValues.getOrElse(Map.empty).map {
         case (f, m) => src.abs(f) -> m
       },
-      partitionByOpt = c.partitionBy)
+      partitionByOpt = c.partitionBy,
+      newColumnMap = Some(c.columnMap.getOrElse(Map.empty)))
     t
   }
 
