@@ -114,6 +114,11 @@ class GraftTableSourceProvider extends StreamSourceProvider
       }
     }
     val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(s =>
+        table.versionAtTimestamp(
+          try java.sql.Timestamp.valueOf(s).getTime
+          catch { case _: IllegalArgumentException =>
+            java.sql.Date.valueOf(s).getTime })))
       .getOrElse(table.latestVersion)
     // reader-feature gate (Delta protocol semantics): this path plans
     // scans at FILE granularity and cannot apply row-level deletion
@@ -174,7 +179,9 @@ class GraftTableSourceProvider extends StreamSourceProvider
       case s => s.toLong - 1
     }
     new GraftTableSource(sqlContext.sparkSession, table,
-      cdc = cdcMode(parameters), startVersion = startV)
+      cdc = cdcMode(parameters), startVersion = startV,
+      maxVersionsPerTrigger =
+        parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
 }
 
@@ -214,8 +221,53 @@ class GraftTableSink(spark: SparkSession, path: String,
   *   (None = replay from table creation) — only consulted when the
   *   checkpoint holds no prior offset.
   */
+/** @param maxVersionsPerTrigger admission control (Delta's
+  *   maxFilesPerTrigger analog at commit granularity): each trigger
+  *   advances the offset at most this many versions, so a restart
+  *   against a long backlog catches up in bounded micro-batches
+  *   instead of one giant one. The watermark never regresses: the
+  *   engine replays the last batch on restart (restoring source
+  *   state through getBatch) before asking for a new offset.
+  */
 class GraftTableSource(spark: SparkSession, table: GraftTable,
-    cdc: Boolean = false, startVersion: Option[Long] = None) extends Source {
+    cdc: Boolean = false, startVersion: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
+
+  // highest version this source has handed out (offset or batch end);
+  // the admission cap advances relative to it
+  private var served: Long = -1L
+
+  // AvailableNow semantics: the drain target is pinned at query start,
+  // and the admission window walks up to it batch by batch
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control offset resolution (the engine passes the last
+    * COMMITTED offset as `start`, so the window never regresses across
+    * restarts). Also the AvailableNow path: each call advances at
+    * most maxVersionsPerTrigger versions toward the pinned target.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest = availableNowTarget.getOrElse(table.latestVersion)
+    if (latest < 0) return null
+    val base = Option(start).map {
+        case LongOffset(v) => v
+        case o => o.json().toLong
+      }.orElse(startVersion).getOrElse(-1L)
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.max(base, math.min(latest, base + math.max(1L, m)))
+      case None => math.max(base, latest)
+    }
+    served = math.max(served, capped)
+    LongOffset(capped)
+  }
 
   override def schema: StructType =
     if (!cdc) table.snapshot().schema
@@ -225,16 +277,33 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType, nullable = false)))
 
-  /** Latest committed version — the high-watermark offset. */
+  /** Latest committed version — the high-watermark offset, capped by
+    * the admission control window when one is configured.
+    */
   override def getOffset: Option[Offset] = {
     val v = table.latestVersion
-    if (v < 0) None else Some(LongOffset(v))
+    if (v < 0) return None
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) =>
+        val base = math.max(served, startVersion.getOrElse(-1L))
+        math.min(v, base + math.max(1L, m))
+      case None => v
+    }
+    if (capped < 0) None
+    else {
+      served = math.max(served, capped)
+      Some(LongOffset(capped))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(toVersion)
       .orElse(startVersion).getOrElse(-1L)
     val endV = toVersion(end)
+    // restart path: the engine replays the last committed batch to
+    // restore state — learn the checkpoint position so the admission
+    // window resumes from it instead of regressing
+    served = math.max(served, endV)
     val df =
       if (cdc) table.changeFeed(startV, endV)
       else {

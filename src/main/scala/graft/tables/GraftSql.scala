@@ -40,6 +40,8 @@ object GraftSql {
     """(?is)\s*VACUUM\s+([\w.`]+)\s*""".r
   private val RestoreVersion =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val RestoreTimestamp =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*""".r
   // Delta's guarded selective overwrite (`INSERT INTO t REPLACE WHERE
@@ -75,6 +77,11 @@ object GraftSql {
       tableByName(spark, ident).restore(v.toLong)
       refreshName(spark, ident)
       emptyResult(spark)
+    case RestoreTimestamp(ident, ts) =>
+      val t = tableByName(spark, ident)
+      t.restore(t.versionAtTimestamp(parseSqlTimestamp(ts)))
+      refreshName(spark, ident)
+      emptyResult(spark)
     case ShallowClone(newIdent, srcIdent, location) =>
       // zero-copy writable fork + catalog registration in one step
       val src = tableByName(spark, srcIdent)
@@ -103,10 +110,20 @@ object GraftSql {
   private[graft] def isUtilityStatement(text: String): Boolean = text match {
     case DescribeHistory(_) | OptimizeZorder(_, _) | Optimize(_) |
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
-         ShallowClone(_, _, _) | InsertReplaceWhere(_, _, _) |
+         RestoreTimestamp(_, _) | ShallowClone(_, _, _) |
+         InsertReplaceWhere(_, _, _) |
          RenameColumnSql(_, _, _) | DropColumnSql(_, _) => true
     case _ => false
   }
+
+  /** `'yyyy-MM-dd[ HH:mm:ss]'` → epoch millis (local zone, matching
+    * java.sql parsing used across the SQL surface).
+    */
+  private def parseSqlTimestamp(s: String): Long =
+    try java.sql.Timestamp.valueOf(s).getTime
+    catch {
+      case _: IllegalArgumentException => java.sql.Date.valueOf(s).getTime
+    }
 
   private[graft] def isDescribeHistory(text: String): Boolean = text match {
     case DescribeHistory(_) => true
@@ -133,6 +150,7 @@ object GraftSql {
       case VacuumRetain(i, _) => Some(i)
       case Vacuum(i) => Some(i)
       case RestoreVersion(i, _) => Some(i)
+      case RestoreTimestamp(i, _) => Some(i)
       case ShallowClone(_, srcIdent, _) => Some(srcIdent)
       case InsertReplaceWhere(i, _, _) => Some(i)
       case RenameColumnSql(i, _, _) => Some(i)
@@ -159,9 +177,17 @@ object GraftSql {
       case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
           if tryResolveTarget(spark, t.relation) =>
         val target = resolveTarget(spark, t.relation)
-        val version = t.version.map(_.toLong).getOrElse(
-          throw new IllegalArgumentException(
-            "TIMESTAMP AS OF is not supported; use VERSION AS OF"))
+        // TIMESTAMP AS OF evaluates the (constant) expression through
+        // Catalyst's own Cast, then resolves to the latest commit at
+        // or before it — Delta's semantics
+        val version = t.version.map(_.toLong).orElse(t.timestamp.map { e =>
+          val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+            e, org.apache.spark.sql.types.TimestampType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+          require(micros != null, s"cannot evaluate TIMESTAMP AS OF: $e")
+          target.table.versionAtTimestamp(micros.asInstanceOf[Long] / 1000L)
+        }).getOrElse(throw new IllegalArgumentException(
+          "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
         target.table.snapshotAt(version).queryExecution.logical
     }
 

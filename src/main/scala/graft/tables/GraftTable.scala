@@ -616,6 +616,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   /** Current snapshot. */
   def snapshot(): DataFrame = snapshotAt(latestVersion)
 
+  /** Time travel by wall clock (Delta `TIMESTAMP AS OF`): the LATEST
+    * version committed at or before `tsMillis` — Delta's semantics
+    * (a timestamp between two commits reads the earlier one).
+    */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val vs = listVersions()
+    val hit = vs.reverse.find(v => readCommit(v).timestampMs <= tsMillis)
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"no commit at or before timestamp $tsMillis " +
+        s"(earliest commit: ${vs.headOption.map(readCommit(_).timestampMs)})"))
+  }
+
+  def snapshotAsOf(ts: java.sql.Timestamp): DataFrame =
+    snapshotAt(versionAtTimestamp(ts.getTime))
+
   /** Time travel (Delta `VERSION AS OF`). */
   def snapshotAt(version: Long): DataFrame = {
     val c = readCommit(version)

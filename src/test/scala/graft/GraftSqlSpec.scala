@@ -217,6 +217,37 @@ class GraftSqlSpec extends SparkSpec {
     assert(df.head.getInt(0) === 1)
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit at or before it") {
+    val dir = Files.createTempDirectory("graft_tt_").resolve("t").toString
+    val t = graft.tables.GraftTable.create(spark, dir,
+      Seq((1L, "a")).toDF("id", "v"))                  // v0
+    Thread.sleep(30)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.append(Seq((2L, "b")).toDF("id", "v"))           // v1
+    assert(t.versionAtTimestamp(betweenMs) === 0)
+    assert(t.versionAtTimestamp(System.currentTimeMillis()) === 1)
+    intercept[IllegalArgumentException] {
+      t.versionAtTimestamp(betweenMs - 3600 * 1000)
+    }
+    assert(t.snapshotAsOf(new java.sql.Timestamp(betweenMs)).count() === 1)
+    // SQL surface: SELECT ... TIMESTAMP AS OF + DSv2 option + RESTORE
+    spark.sql("DROP TABLE IF EXISTS gs_tt")
+    spark.sql(s"CREATE TABLE gs_tt USING `graft-table` OPTIONS (path '$dir')")
+    try {
+      val tsLit = new java.sql.Timestamp(betweenMs).toString
+      val viaSql = GraftSql.sql(spark,
+        s"SELECT * FROM gs_tt TIMESTAMP AS OF '$tsLit'")
+      assert(viaSql.count() === 1)
+      val viaOpt = spark.read.format("graft-table")
+        .option("timestampAsOf", tsLit).load(dir)
+      assert(viaOpt.count() === 1)
+      GraftSql.sql(spark,
+        s"RESTORE TABLE gs_tt TO TIMESTAMP AS OF '$tsLit'")
+      assert(t.snapshot().count() === 1)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_tt")
+  }
+
   test("INSERT INTO ... REPLACE WHERE swaps the slice atomically") {
     val (t, _) = registered("gs_rw")
     try {

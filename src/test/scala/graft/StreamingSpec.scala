@@ -338,6 +338,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("gt_sv").as[Long].collect().toSet === Set(6L, 7L))
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch's catch-up") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_mvpt_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 2).select($"id".as("value")))        // v0
+    t.append(spark.range(2, 4).select($"id".as("value"))) // v1
+    t.append(spark.range(4, 6).select($"id".as("value"))) // v2
+    t.append(spark.range(6, 8).select($"id".as("value"))) // v3
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.count() }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    // the 4-version backlog drains in steps of one version (2 rows),
+    // never in one giant batch
+    assert(seen.sum === 8, s"got $seen")
+    assert(seen.forall(_ <= 2), s"a batch exceeded one version: $seen")
+    assert(seen.count(_ > 0) >= 4, s"expected >=4 non-empty batches: $seen")
+  }
+
   test("late in-session events never move the streaming session end backward") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
