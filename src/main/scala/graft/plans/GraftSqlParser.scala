@@ -68,14 +68,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   * a fixed schema; DML and utilities return nothing).
   */
 case class GraftSqlCommand(sqlText: String) extends LeafRunnableCommand {
-  override val output: Seq[Attribute] =
-    if (GraftSql.isDescribeHistory(sqlText))
-      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
-        GraftSql.historySchema)
-    else Nil
+  private val resultSchema = GraftSql.resultSchema(sqlText)
+
+  override val output: Seq[Attribute] = resultSchema
+    .map(org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes)
+    .getOrElse(Nil)
 
   override def run(sparkSession: SparkSession): Seq[org.apache.spark.sql.Row] =
-    if (GraftSql.isDescribeHistory(sqlText))
+    if (resultSchema.isDefined)
       GraftSql.sql(sparkSession, sqlText).collect().toSeq
     else { GraftSql.sql(sparkSession, sqlText); Nil }
 }

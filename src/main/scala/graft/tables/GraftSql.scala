@@ -55,6 +55,17 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+COLUMN\s+`?([\w]+)`?\s+TO\s+`?([\w]+)`?\s*""".r
   private val DropColumnSql =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+`?([\w]+)`?\s*""".r
+  // constraint / properties / detail DDL (Delta table-utility analogs)
+  private val AddConstraintSql =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+  private val DropConstraintSql =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+  private val SetTblPropsSql =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
+  private val ShowTblPropsSql =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([\w.`]+)\s*""".r
+  private val DescribeDetail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case DescribeHistory(ident) => tableByName(spark, ident).history()
@@ -103,8 +114,28 @@ object GraftSql {
       tableByName(spark, ident).dropColumn(colName)
       refreshName(spark, ident)
       emptyResult(spark)
+    case AddConstraintSql(ident, name, pred) =>
+      tableByName(spark, ident).addConstraint(name, pred)
+      emptyResult(spark)
+    case DropConstraintSql(ident, name) =>
+      tableByName(spark, ident).dropConstraint(name)
+      emptyResult(spark)
+    case SetTblPropsSql(ident, pairs) =>
+      tableByName(spark, ident).setProperties(parsePropPairs(pairs))
+      emptyResult(spark)
+    case ShowTblPropsSql(ident) =>
+      import spark.implicits._
+      tableByName(spark, ident).properties.toSeq.sorted
+        .toDF("key", "value")
+    case DescribeDetail(ident) =>
+      tableByName(spark, ident).detail()
     case _ => sqlParsed(spark, text)
   }
+
+  /** `'k' = 'v', 'k2' = 'v2'` → map (TBLPROPERTIES list syntax). */
+  private def parsePropPairs(s: String): Map[String, String] =
+    """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2)).toMap
 
   /** Parser-injection hooks ([[graft.plans.GraftSqlParser]]). */
   private[graft] def isUtilityStatement(text: String): Boolean = text match {
@@ -112,7 +143,10 @@ object GraftSql {
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
          RestoreTimestamp(_, _) | ShallowClone(_, _, _) |
          InsertReplaceWhere(_, _, _) |
-         RenameColumnSql(_, _, _) | DropColumnSql(_, _) => true
+         RenameColumnSql(_, _, _) | DropColumnSql(_, _) |
+         AddConstraintSql(_, _, _) | DropConstraintSql(_, _) |
+         SetTblPropsSql(_, _) | ShowTblPropsSql(_) |
+         DescribeDetail(_) => true
     case _ => false
   }
 
@@ -128,6 +162,33 @@ object GraftSql {
   private[graft] def isDescribeHistory(text: String): Boolean = text match {
     case DescribeHistory(_) => true
     case _ => false
+  }
+
+  /** Fixed result schema for utility statements that RETURN rows
+    * (None = statement returns nothing) — the injected parser's
+    * command node needs the schema before execution.
+    */
+  private[graft] def resultSchema(text: String):
+      Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    text match {
+      case DescribeHistory(_) => Some(historySchema)
+      case DescribeDetail(_) => Some(StructType(Seq(
+        StructField("format", StringType),
+        StructField("location", StringType),
+        StructField("version", LongType, nullable = false),
+        StructField("num_files", LongType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("partition_columns", StringType),
+        StructField("num_constraints", LongType, nullable = false),
+        StructField("properties", StringType),
+        StructField("has_deletion_vectors", BooleanType, nullable = false),
+        StructField("has_column_mapping", BooleanType, nullable = false))))
+      case ShowTblPropsSql(_) => Some(StructType(Seq(
+        StructField("key", StringType),
+        StructField("value", StringType))))
+      case _ => None
+    }
   }
 
   /** Schema of DESCRIBE HISTORY output (mirrors GraftTable.history). */
@@ -155,6 +216,11 @@ object GraftSql {
       case InsertReplaceWhere(i, _, _) => Some(i)
       case RenameColumnSql(i, _, _) => Some(i)
       case DropColumnSql(i, _) => Some(i)
+      case AddConstraintSql(i, _, _) => Some(i)
+      case DropConstraintSql(i, _) => Some(i)
+      case SetTblPropsSql(i, _) => Some(i)
+      case ShowTblPropsSql(i) => Some(i)
+      case DescribeDetail(i) => Some(i)
       case _ => None
     }
     ident.exists(i =>

@@ -427,7 +427,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       dv: Option[Seq[String]] = None,
       newPartValues: Map[String, Map[String, String]] = Map.empty,
       partitionByOpt: Option[Seq[String]] = None,
-      newColumnMap: Option[Map[String, String]] = None): Long = {
+      newColumnMap: Option[Map[String, String]] = None,
+      replaceConstraints: Option[Map[String, String]] = None,
+      newProperties: Map[String, String] = Map.empty): Long = {
     val v = base + 1
     val carried = if (v == 0) Map.empty[String, FileStats]
       else readCommit(base).stats.getOrElse(Map.empty)
@@ -448,13 +450,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // constraints; RENAME/DROP/evolve commits replace it wholesale
     val cmOut = newColumnMap.getOrElse(
       if (v == 0) Map.empty[String, String] else columnMapAt(base))
+    val constraintsOut =
+      replaceConstraints.getOrElse(carriedConstraints ++ newConstraints)
+    val propsOut = (if (v == 0) Map.empty[String, String]
+      else readCommit(base).properties.getOrElse(Map.empty)) ++ newProperties
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
       schema.json, metrics, Some(carried ++ newStats),
-      Some(carriedConstraints ++ newConstraints),
+      Some(constraintsOut),
       cdcFiles.map(_.toList),
       if (dvList.isEmpty) None else Some(dvList),
       pb, if (pvAll.isEmpty) None else Some(pvAll),
-      if (cmOut.isEmpty) None else Some(cmOut)))
+      if (cmOut.isEmpty) None else Some(cmOut),
+      if (propsOut.isEmpty) None else Some(propsOut)))
     v
   }
 
@@ -595,6 +602,50 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commit("ADD CONSTRAINT", base, filesAt(base), schemaAt(base),
       Map("numViolations" -> 0L),
       newConstraints = Map(name -> predicateSql))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT analog: metadata-only removal. */
+  def dropConstraint(name: String): Long = {
+    val base = latestVersion
+    val cur = readCommit(base).constraints.getOrElse(Map.empty)
+    require(cur.contains(name),
+      s"no such constraint '$name' (have: ${cur.keys.mkString(", ")})")
+    commit("DROP CONSTRAINT", base, filesAt(base), schemaAt(base),
+      Map(), cdcFiles = Some(Nil), replaceConstraints = Some(cur - name))
+  }
+
+  /** Table properties (Delta TBLPROPERTIES analog): free-form
+    * key/value metadata carried on every commit.
+    */
+  def properties: Map[String, String] =
+    if (latestVersion < 0) Map.empty
+    else readCommit(latestVersion).properties.getOrElse(Map.empty)
+
+  /** SET TBLPROPERTIES analog (merge semantics, metadata-only). */
+  def setProperties(kv: Map[String, String]): Long = {
+    val base = latestVersion
+    commit("SET TBLPROPERTIES", base, filesAt(base), schemaAt(base),
+      Map(), cdcFiles = Some(Nil), newProperties = kv)
+  }
+
+  /** DESCRIBE DETAIL analog: one row of table-level metadata, all of
+    * it O(files) from the commit log (sizeInBytes from the same
+    * driver-side file metadata the scan planner uses).
+    */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val c = readCommit(latestVersion)
+    val bytes = c.files.map(f => Files.size(root.resolve(f))).sum
+    Seq((
+      "graft-table", root.toString, latestVersion,
+      c.files.size.toLong, bytes,
+      partitionColumns.mkString(","),
+      constraints.size.toLong,
+      properties.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
+      hasDvs(latestVersion), hasColumnMapping(latestVersion)))
+      .toDF("format", "location", "version", "num_files", "size_bytes",
+        "partition_columns", "num_constraints", "properties",
+        "has_deletion_vectors", "has_column_mapping")
   }
 
   /** Enforce all stored constraints against a batch about to land. */
@@ -1618,7 +1669,8 @@ object GraftTable {
       dv: Option[List[String]] = None,
       partitionBy: Option[List[String]] = None,
       partValues: Option[Map[String, Map[String, String]]] = None,
-      columnMap: Option[Map[String, String]] = None)
+      columnMap: Option[Map[String, String]] = None,
+      properties: Option[Map[String, String]] = None)
 
   /** Create a new table at `path` from `df` (errors if a log exists).
     * With `partitionBy`, the table is PARTITIONED: every write lands
@@ -1709,7 +1761,8 @@ object GraftTable {
         case (f, m) => src.abs(f) -> m
       },
       partitionByOpt = c.partitionBy,
-      newColumnMap = Some(c.columnMap.getOrElse(Map.empty)))
+      newColumnMap = Some(c.columnMap.getOrElse(Map.empty)),
+      newProperties = c.properties.getOrElse(Map.empty))
     t
   }
 

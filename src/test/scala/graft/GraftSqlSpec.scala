@@ -217,6 +217,37 @@ class GraftSqlSpec extends SparkSpec {
     assert(df.head.getInt(0) === 1)
   }
 
+  test("constraint / properties / detail DDL round-trips") {
+    val dir = Files.createTempDirectory("graft_ddl_").resolve("t").toString
+    val t = graft.tables.GraftTable.create(spark, dir,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    spark.sql("DROP TABLE IF EXISTS gs_ddl")
+    spark.sql(s"CREATE TABLE gs_ddl USING `graft-table` OPTIONS (path '$dir')")
+    try {
+      GraftSql.sql(spark, "ALTER TABLE gs_ddl ADD CONSTRAINT pos_x CHECK (x > 0)")
+      assert(t.constraints === Map("pos_x" -> "x > 0"))
+      intercept[graft.tables.ConstraintViolationException] {
+        t.append(Seq((3L, -1.0)).toDF("id", "x"))
+      }
+      GraftSql.sql(spark, "ALTER TABLE gs_ddl DROP CONSTRAINT pos_x")
+      assert(t.constraints.isEmpty)
+      t.append(Seq((3L, -1.0)).toDF("id", "x")) // now lands
+      GraftSql.sql(spark,
+        "ALTER TABLE gs_ddl SET TBLPROPERTIES ('owner' = 'risk', 'tier' = 'gold')")
+      val props = GraftSql.sql(spark, "SHOW TBLPROPERTIES gs_ddl")
+        .as[(String, String)].collect().toMap
+      assert(props === Map("owner" -> "risk", "tier" -> "gold"))
+      val d = GraftSql.sql(spark, "DESCRIBE DETAIL gs_ddl").collect()(0)
+      assert(d.getAs[String]("format") === "graft-table")
+      assert(d.getAs[Long]("num_files") >= 1L)
+      assert(d.getAs[Long]("size_bytes") > 0L)
+      assert(!d.getAs[Boolean]("has_deletion_vectors"))
+      // properties survive unrelated commits
+      t.delete($"id" === 2L)
+      assert(t.properties === Map("owner" -> "risk", "tier" -> "gold"))
+    } finally spark.sql("DROP TABLE IF EXISTS gs_ddl")
+  }
+
   test("TIMESTAMP AS OF resolves to the latest commit at or before it") {
     val dir = Files.createTempDirectory("graft_tt_").resolve("t").toString
     val t = graft.tables.GraftTable.create(spark, dir,
