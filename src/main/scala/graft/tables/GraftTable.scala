@@ -975,12 +975,58 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * are already deleted needs no rewrite.
     */
   private def touchedFiles(cond: Column): Seq[String] = {
-    val hits = scanWithPos(currentFiles, currentSchema, dvAt(latestVersion),
+    // blast-radius pre-prune: drop files whose commit-log stats /
+    // partition tuple PROVE no row can match, BEFORE any scan I/O —
+    // at 100 TB a selective DELETE on a clustered key opens a handful
+    // of files instead of the fleet
+    val candidates = candidateFiles(cond)
+    if (candidates.isEmpty) return Nil
+    val hits = scanWithPos(candidates, currentSchema, dvAt(latestVersion),
       columnMapAt(latestVersion))
       .where(cond)
       .select(col("__fp").as("f")).distinct()
       .collect().map(_.getString(0)).toSet
-    currentFiles.filter(f => hits.exists(h => h.endsWith(f) || h.endsWith(abs(f))))
+    candidates.filter(f => hits.exists(h => h.endsWith(f) || h.endsWith(abs(f))))
+  }
+
+  /** Conservative driver-side candidate set for a DML predicate:
+    * resolve `cond` against the table's (logical) schema, translate
+    * attribute names to the stats' physical domain, and keep only
+    * files [[StatsPruning]] cannot rule out. Falls back to ALL files
+    * on any resolution surprise — pruning is an optimization, never
+    * a correctness gate.
+    */
+  private[graft] def candidateFiles(cond: Column): Seq[String] = {
+    val c = readCommit(latestVersion)
+    val schema = currentSchema
+    try {
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .where(cond)
+      val conds = probe.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }
+      val cm = c.columnMap.getOrElse(Map.empty)
+      // stats are keyed by PHYSICAL names; partition columns are
+      // rename-immutable so the partition-exact path needs no map.
+      // Fold constant subtrees first: the ANALYZED (pre-optimizer)
+      // plan leaves type-coercion casts around literals
+      // (id >= cast(1 as bigint)), which the conservative matcher
+      // would otherwise skip
+      val condsPhys = conds.map(_.transformUp {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if cm.contains(a.name) => a.withName(cm(a.name))
+        case e if e.foldable && e.deterministic =>
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(e.eval(), e.dataType)
+      })
+      val stats = c.stats.getOrElse(Map.empty)
+      val pv = c.partValues.getOrElse(Map.empty)
+      val pcols = c.partitionBy.getOrElse(Nil)
+      c.files.filter(f => condsPhys.forall(StatsPruning.keep(_,
+        stats.get(f), pv.get(f), pcols, spark)))
+    } catch { case _: Exception => c.files }
   }
 
   /** DML DELETE WHERE (01-Fraud-Delta.py:159). */

@@ -150,6 +150,32 @@ class PartitionedTableSpec extends SparkSpec {
       === Array((2L, "plain"), (9L, "a/b c=d%e")))
   }
 
+  test("DML blast radius is stats-pruned before any scan") {
+    val df = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmp(), df)
+    t.clusterBy(10, "id")
+    // a selective predicate rules out most files from METADATA alone
+    val cand = t.candidateFiles($"id".between(1, 50))
+    val all = t.candidateFiles(lit(true))
+    assert(all.size === 10)
+    assert(cand.size <= 2, s"expected <=2 candidate files, got ${cand.size}")
+    // and the DML stays exact on the pruned set
+    t.delete($"id".between(1, 50))
+    assert(t.snapshot().count() === 950)
+    assert(t.snapshot().where($"id" <= 50).count() === 0)
+  }
+
+  test("partition predicates prune DML candidates exactly") {
+    val df = (1L to 90L).map(i => (i, s"p${i % 3}")).toDF("id", "k")
+    val t = GraftTable.create(spark, tmp(),
+      df.repartition(3), partitionBy = Seq("k"))
+    val cand = t.candidateFiles($"k" === "p1")
+    val all = t.candidateFiles(lit(true))
+    assert(cand.size < all.size, s"${cand.size} vs ${all.size}")
+    t.update($"k" === "p1", Map("id" -> (col("id") + 1000L)))
+    assert(t.snapshot().where($"id" > 1000).count() === 30)
+  }
+
   test("null partition values round-trip and classify") {
     val df = Seq((1L, Some("A")), (2L, None), (3L, None))
       .toDF("id", "k")
