@@ -429,7 +429,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       partitionByOpt: Option[Seq[String]] = None,
       newColumnMap: Option[Map[String, String]] = None,
       replaceConstraints: Option[Map[String, String]] = None,
-      newProperties: Map[String, String] = Map.empty): Long = {
+      newProperties: Map[String, String] = Map.empty,
+      generatedOpt: Option[Map[String, String]] = None,
+      identityOpt: Option[String] = None): Long = {
     val v = base + 1
     val carried = if (v == 0) Map.empty[String, FileStats]
       else readCommit(base).stats.getOrElse(Map.empty)
@@ -454,6 +456,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       replaceConstraints.getOrElse(carriedConstraints ++ newConstraints)
     val propsOut = (if (v == 0) Map.empty[String, String]
       else readCommit(base).properties.getOrElse(Map.empty)) ++ newProperties
+    // generation/identity specs are immutable after CREATE/CLONE
+    val genOut = if (v == 0) generatedOpt
+      else readCommit(base).generated
+    val idOut = if (v == 0) identityOpt
+      else readCommit(base).identityCol
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
       schema.json, metrics, Some(carried ++ newStats),
       Some(constraintsOut),
@@ -461,9 +468,27 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       if (dvList.isEmpty) None else Some(dvList),
       pb, if (pvAll.isEmpty) None else Some(pvAll),
       if (cmOut.isEmpty) None else Some(cmOut),
-      if (propsOut.isEmpty) None else Some(propsOut)))
+      if (propsOut.isEmpty) None else Some(propsOut),
+      genOut, idOut))
     v
   }
+
+  /** Generation expressions declared at CREATE (col → SQL expr). */
+  def generatedColumns: Map[String, String] =
+    if (latestVersion < 0) Map.empty
+    else readCommit(latestVersion).generated.getOrElse(Map.empty)
+
+  /** The GENERATED ALWAYS AS IDENTITY column, if declared. */
+  def identityColumn: Option[String] =
+    if (latestVersion < 0) None
+    else readCommit(latestVersion).identityCol
+
+  private def identityKey = "identity:highWater"
+
+  /** Highest identity value ever committed (rides commit metrics, so
+    * it survives restarts and concurrent writers take the max).
+    */
+  def identityHighWater: Long = maxMetric(identityKey).getOrElse(-1L)
 
   // ---- column mapping (rename/drop without rewrite) --------------------
 
@@ -648,14 +673,82 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         "has_deletion_vectors", "has_column_mapping")
   }
 
-  /** Enforce all stored constraints against a batch about to land. */
-  private def enforceConstraints(df: DataFrame): Unit =
+  /** Enforce all stored constraints against a batch about to land,
+    * plus the implicit generation invariants: a supplied generated
+    * column must null-safe-equal its declared expression (the same
+    * guard Delta installs as an implicit CHECK), so no write path —
+    * append, UPDATE of a source column, merge — can silently diverge
+    * a generated column from its definition.
+    */
+  private def enforceConstraints(df: DataFrame): Unit = {
     constraints.foreach { case (name, pred) =>
       val bad = df.where(s"NOT ($pred)").count()
       if (bad > 0)
         throw new ConstraintViolationException(
           s"constraint $name [$pred] violated by $bad incoming row(s)")
     }
+    generatedColumns.foreach { case (c, genExpr) =>
+      if (df.schema.fieldNames.contains(c)) {
+        val bad = df.where(s"NOT (`$c` <=> ($genExpr))").count()
+        if (bad > 0)
+          throw new ConstraintViolationException(
+            s"generated column $c [$genExpr] violated by $bad incoming row(s)")
+      }
+    }
+  }
+
+  /** Write-time column semantics: compute ABSENT generated columns
+    * from their declared expressions, and assign the identity column
+    * (which must NOT be supplied — GENERATED ALWAYS). Identity ids
+    * are batch-dense: one cheap per-partition count job sizes
+    * contiguous ranges, so the high water advances by exactly the
+    * row count — no 2^33 monotonically_increasing_id jumps eating
+    * the long's exactness headroom. Returns the frame plus the
+    * commit-metric updates (the new identity high water).
+    */
+  private def injectWriteColumns(df: DataFrame): (DataFrame, Map[String, Long]) = {
+    val withGen = generatedColumns.foldLeft(df) { case (d, (c, genExpr)) =>
+      if (d.schema.fieldNames.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(genExpr))
+    }
+    identityColumn match {
+      case None => (withGen, Map.empty)
+      case Some(idc) =>
+        if (withGen.schema.fieldNames.contains(idc))
+          throw new IllegalArgumentException(
+            s"identity column $idc is GENERATED ALWAYS and cannot be supplied")
+        val hw = identityHighWater
+        val (assigned, n) = assignDenseIds(withGen, idc, hw)
+        (assigned, Map(identityKey -> (hw + n)))
+    }
+  }
+
+  /** Append `idc` with values hw+1 .. hw+N, contiguous across the
+    * batch's partitions. Costs one extra narrow pass to size the
+    * per-partition blocks (the price of density; the source is
+    * re-executed, so non-deterministic sources may reorder — gaps
+    * are allowed, duplicates are not, and re-execution cannot
+    * duplicate because each row still gets exactly one id).
+    */
+  private def assignDenseIds(df: DataFrame, idc: String,
+      hw: Long): (DataFrame, Long) = {
+    val sizes = df.select(lit(1)).rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(hw + 1L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema2 = df.schema.add(idc, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rdd = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      var next = bc.value(i)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ next)
+        next += 1
+        out
+      }
+    }
+    (spark.createDataFrame(rdd, schema2), sizes.sum)
+  }
 
   private def filesAt(v: Long): Seq[String] = readCommit(v).files
   private def schemaAt(v: Long): StructType =
@@ -781,10 +874,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   private def appendInternal(df: DataFrame, evolve: Boolean,
       extraMetrics: Map[String, Long]): Long = {
     val base = latestVersion
-    enforceConstraints(df)
-    val schema = checkSchema(df, evolve)
-    val aligned = df.select(schema.fieldNames.filter(n =>
-      df.schema.fieldNames.contains(n)).map(col): _*)
+    val (dfIn, idMetrics) = injectWriteColumns(df)
+    enforceConstraints(dfIn)
+    val schema = checkSchema(dfIn, evolve)
+    val aligned = dfIn.select(schema.fieldNames.filter(n =>
+      dfIn.schema.fieldNames.contains(n)).map(col): _*)
     // evolve-added columns whose name matches ANY physical name a past
     // commit used (e.g. a previously DROPPED column) get a fresh
     // physical name — otherwise old files' stale bytes would resurface
@@ -813,7 +907,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       val b = if (attempts == 0) base else latestVersion
       try {
         return commit("APPEND", b, filesAt(b) ++ added, schema,
-          Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics, stats,
+          Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics ++
+            idMetrics, stats,
           newPartValues = w.partValues,
           newColumnMap = if (fresh.isEmpty) None else Some(cm))
       } catch {
@@ -1716,7 +1811,9 @@ object GraftTable {
       partitionBy: Option[List[String]] = None,
       partValues: Option[Map[String, Map[String, String]]] = None,
       columnMap: Option[Map[String, String]] = None,
-      properties: Option[Map[String, String]] = None)
+      properties: Option[Map[String, String]] = None,
+      generated: Option[Map[String, String]] = None,
+      identityCol: Option[String] = None)
 
   /** Create a new table at `path` from `df` (errors if a log exists).
     * With `partitionBy`, the table is PARTITIONED: every write lands
@@ -1725,19 +1822,50 @@ object GraftTable {
     * [[GraftTable.overwritePartitions]] and exact partition pruning.
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): GraftTable = {
+      partitionBy: Seq[String] = Nil,
+      generated: Map[String, String] = Map.empty,
+      identity: Option[String] = None): GraftTable = {
     val root = Paths.get(path)
     val t = new GraftTable(spark, root)
     require(!Files.exists(t.logDir), s"table already exists at $path")
-    val missing = partitionBy.filterNot(df.schema.fieldNames.contains)
+    // generated columns absent from the seed frame are computed; a
+    // supplied one must satisfy its expression (checked below)
+    val withGen = generated.foldLeft(df) { case (d, (c, genExpr)) =>
+      if (d.schema.fieldNames.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(genExpr))
+    }
+    generated.foreach { case (c, genExpr) =>
+      val bad = withGen.where(s"NOT (`$c` <=> ($genExpr))").count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"generated column $c [$genExpr] violated by $bad seed row(s)")
+    }
+    // identity: seed rows WITH the column set the high water from
+    // their max; without it, ids are assigned densely from 0
+    val (seeded, hw) = identity match {
+      case None => (withGen, None)
+      case Some(idc) if withGen.schema.fieldNames.contains(idc) =>
+        require(withGen.schema(idc).dataType ==
+          org.apache.spark.sql.types.LongType,
+          s"identity column $idc must be BIGINT")
+        val mx = withGen.agg(max(col(s"`$idc`"))).head.get(0)
+        (withGen, Some(if (mx == null) -1L else mx.asInstanceOf[Long]))
+      case Some(idc) =>
+        val (assigned, n) = t.assignDenseIds(withGen, idc, -1L)
+        (assigned, Some(n - 1L))
+    }
+    val missing = partitionBy.filterNot(seeded.schema.fieldNames.contains)
     require(missing.isEmpty,
       s"partitionBy names unknown column(s): ${missing.mkString(", ")}")
     Files.createDirectories(t.logDir)
-    val w = t.writeData(df, partitionBy)
-    t.commit("CREATE", -1L, w.files, df.schema,
-      Map("numAddedFiles" -> w.files.size.toLong), t.collectStats(w.files),
+    val w = t.writeData(seeded, partitionBy)
+    t.commit("CREATE", -1L, w.files, seeded.schema,
+      Map("numAddedFiles" -> w.files.size.toLong) ++
+        hw.map(t.identityKey -> _).toMap,
+      t.collectStats(w.files),
       newPartValues = w.partValues,
-      partitionByOpt = if (partitionBy.isEmpty) None else Some(partitionBy))
+      partitionByOpt = if (partitionBy.isEmpty) None else Some(partitionBy),
+      generatedOpt = if (generated.isEmpty) None else Some(generated),
+      identityOpt = identity)
     t
   }
 
@@ -1797,7 +1925,10 @@ object GraftTable {
     t.commit("CLONE", -1L, absFiles,
       org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
         .asInstanceOf[StructType],
-      Map("sourceVersion" -> src.latestVersion), absStats,
+      Map("sourceVersion" -> src.latestVersion) ++
+        (if (c.identityCol.isDefined)
+          Map(src.identityKey -> src.identityHighWater) else Map.empty),
+      absStats,
       c.constraints.getOrElse(Map.empty),
       // DV tombstones key on the source's absolute file paths — which
       // is exactly how the clone references those files, so carried
@@ -1808,7 +1939,9 @@ object GraftTable {
       },
       partitionByOpt = c.partitionBy,
       newColumnMap = Some(c.columnMap.getOrElse(Map.empty)),
-      newProperties = c.properties.getOrElse(Map.empty))
+      newProperties = c.properties.getOrElse(Map.empty),
+      generatedOpt = c.generated,
+      identityOpt = c.identityCol)
     t
   }
 

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.{ConstraintViolationException, GraftTable}
+import org.apache.spark.sql.functions._
+
+/** Generated columns (computed at write, validated everywhere) and
+  * GENERATED ALWAYS AS IDENTITY columns (batch-dense ids from a
+  * log-carried high water).
+  */
+class GeneratedColumnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_gen_").resolve("t").toString
+
+  test("generated columns compute when absent and validate when supplied") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"),
+      generated = Map("x2" -> "x * 2"))
+    assert(t.snapshot().orderBy("id").select("x2").as[Double].collect()
+      === Array(20.0, 40.0))
+    // append without the column — computed
+    t.append(Seq((3L, 30.0)).toDF("id", "x"))
+    assert(t.snapshot().where($"id" === 3).select("x2").as[Double].head()
+      === 60.0)
+    // append WITH a wrong value — rejected
+    intercept[ConstraintViolationException] {
+      t.append(Seq((4L, 40.0, 99.0)).toDF("id", "x", "x2"))
+    }
+    // consistent supplied values land
+    t.append(Seq((5L, 50.0, 100.0)).toDF("id", "x", "x2"))
+    assert(t.snapshot().count() === 4)
+  }
+
+  test("UPDATE cannot silently diverge a generated column") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 10.0)).toDF("id", "x"), generated = Map("x2" -> "x * 2"))
+    // changing the source without the generated column breaks the
+    // invariant — the implicit check refuses the write
+    intercept[ConstraintViolationException] {
+      t.update($"id" === 1, Map("x" -> lit(11.0)))
+    }
+    // updating both consistently is fine
+    t.update($"id" === 1, Map("x" -> lit(11.0), "x2" -> lit(22.0)))
+    assert(t.snapshot().select("x2").as[Double].head() === 22.0)
+  }
+
+  test("identity ids are dense across a multi-partition batch") {
+    val t = GraftTable.create(spark, tmp(),
+      spark.range(0, 100).select(($"id" * 2.0).as("x")).repartition(7),
+      identity = Some("row_id"))
+    val ids = t.snapshot().select("row_id").as[Long].collect().sorted
+    assert(ids === (0L until 100L).toArray)
+    assert(t.identityHighWater === 99L)
+    // appends continue from the high water, still dense per batch
+    t.append(spark.range(0, 10).select(($"id" * 3.0).as("x")).repartition(3))
+    val ids2 = t.snapshot().select("row_id").as[Long].collect().sorted
+    assert(ids2 === (0L until 110L).toArray)
+    assert(t.identityHighWater === 109L)
+  }
+
+  test("identity column is GENERATED ALWAYS — supplying it fails") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq(1.0, 2.0).toDF("x"), identity = Some("row_id"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((3.0, 77L)).toDF("x", "row_id"))
+    }
+  }
+
+  test("seeded identity takes the high water from the seed max") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((10L, 1.0), (20L, 2.0)).toDF("row_id", "x"),
+      identity = Some("row_id"))
+    assert(t.identityHighWater === 20L)
+    t.append(Seq(3.0).toDF("x"))
+    assert(t.snapshot().where($"x" === 3.0).select("row_id").as[Long].head()
+      === 21L)
+  }
+
+  test("shallow clone carries generation spec and identity high water") {
+    val src = tmp()
+    val t = GraftTable.create(spark, src,
+      Seq(1.0).toDF("x"), generated = Map("x2" -> "x * 2"),
+      identity = Some("row_id"))
+    val clone = GraftTable.shallowClone(spark, src,
+      Files.createTempDirectory("graft_gen_cl_").resolve("c").toString)
+    assert(clone.generatedColumns === Map("x2" -> "x * 2"))
+    assert(clone.identityColumn === Some("row_id"))
+    clone.append(Seq(5.0).toDF("x"))
+    val row = clone.snapshot().where($"x" === 5.0)
+      .select("row_id", "x2").as[(Long, Double)].head()
+    assert(row === ((1L, 10.0))) // hw carried (seed used id 0)
+  }
+}
