@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.tables.{GraftTable, GraftTableFileIndex}
+import graft.tables.{GraftSql, GraftTable, GraftTableFileIndex}
 import org.apache.spark.sql.{DataFrame, GraftPlans, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -115,10 +115,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
     }
     val version = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map(s =>
-        table.versionAtTimestamp(
-          try java.sql.Timestamp.valueOf(s).getTime
-          catch { case _: IllegalArgumentException =>
-            java.sql.Date.valueOf(s).getTime })))
+        table.versionAtTimestamp(GraftSql.parseSqlTimestamp(
+          sqlContext.sparkSession, s))))
       .getOrElse(table.latestVersion)
     // reader-feature gate (Delta protocol semantics): this path plans
     // scans at FILE granularity and cannot apply row-level deletion

@@ -216,8 +216,25 @@ object Streams {
     * primitive.)
     */
   def followTable(spark: SparkSession, tableRoot: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // reader-feature gate (matching filesAddedIn / the registered
+    // scan): this surface lists raw data files — it can neither mask
+    // deletion-vector tombstones nor translate mapped column names,
+    // so reading such a table here would resurrect deleted rows /
+    // yield nulls. Checked at stream construction; the append-only
+    // contract (no COW rewrites) remains the caller's, as with Delta.
+    val t = graft.tables.GraftTable.load(spark, tableRoot)
+    val v = t.latestVersion
+    if (t.hasDvs(v))
+      throw new UnsupportedOperationException(
+        "followTable cannot read a table with active deletion vectors; " +
+          "run purgeDvs()/compact() first or use the graft-table source")
+    if (t.hasColumnMapping(v))
+      throw new UnsupportedOperationException(
+        "followTable cannot read a table with active column mapping " +
+          "(RENAME/DROP COLUMN); use the graft-table source")
     spark.readStream.schema(schema).parquet(s"$tableRoot/files")
+  }
 
   /** EXACTLY-ONCE streaming sink into a GraftTable: foreachBatch +
     * idempotent transactional append (`appendIfNew`, the Delta

@@ -90,7 +90,7 @@ object GraftSql {
       emptyResult(spark)
     case RestoreTimestamp(ident, ts) =>
       val t = tableByName(spark, ident)
-      t.restore(t.versionAtTimestamp(parseSqlTimestamp(ts)))
+      t.restore(t.versionAtTimestamp(parseSqlTimestamp(spark, ts)))
       refreshName(spark, ident)
       emptyResult(spark)
     case ShallowClone(newIdent, srcIdent, location) =>
@@ -101,9 +101,32 @@ object GraftSql {
         s"OPTIONS (path '$location')")
       emptyResult(spark)
     case InsertReplaceWhere(ident, condText, query) =>
+      // the regex split the statement at the FIRST `SELECT`, which is
+      // wrong when the predicate itself holds a subquery (`k IN
+      // (SELECT ...)`): walk every SELECT position and take the first
+      // prefix that parses as an expression
+      val full = condText + " " + query
+      // singleExpression grammar rejects IN (SELECT ...) — parse the
+      // predicate through a probe WHERE clause instead, which accepts
+      // the full boolean grammar including subqueries
+      def parsePredicate(c: String): Option[Expression] =
+        try Some(stockParser.parseExpression(c))
+        catch {
+          case _: Exception =>
+            try stockParser.parsePlan(s"SELECT * FROM __rw_probe__ WHERE $c")
+              .collectFirst { case f: Filter => f.condition }
+            catch { case _: Exception => None }
+        }
+      val (condExpr, queryText) = "(?i)\\bSELECT\\b".r
+        .findAllMatchIn(full).map(_.start).flatMap { i =>
+          val c = full.substring(0, i).trim
+          if (c.isEmpty) None
+          else parsePredicate(c).map((_, full.substring(i)))
+        }.nextOption().getOrElse(throw new IllegalArgumentException(
+          s"cannot split REPLACE WHERE predicate from its query in: $full"))
       val target = targetByName(spark, ident)
-      val cond = rewriteTarget(stockParser.parseExpression(condText), target)
-      target.table.replaceWhere(cond, spark.sql(query))
+      target.table.replaceWhere(rewriteTarget(condExpr, target),
+        spark.sql(queryText))
       refresh(spark, target)
       emptyResult(spark)
     case RenameColumnSql(ident, oldName, newName) =>
@@ -150,14 +173,23 @@ object GraftSql {
     case _ => false
   }
 
-  /** `'yyyy-MM-dd[ HH:mm:ss]'` → epoch millis (local zone, matching
-    * java.sql parsing used across the SQL surface).
+  /** Timestamp string → epoch millis through Catalyst's own Cast in
+    * the SESSION time zone — the SAME conversion `SELECT ...
+    * TIMESTAMP AS OF` takes, so previewing with SELECT and then
+    * RESTOREing "the same" literal resolves the same version even
+    * when the JVM default zone differs from spark.sql.session.timeZone.
     */
-  private def parseSqlTimestamp(s: String): Long =
-    try java.sql.Timestamp.valueOf(s).getTime
-    catch {
-      case _: IllegalArgumentException => java.sql.Date.valueOf(s).getTime
-    }
+  private[graft] def parseSqlTimestamp(spark: SparkSession,
+      s: String): Long = {
+    val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.TimestampType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+    require(micros != null, s"cannot parse timestamp '$s'")
+    micros.asInstanceOf[Long] / 1000L
+  }
 
   private[graft] def isDescribeHistory(text: String): Boolean = text match {
     case DescribeHistory(_) => true

@@ -433,9 +433,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       generatedOpt: Option[Map[String, String]] = None,
       identityOpt: Option[String] = None): Long = {
     val v = base + 1
+    // Set membership, not List.contains — the carry filters run per
+    // stats/partition-values entry, and O(files²) per commit bites at
+    // 100k-file tables
+    val fileSet = files.toSet
     val carried = if (v == 0) Map.empty[String, FileStats]
       else readCommit(base).stats.getOrElse(Map.empty)
-        .filter { case (f, _) => files.contains(f) }
+        .filter { case (f, _) => fileSet.contains(f) }
     val carriedConstraints =
       if (v == 0) Map.empty[String, String]
       else readCommit(base).constraints.getOrElse(Map.empty)
@@ -446,7 +450,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       else readCommit(base).partitionBy
     val carriedPv = if (v == 0) Map.empty[String, Map[String, String]]
       else readCommit(base).partValues.getOrElse(Map.empty)
-        .filter { case (f, _) => files.contains(f) }
+        .filter { case (f, _) => fileSet.contains(f) }
     val pvAll = carriedPv ++ newPartValues
     // the logical→physical column map carries forward like
     // constraints; RENAME/DROP/evolve commits replace it wholesale
@@ -706,40 +710,44 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * the long's exactness headroom. Returns the frame plus the
     * commit-metric updates (the new identity high water).
     */
-  private def injectWriteColumns(df: DataFrame): (DataFrame, Map[String, Long]) = {
+  private def injectWriteColumns(df: DataFrame)
+      : (DataFrame, Map[String, Long], () => Unit) = {
     val withGen = generatedColumns.foldLeft(df) { case (d, (c, genExpr)) =>
       if (d.schema.fieldNames.contains(c)) d
       else d.withColumn(c, org.apache.spark.sql.functions.expr(genExpr))
     }
     identityColumn match {
-      case None => (withGen, Map.empty)
+      case None => (withGen, Map.empty, () => ())
       case Some(idc) =>
         if (withGen.schema.fieldNames.contains(idc))
           throw new IllegalArgumentException(
             s"identity column $idc is GENERATED ALWAYS and cannot be supplied")
         val hw = identityHighWater
-        val (assigned, n) = assignDenseIds(withGen, idc, hw)
-        (assigned, Map(identityKey -> (hw + n)))
+        val (assigned, n, cleanup) = assignDenseIds(withGen, idc, hw)
+        (assigned, Map(identityKey -> (hw + n)), cleanup)
     }
   }
 
   /** Append `idc` with values hw+1 .. hw+N, contiguous across the
-    * batch's partitions. Costs one extra narrow pass to size the
-    * per-partition blocks (the price of density; the source is
-    * re-executed, so non-deterministic sources may reorder — gaps
-    * are allowed, duplicates are not, and re-execution cannot
-    * duplicate because each row still gets exactly one id).
+    * batch's partitions. The input is PERSISTED before the sizing
+    * pass so the assignment pass sees identical partition contents —
+    * without the cache, a non-deterministic source could shift rows
+    * between partitions across the two executions and overrun an id
+    * block into its neighbor's (duplicate ids). Caller invokes the
+    * returned cleanup after the data lands.
     */
   private def assignDenseIds(df: DataFrame, idc: String,
-      hw: Long): (DataFrame, Long) = {
-    val sizes = df.select(lit(1)).rdd
+      hw: Long): (DataFrame, Long, () => Unit) = {
+    val cached = df.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cached
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().sortBy(_._1).map(_._2)
     val offsets = sizes.scanLeft(hw + 1L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     val schema2 = df.schema.add(idc, org.apache.spark.sql.types.LongType,
       nullable = false)
-    val rdd = df.rdd.mapPartitionsWithIndex { (i, it) =>
+    val rdd = cached.mapPartitionsWithIndex { (i, it) =>
       var next = bc.value(i)
       it.map { r =>
         val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ next)
@@ -747,7 +755,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         out
       }
     }
-    (spark.createDataFrame(rdd, schema2), sizes.sum)
+    (spark.createDataFrame(rdd, schema2), sizes.sum,
+      () => { cached.unpersist(blocking = false); () })
   }
 
   private def filesAt(v: Long): Seq[String] = readCommit(v).files
@@ -874,7 +883,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   private def appendInternal(df: DataFrame, evolve: Boolean,
       extraMetrics: Map[String, Long]): Long = {
     val base = latestVersion
-    val (dfIn, idMetrics) = injectWriteColumns(df)
+    // identity baseline BEFORE assignment: the conflict-retry loop
+    // must detect a racer advancing it (our ids were allocated from
+    // this value and would collide with theirs)
+    val idHwBefore = if (identityColumn.isDefined) identityHighWater else -2L
+    val (dfIn, idMetrics, idCleanup) = injectWriteColumns(df)
+    try {
     enforceConstraints(dfIn)
     val schema = checkSchema(dfIn, evolve)
     val aligned = dfIn.select(schema.fieldNames.filter(n =>
@@ -927,12 +941,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           // our pre-write validation — surface the conflict instead
           // of clobbering / landing now-violating rows
           if (schemaAt(latestVersion) != schemaAt(base)) throw e
+          // a racer that advanced the identity high water means OUR
+          // already-written ids (allocated from idHwBefore) collide
+          // with theirs — blind-append re-resolution would commit
+          // duplicate identity values
+          if (idMetrics.nonEmpty && identityHighWater != idHwBefore)
+            throw e
           if (readCommit(latestVersion).constraints.getOrElse(Map.empty) !=
               readCommit(base).constraints.getOrElse(Map.empty)) throw e
           if (attempts > 10) throw e
       }
     }
     -1L // unreachable
+    } finally idCleanup()
   }
 
   /** Highest micro-batch id ever committed via [[appendIfNew]] for
@@ -1003,7 +1024,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     enforceConstraints(df)
     val schema = checkSchema(df, evolve = false)
     val aligned = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val w = writeData(aligned, pcols)
+    val w = writeData(aligned, pcols, columnMapAt(base))
     val newTuples: Set[Seq[String]] =
       w.partValues.values.map(m => pcols.map(m(_))).toSet
     val pv = readCommit(base).partValues.getOrElse(Map.empty)
@@ -1647,18 +1668,28 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       val phys = physName(cmTo, f.name)
       cmV.collectFirst { case (l, p) if p == phys => l }.getOrElse(phys)
     }
+    // DV-AWARE file reads: a row already tombstoned on its side of
+    // the diff is not part of that side's live content — without the
+    // mask, an OVERWRITE after a merge-on-read delete re-emits the
+    // dead rows as phantom deletes
     def rowsOf(files: Seq[String], schema: StructType,
-        cmV: Map[String, String]): DataFrame =
+        cmV: Map[String, String], dv: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        val raw = spark.read.schema(physicalSchema(schema, cmV))
-          .parquet(files.map(abs): _*)
-        if (cmV.isEmpty) raw
-        else raw.select(schema.fields.map(f =>
-          col(physName(cmV, f.name)).as(f.name)).toIndexedSeq: _*)
-      }
+      else readFilesDvAware(files, schema, dv, cmV)
+    def dvPairs(dv: Seq[String]): DataFrame =
+      if (dv.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("__fp",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__pos",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(dv.map(abs): _*)
+        .select(col("file_path").as("__fp"), col("pos").as("__pos"))
+        .dropDuplicates("__fp", "__pos")
     // commits older than a later ADD-COLUMN evolution lack the new
     // columns — pad them with typed nulls so the outSchema select
     // resolves (the "older files surface nulls" contract holds across
@@ -1706,8 +1737,31 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         } else {
         val added = cur.files.filterNot(prev)
         val removed = (prev -- cur.files.toSet).toSeq
-        lazy val addRows = rowsOf(added, schemaV, cmV)
-        lazy val remRows = rowsOf(removed, schemaV, cmV)
+        val dvPrev = if (v == 0) Nil
+          else readCommit(v - 1).dv.getOrElse(Nil)
+        val dvCur = cur.dv.getOrElse(Nil)
+        lazy val addRows = rowsOf(added, schemaV, cmV, dvCur)
+        lazy val remRows = rowsOf(removed, schemaV, cmV, dvPrev)
+        // liveness changes with NO file diff: a commit that changed
+        // the tombstone set over files present in BOTH versions (e.g.
+        // RESTORE clearing deletion vectors resurrects rows) — diff
+        // the (file,pos) tombstone sets and read just those rows
+        lazy val dvDelta: Seq[DataFrame] = {
+          val common = cur.files.filter(prev.contains)
+          if (common.isEmpty || dvPrev.toSet == dvCur.toSet) Nil
+          else {
+            val scan = scanWithPos(common, schemaV, Nil, cmV)
+            val cols = schemaV.fieldNames.map(col).toIndexedSeq
+            val newlyDead = scan.join(
+              dvPairs(dvCur).exceptAll(dvPairs(dvPrev)),
+              Seq("__fp", "__pos"), "semi").select(cols: _*)
+            val resurrected = scan.join(
+              dvPairs(dvPrev).exceptAll(dvPairs(dvCur)),
+              Seq("__fp", "__pos"), "semi").select(cols: _*)
+            Seq(tag(newlyDead, "delete", v, cmV),
+              tag(resurrected, "insert", v, cmV))
+          }
+        }
         cur.operation match {
           case "COMPACT" | "CLUSTER" | "ZORDER" | "ADD CONSTRAINT" |
                "RENAME COLUMN" | "DROP COLUMN" => Nil
@@ -1723,11 +1777,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
               tag(addRows.exceptAll(remRows), "upsert", v, cmV))
           case _ => // OVERWRITE, RESTORE, anything content-changing
             Seq(tag(remRows.exceptAll(addRows), "delete", v, cmV),
-              tag(addRows.exceptAll(remRows), "insert", v, cmV))
+              tag(addRows.exceptAll(remRows), "insert", v, cmV)) ++ dvDelta
         }
         }
       }
-    val empty = tag(rowsOf(Nil, outSchema, cmTo), "none", -1L, cmTo).limit(0)
+    val empty = tag(rowsOf(Nil, outSchema, cmTo, Nil), "none", -1L, cmTo)
+      .limit(0)
     parts.foldLeft(empty)(_ unionByName _)
   }
 }
@@ -1841,32 +1896,35 @@ object GraftTable {
     }
     // identity: seed rows WITH the column set the high water from
     // their max; without it, ids are assigned densely from 0
-    val (seeded, hw) = identity match {
-      case None => (withGen, None)
+    val (seeded, hw, idCleanup) = identity match {
+      case None => (withGen, None, () => ())
       case Some(idc) if withGen.schema.fieldNames.contains(idc) =>
         require(withGen.schema(idc).dataType ==
           org.apache.spark.sql.types.LongType,
           s"identity column $idc must be BIGINT")
         val mx = withGen.agg(max(col(s"`$idc`"))).head.get(0)
-        (withGen, Some(if (mx == null) -1L else mx.asInstanceOf[Long]))
+        (withGen, Some(if (mx == null) -1L else mx.asInstanceOf[Long]),
+          () => ())
       case Some(idc) =>
-        val (assigned, n) = t.assignDenseIds(withGen, idc, -1L)
-        (assigned, Some(n - 1L))
+        val (assigned, n, cleanup) = t.assignDenseIds(withGen, idc, -1L)
+        (assigned, Some(n - 1L), cleanup)
     }
-    val missing = partitionBy.filterNot(seeded.schema.fieldNames.contains)
-    require(missing.isEmpty,
-      s"partitionBy names unknown column(s): ${missing.mkString(", ")}")
-    Files.createDirectories(t.logDir)
-    val w = t.writeData(seeded, partitionBy)
-    t.commit("CREATE", -1L, w.files, seeded.schema,
-      Map("numAddedFiles" -> w.files.size.toLong) ++
-        hw.map(t.identityKey -> _).toMap,
-      t.collectStats(w.files),
-      newPartValues = w.partValues,
-      partitionByOpt = if (partitionBy.isEmpty) None else Some(partitionBy),
-      generatedOpt = if (generated.isEmpty) None else Some(generated),
-      identityOpt = identity)
-    t
+    try {
+      val missing = partitionBy.filterNot(seeded.schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"partitionBy names unknown column(s): ${missing.mkString(", ")}")
+      Files.createDirectories(t.logDir)
+      val w = t.writeData(seeded, partitionBy)
+      t.commit("CREATE", -1L, w.files, seeded.schema,
+        Map("numAddedFiles" -> w.files.size.toLong) ++
+          hw.map(t.identityKey -> _).toMap,
+        t.collectStats(w.files),
+        newPartValues = w.partValues,
+        partitionByOpt = if (partitionBy.isEmpty) None else Some(partitionBy),
+        generatedOpt = if (generated.isEmpty) None else Some(generated),
+        identityOpt = identity)
+      t
+    } finally idCleanup()
   }
 
   def load(spark: SparkSession, path: String): GraftTable = {

@@ -123,6 +123,19 @@ class ColumnMappingSpec extends SparkSpec {
       .as[(Long, String)].collect() === Array((9L, "z")))
   }
 
+  test("overwritePartitions writes under physical names after a rename") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "k", "v"),
+      partitionBy = Seq("k"))
+    t.renameColumn("v", "w")
+    t.overwritePartitions(Seq((9L, "A", 9.0)).toDF("id", "k", "w"))
+    // without the map, the new files would store logical 'w' and the
+    // mapped read (w -> v) would surface null
+    val rows = t.snapshot().orderBy("id")
+      .as[(Long, String, Double)].collect()
+    assert(rows === Array((2L, "B", 2.0), (9L, "A", 9.0)))
+  }
+
   test("stats pruning keys translate through the mapping") {
     val t = GraftTable.create(spark, tmp(),
       (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x"))

@@ -131,6 +131,36 @@ class DeletionVectorSpec extends SparkSpec {
     assert(c.snapshot().where($"id" >= 40).count() === 0)
   }
 
+  test("change feed: restore across a DV delete emits the resurrections") {
+    val t = GraftTable.create(spark, tmp(),
+      spark.range(0, 10).select($"id"))                 // v0
+    t.deleteMor($"id" < 3)                              // v1: CDC deletes 0,1,2
+    t.restore(0)                                        // v2: same files, DVs cleared
+    val feedV2 = t.changeFeed(1, 2).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(feedV2 === Set((0L, "insert"), (1L, "insert"), (2L, "insert")),
+      s"restore must emit the logically resurrected rows, got $feedV2")
+    // the full feed still folds to the final state
+    val folded = t.changeFeed(-1)
+      .groupBy("id").agg(
+        sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("n"))
+      .where(col("n") > 0).count()
+    assert(folded === 10)
+  }
+
+  test("change feed: overwrite after a DV delete emits no phantom deletes") {
+    val t = GraftTable.create(spark, tmp(),
+      spark.range(0, 10).select($"id"))                 // v0
+    t.deleteMor($"id" < 3)                              // v1: deletes 0,1,2
+    t.overwrite(Seq(100L).toDF("id"))                   // v2: full replace
+    val feedV2 = t.changeFeed(1, 2).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    // live content at v1 was 3..9 — the already-dead 0,1,2 must NOT
+    // re-emit as deletes
+    assert(feedV2 === ((3L to 9L).map((_, "delete")).toSet + ((100L, "insert"))),
+      s"got $feedV2")
+  }
+
   test("incremental materialized view equals recompute across all DML kinds") {
     import graft.tables.IncrementalMatView
     val dir = tmp()

@@ -301,4 +301,17 @@ class GraftSqlSpec extends SparkSpec {
       assert(t.latestVersion === v)
     } finally spark.sql("DROP TABLE IF EXISTS gs_rw")
   }
+
+  test("REPLACE WHERE predicate may itself contain a subquery") {
+    val (t, _) = registered("gs_rwsq")
+    try {
+      val total = t.snapshot().count()
+      val f = t.snapshot().where($"o_orderstatus" === "F").count()
+      GraftSql.sql(spark,
+        "INSERT INTO gs_rwsq REPLACE WHERE o_orderstatus IN " +
+          "(SELECT DISTINCT o_orderstatus FROM gs_rwsq WHERE o_orderstatus = 'F') " +
+          "SELECT * FROM gs_rwsq WHERE o_orderstatus = 'F' LIMIT 5")
+      assert(t.snapshot().count() === total - f + 5)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_rwsq")
+  }
 }
