@@ -74,6 +74,8 @@ object SparkEntry {
     "text_repetition_ratio" -> (TextAnalysis.repetitionRatio _),
     "text_deterministic_split" -> (TextAnalysis.deterministicSplit _),
     "text_corpus_stats" -> (TextAnalysis.corpusStats _),
+    "text_bm25_rank" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25Rank(s, d)),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitterLangs _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
@@ -702,6 +704,33 @@ object SparkEntry {
         |  CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS total_ws_tokens,
         |  CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
         |FROM documents GROUP BY lang, source""".stripMargin,
+    "text_bm25_rank" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl,
+        |    CAST(SUM(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(SUM(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+        |    CAST(SUM(CASE WHEN list_contains(w, 'filter') THEN 1 ELSE 0 END) AS DOUBLE) AS df_filter
+        |  FROM tl)
+        |SELECT doc_id, round(
+        |    ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+        |      * (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) * 2.2)
+        |      / (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+        |  + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+        |      * (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) * 2.2)
+        |      / (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+        |  + ln((n_docs - df_filter + 0.5) / (df_filter + 0.5) + 1.0)
+        |      * (CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE) * 2.2)
+        |      / (CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+        |  , 8) AS score
+        |FROM tl, stats
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // §C — final table state after each DML scenario
     "tbl_merge_upsert" ->
       """WITH src AS (

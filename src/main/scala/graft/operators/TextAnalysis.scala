@@ -244,4 +244,48 @@ object TextAnalysis {
       .join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** BM25 keyword ranking over the corpus — the lexical-retrieval
+    * baseline every RAG/training-data pipeline needs next to the ANN
+    * family. Corpus statistics (N, avgdl, per-term document
+    * frequencies) are ONE exact-integer aggregate broadcast back over
+    * the docs; each doc's score is then a single ROW-LOCAL expression
+    * with the per-term contributions summed in fixed order (no
+    * cross-row double accumulation), so the result is deterministic
+    * under any partitioning and replays bit-identically in the
+    * oracle. tf per term rides codegen'd array ops
+    * (size − size∘array_remove), not a UDF.
+    */
+  def bm25Rank(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("spark", "join", "filter"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("double").as("dl"))
+    // one row of corpus scalars; doc lengths are integer-valued
+    // doubles, so the sum is exact under any aggregation order
+    val statCols = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl")) ++
+      terms.map(t => sum(when(array_contains(col("w"), t), 1).otherwise(0))
+        .cast("double").as(s"df_$t"))
+    val stats = toks.agg(statCols.head, statCols.tail: _*)
+    val scored = toks.crossJoin(stats)
+    def tf(t: String): Column =
+      (size(col("w")) - size(array_remove(col("w"), t))).cast("double")
+    def contribution(t: String): Column = {
+      val df = col(s"df_$t")
+      val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+      // operand grouping mirrors the oracle SQL exactly — double
+      // arithmetic is order-sensitive in the last ULP
+      idf * (tf(t) * lit(k1 + 1.0)) /
+        (tf(t) + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / (col("sum_dl") / col("n_docs"))))
+    }
+    scored.select(col("doc_id"),
+      round(terms.map(contribution).reduce(_ + _), 8).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
 }
