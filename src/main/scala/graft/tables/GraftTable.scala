@@ -657,6 +657,27 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       Map(), cdcFiles = Some(Nil), newProperties = kv)
   }
 
+  /** AUTO COMPACTION (Delta `autoOptimize.autoCompact` analog),
+    * driven by table properties: when `graft.autoCompact.minFiles`
+    * is set and a write leaves at least that many files, a
+    * size-targeted compaction commit follows automatically
+    * (`graft.autoCompact.targetBytes` overrides the 128 MiB default).
+    * Best-effort: a concurrent-writer conflict on the compaction is
+    * swallowed — the DATA commit already landed; small files are a
+    * perf debt, not an error.
+    */
+  private def maybeAutoCompact(committed: Long): Long = {
+    val props = properties
+    props.get("graft.autoCompact.minFiles").map(_.toInt) match {
+      case Some(minFiles) if filesAt(latestVersion).size >= minFiles =>
+        val target = props.get("graft.autoCompact.targetBytes")
+          .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        try compactToSize(target)
+        catch { case _: CommitConflictException => committed }
+      case _ => committed
+    }
+  }
+
   /** DESCRIBE DETAIL analog: one row of table-level metadata, all of
     * it O(files) from the commit log (sizeInBytes from the same
     * driver-side file metadata the scan planner uses).
@@ -920,11 +941,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     while (true) {
       val b = if (attempts == 0) base else latestVersion
       try {
-        return commit("APPEND", b, filesAt(b) ++ added, schema,
-          Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics ++
-            idMetrics, stats,
-          newPartValues = w.partValues,
-          newColumnMap = if (fresh.isEmpty) None else Some(cm))
+        return maybeAutoCompact(
+          commit("APPEND", b, filesAt(b) ++ added, schema,
+            Map("numAddedFiles" -> added.size.toLong) ++ extraMetrics ++
+              idMetrics, stats,
+            newPartValues = w.partValues,
+            newColumnMap = if (fresh.isEmpty) None else Some(cm)))
       } catch {
         case e: CommitConflictException =>
           attempts += 1
@@ -1162,10 +1184,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // rows of the touched files — one extra pruned scan, no EXCEPT ALL
     val cdc = writeCdc(touchedDf.where(coalesce(cond, lit(false)))
       .withColumn("_change_type", lit("delete")))
-    commit("DELETE", base,
+    maybeAutoCompact(commit("DELETE", base,
       filesAt(base).filterNot(touched.contains) ++ w.files, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
-      cdcFiles = Some(cdc), newPartValues = w.partValues)
+      cdcFiles = Some(cdc), newPartValues = w.partValues))
   }
 
   /** MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV feature):
@@ -1281,10 +1303,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         .withColumn("_change_type", lit("update_preimage"))
         .unionByName(applied.where(col("__hit")).drop("__hit")
           .withColumn("_change_type", lit("update_postimage"))))
-    commit("UPDATE", base,
+    maybeAutoCompact(commit("UPDATE", base,
       filesAt(base).filterNot(touched.contains) ++ w.files, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
-      cdcFiles = Some(cdc), newPartValues = w.partValues)
+      cdcFiles = Some(cdc), newPartValues = w.partValues))
   }
 
   /** MERGE INTO target USING source ON key — the default clause set:
@@ -1424,10 +1446,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val cdc = writeCdc(cdcAll)
     tagged.unpersist()
     src.unpersist()
-    commit("MERGE", base,
+    maybeAutoCompact(commit("MERGE", base,
       filesAt(base).filterNot(touched.contains) ++ w.files, schema,
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
-      cdcFiles = Some(cdc), newPartValues = w.partValues)
+      cdcFiles = Some(cdc), newPartValues = w.partValues))
   }
 
   /** OPTIMIZE analog: coalesce the snapshot into `numFiles` files
@@ -1547,7 +1569,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * files of commits OUTSIDE the window are reclaimed too (their
     * change feed is gone with their versions).
     */
-  def vacuum(retainVersions: Int = 2): Long = {
+  /** No-arg vacuum: retention from `graft.vacuum.retainVersions` in
+    * TBLPROPERTIES (default 2) — the operator sets policy once on the
+    * table instead of every call site.
+    */
+  def vacuum(): Long = vacuum(
+    properties.get("graft.vacuum.retainVersions").map(_.toInt).getOrElse(2))
+
+  def vacuum(retainVersions: Int): Long = {
     val versions = listVersions()
     val retained = versions.takeRight(retainVersions)
     val live: Set[String] = retained.flatMap(v => readCommit(v).files).toSet

@@ -248,6 +248,26 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_ddl")
   }
 
+  test("property-driven auto-compaction and vacuum retention") {
+    val dir = Files.createTempDirectory("graft_ac_").resolve("t").toString
+    val t = graft.tables.GraftTable.create(spark, dir,
+      Seq((1L, "a")).toDF("id", "v"))
+    t.setProperties(Map("graft.autoCompact.minFiles" -> "4",
+      "graft.vacuum.retainVersions" -> "3"))
+    // small appends accumulate files until the threshold trips a
+    // follow-on COMPACT commit automatically
+    (2 to 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    assert(t.history().where($"operation" === "COMPACT").count() >= 1,
+      "auto-compaction should have fired")
+    val d = t.detail().collect()(0)
+    assert(d.getAs[Long]("num_files") < 5)
+    assert(t.snapshot().count() === 6) // data intact
+    // vacuum() with no args honors the property (retain 3 versions,
+    // so a 4-versions-ago file set is reclaimable without error)
+    t.vacuum()
+    assert(t.snapshot().count() === 6)
+  }
+
   test("TIMESTAMP AS OF resolves to the latest commit at or before it") {
     val dir = Files.createTempDirectory("graft_tt_").resolve("t").toString
     val t = graft.tables.GraftTable.create(spark, dir,
