@@ -137,7 +137,13 @@ class GraftTableSourceProvider extends StreamSourceProvider
           "(RENAME/DROP COLUMN); read via GraftTable.snapshotAt, or " +
           "overwrite()/re-create to clear the mapping")
     val index = new GraftTableFileIndex(spark, table, version)
-    HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
+    // bucketed tables surface their spec so FileSourceScanExec plans
+    // bucketed scans — two graft tables bucketed the same way join
+    // with ZERO exchange (file names carry the bucket id suffix)
+    val bucketSpec = table.bucketSpecAt(version).map { case (cols, n) =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil)
+    }
+    HadoopFsRelation(index, StructType(Nil), index.dataSchema, bucketSpec,
       new ParquetFileFormat, parameters)(spark)
   }
 

@@ -117,7 +117,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   private def writeData(df: DataFrame): Written =
     writeData(df, partitionColumnsAt(latestVersion),
-      columnMapAt(latestVersion))
+      columnMapAt(latestVersion), bucketSpecAt(latestVersion))
 
   /** Stage and adopt `df`. With partition columns the staging write
     * goes through `partitionBy` on DUPLICATED columns (`__gp_<col>`),
@@ -130,22 +130,59 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * (e.g. non-ASCII strings) the footer-stats path must drop.
     */
   private def writeData(df: DataFrame, pcols: Seq[String],
-      cm: Map[String, String] = Map.empty): Written = {
+      cm: Map[String, String] = Map.empty,
+      buckets: Option[(Seq[String], Int)] = None): Written = {
     // incoming frames carry LOGICAL names; files always store PHYSICAL
-    // (partition columns are rename-immutable, so pcols need no
-    // translation)
+    // (partition and bucket columns are rename-immutable, so they
+    // need no translation)
     val out = if (cm.isEmpty) df
       else df.select(df.columns.map(c =>
         col(s"`$c`").as(cm.getOrElse(c, c))).toIndexedSeq: _*)
     val staging = root.resolve(s".staging-${UUID.randomUUID()}")
-    if (pcols.isEmpty) {
-      out.write.parquet(staging.toString)
-      Written(adoptStaging(staging), Map.empty)
-    } else {
-      val dup = pcols.foldLeft(out)((d, c) => d.withColumn(s"__gp_$c", col(c)))
-      dup.write.partitionBy(pcols.map("__gp_" + _): _*).parquet(staging.toString)
-      adoptPartitionedStaging(staging, pcols)
+    buckets match {
+      case Some((bcols, n)) =>
+        // repartition(n, cols) IS Spark's bucket-id function
+        // (pmod(murmur3(cols), n) — HashPartitioning's
+        // partitionIdExpression), so the staged partition index is
+        // the bucket id; every write path re-buckets, keeping the
+        // whole table join-aligned forever
+        out.repartition(n, bcols.map(c => col(s"`$c`")): _*)
+          .write.parquet(staging.toString)
+        adoptBucketedStaging(staging)
+      case None if pcols.isEmpty =>
+        out.write.parquet(staging.toString)
+        Written(adoptStaging(staging), Map.empty)
+      case None =>
+        val dup = pcols.foldLeft(out)((d, c) => d.withColumn(s"__gp_$c", col(c)))
+        dup.write.partitionBy(pcols.map("__gp_" + _): _*).parquet(staging.toString)
+        adoptPartitionedStaging(staging, pcols)
     }
+  }
+
+  /** Adopt a bucket-repartitioned staging dir: the writer's task
+    * index (the `part-NNNNN` prefix) is the bucket id; adopted names
+    * carry it in Spark's own bucket-file suffix
+    * ([[org.apache.spark.sql.execution.datasources.BucketingUtils]]),
+    * which is how the bucketed scan recovers each file's bucket.
+    */
+  private def adoptBucketedStaging(staging: Path): Written = {
+    import org.apache.spark.sql.execution.datasources.BucketingUtils
+    Files.createDirectories(filesDir)
+    val partNum = """part-(\d+)""".r
+    val parts = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val adopted = parts.map { p =>
+      val id = partNum.findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"cannot derive bucket id from staged file ${p.getFileName}"))
+      val name =
+        s"${UUID.randomUUID()}${BucketingUtils.bucketIdToString(id)}.parquet"
+      Files.move(p, filesDir.resolve(name))
+      s"files/$name"
+    }
+    deleteRecursively(staging)
+    Written(adopted, Map.empty)
   }
 
   /** Undo Hive/Spark partition-path escaping (`%2F` etc) — the exact
@@ -431,7 +468,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       replaceConstraints: Option[Map[String, String]] = None,
       newProperties: Map[String, String] = Map.empty,
       generatedOpt: Option[Map[String, String]] = None,
-      identityOpt: Option[String] = None): Long = {
+      identityOpt: Option[String] = None,
+      bucketByOpt: Option[(Seq[String], Int)] = None): Long = {
     val v = base + 1
     // Set membership, not List.contains — the carry filters run per
     // stats/partition-values entry, and O(files²) per commit bites at
@@ -465,6 +503,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       else readCommit(base).generated
     val idOut = if (v == 0) identityOpt
       else readCommit(base).identityCol
+    val (bkOut, nbOut) =
+      if (v == 0) (bucketByOpt.map(_._1.toList), bucketByOpt.map(_._2))
+      else (readCommit(base).bucketBy, readCommit(base).numBuckets)
     writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
       schema.json, metrics, Some(carried ++ newStats),
       Some(constraintsOut),
@@ -473,9 +514,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       pb, if (pvAll.isEmpty) None else Some(pvAll),
       if (cmOut.isEmpty) None else Some(cmOut),
       if (propsOut.isEmpty) None else Some(propsOut),
-      genOut, idOut))
+      genOut, idOut, bkOut, nbOut))
     v
   }
+
+  /** Bucketing spec declared at CREATE (columns, bucket count). */
+  def bucketSpec: Option[(Seq[String], Int)] = bucketSpecAt(latestVersion)
+
+  private[graft] def bucketSpecAt(v: Long): Option[(Seq[String], Int)] =
+    if (v < 0) None
+    else {
+      val c = readCommit(v)
+      for { b <- c.bucketBy; n <- c.numBuckets } yield (b: Seq[String], n)
+    }
 
   /** Generation expressions declared at CREATE (col → SQL expr). */
   def generatedColumns: Map[String, String] =
@@ -558,6 +609,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       s"column '$newName' already exists")
     require(!partitionColumnsAt(base).contains(field.name),
       s"cannot rename partition column '${field.name}'")
+    require(!bucketSpecAt(base).exists(_._1.contains(field.name)),
+      s"cannot rename bucket column '${field.name}'")
     requireUnconstrained(base, field.name, "rename")
     val phys = physName(cm, field.name)
     val cm2 = cm - field.name
@@ -583,6 +636,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     require(schema.fields.length > 1, "cannot drop the only column")
     require(!partitionColumnsAt(base).contains(field.name),
       s"cannot drop partition column '${field.name}'")
+    require(!bucketSpecAt(base).exists(_._1.contains(field.name)),
+      s"cannot drop bucket column '${field.name}'")
     requireUnconstrained(base, field.name, "drop")
     val newSchema = StructType(schema.fields.filterNot(_.name == field.name))
     commit("DROP COLUMN", base, filesAt(base), newSchema,
@@ -928,7 +983,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         addedCols.filter(used.contains).map(n => n -> s"${n}__c${base + 1}").toMap
       }
     val cm = baseCm ++ fresh
-    val w = writeData(aligned, partitionColumnsAt(base), cm)
+    val w = writeData(aligned, partitionColumnsAt(base), cm,
+      bucketSpecAt(base))
     val added = w.files
     val stats = collectStats(added)
     // blind appends never conflict SEMANTICALLY — a racing commit just
@@ -1020,7 +1076,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // a full rewrite leaves no old files behind, so the logical
     // names can become physical again — reset the column map (also
     // sidesteps an incoming column colliding with a mapped physical)
-    val w = writeData(df, partitionColumnsAt(base), Map.empty)
+    val w = writeData(df, partitionColumnsAt(base), Map.empty,
+      bucketSpecAt(base))
     commit("OVERWRITE", base, w.files, df.schema,
       Map("numAddedFiles" -> w.files.size.toLong) ++ extraMetrics,
       collectStats(w.files), dv = Some(Nil), newPartValues = w.partValues,
@@ -1897,7 +1954,9 @@ object GraftTable {
       columnMap: Option[Map[String, String]] = None,
       properties: Option[Map[String, String]] = None,
       generated: Option[Map[String, String]] = None,
-      identityCol: Option[String] = None)
+      identityCol: Option[String] = None,
+      bucketBy: Option[List[String]] = None,
+      numBuckets: Option[Int] = None)
 
   /** Create a new table at `path` from `df` (errors if a log exists).
     * With `partitionBy`, the table is PARTITIONED: every write lands
@@ -1908,10 +1967,17 @@ object GraftTable {
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       generated: Map[String, String] = Map.empty,
-      identity: Option[String] = None): GraftTable = {
+      identity: Option[String] = None,
+      bucketBy: Seq[String] = Nil,
+      numBuckets: Int = 0): GraftTable = {
     val root = Paths.get(path)
     val t = new GraftTable(spark, root)
     require(!Files.exists(t.logDir), s"table already exists at $path")
+    require(bucketBy.isEmpty == (numBuckets <= 0),
+      "bucketBy and numBuckets must be set together")
+    require(bucketBy.isEmpty || partitionBy.isEmpty,
+      "bucketBy and partitionBy cannot be combined")
+    val bkSpec = if (bucketBy.isEmpty) None else Some((bucketBy, numBuckets))
     // generated columns absent from the seed frame are computed; a
     // supplied one must satisfy its expression (checked below)
     val withGen = generated.foldLeft(df) { case (d, (c, genExpr)) =>
@@ -1939,11 +2005,12 @@ object GraftTable {
         (assigned, Some(n - 1L), cleanup)
     }
     try {
-      val missing = partitionBy.filterNot(seeded.schema.fieldNames.contains)
+      val missing = (partitionBy ++ bucketBy)
+        .filterNot(seeded.schema.fieldNames.contains)
       require(missing.isEmpty,
-        s"partitionBy names unknown column(s): ${missing.mkString(", ")}")
+        s"partitionBy/bucketBy names unknown column(s): ${missing.mkString(", ")}")
       Files.createDirectories(t.logDir)
-      val w = t.writeData(seeded, partitionBy)
+      val w = t.writeData(seeded, partitionBy, Map.empty, bkSpec)
       t.commit("CREATE", -1L, w.files, seeded.schema,
         Map("numAddedFiles" -> w.files.size.toLong) ++
           hw.map(t.identityKey -> _).toMap,
@@ -1951,7 +2018,8 @@ object GraftTable {
         newPartValues = w.partValues,
         partitionByOpt = if (partitionBy.isEmpty) None else Some(partitionBy),
         generatedOpt = if (generated.isEmpty) None else Some(generated),
-        identityOpt = identity)
+        identityOpt = identity,
+        bucketByOpt = bkSpec)
       t
     } finally idCleanup()
   }
@@ -2028,7 +2096,9 @@ object GraftTable {
       newColumnMap = Some(c.columnMap.getOrElse(Map.empty)),
       newProperties = c.properties.getOrElse(Map.empty),
       generatedOpt = c.generated,
-      identityOpt = c.identityCol)
+      identityOpt = c.identityCol,
+      bucketByOpt = for { b <- c.bucketBy; n <- c.numBuckets }
+        yield (b: Seq[String], n))
     t
   }
 
