@@ -66,6 +66,12 @@ object GraftSql {
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+([\w.`]+)\s*""".r
   private val DescribeDetail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*""".r
+  // CTAS with a physical layout (v1 CreatableRelationProvider cannot
+  // receive partitioning/bucketing, so these dispatch on shape)
+  private val CreatePartitionedCtas =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+USING\s+`?graft-table`?\s+PARTITIONED\s+BY\s*\(([^)]+)\)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)""".r
+  private val CreateBucketedCtas =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+USING\s+`?graft-table`?\s+CLUSTERED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case DescribeHistory(ident) => tableByName(spark, ident).history()
@@ -152,8 +158,24 @@ object GraftSql {
         .toDF("key", "value")
     case DescribeDetail(ident) =>
       tableByName(spark, ident).detail()
+    case CreatePartitionedCtas(ident, cols, location, query) =>
+      GraftTable.create(spark, location, spark.sql(query),
+        partitionBy = splitIdents(cols))
+      spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
+        s"OPTIONS (path '$location')")
+      emptyResult(spark)
+    case CreateBucketedCtas(ident, cols, n, location, query) =>
+      GraftTable.create(spark, location, spark.sql(query),
+        bucketBy = splitIdents(cols), numBuckets = n.toInt)
+      spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
+        s"OPTIONS (path '$location')")
+      emptyResult(spark)
     case _ => sqlParsed(spark, text)
   }
+
+  private def splitIdents(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty)
 
   /** `'k' = 'v', 'k2' = 'v2'` → map (TBLPROPERTIES list syntax). */
   private def parsePropPairs(s: String): Map[String, String] =
@@ -169,7 +191,8 @@ object GraftSql {
          RenameColumnSql(_, _, _) | DropColumnSql(_, _) |
          AddConstraintSql(_, _, _) | DropConstraintSql(_, _) |
          SetTblPropsSql(_, _) | ShowTblPropsSql(_) |
-         DescribeDetail(_) => true
+         DescribeDetail(_) | CreatePartitionedCtas(_, _, _, _) |
+         CreateBucketedCtas(_, _, _, _, _) => true
     case _ => false
   }
 
@@ -236,6 +259,13 @@ object GraftSql {
 
   private[graft] def utilityTargetIsGraft(spark: SparkSession,
       text: String): Boolean = {
+    // the layout-CTAS forms name `USING graft-table` explicitly —
+    // there is no pre-existing target to resolve
+    text match {
+      case CreatePartitionedCtas(_, _, _, _) |
+           CreateBucketedCtas(_, _, _, _, _) => return true
+      case _ =>
+    }
     val ident = text match {
       case DescribeHistory(i) => Some(i)
       case OptimizeZorder(i, _) => Some(i)

@@ -89,6 +89,29 @@ class BucketedTableSpec extends SparkSpec {
     }
   }
 
+  test("layout CTAS: CREATE TABLE ... PARTITIONED BY / CLUSTERED BY") {
+    import graft.tables.{GraftSql, GraftTable}
+    val p1 = tmp(); val p2 = tmp()
+    spark.sql("DROP TABLE IF EXISTS gs_pctas")
+    spark.sql("DROP TABLE IF EXISTS gs_bctas")
+    try {
+      GraftSql.sql(spark,
+        s"CREATE TABLE gs_pctas USING `graft-table` PARTITIONED BY (v) " +
+          s"LOCATION '$p1' AS SELECT id, CAST(id % 3 AS STRING) AS v " +
+          "FROM range(90)")
+      assert(GraftTable.load(spark, p1).partitionColumns === Seq("v"))
+      assert(spark.table("gs_pctas").count() === 90)
+      GraftSql.sql(spark,
+        s"CREATE TABLE gs_bctas USING `graft-table` CLUSTERED BY (id) " +
+          s"INTO 4 BUCKETS LOCATION '$p2' AS SELECT id FROM range(100)")
+      assert(GraftTable.load(spark, p2).bucketSpec === Some((Seq("id"), 4)))
+      assert(spark.table("gs_bctas").count() === 100)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_pctas")
+      spark.sql("DROP TABLE IF EXISTS gs_bctas")
+    }
+  }
+
   test("bucket columns are rename/drop-immutable; partitionBy conflicts") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a")).toDF("id", "v"), bucketBy = Seq("id"), numBuckets = 2)
