@@ -221,8 +221,11 @@ object Streams {
     // scan): this surface lists raw data files — it can neither mask
     // deletion-vector tombstones nor translate mapped column names,
     // so reading such a table here would resurrect deleted rows /
-    // yield nulls. Checked at stream construction; the append-only
-    // contract (no COW rewrites) remains the caller's, as with Delta.
+    // yield nulls. Checked at stream CONSTRUCTION only — a directory
+    // listing has no per-batch commit hook, so the append-only
+    // contract (no COW rewrites, no deleteMor, no renames while the
+    // stream runs) remains the caller's, as with Delta's plain file
+    // streams. The `graft-table` source is the enforced path.
     val t = graft.tables.GraftTable.load(spark, tableRoot)
     val v = t.latestVersion
     if (t.hasDvs(v))

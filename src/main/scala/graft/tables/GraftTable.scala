@@ -301,12 +301,26 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         col("_metadata.file_path").as("__fp") :+
         col("_metadata.row_index").as("__pos"): _*)
     if (dv.isEmpty) raw
-    else raw.join(
-      spark.read.parquet(dv.map(abs): _*)
-        .select(col("file_path").as("__fp"), col("pos").as("__pos"))
-        .dropDuplicates("__fp", "__pos"),
-      Seq("__fp", "__pos"), "left_anti")
+    else raw.join(dvPairFrame(dv), Seq("__fp", "__pos"), "left_anti")
   }
+
+  /** Deletion-vector tombstones as distinct (`__fp`, `__pos`) rows —
+    * ONE spelling shared by the scan mask and the change feed's
+    * liveness diff, so the two can never diverge on e.g. path
+    * normalization.
+    */
+  private def dvPairFrame(dv: Seq[String]): DataFrame =
+    if (dv.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("__fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__pos",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(dv.map(abs): _*)
+      .select(col("file_path").as("__fp"), col("pos").as("__pos"))
+      .dropDuplicates("__fp", "__pos")
 
   /** Read `files` under the LOGICAL `schema` with deletion vectors
     * applied and column mapping translated (plain vectorized scan
@@ -712,25 +726,55 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       Map(), cdcFiles = Some(Nil), newProperties = kv)
   }
 
-  /** AUTO COMPACTION (Delta `autoOptimize.autoCompact` analog),
-    * driven by table properties: when `graft.autoCompact.minFiles`
-    * is set and a write leaves at least that many files, a
-    * size-targeted compaction commit follows automatically
-    * (`graft.autoCompact.targetBytes` overrides the 128 MiB default).
-    * Best-effort: a concurrent-writer conflict on the compaction is
-    * swallowed — the DATA commit already landed; small files are a
-    * perf debt, not an error.
+  /** BIN-PACK small files (Delta `autoOptimize.autoCompact`'s real
+    * behavior): rewrite only files under half the target size into
+    * ~targetBytes outputs, leaving right-sized files alone — NOT a
+    * full-table rewrite. Deletion vectors over the rewritten files
+    * are materialized by the DV-aware read; DVs over untouched files
+    * carry forward. Returns the base version unchanged when fewer
+    * than `minFiles` small files exist.
+    */
+  def compactSmall(minFiles: Int,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val base = latestVersion
+    val files = filesAt(base)
+    val small = files.filter(f =>
+      Files.size(root.resolve(f)) < targetBytes / 2)
+    if (small.size < minFiles) return base
+    val bytes = small.map(f => Files.size(root.resolve(f))).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val data = readFilesDvAware(small, schemaAt(base), dvAt(base),
+      columnMapAt(base)).coalesce(n)
+    val w = writeData(data)
+    commit("COMPACT", base, files.filterNot(small.contains) ++ w.files,
+      schemaAt(base),
+      Map("numRewrittenFiles" -> small.size.toLong), collectStats(w.files),
+      newPartValues = w.partValues)
+  }
+
+  /** AUTO COMPACTION, driven by table properties: when
+    * `graft.autoCompact.minFiles` is set and a write leaves at least
+    * that many SMALL files, a bin-packing [[compactSmall]] commit
+    * follows automatically (`graft.autoCompact.targetBytes` overrides
+    * the 128 MiB default). ENTIRELY best-effort: any failure —
+    * conflict with a concurrent writer, an unparseable property —
+    * is swallowed, because the DATA commit already landed and must
+    * not be reported as failed. Always returns the data commit's
+    * version: callers reason about THEIR write, not the maintenance
+    * that followed it. (Like OPTIMIZE, the follow-on commit is
+    * skipped by streaming readers as a no-logical-change commit.)
     */
   private def maybeAutoCompact(committed: Long): Long = {
-    val props = properties
-    props.get("graft.autoCompact.minFiles").map(_.toInt) match {
-      case Some(minFiles) if filesAt(latestVersion).size >= minFiles =>
-        val target = props.get("graft.autoCompact.targetBytes")
-          .map(_.toLong).getOrElse(128L * 1024 * 1024)
-        try compactToSize(target)
-        catch { case _: CommitConflictException => committed }
-      case _ => committed
-    }
+    try {
+      val props = properties
+      props.get("graft.autoCompact.minFiles").map(_.toInt).foreach {
+        minFiles =>
+          val target = props.get("graft.autoCompact.targetBytes")
+            .map(_.toLong).getOrElse(128L * 1024 * 1024)
+          compactSmall(minFiles, target)
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    committed
   }
 
   /** DESCRIBE DETAIL analog: one row of table-level metadata, all of
@@ -1072,16 +1116,23 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def overwrite(df: DataFrame,
       extraMetrics: Map[String, Long] = Map.empty): Long = {
     val base = latestVersion
-    enforceConstraints(df)
-    // a full rewrite leaves no old files behind, so the logical
-    // names can become physical again — reset the column map (also
-    // sidesteps an incoming column colliding with a mapped physical)
-    val w = writeData(df, partitionColumnsAt(base), Map.empty,
-      bucketSpecAt(base))
-    commit("OVERWRITE", base, w.files, df.schema,
-      Map("numAddedFiles" -> w.files.size.toLong) ++ extraMetrics,
-      collectStats(w.files), dv = Some(Nil), newPartValues = w.partValues,
-      newColumnMap = Some(Map.empty))
+    // identity/generated semantics hold on EVERY write path, not just
+    // append: supplied identity is refused, absent one is assigned
+    // (continuing the high water), generated columns compute/validate
+    val (dfIn, idMetrics, idCleanup) = injectWriteColumns(df)
+    try {
+      enforceConstraints(dfIn)
+      // a full rewrite leaves no old files behind, so the logical
+      // names can become physical again — reset the column map (also
+      // sidesteps an incoming column colliding with a mapped physical)
+      val w = writeData(dfIn, partitionColumnsAt(base), Map.empty,
+        bucketSpecAt(base))
+      commit("OVERWRITE", base, w.files, dfIn.schema,
+        Map("numAddedFiles" -> w.files.size.toLong) ++ extraMetrics ++
+          idMetrics,
+        collectStats(w.files), dv = Some(Nil), newPartValues = w.partValues,
+        newColumnMap = Some(Map.empty))
+    } finally idCleanup()
   }
 
   /** DYNAMIC PARTITION OVERWRITE (Delta `partitionOverwriteMode=
@@ -1100,9 +1151,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val pcols = partitionColumnsAt(base)
     require(pcols.nonEmpty,
       "overwritePartitions requires a table created with partitionBy")
-    enforceConstraints(df)
-    val schema = checkSchema(df, evolve = false)
-    val aligned = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val (dfIn, idMetrics, idCleanup) = injectWriteColumns(df)
+    try {
+    enforceConstraints(dfIn)
+    val schema = checkSchema(dfIn, evolve = false)
+    val aligned = dfIn.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val w = writeData(aligned, pcols, columnMapAt(base))
     val newTuples: Set[Seq[String]] =
       w.partValues.values.map(m => pcols.map(m(_))).toSet
@@ -1124,9 +1177,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commit("OVERWRITE_PARTITIONS", base,
       filesAt(base).filterNot(replaced.contains) ++ w.files, schema,
       Map("numReplacedFiles" -> replaced.size.toLong,
-        "numAddedFiles" -> w.files.size.toLong),
+        "numAddedFiles" -> w.files.size.toLong) ++ idMetrics,
       collectStats(w.files), cdcFiles = Some(cdc),
       newPartValues = w.partValues)
+    } finally idCleanup()
   }
 
   /** `replaceWhere` (Delta's selective overwrite): atomically delete
@@ -1138,9 +1192,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   def replaceWhere(cond: Column, df: DataFrame): Long = {
     val base = latestVersion
-    enforceConstraints(df)
-    val schema = checkSchema(df, evolve = false)
-    val aligned = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val (dfIn, idMetrics, idCleanup) = injectWriteColumns(df)
+    try {
+    enforceConstraints(dfIn)
+    val schema = checkSchema(dfIn, evolve = false)
+    val aligned = dfIn.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val bad = aligned.where(!coalesce(cond, lit(false))).count()
     if (bad > 0) throw new IllegalArgumentException(
       s"replaceWhere: $bad incoming row(s) do not satisfy the predicate")
@@ -1157,9 +1213,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       filesAt(base).filterNot(touched.contains) ++ wSurv.files ++ wNew.files,
       schema,
       Map("numRewrittenFiles" -> touched.size.toLong,
-        "numAddedFiles" -> wNew.files.size.toLong),
+        "numAddedFiles" -> wNew.files.size.toLong) ++ idMetrics,
       collectStats(wSurv.files ++ wNew.files), cdcFiles = Some(cdc),
       newPartValues = wSurv.partValues ++ wNew.partValues)
+    } finally idCleanup()
   }
 
   /** Files of the current version that contain ≥1 LIVE row matching
@@ -1316,10 +1373,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   private def resolveAssignments(schema: StructType,
       m: Map[String, Column], context: String): Map[String, Column] =
     m.map { case (k, v) =>
-      schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+      val resolved = schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(
           s"$context references unknown column '$k' " +
-            s"(columns: ${schema.fieldNames.mkString(", ")})")) -> v
+            s"(columns: ${schema.fieldNames.mkString(", ")})"))
+      // GENERATED ALWAYS: assignment would silently diverge the
+      // identity sequence (generated columns are caught by the
+      // implicit expression check, identity has no expression)
+      if (identityColumn.contains(resolved))
+        throw new IllegalArgumentException(
+          s"$context cannot assign identity column '$resolved' " +
+            "(GENERATED ALWAYS)")
+      resolved -> v
     }
 
   /** DML UPDATE ... SET assignments WHERE cond. */
@@ -1393,6 +1458,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     import GraftTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
     val base = latestVersion
     val schema = schemaAt(base)
+    // MERGE cannot preserve GENERATED ALWAYS identity semantics: a
+    // SET-* update would copy the source's id over the target's, and
+    // inserts would need source-supplied ids — both violate ALWAYS.
+    // Refuse, matching Delta's restriction
+    identityColumn.foreach(idc =>
+      throw new UnsupportedOperationException(
+        s"MERGE is not supported on a table with identity column '$idc'; " +
+          "use append/replaceWhere (ids are assigned) or model the key " +
+          "on a non-identity column"))
     // typo'd clause assignment keys fail loudly, like UPDATE's
     val matched = matched0.map {
       case MatchedUpdate(c, Some(m)) =>
@@ -1689,6 +1763,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       val c = readCommit(v)
       val prev = if (v == 0) Set.empty[String]
         else readCommit(v - 1).files.toSet
+      // maintenance commits (OPTIMIZE/compaction/clustering/purge)
+      // change no LOGICAL content — their output files hold rows the
+      // stream already emitted, so SKIP them entirely (Delta's
+      // dataChange=false semantics); without this, enabling
+      // auto-compaction would terminally poison every running stream
+      val noLogicalChange =
+        Set("COMPACT", "CLUSTER", "ZORDER", "PURGE")(c.operation)
+      if (noLogicalChange) Nil
+      else {
       val removed = prev -- c.files.toSet
       if (removed.nonEmpty)
         throw new UnsupportedOperationException(
@@ -1709,6 +1792,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           s"streaming read crossed commit v$v with active column mapping " +
             "(RENAME/DROP COLUMN); raw file replay cannot translate names")
       c.files.filterNot(prev)
+      }
     }
     GraftTable.VersionBatch(added.map(abs), endSchema)
   }
@@ -1764,18 +1848,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else readFilesDvAware(files, schema, dv, cmV)
-    def dvPairs(dv: Seq[String]): DataFrame =
-      if (dv.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            org.apache.spark.sql.types.StructField("__fp",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("__pos",
-              org.apache.spark.sql.types.LongType))))
-      else spark.read.parquet(dv.map(abs): _*)
-        .select(col("file_path").as("__fp"), col("pos").as("__pos"))
-        .dropDuplicates("__fp", "__pos")
+    def dvPairs(dv: Seq[String]): DataFrame = dvPairFrame(dv)
     // commits older than a later ADD-COLUMN evolution lack the new
     // columns — pad them with typed nulls so the outSchema select
     // resolves (the "older files surface nulls" contract holds across

@@ -79,6 +79,31 @@ class GeneratedColumnsSpec extends SparkSpec {
       === 21L)
   }
 
+  test("identity semantics hold on every write path, not just append") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq(1.0, 2.0).toDF("x"), identity = Some("row_id"))
+    // overwrite/replaceWhere assign ids when absent and refuse them
+    // when supplied; the high water keeps advancing
+    t.overwrite(Seq(10.0, 11.0).toDF("x"))
+    assert(t.snapshot().select("row_id").as[Long].collect().sorted
+      === Array(2L, 3L))
+    intercept[IllegalArgumentException] {
+      t.overwrite(Seq((9.0, 99L)).toDF("x", "row_id"))
+    }
+    t.replaceWhere($"x" === 10.0, Seq(10.0).toDF("x"))
+    val ids = t.snapshot().select("row_id").as[Long].collect()
+    assert(ids.distinct.length === ids.length, s"duplicate ids: ${ids.toSeq}")
+    assert(t.identityHighWater === ids.max)
+    // UPDATE cannot assign the identity column
+    intercept[IllegalArgumentException] {
+      t.update($"x" === 11.0, Map("row_id" -> lit(0L)))
+    }
+    // MERGE on identity tables is refused outright
+    intercept[UnsupportedOperationException] {
+      t.merge(Seq((1L, 5.0)).toDF("row_id", "x"), "row_id")
+    }
+  }
+
   test("shallow clone carries generation spec and identity high water") {
     val src = tmp()
     val t = GraftTable.create(spark, src,

@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
 class GraftSqlSpec extends SparkSpec {
   import spark.implicits._
 
+  private def readOp(t: GraftTable, v: Long): String =
+    t.history().where($"version" === v).collect()(0)
+      .getAs[String]("operation")
+
   private def registered(name: String): (GraftTable, String) = {
     val dir = Files.createTempDirectory("graft_sql_").resolve("t").toString
     val t = GraftTable.create(spark, dir,
@@ -255,17 +259,27 @@ class GraftSqlSpec extends SparkSpec {
     t.setProperties(Map("graft.autoCompact.minFiles" -> "4",
       "graft.vacuum.retainVersions" -> "3"))
     // small appends accumulate files until the threshold trips a
-    // follow-on COMPACT commit automatically
-    (2 to 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    // follow-on COMPACT commit automatically — and each write still
+    // returns ITS OWN commit version, not the maintenance commit's
+    (2 to 6).foreach { i =>
+      val v = t.append(Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      assert(readOp(t, v) === "APPEND",
+        s"append returned the $v=${readOp(t, v)} commit, not its own")
+    }
     assert(t.history().where($"operation" === "COMPACT").count() >= 1,
       "auto-compaction should have fired")
     val d = t.detail().collect()(0)
     assert(d.getAs[Long]("num_files") < 5)
     assert(t.snapshot().count() === 6) // data intact
+    // a malformed property must NEVER fail the data write
+    t.setProperties(Map("graft.autoCompact.minFiles" -> "oops"))
+    t.append(Seq((7L, "v7")).toDF("id", "v"))
+    assert(t.snapshot().count() === 7)
+    t.setProperties(Map("graft.autoCompact.minFiles" -> "4"))
     // vacuum() with no args honors the property (retain 3 versions,
     // so a 4-versions-ago file set is reclaimable without error)
     t.vacuum()
-    assert(t.snapshot().count() === 6)
+    assert(t.snapshot().count() === 7)
   }
 
   test("TIMESTAMP AS OF resolves to the latest commit at or before it") {

@@ -338,6 +338,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("gt_sv").as[Long].collect().toSet === Set(6L, 7L))
   }
 
+  test("streaming skips maintenance commits instead of dying") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_mnt_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 4).select($"id".as("value")))
+    val ckpt = Files.createTempDirectory("graft_mnt_ckpt_").toString
+    val outDir = Files.createTempDirectory("graft_mnt_sink_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", root).load()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // OPTIMIZE between batches: no logical change — the stream must
+    // SKIP the commit (Delta dataChange=false), not throw, and must
+    // not re-emit the compacted rows
+    t.compact(1)
+    t.append(spark.range(4, 6).select($"id".as("value")))
+    drain()
+    val out = spark.read.parquet(outDir).as[Long].collect()
+    assert(out.sorted === (0L until 6L).toArray, s"got ${out.sorted.toSeq}")
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch's catch-up") {
     import graft.tables.GraftTable
     val root = Files.createTempDirectory("graft_mvpt_").resolve("t").toString
