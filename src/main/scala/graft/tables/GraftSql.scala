@@ -238,7 +238,8 @@ object GraftSql {
         StructField("num_constraints", LongType, nullable = false),
         StructField("properties", StringType),
         StructField("has_deletion_vectors", BooleanType, nullable = false),
-        StructField("has_column_mapping", BooleanType, nullable = false))))
+        StructField("has_column_mapping", BooleanType, nullable = false),
+        StructField("num_rows", LongType))))
       case ShowTblPropsSql(_) => Some(StructType(Seq(
         StructField("key", StringType),
         StructField("value", StringType))))

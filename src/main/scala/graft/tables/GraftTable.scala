@@ -451,11 +451,30 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         }
         val sm = (smins -- sInvalid).toMap
         val sx = (smaxs -- sInvalid).toMap
+        // the footer's exact row count rides along for free — it
+        // powers metadata-only COUNT(*) (rowCount)
+        val nRows = footer.getBlocks.asScala.map(_.getRowCount).sum
         rel -> FileStats(mins.toMap, maxs.toMap,
           if (sm.isEmpty) None else Some(sm),
-          if (sx.isEmpty) None else Some(sx))
+          if (sx.isEmpty) None else Some(sx),
+          Some(nRows))
       } finally reader.close()
     }.head
+  }
+
+  /** EXACT row count from commit-log metadata alone — zero scan, the
+    * Delta "SELECT COUNT(*) from stats" fast path. None when any
+    * current file predates row-count stats (older logs, CONVERT
+    * adoptions) or when deletion vectors are active (tombstones
+    * would need their own exact accounting).
+    */
+  def rowCount: Option[Long] = {
+    if (latestVersion < 0) return Some(0L)
+    val c = readCommit(latestVersion)
+    if (c.dv.exists(_.nonEmpty)) return None
+    val stats = c.stats.getOrElse(Map.empty)
+    val counts = c.files.map(f => stats.get(f).flatMap(_.rows))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
   /** Commit against an explicit BASE version: the new commit claims
@@ -791,10 +810,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       partitionColumns.mkString(","),
       constraints.size.toLong,
       properties.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
-      hasDvs(latestVersion), hasColumnMapping(latestVersion)))
+      hasDvs(latestVersion), hasColumnMapping(latestVersion),
+      rowCount.map(java.lang.Long.valueOf).orNull))
       .toDF("format", "location", "version", "num_files", "size_bytes",
         "partition_columns", "num_constraints", "properties",
-        "has_deletion_vectors", "has_column_mapping")
+        "has_deletion_vectors", "has_column_mapping", "num_rows")
   }
 
   /** Enforce all stored constraints against a batch about to land,
@@ -2005,7 +2025,8 @@ object GraftTable {
   private[graft] case class FileStats(mins: Map[String, Double],
       maxs: Map[String, Double],
       smins: Option[Map[String, String]] = None,
-      smaxs: Option[Map[String, String]] = None)
+      smaxs: Option[Map[String, String]] = None,
+      rows: Option[Long] = None)
 
   /** A resolved version snapshot for scan planning: absolute file
     * paths, their commit-log stats, and the schema to read with.

@@ -104,6 +104,31 @@ class GeneratedColumnsSpec extends SparkSpec {
     }
   }
 
+  test("racing identity appends never commit duplicate ids") {
+    val path = tmp()
+    GraftTable.create(spark, path, Seq(0.0).toDF("x"),
+      identity = Some("row_id"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // racing writers may conflict (identity appends FAIL FAST on a
+    // high-water advance instead of blind-retrying into collisions);
+    // what must NEVER happen is two committed rows sharing an id
+    val results = Await.result(Future.sequence((1 to 6).map { i =>
+      Future {
+        val handle = GraftTable.load(spark, path)
+        try { handle.append(Seq(i.toDouble).toDF("x")); 1 }
+        catch { case _: graft.tables.CommitConflictException => 0 }
+      }
+    }), 180.seconds).toList
+    val t = GraftTable.load(spark, path)
+    val ids = t.snapshot().select("row_id").as[Long].collect()
+    assert(ids.distinct.length === ids.length,
+      s"duplicate identity ids committed: ${ids.sorted.toSeq}")
+    assert(t.snapshot().count() === 1 + results.sum)
+    assert(t.identityHighWater === ids.max)
+  }
+
   test("shallow clone carries generation spec and identity high water") {
     val src = tmp()
     val t = GraftTable.create(spark, src,

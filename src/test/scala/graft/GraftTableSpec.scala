@@ -118,6 +118,23 @@ class GraftTableSpec extends SparkSpec {
     assert(t.latestVersion === succeeded.toLong)
   }
 
+  test("rowCount answers COUNT(*) from metadata alone") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x").repartition(4))
+    assert(t.rowCount === Some(100L))
+    t.append(Seq((101L, 1.0)).toDF("id", "x"))
+    assert(t.rowCount === Some(101L))
+    t.delete($"id" <= 10)
+    assert(t.rowCount === Some(91L))
+    assert(t.rowCount === Some(t.snapshot().count()))
+    // active deletion vectors disable the metadata fast path
+    t.deleteMor($"id" === 50)
+    assert(t.rowCount === None)
+    t.purgeDvs()
+    assert(t.rowCount === Some(90L))
+    assert(t.detail().collect()(0).getAs[java.lang.Long]("num_rows") === 90L)
+  }
+
   test("CHECK constraints validate existing data and reject bad writes") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
