@@ -102,14 +102,24 @@ object TableOps {
     * (O(files) metadata, no scan), which is what keeps a daily
     * re-load of one partition into a 100 TB table a small commit.
     */
+  // partitioned scratch template, cloned per scenario like scratch()
+  private val partTemplates =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def partitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_tblpo_").resolve("t")
-    val orders = Tables.load(spark, sfDir, "orders")
-    val t = GraftTable.create(spark, dir.toString,
-      orders.repartition(4, col("o_orderkey")),
-      partitionBy = Seq("o_orderstatus"))
+    val template = partTemplates.computeIfAbsent(sfDir, { _ =>
+      val dir = Files.createTempDirectory("graft_tblpo_tpl_").resolve("t")
+      GraftTable.create(spark, dir.toString,
+        Tables.load(spark, sfDir, "orders").repartition(4, col("o_orderkey")),
+        partitionBy = Seq("o_orderstatus"))
+      dir
+    })
+    val clone = Files.createTempDirectory("graft_tblpo_").resolve("t")
+    copyTree(template, clone)
+    val t = GraftTable.load(spark, clone.toString)
     t.overwritePartitions(
-      orders.where(col("o_orderstatus") === "P")
+      Tables.load(spark, sfDir, "orders")
+        .where(col("o_orderstatus") === "P")
         .withColumn("o_totalprice", lit(0.0)))
     t.snapshot()
   }
