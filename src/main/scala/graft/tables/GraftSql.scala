@@ -66,6 +66,10 @@ object GraftSql {
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+([\w.`]+)\s*""".r
   private val DescribeDetail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*""".r
+  private val ShowPartitionsSql =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*""".r
+  private val FsckTable =
+    """(?is)\s*FSCK\s+TABLE\s+([\w.`]+)\s*""".r
   // CTAS with a physical layout (v1 CreatableRelationProvider cannot
   // receive partitioning/bucketing, so these dispatch on shape)
   private val CreatePartitionedCtas =
@@ -158,6 +162,11 @@ object GraftSql {
         .toDF("key", "value")
     case DescribeDetail(ident) =>
       tableByName(spark, ident).detail()
+    case ShowPartitionsSql(ident)
+        if tryTable(spark, ident).exists(_.partitionColumns.nonEmpty) =>
+      tableByName(spark, ident).partitionsInfo()
+    case FsckTable(ident) =>
+      tableByName(spark, ident).fsck()
     case CreatePartitionedCtas(ident, cols, location, query) =>
       GraftTable.create(spark, location, spark.sql(query),
         partitionBy = splitIdents(cols))
@@ -192,9 +201,15 @@ object GraftSql {
          AddConstraintSql(_, _, _) | DropConstraintSql(_, _) |
          SetTblPropsSql(_, _) | ShowTblPropsSql(_) |
          DescribeDetail(_) | CreatePartitionedCtas(_, _, _, _) |
-         CreateBucketedCtas(_, _, _, _, _) => true
+         CreateBucketedCtas(_, _, _, _, _) |
+         ShowPartitionsSql(_) | FsckTable(_) => true
     case _ => false
   }
+
+  /** Best-effort table resolution (None = not a graft table). */
+  private def tryTable(spark: SparkSession,
+      ident: String): Option[GraftTable] =
+    try Some(tableByName(spark, ident)) catch { case _: Exception => None }
 
   /** Timestamp string → epoch millis through Catalyst's own Cast in
     * the SESSION time zone — the SAME conversion `SELECT ...
@@ -243,6 +258,13 @@ object GraftSql {
       case ShowTblPropsSql(_) => Some(StructType(Seq(
         StructField("key", StringType),
         StructField("value", StringType))))
+      case ShowPartitionsSql(_) => Some(StructType(Seq(
+        StructField("partition", StringType),
+        StructField("num_files", LongType, nullable = false),
+        StructField("num_rows", LongType))))
+      case FsckTable(_) => Some(StructType(Seq(
+        StructField("issue", StringType),
+        StructField("path", StringType))))
       case _ => None
     }
   }
@@ -284,6 +306,8 @@ object GraftSql {
       case SetTblPropsSql(i, _) => Some(i)
       case ShowTblPropsSql(i) => Some(i)
       case DescribeDetail(i) => Some(i)
+      case ShowPartitionsSql(i) => Some(i)
+      case FsckTable(i) => Some(i)
       case _ => None
     }
     ident.exists(i =>

@@ -817,6 +817,47 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         "has_deletion_vectors", "has_column_mapping", "num_rows")
   }
 
+  /** SHOW PARTITIONS analog: one row per live partition tuple in
+    * Hive's `k=v/k2=v2` spelling, with file and (stats-derived) row
+    * counts — all O(files) commit-log metadata, zero scan.
+    */
+  def partitionsInfo(): DataFrame = {
+    import spark.implicits._
+    val c = readCommit(latestVersion)
+    val pcols = c.partitionBy.getOrElse(Nil)
+    require(pcols.nonEmpty, "not a partitioned table")
+    val pv = c.partValues.getOrElse(Map.empty)
+    val stats = c.stats.getOrElse(Map.empty)
+    c.files.groupBy(f => pcols.map(p =>
+        s"$p=${pv.get(f).flatMap(_.get(p)).getOrElse("?")}").mkString("/"))
+      .map { case (tuple, files) =>
+        val rows = files.map(f => stats.get(f).flatMap(_.rows))
+        (tuple, files.size.toLong,
+          if (rows.exists(_.isEmpty)) null
+          else java.lang.Long.valueOf(rows.flatten.sum))
+      }.toSeq.sortBy(_._1)
+      .toDF("partition", "num_files", "num_rows")
+  }
+
+  /** FSCK analog: reconcile the commit log against the filesystem.
+    * `missing` = a file the CURRENT version lists but the store has
+    * lost (data loss — scan would fail); `orphan` = a `files/` entry
+    * no retained commit references (reclaimable by VACUUM; harmless).
+    */
+  def fsck(retainVersions: Int = 2): DataFrame = {
+    import spark.implicits._
+    val missing = currentFiles.filterNot(f => Files.exists(root.resolve(f)))
+      .map(("missing", _))
+    val retained = listVersions().takeRight(retainVersions)
+    val live: Set[String] = retained.flatMap(v => readCommit(v).files).toSet
+    val orphans =
+      if (!Files.exists(filesDir)) Nil
+      else Files.list(filesDir).iterator().asScala
+        .map(p => s"files/${p.getFileName}").filterNot(live).toSeq
+        .map(("orphan", _))
+    (missing ++ orphans).toDF("issue", "path")
+  }
+
   /** Enforce all stored constraints against a batch about to land,
     * plus the implicit generation invariants: a supplied generated
     * column must null-safe-equal its declared expression (the same

@@ -176,6 +176,33 @@ class PartitionedTableSpec extends SparkSpec {
     assert(t.snapshot().where($"id" > 1000).count() === 30)
   }
 
+  test("SHOW PARTITIONS and FSCK TABLE reconcile from metadata") {
+    import graft.tables.GraftSql
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "k"),
+      partitionBy = Seq("k"))
+    spark.sql("DROP TABLE IF EXISTS gs_parts")
+    spark.sql(s"CREATE TABLE gs_parts USING `graft-table` OPTIONS (path '$dir')")
+    try {
+      val parts = GraftSql.sql(spark, "SHOW PARTITIONS gs_parts")
+        .as[(String, Long, java.lang.Long)].collect()
+        .map { case (p, f, r) => p -> ((f, r)) }.toMap
+      assert(parts.keySet === Set("k=A", "k=B"))
+      assert(parts("k=A")._2 === 2L)
+      assert(parts("k=B")._2 === 1L)
+      // clean table: fsck quiet
+      assert(GraftSql.sql(spark, "FSCK TABLE gs_parts").count() === 0)
+      // delete a data file behind the log's back: fsck reports it
+      val f = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir).resolve("files")).iterator().next()
+      java.nio.file.Files.delete(f)
+      val issues = GraftSql.sql(spark, "FSCK TABLE gs_parts")
+        .as[(String, String)].collect()
+      assert(issues.exists(_._1 === "missing"), issues.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_parts")
+  }
+
   test("null partition values round-trip and classify") {
     val df = Seq((1L, Some("A")), (2L, None), (3L, None))
       .toDF("id", "k")
