@@ -388,6 +388,29 @@ class StreamingSpec extends SparkSpec {
     assert(seen.count(_ > 0) >= 4, s"expected >=4 non-empty batches: $seen")
   }
 
+  test("maxVersionsPerTrigger paces the CDC stream too") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_cdcmv_").resolve("t").toString
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    t.update($"id" === 1, Map("v" -> lit("a2")))   // v1
+    t.append(Seq((2L, "b")).toDF("id", "v"))       // v2
+    t.delete($"id" === 2)                          // v3
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("mode", "cdc").option("maxVersionsPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet
+        batches.synchronized { batches += vs }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    // each micro-batch covers at most ONE commit's changes
+    assert(batches.forall(_.size <= 1), s"got $batches")
+    assert(batches.flatten.toSet === Set(0L, 1L, 2L, 3L), s"got $batches")
+  }
+
   test("late in-session events never move the streaming session end backward") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
