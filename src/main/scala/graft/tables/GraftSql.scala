@@ -162,9 +162,14 @@ object GraftSql {
         .toDF("key", "value")
     case DescribeDetail(ident) =>
       tableByName(spark, ident).detail()
-    case ShowPartitionsSql(ident)
-        if tryTable(spark, ident).exists(_.partitionColumns.nonEmpty) =>
-      tableByName(spark, ident).partitionsInfo()
+    case ShowPartitionsSql(ident) =>
+      tryTable(spark, ident) match {
+        // a graft table answers from commit metadata — including the
+        // clean "not a partitioned table" error (falling through to
+        // spark.sql would re-enter the injected parser and loop)
+        case Some(t) => t.partitionsInfo()
+        case None => sqlParsed(spark, text) // non-graft: Spark's own
+      }
     case FsckTable(ident) =>
       tableByName(spark, ident).fsck()
     case CreatePartitionedCtas(ident, cols, location, query) =>

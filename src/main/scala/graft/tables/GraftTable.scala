@@ -828,33 +828,55 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     require(pcols.nonEmpty, "not a partitioned table")
     val pv = c.partValues.getOrElse(Map.empty)
     val stats = c.stats.getOrElse(Map.empty)
+    // active DVs make per-file footer counts overcount (tombstones
+    // rewrite nothing) — report null rather than phantom rows, the
+    // same honesty rule as rowCount
+    val dvActive = c.dv.exists(_.nonEmpty)
     c.files.groupBy(f => pcols.map(p =>
         s"$p=${pv.get(f).flatMap(_.get(p)).getOrElse("?")}").mkString("/"))
       .map { case (tuple, files) =>
         val rows = files.map(f => stats.get(f).flatMap(_.rows))
         (tuple, files.size.toLong,
-          if (rows.exists(_.isEmpty)) null
+          if (dvActive || rows.exists(_.isEmpty)) null
           else java.lang.Long.valueOf(rows.flatten.sum))
       }.toSeq.sortBy(_._1)
       .toDF("partition", "num_files", "num_rows")
   }
 
   /** FSCK analog: reconcile the commit log against the filesystem.
-    * `missing` = a file the CURRENT version lists but the store has
-    * lost (data loss — scan would fail); `orphan` = a `files/` entry
-    * no retained commit references (reclaimable by VACUUM; harmless).
+    * `missing` = a file a read within the retention window depends on
+    * (the current version's data + deletion vectors, plus retained
+    * commits' change files) that the store has lost; `orphan` = a
+    * files/dv/cdc entry no retained commit references (reclaimable by
+    * VACUUM; harmless). Retention defaults from the SAME property
+    * vacuum uses, so "orphan" never names a file vacuum would keep.
     */
-  def fsck(retainVersions: Int = 2): DataFrame = {
+  def fsck(): DataFrame = fsck(
+    properties.get("graft.vacuum.retainVersions").map(_.toInt).getOrElse(2))
+
+  def fsck(retainVersions: Int): DataFrame = {
     import spark.implicits._
-    val missing = currentFiles.filterNot(f => Files.exists(root.resolve(f)))
-      .map(("missing", _))
+    val c = readCommit(latestVersion)
     val retained = listVersions().takeRight(retainVersions)
-    val live: Set[String] = retained.flatMap(v => readCommit(v).files).toSet
-    val orphans =
-      if (!Files.exists(filesDir)) Nil
-      else Files.list(filesDir).iterator().asScala
-        .map(p => s"files/${p.getFileName}").filterNot(live).toSeq
-        .map(("orphan", _))
+    val needed = (c.files ++ c.dv.getOrElse(Nil) ++
+      retained.flatMap(v => readCommit(v).cdc.getOrElse(Nil))).distinct
+    val missing = needed.filterNot(f => Files.exists(root.resolve(f)))
+      .map(("missing", _))
+    val live: Set[String] = retained.flatMap { v =>
+      val cc = readCommit(v)
+      cc.files ++ cc.dv.getOrElse(Nil) ++ cc.cdc.getOrElse(Nil)
+    }.toSet
+    def listDir(dir: String): Seq[String] = {
+      val p = root.resolve(dir)
+      if (!Files.exists(p)) Nil
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.map(x => s"$dir/${x.getFileName}").toList
+        finally s.close()
+      }
+    }
+    val orphans = (listDir("files") ++ listDir("dv") ++ listDir("cdc"))
+      .filterNot(live).map(("orphan", _))
     (missing ++ orphans).toDF("issue", "path")
   }
 

@@ -203,6 +203,34 @@ class PartitionedTableSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_parts")
   }
 
+  test("SHOW PARTITIONS on an unpartitioned table errors cleanly") {
+    import graft.tables.GraftSql
+    val dir = tmp()
+    GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "k"))
+    spark.sql("DROP TABLE IF EXISTS gs_unpart")
+    spark.sql(s"CREATE TABLE gs_unpart USING `graft-table` OPTIONS (path '$dir')")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "SHOW PARTITIONS gs_unpart")
+      }
+      assert(e.getMessage.contains("not a partitioned table"))
+    } finally spark.sql("DROP TABLE IF EXISTS gs_unpart")
+  }
+
+  test("partition row counts decline under active deletion vectors") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "k"),
+      partitionBy = Seq("k"))
+    assert(t.partitionsInfo().where($"partition" === "k=A")
+      .collect()(0).getAs[java.lang.Long]("num_rows") === 2L)
+    t.deleteMor($"id" === 1)
+    // stats would claim 2 rows in k=A; honesty over phantom counts
+    assert(t.partitionsInfo().collect().forall(_.get(2) == null))
+    t.purgeDvs()
+    assert(t.partitionsInfo().where($"partition" === "k=A")
+      .collect()(0).getAs[java.lang.Long]("num_rows") === 1L)
+  }
+
   test("null partition values round-trip and classify") {
     val df = Seq((1L, Some("A")), (2L, None), (3L, None))
       .toDF("id", "k")
