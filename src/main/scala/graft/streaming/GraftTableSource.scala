@@ -51,9 +51,14 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val exists =
       try { GraftTable.load(spark, local); true }
       catch { case _: IllegalArgumentException => false }
+    // Delta's mergeSchema option: an Append carrying new columns
+    // evolves the schema additively instead of failing enforcement
+    val mergeSchema = parameters.get("mergeSchema")
+      .exists(_.equalsIgnoreCase("true"))
     (exists, mode) match {
       case (false, _) => GraftTable.create(spark, local, data)
-      case (true, SaveMode.Append) => GraftTable.load(spark, local).append(data)
+      case (true, SaveMode.Append) =>
+        GraftTable.load(spark, local).append(data, evolve = mergeSchema)
       case (true, SaveMode.Overwrite) => GraftTable.load(spark, local).overwrite(data)
       case (true, SaveMode.Ignore) => ()
       case (true, SaveMode.ErrorIfExists) =>

@@ -177,6 +177,23 @@ class Dsv2Spec extends SparkSpec {
     }
   }
 
+  test("mergeSchema option evolves the schema on append") {
+    val dir = Files.createTempDirectory("graft_dsv2m_").resolve("t").toString
+    spark.range(1, 3).select($"id").write.format("graft-table").save(dir)
+    // new column without the option: schema enforcement rejects
+    intercept[IllegalArgumentException] {
+      spark.range(3, 5).select($"id", lit("x").as("tag"))
+        .write.format("graft-table").mode("append").save(dir)
+    }
+    spark.range(3, 5).select($"id", lit("x").as("tag"))
+      .write.format("graft-table").mode("append")
+      .option("mergeSchema", "true").save(dir)
+    val t = GraftTable.load(spark, dir)
+    assert(t.snapshot().columns.toSeq === Seq("id", "tag"))
+    assert(t.snapshot().where($"tag".isNull).count() === 2)
+    assert(t.snapshot().where($"tag" === "x").count() === 2)
+  }
+
   test("writeStream.format(graft-table) sinks exactly once per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
