@@ -59,7 +59,22 @@ class GraftTableSourceProvider extends StreamSourceProvider
       case (false, _) => GraftTable.create(spark, local, data)
       case (true, SaveMode.Append) =>
         GraftTable.load(spark, local).append(data, evolve = mergeSchema)
-      case (true, SaveMode.Overwrite) => GraftTable.load(spark, local).overwrite(data)
+      case (true, SaveMode.Overwrite) =>
+        val t = GraftTable.load(spark, local)
+        // Delta's guard: replacing the SCHEMA (not just the data)
+        // needs explicit opt-in, or a mis-shaped frame silently
+        // becomes the new contract for every downstream reader
+        val overwriteSchema = parameters.get("overwriteSchema")
+          .exists(_.equalsIgnoreCase("true"))
+        val cur = t.snapshot().schema
+        if (!overwriteSchema &&
+            cur.fields.map(f => (f.name, f.dataType)).toSeq !=
+              data.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+          throw new IllegalArgumentException(
+            s"overwrite changes the schema from ${cur.simpleString} to " +
+              s"${data.schema.simpleString}; pass option " +
+              "overwriteSchema=true to allow it")
+        t.overwrite(data)
       case (true, SaveMode.Ignore) => ()
       case (true, SaveMode.ErrorIfExists) =>
         throw new IllegalArgumentException(s"graft table already exists at $local")

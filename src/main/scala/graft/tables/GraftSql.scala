@@ -44,6 +44,8 @@ object GraftSql {
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*""".r
+  private val ShallowCloneVersion =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s+LOCATION\s+'([^']+)'\s*""".r
   // Delta's guarded selective overwrite (`INSERT INTO t REPLACE WHERE
   // cond SELECT ...`): delete the cond slice, insert the query's rows
   // (each validated against cond), one atomic commit
@@ -102,6 +104,12 @@ object GraftSql {
       val t = tableByName(spark, ident)
       t.restore(t.versionAtTimestamp(parseSqlTimestamp(spark, ts)))
       refreshName(spark, ident)
+      emptyResult(spark)
+    case ShallowCloneVersion(newIdent, srcIdent, v, location) =>
+      val src = tableByName(spark, srcIdent)
+      GraftTable.shallowClone(spark, src.root.toString, location, v.toLong)
+      spark.sql(s"CREATE TABLE $newIdent USING `graft-table` " +
+        s"OPTIONS (path '$location')")
       emptyResult(spark)
     case ShallowClone(newIdent, srcIdent, location) =>
       // zero-copy writable fork + catalog registration in one step
@@ -201,6 +209,7 @@ object GraftSql {
     case DescribeHistory(_) | OptimizeZorder(_, _) | Optimize(_) |
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
          RestoreTimestamp(_, _) | ShallowClone(_, _, _) |
+         ShallowCloneVersion(_, _, _, _) |
          InsertReplaceWhere(_, _, _) |
          RenameColumnSql(_, _, _) | DropColumnSql(_, _) |
          AddConstraintSql(_, _, _) | DropConstraintSql(_, _) |
@@ -303,6 +312,7 @@ object GraftSql {
       case RestoreVersion(i, _) => Some(i)
       case RestoreTimestamp(i, _) => Some(i)
       case ShallowClone(_, srcIdent, _) => Some(srcIdent)
+      case ShallowCloneVersion(_, srcIdent, _, _) => Some(srcIdent)
       case InsertReplaceWhere(i, _, _) => Some(i)
       case RenameColumnSql(i, _, _) => Some(i)
       case DropColumnSql(i, _) => Some(i)

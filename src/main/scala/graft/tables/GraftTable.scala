@@ -2222,9 +2222,18 @@ object GraftTable {
     * is the operator's contract.
     */
   def shallowClone(spark: SparkSession, srcPath: String,
-      dstPath: String): GraftTable = {
+      dstPath: String): GraftTable =
+    shallowClone(spark, srcPath, dstPath, -1L)
+
+  /** Shallow clone AT A VERSION (Delta `CLONE ... VERSION AS OF`):
+    * the fork starts from the source's historical state — zero-copy
+    * dev/test against yesterday's data. `version = -1` means HEAD.
+    */
+  def shallowClone(spark: SparkSession, srcPath: String,
+      dstPath: String, version: Long): GraftTable = {
     val src = load(spark, srcPath)
-    val c = src.readCommit(src.latestVersion)
+    val v = if (version < 0) src.latestVersion else version
+    val c = src.readCommit(v)
     val t = new GraftTable(spark, Paths.get(dstPath))
     require(!Files.exists(t.logDir), s"table already exists at $dstPath")
     Files.createDirectories(t.logDir)
@@ -2237,9 +2246,14 @@ object GraftTable {
     t.commit("CLONE", -1L, absFiles,
       org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
         .asInstanceOf[StructType],
-      Map("sourceVersion" -> src.latestVersion) ++
+      Map("sourceVersion" -> v) ++
+        // a versioned clone's identity high water is AS OF v, not
+        // HEAD — later source appends' ids belong to the source
         (if (c.identityCol.isDefined)
-          Map(src.identityKey -> src.identityHighWater) else Map.empty),
+          Map(src.identityKey -> src.listVersions().filter(_ <= v)
+            .flatMap(vv => src.readCommit(vv).metrics.get(src.identityKey))
+            .maxOption.getOrElse(-1L))
+        else Map.empty),
       absStats,
       c.constraints.getOrElse(Map.empty),
       // DV tombstones key on the source's absolute file paths — which

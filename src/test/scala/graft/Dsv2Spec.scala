@@ -177,6 +177,21 @@ class Dsv2Spec extends SparkSpec {
     }
   }
 
+  test("overwrite with a different schema needs overwriteSchema=true") {
+    val dir = Files.createTempDirectory("graft_dsv2o_").resolve("t").toString
+    spark.range(1, 3).select($"id", ($"id" * 2).as("v"))
+      .write.format("graft-table").save(dir)
+    intercept[IllegalArgumentException] {
+      spark.range(1, 3).select($"id", lit("s").as("tag"))
+        .write.format("graft-table").mode("overwrite").save(dir)
+    }
+    spark.range(1, 3).select($"id", lit("s").as("tag"))
+      .write.format("graft-table").mode("overwrite")
+      .option("overwriteSchema", "true").save(dir)
+    assert(GraftTable.load(spark, dir).snapshot().columns.toSeq
+      === Seq("id", "tag"))
+  }
+
   test("mergeSchema option evolves the schema on append") {
     val dir = Files.createTempDirectory("graft_dsv2m_").resolve("t").toString
     spark.range(1, 3).select($"id").write.format("graft-table").save(dir)

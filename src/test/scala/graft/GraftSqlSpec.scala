@@ -216,6 +216,25 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("SHALLOW CLONE VERSION AS OF forks a historical state") {
+    val (t, _) = registered("gs_clv_src")
+    val dst = Files.createTempDirectory("graft_clv_").resolve("c").toString
+    spark.sql("DROP TABLE IF EXISTS gs_clv_dst")
+    try {
+      val v0Count = t.snapshot().count()
+      t.delete($"o_orderstatus" === "P") // v1
+      GraftSql.sql(spark,
+        s"CREATE TABLE gs_clv_dst SHALLOW CLONE gs_clv_src " +
+          s"VERSION AS OF 0 LOCATION '$dst'")
+      // the clone sees the PRE-delete state
+      assert(spark.table("gs_clv_dst").count() === v0Count)
+      assert(t.snapshot().count() < v0Count)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_clv_dst")
+      spark.sql("DROP TABLE IF EXISTS gs_clv_src")
+    }
+  }
+
   test("non-DML statements pass through to spark.sql") {
     val df = GraftSql.sql(spark, "SELECT 1 AS one")
     assert(df.head.getInt(0) === 1)
