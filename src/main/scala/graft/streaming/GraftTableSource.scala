@@ -51,7 +51,7 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val exists =
       try { GraftTable.load(spark, local); true }
       catch { case _: IllegalArgumentException => false }
-    // Delta's mergeSchema option: an Append carrying new columns
+    // Delta's mergeSchema option: a write carrying new columns
     // evolves the schema additively instead of failing enforcement
     val mergeSchema = parameters.get("mergeSchema")
       .exists(_.equalsIgnoreCase("true"))
@@ -61,20 +61,40 @@ class GraftTableSourceProvider extends StreamSourceProvider
         GraftTable.load(spark, local).append(data, evolve = mergeSchema)
       case (true, SaveMode.Overwrite) =>
         val t = GraftTable.load(spark, local)
-        // Delta's guard: replacing the SCHEMA (not just the data)
-        // needs explicit opt-in, or a mis-shaped frame silently
-        // becomes the new contract for every downstream reader
         val overwriteSchema = parameters.get("overwriteSchema")
           .exists(_.equalsIgnoreCase("true"))
         val cur = t.snapshot().schema
-        if (!overwriteSchema &&
-            cur.fields.map(f => (f.name, f.dataType)).toSeq !=
-              data.schema.fields.map(f => (f.name, f.dataType)).toSeq)
-          throw new IllegalArgumentException(
-            s"overwrite changes the schema from ${cur.simpleString} to " +
-              s"${data.schema.simpleString}; pass option " +
-              "overwriteSchema=true to allow it")
-        t.overwrite(data)
+        // the WRITER-facing schema excludes the identity column
+        // (GENERATED ALWAYS — supplying it is refused) and generated
+        // columns the frame omits (computed at write); comparison is
+        // case- and order-insensitive, matching Spark's resolution
+        def norm(fs: Seq[org.apache.spark.sql.types.StructField]) =
+          fs.map(f => (f.name.toLowerCase, f.dataType)).toSet
+        val writerVisible = cur.fields.toSeq.filterNot(f =>
+          t.identityColumn.exists(_.equalsIgnoreCase(f.name)) ||
+            (t.generatedColumns.keys.exists(_.equalsIgnoreCase(f.name)) &&
+              !data.schema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+        if (mergeSchema) {
+          // Delta's overwrite+mergeSchema: UNION of old and new —
+          // pad the frame with typed nulls for old-only columns and
+          // let overwrite commit the merged shape
+          val dataNames = data.schema.fieldNames.map(_.toLowerCase).toSet
+          val padded = writerVisible
+            .filterNot(f => dataNames.contains(f.name.toLowerCase))
+            .foldLeft(data)((d, f) => d.withColumn(f.name,
+              org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+          t.overwrite(padded)
+        } else {
+          // Delta's guard: REPLACING the schema (not just the data)
+          // needs explicit opt-in, or a mis-shaped frame silently
+          // becomes the contract for every downstream reader
+          if (!overwriteSchema && norm(writerVisible) != norm(data.schema.fields))
+            throw new IllegalArgumentException(
+              s"overwrite changes the schema from ${cur.simpleString} to " +
+                s"${data.schema.simpleString}; pass option " +
+                "overwriteSchema=true (replace) or mergeSchema=true (union)")
+          t.overwrite(data)
+        }
       case (true, SaveMode.Ignore) => ()
       case (true, SaveMode.ErrorIfExists) =>
         throw new IllegalArgumentException(s"graft table already exists at $local")

@@ -851,21 +851,28 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * VACUUM; harmless). Retention defaults from the SAME property
     * vacuum uses, so "orphan" never names a file vacuum would keep.
     */
-  def fsck(): DataFrame = fsck(
-    properties.get("graft.vacuum.retainVersions").map(_.toInt).getOrElse(2))
+  /** Retention policy from TBLPROPERTIES — the ONE resolution vacuum
+    * and fsck share, so "orphan" can never disagree with what vacuum
+    * would reclaim.
+    */
+  private def retentionFromProps: Int =
+    properties.get("graft.vacuum.retainVersions").map(_.toInt).getOrElse(2)
+
+  def fsck(): DataFrame = fsck(retentionFromProps)
 
   def fsck(retainVersions: Int): DataFrame = {
     import spark.implicits._
-    val c = readCommit(latestVersion)
     val retained = listVersions().takeRight(retainVersions)
-    val needed = (c.files ++ c.dv.getOrElse(Nil) ++
-      retained.flatMap(v => readCommit(v).cdc.getOrElse(Nil))).distinct
-    val missing = needed.filterNot(f => Files.exists(root.resolve(f)))
-      .map(("missing", _))
+    // EVERYTHING a read within the retention window depends on —
+    // historical versions' data/DV files included (time travel to a
+    // retained version must work, so their loss IS data loss)
     val live: Set[String] = retained.flatMap { v =>
       val cc = readCommit(v)
       cc.files ++ cc.dv.getOrElse(Nil) ++ cc.cdc.getOrElse(Nil)
     }.toSet
+    val missing = live.toSeq.sorted
+      .filterNot(f => Files.exists(root.resolve(f)))
+      .map(("missing", _))
     def listDir(dir: String): Seq[String] = {
       val p = root.resolve(dir)
       if (!Files.exists(p)) Nil
@@ -1787,8 +1794,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * TBLPROPERTIES (default 2) — the operator sets policy once on the
     * table instead of every call site.
     */
-  def vacuum(): Long = vacuum(
-    properties.get("graft.vacuum.retainVersions").map(_.toInt).getOrElse(2))
+  def vacuum(): Long = vacuum(retentionFromProps)
 
   def vacuum(retainVersions: Int): Long = {
     val versions = listVersions()
@@ -2234,6 +2240,12 @@ object GraftTable {
     val src = load(spark, srcPath)
     val v = if (version < 0) src.latestVersion else version
     val c = src.readCommit(v)
+    // fail FAST on a version whose files vacuum already reclaimed —
+    // otherwise the clone commits fine and breaks on first read
+    val gone = c.files.filterNot(f => Files.exists(src.root.resolve(f)))
+    require(gone.isEmpty,
+      s"cannot clone version $v: ${gone.size} data file(s) already " +
+        s"vacuumed (e.g. ${gone.take(2).mkString(", ")})")
     val t = new GraftTable(spark, Paths.get(dstPath))
     require(!Files.exists(t.logDir), s"table already exists at $dstPath")
     Files.createDirectories(t.logDir)

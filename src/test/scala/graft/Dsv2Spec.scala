@@ -192,6 +192,35 @@ class Dsv2Spec extends SparkSpec {
       === Seq("id", "tag"))
   }
 
+  test("overwrite guard ignores identity/generated columns and case") {
+    val dir = Files.createTempDirectory("graft_dsv2oi_").resolve("t").toString
+    GraftTable.create(spark, dir,
+      Seq((1.0, "a")).toDF("x", "v"),
+      generated = Map("x2" -> "x * 2"), identity = Some("row_id"))
+    // a legal overwrite frame omits the identity column and may omit
+    // generated ones; column order/case must not matter either
+    spark.createDataFrame(Seq(("b", 9.0))).toDF("V", "x")
+      .write.format("graft-table").mode("overwrite").save(dir)
+    val t = GraftTable.load(spark, dir)
+    assert(t.snapshot().count() === 1)
+    assert(t.snapshot().select("x2").as[Double].head() === 18.0)
+    assert(t.snapshot().select("row_id").as[Long].head() === 1L)
+  }
+
+  test("overwrite with mergeSchema unions old and new columns") {
+    val dir = Files.createTempDirectory("graft_dsv2om_").resolve("t").toString
+    spark.range(1, 3).select($"id", ($"id" * 2).as("v"))
+      .write.format("graft-table").save(dir)
+    spark.range(9, 10).select($"id", lit("s").as("tag"))
+      .write.format("graft-table").mode("overwrite")
+      .option("mergeSchema", "true").save(dir)
+    val t = GraftTable.load(spark, dir)
+    assert(t.snapshot().columns.toSet === Set("id", "tag", "v"))
+    val row = t.snapshot().select("id", "tag", "v")
+      .as[(Long, String, Option[Long])].head()
+    assert(row === ((9L, "s", None)))
+  }
+
   test("mergeSchema option evolves the schema on append") {
     val dir = Files.createTempDirectory("graft_dsv2m_").resolve("t").toString
     spark.range(1, 3).select($"id").write.format("graft-table").save(dir)

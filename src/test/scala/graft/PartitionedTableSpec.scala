@@ -203,6 +203,37 @@ class PartitionedTableSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_parts")
   }
 
+  test("fsck reports a lost HISTORICAL file the retention window needs") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "k"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "k")) // v1: v0's file now historical
+    // v0's file is retained (retainVersions=2) — losing it breaks
+    // VERSION AS OF 0, so fsck must say so even though HEAD is fine
+    import scala.jdk.CollectionConverters._
+    val v0File = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir).resolve("files")).iterator().asScala
+      .toSeq.sortBy(_.toFile.lastModified).head
+    java.nio.file.Files.delete(v0File)
+    val issues = t.fsck(2).as[(String, String)].collect()
+    assert(issues.exists(_._1 === "missing"), issues.toSeq)
+    // with retention 1 the historical file is out of scope → orphanable
+    assert(t.fsck(1).as[(String, String)].collect()
+      .forall(_._1 !== "missing"))
+  }
+
+  test("versioned shallow clone fails fast on vacuumed versions") {
+    val src = tmp()
+    val t = GraftTable.create(spark, src, Seq((1L, "a")).toDF("id", "k"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "k")) // v1
+    t.overwrite(Seq((3L, "c")).toDF("id", "k")) // v2
+    t.vacuum(1) // reclaim v0/v1 files
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.shallowClone(spark, src,
+        Files.createTempDirectory("graft_clv2_").resolve("c").toString, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("SHOW PARTITIONS on an unpartitioned table errors cleanly") {
     import graft.tables.GraftSql
     val dir = tmp()
