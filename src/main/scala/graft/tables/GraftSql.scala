@@ -199,10 +199,27 @@ object GraftSql {
     s.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
       .filter(_.nonEmpty)
 
-  /** `'k' = 'v', 'k2' = 'v2'` → map (TBLPROPERTIES list syntax). */
-  private def parsePropPairs(s: String): Map[String, String] =
-    """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
-      .map(m => m.group(1) -> m.group(2)).toMap
+  /** TBLPROPERTIES pair list → map. Keys/values may be single-quoted,
+    * double-quoted, or bare identifiers (`'k'='v'`, `k = 'v'`,
+    * `"k"="v"`). The WHOLE string must be consumed by the pair
+    * grammar (`\G` anchors each match at the previous end) — leftover
+    * tokens throw instead of silently committing a no-op property
+    * set the operator believes took effect.
+    */
+  private def parsePropPairs(s: String): Map[String, String] = {
+    val pair = ("""\G\s*(?:'([^']*)'|"([^"]*)"|([\w.-]+))\s*=""" +
+      """\s*(?:'([^']*)'|"([^"]*)"|([\w.+-]+))\s*(?:,|$)""").r
+    val ms = pair.findAllMatchIn(s).toList
+    val consumed = ms.lastOption.map(_.end).getOrElse(0)
+    if (ms.isEmpty || s.substring(consumed).trim.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot parse TBLPROPERTIES pairs at: '${s.substring(consumed).trim}'")
+    ms.map { m =>
+      def pick(i: Int, j: Int, k: Int) =
+        Option(m.group(i)).orElse(Option(m.group(j))).getOrElse(m.group(k))
+      pick(1, 2, 3) -> pick(4, 5, 6)
+    }.toMap
+  }
 
   /** Parser-injection hooks ([[graft.plans.GraftSqlParser]]). */
   private[graft] def isUtilityStatement(text: String): Boolean = text match {

@@ -803,7 +803,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def detail(): DataFrame = {
     import spark.implicits._
     val c = readCommit(latestVersion)
-    val bytes = c.files.map(f => Files.size(root.resolve(f))).sum
+    // tolerate missing files (a shallow clone whose source was
+    // vacuumed): DESCRIBE DETAIL is exactly the tool one reaches for
+    // BEFORE running FSCK on a damaged table, so it must not throw
+    val bytes = c.files.map { f =>
+      val p = root.resolve(f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
     Seq((
       "graft-table", root.toString, latestVersion,
       c.files.size.toLong, bytes,
@@ -911,6 +917,17 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** Column names a generation expression references — the dependency
+    * set that decides when an UPDATE must recompute the generated
+    * column. Conservative: unparseable text yields the empty set (the
+    * implicit generation check still guards correctness).
+    */
+  private def referencedColumns(exprSql: String): Seq[String] =
+    try spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** Write-time column semantics: compute ABSENT generated columns
     * from their declared expressions, and assign the identity column
     * (which must NOT be supplied — GENERATED ALWAYS). Identity ids
@@ -985,6 +1002,17 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   def versionAtTimestamp(tsMillis: Long): Long = {
     val vs = listVersions()
+    // a timestamp AFTER the latest commit is an error (Delta's
+    // temporally-unstable-input semantics): silently binding a typo'd
+    // future timestamp to HEAD would make RESTORE/read resolve to a
+    // state the user did not name
+    vs.lastOption.map(readCommit(_).timestampMs).foreach { lastTs =>
+      if (tsMillis > lastTs)
+        throw new IllegalArgumentException(
+          s"timestamp $tsMillis is after the latest commit " +
+            s"(${vs.last} at $lastTs); use VERSION AS OF ${vs.last} " +
+            "to read the current state")
+    }
     val hit = vs.reverse.find(v => readCommit(v).timestampMs <= tsMillis)
     hit.getOrElse(throw new IllegalArgumentException(
       s"no commit at or before timestamp $tsMillis " +
@@ -1045,6 +1073,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   }
 
   private def abs(rel: String): String = root.resolve(rel).toString
+
+  /** Map scan-hit file paths (absolute, possibly URI-form — the
+    * `_metadata.file_path` spelling) back to commit-relative names:
+    * both sides normalize to a plain local path once, then intersect
+    * as a Set — O(candidates + hits). The suffix-scan alternative is
+    * O(candidates × hits) driver-side string comparisons, which at a
+    * broad DELETE/MERGE over 10⁵⁺ files dominates the whole commit
+    * before any executor work starts.
+    */
+  private[graft] def matchHits(candidates: Seq[String],
+      hits: Set[String]): Seq[String] = {
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath match {
+        case null => p
+        case x => x
+      }
+    val hitSet = hits.map(norm)
+    candidates.filter(f => hitSet.contains(norm(abs(f))))
+  }
 
   /** Version snapshot metadata for the scan-planning integration
     * ([[GraftTableFileIndex]]): files and stats keyed by ABSOLUTE
@@ -1153,6 +1200,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           // our pre-write validation — surface the conflict instead
           // of clobbering / landing now-violating rows
           if (schemaAt(latestVersion) != schemaAt(base)) throw e
+          // a racer that changed the COLUMN MAP (overwrite resets it,
+          // rename/drop rewrite it) invalidates our already-staged
+          // files: they were written under the base map's physical
+          // names, and re-committing them against the new map would
+          // make the mapped columns silently read null
+          if (columnMapAt(latestVersion) != columnMapAt(base)) throw e
           // a racer that advanced the identity high water means OUR
           // already-written ids (allocated from idHwBefore) collide
           // with theirs — blind-append re-resolution would commit
@@ -1328,7 +1381,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .where(cond)
       .select(col("__fp").as("f")).distinct()
       .collect().map(_.getString(0)).toSet
-    candidates.filter(f => hits.exists(h => h.endsWith(f) || h.endsWith(abs(f))))
+    matchHits(candidates, hits)
   }
 
   /** Conservative driver-side candidate set for a DML predicate:
@@ -1447,7 +1500,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .collect().map(_.getString(0)).toSet
     // stale tombstones (files since rewritten by COW DML) name files
     // no longer listed — purge only current ones
-    val touched = filesAt(base).filter(f => masked.exists(h => h.endsWith(f)))
+    val touched = matchHits(filesAt(base), masked)
     val kept = readFilesDvAware(touched, schema, dv, columnMapAt(base))
     val w = if (touched.isEmpty) Written(Nil, Map.empty) else writeData(kept)
     commit("PURGE", base,
@@ -1493,12 +1546,26 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val marked = cur.withColumn("__hit", coalesce(cond, lit(false)))
     // ONE projection: every assignment sees pre-update values even
     // when another assignment targets a column it references
-    val applied = marked.select((schemaAt(base).fieldNames.map { f =>
+    val applied0 = marked.select((schemaAt(base).fieldNames.map { f =>
       set.get(f) match {
         case Some(e) => when(col("__hit"), e).otherwise(col(f)).as(f)
         case None => col(f)
       }
     } :+ col("__hit")).toIndexedSeq: _*)
+    // generated columns whose SOURCE columns were assigned are
+    // recomputed from the post-update values (Delta recomputes;
+    // keeping the stale value would fail the implicit generation
+    // check and reject a legal workload). An explicitly assigned
+    // generated column keeps the user's value — validated below.
+    val applied = generatedColumns.foldLeft(applied0) {
+      case (d, (gc, genExpr)) =>
+        val inputsAssigned = !set.contains(gc) &&
+          referencedColumns(genExpr).exists(r =>
+            set.keys.exists(_.equalsIgnoreCase(r)))
+        if (!inputsAssigned) d
+        else d.withColumn(gc,
+          when(col("__hit"), expr(genExpr)).otherwise(col(s"`$gc`")))
+    }
     val updated = applied.drop("__hit")
     // constraints hold on every write path, not just append/merge:
     // untouched files were validated when they landed; the rewritten
@@ -1591,7 +1658,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // corpus-sized source must not be forced through the driver
     val hit = withFile.join(keys, Seq(key), "left_semi")
       .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-    val touched = filesAt(base).filter(f => hit.exists(h => h.endsWith(f)))
+    val touched = matchHits(filesAt(base), hit)
     val tgtRows = if (touched.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else readFilesDvAware(touched, schema, dvAt(base), columnMapAt(base))

@@ -136,6 +136,46 @@ class ColumnMappingSpec extends SparkSpec {
     assert(rows === Array((2L, "B", 2.0), (9L, "A", 9.0)))
   }
 
+  test("append retry refuses a concurrent column-map change") {
+    // the scenario the retry guard must catch: a concurrent OVERWRITE
+    // with the SAME logical schema resets the column map to empty
+    // while an append (whose files were staged under the OLD physical
+    // names) is in flight — blind re-resolution would commit files
+    // whose renamed column then silently reads null
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, Seq((1L, 1.0)).toDF("a", "w0"))
+    t.renameColumn("w0", "w") // map: w -> w0
+    val t2 = GraftTable.load(spark, dir)
+    ColumnMappingSpec.started = new java.util.concurrent.CountDownLatch(1)
+    ColumnMappingSpec.done = new java.util.concurrent.CountDownLatch(1)
+    val racer = new Thread(() => {
+      ColumnMappingSpec.started.await()
+      // same logical schema (a, w), map reset by overwrite
+      t2.overwrite(Seq((9L, 9.0)).toDF("a", "w"))
+      ColumnMappingSpec.done.countDown()
+    })
+    racer.start()
+    // the latches live on the companion OBJECT (static access — the
+    // udf closure must not capture non-serializable state)
+    val trigger = udf { (x: Long) =>
+      ColumnMappingSpec.started.countDown()
+      ColumnMappingSpec.done.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      x
+    }
+    // single partition: one blocked task leaves slots for the racer
+    val appendDf = spark.range(2).repartition(1)
+      .select(trigger($"id").as("a"), lit(5.0).as("w"))
+    intercept[graft.tables.CommitConflictException] {
+      t.append(appendDf)
+    }
+    racer.join(60000)
+    // the surviving state is the racer's — and no append files whose
+    // physical column no longer translates (no silent nulls)
+    val rows = t2.snapshot().collect()
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("w"))))
+    assert(t2.snapshot().count() === 1)
+  }
+
   test("stats pruning keys translate through the mapping") {
     val t = GraftTable.create(spark, tmp(),
       (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x"))
@@ -146,4 +186,12 @@ class ColumnMappingSpec extends SparkSpec {
     val pruned = t.snapshotPruned("row_id", 10, 20)
     assert(pruned.where($"row_id".between(10, 20)).count() === 11)
   }
+}
+
+/** Latches for the append/overwrite race test — static so the udf
+  * closure serializes without capturing them.
+  */
+object ColumnMappingSpec {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var done: java.util.concurrent.CountDownLatch = _
 }

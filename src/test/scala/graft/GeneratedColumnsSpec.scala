@@ -36,15 +36,28 @@ class GeneratedColumnsSpec extends SparkSpec {
 
   test("UPDATE cannot silently diverge a generated column") {
     val t = GraftTable.create(spark, tmp(),
-      Seq((1L, 10.0)).toDF("id", "x"), generated = Map("x2" -> "x * 2"))
-    // changing the source without the generated column breaks the
-    // invariant — the implicit check refuses the write
+      Seq((1L, 10.0), (2L, 5.0)).toDF("id", "x"),
+      generated = Map("x2" -> "x * 2"))
+    // assigning a SOURCE column recomputes the generated column from
+    // the post-update value (Delta recomputes; refusing would fail a
+    // legal workload) — and untouched rows keep their old values
+    t.update($"id" === 1, Map("x" -> lit(11.0)))
+    assert(t.snapshot().where($"id" === 1).select("x2").as[Double].head()
+      === 22.0)
+    assert(t.snapshot().where($"id" === 2).select("x2").as[Double].head()
+      === 10.0)
+    // explicitly assigning the generated column keeps the user's
+    // value — but only a CONSISTENT one passes the implicit check
+    t.update($"id" === 1, Map("x" -> lit(12.0), "x2" -> lit(24.0)))
+    assert(t.snapshot().where($"id" === 1).select("x2").as[Double].head()
+      === 24.0)
     intercept[ConstraintViolationException] {
-      t.update($"id" === 1, Map("x" -> lit(11.0)))
+      t.update($"id" === 1, Map("x" -> lit(13.0), "x2" -> lit(99.0)))
     }
-    // updating both consistently is fine
-    t.update($"id" === 1, Map("x" -> lit(11.0), "x2" -> lit(22.0)))
-    assert(t.snapshot().select("x2").as[Double].head() === 22.0)
+    // assigning an UNRELATED column leaves the generated value alone
+    t.update($"id" === 2, Map("id" -> lit(20L)))
+    assert(t.snapshot().where($"id" === 20).select("x2").as[Double].head()
+      === 10.0)
   }
 
   test("identity ids are dense across a multi-partition batch") {

@@ -268,6 +268,19 @@ class GraftSqlSpec extends SparkSpec {
       // properties survive unrelated commits
       t.delete($"id" === 2L)
       assert(t.properties === Map("owner" -> "risk", "tier" -> "gold"))
+      // unquoted and double-quoted pair spellings parse too (they
+      // previously fell through to a silent no-op commit)
+      GraftSql.sql(spark,
+        """ALTER TABLE gs_ddl SET TBLPROPERTIES (graft.autoCompact.minFiles = '9', "note"="x,y")""")
+      assert(t.properties("graft.autoCompact.minFiles") === "9")
+      assert(t.properties("note") === "x,y")
+      // leftover tokens the pair grammar cannot consume are an ERROR,
+      // not a silently ignored suffix
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          "ALTER TABLE gs_ddl SET TBLPROPERTIES ('a' = 'b' junk)")
+      }
+      assert(!t.properties.contains("a"))
     } finally spark.sql("DROP TABLE IF EXISTS gs_ddl")
   }
 
@@ -310,7 +323,15 @@ class GraftSqlSpec extends SparkSpec {
     Thread.sleep(30)
     t.append(Seq((2L, "b")).toDF("id", "v"))           // v1
     assert(t.versionAtTimestamp(betweenMs) === 0)
-    assert(t.versionAtTimestamp(System.currentTimeMillis()) === 1)
+    // the exact last-commit timestamp still resolves to HEAD ("at or
+    // before"), but anything AFTER it is an error (Delta semantics:
+    // a typo'd future timestamp must not silently bind to HEAD)
+    val lastTs = t.history().agg(org.apache.spark.sql.functions.max("timestamp"))
+      .head.getTimestamp(0).getTime
+    assert(t.versionAtTimestamp(lastTs) === 1)
+    intercept[IllegalArgumentException] {
+      t.versionAtTimestamp(System.currentTimeMillis() + 3600 * 1000)
+    }
     intercept[IllegalArgumentException] {
       t.versionAtTimestamp(betweenMs - 3600 * 1000)
     }

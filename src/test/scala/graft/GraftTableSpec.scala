@@ -375,6 +375,44 @@ class GraftTableSpec extends SparkSpec {
     assert(t.snapshot().count() === orders.count())
   }
 
+  test("matchHits resolves scan hits in linear time at 50k files") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
+    // synthetic 50k-file commit: candidates are commit-relative names,
+    // hits the URI-form absolute paths the scan reports — the shape a
+    // broad DELETE/MERGE hands matchHits at 100× scale
+    val candidates = (0 until 50000).map(i => f"files/f$i%05d.parquet")
+    val hits = (0 until 50000 by 2)
+      .map(i => f"file://${t.root}/files/f$i%05d.parquet").toSet
+    val start = System.nanoTime()
+    val matched = t.matchHits(candidates, hits)
+    val elapsedMs = (System.nanoTime() - start) / 1000000
+    assert(matched.size === 25000)
+    assert(matched.forall(f =>
+      f.stripPrefix("files/f").stripSuffix(".parquet").toInt % 2 == 0))
+    // O(candidates × hits) suffix scanning takes minutes here; the
+    // Set intersection finishes in well under 5 s even on a cold JVM
+    assert(elapsedMs < 5000, s"matchHits took ${elapsedMs} ms")
+    // absolute candidates (shallow-clone refs) resolve too
+    val absCand = Seq(s"${t.root}/files/f00002.parquet")
+    assert(t.matchHits(absCand, hits) === absCand)
+  }
+
+  test("detail() tolerates missing data files (vacuumed-source clone)") {
+    val srcDir = tmp()
+    val src = GraftTable.create(spark, srcDir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val clone = GraftTable.shallowClone(spark, srcDir, tmp())
+    // source rewrites + aggressive vacuum reclaim the files the clone
+    // still references
+    src.overwrite(Seq((3L, "c")).toDF("id", "v"))
+    src.vacuum(1)
+    // DESCRIBE DETAIL must stay usable on the damaged table — it is
+    // the inspection step BEFORE fsck, not after
+    val d = clone.detail().head()
+    assert(d.getAs[Long]("num_files") === clone.snapshotInfo(0).files.size)
+    assert(clone.fsck().where($"issue" === "missing").count() > 0)
+  }
+
   test("clusterBy keeps data and bounds per-file key ranges") {
     val orders = Tables.load(spark, sf, "orders")
     val t = GraftTable.create(spark, tmp(), orders)
