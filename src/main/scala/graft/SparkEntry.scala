@@ -96,6 +96,7 @@ object SparkEntry {
     "tbl_sql_delete" -> (TableOps.sqlDelete _),
     "tbl_sql_update" -> (TableOps.sqlUpdate _),
     "tbl_sql_merge" -> (TableOps.sqlMerge _),
+    "tbl_sql_insert" -> (TableOps.sqlInsert _),
     "tbl_merge_conditional" -> (TableOps.mergeConditional _),
     "mv_incremental" -> (TableOps.mvIncremental _),
     // §D temporal joins
@@ -834,6 +835,15 @@ object SparkEntry {
         |SELECT * FROM src
         |UNION ALL
         |SELECT o.* FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey""".stripMargin,
+    "tbl_sql_insert" ->
+      """SELECT * FROM orders
+        |UNION ALL
+        |SELECT 20000001, 1, 'O', 123.45,
+        |  TIMESTAMP '1997-01-01 00:00:00', '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, o_custkey, 'N', o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
     "tbl_merge_conditional" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0

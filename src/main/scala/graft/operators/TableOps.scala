@@ -241,6 +241,26 @@ object TableOps {
     t.snapshot()
   }
 
+  /** Plain SQL `INSERT INTO ... VALUES` + `INSERT INTO ... SELECT` on
+    * a registered graft table (the reference's literal write surface:
+    * 01-Fraud-Delta.py:188-189 drives a streaming demo with INSERT
+    * INTO ... VALUES in a loop) — both land as transactional appends.
+    */
+  def sqlInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = registerScratch(spark, sfDir, "graft_sql_ins")
+    GraftSql.sql(spark,
+      "INSERT INTO graft_sql_ins VALUES " +
+        "(20000001, 1, 'O', 123.45, '1997-01-01 00:00:00', '1-URGENT')")
+    Tables.load(spark, sfDir, "orders")
+      .createOrReplaceTempView("graft_sql_ins_src")
+    GraftSql.sql(spark,
+      """INSERT INTO graft_sql_ins
+        |SELECT o_orderkey + 30000000, o_custkey, 'N', o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_sql_ins_src WHERE o_orderkey % 100 = 0""".stripMargin)
+    t.snapshot()
+  }
+
   /** Conditional MERGE clauses (Delta's full WHEN surface): matched
     * 'P' rows are DELETEd, other matched rows get a decimal-exact
     * price bump from the source, and only even-custkey source rows

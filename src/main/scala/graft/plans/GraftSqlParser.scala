@@ -32,6 +32,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       case d: DeleteFromTable if isGraft(d.table) => GraftSqlCommand(sqlText)
       case u: UpdateTable if isGraft(u.table) => GraftSqlCommand(sqlText)
       case m: MergeIntoTable if isGraft(m.targetTable) => GraftSqlCommand(sqlText)
+      case ins: InsertIntoStatement if isGraft(ins.table) =>
+        GraftSqlCommand(sqlText)
       case p if p.collectFirst({
           case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
             if isGraft(t.relation) => t

@@ -1,6 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{Column, DataFrame, GraftPlans, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
@@ -422,8 +423,105 @@ object GraftSql {
       case m: MergeIntoTable =>
         mergeInto(spark, m)
         emptyResult(spark)
+      case i: InsertIntoStatement if tryResolveTarget(spark, i.table) =>
+        insertInto(spark, i)
+        emptyResult(spark)
       case _ => spark.sql(text)
     }
+
+  // ---- INSERT INTO / INSERT OVERWRITE ----------------------------------
+
+  /** Plain SQL `INSERT INTO t VALUES (...)` / `INSERT INTO t SELECT
+    * ...` / `INSERT OVERWRITE t ...` on a registered graft table —
+    * the reference's day-one write surface (01-Fraud-Delta.py:188-189
+    * drives a streaming demo with exactly this statement in a loop).
+    * Routed onto the TRANSACTIONAL paths: append for INSERT INTO,
+    * overwrite for INSERT OVERWRITE, replaceWhere for INSERT
+    * OVERWRITE with a static PARTITION spec. Identity columns are
+    * engine-assigned, generated columns computed when omitted —
+    * the same write-time semantics as the Scala API.
+    */
+  private def insertInto(spark: SparkSession,
+      i: InsertIntoStatement): Unit = {
+    val target = resolveTarget(spark, i.table)
+    val t = target.table
+    require(!i.ifPartitionNotExists,
+      "INSERT ... IF NOT EXISTS is not supported on graft tables")
+    val df0 = GraftPlans.ofRows(spark, i.query)
+    val schema = t.snapshot().schema
+    def fieldOf(c: String) = schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"INSERT references unknown column '$c' " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})"))
+    // static PARTITION (k=v) values ride as literal columns; dynamic
+    // entries (PARTITION (k)) just mean "k comes from the query"
+    val static = i.partitionSpec.toSeq.collect { case (k, Some(v)) =>
+      val f = fieldOf(k)
+      f.name -> org.apache.spark.sql.functions.lit(v).cast(f.dataType)
+    }
+    val staticNames = static.map(_._1.toLowerCase).toSet
+    val idCols = t.identityColumn.toSet
+    def isId(n: String) = idCols.exists(_.equalsIgnoreCase(n))
+    val genCols = t.generatedColumns.keySet
+    def isGen(n: String) = genCols.exists(_.equalsIgnoreCase(n))
+    // target columns the query's output maps onto, in order
+    val aligned: DataFrame =
+      if (i.userSpecifiedCols.nonEmpty || i.byName) {
+        val names =
+          if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
+          else df0.columns.toSeq
+        require(names.length == df0.columns.length,
+          s"INSERT column list has ${names.length} column(s) but the " +
+            s"query produces ${df0.columns.length}")
+        val fields = names.map(fieldOf)
+        fields.find(f => isId(f.name)).foreach(f =>
+          throw new IllegalArgumentException(
+            s"identity column ${f.name} is GENERATED ALWAYS and cannot " +
+              "be inserted"))
+        val named = df0.select(df0.columns.zip(fields).map {
+          case (c, f) => col(s"`$c`").cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+        // unmentioned columns: generated/identity are engine-computed;
+        // anything else gets a typed NULL (SQL default semantics)
+        val mentioned = fields.map(_.name.toLowerCase).toSet ++ staticNames
+        schema.fields.filterNot(f => mentioned.contains(f.name.toLowerCase) ||
+            isId(f.name) || isGen(f.name))
+          .foldLeft(named)((d, f) => d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      } else {
+        // positional: the query must cover the insertable columns —
+        // every column minus identity/static-partition values, with
+        // generated columns either all supplied or all omitted
+        val full = schema.fields.toSeq.filterNot(f =>
+          isId(f.name) || staticNames.contains(f.name.toLowerCase))
+        val noGen = full.filterNot(f => isGen(f.name))
+        val cols =
+          if (df0.columns.length == full.length) full
+          else if (df0.columns.length == noGen.length) noGen
+          else throw new IllegalArgumentException(
+            s"INSERT query produces ${df0.columns.length} column(s); " +
+              s"table expects ${full.length}" +
+              (if (noGen.length != full.length) s" (or ${noGen.length} " +
+                "with generated columns omitted)" else ""))
+        df0.select(df0.columns.zip(cols).map { case (c, f) =>
+          col(s"`$c`").cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      }
+    val withStatic = static.foldLeft(aligned) { case (d, (n, v)) =>
+      d.withColumn(n, v)
+    }
+    if (!i.overwrite) t.append(withStatic)
+    else if (static.isEmpty) t.overwrite(withStatic)
+    else {
+      // INSERT OVERWRITE ... PARTITION (k=v): replace exactly that
+      // slice — replaceWhere validates every incoming row against it
+      val cond = static.map { case (n, v) => col(s"`$n`") <=> v }
+        .reduce(_ && _)
+      t.replaceWhere(cond, withStatic)
+    }
+    refresh(spark, target)
+  }
 
   // ---- target/source resolution ---------------------------------------
 

@@ -100,6 +100,12 @@ class ExtensionsSpec extends SparkSpec {
       // time travel inside an ordinary SELECT
       assert(s2.sql("SELECT count(*) FROM gp_orders VERSION AS OF 0")
         .head.getLong(0) === before)
+      // plain INSERT INTO ... VALUES — the reference's literal write
+      // surface (01-Fraud-Delta.py:188-189) — lands transactionally
+      s2.sql("INSERT INTO gp_orders VALUES " +
+        "(91000001, 3, 'O', 11.5, '1996-01-01 00:00:00', '1-URGENT')")
+      assert(s2.table("gp_orders")
+        .where(col("o_orderkey") === 91000001L).count() === 1)
       // non-graft SQL is untouched
       assert(s2.sql("SELECT 1 + 1").head.getInt(0) === 2)
       // DML on a non-graft target falls through to Spark's own

@@ -353,6 +353,73 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_tt")
   }
 
+  test("INSERT INTO lands as a transactional append (VALUES and SELECT)") {
+    val (t, _) = registered("gs_ins")
+    try {
+      val before = t.snapshot().count()
+      GraftSql.sql(spark, "INSERT INTO gs_ins VALUES " +
+        "(90000001, 7, 'O', 42.5, '1996-05-05 00:00:00', '1-URGENT')")
+      assert(readOp(t, t.latestVersion) === "APPEND")
+      assert(t.snapshot().count() === before + 1)
+      assert(t.snapshot().where($"o_orderkey" === 90000001L).count() === 1)
+      // INSERT ... SELECT (self-referencing: the scan is resolved
+      // before the append commits, so it reads the pre-insert state)
+      GraftSql.sql(spark,
+        """INSERT INTO gs_ins
+          |SELECT o_orderkey + 90000000, o_custkey, 'N', o_totalprice,
+          |  o_orderdate, o_orderpriority
+          |FROM gs_ins WHERE o_orderkey % 500 = 0""".stripMargin)
+      val added = t.snapshot().where($"o_orderstatus" === "N").count()
+      assert(added > 0)
+      assert(t.snapshot().count() === before + 1 + added)
+      // a column LIST fills unmentioned nullable columns with NULL
+      GraftSql.sql(spark,
+        "INSERT INTO gs_ins (o_orderkey, o_custkey) VALUES (90000002, 8)")
+      val r = t.snapshot().where($"o_orderkey" === 90000002L).collect()(0)
+      assert(r.getAs[Long]("o_custkey") === 8L)
+      assert(r.isNullAt(r.fieldIndex("o_orderstatus")))
+      // post-insert catalog reads see the new snapshot
+      assert(spark.table("gs_ins").count() === t.snapshot().count())
+      // arity mismatch is an error, not positional guesswork
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "INSERT INTO gs_ins VALUES (1, 2)")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS gs_ins")
+  }
+
+  test("INSERT OVERWRITE replaces the table; PARTITION spec replaces the slice") {
+    val (t, _) = registered("gs_iow")
+    try {
+      GraftSql.sql(spark,
+        """INSERT OVERWRITE gs_iow
+          |SELECT * FROM gs_iow WHERE o_orderstatus = 'F'""".stripMargin)
+      assert(readOp(t, t.latestVersion) === "OVERWRITE")
+      assert(t.snapshot().where($"o_orderstatus" =!= "F").count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_iow")
+    // static-partition overwrite = guarded replaceWhere on the slice
+    val dir = Files.createTempDirectory("graft_sql_").resolve("t").toString
+    val t2 = GraftTable.create(spark, dir,
+      Tables.load(spark, sf, "orders").repartition(4, $"o_orderkey"),
+      partitionBy = Seq("o_orderstatus"))
+    spark.sql("DROP TABLE IF EXISTS gs_iowp")
+    spark.sql(s"CREATE TABLE gs_iowp USING `graft-table` OPTIONS (path '$dir')")
+    try {
+      Tables.load(spark, sf, "orders")
+        .createOrReplaceTempView("graft_sql_ins_src_spec")
+      val others = t2.snapshot().where($"o_orderstatus" =!= "P").count()
+      GraftSql.sql(spark,
+        """INSERT OVERWRITE gs_iowp PARTITION (o_orderstatus = 'P')
+          |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+          |  o_orderpriority
+          |FROM graft_sql_ins_src_spec WHERE o_orderstatus = 'P'
+          |  AND o_orderkey % 2 = 0""".stripMargin)
+      assert(readOp(t2, t2.latestVersion) === "REPLACE_WHERE")
+      assert(t2.snapshot().where($"o_orderstatus" =!= "P").count() === others)
+      assert(t2.snapshot().where($"o_orderstatus" === "P" &&
+        $"o_orderkey" % 2 =!= 0).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_iowp")
+  }
+
   test("INSERT INTO ... REPLACE WHERE swaps the slice atomically") {
     val (t, _) = registered("gs_rw")
     try {

@@ -146,6 +146,43 @@ class StreamingSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("non-append")))
   }
 
+  test("SQL INSERT INTO loop feeds a live stream (01-notebook 188-201)") {
+    // the reference scenario end-to-end in SQL: a stream reads the
+    // registered table while a loop of plain `INSERT INTO ... VALUES`
+    // statements lands concurrently — every insert is a transactional
+    // append commit the version-offset source picks up exactly once
+    import graft.tables.{GraftSql, GraftTable}
+    val root = Files.createTempDirectory("graft_insstream_")
+      .resolve("t").toString
+    GraftTable.create(spark, root,
+      Seq(("CA", 100L)).toDF("addr_state", "amount"))
+    spark.sql("DROP TABLE IF EXISTS grf_ins_stream")
+    spark.sql(
+      s"CREATE TABLE grf_ins_stream USING `graft-table` OPTIONS (path '$root')")
+    val q = spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("grf_ins_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_insstream_ckpt_").toString)
+      .start()
+    try {
+      (1 to 5).foreach { i =>
+        GraftSql.sql(spark,
+          s"INSERT INTO grf_ins_stream VALUES ('IA', ${i * 10})")
+      }
+      q.processAllAvailable()
+      val seen = spark.table("grf_ins_stream_out")
+        .as[(String, Long)].collect()
+      assert(seen.count(_._1 == "IA") === 5)
+      assert(seen.filter(_._1 == "IA").map(_._2).sorted ===
+        Array(10L, 20L, 30L, 40L, 50L))
+      assert(seen.length === 6) // seed + 5, nothing double-read
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS grf_ins_stream")
+    }
+  }
+
   test("graft-table source in cdc mode streams the change feed") {
     import graft.tables.GraftTable
     val root = Files.createTempDirectory("graft_cdc_").resolve("t").toString
