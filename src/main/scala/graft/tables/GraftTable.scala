@@ -56,21 +56,119 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def latestVersion: Long = listVersions().lastOption.getOrElse(-1L)
 
   // committed versions are IMMUTABLE (the hard-link claim means a
-  // version file is never rewritten), so parsed commits memoize —
+  // version file is never rewritten), so RESOLVED commits memoize —
   // O(versions) walks (history, change feeds, sink watermarks) stop
-  // re-reading and re-parsing the same JSON
+  // re-reading, re-parsing and re-resolving the same JSON
   private val commitCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Commit]()
 
-  private def readCommit(v: Long): Commit = {
-    val cached = commitCache.get(v)
-    if (cached != null) return cached
+  private def parseCommit(v: Long): Commit = {
     require(Files.exists(commitFile(v)),
       s"version $v does not exist for table at $root (latest: $latestVersion)")
     implicit val fmt: Formats = DefaultFormats
-    val c = JsonMethods.parse(Files.readString(commitFile(v))).extract[Commit]
-    commitCache.put(v, c)
-    c
+    JsonMethods.parse(Files.readString(commitFile(v))).extract[Commit]
+  }
+
+  /** Read commit `v` RESOLVED to full state. On-disk commits come in
+    * two spellings (see [[encodeDelta]]): FULL (the complete file
+    * list + stats — every pre-checkpointing log, CREATE, wholesale
+    * rewrites, and every Nth commit, which doubles as the checkpoint)
+    * and DELTA (`delta=true`: only the commit's adds/removes). A
+    * delta chain resolves by walking back to the nearest full commit
+    * (≤ interval hops of SMALL files) and folding forward — snapshot
+    * resolution reads O(1) full + O(N-since-checkpoint) delta files
+    * instead of one ever-growing commit per version. Results memoize.
+    */
+  private def readCommit(v: Long): Commit = {
+    val cached = commitCache.get(v)
+    if (cached != null) return cached
+    // walk back collecting the unresolved delta suffix
+    var chain = List.empty[Commit]
+    var cur = v
+    var base: Commit = null
+    while (base == null) {
+      val cc = commitCache.get(cur)
+      if (cc != null) base = cc
+      else {
+        val raw = parseCommit(cur)
+        if (raw.delta.contains(true)) { chain = raw :: chain; cur -= 1 }
+        else base = raw
+      }
+    }
+    commitCache.putIfAbsent(base.version, base)
+    var state = base
+    chain.foreach { d =>
+      state = resolveDelta(d, state)
+      commitCache.putIfAbsent(d.version, state)
+    }
+    state
+  }
+
+  /** Reconstruct a delta commit's full state from its parent's:
+    * files = parent − removes + adds; stats/partition values carry
+    * for surviving files and merge the adds' entries — exactly the
+    * carry rule [[commit]] applies at write time, so a resolved delta
+    * commit is indistinguishable from the full commit it encodes.
+    */
+  private def resolveDelta(raw: Commit, parent: Commit): Commit = {
+    val removed = raw.removes.getOrElse(Nil).toSet
+    val files = parent.files.filterNot(removed) ++ raw.files
+    val fileSet = files.toSet
+    val stats = parent.stats.getOrElse(Map.empty)
+      .filter { case (f, _) => fileSet.contains(f) } ++
+      raw.stats.getOrElse(Map.empty)
+    val pv = parent.partValues.getOrElse(Map.empty)
+      .filter { case (f, _) => fileSet.contains(f) } ++
+      raw.partValues.getOrElse(Map.empty)
+    raw.copy(files = files, removes = None, delta = None,
+      stats = if (stats.isEmpty) None else Some(stats),
+      partValues = if (pv.isEmpty) None else Some(pv))
+  }
+
+  /** Checkpoint cadence: every Nth commit is written FULL (the
+    * checkpoint), commits between carry only their delta. From
+    * `graft.checkpoint.interval` in TBLPROPERTIES (default 10;
+    * 0 disables delta encoding entirely).
+    */
+  private def checkpointIntervalAt(base: Long): Int =
+    if (base < 0) 10
+    else readCommit(base).properties.getOrElse(Map.empty)
+      .get("graft.checkpoint.interval")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(10)
+
+  /** Delta-encode a full commit for the log when a checkpoint is not
+    * due: files = the commit's ADDS, `removes` = dropped names,
+    * stats/partition values only for the adds — so a streaming sink
+    * appending per micro-batch writes O(batch) log bytes per commit
+    * instead of O(table files), and total log size stops growing
+    * O(versions × files). Wholesale rewrites (overwrite, restore,
+    * compact — where the delta IS the table) stay full commits, as
+    * does every Nth version (the implicit checkpoint every reader
+    * chain terminates on). Read-compatible: old logs are all-full.
+    */
+  private def encodeDelta(c: Commit): Commit = {
+    if (c.version <= 0) return c
+    val interval = checkpointIntervalAt(c.version - 1)
+    if (interval <= 0 || c.version % interval == 0) return c
+    val parent =
+      try readCommit(c.version - 1)
+      catch { case scala.util.control.NonFatal(_) => return c }
+    val parentSet = parent.files.toSet
+    val cSet = c.files.toSet
+    val adds = c.files.filterNot(parentSet)
+    val removes = parent.files.filterNot(cSet)
+    if (adds.size + removes.size >= c.files.size) return c
+    c.copy(files = adds,
+      removes = if (removes.isEmpty) None else Some(removes),
+      delta = Some(true),
+      // data files are immutable and uniquely named, so an entry for
+      // a parent-listed file is identical to the parent's — only the
+      // adds' metadata needs to ride in the delta
+      stats = c.stats.map(_.filter { case (f, _) => !parentSet.contains(f) })
+        .filter(_.nonEmpty),
+      partValues = c.partValues
+        .map(_.filter { case (f, _) => !parentSet.contains(f) })
+        .filter(_.nonEmpty))
   }
 
   /** Atomic optimistic-concurrency commit: content goes to a temp
@@ -83,9 +181,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   private def writeCommit(c: Commit): Unit = {
     implicit val fmt: Formats = DefaultFormats
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, Serialization.write(c))
-    try Files.createLink(commitFile(c.version), tmp)
-    catch {
+    Files.writeString(tmp, Serialization.write(encodeDelta(c)))
+    try {
+      Files.createLink(commitFile(c.version), tmp)
+      // memoize the RESOLVED form — readers of this version never
+      // need to re-resolve what the writer just computed
+      commitCache.putIfAbsent(c.version, c)
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(
           s"concurrent commit: version ${c.version} already exists at $root")
@@ -2186,7 +2288,13 @@ object GraftTable {
       generated: Option[Map[String, String]] = None,
       identityCol: Option[String] = None,
       bucketBy: Option[List[String]] = None,
-      numBuckets: Option[Int] = None)
+      numBuckets: Option[Int] = None,
+      // delta-encoded commit (checkpointing): `files` holds only the
+      // commit's ADDS and `removes` the dropped names; resolution in
+      // [[GraftTable.readCommit]]. Absent on full commits (every
+      // pre-checkpointing log — read-compatible).
+      delta: Option[Boolean] = None,
+      removes: Option[List[String]] = None)
 
   /** Create a new table at `path` from `df` (errors if a log exists).
     * With `partitionBy`, the table is PARTITIONED: every write lands
