@@ -1218,13 +1218,35 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   private def checkSchema(df: DataFrame, evolve: Boolean): StructType = {
     val cur = currentSchema
-    val curNames = cur.fields.map(f => f.name -> f.dataType).toMap
+    val curByName = cur.fields.map(f => f.name -> f).toMap
     val incoming = df.schema.fields
+    // three classes of type difference on a name-matched column:
+    //  * incoming NARROWER (int into a long column): always fine —
+    //    the write path upcasts (Delta's storeAssignmentPolicy)
+    //  * incoming WIDER (TYPE WIDENING, Delta's feature): rewrite the
+    //    logical type under evolve/mergeSchema; existing files keep
+    //    their narrow physical type and upcast at read (Spark 4's
+    //    parquet reader performs the widening conversions)
+    //  * anything else: refused, as before
     val mismatched = incoming.filter(f =>
-      curNames.get(f.name).exists(_ != f.dataType))
+      curByName.get(f.name).exists(c => c.dataType != f.dataType &&
+        !GraftTable.widens(f.dataType, c.dataType) &&
+        !GraftTable.widens(c.dataType, f.dataType)))
     require(mismatched.isEmpty,
       s"schema enforcement: type mismatch for ${mismatched.map(_.name).mkString(",")}")
-    val newCols = incoming.filterNot(f => curNames.contains(f.name))
+    val widened = incoming.filter(f =>
+      curByName.get(f.name).exists(c => GraftTable.widens(c.dataType, f.dataType)))
+    if (widened.nonEmpty && !evolve)
+      throw new IllegalArgumentException(
+        "schema enforcement: type widening for " +
+          s"${widened.map(_.name).mkString(",")} (use evolve=true / mergeSchema)")
+    // bucket ids hash the PHYSICAL type — widening a bucket column
+    // would silently mis-bucket every future write
+    widened.foreach(f =>
+      require(!bucketSpecAt(latestVersion).exists(_._1.contains(f.name)),
+        s"cannot widen bucket column '${f.name}'"))
+    val widenedMap = widened.map(f => f.name -> f.dataType).toMap
+    val newCols = incoming.filterNot(f => curByName.contains(f.name))
     if (newCols.nonEmpty && !evolve)
       throw new IllegalArgumentException(
         s"schema enforcement: new columns ${newCols.map(_.name).mkString(",")} (use evolve=true)")
@@ -1233,8 +1255,20 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       s"schema enforcement: missing columns ${missing.map(_.name).mkString(",")}")
     // evolved columns are nullable by definition: every pre-evolution
     // file surfaces null for them, whatever the incoming batch claimed
-    StructType(cur.fields ++ newCols.map(_.copy(nullable = true)))
+    StructType(cur.fields.map(f => widenedMap.get(f.name)
+      .map(t => f.copy(dataType = t)).getOrElse(f)) ++
+      newCols.map(_.copy(nullable = true)))
   }
+
+  /** Align `df` to the target schema's column set, CASTING each
+    * present column to the schema's type — the upcast that lets a
+    * narrower batch (int into a long column) land on every write path.
+    */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields
+      .filter(f => df.schema.fieldNames.contains(f.name))
+      .map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name))
+      .toIndexedSeq: _*)
 
   def append(df: DataFrame, evolve: Boolean = false): Long =
     appendInternal(df, evolve, Map.empty)
@@ -1250,8 +1284,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     try {
     enforceConstraints(dfIn)
     val schema = checkSchema(dfIn, evolve)
-    val aligned = dfIn.select(schema.fieldNames.filter(n =>
-      dfIn.schema.fieldNames.contains(n)).map(col): _*)
+    val aligned = alignTo(dfIn, schema)
     // evolve-added columns whose name matches ANY physical name a past
     // commit used (e.g. a previously DROPPED column) get a fresh
     // physical name — otherwise old files' stale bytes would resurface
@@ -1400,7 +1433,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     try {
     enforceConstraints(dfIn)
     val schema = checkSchema(dfIn, evolve = false)
-    val aligned = dfIn.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val aligned = alignTo(dfIn, schema)
     val w = writeData(aligned, pcols, columnMapAt(base))
     val newTuples: Set[Seq[String]] =
       w.partValues.values.map(m => pcols.map(m(_))).toSet
@@ -1441,7 +1474,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     try {
     enforceConstraints(dfIn)
     val schema = checkSchema(dfIn, evolve = false)
-    val aligned = dfIn.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val aligned = alignTo(dfIn, schema)
     val bad = aligned.where(!coalesce(cond, lit(false))).count()
     if (bad > 0) throw new IllegalArgumentException(
       s"replaceWhere: $bad incoming row(s) do not satisfy the predicate")
@@ -2226,6 +2259,25 @@ object GraftTable {
       j += Character.charCount(cb)
     }
     Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Is `to` a SAFE widening of `from` (Delta type-widening set)?
+    * Every value of `from` is exactly representable in `to`, and
+    * Spark 4's parquet reader performs the physical conversion when
+    * reading an old narrow file under the widened schema.
+    */
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
   }
 
   /** Normalize catalog-supplied `file:` URIs to plain local paths

@@ -28,8 +28,13 @@ class GraftTableSpec extends SparkSpec {
 
   test("schema enforcement rejects type mismatch and new columns") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
+    // a NARROWER batch (int into a long column) upcasts at write —
+    // Delta's store-assignment semantics; a genuinely incompatible
+    // type is still refused
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(t.snapshot().where($"id" === 2L).count() === 1)
     intercept[IllegalArgumentException] {
-      t.append(Seq((1, "a")).toDF("id", "v")) // id int vs long
+      t.append(Seq((true, "a")).toDF("id", "v")) // boolean vs long
     }
     intercept[IllegalArgumentException] {
       t.append(Seq((1L, "a", 0.5)).toDF("id", "v", "extra"))
@@ -373,6 +378,38 @@ class GraftTableSpec extends SparkSpec {
       .select("num_files").as[Long].head()
     assert(c <= 2)
     assert(t.snapshot().count() === orders.count())
+  }
+
+  test("type widening: long data lands on an int column under evolve") {
+    import org.apache.spark.sql.types._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1, "a"), (2, "b")).toDF("n", "v")) // n: IntegerType
+    assert(t.snapshot().schema("n").dataType === IntegerType)
+    // wider batch without evolve is refused
+    intercept[IllegalArgumentException] {
+      t.append(Seq((3L, "c")).toDF("n", "v"))
+    }
+    // with evolve the LOGICAL type widens; the old int32 files stay
+    // and upcast at read (no rewrite)
+    t.append(Seq((5000000000L, "c")).toDF("n", "v"), evolve = true)
+    assert(t.snapshot().schema("n").dataType === LongType)
+    assert(t.snapshot().orderBy("n").select("n").as[Long].collect()
+      === Array(1L, 2L, 5000000000L))
+    // time travel reads the PRE-widening schema exactly
+    assert(t.snapshotAt(0).schema("n").dataType === IntegerType)
+    assert(t.snapshotAt(0).count() === 2)
+    // a narrower batch after widening upcasts at write, no evolve flag
+    t.append(Seq((7, "d")).toDF("n", "v"))
+    assert(t.snapshot().where($"v" === "d").select("n").as[Long].head() === 7L)
+    // DML across mixed-width files reads both sides
+    t.delete($"n" === 2L)
+    assert(t.snapshot().count() === 3)
+    // float -> double and decimal precision growth widen too;
+    // long -> int does not
+    assert(GraftTable.widens(FloatType, DoubleType))
+    assert(GraftTable.widens(DecimalType(10, 2), DecimalType(20, 2)))
+    assert(!GraftTable.widens(LongType, IntegerType))
+    assert(!GraftTable.widens(DecimalType(10, 2), DecimalType(20, 4)))
   }
 
   test("matchHits resolves scan hits in linear time at 50k files") {
