@@ -98,6 +98,7 @@ object SparkEntry {
     "tbl_sql_merge" -> (TableOps.sqlMerge _),
     "tbl_sql_insert" -> (TableOps.sqlInsert _),
     "tbl_merge_conditional" -> (TableOps.mergeConditional _),
+    "tbl_merge_identity" -> (TableOps.mergeIdentity _),
     "mv_incremental" -> (TableOps.mvIncremental _),
     // §D temporal joins
     "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
@@ -835,6 +836,20 @@ object SparkEntry {
         |SELECT * FROM src
         |UNION ALL
         |SELECT o.* FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey""".stripMargin,
+    "tbl_merge_identity" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |fin AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT o.* FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey)
+        |SELECT *, TRUE AS ids_unique, TRUE AS ids_dense FROM fin""".stripMargin,
     "tbl_sql_insert" ->
       """SELECT * FROM orders
         |UNION ALL

@@ -284,6 +284,36 @@ object TableOps {
     t.snapshot()
   }
 
+  /** MERGE on a table with a GENERATED ALWAYS AS IDENTITY column:
+    * matched rows keep their engine-assigned id through SET *,
+    * NOT MATCHED inserts take fresh dense ids from the high water.
+    * The business state replays relationally in the oracle; the id
+    * properties (uniqueness + density) ride as boolean columns the
+    * oracle expects to be literally TRUE — deterministic even though
+    * the id VALUES depend on partition order.
+    */
+  def mergeIdentity(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_tbl_id_").resolve("t")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val t = GraftTable.create(spark, dir.toString,
+      orders.repartition(8, col("o_orderkey")), identity = Some("rid"))
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    t.merge(updates.unionByName(inserts), "o_orderkey")
+    val s = t.snapshot()
+    val chk = s.agg(countDistinct(col("rid")).as("du"),
+      count(lit(1)).as("cnt"), max(col("rid")).as("mx"),
+      min(col("rid")).as("mn"))
+    s.drop("rid").crossJoin(broadcast(chk))
+      .withColumn("ids_unique", col("du") === col("cnt"))
+      .withColumn("ids_dense", col("mn") === 0 && col("mx") === col("cnt") - 1)
+      .drop("du", "cnt", "mx", "mn")
+  }
+
   /** Batch read through the registered `graft-table` data source
     * (reference: registered Delta tables, 01-Fraud-Delta.py:116-134):
     * the scan plans through GraftTableFileIndex, so the selective

@@ -1750,15 +1750,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     import GraftTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
     val base = latestVersion
     val schema = schemaAt(base)
-    // MERGE cannot preserve GENERATED ALWAYS identity semantics: a
-    // SET-* update would copy the source's id over the target's, and
-    // inserts would need source-supplied ids — both violate ALWAYS.
-    // Refuse, matching Delta's restriction
-    identityColumn.foreach(idc =>
-      throw new UnsupportedOperationException(
-        s"MERGE is not supported on a table with identity column '$idc'; " +
-          "use append/replaceWhere (ids are assigned) or model the key " +
-          "on a non-identity column"))
+    // GENERATED ALWAYS identity semantics under MERGE (Delta's rules):
+    // the SOURCE must not supply the identity column (and cannot join
+    // on it — matching would need source ids); matched rows KEEP the
+    // target's id through every clause (SET * skips it), NOT MATCHED
+    // inserts take engine-assigned dense ids continuing the high water
+    identityColumn.foreach { idc =>
+      require(!source.columns.exists(_.equalsIgnoreCase(idc)),
+        s"MERGE source must not supply identity column '$idc' " +
+          "(GENERATED ALWAYS — ids are engine-assigned)")
+      require(!key.equalsIgnoreCase(idc),
+        s"cannot MERGE on identity column '$idc': matching would need " +
+          "source-supplied ids; model the key on a business column")
+    }
     // typo'd clause assignment keys fail loudly, like UPDATE's
     val matched = matched0.map {
       case MatchedUpdate(c, Some(m)) =>
@@ -1820,6 +1824,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val survivors = if (deleteIdx.isEmpty) tagged
       else tagged.where(!col("__action").isin(deleteIdx.map(Integer.valueOf): _*))
     val resolvedFields = schema.fieldNames.map { f =>
+      if (identityColumn.exists(_.equalsIgnoreCase(f)))
+        // GENERATED ALWAYS: the target row's id survives every clause
+        col(f).as(f)
+      else {
       val updates = matched.zipWithIndex.collect { case (MatchedUpdate(_, set), i) =>
         val v = set match {
           case None => col(s"src.$f").cast(schema(f).dataType)
@@ -1830,20 +1838,36 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       updates.foldLeft(when(lit(false), col(f))) { case (acc, (i, v)) =>
         acc.when(col("__action") === i, v)
       }.otherwise(col(f)).as(f)
+      }
     }
     val newTouched = survivors.select((resolvedFields :+ col("__action")).toIndexedSeq: _*)
     // keys matched in touched files ARE the table's matching keys
     // (touchedFiles covers every file containing one), so the insert
     // set is source anti-join those keys
-    val inserts = notMatched.map { ni =>
+    val insertFields = schema.fields
+      .filterNot(fl => identityColumn.exists(_.equalsIgnoreCase(fl.name)))
+    val insertsRaw = notMatched.map { ni =>
       val unmatched = src.join(tgtRows.select(col(key)).distinct(),
         Seq(key), "left_anti")
       val accepted = ni.condition.map(unmatched.where).getOrElse(unmatched)
       ni.values match {
-        case None => accepted.select(schema.fieldNames.map(col): _*)
-        case Some(m) => accepted.select(schema.fields.map(fl =>
-          m.getOrElse(fl.name, lit(null)).cast(fl.dataType).as(fl.name)): _*)
+        case None => accepted.select(insertFields.map(fl => col(fl.name)).toIndexedSeq: _*)
+        case Some(m) => accepted.select(insertFields.map(fl =>
+          m.getOrElse(fl.name, lit(null)).cast(fl.dataType).as(fl.name)).toIndexedSeq: _*)
       }
+    }
+    // NOT MATCHED inserts on an identity table take engine-assigned
+    // dense ids from the high water. MERGE is fail-fast on commit
+    // conflicts (no blind re-resolution), so a racing writer that
+    // advanced the high water conflicts on the version claim — two
+    // merges can never land overlapping id blocks
+    val idHwBefore = if (identityColumn.isDefined) identityHighWater else -2L
+    val (inserts, idMetrics, idCleanup) = (insertsRaw, identityColumn) match {
+      case (Some(ins), Some(idc)) =>
+        val (assigned, n, cleanup) = assignDenseIds(ins, idc, idHwBefore)
+        (Some(assigned.select(schema.fieldNames.map(col).toIndexedSeq: _*)),
+          Map(identityKey -> (idHwBefore + n)), cleanup)
+      case _ => (insertsRaw, Map.empty[String, Long], () => ())
     }
     val newData = inserts match {
       case Some(i) => newTouched.drop("__action").unionByName(i)
@@ -1869,10 +1893,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val cdc = writeCdc(cdcAll)
     tagged.unpersist()
     src.unpersist()
-    maybeAutoCompact(commit("MERGE", base,
+    try maybeAutoCompact(commit("MERGE", base,
       filesAt(base).filterNot(touched.contains) ++ w.files, schema,
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      Map("numRewrittenFiles" -> touched.size.toLong) ++ idMetrics,
+      collectStats(w.files),
       cdcFiles = Some(cdc), newPartValues = w.partValues))
+    finally idCleanup()
   }
 
   /** OPTIMIZE analog: coalesce the snapshot into `numFiles` files

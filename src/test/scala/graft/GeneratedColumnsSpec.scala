@@ -111,10 +111,68 @@ class GeneratedColumnsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t.update($"x" === 11.0, Map("row_id" -> lit(0L)))
     }
-    // MERGE on identity tables is refused outright
-    intercept[UnsupportedOperationException] {
+    // MERGE: a source SUPPLYING the identity column (or keying on it)
+    // is refused — ids are engine-assigned
+    intercept[IllegalArgumentException] {
       t.merge(Seq((1L, 5.0)).toDF("row_id", "x"), "row_id")
     }
+  }
+
+  test("MERGE on an identity table: targets keep ids, inserts get fresh ones") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("k", "x"),
+      identity = Some("rid"))
+    val idOf = (k: String) => t.snapshot().where($"k" === k)
+      .select("rid").as[Long].head()
+    val (ia, ib) = (idOf("a"), idOf("b"))
+    // matched SET * updates x but KEEPS the target's id; not-matched
+    // rows get engine-assigned dense ids continuing the high water
+    t.merge(Seq(("a", 10.0), ("d", 4.0), ("e", 5.0)).toDF("k", "x"), "k")
+    assert(idOf("a") === ia)
+    assert(idOf("b") === ib)
+    val ids = t.snapshot().select("rid").as[Long].collect().sorted
+    assert(ids === Array(0L, 1L, 2L, 3L, 4L)) // dense, no duplicates
+    assert(t.identityHighWater === 4L)
+    assert(t.snapshot().where($"k" === "a").select("x").as[Double].head()
+      === 10.0)
+    // conditional clauses + DELETE keep the same id discipline
+    t.merge(Seq(("b", 0.0), ("f", 6.0)).toDF("k", "x"),
+      "k",
+      Seq(GraftTable.MatchedDelete(Some($"src.x" === 0.0))),
+      Some(GraftTable.NotMatchedInsert()))
+    val after = t.snapshot().select("k", "rid").as[(String, Long)]
+      .collect().toMap
+    assert(!after.contains("b"))
+    assert(after("f") === 5L)
+    assert(after.values.toSeq.distinct.length === after.size)
+  }
+
+  test("concurrent identity merges never commit overlapping id blocks") {
+    val path = tmp()
+    GraftTable.create(spark, path,
+      Seq(("a", 1.0), ("b", 2.0)).toDF("k", "x"), identity = Some("rid"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two merges inserting disjoint keys race: MERGE is fail-fast on
+    // the version claim, so at most one lands per round — the loser
+    // retries on a fresh base. NEVER two rows with one id.
+    val results = Await.result(Future.sequence(Seq("m", "n").map { k =>
+      Future {
+        val h = GraftTable.load(spark, path)
+        def attempt(): Unit =
+          h.merge(Seq((k, 9.0)).toDF("k", "x"), "k")
+        try { attempt(); 1 }
+        catch { case _: graft.tables.CommitConflictException =>
+          attempt(); 2 } // retry on the fresh base succeeds
+      }
+    }), 120.seconds)
+    assert(results.sum >= 2)
+    val t = GraftTable.load(spark, path)
+    val ids = t.snapshot().select("rid").as[Long].collect().sorted
+    assert(ids.distinct.length === ids.length, s"duplicate ids: ${ids.toSeq}")
+    assert(ids === (0L until ids.length).toArray) // still dense
+    assert(t.snapshot().count() === 4)
   }
 
   test("racing identity appends never commit duplicate ids") {
