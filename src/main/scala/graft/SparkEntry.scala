@@ -97,6 +97,7 @@ object SparkEntry {
     "tbl_sql_update" -> (TableOps.sqlUpdate _),
     "tbl_sql_merge" -> (TableOps.sqlMerge _),
     "tbl_sql_insert" -> (TableOps.sqlInsert _),
+    "tbl_convert_hive" -> (TableOps.convertHive _),
     "tbl_merge_conditional" -> (TableOps.mergeConditional _),
     "tbl_merge_identity" -> (TableOps.mergeIdentity _),
     "mv_incremental" -> (TableOps.mvIncremental _),
@@ -859,6 +860,10 @@ object SparkEntry {
         |SELECT o_orderkey + 30000000, o_custkey, 'N', o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "tbl_convert_hive" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'""".stripMargin,
     "tbl_merge_conditional" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0

@@ -261,6 +261,23 @@ object TableOps {
     t.snapshot()
   }
 
+  /** CONVERT over a HIVE-PARTITIONED parquet layout — the asset a
+    * migrating user actually owns (their existing
+    * `df.write.partitionBy(...)` output; reference analog: registering
+    * existing tables, 01-Fraud-Delta.py:116-134). Adoption is
+    * zero-copy: the `k=v` segments become commit-log partition
+    * tuples, reads reinject the path-encoded partition values, and a
+    * partition-scoped DELETE proves DML is live on the first commit.
+    */
+  def convertHive(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_hivecvt_").resolve("t")
+    Tables.load(spark, sfDir, "orders")
+      .write.partitionBy("o_orderpriority").parquet(dir.toString)
+    val t = GraftTable.convert(spark, dir.toString)
+    t.delete(col("o_orderpriority") === "1-URGENT")
+    t.snapshot()
+  }
+
   /** Conditional MERGE clauses (Delta's full WHEN surface): matched
     * 'P' rows are DELETEd, other matched rows get a decimal-exact
     * price bump from the source, and only even-custkey source rows

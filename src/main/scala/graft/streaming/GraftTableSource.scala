@@ -183,8 +183,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val bucketSpec = table.bucketSpecAt(version).map { case (cols, n) =>
       org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil)
     }
-    HadoopFsRelation(index, StructType(Nil), index.dataSchema, bucketSpec,
-      new ParquetFileFormat, parameters)(spark)
+    HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+      bucketSpec, new ParquetFileFormat, parameters)(spark)
   }
 
   private def tableOf(sqlContext: SQLContext,

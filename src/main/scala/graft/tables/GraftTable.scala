@@ -287,23 +287,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     Written(adopted, Map.empty)
   }
 
-  /** Undo Hive/Spark partition-path escaping (`%2F` etc) — the exact
-    * inverse of the `escapePathName` applied by the parquet writer's
-    * dynamic-partition layout.
-    */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = s.substring(i + 1, i + 3)
-        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
-        catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapePathName(s: String): String =
+    GraftTable.unescapePathName(s)
 
   private def adoptPartitionedStaging(staging: Path,
       pcols: Seq[String]): Written = {
@@ -394,16 +379,44 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withAddr)
     }
-    // files store PHYSICAL column names; surface the caller's LOGICAL
-    // names (identity for unmapped tables)
-    val phys = physicalSchema(schema, cm)
-    val raw = spark.read.schema(phys).parquet(files.map(abs): _*)
-      .select(schema.fields.map(f =>
-          col(physName(cm, f.name)).as(f.name)).toIndexedSeq :+
-        col("_metadata.file_path").as("__fp") :+
-        col("_metadata.row_index").as("__pos"): _*)
+    val raw = readRaw(files, schema, cm, withMeta = true)
     if (dv.isEmpty) raw
     else raw.join(dvPairFrame(dv), Seq("__fp", "__pos"), "left_anti")
+  }
+
+  /** One physical scan (two when the file set mixes graft-written and
+    * Hive-adopted files) surfacing the caller's LOGICAL column names
+    * in `schema` order. Hive-adopted files ([[GraftTable.convert]] on
+    * a `k=v` layout) do not physically contain the partition columns,
+    * so they read through Spark's own partition discovery
+    * (`basePath` = table root) which parses and casts the values from
+    * the directory names — still ONE vectorized scan, partition
+    * columns injected plan-side, no per-partition union. Graft-written
+    * files are self-describing and read exactly as before.
+    */
+  private def readRaw(files: Seq[String], schema: StructType,
+      cm: Map[String, String], withMeta: Boolean): DataFrame = {
+    val metaCols =
+      if (withMeta) Seq(col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+      else Nil
+    def finish(df: DataFrame): DataFrame =
+      df.select(schema.fields.map(f =>
+        col(s"`${physName(cm, f.name)}`").as(f.name)).toIndexedSeq
+        ++ metaCols: _*)
+    val (hiveFs, plainFs) =
+      files.partition(f => GraftTable.hivePartSegments(f).nonEmpty)
+    // files store PHYSICAL column names; partition columns are
+    // rename-immutable so their physical name IS the logical name
+    val phys = physicalSchema(schema, cm)
+    val scans = Seq(
+      if (plainFs.isEmpty) None
+      else Some(finish(spark.read.schema(phys).parquet(plainFs.map(abs): _*))),
+      if (hiveFs.isEmpty) None
+      else Some(finish(spark.read.schema(phys)
+        .option("basePath", root.toString).parquet(hiveFs.map(abs): _*)))
+    ).flatten
+    scans.reduce(_ unionByName _)
   }
 
   /** Deletion-vector tombstones as distinct (`__fp`, `__pos`) rows —
@@ -430,13 +443,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private def readFilesDvAware(files: Seq[String], schema: StructType,
       dv: Seq[String], cm: Map[String, String] = Map.empty): DataFrame =
-    if (dv.isEmpty) {
-      val raw = spark.read.schema(physicalSchema(schema, cm))
-        .parquet(files.map(abs): _*)
-      if (cm.isEmpty) raw
-      else raw.select(schema.fields.map(f =>
-        col(physName(cm, f.name)).as(f.name)).toIndexedSeq: _*)
-    } else scanWithPos(files, schema, dv, cm)
+    if (dv.isEmpty) readRaw(files, schema, cm, withMeta = false)
+    else scanWithPos(files, schema, dv, cm)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** Per-file min/max per eligible column, read straight from the
@@ -1186,11 +1194,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private[graft] def matchHits(candidates: Seq[String],
       hits: Set[String]): Seq[String] = {
+    // hits are `_metadata.file_path` URIs with percent-ENCODED
+    // specials (a space in a hive partition dir arrives as %20);
+    // candidates are plain filesystem paths holding the literal
+    // characters. java.net.URI decodes the former exactly; plain
+    // paths pass through untouched (parsing them as URIs would
+    // mis-decode a literal `%25` in a Hive-escaped dir name).
     def norm(p: String): String =
-      new org.apache.hadoop.fs.Path(p).toUri.getPath match {
-        case null => p
-        case x => x
-      }
+      if (p.startsWith("file:"))
+        try new java.net.URI(p).getPath match {
+          case null => p
+          case x => x
+        } catch { case _: java.net.URISyntaxException => p }
+      else p
     val hitSet = hits.map(norm)
     candidates.filter(f => hitSet.contains(norm(abs(f))))
   }
@@ -2332,6 +2348,43 @@ object GraftTable {
   case class NotMatchedInsert(condition: Option[Column] = None,
       values: Option[Map[String, Column]] = None)
 
+  /** Undo Hive/Spark partition-path escaping (`%2F` etc) — the exact
+    * inverse of the `escapePathName` applied by the parquet writer's
+    * dynamic-partition layout.
+    */
+  private[tables] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `k=v` directory segments of a commit-relative file path —
+    * non-empty exactly for files adopted IN PLACE from a
+    * Hive-partitioned layout ([[convert]]). Graft's own writers
+    * always land files flat under `files/` (or at the root for flat
+    * CONVERT), so a path whose EVERY directory segment is `k=v` can
+    * only be an adopted external file. This is the signal the read
+    * paths use to reinject partition values from the path: the
+    * physical parquet under a Hive layout does NOT contain the
+    * partition columns.
+    */
+  private[tables] def hivePartSegments(rel: String): Seq[(String, String)] = {
+    val segs = rel.replace('\\', '/').split('/').dropRight(1)
+    if (segs.isEmpty || !segs.forall(s => s.indexOf('=') > 0)) Nil
+    else segs.toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) -> unescapePathName(seg.substring(i + 1))
+    }
+  }
+
   /** Per-file column stats: numeric [min,max] plus string [min,max]
     * compared in UTF-8 byte order via [[utf8Cmp]] (exact for every
     * string; only over-long values are dropped, as a truncated max
@@ -2452,20 +2505,64 @@ object GraftTable {
     * Subsequent DML/compaction runs copy-on-write as usual (new
     * files land under `files/`; the adopted originals are retired
     * from the listing when rewritten, reclaimed by VACUUM).
+    *
+    * A HIVE-PARTITIONED layout (`k=v` directory nesting — what a
+    * migrating user's existing `df.write.partitionBy(...)` output
+    * looks like, reference analog: registering existing tables,
+    * Instructor/01-Fraud-Delta.py:116-134) is detected automatically:
+    * the `k=v` segments parse into commit-log partition tuples
+    * (unescaped with the same rules as graft's own partitioned
+    * staging), the table comes up PARTITIONED BY those columns with
+    * exact partition pruning and partition-aware DML live from the
+    * first commit. Partition-column types are inferred by Spark's own
+    * partition discovery. The adopted files keep their original
+    * nested paths; reads reinject the path-encoded partition values
+    * ([[readRaw]]), and copy-on-write DML retires them into ordinary
+    * self-describing graft files.
     */
   def convert(spark: SparkSession, path: String): GraftTable = {
     val root = Paths.get(path)
     val t = new GraftTable(spark, root)
     require(!Files.exists(t.logDir), s"already a graft table: $path")
-    val parts = Files.list(root).iterator().asScala
+    val parts = Files.walk(root).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
         Files.isRegularFile(p))
-      .map(p => root.relativize(p).toString).toSeq.sorted
+      .map(p => root.relativize(p).toString.replace('\\', '/'))
+      .filterNot(_.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith(".")))
+      .toSeq.sorted
     require(parts.nonEmpty, s"no parquet files to convert at $path")
-    val schema = spark.read.parquet(path).schema
-    Files.createDirectories(t.logDir)
-    t.commit("CONVERT", -1L, parts, schema,
-      Map("numAddedFiles" -> parts.size.toLong), t.collectStats(parts))
+    val segs = parts.map(hivePartSegments)
+    if (segs.forall(_.isEmpty)) {
+      // flat layout: files at the root (nested non-hive dirs refused —
+      // an ambiguous layout should fail loudly, not half-adopt)
+      val stray = parts.filter(_.contains('/'))
+      require(stray.isEmpty,
+        s"unrecognized directory layout: ${stray.head} is nested but " +
+          "not under k=v partition directories")
+      val schema = spark.read.parquet(path).schema
+      Files.createDirectories(t.logDir)
+      t.commit("CONVERT", -1L, parts, schema,
+        Map("numAddedFiles" -> parts.size.toLong), t.collectStats(parts))
+    } else {
+      val pcols = segs.head.map(_._1)
+      require(segs.forall(_.map(_._1) == pcols),
+        s"inconsistent hive partition layout under $path: every file " +
+          s"must sit under the same ${pcols.mkString("/")}=... nesting")
+      // Spark's partition discovery gives the full schema with
+      // partition-column TYPES inferred from the path values
+      // (appended after the data columns, Delta/Spark convention)
+      val schema = spark.read.parquet(path).schema
+      require(pcols.forall(schema.fieldNames.contains),
+        s"partition discovery did not surface ${pcols.mkString(",")}")
+      val pv = parts.zip(segs).map { case (f, s) => f -> s.toMap }.toMap
+      Files.createDirectories(t.logDir)
+      t.commit("CONVERT", -1L, parts, schema,
+        Map("numAddedFiles" -> parts.size.toLong,
+          "numPartitionColumns" -> pcols.size.toLong),
+        t.collectStats(parts), newPartValues = pv,
+        partitionByOpt = Some(pcols))
+    }
     t
   }
 

@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{Decimal, StructType}
+import org.apache.spark.sql.types.{DataType, Decimal, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Scan-planning integration for GraftTable batch reads: a custom
   * [[FileIndex]] whose `listFiles` applies the commit log's per-file
@@ -19,6 +20,14 @@ import org.apache.spark.sql.types.{Decimal, StructType}
   * Instructor/01-Fraud-Delta.py:116-134, 02- Databricks_SQL_Scripts
   * .sql:2-10) prunes files exactly like the Scala API.
   *
+  * For tables CONVERTed from a Hive-partitioned layout the adopted
+  * files do not physically contain the partition columns, so the
+  * index surfaces a real `partitionSchema` and `listFiles` groups
+  * files by their commit-log partition tuple, injecting the typed
+  * values through [[PartitionDirectory]] rows — the same mechanism
+  * Spark's own partition discovery uses, so the scan stays ONE
+  * vectorized parquet read with partition pruning intact.
+  *
   * Scale posture: pruning is O(files) driver-side interval checks on
   * metadata already in memory — no file I/O, no listing; at 100 TB
   * with clusterBy'd files a selective predicate drops most of the
@@ -30,15 +39,34 @@ class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
 
   private val snap = table.snapshotInfo(version)
 
+  private def relOf(p: String): String =
+    table.root.toAbsolutePath.relativize(
+      java.nio.file.Paths.get(p).toAbsolutePath).toString.replace('\\', '/')
+
+  /** Absolute paths of files needing path-derived partition-value
+    * injection (Hive-adopted; graft-written files are self-describing).
+    */
+  private val injected: Set[String] =
+    snap.files.filter(p =>
+      GraftTable.hivePartSegments(relOf(p)).nonEmpty).toSet
+
+  override val partitionSchema: StructType =
+    if (injected.isEmpty) StructType(Nil)
+    else StructType(snap.partitionBy.map(c => snap.schema(c)))
+
   /** Schema the scan must use (commit-log authoritative — older files
     * from before an additive evolution surface nulls via parquet
-    * schema clipping).
+    * schema clipping). With partition-value injection active the
+    * partition columns move out of the data schema: adopted files do
+    * not contain them, and self-describing files' copies are simply
+    * not requested from the reader.
     */
-  def dataSchema: StructType = snap.schema
+  def dataSchema: StructType =
+    if (injected.isEmpty) snap.schema
+    else StructType(snap.schema.fields.filterNot(f =>
+      snap.partitionBy.contains(f.name)))
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(table.root.toUri))
-
-  override def partitionSchema: StructType = StructType(Nil)
 
   override def refresh(): Unit = ()
 
@@ -53,17 +81,35 @@ class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
 
   override lazy val sizeInBytes: Long = statuses.map(_._1.getLen).sum
 
+  private def castPartValue(s: String, dt: DataType): Any =
+    if (s == null || s == "__HIVE_DEFAULT_PARTITION__") null
+    else Cast(Literal(UTF8String.fromString(s), StringType), dt,
+      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // per-filter: partition-column-only predicates evaluate EXACTLY
     // against the commit log's partition tuple, everything else goes
     // through min/max interval pruning — one shared implementation
-    // with the DML blast-radius pre-prune (StatsPruning)
+    // with the DML blast-radius pre-prune (StatsPruning). With a real
+    // partitionSchema Spark routes partition predicates through
+    // `partitionFilters`; both arms take the same exact path here.
+    val filters = partitionFilters ++ dataFilters
     val kept = statuses.collect {
       case (st, stats, path)
-        if dataFilters.forall(StatsPruning.keep(_, stats,
-          snap.partValues.get(path), snap.partitionBy, spark)) => st
+        if filters.forall(StatsPruning.keep(_, stats,
+          snap.partValues.get(path), snap.partitionBy, spark)) => (st, path)
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    if (injected.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+    else kept.groupBy { case (_, path) =>
+        snap.partitionBy.map(c =>
+          snap.partValues.getOrElse(path, Map.empty).getOrElse(c, null))
+      }.map { case (tuple, fs) =>
+        val row = InternalRow.fromSeq(
+          snap.partitionBy.zip(tuple).map { case (c, v) =>
+            castPartValue(v, snap.schema(c).dataType) })
+        PartitionDirectory(row, fs.map(_._1).toArray)
+      }.toSeq
   }
 }

@@ -34,8 +34,13 @@ private[graft] object StatsPruning {
     * partition tuple by substituting each attribute with its typed
     * literal (string value cast through Catalyst's own Cast, so
     * "10" = 10 compares in the COLUMN's domain, not lexically). A
-    * file survives unless the predicate is definitively false —
-    * null (e.g. from a cast that cannot parse) keeps conservatively.
+    * file survives unless the predicate is definitively non-TRUE:
+    * `false` always prunes, and `null` prunes too when every
+    * substitution was exact (a filter only passes rows where the
+    * predicate IS TRUE, so a genuinely-NULL partition value — Hive's
+    * `__HIVE_DEFAULT_PARTITION__` — can never satisfy `pk = x`). A
+    * null that came from a missing tuple entry or an unparseable
+    * cast keeps conservatively, as before.
     */
   def partitionMayMatch(e: Expression,
       vals: Option[Map[String, String]], spark: SparkSession): Boolean =
@@ -43,21 +48,26 @@ private[graft] object StatsPruning {
       case None => true // no recorded tuple — never prune
       case Some(m) =>
         try {
+          var unknown = false // a substitution we cannot vouch for
           val bound = e.transformUp {
             case a: AttributeReference =>
               val v = m.get(a.name) match {
-                case None => null
+                case None => unknown = true; null
                 case Some("__HIVE_DEFAULT_PARTITION__") => null
                 case Some(s) =>
-                  Cast(Literal(org.apache.spark.unsafe.types.UTF8String
-                    .fromString(s), org.apache.spark.sql.types.StringType),
+                  val c = Cast(Literal(org.apache.spark.unsafe.types
+                    .UTF8String.fromString(s),
+                    org.apache.spark.sql.types.StringType),
                     a.dataType,
                     Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+                  if (c == null) unknown = true
+                  c
               }
               Literal(v, a.dataType)
           }
           bound.eval(InternalRow.empty) match {
             case false => false
+            case null if !unknown => false
             case _ => true
           }
         } catch { case _: Exception => true } // unknown shape — keep

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.GraftTable
+import org.apache.spark.sql.functions._
+
+/** CONVERT over a Hive-partitioned (`k=v` layout) parquet directory —
+  * the most common asset a migrating user owns (their existing
+  * `df.write.partitionBy(...)` output; reference analog: registering
+  * existing tables, Instructor/01-Fraud-Delta.py:116-134). Adoption is
+  * zero-copy: `k=v` segments parse into commit-log partition tuples,
+  * pruning and partition-aware DML are live from the first commit,
+  * and reads reinject the path-encoded partition values (the physical
+  * files do not contain the partition columns).
+  */
+class HiveConvertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_hive_").resolve("t").toString
+
+  /** A two-level hive layout written by Spark itself. */
+  private def writeHiveDir(): String = {
+    val dir = tmp()
+    Tables.load(spark, sf, "orders")
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.partitionBy("o_year", "o_orderpriority").parquet(dir)
+    dir
+  }
+
+  test("convert adopts a two-level hive dir with partitioning live") {
+    val dir = writeHiveDir()
+    val expected = spark.read.parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    assert(t.partitionColumns === Seq("o_year", "o_orderpriority"))
+    val snap = t.snapshot()
+    // partition columns surface with discovery-inferred types
+    assert(snap.schema("o_year").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(snap.count() === expected.count())
+    // full row fidelity including injected partition values
+    val key = concat_ws("|", $"o_orderkey", $"o_year", $"o_orderpriority",
+      $"o_totalprice")
+    assert(snap.select(key).as[String].collect().sorted
+      === expected.select(key).as[String].collect().sorted)
+  }
+
+  test("partition pruning hits the commit-log tuples, not the data") {
+    val dir = writeHiveDir()
+    val t = GraftTable.convert(spark, dir)
+    val all = t.snapshot().select("o_year").distinct().as[Int].collect()
+    assert(all.length > 1, "need multiple partitions for a pruning test")
+    val y = all.min
+    val cand = t.candidateFiles($"o_year" === y && $"o_orderpriority" === "1-URGENT")
+    assert(cand.nonEmpty)
+    // every surviving candidate is from exactly the asked-for partition
+    assert(cand.forall(f =>
+      f.contains(s"o_year=$y") && f.contains("o_orderpriority=1-URGENT")))
+    val total = t.snapshot().inputFiles.length
+    assert(cand.length < total,
+      s"pruning kept all $total files — partition tuples not consulted")
+  }
+
+  test("registered scan injects partition values and prunes files") {
+    val dir = writeHiveDir()
+    GraftTable.convert(spark, dir)
+    val df = spark.read.format("graft-table").load(dir)
+    val expected = spark.read.parquet(dir)
+    assert(df.count() === expected.count())
+    val y = expected.select(min("o_year")).as[Int].head()
+    val filtered = df.where($"o_year" === y && $"o_orderpriority" === "1-URGENT")
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(filtered.collect().length.toLong ===
+      expected.where($"o_year" === y && $"o_orderpriority" === "1-URGENT").count())
+    // scan metrics: the planned scan opened only the pruned
+    // partition's files (partition tuples evaluated in the FileIndex)
+    val total = expected.inputFiles.length
+    val scanned = scan.metrics("numFiles").value
+    assert(scanned > 0 && scanned < total,
+      s"scan read $scanned of $total files — partition pruning inert")
+  }
+
+  test("DML is live immediately: partition delete, update, append") {
+    val dir = writeHiveDir()
+    val t = GraftTable.convert(spark, dir)
+    val before = spark.read.parquet(dir)
+    val total = before.count()
+    val urgent = before.where($"o_orderpriority" === "1-URGENT").count()
+
+    // partition-scoped DELETE: blast radius is the partition's files
+    t.delete($"o_orderpriority" === "1-URGENT")
+    assert(t.snapshot().count() === total - urgent)
+    assert(t.snapshot().where($"o_orderpriority" === "1-URGENT").count() === 0)
+
+    // UPDATE rewrites into self-describing graft files; mixed
+    // (adopted + rewritten) snapshots stay consistent
+    t.update($"o_orderstatus" === "F", Map("o_totalprice" -> lit(0.0)))
+    val f = t.snapshot().where($"o_orderstatus" === "F")
+    assert(f.count() > 0)
+    assert(f.where($"o_totalprice" =!= 0.0).count() === 0)
+
+    // append lands partition-aligned with recorded tuples
+    val extra = t.snapshot().limit(7)
+      .withColumn("o_year", lit(1901))
+    t.append(extra)
+    assert(t.snapshot().where($"o_year" === 1901).count() === 7)
+    val cand99 = t.candidateFiles($"o_year" === 1901)
+    assert(cand99.nonEmpty && cand99.forall(_.startsWith("files/")))
+
+    // time travel: v0 is the pristine adopted state
+    assert(t.snapshotAt(0).count() === total)
+  }
+
+  test("null and escaped partition values round-trip") {
+    val dir = tmp()
+    Seq((1L, "plain", "a"), (2L, null, "b"), (3L, "has space", "c"),
+      (4L, "x=y", "d"))
+      .toDF("id", "pk", "v")
+      .write.partitionBy("pk").parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    val snap = t.snapshot()
+    assert(snap.where($"pk".isNull).select("id").as[Long].collect().toSeq === Seq(2L))
+    assert(snap.where($"pk" === "has space").count() === 1)
+    assert(snap.where($"pk" === "x=y").select("id").as[Long].head() === 4L)
+    // exact pruning on an escaped value
+    val cand = t.candidateFiles($"pk" === "x=y")
+    assert(cand.length === 1)
+  }
+
+  test("flat convert still works and refuses ambiguous layouts") {
+    val dir = tmp()
+    Tables.load(spark, sf, "nation").write.parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    assert(t.partitionColumns.isEmpty)
+    assert(t.snapshot().count() === 25)
+
+    // nested non-hive dirs: loud refusal, not a half-adopt
+    val bad = tmp()
+    Tables.load(spark, sf, "nation").write.parquet(bad + "/sub")
+    Tables.load(spark, sf, "region").write.parquet(bad + "/other")
+    intercept[IllegalArgumentException] {
+      GraftTable.convert(spark, bad)
+    }
+  }
+
+  test("inconsistent hive nesting is refused") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/k=1")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(dir + "/j=2")
+    intercept[IllegalArgumentException] {
+      GraftTable.convert(spark, dir)
+    }
+  }
+}
