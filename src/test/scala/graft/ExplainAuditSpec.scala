@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+/** Plan-regression gate for the TPC-H family: the plan shapes that
+  * were hand-audited green (filters reaching the parquet scan, no
+  * explicit broadcast hint over an sf-proportional side, no cartesian
+  * products) are CI'd here so they cannot rot. At 100 TB the
+  * difference between these plans and their degraded cousins is the
+  * difference between reading a slice of the fact table and reading
+  * all of it — or between a hash join and an executor-OOM broadcast.
+  *
+  * Plans are inspected with AQE off: the assertions target the
+  * STATIC planner output (pushdown, hint placement, join shape),
+  * which AQE would wrap in an adaptive root without changing any of
+  * the audited properties.
+  */
+class ExplainAuditSpec extends SparkSpec {
+
+  /** Tables whose size grows with the scale factor — an explicit
+    * broadcast hint on any of these is a latent executor OOM at
+    * 100×. nation (25 rows) and region (5) are scale-constant.
+    */
+  private val sfProportional =
+    Set("customer", "orders", "lineitem", "supplier", "part", "events",
+      "documents", "embeddings")
+
+  /** Which table a relation subtree scans, by its parquet path. */
+  private def tablesOf(files: Seq[String]): Set[String] =
+    sfProportional.filter(t => files.exists(_.contains(s"/$t.parquet")))
+
+  /** Explicit broadcast hints in the ANALYZED plan whose subtree
+    * reads an sf-proportional table. Detection must be logical-level:
+    * at tiny SFs the planner auto-broadcasts small sides by size
+    * estimate (correct, self-adjusting at scale), so only the
+    * user-pinned hint is a regression.
+    */
+  private def badBroadcastHints(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        h.child.collect {
+          case l: LogicalRelation =>
+            tablesOf(l.relation match {
+              case r: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                r.location.inputFiles.toSeq
+              case _ => Nil
+            })
+        }.flatten.toSet
+    }.flatten.distinct
+
+  private def scansByTable(df: DataFrame): Map[String, FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec =>
+        s.relation.location.inputFiles.headOption.flatMap(f =>
+          (sfProportional ++ Set("nation", "region"))
+            .find(t => f.contains(s"/$t.parquet"))).map(_ -> s)
+    }.flatten.toMap
+
+  private def withStaticPlans[A](body: => A): A = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  /** query → (table → substring that must appear in PushedFilters).
+    * These are the selective predicates the verdict audits by hand:
+    * each one reaching the scan is what makes the query read a slice
+    * of the fact table instead of all of it.
+    */
+  private val requiredPushdown: Map[String, Map[String, String]] = Map(
+    "q1_pricing_summary" -> Map("lineitem" -> "l_shipdate"),
+    "q3_shipping_priority" -> Map("lineitem" -> "l_shipdate",
+      "orders" -> "o_orderdate", "customer" -> "c_mktsegment"),
+    "q5_region_revenue" -> Map("orders" -> "o_orderdate"),
+    "q6_forecast_revenue" -> Map("lineitem" -> "l_discount"),
+    "q10_returned_revenue" -> Map("lineitem" -> "l_returnflag",
+      "orders" -> "o_orderdate"),
+    "q18_large_orders" -> Map("lineitem" -> "l_orderkey"),
+    "q19_brand_revenue" -> Map("lineitem" -> "l_quantity",
+      "part" -> "p_brand"))
+
+  test("TPC-H plans: pushdown reaches the scans, no pinned broadcast " +
+      "of a scale-proportional side, no cartesian products") {
+    withStaticPlans {
+      requiredPushdown.foreach { case (name, wanted) =>
+        val df = SparkEntry.queries(name)(spark, sf)
+
+        val hinted = badBroadcastHints(df)
+        assert(hinted.isEmpty,
+          s"$name: explicit broadcast hint over sf-proportional " +
+            s"side(s) ${hinted.mkString(",")}")
+
+        val cartesian = df.queryExecution.executedPlan.collect {
+          case c: CartesianProductExec => c
+          case b: BroadcastNestedLoopJoinExec => b
+        }
+        assert(cartesian.isEmpty,
+          s"$name: plan contains ${cartesian.map(_.nodeName).mkString(",")}")
+
+        val scans = scansByTable(df)
+        wanted.foreach { case (table, marker) =>
+          val scan = scans.getOrElse(table,
+            fail(s"$name: no parquet scan of $table found"))
+          val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+          assert(pushed != "[]" && pushed.contains(marker),
+            s"$name: $table scan PushedFilters=$pushed lacks $marker — " +
+              "the predicate no longer reaches the scan")
+        }
+      }
+    }
+  }
+
+  test("the broadcast-hint detector actually fires on broadcast(customer)") {
+    withStaticPlans {
+      val orders = Tables.load(spark, sf, "orders")
+      val customer = Tables.load(spark, sf, "customer")
+      val bad = orders.join(broadcast(customer),
+        col("o_custkey") === col("c_custkey"))
+      assert(badBroadcastHints(bad) === Seq("customer"))
+      // and a scale-constant hint stays allowed
+      val nation = Tables.load(spark, sf, "nation")
+      val fine = customer.join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      assert(badBroadcastHints(fine).isEmpty)
+    }
+  }
+}
