@@ -46,6 +46,12 @@ object SparkEntry {
     "q18_large_orders" -> (Analytics.largeOrders _),
     "q19_brand_revenue" -> (Analytics.brandRevenue _),
     "q22_idle_customers" -> (Analytics.idleCustomers _),
+    "q2_min_cost_supp" -> (Analytics.minCostSupplier _),
+    "q11_important_parts" -> (Analytics.importantParts _),
+    "q12_priority_shipping" -> (Analytics.priorityShipping _),
+    "q16_supplier_cnt" -> (Analytics.supplierCount _),
+    "q20_excess_suppliers" -> (Analytics.excessSuppliers _),
+    "q21_waiting_suppliers" -> (Analytics.waitingSuppliers _),
     "q_set_ops_customers" -> (Analytics.setOpsCustomers _),
     "q_percentile_bands" -> (Analytics.percentileBands _),
     "q_string_filters" -> (Analytics.stringFilters _),
@@ -597,6 +603,99 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY n_name""".stripMargin,
+    "q2_min_cost_supp" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(12,4))) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |europe AS (
+        |  SELECT supply.*, s_acctbal, s_name, n_name
+        |  FROM supply, supplier, nation, region
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |min_cost AS (
+        |  SELECT l_partkey AS mc_partkey, MIN(cost) AS mc
+        |  FROM europe GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(round(cost, 4) AS DOUBLE) AS cost
+        |FROM europe, min_cost, part
+        |WHERE l_partkey = mc_partkey AND cost = mc
+        |  AND l_partkey = p_partkey AND p_size <= 15 AND p_type = 'STANDARD'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 10""".stripMargin,
+    "q11_important_parts" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS part_value
+        |  FROM lineitem, supplier, nation, region
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey,
+        |  CAST(round(part_value, 4) AS DOUBLE) AS part_value
+        |FROM per_part
+        |WHERE part_value * (SELECT COUNT(*) FROM per_part)
+        |  > (SELECT SUM(part_value) FROM per_part) * 2""".stripMargin,
+    "q12_priority_shipping" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS low_line_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs, part
+        |WHERE l_partkey = p_partkey
+        |  AND p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem, part
+        |  WHERE l_partkey = p_partkey AND p_name LIKE 'small%'),
+        |per_pair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,4))) AS pair_qty
+        |  FROM shipped GROUP BY l_partkey, l_suppkey),
+        |per_part AS (
+        |  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,4))) AS part_qty,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp
+        |  FROM shipped GROUP BY l_partkey)
+        |SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT DISTINCT pp.l_suppkey FROM per_pair pp, per_part pt
+        |  WHERE pp.l_partkey = pt.l_partkey
+        |    AND pp.pair_qty * pt.n_supp > pt.part_qty * 2)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH fli AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+        |  WHERE l_orderkey IN
+        |    (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+        |per_order AS (
+        |  SELECT l_orderkey, MAX(l_shipdate) AS max_shipdate,
+        |    COUNT(DISTINCT l_suppkey) AS n_suppliers
+        |  FROM fli GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2),
+        |latest AS (
+        |  SELECT f.l_orderkey, f.l_suppkey FROM fli f, per_order g
+        |  WHERE f.l_orderkey = g.l_orderkey AND f.l_shipdate = g.max_shipdate),
+        |unique_late AS (
+        |  SELECT l_orderkey FROM latest GROUP BY l_orderkey
+        |  HAVING COUNT(DISTINCT l_suppkey) = 1)
+        |SELECT s_name, COUNT(*) AS numwait FROM
+        |  (SELECT DISTINCT l_orderkey, l_suppkey FROM latest
+        |   WHERE l_orderkey IN (SELECT l_orderkey FROM unique_late)) w,
+        |  supplier
+        |WHERE w.l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
     "q_set_ops_customers" ->
       """SELECT 'both' AS grp, COUNT(*) AS n FROM (
         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996

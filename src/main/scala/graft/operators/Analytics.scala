@@ -552,6 +552,178 @@ object Analytics {
         asDouble(sum(dec(col("c_acctbal")))).as("totacctbal"))
   }
 
+  /** TPC-H Q2 shape: cheapest supplier per part within a region —
+    * the correlated MIN subquery, decorrelated to a per-part min
+    * pre-aggregate joined back on (part, cost). The derived supply
+    * relation (min line price per part×supplier — the schema has no
+    * partsupp) is built ONCE and reused for both the candidate rows
+    * and the minimum, so the fact table is scanned once per side
+    * with the region semi-filter applied before any per-part work.
+    * Cost stays DECIMAL end-to-end; only the output converts.
+    */
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val s = Tables.load(spark, sfDir, "supplier")
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val supply = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost"))
+    val europe = supply
+      .join(s, col("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r.filter(col("r_name") === "EUROPE")),
+        n("n_regionkey") === r("r_regionkey"))
+    val minCost = europe.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+    europe
+      .join(minCost, col("l_partkey") === col("mc_partkey") &&
+        col("cost") === col("min_cost"))
+      .join(p, col("l_partkey") === p("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), asDouble(col("cost")).as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q11 shape: parts carrying an outsized share of one
+    * region's supplied value — GROUP BY HAVING > fraction-of-global
+    * scalar. The global total is a 1-row decimal frame cross-joined
+    * (planner broadcasts it); the share threshold compares DECIMAL
+    * to DECIMAL, so the boundary part cannot flip between engines.
+    * (Region, not single nation: the smallest test SF has nations
+    * with zero suppliers, which would make the query degenerate.)
+    */
+  def importantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val s = Tables.load(spark, sfDir, "supplier")
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val national = li
+      .join(s, col("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r.filter(col("r_name") === "ASIA")),
+        n("n_regionkey") === r("r_regionkey"))
+    val perPart = national.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("part_value"))
+    val total = perPart.agg(sum(col("part_value")).as("total_value"),
+      count(lit(1)).as("n_parts"))
+    // "share > 2× the average share", spelled value·n > total·2 —
+    // multiplications only, so the boundary part is exact in every
+    // engine AND the threshold tracks the scale factor (a fixed
+    // fraction empties as the part count grows)
+    perPart.crossJoin(total)
+      .filter(col("part_value") * col("n_parts") >
+        col("total_value") * lit(2))
+      .select(col("l_partkey"),
+        asDouble(col("part_value")).as("part_value"))
+  }
+
+  /** TPC-H Q12 shape: order-priority mix per line class after a
+    * fact-fact join — the two CASE counts ride one aggregation, the
+    * ship-date year filter is pushed to the lineitem scan.
+    */
+  def priorityShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") <
+          lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val o = Tables.load(spark, sfDir, "orders")
+    val isHigh = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(isHigh, 1)).as("high_line_count"),
+        count(when(!isHigh, 1)).as("low_line_count"))
+  }
+
+  /** TPC-H Q16 shape: how many distinct suppliers can provide each
+    * part profile, excluding a supplier blacklist — the NOT IN
+    * subquery becomes a LEFT ANTI join, and the distinct count runs
+    * AFTER the anti join so excluded suppliers never inflate it.
+    * (No partsupp in this schema: who-supplies-what derives from
+    * shipped lines; the blacklist is negative-balance suppliers.)
+    */
+  def supplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_brand") =!= "Brand#15" && col("p_type") =!= "PROMO")
+    val bad = Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    li.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(bad, col("l_suppkey") === bad("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape: suppliers who DOMINATE the supply of a
+    * qualifying part — the nested semi-join chain: an inner per-part
+    * aggregate sets the threshold, the per-supplier aggregate beats
+    * it, and the surviving (part, supplier) pairs semi-filter the
+    * supplier list. Quantities sum as DECIMAL so the 0.5× boundary
+    * is engine-exact.
+    */
+  def excessSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val shipped = li.join(p, col("l_partkey") === p("p_partkey"))
+    val perPair = shipped.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("pair_qty"))
+    val perPart = shipped.groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("part_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+    // dominance = shipped >2× the average supplier's share of the
+    // part, spelled qty·n_supp > total·2: multiplication-only decimal
+    // math (engine-exact boundary) that stays meaningful as supplier
+    // counts grow with scale — a fixed fraction would empty out
+    val dominant = perPair
+      .join(perPart, col("l_partkey") === col("pp_partkey"))
+      .filter(col("pair_qty") * col("n_supp") >
+        col("part_qty") * lit(2))
+      .select(col("l_suppkey")).distinct()
+    Tables.load(spark, sfDir, "supplier")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+  }
+
+  /** TPC-H Q21 shape: suppliers who held up multi-supplier orders —
+    * the EXISTS (another supplier on the order) / NOT EXISTS (another
+    * supplier equally late) pair, expressed as per-order aggregates
+    * joined back: the waiting supplier is the UNIQUE latest-shipping
+    * supplier on a failed order with ≥2 suppliers. Everything
+    * aggregates per order key first, so the fact table shuffles once
+    * on l_orderkey and the joins see order-count-sized inputs.
+    */
+  def waitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .join(o, col("l_orderkey") === o("o_orderkey"), "left_semi")
+    val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_shipdate"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .filter(col("n_suppliers") >= 2)
+    val latest = li.join(perOrder,
+      col("l_orderkey") === col("g_orderkey") &&
+        col("l_shipdate") === col("max_shipdate"))
+    val uniqueLate = latest.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_late"))
+      .filter(col("n_late") === 1).select(col("l_orderkey").as("u_orderkey"))
+    val s = Tables.load(spark, sfDir, "supplier")
+    latest.join(uniqueLate, col("l_orderkey") === col("u_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(s, col("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
   /** Time-intelligence: monthly revenue with month-over-month growth
     * via lag window. Growth is double division of two exact decimal-
     * derived doubles — engine-portable.

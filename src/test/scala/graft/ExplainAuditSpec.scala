@@ -82,7 +82,9 @@ class ExplainAuditSpec extends SparkSpec {
       "orders" -> "o_orderdate"),
     "q18_large_orders" -> Map("lineitem" -> "l_orderkey"),
     "q19_brand_revenue" -> Map("lineitem" -> "l_quantity",
-      "part" -> "p_brand"))
+      "part" -> "p_brand"),
+    "q12_priority_shipping" -> Map("lineitem" -> "l_shipdate"),
+    "q21_waiting_suppliers" -> Map("orders" -> "o_orderstatus"))
 
   test("TPC-H plans: pushdown reaches the scans, no pinned broadcast " +
       "of a scale-proportional side, no cartesian products") {
