@@ -225,7 +225,25 @@ class GraftTableSourceProvider extends StreamSourceProvider
     new GraftTableSource(sqlContext.sparkSession, table,
       cdc = cdcMode(parameters), startVersion = startV,
       maxVersionsPerTrigger =
-        parameters.get("maxVersionsPerTrigger").map(_.toLong))
+        parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      maxBytesPerTrigger =
+        parameters.get("maxBytesPerTrigger").map(parseBytes))
+  }
+
+  /** `maxBytesPerTrigger` spellings: a plain byte count or a
+    * k/m/g-suffixed size (Delta accepts "10g"-style values).
+    */
+  private def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.init, 1L << 10)
+      case 'm' => (t.init, 1L << 20)
+      case 'g' => (t.init, 1L << 30)
+      case _ => (t, 1L)
+    }
+    val v = num.trim.toLong * mult
+    require(v > 0, s"maxBytesPerTrigger must be positive: $s")
+    v
   }
 }
 
@@ -273,9 +291,18 @@ class GraftTableSink(spark: SparkSession, path: String,
   *   engine replays the last batch on restart (restoring source
   *   state through getBatch) before asking for a new offset.
   */
+/** @param maxBytesPerTrigger byte-budget admission control (Delta's
+  *   soft-max semantics): the window advances version by version
+  *   while the cumulative ADDED bytes stay within budget, always
+  *   admitting at least one version so an oversized commit cannot
+  *   stall the stream. Composes with maxVersionsPerTrigger (both
+  *   caps apply). Sizing is O(added-files) driver metadata per
+  *   admitted version — no data I/O.
+  */
 class GraftTableSource(spark: SparkSession, table: GraftTable,
     cdc: Boolean = false, startVersion: Option[Long] = None,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
@@ -305,9 +332,25 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
         case LongOffset(v) => v
         case o => o.json().toLong
       }.orElse(startVersion).getOrElse(-1L)
-    val capped = maxVersionsPerTrigger match {
+    val vCapped = maxVersionsPerTrigger match {
       case Some(m) => math.max(base, math.min(latest, base + math.max(1L, m)))
       case None => math.max(base, latest)
+    }
+    val capped = maxBytesPerTrigger match {
+      case Some(budget) if vCapped > base =>
+        // soft max: admit versions while the byte budget holds, but
+        // always at least one — an oversized commit must flow, not
+        // wedge the stream (Delta's maxBytesPerTrigger semantics)
+        var v = base + 1
+        var bytes = table.addedBytesIn(v)
+        var continue = true
+        while (continue && v < vCapped) {
+          val next = table.addedBytesIn(v + 1)
+          if (bytes + next <= budget) { v += 1; bytes += next }
+          else continue = false
+        }
+        v
+      case _ => vCapped
     }
     served = math.max(served, capped)
     LongOffset(capped)

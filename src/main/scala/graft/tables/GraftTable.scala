@@ -2083,6 +2083,22 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else readFilesDvAware(added, schema, dvAt(latestVersion), columnMapAt(latestVersion))
   }
 
+  /** Bytes of the data files ADDED by commit `version` — the
+    * admission currency for byte-based streaming rate limiting
+    * (Delta's maxBytesPerTrigger). O(added-files) driver-side stat
+    * calls on metadata paths; files a concurrent VACUUM already
+    * reclaimed count zero (the stream will refuse/skip those commits
+    * downstream anyway).
+    */
+  private[graft] def addedBytesIn(version: Long): Long = {
+    val prev: Set[String] =
+      if (version <= 0) Set.empty else readCommit(version - 1).files.toSet
+    readCommit(version).files.filterNot(prev).map { f =>
+      val p = root.resolve(f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+  }
+
   /** Files (absolute paths) added in versions (fromVersion, toVersion]
     * plus the end schema — the micro-batch unit for the streaming
     * source. Walks each crossed commit and REFUSES any that removed

@@ -425,6 +425,44 @@ class StreamingSpec extends SparkSpec {
     assert(seen.count(_ > 0) >= 4, s"expected >=4 non-empty batches: $seen")
   }
 
+  test("maxBytesPerTrigger admits versions by byte budget, at least one each") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_mbpt_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 50).select($"id".as("value")).coalesce(1))        // v0
+    t.append(spark.range(50, 100).select($"id".as("value")).coalesce(1))  // v1
+    t.append(spark.range(100, 150).select($"id".as("value")).coalesce(1)) // v2
+    t.append(spark.range(150, 200).select($"id".as("value")).coalesce(1)) // v3
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    // a 1-byte budget is below ANY commit's size: soft-max semantics
+    // must still admit exactly one version per trigger, never zero
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("maxBytesPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.count() }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(seen.sum === 200, s"got $seen")
+    assert(seen.forall(_ <= 50), s"a batch exceeded one version: $seen")
+    assert(seen.count(_ > 0) >= 4, s"expected >=4 non-empty batches: $seen")
+
+    // a generous budget (and k/m/g spellings parse) drains in one batch
+    val seenBig = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = spark.readStream.format("graft-table").option("path", root)
+      .option("maxBytesPerTrigger", "1g").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seenBig.synchronized { seenBig += df.count() }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000))
+    assert(seenBig.sum === 200, s"got $seenBig")
+    assert(seenBig.count(_ > 0) === 1,
+      s"a 1g budget should drain the backlog in one batch: $seenBig")
+  }
+
   test("maxVersionsPerTrigger paces the CDC stream too") {
     import graft.tables.GraftTable
     val root = Files.createTempDirectory("graft_cdcmv_").resolve("t").toString
