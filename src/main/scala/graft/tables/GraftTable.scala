@@ -409,14 +409,24 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // files store PHYSICAL column names; partition columns are
     // rename-immutable so their physical name IS the logical name
     val phys = physicalSchema(schema, cm)
-    val scans = Seq(
-      if (plainFs.isEmpty) None
-      else Some(finish(spark.read.schema(phys).parquet(plainFs.map(abs): _*))),
-      if (hiveFs.isEmpty) None
-      else Some(finish(spark.read.schema(phys)
-        .option("basePath", root.toString).parquet(hiveFs.map(abs): _*)))
-    ).flatten
-    scans.reduce(_ unionByName _)
+    // one scan per discovery root: the root is the path above the
+    // k=v run, which is this table for its own adopted files and the
+    // SOURCE table for shallow-cloned ones (absolute references)
+    val hiveScans = hiveFs.groupBy { f =>
+      val a = abs(f).replace('\\', '/')
+      val n = GraftTable.hivePartSegments(a).length
+      a.split('/').dropRight(n + 1).mkString("/")
+    }.toSeq.sortBy(_._1).map { case (base, fs) =>
+      finish(spark.read.schema(phys)
+        .option("basePath", base).parquet(fs.map(abs): _*))
+    }
+    val scans = (if (plainFs.isEmpty) Nil
+      else Seq(finish(
+        spark.read.schema(phys).parquet(plainFs.map(abs): _*)))) ++ hiveScans
+    // zero files: an empty frame under the same schema, as the plain
+    // zero-varargs parquet read always produced
+    if (scans.isEmpty) finish(spark.read.schema(phys).parquet())
+    else scans.reduce(_ unionByName _)
   }
 
   /** Deletion-vector tombstones as distinct (`__fp`, `__pos`) rows —
@@ -2382,23 +2392,29 @@ object GraftTable {
     sb.toString
   }
 
-  /** `k=v` directory segments of a commit-relative file path —
-    * non-empty exactly for files adopted IN PLACE from a
-    * Hive-partitioned layout ([[convert]]). Graft's own writers
-    * always land files flat under `files/` (or at the root for flat
-    * CONVERT), so a path whose EVERY directory segment is `k=v` can
+  /** TRAILING `k=v` directory segments of a file path — non-empty
+    * exactly for files adopted IN PLACE from a Hive-partitioned
+    * layout ([[convert]]). Graft's own writers always land files
+    * flat under `files/` (or at the table root for flat CONVERT), so
+    * a run of `k=v` segments immediately above the file name can
     * only be an adopted external file. This is the signal the read
     * paths use to reinject partition values from the path: the
     * physical parquet under a Hive layout does NOT contain the
     * partition columns.
+    *
+    * The run is taken from the file name UPWARD (not "all segments")
+    * because a SHALLOW CLONE references adopted files by ABSOLUTE
+    * path — the source root's plain directories precede the `k=v`
+    * run, and requiring every segment to match would silently read
+    * the clone's partition columns as null.
     */
-  private[tables] def hivePartSegments(rel: String): Seq[(String, String)] = {
-    val segs = rel.replace('\\', '/').split('/').dropRight(1)
-    if (segs.isEmpty || !segs.forall(s => s.indexOf('=') > 0)) Nil
-    else segs.toSeq.map { seg =>
-      val i = seg.indexOf('=')
-      seg.substring(0, i) -> unescapePathName(seg.substring(i + 1))
-    }
+  private[tables] def hivePartSegments(path: String): Seq[(String, String)] = {
+    val segs = path.replace('\\', '/').split('/').dropRight(1)
+    segs.reverse.takeWhile(s => s.indexOf('=') > 0).reverse.toSeq
+      .map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) -> unescapePathName(seg.substring(i + 1))
+      }
   }
 
   /** Per-file column stats: numeric [min,max] plus string [min,max]
@@ -2561,6 +2577,15 @@ object GraftTable {
       t.commit("CONVERT", -1L, parts, schema,
         Map("numAddedFiles" -> parts.size.toLong), t.collectStats(parts))
     } else {
+      // the k=v run must cover the WHOLE directory chain of every
+      // file — a layout mixing plain and k=v levels is ambiguous and
+      // refuses loudly rather than half-adopting
+      val partial = parts.zip(segs).find { case (f, s) =>
+        s.length != f.count(_ == '/')
+      }
+      require(partial.isEmpty,
+        s"unrecognized directory layout: ${partial.map(_._1).getOrElse("")} " +
+          "mixes k=v and plain directory levels")
       val pcols = segs.head.map(_._1)
       require(segs.forall(_.map(_._1) == pcols),
         s"inconsistent hive partition layout under $path: every file " +

@@ -39,16 +39,13 @@ class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
 
   private val snap = table.snapshotInfo(version)
 
-  private def relOf(p: String): String =
-    table.root.toAbsolutePath.relativize(
-      java.nio.file.Paths.get(p).toAbsolutePath).toString.replace('\\', '/')
-
-  /** Absolute paths of files needing path-derived partition-value
-    * injection (Hive-adopted; graft-written files are self-describing).
+  /** Absolute paths of files needing partition-value injection
+    * (Hive-adopted, possibly via a shallow clone's absolute refs;
+    * graft-written files are self-describing). Values come from the
+    * commit log's partition tuples, so the path is only the SIGNAL.
     */
   private val injected: Set[String] =
-    snap.files.filter(p =>
-      GraftTable.hivePartSegments(relOf(p)).nonEmpty).toSet
+    snap.files.filter(p => GraftTable.hivePartSegments(p).nonEmpty).toSet
 
   override val partitionSchema: StructType =
     if (injected.isEmpty) StructType(Nil)

@@ -146,6 +146,33 @@ class HiveConvertSpec extends SparkSpec {
     }
   }
 
+  test("shallow clone of a hive-adopted table keeps partition values") {
+    val dir = writeHiveDir()
+    val t = GraftTable.convert(spark, dir)
+    val cloneDir = tmp()
+    // the clone references the adopted files by ABSOLUTE path; the
+    // k=v run sits under the SOURCE root, so partition-value
+    // reinjection must survive the indirection
+    GraftTable.shallowClone(spark, dir, cloneDir)
+    val c = GraftTable.load(spark, cloneDir)
+    val expected = spark.read.parquet(dir)
+    assert(c.partitionColumns === Seq("o_year", "o_orderpriority"))
+    assert(c.snapshot().count() === expected.count())
+    assert(c.snapshot().where($"o_orderpriority".isNull).count() === 0,
+      "cloned hive files read partition columns as null")
+    val y = expected.select(min("o_year")).as[Int].head()
+    assert(c.snapshot().where($"o_year" === y).count() ===
+      expected.where($"o_year" === y).count())
+    // registered scan over the clone injects values too
+    val reg = spark.read.format("graft-table").load(cloneDir)
+    assert(reg.where($"o_year" === y).count() ===
+      expected.where($"o_year" === y).count())
+    // DML on the clone un-shares files without touching the source
+    c.delete($"o_year" === y)
+    assert(c.snapshot().where($"o_year" === y).count() === 0)
+    assert(GraftTable.load(spark, dir).snapshot().count() === expected.count())
+  }
+
   test("inconsistent hive nesting is refused") {
     val dir = tmp()
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/k=1")
