@@ -227,7 +227,9 @@ class GraftTableSourceProvider extends StreamSourceProvider
       maxVersionsPerTrigger =
         parameters.get("maxVersionsPerTrigger").map(_.toLong),
       maxBytesPerTrigger =
-        parameters.get("maxBytesPerTrigger").map(parseBytes))
+        parameters.get("maxBytesPerTrigger").map(parseBytes),
+      skipChangeCommits = parameters.get("skipChangeCommits")
+        .exists(_.equalsIgnoreCase("true")))
   }
 
   /** `maxBytesPerTrigger` spellings: a plain byte count or a
@@ -299,10 +301,18 @@ class GraftTableSink(spark: SparkSession, path: String,
   *   caps apply). Sizing is O(added-files) driver metadata per
   *   admitted version — no data I/O.
   */
+/** @param skipChangeCommits Delta's streaming option: silently skip
+  *   copy-on-write DML commits (file rewrites, DV adds) instead of
+  *   failing the stream. Appends still flow; rows the skipped commit
+  *   touched simply never re-emit — the documented opt-in trade for
+  *   keeping an append-feed alive over a table that takes occasional
+  *   corrections.
+  */
 class GraftTableSource(spark: SparkSession, table: GraftTable,
     cdc: Boolean = false, startVersion: Option[Long] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Source
+    maxBytesPerTrigger: Option[Long] = None,
+    skipChangeCommits: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
@@ -394,11 +404,11 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
     val df =
       if (cdc) table.changeFeed(startV, endV)
       else {
-        val batch = table.filesAddedIn(startV, endV)
+        val batch = table.filesAddedIn(startV, endV, skipChangeCommits)
         if (batch.files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        else spark.read.schema(batch.schema).parquet(batch.files: _*)
+        else table.readBatchFiles(batch.files, batch.schema)
       }
     // V1 sources must hand back an isStreaming=true frame
     GraftPlans.streamingDF(spark, GraftPlans.toInternalRdd(df), df.schema)

@@ -2093,6 +2093,17 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else readFilesDvAware(added, schema, dvAt(latestVersion), columnMapAt(latestVersion))
   }
 
+  /** Read a streaming micro-batch's files under `schema` — the
+    * raw-replay path for the version-offset source. Routes through
+    * [[readRaw]] so Hive-adopted files ([[GraftTable.convert]] on a
+    * `k=v` layout) get their path-encoded partition values injected
+    * instead of reading as null (column-mapped tables are gated out
+    * of raw replay upstream, so no map applies here).
+    */
+  private[graft] def readBatchFiles(files: Seq[String],
+      schema: StructType): DataFrame =
+    readRaw(files, schema, Map.empty, withMeta = false)
+
   /** Bytes of the data files ADDED by commit `version` — the
     * admission currency for byte-based streaming rate limiting
     * (Delta's maxBytesPerTrigger). O(added-files) driver-side stat
@@ -2114,9 +2125,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * source. Walks each crossed commit and REFUSES any that removed
     * files (copy-on-write DML/compaction): replaying those as
     * appends would double-read rewritten rows; `changeFeed` is the
-    * honest primitive there.
+    * honest primitive there. With `skipChangeCommits` (Delta's
+    * streaming option) those commits are silently SKIPPED instead:
+    * the stream stays an append feed, already-emitted rows are never
+    * re-sent, and rows a skipped DELETE/UPDATE touched simply do not
+    * update downstream — the documented opt-in trade.
     */
-  def filesAddedIn(fromVersion: Long, toVersion: Long): GraftTable.VersionBatch = {
+  def filesAddedIn(fromVersion: Long,
+      toVersion: Long): GraftTable.VersionBatch =
+    filesAddedIn(fromVersion, toVersion, skipChangeCommits = false)
+
+  def filesAddedIn(fromVersion: Long, toVersion: Long,
+      skipChangeCommits: Boolean): GraftTable.VersionBatch = {
     val endSchema = schemaAt(toVersion)
     val added = (((fromVersion max -1L) + 1L) to toVersion).flatMap { v =>
       val c = readCommit(v)
@@ -2129,21 +2149,24 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       // auto-compaction would terminally poison every running stream
       val noLogicalChange =
         Set("COMPACT", "CLUSTER", "ZORDER", "PURGE")(c.operation)
-      if (noLogicalChange) Nil
-      else {
-      val removed = prev -- c.files.toSet
-      if (removed.nonEmpty)
-        throw new UnsupportedOperationException(
-          s"streaming read crossed non-append commit v$v (${c.operation}) " +
-            s"which rewrote ${removed.size} file(s); consume changeFeed() instead")
       // a commit that ADDED deletion vectors is a row-level delete:
       // replaying it as an append would silently drop the deletions
       val prevDv = if (v == 0) Set.empty[String]
         else readCommit(v - 1).dv.getOrElse(Nil).toSet
-      if (c.dv.getOrElse(Nil).exists(!prevDv.contains(_)))
+      val addedDv = c.dv.getOrElse(Nil).exists(!prevDv.contains(_))
+      val removed = prev -- c.files.toSet
+      if (noLogicalChange) Nil
+      else if (skipChangeCommits && (removed.nonEmpty || addedDv)) Nil
+      else {
+      if (removed.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"streaming read crossed non-append commit v$v (${c.operation}) " +
+            s"which rewrote ${removed.size} file(s); consume changeFeed() " +
+            "or set skipChangeCommits")
+      if (addedDv)
         throw new UnsupportedOperationException(
           s"streaming read crossed commit v$v (${c.operation}) which added " +
-            "deletion vectors; consume changeFeed() instead")
+            "deletion vectors; consume changeFeed() or set skipChangeCommits")
       // reader-feature gate: batch files are handed out raw — a
       // renamed column's physical name would not match endSchema
       if (hasColumnMapping(v))

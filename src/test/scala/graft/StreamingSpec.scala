@@ -463,6 +463,54 @@ class StreamingSpec extends SparkSpec {
       s"a 1g budget should drain the backlog in one batch: $seenBig")
   }
 
+  test("skipChangeCommits streams past DML rewrites without re-emitting") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_skipcc_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 4).select($"id".as("value")))          // v0
+    t.append(spark.range(4, 8).select($"id".as("value")))   // v1
+    t.delete($"value" === 2L)                               // v2: COW rewrite
+    t.deleteMor($"value" === 5L)                            // v3: DV add
+    t.append(spark.range(8, 10).select($"id".as("value")))  // v4
+    val outDir = Files.createTempDirectory("graft_skipcc_out").toString
+    val ckpt = Files.createTempDirectory("graft_skipcc_ck").toString
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("skipChangeCommits", "true").load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val out = spark.read.parquet(outDir).as[Long].collect().sorted
+    // appends flow; the delete's rewrite and the DV commit are
+    // SKIPPED — already-emitted rows never re-emit (so 2 and 5,
+    // emitted before their deletes, stay in the sink: the documented
+    // skipChangeCommits trade)
+    assert(out === (0L until 10L).toArray, s"got ${out.toSeq}")
+  }
+
+  test("streaming replay injects partition values from a hive-adopted table") {
+    import graft.tables.GraftTable
+    val dir = Files.createTempDirectory("graft_hivestream_").resolve("t").toString
+    Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x"))
+      .toDF("id", "v", "pk")
+      .write.partitionBy("pk").parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    t.append(Seq((4L, "d", "z")).toDF("id", "v", "pk"))
+    val outDir = Files.createTempDirectory("graft_hivestream_out").toString
+    val ckpt = Files.createTempDirectory("graft_hivestream_ck").toString
+    val q = spark.readStream.format("graft-table").option("path", dir).load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 4)
+    assert(out.where($"pk".isNull).count() === 0,
+      "hive-adopted batch files read partition column as null")
+    assert(out.where($"id" === 1L).select("pk").as[String].head() === "x")
+    assert(out.where($"id" === 4L).select("pk").as[String].head() === "z")
+  }
+
   test("maxVersionsPerTrigger paces the CDC stream too") {
     import graft.tables.GraftTable
     val root = Files.createTempDirectory("graft_cdcmv_").resolve("t").toString
