@@ -33,6 +33,8 @@ object GraftSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*""".r
   private val OptimizeZorder =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
+  private val OptimizeWhere =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+WHERE\s+(.+?)\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*""".r
   private val VacuumRetain =
@@ -85,6 +87,13 @@ object GraftSql {
     case OptimizeZorder(ident, keys) =>
       val ks = keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
       tableByName(spark, ident).clusterByZOrder(8, ks.toIndexedSeq: _*)
+      refreshName(spark, ident)
+      emptyResult(spark)
+    case OptimizeWhere(ident, cond) =>
+      // Delta's selective OPTIMIZE: only predicate-touched files
+      // rewrite (partition predicates prune exactly)
+      tableByName(spark, ident)
+        .compactWhere(org.apache.spark.sql.functions.expr(cond))
       refreshName(spark, ident)
       emptyResult(spark)
     case Optimize(ident) =>
@@ -224,7 +233,8 @@ object GraftSql {
 
   /** Parser-injection hooks ([[graft.plans.GraftSqlParser]]). */
   private[graft] def isUtilityStatement(text: String): Boolean = text match {
-    case DescribeHistory(_) | OptimizeZorder(_, _) | Optimize(_) |
+    case DescribeHistory(_) | OptimizeZorder(_, _) | OptimizeWhere(_, _) |
+         Optimize(_) |
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
          RestoreTimestamp(_, _) | ShallowClone(_, _, _) |
          ShallowCloneVersion(_, _, _, _) |
@@ -324,6 +334,7 @@ object GraftSql {
     val ident = text match {
       case DescribeHistory(i) => Some(i)
       case OptimizeZorder(i, _) => Some(i)
+      case OptimizeWhere(i, _) => Some(i)
       case Optimize(i) => Some(i)
       case VacuumRetain(i, _) => Some(i)
       case Vacuum(i) => Some(i)

@@ -1204,21 +1204,40 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private[graft] def matchHits(candidates: Seq[String],
       hits: Set[String]): Seq[String] = {
-    // hits are `_metadata.file_path` URIs with percent-ENCODED
-    // specials (a space in a hive partition dir arrives as %20);
-    // candidates are plain filesystem paths holding the literal
-    // characters. java.net.URI decodes the former exactly; plain
-    // paths pass through untouched (parsing them as URIs would
-    // mis-decode a literal `%25` in a Hive-escaped dir name).
-    def norm(p: String): String =
-      if (p.startsWith("file:"))
-        try new java.net.URI(p).getPath match {
-          case null => p
-          case x => x
-        } catch { case _: java.net.URISyntaxException => p }
-      else p
-    val hitSet = hits.map(norm)
-    candidates.filter(f => hitSet.contains(norm(abs(f))))
+    val hitSet = hits.map(normPath)
+    candidates.filter(f => hitSet.contains(normPath(abs(f))))
+  }
+
+  /** Normalize a file spelling for identity comparison: scan-produced
+    * `_metadata.file_path` URIs carry percent-ENCODED specials (a
+    * space in a hive partition dir arrives as %20) which
+    * java.net.URI decodes exactly; plain filesystem paths pass
+    * through untouched (parsing them as URIs would mis-decode a
+    * literal `%25` in a Hive-escaped dir name).
+    */
+  private def normPath(p: String): String =
+    if (p.startsWith("file:"))
+      try new java.net.URI(p).getPath match {
+        case null => p
+        case x => x
+      } catch { case _: java.net.URISyntaxException => p }
+    else p
+
+  /** DV liveness: the deletion-vector files still naming at least one
+    * of `survivors` (everything else masks only retired paths and is
+    * dead weight — dropping it is what re-opens the DV-gated reader
+    * surfaces once every masked file has been rewritten). Cost is one
+    * O(distinct file_path) driver read per DV file, only on rewrite
+    * commits.
+    */
+  private def liveDvs(dv: Seq[String], survivors: Seq[String]): Seq[String] = {
+    if (dv.isEmpty) return dv
+    val surv = survivors.map(f => normPath(abs(f))).toSet
+    dv.filter { d =>
+      spark.read.parquet(abs(d)).select("file_path").distinct()
+        .collect().map(r => normPath(r.getString(0)))
+        .exists(surv.contains)
+    }
   }
 
   /** Version snapshot metadata for the scan-planning integration
@@ -1950,6 +1969,36 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def compactToSize(targetBytes: Long = 128L * 1024 * 1024): Long = {
     val bytes = currentFiles.map(f => Files.size(root.resolve(f))).sum
     compact(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+  }
+
+  /** OPTIMIZE ... WHERE (Delta's selective compaction): bin-pack only
+    * the files the predicate may touch — stats/partition-pruned from
+    * commit-log metadata, conservative — leaving every other file
+    * byte-identical. This is the 100 TB shape: compact yesterday's
+    * hot partition, not the fleet. The predicate SELECTS whole files;
+    * no row is added or dropped beyond DV application: rewritten
+    * files read DV-applied (their tombstones are thereby purged), and
+    * surviving DV entries that name retired paths go inert — the
+    * scan mask joins on current file paths only.
+    */
+  def compactWhere(cond: Column,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val base = latestVersion
+    val touched = candidateFiles(cond)
+    if (touched.size < 2) return base
+    val bytes = touched.map(f => Files.size(root.resolve(f))).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val data = readFilesDvAware(touched, schemaAt(base), dvAt(base),
+      columnMapAt(base)).coalesce(n)
+    val w = writeData(data)
+    val untouched = filesAt(base).filterNot(touched.toSet)
+    commit("COMPACT", base, untouched ++ w.files, schemaAt(base),
+      Map("numRewrittenFiles" -> touched.size.toLong),
+      collectStats(w.files),
+      // rewritten files absorbed their tombstones; DV files that now
+      // mask only retired paths drop, re-opening DV-gated readers
+      dv = Some(liveDvs(dvAt(base), untouched)),
+      newPartValues = w.partValues)
   }
 
   /** Z-ORDER analog: range-repartition + sort by the cluster keys so

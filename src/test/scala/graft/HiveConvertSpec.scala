@@ -173,6 +173,46 @@ class HiveConvertSpec extends SparkSpec {
     assert(GraftTable.load(spark, dir).snapshot().count() === expected.count())
   }
 
+  test("OPTIMIZE WHERE compacts only the predicate's files") {
+    import graft.tables.{GraftSql, GraftTable}
+    val dir = tmp()
+    val orders = Tables.load(spark, sf, "orders").repartition(4)
+    val t = GraftTable.create(spark, dir, orders,
+      partitionBy = Seq("o_orderpriority"))
+    // every partition has several files (4 writer tasks × partitions)
+    val before = t.snapshot().count()
+    val urgentBefore = t.candidateFiles($"o_orderpriority" === "1-URGENT")
+    val otherBefore = t.candidateFiles($"o_orderpriority" === "5-LOW").toSet
+    assert(urgentBefore.size > 1, s"need >1 file: ${urgentBefore.size}")
+
+    t.compactWhere($"o_orderpriority" === "1-URGENT")
+    val urgentAfter = t.candidateFiles($"o_orderpriority" === "1-URGENT")
+    val otherAfter = t.candidateFiles($"o_orderpriority" === "5-LOW").toSet
+    assert(urgentAfter.size < urgentBefore.size,
+      s"expected fewer files: ${urgentBefore.size} -> ${urgentAfter.size}")
+    // untouched partitions keep their exact files
+    assert(otherAfter === otherBefore)
+    assert(t.snapshot().count() === before)
+
+    // DV interplay: tombstones on compacted files are applied by the
+    // rewrite; stale entries naming retired paths stay inert
+    t.deleteMor($"o_orderpriority" === "2-HIGH" && $"o_orderkey" % 2 === 0)
+    val afterDv = t.snapshot().count()
+    t.compactWhere($"o_orderpriority" === "2-HIGH")
+    assert(t.snapshot().count() === afterDv)
+
+    // SQL surface, registered table
+    val name = "graft_optw"
+    spark.sql(s"CREATE TABLE $name USING `graft-table` OPTIONS (path '$dir')")
+    try {
+      val filesBefore = t.snapshotInfo(t.latestVersion).files.size
+      GraftSql.sql(spark, s"OPTIMIZE $name WHERE o_orderpriority = '3-MEDIUM'")
+      val t2 = GraftTable.load(spark, dir)
+      assert(t2.snapshot().count() === afterDv)
+      assert(t2.snapshotInfo(t2.latestVersion).files.size < filesBefore)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("inconsistent hive nesting is refused") {
     val dir = tmp()
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/k=1")
