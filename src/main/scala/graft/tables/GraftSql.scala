@@ -37,6 +37,10 @@ object GraftSql {
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+WHERE\s+(.+?)\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*""".r
+  private val VacuumRetainDry =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s+DRY\s+RUN\s*""".r
+  private val VacuumDry =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s+DRY\s+RUN\s*""".r
   private val VacuumRetain =
     """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*""".r
   private val Vacuum =
@@ -100,6 +104,10 @@ object GraftSql {
       tableByName(spark, ident).compactToSize()
       refreshName(spark, ident)
       emptyResult(spark)
+    case VacuumRetainDry(ident, n) =>
+      tableByName(spark, ident).vacuumDryRun(n.toInt)
+    case VacuumDry(ident) =>
+      tableByName(spark, ident).vacuumDryRun()
     case VacuumRetain(ident, n) =>
       tableByName(spark, ident).vacuum(n.toInt)
       emptyResult(spark)
@@ -235,6 +243,7 @@ object GraftSql {
   private[graft] def isUtilityStatement(text: String): Boolean = text match {
     case DescribeHistory(_) | OptimizeZorder(_, _) | OptimizeWhere(_, _) |
          Optimize(_) |
+         VacuumRetainDry(_, _) | VacuumDry(_) |
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
          RestoreTimestamp(_, _) | ShallowClone(_, _, _) |
          ShallowCloneVersion(_, _, _, _) |
@@ -336,6 +345,8 @@ object GraftSql {
       case OptimizeZorder(i, _) => Some(i)
       case OptimizeWhere(i, _) => Some(i)
       case Optimize(i) => Some(i)
+      case VacuumRetainDry(i, _) => Some(i)
+      case VacuumDry(i) => Some(i)
       case VacuumRetain(i, _) => Some(i)
       case Vacuum(i) => Some(i)
       case RestoreVersion(i, _) => Some(i)

@@ -1083,9 +1083,20 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * block into its neighbor's (duplicate ids). Caller invokes the
     * returned cleanup after the data lands.
     */
+  /** Batch-dense identity assignment: per-partition contiguous ranges
+    * from one narrow count pass over the PERSISTED plan output (the
+    * persist is load-bearing — both passes must see identical
+    * partitioning and order). Runs at the InternalRow layer: UnsafeRow
+    * byte-copies into the cache and one unsafe projection per row on
+    * the way out, instead of re-encoding every row through the boxed
+    * public Row API.
+    */
   private def assignDenseIds(df: DataFrame, idc: String,
       hw: Long): (DataFrame, Long, () => Unit) = {
-    val cached = df.rdd
+    import org.apache.spark.sql.GraftPlans
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+    val cached = GraftPlans.toInternalRdd(df).map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = cached
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
@@ -1095,14 +1106,17 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val schema2 = df.schema.add(idc, org.apache.spark.sql.types.LongType,
       nullable = false)
     val rdd = cached.mapPartitionsWithIndex { (i, it) =>
+      val proj = UnsafeProjection.create(schema2)
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(1)
       var next = bc.value(i)
       it.map { r =>
-        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ next)
+        extra.update(0, next)
         next += 1
-        out
+        proj(joined(r, extra)): InternalRow
       }
     }
-    (spark.createDataFrame(rdd, schema2), sizes.sum,
+    (GraftPlans.batchDF(spark, rdd, schema2), sizes.sum,
       () => { cached.unpersist(blocking = false); () })
   }
 
@@ -1621,10 +1635,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // rows of the touched files — one extra pruned scan, no EXCEPT ALL
     val cdc = writeCdc(touchedDf.where(coalesce(cond, lit(false)))
       .withColumn("_change_type", lit("delete")))
+    val untouched = filesAt(base).filterNot(touched.contains)
     maybeAutoCompact(commit("DELETE", base,
-      filesAt(base).filterNot(touched.contains) ++ w.files, schemaAt(base),
+      untouched ++ w.files, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
-      cdcFiles = Some(cdc), newPartValues = w.partValues))
+      cdcFiles = Some(cdc), dv = Some(liveDvs(dvAt(base), untouched)),
+      newPartValues = w.partValues))
   }
 
   /** MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV feature):
@@ -1762,10 +1778,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         .withColumn("_change_type", lit("update_preimage"))
         .unionByName(applied.where(col("__hit")).drop("__hit")
           .withColumn("_change_type", lit("update_postimage"))))
+    val untouched = filesAt(base).filterNot(touched.contains)
     maybeAutoCompact(commit("UPDATE", base,
-      filesAt(base).filterNot(touched.contains) ++ w.files, schemaAt(base),
+      untouched ++ w.files, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
-      cdcFiles = Some(cdc), newPartValues = w.partValues))
+      cdcFiles = Some(cdc), dv = Some(liveDvs(dvAt(base), untouched)),
+      newPartValues = w.partValues))
   }
 
   /** MERGE INTO target USING source ON key — the default clause set:
@@ -1938,11 +1956,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val cdc = writeCdc(cdcAll)
     tagged.unpersist()
     src.unpersist()
+    val untouched = filesAt(base).filterNot(touched.contains)
     try maybeAutoCompact(commit("MERGE", base,
-      filesAt(base).filterNot(touched.contains) ++ w.files, schema,
+      untouched ++ w.files, schema,
       Map("numRewrittenFiles" -> touched.size.toLong) ++ idMetrics,
       collectStats(w.files),
-      cdcFiles = Some(cdc), newPartValues = w.partValues))
+      cdcFiles = Some(cdc), dv = Some(liveDvs(dvAt(base), untouched)),
+      newPartValues = w.partValues))
     finally idCleanup()
   }
 
@@ -2100,13 +2120,36 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def vacuum(): Long = vacuum(retentionFromProps)
 
   def vacuum(retainVersions: Int): Long = {
-    val versions = listVersions()
-    val retained = versions.takeRight(retainVersions)
-    val live: Set[String] = retained.flatMap(v => readCommit(v).files).toSet
-    val all = Files.list(filesDir).iterator().asScala
-      .map(p => s"files/${p.getFileName}").toSeq
-    val dead = all.filterNot(live)
+    val dead = vacuumCandidates(retainVersions)
     dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    dead.size.toLong
+  }
+
+  /** VACUUM ... DRY RUN (Delta's preview): the files a vacuum at this
+    * retention WOULD reclaim, one row each with size — no deletion.
+    * Same enumeration the real vacuum runs, so the preview can never
+    * disagree with the action.
+    */
+  def vacuumDryRun(retainVersions: Int = retentionFromProps): DataFrame = {
+    import spark.implicits._
+    vacuumCandidates(retainVersions).map { f =>
+      val p = root.resolve(f)
+      (f, if (Files.exists(p)) Files.size(p) else 0L)
+    }.toDF("path", "size_bytes")
+  }
+
+  /** Unreferenced files under the engine-owned dirs (`files/`,
+    * `cdc/`, `dv/`) at a retention window — the vacuum reclaim set.
+    * Adopted originals (CONVERT) and clone-referenced source files
+    * live OUTSIDE these dirs and are never enumerated.
+    */
+  private def vacuumCandidates(retainVersions: Int): Seq[String] = {
+    val retained = listVersions().takeRight(retainVersions)
+    val live: Set[String] = retained.flatMap(v => readCommit(v).files).toSet
+    // a freshly CONVERTed table has no files/ dir until its first DML
+    val dead = if (!Files.exists(filesDir)) Nil
+      else Files.list(filesDir).iterator().asScala
+        .map(p => s"files/${p.getFileName}").toSeq.filterNot(live)
     val cdcDir = root.resolve("cdc")
     val deadCdc = if (!Files.exists(cdcDir)) Nil else {
       val liveCdc: Set[String] =
@@ -2114,7 +2157,6 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       Files.list(cdcDir).iterator().asScala
         .map(p => s"cdc/${p.getFileName}").toSeq.filterNot(liveCdc)
     }
-    deadCdc.foreach(f => Files.deleteIfExists(root.resolve(f)))
     val dvDir = root.resolve("dv")
     val deadDv = if (!Files.exists(dvDir)) Nil else {
       val liveDv: Set[String] =
@@ -2122,8 +2164,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       Files.list(dvDir).iterator().asScala
         .map(p => s"dv/${p.getFileName}").toSeq.filterNot(liveDv)
     }
-    deadDv.foreach(f => Files.deleteIfExists(root.resolve(f)))
-    (dead.size + deadCdc.size + deadDv.size).toLong
+    dead ++ deadCdc ++ deadDv
   }
 
   /** Incremental consumption primitive (the streaming-source shape):

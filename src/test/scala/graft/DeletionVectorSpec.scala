@@ -69,6 +69,23 @@ class DeletionVectorSpec extends SparkSpec {
     assert(row7.length === 1 && row7(0).getLong(1) === 700L)
   }
 
+  test("COW DML that retires every masked file drops its DVs") {
+    val dir = tmp()
+    val df = spark.range(0, 100).select($"id", ($"id" % 10).as("grp"))
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    t.deleteMor($"grp" === 3)
+    assert(t.hasDvs(t.latestVersion))
+    // a COW delete whose blast radius covers every file the DV names
+    // absorbs the tombstones into the rewrite — the now-inert DV
+    // files must drop from the commit so gated readers re-open
+    t.delete($"grp" === 4)
+    assert(t.snapshot().count() === 80)
+    assert(!t.hasDvs(t.latestVersion),
+      "stale DV entries kept the reader gate closed after full rewrite")
+    // gate actually open: the registered batch scan plans fine
+    assert(spark.read.format("graft-table").load(dir).count() === 80)
+  }
+
   test("purgeDvs rewrites only tombstoned files and lifts the scan gate") {
     val dir = tmp()
     val df = spark.range(0, 100).toDF("id")

@@ -131,7 +131,19 @@ class GraftSqlSpec extends SparkSpec {
       val preRestore = t.snapshot().count()
       GraftSql.sql(spark, "RESTORE TABLE gs_util TO VERSION AS OF 0")
       assert(t.snapshot().count() > preRestore)
+      // DRY RUN: previews the reclaim set, deletes nothing, and the
+      // real vacuum reclaims exactly what the preview listed
+      val preview = GraftSql.sql(spark,
+        "VACUUM gs_util RETAIN 2 VERSIONS DRY RUN")
+      val previewed = preview.select("path").as[String].collect().toSet
+      assert(previewed.nonEmpty)
+      assert(previewed.forall(f =>
+        java.nio.file.Files.exists(t.root.resolve(f))),
+        "dry run must not delete")
       GraftSql.sql(spark, "VACUUM gs_util RETAIN 2 VERSIONS")
+      assert(previewed.forall(f =>
+        !java.nio.file.Files.exists(t.root.resolve(f))),
+        "vacuum reclaimed a different set than its preview")
       // post-vacuum, the current snapshot still reads fine
       assert(t.snapshot().count() === Tables.load(spark, sf, "orders").count())
     } finally spark.sql("DROP TABLE IF EXISTS gs_util")
