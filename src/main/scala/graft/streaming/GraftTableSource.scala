@@ -233,19 +233,27 @@ class GraftTableSourceProvider extends StreamSourceProvider
   }
 
   /** `maxBytesPerTrigger` spellings: a plain byte count or a
-    * k/m/g-suffixed size (Delta accepts "10g"-style values).
+    * k/kb/m/mb/g/gb-suffixed size (the spellings Delta and Spark's
+    * own byteStringAsBytes accept). Anything else fails naming the
+    * option, not with a bare NumberFormatException.
     */
+  private val BytesSpelling = """(\d+)\s*([kmg]?b?)""".r
   private def parseBytes(s: String): Long = {
-    val t = s.trim.toLowerCase
-    val (num, mult) = t.last match {
-      case 'k' => (t.init, 1L << 10)
-      case 'm' => (t.init, 1L << 20)
-      case 'g' => (t.init, 1L << 30)
-      case _ => (t, 1L)
+    s.trim.toLowerCase match {
+      case BytesSpelling(num, suffix) =>
+        val mult = suffix.stripSuffix("b") match {
+          case "" => 1L
+          case "k" => 1L << 10
+          case "m" => 1L << 20
+          case "g" => 1L << 30
+        }
+        val v = num.toLong * mult
+        require(v > 0, s"maxBytesPerTrigger must be positive: '$s'")
+        v
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse maxBytesPerTrigger value '$s' " +
+          "(use e.g. 10485760, 10m, 10mb, 1g)")
     }
-    val v = num.trim.toLong * mult
-    require(v > 0, s"maxBytesPerTrigger must be positive: $s")
-    v
   }
 }
 
@@ -342,26 +350,7 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
         case LongOffset(v) => v
         case o => o.json().toLong
       }.orElse(startVersion).getOrElse(-1L)
-    val vCapped = maxVersionsPerTrigger match {
-      case Some(m) => math.max(base, math.min(latest, base + math.max(1L, m)))
-      case None => math.max(base, latest)
-    }
-    val capped = maxBytesPerTrigger match {
-      case Some(budget) if vCapped > base =>
-        // soft max: admit versions while the byte budget holds, but
-        // always at least one — an oversized commit must flow, not
-        // wedge the stream (Delta's maxBytesPerTrigger semantics)
-        var v = base + 1
-        var bytes = table.addedBytesIn(v)
-        var continue = true
-        while (continue && v < vCapped) {
-          val next = table.addedBytesIn(v + 1)
-          if (bytes + next <= budget) { v += 1; bytes += next }
-          else continue = false
-        }
-        v
-      case _ => vCapped
-    }
+    val capped = admit(base, latest)
     served = math.max(served, capped)
     LongOffset(capped)
   }
@@ -377,15 +366,41 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
   /** Latest committed version — the high-watermark offset, capped by
     * the admission control window when one is configured.
     */
+  /** Admission window: the highest version a trigger may advance to
+    * from `base` — the version cap first, then the byte budget (both
+    * soft-max: at least one version always admits so an oversized
+    * commit flows instead of wedging the stream). ONE implementation
+    * shared by the modern `latestOffset` path and the legacy
+    * `getOffset` below — the two must never disagree on a budget.
+    * Bytes are billed only for commits that will actually emit rows:
+    * maintenance commits, and (under skipChangeCommits) COW change
+    * commits, charge zero.
+    */
+  private def admit(base: Long, latest: Long): Long = {
+    val vCapped = maxVersionsPerTrigger match {
+      case Some(m) => math.max(base, math.min(latest, base + math.max(1L, m)))
+      case None => math.max(base, latest)
+    }
+    maxBytesPerTrigger match {
+      case Some(budget) if vCapped > base =>
+        var v = base + 1
+        var bytes = table.billableBytesIn(v, skipChangeCommits)
+        var continue = true
+        while (continue && v < vCapped) {
+          val next = table.billableBytesIn(v + 1, skipChangeCommits)
+          if (bytes + next <= budget) { v += 1; bytes += next }
+          else continue = false
+        }
+        v
+      case _ => vCapped
+    }
+  }
+
   override def getOffset: Option[Offset] = {
     val v = table.latestVersion
     if (v < 0) return None
-    val capped = maxVersionsPerTrigger match {
-      case Some(m) =>
-        val base = math.max(served, startVersion.getOrElse(-1L))
-        math.min(v, base + math.max(1L, m))
-      case None => v
-    }
+    val base = math.max(served, startVersion.getOrElse(-1L))
+    val capped = admit(base, v)
     if (capped < 0) None
     else {
       served = math.max(served, capped)

@@ -404,8 +404,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       df.select(schema.fields.map(f =>
         col(s"`${physName(cm, f.name)}`").as(f.name)).toIndexedSeq
         ++ metaCols: _*)
-    val (hiveFs, plainFs) =
-      files.partition(f => GraftTable.hivePartSegments(f).nonEmpty)
+    // routing gate: a file is hive-adopted only when its trailing
+    // k=v keys are EXACTLY this table's partition columns — a flat
+    // table living under a directory that happens to contain '='
+    // (e.g. /warehouse/ds=2024) must never be misrouted through
+    // partition discovery (streaming replay hands ABSOLUTE paths in)
+    val pcols = partitionColumnsAt(latestVersion)
+    def isHive(f: String) = pcols.nonEmpty &&
+      GraftTable.hivePartSegments(f).map(_._1) == pcols
+    val (hiveFs, plainFs) = files.partition(isHive)
     // files store PHYSICAL column names; partition columns are
     // rename-immutable so their physical name IS the logical name
     val phys = physicalSchema(schema, cm)
@@ -1240,18 +1247,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   /** DV liveness: the deletion-vector files still naming at least one
     * of `survivors` (everything else masks only retired paths and is
     * dead weight — dropping it is what re-opens the DV-gated reader
-    * surfaces once every masked file has been rewritten). Cost is one
-    * O(distinct file_path) driver read per DV file, only on rewrite
-    * commits.
+    * surfaces once every masked file has been rewritten). ONE spark
+    * job over all DV files (grouped by `_metadata.file_path`), only
+    * on rewrite commits — never a job per DV file.
     */
   private def liveDvs(dv: Seq[String], survivors: Seq[String]): Seq[String] = {
     if (dv.isEmpty) return dv
     val surv = survivors.map(f => normPath(abs(f))).toSet
-    dv.filter { d =>
-      spark.read.parquet(abs(d)).select("file_path").distinct()
-        .collect().map(r => normPath(r.getString(0)))
-        .exists(surv.contains)
-    }
+    val refs = spark.read.parquet(dv.map(abs): _*)
+      .select(col("_metadata.file_path").as("__dv"), col("file_path"))
+      .distinct().collect()
+    val live: Set[String] = refs.collect {
+      case r if surv.contains(normPath(r.getString(1))) =>
+        normPath(r.getString(0))
+    }.toSet
+    dv.filter(d => live.contains(normPath(abs(d))))
   }
 
   /** Version snapshot metadata for the scan-planning integration
@@ -2006,7 +2016,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val base = latestVersion
     val touched = candidateFiles(cond)
     if (touched.size < 2) return base
-    val bytes = touched.map(f => Files.size(root.resolve(f))).sum
+    // missing-file tolerance (a clone whose source was vacuumed):
+    // sizing is only output-count math; the read below fails with a
+    // real error if bytes are genuinely gone
+    val bytes = touched.map { f =>
+      val p = root.resolve(f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val data = readFilesDvAware(touched, schemaAt(base), dvAt(base),
       columnMapAt(base)).coalesce(n)
@@ -2210,6 +2226,28 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     }.sum
   }
 
+  /** Bytes a streaming trigger should BILL for commit `version`:
+    * zero for commits the source will emit nothing for — maintenance
+    * commits always, COW change commits under `skipChangeCommits` —
+    * so the admission budget is spent on rows that actually flow
+    * instead of starving behind skipped commits.
+    */
+  private[graft] def billableBytesIn(version: Long,
+      skipChangeCommits: Boolean): Long = {
+    val c = readCommit(version)
+    if (GraftTable.maintenanceOps(c.operation)) return 0L
+    if (skipChangeCommits) {
+      val prevFiles = if (version <= 0) Set.empty[String]
+        else readCommit(version - 1).files.toSet
+      val prevDv = if (version <= 0) Set.empty[String]
+        else readCommit(version - 1).dv.getOrElse(Nil).toSet
+      val removed = prevFiles -- c.files.toSet
+      val dvAdded = c.dv.getOrElse(Nil).exists(!prevDv.contains(_))
+      if (removed.nonEmpty || dvAdded) return 0L
+    }
+    addedBytesIn(version)
+  }
+
   /** Files (absolute paths) added in versions (fromVersion, toVersion]
     * plus the end schema — the micro-batch unit for the streaming
     * source. Walks each crossed commit and REFUSES any that removed
@@ -2237,8 +2275,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       // stream already emitted, so SKIP them entirely (Delta's
       // dataChange=false semantics); without this, enabling
       // auto-compaction would terminally poison every running stream
-      val noLogicalChange =
-        Set("COMPACT", "CLUSTER", "ZORDER", "PURGE")(c.operation)
+      val noLogicalChange = GraftTable.maintenanceOps(c.operation)
       // a commit that ADDED deletion vectors is a row-level delete:
       // replaying it as an append would silently drop the deletions
       val prevDv = if (v == 0) Set.empty[String]
@@ -2486,6 +2523,13 @@ object GraftTable {
     */
   case class NotMatchedInsert(condition: Option[Column] = None,
       values: Option[Map[String, Column]] = None)
+
+  /** Operations whose commits change no LOGICAL content (Delta's
+    * dataChange=false family) — streams skip them and admission
+    * budgets bill them at zero.
+    */
+  private[graft] val maintenanceOps: Set[String] =
+    Set("COMPACT", "CLUSTER", "ZORDER", "PURGE")
 
   /** Undo Hive/Spark partition-path escaping (`%2F` etc) — the exact
     * inverse of the `escapePathName` applied by the parquet writer's

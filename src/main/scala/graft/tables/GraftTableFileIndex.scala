@@ -42,10 +42,15 @@ class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
   /** Absolute paths of files needing partition-value injection
     * (Hive-adopted, possibly via a shallow clone's absolute refs;
     * graft-written files are self-describing). Values come from the
-    * commit log's partition tuples, so the path is only the SIGNAL.
+    * commit log's partition tuples, so the path is only the SIGNAL —
+    * and only counts when its trailing k=v keys are exactly the
+    * table's partition columns (a root directory containing '='
+    * must not flip a normal table into injection mode).
     */
   private val injected: Set[String] =
-    snap.files.filter(p => GraftTable.hivePartSegments(p).nonEmpty).toSet
+    if (snap.partitionBy.isEmpty) Set.empty
+    else snap.files.filter(p =>
+      GraftTable.hivePartSegments(p).map(_._1) == snap.partitionBy).toSet
 
   override val partitionSchema: StructType =
     if (injected.isEmpty) StructType(Nil)
