@@ -566,21 +566,29 @@ object Analytics {
     val s = Tables.load(spark, sfDir, "supplier")
     val n = Tables.load(spark, sfDir, "nation")
     val r = Tables.load(spark, sfDir, "region")
-    val supply = li.groupBy(col("l_partkey"), col("l_suppkey"))
+    // the part filter joins BEFORE the per-pair aggregate: the min is
+    // per part, so discarding other parts early cannot change it,
+    // and the fact table shrinks to the qualifying parts' lines
+    // before any shuffle
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+    val supply = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"),
+        col("p_partkey"), col("p_brand"))
       .agg(min(dec(col("l_extendedprice"))).as("cost"))
     val europe = supply
       .join(s, col("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r.filter(col("r_name") === "EUROPE")),
         n("n_regionkey") === r("r_regionkey"))
-    val minCost = europe.groupBy(col("l_partkey").as("mc_partkey"))
-      .agg(min(col("cost")).as("min_cost"))
-    val p = Tables.load(spark, sfDir, "part")
-      .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+    // correlated MIN as a window over the single europe instance —
+    // lineitem is scanned and aggregated ONCE (the two-branch
+    // decorrelation scans it twice; ReuseExchange does not fire
+    // across the differing aggregate shapes)
+    val w = Window.partitionBy(col("l_partkey"))
     europe
-      .join(minCost, col("l_partkey") === col("mc_partkey") &&
-        col("cost") === col("min_cost"))
-      .join(p, col("l_partkey") === p("p_partkey"))
+      .withColumn("min_cost", min(col("cost")).over(w))
+      .filter(col("cost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_brand"), asDouble(col("cost")).as("cost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
