@@ -1896,6 +1896,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val survivors = if (deleteIdx.isEmpty) tagged
       else tagged.where(!col("__action").isin(deleteIdx.map(Integer.valueOf): _*))
+    // generated-column MERGE semantics (Delta's): a source that does
+    // not carry a generated column is legal — SET * takes the OLD
+    // value here and the recompute pass below rederives it from the
+    // post-update row; explicit assignments and source-supplied
+    // values land as-is and fall to write-time validation
+    val gens = generatedColumns
+    def srcHas(f: String) = src.columns.exists(_.equalsIgnoreCase(f))
+    def isGen(f: String) = gens.keys.exists(_.equalsIgnoreCase(f))
     val resolvedFields = schema.fieldNames.map { f =>
       if (identityColumn.exists(_.equalsIgnoreCase(f)))
         // GENERATED ALWAYS: the target row's id survives every clause
@@ -1903,6 +1911,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       else {
       val updates = matched.zipWithIndex.collect { case (MatchedUpdate(_, set), i) =>
         val v = set match {
+          case None if isGen(f) && !srcHas(f) => col(f)
           case None => col(s"src.$f").cast(schema(f).dataType)
           case Some(m) => m.getOrElse(f, col(f))
         }
@@ -1913,7 +1922,23 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       }.otherwise(col(f)).as(f)
       }
     }
-    val newTouched = survivors.select((resolvedFields :+ col("__action")).toIndexedSeq: _*)
+    val newTouched0 = survivors.select((resolvedFields :+ col("__action")).toIndexedSeq: _*)
+    // recompute pass: for each generated column an update clause did
+    // not explicitly provide (SET * without the source carrying it,
+    // or an assignment map that omits it), rederive from the
+    // POST-update values — the same rule the UPDATE path applies, so
+    // a legal Delta merge cannot strand a stale generated value
+    val newTouched = gens.foldLeft(newTouched0) { case (d, (c, g)) =>
+      val idx = matched.zipWithIndex.collect {
+        case (MatchedUpdate(_, None), i) if !srcHas(c) => i
+        case (MatchedUpdate(_, Some(m)), i)
+          if !m.keys.exists(_.equalsIgnoreCase(c)) => i
+      }
+      if (idx.isEmpty) d
+      else d.withColumn(c,
+        when(col("__action").isin(idx.map(Integer.valueOf): _*),
+          expr(g).cast(schema(c).dataType)).otherwise(col(c)))
+    }
     // keys matched in touched files ARE the table's matching keys
     // (touchedFiles covers every file containing one), so the insert
     // set is source anti-join those keys
@@ -1923,10 +1948,24 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       val unmatched = src.join(tgtRows.select(col(key)).distinct(),
         Seq(key), "left_anti")
       val accepted = ni.condition.map(unmatched.where).getOrElse(unmatched)
-      ni.values match {
-        case None => accepted.select(insertFields.map(fl => col(fl.name)).toIndexedSeq: _*)
+      // generated columns the insert does not provide COMPUTE from
+      // the inserted row (Delta's insert semantics), same as append
+      val base0 = ni.values match {
+        case None => accepted.select(insertFields.map(fl =>
+          if (isGen(fl.name) && !srcHas(fl.name))
+            lit(null).cast(fl.dataType).as(fl.name)
+          else col(fl.name)).toIndexedSeq: _*)
         case Some(m) => accepted.select(insertFields.map(fl =>
-          m.getOrElse(fl.name, lit(null)).cast(fl.dataType).as(fl.name)).toIndexedSeq: _*)
+          m.getOrElse(fl.name, lit(null))
+            .cast(fl.dataType).as(fl.name)).toIndexedSeq: _*)
+      }
+      gens.foldLeft(base0) { case (d, (c, g)) =>
+        val provided = ni.values match {
+          case None => srcHas(c)
+          case Some(m) => m.keys.exists(_.equalsIgnoreCase(c))
+        }
+        if (provided) d
+        else d.withColumn(c, expr(g).cast(schema(c).dataType))
       }
     }
     // NOT MATCHED inserts on an identity table take engine-assigned

@@ -147,6 +147,35 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(after.values.toSeq.distinct.length === after.size)
   }
 
+  test("MERGE on a table with BOTH generated and identity columns") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x"),
+      generated = Map("x2" -> "x * 2"),
+      identity = Some("rid"))
+    // source supplies neither rid (forbidden) nor x2 (recomputed)
+    val src = Seq((2L, 200.0), (9L, 90.0)).toDF("k", "x")
+    t.merge(src, "k")
+    val snap = t.snapshot().orderBy("k")
+    // matched row: new x, RECOMPUTED x2, ORIGINAL rid kept
+    assert(snap.where($"k" === 2).select("x2").as[Double].head() === 400.0)
+    val ridsBefore = t.snapshotAt(0).select("rid").as[Long].collect().toSet
+    assert(snap.where($"k" === 2).select("rid").as[Long].head() ===
+      t.snapshotAt(0).where($"k" === 2).select("rid").as[Long].head(),
+      "matched row lost its engine-assigned id")
+    // inserted row: computed x2, a FRESH dense id above the high water
+    assert(snap.where($"k" === 9).select("x2").as[Double].head() === 180.0)
+    val newRid = snap.where($"k" === 9).select("rid").as[Long].head()
+    assert(!ridsBefore.contains(newRid), "insert reused an existing id")
+    // global invariants: ids unique, generation law holds everywhere
+    val all = snap.select("rid").as[Long].collect()
+    assert(all.distinct.length === all.length)
+    assert(snap.where($"x2" =!= $"x" * 2).count() === 0)
+    // a source that supplies the identity column is still refused
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((5L, 50.0, 999L)).toDF("k", "x", "rid"), "k")
+    }
+  }
+
   test("concurrent identity merges never commit overlapping id blocks") {
     val path = tmp()
     GraftTable.create(spark, path,
