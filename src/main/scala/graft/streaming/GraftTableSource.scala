@@ -217,11 +217,20 @@ class GraftTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val table = tableOf(sqlContext, parameters)
     // Delta's startingVersion: begin the stream at commit n instead of
-    // replaying the whole table; "latest" = only future commits
+    // replaying the whole table; "latest" = only future commits.
+    // startingTimestamp resolves through the same commit-time lookup
+    // as TIMESTAMP AS OF (the earliest commit AT or AFTER the wall
+    // clock streams first — Delta's streaming semantics)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "set either startingVersion or startingTimestamp, not both")
     val startV = parameters.get("startingVersion").map {
       case s if s.equalsIgnoreCase("latest") => table.latestVersion
       case s => s.toLong - 1
-    }
+    }.orElse(parameters.get("startingTimestamp").map { s =>
+      table.versionBeforeTimestamp(
+        GraftSql.parseSqlTimestamp(sqlContext.sparkSession, s))
+    })
     new GraftTableSource(sqlContext.sparkSession, table,
       cdc = cdcMode(parameters), startVersion = startV,
       maxVersionsPerTrigger =

@@ -1163,6 +1163,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def snapshotAsOf(ts: java.sql.Timestamp): DataFrame =
     snapshotAt(versionAtTimestamp(ts.getTime))
 
+  /** Streaming `startingTimestamp` resolution (Delta semantics:
+    * "changes committed AT or AFTER the timestamp stream") — returns
+    * the EXCLUSIVE lower-bound version: the latest commit strictly
+    * before `tsMillis`, or -1 when every commit qualifies. A
+    * timestamp after the last commit errors, matching
+    * [[versionAtTimestamp]]'s temporally-unstable-input rule.
+    */
+  def versionBeforeTimestamp(tsMillis: Long): Long = {
+    val vs = listVersions()
+    vs.lastOption.map(readCommit(_).timestampMs).foreach { lastTs =>
+      if (tsMillis > lastTs)
+        throw new IllegalArgumentException(
+          s"startingTimestamp $tsMillis is after the latest commit " +
+            s"(${vs.last} at $lastTs)")
+    }
+    vs.takeWhile(v => readCommit(v).timestampMs < tsMillis)
+      .lastOption.getOrElse(-1L)
+  }
+
   /** Time travel (Delta `VERSION AS OF`). */
   def snapshotAt(version: Long): DataFrame = {
     val c = readCommit(version)

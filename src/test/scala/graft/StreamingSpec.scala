@@ -463,6 +463,42 @@ class StreamingSpec extends SparkSpec {
       s"a 1g budget should drain the backlog in one batch: $seenBig")
   }
 
+  test("startingTimestamp begins the stream at the first commit at/after it") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_stts_").resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 2).select($"id".as("value")))          // v0
+    Thread.sleep(120)
+    t.append(spark.range(2, 4).select($"id".as("value")))   // v1
+    Thread.sleep(120)
+    t.append(spark.range(4, 6).select($"id".as("value")))   // v2
+    // v1's commit wall clock, spelled the way TIMESTAMP AS OF parses
+    val ts1 = t.history().orderBy("version")
+      .select("timestamp").collect()(1).getTimestamp(0)
+    val spelled = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ts1.getTime))
+    val outDir = Files.createTempDirectory("graft_stts_out").toString
+    val ckpt = Files.createTempDirectory("graft_stts_ck").toString
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("startingTimestamp", spelled).load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val out = spark.read.parquet(outDir).as[Long].collect().sorted
+    // v0 (before the timestamp) is excluded; v1 and v2 stream
+    assert(out === (2L until 6L).toArray, s"got ${out.toSeq}")
+    // a future timestamp errors rather than silently replaying
+    intercept[Exception] {
+      spark.readStream.format("graft-table").option("path", root)
+        .option("startingTimestamp", "2099-01-01 00:00:00").load()
+        .writeStream.format("noop").trigger(Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+  }
+
   test("skipChangeCommits streams past DML rewrites without re-emitting") {
     import graft.tables.GraftTable
     val root = Files.createTempDirectory("graft_skipcc_").resolve("t").toString
