@@ -644,9 +644,15 @@ object GraftSql {
     require(m.notMatchedBySourceActions.isEmpty,
       "WHEN NOT MATCHED BY SOURCE is not supported")
 
-    // ON <attr> = <attr>: classify sides by qualifier; unqualified
-    // single-key conditions fall back to name equality
-    val (tgtKey, srcKey) = m.mergeCondition match {
+    // ON <attr> = <attr> [AND ...]: flatten the conjunction, classify
+    // each equality's sides by qualifier; unqualified single-key
+    // conditions fall back to name equality
+    def flattenAnd(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        flattenAnd(l) ++ flattenAnd(r)
+      case other => Seq(other)
+    }
+    val keyPairs: Seq[(String, String)] = flattenAnd(m.mergeCondition).map {
       case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
         def isSrc(a: UnresolvedAttribute) =
           a.nameParts.length > 1 && srcQuals(a.nameParts.head.toLowerCase)
@@ -661,19 +667,23 @@ object GraftSql {
         else throw new IllegalArgumentException(
           s"cannot orient merge condition ${m.mergeCondition.sql}")
       case other => throw new IllegalArgumentException(
-        s"only single-key equality merge conditions are supported, got ${other.sql}")
+        "only conjunctions of column equalities are supported in MERGE " +
+          s"ON, got ${other.sql}")
     }
-    // GraftTable.merge keys on ONE shared column name: ADD the target
-    // key as an alias of the source key (keeping the original column,
+    // GraftTable.merge keys on SHARED column names: ADD each target
+    // key as an alias of its source key (keeping the original column,
     // so clause expressions referencing s.<srcKey> still resolve in
     // the src struct)
-    val srcDf = if (srcKey == tgtKey) srcDf0
+    val srcDf = keyPairs.foldLeft(srcDf0) { case (d, (tgtKey, srcKey)) =>
+      if (srcKey == tgtKey) d
       else {
-        require(!srcDf0.columns.contains(tgtKey),
+        require(!d.columns.contains(tgtKey),
           s"source already has an unrelated column named $tgtKey; " +
             s"alias it away before merging on $srcKey")
-        srcDf0.withColumn(tgtKey, org.apache.spark.sql.functions.col(srcKey))
+        d.withColumn(tgtKey, org.apache.spark.sql.functions.col(srcKey))
       }
+    }
+    val tgtKeys = keyPairs.map(_._1)
 
     val matched: Seq[GraftTable.MatchedClause] = m.matchedActions.map {
       case a: UpdateStarAction =>
@@ -704,7 +714,7 @@ object GraftSql {
         case other => throw new IllegalArgumentException(
           s"at most one WHEN NOT MATCHED clause is supported, got ${other.size}")
       }
-    target.table.merge(srcDf, tgtKey, matched, notMatched)
+    target.table.merge(srcDf, tgtKeys, matched, notMatched)
     refresh(spark, target)
   }
 

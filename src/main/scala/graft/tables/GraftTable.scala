@@ -1823,6 +1823,17 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     merge(source, key, Seq(GraftTable.MatchedUpdate()),
       Some(GraftTable.NotMatchedInsert()))
 
+  /** Single-key convenience over the composite-key merge. */
+  def merge(source: DataFrame, key: String,
+      matched0: Seq[GraftTable.MatchedClause],
+      notMatched0: Option[GraftTable.NotMatchedInsert]): Long =
+    merge(source, Seq(key), matched0, notMatched0)
+
+  /** Composite-key default-clause merge. */
+  def merge(source: DataFrame, keys: Seq[String]): Long =
+    merge(source, keys, Seq(GraftTable.MatchedUpdate()),
+      Some(GraftTable.NotMatchedInsert()))
+
   /** Full MERGE with conditional WHEN clauses (the Delta SQL surface):
     * `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE`,
     * `WHEN NOT MATCHED [AND cond] THEN INSERT`. Matched clauses fire
@@ -1836,10 +1847,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * bare. Only files holding matched keys are rewritten; inserts
     * land in fresh files — blast radius stays file-granular.
     */
-  def merge(source: DataFrame, key: String,
+  /** The general MERGE: composite equality keys, full clause surface.
+    * Null in ANY key column never matches (SQL equality), so such
+    * source rows are legitimate NOT MATCHED inserts.
+    */
+  def merge(source: DataFrame, keys: Seq[String],
       matched0: Seq[GraftTable.MatchedClause],
       notMatched0: Option[GraftTable.NotMatchedInsert]): Long = {
     import GraftTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    require(keys.nonEmpty, "MERGE needs at least one key column")
     val base = latestVersion
     val schema = schemaAt(base)
     // GENERATED ALWAYS identity semantics under MERGE (Delta's rules):
@@ -1851,7 +1867,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       require(!source.columns.exists(_.equalsIgnoreCase(idc)),
         s"MERGE source must not supply identity column '$idc' " +
           "(GENERATED ALWAYS — ids are engine-assigned)")
-      require(!key.equalsIgnoreCase(idc),
+      require(!keys.exists(_.equalsIgnoreCase(idc)),
         s"cannot MERGE on identity column '$idc': matching would need " +
           "source-supplied ids; model the key on a business column")
     }
@@ -1876,18 +1892,20 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // an error, not a silent row multiplication through the join.
     // Null keys are exempt — they never equi-match a target row, so
     // any number of them are legitimate NOT MATCHED inserts
-    val dupKeys = src.where(col(key).isNotNull).groupBy(col(key)).count()
+    val dupKeys = src.where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).collect()
     if (dupKeys.nonEmpty)
       throw new IllegalArgumentException(
-        s"MERGE source has duplicate join keys (e.g. $key=${dupKeys(0).get(0)}); " +
+        s"MERGE source has duplicate join keys (e.g. ${keys.mkString(",")}=" +
+          s"${dupKeys(0).toSeq.init.mkString(",")}); " +
           "each target row must match at most one source row")
-    val keys = src.select(col(key)).distinct()
+    val keyRows = src.select(keys.map(col): _*).distinct()
     val withFile = scanWithPos(filesAt(base), schema, dvAt(base), columnMapAt(base))
       .withColumnRenamed("__fp", "__file")
     // no broadcast hint: the planner (and AQE) picks the join — a
     // corpus-sized source must not be forced through the driver
-    val hit = withFile.join(keys, Seq(key), "left_semi")
+    val hit = withFile.join(keyRows, keys, "left_semi")
       .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
     val touched = matchHits(filesAt(base), hit)
     val tgtRows = if (touched.isEmpty)
@@ -1895,9 +1913,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else readFilesDvAware(touched, schema, dvAt(base), columnMapAt(base))
     // one left join exposes each target row with its (optional)
     // source match as a struct; clause resolution is pure projection
-    val srcStruct = src.select(col(key).as("__sk"),
-      struct(src.columns.map(col): _*).as("src"))
-    val joined = tgtRows.join(srcStruct, col(key) === col("__sk"), "left")
+    val srcStruct = src.select(keys.zipWithIndex.map { case (k, i) =>
+      col(k).as(s"__sk$i") } :+
+      struct(src.columns.map(col): _*).as("src"): _*)
+    val joined = tgtRows.join(srcStruct,
+      keys.zipWithIndex.map { case (k, i) => col(k) === col(s"__sk$i") }
+        .reduce(_ && _), "left")
     val isMatched = col("src").isNotNull
     val action = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
       case (acc, (cl, i)) =>
@@ -1964,8 +1985,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val insertFields = schema.fields
       .filterNot(fl => identityColumn.exists(_.equalsIgnoreCase(fl.name)))
     val insertsRaw = notMatched.map { ni =>
-      val unmatched = src.join(tgtRows.select(col(key)).distinct(),
-        Seq(key), "left_anti")
+      val unmatched = src.join(
+        tgtRows.select(keys.map(col): _*).distinct(), keys, "left_anti")
       val accepted = ni.condition.map(unmatched.where).getOrElse(unmatched)
       // generated columns the insert does not provide COMPUTE from
       // the inserted row (Delta's insert semantics), same as append

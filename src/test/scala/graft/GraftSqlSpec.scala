@@ -149,6 +149,56 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_util")
   }
 
+  test("MERGE on composite keys, API and SQL") {
+    import graft.tables.GraftTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ck_").resolve("t").toString
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "a", 30.0))
+        .toDF("k1", "k2", "v"))
+    // API: both key columns must match; (1,b) updates, (3,c) inserts,
+    // and the single-key overlap rows (1,a)/(2,a) stay untouched
+    t.merge(Seq((1L, "b", 99.0), (3L, "c", 7.0)).toDF("k1", "k2", "v"),
+      Seq("k1", "k2"))
+    val snap = t.snapshot()
+    assert(snap.count() === 4)
+    assert(snap.where($"k1" === 1 && $"k2" === "b")
+      .select("v").as[Double].head() === 99.0)
+    assert(snap.where($"k1" === 1 && $"k2" === "a")
+      .select("v").as[Double].head() === 10.0)
+    assert(snap.where($"k1" === 3 && $"k2" === "c").count() === 1)
+
+    // SQL: AND-of-equalities ON clause routes to the same path
+    spark.sql("CREATE TABLE graft_ck USING `graft-table` " +
+      s"OPTIONS (path '$dir')")
+    try {
+      Seq((2L, "a", 555.0), (4L, "d", 1.0)).toDF("k1", "k2", "v")
+        .createOrReplaceTempView("graft_ck_src")
+      GraftSql.sql(spark,
+        """MERGE INTO graft_ck t USING graft_ck_src s
+          |ON t.k1 = s.k1 AND t.k2 = s.k2
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val after = GraftTable.load(spark, dir).snapshot()
+      assert(after.count() === 5)
+      assert(after.where($"k1" === 2 && $"k2" === "a")
+        .select("v").as[Double].head() === 555.0)
+      assert(after.where($"k1" === 4 && $"k2" === "d").count() === 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ck")
+
+    // duplicate composite keys in the source are refused; a null in
+    // any key column never matches and inserts instead
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((5L, "e", 1.0), (5L, "e", 2.0)).toDF("k1", "k2", "v"),
+        Seq("k1", "k2"))
+    }
+    val withNull = Seq((Some(1L), None: Option[String], 42.0))
+      .toDF("k1", "k2", "v")
+    val before = t.snapshot().count()
+    t.merge(withNull, Seq("k1", "k2"))
+    assert(t.snapshot().count() === before + 1)
+  }
+
   test("SELECT ... VERSION AS OF time-travels a registered graft table") {
     val (t, _) = registered("gs_tt")
     try {
