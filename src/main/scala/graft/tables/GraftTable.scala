@@ -1607,6 +1607,82 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     matchHits(candidates, hits)
   }
 
+  /** GENERATED-COLUMN PARTITION PRUNING (Delta's feature): when a
+    * partition column is generated by a MONOTONE non-decreasing
+    * function of one input column (`year(x)`, `to_date(x)`,
+    * `cast(x as date)`, `date_trunc('year|quarter|month|week|day', x)`),
+    * a comparison on the INPUT implies one on the partition value —
+    * `o_orderdate >= D` prunes `order_year` partitions without the
+    * query ever naming the generated column. Conservative by
+    * construction: only top-level conjuncts derive, strict bounds
+    * widen to non-strict, equality derives for any function shape,
+    * and any evaluation surprise derives nothing. The derived
+    * predicates are EXTRA prune conditions; they never replace the
+    * original filter.
+    */
+  private def derivedGenConds(
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      pcols: Seq[String])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val schema = currentSchema
+    val gens = generatedColumns.toSeq.collect {
+      case (c, g) if pcols.contains(c) =>
+        GraftTable.monotoneInput(g).map(x => (c, g, x))
+    }.flatten
+    if (gens.isEmpty) return Nil
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    // g(lit): substitute the input attribute with the literal and let
+    // the analyzer resolve + evaluate the one-row projection
+    def evalGen(g: String, x: String, l: Literal): Option[Literal] = try {
+      val substituted = spark.sessionState.sqlParser.parseExpression(g)
+        .transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 &&
+              a.nameParts.head.equalsIgnoreCase(x) => l
+        }
+      val df = org.apache.spark.sql.GraftPlans.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          Seq(Alias(substituted, "v")()),
+          org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+      Option(df.head().get(0)).map(v =>
+        Literal.create(v, df.schema.head.dataType))
+    } catch { case _: Exception => None }
+    def derive(x: String, l: Literal,
+        mk: (Expression, Expression) => Expression): Seq[Expression] =
+      gens.collect { case (c, g, in) if in.equalsIgnoreCase(x) =>
+        evalGen(g, in, l).map { gl =>
+          mk(AttributeReference(c, schema(c).dataType)(), gl)
+        }
+      }.flatten
+    conds.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        derive(a.name, l, EqualTo(_, _))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        derive(a.name, l, EqualTo(_, _))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        derive(a.name, l, GreaterThanOrEqual(_, _))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        derive(a.name, l, GreaterThanOrEqual(_, _)) // widened: monotone
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        derive(a.name, l, LessThanOrEqual(_, _))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        derive(a.name, l, LessThanOrEqual(_, _)) // widened: monotone
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        derive(a.name, l, LessThanOrEqual(_, _))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        derive(a.name, l, LessThanOrEqual(_, _))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        derive(a.name, l, GreaterThanOrEqual(_, _))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        derive(a.name, l, GreaterThanOrEqual(_, _))
+      case _ => Nil
+    }
+  }
+
   /** Conservative driver-side candidate set for a DML predicate:
     * resolve `cond` against the table's (logical) schema, translate
     * attribute names to the stats' physical domain, and keep only
@@ -1642,7 +1718,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       val stats = c.stats.getOrElse(Map.empty)
       val pv = c.partValues.getOrElse(Map.empty)
       val pcols = c.partitionBy.getOrElse(Nil)
-      c.files.filter(f => condsPhys.forall(StatsPruning.keep(_,
+      // generated-column partition pruning (Delta's feature): bounds
+      // on a generation INPUT imply bounds on the partition value
+      val derived = try derivedGenConds(condsPhys, pcols)
+        catch { case _: Exception => Nil }
+      c.files.filter(f => (condsPhys ++ derived).forall(StatsPruning.keep(_,
         stats.get(f), pv.get(f), pcols, spark)))
     } catch { case _: Exception => c.files }
   }
@@ -2602,6 +2682,28 @@ object GraftTable {
     */
   case class NotMatchedInsert(condition: Option[Column] = None,
       values: Option[Map[String, Column]] = None)
+
+  /** The single input column of a generation expression that is
+    * MONOTONE NON-DECREASING in it — the class where input bounds
+    * imply partition-value bounds ([[derivedGenConds]]). Matched at
+    * the text level: generation exprs are user-authored SQL strings.
+    */
+  private[tables] def monotoneInput(g: String): Option[String] = {
+    val t = g.trim.toLowerCase
+    val Year = """year\s*\(\s*([a-z_]\w*)\s*\)""".r
+    val ToDate = """to_date\s*\(\s*([a-z_]\w*)\s*\)""".r
+    val CastDate = """cast\s*\(\s*([a-z_]\w*)\s+as\s+date\s*\)""".r
+    val Trunc =
+      ("""date_trunc\s*\(\s*'(?:year|quarter|month|week|day)'""" +
+        """\s*,\s*([a-z_]\w*)\s*\)""").r
+    t match {
+      case Year(x) => Some(x)
+      case ToDate(x) => Some(x)
+      case CastDate(x) => Some(x)
+      case Trunc(x) => Some(x)
+      case _ => None
+    }
+  }
 
   /** Operations whose commits change no LOGICAL content (Delta's
     * dataChange=false family) — streams skip them and admission

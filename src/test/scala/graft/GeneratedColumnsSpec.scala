@@ -229,6 +229,37 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(t.identityHighWater === ids.max)
   }
 
+  test("generated-column partition pruning: date bounds prune year partitions") {
+    val orders = Tables.load(spark, sf, "orders")
+    val t = GraftTable.create(spark, tmp(), orders,
+      partitionBy = Seq("order_year"),
+      generated = Map("order_year" -> "year(o_orderdate)"))
+    val years = t.snapshot().select("order_year").distinct()
+      .as[Int].collect().sorted
+    assert(years.length > 2, s"need several year partitions: ${years.toSeq}")
+    val y = years(years.length / 2)
+    // the predicate mentions ONLY the input column — the partition
+    // column is never named, yet its partitions prune
+    val cond = $"o_orderdate" >=
+      lit(s"$y-01-01 00:00:00").cast("timestamp_ntz") &&
+      $"o_orderdate" < lit(s"${y + 1}-01-01 00:00:00").cast("timestamp_ntz")
+    val cand = t.candidateFiles(cond)
+    val all = t.snapshotInfo(t.latestVersion).files.size
+    assert(cand.nonEmpty && cand.size < all,
+      s"no pruning: $all files, ${cand.size} candidates")
+    // correctness: the pruned read equals the unpruned one
+    assert(t.snapshot().where(cond).count() ===
+      orders.where(cond).count())
+    // equality on the input derives equality on the partition value
+    val one = t.candidateFiles($"o_orderdate" ===
+      lit(s"$y-06-15 00:00:00").cast("timestamp_ntz"))
+    assert(one.size <= cand.size)
+    // a DML sees the same blast radius: delete one year by date only
+    t.delete(cond)
+    assert(t.snapshot().where($"order_year" === y).count() === 0)
+    assert(t.snapshot().count() === orders.where(!cond).count())
+  }
+
   test("shallow clone carries generation spec and identity high water") {
     val src = tmp()
     val t = GraftTable.create(spark, src,
