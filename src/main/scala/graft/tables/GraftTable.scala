@@ -1083,20 +1083,16 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   }
 
   /** Append `idc` with values hw+1 .. hw+N, contiguous across the
-    * batch's partitions. The input is PERSISTED before the sizing
-    * pass so the assignment pass sees identical partition contents —
-    * without the cache, a non-deterministic source could shift rows
-    * between partitions across the two executions and overrun an id
-    * block into its neighbor's (duplicate ids). Caller invokes the
-    * returned cleanup after the data lands.
-    */
-  /** Batch-dense identity assignment: per-partition contiguous ranges
-    * from one narrow count pass over the PERSISTED plan output (the
-    * persist is load-bearing — both passes must see identical
-    * partitioning and order). Runs at the InternalRow layer: UnsafeRow
-    * byte-copies into the cache and one unsafe projection per row on
-    * the way out, instead of re-encoding every row through the boxed
-    * public Row API.
+    * batch's partitions, from one narrow count pass. The input is
+    * PERSISTED before the sizing pass so the assignment pass sees
+    * identical partition contents — without the cache, a
+    * non-deterministic source could shift rows between partitions
+    * across the two executions and overrun an id block into its
+    * neighbor's (duplicate ids). Runs at the InternalRow layer
+    * (UnsafeRow byte-copies into the cache, one unsafe projection per
+    * row out) instead of re-encoding every row through the boxed
+    * public Row API. Caller invokes the returned cleanup after the
+    * data lands.
     */
   private def assignDenseIds(df: DataFrame, idc: String,
       hw: Long): (DataFrame, Long, () => Unit) = {
@@ -1926,10 +1922,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * not-matched clause's condition and values see the SOURCE row
     * bare. Only files holding matched keys are rewritten; inserts
     * land in fresh files — blast radius stays file-granular.
-    */
-  /** The general MERGE: composite equality keys, full clause surface.
-    * Null in ANY key column never matches (SQL equality), so such
-    * source rows are legitimate NOT MATCHED inserts.
+    *
+    * Keys are COMPOSITE equality columns: a null in ANY key column
+    * never matches (SQL equality), so such source rows are
+    * legitimate NOT MATCHED inserts.
     */
   def merge(source: DataFrame, keys: Seq[String],
       matched0: Seq[GraftTable.MatchedClause],
