@@ -29,6 +29,8 @@ object GraftSql {
   // DESCRIBE HISTORY 01-Fraud-Delta.py:214, OPTIMIZE/ZORDER :288-289,
   // VACUUM/RESTORE are the same family). Spark's parser has no
   // grammar for these, so they dispatch on shape before parsing.
+  private val DescribeHistoryLimit =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s+LIMIT\s+(\d+)\s*""".r
   private val DescribeHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*""".r
   private val OptimizeZorder =
@@ -87,6 +89,8 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+USING\s+`?graft-table`?\s+CLUSTERED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case DescribeHistoryLimit(ident, n) =>
+      tableByName(spark, ident).history(n.toInt)
     case DescribeHistory(ident) => tableByName(spark, ident).history()
     case OptimizeZorder(ident, keys) =>
       val ks = keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -241,7 +245,8 @@ object GraftSql {
 
   /** Parser-injection hooks ([[graft.plans.GraftSqlParser]]). */
   private[graft] def isUtilityStatement(text: String): Boolean = text match {
-    case DescribeHistory(_) | OptimizeZorder(_, _) | OptimizeWhere(_, _) |
+    case DescribeHistoryLimit(_, _) |
+         DescribeHistory(_) | OptimizeZorder(_, _) | OptimizeWhere(_, _) |
          Optimize(_) |
          VacuumRetainDry(_, _) | VacuumDry(_) |
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
@@ -341,6 +346,7 @@ object GraftSql {
       case _ =>
     }
     val ident = text match {
+      case DescribeHistoryLimit(i, _) => Some(i)
       case DescribeHistory(i) => Some(i)
       case OptimizeZorder(i, _) => Some(i)
       case OptimizeWhere(i, _) => Some(i)

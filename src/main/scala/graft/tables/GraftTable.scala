@@ -1220,9 +1220,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   }
 
   /** DESCRIBE HISTORY analog: one row per commit. */
-  def history(): DataFrame = {
+  def history(): DataFrame = history(Int.MaxValue)
+
+  /** DESCRIBE HISTORY [LIMIT n]: the LATEST `limit` commits, newest
+    * first when limited (Delta's ordering) — and only those commits
+    * are read/resolved, so inspecting the recent history of a
+    * 10⁵-version log stays O(limit), not O(versions).
+    */
+  def history(limit: Int): DataFrame = {
     import spark.implicits._
-    listVersions().map(readCommit).map { c =>
+    val vs = listVersions()
+    val shown = if (limit >= vs.size) vs else vs.takeRight(limit).reverse
+    shown.map(readCommit).map { c =>
       (c.version, new java.sql.Timestamp(c.timestampMs), c.operation,
         c.files.size.toLong, c.metrics.getOrElse("numOutputRows", -1L))
     }.toDF("version", "timestamp", "operation", "num_files", "num_rows")

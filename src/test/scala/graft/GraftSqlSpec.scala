@@ -124,6 +124,11 @@ class GraftSqlSpec extends SparkSpec {
       val hist = GraftSql.sql(spark, "DESCRIBE HISTORY gs_util")
       assert(hist.select("operation").as[String].collect().toSeq ===
         Seq("CREATE", "DELETE"))
+      // LIMIT n: only the latest n commits, newest first, and only
+      // those commits are resolved
+      val lim = GraftSql.sql(spark, "DESCRIBE HISTORY gs_util LIMIT 1")
+      assert(lim.select("operation").as[String].collect().toSeq ===
+        Seq("DELETE"))
       GraftSql.sql(spark, "OPTIMIZE gs_util")
       assert(t.history().where($"operation" === "COMPACT").count() === 1)
       GraftSql.sql(spark, "OPTIMIZE gs_util ZORDER BY (o_custkey, o_orderkey)")
