@@ -298,7 +298,11 @@ object GraftSql {
       Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types._
     text match {
-      case DescribeHistory(_) => Some(historySchema)
+      case DescribeHistoryLimit(_, _) | DescribeHistory(_) =>
+        Some(historySchema)
+      case VacuumRetainDry(_, _) | VacuumDry(_) => Some(StructType(Seq(
+        StructField("path", StringType),
+        StructField("size_bytes", LongType, nullable = false))))
       case DescribeDetail(_) => Some(StructType(Seq(
         StructField("format", StringType),
         StructField("location", StringType),
@@ -653,12 +657,8 @@ object GraftSql {
     // ON <attr> = <attr> [AND ...]: flatten the conjunction, classify
     // each equality's sides by qualifier; unqualified single-key
     // conditions fall back to name equality
-    def flattenAnd(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        flattenAnd(l) ++ flattenAnd(r)
-      case other => Seq(other)
-    }
-    val keyPairs: Seq[(String, String)] = flattenAnd(m.mergeCondition).map {
+    val keyPairs: Seq[(String, String)] =
+      GraftTable.conjuncts(m.mergeCondition).map {
       case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
         def isSrc(a: UnresolvedAttribute) =
           a.nameParts.length > 1 && srcQuals(a.nameParts.head.toLowerCase)
@@ -681,9 +681,12 @@ object GraftSql {
     // so clause expressions referencing s.<srcKey> still resolve in
     // the src struct)
     val srcDf = keyPairs.foldLeft(srcDf0) { case (d, (tgtKey, srcKey)) =>
-      if (srcKey == tgtKey) d
+      if (srcKey.equalsIgnoreCase(tgtKey)) d
       else {
-        require(!d.columns.contains(tgtKey),
+        // case-INSENSITIVE: withColumn resolves case-insensitively,
+        // so a case-differing unrelated column would be silently
+        // overwritten if the guard checked exact case
+        require(!d.columns.exists(_.equalsIgnoreCase(tgtKey)),
           s"source already has an unrelated column named $tgtKey; " +
             s"alias it away before merging on $srcKey")
         d.withColumn(tgtKey, org.apache.spark.sql.functions.col(srcKey))

@@ -1174,8 +1174,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           s"startingTimestamp $tsMillis is after the latest commit " +
             s"(${vs.last} at $lastTs)")
     }
-    vs.takeWhile(v => readCommit(v).timestampMs < tsMillis)
-      .lastOption.getOrElse(-1L)
+    // scan BACKWARD from the tail: the common use is a timestamp near
+    // "now" to skip the backlog, which must not read the whole log
+    // forward (O(versions) commit parses on a long log)
+    vs.reverse.find(v => readCommit(v).timestampMs < tsMillis)
+      .getOrElse(-1L)
   }
 
   /** Time travel (Delta `VERSION AS OF`). */
@@ -1220,18 +1223,24 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   }
 
   /** DESCRIBE HISTORY analog: one row per commit. */
-  def history(): DataFrame = history(Int.MaxValue)
+  /** Full history, oldest first (the established unlimited order). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    listVersions().map(readCommit).map { c =>
+      (c.version, new java.sql.Timestamp(c.timestampMs), c.operation,
+        c.files.size.toLong, c.metrics.getOrElse("numOutputRows", -1L))
+    }.toDF("version", "timestamp", "operation", "num_files", "num_rows")
+  }
 
-  /** DESCRIBE HISTORY [LIMIT n]: the LATEST `limit` commits, newest
-    * first when limited (Delta's ordering) — and only those commits
+  /** DESCRIBE HISTORY LIMIT n: the LATEST `limit` commits, ALWAYS
+    * newest first (Delta's ordering — a generous limit must not flip
+    * row 0 from the latest commit to CREATE) — and only those commits
     * are read/resolved, so inspecting the recent history of a
     * 10⁵-version log stays O(limit), not O(versions).
     */
   def history(limit: Int): DataFrame = {
     import spark.implicits._
-    val vs = listVersions()
-    val shown = if (limit >= vs.size) vs else vs.takeRight(limit).reverse
-    shown.map(readCommit).map { c =>
+    listVersions().takeRight(limit).reverse.map(readCommit).map { c =>
       (c.version, new java.sql.Timestamp(c.timestampMs), c.operation,
         c.files.size.toLong, c.metrics.getOrElse("numOutputRows", -1L))
     }.toDF("version", "timestamp", "operation", "num_files", "num_rows")
@@ -1625,21 +1634,28 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * predicates are EXTRA prune conditions; they never replace the
     * original filter.
     */
-  private def derivedGenConds(
+  private[tables] def derivedGenConds(
       conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       pcols: Seq[String])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val schema = currentSchema
+    // monotonicity only holds in the input's ORDER — and the order a
+    // comparison uses is the column type's. A STRING input is ordered
+    // lexically, where to_date/year are NOT monotone ('2020-2-1' >
+    // '2020-11-5' as strings, reversed as dates) — deriving there
+    // would prune files whose rows match: restrict to temporal types,
+    // as Delta does
+    def temporal(x: String) = schema.fields
+      .find(_.name.equalsIgnoreCase(x))
+      .exists(f => f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType)
     val gens = generatedColumns.toSeq.collect {
       case (c, g) if pcols.contains(c) =>
-        GraftTable.monotoneInput(g).map(x => (c, g, x))
+        GraftTable.monotoneInput(g).filter(temporal).map(x => (c, g, x))
     }.flatten
     if (gens.isEmpty) return Nil
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case o => Seq(o)
-    }
     // g(lit): substitute the input attribute with the literal and let
     // the analyzer resolve + evaluate the one-row projection
     def evalGen(g: String, x: String, l: Literal): Option[Literal] = try {
@@ -1663,7 +1679,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           mk(AttributeReference(c, schema(c).dataType)(), gl)
         }
       }.flatten
-    conds.flatMap(conjuncts).flatMap {
+    conds.flatMap(GraftTable.conjuncts).flatMap {
       case EqualTo(a: AttributeReference, l: Literal) =>
         derive(a.name, l, EqualTo(_, _))
       case EqualTo(l: Literal, a: AttributeReference) =>
@@ -2687,6 +2703,17 @@ object GraftTable {
     */
   case class NotMatchedInsert(condition: Option[Column] = None,
       values: Option[Map[String, Column]] = None)
+
+  /** Flatten an AND tree into its conjuncts (Catalyst ships this as
+    * PredicateHelper.splitConjunctivePredicates, but protected).
+    */
+  private[tables] def conjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case o => Seq(o)
+  }
 
   /** The single input column of a generation expression that is
     * MONOTONE NON-DECREASING in it — the class where input bounds

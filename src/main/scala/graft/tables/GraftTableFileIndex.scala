@@ -96,7 +96,13 @@ class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
     // with the DML blast-radius pre-prune (StatsPruning). With a real
     // partitionSchema Spark routes partition predicates through
     // `partitionFilters`; both arms take the same exact path here.
-    val filters = partitionFilters ++ dataFilters
+    // generated-column partition pruning applies here too: a filter
+    // on the generation INPUT prunes partitions the query never names
+    val pushed = partitionFilters ++ dataFilters
+    val derived =
+      try table.derivedGenConds(pushed, snap.partitionBy)
+      catch { case _: Exception => Nil }
+    val filters = pushed ++ derived
     val kept = statuses.collect {
       case (st, stats, path)
         if filters.forall(StatsPruning.keep(_, stats,

@@ -97,6 +97,13 @@ class ExtensionsSpec extends SparkSpec {
       val hist = s2.sql("DESCRIBE HISTORY gp_orders")
       assert(hist.select("operation").collect().map(_.getString(0)).toSeq ===
         Seq("CREATE", "DELETE"))
+      // the LIMIT spelling returns rows through the injected path too
+      // (resultSchema must cover it, or the rows are silently dropped)
+      assert(s2.sql("DESCRIBE HISTORY gp_orders LIMIT 1")
+        .select("operation").collect().map(_.getString(0)).toSeq ===
+        Seq("DELETE"))
+      assert(s2.sql("VACUUM gp_orders RETAIN 99 VERSIONS DRY RUN")
+        .columns.toSeq === Seq("path", "size_bytes"))
       // time travel inside an ordinary SELECT
       assert(s2.sql("SELECT count(*) FROM gp_orders VERSION AS OF 0")
         .head.getLong(0) === before)

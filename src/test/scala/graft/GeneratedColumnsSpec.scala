@@ -254,6 +254,30 @@ class GeneratedColumnsSpec extends SparkSpec {
     val one = t.candidateFiles($"o_orderdate" ===
       lit(s"$y-06-15 00:00:00").cast("timestamp_ntz"))
     assert(one.size <= cand.size)
+    // the REGISTERED scan prunes through the same derivation
+    spark.sql("CREATE TABLE graft_genprune USING `graft-table` " +
+      s"OPTIONS (path '${t.root}')")
+    try {
+      val df = spark.read.format("graft-table").load(t.root.toString)
+        .where(cond)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      assert(df.collect().length.toLong === orders.where(cond).count())
+      assert(scan.metrics("numFiles").value < all,
+        "registered scan did not derive partition bounds")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_genprune")
+
+    // a STRING-typed input must NOT derive (to_date/year are not
+    // monotone in lexicographic order — deriving would prune rows)
+    val ts = GraftTable.create(spark, tmp(),
+      Seq(("2020-2-1", 1L), ("2020-11-5", 2L)).toDF("s", "v"),
+      partitionBy = Seq("d"),
+      generated = Map("d" -> "to_date(s)"))
+    assert(ts.candidateFiles($"s" >= "2020-11-5").size ===
+      ts.snapshotInfo(ts.latestVersion).files.size,
+      "derived from a string input — lexicographic order is not date order")
+
     // a DML sees the same blast radius: delete one year by date only
     t.delete(cond)
     assert(t.snapshot().where($"order_year" === y).count() === 0)

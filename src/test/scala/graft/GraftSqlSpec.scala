@@ -124,11 +124,14 @@ class GraftSqlSpec extends SparkSpec {
       val hist = GraftSql.sql(spark, "DESCRIBE HISTORY gs_util")
       assert(hist.select("operation").as[String].collect().toSeq ===
         Seq("CREATE", "DELETE"))
-      // LIMIT n: only the latest n commits, newest first, and only
-      // those commits are resolved
+      // LIMIT n: only the latest n commits, ALWAYS newest first (a
+      // generous limit must not flip row 0 to the CREATE commit)
       val lim = GraftSql.sql(spark, "DESCRIBE HISTORY gs_util LIMIT 1")
       assert(lim.select("operation").as[String].collect().toSeq ===
         Seq("DELETE"))
+      val limBig = GraftSql.sql(spark, "DESCRIBE HISTORY gs_util LIMIT 99")
+      assert(limBig.select("operation").as[String].collect().toSeq ===
+        Seq("DELETE", "CREATE"))
       GraftSql.sql(spark, "OPTIMIZE gs_util")
       assert(t.history().where($"operation" === "COMPACT").count() === 1)
       GraftSql.sql(spark, "OPTIMIZE gs_util ZORDER BY (o_custkey, o_orderkey)")
