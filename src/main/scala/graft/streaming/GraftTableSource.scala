@@ -393,10 +393,10 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
     maxBytesPerTrigger match {
       case Some(budget) if vCapped > base =>
         var v = base + 1
-        var bytes = table.billableBytesIn(v, skipChangeCommits)
+        var bytes = table.billableBytesIn(v, skipChangeCommits, cdc)
         var continue = true
         while (continue && v < vCapped) {
-          val next = table.billableBytesIn(v + 1, skipChangeCommits)
+          val next = table.billableBytesIn(v + 1, skipChangeCommits, cdc)
           if (bytes + next <= budget) { v += 1; bytes += next }
           else continue = false
         }

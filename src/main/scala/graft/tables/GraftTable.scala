@@ -2410,12 +2410,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * zero for commits the source will emit nothing for — maintenance
     * commits always, COW change commits under `skipChangeCommits` —
     * so the admission budget is spent on rows that actually flow
-    * instead of starving behind skipped commits.
+    * instead of starving behind skipped commits. In CDC mode the
+    * batch carries the CHANGE SET, not the rewritten files, so the
+    * bill is the write-time cdc payload when one was recorded (a
+    * wholesale COW DELETE's tiny change feed must not consume a
+    * budget sized for its rewrite); appends and legacy commits fall
+    * back to added-file bytes — for appends that IS the change set.
     */
   private[graft] def billableBytesIn(version: Long,
-      skipChangeCommits: Boolean): Long = {
+      skipChangeCommits: Boolean, cdcMode: Boolean = false): Long = {
     val c = readCommit(version)
     if (GraftTable.maintenanceOps(c.operation)) return 0L
+    if (cdcMode) c.cdc match {
+      case Some(fs) if fs.nonEmpty =>
+        return fs.map { f =>
+          val p = root.resolve(f)
+          if (Files.exists(p)) Files.size(p) else 0L
+        }.sum
+      case _ => ()
+    }
     if (skipChangeCommits) {
       val prevFiles = if (version <= 0) Set.empty[String]
         else readCommit(version - 1).files.toSet

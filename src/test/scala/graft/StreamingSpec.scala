@@ -547,6 +547,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.where($"id" === 4L).select("pk").as[String].head() === "z")
   }
 
+  test("CDC-mode byte admission bills the change feed, not the rewrite") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_cdcbytes_").resolve("t").toString
+    // a sizeable table whose DELETE rewrites far more bytes than its
+    // change set carries (the md5 pad keeps the rewrite incompressible)
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 20000).select($"id", ($"id" % 97).as("grp"),
+        md5($"id".cast("string")).as("pad")))
+    t.delete($"grp" === 7)   // v1: big rewrite, tiny change feed
+    t.delete($"grp" === 11)  // v2
+    val batches = scala.collection.mutable.ArrayBuffer[Int]()
+    // 128k comfortably covers both CDC payloads but NOT the rewrites:
+    // billing rewrite bytes would force one commit per trigger
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("mode", "cdc").option("startingVersion", "1")
+      .option("maxBytesPerTrigger", "128k").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count().toInt }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val deleted = 20000 / 97 * 2 + 2 // rows in grp 7 + grp 11
+    assert(batches.sum === deleted, s"got $batches")
+    assert(batches.count(_ > 0) === 1,
+      s"CDC budget billed rewrite bytes — backlog split: $batches")
+  }
+
   test("maxVersionsPerTrigger paces the CDC stream too") {
     import graft.tables.GraftTable
     val root = Files.createTempDirectory("graft_cdcmv_").resolve("t").toString
