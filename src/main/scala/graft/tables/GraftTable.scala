@@ -1639,18 +1639,22 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       pcols: Seq[String])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
     val schema = currentSchema
     // monotonicity only holds in the input's ORDER — and the order a
     // comparison uses is the column type's. A STRING input is ordered
     // lexically, where to_date/year are NOT monotone ('2020-2-1' >
     // '2020-11-5' as strings, reversed as dates) — deriving there
-    // would prune files whose rows match: restrict to temporal types,
-    // as Delta does
+    // would prune files whose rows match. TimestampType is excluded
+    // too: year()/to_date()/date_trunc() over an instant are
+    // session-timezone-dependent, and the partition values were
+    // materialized under the WRITER's session timezone while evalGen
+    // runs under the reader's — a mismatch could derive a boundary
+    // that prunes files containing matching rows. Only DateType and
+    // TimestampNTZType evaluate identically in every session.
     def temporal(x: String) = schema.fields
       .find(_.name.equalsIgnoreCase(x))
-      .exists(f => f.dataType == DateType || f.dataType == TimestampType ||
-        f.dataType == TimestampNTZType)
+      .exists(f => f.dataType == DateType || f.dataType == TimestampNTZType)
     val gens = generatedColumns.toSeq.collect {
       case (c, g) if pcols.contains(c) =>
         GraftTable.monotoneInput(g).filter(temporal).map(x => (c, g, x))

@@ -278,6 +278,21 @@ class GeneratedColumnsSpec extends SparkSpec {
       ts.snapshotInfo(ts.latestVersion).files.size,
       "derived from a string input — lexicographic order is not date order")
 
+    // a TIMESTAMP (instant) input must NOT derive either: year()/
+    // to_date() over an instant depend on the session timezone, and
+    // the reader's may differ from the writer's that materialized the
+    // partition values — a mismatch would derive a boundary that
+    // prunes files containing matching rows
+    val ti = GraftTable.create(spark, tmp(),
+      Seq(("2020-01-01 00:30:00", 1L), ("2021-06-01 12:00:00", 2L))
+        .toDF("s", "v").select($"s".cast("timestamp").as("ts"), $"v"),
+      partitionBy = Seq("y"),
+      generated = Map("y" -> "year(ts)"))
+    assert(ti.candidateFiles(
+      $"ts" >= lit("2021-01-01 00:00:00").cast("timestamp")).size ===
+      ti.snapshotInfo(ti.latestVersion).files.size,
+      "derived from a timestamp instant — evaluation is session-timezone-dependent")
+
     // a DML sees the same blast radius: delete one year by date only
     t.delete(cond)
     assert(t.snapshot().where($"order_year" === y).count() === 0)
