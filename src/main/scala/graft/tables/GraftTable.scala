@@ -892,8 +892,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val data = readFilesDvAware(small, schemaAt(base), dvAt(base),
       columnMapAt(base)).coalesce(n)
     val w = writeData(data)
-    commit("COMPACT", base, files.filterNot(small.contains) ++ w.files,
-      schemaAt(base),
+    commitResolved("COMPACT", base, small.toSet, w.files,
+      None, readsTable = false, schemaAt(base),
       Map("numRewrittenFiles" -> small.size.toLong), collectStats(w.files),
       newPartValues = w.partValues)
   }
@@ -1717,7 +1717,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private[graft] def candidateFiles(cond: Column): Seq[String] = {
     val c = readCommit(latestVersion)
-    val schema = currentSchema
+    candidatesAmong(cond, c, c.files)
+  }
+
+  /** The subset of `files` commit `c`'s stats/partition values cannot
+    * prove free of rows matching `cond` — shared by the DML blast-
+    * radius probe and the concurrent-commit conflict check. Falls
+    * back to ALL of `files` on any resolution surprise: for the probe
+    * that means "scan everything" (safe), for the conflict check
+    * "assume conflict" (safe).
+    */
+  private def candidatesAmong(cond: Column, c: Commit,
+      files: Seq[String]): Seq[String] = {
+    val schema = schemaAt(c.version)
     try {
       val probe = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1747,9 +1759,156 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       // on a generation INPUT imply bounds on the partition value
       val derived = try derivedGenConds(condsPhys, pcols)
         catch { case _: Exception => Nil }
-      c.files.filter(f => (condsPhys ++ derived).forall(StatsPruning.keep(_,
+      files.filter(f => (condsPhys ++ derived).forall(StatsPruning.keep(_,
         stats.get(f), pv.get(f), pcols, spark)))
-    } catch { case _: Exception => c.files }
+    } catch { case _: Exception => files }
+  }
+
+  // ---- file-granular concurrent-DML conflict resolution ----------------
+
+  /** Isolation level for DML-vs-append races (Delta's two levels,
+    * from `graft.isolationLevel` in TBLPROPERTIES).
+    * `WriteSerializable` (the default, as in Delta): a concurrent
+    * BLIND APPEND never conflicts with a DML's read predicate — the
+    * DML is logically serialized before it, so the appended rows
+    * legitimately survive. `Serializable`: an append whose rows may
+    * match the predicate conflicts too (the history must equal some
+    * serial order for readers as well as writers).
+    */
+  private def isolationLevel: String =
+    (if (latestVersion < 0) None
+     else readCommit(latestVersion).properties.getOrElse(Map.empty)
+       .get("graft.isolationLevel"))
+      .map(_.trim).filter(_.nonEmpty).getOrElse("WriteSerializable")
+
+  /** FILE-GRANULAR CONFLICT DETECTION (Delta's ConflictChecker
+    * analog). A DML/maintenance op staged its rewrite against `base`;
+    * concurrent writers claimed (base, latest]. Decide from the
+    * commit log whether the window COMMUTES with the staged rewrite —
+    * serializing this op LAST — and throw [[CommitConflictException]]
+    * with the reason if it does not:
+    *
+    *  - table metadata (schema, constraints, column map, partition
+    *    spec, generation/identity/bucketing specs, properties) must
+    *    be untouched — a metadata race invalidates the staged files;
+    *  - the deletion-vector set must be untouched — the rewrite
+    *    applied the base's tombstones;
+    *  - no concurrent commit may remove a file this op removes or
+    *    tombstones (write-write: both rewrote the same rows);
+    *  - concurrently ADDED files (appends, or rewrites under another
+    *    predicate) must be PROVABLY free of rows matching this op's
+    *    read predicate, judged by their commit stats / partition
+    *    values (read-write: a serial execution with this op last
+    *    would have read those rows). Blind appends are exempt under
+    *    WriteSerializable (ordered after this op). Ops that read
+    *    only the files they rewrite (compaction, purge) pass
+    *    `readCond = None`; ops whose read set is the whole table
+    *    under a non-file-provable predicate (MERGE's key join) pass
+    *    `readsTable = true` and conflict with any concurrent add.
+    */
+  private[graft] def checkDmlConflicts(op: String, base: Long, latest: Long,
+      removes: Set[String], readCond: Option[Column],
+      readsTable: Boolean, idHwBefore: Long = -2L): Unit = {
+    def fail(why: String): Nothing = throw new CommitConflictException(
+      s"$op at $root conflicts with a concurrent commit: $why " +
+        s"(staged against version $base, latest is $latest)")
+    val bc = readCommit(base)
+    val lc = readCommit(latest)
+    if (lc.schemaJson != bc.schemaJson) fail("the schema changed")
+    if (lc.constraints.getOrElse(Map.empty) !=
+        bc.constraints.getOrElse(Map.empty)) fail("constraints changed")
+    if (lc.columnMap.getOrElse(Map.empty) !=
+        bc.columnMap.getOrElse(Map.empty)) fail("the column mapping changed")
+    if (lc.partitionBy != bc.partitionBy) fail("the partition spec changed")
+    if (lc.generated != bc.generated || lc.identityCol != bc.identityCol ||
+        lc.bucketBy != bc.bucketBy || lc.numBuckets != bc.numBuckets)
+      fail("the generation/identity/bucketing spec changed")
+    if (lc.properties.getOrElse(Map.empty) !=
+        bc.properties.getOrElse(Map.empty)) fail("table properties changed")
+    if (dvAt(latest) != dvAt(base))
+      fail("the deletion-vector set changed")
+    if (idHwBefore != -2L &&
+        maxMetric(identityKey).getOrElse(-1L) != idHwBefore)
+      fail("a concurrent commit advanced the identity high water")
+    val strict = isolationLevel.equalsIgnoreCase("Serializable")
+    var v = base + 1
+    while (v <= latest) {
+      val prev = readCommit(v - 1)
+      val cur = readCommit(v)
+      val prevSet = prev.files.toSet
+      val curSet = cur.files.toSet
+      val removedV = prev.files.filterNot(curSet)
+      val addedV = cur.files.filterNot(prevSet)
+      val overlap = removedV.filter(removes)
+      if (overlap.nonEmpty)
+        fail(s"version $v (${cur.operation}) rewrote ${overlap.size} " +
+          "file(s) this operation also rewrites")
+      if (addedV.nonEmpty) {
+        if (readsTable)
+          fail(s"version $v (${cur.operation}) added files while this " +
+            "operation reads the whole table")
+        readCond.foreach { cond =>
+          val blindAppend = removedV.isEmpty
+          if (strict || !blindAppend) {
+            val mayMatch = candidatesAmong(cond, cur, addedV)
+            if (mayMatch.nonEmpty)
+              fail(s"version $v (${cur.operation}) added ${mayMatch.size} " +
+                "file(s) that may hold rows matching this operation's predicate")
+          }
+        }
+      }
+      v += 1
+    }
+  }
+
+  /** Commit a staged DML/maintenance rewrite with file-granular
+    * conflict RESOLUTION: claim base+1; on a lost race, prove the
+    * concurrent window commutes ([[checkDmlConflicts]]) and re-claim
+    * against the advanced base — so partition-disjoint DML, appends
+    * and maintenance land concurrently instead of fail-fasting (the
+    * Delta optimistic-retry protocol). The staged data files need no
+    * rework: only the O(files) commit JSON is recomputed per retry.
+    *
+    * `removes`/`adds` are this op's rewrite delta; `conflictRemoves`
+    * overrides the write-write check set when it differs from the
+    * file-list delta (merge-on-read DELETE removes nothing from the
+    * list but tombstones rows in specific files). `dvOut` recomputes
+    * the committed DV list against whatever base wins (it sees the
+    * base version and that base's untouched survivor files).
+    */
+  private def commitResolved(op: String, base0: Long,
+      removes: Set[String], adds: Seq[String],
+      readCond: Option[Column], readsTable: Boolean,
+      schema: StructType, metrics: Map[String, Long],
+      newStats: Map[String, FileStats] = Map.empty,
+      cdcFiles: Option[Seq[String]] = None,
+      newPartValues: Map[String, Map[String, String]] = Map.empty,
+      dvOut: (Long, Seq[String]) => Option[Seq[String]] = null,
+      conflictRemoves: Option[Set[String]] = None,
+      idHwBefore: Long = -2L): Long = {
+    val dvFn: (Long, Seq[String]) => Option[Seq[String]] =
+      if (dvOut != null) dvOut
+      else (b, untouched) => Some(liveDvs(dvAt(b), untouched))
+    var b = base0
+    var attempts = 0
+    while (true) {
+      val untouched = filesAt(b).filterNot(removes)
+      try {
+        return commit(op, b, untouched ++ adds, schema, metrics, newStats,
+          cdcFiles = cdcFiles, dv = dvFn(b, untouched),
+          newPartValues = newPartValues)
+      } catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          if (attempts > 10) throw e
+          val latest = latestVersion
+          checkDmlConflicts(op, b, latest,
+            conflictRemoves.getOrElse(removes), readCond, readsTable,
+            idHwBefore)
+          b = latest
+      }
+    }
+    -1L // unreachable
   }
 
   /** DML DELETE WHERE (01-Fraud-Delta.py:159). */
@@ -1757,8 +1916,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val base = latestVersion
     val touched = touchedFiles(cond)
     if (touched.isEmpty)
-      return commit("DELETE", base, filesAt(base), schemaAt(base), Map(),
-        cdcFiles = Some(Nil))
+      return commitResolved("DELETE", base, Set.empty, Nil,
+        Some(cond), readsTable = false, schemaAt(base), Map(),
+        cdcFiles = Some(Nil), dvOut = (_, _) => None)
     // DV-aware: rows already masked by deletion vectors must neither
     // survive into the rewrite nor re-appear in the CDC delete set
     val touchedDf = readFilesDvAware(touched, schemaAt(base), dvAt(base),
@@ -1769,12 +1929,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // rows of the touched files — one extra pruned scan, no EXCEPT ALL
     val cdc = writeCdc(touchedDf.where(coalesce(cond, lit(false)))
       .withColumn("_change_type", lit("delete")))
-    val untouched = filesAt(base).filterNot(touched.contains)
-    maybeAutoCompact(commit("DELETE", base,
-      untouched ++ w.files, schemaAt(base),
+    maybeAutoCompact(commitResolved("DELETE", base,
+      touched.toSet, w.files, Some(cond), readsTable = false,
+      schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
-      cdcFiles = Some(cdc), dv = Some(liveDvs(dvAt(base), untouched)),
-      newPartValues = w.partValues))
+      cdcFiles = Some(cdc), newPartValues = w.partValues))
   }
 
   /** MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV feature):
@@ -1803,15 +1962,24 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     try {
       val n = victims.count()
       if (n == 0)
-        return commit("DELETE_DV", base, filesAt(base), schema,
-          Map("numDeletedRows" -> 0L), cdcFiles = Some(Nil))
+        return commitResolved("DELETE_DV", base, Set.empty, Nil,
+          Some(cond), readsTable = false, schema,
+          Map("numDeletedRows" -> 0L), cdcFiles = Some(Nil),
+          dvOut = (_, _) => None)
       val newDv = writeDv(
         victims.select(col("__fp").as("file_path"), col("__pos").as("pos")))
       val cdc = writeCdc(victims.drop("__fp", "__pos")
         .withColumn("_change_type", lit("delete")))
-      commit("DELETE_DV", base, filesAt(base), schema,
+      // conflict write-set = the files the tombstones mask: a racer
+      // rewriting one of them would resurrect our deleted rows
+      val masked = victims.select(col("__fp")).distinct()
+        .collect().map(_.getString(0)).toSet
+      commitResolved("DELETE_DV", base, Set.empty, Nil,
+        Some(cond), readsTable = false, schema,
         Map("numDeletedRows" -> n, "numAddedDvFiles" -> newDv.size.toLong),
-        cdcFiles = Some(cdc), dv = Some(dvAt(base) ++ newDv))
+        cdcFiles = Some(cdc),
+        dvOut = (b, _) => Some(dvAt(b) ++ newDv),
+        conflictRemoves = Some(matchHits(filesAt(base), masked).toSet))
     } finally victims.unpersist()
   }
 
@@ -1833,10 +2001,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val touched = matchHits(filesAt(base), masked)
     val kept = readFilesDvAware(touched, schema, dv, columnMapAt(base))
     val w = if (touched.isEmpty) Written(Nil, Map.empty) else writeData(kept)
-    commit("PURGE", base,
-      filesAt(base).filterNot(touched.contains) ++ w.files, schema,
+    // reads only the files it rewrites — concurrent appends commute
+    commitResolved("PURGE", base, touched.toSet, w.files,
+      None, readsTable = false, schema,
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
-      cdcFiles = Some(Nil), dv = Some(Nil), newPartValues = w.partValues)
+      cdcFiles = Some(Nil), dvOut = (_, _) => Some(Nil),
+      newPartValues = w.partValues)
   }
 
   /** Resolve assignment keys against the schema (case-insensitively,
@@ -1866,8 +2036,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val set = resolveAssignments(schemaAt(base), set0, "UPDATE SET")
     val touched = touchedFiles(cond)
     if (touched.isEmpty)
-      return commit("UPDATE", base, filesAt(base), schemaAt(base), Map(),
-        cdcFiles = Some(Nil))
+      return commitResolved("UPDATE", base, Set.empty, Nil,
+        Some(cond), readsTable = false, schemaAt(base), Map(),
+        cdcFiles = Some(Nil), dvOut = (_, _) => None)
     val cur = readFilesDvAware(touched, schemaAt(base), dvAt(base),
       columnMapAt(base))
     // evaluate cond ONCE against the original row, then apply every
@@ -1912,12 +2083,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         .withColumn("_change_type", lit("update_preimage"))
         .unionByName(applied.where(col("__hit")).drop("__hit")
           .withColumn("_change_type", lit("update_postimage"))))
-    val untouched = filesAt(base).filterNot(touched.contains)
-    maybeAutoCompact(commit("UPDATE", base,
-      untouched ++ w.files, schemaAt(base),
+    maybeAutoCompact(commitResolved("UPDATE", base,
+      touched.toSet, w.files, Some(cond), readsTable = false,
+      schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
-      cdcFiles = Some(cdc), dv = Some(liveDvs(dvAt(base), untouched)),
-      newPartValues = w.partValues))
+      cdcFiles = Some(cdc), newPartValues = w.partValues))
   }
 
   /** MERGE INTO target USING source ON key — the default clause set:
@@ -2150,13 +2320,16 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val cdc = writeCdc(cdcAll)
     tagged.unpersist()
     src.unpersist()
-    val untouched = filesAt(base).filterNot(touched.contains)
-    try maybeAutoCompact(commit("MERGE", base,
-      untouched ++ w.files, schema,
+    // MERGE's read set is the whole table (the key join) — no file-
+    // level predicate can prove a concurrent add disjoint, so any
+    // concurrent add conflicts (Delta's ConcurrentAppendException for
+    // merge); disjoint-file rewrites and maintenance still commute
+    try maybeAutoCompact(commitResolved("MERGE", base,
+      touched.toSet, w.files, None, readsTable = true, schema,
       Map("numRewrittenFiles" -> touched.size.toLong) ++ idMetrics,
       collectStats(w.files),
-      cdcFiles = Some(cdc), dv = Some(liveDvs(dvAt(base), untouched)),
-      newPartValues = w.partValues))
+      cdcFiles = Some(cdc), newPartValues = w.partValues,
+      idHwBefore = if (identityColumn.isDefined) idHwBefore else -2L))
     finally idCleanup()
   }
 
@@ -2169,10 +2342,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val data = snapshotAt(base).coalesce(numFiles)
     val w = writeData(data)
     // the rewrite read the snapshot DV-aware, so the DVs are applied
-    // (purged) by compaction — clear them
-    commit("COMPACT", base, w.files, schemaAt(base),
+    // (purged) by compaction — clear them. Reads only what it
+    // rewrites: concurrent appends land via conflict resolution.
+    commitResolved("COMPACT", base, filesAt(base).toSet, w.files,
+      None, readsTable = false, schemaAt(base),
       Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
-      dv = Some(Nil), newPartValues = w.partValues)
+      dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
   /** OPTIMIZE with a TARGET FILE SIZE (how Delta's OPTIMIZE actually
@@ -2211,13 +2386,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val data = readFilesDvAware(touched, schemaAt(base), dvAt(base),
       columnMapAt(base)).coalesce(n)
     val w = writeData(data)
-    val untouched = filesAt(base).filterNot(touched.toSet)
-    commit("COMPACT", base, untouched ++ w.files, schemaAt(base),
+    // rewritten files absorbed their tombstones; DV files that now
+    // mask only retired paths drop, re-opening DV-gated readers.
+    // Reads only what it rewrites — disjoint DML/appends commute.
+    commitResolved("COMPACT", base, touched.toSet, w.files,
+      None, readsTable = false, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong),
       collectStats(w.files),
-      // rewritten files absorbed their tombstones; DV files that now
-      // mask only retired paths drop, re-opening DV-gated readers
-      dv = Some(liveDvs(dvAt(base), untouched)),
       newPartValues = w.partValues)
   }
 
@@ -2231,9 +2406,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .repartitionByRange(numFiles, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val w = writeData(data)
-    commit("CLUSTER", base, w.files, schemaAt(base),
+    commitResolved("CLUSTER", base, filesAt(base).toSet, w.files,
+      None, readsTable = false, schemaAt(base),
       Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
-      dv = Some(Nil), newPartValues = w.partValues)
+      dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
   /** TRUE multi-dimensional Z-ordering over ANY number of keys:
@@ -2275,9 +2451,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
     val w = writeData(data)
-    commit("ZORDER", base, w.files, schemaAt(base),
+    commitResolved("ZORDER", base, filesAt(base).toSet, w.files,
+      None, readsTable = false, schemaAt(base),
       Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
-      dv = Some(Nil), newPartValues = w.partValues)
+      dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
   /** RESTORE analog (roll the table back to an old version): commits

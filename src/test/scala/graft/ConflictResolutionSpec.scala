@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.{CommitConflictException, GraftTable}
+import org.apache.spark.sql.functions._
+
+/** File-granular concurrent-DML conflict detection (the Delta
+  * ConflictChecker analog): disjoint DML + appends + maintenance all
+  * land via commit-time re-resolution; genuinely overlapping writes
+  * and metadata races still fail with [[CommitConflictException]].
+  */
+class ConflictResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_confl_").resolve("t").toString
+
+  private def seedTable(path: String): GraftTable = {
+    val parts = ('A' to 'H').map(_.toString)
+    val seed = parts.flatMap(p => (1L to 20L).map(i => (p, i, s"$p$i")))
+      .toDF("p", "id", "v").repartition(8)
+    GraftTable.create(spark, path, seed, partitionBy = Seq("p"))
+  }
+
+  test("8-way race: partition-disjoint DELETEs and appends all land") {
+    val path = tmp()
+    seedTable(path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val parts = ('A' to 'H').map(_.toString)
+    // 4 DELETEs, each on its own partition; 4 appends to 4 others —
+    // every pair of racers is file-disjoint, so ALL must land
+    val ops: Seq[() => Unit] =
+      parts.take(4).map(p => () => {
+        GraftTable.load(spark, path).delete($"p" === p && $"id" <= 10); ()
+      }) ++
+      parts.drop(4).map(p => () => {
+        GraftTable.load(spark, path)
+          .append(Seq((p, 100L, s"$p-new")).toDF("p", "id", "v")); ()
+      })
+    val results = Await.result(Future.sequence(ops.map(op => Future {
+      try { op(); 1 }
+      catch { case _: CommitConflictException => 0 }
+    })), 300.seconds)
+    assert(results.sum === 8, "every file-disjoint racer must land")
+    val t = GraftTable.load(spark, path)
+    assert(t.latestVersion === 8L, "one commit per racer, none clobbered")
+    assert(t.snapshot().count() === 8 * 20 - 4 * 10 + 4)
+    parts.take(4).foreach { p =>
+      assert(t.snapshot().where($"p" === p && $"id" <= 10).count() === 0,
+        s"DELETE on partition $p lost")
+      assert(t.snapshot().where($"p" === p).count() === 10)
+    }
+    parts.drop(4).foreach { p =>
+      assert(t.snapshot().where($"p" === p && $"id" === 100).count() === 1,
+        s"append to partition $p lost")
+    }
+  }
+
+  test("write-write overlap on the same files is detected") {
+    val t = seedTable(tmp())
+    val aFiles = t.candidateFiles($"p" === "A").toSet
+    // a racer rewrote partition A (delete half of it)...
+    t.delete($"p" === "A" && $"id" <= 5)
+    // ...while our staged DML also rewrites partition A's base files
+    val e = intercept[CommitConflictException] {
+      t.checkDmlConflicts("DELETE", 0, t.latestVersion, aFiles,
+        Some($"p" === "A"), readsTable = false)
+    }
+    assert(e.getMessage.contains("also rewrites"))
+  }
+
+  test("a rewrite whose output may match the staged predicate conflicts") {
+    val t = seedTable(tmp())
+    // concurrent UPDATE moved rows INTO partition-B value space?
+    // No — partitions are immutable here; instead: its rewritten
+    // B-files must conflict with a staged DML *reading* B even
+    // though the staged op rewrote no B file
+    t.update($"p" === "B" && $"id" <= 5, Map("v" -> lit("changed")))
+    val e = intercept[CommitConflictException] {
+      t.checkDmlConflicts("DELETE", 0, t.latestVersion, Set.empty,
+        Some($"p" === "B" && $"v" === "changed"), readsTable = false)
+    }
+    assert(e.getMessage.contains("matching this operation's predicate"))
+    // ...but a staged DML on a DIFFERENT partition commutes with it
+    t.checkDmlConflicts("DELETE", 0, t.latestVersion,
+      t.candidateFiles($"p" === "C").toSet, Some($"p" === "C"),
+      readsTable = false)
+  }
+
+  test("blind appends are exempt under WriteSerializable, conflict under Serializable") {
+    val t = seedTable(tmp())
+    val base = t.latestVersion
+    t.append(Seq(("A", 200L, "late")).toDF("p", "id", "v"))
+    // WriteSerializable (default): the staged DELETE on partition A is
+    // logically ordered BEFORE the append — no conflict even though
+    // the appended rows match the predicate
+    t.checkDmlConflicts("DELETE", base, t.latestVersion,
+      t.candidateFiles($"p" === "A").toSet, Some($"p" === "A"),
+      readsTable = false)
+    // Serializable: the matching append conflicts
+    t.setProperties(Map("graft.isolationLevel" -> "Serializable"))
+    val base2 = t.latestVersion
+    t.append(Seq(("A", 201L, "late2")).toDF("p", "id", "v"))
+    val e = intercept[CommitConflictException] {
+      t.checkDmlConflicts("DELETE", base2, t.latestVersion,
+        t.candidateFiles($"p" === "A").toSet, Some($"p" === "A"),
+        readsTable = false)
+    }
+    assert(e.getMessage.contains("predicate"))
+    // ...while a provably-disjoint append still commutes even there
+    val base3 = t.latestVersion
+    t.append(Seq(("H", 202L, "late3")).toDF("p", "id", "v"))
+    t.checkDmlConflicts("DELETE", base3, t.latestVersion,
+      t.candidateFiles($"p" === "A").toSet, Some($"p" === "A"),
+      readsTable = false)
+  }
+
+  test("whole-table readers (MERGE) conflict with any concurrent add") {
+    val t = seedTable(tmp())
+    val base = t.latestVersion
+    t.append(Seq(("H", 300L, "x")).toDF("p", "id", "v"))
+    val e = intercept[CommitConflictException] {
+      t.checkDmlConflicts("MERGE", base, t.latestVersion, Set.empty,
+        None, readsTable = true)
+    }
+    assert(e.getMessage.contains("reads the whole table"))
+  }
+
+  test("metadata and deletion-vector races are detected") {
+    val t = seedTable(tmp())
+    val base = t.latestVersion
+    t.addConstraint("id_pos", "id > 0")
+    intercept[CommitConflictException] {
+      t.checkDmlConflicts("DELETE", base, t.latestVersion, Set.empty,
+        Some($"p" === "A"), readsTable = false)
+    }
+    val base2 = t.latestVersion
+    t.deleteMor($"p" === "D" && $"id" === 1)
+    intercept[CommitConflictException] {
+      t.checkDmlConflicts("DELETE", base2, t.latestVersion, Set.empty,
+        Some($"p" === "A"), readsTable = false)
+    }
+  }
+
+  test("OPTIMIZE races a concurrent append: both land") {
+    val path = tmp()
+    seedTable(path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence(Seq(
+      Future {
+        try { GraftTable.load(spark, path).compact(2); 1 }
+        catch { case _: CommitConflictException => 0 }
+      },
+      Future {
+        try {
+          GraftTable.load(spark, path)
+            .append(Seq(("Z", 1L, "new")).toDF("p", "id", "v")); 1
+        } catch { case _: CommitConflictException => 0 }
+      })), 300.seconds)
+    assert(results.sum === 2, "compaction and append must both land")
+    val t = GraftTable.load(spark, path)
+    assert(t.snapshot().count() === 8 * 20 + 1)
+    assert(t.snapshot().where($"p" === "Z").count() === 1)
+  }
+
+  test("DML racing DML on the same partition never loses an update") {
+    // the overlap either fail-fasts or serializes — both racers
+    // landing must produce the serial result, never a lost update
+    val path = tmp()
+    seedTable(path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence(Seq(
+      Future {
+        try { GraftTable.load(spark, path)
+          .delete($"p" === "A" && $"id" <= 10); 1 }
+        catch { case _: CommitConflictException => 0 }
+      },
+      Future {
+        try { GraftTable.load(spark, path)
+          .delete($"p" === "A" && $"id" > 10); 1 }
+        catch { case _: CommitConflictException => 0 }
+      })), 300.seconds)
+    val t = GraftTable.load(spark, path)
+    val aCount = t.snapshot().where($"p" === "A").count()
+    // both landed → 0 rows left; one landed → 10 rows; the table is
+    // NEVER in a state neither serial order explains
+    assert(results.sum >= 1, "at least the first committer must land")
+    assert(aCount === (if (results.sum == 2) 0L else 10L),
+      s"lost update: $aCount rows with ${results.sum} successful deletes")
+    assert(t.snapshot().where($"p" =!= "A").count() === 7 * 20)
+  }
+}
