@@ -39,6 +39,10 @@ object GraftSql {
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+WHERE\s+(.+?)\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*""".r
+  private val VacuumRetainHoursDry =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s+DRY\s+RUN\s*""".r
+  private val VacuumRetainHours =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*""".r
   private val VacuumRetainDry =
     """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s+DRY\s+RUN\s*""".r
   private val VacuumDry =
@@ -107,6 +111,11 @@ object GraftSql {
     case Optimize(ident) =>
       tableByName(spark, ident).compactToSize()
       refreshName(spark, ident)
+      emptyResult(spark)
+    case VacuumRetainHoursDry(ident, h) =>
+      tableByName(spark, ident).vacuumDryRunHours(h.toDouble)
+    case VacuumRetainHours(ident, h) =>
+      tableByName(spark, ident).vacuumRetainHours(h.toDouble)
       emptyResult(spark)
     case VacuumRetainDry(ident, n) =>
       tableByName(spark, ident).vacuumDryRun(n.toInt)

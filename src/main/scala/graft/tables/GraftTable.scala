@@ -63,8 +63,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     new java.util.concurrent.ConcurrentHashMap[Long, Commit]()
 
   private def parseCommit(v: Long): Commit = {
-    require(Files.exists(commitFile(v)),
-      s"version $v does not exist for table at $root (latest: $latestVersion)")
+    require(Files.exists(commitFile(v)), {
+      val vs = listVersions()
+      s"version $v does not exist for table at $root (available: " +
+        s"${vs.headOption.getOrElse(-1L)}..${vs.lastOption.getOrElse(-1L)}; " +
+        "earlier commits may have been removed by log retention)"
+    })
     implicit val fmt: Formats = DefaultFormats
     JsonMethods.parse(Files.readString(commitFile(v))).extract[Commit]
   }
@@ -989,7 +993,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * would reclaim.
     */
   private def retentionFromProps: Int =
-    properties.get("graft.vacuum.retainVersions").map(_.toInt).getOrElse(2)
+    properties.get("graft.vacuum.retainHours")
+      .flatMap(h => scala.util.Try(versionsWithinHours(h.toDouble)).toOption)
+      .orElse(properties.get("graft.vacuum.retainVersions").map(_.toInt))
+      .getOrElse(2)
 
   def fsck(): DataFrame = fsck(retentionFromProps)
 
@@ -1474,7 +1481,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * versions) that survives restarts with the log.
     */
   def maxMetric(key: String): Option[Long] =
-    listVersions().flatMap(v => readCommit(v).metrics.get(key)).maxOption
+    (listVersions().flatMap(v => readCommit(v).metrics.get(key)) ++
+      readMetricsRollup().get(key)).maxOption
 
   private def txnKey(appId: String): String = s"txn:$appId"
 
@@ -2499,7 +2507,93 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def vacuum(retainVersions: Int): Long = {
     val dead = vacuumCandidates(retainVersions)
     dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    cleanupLog(math.max(retainVersions, logRetentionFromProps))
     dead.size.toLong
+  }
+
+  /** VACUUM ... RETAIN n HOURS (Delta's time-denominated retention —
+    * the spelling operators can reason about in wall-clock SLAs):
+    * resolve the window to a version count via commit timestamps —
+    * every version committed inside the window is retained, and the
+    * latest always is — then run the same enumeration as the
+    * version-denominated vacuum, so the two spellings can never
+    * disagree about what is reclaimable.
+    */
+  def vacuumRetainHours(hours: Double): Long =
+    vacuum(versionsWithinHours(hours))
+
+  def vacuumDryRunHours(hours: Double): DataFrame =
+    vacuumDryRun(versionsWithinHours(hours))
+
+  private[graft] def versionsWithinHours(hours: Double): Int = {
+    require(hours >= 0, s"RETAIN hours must be non-negative, got $hours")
+    val cutoffMs = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    math.max(1,
+      listVersions().count(v => readCommit(v).timestampMs >= cutoffMs))
+  }
+
+  /** Commit-log retention bound from TBLPROPERTIES
+    * (`graft.logRetention.versions`, Delta's logRetentionDuration
+    * analog denominated in versions — default 1000): how many
+    * trailing versions' commit files VACUUM preserves. The effective
+    * window is never narrower than the data-retention window, so any
+    * version whose data files survive stays time-travelable.
+    */
+  private def logRetentionFromProps: Int =
+    properties.get("graft.logRetention.versions").map(_.toInt).getOrElse(1000)
+
+  private def rollupFile: Path = logDir.resolve("metrics-rollup.json")
+
+  /** Max-based metric watermarks rolled up from commits the log
+    * cleanup removed — identity high water, exactly-once sink txn
+    * ids, MV source versions. [[maxMetric]] folds this in, so
+    * watermarks never regress when their carrying commit ages out.
+    */
+  private def readMetricsRollup(): Map[String, Long] =
+    if (!Files.exists(rollupFile)) Map.empty
+    else {
+      implicit val fmt: Formats = DefaultFormats
+      JsonMethods.parse(Files.readString(rollupFile)).extract[Map[String, Long]]
+    }
+
+  /** Remove commit/checkpoint files no read inside the trailing
+    * `keepVersions` window can reach. The kept prefix anchors at the
+    * newest FULL (checkpoint) commit at or below the cutoff, so every
+    * surviving version still resolves its delta chain; the removed
+    * commits' metric maxima are rolled into [[readMetricsRollup]]'s
+    * sidecar BEFORE deletion (a crash leaves an over-covering rollup,
+    * never a regressed watermark). Time travel below the anchor then
+    * fails with the version-unavailable error. O(interval) log files
+    * remain beyond the window however many versions the table has
+    * lived — a 10⁵-commit streaming table's `_graft_log` stops
+    * growing forever.
+    */
+  private def cleanupLog(keepVersions: Int): Long = {
+    val versions = listVersions()
+    if (versions.size <= 1) return 0L
+    val cutoff = versions.last - math.max(keepVersions, 1).toLong + 1
+    if (cutoff <= versions.head) return 0L
+    val anchor = versions.filter(_ <= cutoff).reverse
+      .find(v => !parseCommit(v).delta.contains(true))
+    anchor match {
+      case None => 0L
+      case Some(a) =>
+        val dead = versions.filter(_ < a)
+        if (dead.isEmpty) return 0L
+        val rolled = dead.foldLeft(readMetricsRollup()) { (acc, v) =>
+          parseCommit(v).metrics.foldLeft(acc) { case (m, (k, x)) =>
+            m.updated(k, math.max(m.getOrElse(k, Long.MinValue), x))
+          }
+        }
+        val tmp = logDir.resolve(s".tmp-rollup-${UUID.randomUUID()}")
+        implicit val fmt: Formats = DefaultFormats
+        Files.writeString(tmp, Serialization.write(rolled))
+        Files.move(tmp, rollupFile,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        dead.foreach(v => Files.deleteIfExists(commitFile(v)))
+        dead.size.toLong
+    }
   }
 
   /** VACUUM ... DRY RUN (Delta's preview): the files a vacuum at this

@@ -157,6 +157,42 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_util")
   }
 
+  test("VACUUM ... RETAIN n HOURS resolves the window from commit timestamps") {
+    val dir = Files.createTempDirectory("graft_vh_").resolve("t").toString
+    val t = graft.tables.GraftTable.create(spark, dir,
+      Seq((1L, "a")).toDF("id", "v"))                 // v0
+    t.overwrite(Seq((2L, "b")).toDF("id", "v"))       // v1 retires v0's files
+    t.overwrite(Seq((3L, "c")).toDF("id", "v"))       // v2 retires v1's files
+    // age v0/v1 to 10 days old ON DISK — the window must resolve from
+    // commit timestamps, not version counts
+    val aged = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    (0L to 1L).foreach { v =>
+      val p = java.nio.file.Paths.get(dir, "_graft_log", f"v$v%08d.json")
+      Files.writeString(p, Files.readString(p)
+        .replaceAll("\"timestampMs\":\\d+", s""""timestampMs":$aged"""))
+    }
+    spark.sql("CREATE TABLE gs_hours USING `graft-table` " +
+      s"OPTIONS (path '$dir')")
+    try {
+      // 168 h = 7 days: v0/v1 fall outside, only v2 is retained
+      val preview = GraftSql.sql(spark,
+        "VACUUM gs_hours RETAIN 168 HOURS DRY RUN")
+      val previewed = preview.select("path").as[String].collect().toSet
+      assert(previewed.nonEmpty, "aged versions' files must be reclaimable")
+      GraftSql.sql(spark, "VACUUM gs_hours RETAIN 168 HOURS")
+      val fresh = graft.tables.GraftTable.load(spark, dir)
+      assert(previewed.forall(f => !Files.exists(fresh.root.resolve(f))),
+        "RETAIN HOURS vacuum reclaimed a different set than its preview")
+      assert(fresh.snapshot().count() === 1)
+      // a generous window retains everything: nothing to reclaim
+      assert(GraftSql.sql(spark,
+        "VACUUM gs_hours RETAIN 99999 HOURS DRY RUN").count() === 0)
+      // the retainHours PROPERTY drives the no-arg vacuum the same way
+      fresh.setProperties(Map("graft.vacuum.retainHours" -> "99999"))
+      assert(fresh.vacuumDryRun().count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_hours")
+  }
+
   test("MERGE on composite keys, API and SQL") {
     import graft.tables.GraftTable
     val dir = java.nio.file.Files
