@@ -21,7 +21,19 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile(df, cols, approxDistinct = false)
+
+  /** The 100 TB variant SURVEY §A promises: `approxDistinct = true`
+    * swaps the n exact COUNT(DISTINCT)s for approx_count_distinct
+    * (HLL++, default rsd 5%). The Expand the exact plan needs (n+1
+    * projections of the scan) disappears — every metric becomes a
+    * plain partial-aggregable one-pass aggregate, so profiling cost
+    * stops growing with the distinct-column count. Frame shape is
+    * identical; only `n_distinct` carries the HLL estimate.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean, rsd: Double = 0.05): DataFrame = {
     // Metric aliases are INDEX-based (m0_null, m1_null, …), never
     // embedding the raw column name: re-referencing an alias through
     // col() parses dots/backticks as nested-field access, so a name
@@ -35,7 +47,8 @@ object Profile {
       val in = df(s"`${c.replace("`", "``")}`")
       Seq(
         (count(lit(1)) - count(in)).as(s"m${i}_null"),
-        countDistinct(in).as(s"m${i}_distinct"),
+        (if (approxDistinct) approx_count_distinct(in, rsd)
+         else countDistinct(in)).as(s"m${i}_distinct"),
         (if (isNum) min(in).cast("double") else lit(null).cast("double")).as(s"m${i}_min_num"),
         (if (isNum) max(in).cast("double") else lit(null).cast("double")).as(s"m${i}_max_num"),
         (if (isStr) min(in) else lit(null).cast("string")).as(s"m${i}_min_str"),
@@ -60,4 +73,12 @@ object Profile {
     profile(Tables.load(spark, sfDir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_totalprice",
         "o_orderstatus", "o_orderpriority"))
+
+  /** HLL++ profile of the same columns — the shape that runs at
+    * 100 TB (estimate error spec-bounded against the exact pane).
+    */
+  def profileOrdersApprox(spark: SparkSession, sfDir: String): DataFrame =
+    profile(Tables.load(spark, sfDir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority"), approxDistinct = true)
 }

@@ -333,6 +333,80 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_._3 === 1).map(_._1).toSeq === Seq(1L, 10L))
   }
 
+  test("df-cap guard keeps exact scores and full recall at a sane cap") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2),
+        math.round(r.getDouble(3) * 1e9))
+    val full = Dedup.ngramJaccard(spark, sf).collect().map(key).toSet
+    assert(full.nonEmpty)
+    // cap = 32 drops this corpus's hottest (boilerplate) shingles
+    // from candidate generation; every oracle pair still surfaces
+    // with an IDENTICAL score (the rescore runs over full sets)
+    val capped = Dedup.ngramJaccard(spark, sf, maxShingleDf = 32)
+      .collect().map(key).toSet
+    assert(capped === full,
+      s"df-cap lost ${(full -- capped).size} pair(s), " +
+        s"invented ${(capped -- full).size}")
+  }
+
+  test("df-cap guard drops only pairs whose every shared shingle is hot") {
+    // 40 docs share one boilerplate sentence (hot shingles, df=40);
+    // docs 0 and 1 additionally share a long unique passage. With the
+    // cap excluding the boilerplate, the near-dup pair (0,1) must
+    // survive with its exact score; the boilerplate-only pairs are
+    // below the threshold anyway
+    val bp = "all rights reserved contact us for terms of service"
+    val body = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = (0 until 40).map { i =>
+      val text = if (i < 2) s"$body $bp" else s"unique stuff $i $i $i $bp"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardOf(docs, minJaccard = 0.5,
+      maxShingleDf = 10).as[(Long, Long, Int, Double)].collect()
+    val uncapped = Dedup.ngramJaccardOf(docs, minJaccard = 0.5)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
+    // the surviving pair's n_common and jaccard are the UNCAPPED
+    // values — hot shingles count toward the score, only candidate
+    // generation ignored them
+    assert(capped.toSet === uncapped.filter(p => p._1 == 0L && p._2 == 1L).toSet)
+  }
+
+  test("connected components converges in O(log n) rounds on a chain") {
+    // a 1000-node path is the star-contraction worst case the
+    // diameter-bound algorithm choked on: 999 propagation rounds
+    // there, ≤ ~2·log₂(n) alternating large/small-star rounds here
+    val n = 1000
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val (out, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val rows = out.as[(Long, Long, Int)].collect()
+    assert(rows.length === n)
+    assert(rows.forall(_._2 === 0L), "one chain must resolve to one cluster")
+    assert(rows.count(_._3 === 1) === 1)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    assert(rounds <= bound, s"$rounds rounds exceeds the O(log n) bound $bound")
+  }
+
+  test("approx (HLL++) profile bounds error and drops the Expand") {
+    val exact = Profile.profileOrders(spark, sf)
+    val approx = Profile.profileOrdersApprox(spark, sf)
+    assert(approx.columns.toSeq === exact.columns.toSeq)
+    val e = exact.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val a = approx.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    // rsd = 5%: a 3σ (15%) envelope on every column's estimate
+    e.foreach { case (c, n) =>
+      assert(math.abs(a(c) - n) <= math.max(3L, (0.15 * n).toLong),
+        s"$c: HLL estimate ${a(c)} too far from exact $n")
+    }
+    // n exact COUNT(DISTINCT)s need an Expand (n+1 scan projections);
+    // the HLL++ pane is a plain one-pass aggregate without it
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("profile runs ONE scan and matches per-column direct stats") {
     val out = Profile.profileOrders(spark, sf)
     // count source relations in the optimized logical plan (the
