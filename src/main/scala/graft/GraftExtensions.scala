@@ -40,6 +40,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.WordShingles(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue)))
+    // table_changes('t', from[, to]) — Delta's CDF table-valued
+    // function: versions as integer args, timestamps as string args
+    // (start = changes AT or AFTER the instant, end = last commit at
+    // or before it — the same resolution the reader options use).
+    // Registered as a real TVF, so it composes inside any query
+    // (joins, CTEs), not just as a statement shape.
+    e.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.tables.GraftTable].getName, "table_changes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "table_changes(table, start[, end]) takes 2 or 3 arguments, " +
+            s"got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        def str(i: Int): String =
+          exprs(i).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString
+        val table = graft.tables.GraftSql.tableByName(spark, str(0))
+        def isString(i: Int) = exprs(i).dataType ==
+          org.apache.spark.sql.types.StringType
+        def long(i: Int): Long =
+          exprs(i).eval().asInstanceOf[Number].longValue
+        val fromExcl =
+          if (isString(1))
+            table.versionBeforeTimestamp(
+              graft.tables.GraftSql.parseSqlTimestamp(spark, str(1)))
+          else long(1) - 1
+        val to =
+          if (exprs.length < 3) table.latestVersion
+          else if (isString(2))
+            table.versionAtTimestamp(
+              graft.tables.GraftSql.parseSqlTimestamp(spark, str(2)))
+          else long(2)
+        table.changeFeed(fromExcl, to).queryExecution.analyzed
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("top_k_items"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

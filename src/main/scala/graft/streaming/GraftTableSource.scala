@@ -140,11 +140,26 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val table = tableOf(sqlContext, parameters)
     if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
       // batch CDF read (Delta's readChangeFeed option):
-      // startingVersion is INCLUSIVE, endingVersion defaults to HEAD
-      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+      // startingVersion is INCLUSIVE, endingVersion defaults to HEAD;
+      // the timestamp spellings resolve through the same commit-time
+      // lookups streaming and time travel use (starting = changes AT
+      // or AFTER the instant, ending = last commit at or before it)
+      require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+        "set either startingVersion or startingTimestamp, not both")
+      require(!(parameters.contains("endingVersion") &&
+        parameters.contains("endingTimestamp")),
+        "set either endingVersion or endingTimestamp, not both")
+      val fromExcl = parameters.get("startingVersion").map(_.toLong - 1)
+        .orElse(parameters.get("startingTimestamp").map(s =>
+          table.versionBeforeTimestamp(
+            GraftSql.parseSqlTimestamp(spark, s))))
+        .getOrElse(-1L)
       val to = parameters.get("endingVersion").map(_.toLong)
+        .orElse(parameters.get("endingTimestamp").map(s =>
+          table.versionAtTimestamp(GraftSql.parseSqlTimestamp(spark, s))))
         .getOrElse(table.latestVersion)
-      val feed = table.changeFeed(from - 1, to)
+      val feed = table.changeFeed(fromExcl, to)
       val ctx = sqlContext
       return new BaseRelation with org.apache.spark.sql.sources.TableScan {
         override def sqlContext: SQLContext = ctx

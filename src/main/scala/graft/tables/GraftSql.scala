@@ -427,7 +427,8 @@ object GraftSql {
           java.util.Collections.emptyMap()), false))
   }
 
-  private def tableByName(spark: SparkSession, ident: String): GraftTable =
+  private[graft] def tableByName(spark: SparkSession,
+      ident: String): GraftTable =
     targetByName(spark, ident).table
 
   /** Stock Spark grammar, NOT the session's parser: with the

@@ -282,6 +282,38 @@ class Dsv2Spec extends SparkSpec {
       .as[String].collect().toSeq === Seq("delete"))
   }
 
+  test("batch CDF timestamp bounds match their version spellings") {
+    val (t, dir) = freshTable(parts = 2)
+    Thread.sleep(30)
+    t.delete($"o_orderstatus" === "P")                    // v1
+    Thread.sleep(30)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.update($"o_orderpriority" === "1-URGENT",
+      Map("o_totalprice" -> ($"o_totalprice" + 1.0)))     // v2
+    val between = new java.sql.Timestamp(betweenMs).toString
+    def feed(opts: (String, String)*) = {
+      val r = opts.foldLeft(spark.read.format("graft-table")
+        .option("readChangeFeed", "true")) { case (b, (k, v)) => b.option(k, v) }
+        .load(dir)
+      r.groupBy($"_change_type").count().as[(String, Long)].collect().toMap
+    }
+    // starting = changes AT or AFTER the instant → v2 only, exactly
+    // like startingVersion 2
+    assert(feed("startingTimestamp" -> between) ===
+      feed("startingVersion" -> "2"))
+    // ending = last commit at or before the instant → v1 only
+    assert(feed("startingVersion" -> "1", "endingTimestamp" -> between) ===
+      feed("startingVersion" -> "1", "endingVersion" -> "1"))
+    // ambiguous spellings are refused
+    intercept[IllegalArgumentException] {
+      feed("startingVersion" -> "1", "startingTimestamp" -> between)
+    }
+    intercept[IllegalArgumentException] {
+      feed("endingVersion" -> "1", "endingTimestamp" -> between)
+    }
+  }
+
   test("accurate sizeInBytes lets the planner broadcast small graft tables") {
     val dir = Files.createTempDirectory("graft_bc_").resolve("t").toString
     GraftTable.create(spark, dir,

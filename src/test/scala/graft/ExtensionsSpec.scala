@@ -129,4 +129,54 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("table_changes() TVF reads the CDF inside ordinary queries") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = Sessions.tune(SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions), 4).getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_tvf_")
+        .resolve("t").toString
+      val t = graft.tables.GraftTable.create(s2, dir,
+        Tables.load(s2, sf, "orders").repartition(2))
+      Thread.sleep(30)
+      t.delete(col("o_orderstatus") === "P")               // v1
+      Thread.sleep(30)
+      val betweenMs = System.currentTimeMillis()
+      Thread.sleep(30)
+      t.update(col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> (col("o_totalprice") + 1.0))) // v2
+      s2.sql("DROP TABLE IF EXISTS gp_cdc")
+      s2.sql(s"CREATE TABLE gp_cdc USING `graft-table` OPTIONS (path '$dir')")
+      def counts(q: String): Map[String, Long] =
+        s2.sql(q).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // version args: the full window since v1
+      val all = counts("SELECT _change_type, count(*) " +
+        "FROM table_changes('gp_cdc', 1) GROUP BY 1")
+      assert(all.keySet ===
+        Set("delete", "update_preimage", "update_postimage"))
+      // bounded: (1, 1) is the delete commit alone
+      val v1 = counts("SELECT _change_type, count(*) " +
+        "FROM table_changes('gp_cdc', 1, 1) GROUP BY 1")
+      assert(v1.keySet === Set("delete"))
+      // timestamp string args resolve like the reader options
+      val between = new java.sql.Timestamp(betweenMs).toString
+      val sinceTs = counts("SELECT _change_type, count(*) " +
+        s"FROM table_changes('gp_cdc', '$between') GROUP BY 1")
+      assert(sinceTs.keySet === Set("update_preimage", "update_postimage"))
+      // and the TVF composes: join the change feed against the table
+      val joined = s2.sql(
+        """SELECT count(*) FROM table_changes('gp_cdc', 1, 1) c
+          |JOIN gp_cdc t ON c.o_orderkey = t.o_orderkey""".stripMargin)
+      assert(joined.head.getLong(0) === 0L) // deleted keys are gone
+      s2.sql("DROP TABLE IF EXISTS gp_cdc")
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
