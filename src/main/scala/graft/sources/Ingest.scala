@@ -78,8 +78,12 @@ object Ingest {
     val ledger = cp.resolve("processed_files.txt")
     val seen: Set[String] =
       if (Files.exists(ledger)) Files.readAllLines(ledger).asScala.toSet else Set.empty
-    val all = Files.list(Paths.get(rawDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val all = {
+      val st = Files.list(Paths.get(rawDir))
+      try st.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      finally st.close()
+    }
     val fresh = all.filterNot(seen)
     val out =
       if (fresh.isEmpty) {

@@ -400,6 +400,18 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
     * maintenance commits, and (under skipChangeCommits) COW change
     * commits, charge zero.
     */
+  // committed versions are immutable, so per-version billable bytes
+  // memoize: admit() re-walks the backlog window on EVERY engine
+  // poll, and an uncached walk re-parses each version's commit JSON
+  // (plus its predecessor's) and stats every file — O(backlog ×
+  // files) driver work per poll on a long backlog. The source's
+  // (skipChangeCommits, cdc) are fixed, so the version alone keys.
+  private val billableCache =
+    scala.collection.mutable.HashMap.empty[Long, Long]
+  private def billable(v: Long): Long =
+    billableCache.getOrElseUpdate(v,
+      table.billableBytesIn(v, skipChangeCommits, cdc))
+
   private def admit(base: Long, latest: Long): Long = {
     val vCapped = maxVersionsPerTrigger match {
       case Some(m) => math.max(base, math.min(latest, base + math.max(1L, m)))
@@ -408,10 +420,10 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
     maxBytesPerTrigger match {
       case Some(budget) if vCapped > base =>
         var v = base + 1
-        var bytes = table.billableBytesIn(v, skipChangeCommits, cdc)
+        var bytes = billable(v)
         var continue = true
         while (continue && v < vCapped) {
-          val next = table.billableBytesIn(v + 1, skipChangeCommits, cdc)
+          val next = billable(v + 1)
           if (bytes + next <= budget) { v += 1; bytes += next }
           else continue = false
         }

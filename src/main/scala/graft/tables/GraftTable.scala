@@ -47,7 +47,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   private def commitFile(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
   private def listVersions(): Seq[Long] =
-    Files.list(logDir).iterator().asScala
+    GraftTable.listPaths(logDir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong)
@@ -203,8 +203,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private def adoptStaging(staging: Path): Seq[String] = {
     Files.createDirectories(filesDir)
-    val parts = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val parts = GraftTable.listPaths(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
     val adopted = parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, filesDir.resolve(name))
@@ -275,8 +275,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     import org.apache.spark.sql.execution.datasources.BucketingUtils
     Files.createDirectories(filesDir)
     val partNum = """part-(\d+)""".r
-    val parts = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val parts = GraftTable.listPaths(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
     val adopted = parts.map { p =>
       val id = partNum.findFirstMatchIn(p.getFileName.toString)
         .map(_.group(1).toInt)
@@ -331,8 +331,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     df.write.parquet(staging.toString)
     val cdcDir = root.resolve("cdc")
     Files.createDirectories(cdcDir)
-    val parts = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val parts = GraftTable.listPaths(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
     val adopted = parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, cdcDir.resolve(name))
@@ -353,8 +353,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     df.write.parquet(staging.toString)
     val dvDir = root.resolve("dv")
     Files.createDirectories(dvDir)
-    val parts = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val parts = GraftTable.listPaths(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
     val adopted = parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, dvDir.resolve(name))
@@ -1231,19 +1231,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   /** DESCRIBE HISTORY analog: one row per commit. */
   /** Full history, oldest first (the established unlimited order). */
-  def history(): DataFrame = {
-    import spark.implicits._
-    listVersions().map(readCommit).map { c =>
-      (c.version, new java.sql.Timestamp(c.timestampMs), c.operation,
-        c.files.size.toLong, c.metrics.getOrElse("numOutputRows", -1L))
-    }.toDF("version", "timestamp", "operation", "num_files", "num_rows")
-  }
+  def history(): DataFrame = history(Int.MaxValue)
 
-  /** DESCRIBE HISTORY LIMIT n: the LATEST `limit` commits, ALWAYS
-    * newest first (Delta's ordering — a generous limit must not flip
-    * row 0 from the latest commit to CREATE) — and only those commits
-    * are read/resolved, so inspecting the recent history of a
-    * 10⁵-version log stays O(limit), not O(versions).
+  /** DESCRIBE HISTORY [LIMIT n]: the LATEST `limit` commits, ALWAYS
+    * newest first (Delta's ordering in BOTH the limited and unlimited
+    * spellings — a generous limit must not flip row 0 from the latest
+    * commit to CREATE) — and only those commits are read/resolved, so
+    * inspecting the recent history of a 10⁵-version log stays
+    * O(limit), not O(versions).
     */
   def history(limit: Int): DataFrame = {
     import spark.implicits._
@@ -1290,18 +1285,32 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * surfaces once every masked file has been rewritten). ONE spark
     * job over all DV files (grouped by `_metadata.file_path`), only
     * on rewrite commits — never a job per DV file.
+    *
+    * Failure direction: a DV file drops ONLY when every one of its
+    * references PROVABLY resolves to a retired member of `allFiles`.
+    * A reference matching a survivor keeps it (still masking live
+    * rows); one matching nothing we know (path-spelling drift, URI
+    * normalization fallback) keeps it too — wrongly dropping a DV
+    * resurrects deleted rows, while wrongly keeping one only costs an
+    * inert anti-join key.
     */
-  private def liveDvs(dv: Seq[String], survivors: Seq[String]): Seq[String] = {
+  private[graft] def liveDvs(dv: Seq[String], survivors: Seq[String],
+      allFiles: Seq[String]): Seq[String] = {
     if (dv.isEmpty) return dv
     val surv = survivors.map(f => normPath(abs(f))).toSet
+    val known = allFiles.map(f => normPath(abs(f))).toSet
     val refs = spark.read.parquet(dv.map(abs): _*)
       .select(col("_metadata.file_path").as("__dv"), col("file_path"))
       .distinct().collect()
-    val live: Set[String] = refs.collect {
-      case r if surv.contains(normPath(r.getString(1))) =>
-        normPath(r.getString(0))
-    }.toSet
-    dv.filter(d => live.contains(normPath(abs(d))))
+    val byDv = refs.groupBy(r => normPath(r.getString(0)))
+    dv.filter { d =>
+      byDv.get(normPath(abs(d))) match {
+        case None => true // no readable refs — keep, masks nothing
+        case Some(rs) =>
+          rs.exists(r => surv.contains(normPath(r.getString(1)))) ||
+            !rs.forall(r => known.contains(normPath(r.getString(1))))
+      }
+    }
   }
 
   /** Version snapshot metadata for the scan-planning integration
@@ -1364,9 +1373,26 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       s"schema enforcement: missing columns ${missing.map(_.name).mkString(",")}")
     // evolved columns are nullable by definition: every pre-evolution
     // file surfaces null for them, whatever the incoming batch claimed
-    StructType(cur.fields.map(f => widenedMap.get(f.name)
-      .map(t => f.copy(dataType = t)).getOrElse(f)) ++
-      newCols.map(_.copy(nullable = true)))
+    val updated = cur.fields.map(f => widenedMap.get(f.name)
+      .map(t => f.copy(dataType = t)).getOrElse(f))
+    val fresh = newCols.map(_.copy(nullable = true))
+    // hive-adopted (CONVERTed) tables surface partition values by
+    // INJECTION in the registered batch scan, which pins partition
+    // columns to the END of the relation schema — so additive
+    // evolution must keep them last, or the registered scan's column
+    // order would diverge from snapshot()'s and break positional
+    // consumers. New columns slot in BEFORE the trailing partition
+    // block on those tables; everywhere else they append as usual.
+    val pcols = partitionColumnsAt(latestVersion)
+    val injectionMode = fresh.nonEmpty && pcols.nonEmpty &&
+      updated.length >= pcols.size &&
+      updated.takeRight(pcols.size).map(_.name).toSeq == pcols &&
+      currentFiles.exists(p =>
+        GraftTable.hivePartSegments(p).map(_._1) == pcols)
+    if (injectionMode)
+      StructType(updated.dropRight(pcols.size) ++ fresh ++
+        updated.takeRight(pcols.size))
+    else StructType(updated ++ fresh)
   }
 
   /** Align `df` to the target schema's column set, CASTING each
@@ -1539,6 +1565,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val pcols = partitionColumnsAt(base)
     require(pcols.nonEmpty,
       "overwritePartitions requires a table created with partitionBy")
+    val idHwBefore = if (identityColumn.isDefined) identityHighWater else -2L
     val (dfIn, idMetrics, idCleanup) = injectWriteColumns(df)
     try {
     enforceConstraints(dfIn)
@@ -1562,12 +1589,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       readFilesDvAware(replaced, schema, dvAt(base), columnMapAt(base))
         .withColumn("_change_type", lit("delete"))
         .unionByName(aligned.withColumn("_change_type", lit("insert"))))
-    commit("OVERWRITE_PARTITIONS", base,
-      filesAt(base).filterNot(replaced.contains) ++ w.files, schema,
+    // conflict read set: the replaced partitions — a concurrent
+    // rewrite producing rows there invalidates the replacement
+    // (write-write on the slice), while commits touching only OTHER
+    // partitions commute and land
+    val replacedCond = newTuples.toSeq.map(t =>
+      pcols.zip(t).map { case (c, v) =>
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)).reduce(_ || _)
+    commitResolved("OVERWRITE_PARTITIONS", base,
+      replaced.toSet, w.files, Some(replacedCond), readsTable = false,
+      schema,
       Map("numReplacedFiles" -> replaced.size.toLong,
         "numAddedFiles" -> w.files.size.toLong) ++ idMetrics,
       collectStats(w.files), cdcFiles = Some(cdc),
-      newPartValues = w.partValues)
+      newPartValues = w.partValues, idHwBefore = idHwBefore)
     } finally idCleanup()
   }
 
@@ -1580,6 +1616,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   def replaceWhere(cond: Column, df: DataFrame): Long = {
     val base = latestVersion
+    val idHwBefore = if (identityColumn.isDefined) identityHighWater else -2L
     val (dfIn, idMetrics, idCleanup) = injectWriteColumns(df)
     try {
     enforceConstraints(dfIn)
@@ -1597,13 +1634,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       touchedDf.where(coalesce(cond, lit(false)))
         .withColumn("_change_type", lit("delete"))
         .unionByName(aligned.withColumn("_change_type", lit("insert"))))
-    commit("REPLACE_WHERE", base,
-      filesAt(base).filterNot(touched.contains) ++ wSurv.files ++ wNew.files,
-      schema,
+    commitResolved("REPLACE_WHERE", base,
+      touched.toSet, wSurv.files ++ wNew.files, Some(cond),
+      readsTable = false, schema,
       Map("numRewrittenFiles" -> touched.size.toLong,
         "numAddedFiles" -> wNew.files.size.toLong) ++ idMetrics,
       collectStats(wSurv.files ++ wNew.files), cdcFiles = Some(cdc),
-      newPartValues = wSurv.partValues ++ wNew.partValues)
+      newPartValues = wSurv.partValues ++ wNew.partValues,
+      idHwBefore = idHwBefore)
     } finally idCleanup()
   }
 
@@ -1896,7 +1934,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       idHwBefore: Long = -2L): Long = {
     val dvFn: (Long, Seq[String]) => Option[Seq[String]] =
       if (dvOut != null) dvOut
-      else (b, untouched) => Some(liveDvs(dvAt(b), untouched))
+      else (b, untouched) => Some(liveDvs(dvAt(b), untouched, filesAt(b)))
     var b = base0
     var attempts = 0
     while (true) {
@@ -2619,21 +2657,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val live: Set[String] = retained.flatMap(v => readCommit(v).files).toSet
     // a freshly CONVERTed table has no files/ dir until its first DML
     val dead = if (!Files.exists(filesDir)) Nil
-      else Files.list(filesDir).iterator().asScala
-        .map(p => s"files/${p.getFileName}").toSeq.filterNot(live)
+      else GraftTable.listPaths(filesDir)
+        .map(p => s"files/${p.getFileName}").filterNot(live)
     val cdcDir = root.resolve("cdc")
     val deadCdc = if (!Files.exists(cdcDir)) Nil else {
       val liveCdc: Set[String] =
         retained.flatMap(v => readCommit(v).cdc.getOrElse(Nil)).toSet
-      Files.list(cdcDir).iterator().asScala
-        .map(p => s"cdc/${p.getFileName}").toSeq.filterNot(liveCdc)
+      GraftTable.listPaths(cdcDir)
+        .map(p => s"cdc/${p.getFileName}").filterNot(liveCdc)
     }
     val dvDir = root.resolve("dv")
     val deadDv = if (!Files.exists(dvDir)) Nil else {
       val liveDv: Set[String] =
         retained.flatMap(v => readCommit(v).dv.getOrElse(Nil)).toSet
-      Files.list(dvDir).iterator().asScala
-        .map(p => s"dv/${p.getFileName}").toSeq.filterNot(liveDv)
+      GraftTable.listPaths(dvDir)
+        .map(p => s"dv/${p.getFileName}").filterNot(liveDv)
     }
     dead ++ deadCdc ++ deadDv
   }
@@ -2927,6 +2965,17 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
 class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
 object GraftTable {
+  /** `Files.list` with the stream CLOSED. An unclosed DirectoryStream
+    * holds a file descriptor until GC finalizes it, and the log /
+    * staging listings run hot enough (every `latestVersion` call)
+    * that a long test run or a busy driver exhausts the process fd
+    * limit before GC catches up.
+    */
+  private[graft] def listPaths(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** Compare two strings in UTF-8 BYTE order (= Unicode code-point
     * order) — the order parquet BINARY statistics are computed in.
     * Java String's natural order is UTF-16 code-unit order, which
@@ -3336,7 +3385,7 @@ object GraftTable {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      listPaths(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -168,6 +168,42 @@ class ConflictResolutionSpec extends SparkSpec {
     assert(t.snapshot().where($"p" === "Z").count() === 1)
   }
 
+  test("partition overwrite and replaceWhere race disjoint appends: all land") {
+    val path = tmp()
+    seedTable(path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence(Seq(
+      // rebuild partition A wholesale
+      Future {
+        try {
+          GraftTable.load(spark, path).overwritePartitions(
+            (1L to 5L).map(i => ("A", i, s"A-new$i")).toDF("p", "id", "v")); 1
+        } catch { case _: CommitConflictException => 0 }
+      },
+      // rebuild the B slice via replaceWhere
+      Future {
+        try {
+          GraftTable.load(spark, path).replaceWhere(col("p") === "B",
+            (1L to 3L).map(i => ("B", i, s"B-new$i")).toDF("p", "id", "v")); 1
+        } catch { case _: CommitConflictException => 0 }
+      },
+      // append into an unrelated partition
+      Future {
+        try {
+          GraftTable.load(spark, path)
+            .append(Seq(("H", 500L, "h-new")).toDF("p", "id", "v")); 1
+        } catch { case _: CommitConflictException => 0 }
+      })), 300.seconds)
+    assert(results.sum === 3, "all partition-disjoint writers must land")
+    val t = GraftTable.load(spark, path)
+    assert(t.snapshot().where($"p" === "A").count() === 5)
+    assert(t.snapshot().where($"p" === "B").count() === 3)
+    assert(t.snapshot().where($"p" === "H").count() === 21)
+    assert(t.snapshot().where($"p" === "C").count() === 20)
+  }
+
   test("DML racing DML on the same partition never loses an update") {
     // the overlap either fail-fasts or serializes — both racers
     // landing must produce the serial result, never a lost update

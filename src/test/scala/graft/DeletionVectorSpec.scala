@@ -86,6 +86,28 @@ class DeletionVectorSpec extends SparkSpec {
     assert(spark.read.format("graft-table").load(dir).count() === 80)
   }
 
+  test("DV liveness keeps any vector whose references cannot be resolved") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 100).select($"id", ($"id" % 4).as("grp"))
+        .repartition(4))
+    t.deleteMor($"id" < 10)
+    val dv = t.history().count() // force state; read the dv list via detail
+    assert(dv >= 2)
+    val dvFiles = Files.list(Paths.get(dir).resolve("dv")).iterator()
+      .asScala.map(p => s"dv/${p.getFileName}").toSeq
+    assert(dvFiles.nonEmpty)
+    val all = dataFiles(dir).map(f => s"files/$f").toSeq
+    // every ref matches a survivor → live, kept
+    assert(t.liveDvs(dvFiles, all, all) === dvFiles)
+    // every ref PROVABLY resolves to a retired known file → dropped
+    assert(t.liveDvs(dvFiles, Nil, all) === Nil)
+    // refs match nothing we know (spelling drift / unknown files) —
+    // the failure direction must be KEEP: wrongly dropping a DV
+    // resurrects deleted rows
+    assert(t.liveDvs(dvFiles, Nil, Nil) === dvFiles)
+  }
+
   test("purgeDvs rewrites only tombstoned files and lifts the scan gate") {
     val dir = tmp()
     val df = spark.range(0, 100).toDF("id")

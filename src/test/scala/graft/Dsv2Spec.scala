@@ -167,7 +167,7 @@ class Dsv2Spec extends SparkSpec {
       .write.format("graft-table").mode("append").save(dir)
     assert(t.snapshot().count() === 5)
     assert(t.history().select("operation").as[String].collect().toSeq ===
-      Seq("CREATE", "APPEND"))
+      Seq("APPEND", "CREATE")) // newest first
     spark.range(10, 12).select($"id", ($"id" * 2).as("v"))
       .write.format("graft-table").mode("overwrite").save(dir)
     assert(t.snapshot().as[(Long, Long)].collect().toSet ===

@@ -96,7 +96,7 @@ class ExtensionsSpec extends SparkSpec {
       // DESCRIBE HISTORY returns typed rows
       val hist = s2.sql("DESCRIBE HISTORY gp_orders")
       assert(hist.select("operation").collect().map(_.getString(0)).toSeq ===
-        Seq("CREATE", "DELETE"))
+        Seq("DELETE", "CREATE")) // newest first, limited or not
       // the LIMIT spelling returns rows through the injected path too
       // (resultSchema must cover it, or the rows are silently dropped)
       assert(s2.sql("DESCRIBE HISTORY gp_orders LIMIT 1")

@@ -123,7 +123,7 @@ class GraftSqlSpec extends SparkSpec {
       GraftSql.sql(spark, "DELETE FROM gs_util WHERE o_orderkey % 2 = 0")
       val hist = GraftSql.sql(spark, "DESCRIBE HISTORY gs_util")
       assert(hist.select("operation").as[String].collect().toSeq ===
-        Seq("CREATE", "DELETE"))
+        Seq("DELETE", "CREATE")) // newest first, limited or not
       // LIMIT n: only the latest n commits, ALWAYS newest first (a
       // generous limit must not flip row 0 to the CREATE commit)
       val lim = GraftSql.sql(spark, "DESCRIBE HISTORY gs_util LIMIT 1")

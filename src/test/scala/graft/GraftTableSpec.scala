@@ -97,7 +97,7 @@ class GraftTableSpec extends SparkSpec {
     assert(t.snapshot().count() === 1)
     assert(t.snapshotAt(0).count() === 2)
     val hist = t.history().select("version", "operation").as[(Long, String)].collect().toSeq
-    assert(hist === Seq((0L, "CREATE"), (1L, "DELETE")))
+    assert(hist === Seq((1L, "DELETE"), (0L, "CREATE"))) // newest first
   }
 
   test("optimistic concurrency: racing appenders conflict instead of clobbering") {
@@ -227,7 +227,7 @@ class GraftTableSpec extends SparkSpec {
     src.repartition(4).write.parquet(dir)
     val t = GraftTable.convert(spark, dir)
     assert(t.snapshot().count() === 1000)
-    assert(t.history().select("operation").as[String].head() === "CONVERT")
+    assert(t.history().select("operation").as[String].collect().last === "CONVERT")
     // DML on the converted table is transactional copy-on-write
     t.delete($"g" === 0)
     assert(t.snapshot().count() === src.where($"g" =!= 0).count())
@@ -356,7 +356,7 @@ class GraftTableSpec extends SparkSpec {
     t.restore(0)
     assert(t.snapshot().count() === 2)
     val hist = t.history().select("operation").as[String].collect().toSeq
-    assert(hist === Seq("CREATE", "DELETE", "RESTORE"))
+    assert(hist === Seq("RESTORE", "DELETE", "CREATE")) // newest first
   }
 
   test("vacuum reclaims unreferenced files; retained versions still read") {

@@ -213,6 +213,29 @@ class HiveConvertSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("additive evolution keeps partition columns last (positional parity)") {
+    val dir = writeHiveDir()
+    val t = GraftTable.convert(spark, dir)
+    // evolve: a new column lands BEFORE the trailing partition block,
+    // so the injected registered scan's positional layout (data ++
+    // partition columns) stays identical to the logical schema
+    val batch = t.snapshot().limit(5)
+      .withColumn("flag", lit(1L))
+    t.append(batch, evolve = true)
+    val cols = t.snapshot().columns.toSeq
+    assert(cols.takeRight(2) === Seq("o_year", "o_orderpriority"),
+      s"partition columns no longer last: $cols")
+    assert(cols.contains("flag"))
+    val reg = spark.read.format("graft-table").load(dir)
+    assert(reg.columns.toSeq === cols,
+      "registered scan column order diverged from snapshot()")
+    // positional agreement, not just names: same rows in both surfaces
+    val key = col("o_orderkey")
+    assert(reg.orderBy(key).limit(3).collect().toSeq ===
+      t.snapshot().select(reg.columns.map(col): _*)
+        .orderBy(key).limit(3).collect().toSeq)
+  }
+
   test("inconsistent hive nesting is refused") {
     val dir = tmp()
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/k=1")
