@@ -379,13 +379,34 @@ class OperatorsSpec extends SparkSpec {
     val n = 1000
     val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
       .toDF("doc_a", "doc_b")
-    val (out, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    // localThreshold = 0 forces the all-distributed contraction path
+    // (the default would finish this toy graph driver-side at once)
+    val (out, rounds) =
+      Dedup.connectedComponentsWithRounds(pairs, localThreshold = 0L)
     val rows = out.as[(Long, Long, Int)].collect()
     assert(rows.length === n)
     assert(rows.forall(_._2 === 0L), "one chain must resolve to one cluster")
     assert(rows.count(_._3 === 1) === 1)
     val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
     assert(rounds <= bound, s"$rounds rounds exceeds the O(log n) bound $bound")
+    // the driver-side union-find tail produces EXACTLY the same
+    // labels as the distributed contraction
+    val (local, localRounds) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(localRounds === 0, "toy graph should finish driver-side at once")
+    assert(local.as[(Long, Long, Int)].collect().sortBy(_._1).toSeq ===
+      rows.sortBy(_._1).toSeq)
+  }
+
+  test("union-find tail equals distributed contraction on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 400)
+      .map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val dist = Dedup.connectedComponentsWithRounds(pairs, localThreshold = 0L)
+      ._1.as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    val local = Dedup.connectedComponentsWithRounds(pairs)
+      ._1.as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(local === dist)
   }
 
   test("approx (HLL++) profile bounds error and drops the Expand") {
