@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2 || exprs.length == 3,
           "table_changes(table, start[, end]) takes 2 or 3 arguments, " +
             s"got ${exprs.length}")
+        require(exprs.forall(e => e.foldable && e.deterministic),
+          "table_changes arguments must be literals " +
+            "(table name, then versions as integers or timestamps as strings)")
         val spark = org.apache.spark.sql.SparkSession.active
         def str(i: Int): String =
           exprs(i).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]

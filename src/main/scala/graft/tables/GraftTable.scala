@@ -1890,11 +1890,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         fail(s"version $v (${cur.operation}) rewrote ${overlap.size} " +
           "file(s) this operation also rewrites")
       if (addedV.nonEmpty) {
-        if (readsTable)
+        val blindAppend = removedV.isEmpty
+        // Delta's conflict matrix: under WriteSerializable a blind
+        // append is excluded from the added-file check even for
+        // whole-table readers (INSERT vs MERGE "cannot conflict") —
+        // the reader is logically ordered before it
+        if (readsTable && (strict || !blindAppend))
           fail(s"version $v (${cur.operation}) added files while this " +
             "operation reads the whole table")
-        readCond.foreach { cond =>
-          val blindAppend = removedV.isEmpty
+        if (!readsTable) readCond.foreach { cond =>
           if (strict || !blindAppend) {
             val mayMatch = candidatesAmong(cond, cur, addedV)
             if (mayMatch.nonEmpty)

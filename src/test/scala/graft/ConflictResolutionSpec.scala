@@ -118,15 +118,31 @@ class ConflictResolutionSpec extends SparkSpec {
       readsTable = false)
   }
 
-  test("whole-table readers (MERGE) conflict with any concurrent add") {
+  test("whole-table readers (MERGE): rewrites conflict; blind appends follow isolation") {
     val t = seedTable(tmp())
+    // Delta's conflict matrix: INSERT vs MERGE cannot conflict under
+    // WriteSerializable — the merge orders before the blind append
     val base = t.latestVersion
     t.append(Seq(("H", 300L, "x")).toDF("p", "id", "v"))
+    t.checkDmlConflicts("MERGE", base, t.latestVersion, Set.empty,
+      None, readsTable = true)
+    // a non-blind rewrite (UPDATE) DOES conflict with a whole-table
+    // reader — its output could hold rows the merge should have read
+    val base2 = t.latestVersion
+    t.update($"p" === "G" && $"id" <= 3, Map("v" -> lit("w")))
     val e = intercept[CommitConflictException] {
-      t.checkDmlConflicts("MERGE", base, t.latestVersion, Set.empty,
+      t.checkDmlConflicts("MERGE", base2, t.latestVersion, Set.empty,
         None, readsTable = true)
     }
     assert(e.getMessage.contains("reads the whole table"))
+    // under Serializable even the blind append conflicts
+    t.setProperties(Map("graft.isolationLevel" -> "Serializable"))
+    val base3 = t.latestVersion
+    t.append(Seq(("H", 301L, "y")).toDF("p", "id", "v"))
+    intercept[CommitConflictException] {
+      t.checkDmlConflicts("MERGE", base3, t.latestVersion, Set.empty,
+        None, readsTable = true)
+    }
   }
 
   test("metadata and deletion-vector races are detected") {
