@@ -33,6 +33,8 @@ object GraftSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s+LIMIT\s+(\d+)\s*""".r
   private val DescribeHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*""".r
+  private val OptimizeWhereZorder =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+WHERE\s+(.+?)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
   private val OptimizeZorder =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
   private val OptimizeWhere =
@@ -96,6 +98,14 @@ object GraftSql {
     case DescribeHistoryLimit(ident, n) =>
       tableByName(spark, ident).history(n.toInt)
     case DescribeHistory(ident) => tableByName(spark, ident).history()
+    case OptimizeWhereZorder(ident, cond, keys) =>
+      // Delta's selective re-cluster: only predicate-touched files
+      // rewrite, Morton-ordered by the keys
+      val ks = keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+      tableByName(spark, ident).clusterByZOrderWhere(
+        org.apache.spark.sql.functions.expr(cond), 8, ks.toIndexedSeq: _*)
+      refreshName(spark, ident)
+      emptyResult(spark)
     case OptimizeZorder(ident, keys) =>
       val ks = keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
       tableByName(spark, ident).clusterByZOrder(8, ks.toIndexedSeq: _*)

@@ -2475,13 +2475,51 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def clusterByZOrder(numFiles: Int, keys: String*): Long = {
     require(keys.nonEmpty, "clusterByZOrder needs at least one key")
     val base = latestVersion
-    val snap = snapshotAt(base)
+    val w = writeData(mortonCluster(snapshotAt(base), numFiles, keys))
+    commitResolved("ZORDER", base, filesAt(base).toSet, w.files,
+      None, readsTable = false, schemaAt(base),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
+      dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
+  }
+
+  /** OPTIMIZE ... WHERE ... ZORDER BY (Delta's selective re-cluster):
+    * Morton-cluster ONLY the predicate-touched files (stats/partition
+    * pruned from commit-log metadata, conservative), leaving every
+    * other file byte-identical — the 100 TB shape: re-cluster
+    * yesterday's hot partition, not the fleet. Rewritten files read
+    * DV-aware (their tombstones materialize); DVs over untouched
+    * files carry. Rank normalization uses the TOUCHED slice's
+    * min/max, so the Morton grid has full resolution inside the slice
+    * being organized.
+    */
+  def clusterByZOrderWhere(cond: Column, numFiles: Int,
+      keys: String*): Long = {
+    require(keys.nonEmpty, "ZORDER BY needs at least one key")
+    val base = latestVersion
+    val touched = candidateFiles(cond)
+    if (touched.size < 2) return base
+    val data = readFilesDvAware(touched, schemaAt(base), dvAt(base),
+      columnMapAt(base))
+    val w = writeData(mortonCluster(data, numFiles, keys))
+    commitResolved("ZORDER", base, touched.toSet, w.files,
+      None, readsTable = false, schemaAt(base),
+      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      newPartValues = w.partValues)
+  }
+
+  /** Morton (Z-order) clustering of a frame: interleave the bits of
+    * each key's range-rank round-robin into one code and
+    * range-repartition + sort by it. Rank width `min(16, 62/n)`
+    * bits/key keeps the code in a long for any key count.
+    */
+  private def mortonCluster(data: DataFrame, numFiles: Int,
+      keys: Seq[String]): DataFrame = {
     val n = keys.size
     val bitsPerKey = math.min(16, 62 / n)
     val maxRank = (1L << bitsPerKey) - 1L
     val aggs = keys.flatMap(k =>
       Seq(min(col(k)).cast("double"), max(col(k)).cast("double")))
-    val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = data.agg(aggs.head, aggs.tail: _*).collect()(0)
     def rank(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) * maxRank.toDouble)
@@ -2496,15 +2534,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       (r, i) <- ranks.zipWithIndex
     } yield shiftleft(shiftrightunsigned(r, b).bitwiseAND(1L), b * n + i))
       .reduce((x, y) => x.bitwiseOR(y))
-    val data = snap.withColumn("__z", z)
+    data.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    val w = writeData(data)
-    commitResolved("ZORDER", base, filesAt(base).toSet, w.files,
-      None, readsTable = false, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
-      dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
   /** RESTORE analog (roll the table back to an old version): commits
@@ -2582,7 +2615,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * version whose data files survive stays time-travelable.
     */
   private def logRetentionFromProps: Int =
-    properties.get("graft.logRetention.versions").map(_.toInt).getOrElse(1000)
+    properties.get("graft.logRetention.hours")
+      .flatMap(h => scala.util.Try(versionsWithinHours(h.toDouble)).toOption)
+      .orElse(properties.get("graft.logRetention.versions").map(_.toInt))
+      .getOrElse(1000)
 
   private def rollupFile: Path = logDir.resolve("metrics-rollup.json")
 

@@ -138,6 +138,34 @@ class CheckpointSpec extends SparkSpec {
     assert(t.snapshot().where($"k" === "B").count() === 7)
   }
 
+  test("graft.logRetention.hours prunes the log by wall clock") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    (1 to 30).foreach(i => t.setProperties(Map("touch" -> i.toString)))
+    // age versions 0..24 to ten days old ON DISK
+    val aged = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    (0L to 24L).foreach { v =>
+      val p = java.nio.file.Paths.get(dir, "_graft_log", f"v$v%08d.json")
+      Files.writeString(p, Files.readString(p)
+        .replaceAll("\"timestampMs\":\\d+", s""""timestampMs":$aged"""))
+    }
+    val t2 = GraftTable.load(spark, dir)
+    t2.setProperties(Map("graft.logRetention.hours" -> "168"))
+    t2.vacuum()
+    val t3 = GraftTable.load(spark, dir)
+    def logFiles() = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(dir, "_graft_log"))
+      try s.iterator().asScala.count(
+        _.getFileName.toString.matches("v\\d+\\.json")).toLong
+      finally s.close()
+    }
+    // in-window commits (25..31) plus the anchoring checkpoint chain
+    assert(logFiles() <= 7L + 10L + 1L, s"left ${logFiles()} log files")
+    assert(t3.snapshot().count() === 1)
+    intercept[IllegalArgumentException] { t3.snapshotAt(3) }
+  }
+
   test("log retention: vacuum prunes aged commits to O(interval) files") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))

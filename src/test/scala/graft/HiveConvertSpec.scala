@@ -213,6 +213,45 @@ class HiveConvertSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("OPTIMIZE WHERE ... ZORDER BY re-clusters only the slice") {
+    import graft.tables.{GraftSql, GraftTable}
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      Tables.load(spark, sf, "orders").repartition(6),
+      partitionBy = Seq("o_orderpriority"))
+    val before = t.snapshot().count()
+    val urgentBefore = t.candidateFiles($"o_orderpriority" === "1-URGENT")
+    val otherBefore = t.candidateFiles($"o_orderpriority" === "5-LOW").toSet
+    assert(urgentBefore.size > 1)
+    t.clusterByZOrderWhere($"o_orderpriority" === "1-URGENT", 4,
+      "o_orderkey", "o_custkey")
+    // untouched partitions keep their exact files; data intact
+    assert(t.candidateFiles($"o_orderpriority" === "5-LOW").toSet ===
+      otherBefore)
+    assert(t.snapshot().count() === before)
+    // the re-clustered slice now prunes on the z-order keys: a
+    // selective o_orderkey predicate inside the slice keeps fewer
+    // files than the slice holds
+    val slice = t.candidateFiles($"o_orderpriority" === "1-URGENT")
+    val lo = t.snapshot().where($"o_orderpriority" === "1-URGENT")
+      .agg(min($"o_orderkey")).head.getLong(0)
+    val narrow = t.candidateFiles($"o_orderpriority" === "1-URGENT" &&
+      $"o_orderkey" === lo)
+    assert(narrow.size < slice.size,
+      s"no pruning inside the slice: ${narrow.size} of ${slice.size}")
+    // SQL spelling
+    val name = "graft_zow"
+    spark.sql(s"CREATE TABLE $name USING `graft-table` OPTIONS (path '$dir')")
+    try {
+      GraftSql.sql(spark,
+        s"OPTIMIZE $name WHERE o_orderpriority = '3-MEDIUM' " +
+          "ZORDER BY (o_orderkey)")
+      val t2 = GraftTable.load(spark, dir)
+      assert(t2.history(1).select("operation").as[String].head() === "ZORDER")
+      assert(t2.snapshot().count() === before)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("additive evolution keeps partition columns last (positional parity)") {
     val dir = writeHiveDir()
     val t = GraftTable.convert(spark, dir)
