@@ -104,6 +104,7 @@ object SparkEntry {
     "tbl_sql_merge" -> (TableOps.sqlMerge _),
     "tbl_sql_insert" -> (TableOps.sqlInsert _),
     "tbl_convert_hive" -> (TableOps.convertHive _),
+    "tbl_copy_into" -> (TableOps.copyIntoScenario _),
     "tbl_merge_conditional" -> (TableOps.mergeConditional _),
     "tbl_merge_identity" -> (TableOps.mergeIdentity _),
     "mv_incremental" -> (TableOps.mvIncremental _),
@@ -963,6 +964,9 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderpriority <> '1-URGENT'""".stripMargin,
+    // COPY INTO is file-idempotent: two drops + re-runs reassemble
+    // exactly the full table
+    "tbl_copy_into" -> "SELECT * FROM orders",
     "tbl_merge_conditional" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0

@@ -278,6 +278,28 @@ object TableOps {
     t.snapshot()
   }
 
+  /** COPY INTO driver scenario: seed a table with a third of orders,
+    * land the remaining two thirds as two parquet drops, COPY INTO
+    * twice per drop (the re-runs must be file-idempotent no-ops) —
+    * final state is exactly the full orders table.
+    */
+  def copyIntoScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val dir = Files.createTempDirectory("graft_copyinto_").resolve("t")
+    val t = GraftTable.create(spark, dir.toString,
+      orders.filter(col("o_orderkey") % 3 === 0))
+    val src = Files.createTempDirectory("graft_copyinto_src_").toString
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .write.mode("append").parquet(src)
+    t.copyInto(src)
+    t.copyInto(src) // idempotent: nothing re-loads
+    orders.filter(col("o_orderkey") % 3 === 2)
+      .write.mode("append").parquet(src)
+    t.copyInto(src) // only the new drop loads
+    t.copyInto(src)
+    t.snapshot()
+  }
+
   /** Conditional MERGE clauses (Delta's full WHEN surface): matched
     * 'P' rows are DELETEd, other matched rows get a decimal-exact
     * price bump from the source, and only even-custkey source rows

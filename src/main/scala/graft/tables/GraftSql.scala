@@ -41,6 +41,8 @@ object GraftSql {
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+WHERE\s+(.+?)\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*""".r
+  private val CopyInto =
+    """(?is)\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*""".r
   private val VacuumRetainHoursDry =
     """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s+DRY\s+RUN\s*""".r
   private val VacuumRetainHours =
@@ -120,6 +122,11 @@ object GraftSql {
       emptyResult(spark)
     case Optimize(ident) =>
       tableByName(spark, ident).compactToSize()
+      refreshName(spark, ident)
+      emptyResult(spark)
+    case CopyInto(ident, dir) =>
+      // idempotent file-level ingestion (warehouse COPY INTO analog)
+      tableByName(spark, ident).copyInto(dir)
       refreshName(spark, ident)
       emptyResult(spark)
     case VacuumRetainHoursDry(ident, h) =>

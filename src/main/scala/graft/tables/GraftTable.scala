@@ -1465,6 +1465,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
               .maxOption.exists(_ >= v)
           }
           if (superseded) return latestVersion
+          // concurrent COPY INTO race: a racer that landed ANY of the
+          // same source files makes blind re-resolution a double load
+          if (extraMetrics.keys.exists(k => k.startsWith("copy:") &&
+              listVersions().filter(_ > base)
+                .exists(v => readCommit(v).metrics.contains(k))))
+            throw e
           // a racer that EVOLVED the schema invalidates our aligned
           // projection, and one that ADDED a constraint invalidates
           // our pre-write validation — surface the conflict instead
@@ -1525,6 +1531,34 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       appId: String = "default"): Long = {
     if (batchId <= lastStreamBatchId(appId)) latestVersion
     else appendInternal(df, evolve = false, Map(txnKey(appId) -> batchId))
+  }
+
+  /** COPY INTO (the warehouse ingestion-SQL analog): idempotent
+    * FILE-LEVEL load of a directory's parquet files into the table —
+    * each source file lands exactly once across any number of
+    * invocations, restarts and partial failures. The ledger is a
+    * per-file marker in the commit metrics (`copy:<md5(path)>`),
+    * which survives restarts with the log and survives LOG RETENTION
+    * through the max-metric rollup sidecar. Re-running after new
+    * files arrive loads only the new files; re-running unchanged is a
+    * no-op without a commit. A concurrent COPY INTO that landed any
+    * of the same source files fails the race instead of double
+    * loading (the blind-append re-resolution is vetoed for
+    * overlapping copy markers).
+    */
+  def copyInto(dir: String): Long = {
+    val all = GraftTable.listPaths(Paths.get(dir))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).sorted
+    require(all.nonEmpty, s"COPY INTO: no parquet files under $dir")
+    val loaded: Set[String] =
+      (listVersions().flatMap(v => readCommit(v).metrics.keys) ++
+        readMetricsRollup().keys).filter(_.startsWith("copy:")).toSet
+    val fresh = all.filterNot(f => loaded.contains(GraftTable.copyKey(f)))
+    if (fresh.isEmpty) return latestVersion
+    val df = spark.read.parquet(fresh: _*)
+    appendInternal(df, evolve = false,
+      fresh.map(f => GraftTable.copyKey(f) -> 1L).toMap)
   }
 
   def overwrite(df: DataFrame,
@@ -3014,6 +3048,15 @@ object GraftTable {
   private[graft] def listPaths(dir: Path): Seq[Path] = {
     val s = Files.list(dir)
     try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** COPY INTO ledger key for a source file: path-keyed, so the same
+    * file never loads twice however often the command re-runs.
+    */
+  private[tables] def copyKey(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "copy:" + md.digest(path.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** Compare two strings in UTF-8 BYTE order (= Unicode code-point

@@ -157,6 +157,47 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_util")
   }
 
+  test("COPY INTO loads each source file exactly once") {
+    val dir = Files.createTempDirectory("graft_copy_").resolve("t").toString
+    val src = Files.createTempDirectory("graft_copy_src_").toString
+    val t = graft.tables.GraftTable.create(spark, dir,
+      Seq((0L, "seed")).toDF("id", "v"))
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write
+      .mode("append").parquet(src)
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write
+      .mode("append").parquet(src)
+    t.copyInto(src)
+    assert(t.snapshot().count() === 3)
+    // re-run unchanged: a no-op WITHOUT a commit
+    val v = t.latestVersion
+    t.copyInto(src)
+    assert(t.latestVersion === v && t.snapshot().count() === 3)
+    // new files arrive: only they load
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write
+      .mode("append").parquet(src)
+    t.copyInto(src)
+    assert(t.snapshot().count() === 4)
+    assert(t.snapshot().where($"id" === 3L).count() === 1)
+    // the ledger survives LOG RETENTION through the rollup sidecar
+    (1 to 25).foreach(i => t.setProperties(Map("touch" -> i.toString)))
+    t.setProperties(Map("graft.logRetention.versions" -> "5"))
+    t.vacuum()
+    val t2 = graft.tables.GraftTable.load(spark, dir)
+    t2.copyInto(src)
+    assert(t2.snapshot().count() === 4, "log retention regressed the copy ledger")
+    // SQL spelling on a registered table
+    spark.sql("DROP TABLE IF EXISTS gs_copy")
+    spark.sql(s"CREATE TABLE gs_copy USING `graft-table` OPTIONS (path '$dir')")
+    try {
+      Seq((4L, "d")).toDF("id", "v").coalesce(1).write
+        .mode("append").parquet(src)
+      GraftSql.sql(spark, s"COPY INTO gs_copy FROM '$src' FILEFORMAT = PARQUET")
+      assert(spark.table("gs_copy").count() === 5)
+      GraftSql.sql(spark, s"COPY INTO gs_copy FROM '$src'")
+      assert(spark.table("gs_copy").count() === 5)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_copy")
+  }
+
   test("VACUUM ... RETAIN n HOURS resolves the window from commit timestamps") {
     val dir = Files.createTempDirectory("graft_vh_").resolve("t").toString
     val t = graft.tables.GraftTable.create(spark, dir,
