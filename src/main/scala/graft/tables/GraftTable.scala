@@ -838,22 +838,45 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * Stored in the commit log; enforcement is a pushed-down
     * violation count per write.
     */
-  def addConstraint(name: String, predicateSql: String): Long = {
-    val base = latestVersion
-    val violations = snapshotAt(base).where(s"NOT ($predicateSql)").count()
-    if (violations > 0)
-      throw new ConstraintViolationException(
-        s"constraint $name [$predicateSql] violated by $violations existing row(s)")
-    // the constraint rides in the commit call itself — a failed commit
-    // (e.g. CommitConflictException) leaves no state behind to leak
-    // into a later unrelated commit
-    commit("ADD CONSTRAINT", base, filesAt(base), schemaAt(base),
-      Map("numViolations" -> 0L),
-      newConstraints = Map(name -> predicateSql))
+  /** Retry a METADATA-ONLY commit whose body recomputes everything
+    * from the current snapshot: racing any writer, the whole body
+    * simply re-runs against the advanced base (constraint validation
+    * re-scans, property merges re-read) — a metadata commit never
+    * invalidates staged data files, so losing a claim race is never a
+    * real conflict for it.
+    */
+  private def retryMetadata(body: => Long): Long = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          if (attempts > 10) throw e
+      }
+    }
+    -1L // unreachable
   }
 
+  def addConstraint(name: String, predicateSql: String): Long =
+    retryMetadata {
+      val base = latestVersion
+      // validate against the CURRENT snapshot — on a retry after a
+      // racing append, the racer's rows are validated too
+      val violations = snapshotAt(base).where(s"NOT ($predicateSql)").count()
+      if (violations > 0)
+        throw new ConstraintViolationException(
+          s"constraint $name [$predicateSql] violated by $violations existing row(s)")
+      // the constraint rides in the commit call itself — a failed commit
+      // (e.g. CommitConflictException) leaves no state behind to leak
+      // into a later unrelated commit
+      commit("ADD CONSTRAINT", base, filesAt(base), schemaAt(base),
+        Map("numViolations" -> 0L),
+        newConstraints = Map(name -> predicateSql))
+    }
+
   /** ALTER TABLE DROP CONSTRAINT analog: metadata-only removal. */
-  def dropConstraint(name: String): Long = {
+  def dropConstraint(name: String): Long = retryMetadata {
     val base = latestVersion
     val cur = readCommit(base).constraints.getOrElse(Map.empty)
     require(cur.contains(name),
@@ -870,7 +893,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else readCommit(latestVersion).properties.getOrElse(Map.empty)
 
   /** SET TBLPROPERTIES analog (merge semantics, metadata-only). */
-  def setProperties(kv: Map[String, String]): Long = {
+  def setProperties(kv: Map[String, String]): Long = retryMetadata {
     val base = latestVersion
     commit("SET TBLPROPERTIES", base, filesAt(base), schemaAt(base),
       Map(), cdcFiles = Some(Nil), newProperties = kv)

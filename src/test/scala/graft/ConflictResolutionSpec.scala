@@ -220,6 +220,36 @@ class ConflictResolutionSpec extends SparkSpec {
     assert(t.snapshot().where($"p" === "C").count() === 20)
   }
 
+  test("metadata commits retry through any race; constraint adds re-validate") {
+    val path = tmp()
+    seedTable(path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // 4 property writers + 2 appenders race: all 6 land (metadata
+    // commits re-run their whole body against the advanced base)
+    val results = Await.result(Future.sequence(
+      (1 to 4).map(i => Future {
+        try { GraftTable.load(spark, path)
+          .setProperties(Map(s"k$i" -> i.toString)); 1 }
+        catch { case _: CommitConflictException => 0 }
+      }) ++ Seq.tabulate(2)(i => Future {
+        try { GraftTable.load(spark, path)
+          .append(Seq(("H", 900L + i, "x")).toDF("p", "id", "v")); 1 }
+        catch { case _: CommitConflictException => 0 }
+      })), 300.seconds)
+    assert(results.sum === 6, "all metadata writers and appenders must land")
+    val t = GraftTable.load(spark, path)
+    (1 to 4).foreach(i => assert(t.properties(s"k$i") === i.toString))
+    assert(t.snapshot().where($"id" >= 900L).count() === 2)
+    // a constraint add re-validates on retry: it must see rows a
+    // racing append landed, so a violating row blocks it either way
+    t.append(Seq(("H", -1L, "neg")).toDF("p", "id", "v"))
+    intercept[graft.tables.ConstraintViolationException] {
+      t.addConstraint("id_nonneg", "id >= 0")
+    }
+  }
+
   test("DML racing DML on the same partition never loses an update") {
     // the overlap either fail-fasts or serializes — both racers
     // landing must produce the serial result, never a lost update
