@@ -252,6 +252,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
         parameters.get("maxVersionsPerTrigger").map(_.toLong),
       maxBytesPerTrigger =
         parameters.get("maxBytesPerTrigger").map(parseBytes),
+      maxFilesPerTrigger =
+        parameters.get("maxFilesPerTrigger").map(_.toLong),
       skipChangeCommits = parameters.get("skipChangeCommits")
         .exists(_.equalsIgnoreCase("true")))
   }
@@ -340,10 +342,18 @@ class GraftTableSink(spark: SparkSession, path: String,
   *   keeping an append-feed alive over a table that takes occasional
   *   corrections.
   */
+/** @param maxFilesPerTrigger Delta's most common rate limit, at its
+  *   native granularity: the window advances version by version while
+  *   the cumulative billable FILE count stays within the limit —
+  *   soft-max like the byte budget (always ≥1 version), zero-billed
+  *   for commits that emit nothing, the cdc payload's file count in
+  *   CDC mode. Composes with the version and byte caps.
+  */
 class GraftTableSource(spark: SparkSession, table: GraftTable,
     cdc: Boolean = false, startVersion: Option[Long] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None,
     skipChangeCommits: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -411,24 +421,43 @@ class GraftTableSource(spark: SparkSession, table: GraftTable,
   private def billable(v: Long): Long =
     billableCache.getOrElseUpdate(v,
       table.billableBytesIn(v, skipChangeCommits, cdc))
+  private val billableFilesCache =
+    scala.collection.mutable.HashMap.empty[Long, Long]
+  private def billableFiles(v: Long): Long =
+    billableFilesCache.getOrElseUpdate(v,
+      table.billableFilesIn(v, skipChangeCommits, cdc))
+
+  /** Walk the window forward under a cumulative budget (soft-max:
+    * the first version always admits, so an oversized commit flows
+    * instead of wedging the stream). One implementation for the byte
+    * and file budgets — they must pace identically.
+    */
+  private def budgetWalk(base: Long, vCapped: Long, budget: Long,
+      cost: Long => Long): Long = {
+    var v = base + 1
+    var spent = cost(v)
+    var continue = true
+    while (continue && v < vCapped) {
+      val next = cost(v + 1)
+      if (spent + next <= budget) { v += 1; spent += next }
+      else continue = false
+    }
+    v
+  }
 
   private def admit(base: Long, latest: Long): Long = {
     val vCapped = maxVersionsPerTrigger match {
       case Some(m) => math.max(base, math.min(latest, base + math.max(1L, m)))
       case None => math.max(base, latest)
     }
-    maxBytesPerTrigger match {
-      case Some(budget) if vCapped > base =>
-        var v = base + 1
-        var bytes = billable(v)
-        var continue = true
-        while (continue && v < vCapped) {
-          val next = billable(v + 1)
-          if (bytes + next <= budget) { v += 1; bytes += next }
-          else continue = false
-        }
-        v
-      case _ => vCapped
+    if (vCapped <= base) return vCapped
+    val byteCapped = maxBytesPerTrigger match {
+      case Some(budget) => budgetWalk(base, vCapped, budget, billable)
+      case None => vCapped
+    }
+    maxFilesPerTrigger match {
+      case Some(limit) => budgetWalk(base, byteCapped, limit, billableFiles)
+      case None => byteCapped
     }
   }
 

@@ -2839,16 +2839,39 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         }.sum
       case _ => ()
     }
-    if (skipChangeCommits) {
-      val prevFiles = if (version <= 0) Set.empty[String]
-        else readCommit(version - 1).files.toSet
-      val prevDv = if (version <= 0) Set.empty[String]
-        else readCommit(version - 1).dv.getOrElse(Nil).toSet
-      val removed = prevFiles -- c.files.toSet
-      val dvAdded = c.dv.getOrElse(Nil).exists(!prevDv.contains(_))
-      if (removed.nonEmpty || dvAdded) return 0L
-    }
+    if (skipChangeCommits && isSkippableChange(version, c)) return 0L
     addedBytesIn(version)
+  }
+
+  /** FILE-COUNT twin of [[billableBytesIn]] (`maxFilesPerTrigger`):
+    * same zero rules — maintenance always, skipped COW changes under
+    * `skipChangeCommits`, the cdc payload's file count in CDC mode.
+    */
+  private[graft] def billableFilesIn(version: Long,
+      skipChangeCommits: Boolean, cdcMode: Boolean = false): Long = {
+    val c = readCommit(version)
+    if (GraftTable.maintenanceOps(c.operation)) return 0L
+    if (cdcMode) c.cdc match {
+      case Some(fs) if fs.nonEmpty => return fs.size.toLong
+      case _ => ()
+    }
+    if (skipChangeCommits && isSkippableChange(version, c)) return 0L
+    val prev: Set[String] =
+      if (version <= 0) Set.empty else readCommit(version - 1).files.toSet
+    c.files.count(!prev.contains(_)).toLong
+  }
+
+  /** A COW change commit `skipChangeCommits` silences: it removed
+    * files or added deletion vectors.
+    */
+  private def isSkippableChange(version: Long, c: Commit): Boolean = {
+    val prevFiles = if (version <= 0) Set.empty[String]
+      else readCommit(version - 1).files.toSet
+    val prevDv = if (version <= 0) Set.empty[String]
+      else readCommit(version - 1).dv.getOrElse(Nil).toSet
+    val removed = prevFiles -- c.files.toSet
+    val dvAdded = c.dv.getOrElse(Nil).exists(!prevDv.contains(_))
+    removed.nonEmpty || dvAdded
   }
 
   /** Files (absolute paths) added in versions (fromVersion, toVersion]

@@ -463,6 +463,55 @@ class StreamingSpec extends SparkSpec {
       s"a 1g budget should drain the backlog in one batch: $seenBig")
   }
 
+  test("maxFilesPerTrigger admits versions by file count, at least one each") {
+    import graft.tables.GraftTable
+    val root = Files.createTempDirectory("graft_mfpt_").resolve("t").toString
+    // each version lands 2 files
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 20).select($"id".as("value")).repartition(2))     // v0
+    t.append(spark.range(20, 40).select($"id".as("value")).repartition(2))
+    t.append(spark.range(40, 60).select($"id".as("value")).repartition(2))
+    t.append(spark.range(60, 80).select($"id".as("value")).repartition(2))
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    // limit 2 files = one 2-file version per trigger
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.count() }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(seen.sum === 80, s"got $seen")
+    assert(seen.forall(_ <= 20), s"a batch exceeded one version: $seen")
+    assert(seen.count(_ > 0) >= 4, s"expected >=4 non-empty batches: $seen")
+    // soft-max: a 1-file limit is below every version's 2 files —
+    // still exactly one version per trigger, never zero
+    val seen1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = spark.readStream.format("graft-table").option("path", root)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen1.synchronized { seen1 += df.count() }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000))
+    assert(seen1.sum === 80, s"got $seen1")
+    assert(seen1.count(_ > 0) >= 4)
+    // a generous limit drains in one batch
+    val seenBig = scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = spark.readStream.format("graft-table").option("path", root)
+      .option("maxFilesPerTrigger", "1000").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seenBig.synchronized { seenBig += df.count() }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q3.awaitTermination(120000))
+    assert(seenBig.sum === 80 && seenBig.count(_ > 0) === 1,
+      s"a 1000-file limit should drain in one batch: $seenBig")
+  }
+
   test("startingTimestamp begins the stream at the first commit at/after it") {
     import graft.tables.GraftTable
     val root = Files.createTempDirectory("graft_stts_").resolve("t").toString
