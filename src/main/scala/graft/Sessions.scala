@@ -18,6 +18,13 @@ object Sessions {
       // events.parquet carries INT64(TIMESTAMP_NANOS); Spark's reader
       // rejects nanos unless surfaced as long (normalized in Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The testdata generator emits naive timestamp[us]
+      // (isAdjustedToUTC=false), which Spark 4 would infer as
+      // TIMESTAMP_NTZ — a type watermarks/unix_micros reject. Pin
+      // Spark-3-style inference: every timestamp column reads as
+      // TimestampType, micros-identical under the UTC session TZ, and
+      // scan-level filter pushdown stays intact (no cast in the plan).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4, app: String = "graft"): SparkSession = {

@@ -45,8 +45,12 @@ object Tables {
   def md5Residue(c: Column, offset: Int = 1): Column =
     conv(substring(md5(c), offset, 15), 16, 10).cast("long")
 
-  /** events.ts is written as parquet INT64 nanos; normalized here if
-    * the runtime surfaces it as a long (see Sessions.nanosAsLong).
+  /** events.ts has been emitted by the testdata generator under two
+    * encodings across rounds: INT64(TIMESTAMP_NANOS) — surfaced as a
+    * long via Sessions.nanosAsLong and normalized here — and naive
+    * timestamp[us], which reads directly as TimestampType because
+    * Sessions.tune pins inferTimestampNTZ off. Both normalize to the
+    * same micros under the UTC session zone.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
