@@ -2282,6 +2282,38 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         s"MERGE source has duplicate join keys (e.g. ${keys.mkString(",")}=" +
           s"${dupKeys(0).toSeq.init.mkString(",")}); " +
           "each target row must match at most one source row")
+    // MERGE's read set is "target rows whose key tuple equals a
+    // source key tuple" (the clause join; the NOT MATCHED anti-join
+    // consults the same tuples). The per-key [min,max] ENVELOPE of
+    // the matchable source rows (all keys non-null — null keys never
+    // equi-match) over-approximates that set in a shape commit stats
+    // can refute, so a concurrent append of keys provably outside the
+    // envelope COMMUTES with this merge instead of drawing Delta's
+    // blanket ConcurrentAppendException. Keys whose type the stats
+    // layer cannot interval-check drop out of the envelope (fewer
+    // conjuncts is still a superset of the read set); if none remain
+    // the merge keeps whole-table-reader conflict semantics. One
+    // scalar aggregate on the persisted source pays for letting
+    // key-range-disjoint merges and appends land concurrently.
+    val boundableKeys = keys.filter(k => schema(k).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.DateType => true
+      case _ => false
+    })
+    val (readCond, readsTable) =
+      if (boundableKeys.isEmpty) (None, true)
+      else {
+        val matchable = src.where(keys.map(col(_).isNotNull).reduce(_ && _))
+        val aggs = boundableKeys.flatMap(k =>
+          Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
+        val b = matchable.agg(aggs.head, aggs.tail: _*).collect()(0)
+        if (b.isNullAt(0)) (None, false) // no matchable row: empty read set
+        else (Some(boundableKeys.zipWithIndex.map { case (k, i) =>
+          col(s"`$k`") >= lit(b.get(2 * i)) && col(s"`$k`") <= lit(b.get(2 * i + 1))
+        }.reduce(_ && _)), false)
+      }
     val keyRows = src.select(keys.map(col): _*).distinct()
     val withFile = scanWithPos(filesAt(base), schema, dvAt(base), columnMapAt(base))
       .withColumnRenamed("__fp", "__file")
@@ -2427,12 +2459,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val cdc = writeCdc(cdcAll)
     tagged.unpersist()
     src.unpersist()
-    // MERGE's read set is the whole table (the key join) — no file-
-    // level predicate can prove a concurrent add disjoint, so any
-    // concurrent add conflicts (Delta's ConcurrentAppendException for
-    // merge); disjoint-file rewrites and maintenance still commute
+    // conflict read set: the source-key envelope computed above —
+    // concurrent adds provably outside it commute; rows this merge
+    // read AND a racer rewrote are caught by the write-write overlap
+    // on `touched` (every file holding a matched key is rewritten),
+    // and merge-on-read racers by the DV-set check
     try maybeAutoCompact(commitResolved("MERGE", base,
-      touched.toSet, w.files, None, readsTable = true, schema,
+      touched.toSet, w.files, readCond, readsTable = readsTable, schema,
       Map("numRewrittenFiles" -> touched.size.toLong) ++ idMetrics,
       collectStats(w.files),
       cdcFiles = Some(cdc), newPartValues = w.partValues,

@@ -250,6 +250,58 @@ class ConflictResolutionSpec extends SparkSpec {
     }
   }
 
+  test("MERGE key envelope: disjoint-key rewrites commute, in-envelope ones conflict") {
+    val t = seedTable(tmp())
+    val base = t.latestVersion
+    // a racer rewrote partition H (non-blind: removes + adds)...
+    t.update($"p" === "H" && $"id" <= 3, Map("v" -> lit("w")))
+    // ...while a staged MERGE's source keys all sit inside
+    // [A,A]×[1,5]: the rewritten H files are stats-provably outside
+    // the envelope, so the merge commutes — before the envelope this
+    // was a blanket "reads the whole table" conflict
+    t.checkDmlConflicts("MERGE", base, t.latestVersion, Set.empty,
+      Some($"p" >= "A" && $"p" <= "A" && $"id" >= 1L && $"id" <= 5L),
+      readsTable = false)
+    // an envelope that spans the rewritten partition still conflicts:
+    // a serial execution with the merge last would have read those rows
+    val e = intercept[CommitConflictException] {
+      t.checkDmlConflicts("MERGE", base, t.latestVersion, Set.empty,
+        Some($"p" >= "A" && $"p" <= "H" && $"id" >= 1L && $"id" <= 5L),
+        readsTable = false)
+    }
+    assert(e.getMessage.contains("may hold rows matching"))
+  }
+
+  test("MERGE races a disjoint-key UPDATE end-to-end: both land") {
+    val path = tmp()
+    seedTable(path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // merge touches only (p=A, id∈[1,5]); the update rewrites only
+    // partition H — whichever loses the version race must re-resolve
+    // through the merge's source-key envelope and still land
+    val results = Await.result(Future.sequence(Seq(
+      Future {
+        try {
+          val src = (1L to 5L).map(i => ("A", i, s"m$i")).toDF("p", "id", "v")
+          GraftTable.load(spark, path).merge(src, Seq("p", "id")); 1
+        } catch { case _: CommitConflictException => 0 }
+      },
+      Future {
+        try { GraftTable.load(spark, path)
+          .update($"p" === "H" && $"id" <= 3, Map("v" -> lit("u"))); 1 }
+        catch { case _: CommitConflictException => 0 }
+      })), 300.seconds)
+    assert(results.sum === 2, "key-disjoint MERGE and UPDATE must both land")
+    val t = GraftTable.load(spark, path)
+    assert(t.snapshot().where($"p" === "A" && $"id" <= 5 &&
+      $"v".startsWith("m")).count() === 5L, "merge updates lost")
+    assert(t.snapshot().where($"p" === "H" && $"id" <= 3 &&
+      $"v" === "u").count() === 3L, "update lost")
+    assert(t.snapshot().count() === 8 * 20)
+  }
+
   test("DML racing DML on the same partition never loses an update") {
     // the overlap either fail-fasts or serializes — both racers
     // landing must produce the serial result, never a lost update
