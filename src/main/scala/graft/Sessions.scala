@@ -25,6 +25,12 @@ object Sessions {
       // TimestampType, micros-identical under the UTC session TZ, and
       // scan-level filter pushdown stays intact (no cast in the plan).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // INT96 (Spark's legacy default for TimestampType) writes no
+      // usable footer min/max, which would blind the commit-log stats
+      // layer (data skipping, DML blast radius, conflict envelopes)
+      // on every timestamp column. INT64 micros is the modern parquet
+      // spelling and the same domain Catalyst literals use.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4, app: String = "graft"): SparkSession = {

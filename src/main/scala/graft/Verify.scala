@@ -21,8 +21,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // TIMESTAMP (instant) result columns write tz-annotated
+        // micros, which pandas reads tz-AWARE while the DuckDB oracle
+        // reads the same wall clock tz-naive — the compare would then
+        // differ on representation, not value. Cast to NTZ (exact
+        // under the pinned UTC session) so both sides stay naive.
+        val ts = df.schema.fields.filter(_.dataType ==
+          org.apache.spark.sql.types.TimestampType).map(_.name)
+        val out = ts.foldLeft(df)((d, c) => d.withColumn(c,
+          d.col(s"`$c`").cast(org.apache.spark.sql.types.TimestampNTZType)))
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: $msg")

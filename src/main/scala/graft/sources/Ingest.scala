@@ -62,7 +62,9 @@ object Ingest {
     spark.read
       .option("header", "true").option("sep", sep)
       .option("inferSchema", "true")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+      // optional zone suffix: TIMESTAMP (instant) columns CSV-write
+      // with a zone id ("...Z"), NTZ columns without — accept both
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS[XXX]")
       .csv(dir)
 
   /** Auto-Loader-style incremental batch ingest: a ledger file under
