@@ -702,6 +702,52 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (latestVersion < 0) None
     else readCommit(latestVersion).identityCol
 
+  /** The session timezone generated-column values over TIMESTAMP
+    * (instant) inputs were materialized under, recorded at CREATE —
+    * `year(ts)`/`to_date(ts)` shift with the zone, so pruning may
+    * only derive partition bounds from them when the reader's zone
+    * matches ([[derivedGenConds]]), and writes under a different
+    * zone are refused ([[enforceWriterTz]]) so the materialized
+    * values stay single-zone. Absent on tables without tz-dependent
+    * generation (and on pre-feature/CONVERTed tables, where the
+    * materializing zone is unknown — derivation then stays off).
+    */
+  private def writerTimeZone: Option[String] =
+    if (latestVersion < 0) None
+    else readCommit(latestVersion).properties.getOrElse(Map.empty)
+      .get(GraftTable.writerTzKey)
+
+  private def sessionTz: String =
+    spark.sessionState.conf.sessionLocalTimeZone
+
+  /** Generated columns whose expression references a TIMESTAMP
+    * (instant) input — the tz-dependent ones. */
+  private def tzDependentGens: Seq[String] = {
+    val schema = currentSchema
+    generatedColumns.toSeq.collect {
+      case (c, g) if referencedColumns(g).exists(r =>
+        schema.fields.exists(f => f.name.equalsIgnoreCase(r) &&
+          f.dataType == org.apache.spark.sql.types.TimestampType)) => c
+    }
+  }
+
+  /** Every path that MATERIALIZES generated values (append, UPDATE
+    * recompute, MERGE) runs under the recorded zone or not at all —
+    * otherwise two writers in different zones would partition the
+    * same instant differently and pruning could not trust either.
+    */
+  private def enforceWriterTz(): Unit =
+    writerTimeZone.foreach { tz =>
+      if (tz != sessionTz) {
+        val dep = tzDependentGens
+        if (dep.nonEmpty) throw new IllegalStateException(
+          s"generated column(s) ${dep.mkString(", ")} over TIMESTAMP " +
+            s"inputs were materialized under session timezone '$tz' but " +
+            s"this session uses '$sessionTz'; set " +
+            s"spark.sql.session.timeZone=$tz to write this table")
+      }
+    }
+
   private def identityKey = "identity:highWater"
 
   /** Highest identity value ever committed (rides commit metrics, so
@@ -1096,6 +1142,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private def injectWriteColumns(df: DataFrame)
       : (DataFrame, Map[String, Long], () => Unit) = {
+    enforceWriterTz()
     val withGen = generatedColumns.foldLeft(df) { case (d, (c, genExpr)) =>
       if (d.schema.fieldNames.contains(c)) d
       else d.withColumn(c, org.apache.spark.sql.functions.expr(genExpr))
@@ -1748,16 +1795,19 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // comparison uses is the column type's. A STRING input is ordered
     // lexically, where to_date/year are NOT monotone ('2020-2-1' >
     // '2020-11-5' as strings, reversed as dates) — deriving there
-    // would prune files whose rows match. TimestampType is excluded
-    // too: year()/to_date()/date_trunc() over an instant are
-    // session-timezone-dependent, and the partition values were
-    // materialized under the WRITER's session timezone while evalGen
-    // runs under the reader's — a mismatch could derive a boundary
-    // that prunes files containing matching rows. Only DateType and
+    // would prune files whose rows match. DateType and
     // TimestampNTZType evaluate identically in every session.
+    // TimestampType (instant) is session-timezone-dependent:
+    // year()/to_date()/date_trunc() over it derive ONLY when the
+    // reader's zone equals the recorded materialization zone
+    // ([[writerTimeZone]], enforced on every write) — under any other
+    // zone, or on tables without the record (pre-feature, CONVERTed),
+    // a derived boundary could prune files holding matching rows.
     def temporal(x: String) = schema.fields
       .find(_.name.equalsIgnoreCase(x))
-      .exists(f => f.dataType == DateType || f.dataType == TimestampNTZType)
+      .exists(f => f.dataType == DateType || f.dataType == TimestampNTZType ||
+        (f.dataType == org.apache.spark.sql.types.TimestampType &&
+          writerTimeZone.contains(sessionTz)))
     val gens = generatedColumns.toSeq.collect {
       case (c, g) if pcols.contains(c) =>
         GraftTable.monotoneInput(g).filter(temporal).map(x => (c, g, x))
@@ -2171,8 +2221,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           referencedColumns(genExpr).exists(r =>
             set.keys.exists(_.equalsIgnoreCase(r)))
         if (!inputsAssigned) d
-        else d.withColumn(gc,
-          when(col("__hit"), expr(genExpr)).otherwise(col(s"`$gc`")))
+        else { enforceWriterTz(); d.withColumn(gc,
+          when(col("__hit"), expr(genExpr)).otherwise(col(s"`$gc`"))) }
     }
     val updated = applied.drop("__hit")
     // constraints hold on every write path, not just append/merge:
@@ -2269,6 +2319,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // write — persist ONE evaluation (a non-deterministic or
     // concurrently-changing source must not answer differently per
     // branch)
+    // MERGE both recomputes and freshly computes generated values
+    enforceWriterTz()
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Delta semantics: a target row matched by MULTIPLE source rows is
     // an error, not a silent row multiplication through the join.
@@ -3243,6 +3295,11 @@ object GraftTable {
   private[graft] val maintenanceOps: Set[String] =
     Set("COMPACT", "CLUSTER", "ZORDER", "PURGE")
 
+  /** Table property recording the zone tz-dependent generated values
+    * were materialized under (see [[GraftTable.writerTimeZone]]).
+    */
+  private[tables] val writerTzKey = "graft.writerTimeZone"
+
   /** Undo Hive/Spark partition-path escaping (`%2F` etc) — the exact
     * inverse of the `escapePathName` applied by the parquet writer's
     * dynamic-partition layout.
@@ -3380,12 +3437,28 @@ object GraftTable {
       require(missing.isEmpty,
         s"partitionBy/bucketBy names unknown column(s): ${missing.mkString(", ")}")
       Files.createDirectories(t.logDir)
+      // tz-dependent generation (a TIMESTAMP input): record the
+      // materializing zone so readers can derive partition bounds
+      // under it and writers under any other zone are refused
+      val tzProp =
+        if (generated.exists { case (_, g) =>
+          (try spark.sessionState.sqlParser.parseExpression(g).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last
+          } catch { case scala.util.control.NonFatal(_) => Nil })
+            .exists(r => seeded.schema.fields.exists(f =>
+              f.name.equalsIgnoreCase(r) &&
+                f.dataType == org.apache.spark.sql.types.TimestampType))
+        }) Map(writerTzKey ->
+          spark.sessionState.conf.sessionLocalTimeZone)
+        else Map.empty[String, String]
       val w = t.writeData(seeded, partitionBy, Map.empty, bkSpec)
       t.commit("CREATE", -1L, w.files, seeded.schema,
         Map("numAddedFiles" -> w.files.size.toLong) ++
           hw.map(t.identityKey -> _).toMap,
         t.collectStats(w.files),
         newPartValues = w.partValues,
+        newProperties = tzProp,
         partitionByOpt = if (partitionBy.isEmpty) None else Some(partitionBy),
         generatedOpt = if (generated.isEmpty) None else Some(generated),
         identityOpt = identity,

@@ -241,8 +241,8 @@ class GeneratedColumnsSpec extends SparkSpec {
     // the predicate mentions ONLY the input column — the partition
     // column is never named, yet its partitions prune
     val cond = $"o_orderdate" >=
-      lit(s"$y-01-01 00:00:00").cast("timestamp_ntz") &&
-      $"o_orderdate" < lit(s"${y + 1}-01-01 00:00:00").cast("timestamp_ntz")
+      lit(s"$y-01-01 00:00:00").cast("timestamp") &&
+      $"o_orderdate" < lit(s"${y + 1}-01-01 00:00:00").cast("timestamp")
     val cand = t.candidateFiles(cond)
     val all = t.snapshotInfo(t.latestVersion).files.size
     assert(cand.nonEmpty && cand.size < all,
@@ -252,7 +252,7 @@ class GeneratedColumnsSpec extends SparkSpec {
       orders.where(cond).count())
     // equality on the input derives equality on the partition value
     val one = t.candidateFiles($"o_orderdate" ===
-      lit(s"$y-06-15 00:00:00").cast("timestamp_ntz"))
+      lit(s"$y-06-15 00:00:00").cast("timestamp"))
     assert(one.size <= cand.size)
     // the REGISTERED scan prunes through the same derivation
     spark.sql("CREATE TABLE graft_genprune USING `graft-table` " +
@@ -278,20 +278,42 @@ class GeneratedColumnsSpec extends SparkSpec {
       ts.snapshotInfo(ts.latestVersion).files.size,
       "derived from a string input — lexicographic order is not date order")
 
-    // a TIMESTAMP (instant) input must NOT derive either: year()/
-    // to_date() over an instant depend on the session timezone, and
-    // the reader's may differ from the writer's that materialized the
-    // partition values — a mismatch would derive a boundary that
-    // prunes files containing matching rows
+    // a TIMESTAMP (instant) input derives ONLY under the recorded
+    // materialization zone: year()/to_date() over an instant depend
+    // on the session timezone, so CREATE records the zone, matching
+    // readers derive, and mismatched sessions neither derive nor
+    // write (mixed-zone values would poison pruning)
+    // rows: one just before the UTC year boundary (y=2020), one well
+    // into 2021 — materialized under the pinned UTC session
     val ti = GraftTable.create(spark, tmp(),
-      Seq(("2020-01-01 00:30:00", 1L), ("2021-06-01 12:00:00", 2L))
+      Seq(("2020-12-31 20:00:00", 1L), ("2021-06-01 12:00:00", 2L))
         .toDF("s", "v").select($"s".cast("timestamp").as("ts"), $"v"),
       partitionBy = Seq("y"),
       generated = Map("y" -> "year(ts)"))
     assert(ti.candidateFiles(
-      $"ts" >= lit("2021-01-01 00:00:00").cast("timestamp")).size ===
+      $"ts" >= lit("2021-01-01 00:00:00").cast("timestamp")).size <
       ti.snapshotInfo(ti.latestVersion).files.size,
-      "derived from a timestamp instant — evaluation is session-timezone-dependent")
+      "reader zone matches the recorded writer zone — must prune")
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // Tokyo reader: the literal instant is 2020-12-31 15:00 UTC, so
+      // the y=2020 row at 20:00 UTC MATCHES the predicate — deriving
+      // y >= year(literal-in-Tokyo) = 2021 would wrongly prune it;
+      // ts footer stats keep both files, so all-candidates here
+      // proves derivation stood down
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(ti.candidateFiles(
+        $"ts" >= lit("2021-01-01 00:00:00").cast("timestamp")).size ===
+        ti.snapshotInfo(ti.latestVersion).files.size,
+        "mismatched reader zone must not derive partition bounds")
+      // and a mismatched-zone WRITE is refused — it would materialize
+      // partition values in a second zone and poison future pruning
+      val e = intercept[IllegalStateException] {
+        ti.append(Seq(("2022-03-01 08:00:00", 3L)).toDF("s", "v")
+          .select($"s".cast("timestamp").as("ts"), $"v"))
+      }
+      assert(e.getMessage.contains("timezone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
 
     // a DML sees the same blast radius: delete one year by date only
     t.delete(cond)
