@@ -670,7 +670,16 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val (bkOut, nbOut) =
       if (v == 0) (bucketByOpt.map(_._1.toList), bucketByOpt.map(_._2))
       else (readCommit(base).bucketBy, readCommit(base).numBuckets)
-    writeCommit(Commit(v, System.currentTimeMillis(), op, files.toList,
+    // IN-COMMIT monotonic timestamps (Delta's inCommitTimestamps
+    // rationale): every timestamp surface — TIMESTAMP AS OF's
+    // backward scan, startingTimestamp, RETAIN n HOURS, CDF bounds —
+    // assumes commit timestamps never decrease, which a stepping
+    // clock (NTP correction, VM migration) would break. Clamp to
+    // parent+1ms; the lie is bounded by the actual skew and heals as
+    // the clock catches up.
+    val tsOut = math.max(System.currentTimeMillis(),
+      if (v == 0) Long.MinValue else readCommit(base).timestampMs + 1)
+    writeCommit(Commit(v, tsOut, op, files.toList,
       schema.json, metrics, Some(carried ++ newStats),
       Some(constraintsOut),
       cdcFiles.map(_.toList),

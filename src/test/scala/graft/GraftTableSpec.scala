@@ -26,6 +26,29 @@ class GraftTableSpec extends SparkSpec {
     assert(t.latestVersion === 1)
   }
 
+  test("commit timestamps stay monotonic through backward clock steps") {
+    // a clock stepping backward between commits (NTP correction, VM
+    // migration) must not produce a decreasing timestamp — TIMESTAMP
+    // AS OF, startingTimestamp and RETAIN HOURS all binary/backward-
+    // scan on monotonicity. Simulate by dating v0 into the future on
+    // disk: the next commit's wall clock is then "behind" its parent.
+    val dir = tmp()
+    GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    val future = System.currentTimeMillis() + 3600L * 1000
+    val p = java.nio.file.Paths.get(dir, "_graft_log", "v00000000.json")
+    Files.writeString(p, Files.readString(p)
+      .replaceAll("\"timestampMs\":\\d+", s""""timestampMs":$future"""))
+    val t = GraftTable.load(spark, dir) // fresh instance: no memoized v0
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    val ts = (0L to 1L).map(v =>
+      t.history().where($"version" === v).select("timestamp")
+        .head.getTimestamp(0).getTime)
+    assert(ts(1) > ts(0), s"clock step produced non-monotonic commits: $ts")
+    // and the timestamp surfaces resolve consistently across the step
+    assert(t.versionAtTimestamp(ts(0)) === 0L)
+    assert(t.versionAtTimestamp(ts(1)) === 1L)
+  }
+
   test("schema enforcement rejects type mismatch and new columns") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
     // a NARROWER batch (int into a long column) upcasts at write —
