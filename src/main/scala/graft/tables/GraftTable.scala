@@ -2356,13 +2356,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // the merge keeps whole-table-reader conflict semantics. One
     // scalar aggregate on the persisted source pays for letting
     // key-range-disjoint merges and appends land concurrently.
-    val boundableKeys = keys.filter(k => schema(k).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case org.apache.spark.sql.types.StringType => true
-      case org.apache.spark.sql.types.TimestampType => true
-      case org.apache.spark.sql.types.DateType => true
-      case _ => false
-    })
+    val boundableKeys = keys.filter(k =>
+      schema.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType) match {
+        case Some(_: org.apache.spark.sql.types.NumericType) => true
+        case Some(org.apache.spark.sql.types.StringType) => true
+        case Some(org.apache.spark.sql.types.TimestampType) => true
+        case Some(org.apache.spark.sql.types.DateType) => true
+        case _ => false // incl. a key the join will itself reject
+      })
     val (readCond, readsTable) =
       if (boundableKeys.isEmpty) (None, true)
       else {
