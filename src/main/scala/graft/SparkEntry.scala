@@ -114,10 +114,12 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       graft.plans.AsOfJoinNative.join(
         graft.Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
-        // o_orderdate reads as TimestampNTZ under Spark 4's parquet
-        // inference; the native as-of join (correctly) refuses mixed
-        // timestamp flavors, so align it with events.ts (TimestampType).
-        // Session TZ is UTC (Sessions.tune), so the cast is micros-exact.
+        // defensive flavor alignment: the native as-of join
+        // (correctly) refuses mixed timestamp flavors, and the
+        // testdata generator has emitted o_orderdate under several
+        // parquet encodings across rounds. With Sessions.tune pinning
+        // inference to TimestampType the cast is a no-op; under any
+        // other session it is micros-exact (UTC session zone).
         graft.Tables.load(s, d, "orders")
           .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"))
           .dropDuplicates("o_custkey", "o_orderdate"),

@@ -2345,17 +2345,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           "each target row must match at most one source row")
     // MERGE's read set is "target rows whose key tuple equals a
     // source key tuple" (the clause join; the NOT MATCHED anti-join
-    // consults the same tuples). The per-key [min,max] ENVELOPE of
-    // the matchable source rows (all keys non-null — null keys never
-    // equi-match) over-approximates that set in a shape commit stats
-    // can refute, so a concurrent append of keys provably outside the
-    // envelope COMMUTES with this merge instead of drawing Delta's
+    // consults the same tuples). A per-key envelope of the matchable
+    // source rows (all keys non-null — null keys never equi-match)
+    // over-approximates that set in a shape commit stats can refute —
+    // exact In-lists when the distinct tuple count is small, [min,max]
+    // ranges otherwise — so a concurrent append of keys provably
+    // outside it COMMUTES with this merge instead of drawing Delta's
     // blanket ConcurrentAppendException. Keys whose type the stats
     // layer cannot interval-check drop out of the envelope (fewer
     // conjuncts is still a superset of the read set); if none remain
     // the merge keeps whole-table-reader conflict semantics. One
-    // scalar aggregate on the persisted source pays for letting
-    // key-range-disjoint merges and appends land concurrently.
+    // scalar job on the persisted source pays for letting
+    // key-disjoint merges, DML and maintenance land concurrently.
     val boundableKeys = keys.filter(k =>
       schema.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType) match {
         case Some(_: org.apache.spark.sql.types.NumericType) => true
@@ -2364,19 +2365,33 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         case Some(org.apache.spark.sql.types.DateType) => true
         case _ => false // incl. a key the join will itself reject
       })
+    val keyRows = src.select(keys.map(col): _*).distinct()
     val (readCond, readsTable) =
       if (boundableKeys.isEmpty) (None, true)
       else {
-        val matchable = src.where(keys.map(col(_).isNotNull).reduce(_ && _))
-        val aggs = boundableKeys.flatMap(k =>
-          Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
-        val b = matchable.agg(aggs.head, aggs.tail: _*).collect()(0)
-        if (b.isNullAt(0)) (None, false) // no matchable row: empty read set
-        else (Some(boundableKeys.zipWithIndex.map { case (k, i) =>
-          col(s"`$k`") >= lit(b.get(2 * i)) && col(s"`$k`") <= lit(b.get(2 * i + 1))
-        }.reduce(_ && _)), false)
+        val matchable = keyRows.where(keys.map(col(_).isNotNull).reduce(_ && _))
+        // ≤64 distinct matchable tuples (the replayed-batch/upsert-few
+        // shape): exact per-key In-lists are strictly tighter than the
+        // range — a merge touching keys {3, 9M} must not conflict with
+        // an append at 5M. One tiny limit+collect on the persisted
+        // source decides which spelling applies.
+        val few = matchable.limit(65).collect()
+        if (few.isEmpty) (None, false) // no matchable row: empty read set
+        else if (few.length <= 64) {
+          val cond = boundableKeys.map { k =>
+            val i = keys.indexWhere(_.equalsIgnoreCase(k))
+            col(s"`$k`").isin(few.map(_.get(i)).distinct.toIndexedSeq: _*)
+          }.reduce(_ && _)
+          (Some(cond), false)
+        } else {
+          val aggs = boundableKeys.flatMap(k =>
+            Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
+          val b = matchable.agg(aggs.head, aggs.tail: _*).collect()(0)
+          (Some(boundableKeys.zipWithIndex.map { case (k, i) =>
+            col(s"`$k`") >= lit(b.get(2 * i)) && col(s"`$k`") <= lit(b.get(2 * i + 1))
+          }.reduce(_ && _)), false)
+        }
       }
-    val keyRows = src.select(keys.map(col): _*).distinct()
     val withFile = scanWithPos(filesAt(base), schema, dvAt(base), columnMapAt(base))
       .withColumnRenamed("__fp", "__file")
     // no broadcast hint: the planner (and AQE) picks the join — a

@@ -272,6 +272,54 @@ class ConflictResolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("may hold rows matching"))
   }
 
+  test("In-list read sets see through interior-gap adds; ranges cannot") {
+    val t = seedTable(tmp())
+    // a racer appended id=100 under Serializable (where even blind
+    // appends are checked against the read set)
+    t.setProperties(Map("graft.isolationLevel" -> "Serializable"))
+    val base2 = t.latestVersion
+    t.append(Seq(("A", 100L, "mid")).toDF("p", "id", "v"))
+    // a merge touching only keys {1, 180}: the [1,180] RANGE spans the
+    // add and must conflict...
+    intercept[CommitConflictException] {
+      t.checkDmlConflicts("MERGE", base2, t.latestVersion, Set.empty,
+        Some($"id" >= 1L && $"id" <= 180L), readsTable = false)
+    }
+    // ...while the exact In-list proves the add untouched and commutes
+    t.checkDmlConflicts("MERGE", base2, t.latestVersion, Set.empty,
+      Some($"id".isin(1L, 180L)), readsTable = false)
+  }
+
+  test("small-source MERGE races an interior append under Serializable: both land") {
+    val path = tmp()
+    seedTable(path).setProperties(
+      Map("graft.isolationLevel" -> "Serializable"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the merge's 2 matchable key tuples take the In-list spelling, so
+    // the append at (A,100) — INSIDE the merge's (p,id) min/max box
+    // but not in its key set — must never draw a false conflict
+    val results = Await.result(Future.sequence(Seq(
+      Future {
+        try {
+          val src = Seq(("A", 1L, "m1"), ("A", 19L, "m19"))
+            .toDF("p", "id", "v")
+          GraftTable.load(spark, path).merge(src, Seq("p", "id")); 1
+        } catch { case _: CommitConflictException => 0 }
+      },
+      Future {
+        try { GraftTable.load(spark, path)
+          .append(Seq(("A", 100L, "mid")).toDF("p", "id", "v")); 1 }
+        catch { case _: CommitConflictException => 0 }
+      })), 300.seconds)
+    assert(results.sum === 2, "In-list-disjoint merge and append must both land")
+    val t = GraftTable.load(spark, path)
+    assert(t.snapshot().where($"p" === "A" && $"id" === 1L &&
+      $"v" === "m1").count() === 1L)
+    assert(t.snapshot().where($"p" === "A" && $"id" === 100L).count() === 1L)
+  }
+
   test("MERGE races a disjoint-key UPDATE end-to-end: both land") {
     val path = tmp()
     seedTable(path)
