@@ -2392,13 +2392,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           }.reduce(_ && _)), false)
         }
       }
-    val withFile = scanWithPos(filesAt(base), schema, dvAt(base), columnMapAt(base))
-      .withColumnRenamed("__fp", "__file")
-    // no broadcast hint: the planner (and AQE) picks the join — a
-    // corpus-sized source must not be forced through the driver
-    val hit = withFile.join(keyRows, keys, "left_semi")
-      .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-    val touched = matchHits(filesAt(base), hit)
+    // the touched-file probe needs only files that CAN hold a source
+    // key — the same envelope that scopes conflict detection scopes
+    // the probe scan, so a merge whose keys cluster into a few files
+    // reads those files, not the table (at 100 TB the probe is
+    // otherwise the dominant cost of every small merge)
+    val probeFiles = readCond match {
+      case Some(c) => candidatesAmong(c, readCommit(base), filesAt(base))
+      case None if !readsTable => Nil // empty read set: nothing matches
+      case _ => filesAt(base)
+    }
+    val hit = if (probeFiles.isEmpty) Set.empty[String] else {
+      val withFile = scanWithPos(probeFiles, schema, dvAt(base), columnMapAt(base))
+        .withColumnRenamed("__fp", "__file")
+      // no broadcast hint: the planner (and AQE) picks the join — a
+      // corpus-sized source must not be forced through the driver
+      withFile.join(keyRows, keys, "left_semi")
+        .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+    }
+    val touched = matchHits(probeFiles, hit)
     val tgtRows = if (touched.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else readFilesDvAware(touched, schema, dvAt(base), columnMapAt(base))
@@ -2543,7 +2555,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // and merge-on-read racers by the DV-set check
     try maybeAutoCompact(commitResolved("MERGE", base,
       touched.toSet, w.files, readCond, readsTable = readsTable, schema,
-      Map("numRewrittenFiles" -> touched.size.toLong) ++ idMetrics,
+      Map("numRewrittenFiles" -> touched.size.toLong,
+        "numProbedFiles" -> probeFiles.size.toLong) ++ idMetrics,
       collectStats(w.files),
       cdcFiles = Some(cdc), newPartValues = w.partValues,
       idHwBefore = if (identityColumn.isDefined) idHwBefore else -2L))

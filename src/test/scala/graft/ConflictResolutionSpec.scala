@@ -320,6 +320,35 @@ class ConflictResolutionSpec extends SparkSpec {
     assert(t.snapshot().where($"p" === "A" && $"id" === 100L).count() === 1L)
   }
 
+  test("MERGE probes only envelope-candidate files") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path,
+      spark.range(0, 800).select($"id", ($"id" * 1.0).as("x")))
+    t.clusterBy(8, "id") // 8 files with disjoint id ranges + stats
+    val total = t.snapshot().count()
+    // both keys live in the first file's range — the probe (and the
+    // rewrite) must touch 1 of 8 files, not scan the table
+    t.merge(Seq((5L, -1.0), (10L, -2.0)).toDF("id", "x"), Seq("id"))
+    val last = java.nio.file.Paths.get(path, "_graft_log",
+      f"v${t.latestVersion}%08d.json")
+    val json = Files.readString(last)
+    val probed = "\"numProbedFiles\":(\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toInt)
+    assert(probed.exists(p => p >= 1 && p < 8),
+      s"expected an envelope-pruned probe, got numProbedFiles=$probed")
+    assert(json.contains("\"numRewrittenFiles\":1"),
+      "keys in one file's range must rewrite exactly that file")
+    assert(t.snapshot().count() === total)
+    assert(t.snapshot().where($"id" === 5L).select("x").as[Double]
+      .head() === -1.0)
+    // an empty-source merge probes nothing and rewrites nothing
+    t.merge(Seq.empty[(Long, Double)].toDF("id", "x"), Seq("id"))
+    val empt = Files.readString(java.nio.file.Paths.get(path,
+      "_graft_log", f"v${t.latestVersion}%08d.json"))
+    assert(empt.contains("\"numProbedFiles\":0"))
+    assert(t.snapshot().count() === total)
+  }
+
   test("MERGE races a disjoint-key UPDATE end-to-end: both land") {
     val path = tmp()
     seedTable(path)
