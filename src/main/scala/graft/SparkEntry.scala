@@ -88,6 +88,7 @@ object SparkEntry {
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
     "tbl_delete_where" -> (TableOps.deleteWhere _),
+    "tbl_bloom_point" -> (TableOps.bloomPointDelete _),
     "tbl_partition_overwrite" -> (TableOps.partitionOverwrite _),
     "tbl_replace_where" -> (TableOps.replaceWhereScenario _),
     "tbl_delete_dv" -> (TableOps.deleteMorScenario _),
@@ -852,6 +853,9 @@ object SparkEntry {
     "tbl_delete_where" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)""".stripMargin,
+    "tbl_bloom_point" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey <> (SELECT min(o_orderkey) FROM orders)""".stripMargin,
     "tbl_partition_overwrite" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderstatus = 'P' THEN 0.0 ELSE o_totalprice END

@@ -69,6 +69,23 @@ object TableOps {
     t.snapshot()
   }
 
+  /** BLOOM-FILTER INDEX point lookup (`graft.bloom.columns`, Delta's
+    * bloom index analog): the scratch table's files all span the full
+    * o_orderkey range (hash-partitioned ingest), so min/max stats
+    * cannot prune a point key — the per-file bloom sidecars can, and
+    * the point DELETE's blast radius shrinks to the file(s) actually
+    * holding the key. The oracle checks the surviving rows;
+    * `BloomIndexSpec` asserts the candidate-file counts themselves.
+    */
+  def bloomPointDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.setProperties(Map("graft.bloom.columns" -> "o_orderkey"))
+    t.rebuildBloomIndex()
+    val minKey = t.snapshot().agg(min(col("o_orderkey"))).head.getLong(0)
+    t.delete(col("o_orderkey") === minKey)
+    t.snapshot()
+  }
+
   /** MERGE-ON-READ delete via DELETION VECTORS (Delta DV analog):
     * two accumulating `deleteMor` calls write (file, position)
     * tombstones — zero data files rewritten — and the snapshot

@@ -245,7 +245,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       else df.select(df.columns.map(c =>
         col(s"`$c`").as(cm.getOrElse(c, c))).toIndexedSeq: _*)
     val staging = root.resolve(s".staging-${UUID.randomUUID()}")
-    buckets match {
+    val written = buckets match {
       case Some((bcols, n)) =>
         // repartition(n, cols) IS Spark's bucket-id function
         // (pmod(murmur3(cols), n) — HashPartitioning's
@@ -263,7 +263,45 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         dup.write.partitionBy(pcols.map("__gp_" + _): _*).parquet(staging.toString)
         adoptPartitionedStaging(staging, pcols)
     }
+    writeBlooms(written.files)
+    written
   }
+
+  /** BLOOM FILTER INDEX declaration, from TBLPROPERTIES:
+    * `graft.bloom.columns` (comma-separated) opts columns into
+    * per-file bloom sidecars; `graft.bloom.bits` sizes them (set
+    * ≈10 bits per expected distinct key per file). Files written
+    * BEFORE the declaration have no sidecars (pruning stays
+    * conservative there) — [[rebuildBloomIndex]] backfills.
+    */
+  private def bloomColumns: Seq[String] =
+    (if (latestVersion < 0) None
+     else readCommit(latestVersion).properties.getOrElse(Map.empty)
+       .get("graft.bloom.columns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  private def bloomBits: Int =
+    properties.get("graft.bloom.bits").flatMap(s =>
+      scala.util.Try(s.toInt).toOption).filter(b => b >= 64 && b % 64 == 0)
+      .getOrElse(BloomIndex.defaultBits)
+
+  private def writeBlooms(relFiles: Seq[String]): Unit = {
+    val cols = bloomColumns
+    if (cols.isEmpty || relFiles.isEmpty) return
+    val cm = columnMapAt(latestVersion)
+    // the index is an optimization: a build failure (misdeclared
+    // column, unhashable type) must not fail the data write — the
+    // files simply stay sidecar-less and pruning stays conservative
+    try BloomIndex.write(spark, relFiles.map(abs),
+      cols.map(c => cm.getOrElse(c, c)), bloomBits)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Backfill bloom sidecars for every current file (after declaring
+    * `graft.bloom.columns` on an existing table, or adopting one).
+    */
+  def rebuildBloomIndex(): Unit = writeBlooms(currentFiles)
 
   /** Adopt a bucket-repartitioned staging dir: the writer's task
     * index (the `part-NNNNN` prefix) is the bucket id; adopted names
@@ -1921,8 +1959,22 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       // on a generation INPUT imply bounds on the partition value
       val derived = try derivedGenConds(condsPhys, pcols)
         catch { case _: Exception => Nil }
-      files.filter(f => (condsPhys ++ derived).forall(StatsPruning.keep(_,
-        stats.get(f), pv.get(f), pcols, spark)))
+      val kept = files.filter(f => (condsPhys ++ derived).forall(
+        StatsPruning.keep(_, stats.get(f), pv.get(f), pcols, spark)))
+      // sub-range precision for point predicates (= / IN) on declared
+      // bloom columns: min/max can't prune a point key out of files
+      // whose ranges all overlap; the per-file bloom sidecar can
+      val bloom = c.properties.getOrElse(Map.empty)
+        .get("graft.bloom.columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(n => cm.getOrElse(n, n)).toSet)
+        .getOrElse(Set.empty[String])
+      if (bloom.isEmpty) kept
+      else {
+        val keptAbs = BloomIndex.prune(condsPhys, bloom,
+          kept.map(abs)).toSet
+        kept.filter(f => keptAbs.contains(abs(f)))
+      }
     } catch { case _: Exception => files }
   }
 
@@ -2877,8 +2929,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val live: Set[String] = retained.flatMap(v => readCommit(v).files).toSet
     // a freshly CONVERTed table has no files/ dir until its first DML
     val dead = if (!Files.exists(filesDir)) Nil
-      else GraftTable.listPaths(filesDir)
-        .map(p => s"files/${p.getFileName}").filterNot(live)
+      else {
+        val names = GraftTable.listPaths(filesDir)
+          .map(_.getFileName.toString)
+        // bloom sidecars are never commit-referenced: one lives
+        // exactly as long as its data file does (an orphan from a
+        // partial failure is reclaimable immediately)
+        names.filterNot(_.endsWith(".bloom"))
+          .map(n => s"files/$n").filterNot(live) ++
+          names.filter(_.endsWith(".bloom"))
+            .filterNot(n => live.contains(s"files/${n.stripSuffix(".bloom")}"))
+            .map(n => s"files/$n")
+      }
     val cdcDir = root.resolve("cdc")
     val deadCdc = if (!Files.exists(cdcDir)) Nil else {
       val liveCdc: Set[String] =

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.GraftTable
+import org.apache.spark.sql.functions._
+
+/** Per-file bloom-filter index (`graft.bloom.columns`): sub-range
+  * point-lookup pruning that min/max stats cannot provide when every
+  * file's key range overlaps (unclustered ingest order).
+  */
+class BloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_bloom_").resolve("t").toString
+
+  /** ids 0..799 dealt round-robin into 8 files: every file spans
+    * [~0, ~799], so range stats keep all of them for any point key.
+    */
+  private def overlappingTable(path: String): GraftTable = {
+    val t = GraftTable.create(spark, path,
+      spark.range(0, 800).select($"id", ($"id" % 8).as("slot"),
+        ($"id" * 1.0).as("x")).repartition(8, $"slot").drop("slot"))
+    t.setProperties(Map("graft.bloom.columns" -> "id",
+      "graft.bloom.bits" -> "4096"))
+    t
+  }
+
+  test("point predicates prune below range resolution") {
+    val t = overlappingTable(tmp())
+    val all = t.snapshotInfo(t.latestVersion).files.size
+    assert(all >= 4, s"need several overlapping files, got $all")
+    // pre-index files: stats can't prune (ranges overlap), bloom absent
+    assert(t.candidateFiles($"id" === 500L).size === all,
+      "no sidecars yet — pruning must stay conservative")
+    t.rebuildBloomIndex()
+    val cand = t.candidateFiles($"id" === 500L)
+    assert(cand.size < all, s"bloom did not prune: ${cand.size} of $all")
+    assert(cand.nonEmpty, "the file holding id=500 must survive")
+    // IN-lists prune to the union of their members' files
+    val in = t.candidateFiles($"id".isin(500L, 501L))
+    assert(in.size < all && in.size >= cand.size)
+    // correctness through DML: the point DELETE lands exactly one row
+    t.delete($"id" === 500L)
+    assert(t.snapshot().count() === 799)
+    assert(t.snapshot().where($"id" === 500L).count() === 0)
+  }
+
+  test("writes build sidecars; vacuum reclaims them with their file") {
+    val path = tmp()
+    val t = overlappingTable(path)
+    t.rebuildBloomIndex()
+    // a fresh append builds its own sidecar at write time
+    t.append(Seq((9999L, 1.0)).toDF("id", "x"))
+    val appended = t.candidateFiles($"id" === 9999L)
+    assert(appended.size === 1,
+      s"write-time sidecar must isolate the appended file: $appended")
+    // rewriting everything retires the old files; vacuum must reclaim
+    // their sidecars too, and keep live files' sidecars
+    t.compact(2)
+    t.vacuum(1)
+    val onDisk = {
+      val d = java.nio.file.Paths.get(path, "files")
+      val s = java.nio.file.Files.list(d)
+      try {
+        val it = s.iterator()
+        val b = scala.collection.mutable.Buffer.empty[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.toSeq
+      } finally s.close()
+    }
+    val liveData = onDisk.filterNot(_.endsWith(".bloom")).toSet
+    onDisk.filter(_.endsWith(".bloom")).foreach { b =>
+      assert(liveData.contains(b.stripSuffix(".bloom")),
+        s"orphan sidecar survived vacuum: $b")
+    }
+    assert(t.snapshot().count() === 801)
+  }
+
+  test("string keys and missing columns stay correct") {
+    val t = GraftTable.create(spark, tmp(),
+      (0 until 400).map(i => (s"k$i", i)).toDF("k", "n").repartition(4))
+    t.setProperties(Map("graft.bloom.columns" -> "k, missing_col",
+      "graft.bloom.bits" -> "4096"))
+    t.rebuildBloomIndex()
+    val all = t.snapshotInfo(t.latestVersion).files.size
+    val cand = t.candidateFiles($"k" === "k123")
+    assert(cand.size < all && cand.nonEmpty)
+    t.update($"k" === "k123", Map("n" -> lit(-1)))
+    assert(t.snapshot().where($"n" === -1).count() === 1)
+    // a range predicate ignores the bloom (stats-only shapes)
+    assert(t.candidateFiles($"k" >= "k0").nonEmpty)
+  }
+}
