@@ -87,6 +87,7 @@ object SparkEntry {
     "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
+    "tbl_merge_sync" -> (TableOps.mergeSync _),
     "tbl_delete_where" -> (TableOps.deleteWhere _),
     "tbl_bloom_point" -> (TableOps.bloomPointDelete _),
     "tbl_partition_overwrite" -> (TableOps.partitionOverwrite _),
@@ -850,6 +851,26 @@ object SparkEntry {
         |SELECT * FROM src
         |UNION ALL
         |SELECT o.* FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey""".stripMargin,
+    // sync merge: matched rows take the source version, fresh source
+    // keys insert, unmatched 'O' rows downgrade priority, unmatched
+    // 'P' rows delete (the BY SOURCE clauses), 'F' strays survive
+    "tbl_merge_sync" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 500.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+        |  o.o_orderdate,
+        |  CASE WHEN o.o_orderstatus = 'O' THEN '5-LOW'
+        |       ELSE o.o_orderpriority END AS o_orderpriority
+        |FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey
+        |WHERE o.o_orderstatus <> 'P'""".stripMargin,
     "tbl_delete_where" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)""".stripMargin,

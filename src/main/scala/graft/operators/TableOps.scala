@@ -62,6 +62,33 @@ object TableOps {
     t.snapshot()
   }
 
+  /** MERGE sync (Delta's `WHEN NOT MATCHED BY SOURCE`, the form the
+    * reference's upsert at 01-Fraud-Delta.py:218-241 graduates into
+    * for SCD/sync pipelines): ONE statement upserts the source AND
+    * handles target rows gone from it — here 'O'-status strays get a
+    * priority downgrade, 'P'-status strays are deleted, 'F' strays
+    * stay (first-match-wins clause order). Blast radius stays
+    * file-granular; the conflict read set is whole-table (every row
+    * was consulted for unmatchedness).
+    */
+  def mergeSync(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val src = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .unionByName(orders.filter(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderstatus", lit("N")))
+    t.merge(src, Seq("o_orderkey"),
+      Seq(GraftTable.MatchedUpdate()),
+      Some(GraftTable.NotMatchedInsert()),
+      Seq(
+        GraftTable.BySourceUpdate(Some(col("o_orderstatus") === "O"),
+          Map("o_orderpriority" -> lit("5-LOW"))),
+        GraftTable.BySourceDelete(Some(col("o_orderstatus") === "P"))))
+    t.snapshot()
+  }
+
   /** DML DELETE WHERE — the GDPR scenario (01-Fraud-Delta.py:159). */
   def deleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
     val t = scratch(spark, sfDir)

@@ -678,8 +678,6 @@ object GraftSql {
   private def mergeInto(spark: SparkSession, m: MergeIntoTable): Unit = {
     val target = resolveTarget(spark, m.targetTable)
     val (srcDf0, srcQuals) = resolveSource(spark, m.sourceTable)
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported")
 
     // ON <attr> = <attr> [AND ...]: flatten the conjunction, classify
     // each equality's sides by qualifier; unqualified single-key
@@ -750,8 +748,43 @@ object GraftSql {
         case other => throw new IllegalArgumentException(
           s"at most one WHEN NOT MATCHED clause is supported, got ${other.size}")
       }
-    target.table.merge(srcDf, tgtKeys, matched, notMatched)
+    val bySource: Seq[GraftTable.NotMatchedBySourceClause] =
+      m.notMatchedBySourceActions.map {
+        case a: DeleteAction =>
+          GraftTable.BySourceDelete(
+            a.condition.map(rewriteBySource(_, target, srcQuals)))
+        case a: UpdateAction =>
+          GraftTable.BySourceUpdate(
+            a.condition.map(rewriteBySource(_, target, srcQuals)),
+            a.assignments.map(as => attrName(as.key) ->
+              rewriteBySource(as.value, target, srcQuals)).toMap)
+        case other => throw new IllegalArgumentException(
+          "unsupported WHEN NOT MATCHED BY SOURCE action: " +
+            s"$other (DELETE and UPDATE SET are supported; UPDATE SET * " +
+            "cannot exist — there is no source row)")
+      }
+    target.table.merge(srcDf, tgtKeys, matched, notMatched, bySource)
     refresh(spark, target)
+  }
+
+  /** Not-matched-by-source context: the clause fires for target rows
+    * with NO source match, so only TARGET columns are in scope —
+    * source-qualified references are refused loudly instead of
+    * resolving to null at runtime.
+    */
+  private def rewriteBySource(e: Expression, target: Target,
+      src: Set[String]): Column = {
+    e.foreach {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          src(a.nameParts.head.toLowerCase) &&
+          !target.quals(a.nameParts.head.toLowerCase) =>
+        throw new IllegalArgumentException(
+          "WHEN NOT MATCHED BY SOURCE cannot reference source columns " +
+            s"(${a.sql}): the clause fires for target rows with no " +
+            "source match")
+      case _ => ()
+    }
+    rewriteTarget(e, target)
   }
 
   /** DML invalidates the catalog's cached V1 relation — without this

@@ -2346,8 +2346,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   def merge(source: DataFrame, keys: Seq[String],
       matched0: Seq[GraftTable.MatchedClause],
-      notMatched0: Option[GraftTable.NotMatchedInsert]): Long = {
-    import GraftTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+      notMatched0: Option[GraftTable.NotMatchedInsert]): Long =
+    merge(source, keys, matched0, notMatched0, Nil)
+
+  /** Full MERGE including `WHEN NOT MATCHED BY SOURCE` clauses: target
+    * rows no source key matches can be DELETEd or UPDATEd in the same
+    * statement (sync/SCD pipelines — "remove rows gone from the
+    * source"). BY SOURCE conditions and SET values see the TARGET row
+    * bare; there is no source row in scope. Because deciding
+    * "unmatched" consults every target row, a merge with BY SOURCE
+    * clauses carries WHOLE-TABLE read-set conflict semantics
+    * (a concurrent append can no longer commute with it), while the
+    * rewrite itself stays file-granular: only files holding a matched
+    * key or a row a BY SOURCE clause accepts are rewritten.
+    */
+  def merge(source: DataFrame, keys: Seq[String],
+      matched0: Seq[GraftTable.MatchedClause],
+      notMatched0: Option[GraftTable.NotMatchedInsert],
+      bySource0: Seq[GraftTable.NotMatchedBySourceClause]): Long = {
+    import GraftTable.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate, NotMatchedInsert}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val base = latestVersion
     val schema = schemaAt(base)
@@ -2373,6 +2390,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val notMatched = notMatched0.map {
       case NotMatchedInsert(c, Some(m)) =>
         NotMatchedInsert(c, Some(resolveAssignments(schema, m, "MERGE INSERT")))
+      case other => other
+    }
+    val bySource = bySource0.map {
+      case BySourceUpdate(c, m) =>
+        require(m.nonEmpty,
+          "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs SET assignments " +
+            "(there is no source row, so SET * does not exist)")
+        BySourceUpdate(c,
+          resolveAssignments(schema, m, "MERGE BY SOURCE UPDATE SET"))
       case other => other
     }
     // the source is consulted by the dup-key check, the touched-file
@@ -2449,18 +2475,46 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // the probe scan, so a merge whose keys cluster into a few files
     // reads those files, not the table (at 100 TB the probe is
     // otherwise the dominant cost of every small merge)
-    val probeFiles = readCond match {
-      case Some(c) => candidatesAmong(c, readCommit(base), filesAt(base))
-      case None if !readsTable => Nil // empty read set: nothing matches
-      case _ => filesAt(base)
+    // BY SOURCE clauses widen the probe: any file may hold an
+    // unmatched row a clause accepts. Conditional clauses still
+    // stats-prune (a file provably free of rows matching EVERY
+    // BY SOURCE condition and free of source keys needs no probe);
+    // an unconditional clause means every file with any unmatched
+    // row is in play — probe them all.
+    val bySourceConds = bySource.map {
+      case BySourceUpdate(c, _) => c
+      case BySourceDelete(c) => c
     }
+    val probeFiles =
+      if (bySource.nonEmpty) {
+        if (bySourceConds.exists(_.isEmpty)) filesAt(base)
+        else {
+          val any = bySourceConds.flatten.reduce(_ || _)
+          val pred = readCond.map(_ || any).getOrElse(any)
+          candidatesAmong(pred, readCommit(base), filesAt(base))
+        }
+      } else readCond match {
+        case Some(c) => candidatesAmong(c, readCommit(base), filesAt(base))
+        case None if !readsTable => Nil // empty read set: nothing matches
+        case _ => filesAt(base)
+      }
     val hit = if (probeFiles.isEmpty) Set.empty[String] else {
       val withFile = scanWithPos(probeFiles, schema, dvAt(base), columnMapAt(base))
         .withColumnRenamed("__fp", "__file")
       // no broadcast hint: the planner (and AQE) picks the join — a
       // corpus-sized source must not be forced through the driver
-      withFile.join(keyRows, keys, "left_semi")
-        .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+      val matchedHits = withFile.join(keyRows, keys, "left_semi")
+        .select(col("__file"))
+      // BY SOURCE blast radius: files holding an UNMATCHED row some
+      // clause accepts (null-key target rows never equi-match, so the
+      // anti-join correctly keeps them as unmatched)
+      val allHits = if (bySource.isEmpty) matchedHits else {
+        val any = bySourceConds.map(_.getOrElse(lit(true))).reduce(_ || _)
+        matchedHits.unionByName(
+          withFile.join(keyRows, keys, "left_anti").where(any)
+            .select(col("__file")))
+      }
+      allHits.distinct().collect().map(_.getString(0)).toSet
     }
     val touched = matchHits(probeFiles, hit)
     val tgtRows = if (touched.isEmpty)
@@ -2475,16 +2529,35 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       keys.zipWithIndex.map { case (k, i) => col(k) === col(s"__sk$i") }
         .reduce(_ && _), "left")
     val isMatched = col("src").isNotNull
-    val action = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
-      case (acc, (cl, i)) =>
+    // one action index space: matched clauses first, BY SOURCE
+    // clauses after (offset by matched.length) — declaration order,
+    // first condition that holds wins, within each branch
+    val action = {
+      val m = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+        case (acc, (cl, i)) =>
+          val cond = cl match {
+            case MatchedUpdate(c, _) => c
+            case MatchedDelete(c) => c
+          }
+          acc.when(isMatched && cond.getOrElse(lit(true)), lit(i))
+      }
+      bySource.zipWithIndex.foldLeft(m) { case (acc, (cl, j)) =>
         val cond = cl match {
-          case MatchedUpdate(c, _) => c
-          case MatchedDelete(c) => c
+          case BySourceUpdate(c, _) => c
+          case BySourceDelete(c) => c
         }
-        acc.when(isMatched && cond.getOrElse(lit(true)), lit(i))
-    }.otherwise(lit(-1))
-    val deleteIdx = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => i }
-    val updateIdx = matched.zipWithIndex.collect { case (MatchedUpdate(_, _), i) => i }
+        acc.when(!isMatched && cond.getOrElse(lit(true)),
+          lit(matched.length + j))
+      }.otherwise(lit(-1))
+    }
+    val deleteIdx =
+      matched.zipWithIndex.collect { case (MatchedDelete(_), i) => i } ++
+      bySource.zipWithIndex.collect { case (BySourceDelete(_), j) =>
+        matched.length + j }
+    val updateIdx =
+      matched.zipWithIndex.collect { case (MatchedUpdate(_, _), i) => i } ++
+      bySource.zipWithIndex.collect { case (BySourceUpdate(_, _), j) =>
+        matched.length + j }
     // the join is recomputed by the data write AND the CDC branches —
     // persist the blast radius once instead of re-shuffling per branch
     val tagged = joined.withColumn("__action", action)
@@ -2511,6 +2584,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           case Some(m) => m.getOrElse(f, col(f))
         }
         (i, v)
+      } ++ bySource.zipWithIndex.collect {
+        // BY SOURCE SET values are target-context (src is null here)
+        case (BySourceUpdate(_, m), j) =>
+          (matched.length + j,
+            m.getOrElse(f, col(f)).cast(schema(f).dataType))
       }
       updates.foldLeft(when(lit(false), col(f))) { case (acc, (i, v)) =>
         acc.when(col("__action") === i, v)
@@ -2528,6 +2606,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         case (MatchedUpdate(_, None), i) if !srcHas(c) => i
         case (MatchedUpdate(_, Some(m)), i)
           if !m.keys.exists(_.equalsIgnoreCase(c)) => i
+      } ++ bySource.zipWithIndex.collect {
+        case (BySourceUpdate(_, m), j)
+          if !m.keys.exists(_.equalsIgnoreCase(c)) => matched.length + j
       }
       if (idx.isEmpty) d
       else d.withColumn(c,
@@ -2604,9 +2685,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // concurrent adds provably outside it commute; rows this merge
     // read AND a racer rewrote are caught by the write-write overlap
     // on `touched` (every file holding a matched key is rewritten),
-    // and merge-on-read racers by the DV-set check
+    // and merge-on-read racers by the DV-set check. BY SOURCE clauses
+    // read EVERY target row (to decide unmatchedness), so they carry
+    // whole-table read semantics — a concurrent append conflicts
+    // instead of commuting (its rows might have been deleted/updated
+    // had they been present at read time).
     try maybeAutoCompact(commitResolved("MERGE", base,
-      touched.toSet, w.files, readCond, readsTable = readsTable, schema,
+      touched.toSet, w.files,
+      if (bySource.isEmpty) readCond else None,
+      readsTable = readsTable || bySource.nonEmpty, schema,
       Map("numRewrittenFiles" -> touched.size.toLong,
         "numProbedFiles" -> probeFiles.size.toLong) ++ idMetrics,
       collectStats(w.files),
@@ -3354,6 +3441,22 @@ object GraftTable {
     */
   case class NotMatchedInsert(condition: Option[Column] = None,
       values: Option[Map[String, Column]] = None)
+
+  /** WHEN NOT MATCHED BY SOURCE clauses (Delta's sync/SCD surface,
+    * the form 01-Fraud-Delta.py:218-241's upsert graduates into):
+    * fire for TARGET rows whose key tuple equals NO source key tuple.
+    * There is no source row in scope, so conditions and SET values
+    * see target columns only (bare). Declaration order,
+    * first-condition-wins, like the matched clauses.
+    */
+  sealed trait NotMatchedBySourceClause
+  /** UPDATE SET over target columns — no SET * spelling exists (there
+    * is no source row to take values from), so the map is required.
+    */
+  case class BySourceUpdate(condition: Option[Column] = None,
+      set: Map[String, Column] = Map.empty) extends NotMatchedBySourceClause
+  case class BySourceDelete(condition: Option[Column] = None)
+    extends NotMatchedBySourceClause
 
   /** Flatten an AND tree into its conjuncts (Catalyst ships this as
     * PredicateHelper.splitConjunctivePredicates, but protected).

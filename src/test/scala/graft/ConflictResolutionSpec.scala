@@ -379,6 +379,90 @@ class ConflictResolutionSpec extends SparkSpec {
     assert(t.snapshot().count() === 8 * 20)
   }
 
+  test("BY SOURCE merge reads the whole table and follows the isolation matrix") {
+    import graft.tables.GraftTable.{BySourceDelete, MatchedUpdate, NotMatchedInsert}
+    val path = tmp()
+    seedTable(path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // WriteSerializable (default): a blind append orders AFTER the
+    // whole-table-reading merge — both land in every race outcome, and
+    // the appended row (unmatched by the source!) must SURVIVE the
+    // BY SOURCE DELETE: the merge never read it, so it cannot delete
+    // it. A merge that wrongly kept its key-envelope read set would
+    // treat the append as commutable and silently delete the fresh
+    // row on re-resolution.
+    val results = Await.result(Future.sequence(Seq(
+      Future {
+        try {
+          val src = Seq(("A", 1L, "m1"), ("A", 2L, "m2")).toDF("p", "id", "v")
+          GraftTable.load(spark, path).merge(src, Seq("p", "id"),
+            Seq(MatchedUpdate()), Some(NotMatchedInsert()),
+            Seq(BySourceDelete(Some($"p" === "H")))); 1
+        } catch { case _: CommitConflictException => 0 }
+      },
+      Future {
+        try { GraftTable.load(spark, path)
+          .append(Seq(("H", 500L, "fresh")).toDF("p", "id", "v")); 1 }
+        catch { case _: CommitConflictException => 0 }
+      })), 300.seconds)
+    assert(results.sum === 2,
+      "under WriteSerializable both the BY SOURCE merge and the blind append land")
+    val t = GraftTable.load(spark, path)
+    assert(t.snapshot().where($"p" === "H" && $"id" === 500L).count() === 1,
+      "the concurrently appended row must survive the BY SOURCE DELETE")
+    assert(t.snapshot().where($"p" === "H" && $"id" <= 20L).count() === 0,
+      "pre-merge unmatched H rows are deleted")
+    // Serializable: the same lost race IS a conflict — the appended
+    // rows were not consulted for unmatchedness, so no serial order
+    // exists (the conflict posture the merge commits with:
+    // readsTable=true, no predicate)
+    t.setProperties(Map("graft.isolationLevel" -> "Serializable"))
+    val base = t.latestVersion
+    t.append(Seq(("G", 501L, "late")).toDF("p", "id", "v"))
+    intercept[CommitConflictException] {
+      t.checkDmlConflicts("MERGE", base, t.latestVersion, Set.empty,
+        None, readsTable = true)
+    }
+  }
+
+  test("BY SOURCE probe: unconditional clauses probe every file, conditional ones prune") {
+    import graft.tables.GraftTable.{BySourceDelete, MatchedUpdate}
+    val path = tmp()
+    val t = GraftTable.create(spark, path,
+      spark.range(0, 800).select($"id", ($"id" * 1.0).as("x")))
+    t.clusterBy(8, "id") // 8 files with disjoint id ranges + stats
+    def probed(): Int = {
+      val json = Files.readString(java.nio.file.Paths.get(path,
+        "_graft_log", f"v${t.latestVersion}%08d.json"))
+      "\"numProbedFiles\":(\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(-1)
+    }
+    // an unconditional BY SOURCE DELETE must consult every file even
+    // for a 1-key source (any file may hold an unmatched row)...
+    t.merge(Seq((5L, -1.0)).toDF("id", "x"), Seq("id"),
+      Seq(MatchedUpdate()), None, Seq(BySourceDelete(None)))
+    assert(probed() === 8, s"unconditional BY SOURCE must probe all files, got ${probed()}")
+    assert(t.snapshot().count() === 1, "everything but the matched key deleted")
+    // ...while a stats-refutable condition prunes the probe back down
+    val t2dir = tmp()
+    val t2 = GraftTable.create(spark, t2dir,
+      spark.range(0, 800).select($"id", ($"id" * 1.0).as("x")))
+    t2.clusterBy(8, "id")
+    t2.merge(Seq((5L, -1.0)).toDF("id", "x"), Seq("id"),
+      Seq(MatchedUpdate()), None,
+      Seq(BySourceDelete(Some($"id" >= 700L))))
+    val json2 = Files.readString(java.nio.file.Paths.get(t2dir,
+      "_graft_log", f"v${t2.latestVersion}%08d.json"))
+    val p2 = "\"numProbedFiles\":(\\d+)".r.findFirstMatchIn(json2)
+      .map(_.group(1).toInt).getOrElse(-1)
+    assert(p2 >= 1 && p2 <= 3,
+      s"conditional BY SOURCE should stats-prune the probe, got $p2 of 8")
+    assert(t2.snapshot().count() === 700)
+    assert(t2.snapshot().where($"id" === 5L).select("x").as[Double].head() === -1.0)
+  }
+
   test("DML racing DML on the same partition never loses an update") {
     // the overlap either fail-fasts or serializes — both racers
     // landing must produce the serial result, never a lost update

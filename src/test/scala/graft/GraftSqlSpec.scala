@@ -97,6 +97,75 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_cmerge")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE syncs to the source") {
+    val (t, _) = registered("gs_sync")
+    try {
+      val src = Tables.load(spark, sf, "orders")
+        .where($"o_orderkey" % 4 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 7.0)
+      src.createOrReplaceTempView("gs_sync_src")
+      GraftSql.sql(spark,
+        """MERGE INTO gs_sync t USING gs_sync_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      // full sync: the table now IS the source
+      val snap = t.snapshot()
+      assert(snap.count() === src.count())
+      assert(snap.exceptAll(src).count() === 0)
+      assert(src.exceptAll(snap).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS gs_sync")
+  }
+
+  test("conditional BY SOURCE UPDATE and DELETE fire first-match-wins") {
+    val (t, _) = registered("gs_syncc")
+    try {
+      val before = t.snapshot().persist()
+      before.count()
+      val src = Tables.load(spark, sf, "orders")
+        .where($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", $"o_totalprice".as("p"))
+      src.createOrReplaceTempView("gs_syncc_src")
+      GraftSql.sql(spark,
+        """MERGE INTO gs_syncc t USING gs_syncc_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p + 2.0
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O'
+          |  THEN UPDATE SET o_orderpriority = '5-LOW'
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P' THEN DELETE""".stripMargin)
+      val after = t.snapshot()
+      val unmatched = before.join(src, Seq("o_orderkey"), "left_anti")
+      val expect = before.join(src, "o_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          ($"p" + 2.0).as("o_totalprice"), $"o_orderdate", $"o_orderpriority")
+        .unionByName(unmatched.where($"o_orderstatus" === "O")
+          .withColumn("o_orderpriority", lit("5-LOW")))
+        .unionByName(unmatched.where($"o_orderstatus" =!= "O" &&
+          $"o_orderstatus" =!= "P"))
+      assert(after.count() === expect.count())
+      assert(after.exceptAll(expect).count() === 0)
+      before.unpersist()
+    } finally spark.sql("DROP TABLE IF EXISTS gs_syncc")
+  }
+
+  test("BY SOURCE clauses cannot reference source columns") {
+    val (t, _) = registered("gs_syncref")
+    try {
+      Tables.load(spark, sf, "orders").limit(10)
+        .createOrReplaceTempView("gs_syncref_src")
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          """MERGE INTO gs_syncref t USING gs_syncref_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN NOT MATCHED BY SOURCE AND s.o_custkey > 0 THEN DELETE""".stripMargin)
+      }
+      assert(e.getMessage.contains("cannot reference source columns"))
+      // nothing committed
+      assert(readOp(t, t.latestVersion) === "CREATE")
+    } finally spark.sql("DROP TABLE IF EXISTS gs_syncref")
+  }
+
   test("MERGE conditional INSERT only admits accepted source rows") {
     val (t, _) = registered("gs_imerge")
     try {
