@@ -47,10 +47,13 @@ private[tables] object BloomIndex {
       catch { case _: java.net.URISyntaxException => p }
     else p
 
-  /** Build sidecars for `filesAbs` over physical columns `cols`:
-    * one job — explode each row into its k bucket ids, OR the bucket
-    * bits into 64-bit words per (file, word), assemble driver-side.
-    * Null values set no bits (null never equi-matches).
+  /** Build sidecars for `filesAbs` over physical columns `cols` in
+    * ONE Spark job for every column: each row explodes into its
+    * (column, bucket) pairs, bucket bits OR-fold into 64-bit words
+    * per (file, column, word), and the sorted result STREAMS to the
+    * driver one partition at a time — driver memory is one file's
+    * filters (~cols × mBits/8 bytes), not the whole table's. Null
+    * values set no bits (null never equi-matches).
     */
   def write(spark: SparkSession, filesAbs: Seq[String],
       cols: Seq[String], mBits: Int): Unit = {
@@ -60,69 +63,102 @@ private[tables] object BloomIndex {
     // typo'd) builds no filter — selecting it would fail analysis
     val use = cols.filter(raw.columns.contains)
     if (use.isEmpty) return
-    val df = raw.select(col("_metadata.file_path").as("__f") +:
-      use.map(c => col(s"`$c`")): _*)
-    val byFile = scala.collection.mutable.Map
-      .empty[String, scala.collection.mutable.Map[String, Array[Long]]]
-    use.foreach { c =>
-      val buckets = seeds.map(s =>
-        pmod(xxhash64(lit(s), col(s"`$c`")), lit(mBits.toLong)))
-      val words = df.where(col(s"`$c`").isNotNull)
-        .select(col("__f"), explode(array(buckets: _*)).as("b"))
-        .select(col("__f"), (col("b") / 64).cast("int").as("w"),
-          expr("shiftleft(1L, int(b % 64))").as("bit"))
-        .groupBy(col("__f"), col("w"))
-        .agg(expr("bit_or(bit)").as("bits"))
-        .collect()
-      words.foreach { r =>
-        val f = plain(r.getString(0))
-        val arr = byFile.getOrElseUpdate(f,
-            scala.collection.mutable.Map.empty)
-          .getOrElseUpdate(c, new Array[Long](mBits / 64))
-        arr(r.getInt(1)) |= r.getLong(2)
-      }
-    }
+    val pairs = array(use.flatMap { c =>
+      seeds.map(s => when(col(s"`$c`").isNotNull,
+        struct(lit(c).as("c"),
+          pmod(xxhash64(lit(s), col(s"`$c`")), lit(mBits.toLong)).as("b"))))
+    }: _*)
+    val words = raw
+      .select(col("_metadata.file_path").as("__f"), explode(pairs).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("__f"), col("p.c").as("c"),
+        (col("p.b") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, int(p.b % 64))").as("bit"))
+      .groupBy(col("__f"), col("c"), col("w"))
+      .agg(expr("bit_or(bit)").as("bits"))
     val wanted = filesAbs.map(plain).toSet
-    byFile.foreach { case (f, colsMap) =>
-      if (wanted.contains(f)) {
-        val body = colsMap.map { case (c, arr) =>
-          "\"" + c + "\":\"" + arr.map(l => f"$l%016x").mkString + "\""
-        }.mkString(",")
-        Files.writeString(sidecar(f),
-          s"""{"bits":$mBits,"cols":{$body}}""")
-        cache.remove(f) // a rebuild replaces any memoized parse
+    // global sort + toLocalIterator: rows arrive grouped by file, so
+    // sidecars assemble and flush one file at a time
+    val it = words.orderBy("__f", "c", "w").toLocalIterator()
+    var curFile: String = null
+    val colsMap = scala.collection.mutable.Map.empty[String, Array[Long]]
+    def flush(): Unit =
+      if (curFile != null && wanted.contains(curFile)) {
+        writeSidecar(curFile, mBits, colsMap)
+        cache.remove(curFile) // a rebuild replaces any memoized parse
       }
+    while (it.hasNext) {
+      val r = it.next()
+      val f = plain(r.getString(0))
+      if (f != curFile) { flush(); curFile = f; colsMap.clear() }
+      val arr = colsMap.getOrElseUpdate(r.getString(1),
+        new Array[Long](mBits / 64))
+      arr(r.getInt(2)) |= r.getLong(3)
     }
+    flush()
+  }
+
+  /** Atomic sidecar publish (same tmp + ATOMIC_MOVE pattern as the
+    * retention rollup writer): a racing reader can never observe a
+    * truncated filter, and a crash mid-write leaves only a .tmp.
+    */
+  private def writeSidecar(fileAbs: String, mBits: Int,
+      cols: scala.collection.Map[String, Array[Long]]): Unit = {
+    val body = cols.map { case (c, arr) =>
+      "\"" + c + "\":\"" + arr.map(l => f"$l%016x").mkString + "\""
+    }.mkString(",")
+    val target = sidecar(fileAbs)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, s"""{"bits":$mBits,"cols":{$body}}""")
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   // sidecars are immutable once written (data files never change);
-  // memoize parses so repeated DML planning re-reads nothing. A
-  // MISSING sidecar is never memoized — an index built later
-  // (rebuildBloomIndex, a property declared mid-life) must become
-  // visible to the session that already probed and found nothing.
+  // memoize SUCCESSFUL parses so repeated DML planning re-reads
+  // nothing. Neither a missing sidecar nor a failed parse is ever
+  // memoized: an index built later (rebuildBloomIndex, a property
+  // declared mid-life) must become visible to a session that already
+  // probed, and a torn read during a concurrent rebuild must not
+  // silently disable pruning for the rest of the session — only the
+  // immutable success is safe to cache.
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[(Int, Map[String, Array[Long]])]]()
+    String, (Int, Map[String, Array[Long]])]()
+
+  /** Bounded-growth guard: drop ~1/8 of entries (arbitrary subset)
+    * instead of clear() — a full clear forces a thundering-herd
+    * re-parse exactly on the largest tables where the cache matters.
+    */
+  private def evictSome(): Unit = {
+    val it = cache.keySet.iterator()
+    var n = cache.size / 8 + 1
+    while (n > 0 && it.hasNext) { it.next(); it.remove(); n -= 1 }
+  }
 
   private def load(dataFileAbs: String)
       : Option[(Int, Map[String, Array[Long]])] = {
-    if (cache.size > 100000) cache.clear() // unbounded-growth guard
+    val hit = cache.get(dataFileAbs)
+    if (hit != null) return Some(hit)
     val p = sidecar(dataFileAbs)
     if (!Files.exists(p)) return None
-    cache.computeIfAbsent(dataFileAbs, { _ =>
-      try {
-        val s = Files.readString(p)
-        """"bits":(\d+)""".r.findFirstMatchIn(s)
-          .map(_.group(1).toInt).flatMap { bits =>
-            val cols = """"([^"]+)":"([0-9a-f]+)"""".r.findAllMatchIn(s)
-              .filter(_.group(1) != "bits")
-              .map(m => m.group(1) -> m.group(2).grouped(16)
-                .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
-              .toMap
-            if (cols.values.exists(_.length != bits / 64)) None
-            else Some((bits, cols))
-          }
-      } catch { case scala.util.control.NonFatal(_) => None }
-    })
+    val parsed = try {
+      val s = Files.readString(p)
+      """"bits":(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).flatMap { bits =>
+          val cols = """"([^"]+)":"([0-9a-f]+)"""".r.findAllMatchIn(s)
+            .filter(_.group(1) != "bits")
+            .map(m => m.group(1) -> m.group(2).grouped(16)
+              .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
+            .toMap
+          if (cols.values.exists(_.length != bits / 64)) None
+          else Some((bits, cols))
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    parsed.foreach { v =>
+      if (cache.size > 100000) evictSome()
+      cache.put(dataFileAbs, v)
+    }
+    parsed
   }
 
   /** Bucket ids of a pushed literal under the write-side hash — the

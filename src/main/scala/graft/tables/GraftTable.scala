@@ -767,6 +767,20 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   private def sessionTz: String =
     spark.sessionState.conf.sessionLocalTimeZone
 
+  /** Zone equality by RULES, not spelling: 'UTC' vs 'Etc/UTC' vs
+    * '+00:00', or 'Asia/Kolkata' vs 'Asia/Calcutta', are the same
+    * clock — a raw string compare would refuse writes or silently
+    * stand down derivation between semantically identical sessions.
+    * The recorded string in the commit log stays as written;
+    * unparseable ids fall back to exact-string equality.
+    */
+  private def sameZone(a: String, b: String): Boolean =
+    a == b || (try {
+      val za = java.time.ZoneId.of(a).normalized()
+      val zb = java.time.ZoneId.of(b).normalized()
+      za == zb || za.getRules == zb.getRules
+    } catch { case _: Exception => false })
+
   /** Generated columns whose expression references a TIMESTAMP
     * (instant) input — the tz-dependent ones. */
   private def tzDependentGens: Seq[String] = {
@@ -785,7 +799,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private def enforceWriterTz(): Unit =
     writerTimeZone.foreach { tz =>
-      if (tz != sessionTz) {
+      if (!sameZone(tz, sessionTz)) {
         val dep = tzDependentGens
         if (dep.nonEmpty) throw new IllegalStateException(
           s"generated column(s) ${dep.mkString(", ")} over TIMESTAMP " +
@@ -1854,7 +1868,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .find(_.name.equalsIgnoreCase(x))
       .exists(f => f.dataType == DateType || f.dataType == TimestampNTZType ||
         (f.dataType == org.apache.spark.sql.types.TimestampType &&
-          writerTimeZone.contains(sessionTz)))
+          writerTimeZone.exists(sameZone(_, sessionTz))))
     val gens = generatedColumns.toSeq.collect {
       case (c, g) if pcols.contains(c) =>
         GraftTable.monotoneInput(g).filter(temporal).map(x => (c, g, x))

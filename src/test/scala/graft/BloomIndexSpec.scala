@@ -47,6 +47,37 @@ class BloomIndexSpec extends SparkSpec {
     assert(t.snapshot().where($"id" === 500L).count() === 0)
   }
 
+  test("a damaged sidecar degrades conservatively and is NOT memoized") {
+    val path = tmp()
+    val t = overlappingTable(path)
+    t.rebuildBloomIndex()
+    val all = t.snapshotInfo(t.latestVersion).files.size
+    // corrupt every sidecar in place (simulates a torn read window)
+    val dir = java.nio.file.Paths.get(path, "files")
+    val sidecars = {
+      val s = Files.list(dir)
+      try {
+        val b = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+        val it = s.iterator()
+        while (it.hasNext) { val p = it.next()
+          if (p.toString.endsWith(".bloom")) b += p }
+        b.toSeq
+      } finally s.close()
+    }
+    assert(sidecars.nonEmpty)
+    val saved = sidecars.map(p => p -> Files.readAllBytes(p))
+    saved.foreach { case (p, _) => Files.writeString(p, "{torn") }
+    // damaged: every file answers "may contain" — conservative
+    assert(t.candidateFiles($"id" === 500L).size === all,
+      "damaged sidecars must keep, never drop")
+    // restore the bytes OUT OF BAND (another session's rebuild): the
+    // failed parses must not have been cached, so pruning resumes
+    // without any API call invalidating a cache entry
+    saved.foreach { case (p, b) => Files.write(p, b) }
+    assert(t.candidateFiles($"id" === 500L).size < all,
+      "a failed parse was memoized — pruning stayed disabled")
+  }
+
   test("writes build sidecars; vacuum reclaims them with their file") {
     val path = tmp()
     val t = overlappingTable(path)

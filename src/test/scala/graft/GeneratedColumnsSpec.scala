@@ -321,6 +321,34 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(t.snapshot().count() === orders.where(!cond).count())
   }
 
+  test("equivalent zone spellings are the same writer zone") {
+    // the recorded zone is the pinned session zone ('UTC'); 'Etc/UTC'
+    // names the same rules — the write must land and derivation stay
+    // on (a raw string compare refused both)
+    val ti = GraftTable.create(spark, tmp(),
+      Seq(("2020-12-31 20:00:00", 1L), ("2021-06-01 12:00:00", 2L))
+        .toDF("s", "v").select($"s".cast("timestamp").as("ts"), $"v"),
+      partitionBy = Seq("y"),
+      generated = Map("y" -> "year(ts)"))
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+      ti.append(Seq(("2022-03-01 08:00:00", 3L)).toDF("s", "v")
+        .select($"s".cast("timestamp").as("ts"), $"v"))
+      assert(ti.snapshot().where($"y" === 2022).count() === 1)
+      assert(ti.candidateFiles(
+        $"ts" >= lit("2022-01-01 00:00:00").cast("timestamp")).size <
+        ti.snapshotInfo(ti.latestVersion).files.size,
+        "an equivalent zone spelling must keep derivation on")
+      // a genuinely different zone still refuses
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      intercept[IllegalStateException] {
+        ti.append(Seq(("2023-03-01 08:00:00", 4L)).toDF("s", "v")
+          .select($"s".cast("timestamp").as("ts"), $"v"))
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+  }
+
   test("shallow clone carries generation spec and identity high water") {
     val src = tmp()
     val t = GraftTable.create(spark, src,
