@@ -119,9 +119,13 @@ object TextAnalysis {
     * cluster sizes (no RNG, no global sort). md5-residue spelling so
     * the oracle replicates it exactly.
     */
-  def deterministicSplit(spark: SparkSession, sfDir: String): DataFrame = {
+  def deterministicSplit(spark: SparkSession, sfDir: String): DataFrame =
+    deterministicSplitOf(Tables.load(spark, sfDir, "documents"))
+
+  /** Split assignment over any frame with a `doc_id` column. */
+  def deterministicSplitOf(docs: DataFrame): DataFrame = {
     val bucket = Tables.md5Residue(col("doc_id").cast("string")) % 100
-    Tables.load(spark, sfDir, "documents").select(
+    docs.select(
       col("doc_id"), bucket.as("bucket"),
       when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))

@@ -372,6 +372,42 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.toSet === uncapped.filter(p => p._1 == 0L && p._2 == 1L).toSet)
   }
 
+  test("decontamination rides any pair source: exact, capped, minhash agree") {
+    // the boilerplate corpus from the df-cap test, with enough docs
+    // that the deterministic split scatters them across train/val/test;
+    // the near-dup pairs are (i, i+1000) for i < 25 — same body, one
+    // token differs — and every doc shares the hot boilerplate banner
+    // every doc carries the hot banner; each PAIR (100+i, 1100+i)
+    // shares a fully distinct 8-token body (cool shingles, df=2), so
+    // cross-pair overlap is banner-only (J≈0.3 < τ) while true pairs
+    // score ≈0.94
+    val bp = "all rights reserved contact us for terms of service"
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, s"filler$i one$i two$i three$i four$i five$i six$i $bp")
+    } ++ (0 until 25).flatMap { i =>
+      val body = s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+      Seq((100L + i, s"$body $bp"),
+          (1100L + i, s"$body $bp extra"))
+    }).toDF("doc_id", "text")
+    val splits = TextAnalysis.deterministicSplitOf(docs)
+    def leaks(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.crossSplitLeaksOf(pairs, splits)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = leaks(Dedup.ngramJaccardOf(docs, minJaccard = 0.5))
+    assert(exact.nonEmpty, "the corpus must produce cross-split leaks")
+    // df-cap excludes the banner's hot shingles from candidate
+    // generation; the leak set is identical (rescore is exact)
+    val capped = leaks(Dedup.ngramJaccardOf(docs, minJaccard = 0.5,
+      maxShingleDf = 30))
+    assert(capped === exact, s"capped lost ${(exact -- capped).size}, " +
+      s"invented ${(capped -- exact).size}")
+    // the banded-LSH pair source finds the same leaks (64 perms over
+    // near-identical docs: candidate recall is effectively certain)
+    val mh = leaks(Dedup.minhashLshOf(docs, minJaccard = 0.5))
+    assert(mh === exact, s"minhash lost ${(exact -- mh).size}, " +
+      s"invented ${(mh -- exact).size}")
+  }
+
   test("connected components converges in O(log n) rounds on a chain") {
     // a 1000-node path is the star-contraction worst case the
     // diameter-bound algorithm choked on: 999 propagation rounds
