@@ -63,6 +63,12 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*""".r
   private val ShallowCloneVersion =
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s+LOCATION\s+'([^']+)'\s*""".r
+  // DEEP CLONE: self-contained copy — survives source VACUUM, DML
+  // never crosses (plain `CLONE` = Delta's default, which is deep)
+  private val DeepClone =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:DEEP\s+)?CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*""".r
+  private val DeepCloneVersion =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:DEEP\s+)?CLONE\s+([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s+LOCATION\s+'([^']+)'\s*""".r
   // Delta's guarded selective overwrite (`INSERT INTO t REPLACE WHERE
   // cond SELECT ...`): delete the cond slice, insert the query's rows
   // (each validated against cond), one atomic commit
@@ -163,6 +169,18 @@ object GraftSql {
       // zero-copy writable fork + catalog registration in one step
       val src = tableByName(spark, srcIdent)
       GraftTable.shallowClone(spark, src.root.toString, location)
+      spark.sql(s"CREATE TABLE $newIdent USING `graft-table` " +
+        s"OPTIONS (path '$location')")
+      emptyResult(spark)
+    case DeepCloneVersion(newIdent, srcIdent, v, location) =>
+      val src = tableByName(spark, srcIdent)
+      GraftTable.deepClone(spark, src.root.toString, location, v.toLong)
+      spark.sql(s"CREATE TABLE $newIdent USING `graft-table` " +
+        s"OPTIONS (path '$location')")
+      emptyResult(spark)
+    case DeepClone(newIdent, srcIdent, location) =>
+      val src = tableByName(spark, srcIdent)
+      GraftTable.deepClone(spark, src.root.toString, location)
       spark.sql(s"CREATE TABLE $newIdent USING `graft-table` " +
         s"OPTIONS (path '$location')")
       emptyResult(spark)
@@ -278,6 +296,7 @@ object GraftSql {
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
          RestoreTimestamp(_, _) | ShallowClone(_, _, _) |
          ShallowCloneVersion(_, _, _, _) |
+         DeepClone(_, _, _) | DeepCloneVersion(_, _, _, _) |
          InsertReplaceWhere(_, _, _) |
          RenameColumnSql(_, _, _) | DropColumnSql(_, _) |
          AddConstraintSql(_, _, _) | DropConstraintSql(_, _) |
@@ -389,6 +408,8 @@ object GraftSql {
       case RestoreTimestamp(i, _) => Some(i)
       case ShallowClone(_, srcIdent, _) => Some(srcIdent)
       case ShallowCloneVersion(_, srcIdent, _, _) => Some(srcIdent)
+      case DeepCloneVersion(_, srcIdent, _, _) => Some(srcIdent)
+      case DeepClone(_, srcIdent, _) => Some(srcIdent)
       case InsertReplaceWhere(i, _, _) => Some(i)
       case RenameColumnSql(i, _, _) => Some(i)
       case DropColumnSql(i, _) => Some(i)

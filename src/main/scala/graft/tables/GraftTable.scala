@@ -513,17 +513,48 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * selective read/DML — the Delta/Iceberg data-skipping trade on
     * the commit log.
     */
-  private def collectStats(files: Seq[String]): Map[String, FileStats] = {
+  /** `genZone = null` (default) stamps the session zone — right for
+    * any write whose generated values are all session-fresh. Rewrites
+    * that CARRY old rows pass [[rewriteStampZone]]'s verdict instead.
+    */
+  private def collectStats(files: Seq[String],
+      genZone: Option[String] = null): Map[String, FileStats] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
+    val z = if (genZone != null) genZone else Some(sessionTz)
     // footer reads are independent driver-side I/O — at thousands of
     // files per commit, serial reads would dominate the write path
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = files.map(rel => Future(collectStatsOne(rel)))
+    val fs = files.map(rel => Future(collectStatsOne(rel, z)))
     Await.result(Future.sequence(fs), 30.minutes).toMap
   }
 
-  private def collectStatsOne(rel: String): (String, FileStats) = {
+  /** Zone to stamp on a REWRITE's output files: kept rows preserve
+    * the generated values they were materialized with, so the stamp
+    * is sound only when every INPUT file agrees on one recorded zone
+    * — and, when the op also writes session-clock values (UPDATE/
+    * MERGE recompute, merge inserts, replaceWhere's fresh slice),
+    * that zone is the session's. None = outputs unstamped: derivation
+    * stays off for them forever, conservative. Tables without
+    * tz-dependent generation always stamp (the stamp is never
+    * consulted there).
+    */
+  private def rewriteStampZone(inputs: Seq[String], base: Long,
+      sessionValues: Boolean): Option[String] = {
+    if (tzDependentGens.isEmpty || inputs.isEmpty) return Some(sessionTz)
+    val stats = if (base < 0) Map.empty[String, FileStats]
+      else readCommit(base).stats.getOrElse(Map.empty)
+    val prop = writerTimeZone
+    val zones = inputs.map(f => stats.get(f).flatMap(_.tz).orElse(prop))
+    if (zones.exists(_.isEmpty)) return None
+    val zs = zones.flatten
+    if (!zs.tail.forall(sameZone(zs.head, _))) None
+    else if (sessionValues && !sameZone(zs.head, sessionTz)) None
+    else Some(zs.head)
+  }
+
+  private def collectStatsOne(rel: String,
+      genZone: Option[String]): (String, FileStats) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -626,7 +657,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         rel -> FileStats(mins.toMap, maxs.toMap,
           if (sm.isEmpty) None else Some(sm),
           if (sx.isEmpty) None else Some(sx),
-          Some(nRows))
+          Some(nRows),
+          // the stamp is only ever consulted on tables with
+          // tz-dependent generated columns, whose data files are all
+          // graft-written (gens exist from CREATE) — adopted/
+          // CONVERTed files never mislead
+          genZone)
       } finally reader.close()
     }.head
   }
@@ -698,8 +734,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       if (v == 0) Map.empty[String, String] else columnMapAt(base))
     val constraintsOut =
       replaceConstraints.getOrElse(carriedConstraints ++ newConstraints)
-    val propsOut = (if (v == 0) Map.empty[String, String]
+    val propsOut0 = (if (v == 0) Map.empty[String, String]
       else readCommit(base).properties.getOrElse(Map.empty)) ++ newProperties
+    // per-commit writer zones: once a session in a DIFFERENT zone
+    // lands a data write on this table, the CREATE-time table-level
+    // zone no longer describes "all unstamped files" — drop it so
+    // the legacy fallback dies (per-file stamps carry the truth for
+    // everything written since).
+    val propsOut =
+      if (newStats.nonEmpty &&
+          propsOut0.get(GraftTable.writerTzKey).exists(!sameZone(_, sessionTz)))
+        propsOut0 - GraftTable.writerTzKey
+      else propsOut0
     // generation/identity specs are immutable after CREATE/CLONE
     val genOut = if (v == 0) generatedOpt
       else readCommit(base).generated
@@ -749,20 +795,29 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (latestVersion < 0) None
     else readCommit(latestVersion).identityCol
 
-  /** The session timezone generated-column values over TIMESTAMP
-    * (instant) inputs were materialized under, recorded at CREATE —
-    * `year(ts)`/`to_date(ts)` shift with the zone, so pruning may
-    * only derive partition bounds from them when the reader's zone
-    * matches ([[derivedGenConds]]), and writes under a different
-    * zone are refused ([[enforceWriterTz]]) so the materialized
-    * values stay single-zone. Absent on tables without tz-dependent
-    * generation (and on pre-feature/CONVERTed tables, where the
-    * materializing zone is unknown — derivation then stays off).
+  /** TABLE-LEVEL writer-zone record (CREATE-time session zone) —
+    * the fallback for files whose stats predate the PER-FILE zone
+    * stamp ([[FileStats.tz]]). New writes record their zone per
+    * commit instead, so sessions in different zones may all write:
+    * tz-dependent derivation ([[derivedGenConds]]) applies per FILE,
+    * only where the file's recorded zone matches the reader's.
+    * Absent on pre-feature/CONVERTed tables, where the materializing
+    * zone of legacy files is unknown — derivation stays off for them.
     */
   private def writerTimeZone: Option[String] =
     if (latestVersion < 0) None
     else readCommit(latestVersion).properties.getOrElse(Map.empty)
       .get(GraftTable.writerTzKey)
+
+  /** May tz-dependent derived conditions prune the file behind these
+    * stats? Only when its materialization zone is recorded (per-file
+    * stamp, else the CREATE-time table record) AND matches the
+    * session — otherwise the derived boundary was computed under a
+    * different clock and the file is kept unconditionally.
+    */
+  private[tables] def fileZoneOk(stats: Option[GraftTable.FileStats]): Boolean =
+    stats.flatMap(_.tz).orElse(writerTimeZone)
+      .exists(sameZone(_, sessionTz))
 
   private def sessionTz: String =
     spark.sessionState.conf.sessionLocalTimeZone
@@ -791,23 +846,6 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           f.dataType == org.apache.spark.sql.types.TimestampType)) => c
     }
   }
-
-  /** Every path that MATERIALIZES generated values (append, UPDATE
-    * recompute, MERGE) runs under the recorded zone or not at all —
-    * otherwise two writers in different zones would partition the
-    * same instant differently and pruning could not trust either.
-    */
-  private def enforceWriterTz(): Unit =
-    writerTimeZone.foreach { tz =>
-      if (!sameZone(tz, sessionTz)) {
-        val dep = tzDependentGens
-        if (dep.nonEmpty) throw new IllegalStateException(
-          s"generated column(s) ${dep.mkString(", ")} over TIMESTAMP " +
-            s"inputs were materialized under session timezone '$tz' but " +
-            s"this session uses '$sessionTz'; set " +
-            s"spark.sql.session.timeZone=$tz to write this table")
-      }
-    }
 
   private def identityKey = "identity:highWater"
 
@@ -1028,7 +1066,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val w = writeData(data)
     commitResolved("COMPACT", base, small.toSet, w.files,
       None, readsTable = false, schemaAt(base),
-      Map("numRewrittenFiles" -> small.size.toLong), collectStats(w.files),
+      Map("numRewrittenFiles" -> small.size.toLong),
+      collectStats(w.files, rewriteStampZone(small, base, sessionValues = false)),
       newPartValues = w.partValues)
   }
 
@@ -1203,7 +1242,6 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private def injectWriteColumns(df: DataFrame)
       : (DataFrame, Map[String, Long], () => Unit) = {
-    enforceWriterTz()
     val withGen = generatedColumns.foldLeft(df) { case (d, (c, genExpr)) =>
       if (d.schema.fieldNames.contains(c)) d
       else d.withColumn(c, org.apache.spark.sql.functions.expr(genExpr))
@@ -1804,7 +1842,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       readsTable = false, schema,
       Map("numRewrittenFiles" -> touched.size.toLong,
         "numAddedFiles" -> wNew.files.size.toLong) ++ idMetrics,
-      collectStats(wSurv.files ++ wNew.files), cdcFiles = Some(cdc),
+      collectStats(wSurv.files ++ wNew.files,
+        rewriteStampZone(touched, base, sessionValues = true)),
+      cdcFiles = Some(cdc),
       newPartValues = wSurv.partValues ++ wNew.partValues,
       idHwBefore = idHwBefore)
     } finally idCleanup()
@@ -1845,35 +1885,42 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * predicates are EXTRA prune conditions; they never replace the
     * original filter.
     */
+  /** Returns (zone-free, zone-dependent) derived conditions. The
+    * zone-free ones apply to every file; the zone-dependent ones
+    * (TIMESTAMP/instant inputs — year()/to_date()/date_trunc() shift
+    * with the session zone) may prune ONLY files whose recorded
+    * materialization zone matches the session ([[fileZoneOk]]) —
+    * callers gate them per file, which is what lets writers in
+    * different zones coexist on one table.
+    */
   private[tables] def derivedGenConds(
       conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       pcols: Seq[String])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      : (Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+         Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val schema = currentSchema
     // monotonicity only holds in the input's ORDER — and the order a
     // comparison uses is the column type's. A STRING input is ordered
     // lexically, where to_date/year are NOT monotone ('2020-2-1' >
     // '2020-11-5' as strings, reversed as dates) — deriving there
     // would prune files whose rows match. DateType and
-    // TimestampNTZType evaluate identically in every session.
-    // TimestampType (instant) is session-timezone-dependent:
-    // year()/to_date()/date_trunc() over it derive ONLY when the
-    // reader's zone equals the recorded materialization zone
-    // ([[writerTimeZone]], enforced on every write) — under any other
-    // zone, or on tables without the record (pre-feature, CONVERTed),
-    // a derived boundary could prune files holding matching rows.
+    // TimestampNTZType evaluate identically in every session;
+    // TimestampType (instant) derivations are session-zone-dependent
+    // and land in the second bucket for per-file gating.
     def temporal(x: String) = schema.fields
       .find(_.name.equalsIgnoreCase(x))
       .exists(f => f.dataType == DateType || f.dataType == TimestampNTZType ||
-        (f.dataType == org.apache.spark.sql.types.TimestampType &&
-          writerTimeZone.exists(sameZone(_, sessionTz))))
+        f.dataType == TimestampType)
+    def tzDep(x: String) = schema.fields
+      .find(_.name.equalsIgnoreCase(x))
+      .exists(_.dataType == TimestampType)
     val gens = generatedColumns.toSeq.collect {
       case (c, g) if pcols.contains(c) =>
         GraftTable.monotoneInput(g).filter(temporal).map(x => (c, g, x))
     }.flatten
-    if (gens.isEmpty) return Nil
+    if (gens.isEmpty) return (Nil, Nil)
     // g(lit): substitute the input attribute with the literal and let
     // the analyzer resolve + evaluate the one-row projection
     def evalGen(g: String, x: String, l: Literal): Option[Literal] = try {
@@ -1891,13 +1938,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         Literal.create(v, df.schema.head.dataType))
     } catch { case _: Exception => None }
     def derive(x: String, l: Literal,
-        mk: (Expression, Expression) => Expression): Seq[Expression] =
+        mk: (Expression, Expression) => Expression): Seq[(Expression, Boolean)] =
       gens.collect { case (c, g, in) if in.equalsIgnoreCase(x) =>
         evalGen(g, in, l).map { gl =>
-          mk(AttributeReference(c, schema(c).dataType)(), gl)
+          (mk(AttributeReference(c, schema(c).dataType)(), gl), tzDep(in))
         }
       }.flatten
-    conds.flatMap(GraftTable.conjuncts).flatMap {
+    val all = conds.flatMap(GraftTable.conjuncts).flatMap {
       case EqualTo(a: AttributeReference, l: Literal) =>
         derive(a.name, l, EqualTo(_, _))
       case EqualTo(l: Literal, a: AttributeReference) =>
@@ -1920,6 +1967,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         derive(a.name, l, GreaterThanOrEqual(_, _))
       case _ => Nil
     }
+    (all.collect { case (e, false) => e }, all.collect { case (e, true) => e })
   }
 
   /** Conservative driver-side candidate set for a DML predicate:
@@ -1970,11 +2018,18 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       val pv = c.partValues.getOrElse(Map.empty)
       val pcols = c.partitionBy.getOrElse(Nil)
       // generated-column partition pruning (Delta's feature): bounds
-      // on a generation INPUT imply bounds on the partition value
-      val derived = try derivedGenConds(condsPhys, pcols)
-        catch { case _: Exception => Nil }
-      val kept = files.filter(f => (condsPhys ++ derived).forall(
-        StatsPruning.keep(_, stats.get(f), pv.get(f), pcols, spark)))
+      // on a generation INPUT imply bounds on the partition value;
+      // session-zone-dependent derivations apply per FILE, only
+      // where the file's recorded writer zone matches the session
+      val (derivedFree, derivedTz) = try derivedGenConds(condsPhys, pcols)
+        catch { case _: Exception => (Nil, Nil) }
+      val kept = files.filter { f =>
+        (condsPhys ++ derivedFree).forall(
+          StatsPruning.keep(_, stats.get(f), pv.get(f), pcols, spark)) &&
+        (derivedTz.isEmpty || !fileZoneOk(stats.get(f)) ||
+          derivedTz.forall(
+            StatsPruning.keep(_, stats.get(f), pv.get(f), pcols, spark)))
+      }
       // sub-range precision for point predicates (= / IN) on declared
       // bloom columns: min/max can't prune a point key out of files
       // whose ranges all overlap; the per-file bloom sidecar can
@@ -2164,7 +2219,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     maybeAutoCompact(commitResolved("DELETE", base,
       touched.toSet, w.files, Some(cond), readsTable = false,
       schemaAt(base),
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      Map("numRewrittenFiles" -> touched.size.toLong),
+      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = false)),
       cdcFiles = Some(cdc), newPartValues = w.partValues))
   }
 
@@ -2236,7 +2292,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // reads only the files it rewrites — concurrent appends commute
     commitResolved("PURGE", base, touched.toSet, w.files,
       None, readsTable = false, schema,
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      Map("numRewrittenFiles" -> touched.size.toLong),
+      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = false)),
       cdcFiles = Some(Nil), dvOut = (_, _) => Some(Nil),
       newPartValues = w.partValues)
   }
@@ -2296,8 +2353,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           referencedColumns(genExpr).exists(r =>
             set.keys.exists(_.equalsIgnoreCase(r)))
         if (!inputsAssigned) d
-        else { enforceWriterTz(); d.withColumn(gc,
-          when(col("__hit"), expr(genExpr)).otherwise(col(s"`$gc`"))) }
+        else d.withColumn(gc,
+          when(col("__hit"), expr(genExpr)).otherwise(col(s"`$gc`")))
     }
     val updated = applied.drop("__hit")
     // constraints hold on every write path, not just append/merge:
@@ -2318,7 +2375,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     maybeAutoCompact(commitResolved("UPDATE", base,
       touched.toSet, w.files, Some(cond), readsTable = false,
       schemaAt(base),
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      Map("numRewrittenFiles" -> touched.size.toLong),
+      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = true)),
       cdcFiles = Some(cdc), newPartValues = w.partValues))
   }
 
@@ -2420,8 +2478,6 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // write — persist ONE evaluation (a non-deterministic or
     // concurrently-changing source must not answer differently per
     // branch)
-    // MERGE both recomputes and freshly computes generated values
-    enforceWriterTz()
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Delta semantics: a target row matched by MULTIPLE source rows is
     // an error, not a silent row multiplication through the join.
@@ -2710,7 +2766,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       readsTable = readsTable || bySource.nonEmpty, schema,
       Map("numRewrittenFiles" -> touched.size.toLong,
         "numProbedFiles" -> probeFiles.size.toLong) ++ idMetrics,
-      collectStats(w.files),
+      collectStats(w.files,
+        rewriteStampZone(touched, base, sessionValues = true)),
       cdcFiles = Some(cdc), newPartValues = w.partValues,
       idHwBefore = if (identityColumn.isDefined) idHwBefore else -2L))
     finally idCleanup()
@@ -2729,7 +2786,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // rewrites: concurrent appends land via conflict resolution.
     commitResolved("COMPACT", base, filesAt(base).toSet, w.files,
       None, readsTable = false, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong),
+      collectStats(w.files, rewriteStampZone(filesAt(base), base, sessionValues = false)),
       dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
@@ -2775,7 +2833,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commitResolved("COMPACT", base, touched.toSet, w.files,
       None, readsTable = false, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong),
-      collectStats(w.files),
+      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = false)),
       newPartValues = w.partValues)
   }
 
@@ -2791,7 +2849,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val w = writeData(data)
     commitResolved("CLUSTER", base, filesAt(base).toSet, w.files,
       None, readsTable = false, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong),
+      collectStats(w.files, rewriteStampZone(filesAt(base), base, sessionValues = false)),
       dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
@@ -2811,7 +2870,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val w = writeData(mortonCluster(snapshotAt(base), numFiles, keys))
     commitResolved("ZORDER", base, filesAt(base).toSet, w.files,
       None, readsTable = false, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong), collectStats(w.files),
+      Map("numRemovedFiles" -> filesAt(base).size.toLong),
+      collectStats(w.files, rewriteStampZone(filesAt(base), base, sessionValues = false)),
       dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
@@ -2836,7 +2896,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val w = writeData(mortonCluster(data, numFiles, keys))
     commitResolved("ZORDER", base, touched.toSet, w.files,
       None, readsTable = false, schemaAt(base),
-      Map("numRewrittenFiles" -> touched.size.toLong), collectStats(w.files),
+      Map("numRewrittenFiles" -> touched.size.toLong),
+      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = false)),
       newPartValues = w.partValues)
   }
 
@@ -3570,7 +3631,14 @@ object GraftTable {
       maxs: Map[String, Double],
       smins: Option[Map[String, String]] = None,
       smaxs: Option[Map[String, String]] = None,
-      rows: Option[Long] = None)
+      rows: Option[Long] = None,
+      // session timezone this file's rows (and any generated
+      // partition values) were MATERIALIZED under — the per-commit
+      // writer-zone record that lets multi-zone writers coexist:
+      // tz-dependent generated-column derivation applies per file,
+      // only where the recorded zone matches the reader. Absent on
+      // pre-feature logs (falls back to the table-level record).
+      tz: Option[String] = None)
 
   /** A resolved version snapshot for scan planning: absolute file
     * paths, their commit-log stats, and the schema to read with.
@@ -3825,6 +3893,100 @@ object GraftTable {
       newPartValues = c.partValues.getOrElse(Map.empty).map {
         case (f, m) => src.abs(f) -> m
       },
+      partitionByOpt = c.partitionBy,
+      newColumnMap = Some(c.columnMap.getOrElse(Map.empty)),
+      newProperties = c.properties.getOrElse(Map.empty),
+      generatedOpt = c.generated,
+      identityOpt = c.identityCol,
+      bucketByOpt = for { b <- c.bucketBy; n <- c.numBuckets }
+        yield (b: Seq[String], n))
+    t
+  }
+
+  /** DEEP CLONE (Delta `CREATE TABLE ... DEEP CLONE` analog): a new
+    * table whose data files are COPIED into its own directory in one
+    * commit — the backup/migration spelling. Unlike [[shallowClone]],
+    * the result is self-contained: it survives VACUUM on the source,
+    * and DML on either side can never cross. Stats carry verbatim on
+    * the byte-copy path (same bytes, same footers — no re-scan; bloom
+    * sidecars ride along); a source with ACTIVE deletion vectors
+    * materializes the DV-masked state instead (the tombstone files
+    * reference source paths, so copying them would re-bind masks to
+    * the wrong files — a rewrite is the only self-contained form).
+    * History starts fresh at the clone (one DEEP_CLONE commit).
+    */
+  def deepClone(spark: SparkSession, srcPath: String, dstPath: String,
+      version: Long = -1L): GraftTable = {
+    val src = load(spark, srcPath)
+    val v = if (version < 0) src.latestVersion else version
+    val c = src.readCommit(v)
+    val gone = c.files.filterNot(f => Files.exists(src.root.resolve(f)))
+    require(gone.isEmpty,
+      s"cannot clone version $v: ${gone.size} data file(s) already " +
+        s"vacuumed (e.g. ${gone.take(2).mkString(", ")})")
+    val t = new GraftTable(spark, Paths.get(dstPath))
+    require(!Files.exists(t.logDir), s"table already exists at $dstPath")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[StructType]
+    val idHw = if (c.identityCol.isDefined)
+      src.listVersions().filter(_ <= v)
+        .flatMap(vv => src.readCommit(vv).metrics.get(src.identityKey))
+        .maxOption.getOrElse(-1L)
+    else -2L
+    if (c.dv.exists(_.nonEmpty)) {
+      // merge-on-read state: materialize the masked snapshot. The
+      // clone's files carry LOGICAL names (fresh physical=logical
+      // mapping) — the snapshot read already translated physicals.
+      val data = src.snapshotAt(v)
+      Files.createDirectories(t.logDir)
+      val w = t.writeData(data, c.partitionBy.getOrElse(Nil),
+        Map.empty,
+        for { b <- c.bucketBy; n <- c.numBuckets } yield (b: Seq[String], n))
+      t.commit("DEEP_CLONE", -1L, w.files, data.schema,
+        Map("sourceVersion" -> v, "numAddedFiles" -> w.files.size.toLong) ++
+          (if (idHw != -2L) Map(src.identityKey -> idHw) else Map.empty),
+        t.collectStats(w.files),
+        c.constraints.getOrElse(Map.empty),
+        newPartValues = w.partValues,
+        partitionByOpt = c.partitionBy,
+        newProperties = c.properties.getOrElse(Map.empty),
+        generatedOpt = c.generated,
+        identityOpt = c.identityCol,
+        bucketByOpt = for { b <- c.bucketBy; n <- c.numBuckets }
+          yield (b: Seq[String], n))
+      return t
+    }
+    // byte-copy path: same bytes, same footers — stats/partition
+    // tuples carry verbatim under the copied files' new names. Hive-
+    // adopted relative nesting is preserved; absolute refs (a deep
+    // clone OF a shallow clone) land under files/ with a uniquified
+    // name.
+    Files.createDirectories(t.root.resolve("files"))
+    val mapping = c.files.zipWithIndex.map { case (f, i) =>
+      val rel = if (Paths.get(f).isAbsolute)
+        s"files/clone_${i}_${Paths.get(f).getFileName}"
+      else f
+      val dst = t.root.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(src.root.resolve(f), dst,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      val bloom = Paths.get(src.abs(f) + ".bloom")
+      if (Files.exists(bloom))
+        Files.copy(bloom, Paths.get(dst.toString + ".bloom"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      f -> rel
+    }.toMap
+    Files.createDirectories(t.logDir)
+    t.commit("DEEP_CLONE", -1L, c.files.map(mapping), schema,
+      Map("sourceVersion" -> v,
+        "numAddedFiles" -> c.files.size.toLong,
+        "numCopiedBytes" -> c.files.map(f =>
+          Files.size(src.root.resolve(f))).sum) ++
+        (if (idHw != -2L) Map(src.identityKey -> idHw) else Map.empty),
+      c.stats.getOrElse(Map.empty).map { case (f, s) => mapping(f) -> s },
+      c.constraints.getOrElse(Map.empty),
+      newPartValues = c.partValues.getOrElse(Map.empty).map {
+        case (f, m) => mapping(f) -> m },
       partitionByOpt = c.partitionBy,
       newColumnMap = Some(c.columnMap.getOrElse(Map.empty)),
       newProperties = c.properties.getOrElse(Map.empty),

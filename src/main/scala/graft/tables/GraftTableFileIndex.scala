@@ -99,14 +99,20 @@ class GraftTableFileIndex(spark: SparkSession, table: GraftTable,
     // generated-column partition pruning applies here too: a filter
     // on the generation INPUT prunes partitions the query never names
     val pushed = partitionFilters ++ dataFilters
-    val derived =
+    val (derivedFree, derivedTz) =
       try table.derivedGenConds(pushed, snap.partitionBy)
-      catch { case _: Exception => Nil }
-    val filters = pushed ++ derived
+      catch { case _: Exception => (Nil, Nil) }
+    val filters = pushed ++ derivedFree
     val kept = statuses.collect {
       case (st, stats, path)
         if filters.forall(StatsPruning.keep(_, stats,
-          snap.partValues.get(path), snap.partitionBy, spark)) => (st, path)
+            snap.partValues.get(path), snap.partitionBy, spark)) &&
+          // zone-dependent derivations prune per file, only where the
+          // recorded writer zone matches this session's
+          (derivedTz.isEmpty || !table.fileZoneOk(stats) ||
+            derivedTz.forall(StatsPruning.keep(_, stats,
+              snap.partValues.get(path), snap.partitionBy, spark)))
+        => (st, path)
     }
     if (injected.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))

@@ -300,20 +300,40 @@ class GeneratedColumnsSpec extends SparkSpec {
       // the y=2020 row at 20:00 UTC MATCHES the predicate — deriving
       // y >= year(literal-in-Tokyo) = 2021 would wrongly prune it;
       // ts footer stats keep both files, so all-candidates here
-      // proves derivation stood down
+      // proves derivation stood down (no file is Tokyo-stamped)
       spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
       assert(ti.candidateFiles(
         $"ts" >= lit("2021-01-01 00:00:00").cast("timestamp")).size ===
         ti.snapshotInfo(ti.latestVersion).files.size,
         "mismatched reader zone must not derive partition bounds")
-      // and a mismatched-zone WRITE is refused — it would materialize
-      // partition values in a second zone and poison future pruning
-      val e = intercept[IllegalStateException] {
-        ti.append(Seq(("2022-03-01 08:00:00", 3L)).toDF("s", "v")
-          .select($"s".cast("timestamp").as("ts"), $"v"))
-      }
-      assert(e.getMessage.contains("timezone"))
+      // a mismatched-zone WRITE now LANDS (per-commit writer zones):
+      // its files are Tokyo-stamped, so only Tokyo readers derive
+      // over them. 2022-01-01 05:00 Tokyo = 2021-12-31 20:00 UTC —
+      // the Tokyo year (2022) differs from the UTC year (2021)
+      ti.append(Seq(("2022-01-01 05:00:00", 3L)).toDF("s", "v")
+        .select($"s".cast("timestamp").as("ts"), $"v"))
+      assert(ti.snapshot().count() === 3)
     } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    // back under the pinned (UTC) session: the Tokyo row sits at
+    // ts = 2021-12-31 20:00 UTC with y = 2022 (Tokyo year). A UTC
+    // reader filtering ts <= 23:30 would derive y <= 2021 — applying
+    // that to the Tokyo-stamped file would WRONGLY prune its matching
+    // row; the per-file zone gate must keep it, so the pruned scan
+    // still returns all 3 matching rows
+    assert(ti.snapshot().where($"y" === 2022).count() === 1,
+      "the Tokyo-written row must be readable")
+    val cand22 = ti.candidateFiles(
+      $"ts" <= lit("2021-12-31 23:30:00").cast("timestamp"))
+    assert(cand22.size === ti.snapshotInfo(ti.latestVersion).files.size,
+      "the Tokyo-stamped file must not be pruned by a UTC-derived bound")
+    spark.sql("CREATE TABLE graft_genzone USING `graft-table` " +
+      s"OPTIONS (path '${ti.root}')")
+    try {
+      assert(spark.read.format("graft-table").load(ti.root.toString)
+        .where($"ts" <= lit("2021-12-31 23:30:00").cast("timestamp"))
+        .count() === 3,
+        "a zone-blind derivation lost the Tokyo-written matching row")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_genzone")
 
     // a DML sees the same blast radius: delete one year by date only
     t.delete(cond)
@@ -340,12 +360,6 @@ class GeneratedColumnsSpec extends SparkSpec {
         $"ts" >= lit("2022-01-01 00:00:00").cast("timestamp")).size <
         ti.snapshotInfo(ti.latestVersion).files.size,
         "an equivalent zone spelling must keep derivation on")
-      // a genuinely different zone still refuses
-      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
-      intercept[IllegalStateException] {
-        ti.append(Seq(("2023-03-01 08:00:00", 4L)).toDF("s", "v")
-          .select($"s".cast("timestamp").as("ts"), $"v"))
-      }
     } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
   }
 

@@ -432,6 +432,59 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE ... DEEP CLONE is self-contained") {
+    val (t, _) = registered("gs_deep")
+    val loc = Files.createTempDirectory("graft_deep_").resolve("c").toString
+    try {
+      val srcCount = t.snapshot().count()
+      GraftSql.sql(spark,
+        s"CREATE TABLE gs_deepc DEEP CLONE gs_deep LOCATION '$loc'")
+      val c = GraftTable.load(spark, loc)
+      // clone equals source data (stats carried — no rescan needed
+      // for metadata count)
+      assert(c.snapshot().count() === srcCount)
+      assert(c.rowCount === Some(srcCount))
+      assert(c.snapshot().exceptAll(t.snapshot()).count() === 0)
+      assert(c.history().count() === 1, "history starts fresh")
+      // DML on the source does not reach the clone, and vice versa
+      t.delete($"o_orderstatus" === "P")
+      assert(c.snapshot().count() === srcCount, "source DML crossed into clone")
+      c.delete($"o_orderstatus" === "F")
+      assert(t.snapshot().where($"o_orderstatus" === "F").count() > 0,
+        "clone DML crossed into source")
+      // the clone survives source VACUUM (own copies, not references)
+      t.compact(2)
+      t.vacuum(1)
+      assert(c.snapshot().where($"o_orderstatus" === "O").count() ===
+        spark.table("gs_deepc").where($"o_orderstatus" === "O").count())
+      assert(c.snapshot().count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_deep")
+      spark.sql("DROP TABLE IF EXISTS gs_deepc")
+    }
+  }
+
+  test("DEEP CLONE VERSION AS OF copies the historical state; DV state materializes") {
+    val dir = Files.createTempDirectory("graft_deepv_").resolve("t").toString
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 100).select($"id", ($"id" % 7).as("g")))
+    t.append(spark.range(100, 200).select($"id", ($"id" % 7).as("g")))
+    // v0 had 100 rows
+    val loc = Files.createTempDirectory("graft_deepv_").resolve("c").toString
+    GraftTable.deepClone(spark, dir, loc, 0L)
+    val c = GraftTable.load(spark, loc)
+    assert(c.snapshot().count() === 100)
+    // merge-on-read source: the DV-masked state materializes (the
+    // clone has no DVs and reads through every surface)
+    t.deleteMor($"id" < 50)
+    val loc2 = Files.createTempDirectory("graft_deepv_").resolve("c2").toString
+    GraftTable.deepClone(spark, dir, loc2)
+    val c2 = GraftTable.load(spark, loc2)
+    assert(c2.snapshot().count() === 150)
+    assert(spark.read.format("graft-table").load(loc2).count() === 150,
+      "materialized clone must read through the DV-gated scan")
+  }
+
   test("SHALLOW CLONE VERSION AS OF forks a historical state") {
     val (t, _) = registered("gs_clv_src")
     val dst = Files.createTempDirectory("graft_clv_").resolve("c").toString
