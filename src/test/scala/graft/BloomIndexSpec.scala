@@ -47,6 +47,30 @@ class BloomIndexSpec extends SparkSpec {
     assert(t.snapshot().where($"id" === 500L).count() === 0)
   }
 
+  test("MERGE probe prunes to bloom resolution on unclustered tables") {
+    val path = tmp()
+    val t = overlappingTable(path)
+    t.rebuildBloomIndex()
+    val all = t.snapshotInfo(t.latestVersion).files.size
+    val total = t.snapshot().count()
+    // a 2-key merge into a table whose every file spans the full key
+    // range: min/max stats keep ALL files as candidates; the In-list
+    // envelope consults the bloom sidecars, so the touched-file probe
+    // opens only the file(s) that may actually hold the keys
+    t.merge(Seq((500L, -1.0), (501L, -2.0)).toDF("id", "x"), Seq("id"))
+    val json = Files.readString(java.nio.file.Paths.get(path,
+      "_graft_log", f"v${t.latestVersion}%08d.json"))
+    val probed = "\"numProbedFiles\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(-1)
+    assert(probed >= 1 && probed < all,
+      s"bloom must scope the merge probe below $all stats candidates, got $probed")
+    assert(t.snapshot().count() === total)
+    assert(t.snapshot().where($"id" === 500L).select("x").as[Double]
+      .head() === -1.0)
+    assert(t.snapshot().where($"id" === 501L).select("x").as[Double]
+      .head() === -2.0)
+  }
+
   test("a damaged sidecar degrades conservatively and is NOT memoized") {
     val path = tmp()
     val t = overlappingTable(path)
