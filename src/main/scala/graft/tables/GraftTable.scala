@@ -3085,40 +3085,67 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * `cdc/`, `dv/`) at a retention window — the vacuum reclaim set.
     * Adopted originals (CONVERT) and clone-referenced source files
     * live OUTSIDE these dirs and are never enumerated.
+    *
+    * Enumeration goes DISTRIBUTED (one Spark job, [[vacuumShards]]
+    * hash-shard tasks per directory) once the retained live-file
+    * count clears a threshold — at 100 TB the reclaim set is millions
+    * of entries and a serial driver walk dominates vacuum wall-clock.
+    * Both paths classify entries through the ONE shared rule
+    * ([[GraftTable.vacuumDead]]), so they cannot disagree;
+    * `graft.vacuum.distributed` (true/false) overrides the
+    * auto-threshold in either direction.
     */
   private def vacuumCandidates(retainVersions: Int): Seq[String] = {
     val retained = listVersions().takeRight(retainVersions)
     val live: Set[String] = retained.flatMap(v => readCommit(v).files).toSet
+    val liveCdc: Set[String] =
+      retained.flatMap(v => readCommit(v).cdc.getOrElse(Nil)).toSet
+    val liveDv: Set[String] =
+      retained.flatMap(v => readCommit(v).dv.getOrElse(Nil)).toSet
     // a freshly CONVERTed table has no files/ dir until its first DML
-    val dead = if (!Files.exists(filesDir)) Nil
-      else {
-        val names = GraftTable.listPaths(filesDir)
+    val dirs = Seq("files", "cdc", "dv")
+      .filter(d => Files.exists(root.resolve(d)))
+    if (dirs.isEmpty) return Nil
+    val distributed = properties.get("graft.vacuum.distributed")
+      .map(_.equalsIgnoreCase("true"))
+      .getOrElse(live.size >= 10000)
+    if (!distributed)
+      dirs.flatMap { d =>
+        GraftTable.listPaths(root.resolve(d))
           .map(_.getFileName.toString)
-        // bloom sidecars are never commit-referenced: one lives
-        // exactly as long as its data file does (an orphan from a
-        // partial failure is reclaimable immediately)
-        names.filterNot(_.endsWith(".bloom"))
-          .map(n => s"files/$n").filterNot(live) ++
-          names.filter(_.endsWith(".bloom"))
-            .filterNot(n => live.contains(s"files/${n.stripSuffix(".bloom")}"))
-            .map(n => s"files/$n")
+          .flatMap(n => GraftTable.vacuumDead(d, n, live, liveCdc, liveDv))
       }
-    val cdcDir = root.resolve("cdc")
-    val deadCdc = if (!Files.exists(cdcDir)) Nil else {
-      val liveCdc: Set[String] =
-        retained.flatMap(v => readCommit(v).cdc.getOrElse(Nil)).toSet
-      GraftTable.listPaths(cdcDir)
-        .map(p => s"cdc/${p.getFileName}").filterNot(liveCdc)
+    else {
+      // ONE Spark job: each task streams its directory listing and
+      // keeps its hash shard of the names — the listing is re-read
+      // per shard (cheap, sequential) while the classification and
+      // the downstream stat/delete work parallelize by shard
+      val shards = vacuumShards
+      val rootStr = root.toString
+      val bc = spark.sparkContext.broadcast((live, liveCdc, liveDv))
+      val tasks = for { d <- dirs; s <- 0 until shards } yield (d, s)
+      spark.sparkContext.parallelize(tasks, tasks.size)
+        .flatMap { case (d, s) =>
+          val (lv, lc, ldv) = bc.value
+          val stream = java.nio.file.Files.list(
+            java.nio.file.Paths.get(rootStr, d))
+          try {
+            val it = stream.iterator()
+            val out = scala.collection.mutable.Buffer.empty[String]
+            while (it.hasNext) {
+              val n = it.next().getFileName.toString
+              if (java.lang.Math.floorMod(n.hashCode, shards) == s)
+                GraftTable.vacuumDead(d, n, lv, lc, ldv).foreach(out += _)
+            }
+            out.toSeq
+          } finally stream.close()
+        }.collect().toSeq
     }
-    val dvDir = root.resolve("dv")
-    val deadDv = if (!Files.exists(dvDir)) Nil else {
-      val liveDv: Set[String] =
-        retained.flatMap(v => readCommit(v).dv.getOrElse(Nil)).toSet
-      GraftTable.listPaths(dvDir)
-        .map(p => s"dv/${p.getFileName}").filterNot(liveDv)
-    }
-    dead ++ deadCdc ++ deadDv
   }
+
+  private def vacuumShards: Int =
+    properties.get("graft.vacuum.shards").flatMap(s =>
+      scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(32)
 
   /** Incremental consumption primitive (the streaming-source shape):
     * rows in data files ADDED after `sinceVersion` — what a polling
@@ -3441,6 +3468,29 @@ object GraftTable {
   private[graft] def listPaths(dir: Path): Seq[Path] = {
     val s = Files.list(dir)
     try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** THE vacuum reclaim rule, shared verbatim by the serial and the
+    * distributed enumerations so they can never disagree: is entry
+    * `name` under engine dir `d` dead at this retention window?
+    * Bloom sidecars are never commit-referenced — one lives exactly
+    * as long as its data file (an orphan from a partial failure is
+    * reclaimable immediately).
+    */
+  private[tables] def vacuumDead(d: String, name: String,
+      live: Set[String], liveCdc: Set[String],
+      liveDv: Set[String]): Option[String] = {
+    val rel = s"$d/$name"
+    val dead = d match {
+      case "files" =>
+        if (name.endsWith(".bloom"))
+          !live.contains(s"files/${name.stripSuffix(".bloom")}")
+        else !live.contains(rel)
+      case "cdc" => !liveCdc.contains(rel)
+      case "dv" => !liveDv.contains(rel)
+      case _ => false
+    }
+    if (dead) Some(rel) else None
   }
 
   /** COPY INTO ledger key for a source file: path-keyed, so the same

@@ -271,4 +271,44 @@ class PartitionedTableSpec extends SparkSpec {
     val rows = t.snapshot().orderBy("id").as[(Long, Option[String])].collect()
     assert(rows === Array((1L, Some("A")), (9L, None)))
   }
+
+  test("distributed vacuum enumeration: one job, identical reclaim set") {
+    val parts = ('A' to 'H').map(_.toString)
+    val seed = parts.flatMap(p => (1L to 20L).map(i => (p, i)))
+      .toDF("p", "id").repartition(8)
+    val t = GraftTable.create(spark, tmp(), seed, partitionBy = Seq("p"))
+    // retire files across many partitions: deletes + a compaction
+    t.delete($"id" <= 5)
+    t.compact(1)
+    t.deleteMor($"id" === 20L)
+    t.purgeDvs() // retires dv files too
+    // serial enumeration (forced) = the reference reclaim set
+    t.setProperties(Map("graft.vacuum.distributed" -> "false"))
+    val serial = t.vacuumDryRun(1).select("path").as[String].collect().toSet
+    assert(serial.nonEmpty, "the scenario must leave reclaimable files")
+    // distributed enumeration (forced): identical set, ONE Spark job
+    t.setProperties(Map("graft.vacuum.distributed" -> "true",
+      "graft.vacuum.shards" -> "4"))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dist = t.vacuumDryRun(1).select("path").as[String].collect().toSet
+      // listener events are async — give the bus a beat to drain
+      Thread.sleep(500)
+      assert(dist === serial,
+        s"distributed lost ${(serial -- dist).size}, invented ${(dist -- serial).size}")
+      // the dry-run frame itself is a local Seq — the only job is the
+      // sharded enumeration (collect of the dry-run adds none)
+      assert(jobs === 1, s"expected ONE enumeration job, saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the real vacuum through the distributed path reclaims them
+    val n = t.vacuum(1)
+    assert(n === serial.size.toLong)
+    assert(t.snapshot().count() === seed.count() - 8 * 5 - 8)
+  }
 }
