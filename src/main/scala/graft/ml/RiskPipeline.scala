@@ -2,6 +2,7 @@ package graft.ml
 
 import graft.Tables
 import graft.Tables.{asDouble, dec}
+import graft.tables.GraftTable
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
@@ -200,4 +201,63 @@ object RiskPipeline {
       .withColumn("bad_flag", (col("o_orderstatus") =!= "F").cast("string"))
       .withColumn("price_band",
         (floor(col("o_totalprice") / 50000).cast("long") * 50000))
+
+  // ---- run ledger (experiment-tracking analog) --------------------------
+
+  /** EXPERIMENT-TRACKING run ledger — the persistence analog of the
+    * reference's MLflow logging (03-Fraud-ML.py:186-213 logs params,
+    * metrics and the model per run; the repo computed every metric
+    * but persisted none): one row per training run in a GraftTable at
+    * `ledgerPath` — (run_id, params JSON, metrics JSON, model_path,
+    * logged_at millis). The append rides the transactional
+    * exactly-once path (txn appId = the run id), so a RETRIED job
+    * logs its run ONCE however many times it replays — the same
+    * idempotence contract as the streaming sink. The ledger is an
+    * ordinary graft table: time travel, history and SQL all work on
+    * it (audit = `spark.sql("SELECT ... FROM runs VERSION AS OF n")`).
+    */
+  def logRun(spark: SparkSession, ledgerPath: String, runId: String,
+      params: Map[String, String], metrics: Map[String, Double],
+      modelPath: String = ""): Unit = {
+    import spark.implicits._
+    def js[A](m: Map[String, A]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }
+        .mkString("{", ",", "}")
+    val row = Seq((runId, js(params), js(metrics), modelPath,
+      System.currentTimeMillis()))
+      .toDF("run_id", "params", "metrics", "model_path", "logged_at")
+    val t =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(ledgerPath, "_graft_log")))
+        GraftTable.load(spark, ledgerPath)
+      else GraftTable.create(spark, ledgerPath, row.limit(0))
+    t.appendIfNew(row, 0L, appId = s"mlrun:$runId")
+  }
+
+  /** [[tuned]] with its run persisted: CV params + the best metric
+    * land in the ledger exactly once under `runId`.
+    */
+  def tunedLogged(spark: SparkSession, sfDir: String,
+      ledgerPath: String, runId: String): Double = {
+    val best = tuned(spark, sfDir)
+    logRun(spark, ledgerPath, runId,
+      Map("estimator" -> "LogisticRegression", "numFolds" -> "3",
+        "grid.regParam" -> "0.1,0.01"),
+      Map("bestAvgAUC" -> best))
+    best
+  }
+
+  /** [[score]] + AUC with the run persisted (the 03-Fraud-ML.py
+    * train→score→log flow end-to-end).
+    */
+  def scoreLogged(spark: SparkSession, sfDir: String,
+      ledgerPath: String, runId: String,
+      modelPath: String = ""): DataFrame = {
+    val scored = score(spark, sfDir)
+    logRun(spark, ledgerPath, runId,
+      Map("estimator" -> "LogisticRegression", "maxIter" -> "10",
+        "elasticNetParam" -> "0.5", "split" -> "issue_year<=1997"),
+      Map("auc" -> auc(scored)), modelPath)
+    scored
+  }
 }

@@ -43,4 +43,31 @@ class MlSpec extends SparkSpec {
     val total = cm.agg(sum($"sum_net")).as[Double].head()
     assert(total != 0.0)
   }
+
+  test("run ledger: two runs land two rows, retries land exactly once") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_mlruns_").resolve("runs").toString
+    RiskPipeline.logRun(spark, ledger, "run-001",
+      Map("estimator" -> "lr", "maxIter" -> "10"),
+      Map("auc" -> 0.61), "/models/run-001")
+    RiskPipeline.logRun(spark, ledger, "run-002",
+      Map("estimator" -> "gbt"), Map("auc" -> 0.58))
+    // a RETRY of run-001 (same run id) must be a no-op — the
+    // exactly-once txn watermark, not a duplicate row
+    RiskPipeline.logRun(spark, ledger, "run-001",
+      Map("estimator" -> "lr", "maxIter" -> "10"),
+      Map("auc" -> 0.61), "/models/run-001")
+    val t = graft.tables.GraftTable.load(spark, ledger)
+    val rows = t.snapshot()
+    assert(rows.count() === 2)
+    assert(rows.select("run_id").as[String].collect().toSet ===
+      Set("run-001", "run-002"))
+    val r1 = rows.where($"run_id" === "run-001").head()
+    assert(r1.getAs[String]("params").contains("\"maxIter\":\"10\""))
+    assert(r1.getAs[String]("metrics") === """{"auc":"0.61"}""")
+    assert(r1.getAs[String]("model_path") === "/models/run-001")
+    // the ledger is an ordinary graft table: history shows one commit
+    // per DISTINCT run (create + 2 appends; the retry committed none)
+    assert(t.history().count() === 3)
+  }
 }
