@@ -2557,7 +2557,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     }
     val probeFiles =
       if (bySource.nonEmpty) {
-        if (bySourceConds.exists(_.isEmpty)) filesAt(base)
+        // an unconditional clause touches any unmatched row, and an
+        // unboundable key set (readsTable with no envelope) leaves
+        // the matched side unscopable — both force the full probe
+        if (bySourceConds.exists(_.isEmpty) ||
+            (readCond.isEmpty && readsTable)) filesAt(base)
         else {
           val any = bySourceConds.flatten.reduce(_ || _)
           val pred = readCond.map(_ || any).getOrElse(any)

@@ -463,6 +463,22 @@ class ConflictResolutionSpec extends SparkSpec {
     assert(t2.snapshot().where($"id" === 5L).select("x").as[Double].head() === -1.0)
   }
 
+  test("BY SOURCE with unboundable keys still probes the matched side") {
+    import graft.tables.GraftTable.{BySourceDelete, MatchedUpdate}
+    // a BOOLEAN key has no stats envelope (readsTable posture); a
+    // conditional BY SOURCE clause must not shrink the probe to its
+    // own predicate's files — the matched row still has to rewrite
+    val path = tmp()
+    val t = GraftTable.create(spark, path,
+      Seq((true, "a"), (false, "b")).toDF("flag", "v"))
+    t.merge(Seq((true, "A2")).toDF("flag", "v"), Seq("flag"),
+      Seq(MatchedUpdate()), None,
+      Seq(BySourceDelete(Some($"v" === "zz")))) // matches nothing
+    val rows = t.snapshot().orderBy("v").as[(Boolean, String)].collect()
+    assert(rows === Array((true, "A2"), (false, "b")),
+      s"matched update lost under an unboundable key: ${rows.toSeq}")
+  }
+
   test("DML racing DML on the same partition never loses an update") {
     // the overlap either fail-fasts or serializes — both racers
     // landing must produce the serial result, never a lost update
