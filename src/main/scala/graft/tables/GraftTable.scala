@@ -4017,19 +4017,30 @@ object GraftTable {
     // name.
     Files.createDirectories(t.root.resolve("files"))
     val mapping = c.files.zipWithIndex.map { case (f, i) =>
-      val rel = if (Paths.get(f).isAbsolute)
+      f -> (if (Paths.get(f).isAbsolute)
         s"files/clone_${i}_${Paths.get(f).getFileName}"
-      else f
-      val dst = t.root.resolve(rel)
-      Files.createDirectories(dst.getParent)
-      Files.copy(src.root.resolve(f), dst,
-        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-      val bloom = Paths.get(src.abs(f) + ".bloom")
-      if (Files.exists(bloom))
-        Files.copy(bloom, Paths.get(dst.toString + ".bloom"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      f -> rel
+      else f)
     }.toMap
+    val pairs = mapping.toSeq.map { case (f, rel) =>
+      (src.abs(f), t.root.resolve(rel).toString) }
+    def copyOne(sa: String, da: String): Unit = {
+      val dst = Paths.get(da)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(sa), dst,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      val bloom = Paths.get(sa + ".bloom")
+      if (Files.exists(bloom))
+        Files.copy(bloom, Paths.get(da + ".bloom"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // the copy is the whole cost of a deep clone — at thousands of
+    // files a serial driver loop is the vacuum-walk problem again, so
+    // big clones copy in ONE Spark job (same shard posture as the
+    // distributed vacuum enumeration)
+    if (pairs.size < 64) pairs.foreach { case (sa, da) => copyOne(sa, da) }
+    else spark.sparkContext
+      .parallelize(pairs, math.min(pairs.size, 256))
+      .foreach { case (sa, da) => copyOne(sa, da) }
     Files.createDirectories(t.logDir)
     t.commit("DEEP_CLONE", -1L, c.files.map(mapping), schema,
       Map("sourceVersion" -> v,

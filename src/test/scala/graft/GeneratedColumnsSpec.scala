@@ -363,6 +363,37 @@ class GeneratedColumnsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
   }
 
+  test("mixed-zone rewrites stand down derivation; the legacy record drops") {
+    val ti = GraftTable.create(spark, tmp(),
+      Seq(("2020-06-01 10:00:00", 1L), ("2021-06-01 12:00:00", 2L))
+        .toDF("s", "v").select($"s".cast("timestamp").as("ts"), $"v"),
+      partitionBy = Seq("y"),
+      generated = Map("y" -> "year(ts)"))
+    assert(ti.properties.contains("graft.writerTimeZone"))
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // 2022-01-01 05:00 Tokyo = 2021-12-31 20:00 UTC; y = 2022
+      ti.append(Seq(("2022-01-01 05:00:00", 3L)).toDF("s", "v")
+        .select($"s".cast("timestamp").as("ts"), $"v"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    // the mismatched-zone write dropped the CREATE-time record: the
+    // table-level fallback must not vouch for unstamped files anymore
+    assert(!ti.properties.contains("graft.writerTimeZone"),
+      "legacy zone record must drop once a second zone writes")
+    // COMPACT merges zones per partition — outputs whose INPUTS agree
+    // keep their zone; after compaction the UTC reader's derived
+    // bound still cannot lose the Tokyo row through any scan
+    ti.compact(1)
+    assert(ti.snapshot().where($"ts" <=
+      lit("2021-12-31 23:30:00").cast("timestamp")).count() === 3,
+      "a post-compaction derivation lost the Tokyo-materialized row")
+    val cand = ti.candidateFiles(
+      $"ts" <= lit("2021-12-31 23:30:00").cast("timestamp"))
+    assert(cand.size === ti.snapshotInfo(ti.latestVersion).files.size,
+      "the y=2022 (Tokyo-materialized) file must stay un-prunable")
+  }
+
   test("shallow clone carries generation spec and identity high water") {
     val src = tmp()
     val t = GraftTable.create(spark, src,

@@ -485,6 +485,20 @@ class GraftSqlSpec extends SparkSpec {
       "materialized clone must read through the DV-gated scan")
   }
 
+  test("big deep clones copy through the distributed path") {
+    val dir = Files.createTempDirectory("graft_deepbig_").resolve("t").toString
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 2000).select($"id", ($"id" * 2).as("x"))
+        .repartition(80)) // ≥64 files → the one-job parallel copy
+    assert(t.snapshotInfo(t.latestVersion).files.size >= 64)
+    val loc = Files.createTempDirectory("graft_deepbig_").resolve("c").toString
+    GraftTable.deepClone(spark, dir, loc)
+    val c = GraftTable.load(spark, loc)
+    assert(c.snapshot().count() === 2000)
+    assert(c.snapshot().exceptAll(t.snapshot()).count() === 0)
+    assert(c.rowCount === Some(2000L), "stats must carry through the parallel copy")
+  }
+
   test("SHALLOW CLONE VERSION AS OF forks a historical state") {
     val (t, _) = registered("gs_clv_src")
     val dst = Files.createTempDirectory("graft_clv_").resolve("c").toString
