@@ -88,6 +88,8 @@ object SparkEntry {
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
     "tbl_merge_sync" -> (TableOps.mergeSync _),
+    "tbl_deep_clone" -> (TableOps.deepCloneScenario _),
+    "ml_run_ledger" -> (TableOps.runLedgerScenario _),
     "tbl_delete_where" -> (TableOps.deleteWhere _),
     "tbl_bloom_point" -> (TableOps.bloomPointDelete _),
     "tbl_partition_overwrite" -> (TableOps.partitionOverwrite _),
@@ -871,6 +873,16 @@ object SparkEntry {
         |       ELSE o.o_orderpriority END AS o_orderpriority
         |FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey
         |WHERE o.o_orderstatus <> 'P'""".stripMargin,
+    // the deep clone is self-contained: after source DELETE + compact
+    // + vacuum, the clone still reads the ORIGINAL state
+    "tbl_deep_clone" -> "SELECT * FROM orders",
+    "ml_run_ledger" ->
+      """SELECT * FROM (VALUES
+        |  ('run-001', '{"estimator":"lr","maxIter":"10"}',
+        |   '{"auc":"0.61"}', '/models/run-001'),
+        |  ('run-002', '{"estimator":"gbt"}',
+        |   '{"auc":"0.58"}', '/models/run-002'))
+        |  AS t(run_id, params, metrics, model_path)""".stripMargin,
     "tbl_delete_where" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)""".stripMargin,

@@ -89,6 +89,41 @@ object TableOps {
     t.snapshot()
   }
 
+  /** DEEP CLONE scenario: clone the scratch table (byte-copy, fresh
+    * history), then DELETE on the SOURCE — the clone must still read
+    * the full original state (self-contained; survives source DML
+    * and vacuum). Oracle: the untouched orders table.
+    */
+  def deepCloneScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val loc = Files.createTempDirectory("graft_deepq_").resolve("c").toString
+    GraftTable.deepClone(spark, t.root.toString, loc)
+    t.delete(col("o_orderstatus") === "O")
+    t.compact(1)
+    t.vacuum(1)
+    GraftTable.load(spark, loc).snapshot()
+  }
+
+  /** RUN-LEDGER scenario: two training runs log (one retried) — the
+    * ledger holds exactly one row per run id with its params/metrics.
+    * Oracle: the two literal rows (logged_at is wall-clock and stays
+    * out of the result).
+    */
+  def runLedgerScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    val loc = Files.createTempDirectory("graft_ledq_").resolve("runs").toString
+    graft.ml.RiskPipeline.logRun(spark, loc, "run-001",
+      Map("estimator" -> "lr", "maxIter" -> "10"),
+      Map("auc" -> 0.61), "/models/run-001")
+    graft.ml.RiskPipeline.logRun(spark, loc, "run-002",
+      Map("estimator" -> "gbt"), Map("auc" -> 0.58), "/models/run-002")
+    // a replayed job re-logs run-001: exactly-once, no duplicate row
+    graft.ml.RiskPipeline.logRun(spark, loc, "run-001",
+      Map("estimator" -> "lr", "maxIter" -> "10"),
+      Map("auc" -> 0.61), "/models/run-001")
+    GraftTable.load(spark, loc).snapshot()
+      .select(col("run_id"), col("params"), col("metrics"), col("model_path"))
+  }
+
   /** DML DELETE WHERE — the GDPR scenario (01-Fraud-Delta.py:159). */
   def deleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
     val t = scratch(spark, sfDir)
