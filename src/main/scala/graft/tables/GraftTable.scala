@@ -553,6 +553,51 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else Some(zs.head)
   }
 
+  /** Per-file stamp variant: partition-aligned rewrites stamp each
+    * output from ITS partition's input zone ([[partitionStampZones]]).
+    */
+  private def collectStats(files: Seq[String],
+      genZoneFor: String => Option[String]): Map[String, FileStats] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = files.map(rel => Future(collectStatsOne(rel, genZoneFor(rel))))
+    Await.result(Future.sequence(fs), 30.minutes).toMap
+  }
+
+  /** Per-OUTPUT-file stamp zones for a partition-aligned PURE rewrite
+    * (COMPACT/CLUSTER/ZORDER never merge rows across partitions and
+    * inject no session-clock values): each output takes its
+    * partition's common input zone, so a multi-zone table keeps
+    * derivation alive through routine maintenance — only a partition
+    * whose own inputs already disagree stands down. Outputs without a
+    * partition tuple (unpartitioned table) take the global
+    * common-zone verdict.
+    */
+  private def partitionStampZones(inputs: Seq[String], base: Long,
+      outPartValues: Map[String, Map[String, String]])
+      : String => Option[String] = {
+    if (tzDependentGens.isEmpty) return _ => Some(sessionTz)
+    val global = rewriteStampZone(inputs, base, sessionValues = false)
+    val stats = if (base < 0) Map.empty[String, FileStats]
+      else readCommit(base).stats.getOrElse(Map.empty)
+    val pv = if (base < 0) Map.empty[String, Map[String, String]]
+      else readCommit(base).partValues.getOrElse(Map.empty)
+    val prop = writerTimeZone
+    val byTuple: Map[Option[Map[String, String]], Option[String]] =
+      inputs.groupBy(pv.get).map { case (tup, fs) =>
+        val zones = fs.map(f => stats.get(f).flatMap(_.tz).orElse(prop))
+        tup -> (if (zones.exists(_.isEmpty)) None else {
+          val zs = zones.flatten
+          if (zs.tail.forall(sameZone(zs.head, _))) Some(zs.head) else None
+        })
+      }
+    out => outPartValues.get(out) match {
+      case Some(tup) => byTuple.getOrElse(Some(tup), global)
+      case None => global
+    }
+  }
+
   private def collectStatsOne(rel: String,
       genZone: Option[String]): (String, FileStats) = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -1067,7 +1112,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commitResolved("COMPACT", base, small.toSet, w.files,
       None, readsTable = false, schemaAt(base),
       Map("numRewrittenFiles" -> small.size.toLong),
-      collectStats(w.files, rewriteStampZone(small, base, sessionValues = false)),
+      collectStats(w.files, partitionStampZones(small, base, w.partValues)),
       newPartValues = w.partValues)
   }
 
@@ -2220,7 +2265,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       touched.toSet, w.files, Some(cond), readsTable = false,
       schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong),
-      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = false)),
+      collectStats(w.files, partitionStampZones(touched, base, w.partValues)),
       cdcFiles = Some(cdc), newPartValues = w.partValues))
   }
 
@@ -2293,7 +2338,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commitResolved("PURGE", base, touched.toSet, w.files,
       None, readsTable = false, schema,
       Map("numRewrittenFiles" -> touched.size.toLong),
-      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = false)),
+      collectStats(w.files, partitionStampZones(touched, base, w.partValues)),
       cdcFiles = Some(Nil), dvOut = (_, _) => Some(Nil),
       newPartValues = w.partValues)
   }
@@ -2791,7 +2836,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commitResolved("COMPACT", base, filesAt(base).toSet, w.files,
       None, readsTable = false, schemaAt(base),
       Map("numRemovedFiles" -> filesAt(base).size.toLong),
-      collectStats(w.files, rewriteStampZone(filesAt(base), base, sessionValues = false)),
+      collectStats(w.files, partitionStampZones(filesAt(base), base, w.partValues)),
       dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
@@ -2837,7 +2882,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commitResolved("COMPACT", base, touched.toSet, w.files,
       None, readsTable = false, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong),
-      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = false)),
+      collectStats(w.files, partitionStampZones(touched, base, w.partValues)),
       newPartValues = w.partValues)
   }
 
@@ -2854,7 +2899,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commitResolved("CLUSTER", base, filesAt(base).toSet, w.files,
       None, readsTable = false, schemaAt(base),
       Map("numRemovedFiles" -> filesAt(base).size.toLong),
-      collectStats(w.files, rewriteStampZone(filesAt(base), base, sessionValues = false)),
+      collectStats(w.files, partitionStampZones(filesAt(base), base, w.partValues)),
       dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
@@ -2875,7 +2920,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commitResolved("ZORDER", base, filesAt(base).toSet, w.files,
       None, readsTable = false, schemaAt(base),
       Map("numRemovedFiles" -> filesAt(base).size.toLong),
-      collectStats(w.files, rewriteStampZone(filesAt(base), base, sessionValues = false)),
+      collectStats(w.files, partitionStampZones(filesAt(base), base, w.partValues)),
       dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }
 
@@ -2901,7 +2946,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     commitResolved("ZORDER", base, touched.toSet, w.files,
       None, readsTable = false, schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong),
-      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = false)),
+      collectStats(w.files, partitionStampZones(touched, base, w.partValues)),
       newPartValues = w.partValues)
   }
 

@@ -381,10 +381,17 @@ class GeneratedColumnsSpec extends SparkSpec {
     // table-level fallback must not vouch for unstamped files anymore
     assert(!ti.properties.contains("graft.writerTimeZone"),
       "legacy zone record must drop once a second zone writes")
-    // COMPACT merges zones per partition — outputs whose INPUTS agree
-    // keep their zone; after compaction the UTC reader's derived
-    // bound still cannot lose the Tokyo row through any scan
+    // COMPACT never merges across partitions, so each output keeps
+    // ITS partition's input zone — stamps survive routine maintenance
+    // on a multi-zone table instead of standing down wholesale
     ti.compact(1)
+    val info = ti.snapshotInfo(ti.latestVersion)
+    val zones = info.files.flatMap(f => info.stats.get(f).flatMap(_.tz)).toSet
+    assert(zones.exists(z => z == "UTC" || z == "Etc/UTC") &&
+      zones.contains("Asia/Tokyo"),
+      s"per-partition stamps must survive compaction, got $zones")
+    // and the UTC reader's derived bound still cannot lose the Tokyo
+    // row through any scan
     assert(ti.snapshot().where($"ts" <=
       lit("2021-12-31 23:30:00").cast("timestamp")).count() === 3,
       "a post-compaction derivation lost the Tokyo-materialized row")
