@@ -220,8 +220,18 @@ object RiskPipeline {
       params: Map[String, String], metrics: Map[String, Double],
       modelPath: String = ""): Unit = {
     import spark.implicits._
+    // minimal JSON string escaping: params/metrics values routinely
+    // carry quotes (nested grid specs) — unescaped interpolation
+    // would store malformed JSON in the ledger
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def js[A](m: Map[String, A]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v.toString)}"""" }
         .mkString("{", ",", "}")
     val row = Seq((runId, js(params), js(metrics), modelPath,
       System.currentTimeMillis()))

@@ -781,16 +781,20 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       replaceConstraints.getOrElse(carriedConstraints ++ newConstraints)
     val propsOut0 = (if (v == 0) Map.empty[String, String]
       else readCommit(base).properties.getOrElse(Map.empty)) ++ newProperties
-    // per-commit writer zones: once a session in a DIFFERENT zone
-    // lands a data write on this table, the CREATE-time table-level
-    // zone no longer describes "all unstamped files" — drop it so
-    // the legacy fallback dies (per-file stamps carry the truth for
-    // everything written since).
-    val propsOut =
-      if (newStats.nonEmpty &&
-          propsOut0.get(GraftTable.writerTzKey).exists(!sameZone(_, sessionTz)))
+    // per-commit writer zones: once files stamped with a DIFFERENT
+    // zone than the CREATE-time record land, the table-level record
+    // no longer describes "all unstamped files" — drop it so the
+    // legacy fallback dies (per-file stamps carry the truth for
+    // everything written since). The test is on the MATERIALIZED
+    // stamps, not the session: a pure rewrite by a foreign-zone ops
+    // session stamps its outputs with their input zone and must not
+    // cost untouched legacy files their derivation.
+    val propsOut = propsOut0.get(GraftTable.writerTzKey) match {
+      case Some(prop)
+        if newStats.values.exists(_.tz.exists(!sameZone(prop, _))) =>
         propsOut0 - GraftTable.writerTzKey
-      else propsOut0
+      case _ => propsOut0
+    }
     // generation/identity specs are immutable after CREATE/CLONE
     val genOut = if (v == 0) generatedOpt
       else readCommit(base).generated
@@ -2417,11 +2421,20 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         .withColumn("_change_type", lit("update_preimage"))
         .unionByName(applied.where(col("__hit")).drop("__hit")
           .withColumn("_change_type", lit("update_postimage"))))
+    // session-clock generated values only materialize when the SET
+    // touches a generated column (explicitly, or via its inputs and
+    // the recompute) — an unrelated UPDATE keeps its inputs' zone
+    val gensTouched = generatedColumns.exists { case (gc, genExpr) =>
+      set.keys.exists(_.equalsIgnoreCase(gc)) ||
+        referencedColumns(genExpr).exists(r =>
+          set.keys.exists(_.equalsIgnoreCase(r)))
+    }
     maybeAutoCompact(commitResolved("UPDATE", base,
       touched.toSet, w.files, Some(cond), readsTable = false,
       schemaAt(base),
       Map("numRewrittenFiles" -> touched.size.toLong),
-      collectStats(w.files, rewriteStampZone(touched, base, sessionValues = true)),
+      collectStats(w.files,
+        rewriteStampZone(touched, base, sessionValues = gensTouched)),
       cdcFiles = Some(cdc), newPartValues = w.partValues))
   }
 
@@ -3173,7 +3186,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       val rootStr = root.toString
       val bc = spark.sparkContext.broadcast((live, liveCdc, liveDv))
       val tasks = for { d <- dirs; s <- 0 until shards } yield (d, s)
-      spark.sparkContext.parallelize(tasks, tasks.size)
+      try spark.sparkContext.parallelize(tasks, tasks.size)
         .flatMap { case (d, s) =>
           val (lv, lc, ldv) = bc.value
           val stream = java.nio.file.Files.list(
@@ -3189,6 +3202,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
             out.toSeq
           } finally stream.close()
         }.collect().toSeq
+      // scheduled vacuums in a long session must not accumulate
+      // broadcast blocks of million-path live sets
+      finally bc.destroy()
     }
   }
 
@@ -4036,15 +4052,31 @@ object GraftTable {
       // merge-on-read state: materialize the masked snapshot. The
       // clone's files carry LOGICAL names (fresh physical=logical
       // mapping) — the snapshot read already translated physicals.
+      // The materialized rows CARRY the source's generated values, so
+      // the zone stamp is the SOURCE files' common recorded zone (or
+      // none) — stamping the cloning session's zone would let a
+      // matching reader derive bounds over foreign-zone values and
+      // prune rows the predicate matches.
       val data = src.snapshotAt(v)
       Files.createDirectories(t.logDir)
       val w = t.writeData(data, c.partitionBy.getOrElse(Nil),
         Map.empty,
         for { b <- c.bucketBy; n <- c.numBuckets } yield (b: Seq[String], n))
+      val srcZone: Option[String] = {
+        val stats = c.stats.getOrElse(Map.empty)
+        val zones = c.files.map(f => stats.get(f).flatMap(_.tz))
+        if (zones.exists(_.isEmpty)) None
+        else {
+          val zs = zones.flatten
+          if (zs.isEmpty || zs.tail.forall(src.sameZone(zs.head, _)))
+            zs.headOption
+          else None
+        }
+      }
       t.commit("DEEP_CLONE", -1L, w.files, data.schema,
         Map("sourceVersion" -> v, "numAddedFiles" -> w.files.size.toLong) ++
           (if (idHw != -2L) Map(src.identityKey -> idHw) else Map.empty),
-        t.collectStats(w.files),
+        t.collectStats(w.files, genZone = srcZone),
         c.constraints.getOrElse(Map.empty),
         newPartValues = w.partValues,
         partitionByOpt = c.partitionBy,
@@ -4053,6 +4085,9 @@ object GraftTable {
         identityOpt = c.identityCol,
         bucketByOpt = for { b <- c.bucketBy; n <- c.numBuckets }
           yield (b: Seq[String], n))
+      // the byte-copy path carries sidecars with the files; this path
+      // wrote fresh files, so a declared bloom index backfills here
+      if (t.bloomColumns.nonEmpty) t.rebuildBloomIndex()
       return t
     }
     // byte-copy path: same bytes, same footers — stats/partition
@@ -4068,30 +4103,36 @@ object GraftTable {
     }.toMap
     val pairs = mapping.toSeq.map { case (f, rel) =>
       (src.abs(f), t.root.resolve(rel).toString) }
-    def copyOne(sa: String, da: String): Unit = {
+    // REPLACE_EXISTING: a retried clone after a mid-copy failure (no
+    // commit was written, so the destination log check passes) must
+    // complete, not trip over the files the first attempt copied
+    def copyOne(sa: String, da: String): Long = {
       val dst = Paths.get(da)
       Files.createDirectories(dst.getParent)
       Files.copy(Paths.get(sa), dst,
-        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val bloom = Paths.get(sa + ".bloom")
       if (Files.exists(bloom))
         Files.copy(bloom, Paths.get(da + ".bloom"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.size(dst)
     }
     // the copy is the whole cost of a deep clone — at thousands of
     // files a serial driver loop is the vacuum-walk problem again, so
     // big clones copy in ONE Spark job (same shard posture as the
-    // distributed vacuum enumeration)
-    if (pairs.size < 64) pairs.foreach { case (sa, da) => copyOne(sa, da) }
-    else spark.sparkContext
-      .parallelize(pairs, math.min(pairs.size, 256))
-      .foreach { case (sa, da) => copyOne(sa, da) }
+    // distributed vacuum enumeration); byte counts ride back from the
+    // copy tasks instead of a second serial stat walk
+    val copiedBytes =
+      if (pairs.size < 64) pairs.map { case (sa, da) => copyOne(sa, da) }.sum
+      else spark.sparkContext
+        .parallelize(pairs, math.min(pairs.size, 256))
+        .map { case (sa, da) => copyOne(sa, da) }.sum().toLong
     Files.createDirectories(t.logDir)
     t.commit("DEEP_CLONE", -1L, c.files.map(mapping), schema,
       Map("sourceVersion" -> v,
         "numAddedFiles" -> c.files.size.toLong,
-        "numCopiedBytes" -> c.files.map(f =>
-          Files.size(src.root.resolve(f))).sum) ++
+        "numCopiedBytes" -> copiedBytes) ++
         (if (idHw != -2L) Map(src.identityKey -> idHw) else Map.empty),
       c.stats.getOrElse(Map.empty).map { case (f, s) => mapping(f) -> s },
       c.constraints.getOrElse(Map.empty),

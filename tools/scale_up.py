@@ -15,6 +15,10 @@ import duckdb
 
 src, dst = sys.argv[1], sys.argv[2]
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# the letter-shift mangle cycles the 26-letter alphabet (a shorter
+# translate target would DELETE letters) and the embedding rotation
+# index must stay below the vector length
+assert 1 <= N <= 26, f"replicas must be in [1, 26], got {N}"
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
