@@ -408,6 +408,29 @@ class OperatorsSpec extends SparkSpec {
       s"invented ${(mh -- exact).size}")
   }
 
+  test("incremental dedup over slices equals the one-shot result") {
+    // every pair must surface exactly once — in the batch of its
+    // LATER member — and the union over batches must equal probing
+    // everything into a fresh index at once
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft_idx_spec_").toString
+    val docs = Tables.load(spark, sf, "documents")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val oneShot = Dedup.incrementalDedup(spark, tmp(), docs)
+      .collect().map(key).toSet
+    assert(oneShot.nonEmpty, "the corpus must contain near-dup pairs")
+    val idx = tmp()
+    val sliced = (0 until 3).flatMap { s =>
+      Dedup.incrementalDedup(spark, idx,
+        docs.filter($"doc_id" % 3 === s)).collect().map(key)
+    }
+    assert(sliced.size === sliced.toSet.size,
+      "a pair surfaced in more than one batch")
+    assert(sliced.toSet === oneShot,
+      s"slices lost ${(oneShot -- sliced.toSet).size}, " +
+        s"invented ${(sliced.toSet -- oneShot).size}")
+  }
+
   test("connected components converges in O(log n) rounds on a chain") {
     // a 1000-node path is the star-contraction worst case the
     // diameter-bound algorithm choked on: 999 propagation rounds
