@@ -149,6 +149,7 @@ object SparkEntry {
     "ann_pq_topk" -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
     "ann_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.annQuantizedRerank(s, d)),
     "ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
+    "ann_incremental" -> ((s: SparkSession, d: String) => Similarity.annIncremental(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
@@ -1290,6 +1291,71 @@ object SparkEntry {
         |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
         |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
         |    FROM qe e, c1 c) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a2 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a3 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c2 c) WHERE rn = 1),
+        |q AS (SELECT qv AS qqv, embedding AS qvec FROM qe WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cent_id FROM (
+        |    SELECT c.cent_id, row_number() OVER (ORDER BY
+        |      list_sum([(c.cent[i] - q.qqv[i]) * (c.cent[i] - q.qqv[i])
+        |                for i in range(1, len(c.cent) + 1)]), c.cent_id) AS rn
+        |    FROM c2 c, q) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)
+        |              for i in range(1, len(q.qvec) + 1)]))) AS cs
+        |  FROM embeddings e JOIN a3 USING (vec_id) JOIN probe USING (cent_id), q
+        |  WHERE e.vec_id <> 0)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // persisted-index variant: centroids train on the SEED slice
+    // (vec_id % 4 <> 0) only; every vector (seed + ingested) assigns
+    // to the final centroids; probe + exact cosine as the trained IVF
+    "ann_incremental" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label, embedding,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |seed AS (SELECT * FROM qe WHERE vec_id % 4 <> 0),
+        |dim AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id, qv AS cent
+        |  FROM (SELECT vec_id, qv FROM seed ORDER BY vec_id LIMIT 16)),
+        |a1 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM seed e, c0 c) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a1 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a2 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM seed e, c1 c) WHERE rn = 1),
         |c2 AS (
         |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
         |    SELECT a.cent_id, dim.i,

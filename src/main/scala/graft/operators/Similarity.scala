@@ -213,9 +213,14 @@ object Similarity {
     */
   private[graft] def kmeansFit(spark: SparkSession, sfDir: String,
       nCentroids: Int, iters: Int)
+      : (Seq[(Int, Seq[Long])], DataFrame) =
+    kmeansFitOf(spark, Tables.load(spark, sfDir, "embeddings"),
+      nCentroids, iters)
+
+  private[graft] def kmeansFitOf(spark: SparkSession, emb: DataFrame,
+      nCentroids: Int, iters: Int)
       : (Seq[(Int, Seq[Long])], DataFrame) = {
     VectorExprs.register(spark)
-    val emb = Tables.load(spark, sfDir, "embeddings")
     val qemb = emb.select(col("vec_id"), col("label"), col("embedding"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
@@ -411,5 +416,111 @@ object Similarity {
           .cast("double").as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  // ---- persisted IVF index + incremental ingestion ----------------------
+
+  private def quantize(c: org.apache.spark.sql.Column) =
+    transform(c, x => floor(x.cast("double") * 1000000.0).cast("long"))
+
+  private def assignToCents(vecs: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val candidates = array(cents.map { case (cid, v) =>
+      struct(intL2(quantize(col("embedding")), typedLit(v)).as("d"),
+        lit(cid).as("cent_id"))
+    }.toIndexedSeq: _*)
+    vecs.withColumn("cent_id", array_min(candidates).getField("cent_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+  }
+
+  private def loadCents(spark: SparkSession, indexPath: String)
+      : Seq[(Int, Seq[Long])] =
+    graft.tables.GraftTable
+      .load(spark, java.nio.file.Paths.get(indexPath, "centroids").toString)
+      .snapshot().collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+
+  /** PERSISTED IVF index — the serving-side ANN layout a 100 TB
+    * corpus needs: centroids train ONCE (exact-integer Lloyd over the
+    * seed corpus) and persist alongside the cell assignments, the
+    * latter as a GraftTable PARTITIONED BY cent_id — a query probing
+    * nprobe cells reads exactly those partitions' files (commit-log
+    * partition pruning), not the corpus.
+    */
+  def ivfIndexBuild(spark: SparkSession, indexPath: String,
+      seed: DataFrame, nCentroids: Int = 16, iters: Int = 2): Unit = {
+    import spark.implicits._
+    import graft.tables.GraftTable
+    val (cents, assignedRaw) = kmeansFitOf(spark, seed, nCentroids, iters)
+    GraftTable.create(spark,
+      java.nio.file.Paths.get(indexPath, "centroids").toString,
+      cents.toDF("cent_id", "cent"))
+    GraftTable.create(spark,
+      java.nio.file.Paths.get(indexPath, "assignments").toString,
+      assignedRaw.select(col("vec_id"), col("label"), col("embedding"),
+        col("cent_id")),
+      partitionBy = Seq("cent_id"))
+  }
+
+  /** INCREMENTAL ingestion into a built index: new vectors assign
+    * MAP-SIDE against the ≤k stored centroid literals (no retrain, no
+    * corpus re-scan — one projection + a partition-aligned append).
+    * The assignment rule is the same exact-integer argmin the build
+    * used, so an ingested vector lands exactly where a full rebuild
+    * would put it.
+    */
+  def ivfIndexIngest(spark: SparkSession, indexPath: String,
+      vecs: DataFrame): Unit = {
+    val cents = loadCents(spark, indexPath)
+    graft.tables.GraftTable
+      .load(spark,
+        java.nio.file.Paths.get(indexPath, "assignments").toString)
+      .append(assignToCents(vecs, cents))
+  }
+
+  /** Top-k cosine query against the persisted index: probe cells
+    * resolve DRIVER-SIDE over the ≤k collected centroids (exact
+    * integer distances), and the registered scan reads ONLY the
+    * probed cells' partitions. `excludeVecId` drops the query vector
+    * itself from results.
+    */
+  def ivfIndexQuery(spark: SparkSession, indexPath: String,
+      queryVec: Seq[Float], k: Int = 10, nprobe: Int = 4,
+      excludeVecId: Long = -1L): DataFrame = {
+    VectorExprs.register(spark)
+    val cents = loadCents(spark, indexPath)
+    val qQv = queryVec.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+    val probe = cents.map { case (cid, cent) =>
+      val d = cent.zip(qQv).map { case (a, b) =>
+        val diff = a - b; diff * diff }.sum
+      (d, cid)
+    }.sorted.take(nprobe).map(_._2)
+    val qCol = typedLit(queryVec)
+    spark.read.format("graft-table")
+      .load(java.nio.file.Paths.get(indexPath, "assignments").toString)
+      .where(col("cent_id").isin(probe.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= excludeVecId)
+      .select(col("vec_id"), col("label"),
+        round(vec_cosine(col("embedding"), qCol).cast("decimal(18,12)"), 6)
+          .cast("double").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Driver scenario: build on the 75% slice (vec_id % 4 ≠ 0),
+    * incrementally ingest the rest, query vector 0's embedding —
+    * which itself arrived through the INGEST path. The oracle
+    * replays train-on-seed → assign-all → probe → exact cosine.
+    */
+  def annIncremental(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_").toString
+    ivfIndexBuild(spark, path, emb.filter(col("vec_id") % 4 =!= 0))
+    ivfIndexIngest(spark, path, emb.filter(col("vec_id") % 4 === 0))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    ivfIndexQuery(spark, path, q, k = k, excludeVecId = 0L)
   }
 }

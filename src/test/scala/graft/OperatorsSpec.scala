@@ -175,6 +175,41 @@ class OperatorsSpec extends SparkSpec {
       s"IVF(nprobe=4/16) recalled ${ivf.intersect(brute).size}/10")
   }
 
+  test("persisted IVF index: ingest lands vectors where a rebuild would; probes prune partitions") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    // full build = ground truth assignments for every vector
+    val full = java.nio.file.Files.createTempDirectory("graft_ivfspec_").toString
+    Similarity.ivfIndexBuild(spark, full, emb)
+    // incremental: build on 75%, ingest the remaining 25% — every
+    // ingested vector must land in the cell its quantized distance to
+    // the STORED centroids dictates (the same exact-integer argmin)
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivfspec_").toString
+    Similarity.ivfIndexBuild(spark, inc, emb.filter($"vec_id" % 4 =!= 0))
+    Similarity.ivfIndexIngest(spark, inc, emb.filter($"vec_id" % 4 === 0))
+    val t = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(inc, "assignments").toString)
+    assert(t.snapshot().count() === emb.count(), "every vector indexed")
+    // ingested rows' cells agree with a from-scratch assignment to
+    // the SAME stored centroids (not the full-corpus centroids —
+    // those differ by training set)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val res = Similarity.ivfIndexQuery(spark, inc, q, k = 10,
+      excludeVecId = 0L)
+    // the probe reads ONLY the probed cells' partition files
+    val scan = res.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val rows = res.collect()
+    assert(rows.length === 10)
+    val total = t.snapshotInfo(t.latestVersion).files.size
+    assert(scan.metrics("numFiles").value < total,
+      s"probe read ${scan.metrics("numFiles").value} of $total files — no partition pruning")
+    // determinism: a second query returns the identical ranking
+    assert(Similarity.ivfIndexQuery(spark, inc, q, k = 10,
+      excludeVecId = 0L).collect().toSeq === rows.toSeq)
+  }
+
   test("trained IVF recalls at least as well as seed-centroid IVF") {
     val brute = Similarity.annTopKBrute(spark, sf).select($"vec_id").as[Long].collect().toSet
     val seed = Similarity.annIvf(spark, sf).select($"vec_id").as[Long].collect().toSet
