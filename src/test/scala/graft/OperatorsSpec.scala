@@ -443,6 +443,34 @@ class OperatorsSpec extends SparkSpec {
       s"invented ${(mh -- exact).size}")
   }
 
+  test("incremental exact dedup: ledger canonicals are stable across batches") {
+    // the synthetic corpus has no exact duplicates at the gate SFs,
+    // so the incremental-exact ledger is exercised on a constructed
+    // corpus: cross-batch dups, in-batch dups, and novel docs
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft_exidx_spec_").resolve("l").toString
+    val path = tmp()
+    val b1 = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      .toDF("doc_id", "text")
+    val d1 = Dedup.incrementalExact(spark, path, b1)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // in-batch dup: 3 duplicates 1 (batch minimum is canonical)
+    assert(d1.map(r => (r._1, r._2)).toSeq === Seq((3L, 1L)))
+    val b2 = Seq((10L, "beta text"), (11L, "alpha text"),
+      (12L, "gamma text"), (13L, "gamma text")).toDF("doc_id", "text")
+    val d2 = Dedup.incrementalExact(spark, path, b2)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // cross-batch dups resolve to the STORED canonicals (2 and 1,
+    // not 10/11); the novel gamma pair resolves in-batch
+    assert(d2.map(r => (r._1, r._2)).toSeq ===
+      Seq((10L, 2L), (11L, 1L), (13L, 12L)))
+    // the ledger holds one canonical per distinct hash, forever
+    val ledger = graft.tables.GraftTable.load(spark, path).snapshot()
+    assert(ledger.count() === 3)
+    assert(ledger.select("canonical_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 12L))
+  }
+
   test("incremental dedup over slices equals the one-shot result") {
     // every pair must surface exactly once — in the batch of its
     // LATER member — and the union over batches must equal probing
