@@ -423,17 +423,21 @@ object Similarity {
   private def quantize(c: org.apache.spark.sql.Column) =
     transform(c, x => floor(x.cast("double") * 1000000.0).cast("long"))
 
-  private def assignToCents(vecs: DataFrame,
+  private[graft] def assignToCents(vecs: DataFrame,
       cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    // quantize ONCE into a column — the interpreted HOF transform has
+    // no codegen and no subexpression elimination, so spelling it
+    // inside each of the k candidates would cost k array passes/row
     val candidates = array(cents.map { case (cid, v) =>
-      struct(intL2(quantize(col("embedding")), typedLit(v)).as("d"),
+      struct(intL2(col("__qv"), typedLit(v)).as("d"),
         lit(cid).as("cent_id"))
     }.toIndexedSeq: _*)
-    vecs.withColumn("cent_id", array_min(candidates).getField("cent_id"))
+    vecs.withColumn("__qv", quantize(col("embedding")))
+      .withColumn("cent_id", array_min(candidates).getField("cent_id"))
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
   }
 
-  private def loadCents(spark: SparkSession, indexPath: String)
+  private[graft] def loadCents(spark: SparkSession, indexPath: String)
       : Seq[(Int, Seq[Long])] =
     graft.tables.GraftTable
       .load(spark, java.nio.file.Paths.get(indexPath, "centroids").toString)
@@ -460,6 +464,9 @@ object Similarity {
       assignedRaw.select(col("vec_id"), col("label"), col("embedding"),
         col("cent_id")),
       partitionBy = Seq("cent_id"))
+    // the assignments are materialized in the table now — release the
+    // quantized-corpus cache kmeansFitOf persisted for Lloyd
+    assignedRaw.unpersist()
   }
 
   /** INCREMENTAL ingestion into a built index: new vectors assign

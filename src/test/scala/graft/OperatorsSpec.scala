@@ -175,23 +175,26 @@ class OperatorsSpec extends SparkSpec {
       s"IVF(nprobe=4/16) recalled ${ivf.intersect(brute).size}/10")
   }
 
-  test("persisted IVF index: ingest lands vectors where a rebuild would; probes prune partitions") {
+  test("persisted IVF index: ingest lands vectors where the stored argmin dictates; probes prune partitions") {
     val emb = Tables.load(spark, sf, "embeddings")
-    // full build = ground truth assignments for every vector
-    val full = java.nio.file.Files.createTempDirectory("graft_ivfspec_").toString
-    Similarity.ivfIndexBuild(spark, full, emb)
-    // incremental: build on 75%, ingest the remaining 25% — every
-    // ingested vector must land in the cell its quantized distance to
-    // the STORED centroids dictates (the same exact-integer argmin)
+    // incremental: build on 75%, ingest the remaining 25%
     val inc = java.nio.file.Files.createTempDirectory("graft_ivfspec_").toString
     Similarity.ivfIndexBuild(spark, inc, emb.filter($"vec_id" % 4 =!= 0))
     Similarity.ivfIndexIngest(spark, inc, emb.filter($"vec_id" % 4 === 0))
     val t = graft.tables.GraftTable.load(spark,
       java.nio.file.Paths.get(inc, "assignments").toString)
     assert(t.snapshot().count() === emb.count(), "every vector indexed")
-    // ingested rows' cells agree with a from-scratch assignment to
-    // the SAME stored centroids (not the full-corpus centroids —
-    // those differ by training set)
+    // THE property: every ingested vector sits in exactly the cell a
+    // fresh exact-integer argmin against the STORED centroids puts it
+    val cents = Similarity.loadCents(spark, inc)
+    val expected = Similarity
+      .assignToCents(emb.filter($"vec_id" % 4 === 0), cents)
+      .select($"vec_id", $"cent_id").as[(Long, Int)].collect().toMap
+    val got = t.snapshot().where($"vec_id" % 4 === 0)
+      .select($"vec_id", $"cent_id").as[(Long, Int)].collect().toMap
+    assert(got === expected,
+      s"${got.count { case (k, v) => expected.get(k).exists(_ != v) }} " +
+        "ingested vector(s) landed in the wrong cell")
     val q = emb.filter($"vec_id" === 0)
       .select($"embedding").head().getSeq[Float](0)
     val res = Similarity.ivfIndexQuery(spark, inc, q, k = 10,
