@@ -706,8 +706,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           // the stamp is only ever consulted on tables with
           // tz-dependent generated columns, whose data files are all
           // graft-written (gens exist from CREATE) — adopted/
-          // CONVERTed files never mislead
-          genZone)
+          // CONVERTed files never mislead. A stood-down verdict
+          // (None) is recorded as the explicit sentinel, NOT omitted:
+          // an absent stamp means "pre-feature file" and may be
+          // vouched for by the table-level CREATE-zone record, which
+          // must never happen for files we chose not to stamp.
+          genZone.orElse(Some(GraftTable.unstampedTz)))
       } finally reader.close()
     }.head
   }
@@ -789,9 +793,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // stamps, not the session: a pure rewrite by a foreign-zone ops
     // session stamps its outputs with their input zone and must not
     // cost untouched legacy files their derivation.
+    // The __unstamped__ sentinel is excluded: those files refuse
+    // derivation on their own stamp and need no record-drop — and
+    // dropping would cost untouched legacy files their derivation.
     val propsOut = propsOut0.get(GraftTable.writerTzKey) match {
       case Some(prop)
-        if newStats.values.exists(_.tz.exists(!sameZone(prop, _))) =>
+        if newStats.values.exists(_.tz.exists(z =>
+          z != GraftTable.unstampedTz && !sameZone(prop, z))) =>
         propsOut0 - GraftTable.writerTzKey
       case _ => propsOut0
     }
@@ -3692,6 +3700,18 @@ object GraftTable {
     * were materialized under (see [[GraftTable.writerTimeZone]]).
     */
   private[tables] val writerTzKey = "graft.writerTimeZone"
+
+  /** Sentinel recorded as a file's zone stamp when the write
+    * INTENTIONALLY stands down (a rewrite carrying rows materialized
+    * under disagreeing zones, or mixing carried values with
+    * session-clock recomputes). Distinct from an ABSENT stamp
+    * (pre-feature file), which may still be vouched for by the
+    * table-level CREATE-zone record: the sentinel never equals any
+    * real zone, so [[GraftTable.fileZoneOk]] keeps such files
+    * unconditionally instead of letting the fallback wrongly enable
+    * tz-derived pruning over foreign-zone-materialized values.
+    */
+  private[tables] val unstampedTz = "__unstamped__"
 
   /** Undo Hive/Spark partition-path escaping (`%2F` etc) — the exact
     * inverse of the `escapePathName` applied by the parquet writer's

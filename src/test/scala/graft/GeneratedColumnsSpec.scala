@@ -401,6 +401,40 @@ class GeneratedColumnsSpec extends SparkSpec {
       "the y=2022 (Tokyo-materialized) file must stay un-prunable")
   }
 
+  test("a foreign-zone UPDATE's unstamped outputs are never vouched " +
+      "for by the CREATE-zone record") {
+    // Both rows land in partition y=2021 under the UTC create session.
+    val ti = GraftTable.create(spark, tmp(),
+      Seq(("2021-06-01 10:00:00", 1L), ("2021-12-31 20:00:00", 2L))
+        .toDF("s", "v").select($"s".cast("timestamp").as("ts"), $"v"),
+      partitionBy = Seq("y"),
+      generated = Map("y" -> "year(ts)"))
+    assert(ti.properties.contains("graft.writerTimeZone"))
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // SET ts = ts touches a generated input, so y recomputes under
+      // the Tokyo clock: row 2 (2021-12-31 20:00 UTC = 2022-01-01
+      // 05:00 Tokyo) migrates to partition y=2022 while its ts stays
+      // in 2021. The rewrite verdict stands down (UTC-stamped inputs,
+      // Tokyo session values) — outputs are INTENTIONALLY unstamped.
+      ti.update($"v" === 2L, Map("ts" -> $"ts"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    // The table-level UTC record survives (untouched legacy files
+    // keep their fallback) — but it must NOT vouch for the new files.
+    assert(ti.properties.contains("graft.writerTimeZone"),
+      "an unstamped rewrite must not cost legacy files the record")
+    // The UTC reader's derived bound y <= 2021 must not prune the
+    // y=2022 (Tokyo-materialized) file: it holds a 2021 ts row.
+    assert(ti.snapshot().where($"ts" <=
+      lit("2021-12-31 23:30:00").cast("timestamp")).count() === 2,
+      "the record vouched for a foreign-zone-materialized file")
+    val cand = ti.candidateFiles(
+      $"ts" <= lit("2021-12-31 23:30:00").cast("timestamp"))
+    assert(cand.size === ti.snapshotInfo(ti.latestVersion).files.size,
+      "the y=2022 file must stay un-prunable for the UTC reader")
+  }
+
   test("shallow clone carries generation spec and identity high water") {
     val src = tmp()
     val t = GraftTable.create(spark, src,
