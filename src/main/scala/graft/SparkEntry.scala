@@ -91,6 +91,7 @@ object SparkEntry {
     "tbl_merge_sync" -> (TableOps.mergeSync _),
     "tbl_deep_clone" -> (TableOps.deepCloneScenario _),
     "ml_run_ledger" -> (TableOps.runLedgerScenario _),
+    "ml_model_registry" -> (TableOps.modelRegistryScenario _),
     "tbl_delete_where" -> (TableOps.deleteWhere _),
     "tbl_bloom_point" -> (TableOps.bloomPointDelete _),
     "tbl_partition_overwrite" -> (TableOps.partitionOverwrite _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "tbl_merge_conditional" -> (TableOps.mergeConditional _),
     "tbl_merge_identity" -> (TableOps.mergeIdentity _),
     "mv_incremental" -> (TableOps.mvIncremental _),
+    "mv_incremental_minmax" -> (TableOps.mvIncrementalMinMax _),
     // §D temporal joins
     "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
     "asof_join_native" -> ((s: SparkSession, d: String) => {
@@ -927,6 +929,13 @@ object SparkEntry {
         |  ('run-002', '{"estimator":"gbt"}',
         |   '{"auc":"0.58"}', '/models/run-002'))
         |  AS t(run_id, params, metrics, model_path)""".stripMargin,
+    "ml_model_registry" ->
+      """SELECT * FROM (VALUES
+        |  ('best', 'gbt', 'run-002', 0.58),
+        |  ('best', 'lr', 'run-004', 0.71),
+        |  ('latest', 'gbt', 'run-002', 0.58),
+        |  ('latest', 'lr', 'run-005', 0.60))
+        |  AS t(view, estimator, run_id, auc)""".stripMargin,
     "tbl_delete_where" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)""".stripMargin,
@@ -970,6 +979,29 @@ object SparkEntry {
         |SELECT o_orderstatus,
         |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_o_totalprice,
         |  COUNT(*) AS n_rows
+        |FROM live GROUP BY o_orderstatus""".stripMargin,
+    "mv_incremental_minmax" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders),
+        |del AS (
+        |  SELECT * FROM upd
+        |  WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)),
+        |app AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |fin AS (SELECT * FROM del UNION ALL SELECT * FROM app),
+        |live AS (SELECT * FROM fin WHERE NOT (o_totalprice < 1000.0))
+        |SELECT o_orderstatus,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_o_totalprice,
+        |  COUNT(*) AS n_rows,
+        |  CAST(round(MIN(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_o_totalprice,
+        |  CAST(round(MAX(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_o_totalprice
         |FROM live GROUP BY o_orderstatus""".stripMargin,
     "tbl_update_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

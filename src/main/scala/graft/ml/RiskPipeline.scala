@@ -244,6 +244,61 @@ object RiskPipeline {
     t.appendIfNew(row, 0L, appId = s"mlrun:$runId")
   }
 
+  // ---- model registry (ledger-driven) -----------------------------------
+
+  /** The run ledger with its registry columns materialized: estimator
+    * name out of the params JSON, `metric`'s value out of the metrics
+    * JSON (null when the run didn't log it). The base frame both
+    * registry views window over.
+    */
+  private def ledgerRuns(spark: SparkSession, ledgerPath: String,
+      metric: String): DataFrame =
+    GraftTable.load(spark, ledgerPath).snapshot()
+      .withColumn("estimator",
+        get_json_object(col("params"), "$.estimator"))
+      .withColumn("metric_value",
+        get_json_object(col("metrics"), s"$$.$metric").cast("double"))
+
+  /** MODEL REGISTRY, latest view — the newest run per estimator
+    * (03-Fraud-ML.py:22-24 serves "the registered model"; the ledger
+    * is the source of truth, the registry is a WINDOWED READ over it,
+    * so it needs no second store and can never drift from the runs).
+    * Ordering is (logged_at, run_id) — the run_id tiebreak keeps the
+    * view deterministic when two runs land in the same millisecond.
+    * O(runs) with one partial-aggregated window; the ledger is run-
+    * count-sized, never data-sized, so this holds at any corpus
+    * scale.
+    */
+  def latestRuns(spark: SparkSession, ledgerPath: String,
+      metric: String = "auc"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("estimator"))
+      .orderBy(col("logged_at").desc, col("run_id").desc)
+    ledgerRuns(spark, ledgerPath, metric)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .select(col("estimator"), col("run_id"), col("metric_value"),
+        col("model_path"), col("logged_at"))
+  }
+
+  /** MODEL REGISTRY, best view — the highest-`metric` run per
+    * estimator (ties to the newest, then run_id — deterministic).
+    * Runs that never logged the metric sort last and can only win
+    * when no run logged it.
+    */
+  def bestRuns(spark: SparkSession, ledgerPath: String,
+      metric: String = "auc"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("estimator"))
+      .orderBy(col("metric_value").desc_nulls_last,
+        col("logged_at").desc, col("run_id").desc)
+    ledgerRuns(spark, ledgerPath, metric)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .select(col("estimator"), col("run_id"), col("metric_value"),
+        col("model_path"), col("logged_at"))
+  }
+
   /** [[tuned]] with its run persisted: CV params + the best metric
     * land in the ledger exactly once under `runId`.
     */

@@ -124,6 +124,38 @@ object TableOps {
       .select(col("run_id"), col("params"), col("metrics"), col("model_path"))
   }
 
+  /** MODEL REGISTRY over the run ledger (03-Fraud-ML.py:22-24 serves
+    * the registered model; :186-213 logs runs): five runs across two
+    * estimators, one replayed (exactly-once absorbs it), then the two
+    * registry views — `best` (highest auc per estimator) and `latest`
+    * (newest per estimator) — in one frame. run-004 beats the earlier
+    * lr runs and run-005 is newer-but-worse, so best and latest
+    * legitimately disagree on lr. logged_at is wall-clock, so the
+    * result projects only the deterministic registry columns.
+    */
+  def modelRegistryScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ml.RiskPipeline.{bestRuns, latestRuns, logRun}
+    val loc = Files.createTempDirectory("graft_regq_").resolve("runs").toString
+    logRun(spark, loc, "run-001",
+      Map("estimator" -> "lr", "maxIter" -> "10"), Map("auc" -> 0.61))
+    logRun(spark, loc, "run-002",
+      Map("estimator" -> "gbt"), Map("auc" -> 0.58))
+    logRun(spark, loc, "run-003",
+      Map("estimator" -> "lr"), Map("auc" -> 0.57))
+    logRun(spark, loc, "run-004",
+      Map("estimator" -> "lr"), Map("auc" -> 0.71))
+    logRun(spark, loc, "run-005",
+      Map("estimator" -> "lr"), Map("auc" -> 0.60))
+    // a replayed training job must not shift either view
+    logRun(spark, loc, "run-004",
+      Map("estimator" -> "lr"), Map("auc" -> 0.71))
+    def shaped(df: DataFrame, view: String): DataFrame =
+      df.select(lit(view).as("view"), col("estimator"), col("run_id"),
+        col("metric_value").as("auc"))
+    shaped(bestRuns(spark, loc), "best")
+      .unionByName(shaped(latestRuns(spark, loc), "latest"))
+  }
+
   /** DML DELETE WHERE — the GDPR scenario (01-Fraud-Delta.py:159). */
   def deleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
     val t = scratch(spark, sfDir)
@@ -458,6 +490,31 @@ object TableOps {
     val mvPath = Files.createTempDirectory("graft_mv_").resolve("mv").toString
     val mv = graft.tables.IncrementalMatView.create(spark, t, mvPath,
       Seq("o_orderstatus"), "o_totalprice")
+    t.update(col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" ->
+        round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+          .cast("double")))
+    t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    val orders = Tables.load(spark, sfDir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N")))
+    t.deleteMor(col("o_totalprice") < lit(1000.0))
+    mv.refresh()
+    mv.view()
+  }
+
+  /** [[mvIncremental]] with maintained MIN/MAX measures: the same
+    * DML storm, but the copy-on-write DELETE and the DV delete retire
+    * group extremes, so the refresh exercises the affected-group
+    * recompute path — the oracle recomputes min/max relationally and
+    * asserts maintained ≡ recompute for NON-abelian measures too.
+    */
+  def mvIncrementalMinMax(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val mvPath = Files.createTempDirectory("graft_mvx_").resolve("mv").toString
+    val mv = graft.tables.IncrementalMatView.create(spark, t, mvPath,
+      Seq("o_orderstatus"), "o_totalprice", extremes = true)
     t.update(col("o_orderpriority") === "1-URGENT",
       Map("o_totalprice" ->
         round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)

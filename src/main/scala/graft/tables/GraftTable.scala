@@ -47,7 +47,10 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   private def commitFile(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
   private def listVersions(): Seq[Long] =
-    GraftTable.listPaths(logDir)
+    // a not-yet-born table (deepClone stages data BEFORE creating the
+    // log, so a crashed attempt leaves no log to mistake for a table)
+    // simply has no versions
+    (if (Files.exists(logDir)) GraftTable.listPaths(logDir) else Nil)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong)
@@ -1118,14 +1121,24 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (small.size < minFiles) return base
     val bytes = small.map(f => Files.size(root.resolve(f))).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val data = readFilesDvAware(small, schemaAt(base), dvAt(base),
-      columnMapAt(base)).coalesce(n)
-    val w = writeData(data)
-    commitResolved("COMPACT", base, small.toSet, w.files,
-      None, readsTable = false, schemaAt(base),
-      Map("numRewrittenFiles" -> small.size.toLong),
-      collectStats(w.files, partitionStampZones(small, base, w.partValues)),
-      newPartValues = w.partValues)
+    binpackZoneGroups(small, base) match {
+      case Some(groups) =>
+        val (files, pv, stats) = binpackGrouped(groups, base, n)
+        commitResolved("COMPACT", base, small.toSet, files,
+          None, readsTable = false, schemaAt(base),
+          Map("numRewrittenFiles" -> small.size.toLong),
+          stats, newPartValues = pv)
+      case None =>
+        val data = readFilesDvAware(small, schemaAt(base), dvAt(base),
+          columnMapAt(base)).coalesce(n)
+        val w = writeData(data)
+        commitResolved("COMPACT", base, small.toSet, w.files,
+          None, readsTable = false, schemaAt(base),
+          Map("numRewrittenFiles" -> small.size.toLong),
+          collectStats(w.files,
+            partitionStampZones(small, base, w.partValues)),
+          newPartValues = w.partValues)
+    }
   }
 
   /** AUTO COMPACTION, driven by table properties: when
@@ -1453,6 +1466,59 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (keep.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else readFilesDvAware(keep, schema, dvAt(latestVersion), columnMapAt(latestVersion))
+  }
+
+  /** Files whose [min,max] interval for `key` may contain ANY of the
+    * (sorted) point values — the set-valued twin of
+    * [[snapshotPruned]]'s single interval, for data-dependent key
+    * sets (an incremental-dedup candidate fetch, a point-lookup
+    * batch). O(files · log |values|) driver-side binary searches
+    * against commit-log stats; files without stats keep
+    * conservatively. No Catalyst expression is built, so the set may
+    * be millions of keys without planner cost.
+    */
+  private[graft] def filesPrunedIn(key: String,
+      sortedValues: Array[Double]): Seq[String] = {
+    val c = readCommit(latestVersion)
+    val stats = c.stats.getOrElse(Map.empty)
+    val pk = physName(c.columnMap.getOrElse(Map.empty), key)
+    def anyIn(lo: Double, hi: Double): Boolean = {
+      // first value >= lo; in-range iff it also <= hi
+      var a = 0; var b = sortedValues.length
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (sortedValues(m) < lo) a = m + 1 else b = m
+      }
+      a < sortedValues.length && sortedValues(a) <= hi
+    }
+    c.files.filter { f =>
+      stats.get(f) match {
+        case Some(fs) =>
+          (fs.mins.get(pk), fs.maxs.get(pk)) match {
+            case (Some(mn), Some(mx)) => anyIn(mn, mx)
+            case _ => true
+          }
+        case None => true
+      }
+    }
+  }
+
+  /** Data-skipping read over a SET of point keys: only files whose
+    * recorded [min,max] for `key` intersects the set are scanned
+    * ([[filesPrunedIn]]). Returns a SUPERSET of the matching rows
+    * (file granularity) — callers filter or join as needed.
+    */
+  def snapshotPrunedIn(key: String, values: Array[Double]): DataFrame = {
+    val sorted = values.clone(); java.util.Arrays.sort(sorted)
+    val keep = filesPrunedIn(key, sorted)
+    val c = readCommit(latestVersion)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(c.schemaJson).asInstanceOf[StructType]
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else readFilesDvAware(keep, schema, dvAt(latestVersion),
+      columnMapAt(latestVersion))
   }
 
   /** DESCRIBE HISTORY analog: one row per commit. */
@@ -2843,22 +2909,94 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     finally idCleanup()
   }
 
+  /** Recorded-zone groups of a BINPACK rewrite's input files — the
+    * multi-zone maintenance regroup: when a tz-dependent table's
+    * inputs span ≥2 recorded writer zones, compaction bin-packs
+    * WITHIN each zone's files instead of merging across them, so
+    * every output file stays single-zone and keeps its derivation
+    * stamp (a cross-zone merge would have to stand down, silently
+    * degrading generated-column pruning after routine maintenance).
+    * None = take the ordinary single-write path: no tz-dependent
+    * gens, single-zone inputs (the common case — the per-partition
+    * verdict already preserves the zone), or any input with an
+    * unknown zone (conservative fall-back).
+    */
+  private def binpackZoneGroups(inputs: Seq[String],
+      base: Long): Option[Map[String, Seq[String]]] = {
+    if (tzDependentGens.isEmpty || inputs.size < 2 || base < 0) return None
+    val stats = readCommit(base).stats.getOrElse(Map.empty)
+    val prop = writerTimeZone
+    val zones = inputs.map(f => f -> stats.get(f).flatMap(_.tz).orElse(prop))
+    if (zones.exists(_._2.isEmpty)) return None
+    val grouped = zones.groupBy(_._2.get)
+      .map { case (z, fs) => z -> fs.map(_._1) }
+    // distinct SPELLINGS of the same clock stay separate groups —
+    // harmless (each group's stamp is its own recorded spelling,
+    // which sameZone resolves at read time)
+    if (grouped.size < 2) None else Some(grouped)
+  }
+
+  /** Rewrite each zone group separately (outputs proportional to the
+    * group's byte share of `totalOutFiles`) and stamp every output
+    * with ITS group's zone — per-file stats via the genZoneFor
+    * collect. Returns (files, partValues, stats) for the commit.
+    */
+  private def binpackGrouped(groups: Map[String, Seq[String]],
+      base: Long, totalOutFiles: Int)
+      : (Seq[String], Map[String, Map[String, String]],
+         Map[String, GraftTable.FileStats]) = {
+    val sizes = groups.map { case (z, fs) =>
+      z -> math.max(1L, fs.map { f =>
+        val p = root.resolve(f)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum)
+    }
+    val total = math.max(1L, sizes.values.sum)
+    val written = groups.toSeq.map { case (z, fs) =>
+      val n = math.max(1, math.round(
+        totalOutFiles.toDouble * sizes(z) / total).toInt)
+      val data = readFilesDvAware(fs, schemaAt(base), dvAt(base),
+        columnMapAt(base)).coalesce(n)
+      (z, writeData(data, partitionColumnsAt(base), columnMapAt(base),
+        bucketSpecAt(base)))
+    }
+    val files = written.flatMap(_._2.files)
+    val pv = written.flatMap(_._2.partValues).toMap
+    val zoneOf = written.flatMap { case (z, w) =>
+      w.files.map(_ -> z)
+    }.toMap
+    (files, pv, collectStats(files, f => zoneOf.get(f)))
+  }
+
   /** OPTIMIZE analog: coalesce the snapshot into `numFiles` files
     * (per partition on a partitioned table — compaction never merges
-    * across partition boundaries).
+    * across partition boundaries; on a multi-zone tz-dependent table,
+    * never across recorded writer zones either, so derivation stamps
+    * survive maintenance — [[binpackZoneGroups]]).
     */
   def compact(numFiles: Int = 1): Long = {
     val base = latestVersion
-    val data = snapshotAt(base).coalesce(numFiles)
-    val w = writeData(data)
-    // the rewrite read the snapshot DV-aware, so the DVs are applied
-    // (purged) by compaction — clear them. Reads only what it
-    // rewrites: concurrent appends land via conflict resolution.
-    commitResolved("COMPACT", base, filesAt(base).toSet, w.files,
-      None, readsTable = false, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong),
-      collectStats(w.files, partitionStampZones(filesAt(base), base, w.partValues)),
-      dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
+    binpackZoneGroups(filesAt(base), base) match {
+      case Some(groups) =>
+        val (files, pv, stats) = binpackGrouped(groups, base, numFiles)
+        commitResolved("COMPACT", base, filesAt(base).toSet, files,
+          None, readsTable = false, schemaAt(base),
+          Map("numRemovedFiles" -> filesAt(base).size.toLong),
+          stats, dvOut = (_, _) => Some(Nil), newPartValues = pv)
+      case None =>
+        val data = snapshotAt(base).coalesce(numFiles)
+        val w = writeData(data)
+        // the rewrite read the snapshot DV-aware, so the DVs are
+        // applied (purged) by compaction — clear them. Reads only
+        // what it rewrites: concurrent appends land via conflict
+        // resolution.
+        commitResolved("COMPACT", base, filesAt(base).toSet, w.files,
+          None, readsTable = false, schemaAt(base),
+          Map("numRemovedFiles" -> filesAt(base).size.toLong),
+          collectStats(w.files,
+            partitionStampZones(filesAt(base), base, w.partValues)),
+          dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
+    }
   }
 
   /** OPTIMIZE with a TARGET FILE SIZE (how Delta's OPTIMIZE actually
@@ -2894,17 +3032,28 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val data = readFilesDvAware(touched, schemaAt(base), dvAt(base),
-      columnMapAt(base)).coalesce(n)
-    val w = writeData(data)
-    // rewritten files absorbed their tombstones; DV files that now
-    // mask only retired paths drop, re-opening DV-gated readers.
-    // Reads only what it rewrites — disjoint DML/appends commute.
-    commitResolved("COMPACT", base, touched.toSet, w.files,
-      None, readsTable = false, schemaAt(base),
-      Map("numRewrittenFiles" -> touched.size.toLong),
-      collectStats(w.files, partitionStampZones(touched, base, w.partValues)),
-      newPartValues = w.partValues)
+    binpackZoneGroups(touched, base) match {
+      case Some(groups) =>
+        val (files, pv, stats) = binpackGrouped(groups, base, n)
+        commitResolved("COMPACT", base, touched.toSet, files,
+          None, readsTable = false, schemaAt(base),
+          Map("numRewrittenFiles" -> touched.size.toLong),
+          stats, newPartValues = pv)
+      case None =>
+        val data = readFilesDvAware(touched, schemaAt(base), dvAt(base),
+          columnMapAt(base)).coalesce(n)
+        val w = writeData(data)
+        // rewritten files absorbed their tombstones; DV files that
+        // now mask only retired paths drop, re-opening DV-gated
+        // readers. Reads only what it rewrites — disjoint
+        // DML/appends commute.
+        commitResolved("COMPACT", base, touched.toSet, w.files,
+          None, readsTable = false, schemaAt(base),
+          Map("numRewrittenFiles" -> touched.size.toLong),
+          collectStats(w.files,
+            partitionStampZones(touched, base, w.partValues)),
+          newPartValues = w.partValues)
+    }
   }
 
   /** Z-ORDER analog: range-repartition + sort by the cluster keys so
@@ -4078,7 +4227,6 @@ object GraftTable {
       // matching reader derive bounds over foreign-zone values and
       // prune rows the predicate matches.
       val data = src.snapshotAt(v)
-      Files.createDirectories(t.logDir)
       val w = t.writeData(data, c.partitionBy.getOrElse(Nil),
         Map.empty,
         for { b <- c.bucketBy; n <- c.numBuckets } yield (b: Seq[String], n))
@@ -4093,6 +4241,11 @@ object GraftTable {
           else None
         }
       }
+      // the log is born only once the data write has fully succeeded
+      // — a failure mid-write must not leave a commitless log dir
+      // that permanently fails a retry's "already exists" guard (the
+      // byte-copy branch below already orders it this way)
+      Files.createDirectories(t.logDir)
       t.commit("DEEP_CLONE", -1L, w.files, data.schema,
         Map("sourceVersion" -> v, "numAddedFiles" -> w.files.size.toLong) ++
           (if (idHw != -2L) Map(src.identityKey -> idHw) else Map.empty),

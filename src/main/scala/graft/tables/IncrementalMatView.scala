@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   * to FP reordering, and a maintained view is bit-identical to a
   * recompute.
   *
+  * With `extremes = true` the view also maintains MIN/MAX of the
+  * measure — NON-abelian aggregates with no delta inverse, handled by
+  * AFFECTED-GROUP RECOMPUTE: a batch's insert-only groups still fold
+  * monotonically (new min = least(old, batch min)), while any group a
+  * delete/update_preimage row names is recomputed from the source —
+  * the deleted value may have BEEN the extreme, and no fold can
+  * resurrect the runner-up. The recompute scans the source once per
+  * refresh-with-deletes, but only the affected groups' rows survive
+  * the semi-join (the affected-key frame is delta-sized, so AQE
+  * broadcasts it and the scan never shuffles the corpus); a
+  * refresh whose feed holds no deletions never rescans at all.
+  *
   * Scale shape (100 TB): refresh cost is O(changed rows) + an
   * overwrite of the view itself (aggregate-sized, not fact-sized) —
   * a broad UPDATE feeds its blast radius through, a trickle append
@@ -32,16 +44,23 @@ import org.apache.spark.sql.functions._
   */
 class IncrementalMatView private (spark: SparkSession,
     val source: GraftTable, val mv: GraftTable,
-    keys: Seq[String], valueCol: String) {
+    keys: Seq[String], valueCol: String, extremes: Boolean) {
   import IncrementalMatView._
 
   private def dec38(c: org.apache.spark.sql.Column) =
     c.cast("decimal(12,4)").cast("decimal(38,4)")
 
-  private def aggregateOf(df: DataFrame): DataFrame =
-    df.groupBy(keys.map(col): _*)
-      .agg(sum(dec38(col(valueCol))).cast("decimal(38,4)").as("m_sum"),
-        count(lit(1)).as("m_cnt"))
+  private def aggregateOf(df: DataFrame): DataFrame = {
+    val base = Seq(
+      sum(dec38(col(valueCol))).cast("decimal(38,4)").as("m_sum"),
+      count(lit(1)).as("m_cnt"))
+    val ext = if (extremes) Seq(
+      min(dec38(col(valueCol))).cast("decimal(38,4)").as("m_min"),
+      max(dec38(col(valueCol))).cast("decimal(38,4)").as("m_max"))
+    else Nil
+    df.groupBy(keys.map(col): _*).agg((base ++ ext).head,
+      (base ++ ext).tail: _*)
+  }
 
   /** Source version the view currently reflects. */
   def reflectedVersion: Long = mv.maxMetric(SourceVersionKey).getOrElse(-1L)
@@ -66,51 +85,103 @@ class IncrementalMatView private (spark: SparkSession,
         .isin("insert", "update_postimage"), 1)
       .when(col("_change_type").isin("delete", "update_preimage"), -1)
       .otherwise(0)
-    val delta = feed
+    // groups a deletion touches: their MIN/MAX cannot be folded (the
+    // retired value may have been the extreme) — recomputed below.
+    // Without extremes every group folds; the affected set is empty.
+    val affected =
+      if (!extremes) spark.emptyDataFrame
+      else feed.where(col("_change_type")
+          .isin("delete", "update_preimage"))
+        .select(keys.map(col): _*).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anyAffected = extremes && affected.limit(1).count() > 0
+    // rows whose group is NOT being recomputed fold as signed deltas
+    // (with extremes, all such rows are positive — the negatives are
+    // exactly what defines an affected group)
+    val foldFeed =
+      if (!anyAffected) feed
+      else feed.join(affected, keys, "left_anti")
+    val deltaAggs = Seq(
+      sum(sign * dec38(col(valueCol))).cast("decimal(38,4)").as("m_sum"),
+      sum(sign).cast("long").as("m_cnt")) ++ (if (extremes) Seq(
+      min(when(sign > 0, dec38(col(valueCol))))
+        .cast("decimal(38,4)").as("m_min"),
+      max(when(sign > 0, dec38(col(valueCol))))
+        .cast("decimal(38,4)").as("m_max"))
+    else Nil)
+    val delta = foldFeed
       .groupBy(keys.map(col): _*)
-      .agg(sum(sign * dec38(col(valueCol))).cast("decimal(38,4)").as("m_sum"),
-        sum(sign).cast("long").as("m_cnt"))
-    val merged = mv.snapshot().unionByName(delta)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val mvOld =
+      if (!anyAffected) mv.snapshot()
+      else mv.snapshot().join(affected, keys, "left_anti")
+    val foldAggs = Seq(
+      sum(col("m_sum")).cast("decimal(38,4)").as("m_sum"),
+      sum(col("m_cnt")).cast("long").as("m_cnt")) ++ (if (extremes) Seq(
+      min(col("m_min")).cast("decimal(38,4)").as("m_min"),
+      max(col("m_max")).cast("decimal(38,4)").as("m_max"))
+    else Nil)
+    val folded = mvOld.unionByName(delta)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("m_sum")).cast("decimal(38,4)").as("m_sum"),
-        sum(col("m_cnt")).cast("long").as("m_cnt"))
+      .agg(foldAggs.head, foldAggs.tail: _*)
       .where(col("m_cnt") =!= 0)
+    val merged =
+      if (!anyAffected) folded
+      else {
+        // the recompute's semi-join keeps only affected groups' rows;
+        // a group whose rows all retired simply yields no row
+        val recomputed = aggregateOf(
+          source.snapshotAt(to).join(affected, keys, "left_semi"))
+        folded.unionByName(recomputed)
+      }
     mv.overwrite(merged, Map(SourceVersionKey -> to))
+    if (extremes && affected != null) affected.unpersist()
     to
   }
 
   /** The consumable view frame: group keys, the decimal-exact sum
     * surfaced as a double (rounded BEFORE the cast, the cross-engine
-    * parity recipe), and the row count.
+    * parity recipe), the row count, and — for an extremes view —
+    * min/max of the measure on the same recipe.
     */
-  def view(): DataFrame =
-    mv.snapshot().select(
-      (keys.map(col) ++ Seq(
-        round(col("m_sum"), 4).cast("double").as(s"sum_$valueCol"),
-        col("m_cnt").as("n_rows"))): _*)
+  def view(): DataFrame = {
+    val base = Seq(
+      round(col("m_sum"), 4).cast("double").as(s"sum_$valueCol"),
+      col("m_cnt").as("n_rows"))
+    val ext = if (extremes) Seq(
+      round(col("m_min"), 4).cast("double").as(s"min_$valueCol"),
+      round(col("m_max"), 4).cast("double").as(s"max_$valueCol"))
+    else Nil
+    mv.snapshot().select((keys.map(col) ++ base ++ ext): _*)
+  }
 }
 
 object IncrementalMatView {
   private val SourceVersionKey = "mvSourceVersion"
 
   /** Materialize the view at the source's current version (one full
-    * scan) and return the maintained handle.
+    * scan) and return the maintained handle. `extremes = true` adds
+    * maintained MIN/MAX of the measure (affected-group recompute on
+    * deletions — see the class doc).
     */
   def create(spark: SparkSession, source: GraftTable, mvPath: String,
-      keys: Seq[String], valueCol: String): IncrementalMatView = {
+      keys: Seq[String], valueCol: String,
+      extremes: Boolean = false): IncrementalMatView = {
     val v = source.latestVersion
-    val handle = new IncrementalMatView(spark, source, null, keys, valueCol)
+    val handle = new IncrementalMatView(spark, source, null, keys,
+      valueCol, extremes)
     val initial = handle.aggregateOf(source.snapshotAt(v))
     // CREATE records no metrics — land the data through an OVERWRITE
     // so the watermark is transactional with it
     val mv = GraftTable.create(spark, mvPath, initial.limit(0))
     mv.overwrite(initial, Map(SourceVersionKey -> v))
-    new IncrementalMatView(spark, source, mv, keys, valueCol)
+    new IncrementalMatView(spark, source, mv, keys, valueCol, extremes)
   }
 
   /** Re-open an existing maintained view. */
   def load(spark: SparkSession, source: GraftTable, mvPath: String,
-      keys: Seq[String], valueCol: String): IncrementalMatView =
+      keys: Seq[String], valueCol: String,
+      extremes: Boolean = false): IncrementalMatView =
     new IncrementalMatView(spark, source,
-      GraftTable.load(spark, mvPath), keys, valueCol)
+      GraftTable.load(spark, mvPath), keys, valueCol, extremes)
 }

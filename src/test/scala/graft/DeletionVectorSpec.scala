@@ -231,4 +231,52 @@ class DeletionVectorSpec extends SparkSpec {
     mv.refresh()
     assert(mv.view().where($"grp" === "9").count() === 0)
   }
+
+  test("extremes mat view survives a DELETE that retires a group's max") {
+    import graft.tables.IncrementalMatView
+    val dir = tmp()
+    val df = spark.range(0, 200)
+      .select($"id", ($"id" % 5).cast("string").as("grp"),
+        ($"id" * 7 % 100).cast("double").as("v"))
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    val mv = IncrementalMatView.create(spark, t, tmp(), Seq("grp"), "v",
+      extremes = true)
+    def recompute() = t.snapshot().groupBy($"grp")
+      .agg(round(sum($"v".cast("decimal(12,4)")), 4).cast("double").as("s"),
+        count(lit(1)).as("c"),
+        round(min($"v".cast("decimal(12,4)")), 4).cast("double").as("mn"),
+        round(max($"v".cast("decimal(12,4)")), 4).cast("double").as("mx"))
+      .orderBy($"grp").as[(String, Double, Long, Double, Double)]
+      .collect().toSeq
+    def maintained() = mv.view().orderBy($"grp")
+      .as[(String, Double, Long, Double, Double)].collect().toSeq
+    // append-only refresh: the monotone fold path, no deletions
+    t.append(spark.range(200, 220)
+      .select($"id", ($"id" % 5).cast("string").as("grp"),
+        lit(120.5).as("v"))) // a new global max for every group
+    mv.refresh()
+    assert(maintained() === recompute(), "insert-only fold diverged")
+    // the DELETE retires exactly the 120.5 extremes — a pure fold
+    // would be stuck at 120.5 forever; affected-group recompute
+    // must resurrect the runner-up max
+    t.delete($"v" === 120.5)
+    mv.refresh()
+    assert(maintained() === recompute(),
+      "maintained min/max diverged after deleting the group max")
+    assert(!maintained().exists(_._5 === 120.5),
+      "a retired max survived in the maintained view")
+    // an UPDATE that moves the minimum between groups exercises the
+    // preimage(recompute)/postimage(fold) split in one batch
+    val minId = t.snapshot().where($"grp" === "0")
+      .orderBy($"v", $"id").select($"id").as[Long].head()
+    t.update($"id" === minId, Map("grp" -> lit("3")))
+    mv.refresh()
+    assert(maintained() === recompute(), "cross-group move diverged")
+    // merge (insert+update mix) then a DV delete on top
+    t.merge(Seq((17L, "4", 999.0), (1000L, "4", -5.0))
+      .toDF("id", "grp", "v"), "id")
+    t.deleteMor($"v" === 999.0)
+    mv.refresh()
+    assert(maintained() === recompute(), "merge+DV-delete diverged")
+  }
 }

@@ -435,6 +435,51 @@ class GeneratedColumnsSpec extends SparkSpec {
       "the y=2022 file must stay un-prunable for the UTC reader")
   }
 
+  test("compaction bin-packs within writer zones — derivation stays " +
+      "live for both readers") {
+    // UNPARTITIONED tz-dependent table: derivation prunes on the
+    // materialized y's min/max stats, gated per file by writer zone
+    val ti = GraftTable.create(spark, tmp(),
+      Seq(("2020-06-01 10:00:00", 1L)).toDF("s", "v")
+        .select($"s".cast("timestamp").as("ts"), $"v"),
+      generated = Map("y" -> "year(ts)"))
+    ti.append(Seq(("2021-06-01 10:00:00", 2L)).toDF("s", "v")
+      .select($"s".cast("timestamp").as("ts"), $"v"))
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // 2022-01-01 05:00 Tokyo = 2021-12-31 20:00 UTC; y = 2022
+      ti.append(Seq(("2022-01-01 05:00:00", 3L)).toDF("s", "v")
+        .select($"s".cast("timestamp").as("ts"), $"v"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    assert(ti.snapshotInfo(ti.latestVersion).files.size === 3)
+    // compaction must NOT merge across zones: the two UTC files pack
+    // into one, the Tokyo file stays its own — and every output
+    // keeps a REAL zone stamp. A cross-zone merge would have to
+    // stand down (sentinel), killing tz-derived pruning forever.
+    ti.compact(1)
+    val info = ti.snapshotInfo(ti.latestVersion)
+    assert(info.files.size === 2,
+      s"expected one file per zone, got ${info.files.size}")
+    val zones = info.files.flatMap(f => info.stats.get(f).flatMap(_.tz)).toSet
+    assert(zones.size === 2 && zones.contains("Asia/Tokyo") &&
+      !zones.exists(_.contains("unstamped")),
+      s"zone stamps must survive the regrouped compaction, got $zones")
+    assert(ti.snapshot().count() === 3)
+    // selective scans still prune at file granularity after the
+    // regroup (the suite's established liveness proxy) ...
+    val cand = ti.candidateFiles(
+      $"ts" <= lit("2020-12-31 00:00:00").cast("timestamp"))
+    assert(cand.size === 1,
+      s"pruning dead after compaction (${cand.size} of 2 files)")
+    // ... and the HAZARD direction stays safe: the UTC reader's
+    // derived y ≤ 2021 must not lose the Tokyo-materialized y=2022
+    // row whose ts IS in 2021
+    assert(ti.snapshot().where($"ts" <=
+      lit("2021-12-31 23:30:00").cast("timestamp")).count() === 3,
+      "derivation wrongly pruned the foreign-zone file")
+  }
+
   test("shallow clone carries generation spec and identity high water") {
     val src = tmp()
     val t = GraftTable.create(spark, src,

@@ -485,6 +485,26 @@ class GraftSqlSpec extends SparkSpec {
       "materialized clone must read through the DV-gated scan")
   }
 
+  test("a DEEP CLONE retry succeeds over a crashed attempt's debris") {
+    val dir = Files.createTempDirectory("graft_deepr_").resolve("t").toString
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 50).select($"id", ($"id" % 3).as("g")))
+    t.deleteMor($"id" < 5) // take the DV-materializing branch
+    // a crash mid-data-write leaves data debris but — crucially — NO
+    // log dir: the log is born only with the DEEP_CLONE commit, so
+    // the retry's "already exists" guard must not fire
+    val loc = Files.createTempDirectory("graft_deepr_").resolve("c").toString
+    Files.createDirectories(java.nio.file.Paths.get(loc, "files"))
+    Files.write(java.nio.file.Paths.get(loc, "files", "orphan.parquet"),
+      Array[Byte](1, 2, 3))
+    GraftTable.deepClone(spark, dir, loc)
+    val c = GraftTable.load(spark, loc)
+    assert(c.snapshot().count() === 45)
+    // the orphan is not part of the committed state
+    assert(!c.snapshotInfo(c.latestVersion).files
+      .exists(_.endsWith("orphan.parquet")))
+  }
+
   test("big deep clones copy through the distributed path") {
     val dir = Files.createTempDirectory("graft_deepbig_").resolve("t").toString
     val t = GraftTable.create(spark, dir,

@@ -70,4 +70,45 @@ class MlSpec extends SparkSpec {
     // per DISTINCT run (create + 2 appends; the retry committed none)
     assert(t.history().count() === 3)
   }
+
+  test("model registry: bestRun flips when a better run lands, " +
+      "latest tracks recency") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_mlreg_").resolve("runs").toString
+    def best(): (String, Double) = {
+      val r = RiskPipeline.bestRuns(spark, ledger)
+        .where($"estimator" === "lr").head()
+      (r.getAs[String]("run_id"), r.getAs[Double]("metric_value"))
+    }
+    RiskPipeline.logRun(spark, ledger, "run-001",
+      Map("estimator" -> "lr"), Map("auc" -> 0.61), "/m/1")
+    RiskPipeline.logRun(spark, ledger, "run-002",
+      Map("estimator" -> "lr"), Map("auc" -> 0.57), "/m/2")
+    assert(best() === (("run-001", 0.61)),
+      "a worse second run must not displace the best")
+    // a better third run flips the best view...
+    RiskPipeline.logRun(spark, ledger, "run-003",
+      Map("estimator" -> "lr"), Map("auc" -> 0.71), "/m/3")
+    assert(best() === (("run-003", 0.71)))
+    // ...and serves its model path
+    assert(RiskPipeline.bestRuns(spark, ledger)
+      .where($"estimator" === "lr").head()
+      .getAs[String]("model_path") === "/m/3")
+    // latest follows recency, not quality: a newer-but-worse fourth
+    RiskPipeline.logRun(spark, ledger, "run-004",
+      Map("estimator" -> "lr"), Map("auc" -> 0.60), "/m/4")
+    assert(RiskPipeline.latestRuns(spark, ledger)
+      .where($"estimator" === "lr").head()
+      .getAs[String]("run_id") === "run-004")
+    assert(best() === (("run-003", 0.71)),
+      "latest must not bleed into best")
+    // estimators partition the registry: a gbt run changes nothing
+    // on the lr rows, and a replayed run changes nothing at all
+    RiskPipeline.logRun(spark, ledger, "run-005",
+      Map("estimator" -> "gbt"), Map("auc" -> 0.99), "/m/5")
+    RiskPipeline.logRun(spark, ledger, "run-003",
+      Map("estimator" -> "lr"), Map("auc" -> 0.71), "/m/3")
+    assert(best() === (("run-003", 0.71)))
+    assert(RiskPipeline.bestRuns(spark, ledger).count() === 2)
+  }
 }

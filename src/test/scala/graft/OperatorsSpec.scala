@@ -497,6 +497,76 @@ class OperatorsSpec extends SparkSpec {
         s"invented ${(sliced.toSet -- oneShot).size}")
   }
 
+  test("incremental dedup replays idempotently after a crash between " +
+      "the index appends") {
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft_idx_replay_").toString
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val docs = Tables.load(spark, sf, "documents")
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    // reference: the same batches through an un-crashed index
+    val ref = tmp()
+    Dedup.incrementalIndex(spark, ref, b0, batchId = 0L)
+    val want = Dedup.incrementalDedup(spark, ref, b1, batchId = 1L)
+      .collect().map(key).toSet
+    // crashed run: batch 1's SHINGLES commit lands, the sigs commit
+    // does not (the exact window the fail-safe order leaves open)
+    val idx = tmp()
+    Dedup.incrementalIndex(spark, idx, b0, batchId = 0L)
+    val shT = graft.tables.GraftTable.load(
+      spark, java.nio.file.Paths.get(idx, "shingles").toString)
+    val partialSh = Dedup.shingles(b1).filter(size($"sh") > 0)
+    shT.appendIfNew(partialSh, 1L, appId = Dedup.incrShinglesAppId)
+    val shRows = shT.snapshot().count()
+    // replay the whole batch — the shingle append must be a no-op,
+    // the sigs append must land, and the pairs must come out right
+    val got = Dedup.incrementalDedup(spark, idx, b1, batchId = 1L)
+      .collect().map(key).toSet
+    assert(got === want, "replay after partial crash lost/invented pairs")
+    assert(graft.tables.GraftTable.load(
+        spark, java.nio.file.Paths.get(idx, "shingles").toString)
+      .snapshot().count() === shRows,
+      "replay re-appended shingle rows — duplicates would multiply " +
+        "future verification pairs")
+    // a later batch over the replayed index behaves exactly like the
+    // un-crashed one, with no duplicated pairs
+    val w2 = Dedup.incrementalDedup(spark, ref, b2, batchId = 2L)
+      .collect().map(key).sorted.toSeq
+    val g2 = Dedup.incrementalDedup(spark, idx, b2, batchId = 2L)
+      .collect().map(key).sorted.toSeq
+    assert(g2 === w2)
+  }
+
+  test("incremental verification reads only candidate-covering " +
+      "shingle files") {
+    def text(i: Long) =
+      s"filler${i} alpha${i} beta${i} gamma${i} delta${i} epsilon${i} " +
+        s"zeta${i} eta${i} theta${i} iota${i}"
+    def mk(ids: Seq[Long], t: Long => String) =
+      ids.map(i => (i, t(i))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_idx_prune_").toString
+    // two range-disjoint index batches → ≥2 stored shingle files
+    // covering disjoint doc_id intervals
+    Dedup.incrementalIndex(spark, idx, mk(0L until 50L, text), batchId = 0L)
+    Dedup.incrementalIndex(spark, idx, mk(50L until 100L, text), batchId = 1L)
+    // the probe batch duplicates docs 10 and 11 — every candidate's
+    // stored partner lives in the FIRST batch's id range
+    val probe = Seq((100L, text(10L)), (101L, text(11L)))
+      .toDF("doc_id", "text")
+    val (out, st) = Dedup.incrementalDedupWithStats(
+      spark, idx, probe, batchId = 2L)
+    val pairs = out.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 100L), (11L, 101L)))
+    assert(st.shingleFilesTotal >= 2, "index must hold multiple files")
+    assert(st.shingleFilesRead < st.shingleFilesTotal,
+      s"verification fetch read all ${st.shingleFilesTotal} files — " +
+        "candidate pruning is dead")
+  }
+
   test("connected components converges in O(log n) rounds on a chain") {
     // a 1000-node path is the star-contraction worst case the
     // diameter-bound algorithm choked on: 999 propagation rounds
