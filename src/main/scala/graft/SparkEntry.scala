@@ -143,6 +143,7 @@ object SparkEntry {
     "json_extract_props" -> (graft.sources.Ingest.jsonExtractProps _),
     "ingest_csv_roundtrip" -> (graft.sources.Ingest.csvRoundtrip _),
     "incremental_autoloader" -> (graft.sources.Ingest.incrementalAutoloader _),
+    "incremental_evolution" -> (graft.sources.Ingest.autoloaderEvolution _),
     // §H similarity search
     "ann_topk_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annTopKBrute(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
@@ -152,6 +153,7 @@ object SparkEntry {
     "ann_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.annQuantizedRerank(s, d)),
     "ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
     "ann_incremental" -> ((s: SparkSession, d: String) => Similarity.annIncremental(s, d)),
+    "ann_incremental_serve" -> ((s: SparkSession, d: String) => Similarity.annIncrementalServe(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
@@ -188,7 +190,14 @@ object SparkEntry {
       |  CAST(year(o_orderdate) - 1995 AS INTEGER) AS years_since_1995
       |FROM orders WHERE o_orderstatus IN ('F','O','P')""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** The serve-path ANN scenario answers from an identical index, so
+    * ann_incremental's relational replay checks it verbatim.
+    */
+  def oracleSql: Map[String, String] =
+    oracleSqlMain + ("ann_incremental_serve" ->
+      oracleSqlMain("ann_incremental"))
+
+  private lazy val oracleSqlMain: Map[String, String] = Map(
     "q_total_amount" ->
       "SELECT CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS total_amount FROM orders",
     "q_amount_by_priority" ->
@@ -1184,6 +1193,13 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "incremental_autoloader" ->
       "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1",
+    // schema evolution: batch 2 (odd event_ids) arrives with the new
+    // region column populated; nothing is ever rescued on this feed
+    "incremental_evolution" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_region,
+        |  COUNT(CASE WHEN false THEN 1 END) AS n_rescued
+        |FROM events GROUP BY event_type""".stripMargin,
     // §H similarity: cosine spelled as the same double-op sequence as
     // the Spark kernels (dot/(sqrt·sqrt), sequential list_sum) so the
     // doubles agree bit-for-bit before the round(6).

@@ -530,4 +530,32 @@ object Similarity {
       .select(col("embedding")).head().getSeq[Float](0)
     ivfIndexQuery(spark, path, q, k = k, excludeVecId = 0L)
   }
+
+  // one built index per (process, sfDir): the serve-path scenario
+  // measures STEADY-STATE query latency, so the build must not be
+  // re-paid per invocation (the bench samples each query ≥2×)
+  private val servedIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Float])]()
+
+  /** The SERVING half of [[annIncremental]]: the same index content
+    * and the same query, but the build+ingest runs ONCE per process
+    * and every invocation times only the query path — centroid load
+    * (≤k driver rows), probe-partition scan, top-k. This is the
+    * steady-state latency a deployed index answers at; the combined
+    * scenario's number is ~all one-time build cost. Result ≡
+    * [[annIncremental]], so the same oracle checks it.
+    */
+  def annIncrementalServe(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    val (path, q) = servedIndexes.computeIfAbsent(sfDir, _ => {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivfserve_").toString
+      ivfIndexBuild(spark, p, emb.filter(col("vec_id") % 4 =!= 0))
+      ivfIndexIngest(spark, p, emb.filter(col("vec_id") % 4 === 0))
+      (p, emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toSeq)
+    })
+    ivfIndexQuery(spark, path, q, k = k, excludeVecId = 0L)
+  }
 }

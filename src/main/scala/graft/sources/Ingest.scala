@@ -97,6 +97,136 @@ object Ingest {
     out
   }
 
+  /** [[incrementalLoad]] with SCHEMA TRACKING, additive EVOLUTION and
+    * a RESCUED-DATA column — the Auto Loader schema-maturity trio
+    * (cloudFiles.schemaLocation / schemaEvolutionMode /
+    * _rescued_data; the demo pins a fixed schema, but evolution is
+    * the first thing a real feed does). The tracked schema lives as
+    * `schema.json` under the checkpoint (published atomically:
+    * tmp + ATOMIC_MOVE), next to the file ledger — an old checkpoint
+    * replays clean because both advance together.
+    *
+    * Modes:
+    *  - `addNewColumns` (default): columns the tracked schema lacks
+    *    are APPENDED to it; this batch (and all later ones) carry
+    *    them, earlier rows simply never had them. Same-name columns
+    *    whose type conflicts with the tracked type are NOT evolved —
+    *    their unconvertible values are rescued.
+    *  - `rescue`: the schema is frozen at first sight; new columns'
+    *    values land in `_rescued_data` (JSON) instead of widening
+    *    the table.
+    *  - `failOnNewColumns`: a new column aborts the batch (schema
+    *    enforcement; the ledger is NOT advanced, so the batch
+    *    replays after the operator reacts).
+    *
+    * `_rescued_data` is a JSON object column, null for rows with
+    * nothing to rescue: it carries (a) values of columns dropped by
+    * `rescue` mode and (b) values whose cast to the tracked type
+    * fails (the tracked column is null there — no value is ever
+    * silently lost). Scale shape: pure map-side projection over the
+    * fresh files; the schema work is O(columns) driver metadata.
+    */
+  def incrementalLoadEvolving(spark: SparkSession, rawDir: String,
+      checkpointDir: String,
+      mode: String = "addNewColumns"): DataFrame = {
+    require(Set("addNewColumns", "rescue", "failOnNewColumns")(mode),
+      s"unknown schema evolution mode: $mode")
+    val cp = Paths.get(checkpointDir)
+    Files.createDirectories(cp)
+    val ledger = cp.resolve("processed_files.txt")
+    val schemaFile = cp.resolve("schema.json")
+    val seen: Set[String] =
+      if (Files.exists(ledger)) Files.readAllLines(ledger).asScala.toSet
+      else Set.empty
+    val all = {
+      val st = Files.list(Paths.get(rawDir))
+      try st.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      finally st.close()
+    }
+    val fresh = all.filterNot(seen)
+    val tracked: Option[StructType] =
+      if (Files.exists(schemaFile))
+        Some(DataType.fromJson(Files.readString(schemaFile))
+          .asInstanceOf[StructType])
+      else None
+    if (fresh.isEmpty) {
+      val schema = tracked.getOrElse {
+        if (all.isEmpty)
+          throw new IllegalArgumentException(s"no parquet files in $rawDir")
+        spark.read.parquet(all.head).schema
+      }
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("_rescued_data", StringType))
+    }
+    // mergeSchema unions the BATCH's file footers; conflicts vs the
+    // TRACKED schema are resolved below (a batch is assumed
+    // self-consistent — files of one producer generation)
+    val freshDf = spark.read.option("mergeSchema", "true")
+      .parquet(fresh: _*)
+    val incoming = freshDf.schema
+    val (evolved: StructType, rescuedNew: Seq[StructField]) =
+      tracked match {
+        case None => (incoming, Nil)
+        case Some(t) =>
+          val known = t.fields.map(f => f.name.toLowerCase).toSet
+          val novel = incoming.fields.toSeq
+            .filterNot(f => known.contains(f.name.toLowerCase))
+          mode match {
+            case "addNewColumns" => (StructType(t.fields ++ novel), Nil)
+            case "rescue" => (t, novel)
+            case "failOnNewColumns" =>
+              if (novel.nonEmpty) throw new IllegalArgumentException(
+                s"schema evolution refused (failOnNewColumns): new " +
+                  s"column(s) ${novel.map(_.name).mkString(", ")}")
+              (t, Nil)
+          }
+      }
+    val inByName = incoming.fields.map(f => f.name.toLowerCase -> f).toMap
+    // tracked columns: present+same-type pass through; absent → null;
+    // type-conflicted → try_cast, with the unconvertible original
+    // rescued
+    val rescueEntries = scala.collection.mutable.ArrayBuffer
+      .empty[(String, org.apache.spark.sql.Column)]
+    val projected = evolved.fields.map { f =>
+      inByName.get(f.name.toLowerCase) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(in) if in.dataType == f.dataType =>
+          col(s"`${in.name}`").as(f.name)
+        case Some(in) =>
+          val casted = col(s"`${in.name}`").try_cast(f.dataType)
+          rescueEntries += f.name -> when(
+            casted.isNull && col(s"`${in.name}`").isNotNull,
+            col(s"`${in.name}`").cast(StringType))
+          casted.as(f.name)
+      }
+    }
+    rescueEntries ++= rescuedNew.map(f =>
+      f.name -> col(s"`${f.name}`").cast(StringType))
+    val rescued =
+      if (rescueEntries.isEmpty) lit(null).cast(StringType)
+      else {
+        val obj = to_json(struct(rescueEntries.toSeq.map {
+          case (n, c) => c.as(n) }: _*))
+        // to_json drops null fields → "{}" when nothing was rescued
+        when(obj === "{}", lit(null).cast(StringType)).otherwise(obj)
+      }
+    val out = freshDf.select(
+      (projected.toSeq :+ rescued.as("_rescued_data")): _*)
+    // publish schema THEN ledger: a crash between the two re-reads
+    // the batch against the already-evolved schema (idempotent —
+    // evolution is a no-op union), never the reverse (rows silently
+    // dropped under a stale ledger)
+    val tmp = Files.createTempFile(cp, ".schema", ".tmp")
+    Files.writeString(tmp, evolved.json)
+    Files.move(tmp, schemaFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.write(ledger, (seen ++ fresh).toSeq.sorted.asJava)
+    out
+  }
+
   /** Driver-facing wrapper: two incremental passes over the events
     * table staged as "arriving" files — first sees all files, second
     * sees none; returns pass1 ∪ pass2 (== full table, proving
@@ -112,5 +242,55 @@ object Ingest {
     pass1.unionByName(pass2)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Stage a frame's parquet files INTO `rawDir` under a batch prefix
+    * (the flat layout [[incrementalLoad]] ledgers) — the "new files
+    * arrive" half of an Auto-Loader scenario.
+    */
+  private def stageBatch(df: DataFrame, rawDir: String,
+      prefix: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_stage_")
+    df.write.parquet(tmp.resolve("b").toString)
+    Files.createDirectories(Paths.get(rawDir))
+    val st = Files.list(tmp.resolve("b"))
+    try st.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, Paths.get(rawDir, s"$prefix-$i.parquet"))
+      }
+    finally st.close()
+  }
+
+  /** Driver scenario for [[incrementalLoadEvolving]]: batch 1 lands
+    * with the base event schema; batch 2 arrives mid-stream CARRYING
+    * a new `region` column — the ingest evolves additively, batch 2's
+    * rows land with the column populated, batch 1's simply never had
+    * it, and the old checkpoint (ledger + tracked schema) replays
+    * clean (a third pass ingests nothing and keeps the evolved
+    * schema). Output: per-type counts + how many rows carry the new
+    * column — deterministic, oracle-replayable.
+    */
+  def autoloaderEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_autoevo_")
+    val raw = stage.resolve("raw").toString
+    val cp = stage.resolve("cp").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    stageBatch(ev.filter(col("event_id") % 2 === 0), raw, "b1")
+    val pass1 = incrementalLoadEvolving(spark, raw, cp)
+    stageBatch(ev.filter(col("event_id") % 2 === 1)
+      .withColumn("region",
+        concat(lit("r"), (col("user_id") % 3).cast("string"))),
+      raw, "b2")
+    val pass2 = incrementalLoadEvolving(spark, raw, cp)
+    val pass3 = incrementalLoadEvolving(spark, raw, cp) // replay: empty
+    pass1.unionByName(pass2, allowMissingColumns = true)
+      .unionByName(pass3, allowMissingColumns = true)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("region")).as("n_with_region"),
+        count(col("_rescued_data")).as("n_rescued"))
   }
 }

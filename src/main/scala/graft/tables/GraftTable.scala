@@ -2695,9 +2695,22 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         if (bySourceConds.exists(_.isEmpty) ||
             (readCond.isEmpty && readsTable)) filesAt(base)
         else {
+          // the two probe reasons prune INDEPENDENTLY, then union: a
+          // file needs probing iff it may hold a source key OR a row
+          // some conditional BY SOURCE clause accepts. Pruning each
+          // disjunct on its own lets the key envelope's point conds
+          // consult the bloom sidecars (candidatesAmong's bloom
+          // stage only sees top-level point conjuncts — inside an
+          // OR they would be invisible and the probe stats-only).
           val any = bySourceConds.flatten.reduce(_ || _)
-          val pred = readCond.map(_ || any).getOrElse(any)
-          candidatesAmong(pred, readCommit(base), filesAt(base))
+          val c = readCommit(base)
+          val keyFiles = readCond match {
+            case Some(rc) => candidatesAmong(rc, c, filesAt(base))
+            case None => Nil // empty matchable key set
+          }
+          val condFiles = candidatesAmong(any, c, filesAt(base))
+          val keep = (keyFiles ++ condFiles).toSet
+          filesAt(base).filter(keep.contains)
         }
       } else readCond match {
         case Some(c) => candidatesAmong(c, readCommit(base), filesAt(base))

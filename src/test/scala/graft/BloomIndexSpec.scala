@@ -71,6 +71,44 @@ class BloomIndexSpec extends SparkSpec {
       .head() === -2.0)
   }
 
+  test("BY SOURCE merge probe: bloom scopes the key side, stats the " +
+      "clause side") {
+    import GraftTable.{BySourceDelete, MatchedUpdate}
+    val path = tmp()
+    // ids overlap across all 8 files (round-robin), but seg is
+    // file-ALIGNED: each file holds exactly one seg value, so seg
+    // stats are narrow while id stats are useless
+    val t = GraftTable.create(spark, path,
+      spark.range(0, 800).select($"id", ($"id" % 8).as("seg"),
+        ($"id" * 1.0).as("x")).repartitionByRange(8, $"seg"))
+    t.setProperties(Map("graft.bloom.columns" -> "id",
+      "graft.bloom.bits" -> "4096"))
+    t.rebuildBloomIndex()
+    val all = t.snapshotInfo(t.latestVersion).files.size
+    assert(all >= 6, s"need one file per seg, got $all")
+    // sync merge: 2 keys (bloom prunes their disjunct to ≤2 files) +
+    // a conditional BY SOURCE DELETE on seg=3 (stats prune that
+    // disjunct to 1 file). The union probe must stay far below the
+    // 8 files the OR'd predicate would keep stats-only.
+    t.merge(Seq((500L, 4L, -1.0), (501L, 5L, -2.0))
+        .toDF("id", "seg", "x"), Seq("id"),
+      Seq(MatchedUpdate()), None,
+      Seq(BySourceDelete(Some($"seg" === 3L))))
+    val json = Files.readString(java.nio.file.Paths.get(path,
+      "_graft_log", f"v${t.latestVersion}%08d.json"))
+    val probed = "\"numProbedFiles\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(-1)
+    assert(probed >= 2 && probed <= 3,
+      s"expected bloom(keys) ∪ stats(seg=3) ≈ 3 of $all files, got $probed")
+    // semantics: seg=3 unmatched rows deleted, the two keys updated
+    assert(t.snapshot().count() === 700)
+    assert(t.snapshot().where($"seg" === 3L).count() === 0)
+    assert(t.snapshot().where($"id" === 500L).select("x").as[Double]
+      .head() === -1.0)
+    assert(t.snapshot().where($"id" === 501L).select("x").as[Double]
+      .head() === -2.0)
+  }
+
   test("a damaged sidecar degrades conservatively and is NOT memoized") {
     val path = tmp()
     val t = overlappingTable(path)

@@ -83,4 +83,95 @@ class SourcesSpec extends SparkSpec {
     val after97 = after.where($"order_year" === 1997).count()
     assert(after97 < before97 && after97 === replacement.count())
   }
+
+  private def evoStage(): (String, String) = {
+    val d = Files.createTempDirectory("graft_evo_")
+    (d.resolve("raw").toString, d.resolve("cp").toString)
+  }
+
+  private def land(df: org.apache.spark.sql.DataFrame, raw: String,
+      name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_evo_b_")
+    df.coalesce(1).write.parquet(tmp.resolve("b").toString)
+    Files.createDirectories(java.nio.file.Paths.get(raw))
+    val st = Files.list(tmp.resolve("b"))
+    try st.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.move(p, java.nio.file.Paths.get(raw, s"$name.parquet"))
+    } finally st.close()
+  }
+
+  test("auto-loader evolution: a new column arrives mid-stream and " +
+      "old checkpoints replay clean") {
+    import graft.sources.Ingest.incrementalLoadEvolving
+    val (raw, cp) = evoStage()
+    land(Seq((1L, "x"), (2L, "y")).toDF("id", "a"), raw, "b1")
+    val p1 = incrementalLoadEvolving(spark, raw, cp)
+    assert(p1.columns.toSeq === Seq("id", "a", "_rescued_data"))
+    assert(p1.count() === 2)
+    // batch 2 carries a NEW double column — additive evolution
+    land(Seq((3L, "z", 1.5)).toDF("id", "a", "b"), raw, "b2")
+    val p2 = incrementalLoadEvolving(spark, raw, cp)
+    assert(p2.columns.toSeq === Seq("id", "a", "b", "_rescued_data"))
+    assert(p2.select("b").as[Double].collect().toSeq === Seq(1.5))
+    assert(p2.where($"_rescued_data".isNotNull).count() === 0,
+      "an evolved column must not be rescued")
+    // the old checkpoint replays clean: nothing re-ingests, the
+    // evolved schema persists
+    val p3 = incrementalLoadEvolving(spark, raw, cp)
+    assert(p3.count() === 0)
+    assert(p3.columns.toSeq === Seq("id", "a", "b", "_rescued_data"))
+  }
+
+  test("auto-loader rescue mode freezes the schema and rescues new " +
+      "columns") {
+    import graft.sources.Ingest.incrementalLoadEvolving
+    val (raw, cp) = evoStage()
+    land(Seq((1L, "x")).toDF("id", "a"), raw, "b1")
+    incrementalLoadEvolving(spark, raw, cp, mode = "rescue").count()
+    land(Seq((2L, "y", 9.25)).toDF("id", "a", "b"), raw, "b2")
+    val p2 = incrementalLoadEvolving(spark, raw, cp, mode = "rescue")
+    assert(p2.columns.toSeq === Seq("id", "a", "_rescued_data"),
+      "rescue mode must not widen the schema")
+    val rescued = p2.select(
+      get_json_object($"_rescued_data", "$.b")).as[String].head()
+    assert(rescued === "9.25", s"rescued payload was $rescued")
+  }
+
+  test("auto-loader enforcement mode refuses a new column and stays " +
+      "replayable") {
+    import graft.sources.Ingest.incrementalLoadEvolving
+    val (raw, cp) = evoStage()
+    land(Seq((1L, "x")).toDF("id", "a"), raw, "b1")
+    incrementalLoadEvolving(spark, raw, cp,
+      mode = "failOnNewColumns").count()
+    land(Seq((2L, "y", 1.0)).toDF("id", "a", "b"), raw, "b2")
+    intercept[IllegalArgumentException] {
+      incrementalLoadEvolving(spark, raw, cp, mode = "failOnNewColumns")
+    }
+    // the refused batch did NOT advance the ledger: a permissive
+    // retry ingests it
+    val p = incrementalLoadEvolving(spark, raw, cp)
+    assert(p.count() === 1)
+    assert(p.columns.contains("b"))
+  }
+
+  test("auto-loader rescues values whose cast to the tracked type " +
+      "fails") {
+    import graft.sources.Ingest.incrementalLoadEvolving
+    val (raw, cp) = evoStage()
+    land(Seq((1L, "x")).toDF("id", "a"), raw, "b1")
+    incrementalLoadEvolving(spark, raw, cp).count()
+    // batch 2's id regressed to STRING: castable values convert,
+    // the unconvertible one lands null WITH its original rescued
+    land(Seq(("7", "y"), ("oops", "z")).toDF("id", "a"), raw, "b2")
+    val p2 = incrementalLoadEvolving(spark, raw, cp)
+    val rows = p2.select($"id", $"a", $"_rescued_data")
+      .collect().sortBy(_.getString(1))
+    assert(rows(0).getLong(0) === 7L && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(0),
+      "an unconvertible value must not invent a number")
+    assert(rows(1).getString(2).contains("oops"),
+      "the original value must be rescued, not lost")
+  }
 }
