@@ -485,6 +485,18 @@ object Similarity {
       .append(assignToCents(vecs, cents))
   }
 
+  /** Periodic MAINTENANCE for the persisted IVF index: continuous
+    * ingestion appends one small file per touched cent_id partition
+    * per batch; bin-pack them (compaction is partition-aligned, so
+    * the cent_id layout — and with it the probe's partition pruning —
+    * survives). Ordinary GraftTable commit: concurrent ingests
+    * resolve through conflict detection.
+    */
+  def maintainIndex(spark: SparkSession, indexPath: String): Unit =
+    graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(indexPath, "assignments").toString)
+      .compactToSize()
+
   /** Top-k cosine query against the persisted index: probe cells
     * resolve DRIVER-SIDE over the ≤k collected centroids (exact
     * integer distances), and the registered scan reads ONLY the

@@ -2702,15 +2702,24 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           // consult the bloom sidecars (candidatesAmong's bloom
           // stage only sees top-level point conjuncts — inside an
           // OR they would be invisible and the probe stats-only).
+          // Without a declared bloom index the split buys nothing —
+          // keep the single OR'd pass and its one plan analysis.
           val any = bySourceConds.flatten.reduce(_ || _)
           val c = readCommit(base)
-          val keyFiles = readCond match {
-            case Some(rc) => candidatesAmong(rc, c, filesAt(base))
-            case None => Nil // empty matchable key set
+          val hasBloom = c.properties.getOrElse(Map.empty)
+            .get("graft.bloom.columns").exists(_.trim.nonEmpty)
+          if (!hasBloom)
+            candidatesAmong(readCond.map(_ || any).getOrElse(any),
+              c, filesAt(base))
+          else {
+            val keyFiles = readCond match {
+              case Some(rc) => candidatesAmong(rc, c, filesAt(base))
+              case None => Nil // empty matchable key set
+            }
+            val condFiles = candidatesAmong(any, c, filesAt(base))
+            val keep = (keyFiles ++ condFiles).toSet
+            filesAt(base).filter(keep.contains)
           }
-          val condFiles = candidatesAmong(any, c, filesAt(base))
-          val keep = (keyFiles ++ condFiles).toSet
-          filesAt(base).filter(keep.contains)
         }
       } else readCond match {
         case Some(c) => candidatesAmong(c, readCommit(base), filesAt(base))

@@ -567,6 +567,69 @@ class OperatorsSpec extends SparkSpec {
         "candidate pruning is dead")
   }
 
+  test("index maintenance re-clusters shingles without changing " +
+      "results — and pruning stays live") {
+    def text(i: Long) =
+      s"word${i} alpha${i} beta${i} gamma${i} delta${i} epsilon${i} " +
+        s"zeta${i} eta${i} theta${i} iota${i}"
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, text(i))).toDF("doc_id", "text")
+    val probe = Seq((100L, text(10L)), (101L, text(11L)))
+      .toDF("doc_id", "text")
+    def buildIdx(): String = {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_idx_maint_").toString
+      Dedup.incrementalIndex(spark, idx, mk(0L until 50L), batchId = 0L)
+      Dedup.incrementalIndex(spark, idx, mk(50L until 100L), batchId = 1L)
+      idx
+    }
+    val plain = buildIdx()
+    val (outA, _) = Dedup.incrementalDedupWithStats(
+      spark, plain, probe, batchId = 2L)
+    val pairsA = outA.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val maintained = buildIdx()
+    Dedup.maintainIndex(spark, maintained, targetDocsPerFile = 25L)
+    val (outB, st) = Dedup.incrementalDedupWithStats(
+      spark, maintained, probe, batchId = 2L)
+    val pairsB = outB.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairsB === pairsA)
+    assert(pairsB === Set((10L, 100L), (11L, 101L)))
+    // clustering re-tightened per-file ranges: the candidate fetch
+    // still reads a strict subset of the (now re-packed) files
+    assert(st.shingleFilesTotal >= 3,
+      s"expected ≥3 clustered files, got ${st.shingleFilesTotal}")
+    assert(st.shingleFilesRead < st.shingleFilesTotal,
+      "candidate pruning died after index maintenance")
+    // the idempotency watermark survives maintenance commits: a
+    // replay of batch 1 is still a no-op
+    val shT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(maintained, "shingles").toString)
+    val rows = shT.snapshot().count()
+    shT.appendIfNew(Dedup.shingles(mk(50L until 100L))
+      .filter(size($"sh") > 0), 1L, appId = Dedup.incrShinglesAppId)
+    assert(shT.snapshot().count() === rows,
+      "maintenance must not reset the append watermark")
+  }
+
+  test("ANN index maintenance bin-packs without breaking the probe") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_maint_").toString
+    Similarity.ivfIndexBuild(spark, idx, emb.filter($"vec_id" % 4 =!= 0))
+    Similarity.ivfIndexIngest(spark, idx, emb.filter($"vec_id" % 4 === 0))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val before = Similarity.ivfIndexQuery(spark, idx, q,
+      excludeVecId = 0L).collect().toSeq
+    Similarity.maintainIndex(spark, idx)
+    val after = Similarity.ivfIndexQuery(spark, idx, q,
+      excludeVecId = 0L).collect().toSeq
+    assert(after === before,
+      "compaction changed the served ANN results")
+  }
+
   test("connected components converges in O(log n) rounds on a chain") {
     // a 1000-node path is the star-contraction worst case the
     // diameter-bound algorithm choked on: 999 propagation rounds
