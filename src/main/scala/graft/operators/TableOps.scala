@@ -529,6 +529,34 @@ object TableOps {
     mv.view()
   }
 
+  /** MULTI-MEASURE maintained view: SUM/COUNT/MIN/MAX over TWO
+    * measure columns in ONE maintained view — one delta aggregation
+    * and one fold maintain every measure (not a pipeline per
+    * measure), and the affected-group recompute refreshes both
+    * measures' extremes from the same semi-joined scan. Same DML
+    * storm as [[mvIncrementalMinMax]]; the oracle recomputes all
+    * seven aggregate columns relationally.
+    */
+  def mvIncrementalMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val mvPath = Files.createTempDirectory("graft_mvm_").resolve("mv").toString
+    val mv = graft.tables.IncrementalMatView.create(spark, t, mvPath,
+      Seq("o_orderstatus"), Seq("o_totalprice", "o_custkey"),
+      extremes = true)
+    t.update(col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" ->
+        round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+          .cast("double")))
+    t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    val orders = Tables.load(spark, sfDir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N")))
+    t.deleteMor(col("o_totalprice") < lit(1000.0))
+    mv.refresh()
+    mv.view()
+  }
+
   /** DESCRIBE HISTORY analog (01-Fraud-Delta.py:214): deterministic
     * columns only (version/operation).
     */

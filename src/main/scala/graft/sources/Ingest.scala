@@ -165,7 +165,44 @@ object Ingest {
     // self-consistent — files of one producer generation)
     val freshDf = spark.read.option("mergeSchema", "true")
       .parquet(fresh: _*)
-    val incoming = freshDf.schema
+    val (evolved, projection) =
+      evolveAndProject(tracked, freshDf.schema, mode)
+    val out = freshDf.select(projection: _*)
+    // publish schema THEN ledger: a crash between the two re-reads
+    // the batch against the already-evolved schema (idempotent —
+    // evolution is a no-op union), never the reverse (rows silently
+    // dropped under a stale ledger)
+    publishSchema(cp, schemaFile, evolved)
+    Files.write(ledger, (seen ++ fresh).toSeq.sorted.asJava)
+    out
+  }
+
+  /** Atomic (tmp + ATOMIC_MOVE) publish of a tracked schema file. */
+  private[graft] def publishSchema(cp: java.nio.file.Path,
+      schemaFile: java.nio.file.Path, schema: StructType): Unit = {
+    val tmp = Files.createTempFile(cp, ".schema", ".tmp")
+    Files.writeString(tmp, schema.json)
+    Files.move(tmp, schemaFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The schema-evolution kernel shared by the batch ledger loader
+    * and the Structured Streaming twin
+    * (graft.streaming.Streams.incrementalIngestEvolving): resolve the
+    * tracked schema against a batch's incoming schema under `mode`,
+    * returning the EVOLVED tracked schema and the projection (evolved
+    * columns + `_rescued_data`) to apply over a frame read with
+    * `incoming`'s columns. Tracked columns present with the same type
+    * pass through; absent ones project null; type-conflicted ones
+    * try_cast with the unconvertible original rescued; `rescue`-mode
+    * novel columns land whole in `_rescued_data`. Throws under
+    * `failOnNewColumns` when a novel column appears — callers must
+    * not have advanced any ledger yet.
+    */
+  private[graft] def evolveAndProject(tracked: Option[StructType],
+      incoming: StructType, mode: String)
+      : (StructType, Seq[org.apache.spark.sql.Column]) = {
     val (evolved: StructType, rescuedNew: Seq[StructField]) =
       tracked match {
         case None => (incoming, Nil)
@@ -212,19 +249,7 @@ object Ingest {
         // to_json drops null fields → "{}" when nothing was rescued
         when(obj === "{}", lit(null).cast(StringType)).otherwise(obj)
       }
-    val out = freshDf.select(
-      (projected.toSeq :+ rescued.as("_rescued_data")): _*)
-    // publish schema THEN ledger: a crash between the two re-reads
-    // the batch against the already-evolved schema (idempotent —
-    // evolution is a no-op union), never the reverse (rows silently
-    // dropped under a stale ledger)
-    val tmp = Files.createTempFile(cp, ".schema", ".tmp")
-    Files.writeString(tmp, evolved.json)
-    Files.move(tmp, schemaFile,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.write(ledger, (seen ++ fresh).toSeq.sorted.asJava)
-    out
+    (evolved, projected.toSeq :+ rescued.as("_rescued_data"))
   }
 
   /** Driver-facing wrapper: two incremental passes over the events

@@ -277,4 +277,89 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** STREAMING twin of the evolving autoloader
+    * (graft.sources.Ingest.incrementalLoadEvolving — Auto Loader's
+    * cloudFiles schemaLocation/schemaEvolutionMode/_rescued_data
+    * trio): one call = one Auto-Loader "run" — a Structured Streaming
+    * AvailableNow cycle that sinks exactly-once into a GraftTable.
+    *
+    * Schema detection mirrors Auto Loader's restart model: BEFORE the
+    * stream starts, the driver reads only the NEW files' parquet
+    * footers (O(new files) metadata, no data I/O) against the tracked
+    * `schema.json`; `addNewColumns` evolves it additively (the
+    * restarted-stream-picks-up-the-new-schema behavior, minus the
+    * crash), `rescue` freezes it, `failOnNewColumns` throws WITHOUT
+    * advancing anything — the cycle replays after the operator
+    * reacts. The stream then reads with the batch's merged schema and
+    * applies the SAME projection kernel as the batch loader
+    * (Ingest.evolveAndProject): tracked columns pass/null/try_cast,
+    * everything unconvertible or frozen-out lands in `_rescued_data`.
+    *
+    * Exactly-once is two independent ledgers that only ever err
+    * toward replay: the stream checkpoint dedups source FILES, and
+    * the sink appends via `appendIfNew` (txnAppId/batch-id watermark)
+    * so a replayed epoch after a sink-side crash is a no-op. The sink
+    * table evolves additively with the feed (`evolve = true`).
+    * Ordering is schema → stream → detection ledger: any crash
+    * between steps re-runs against an already-evolved schema
+    * (idempotent union), never drops rows under a stale one.
+    *
+    * Returns the sink table's version after the cycle.
+    */
+  def incrementalIngestEvolving(spark: SparkSession, rawDir: String,
+      checkpoint: String, sink: graft.tables.GraftTable,
+      mode: String = "addNewColumns"): Long = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cp = Paths.get(checkpoint)
+    Files.createDirectories(cp)
+    val schemaFile = cp.resolve("schema.json")
+    val detectLedger = cp.resolve("schema_seen.txt")
+    val seen: Set[String] =
+      if (Files.exists(detectLedger))
+        Files.readAllLines(detectLedger).asScala.toSet
+      else Set.empty
+    val all = {
+      val st = Files.list(Paths.get(rawDir))
+      try st.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      finally st.close()
+    }
+    val fresh = all.filterNot(seen)
+    val tracked: Option[org.apache.spark.sql.types.StructType] =
+      if (Files.exists(schemaFile))
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(schemaFile))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else None
+    if (fresh.isEmpty && tracked.isEmpty)
+      throw new IllegalArgumentException(s"no parquet files in $rawDir")
+    if (fresh.isEmpty) return sink.latestVersion // nothing new: no-op
+    // footer-only schema detection over the new files
+    val incoming = spark.read.option("mergeSchema", "true")
+      .parquet(fresh: _*).schema
+    // failOnNewColumns throws HERE — no schema published, no ledger
+    // advanced, no stream started: the cycle replays cleanly
+    val (evolved, projection) =
+      graft.sources.Ingest.evolveAndProject(tracked, incoming, mode)
+    graft.sources.Ingest.publishSchema(cp, schemaFile, evolved)
+    // the stream reads with the batch's merged schema: its checkpoint
+    // has already consumed every older file, so this schema is only
+    // ever applied to the new files it matches (a column missing from
+    // an individual footer reads null, Spark parquet semantics)
+    val in = spark.readStream.schema(incoming).parquet(rawDir)
+    val appId = checkpoint
+    val q = in.select(projection: _*).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        cp.resolve("stream").toString)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        sink.appendIfNew(df, id, appId = appId, evolve = true); ()
+      }
+      .start()
+    q.awaitTermination()
+    Files.write(detectLedger, (seen ++ fresh).toSeq.sorted.asJava)
+    sink.latestVersion
+  }
 }

@@ -1820,9 +1820,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * query id) — distinct apps never shadow one another's watermarks.
     */
   def appendIfNew(df: DataFrame, batchId: Long,
-      appId: String = "default"): Long = {
+      appId: String = "default", evolve: Boolean = false): Long = {
     if (batchId <= lastStreamBatchId(appId)) latestVersion
-    else appendInternal(df, evolve = false, Map(txnKey(appId) -> batchId))
+    else appendInternal(df, evolve = evolve, Map(txnKey(appId) -> batchId))
   }
 
   /** COPY INTO (the warehouse ingestion-SQL analog): idempotent

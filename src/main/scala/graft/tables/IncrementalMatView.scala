@@ -11,23 +11,28 @@ import org.apache.spark.sql.functions._
   * Instructor/02- Databricks_SQL_Scripts.sql, here maintained from
   * the change feed instead of rescanned).
   *
-  * The view is `SELECT keys, SUM(value), COUNT(*) GROUP BY keys`,
-  * held in its own GraftTable. `create` computes it once with a full
-  * scan; every `refresh` reads ONLY the row-level change feed since
-  * the last reflected source version and folds signed deltas in:
+  * The view is `SELECT keys, SUM(v1), [SUM(v2), …,] COUNT(*) GROUP BY
+  * keys` over one or more measure columns, held in its own
+  * GraftTable. `create` computes it once with a full scan; every
+  * `refresh` reads ONLY the row-level change feed since the last
+  * reflected source version and folds signed deltas in:
   * insert/update_postimage count +1/+value, delete/update_preimage
   * count −1/−value. SUM and COUNT are abelian-group aggregates, so
   * delta-folding is exact — the sums ride in DECIMAL(38,4), immune
   * to FP reordering, and a maintained view is bit-identical to a
-  * recompute.
+  * recompute. A multi-measure view maintains all its measures from
+  * ONE pass over the feed (one delta aggregation, one fold), not one
+  * maintenance pipeline per measure.
   *
-  * With `extremes = true` the view also maintains MIN/MAX of the
+  * With `extremes = true` the view also maintains MIN/MAX of every
   * measure — NON-abelian aggregates with no delta inverse, handled by
   * AFFECTED-GROUP RECOMPUTE: a batch's insert-only groups still fold
   * monotonically (new min = least(old, batch min)), while any group a
   * delete/update_preimage row names is recomputed from the source —
   * the deleted value may have BEEN the extreme, and no fold can
-  * resurrect the runner-up. The recompute scans the source once per
+  * resurrect the runner-up. The affected set is per GROUP, not per
+  * measure: one semi-joined recompute refreshes every measure's
+  * extremes together. The recompute scans the source once per
   * refresh-with-deletes, but only the affected groups' rows survive
   * the semi-join (the affected-key frame is delta-sized, so AQE
   * broadcasts it and the scan never shuffles the corpus); a
@@ -44,19 +49,20 @@ import org.apache.spark.sql.functions._
   */
 class IncrementalMatView private (spark: SparkSession,
     val source: GraftTable, val mv: GraftTable,
-    keys: Seq[String], valueCol: String, extremes: Boolean) {
+    keys: Seq[String], valueCols: Seq[String], extremes: Boolean) {
   import IncrementalMatView._
+  require(valueCols.nonEmpty, "at least one measure column")
 
   private def dec38(c: org.apache.spark.sql.Column) =
     c.cast("decimal(12,4)").cast("decimal(38,4)")
 
   private def aggregateOf(df: DataFrame): DataFrame = {
-    val base = Seq(
-      sum(dec38(col(valueCol))).cast("decimal(38,4)").as("m_sum"),
-      count(lit(1)).as("m_cnt"))
-    val ext = if (extremes) Seq(
-      min(dec38(col(valueCol))).cast("decimal(38,4)").as("m_min"),
-      max(dec38(col(valueCol))).cast("decimal(38,4)").as("m_max"))
+    val base = valueCols.map(v =>
+      sum(dec38(col(v))).cast("decimal(38,4)").as(s"m_sum_$v")) :+
+      count(lit(1)).as("m_cnt")
+    val ext = if (extremes) valueCols.flatMap(v => Seq(
+      min(dec38(col(v))).cast("decimal(38,4)").as(s"m_min_$v"),
+      max(dec38(col(v))).cast("decimal(38,4)").as(s"m_max_$v")))
     else Nil
     df.groupBy(keys.map(col): _*).agg((base ++ ext).head,
       (base ++ ext).tail: _*)
@@ -101,13 +107,14 @@ class IncrementalMatView private (spark: SparkSession,
     val foldFeed =
       if (!anyAffected) feed
       else feed.join(affected, keys, "left_anti")
-    val deltaAggs = Seq(
-      sum(sign * dec38(col(valueCol))).cast("decimal(38,4)").as("m_sum"),
-      sum(sign).cast("long").as("m_cnt")) ++ (if (extremes) Seq(
-      min(when(sign > 0, dec38(col(valueCol))))
-        .cast("decimal(38,4)").as("m_min"),
-      max(when(sign > 0, dec38(col(valueCol))))
-        .cast("decimal(38,4)").as("m_max"))
+    val deltaAggs = valueCols.map(v =>
+      sum(sign * dec38(col(v))).cast("decimal(38,4)").as(s"m_sum_$v")) ++
+      Seq(sum(sign).cast("long").as("m_cnt")) ++ (if (extremes)
+      valueCols.flatMap(v => Seq(
+        min(when(sign > 0, dec38(col(v))))
+          .cast("decimal(38,4)").as(s"m_min_$v"),
+        max(when(sign > 0, dec38(col(v))))
+          .cast("decimal(38,4)").as(s"m_max_$v")))
     else Nil)
     val delta = foldFeed
       .groupBy(keys.map(col): _*)
@@ -115,11 +122,12 @@ class IncrementalMatView private (spark: SparkSession,
     val mvOld =
       if (!anyAffected) mv.snapshot()
       else mv.snapshot().join(affected, keys, "left_anti")
-    val foldAggs = Seq(
-      sum(col("m_sum")).cast("decimal(38,4)").as("m_sum"),
-      sum(col("m_cnt")).cast("long").as("m_cnt")) ++ (if (extremes) Seq(
-      min(col("m_min")).cast("decimal(38,4)").as("m_min"),
-      max(col("m_max")).cast("decimal(38,4)").as("m_max"))
+    val foldAggs = valueCols.map(v =>
+      sum(col(s"m_sum_$v")).cast("decimal(38,4)").as(s"m_sum_$v")) ++
+      Seq(sum(col("m_cnt")).cast("long").as("m_cnt")) ++ (if (extremes)
+      valueCols.flatMap(v => Seq(
+        min(col(s"m_min_$v")).cast("decimal(38,4)").as(s"m_min_$v"),
+        max(col(s"m_max_$v")).cast("decimal(38,4)").as(s"m_max_$v")))
     else Nil)
     val folded = mvOld.unionByName(delta)
       .groupBy(keys.map(col): _*)
@@ -139,18 +147,18 @@ class IncrementalMatView private (spark: SparkSession,
     to
   }
 
-  /** The consumable view frame: group keys, the decimal-exact sum
-    * surfaced as a double (rounded BEFORE the cast, the cross-engine
-    * parity recipe), the row count, and — for an extremes view —
-    * min/max of the measure on the same recipe.
+  /** The consumable view frame: group keys, each measure's
+    * decimal-exact sum surfaced as a double (rounded BEFORE the cast,
+    * the cross-engine parity recipe), the row count, and — for an
+    * extremes view — min/max of each measure on the same recipe.
     */
   def view(): DataFrame = {
-    val base = Seq(
-      round(col("m_sum"), 4).cast("double").as(s"sum_$valueCol"),
-      col("m_cnt").as("n_rows"))
-    val ext = if (extremes) Seq(
-      round(col("m_min"), 4).cast("double").as(s"min_$valueCol"),
-      round(col("m_max"), 4).cast("double").as(s"max_$valueCol"))
+    val base = valueCols.map(v =>
+      round(col(s"m_sum_$v"), 4).cast("double").as(s"sum_$v")) :+
+      col("m_cnt").as("n_rows")
+    val ext = if (extremes) valueCols.flatMap(v => Seq(
+      round(col(s"m_min_$v"), 4).cast("double").as(s"min_$v"),
+      round(col(s"m_max_$v"), 4).cast("double").as(s"max_$v")))
     else Nil
     mv.snapshot().select((keys.map(col) ++ base ++ ext): _*)
   }
@@ -161,27 +169,40 @@ object IncrementalMatView {
 
   /** Materialize the view at the source's current version (one full
     * scan) and return the maintained handle. `extremes = true` adds
-    * maintained MIN/MAX of the measure (affected-group recompute on
-    * deletions — see the class doc).
+    * maintained MIN/MAX of every measure (affected-group recompute on
+    * deletions — see the class doc). All measures maintain from one
+    * pass over the feed.
     */
   def create(spark: SparkSession, source: GraftTable, mvPath: String,
-      keys: Seq[String], valueCol: String,
-      extremes: Boolean = false): IncrementalMatView = {
+      keys: Seq[String], valueCols: Seq[String],
+      extremes: Boolean): IncrementalMatView = {
     val v = source.latestVersion
     val handle = new IncrementalMatView(spark, source, null, keys,
-      valueCol, extremes)
+      valueCols, extremes)
     val initial = handle.aggregateOf(source.snapshotAt(v))
     // CREATE records no metrics — land the data through an OVERWRITE
     // so the watermark is transactional with it
     val mv = GraftTable.create(spark, mvPath, initial.limit(0))
     mv.overwrite(initial, Map(SourceVersionKey -> v))
-    new IncrementalMatView(spark, source, mv, keys, valueCol, extremes)
+    new IncrementalMatView(spark, source, mv, keys, valueCols, extremes)
   }
+
+  /** Single-measure convenience form of [[create]]. */
+  def create(spark: SparkSession, source: GraftTable, mvPath: String,
+      keys: Seq[String], valueCol: String,
+      extremes: Boolean = false): IncrementalMatView =
+    create(spark, source, mvPath, keys, Seq(valueCol), extremes)
 
   /** Re-open an existing maintained view. */
   def load(spark: SparkSession, source: GraftTable, mvPath: String,
+      keys: Seq[String], valueCols: Seq[String],
+      extremes: Boolean): IncrementalMatView =
+    new IncrementalMatView(spark, source,
+      GraftTable.load(spark, mvPath), keys, valueCols, extremes)
+
+  /** Single-measure convenience form of [[load]]. */
+  def load(spark: SparkSession, source: GraftTable, mvPath: String,
       keys: Seq[String], valueCol: String,
       extremes: Boolean = false): IncrementalMatView =
-    new IncrementalMatView(spark, source,
-      GraftTable.load(spark, mvPath), keys, valueCol, extremes)
+    load(spark, source, mvPath, keys, Seq(valueCol), extremes)
 }

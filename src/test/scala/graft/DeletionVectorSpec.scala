@@ -279,4 +279,55 @@ class DeletionVectorSpec extends SparkSpec {
     mv.refresh()
     assert(maintained() === recompute(), "merge+DV-delete diverged")
   }
+
+  test("multi-measure mat view maintains every measure from one pass") {
+    import graft.tables.IncrementalMatView
+    val dir = tmp()
+    val df = spark.range(0, 200)
+      .select($"id", ($"id" % 5).cast("string").as("grp"),
+        ($"id" * 7 % 100).cast("double").as("v"),
+        ($"id" * 3 % 40).cast("double").as("w"))
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    val mv = IncrementalMatView.create(spark, t, tmp(), Seq("grp"),
+      Seq("v", "w"), extremes = true)
+    def recompute() = t.snapshot().groupBy($"grp")
+      .agg(round(sum($"v".cast("decimal(12,4)")), 4).cast("double").as("sv"),
+        round(sum($"w".cast("decimal(12,4)")), 4).cast("double").as("sw"),
+        count(lit(1)).as("c"),
+        round(min($"v".cast("decimal(12,4)")), 4).cast("double").as("mnv"),
+        round(max($"v".cast("decimal(12,4)")), 4).cast("double").as("mxv"),
+        round(min($"w".cast("decimal(12,4)")), 4).cast("double").as("mnw"),
+        round(max($"w".cast("decimal(12,4)")), 4).cast("double").as("mxw"))
+      .orderBy($"grp")
+      .as[(String, Double, Double, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    def maintained() = mv.view()
+      .select($"grp", $"sum_v", $"sum_w", $"n_rows",
+        $"min_v", $"max_v", $"min_w", $"max_w")
+      .orderBy($"grp")
+      .as[(String, Double, Double, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(maintained() === recompute(), "initial materialization diverged")
+    // insert-only: both measures fold monotonically in one pass
+    t.append(spark.range(200, 220)
+      .select($"id", ($"id" % 5).cast("string").as("grp"),
+        lit(120.5).as("v"), lit(-7.25).as("w")))
+    mv.refresh()
+    assert(maintained() === recompute(), "insert-only fold diverged")
+    // one DELETE retires v's max AND w's min in the same groups —
+    // the shared affected-group recompute must fix both measures
+    t.delete($"v" === 120.5)
+    mv.refresh()
+    assert(maintained() === recompute(),
+      "multi-measure extremes diverged after the retiring delete")
+    assert(!maintained().exists(_._6 === 120.5),
+      "a retired v-max survived")
+    assert(!maintained().exists(_._7 === -7.25),
+      "a retired w-min survived")
+    // update that moves rows across groups, then a DV delete
+    t.update($"id" < 10, Map("grp" -> lit("4")))
+    t.deleteMor($"w" > 35.0)
+    mv.refresh()
+    assert(maintained() === recompute(), "update+DV-delete diverged")
+  }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.streaming.Streams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -736,5 +738,119 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq ===
       Seq(("2024-01-01 09:25:00", "2024-01-01 10:20:00", 4L)),
       sessions.mkString(", "))
+  }
+
+  test("streaming evolving ingest: column arrives mid-stream, sink evolves") {
+    val stage = Files.createTempDirectory("graft_sevo_")
+    val raw = stage.resolve("raw").toString
+    java.nio.file.Files.createDirectories(stage.resolve("raw"))
+    val cp = stage.resolve("cp").toString
+    def land(df: org.apache.spark.sql.DataFrame, prefix: String): Unit = {
+      val t = Files.createTempDirectory("graft_sevo_b_")
+      df.coalesce(1).write.parquet(t.resolve("b").toString)
+      val fs = java.nio.file.Files.list(t.resolve("b"))
+      try fs.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p,
+            stage.resolve("raw").resolve(s"$prefix-$i.parquet"))
+        }
+      finally fs.close()
+    }
+    val sinkT = graft.tables.GraftTable.create(spark,
+      stage.resolve("sink").toString,
+      Seq.empty[(Long, String)].toDF("id", "name")
+        .withColumn("_rescued_data", lit(null).cast("string")))
+    // cycle 1: base schema
+    land(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "b1")
+    Streams.incrementalIngestEvolving(spark, raw, cp, sinkT)
+    assert(sinkT.snapshot().count() === 2)
+    // cycle 2: a new column arrives mid-stream — additive evolution
+    land(Seq((3L, "c", "r1"), (4L, "d", "r2")).toDF("id", "name", "region"),
+      "b2")
+    Streams.incrementalIngestEvolving(spark, raw, cp, sinkT)
+    val snap = sinkT.snapshot()
+    assert(snap.columns.contains("region"), "sink schema did not evolve")
+    assert(snap.count() === 4)
+    assert(snap.where($"region".isNotNull).count() === 2)
+    assert(snap.where($"id" <= 2 && $"region".isNull).count() === 2,
+      "pre-evolution rows must read null for the new column")
+    // cycle 3: replay — nothing new lands, versions unchanged
+    val v = sinkT.latestVersion
+    Streams.incrementalIngestEvolving(spark, raw, cp, sinkT)
+    assert(sinkT.latestVersion === v, "replay cycle must be a no-op")
+    assert(sinkT.snapshot().count() === 4)
+  }
+
+  test("streaming evolving ingest: rescue mode freezes schema, fail mode replays") {
+    val stage = Files.createTempDirectory("graft_sevo2_")
+    val raw = stage.resolve("raw")
+    java.nio.file.Files.createDirectories(raw)
+    def land(df: org.apache.spark.sql.DataFrame, prefix: String): Unit = {
+      val t = Files.createTempDirectory("graft_sevo2_b_")
+      df.coalesce(1).write.parquet(t.resolve("b").toString)
+      val fs = java.nio.file.Files.list(t.resolve("b"))
+      try fs.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p, raw.resolve(s"$prefix-$i.parquet"))
+        }
+      finally fs.close()
+    }
+    // rescue mode: the new column lands as JSON in _rescued_data
+    val cpR = stage.resolve("cpR").toString
+    val sinkR = graft.tables.GraftTable.create(spark,
+      stage.resolve("sinkR").toString,
+      Seq.empty[(Long, String)].toDF("id", "name")
+        .withColumn("_rescued_data", lit(null).cast("string")))
+    land(Seq((1L, "a")).toDF("id", "name"), "b1")
+    Streams.incrementalIngestEvolving(spark, raw.toString, cpR, sinkR,
+      mode = "rescue")
+    land(Seq((2L, "b", "r9")).toDF("id", "name", "region"), "b2")
+    Streams.incrementalIngestEvolving(spark, raw.toString, cpR, sinkR,
+      mode = "rescue")
+    val snapR = sinkR.snapshot()
+    assert(!snapR.columns.contains("region"), "rescue must freeze the schema")
+    val rescued = snapR.where($"id" === 2)
+      .select(get_json_object($"_rescued_data", "$.region"))
+      .as[String].head()
+    assert(rescued === "r9", s"rescued payload was $rescued")
+    // fail mode: enforcement throws on the NEW column (the first
+    // cycle establishes the schema without failing), ledgers stand
+    // still, and the cycle replays after the operator reacts
+    val rawF = stage.resolve("rawF")
+    java.nio.file.Files.createDirectories(rawF)
+    def landF(df: org.apache.spark.sql.DataFrame, prefix: String): Unit = {
+      val t = Files.createTempDirectory("graft_sevo2_f_")
+      df.coalesce(1).write.parquet(t.resolve("b").toString)
+      val fs = java.nio.file.Files.list(t.resolve("b"))
+      try fs.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p, rawF.resolve(s"$prefix-$i.parquet"))
+        }
+      finally fs.close()
+    }
+    val cpF = stage.resolve("cpF").toString
+    val sinkF = graft.tables.GraftTable.create(spark,
+      stage.resolve("sinkF").toString,
+      Seq.empty[(Long, String)].toDF("id", "name")
+        .withColumn("_rescued_data", lit(null).cast("string")))
+    landF(Seq((1L, "a")).toDF("id", "name"), "c1")
+    Streams.incrementalIngestEvolving(spark, rawF.toString, cpF, sinkF,
+      mode = "failOnNewColumns")
+    assert(sinkF.snapshot().count() === 1)
+    landF(Seq((2L, "b", "r3")).toDF("id", "name", "region"), "c2")
+    val e = intercept[IllegalArgumentException] {
+      Streams.incrementalIngestEvolving(spark, rawF.toString, cpF, sinkF,
+        mode = "failOnNewColumns")
+    }
+    assert(e.getMessage.contains("region"))
+    assert(sinkF.snapshot().count() === 1, "failed cycle must land nothing")
+    // operator reacts by allowing evolution — the replayed cycle works
+    Streams.incrementalIngestEvolving(spark, rawF.toString, cpF, sinkF,
+      mode = "addNewColumns")
+    assert(sinkF.snapshot().count() === 2)
+    assert(sinkF.snapshot().columns.contains("region"))
   }
 }
