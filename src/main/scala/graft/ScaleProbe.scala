@@ -3,28 +3,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Asymmetric scale probe for `dedup_incremental`: hold the probe
-  * BATCH fixed, grow the stored CORPUS 10× — the regime that exposes
-  * any O(corpus) term hiding in the per-batch cost (a symmetric 10×
-  * sample masks it, because corpus and batch grow together). After
-  * r10's candidate-pruned verification fetch the per-batch time
-  * should be ~flat in corpus size.
+/** Asymmetric scale probes: hold the PER-REFRESH work fixed, grow the
+  * stored CORPUS 10× — the regime that exposes any O(corpus) term
+  * hiding in a steady-state cost (a symmetric 10× sample masks it,
+  * because corpus and batch grow together).
+  *
+  * `SPARK_GRAFT_PROBE=dedup` (default): `dedup_incremental`'s fixed
+  * batch against a 10× index. After r10's candidate-pruned
+  * verification fetch the per-batch time should be ~flat in corpus
+  * size.
+  *
+  * `SPARK_GRAFT_PROBE=mv`: a maintained MIN/MAX view over a
+  * group-clustered fact table takes a fixed trickle (one append-only
+  * refresh, then one single-group delete refresh). The fold refresh
+  * never rescans; the delete refresh recomputes only the affected
+  * group through the stats-pruned candidate fetch — both should be
+  * ~flat in fact-table size (the deleted group itself grows with the
+  * corpus, but stays thousands of rows).
   *
   * Env: SPARK_GRAFT_CORPUS_DIR (sf dir to index),
-  * SPARK_GRAFT_BATCH_DIR (sf dir the fixed batch slices from),
-  * SPARK_GRAFT_CPUS. Prints one JSON line: index build seconds,
-  * per-batch probe seconds, pair count, and the verification fetch's
-  * file diagnostics (read vs total).
+  * SPARK_GRAFT_BATCH_DIR (dedup only: sf dir the fixed batch slices
+  * from), SPARK_GRAFT_CPUS. Prints one JSON line per run.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val corpusDir = sys.env("SPARK_GRAFT_CORPUS_DIR")
-    val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "mv") {
+      mvProbe(spark, corpusDir)
+      spark.stop(); return
+    }
+    val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
     // corpus id (scale_up offsets stay < 2e9) so every batch doc is
@@ -44,5 +57,47 @@ object ScaleProbe {
     val t2 = System.nanoTime()
     println(s"""{"metric":"scale_probe","corpus":"$corpusDir","batch":"$batchDir","index_sec":${(t1 - t0) / 1e9},"probe_sec":${(t2 - t1) / 1e9},"pairs":$n,"sh_files_total":${st.shingleFilesTotal},"sh_files_read":${st.shingleFilesRead}}""")
     spark.stop()
+  }
+
+  /** Fixed-trickle maintained-view refresh against a growing fact
+    * table. Group key `g = o_custkey % 997` keeps the VIEW itself a
+    * fixed 997 groups at any corpus size; the fact table clusters by
+    * `g` so the single-group delete refresh can prune its recompute
+    * fetch to that group's files.
+    */
+  private def mvProbe(spark: SparkSession, corpusDir: String): Unit = {
+    import graft.tables.{GraftTable, IncrementalMatView}
+    val orders = Tables.load(spark, corpusDir, "orders")
+      .withColumn("g", col("o_custkey") % 997)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvprobe_")
+    val t = GraftTable.create(spark, dir.resolve("t").toString,
+      orders.repartition(8))
+    val rows = t.rowCount.getOrElse(orders.count())
+    // scale file count with rows so per-file row counts stay level —
+    // the shape a size-targeted compactor maintains on a real table
+    t.clusterBy(math.max(8L, rows / 20000L).toInt, "g")
+    val t0 = System.nanoTime()
+    val mv = IncrementalMatView.create(spark, t,
+      dir.resolve("mv").toString, Seq("g"), "o_totalprice",
+      extremes = true)
+    val t1 = System.nanoTime()
+    // fold-path trickle: a fixed 1k-row append, no deletions — the
+    // refresh folds monotonically with zero source I/O
+    t.append(Tables.load(spark, corpusDir, "orders")
+      .orderBy(col("o_orderkey")).limit(1000)
+      .withColumn("o_orderkey", col("o_orderkey") + 4000000000L)
+      .withColumn("g", col("o_custkey") % 997))
+    val t2 = System.nanoTime()
+    mv.refresh()
+    val t3 = System.nanoTime()
+    // recompute-path trickle: retire one group's maxima — the fetch
+    // should read only files that may hold g=13
+    val filesTotal = t.snapshot().inputFiles.length
+    val filesRead = t.snapshotCandidates(col("g") === 13L).inputFiles.length
+    t.delete(col("g") === 13L && col("o_totalprice") > 10000.0)
+    val t4 = System.nanoTime()
+    mv.refresh()
+    val t5 = System.nanoTime()
+    println(s"""{"metric":"mv_scale_probe","corpus":"$corpusDir","rows":$rows,"create_sec":${(t1 - t0) / 1e9},"fold_refresh_sec":${(t3 - t2) / 1e9},"delete_sec":${(t4 - t3) / 1e9},"recompute_refresh_sec":${(t5 - t4) / 1e9},"files_total":$filesTotal,"files_read":$filesRead}""")
   }
 }

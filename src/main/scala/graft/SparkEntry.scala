@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_portable" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
     "dedup_incremental" -> (Dedup.incrementalScenario _),
+    "dedup_incremental_probe" -> (Dedup.incrementalProbeScenario _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPortable(s, d)),
     "dedup_cluster_survivors" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivors(s, d)),
@@ -191,12 +192,14 @@ object SparkEntry {
       |  CAST(year(o_orderdate) - 1995 AS INTEGER) AS years_since_1995
       |FROM orders WHERE o_orderstatus IN ('F','O','P')""".stripMargin
 
-  /** The serve-path ANN scenario answers from an identical index, so
-    * ann_incremental's relational replay checks it verbatim.
+  /** The serve-path scenarios answer from an identical index with an
+    * identical result, so the combined scenarios' relational replays
+    * check them verbatim.
     */
   def oracleSql: Map[String, String] =
-    oracleSqlMain + ("ann_incremental_serve" ->
-      oracleSqlMain("ann_incremental"))
+    oracleSqlMain +
+      ("ann_incremental_serve" -> oracleSqlMain("ann_incremental")) +
+      ("dedup_incremental_probe" -> oracleSqlMain("dedup_incremental"))
 
   private lazy val oracleSqlMain: Map[String, String] = Map(
     "q_total_amount" ->

@@ -1508,6 +1508,31 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * ([[filesPrunedIn]]). Returns a SUPERSET of the matching rows
     * (file granularity) — callers filter or join as needed.
     */
+  /** Predicate-pruned snapshot read at `version` (latest when
+    * negative): only files the version's stats / partition values /
+    * generated-column derivations / bloom sidecars cannot prove free
+    * of rows matching `cond` are handed to the scan — the READ-side
+    * twin of the DML blast-radius probe, for data-dependent
+    * predicates a caller assembles at runtime (e.g. the maintained
+    * view's affected-group recompute fetching only named groups'
+    * files). The caller still applies the row-level filter (or a
+    * semi-join); pruning is FILE-granular, and any resolution
+    * surprise falls back to the full file list (safe).
+    */
+  def snapshotCandidates(cond: Column, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion else version
+    val c = readCommit(v)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(c.schemaJson).asInstanceOf[StructType]
+    val keep =
+      try candidatesAmong(cond, c, c.files)
+      catch { case _: Exception => c.files }
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else readFilesDvAware(keep, schema, dvAt(v), columnMapAt(v))
+  }
+
   def snapshotPrunedIn(key: String, values: Array[Double]): DataFrame = {
     val sorted = values.clone(); java.util.Arrays.sort(sorted)
     val keep = filesPrunedIn(key, sorted)

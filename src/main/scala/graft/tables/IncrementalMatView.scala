@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
   * the deleted value may have BEEN the extreme, and no fold can
   * resurrect the runner-up. The affected set is per GROUP, not per
   * measure: one semi-joined recompute refreshes every measure's
-  * extremes together. The recompute scans the source once per
-  * refresh-with-deletes, but only the affected groups' rows survive
-  * the semi-join (the affected-key frame is delta-sized, so AQE
+  * extremes together. The recompute fetch is FILE-PRUNED where it can
+  * be: a small single-column affected set collects driver-side and
+  * prunes the source read through commit-log stats
+  * (GraftTable.snapshotCandidates), so on a group-key-clustered
+  * source a delete in one group re-reads that group's files, not the
+  * fact table; only the affected groups' rows survive the semi-join
+  * either way (the affected-key frame is delta-sized, so AQE
   * broadcasts it and the scan never shuffles the corpus); a
   * refresh whose feed holds no deletions never rescans at all.
   *
@@ -70,6 +74,24 @@ class IncrementalMatView private (spark: SparkSession,
 
   /** Source version the view currently reflects. */
   def reflectedVersion: Long = mv.maxMetric(SourceVersionKey).getOrElse(-1L)
+
+  /** The frame the affected-group recompute reads: a stats-pruned
+    * candidate read when the affected key set is one column, small
+    * (≤ [[IncrementalMatView.AffectedPruneCap]]) and null-free —
+    * `IN`-set pruning composes with clustering/partitioning on the
+    * group key so only files that may hold affected groups are
+    * scanned — else the full snapshot at `to`.
+    */
+  private def recomputeSource(to: Long, affected: DataFrame): DataFrame = {
+    if (keys.size != 1) return source.snapshotAt(to)
+    val head = affected.limit(AffectedPruneCap + 1).collect()
+    if (head.length > AffectedPruneCap) return source.snapshotAt(to)
+    val vals = head.map(_.get(0))
+    // isin(null) matches nothing, which would wrongly prune files
+    // holding a null-keyed group — fall back instead
+    if (vals.exists(_ == null)) return source.snapshotAt(to)
+    source.snapshotCandidates(col(keys.head).isin(vals.toSeq: _*), to)
+  }
 
   /** Fold the change feed since [[reflectedVersion]] into the view.
     * Returns the source version now reflected (no-op if unchanged).
@@ -137,9 +159,16 @@ class IncrementalMatView private (spark: SparkSession,
       if (!anyAffected) folded
       else {
         // the recompute's semi-join keeps only affected groups' rows;
-        // a group whose rows all retired simply yields no row
+        // a group whose rows all retired simply yields no row. The
+        // FETCH is file-pruned where it can be: a small single-column
+        // affected set collects driver-side and prunes the source
+        // scan through commit-log stats (snapshotCandidates), so on a
+        // group-key-clustered source a delete in one group re-reads
+        // one group's files, not the fact table; multi-column keys,
+        // null keys or large sets fall back to the full scan + the
+        // same semi-join (correct, just unpruned)
         val recomputed = aggregateOf(
-          source.snapshotAt(to).join(affected, keys, "left_semi"))
+          recomputeSource(to, affected).join(affected, keys, "left_semi"))
         folded.unionByName(recomputed)
       }
     mv.overwrite(merged, Map(SourceVersionKey -> to))
@@ -166,6 +195,13 @@ class IncrementalMatView private (spark: SparkSession,
 
 object IncrementalMatView {
   private val SourceVersionKey = "mvSourceVersion"
+
+  /** Driver-side cap on the affected-group key set collected to
+    * stats-prune the recompute fetch; larger sets (a delete storm
+    * touching most groups, where pruning buys nothing anyway) fall
+    * back to the full-scan + semi-join path.
+    */
+  private val AffectedPruneCap = 1000
 
   /** Materialize the view at the source's current version (one full
     * scan) and return the maintained handle. `extremes = true` adds

@@ -280,6 +280,39 @@ class DeletionVectorSpec extends SparkSpec {
     assert(maintained() === recompute(), "merge+DV-delete diverged")
   }
 
+  test("extremes recompute fetch is file-pruned on a group-clustered source") {
+    import graft.tables.IncrementalMatView
+    val dir = tmp()
+    val df = spark.range(0, 4000)
+      .select($"id", ($"id" % 8).cast("string").as("grp"),
+        ($"id" * 7 % 100).cast("double").as("v"))
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    t.clusterBy(8, "grp") // one tight grp range per file
+    val mv = IncrementalMatView.create(spark, t, tmp(), Seq("grp"), "v",
+      extremes = true)
+    // the new candidate read itself prunes: one group's key set keeps
+    // a strict subset of the table's files
+    val total = t.snapshot().inputFiles.length
+    val prunedFiles = t.snapshotCandidates($"grp".isin("3")).inputFiles.length
+    assert(prunedFiles < total,
+      s"candidate read kept all $total files for one group")
+    // a delete that retires group 3's maxima forces the recompute
+    // path; the maintained view must still equal a full recompute
+    t.delete($"grp" === "3" && $"v" > 90.0)
+    mv.refresh()
+    val maintained = mv.view().orderBy($"grp")
+      .as[(String, Double, Long, Double, Double)].collect().toSeq
+    val recomputed = t.snapshot().groupBy($"grp")
+      .agg(round(sum($"v".cast("decimal(12,4)")), 4).cast("double").as("s"),
+        count(lit(1)).as("c"),
+        round(min($"v".cast("decimal(12,4)")), 4).cast("double").as("mn"),
+        round(max($"v".cast("decimal(12,4)")), 4).cast("double").as("mx"))
+      .orderBy($"grp").as[(String, Double, Long, Double, Double)]
+      .collect().toSeq
+    assert(maintained === recomputed,
+      "pruned recompute diverged from the full recompute")
+  }
+
   test("multi-measure mat view maintains every measure from one pass") {
     import graft.tables.IncrementalMatView
     val dir = tmp()

@@ -497,6 +497,38 @@ class OperatorsSpec extends SparkSpec {
         s"invented ${(sliced.toSet -- oneShot).size}")
   }
 
+  test("probe-only serving path equals the indexing probe and is read-only") {
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft_idx_probe_").toString
+    val docs = Tables.load(spark, sf, "documents")
+    val seed = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val idx = tmp()
+    Dedup.incrementalIndex(spark, idx, seed, batchId = 0L)
+    val sigsT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "sigs").toString)
+    val shT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "shingles").toString)
+    val (vSigs, vSh) = (sigsT.latestVersion, shT.latestVersion)
+    val probed = Dedup.incrementalProbe(spark, idx, batch)
+      .collect().map(key).toSet
+    assert(sigsT.latestVersion === vSigs && shT.latestVersion === vSh,
+      "probe must not commit to either index table")
+    // same pair set as the indexing probe on an identical index
+    val idx2 = tmp()
+    Dedup.incrementalIndex(spark, idx2, seed, batchId = 0L)
+    val indexed = Dedup.incrementalDedup(spark, idx2, batch, batchId = 1L)
+      .collect().map(key).toSet
+    assert(probed === indexed,
+      s"probe lost ${(indexed -- probed).size}, " +
+        s"invented ${(probed -- indexed).size}")
+    // and repeatable: the read-only path serves the same answer twice
+    val again = Dedup.incrementalProbe(spark, idx, batch)
+      .collect().map(key).toSet
+    assert(again === probed)
+  }
+
   test("incremental dedup replays idempotently after a crash between " +
       "the index appends") {
     def tmp() = java.nio.file.Files
