@@ -101,6 +101,13 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+USING\s+`?graft-table`?\s+PARTITIONED\s+BY\s*\(([^)]+)\)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)""".r
   private val CreateBucketedCtas =
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+USING\s+`?graft-table`?\s+CLUSTERED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)""".r
+  // incrementally maintained aggregate view (Databricks SQL's
+  // CREATE/REFRESH MATERIALIZED VIEW shape, restricted to the
+  // maintainable grammar: keys, SUM/MIN/MAX(col), COUNT(*))
+  private val CreateMatView =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+(.+?)\s*""".r
+  private val RefreshMatView =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case DescribeHistoryLimit(ident, n) =>
@@ -258,7 +265,53 @@ object GraftSql {
       spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
         s"OPTIONS (path '$location')")
       emptyResult(spark)
+    case CreateMatView(ident, location, selectList, srcIdent, groupBy) =>
+      val keys = splitIdents(groupBy)
+      val (values, extremes) = parseMvSelectList(selectList, keys)
+      IncrementalMatView.create(spark, tableByName(spark, srcIdent),
+        location, keys, values, extremes)
+      spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
+        s"OPTIONS (path '$location')")
+      emptyResult(spark)
+    case RefreshMatView(ident) =>
+      // the view is self-describing: source/keys/measures ride in its
+      // table properties, written at CREATE
+      IncrementalMatView
+        .load(spark, tableByName(spark, ident).root.toString).refresh()
+      refreshName(spark, ident)
+      emptyResult(spark)
     case _ => sqlParsed(spark, text)
+  }
+
+  /** The maintainable SELECT-list grammar for CREATE MATERIALIZED
+    * VIEW: group keys (echoing GROUP BY), `SUM(col)`, `MIN(col)`,
+    * `MAX(col)`, `COUNT(*)` — optional AS aliases ignored (the
+    * maintained table's column names are canonical). Returns the
+    * measure columns (order of first appearance) and whether any
+    * MIN/MAX appeared (extremes maintenance).
+    */
+  private def parseMvSelectList(sel: String,
+      keys: Seq[String]): (Seq[String], Boolean) = {
+    val SumRe = """(?is)\s*SUM\s*\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+\w+)?\s*""".r
+    val MinMaxRe =
+      """(?is)\s*(?:MIN|MAX)\s*\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+\w+)?\s*""".r
+    val CountRe = """(?is)\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+\w+)?\s*""".r
+    val keySet = keys.map(_.toLowerCase).toSet
+    val values = scala.collection.mutable.LinkedHashSet.empty[String]
+    var extremes = false
+    sel.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+      case SumRe(c) => values += c
+      case MinMaxRe(c) => extremes = true; values += c
+      case CountRe() => ()
+      case k if keySet.contains(
+        k.stripPrefix("`").stripSuffix("`").toLowerCase) => ()
+      case other => throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW supports group keys, SUM(col), " +
+          s"MIN(col), MAX(col) and COUNT(*); cannot maintain '$other'")
+    }
+    require(values.nonEmpty,
+      "CREATE MATERIALIZED VIEW needs at least one SUM/MIN/MAX measure")
+    (values.toSeq, extremes)
   }
 
   private def splitIdents(s: String): Seq[String] =
@@ -303,7 +356,8 @@ object GraftSql {
          SetTblPropsSql(_, _) | ShowTblPropsSql(_) |
          DescribeDetail(_) | CreatePartitionedCtas(_, _, _, _) |
          CreateBucketedCtas(_, _, _, _, _) |
-         ShowPartitionsSql(_) | FsckTable(_) => true
+         ShowPartitionsSql(_) | FsckTable(_) |
+         CreateMatView(_, _, _, _, _) | RefreshMatView(_) => true
     case _ => false
   }
 
@@ -420,6 +474,9 @@ object GraftSql {
       case DescribeDetail(i) => Some(i)
       case ShowPartitionsSql(i) => Some(i)
       case FsckTable(i) => Some(i)
+      // the view's SOURCE must be a graft table; the view ident is new
+      case CreateMatView(_, _, _, srcIdent, _) => Some(srcIdent)
+      case RefreshMatView(i) => Some(i)
       case _ => None
     }
     ident.exists(i =>

@@ -60,6 +60,17 @@ class IncrementalMatView private (spark: SparkSession,
   private def dec38(c: org.apache.spark.sql.Column) =
     c.cast("decimal(12,4)").cast("decimal(38,4)")
 
+  /** Nullable-normalized frame: the maintained table's schema must be
+    * IDENTICAL across create/refresh commits (aggregates flip
+    * count/sum nullability between the initial scan and the fold),
+    * or a catalog registration pinned at CREATE time refuses later
+    * reads. View frames are aggregate-sized, so the RDD round-trip
+    * is cheap.
+    */
+  private def nullableFrame(df: DataFrame): DataFrame =
+    spark.createDataFrame(df.rdd, org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))))
+
   private def aggregateOf(df: DataFrame): DataFrame = {
     val base = valueCols.map(v =>
       sum(dec38(col(v))).cast("decimal(38,4)").as(s"m_sum_$v")) :+
@@ -105,7 +116,7 @@ class IncrementalMatView private (spark: SparkSession,
     // an update or an insert?) — a signed delta would double-count;
     // recompute instead of guessing
     if (feed.where(col("_change_type") === "upsert").limit(1).count() > 0) {
-      mv.overwrite(aggregateOf(source.snapshotAt(to)),
+      mv.overwrite(nullableFrame(aggregateOf(source.snapshotAt(to))),
         Map(SourceVersionKey -> to))
       return to
     }
@@ -171,7 +182,7 @@ class IncrementalMatView private (spark: SparkSession,
           recomputeSource(to, affected).join(affected, keys, "left_semi"))
         folded.unionByName(recomputed)
       }
-    mv.overwrite(merged, Map(SourceVersionKey -> to))
+    mv.overwrite(nullableFrame(merged), Map(SourceVersionKey -> to))
     if (extremes && affected != null) affected.unpersist()
     to
   }
@@ -203,6 +214,11 @@ object IncrementalMatView {
     */
   private val AffectedPruneCap = 1000
 
+  private val PropSource = "graft.mv.source"
+  private val PropKeys = "graft.mv.keys"
+  private val PropValues = "graft.mv.values"
+  private val PropExtremes = "graft.mv.extremes"
+
   /** Materialize the view at the source's current version (one full
     * scan) and return the maintained handle. `extremes = true` adds
     * maintained MIN/MAX of every measure (affected-group recompute on
@@ -218,9 +234,36 @@ object IncrementalMatView {
     val initial = handle.aggregateOf(source.snapshotAt(v))
     // CREATE records no metrics — land the data through an OVERWRITE
     // so the watermark is transactional with it
-    val mv = GraftTable.create(spark, mvPath, initial.limit(0))
-    mv.overwrite(initial, Map(SourceVersionKey -> v))
+    val mv = GraftTable.create(spark, mvPath,
+      handle.nullableFrame(initial.limit(0)))
+    mv.overwrite(handle.nullableFrame(initial), Map(SourceVersionKey -> v))
+    // the view is SELF-DESCRIBING: its definition rides in its own
+    // table properties, so REFRESH MATERIALIZED VIEW (and any later
+    // session) reconstructs the maintenance without the caller
+    // re-supplying source/keys/measures
+    mv.setProperties(Map(
+      PropSource -> source.root.toAbsolutePath.toString,
+      PropKeys -> keys.mkString(","),
+      PropValues -> valueCols.mkString(","),
+      PropExtremes -> extremes.toString))
     new IncrementalMatView(spark, source, mv, keys, valueCols, extremes)
+  }
+
+  /** Re-open a maintained view from the definition stored in its own
+    * table properties (the form the SQL surface's `REFRESH
+    * MATERIALIZED VIEW` uses — no caller-supplied metadata).
+    */
+  def load(spark: SparkSession, mvPath: String): IncrementalMatView = {
+    val mv = GraftTable.load(spark, mvPath)
+    val props = mv.properties
+    def req(k: String): String = props.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"$mvPath holds no maintained-view definition ('$k' missing)"))
+    new IncrementalMatView(spark,
+      GraftTable.load(spark, req(PropSource)), mv,
+      req(PropKeys).split(",").toSeq,
+      req(PropValues).split(",").toSeq,
+      req(PropExtremes).toBoolean)
   }
 
   /** Single-measure convenience form of [[create]]. */

@@ -758,4 +758,61 @@ class GraftSqlSpec extends SparkSpec {
       assert(t.snapshot().count() === total - f + 5)
     } finally spark.sql("DROP TABLE IF EXISTS gs_rwsq")
   }
+
+  test("CREATE/REFRESH MATERIALIZED VIEW maintains the rollup via SQL") {
+    val (t, _) = registered("gs_mvsrc")
+    try {
+      val mvDir = Files.createTempDirectory("graft_sqlmv_")
+        .resolve("mv").toString
+      spark.sql("DROP TABLE IF EXISTS gs_mv")
+      GraftSql.sql(spark,
+        s"CREATE MATERIALIZED VIEW gs_mv LOCATION '$mvDir' AS " +
+          "SELECT o_orderstatus, SUM(o_totalprice) AS s, COUNT(*) AS c, " +
+          "MIN(o_totalprice), MAX(o_totalprice) " +
+          "FROM gs_mvsrc GROUP BY o_orderstatus")
+      // the registered view reads like a table: keys + decimal-exact
+      // maintained state
+      val mv0 = spark.table("gs_mv")
+      assert(mv0.columns.toSet === Set("o_orderstatus", "m_sum_o_totalprice",
+        "m_cnt", "m_min_o_totalprice", "m_max_o_totalprice"))
+      // DML the source, refresh THROUGH SQL, compare to recompute
+      GraftSql.sql(spark,
+        "DELETE FROM gs_mvsrc WHERE o_orderstatus = 'P' AND o_custkey % 3 = 0")
+      GraftSql.sql(spark,
+        "UPDATE gs_mvsrc SET o_totalprice = o_totalprice + 50.0 " +
+          "WHERE o_orderpriority = '1-URGENT'")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gs_mv")
+      val maintained = spark.table("gs_mv")
+        .select($"o_orderstatus",
+          round($"m_sum_o_totalprice", 4).cast("double"),
+          $"m_cnt",
+          round($"m_min_o_totalprice", 4).cast("double"),
+          round($"m_max_o_totalprice", 4).cast("double"))
+        .orderBy($"o_orderstatus")
+        .as[(String, Double, Long, Double, Double)].collect().toSeq
+      val recomputed = t.snapshot().groupBy($"o_orderstatus")
+        .agg(round(sum($"o_totalprice".cast("decimal(12,4)")), 4)
+            .cast("double"),
+          count(lit(1)),
+          round(min($"o_totalprice".cast("decimal(12,4)")), 4)
+            .cast("double"),
+          round(max($"o_totalprice".cast("decimal(12,4)")), 4)
+            .cast("double"))
+        .orderBy($"o_orderstatus")
+        .as[(String, Double, Long, Double, Double)].collect().toSeq
+      assert(maintained === recomputed,
+        "SQL-maintained view diverged from recompute")
+      // an unmaintainable SELECT is refused with a clear message
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          "CREATE MATERIALIZED VIEW gs_mv2 LOCATION '/tmp/x' AS " +
+            "SELECT o_orderstatus, AVG(o_totalprice) FROM gs_mvsrc " +
+            "GROUP BY o_orderstatus")
+      }
+      assert(e.getMessage.contains("cannot maintain"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_mvsrc")
+      spark.sql("DROP TABLE IF EXISTS gs_mv")
+    }
+  }
 }
