@@ -117,6 +117,7 @@ object SparkEntry {
     "mv_incremental" -> (TableOps.mvIncremental _),
     "mv_incremental_minmax" -> (TableOps.mvIncrementalMinMax _),
     "mv_incremental_multi" -> (TableOps.mvIncrementalMulti _),
+    "mv_incremental_lineitem" -> (TableOps.mvIncrementalLineitem _),
     // §D temporal joins
     "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
     "asof_join_native" -> ((s: SparkSession, d: String) => {
@@ -1042,6 +1043,32 @@ object SparkEntry {
         |  CAST(round(MIN(CAST(o_custkey AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_o_custkey,
         |  CAST(round(MAX(CAST(o_custkey AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_o_custkey
         |FROM live GROUP BY o_orderstatus""".stripMargin,
+    "mv_incremental_lineitem" ->
+      """WITH base AS (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0),
+        |upd AS (
+        |  SELECT l_orderkey, l_returnflag, l_linestatus,
+        |    CASE WHEN l_discount > 0.05 THEN l_quantity + 1.0
+        |      ELSE l_quantity END AS l_quantity,
+        |    l_extendedprice
+        |  FROM base),
+        |del AS (
+        |  SELECT * FROM upd
+        |  WHERE NOT (l_returnflag = 'A' AND l_orderkey % 30 = 0)),
+        |app AS (
+        |  SELECT l_orderkey + 100000000 AS l_orderkey, l_returnflag,
+        |    l_linestatus, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 = 1),
+        |fin AS (SELECT * FROM del UNION ALL SELECT * FROM app),
+        |live AS (SELECT * FROM fin WHERE NOT (l_quantity <= 2.0))
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_l_quantity,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_l_extendedprice,
+        |  COUNT(*) AS n_rows,
+        |  CAST(round(MIN(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_l_quantity,
+        |  CAST(round(MAX(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_l_quantity,
+        |  CAST(round(MIN(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_l_extendedprice,
+        |  CAST(round(MAX(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_l_extendedprice
+        |FROM live GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "tbl_update_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderpriority = '1-URGENT'

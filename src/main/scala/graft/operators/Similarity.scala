@@ -492,10 +492,18 @@ object Similarity {
     * survives). Ordinary GraftTable commit: concurrent ingests
     * resolve through conflict detection.
     */
-  def maintainIndex(spark: SparkSession, indexPath: String): Unit =
-    graft.tables.GraftTable.load(spark,
+  def maintainIndex(spark: SparkSession, indexPath: String,
+      vacuumRetainHours: Double = -1.0): Unit = {
+    val t = graft.tables.GraftTable.load(spark,
       java.nio.file.Paths.get(indexPath, "assignments").toString)
-      .compactToSize()
+    t.compactToSize()
+    // nightly maintenance owns the whole cycle: compaction strands
+    // the pre-compaction partition files as dead versions — reclaim
+    // them here (bounded by the caller's retention window for
+    // concurrent readers) instead of leaving them to a separate
+    // vacuum schedule
+    if (vacuumRetainHours >= 0) t.vacuumRetainHours(vacuumRetainHours)
+  }
 
   /** Top-k cosine query against the persisted index: probe cells
     * resolve DRIVER-SIDE over the ≤k collected centroids (exact

@@ -557,6 +557,33 @@ object TableOps {
     mv.view()
   }
 
+  /** TWO-key, TWO-measure maintained view over a lineitem slice:
+    * grouped by (l_returnflag, l_linestatus) — the multi-COLUMN
+    * affected-group recompute path (per-column IN-set file pruning)
+    * under the same kind of DML storm, with both measures' extremes
+    * retired by deletes. Oracle recomputes all nine output columns
+    * relationally.
+    */
+  def mvIncrementalLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+    val dir = Files.createTempDirectory("graft_mvli_")
+    val t = GraftTable.create(spark, dir.resolve("t").toString,
+      li.repartition(4))
+    val mv = graft.tables.IncrementalMatView.create(spark, t,
+      dir.resolve("mv").toString, Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice"), extremes = true)
+    t.update(col("l_discount") > 0.05,
+      Map("l_quantity" -> (col("l_quantity") + lit(1.0))))
+    t.delete(col("l_returnflag") === "A" && col("l_orderkey") % 30 === 0)
+    t.append(Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 1)
+      .withColumn("l_orderkey", col("l_orderkey") + 100000000L))
+    t.deleteMor(col("l_quantity") <= 2.0)
+    mv.refresh()
+    mv.view()
+  }
+
   /** DESCRIBE HISTORY analog (01-Fraud-Delta.py:214): deterministic
     * columns only (version/operation).
     */

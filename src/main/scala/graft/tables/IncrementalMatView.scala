@@ -87,21 +87,28 @@ class IncrementalMatView private (spark: SparkSession,
   def reflectedVersion: Long = mv.maxMetric(SourceVersionKey).getOrElse(-1L)
 
   /** The frame the affected-group recompute reads: a stats-pruned
-    * candidate read when the affected key set is one column, small
-    * (≤ [[IncrementalMatView.AffectedPruneCap]]) and null-free —
-    * `IN`-set pruning composes with clustering/partitioning on the
-    * group key so only files that may hold affected groups are
-    * scanned — else the full snapshot at `to`.
+    * candidate read when the affected key set is small
+    * (≤ [[IncrementalMatView.AffectedPruneCap]]) — per-key-column
+    * `IN`-set conditions, conjoined: the cartesian superset of the
+    * affected tuples, valid for FILE pruning (a file holding any
+    * affected tuple's rows satisfies every per-column condition) and
+    * cheap to evaluate driver-side. A column with a null among its
+    * affected values contributes no condition (isin(null) matches
+    * nothing, which would wrongly prune that group's files); if every
+    * column drops out, the full snapshot at `to` is read. Composes
+    * with clustering/partitioning on any prefix of the group key.
     */
   private def recomputeSource(to: Long, affected: DataFrame): DataFrame = {
-    if (keys.size != 1) return source.snapshotAt(to)
     val head = affected.limit(AffectedPruneCap + 1).collect()
-    if (head.length > AffectedPruneCap) return source.snapshotAt(to)
-    val vals = head.map(_.get(0))
-    // isin(null) matches nothing, which would wrongly prune files
-    // holding a null-keyed group — fall back instead
-    if (vals.exists(_ == null)) return source.snapshotAt(to)
-    source.snapshotCandidates(col(keys.head).isin(vals.toSeq: _*), to)
+    if (head.isEmpty || head.length > AffectedPruneCap)
+      return source.snapshotAt(to)
+    val conds = keys.zipWithIndex.flatMap { case (k, i) =>
+      val vals = head.map(_.get(i))
+      if (vals.contains(null)) None
+      else Some(col(k).isin(vals.distinct.toSeq: _*))
+    }
+    if (conds.isEmpty) source.snapshotAt(to)
+    else source.snapshotCandidates(conds.reduce(_ && _), to)
   }
 
   /** Fold the change feed since [[reflectedVersion]] into the view.

@@ -621,7 +621,14 @@ class OperatorsSpec extends SparkSpec {
     val pairsA = outA.select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet
     val maintained = buildIdx()
-    Dedup.maintainIndex(spark, maintained, targetDocsPerFile = 25L)
+    def parquetCount(): Long = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(maintained))
+      .filter(_.toString.endsWith(".parquet")).count()
+    val filesBefore = parquetCount()
+    Dedup.maintainIndex(spark, maintained, targetDocsPerFile = 25L,
+      vacuumRetainHours = 0.0)
+    assert(parquetCount() < filesBefore,
+      "maintenance vacuum reclaimed no stranded index files")
     val (outB, st) = Dedup.incrementalDedupWithStats(
       spark, maintained, probe, batchId = 2L)
     val pairsB = outB.select("doc_a", "doc_b")
@@ -655,7 +662,15 @@ class OperatorsSpec extends SparkSpec {
       .select($"embedding").head().getSeq[Float](0)
     val before = Similarity.ivfIndexQuery(spark, idx, q,
       excludeVecId = 0L).collect().toSeq
-    Similarity.maintainIndex(spark, idx)
+    // maintenance owns the full nightly cycle: compaction + vacuum of
+    // the files it strands (retain 0h inside the maintenance window)
+    val assignDir = java.nio.file.Paths.get(idx, "assignments")
+    def parquetCount(): Long = java.nio.file.Files
+      .walk(assignDir).filter(_.toString.endsWith(".parquet")).count()
+    val filesBefore = parquetCount()
+    Similarity.maintainIndex(spark, idx, vacuumRetainHours = 0.0)
+    assert(parquetCount() < filesBefore,
+      "maintenance vacuum reclaimed no stranded files")
     val after = Similarity.ivfIndexQuery(spark, idx, q,
       excludeVecId = 0L).collect().toSeq
     assert(after === before,
