@@ -273,6 +273,37 @@ object IncrementalMatView {
       req(PropExtremes).toBoolean)
   }
 
+  /** CONTINUOUSLY maintained view — the Delta-Live-Tables shape: a
+    * streaming query over the source's registered CDC stream drives
+    * `refresh()` once per micro-batch, so the view tracks the source
+    * without a scheduler. The stream is only the refresh TRIGGER
+    * (its rows are never acted on, so no read job runs — change
+    * detection is commit-log metadata); the refresh itself reads the
+    * change feed from the view's own transactional watermark exactly
+    * as the batch path does. That watermark also makes the loop
+    * crash-safe for free: a replayed epoch re-runs `refresh()`,
+    * which no-ops when the reflected version is already current —
+    * no exactly-once plumbing needed on the stream side.
+    */
+  def continuous(spark: SparkSession, mvPath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val view = load(spark, mvPath)
+    spark.readStream.format("graft-table")
+      .option("path", view.source.root.toString)
+      // CDC mode: DML/rewrite commits surface as ordinary batches
+      // instead of refusing the stream — the right posture for a
+      // trigger that must fire on updates and deletes too
+      .option("mode", "cdc")
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) => view.refresh(); () }
+      .start()
+  }
+
   /** Single-measure convenience form of [[create]]. */
   def create(spark: SparkSession, source: GraftTable, mvPath: String,
       keys: Seq[String], valueCol: String,

@@ -740,6 +740,48 @@ class StreamingSpec extends SparkSpec {
       sessions.mkString(", "))
   }
 
+  test("continuously maintained view refreshes on source commits") {
+    import graft.tables.{GraftTable, IncrementalMatView}
+    val stage = Files.createTempDirectory("graft_cmv_")
+    val df = spark.range(0, 300)
+      .select($"id", ($"id" % 4).cast("string").as("grp"),
+        ($"id" * 3 % 50).cast("double").as("v"))
+    val t = GraftTable.create(spark, stage.resolve("t").toString,
+      df.repartition(4))
+    IncrementalMatView.create(spark, t, stage.resolve("mv").toString,
+      Seq("grp"), "v", extremes = true)
+    val handle = IncrementalMatView.load(spark, stage.resolve("mv").toString)
+    val q = IncrementalMatView.continuous(spark,
+      stage.resolve("mv").toString, stage.resolve("cp").toString,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // a mixed storm lands while the stream runs: the view must
+      // converge to the recompute without any manual refresh
+      t.update($"grp" === "1", Map("v" -> ($"v" + lit(7.0))))
+      t.delete($"grp" === "2" && $"v" > 40.0)
+      t.append(spark.range(300, 330)
+        .select($"id", lit("9").as("grp"), lit(5.5).as("v")))
+      def recompute() = t.snapshot().groupBy($"grp")
+        .agg(round(sum($"v".cast("decimal(12,4)")), 4).cast("double"),
+          count(lit(1)),
+          round(min($"v".cast("decimal(12,4)")), 4).cast("double"),
+          round(max($"v".cast("decimal(12,4)")), 4).cast("double"))
+        .orderBy($"grp")
+        .as[(String, Double, Long, Double, Double)].collect().toSeq
+      def maintained() = handle.view().orderBy($"grp")
+        .as[(String, Double, Long, Double, Double)].collect().toSeq
+      val want = recompute()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var got = maintained()
+      while (got != want && System.nanoTime() < deadline) {
+        Thread.sleep(500); got = maintained()
+      }
+      assert(got === want,
+        "continuous view did not converge to the recompute")
+      assert(handle.reflectedVersion === t.latestVersion)
+    } finally q.stop()
+  }
+
   test("streaming evolving ingest: column arrives mid-stream, sink evolves") {
     val stage = Files.createTempDirectory("graft_sevo_")
     val raw = stage.resolve("raw").toString
