@@ -118,6 +118,7 @@ object SparkEntry {
     "mv_incremental_minmax" -> (TableOps.mvIncrementalMinMax _),
     "mv_incremental_multi" -> (TableOps.mvIncrementalMulti _),
     "mv_incremental_lineitem" -> (TableOps.mvIncrementalLineitem _),
+    "mv_incremental_derived" -> (TableOps.mvIncrementalDerived _),
     // §D temporal joins
     "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
     "asof_join_native" -> ((s: SparkSession, d: String) => {
@@ -1069,6 +1070,32 @@ object SparkEntry {
         |  CAST(round(MIN(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_l_extendedprice,
         |  CAST(round(MAX(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_l_extendedprice
         |FROM live GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "mv_incremental_derived" ->
+      """WITH base AS (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0),
+        |upd AS (
+        |  SELECT l_orderkey, l_returnflag, l_shipdate, l_extendedprice,
+        |    CASE WHEN l_quantity > 45.0 THEN 0.0 ELSE l_discount END AS l_discount
+        |  FROM base),
+        |del AS (
+        |  SELECT * FROM upd
+        |  WHERE NOT (l_returnflag = 'R' AND l_orderkey % 20 = 0)),
+        |app AS (
+        |  SELECT l_orderkey + 100000000 AS l_orderkey, l_returnflag,
+        |    l_shipdate, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_orderkey % 10 = 3),
+        |fin AS (SELECT * FROM del UNION ALL SELECT * FROM app),
+        |live AS (SELECT * FROM fin WHERE NOT (l_extendedprice < 2000.0)),
+        |rev AS (
+        |  SELECT l_returnflag, date_trunc('month', l_shipdate) AS lmonth,
+        |    CAST(round(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * CAST(1.0 - l_discount AS DECIMAL(5,4)), 4) AS DOUBLE) AS revenue
+        |  FROM live)
+        |SELECT l_returnflag, lmonth,
+        |  CAST(round(SUM(CAST(revenue AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_revenue,
+        |  COUNT(*) AS n_rows,
+        |  CAST(round(MIN(CAST(revenue AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_revenue,
+        |  CAST(round(MAX(CAST(revenue AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_revenue
+        |FROM rev GROUP BY l_returnflag, lmonth""".stripMargin,
     "tbl_update_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderpriority = '1-URGENT'

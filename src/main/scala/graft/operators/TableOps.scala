@@ -584,6 +584,39 @@ object TableOps {
     mv.view()
   }
 
+  /** DERIVED keys and measures in a maintained view — the dashboard
+    * shapes the bare-column grammar can't say: a `date_trunc` month
+    * bucket as a group key and the TPC-H revenue expression
+    * (price × (1−discount), decimal-exact spelling) as the measure,
+    * both projected per-row onto snapshots AND the change feed by the
+    * maintenance. The storm updates l_discount (so pre/postimage rows
+    * DISAGREE on the derived measure), retires extremes by delete,
+    * and appends — oracle recomputes everything relationally.
+    */
+  def mvIncrementalDerived(spark: SparkSession, sfDir: String): DataFrame = {
+    val revenueExpr = "CAST(round(CAST(l_extendedprice AS DECIMAL(12,4)) " +
+      "* CAST(1.0 - l_discount AS DECIMAL(5,4)), 4) AS DOUBLE)"
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+    val dir = Files.createTempDirectory("graft_mvdrv_")
+    val t = GraftTable.create(spark, dir.resolve("t").toString,
+      li.repartition(4))
+    val mv = graft.tables.IncrementalMatView.create(spark, t,
+      dir.resolve("mv").toString, Seq("l_returnflag", "lmonth"),
+      Seq("revenue"), extremes = true,
+      derived = Seq(
+        "lmonth" -> "date_trunc('month', l_shipdate)",
+        "revenue" -> revenueExpr))
+    t.update(col("l_quantity") > 45.0, Map("l_discount" -> lit(0.0)))
+    t.delete(col("l_returnflag") === "R" && col("l_orderkey") % 20 === 0)
+    t.append(Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 3)
+      .withColumn("l_orderkey", col("l_orderkey") + 100000000L))
+    t.deleteMor(col("l_extendedprice") < 2000.0)
+    mv.refresh()
+    mv.view()
+  }
+
   /** DESCRIBE HISTORY analog (01-Fraud-Delta.py:214): deterministic
     * columns only (version/operation).
     */

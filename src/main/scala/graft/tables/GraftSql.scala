@@ -266,10 +266,10 @@ object GraftSql {
         s"OPTIONS (path '$location')")
       emptyResult(spark)
     case CreateMatView(ident, location, selectList, srcIdent, groupBy) =>
-      val keys = splitIdents(groupBy)
-      val (values, extremes) = parseMvSelectList(selectList, keys)
+      val (keys, values, extremes, derived) =
+        parseMvDefinition(selectList, groupBy)
       IncrementalMatView.create(spark, tableByName(spark, srcIdent),
-        location, keys, values, extremes)
+        location, keys, values, extremes, derived)
       spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
         s"OPTIONS (path '$location')")
       emptyResult(spark)
@@ -283,35 +283,111 @@ object GraftSql {
     case _ => sqlParsed(spark, text)
   }
 
-  /** The maintainable SELECT-list grammar for CREATE MATERIALIZED
-    * VIEW: group keys (echoing GROUP BY), `SUM(col)`, `MIN(col)`,
-    * `MAX(col)`, `COUNT(*)` — optional AS aliases ignored (the
-    * maintained table's column names are canonical). Returns the
-    * measure columns (order of first appearance) and whether any
-    * MIN/MAX appeared (extremes maintenance).
+  /** Split a select/group-by list on TOP-LEVEL commas only (commas
+    * inside parentheses or single-quoted strings stay put — the
+    * `date_trunc('day', ts)` case a naive split breaks on).
     */
-  private def parseMvSelectList(sel: String,
-      keys: Seq[String]): (Seq[String], Boolean) = {
-    val SumRe = """(?is)\s*SUM\s*\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+\w+)?\s*""".r
-    val MinMaxRe =
-      """(?is)\s*(?:MIN|MAX)\s*\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+\w+)?\s*""".r
-    val CountRe = """(?is)\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+\w+)?\s*""".r
-    val keySet = keys.map(_.toLowerCase).toSet
-    val values = scala.collection.mutable.LinkedHashSet.empty[String]
-    var extremes = false
-    sel.split(",").map(_.trim).filter(_.nonEmpty).foreach {
-      case SumRe(c) => values += c
-      case MinMaxRe(c) => extremes = true; values += c
-      case CountRe() => ()
-      case k if keySet.contains(
-        k.stripPrefix("`").stripSuffix("`").toLowerCase) => ()
-      case other => throw new IllegalArgumentException(
-        "CREATE MATERIALIZED VIEW supports group keys, SUM(col), " +
-          s"MIN(col), MAX(col) and COUNT(*); cannot maintain '$other'")
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inQuote = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case ',' if !inQuote && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
     }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def normExpr(e: String): String =
+    e.toLowerCase.replaceAll("\\s+", "").replaceAll("`", "")
+
+  /** The maintainable grammar for CREATE MATERIALIZED VIEW:
+    * group keys — bare columns or `expr AS alias` (echoed in GROUP BY
+    * by alias or by the same expression text) — plus `SUM(col|expr AS
+    * alias)`, `MIN`/`MAX` of a column or of an already-SUMmed
+    * expression, and `COUNT(*)`. Derived keys/measures (a
+    * `date_trunc('day', ts)` bucket, a `price*(1-discount)` revenue)
+    * become per-row projections the maintenance applies to snapshots
+    * AND the change feed alike. Returns (keys in GROUP BY order,
+    * measure names, extremes?, derived name→expr pairs).
+    */
+  private def parseMvDefinition(sel: String, groupByRaw: String)
+      : (Seq[String], Seq[String], Boolean, Seq[(String, String)]) = {
+    val AggRe = """(?is)\s*(SUM|MIN|MAX|COUNT)\s*\((.+)\)\s*(?:AS\s+`?(\w+)`?\s*)?""".r
+    val AliasRe = """(?is)\s*(.+?)\s+AS\s+`?(\w+)`?\s*""".r
+    val BareRe = """(?is)\s*`?(\w+)`?\s*""".r
+    def fail(item: String): Nothing = throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW supports group keys (bare or expr AS " +
+        "alias), SUM(col|expr AS alias), MIN/MAX(col|summed expr) and " +
+        s"COUNT(*); cannot maintain '$item'")
+    // the greedy inner capture of AggRe can swallow past a ')' on
+    // malformed/compound items (SUM(a) + SUM(b)); an unbalanced
+    // capture means the item was not a single aggregate call
+    def balanced(e: String): Boolean = {
+      var d = 0; var q = false; var ok = true
+      e.foreach {
+        case '\'' => q = !q
+        case '(' if !q => d += 1
+        case ')' if !q => d -= 1; if (d < 0) ok = false
+        case _ =>
+      }
+      ok && d == 0 && !q
+    }
+    val values = scala.collection.mutable.LinkedHashSet.empty[String]
+    val derived = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // norm(expr or alias or bare col) -> canonical key/measure name
+    val byNorm = scala.collection.mutable.HashMap.empty[String, String]
+    val keyCandidates = scala.collection.mutable.LinkedHashSet.empty[String]
+    var extremes = false
+    splitTopLevel(sel).foreach {
+      case AggRe(fn, inner, alias) if balanced(inner) => fn.toUpperCase match {
+        case "COUNT" =>
+          if (inner.trim != "*") fail(s"COUNT($inner)")
+        case "SUM" => inner match {
+          case BareRe(c) => values += c; byNorm(normExpr(c)) = c
+          case e =>
+            val a = Option(alias).getOrElse(fail(
+              s"SUM($e) — a derived measure needs an AS alias"))
+            values += a; derived(a) = e.trim; byNorm(normExpr(e)) = a
+        }
+        case _ => // MIN | MAX
+          extremes = true
+          inner match {
+            case BareRe(c) => values += c; byNorm(normExpr(c)) = c
+            case e => byNorm.get(normExpr(e)) match {
+              case Some(_) => () // extremes of an already-SUMmed expr
+              case None =>
+                val a = Option(alias).getOrElse(fail(
+                  s"$fn($e) — a derived measure needs an AS alias"))
+                values += a; derived(a) = e.trim; byNorm(normExpr(e)) = a
+            }
+          }
+      }
+      case AliasRe(e, alias) =>
+        keyCandidates += alias; derived(alias) = e.trim
+        byNorm(normExpr(e)) = alias; byNorm(normExpr(alias)) = alias
+      case BareRe(c) =>
+        keyCandidates += c; byNorm(normExpr(c)) = c
+      case other => fail(other)
+    }
+    val keys = splitTopLevel(groupByRaw).map { g =>
+      byNorm.getOrElse(normExpr(g), throw new IllegalArgumentException(
+        s"GROUP BY item '$g' does not match any selected key " +
+          "(bare column or aliased expression)"))
+    }
+    require(keys.nonEmpty && keys.forall(k => keyCandidates.contains(k)),
+      "every GROUP BY item must be selected as a key")
     require(values.nonEmpty,
       "CREATE MATERIALIZED VIEW needs at least one SUM/MIN/MAX measure")
-    (values.toSeq, extremes)
+    (keys, values.toSeq, extremes, derived.toSeq)
   }
 
   private def splitIdents(s: String): Seq[String] =

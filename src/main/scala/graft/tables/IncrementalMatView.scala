@@ -53,9 +53,23 @@ import org.apache.spark.sql.functions._
   */
 class IncrementalMatView private (spark: SparkSession,
     val source: GraftTable, val mv: GraftTable,
-    keys: Seq[String], valueCols: Seq[String], extremes: Boolean) {
+    keys: Seq[String], valueCols: Seq[String], extremes: Boolean,
+    derived: Seq[(String, String)] = Nil) {
   import IncrementalMatView._
   require(valueCols.nonEmpty, "at least one measure column")
+
+  /** Project DERIVED key/measure columns (name → SQL expr over the
+    * source row) onto a source-shaped frame — snapshots AND the
+    * change feed run through the same projection, so a derived
+    * `day = date_trunc('day', ts)` key or a
+    * `revenue = price*(1-discount)` measure folds and recomputes
+    * exactly like a physical column. Exprs must be DETERMINISTIC
+    * per-row (they re-evaluate on preimages during folding).
+    */
+  private def prep(df: DataFrame): DataFrame =
+    derived.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+
+  private val derivedMap = derived.toMap
 
   private def dec38(c: org.apache.spark.sql.Column) =
     c.cast("decimal(12,4)").cast("decimal(38,4)")
@@ -104,8 +118,12 @@ class IncrementalMatView private (spark: SparkSession,
       return source.snapshotAt(to)
     val conds = keys.zipWithIndex.flatMap { case (k, i) =>
       val vals = head.map(_.get(i))
+      // a derived key prunes through its UNDERLYING expression (the
+      // source files have no such column); unevaluable shapes keep
+      // conservatively inside snapshotCandidates
       if (vals.contains(null)) None
-      else Some(col(k).isin(vals.distinct.toSeq: _*))
+      else Some(expr(derivedMap.getOrElse(k, k))
+        .isin(vals.distinct.toSeq: _*))
     }
     if (conds.isEmpty) source.snapshotAt(to)
     else source.snapshotCandidates(conds.reduce(_ && _), to)
@@ -118,12 +136,13 @@ class IncrementalMatView private (spark: SparkSession,
     val from = reflectedVersion
     val to = source.latestVersion
     if (to <= from) return from
-    val feed = source.changeFeed(from, to)
+    val feed = prep(source.changeFeed(from, to))
     // pre-CDC MERGE commits surface ambiguous 'upsert' rows (was it
     // an update or an insert?) — a signed delta would double-count;
     // recompute instead of guessing
     if (feed.where(col("_change_type") === "upsert").limit(1).count() > 0) {
-      mv.overwrite(nullableFrame(aggregateOf(source.snapshotAt(to))),
+      mv.overwrite(
+        nullableFrame(aggregateOf(prep(source.snapshotAt(to)))),
         Map(SourceVersionKey -> to))
       return to
     }
@@ -185,8 +204,8 @@ class IncrementalMatView private (spark: SparkSession,
         // one group's files, not the fact table; multi-column keys,
         // null keys or large sets fall back to the full scan + the
         // same semi-join (correct, just unpruned)
-        val recomputed = aggregateOf(
-          recomputeSource(to, affected).join(affected, keys, "left_semi"))
+        val recomputed = aggregateOf(prep(recomputeSource(to, affected))
+          .join(affected, keys, "left_semi"))
         folded.unionByName(recomputed)
       }
     mv.overwrite(nullableFrame(merged), Map(SourceVersionKey -> to))
@@ -225,6 +244,25 @@ object IncrementalMatView {
   private val PropKeys = "graft.mv.keys"
   private val PropValues = "graft.mv.values"
   private val PropExtremes = "graft.mv.extremes"
+  private val PropDerived = "graft.mv.derived"
+
+  // derived (name -> SQL expr) pairs ride in one property; exprs may
+  // hold any character, so each side is base64-coded
+  private def encodeDerived(d: Seq[(String, String)]): String = {
+    val enc = java.util.Base64.getEncoder
+    d.map { case (n, e) =>
+      enc.encodeToString(n.getBytes("UTF-8")) + ":" +
+        enc.encodeToString(e.getBytes("UTF-8"))
+    }.mkString(",")
+  }
+
+  private def decodeDerived(s: String): Seq[(String, String)] = {
+    val dec = java.util.Base64.getDecoder
+    s.split(",").toSeq.filter(_.nonEmpty).map { pair =>
+      val Array(n, e) = pair.split(":")
+      (new String(dec.decode(n), "UTF-8"), new String(dec.decode(e), "UTF-8"))
+    }
+  }
 
   /** Materialize the view at the source's current version (one full
     * scan) and return the maintained handle. `extremes = true` adds
@@ -232,13 +270,20 @@ object IncrementalMatView {
     * deletions — see the class doc). All measures maintain from one
     * pass over the feed.
     */
+  /** [[create]] without derived columns. */
   def create(spark: SparkSession, source: GraftTable, mvPath: String,
       keys: Seq[String], valueCols: Seq[String],
-      extremes: Boolean): IncrementalMatView = {
+      extremes: Boolean): IncrementalMatView =
+    create(spark, source, mvPath, keys, valueCols, extremes, Nil)
+
+  def create(spark: SparkSession, source: GraftTable, mvPath: String,
+      keys: Seq[String], valueCols: Seq[String],
+      extremes: Boolean,
+      derived: Seq[(String, String)]): IncrementalMatView = {
     val v = source.latestVersion
     val handle = new IncrementalMatView(spark, source, null, keys,
-      valueCols, extremes)
-    val initial = handle.aggregateOf(source.snapshotAt(v))
+      valueCols, extremes, derived)
+    val initial = handle.aggregateOf(handle.prep(source.snapshotAt(v)))
     // CREATE records no metrics — land the data through an OVERWRITE
     // so the watermark is transactional with it
     val mv = GraftTable.create(spark, mvPath,
@@ -252,8 +297,11 @@ object IncrementalMatView {
       PropSource -> source.root.toAbsolutePath.toString,
       PropKeys -> keys.mkString(","),
       PropValues -> valueCols.mkString(","),
-      PropExtremes -> extremes.toString))
-    new IncrementalMatView(spark, source, mv, keys, valueCols, extremes)
+      PropExtremes -> extremes.toString) ++
+      (if (derived.isEmpty) Map.empty[String, String]
+       else Map(PropDerived -> encodeDerived(derived))))
+    new IncrementalMatView(spark, source, mv, keys, valueCols, extremes,
+      derived)
   }
 
   /** Re-open a maintained view from the definition stored in its own
@@ -270,7 +318,8 @@ object IncrementalMatView {
       GraftTable.load(spark, req(PropSource)), mv,
       req(PropKeys).split(",").toSeq,
       req(PropValues).split(",").toSeq,
-      req(PropExtremes).toBoolean)
+      req(PropExtremes).toBoolean,
+      props.get(PropDerived).map(decodeDerived).getOrElse(Nil))
   }
 
   /** CONTINUOUSLY maintained view — the Delta-Live-Tables shape: a

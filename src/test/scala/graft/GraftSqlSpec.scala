@@ -815,4 +815,63 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gs_mv")
     }
   }
+
+  test("materialized view SQL accepts derived keys and measure expressions") {
+    val (t, _) = registered("gs_mvdsrc")
+    val taxExpr = "CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) " +
+      "* CAST(0.1 AS DECIMAL(5,4)), 4) AS DOUBLE)"
+    try {
+      val mvDir = Files.createTempDirectory("graft_sqlmvd_")
+        .resolve("mv").toString
+      spark.sql("DROP TABLE IF EXISTS gs_mvd")
+      GraftSql.sql(spark,
+        s"CREATE MATERIALIZED VIEW gs_mvd LOCATION '$mvDir' AS " +
+          "SELECT o_orderstatus, " +
+          "date_trunc('month', o_orderdate) AS omonth, " +
+          s"SUM($taxExpr) AS tax, MAX($taxExpr), COUNT(*) " +
+          "FROM gs_mvdsrc GROUP BY o_orderstatus, omonth")
+      // the derived measure changes under the UPDATE (price moves →
+      // tax moves), the DELETE retires month-bucket extremes
+      GraftSql.sql(spark,
+        "UPDATE gs_mvdsrc SET o_totalprice = o_totalprice + 1000.0 " +
+          "WHERE o_orderpriority = '1-URGENT'")
+      GraftSql.sql(spark,
+        "DELETE FROM gs_mvdsrc WHERE o_custkey % 5 = 0")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gs_mvd")
+      val maintained = spark.table("gs_mvd")
+        .select($"o_orderstatus", $"omonth",
+          round($"m_sum_tax", 4).cast("double"), $"m_cnt",
+          round($"m_min_tax", 4).cast("double"),
+          round($"m_max_tax", 4).cast("double"))
+        .orderBy($"o_orderstatus", $"omonth")
+        .as[(String, java.sql.Timestamp, Double, Long, Double, Double)]
+        .collect().toSeq
+      val recomputed = t.snapshot()
+        .withColumn("tax", expr(taxExpr))
+        .groupBy($"o_orderstatus",
+          date_trunc("month", $"o_orderdate").as("omonth"))
+        .agg(round(sum($"tax".cast("decimal(12,4)")), 4).cast("double"),
+          count(lit(1)),
+          round(min($"tax".cast("decimal(12,4)")), 4).cast("double"),
+          round(max($"tax".cast("decimal(12,4)")), 4).cast("double"))
+        .orderBy($"o_orderstatus", $"omonth")
+        .as[(String, java.sql.Timestamp, Double, Long, Double, Double)]
+        .collect().toSeq
+      assert(maintained === recomputed,
+        "derived-column SQL view diverged from recompute")
+      // a compound aggregate is refused, not mis-maintained (it can
+      // only parse as a would-be key expression, leaving no measure)
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          "CREATE MATERIALIZED VIEW gs_mvd2 LOCATION '/tmp/y' AS " +
+            "SELECT o_orderstatus, SUM(o_totalprice) + SUM(o_custkey) AS z " +
+            "FROM gs_mvdsrc GROUP BY o_orderstatus")
+      }
+      assert(e.getMessage.contains("cannot maintain") ||
+        e.getMessage.contains("at least one SUM/MIN/MAX measure"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_mvdsrc")
+      spark.sql("DROP TABLE IF EXISTS gs_mvd")
+    }
+  }
 }
