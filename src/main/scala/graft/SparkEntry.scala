@@ -119,6 +119,7 @@ object SparkEntry {
     "mv_incremental_multi" -> (TableOps.mvIncrementalMulti _),
     "mv_incremental_lineitem" -> (TableOps.mvIncrementalLineitem _),
     "mv_incremental_derived" -> (TableOps.mvIncrementalDerived _),
+    "mv_incremental_dim" -> (TableOps.mvIncrementalDim _),
     // §D temporal joins
     "asof_join_events_orders" -> (TemporalJoins.asofEventsOrders _),
     "asof_join_native" -> ((s: SparkSession, d: String) => {
@@ -1096,6 +1097,26 @@ object SparkEntry {
         |  CAST(round(MIN(CAST(revenue AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_revenue,
         |  CAST(round(MAX(CAST(revenue AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_revenue
         |FROM rev GROUP BY l_returnflag, lmonth""".stripMargin,
+    "mv_incremental_dim" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |del AS (
+        |  SELECT * FROM upd
+        |  WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)),
+        |live AS (SELECT * FROM del WHERE NOT (o_totalprice < 1000.0)),
+        |j AS (
+        |  SELECT c.c_mktsegment, l.o_totalprice
+        |  FROM live l LEFT JOIN customer c ON l.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_o_totalprice,
+        |  COUNT(*) AS n_rows,
+        |  CAST(round(MIN(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_o_totalprice,
+        |  CAST(round(MAX(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_o_totalprice
+        |FROM j GROUP BY c_mktsegment""".stripMargin,
     "tbl_update_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderpriority = '1-URGENT'

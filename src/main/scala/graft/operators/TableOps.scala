@@ -617,6 +617,34 @@ object TableOps {
     mv.view()
   }
 
+  /** DIMENSION-JOIN maintained view: revenue by customer market
+    * segment = orders ⋈ customer, grouped by a DIM column. Fact
+    * deltas fold through a broadcast left join to the dim; a dim
+    * change triggers a full recompute at the next refresh (per-dim
+    * version watermarks — spec'd in DeletionVectorSpec; the dim is
+    * static in this oracle scenario so DuckDB replays the join
+    * relationally).
+    */
+  def mvIncrementalDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_mvdim_")
+    val dim = GraftTable.create(spark, dir.resolve("cust").toString,
+      Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+    val mv = graft.tables.IncrementalMatView.create(spark, t,
+      dir.resolve("mv").toString, Seq("c_mktsegment"),
+      Seq("o_totalprice"), extremes = true, derived = Nil,
+      dims = Seq((dim.root.toString, "o_custkey", "c_custkey")))
+    t.update(col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" ->
+        round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+          .cast("double")))
+    t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    t.deleteMor(col("o_totalprice") < lit(1000.0))
+    mv.refresh()
+    mv.view()
+  }
+
   /** DESCRIBE HISTORY analog (01-Fraud-Delta.py:214): deterministic
     * columns only (version/operation).
     */

@@ -54,9 +54,17 @@ import org.apache.spark.sql.functions._
 class IncrementalMatView private (spark: SparkSession,
     val source: GraftTable, val mv: GraftTable,
     keys: Seq[String], valueCols: Seq[String], extremes: Boolean,
-    derived: Seq[(String, String)] = Nil) {
+    derived: Seq[(String, String)] = Nil,
+    dims: Seq[(String, String, String)] = Nil) {
   import IncrementalMatView._
   require(valueCols.nonEmpty, "at least one measure column")
+
+  /** Dimension tables joined into the view: (table, factKey, dimKey).
+    * Loaded once per handle; versions are watermarked per dim so a
+    * dim change triggers a full recompute (see [[refresh]]).
+    */
+  private lazy val dimTables: Seq[(GraftTable, String, String)] =
+    dims.map { case (p, fk, dk) => (GraftTable.load(spark, p), fk, dk) }
 
   /** Project DERIVED key/measure columns (name → SQL expr over the
     * source row) onto a source-shaped frame — snapshots AND the
@@ -66,8 +74,17 @@ class IncrementalMatView private (spark: SparkSession,
     * exactly like a physical column. Exprs must be DETERMINISTIC
     * per-row (they re-evaluate on preimages during folding).
     */
-  private def prep(df: DataFrame): DataFrame =
-    derived.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+  private def prep(df: DataFrame): DataFrame = {
+    // dimension joins FIRST (broadcast left join on the fact key —
+    // dims are dimension-sized by contract), then derived exprs,
+    // which may reference joined dim columns
+    val joined = dimTables.foldLeft(df) { case (d, (dt, fk, dk)) =>
+      val dim = dt.snapshot()
+      d.join(broadcast(dim), d.col(fk) === dim.col(dk), "left")
+        .drop(dim.col(dk))
+    }
+    derived.foldLeft(joined) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+  }
 
   private val derivedMap = derived.toMap
 
@@ -99,6 +116,10 @@ class IncrementalMatView private (spark: SparkSession,
 
   /** Source version the view currently reflects. */
   def reflectedVersion: Long = mv.maxMetric(SourceVersionKey).getOrElse(-1L)
+
+  private def dimVersionMetrics: Map[String, Long] =
+    dimTables.zipWithIndex.map { case ((dt, _, _), i) =>
+      dimVersionKey(i) -> dt.latestVersion }.toMap
 
   /** The frame the affected-group recompute reads: a stats-pruned
     * candidate read when the affected key set is small
@@ -135,6 +156,19 @@ class IncrementalMatView private (spark: SparkSession,
   def refresh(): Long = {
     val from = reflectedVersion
     val to = source.latestVersion
+    // a changed DIMENSION invalidates folded rows wholesale (old
+    // deltas joined the old dim values; no fact delta can repair
+    // them) — the honest maintenance is a full recompute, fired even
+    // when the FACT is unchanged, and watermarked per dim so the
+    // next refresh folds again
+    val dimsChanged = dimTables.zipWithIndex.exists { case ((dt, _, _), i) =>
+      dt.latestVersion > mv.maxMetric(dimVersionKey(i)).getOrElse(-1L) }
+    if (dimsChanged) {
+      mv.overwrite(
+        nullableFrame(aggregateOf(prep(source.snapshotAt(to)))),
+        Map(SourceVersionKey -> to) ++ dimVersionMetrics)
+      return to
+    }
     if (to <= from) return from
     val feed = prep(source.changeFeed(from, to))
     // pre-CDC MERGE commits surface ambiguous 'upsert' rows (was it
@@ -143,7 +177,7 @@ class IncrementalMatView private (spark: SparkSession,
     if (feed.where(col("_change_type") === "upsert").limit(1).count() > 0) {
       mv.overwrite(
         nullableFrame(aggregateOf(prep(source.snapshotAt(to)))),
-        Map(SourceVersionKey -> to))
+        Map(SourceVersionKey -> to) ++ dimVersionMetrics)
       return to
     }
     val sign = when(col("_change_type")
@@ -208,7 +242,8 @@ class IncrementalMatView private (spark: SparkSession,
           .join(affected, keys, "left_semi"))
         folded.unionByName(recomputed)
       }
-    mv.overwrite(nullableFrame(merged), Map(SourceVersionKey -> to))
+    mv.overwrite(nullableFrame(merged),
+      Map(SourceVersionKey -> to) ++ dimVersionMetrics)
     if (extremes && affected != null) affected.unpersist()
     to
   }
@@ -245,6 +280,25 @@ object IncrementalMatView {
   private val PropValues = "graft.mv.values"
   private val PropExtremes = "graft.mv.extremes"
   private val PropDerived = "graft.mv.derived"
+  private val PropDims = "graft.mv.dims"
+
+  private[tables] def dimVersionKey(i: Int): String = s"mvDimVersion$i"
+
+  private def encodeDims(d: Seq[(String, String, String)]): String = {
+    val enc = java.util.Base64.getEncoder
+    d.map { case (p, fk, dk) => Seq(p, fk, dk)
+      .map(x => enc.encodeToString(x.getBytes("UTF-8"))).mkString(":")
+    }.mkString(",")
+  }
+
+  private def decodeDims(s: String): Seq[(String, String, String)] = {
+    val dec = java.util.Base64.getDecoder
+    s.split(",").toSeq.filter(_.nonEmpty).map { triple =>
+      val Array(p, fk, dk) = triple.split(":")
+        .map(x => new String(dec.decode(x), "UTF-8"))
+      (p, fk, dk)
+    }
+  }
 
   // derived (name -> SQL expr) pairs ride in one property; exprs may
   // hold any character, so each side is base64-coded
@@ -270,25 +324,42 @@ object IncrementalMatView {
     * deletions — see the class doc). All measures maintain from one
     * pass over the feed.
     */
-  /** [[create]] without derived columns. */
+  /** [[create]] without derived columns or dimensions. */
   def create(spark: SparkSession, source: GraftTable, mvPath: String,
       keys: Seq[String], valueCols: Seq[String],
       extremes: Boolean): IncrementalMatView =
-    create(spark, source, mvPath, keys, valueCols, extremes, Nil)
+    create(spark, source, mvPath, keys, valueCols, extremes, Nil, Nil)
 
+  /** [[create]] without dimension joins. */
   def create(spark: SparkSession, source: GraftTable, mvPath: String,
       keys: Seq[String], valueCols: Seq[String],
       extremes: Boolean,
-      derived: Seq[(String, String)]): IncrementalMatView = {
+      derived: Seq[(String, String)]): IncrementalMatView =
+    create(spark, source, mvPath, keys, valueCols, extremes, derived, Nil)
+
+  /** Full form: `derived` adds name→SQL-expr projected columns;
+    * `dims` joins dimension tables (path, factKey, dimKey) into the
+    * view — fact deltas FOLD as usual through a broadcast left join,
+    * and a dimension CHANGE triggers a full recompute at the next
+    * refresh (per-dim version watermarks in the view's commit
+    * metrics), because folded rows joined the old dim values and no
+    * fact delta can repair them.
+    */
+  def create(spark: SparkSession, source: GraftTable, mvPath: String,
+      keys: Seq[String], valueCols: Seq[String],
+      extremes: Boolean,
+      derived: Seq[(String, String)],
+      dims: Seq[(String, String, String)]): IncrementalMatView = {
     val v = source.latestVersion
     val handle = new IncrementalMatView(spark, source, null, keys,
-      valueCols, extremes, derived)
+      valueCols, extremes, derived, dims)
     val initial = handle.aggregateOf(handle.prep(source.snapshotAt(v)))
     // CREATE records no metrics — land the data through an OVERWRITE
     // so the watermark is transactional with it
     val mv = GraftTable.create(spark, mvPath,
       handle.nullableFrame(initial.limit(0)))
-    mv.overwrite(handle.nullableFrame(initial), Map(SourceVersionKey -> v))
+    mv.overwrite(handle.nullableFrame(initial),
+      Map(SourceVersionKey -> v) ++ handle.dimVersionMetrics)
     // the view is SELF-DESCRIBING: its definition rides in its own
     // table properties, so REFRESH MATERIALIZED VIEW (and any later
     // session) reconstructs the maintenance without the caller
@@ -299,9 +370,11 @@ object IncrementalMatView {
       PropValues -> valueCols.mkString(","),
       PropExtremes -> extremes.toString) ++
       (if (derived.isEmpty) Map.empty[String, String]
-       else Map(PropDerived -> encodeDerived(derived))))
-    new IncrementalMatView(spark, source, mv, keys, valueCols, extremes,
-      derived)
+       else Map(PropDerived -> encodeDerived(derived))) ++
+      (if (dims.isEmpty) Map.empty[String, String]
+       else Map(PropDims -> encodeDims(dims))))
+    new IncrementalMatView(spark, source, mv, keys, valueCols,
+      extremes, derived, dims)
   }
 
   /** Re-open a maintained view from the definition stored in its own
@@ -319,7 +392,8 @@ object IncrementalMatView {
       req(PropKeys).split(",").toSeq,
       req(PropValues).split(",").toSeq,
       req(PropExtremes).toBoolean,
-      props.get(PropDerived).map(decodeDerived).getOrElse(Nil))
+      props.get(PropDerived).map(decodeDerived).getOrElse(Nil),
+      props.get(PropDims).map(decodeDims).getOrElse(Nil))
   }
 
   /** CONTINUOUSLY maintained view — the Delta-Live-Tables shape: a

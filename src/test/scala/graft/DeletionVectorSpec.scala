@@ -313,6 +313,50 @@ class DeletionVectorSpec extends SparkSpec {
       "pruned recompute diverged from the full recompute")
   }
 
+  test("dim-join mat view folds fact deltas and recomputes on dim change") {
+    import graft.tables.IncrementalMatView
+    val fact = GraftTable.create(spark, tmp(),
+      spark.range(0, 200)
+        .select($"id", ($"id" % 10).as("k"),
+          ($"id" * 3 % 40).cast("double").as("v")).repartition(4))
+    val dim = GraftTable.create(spark, tmp(),
+      spark.range(0, 10)
+        .select($"id".as("dk"), ($"id" % 3).cast("string").as("seg")))
+    val mv = IncrementalMatView.create(spark, fact, tmp(),
+      Seq("seg"), Seq("v"), extremes = true, derived = Nil,
+      dims = Seq((dim.root.toString, "k", "dk")))
+    def recompute() = fact.snapshot()
+      .join(dim.snapshot(), $"k" === $"dk", "left")
+      .groupBy($"seg")
+      .agg(round(sum($"v".cast("decimal(12,4)")), 4).cast("double"),
+        count(lit(1)),
+        round(min($"v".cast("decimal(12,4)")), 4).cast("double"),
+        round(max($"v".cast("decimal(12,4)")), 4).cast("double"))
+      .orderBy($"seg")
+      .as[(String, Double, Long, Double, Double)].collect().toSeq
+    def maintained() = mv.view().orderBy($"seg")
+      .as[(String, Double, Long, Double, Double)].collect().toSeq
+    assert(maintained() === recompute())
+    // fact delta folds through the dim join (dim untouched)
+    fact.append(spark.range(200, 240)
+      .select($"id", ($"id" % 10).as("k"), lit(99.5).as("v")))
+    val viewVersions = mv.mv.latestVersion
+    mv.refresh()
+    assert(maintained() === recompute(), "fact fold through dim diverged")
+    // dim change with the FACT UNCHANGED: the per-dim watermark must
+    // force a full recompute — rows folded under the old segment
+    // assignment move wholesale
+    dim.update($"dk" === 1L, Map("seg" -> lit("9")))
+    mv.refresh()
+    assert(maintained() === recompute(),
+      "dim change did not recompute the view")
+    assert(maintained().exists(_._1 == "9"), "moved segment missing")
+    // and the next fact delta folds again (watermark advanced)
+    fact.delete($"v" === 99.5)
+    mv.refresh()
+    assert(maintained() === recompute(), "post-dim-change fold diverged")
+  }
+
   test("multi-measure mat view maintains every measure from one pass") {
     import graft.tables.IncrementalMatView
     val dir = tmp()
