@@ -105,7 +105,9 @@ object GraftSql {
   // CREATE/REFRESH MATERIALIZED VIEW shape, restricted to the
   // maintainable grammar: keys, SUM/MIN/MAX(col), COUNT(*))
   private val CreateMatView =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+(.+?)\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([\w.`]+)((?:\s+(?:LEFT\s+)?JOIN\s+[\w.`]+\s+ON\s+[\w.`]+\s*=\s*[\w.`]+)*)\s+GROUP\s+BY\s+(.+?)\s*""".r
+  private val MvJoinClause =
+    """(?is)(?:LEFT\s+)?JOIN\s+([\w.`]+)\s+ON\s+([\w.`]+)\s*=\s*([\w.`]+)""".r
   private val RefreshMatView =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*""".r
 
@@ -265,11 +267,15 @@ object GraftSql {
       spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
         s"OPTIONS (path '$location')")
       emptyResult(spark)
-    case CreateMatView(ident, location, selectList, srcIdent, groupBy) =>
+    case CreateMatView(ident, location, selectList, srcIdent, joins,
+        groupBy) =>
       val (keys, values, extremes, derived) =
         parseMvDefinition(selectList, groupBy)
+      val dims =
+        if (joins == null || joins.trim.isEmpty) Nil
+        else parseMvJoins(spark, joins)
       IncrementalMatView.create(spark, tableByName(spark, srcIdent),
-        location, keys, values, extremes, derived)
+        location, keys, values, extremes, derived, dims)
       spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
         s"OPTIONS (path '$location')")
       emptyResult(spark)
@@ -390,6 +396,30 @@ object GraftSql {
     (keys, values.toSeq, extremes, derived.toSeq)
   }
 
+  /** Parse the maintainable JOIN chain: `[LEFT] JOIN dim ON a = b`
+    * repeated — each dim must be a registered graft table, each ON
+    * a single equality whose sides orient by schema (exactly one
+    * side must be a column of the dim). Returns the
+    * (dimPath, factKey, dimKey) triples IncrementalMatView takes.
+    */
+  private def parseMvJoins(spark: SparkSession,
+      joins: String): Seq[(String, String, String)] =
+    MvJoinClause.findAllMatchIn(joins).map { m =>
+      val dimT = tableByName(spark, m.group(1))
+      def base(c: String) = c.split("\\.").last.replace("`", "")
+      val (a, b) = (base(m.group(2)), base(m.group(3)))
+      val dimCols = dimT.snapshot().columns.map(_.toLowerCase).toSet
+      val (fk, dk) =
+        if (dimCols.contains(b.toLowerCase) &&
+            !dimCols.contains(a.toLowerCase)) (a, b)
+        else if (dimCols.contains(a.toLowerCase) &&
+            !dimCols.contains(b.toLowerCase)) (b, a)
+        else throw new IllegalArgumentException(
+          s"cannot orient JOIN ON ${m.group(2)} = ${m.group(3)}: " +
+            s"exactly one side must be a column of ${m.group(1)}")
+      (dimT.root.toString, fk, dk)
+    }.toSeq
+
   private def splitIdents(s: String): Seq[String] =
     s.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
       .filter(_.nonEmpty)
@@ -433,7 +463,7 @@ object GraftSql {
          DescribeDetail(_) | CreatePartitionedCtas(_, _, _, _) |
          CreateBucketedCtas(_, _, _, _, _) |
          ShowPartitionsSql(_) | FsckTable(_) |
-         CreateMatView(_, _, _, _, _) | RefreshMatView(_) => true
+         CreateMatView(_, _, _, _, _, _) | RefreshMatView(_) => true
     case _ => false
   }
 
@@ -551,7 +581,7 @@ object GraftSql {
       case ShowPartitionsSql(i) => Some(i)
       case FsckTable(i) => Some(i)
       // the view's SOURCE must be a graft table; the view ident is new
-      case CreateMatView(_, _, _, srcIdent, _) => Some(srcIdent)
+      case CreateMatView(_, _, _, srcIdent, _, _) => Some(srcIdent)
       case RefreshMatView(i) => Some(i)
       case _ => None
     }

@@ -874,4 +874,54 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gs_mvd")
     }
   }
+
+  test("materialized view SQL joins a dimension and recomputes on its change") {
+    val (t, _) = registered("gs_mvjf")
+    try {
+      val dimDir = Files.createTempDirectory("graft_sqlmvj_")
+        .resolve("cust").toString
+      val dim = GraftTable.create(spark, dimDir,
+        Tables.load(spark, sf, "customer")
+          .select($"c_custkey", $"c_mktsegment"))
+      spark.sql("DROP TABLE IF EXISTS gs_mvjd")
+      spark.sql(
+        s"CREATE TABLE gs_mvjd USING `graft-table` OPTIONS (path '$dimDir')")
+      val mvDir = Files.createTempDirectory("graft_sqlmvj_")
+        .resolve("mv").toString
+      spark.sql("DROP TABLE IF EXISTS gs_mvj")
+      GraftSql.sql(spark,
+        s"CREATE MATERIALIZED VIEW gs_mvj LOCATION '$mvDir' AS " +
+          "SELECT c_mktsegment, SUM(o_totalprice), COUNT(*) " +
+          "FROM gs_mvjf JOIN gs_mvjd ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment")
+      def recompute() = t.snapshot()
+        .join(dim.snapshot(), $"o_custkey" === $"c_custkey", "left")
+        .groupBy($"c_mktsegment")
+        .agg(round(sum($"o_totalprice".cast("decimal(12,4)")), 4)
+            .cast("double"),
+          count(lit(1)))
+        .orderBy($"c_mktsegment")
+        .as[(String, Double, Long)].collect().toSeq
+      def maintained() = spark.table("gs_mvj")
+        .select($"c_mktsegment",
+          round($"m_sum_o_totalprice", 4).cast("double"), $"m_cnt")
+        .orderBy($"c_mktsegment")
+        .as[(String, Double, Long)].collect().toSeq
+      assert(maintained() === recompute())
+      // fact DML folds through the join
+      GraftSql.sql(spark, "DELETE FROM gs_mvjf WHERE o_custkey % 4 = 0")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gs_mvj")
+      assert(maintained() === recompute(), "fact fold via SQL diverged")
+      // a dim UPDATE (through SQL) forces the recompute on refresh
+      GraftSql.sql(spark,
+        "UPDATE gs_mvjd SET c_mktsegment = 'MOVED' WHERE c_custkey % 10 = 1")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gs_mvj")
+      assert(maintained() === recompute(), "dim change did not recompute")
+      assert(maintained().exists(_._1 == "MOVED"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_mvjf")
+      spark.sql("DROP TABLE IF EXISTS gs_mvjd")
+      spark.sql("DROP TABLE IF EXISTS gs_mvj")
+    }
+  }
 }
