@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPortable(s, d)),
     "dedup_cluster_survivors" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivors(s, d)),
+    "dedup_incremental_clusters" -> (Dedup.incrementalClustersScenario _),
     // §I text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
@@ -202,7 +203,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlMain +
       ("ann_incremental_serve" -> oracleSqlMain("ann_incremental")) +
-      ("dedup_incremental_probe" -> oracleSqlMain("dedup_incremental"))
+      ("dedup_incremental_probe" -> oracleSqlMain("dedup_incremental")) +
+      // the maintained clustering's final state over all 3 batches IS
+      // the one-shot clustering of the full pair set
+      ("dedup_incremental_clusters" ->
+        oracleSqlMain("dedup_cluster_survivors"))
 
   private lazy val oracleSqlMain: Map[String, String] = Map(
     "q_total_amount" ->

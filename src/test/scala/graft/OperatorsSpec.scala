@@ -497,6 +497,45 @@ class OperatorsSpec extends SparkSpec {
         s"invented ${(sliced.toSet -- oneShot).size}")
   }
 
+  test("incremental clustering equals one-shot CC across batch orders") {
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft_iclust_").resolve("c").toString
+    // chain 0-1-2-3, a separate pair 10-11, and a LATE bridge 3-10:
+    // batches are ordered so components formed in different batches
+    // must merge, and the canonical min must propagate across them
+    val b1 = Seq((2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val b2 = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val b3 = Seq((3L, 10L)).toDF("doc_a", "doc_b")
+    val all = b1.unionByName(b2).unionByName(b3)
+    val want = Dedup.connectedComponents(all)
+      .as[(Long, Long, Int)].collect().toSet
+    val path = tmp()
+    Dedup.incrementalClusters(spark, path, b1)
+    Dedup.incrementalClusters(spark, path, b2)
+    val d3 = Dedup.incrementalClusters(spark, path, b3)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = Dedup.clustersView(spark, path)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want,
+      s"incremental clustering diverged: lost ${(want -- got).size}, " +
+        s"invented ${(got -- want).size}")
+    // the late bridge re-rooted the whole 10-11 component to 0
+    assert(got.contains((10L, 0L, 0)) && got.contains((11L, 0L, 0)))
+    // batch-3 delta carries exactly the changed assignments (the old
+    // 10-rooted component and the bridged 3's component are already
+    // 0-rooted, so only the re-rooted rows surface)
+    assert(d3.forall(_._2 == 0L), s"delta rows must re-root to 0: $d3")
+    // a replayed batch is a semantic no-op
+    Dedup.incrementalClusters(spark, path, b3)
+    assert(Dedup.clustersView(spark, path)
+      .as[(Long, Long, Int)].collect().toSet === want)
+    // and the same pairs in ONE batch give the same state
+    val path2 = tmp()
+    Dedup.incrementalClusters(spark, path2, all)
+    assert(Dedup.clustersView(spark, path2)
+      .as[(Long, Long, Int)].collect().toSet === want)
+  }
+
   test("probe-only serving path equals the indexing probe and is read-only") {
     def tmp() = java.nio.file.Files
       .createTempDirectory("graft_idx_probe_").toString
