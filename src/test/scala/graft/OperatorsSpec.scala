@@ -534,6 +534,14 @@ class OperatorsSpec extends SparkSpec {
     Dedup.incrementalClusters(spark, path2, all)
     assert(Dedup.clustersView(spark, path2)
       .as[(Long, Long, Int)].collect().toSet === want)
+    // the DISTRIBUTED contraction path (localThreshold = 0) and the
+    // driver fast path land identical states batch-for-batch
+    val path3 = tmp()
+    Seq(b1, b2, b3).foreach(b =>
+      Dedup.incrementalClusters(spark, path3, b, localThreshold = 0L))
+    assert(Dedup.clustersView(spark, path3)
+      .as[(Long, Long, Int)].collect().toSet === want,
+      "distributed path diverged from the driver fast path")
   }
 
   test("probe-only serving path equals the indexing probe and is read-only") {
