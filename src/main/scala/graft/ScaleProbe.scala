@@ -37,6 +37,11 @@ object ScaleProbe {
       mvProbe(spark, corpusDir)
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "admit") {
+      admitProbe(spark, corpusDir,
+        sys.env("SPARK_GRAFT_BATCH_DIR"))
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -57,6 +62,33 @@ object ScaleProbe {
     val t2 = System.nanoTime()
     println(s"""{"metric":"scale_probe","corpus":"$corpusDir","batch":"$batchDir","index_sec":${(t1 - t0) / 1e9},"probe_sec":${(t2 - t1) / 1e9},"pairs":$n,"sh_files_total":${st.shingleFilesTotal},"sh_files_read":${st.shingleFilesRead}}""")
     spark.stop()
+  }
+
+  /** The full ADMISSION step (screen → cluster → verdict) for a
+    * FIXED batch against a growing corpus: index build is one-time;
+    * the per-batch admission time is the steady-state number and
+    * should be ~flat in corpus size (probe is bucket-scoped +
+    * candidate-pruned; clustering touches only batch components).
+    */
+  private def admitProbe(spark: SparkSession, corpusDir: String,
+      batchDir: String): Unit = {
+    val corpus = Tables.load(spark, corpusDir, "documents")
+    val batch = Tables.load(spark, batchDir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+    val stage = java.nio.file.Files.createTempDirectory("graft_admitprobe_")
+    val idx = stage.resolve("idx").toString
+    val clusters = stage.resolve("clusters").toString
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.incrementalIndex(spark, idx, corpus,
+      batchId = 0L)
+    val t1 = System.nanoTime()
+    val verdicts = graft.operators.Dedup.admitBatch(spark, idx, clusters,
+      batch, batchId = 1L)
+    val kept = verdicts.where(col("action") === "keep").count()
+    val dropped = verdicts.where(col("action") === "drop").count()
+    val t2 = System.nanoTime()
+    println(s"""{"metric":"admit_probe","corpus":"$corpusDir","batch":"$batchDir","index_sec":${(t1 - t0) / 1e9},"admit_sec":${(t2 - t1) / 1e9},"kept":$kept,"dropped":$dropped}""")
   }
 
   /** Fixed-trickle maintained-view refresh against a growing fact
