@@ -85,8 +85,12 @@ object ScaleProbe {
     val t1 = System.nanoTime()
     val verdicts = graft.operators.Dedup.admitBatch(spark, idx, clusters,
       batch, batchId = 1L)
-    val kept = verdicts.where(col("action") === "keep").count()
-    val dropped = verdicts.where(col("action") === "drop").count()
+    // one aggregation pass — two separate counts would re-run the
+    // verdict join and overstate the published admission cost
+    val counts = verdicts.groupBy(col("action")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = counts.getOrElse("keep", 0L)
+    val dropped = counts.getOrElse("drop", 0L)
     val t2 = System.nanoTime()
     println(s"""{"metric":"admit_probe","corpus":"$corpusDir","batch":"$batchDir","index_sec":${(t1 - t0) / 1e9},"admit_sec":${(t2 - t1) / 1e9},"kept":$kept,"dropped":$dropped}""")
   }

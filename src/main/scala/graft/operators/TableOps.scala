@@ -634,7 +634,7 @@ object TableOps {
     val mv = graft.tables.IncrementalMatView.create(spark, t,
       dir.resolve("mv").toString, Seq("c_mktsegment"),
       Seq("o_totalprice"), extremes = true, derived = Nil,
-      dims = Seq((dim.root.toString, "o_custkey", "c_custkey")))
+      dims = Seq((dim.root.toString, "o_custkey", "c_custkey", "left")))
     t.update(col("o_orderpriority") === "1-URGENT",
       Map("o_totalprice" ->
         round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)

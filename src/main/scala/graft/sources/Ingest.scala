@@ -78,14 +78,8 @@ object Ingest {
     val cp = Paths.get(checkpointDir)
     Files.createDirectories(cp)
     val ledger = cp.resolve("processed_files.txt")
-    val seen: Set[String] =
-      if (Files.exists(ledger)) Files.readAllLines(ledger).asScala.toSet else Set.empty
-    val all = {
-      val st = Files.list(Paths.get(rawDir))
-      try st.iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      finally st.close()
-    }
+    val seen = readLedger(ledger)
+    val all = listParquet(rawDir)
     val fresh = all.filterNot(seen)
     val out =
       if (fresh.isEmpty) {
@@ -135,21 +129,10 @@ object Ingest {
     Files.createDirectories(cp)
     val ledger = cp.resolve("processed_files.txt")
     val schemaFile = cp.resolve("schema.json")
-    val seen: Set[String] =
-      if (Files.exists(ledger)) Files.readAllLines(ledger).asScala.toSet
-      else Set.empty
-    val all = {
-      val st = Files.list(Paths.get(rawDir))
-      try st.iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      finally st.close()
-    }
+    val seen = readLedger(ledger)
+    val all = listParquet(rawDir)
     val fresh = all.filterNot(seen)
-    val tracked: Option[StructType] =
-      if (Files.exists(schemaFile))
-        Some(DataType.fromJson(Files.readString(schemaFile))
-          .asInstanceOf[StructType])
-      else None
+    val tracked: Option[StructType] = readTrackedSchema(schemaFile)
     if (fresh.isEmpty) {
       val schema = tracked.getOrElse {
         if (all.isEmpty)
@@ -176,6 +159,29 @@ object Ingest {
     Files.write(ledger, (seen ++ fresh).toSeq.sorted.asJava)
     out
   }
+
+  /** List a directory's parquet files, sorted — the shared discovery
+    * step of the batch ledger loader and the streaming twin.
+    */
+  private[graft] def listParquet(dir: String): Seq[String] = {
+    val st = Files.list(Paths.get(dir))
+    try st.iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    finally st.close()
+  }
+
+  /** Read a processed-files ledger (empty set if absent). */
+  private[graft] def readLedger(ledger: java.nio.file.Path): Set[String] =
+    if (Files.exists(ledger)) Files.readAllLines(ledger).asScala.toSet
+    else Set.empty
+
+  /** Read a tracked schema file (None if absent). */
+  private[graft] def readTrackedSchema(
+      schemaFile: java.nio.file.Path): Option[StructType] =
+    if (Files.exists(schemaFile))
+      Some(DataType.fromJson(Files.readString(schemaFile))
+        .asInstanceOf[StructType])
+    else None
 
   /** Atomic (tmp + ATOMIC_MOVE) publish of a tracked schema file. */
   private[graft] def publishSchema(cp: java.nio.file.Path,

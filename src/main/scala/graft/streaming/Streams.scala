@@ -312,27 +312,15 @@ object Streams {
       mode: String = "addNewColumns"): Long = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    import graft.sources.Ingest
     val cp = Paths.get(checkpoint)
     Files.createDirectories(cp)
     val schemaFile = cp.resolve("schema.json")
     val detectLedger = cp.resolve("schema_seen.txt")
-    val seen: Set[String] =
-      if (Files.exists(detectLedger))
-        Files.readAllLines(detectLedger).asScala.toSet
-      else Set.empty
-    val all = {
-      val st = Files.list(Paths.get(rawDir))
-      try st.iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      finally st.close()
-    }
+    val seen = Ingest.readLedger(detectLedger)
+    val all = Ingest.listParquet(rawDir)
     val fresh = all.filterNot(seen)
-    val tracked: Option[org.apache.spark.sql.types.StructType] =
-      if (Files.exists(schemaFile))
-        Some(org.apache.spark.sql.types.DataType
-          .fromJson(Files.readString(schemaFile))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      else None
+    val tracked = Ingest.readTrackedSchema(schemaFile)
     if (fresh.isEmpty && tracked.isEmpty)
       throw new IllegalArgumentException(s"no parquet files in $rawDir")
     if (fresh.isEmpty) return sink.latestVersion // nothing new: no-op
@@ -342,13 +330,34 @@ object Streams {
     // failOnNewColumns throws HERE — no schema published, no ledger
     // advanced, no stream started: the cycle replays cleanly
     val (evolved, projection) =
-      graft.sources.Ingest.evolveAndProject(tracked, incoming, mode)
-    graft.sources.Ingest.publishSchema(cp, schemaFile, evolved)
-    // the stream reads with the batch's merged schema: its checkpoint
-    // has already consumed every older file, so this schema is only
-    // ever applied to the new files it matches (a column missing from
-    // an individual footer reads null, Spark parquet semantics)
-    val in = spark.readStream.schema(incoming).parquet(rawDir)
+      Ingest.evolveAndProject(tracked, incoming, mode)
+    Ingest.publishSchema(cp, schemaFile, evolved)
+    // ADMITTED-FILES staging closes the detection/stream race: the
+    // stream reads a checkpoint-owned dir that only ever holds files
+    // the detection pass ALREADY saw (hard-linked here, name salted
+    // by source path so distinct staging dirs never collide). A file
+    // landing in rawDir after the listing above is simply invisible
+    // until the next cycle detects it — it can never be consumed
+    // under a stale projection.
+    val admitted = cp.resolve("admitted")
+    Files.createDirectories(admitted)
+    fresh.foreach { f =>
+      val src = Paths.get(f)
+      val salt = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).take(6)
+        .map("%02x".format(_)).mkString
+      val target = admitted.resolve(s"$salt-${src.getFileName}")
+      if (!Files.exists(target))
+        try Files.createLink(target, src)
+        catch { case _: UnsupportedOperationException =>
+          Files.copy(src, target) }
+    }
+    // the stream reads the admitted dir with the batch's merged
+    // schema: its checkpoint has already consumed every older
+    // admitted file, so this schema is only ever applied to the new
+    // files it matches (a column missing from an individual footer
+    // reads null, Spark parquet semantics)
+    val in = spark.readStream.schema(incoming).parquet(admitted.toString)
     val appId = checkpoint
     val q = in.select(projection: _*).writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -107,7 +107,7 @@ object GraftSql {
   private val CreateMatView =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([\w.`]+)((?:\s+(?:LEFT\s+)?JOIN\s+[\w.`]+\s+ON\s+[\w.`]+\s*=\s*[\w.`]+)*)\s+GROUP\s+BY\s+(.+?)\s*""".r
   private val MvJoinClause =
-    """(?is)(?:LEFT\s+)?JOIN\s+([\w.`]+)\s+ON\s+([\w.`]+)\s*=\s*([\w.`]+)""".r
+    """(?is)(LEFT\s+)?JOIN\s+([\w.`]+)\s+ON\s+([\w.`]+)\s*=\s*([\w.`]+)""".r
   private val RefreshMatView =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*""".r
 
@@ -403,11 +403,15 @@ object GraftSql {
     * (dimPath, factKey, dimKey) triples IncrementalMatView takes.
     */
   private def parseMvJoins(spark: SparkSession,
-      joins: String): Seq[(String, String, String)] =
+      joins: String): Seq[(String, String, String, String)] =
     MvJoinClause.findAllMatchIn(joins).map { m =>
-      val dimT = tableByName(spark, m.group(1))
+      // the DECLARED spelling carries through: bare JOIN maintains
+      // inner semantics (unmatched fact rows drop), LEFT JOIN keeps
+      // them under null dim columns
+      val joinType = if (m.group(1) == null) "inner" else "left"
+      val dimT = tableByName(spark, m.group(2))
       def base(c: String) = c.split("\\.").last.replace("`", "")
-      val (a, b) = (base(m.group(2)), base(m.group(3)))
+      val (a, b) = (base(m.group(3)), base(m.group(4)))
       val dimCols = dimT.snapshot().columns.map(_.toLowerCase).toSet
       val (fk, dk) =
         if (dimCols.contains(b.toLowerCase) &&
@@ -415,9 +419,9 @@ object GraftSql {
         else if (dimCols.contains(a.toLowerCase) &&
             !dimCols.contains(b.toLowerCase)) (b, a)
         else throw new IllegalArgumentException(
-          s"cannot orient JOIN ON ${m.group(2)} = ${m.group(3)}: " +
-            s"exactly one side must be a column of ${m.group(1)}")
-      (dimT.root.toString, fk, dk)
+          s"cannot orient JOIN ON ${m.group(3)} = ${m.group(4)}: " +
+            s"exactly one side must be a column of ${m.group(2)}")
+      (dimT.root.toString, fk, dk, joinType)
     }.toSeq
 
   private def splitIdents(s: String): Seq[String] =

@@ -1533,17 +1533,28 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else readFilesDvAware(keep, schema, dvAt(v), columnMapAt(v))
   }
 
-  def snapshotPrunedIn(key: String, values: Array[Double]): DataFrame = {
+  def snapshotPrunedIn(key: String, values: Array[Double]): DataFrame =
+    snapshotPrunedInWithCount(key, values)._1
+
+  /** [[snapshotPrunedIn]] plus how many files the read kept — ONE
+    * stats pass serves both the read and the caller's diagnostics
+    * (running filesPrunedIn again for a count would double the
+    * O(files · log |values|) driver work per probe).
+    */
+  private[graft] def snapshotPrunedInWithCount(key: String,
+      values: Array[Double]): (DataFrame, Int) = {
     val sorted = values.clone(); java.util.Arrays.sort(sorted)
     val keep = filesPrunedIn(key, sorted)
     val c = readCommit(latestVersion)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(c.schemaJson).asInstanceOf[StructType]
-    if (keep.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readFilesDvAware(keep, schema, dvAt(latestVersion),
-      columnMapAt(latestVersion))
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFilesDvAware(keep, schema, dvAt(latestVersion),
+        columnMapAt(latestVersion))
+    (df, keep.size)
   }
 
   /** DESCRIBE HISTORY analog: one row per commit. */

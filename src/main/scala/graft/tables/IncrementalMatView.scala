@@ -55,16 +55,20 @@ class IncrementalMatView private (spark: SparkSession,
     val source: GraftTable, val mv: GraftTable,
     keys: Seq[String], valueCols: Seq[String], extremes: Boolean,
     derived: Seq[(String, String)] = Nil,
-    dims: Seq[(String, String, String)] = Nil) {
+    dims: Seq[(String, String, String, String)] = Nil) {
   import IncrementalMatView._
   require(valueCols.nonEmpty, "at least one measure column")
+  require(dims.forall(d => d._4 == "left" || d._4 == "inner"),
+    "dim join type must be 'left' or 'inner'")
 
-  /** Dimension tables joined into the view: (table, factKey, dimKey).
-    * Loaded once per handle; versions are watermarked per dim so a
-    * dim change triggers a full recompute (see [[refresh]]).
+  /** Dimension tables joined into the view:
+    * (table, factKey, dimKey, joinType). Loaded once per handle;
+    * versions are watermarked per dim so a dim change triggers a
+    * full recompute (see [[refresh]]).
     */
-  private lazy val dimTables: Seq[(GraftTable, String, String)] =
-    dims.map { case (p, fk, dk) => (GraftTable.load(spark, p), fk, dk) }
+  private lazy val dimTables: Seq[(GraftTable, String, String, String)] =
+    dims.map { case (p, fk, dk, jt) =>
+      (GraftTable.load(spark, p), fk, dk, jt) }
 
   /** Project DERIVED key/measure columns (name → SQL expr over the
     * source row) onto a source-shaped frame — snapshots AND the
@@ -78,9 +82,12 @@ class IncrementalMatView private (spark: SparkSession,
     // dimension joins FIRST (broadcast left join on the fact key —
     // dims are dimension-sized by contract), then derived exprs,
     // which may reference joined dim columns
-    val joined = dimTables.foldLeft(df) { case (d, (dt, fk, dk)) =>
+    // the DECLARED join type is honored on snapshots and the feed
+    // alike: an inner join drops unmatched fact rows from create AND
+    // from every fold, so maintenance stays exact for either spelling
+    val joined = dimTables.foldLeft(df) { case (d, (dt, fk, dk, jt)) =>
       val dim = dt.snapshot()
-      d.join(broadcast(dim), d.col(fk) === dim.col(dk), "left")
+      d.join(broadcast(dim), d.col(fk) === dim.col(dk), jt)
         .drop(dim.col(dk))
     }
     derived.foldLeft(joined) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
@@ -118,7 +125,7 @@ class IncrementalMatView private (spark: SparkSession,
   def reflectedVersion: Long = mv.maxMetric(SourceVersionKey).getOrElse(-1L)
 
   private def dimVersionMetrics: Map[String, Long] =
-    dimTables.zipWithIndex.map { case ((dt, _, _), i) =>
+    dimTables.zipWithIndex.map { case ((dt, _, _, _), i) =>
       dimVersionKey(i) -> dt.latestVersion }.toMap
 
   /** The frame the affected-group recompute reads: a stats-pruned
@@ -161,8 +168,9 @@ class IncrementalMatView private (spark: SparkSession,
     // them) — the honest maintenance is a full recompute, fired even
     // when the FACT is unchanged, and watermarked per dim so the
     // next refresh folds again
-    val dimsChanged = dimTables.zipWithIndex.exists { case ((dt, _, _), i) =>
-      dt.latestVersion > mv.maxMetric(dimVersionKey(i)).getOrElse(-1L) }
+    val dimsChanged = dimTables.zipWithIndex.exists {
+      case ((dt, _, _, _), i) =>
+        dt.latestVersion > mv.maxMetric(dimVersionKey(i)).getOrElse(-1L) }
     if (dimsChanged) {
       mv.overwrite(
         nullableFrame(aggregateOf(prep(source.snapshotAt(to)))),
@@ -194,12 +202,23 @@ class IncrementalMatView private (spark: SparkSession,
         .select(keys.map(col): _*).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anyAffected = extremes && affected.limit(1).count() > 0
+    // NULL-SAFE affected-group routing: a Seq-based join drops
+    // null-keyed groups on the floor (null = null is null), which
+    // would FOLD a null-keyed group's deletion instead of recomputing
+    // it — the retired extreme would survive forever. Null group keys
+    // are routine (a dim-joined view's unmatched fact rows, nullable
+    // source columns), so every anti/semi join here matches with <=>.
+    def affKeyCond(df: DataFrame, aff: DataFrame): org.apache.spark.sql.Column =
+      keys.map(k => df(k) <=> aff(s"__aff_$k")).reduce(_ && _)
+    // lazy: the no-extremes path holds an EMPTY frame here, whose
+    // zero columns cannot take the key names (and never need to)
+    lazy val affRenamed = affected.toDF(keys.map(k => s"__aff_$k"): _*)
     // rows whose group is NOT being recomputed fold as signed deltas
     // (with extremes, all such rows are positive — the negatives are
     // exactly what defines an affected group)
     val foldFeed =
       if (!anyAffected) feed
-      else feed.join(affected, keys, "left_anti")
+      else feed.join(affRenamed, affKeyCond(feed, affRenamed), "left_anti")
     val deltaAggs = valueCols.map(v =>
       sum(sign * dec38(col(v))).cast("decimal(38,4)").as(s"m_sum_$v")) ++
       Seq(sum(sign).cast("long").as("m_cnt")) ++ (if (extremes)
@@ -214,7 +233,10 @@ class IncrementalMatView private (spark: SparkSession,
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     val mvOld =
       if (!anyAffected) mv.snapshot()
-      else mv.snapshot().join(affected, keys, "left_anti")
+      else {
+        val snap = mv.snapshot()
+        snap.join(affRenamed, affKeyCond(snap, affRenamed), "left_anti")
+      }
     val foldAggs = valueCols.map(v =>
       sum(col(s"m_sum_$v")).cast("decimal(38,4)").as(s"m_sum_$v")) ++
       Seq(sum(col("m_cnt")).cast("long").as("m_cnt")) ++ (if (extremes)
@@ -238,8 +260,10 @@ class IncrementalMatView private (spark: SparkSession,
         // one group's files, not the fact table; multi-column keys,
         // null keys or large sets fall back to the full scan + the
         // same semi-join (correct, just unpruned)
-        val recomputed = aggregateOf(prep(recomputeSource(to, affected))
-          .join(affected, keys, "left_semi"))
+        val prepped = prep(recomputeSource(to, affected))
+        val recomputed = aggregateOf(
+          prepped.join(affRenamed, affKeyCond(prepped, affRenamed),
+            "left_semi"))
         folded.unionByName(recomputed)
       }
     mv.overwrite(nullableFrame(merged),
@@ -284,19 +308,23 @@ object IncrementalMatView {
 
   private[tables] def dimVersionKey(i: Int): String = s"mvDimVersion$i"
 
-  private def encodeDims(d: Seq[(String, String, String)]): String = {
+  private def encodeDims(d: Seq[(String, String, String, String)]): String = {
     val enc = java.util.Base64.getEncoder
-    d.map { case (p, fk, dk) => Seq(p, fk, dk)
+    d.map { case (p, fk, dk, jt) => Seq(p, fk, dk, jt)
       .map(x => enc.encodeToString(x.getBytes("UTF-8"))).mkString(":")
     }.mkString(",")
   }
 
-  private def decodeDims(s: String): Seq[(String, String, String)] = {
+  private def decodeDims(s: String): Seq[(String, String, String, String)] = {
     val dec = java.util.Base64.getDecoder
-    s.split(",").toSeq.filter(_.nonEmpty).map { triple =>
-      val Array(p, fk, dk) = triple.split(":")
-        .map(x => new String(dec.decode(x), "UTF-8"))
-      (p, fk, dk)
+    s.split(",").toSeq.filter(_.nonEmpty).map { parts =>
+      parts.split(":").map(x => new String(dec.decode(x), "UTF-8")) match {
+        case Array(p, fk, dk, jt) => (p, fk, dk, jt)
+        // pre-join-type views (3 parts) were always LEFT joins
+        case Array(p, fk, dk) => (p, fk, dk, "left")
+        case other => throw new IllegalArgumentException(
+          s"corrupt dim definition: ${other.mkString(":")}")
+      }
     }
   }
 
@@ -349,7 +377,7 @@ object IncrementalMatView {
       keys: Seq[String], valueCols: Seq[String],
       extremes: Boolean,
       derived: Seq[(String, String)],
-      dims: Seq[(String, String, String)]): IncrementalMatView = {
+      dims: Seq[(String, String, String, String)]): IncrementalMatView = {
     val v = source.latestVersion
     val handle = new IncrementalMatView(spark, source, null, keys,
       valueCols, extremes, derived, dims)

@@ -313,6 +313,33 @@ class DeletionVectorSpec extends SparkSpec {
       "pruned recompute diverged from the full recompute")
   }
 
+  test("extremes recompute reaches null-keyed groups (null-safe routing)") {
+    import graft.tables.IncrementalMatView
+    // a null group key is routine: nullable source columns, or a
+    // dim-joined view's unmatched fact rows. A null-UNSAFE affected
+    // join folds the deletion instead of recomputing the group, and
+    // the retired max survives forever (regression: failed pre-fix)
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, Option.empty[String], 5.0), (2L, None, 99.0),
+        (3L, Some("a"), 7.0), (4L, Some("a"), 11.0))
+        .toDF("id", "grp", "v"))
+    val mv = IncrementalMatView.create(spark, t, tmp(), Seq("grp"), "v",
+      extremes = true)
+    t.delete($"v" === 99.0) // retires the NULL group's max
+    mv.refresh()
+    val nullRow = mv.view().where($"grp".isNull)
+      .select($"sum_v", $"n_rows", $"min_v", $"max_v")
+      .as[(Double, Long, Double, Double)].collect().toSeq
+    assert(nullRow === Seq((5.0, 1L, 5.0, 5.0)),
+      s"null-keyed group not recomputed: $nullRow")
+    // and deleting the whole null group retires the row entirely
+    t.delete($"grp".isNull)
+    mv.refresh()
+    assert(mv.view().where($"grp".isNull).count() === 0)
+    assert(mv.view().where($"grp" === "a").select($"max_v")
+      .as[Double].head() === 11.0)
+  }
+
   test("dim-join mat view folds fact deltas and recomputes on dim change") {
     import graft.tables.IncrementalMatView
     val fact = GraftTable.create(spark, tmp(),
@@ -324,7 +351,7 @@ class DeletionVectorSpec extends SparkSpec {
         .select($"id".as("dk"), ($"id" % 3).cast("string").as("seg")))
     val mv = IncrementalMatView.create(spark, fact, tmp(),
       Seq("seg"), Seq("v"), extremes = true, derived = Nil,
-      dims = Seq((dim.root.toString, "k", "dk")))
+      dims = Seq((dim.root.toString, "k", "dk", "left")))
     def recompute() = fact.snapshot()
       .join(dim.snapshot(), $"k" === $"dk", "left")
       .groupBy($"seg")
@@ -355,6 +382,45 @@ class DeletionVectorSpec extends SparkSpec {
     fact.delete($"v" === 99.5)
     mv.refresh()
     assert(maintained() === recompute(), "post-dim-change fold diverged")
+  }
+
+  test("inner dim join drops unmatched fact rows from the maintained view") {
+    import graft.tables.IncrementalMatView
+    // fact keys 0..9 but the dim only covers 0..4: a LEFT view keeps
+    // the orphans under a null key, an INNER view must exclude them —
+    // from create AND from every fold
+    val fact = GraftTable.create(spark, tmp(),
+      spark.range(0, 100)
+        .select($"id", ($"id" % 10).as("k"),
+          ($"id" % 7).cast("double").as("v")))
+    val dim = GraftTable.create(spark, tmp(),
+      spark.range(0, 5)
+        .select($"id".as("dk"), concat(lit("s"), $"id" % 2).as("seg")))
+    val inner = IncrementalMatView.create(spark, fact, tmp(),
+      Seq("seg"), Seq("v"), extremes = false, derived = Nil,
+      dims = Seq((dim.root.toString, "k", "dk", "inner")))
+    val left = IncrementalMatView.create(spark, fact, tmp(),
+      Seq("seg"), Seq("v"), extremes = false, derived = Nil,
+      dims = Seq((dim.root.toString, "k", "dk", "left")))
+    def recompute(jt: String) = fact.snapshot()
+      .join(dim.snapshot(), $"k" === $"dk", jt)
+      .groupBy($"seg")
+      .agg(round(sum($"v".cast("decimal(12,4)")), 4).cast("double"),
+        count(lit(1)))
+      .orderBy($"seg")
+      .as[(String, Double, Long)].collect().toSeq
+    def view(mv: IncrementalMatView) = mv.view().orderBy($"seg")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(view(inner) === recompute("inner"))
+    assert(view(left) === recompute("left"))
+    assert(!view(inner).exists(_._1 == null), "inner view kept orphans")
+    assert(view(left).exists(_._1 == null), "left view lost its orphans")
+    // a fold touching both matched and orphan rows keeps the split
+    fact.append(spark.range(100, 140)
+      .select($"id", ($"id" % 10).as("k"), lit(3.5).as("v")))
+    inner.refresh(); left.refresh()
+    assert(view(inner) === recompute("inner"), "inner fold diverged")
+    assert(view(left) === recompute("left"), "left fold diverged")
   }
 
   test("multi-measure mat view maintains every measure from one pass") {
