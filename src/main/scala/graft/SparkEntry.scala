@@ -84,6 +84,7 @@ object SparkEntry {
     "text_repetition_ratio" -> (TextAnalysis.repetitionRatio _),
     "text_deterministic_split" -> (TextAnalysis.deterministicSplit _),
     "text_corpus_stats" -> (TextAnalysis.corpusStats _),
+    "mv_corpus_stats" -> (TextAnalysis.corpusStatsMaintained _),
     "text_bm25_rank" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25Rank(s, d)),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitterLangs _),
@@ -574,6 +575,29 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|avec)\b')) AS s_fr,
         |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|en|que|con)\b')) AS s_es
         |  FROM documents)""".stripMargin,
+    "mv_corpus_stats" ->
+      """WITH del AS (
+        |  SELECT * FROM documents
+        |  WHERE NOT (n_chars > 900 AND doc_id % 3 = 0)),
+        |app AS (
+        |  SELECT doc_id + 100000000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |fin AS (SELECT * FROM del UNION ALL SELECT * FROM app),
+        |live AS (SELECT * FROM fin WHERE NOT (n_chars < 50)),
+        |tok AS (
+        |  SELECT source, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS tokens,
+        |    n_chars
+        |  FROM live)
+        |SELECT source, lang,
+        |  CAST(round(SUM(CAST(tokens AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_tokens,
+        |  CAST(round(SUM(CAST(n_chars AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_n_chars,
+        |  COUNT(*) AS n_rows,
+        |  CAST(round(MIN(CAST(tokens AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_tokens,
+        |  CAST(round(MAX(CAST(tokens AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_tokens,
+        |  CAST(round(MIN(CAST(n_chars AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_n_chars,
+        |  CAST(round(MAX(CAST(n_chars AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_n_chars
+        |FROM tok GROUP BY source, lang""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS ws_tokens,

@@ -193,6 +193,34 @@ object TextAnalysis {
       .withColumn("avg_chars",
         col("total_chars").cast("double") / col("n_docs"))
 
+  /** MAINTAINED corpus accounting (the continuous form of
+    * [[corpusStats]] — token budgets for a corpus that keeps
+    * ingesting): the documents table lives in a GraftTable and an
+    * IncrementalMatView keeps per-(source, lang) token/char
+    * SUM/COUNT/MIN/MAX fresh from the change feed — the DERIVED
+    * measure (whitespace token count) re-evaluates per row on
+    * snapshots AND feed, so deletes and appends fold/recompute
+    * exactly. Refresh cost is O(changed docs), not O(corpus): the
+    * shape a 100 TB corpus ledger actually needs.
+    */
+  def corpusStatsMaintained(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvcorpus_")
+    val t = graft.tables.GraftTable.create(spark,
+      dir.resolve("t").toString, docs.repartition(4))
+    val mv = graft.tables.IncrementalMatView.create(spark, t,
+      dir.resolve("mv").toString, Seq("source", "lang"),
+      Seq("tokens", "n_chars"), extremes = true,
+      derived = Seq("tokens" ->
+        "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS DOUBLE)"))
+    t.delete(col("n_chars") > 900 && col("doc_id") % 3 === 0)
+    t.append(docs.filter(col("doc_id") % 10 === 7)
+      .withColumn("doc_id", col("doc_id") + 100000000L))
+    t.deleteMor(col("n_chars") < 50)
+    mv.refresh()
+    mv.view()
+  }
+
   /** Heavy-hitter languages via the custom space-saving
     * TypedImperativeAggregate (graft.functions.TopKItemsAgg) —
     * bounded-memory top-k with mergeable partials; capacity ≥
