@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_cluster_survivors" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivors(s, d)),
     "dedup_incremental_clusters" -> (Dedup.incrementalClustersScenario _),
     "dedup_admission" -> (Dedup.admissionScenario _),
+    "stream_curation" -> (graft.streaming.Streams.curationScenario _),
     // §I text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
@@ -516,6 +517,70 @@ object SparkEntry {
         |  CASE WHEN COALESCE(l.root, b.doc_id) = b.doc_id
         |    THEN 'keep' ELSE 'drop' END AS action
         |FROM batch b LEFT JOIN lab l ON b.doc_id = l.doc_id""".stripMargin,
+    "stream_curation" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |hp AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x,
+        |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 2147483647 AS y
+        |  FROM posts),
+        |sig AS (
+        |  SELECT doc_id, i,
+        |    MIN((((i * 1103515245 + 12345) % 2147483647) * x + y) % 2147483647) AS m
+        |  FROM hp, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i),
+        |bandsig AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |common AS (
+        |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, COUNT(*) AS nc
+        |  FROM posts pa JOIN posts pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b FROM cand c
+        |  JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+        |  JOIN sizes sa ON c.doc_a = sa.doc_id
+        |  JOIN sizes sb ON c.doc_b = sb.doc_id
+        |  WHERE CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) >= 0.6),
+        |u1 AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  WHERE doc_a % 5 <> 0 AND doc_b % 5 <> 0
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |  WHERE doc_a % 5 <> 0 AND doc_b % 5 <> 0),
+        |reach1(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM u1)
+        |  UNION
+        |  SELECT e.u, r.label FROM u1 e JOIN reach1 r ON e.v = r.u),
+        |lab1 AS (SELECT u AS doc_id, MIN(label) AS root FROM reach1 GROUP BY u),
+        |uall AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach2(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM uall)
+        |  UNION
+        |  SELECT e.u, r.label FROM uall e JOIN reach2 r ON e.v = r.u),
+        |lab2 AS (SELECT u AS doc_id, MIN(label) AS root FROM reach2 GROUP BY u),
+        |curated AS (
+        |  SELECT d.doc_id FROM documents d LEFT JOIN lab1 l ON d.doc_id = l.doc_id
+        |  WHERE d.doc_id % 5 <> 0 AND d.doc_id = COALESCE(l.root, d.doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id FROM documents d LEFT JOIN lab2 l ON d.doc_id = l.doc_id
+        |  WHERE d.doc_id % 5 = 0 AND d.doc_id = COALESCE(l.root, d.doc_id))
+        |SELECT c.doc_id, d.n_chars
+        |FROM curated c JOIN documents d ON c.doc_id = d.doc_id""".stripMargin,
     "dedup_simhash_portable" ->
       """WITH posts AS (
         |  SELECT doc_id,

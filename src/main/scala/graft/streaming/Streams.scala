@@ -278,6 +278,83 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** CONTINUOUS CURATION — the complete training-data front door,
+    * wired from the incremental pieces: arriving document files
+    * stream in (AvailableNow cycle), every micro-batch is SCREENED
+    * against the persisted dedup index, folded into the maintained
+    * clustering, and only ADMITTED docs (no near-dup, or the cluster
+    * survivor) append to the curated corpus table. Three exactly-once
+    * layers compose, all keyed by the stream's epoch id: the index
+    * appends (batch-keyed appendIfNew inside admitBatch), the cluster
+    * merge (idempotent upsert), and the curated append (txn
+    * watermark) — a crash at ANY point replays to the same state.
+    */
+  def curationStream(spark: SparkSession, rawDir: String,
+      checkpoint: String, indexPath: String, clustersPath: String,
+      curated: graft.tables.GraftTable): Long = {
+    val schema = curated.snapshot().schema
+    val cp = java.nio.file.Paths.get(checkpoint)
+    java.nio.file.Files.createDirectories(cp)
+    val appId = checkpoint
+    val q = spark.readStream.schema(schema).parquet(rawDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp.resolve("stream").toString)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val verdicts = graft.operators.Dedup.admitBatch(spark,
+          indexPath, clustersPath, batch, batchId = id)
+        val kept = batch.join(
+          verdicts.where(col("action") === "keep").select(col("doc_id")),
+          Seq("doc_id"))
+        curated.appendIfNew(kept, id, appId = appId)
+        batch.unpersist(); ()
+      }
+      .start()
+    q.awaitTermination()
+    curated.latestVersion
+  }
+
+  /** Driver scenario for [[curationStream]]: the 80% corpus arrives
+    * as cycle 1 (screened against an empty index — intra-batch
+    * near-dups already drop), the 20% as cycle 2, then an empty
+    * replay cycle. The curated table must hold exactly the docs that
+    * were SURVIVORS at their admission time: cycle-1 docs that are
+    * minima of their component over the 80%-internal pair graph,
+    * cycle-2 docs that are minima over the full pair graph — the
+    * oracle replays both transitive closures relationally.
+    */
+  def curationScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val stage = Files.createTempDirectory("graft_curate_")
+    val raw = stage.resolve("raw"); Files.createDirectories(raw)
+    def land(df: DataFrame, prefix: String): Unit = {
+      val t = Files.createTempDirectory("graft_curate_b_")
+      df.coalesce(2).write.parquet(t.resolve("b").toString)
+      val fs = Files.list(t.resolve("b"))
+      try fs.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.move(p, raw.resolve(s"$prefix-$i.parquet"))
+        }
+      finally fs.close()
+    }
+    val curated = graft.tables.GraftTable.create(spark,
+      stage.resolve("curated").toString, docs.limit(0))
+    val cp = stage.resolve("cp").toString
+    val idx = stage.resolve("idx").toString
+    val clusters = stage.resolve("clusters").toString
+    land(docs.filter(col("doc_id") % 5 =!= 0), "b1")
+    curationStream(spark, raw.toString, cp, idx, clusters, curated)
+    land(docs.filter(col("doc_id") % 5 === 0), "b2")
+    curationStream(spark, raw.toString, cp, idx, clusters, curated)
+    curationStream(spark, raw.toString, cp, idx, clusters, curated) // replay
+    curated.snapshot().select(col("doc_id"), col("n_chars"))
+  }
+
   /** STREAMING twin of the evolving autoloader
     * (graft.sources.Ingest.incrementalLoadEvolving — Auto Loader's
     * cloudFiles schemaLocation/schemaEvolutionMode/_rescued_data

@@ -782,6 +782,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation stream admits survivors only and replays exactly-once") {
+    val stage = Files.createTempDirectory("graft_cur_spec_")
+    val raw = stage.resolve("raw")
+    java.nio.file.Files.createDirectories(raw)
+    def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    def land(rows: Seq[(Long, String, String, String, Long)], p: String): Unit = {
+      val t = Files.createTempDirectory("graft_cur_b_")
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(t.resolve("b").toString)
+      val fs = java.nio.file.Files.list(t.resolve("b"))
+      try fs.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f, raw.resolve(s"$p-$i.parquet")) }
+      finally fs.close()
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val curated = graft.tables.GraftTable.create(spark,
+      stage.resolve("curated").toString,
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val cp = stage.resolve("cp").toString
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    // cycle 1: two distinct docs + an intra-batch near-dup of doc 1
+    land(Seq(doc(1, base), doc(2, base + " omega"),
+      doc(7, s"unique seven $base nine ten eleven twelve thirteen x y z"
+        .split(" ").reverse.mkString(" "))), "b1")
+    Streams.curationStream(spark, raw.toString, cp, idx, cl, curated)
+    assert(curated.snapshot().select($"doc_id").as[Long].collect().toSet
+      === Set(1L, 7L), "intra-batch near-dup must drop at admission")
+    // cycle 2: a near-dup of doc 1 arrives later → dropped; a fresh
+    // doc is admitted
+    land(Seq(doc(10, base + " sigma"),
+      doc(11, "completely different words entirely novel content here " +
+        "nothing shared with anything prior at all")), "b2")
+    Streams.curationStream(spark, raw.toString, cp, idx, cl, curated)
+    assert(curated.snapshot().select($"doc_id").as[Long].collect().toSet
+      === Set(1L, 7L, 11L), "cross-cycle near-dup must drop")
+    // replay cycle: nothing changes, no new commits on the curated
+    val v = curated.latestVersion
+    Streams.curationStream(spark, raw.toString, cp, idx, cl, curated)
+    assert(curated.latestVersion === v, "replay must be a no-op")
+  }
+
   test("streaming evolving ingest: column arrives mid-stream, sink evolves") {
     val stage = Files.createTempDirectory("graft_sevo_")
     val raw = stage.resolve("raw").toString
