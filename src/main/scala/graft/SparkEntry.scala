@@ -518,9 +518,11 @@ object SparkEntry {
         |    THEN 'keep' ELSE 'drop' END AS action
         |FROM batch b LEFT JOIN lab l ON b.doc_id = l.doc_id""".stripMargin,
     "stream_curation" ->
-      """WITH RECURSIVE w AS (
+      """WITH RECURSIVE base AS (
+        |  SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-        |  FROM documents),
+        |  FROM base),
         |sh AS (
         |  SELECT doc_id,
         |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
@@ -574,13 +576,13 @@ object SparkEntry {
         |  SELECT e.u, r.label FROM uall e JOIN reach2 r ON e.v = r.u),
         |lab2 AS (SELECT u AS doc_id, MIN(label) AS root FROM reach2 GROUP BY u),
         |curated AS (
-        |  SELECT d.doc_id FROM documents d LEFT JOIN lab1 l ON d.doc_id = l.doc_id
+        |  SELECT d.doc_id FROM base d LEFT JOIN lab1 l ON d.doc_id = l.doc_id
         |  WHERE d.doc_id % 5 <> 0 AND d.doc_id = COALESCE(l.root, d.doc_id)
         |  UNION ALL
-        |  SELECT d.doc_id FROM documents d LEFT JOIN lab2 l ON d.doc_id = l.doc_id
+        |  SELECT d.doc_id FROM base d LEFT JOIN lab2 l ON d.doc_id = l.doc_id
         |  WHERE d.doc_id % 5 = 0 AND d.doc_id = COALESCE(l.root, d.doc_id))
         |SELECT c.doc_id, d.n_chars
-        |FROM curated c JOIN documents d ON c.doc_id = d.doc_id""".stripMargin,
+        |FROM curated c JOIN base d ON c.doc_id = d.doc_id""".stripMargin,
     "dedup_simhash_portable" ->
       """WITH posts AS (
         |  SELECT doc_id,

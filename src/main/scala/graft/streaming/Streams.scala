@@ -328,7 +328,11 @@ object Streams {
   def curationScenario(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    // a half-corpus slice keeps the integration scenario's bench
+    // cost proportionate (the steady-state per-batch number is
+    // dedup_admission's); the oracle mirrors the slice
     val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 0)
     val stage = Files.createTempDirectory("graft_curate_")
     val raw = stage.resolve("raw"); Files.createDirectories(raw)
     def land(df: DataFrame, prefix: String): Unit = {
