@@ -35,7 +35,8 @@ object TableOps {
     GraftTable.load(spark, clone.toString)
   }
 
-  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+  private[graft] def copyTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
     Files.createDirectories(dst)
     Files.walk(src).forEach { p =>
       val rel = src.relativize(p)

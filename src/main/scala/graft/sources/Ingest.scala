@@ -279,7 +279,7 @@ object Ingest {
     * (the flat layout [[incrementalLoad]] ledgers) — the "new files
     * arrive" half of an Auto-Loader scenario.
     */
-  private def stageBatch(df: DataFrame, rawDir: String,
+  private[graft] def stageBatch(df: DataFrame, rawDir: String,
       prefix: String): Unit = {
     val tmp = Files.createTempDirectory("graft_stage_")
     df.write.parquet(tmp.resolve("b").toString)

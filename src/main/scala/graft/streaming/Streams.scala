@@ -295,8 +295,13 @@ object Streams {
     val schema = curated.snapshot().schema
     val cp = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(cp)
-    val appId = checkpoint
-    val q = spark.readStream.schema(schema).parquet(rawDir)
+    val q = spark.readStream.schema(schema)
+      // admission granularity IS epoch granularity: pin one batch per
+      // cycle explicitly (today's no-option default) so a session
+      // default or future source change can never split a cycle —
+      // the driver scenario's oracle replays admission cycle-by-cycle
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+      .parquet(rawDir)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", cp.resolve("stream").toString)
@@ -308,7 +313,7 @@ object Streams {
         val kept = batch.join(
           verdicts.where(col("action") === "keep").select(col("doc_id")),
           Seq("doc_id"))
-        curated.appendIfNew(kept, id, appId = appId)
+        curated.appendIfNew(kept, id, appId = checkpoint)
         batch.unpersist(); ()
       }
       .start()
@@ -326,36 +331,26 @@ object Streams {
     * oracle replays both transitive closures relationally.
     */
   def curationScenario(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.Files
     // a half-corpus slice keeps the integration scenario's bench
     // cost proportionate (the steady-state per-batch number is
     // dedup_admission's); the oracle mirrors the slice
     val docs = Tables.load(spark, sfDir, "documents")
       .filter(col("doc_id") % 2 === 0)
     val stage = Files.createTempDirectory("graft_curate_")
-    val raw = stage.resolve("raw"); Files.createDirectories(raw)
-    def land(df: DataFrame, prefix: String): Unit = {
-      val t = Files.createTempDirectory("graft_curate_b_")
-      df.coalesce(2).write.parquet(t.resolve("b").toString)
-      val fs = Files.list(t.resolve("b"))
-      try fs.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (p, i) =>
-          Files.move(p, raw.resolve(s"$prefix-$i.parquet"))
-        }
-      finally fs.close()
-    }
+    val raw = stage.resolve("raw").toString
     val curated = graft.tables.GraftTable.create(spark,
       stage.resolve("curated").toString, docs.limit(0))
     val cp = stage.resolve("cp").toString
     val idx = stage.resolve("idx").toString
     val clusters = stage.resolve("clusters").toString
-    land(docs.filter(col("doc_id") % 5 =!= 0), "b1")
-    curationStream(spark, raw.toString, cp, idx, clusters, curated)
-    land(docs.filter(col("doc_id") % 5 === 0), "b2")
-    curationStream(spark, raw.toString, cp, idx, clusters, curated)
-    curationStream(spark, raw.toString, cp, idx, clusters, curated) // replay
+    graft.sources.Ingest.stageBatch(
+      docs.filter(col("doc_id") % 5 =!= 0), raw, "b1")
+    curationStream(spark, raw, cp, idx, clusters, curated)
+    graft.sources.Ingest.stageBatch(
+      docs.filter(col("doc_id") % 5 === 0), raw, "b2")
+    curationStream(spark, raw, cp, idx, clusters, curated)
+    curationStream(spark, raw, cp, idx, clusters, curated) // replay
     curated.snapshot().select(col("doc_id"), col("n_chars"))
   }
 

@@ -787,17 +787,10 @@ class StreamingSpec extends SparkSpec {
     val raw = stage.resolve("raw")
     java.nio.file.Files.createDirectories(raw)
     def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
-    def land(rows: Seq[(Long, String, String, String, Long)], p: String): Unit = {
-      val t = Files.createTempDirectory("graft_cur_b_")
-      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.parquet(t.resolve("b").toString)
-      val fs = java.nio.file.Files.list(t.resolve("b"))
-      try fs.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          java.nio.file.Files.move(f, raw.resolve(s"$p-$i.parquet")) }
-      finally fs.close()
-    }
+    def land(rows: Seq[(Long, String, String, String, Long)], p: String): Unit =
+      graft.sources.Ingest.stageBatch(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        raw.toString, p)
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val curated = graft.tables.GraftTable.create(spark,
       stage.resolve("curated").toString,
