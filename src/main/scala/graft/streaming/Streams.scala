@@ -423,10 +423,17 @@ object Streams {
         .digest(f.getBytes("UTF-8")).take(6)
         .map("%02x".format(_)).mkString
       val target = admitted.resolve(s"$salt-${src.getFileName}")
+      // hard-link where the filesystem allows it, copy otherwise:
+      // besides UnsupportedOperationException, a raw dir and
+      // checkpoint on DIFFERENT filesystems throws FileSystemException
+      // (EXDEV) — any IOException from the link attempt falls back
+      // (a copy failure then propagates honestly)
       if (!Files.exists(target))
         try Files.createLink(target, src)
-        catch { case _: UnsupportedOperationException =>
-          Files.copy(src, target) }
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(src, target)
+        }
     }
     // the stream reads the admitted dir with the batch's merged
     // schema: its checkpoint has already consumed every older

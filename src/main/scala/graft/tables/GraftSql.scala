@@ -315,6 +315,14 @@ object GraftSql {
   private def normExpr(e: String): String =
     e.toLowerCase.replaceAll("\\s+", "").replaceAll("`", "")
 
+  /** Does a select-item expression contain an aggregate call?
+    * (Conservative textual check — used only to produce a clear
+    * refusal for items that fell through the single-aggregate
+    * grammar.)
+    */
+  private def containsAggregate(e: String): Boolean =
+    """(?i)\b(sum|min|max|avg|count)\s*\(""".r.findFirstIn(e).isDefined
+
   /** The maintainable grammar for CREATE MATERIALIZED VIEW:
     * group keys — bare columns or `expr AS alias` (echoed in GROUP BY
     * by alias or by the same expression text) — plus `SUM(col|expr AS
@@ -378,6 +386,12 @@ object GraftSql {
           }
       }
       case AliasRe(e, alias) =>
+        // a compound aggregate (SUM(a)+SUM(b) AS z) falls through the
+        // single-aggregate pattern to here — treating it as a derived
+        // KEY would only fail later with an opaque Catalyst
+        // aggregate-in-projection error; refuse with the grammar's
+        // own message instead
+        if (containsAggregate(e)) fail(s"$e AS $alias")
         keyCandidates += alias; derived(alias) = e.trim
         byNorm(normExpr(e)) = alias; byNorm(normExpr(alias)) = alias
       case BareRe(c) =>

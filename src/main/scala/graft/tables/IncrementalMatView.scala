@@ -124,9 +124,20 @@ class IncrementalMatView private (spark: SparkSession,
   /** Source version the view currently reflects. */
   def reflectedVersion: Long = mv.maxMetric(SourceVersionKey).getOrElse(-1L)
 
-  private def dimVersionMetrics: Map[String, Long] =
-    dimTables.zipWithIndex.map { case ((dt, _, _, _), i) =>
-      dimVersionKey(i) -> dt.latestVersion }.toMap
+  /** Each dimension's latest version, captured ONCE per refresh (and
+    * once in create): the same snapshot drives both the change check
+    * and the watermark recorded in the commit. Re-reading
+    * latestVersion at commit time would let a dim commit landing
+    * mid-refresh be recorded as reflected without ever being joined —
+    * permanent silent staleness under `continuous` or any concurrent
+    * dim writer. With the capture, a dim that advances mid-refresh is
+    * at worst recorded LOW, and the next refresh recomputes.
+    */
+  private[tables] def dimVersions: Seq[Long] =
+    dimTables.map(_._1.latestVersion)
+
+  private def dimVersionMetrics(vs: Seq[Long]): Map[String, Long] =
+    vs.zipWithIndex.map { case (v, i) => dimVersionKey(i) -> v }.toMap
 
   /** The frame the affected-group recompute reads: a stats-pruned
     * candidate read when the affected key set is small
@@ -167,14 +178,16 @@ class IncrementalMatView private (spark: SparkSession,
     // deltas joined the old dim values; no fact delta can repair
     // them) — the honest maintenance is a full recompute, fired even
     // when the FACT is unchanged, and watermarked per dim so the
-    // next refresh folds again
-    val dimsChanged = dimTables.zipWithIndex.exists {
-      case ((dt, _, _, _), i) =>
-        dt.latestVersion > mv.maxMetric(dimVersionKey(i)).getOrElse(-1L) }
+    // next refresh folds again. Versions are captured ONCE here (see
+    // dimVersions) — the same snapshot feeds the check and every
+    // commit's recorded watermark.
+    val dimVs = dimVersions
+    val dimsChanged = dimVs.zipWithIndex.exists { case (v, i) =>
+      v > mv.maxMetric(dimVersionKey(i)).getOrElse(-1L) }
     if (dimsChanged) {
       mv.overwrite(
         nullableFrame(aggregateOf(prep(source.snapshotAt(to)))),
-        Map(SourceVersionKey -> to) ++ dimVersionMetrics)
+        Map(SourceVersionKey -> to) ++ dimVersionMetrics(dimVs))
       return to
     }
     if (to <= from) return from
@@ -185,7 +198,7 @@ class IncrementalMatView private (spark: SparkSession,
     if (feed.where(col("_change_type") === "upsert").limit(1).count() > 0) {
       mv.overwrite(
         nullableFrame(aggregateOf(prep(source.snapshotAt(to)))),
-        Map(SourceVersionKey -> to) ++ dimVersionMetrics)
+        Map(SourceVersionKey -> to) ++ dimVersionMetrics(dimVs))
       return to
     }
     val sign = when(col("_change_type")
@@ -267,7 +280,7 @@ class IncrementalMatView private (spark: SparkSession,
         folded.unionByName(recomputed)
       }
     mv.overwrite(nullableFrame(merged),
-      Map(SourceVersionKey -> to) ++ dimVersionMetrics)
+      Map(SourceVersionKey -> to) ++ dimVersionMetrics(dimVs))
     if (extremes && affected != null) affected.unpersist()
     to
   }
@@ -381,13 +394,19 @@ object IncrementalMatView {
     val v = source.latestVersion
     val handle = new IncrementalMatView(spark, source, null, keys,
       valueCols, extremes, derived, dims)
+    // dim versions captured BEFORE the initial scan joins them: a dim
+    // committing mid-create is then recorded LOW and the first
+    // refresh recomputes (same TOCTOU posture as refresh())
+    val dimVs = handle.dimVersions
     val initial = handle.aggregateOf(handle.prep(source.snapshotAt(v)))
     // CREATE records no metrics — land the data through an OVERWRITE
     // so the watermark is transactional with it
     val mv = GraftTable.create(spark, mvPath,
       handle.nullableFrame(initial.limit(0)))
     mv.overwrite(handle.nullableFrame(initial),
-      Map(SourceVersionKey -> v) ++ handle.dimVersionMetrics)
+      Map(SourceVersionKey -> v) ++
+        dimVs.zipWithIndex.map { case (dv, i) =>
+          dimVersionKey(i) -> dv }.toMap)
     // the view is SELF-DESCRIBING: its definition rides in its own
     // table properties, so REFRESH MATERIALIZED VIEW (and any later
     // session) reconstructs the maintenance without the caller
