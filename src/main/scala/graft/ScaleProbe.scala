@@ -53,14 +53,26 @@ object ScaleProbe {
     val path = java.nio.file.Files
       .createTempDirectory("graft_scaleprobe_").toString
     val t0 = System.nanoTime()
-    graft.operators.Dedup.incrementalIndex(spark, path, corpus,
-      batchId = 0L)
+    // index in 4 CONTIGUOUS doc_id ranges, not one shot: the sig
+    // table is then forced multi-file (the regime where the bloom-
+    // scoped fetch matters — a 1-file table cannot show pruning) and
+    // the shingle files keep tight disjoint ranges, matching what a
+    // real continuous pipeline's batches + maintainIndex leave behind
+    val mm = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (mm.getAs[Number](0).longValue,
+      mm.getAs[Number](1).longValue)
+    val step = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      graft.operators.Dedup.incrementalIndex(spark, path,
+        corpus.filter(col("doc_id") >= lo + i * step &&
+          col("doc_id") < lo + (i + 1) * step), batchId = i.toLong)
+    }
     val t1 = System.nanoTime()
     val (out, st) = graft.operators.Dedup.incrementalDedupWithStats(
-      spark, path, batch, batchId = 1L)
+      spark, path, batch, batchId = 4L)
     val n = out.count()
     val t2 = System.nanoTime()
-    println(s"""{"metric":"scale_probe","corpus":"$corpusDir","batch":"$batchDir","index_sec":${(t1 - t0) / 1e9},"probe_sec":${(t2 - t1) / 1e9},"pairs":$n,"sh_files_total":${st.shingleFilesTotal},"sh_files_read":${st.shingleFilesRead}}""")
+    println(s"""{"metric":"scale_probe","corpus":"$corpusDir","batch":"$batchDir","index_sec":${(t1 - t0) / 1e9},"probe_sec":${(t2 - t1) / 1e9},"pairs":$n,"sh_files_total":${st.shingleFilesTotal},"sh_files_read":${st.shingleFilesRead},"sig_files_total":${st.sigFilesTotal},"sig_files_read":${st.sigFilesRead}}""")
     spark.stop()
   }
 

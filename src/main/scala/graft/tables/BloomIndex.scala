@@ -82,10 +82,12 @@ private[tables] object BloomIndex {
     val it = words.orderBy("__f", "c", "w").toLocalIterator()
     var curFile: String = null
     val colsMap = scala.collection.mutable.Map.empty[String, Array[Long]]
+    val flushed = scala.collection.mutable.Set.empty[String]
     def flush(): Unit =
       if (curFile != null && wanted.contains(curFile)) {
         writeSidecar(curFile, mBits, colsMap)
         cache.remove(curFile) // a rebuild replaces any memoized parse
+        flushed += curFile
       }
     while (it.hasNext) {
       val r = it.next()
@@ -96,6 +98,15 @@ private[tables] object BloomIndex {
       arr(r.getInt(2)) |= r.getLong(3)
     }
     flush()
+    // a file that produced no (column, bucket) rows — empty file, or
+    // every value null — still gets a sidecar: its ALL-ZEROS filter
+    // correctly refutes every probe (null never equi-matches), where
+    // a missing sidecar would answer "may contain" forever
+    (wanted -- flushed).foreach { f =>
+      writeSidecar(f, mBits,
+        use.map(c => c -> new Array[Long](mBits / 64)).toMap)
+      cache.remove(f)
+    }
   }
 
   /** Atomic sidecar publish (same tmp + ATOMIC_MOVE pattern as the
@@ -191,6 +202,11 @@ private[tables] object BloomIndex {
     * `col IN (lits)` over indexed columns. Returns the files that MAY
     * match every such conjunct (non-point shapes are ignored here —
     * the stats layer already handled them).
+    *
+    * Bucket ids are memoized PER LITERAL per filter size (not per
+    * (file, literal)): a large `IN` probe — the incremental-dedup
+    * signature fetch pushes one bsig per batch band row — hashes each
+    * value 4 times total, and the per-file work is pure bit tests.
     */
   def prune(conds: Seq[Expression], indexed: Set[String],
       filesAbs: Seq[String]): Seq[String] = {
@@ -206,9 +222,21 @@ private[tables] object BloomIndex {
             v.asInstanceOf[Literal].value != null) =>
         (a.name, vs.map(_.asInstanceOf[Literal]))
     }
-    if (points.isEmpty) filesAbs
-    else filesAbs.filter(f => points.forall { case (c, lits) =>
-      lits.exists(l => mayContain(f, c, l))
+    if (points.isEmpty) return filesAbs
+    val bucketMemo = new java.util.HashMap[(Literal, Int), Seq[Int]]()
+    def mayContainMemo(f: String, c: String, l: Literal): Boolean =
+      load(f) match {
+        case Some((bits, cols)) => cols.get(c) match {
+          case Some(arr) =>
+            bucketMemo.computeIfAbsent((l, bits), k =>
+              bucketsOf(k._1, k._2))
+              .forall(b => (arr(b / 64) & (1L << (b % 64))) != 0L)
+          case None => true
+        }
+        case None => true
+      }
+    filesAbs.filter(f => points.forall { case (c, lits) =>
+      lits.exists(l => mayContainMemo(f, c, l))
     })
   }
 }

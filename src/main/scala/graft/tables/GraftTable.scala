@@ -1519,7 +1519,15 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * semi-join); pruning is FILE-granular, and any resolution
     * surprise falls back to the full file list (safe).
     */
-  def snapshotCandidates(cond: Column, version: Long = -1L): DataFrame = {
+  def snapshotCandidates(cond: Column, version: Long = -1L): DataFrame =
+    snapshotCandidatesWithCount(cond, version)._1
+
+  /** [[snapshotCandidates]] plus (files read, files total) — one
+    * stats/bloom pass serves the read and the caller's pruning
+    * diagnostics (the incremental-dedup probes publish these).
+    */
+  private[graft] def snapshotCandidatesWithCount(cond: Column,
+      version: Long = -1L): (DataFrame, Int, Int) = {
     val v = if (version < 0) latestVersion else version
     val c = readCommit(v)
     val schema = org.apache.spark.sql.types.DataType
@@ -1527,10 +1535,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val keep =
       try candidatesAmong(cond, c, c.files)
       catch { case _: Exception => c.files }
-    if (keep.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readFilesDvAware(keep, schema, dvAt(v), columnMapAt(v))
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFilesDvAware(keep, schema, dvAt(v), columnMapAt(v))
+    (df, keep.size, c.files.size)
   }
 
   def snapshotPrunedIn(key: String, values: Array[Double]): DataFrame =

@@ -646,6 +646,55 @@ class OperatorsSpec extends SparkSpec {
         "candidate pruning is dead")
   }
 
+  test("band probe reads only bloom-admitted signature files") {
+    def text(i: Long) =
+      s"sigtext${i} alpha${i} beta${i} gamma${i} delta${i} epsilon${i} " +
+        s"zeta${i} eta${i} theta${i} iota${i}"
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, text(i))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_idx_sig_").toString
+    // two index batches → ≥2 stored SIGNATURE files; the probe's
+    // duplicates both live in the FIRST batch, so the second batch's
+    // sig file holds no matching band signature and its bloom
+    // sidecar must refute the whole probe set
+    Dedup.incrementalIndex(spark, idx, mk(0L until 50L), batchId = 0L)
+    Dedup.incrementalIndex(spark, idx, mk(50L until 100L), batchId = 1L)
+    val probe = Seq((100L, text(10L)), (101L, text(11L)))
+      .toDF("doc_id", "text")
+    val (out, st) = Dedup.incrementalDedupWithStats(
+      spark, idx, probe, batchId = 2L)
+    val pairs = out.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 100L), (11L, 101L)))
+    assert(st.sigFilesTotal >= 2, "sig table must hold multiple files")
+    assert(st.sigFilesRead < st.sigFilesTotal,
+      s"band probe read all ${st.sigFilesTotal} signature files — " +
+        "bloom scoping is dead")
+  }
+
+  test("incremental exact ledger probe reads only bloom-admitted files") {
+    def mk(ids: Seq[Long], tag: String) =
+      ids.map(i => (i, s"$tag body $i")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_exact_bloom_").resolve("ledger").toString
+    // two ledger batches → ≥2 stored hash files; batch 3 duplicates
+    // only batch-1 texts, so batch 2's file must bloom-refute
+    assert(Dedup.incrementalExact(spark, idx, mk(0L until 50L, "a"))
+      .count() === 0)
+    assert(Dedup.incrementalExact(spark, idx, mk(50L until 100L, "b"))
+      .count() === 0)
+    val probe = Seq((100L, "a body 10"), (101L, "a body 11"))
+      .toDF("doc_id", "text")
+    val (dups, st) = Dedup.incrementalExactWithStats(spark, idx, probe)
+    assert(dups.select("doc_id", "canonical_id")
+      .as[(Long, Long)].collect().toSet === Set((100L, 10L), (101L, 11L)))
+    assert(st.ledgerFilesTotal >= 2, "ledger must hold multiple files")
+    assert(st.ledgerFilesRead < st.ledgerFilesTotal,
+      s"ledger probe read all ${st.ledgerFilesTotal} files — " +
+        "bloom scoping is dead")
+  }
+
   test("index maintenance re-clusters shingles without changing " +
       "results — and pruning stays live") {
     def text(i: Long) =
@@ -697,6 +746,19 @@ class OperatorsSpec extends SparkSpec {
       .filter(size($"sh") > 0), 1L, appId = Dedup.incrShinglesAppId)
     assert(shT.snapshot().count() === rows,
       "maintenance must not reset the append watermark")
+    // the sig compaction rebuilt the bloom sidecars: the declaration
+    // survives and every live sig file carries one, so the band
+    // probe's pruning machinery stays armed after maintenance
+    val sigsT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(maintained, "sigs").toString)
+    assert(sigsT.properties.get("graft.bloom.columns").contains("bsig"))
+    val sigFiles = sigsT.snapshot().inputFiles
+    assert(sigFiles.nonEmpty)
+    sigFiles.foreach { f =>
+      val p = java.nio.file.Paths.get(new java.net.URI(f).getPath + ".bloom")
+      assert(java.nio.file.Files.exists(p),
+        s"missing bloom sidecar for $f after maintenance")
+    }
   }
 
   test("ANN index maintenance bin-packs without breaking the probe") {
