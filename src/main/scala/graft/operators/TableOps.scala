@@ -505,6 +505,33 @@ object TableOps {
     mv.view()
   }
 
+  /** [[mvIncremental]] with a maintained AVG measure: AVG is the
+    * SUM/non-null-COUNT pair, both abelian, so it folds through the
+    * same DML storm with no recompute path — the oracle recomputes
+    * the quotient relationally (rounded-sum double over COUNT(col),
+    * the engine-parity recipe every dashboard avg here uses).
+    */
+  def mvIncrementalAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val mvPath = Files.createTempDirectory("graft_mva_").resolve("mv").toString
+    val mv = graft.tables.IncrementalMatView.create(spark, t, mvPath,
+      Seq("o_orderstatus"), Seq("o_totalprice"), extremes = false,
+      derived = Nil, dims = Nil, avgCols = Seq("o_totalprice"),
+      outputs = Nil)
+    t.update(col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" ->
+        round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+          .cast("double")))
+    t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    val orders = Tables.load(spark, sfDir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N")))
+    t.deleteMor(col("o_totalprice") < lit(1000.0))
+    mv.refresh()
+    mv.view()
+  }
+
   /** [[mvIncremental]] with maintained MIN/MAX measures: the same
     * DML storm, but the copy-on-write DELETE and the DV delete retire
     * group extremes, so the refresh exercises the affected-group

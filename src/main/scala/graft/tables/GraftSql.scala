@@ -269,13 +269,13 @@ object GraftSql {
       emptyResult(spark)
     case CreateMatView(ident, location, selectList, srcIdent, joins,
         groupBy) =>
-      val (keys, values, extremes, derived) =
+      val (keys, values, extremes, derived, avgs, outputs) =
         parseMvDefinition(selectList, groupBy)
       val dims =
         if (joins == null || joins.trim.isEmpty) Nil
         else parseMvJoins(spark, joins)
       IncrementalMatView.create(spark, tableByName(spark, srcIdent),
-        location, keys, values, extremes, derived, dims)
+        location, keys, values, extremes, derived, dims, avgs, outputs)
       spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
         s"OPTIONS (path '$location')")
       emptyResult(spark)
@@ -326,22 +326,28 @@ object GraftSql {
   /** The maintainable grammar for CREATE MATERIALIZED VIEW:
     * group keys — bare columns or `expr AS alias` (echoed in GROUP BY
     * by alias or by the same expression text) — plus `SUM(col|expr AS
-    * alias)`, `MIN`/`MAX` of a column or of an already-SUMmed
-    * expression, and `COUNT(*)`. Derived keys/measures (a
-    * `date_trunc('day', ts)` bucket, a `price*(1-discount)` revenue)
-    * become per-row projections the maintenance applies to snapshots
-    * AND the change feed alike. Returns (keys in GROUP BY order,
-    * measure names, extremes?, derived name→expr pairs).
+    * alias)`, `AVG(col|expr AS alias)` (maintained as the SUM +
+    * non-null-COUNT pair, quotient projected at read), `MIN`/`MAX`
+    * of a column or of an already-aggregated expression, and
+    * `COUNT(*)`. Derived keys/measures (a `date_trunc('day', ts)`
+    * bucket, a `price*(1-discount)` revenue) become per-row
+    * projections the maintenance applies to snapshots AND the change
+    * feed alike. Returns (keys in GROUP BY order, measure names,
+    * extremes?, derived name→expr pairs, AVG measure names, declared
+    * view outputs in select order). A MIN/MAX- or AVG-only measure
+    * still maintains its internal sum (the class's uniform state) —
+    * the declared outputs keep it off the consumable view.
     */
   private def parseMvDefinition(sel: String, groupByRaw: String)
-      : (Seq[String], Seq[String], Boolean, Seq[(String, String)]) = {
-    val AggRe = """(?is)\s*(SUM|MIN|MAX|COUNT)\s*\((.+)\)\s*(?:AS\s+`?(\w+)`?\s*)?""".r
+      : (Seq[String], Seq[String], Boolean, Seq[(String, String)],
+         Seq[String], Seq[(String, String)]) = {
+    val AggRe = """(?is)\s*(SUM|MIN|MAX|COUNT|AVG)\s*\((.+)\)\s*(?:AS\s+`?(\w+)`?\s*)?""".r
     val AliasRe = """(?is)\s*(.+?)\s+AS\s+`?(\w+)`?\s*""".r
     val BareRe = """(?is)\s*`?(\w+)`?\s*""".r
     def fail(item: String): Nothing = throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW supports group keys (bare or expr AS " +
-        "alias), SUM(col|expr AS alias), MIN/MAX(col|summed expr) and " +
-        s"COUNT(*); cannot maintain '$item'")
+        "alias), SUM/AVG(col|expr AS alias), MIN/MAX(col|aggregated " +
+        s"expr) and COUNT(*); cannot maintain '$item'")
     // the greedy inner capture of AggRe can swallow past a ')' on
     // malformed/compound items (SUM(a) + SUM(b)); an unbalanced
     // capture means the item was not a single aggregate call
@@ -360,30 +366,36 @@ object GraftSql {
     // norm(expr or alias or bare col) -> canonical key/measure name
     val byNorm = scala.collection.mutable.HashMap.empty[String, String]
     val keyCandidates = scala.collection.mutable.LinkedHashSet.empty[String]
+    val avgs = scala.collection.mutable.LinkedHashSet.empty[String]
+    val outputs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var extremes = false
+    // resolve an aggregate's operand to its measure name, registering
+    // a derived measure (alias required) on first sight
+    def measureOf(fn: String, inner: String, alias: String): String =
+      inner match {
+        case BareRe(c) => values += c; byNorm(normExpr(c)) = c; c
+        case e => byNorm.get(normExpr(e)) match {
+          case Some(m) if values.contains(m) => m // already a measure
+          case _ =>
+            val a = Option(alias).getOrElse(fail(
+              s"$fn($e) — a derived measure needs an AS alias"))
+            values += a; derived(a) = e.trim; byNorm(normExpr(e)) = a; a
+        }
+      }
     splitTopLevel(sel).foreach {
       case AggRe(fn, inner, alias) if balanced(inner) => fn.toUpperCase match {
         case "COUNT" =>
           if (inner.trim != "*") fail(s"COUNT($inner)")
-        case "SUM" => inner match {
-          case BareRe(c) => values += c; byNorm(normExpr(c)) = c
-          case e =>
-            val a = Option(alias).getOrElse(fail(
-              s"SUM($e) — a derived measure needs an AS alias"))
-            values += a; derived(a) = e.trim; byNorm(normExpr(e)) = a
-        }
-        case _ => // MIN | MAX
+          outputs += (("cnt", ""))
+        case "SUM" =>
+          outputs += (("sum", measureOf("SUM", inner, alias)))
+        case "AVG" =>
+          val m = measureOf("AVG", inner, alias)
+          avgs += m
+          outputs += (("avg", m))
+        case mm => // MIN | MAX
           extremes = true
-          inner match {
-            case BareRe(c) => values += c; byNorm(normExpr(c)) = c
-            case e => byNorm.get(normExpr(e)) match {
-              case Some(_) => () // extremes of an already-SUMmed expr
-              case None =>
-                val a = Option(alias).getOrElse(fail(
-                  s"$fn($e) — a derived measure needs an AS alias"))
-                values += a; derived(a) = e.trim; byNorm(normExpr(e)) = a
-            }
-          }
+          outputs += ((mm.toLowerCase, measureOf(mm, inner, alias)))
       }
       case AliasRe(e, alias) =>
         // a compound aggregate (SUM(a)+SUM(b) AS z) falls through the
@@ -406,8 +418,9 @@ object GraftSql {
     require(keys.nonEmpty && keys.forall(k => keyCandidates.contains(k)),
       "every GROUP BY item must be selected as a key")
     require(values.nonEmpty,
-      "CREATE MATERIALIZED VIEW needs at least one SUM/MIN/MAX measure")
-    (keys, values.toSeq, extremes, derived.toSeq)
+      "CREATE MATERIALIZED VIEW needs at least one SUM/AVG/MIN/MAX measure")
+    (keys, values.toSeq, extremes, derived.toSeq, avgs.toSeq,
+      outputs.toSeq)
   }
 
   /** Parse the maintainable JOIN chain: `[LEFT] JOIN dim ON a = b`

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * to FP reordering, and a maintained view is bit-identical to a
   * recompute. A multi-measure view maintains all its measures from
   * ONE pass over the feed (one delta aggregation, one fold), not one
-  * maintenance pipeline per measure.
+  * maintenance pipeline per measure. AVG measures (`avgCols`) are the
+  * SUM/COUNT pair in disguise: the view additionally maintains the
+  * measure's NON-NULL count (abelian, same signed fold) and
+  * [[view]] projects the quotient — no new maintenance machinery.
   *
   * With `extremes = true` the view also maintains MIN/MAX of every
   * measure — NON-abelian aggregates with no delta inverse, handled by
@@ -55,11 +58,21 @@ class IncrementalMatView private (spark: SparkSession,
     val source: GraftTable, val mv: GraftTable,
     keys: Seq[String], valueCols: Seq[String], extremes: Boolean,
     derived: Seq[(String, String)] = Nil,
-    dims: Seq[(String, String, String, String)] = Nil) {
+    dims: Seq[(String, String, String, String)] = Nil,
+    avgCols: Seq[String] = Nil,
+    outputs: Seq[(String, String)] = Nil) {
   import IncrementalMatView._
   require(valueCols.nonEmpty, "at least one measure column")
   require(dims.forall(d => d._4 == "left" || d._4 == "inner"),
     "dim join type must be 'left' or 'inner'")
+  require(avgCols.forall(valueCols.contains),
+    "every AVG measure must be a maintained measure column")
+  require(outputs.forall { case (k, v) =>
+    (k == "cnt" && v.isEmpty) ||
+      (k == "sum" && valueCols.contains(v)) ||
+      (k == "avg" && avgCols.contains(v)) ||
+      ((k == "min" || k == "max") && extremes && valueCols.contains(v)) },
+    "outputs must name maintained measures with sum/avg/min/max/cnt")
 
   /** Dimension tables joined into the view:
     * (table, factKey, dimKey, joinType). Loaded once per handle;
@@ -117,8 +130,12 @@ class IncrementalMatView private (spark: SparkSession,
       min(dec38(col(v))).cast("decimal(38,4)").as(s"m_min_$v"),
       max(dec38(col(v))).cast("decimal(38,4)").as(s"m_max_$v")))
     else Nil
-    df.groupBy(keys.map(col): _*).agg((base ++ ext).head,
-      (base ++ ext).tail: _*)
+    // AVG = maintained SUM / maintained NON-NULL COUNT: the per-
+    // measure count (COUNT(v), not COUNT(*)) is itself an abelian
+    // aggregate, so it folds with the same signed deltas as the sums
+    val nn = avgCols.map(v => count(col(v)).as(s"m_nn_$v"))
+    val aggs = base ++ ext ++ nn
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Source version the view currently reflects. */
@@ -240,7 +257,9 @@ class IncrementalMatView private (spark: SparkSession,
           .cast("decimal(38,4)").as(s"m_min_$v"),
         max(when(sign > 0, dec38(col(v))))
           .cast("decimal(38,4)").as(s"m_max_$v")))
-    else Nil)
+    else Nil) ++ avgCols.map(v =>
+      sum(when(col(v).isNotNull, sign).otherwise(0))
+        .cast("long").as(s"m_nn_$v"))
     val delta = foldFeed
       .groupBy(keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
@@ -256,7 +275,8 @@ class IncrementalMatView private (spark: SparkSession,
       valueCols.flatMap(v => Seq(
         min(col(s"m_min_$v")).cast("decimal(38,4)").as(s"m_min_$v"),
         max(col(s"m_max_$v")).cast("decimal(38,4)").as(s"m_max_$v")))
-    else Nil)
+    else Nil) ++ avgCols.map(v =>
+      sum(col(s"m_nn_$v")).cast("long").as(s"m_nn_$v"))
     val folded = mvOld.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(foldAggs.head, foldAggs.tail: _*)
@@ -285,20 +305,41 @@ class IncrementalMatView private (spark: SparkSession,
     to
   }
 
-  /** The consumable view frame: group keys, each measure's
-    * decimal-exact sum surfaced as a double (rounded BEFORE the cast,
-    * the cross-engine parity recipe), the row count, and — for an
-    * extremes view — min/max of each measure on the same recipe.
+  /** One output column of the consumable view, on the cross-engine
+    * parity recipes: sums/extremes round the decimal BEFORE the
+    * double cast; AVG divides the rounded-sum double by the
+    * maintained non-null count (both operands engine-identical, so
+    * the IEEE quotient is too — the q1 dashboard recipe).
+    */
+  private def outCol(kind: String, v: String): org.apache.spark.sql.Column =
+    kind match {
+      case "sum" => round(col(s"m_sum_$v"), 4).cast("double").as(s"sum_$v")
+      case "avg" => (round(col(s"m_sum_$v"), 4).cast("double") /
+        col(s"m_nn_$v")).as(s"avg_$v")
+      case "min" => round(col(s"m_min_$v"), 4).cast("double").as(s"min_$v")
+      case "max" => round(col(s"m_max_$v"), 4).cast("double").as(s"max_$v")
+      case "cnt" => col("m_cnt").as("n_rows")
+      case other => throw new IllegalArgumentException(
+        s"unknown view output kind '$other'")
+    }
+
+  /** The consumable view frame: group keys plus the DECLARED outputs
+    * (`outputs` — what a SQL definition selected), or, for API views
+    * with no declaration, every maintained aggregate: each measure's
+    * sum, the row count, min/max for an extremes view, avg for
+    * declared AVG measures. A measure maintained only to back
+    * another output (the sum under an AVG or under a MIN/MAX-only
+    * SQL column) is internal state and does not surface unless
+    * declared.
     */
   def view(): DataFrame = {
-    val base = valueCols.map(v =>
-      round(col(s"m_sum_$v"), 4).cast("double").as(s"sum_$v")) :+
-      col("m_cnt").as("n_rows")
-    val ext = if (extremes) valueCols.flatMap(v => Seq(
-      round(col(s"m_min_$v"), 4).cast("double").as(s"min_$v"),
-      round(col(s"m_max_$v"), 4).cast("double").as(s"max_$v")))
-    else Nil
-    mv.snapshot().select((keys.map(col) ++ base ++ ext): _*)
+    val outs =
+      if (outputs.nonEmpty) outputs.map { case (k, v) => outCol(k, v) }
+      else (valueCols.map(v => outCol("sum", v)) :+ outCol("cnt", "")) ++
+        (if (extremes) valueCols.flatMap(v =>
+          Seq(outCol("min", v), outCol("max", v))) else Nil) ++
+        avgCols.map(v => outCol("avg", v))
+    mv.snapshot().select((keys.map(col) ++ outs): _*)
   }
 }
 
@@ -318,6 +359,8 @@ object IncrementalMatView {
   private val PropExtremes = "graft.mv.extremes"
   private val PropDerived = "graft.mv.derived"
   private val PropDims = "graft.mv.dims"
+  private val PropAvgs = "graft.mv.avgs"
+  private val PropOutputs = "graft.mv.outputs"
 
   private[tables] def dimVersionKey(i: Int): String = s"mvDimVersion$i"
 
@@ -354,7 +397,9 @@ object IncrementalMatView {
   private def decodeDerived(s: String): Seq[(String, String)] = {
     val dec = java.util.Base64.getDecoder
     s.split(",").toSeq.filter(_.nonEmpty).map { pair =>
-      val Array(n, e) = pair.split(":")
+      // limit -1: an empty right side (the outputs ("cnt","") row
+      // rides this codec too) must still split into two fields
+      val Array(n, e) = pair.split(":", -1)
       (new String(dec.decode(n), "UTF-8"), new String(dec.decode(e), "UTF-8"))
     }
   }
@@ -390,10 +435,27 @@ object IncrementalMatView {
       keys: Seq[String], valueCols: Seq[String],
       extremes: Boolean,
       derived: Seq[(String, String)],
-      dims: Seq[(String, String, String, String)]): IncrementalMatView = {
+      dims: Seq[(String, String, String, String)]): IncrementalMatView =
+    create(spark, source, mvPath, keys, valueCols, extremes, derived,
+      dims, Nil, Nil)
+
+  /** Fullest form: `avgCols` ⊆ `valueCols` additionally maintains the
+    * per-measure NON-NULL count (AVG = maintained SUM / that count —
+    * both abelian, so AVG folds exactly like SUM); `outputs` declares
+    * which (kind, measure) columns [[view]] surfaces (`kind` ∈
+    * sum/avg/min/max, plus ("cnt","") for the row count) — empty
+    * means every maintained aggregate.
+    */
+  def create(spark: SparkSession, source: GraftTable, mvPath: String,
+      keys: Seq[String], valueCols: Seq[String],
+      extremes: Boolean,
+      derived: Seq[(String, String)],
+      dims: Seq[(String, String, String, String)],
+      avgCols: Seq[String],
+      outputs: Seq[(String, String)]): IncrementalMatView = {
     val v = source.latestVersion
     val handle = new IncrementalMatView(spark, source, null, keys,
-      valueCols, extremes, derived, dims)
+      valueCols, extremes, derived, dims, avgCols, outputs)
     // dim versions captured BEFORE the initial scan joins them: a dim
     // committing mid-create is then recorded LOW and the first
     // refresh recomputes (same TOCTOU posture as refresh())
@@ -419,9 +481,13 @@ object IncrementalMatView {
       (if (derived.isEmpty) Map.empty[String, String]
        else Map(PropDerived -> encodeDerived(derived))) ++
       (if (dims.isEmpty) Map.empty[String, String]
-       else Map(PropDims -> encodeDims(dims))))
+       else Map(PropDims -> encodeDims(dims))) ++
+      (if (avgCols.isEmpty) Map.empty[String, String]
+       else Map(PropAvgs -> avgCols.mkString(","))) ++
+      (if (outputs.isEmpty) Map.empty[String, String]
+       else Map(PropOutputs -> encodeDerived(outputs))))
     new IncrementalMatView(spark, source, mv, keys, valueCols,
-      extremes, derived, dims)
+      extremes, derived, dims, avgCols, outputs)
   }
 
   /** Re-open a maintained view from the definition stored in its own
@@ -440,7 +506,9 @@ object IncrementalMatView {
       req(PropValues).split(",").toSeq,
       req(PropExtremes).toBoolean,
       props.get(PropDerived).map(decodeDerived).getOrElse(Nil),
-      props.get(PropDims).map(decodeDims).getOrElse(Nil))
+      props.get(PropDims).map(decodeDims).getOrElse(Nil),
+      props.get(PropAvgs).map(_.split(",").toSeq).getOrElse(Nil),
+      props.get(PropOutputs).map(decodeDerived).getOrElse(Nil))
   }
 
   /** CONTINUOUSLY maintained view — the Delta-Live-Tables shape: a
