@@ -288,19 +288,33 @@ object Streams {
     * appends (batch-keyed appendIfNew inside admitBatch), the cluster
     * merge (idempotent upsert), and the curated append (txn
     * watermark) — a crash at ANY point replays to the same state.
+    *
+    * `maxFilesPerTrigger` paces ADMISSION: the default takes the
+    * whole backlog as one epoch (admission granularity = arrival
+    * cycle, what the driver scenario's oracle replays); a bound
+    * splits a backlog into bounded micro-batches, each admitted —
+    * and exactly-once-keyed — on its own epoch id, so a 1M-file
+    * backlog never becomes one giant batch. Verdicts are per-batch
+    * correct either way (the clustering folds incrementally); note
+    * the survivorship caveat on [[graft.operators.Dedup.admitBatch]]
+    * — with UNORDERED arrival, splitting a cycle can admit both
+    * members of a near-dup pair whose smaller id arrives later
+    * (each was the survivor at its own admission time). Feed
+    * ascending-id batches (or run the documented sweep) where
+    * at-most-one-per-cluster must hold across epochs.
     */
   def curationStream(spark: SparkSession, rawDir: String,
       checkpoint: String, indexPath: String, clustersPath: String,
-      curated: graft.tables.GraftTable): Long = {
+      curated: graft.tables.GraftTable,
+      maxFilesPerTrigger: Int = Int.MaxValue): Long = {
     val schema = curated.snapshot().schema
     val cp = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(cp)
     val q = spark.readStream.schema(schema)
-      // admission granularity IS epoch granularity: pin one batch per
-      // cycle explicitly (today's no-option default) so a session
-      // default or future source change can never split a cycle —
-      // the driver scenario's oracle replays admission cycle-by-cycle
-      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+      // the explicit option (even at the take-everything default)
+      // pins the pacing so a session default or future source change
+      // can never silently re-split a cycle
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(rawDir)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

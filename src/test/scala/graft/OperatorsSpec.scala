@@ -544,6 +544,33 @@ class OperatorsSpec extends SparkSpec {
       "distributed path diverged from the driver fast path")
   }
 
+  test("clusters state maintenance compacts and vacuums without " +
+      "changing verdicts; replay stays idempotent") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_clmaint_").resolve("c").toString
+    val b1 = Seq((2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val b2 = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val b3 = Seq((3L, 10L)).toDF("doc_a", "doc_b")
+    Seq(b1, b2, b3).foreach(b => Dedup.incrementalClusters(spark, path, b))
+    val before = Dedup.clustersView(spark, path)
+      .as[(Long, Long, Int)].collect().toSet
+    def parquetCount(): Long = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(path))
+      .filter(_.toString.endsWith(".parquet")).count()
+    val filesBefore = parquetCount()
+    Dedup.maintainClusters(spark, path, vacuumRetainHours = 0.0)
+    assert(parquetCount() < filesBefore,
+      "maintenance reclaimed no stranded clusters-state files")
+    assert(Dedup.clustersView(spark, path)
+      .as[(Long, Long, Int)].collect().toSet === before,
+      "maintenance changed the clustering state")
+    // a replayed batch MERGE after maintenance is still a no-op
+    Dedup.incrementalClusters(spark, path, b3)
+    assert(Dedup.clustersView(spark, path)
+      .as[(Long, Long, Int)].collect().toSet === before,
+      "replay after maintenance changed the state")
+  }
+
   test("probe-only serving path equals the indexing probe and is read-only") {
     def tmp() = java.nio.file.Files
       .createTempDirectory("graft_idx_probe_").toString

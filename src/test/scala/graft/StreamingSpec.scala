@@ -820,6 +820,62 @@ class StreamingSpec extends SparkSpec {
     assert(curated.latestVersion === v, "replay must be a no-op")
   }
 
+  test("bounded-batch curation lands the single-epoch curated set " +
+      "and replays exactly-once") {
+    def doc(id: Long, text: String) =
+      (id, text, "en", "web", text.length.toLong)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val third = "red orange yellow green blue indigo violet cyan magenta pink"
+    // ascending-id arrival: originals land before their near-dups, so
+    // bounded pacing admits the same survivors as one giant epoch
+    // (the admitBatch survivorship contract's ordered-feed case)
+    val slices = Seq(
+      Seq(doc(1, base), doc(2, other)),
+      Seq(doc(3, third), doc(101, base + " omega")),
+      Seq(doc(102, other + " eleven"), doc(103,
+        "completely different words entirely novel content here " +
+          "nothing shared with anything prior at all")))
+    def runCuration(maxFiles: Int): (graft.tables.GraftTable, String,
+        java.nio.file.Path) = {
+      val stage = Files.createTempDirectory("graft_curb_")
+      val raw = stage.resolve("raw")
+      java.nio.file.Files.createDirectories(raw)
+      slices.zipWithIndex.foreach { case (rows, i) =>
+        graft.sources.Ingest.stageBatch(
+          rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+            .coalesce(1), raw.toString, s"s$i")
+      }
+      val curated = graft.tables.GraftTable.create(spark,
+        stage.resolve("curated").toString,
+        Seq.empty[(Long, String, String, String, Long)]
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      Streams.curationStream(spark, raw.toString,
+        stage.resolve("cp").toString, stage.resolve("idx").toString,
+        stage.resolve("cl").toString, curated,
+        maxFilesPerTrigger = maxFiles)
+      (curated, raw.toString, stage)
+    }
+    val (bounded, rawB, stageB) = runCuration(maxFiles = 1)
+    val (single, _, _) = runCuration(maxFiles = Int.MaxValue)
+    def ids(t: graft.tables.GraftTable): Set[Long] =
+      t.snapshot().select($"doc_id").as[Long].collect().toSet
+    assert(ids(single) === Set(1L, 2L, 3L, 103L),
+      "single-epoch admission should keep exactly the min-id survivors")
+    assert(ids(bounded) === ids(single),
+      "bounded pacing diverged from the single-epoch curated set")
+    // bounded pacing really split the backlog: one curated append
+    // commit per non-empty admitted micro-batch, not one total
+    assert(bounded.latestVersion > single.latestVersion,
+      "expected multiple bounded-batch commits")
+    // replay: the whole bounded run is a no-op against its own state
+    val v = bounded.latestVersion
+    Streams.curationStream(spark, rawB,
+      stageB.resolve("cp").toString, stageB.resolve("idx").toString,
+      stageB.resolve("cl").toString, bounded, maxFilesPerTrigger = 1)
+    assert(bounded.latestVersion === v, "bounded replay must be a no-op")
+  }
+
   test("streaming evolving ingest: column arrives mid-stream, sink evolves") {
     val stage = Files.createTempDirectory("graft_sevo_")
     val raw = stage.resolve("raw").toString
