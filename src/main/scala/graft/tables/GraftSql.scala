@@ -110,6 +110,20 @@ object GraftSql {
     """(?is)(LEFT\s+)?JOIN\s+([\w.`]+)\s+ON\s+([\w.`]+)\s*=\s*([\w.`]+)""".r
   private val RefreshMatView =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*""".r
+  // Delta-Live-Tables-style continuous maintenance: start/stop a
+  // background CDC-triggered refresh loop for a maintained view
+  private val RefreshMatViewContinuous =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+CONTINUOUS(?:\s+EVERY\s+'([^']+)')?\s*""".r
+  private val StopRefreshMatView =
+    """(?is)\s*STOP\s+REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*""".r
+
+  /** Running continuous-refresh queries, keyed by the view table's
+    * absolute root — session-process scoped, like the streams they
+    * hold. STOP removes and stops; a second START on the same view
+    * refuses instead of silently double-driving the refresh loop.
+    */
+  private val continuousQueries = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.streaming.StreamingQuery]()
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case DescribeHistoryLimit(ident, n) =>
@@ -278,6 +292,32 @@ object GraftSql {
         location, keys, values, extremes, derived, dims, avgs, outputs)
       spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
         s"OPTIONS (path '$location')")
+      emptyResult(spark)
+    case RefreshMatViewContinuous(ident, every) =>
+      // start the CDC-stream-driven refresh loop
+      // (IncrementalMatView.continuous): the view then tracks its
+      // source with no scheduler and no manual REFRESH. The
+      // checkpoint lives under the view root (vacuum only reclaims
+      // files/cdc/dv entries, so it is inert to table maintenance)
+      val root = tableByName(spark, ident).root.toAbsolutePath.toString
+      if (continuousQueries.containsKey(root))
+        throw new IllegalArgumentException(
+          s"continuous refresh already running for $ident; " +
+            s"STOP REFRESH MATERIALIZED VIEW $ident first")
+      val interval = Option(every).map(_.trim).filter(_.nonEmpty)
+        .getOrElse("1 second")
+      val q = IncrementalMatView.continuous(spark, root,
+        java.nio.file.Paths.get(root, "_continuous_cp").toString,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
+      continuousQueries.put(root, q)
+      emptyResult(spark)
+    case StopRefreshMatView(ident) =>
+      val root = tableByName(spark, ident).root.toAbsolutePath.toString
+      val q = continuousQueries.remove(root)
+      if (q == null) throw new IllegalArgumentException(
+        s"no continuous refresh running for $ident")
+      q.stop()
+      refreshName(spark, ident)
       emptyResult(spark)
     case RefreshMatView(ident) =>
       // the view is self-describing: source/keys/measures ride in its
@@ -494,7 +534,8 @@ object GraftSql {
          DescribeDetail(_) | CreatePartitionedCtas(_, _, _, _) |
          CreateBucketedCtas(_, _, _, _, _) |
          ShowPartitionsSql(_) | FsckTable(_) |
-         CreateMatView(_, _, _, _, _, _) | RefreshMatView(_) => true
+         CreateMatView(_, _, _, _, _, _) | RefreshMatView(_) |
+         RefreshMatViewContinuous(_, _) | StopRefreshMatView(_) => true
     case _ => false
   }
 
@@ -613,6 +654,8 @@ object GraftSql {
       case FsckTable(i) => Some(i)
       // the view's SOURCE must be a graft table; the view ident is new
       case CreateMatView(_, _, _, srcIdent, _, _) => Some(srcIdent)
+      case RefreshMatViewContinuous(i, _) => Some(i)
+      case StopRefreshMatView(i) => Some(i)
       case RefreshMatView(i) => Some(i)
       case _ => None
     }

@@ -856,6 +856,61 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("REFRESH MATERIALIZED VIEW CONTINUOUS converges under DML " +
+      "with no manual refresh") {
+    val (t, _) = registered("gs_mvcsrc")
+    try {
+      val mvDir = Files.createTempDirectory("graft_sqlmvc_")
+        .resolve("mv").toString
+      spark.sql("DROP TABLE IF EXISTS gs_mvc")
+      GraftSql.sql(spark,
+        s"CREATE MATERIALIZED VIEW gs_mvc LOCATION '$mvDir' AS " +
+          "SELECT o_orderstatus, SUM(o_totalprice), COUNT(*) " +
+          "FROM gs_mvcsrc GROUP BY o_orderstatus")
+      GraftSql.sql(spark,
+        "REFRESH MATERIALIZED VIEW gs_mvc CONTINUOUS EVERY '1 second'")
+      try {
+        // a second START must refuse, not double-drive the loop
+        val dup = intercept[IllegalArgumentException] {
+          GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gs_mvc CONTINUOUS")
+        }
+        assert(dup.getMessage.contains("already running"))
+        // DML storm with NO manual refresh — the CDC-triggered loop
+        // must converge the view on its own
+        GraftSql.sql(spark,
+          "DELETE FROM gs_mvcsrc WHERE o_custkey % 4 = 0")
+        GraftSql.sql(spark,
+          "UPDATE gs_mvcsrc SET o_totalprice = o_totalprice + 10.0 " +
+            "WHERE o_orderstatus = 'O'")
+        def recompute() = t.snapshot().groupBy($"o_orderstatus")
+          .agg(round(sum($"o_totalprice".cast("decimal(12,4)")), 4)
+              .cast("double"), count(lit(1)))
+          .orderBy($"o_orderstatus")
+          .as[(String, Double, Long)].collect().toSeq
+        def maintained() = IncrementalMatView.load(spark, mvDir).view()
+          .orderBy($"o_orderstatus")
+          .as[(String, Double, Long)].collect().toSeq
+        val want = recompute()
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        var got = maintained()
+        while (got != want && System.nanoTime() < deadline) {
+          Thread.sleep(500); got = maintained()
+        }
+        assert(got === want,
+          "SQL continuous view did not converge to the recompute")
+      } finally GraftSql.sql(spark,
+        "STOP REFRESH MATERIALIZED VIEW gs_mvc")
+      // STOP tears the loop down: a second stop has nothing to stop
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "STOP REFRESH MATERIALIZED VIEW gs_mvc")
+      }
+      assert(e.getMessage.contains("no continuous refresh"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_mvcsrc")
+      spark.sql("DROP TABLE IF EXISTS gs_mvc")
+    }
+  }
+
   test("materialized view SQL accepts derived keys and measure expressions") {
     val (t, _) = registered("gs_mvdsrc")
     val taxExpr = "CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) " +
