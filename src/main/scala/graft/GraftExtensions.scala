@@ -79,6 +79,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else long(2)
         table.changeFeed(fromExcl, to).queryExecution.analyzed
       }))
+    // latest_runs / best_runs — the model-registry serving lookups as
+    // real TVFs over the run ledger, composing in SQL (joins, CTEs)
+    // exactly like table_changes(). First arg: a registered graft
+    // table name or a plain ledger path; optional second arg: the
+    // metric name materialized out of the metrics JSON (default auc).
+    def registryTvf(name: String,
+        read: (org.apache.spark.sql.SparkSession, String, String) =>
+          org.apache.spark.sql.DataFrame): Unit =
+      e.injectTableFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.ml.RiskPipeline", name),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(exprs.length == 1 || exprs.length == 2,
+            s"$name(ledger[, metric]) takes 1 or 2 arguments, " +
+              s"got ${exprs.length}")
+          require(exprs.forall(x => x.foldable && x.deterministic &&
+            x.dataType == org.apache.spark.sql.types.StringType),
+            s"$name arguments must be string literals " +
+              "(ledger table name or path, then an optional metric name)")
+          val spark = org.apache.spark.sql.SparkSession.active
+          def str(i: Int): String = exprs(i).eval()
+            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+          val path =
+            try graft.tables.GraftSql.tableByName(spark, str(0))
+              .root.toString
+            catch { case _: Exception => str(0) }
+          val metric = if (exprs.length == 2) str(1) else "auc"
+          read(spark, path, metric).queryExecution.analyzed
+        }))
+    registryTvf("latest_runs",
+      (s, p, m) => graft.ml.RiskPipeline.latestRuns(s, p, m))
+    registryTvf("best_runs",
+      (s, p, m) => graft.ml.RiskPipeline.bestRuns(s, p, m))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("top_k_items"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

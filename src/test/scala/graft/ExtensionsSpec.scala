@@ -179,4 +179,54 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("latest_runs()/best_runs() TVFs serve the registry and compose") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = Sessions.tune(SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions), 4).getOrCreate()
+    try {
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft_reg_tvf_").resolve("runs").toString
+      import graft.ml.RiskPipeline.logRun
+      // two estimators; LR's BEST run (r1, auc .9) is older than its
+      // LATEST (r2, auc .7) — the two views must disagree on LR
+      logRun(s2, ledger, "r1",
+        Map("estimator" -> "LogisticRegression"), Map("auc" -> 0.9))
+      Thread.sleep(5)
+      logRun(s2, ledger, "r2",
+        Map("estimator" -> "LogisticRegression"), Map("auc" -> 0.7))
+      Thread.sleep(5)
+      logRun(s2, ledger, "r3",
+        Map("estimator" -> "GBT"), Map("auc" -> 0.8))
+      def one(q: String): Map[String, String] =
+        s2.sql(q).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val latest = one("SELECT estimator, run_id " +
+        s"FROM latest_runs('$ledger')")
+      assert(latest === Map("LogisticRegression" -> "r2", "GBT" -> "r3"))
+      val best = one("SELECT estimator, run_id " +
+        s"FROM best_runs('$ledger', 'auc')")
+      assert(best === Map("LogisticRegression" -> "r1", "GBT" -> "r3"))
+      // composes like any relation: which estimators are serving a
+      // model that is NOT their best run?
+      val stale = s2.sql(
+        s"""SELECT l.estimator FROM latest_runs('$ledger') l
+           |JOIN best_runs('$ledger') b ON l.estimator = b.estimator
+           |WHERE l.run_id <> b.run_id""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      assert(stale === Seq("LogisticRegression"))
+      // a registered TABLE NAME resolves too
+      val dir = graft.tables.GraftTable.load(s2, ledger).root.toString
+      s2.sql("DROP TABLE IF EXISTS gp_runs")
+      s2.sql(s"CREATE TABLE gp_runs USING `graft-table` OPTIONS (path '$dir')")
+      assert(one("SELECT estimator, run_id FROM best_runs('gp_runs')")
+        === best)
+      s2.sql("DROP TABLE IF EXISTS gp_runs")
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
