@@ -42,6 +42,11 @@ object ScaleProbe {
         sys.env("SPARK_GRAFT_BATCH_DIR"))
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "curate") {
+      curateProbe(spark, corpusDir,
+        sys.env("SPARK_GRAFT_BATCH_DIR"))
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -105,6 +110,39 @@ object ScaleProbe {
     val dropped = counts.getOrElse("drop", 0L)
     val t2 = System.nanoTime()
     println(s"""{"metric":"admit_probe","corpus":"$corpusDir","batch":"$batchDir","index_sec":${(t1 - t0) / 1e9},"admit_sec":${(t2 - t1) / 1e9},"kept":$kept,"dropped":$dropped}""")
+  }
+
+  /** The curation FRONT DOOR for a fixed arrival batch against a
+    * growing curated corpus + index (SPARK_GRAFT_PROBE=curate): seed
+    * the index from the corpus and the curated table with the corpus
+    * itself (the state a long-running pipeline holds), then time ONE
+    * full curationStream cycle — file stream in, screen, cluster
+    * fold, verdicts, exactly-once curated append. The cycle should be
+    * ~flat in corpus size (bloom-scoped sig probe, candidate-pruned
+    * verification, batch-scale cluster fold).
+    */
+  private def curateProbe(spark: SparkSession, corpusDir: String,
+      batchDir: String): Unit = {
+    val corpus = Tables.load(spark, corpusDir, "documents")
+    val batch = Tables.load(spark, batchDir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+    val stage = java.nio.file.Files.createTempDirectory("graft_curprobe_")
+    val raw = stage.resolve("raw").toString
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.incrementalIndex(spark,
+      stage.resolve("idx").toString, corpus, batchId = 0L)
+    val curated = graft.tables.GraftTable.create(spark,
+      stage.resolve("curated").toString, corpus)
+    val t1 = System.nanoTime()
+    graft.sources.Ingest.stageBatch(batch, raw, "arrival")
+    graft.streaming.Streams.curationStream(spark, raw,
+      stage.resolve("cp").toString, stage.resolve("idx").toString,
+      stage.resolve("clusters").toString, curated)
+    val admitted = curated.rowCount.map(_ - corpus.count())
+      .getOrElse(-1L)
+    val t2 = System.nanoTime()
+    println(s"""{"metric":"curate_probe","corpus":"$corpusDir","batch":"$batchDir","seed_sec":${(t1 - t0) / 1e9},"cycle_sec":${(t2 - t1) / 1e9},"admitted":$admitted}""")
   }
 
   /** Fixed-trickle maintained-view refresh against a growing fact

@@ -300,13 +300,16 @@ object Streams {
     * — with UNORDERED arrival, splitting a cycle can admit both
     * members of a near-dup pair whose smaller id arrives later
     * (each was the survivor at its own admission time). Feed
-    * ascending-id batches (or run the documented sweep) where
-    * at-most-one-per-cluster must hold across epochs.
+    * ascending-id batches, or set `firstAdmittedWins` — each batch
+    * then screens against the curated table's pre-append ids and a
+    * cluster with an already-admitted member never admits another,
+    * whatever the arrival order.
     */
   def curationStream(spark: SparkSession, rawDir: String,
       checkpoint: String, indexPath: String, clustersPath: String,
       curated: graft.tables.GraftTable,
-      maxFilesPerTrigger: Int = Int.MaxValue): Long = {
+      maxFilesPerTrigger: Int = Int.MaxValue,
+      firstAdmittedWins: Boolean = false): Long = {
     val schema = curated.snapshot().schema
     val cp = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(cp)
@@ -322,8 +325,16 @@ object Streams {
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batch = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // firstAdmittedWins: the curated table's PRE-APPEND ids are
+        // this batch's admitted set — at most one member per cluster
+        // survives across epochs, whatever the arrival order (see
+        // admitBatch's survivorship contract)
+        val adm =
+          if (firstAdmittedWins)
+            Some(curated.snapshot().select(col("doc_id")))
+          else None
         val verdicts = graft.operators.Dedup.admitBatch(spark,
-          indexPath, clustersPath, batch, batchId = id)
+          indexPath, clustersPath, batch, batchId = id, admitted = adm)
         val kept = batch.join(
           verdicts.where(col("action") === "keep").select(col("doc_id")),
           Seq("doc_id"))

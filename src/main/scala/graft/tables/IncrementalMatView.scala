@@ -205,6 +205,7 @@ class IncrementalMatView private (spark: SparkSession,
       mv.overwrite(
         nullableFrame(aggregateOf(prep(source.snapshotAt(to)))),
         Map(SourceVersionKey -> to) ++ dimVersionMetrics(dimVs))
+      applyRetention()
       return to
     }
     if (to <= from) return from
@@ -216,6 +217,7 @@ class IncrementalMatView private (spark: SparkSession,
       mv.overwrite(
         nullableFrame(aggregateOf(prep(source.snapshotAt(to)))),
         Map(SourceVersionKey -> to) ++ dimVersionMetrics(dimVs))
+      applyRetention()
       return to
     }
     val sign = when(col("_change_type")
@@ -302,8 +304,26 @@ class IncrementalMatView private (spark: SparkSession,
     mv.overwrite(nullableFrame(merged),
       Map(SourceVersionKey -> to) ++ dimVersionMetrics(dimVs))
     if (extremes && affected != null) affected.unpersist()
+    applyRetention()
     to
   }
+
+  /** RETENTION POLICY for the view's own storage: every refresh
+    * overwrites the (aggregate-sized) view table, stranding the
+    * previous version's files — a continuously-refreshed view
+    * accumulates one dead file set per refresh forever. Declaring
+    * `graft.mv.retain.hours` on the view table makes each refresh
+    * vacuum past the window after it commits, so the view
+    * self-maintains under `continuous` with no separate schedule.
+    * Time travel within the window keeps working; the property is
+    * ordinary TBLPROPERTIES (visible in SHOW TBLPROPERTIES, settable
+    * over SQL). Unset = never vacuum (today's behavior).
+    */
+  private def applyRetention(): Unit =
+    mv.properties.get(RetainHoursProp)
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .filter(_ >= 0)
+      .foreach(mv.vacuumRetainHours(_))
 
   /** One output column of the consumable view, on the cross-engine
     * parity recipes: sums/extremes round the decimal BEFORE the
@@ -361,6 +381,7 @@ object IncrementalMatView {
   private val PropDims = "graft.mv.dims"
   private val PropAvgs = "graft.mv.avgs"
   private val PropOutputs = "graft.mv.outputs"
+  private[tables] val RetainHoursProp = "graft.mv.retain.hours"
 
   private[tables] def dimVersionKey(i: Int): String = s"mvDimVersion$i"
 

@@ -232,6 +232,39 @@ class DeletionVectorSpec extends SparkSpec {
     assert(mv.view().where($"grp" === "9").count() === 0)
   }
 
+  test("mat view retention property bounds the view's own storage") {
+    import graft.tables.IncrementalMatView
+    val dir = tmp()
+    val df = spark.range(0, 200)
+      .select($"id", ($"id" % 5).cast("string").as("grp"),
+        ($"id" * 7 % 100).cast("double").as("v"))
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    val mvDir = tmp()
+    val mv = IncrementalMatView.create(spark, t, mvDir, Seq("grp"), "v")
+    // declare the retention window: each refresh then vacuums the
+    // previous overwrite's stranded files after it commits
+    mv.mv.setProperties(Map("graft.mv.retain.hours" -> "0"))
+    def onDisk(): Long = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(mvDir))
+      .filter(_.toString.endsWith(".parquet")).count()
+    (1 to 4).foreach { i =>
+      t.append(spark.range(1000L * i, 1000L * i + 10)
+        .select($"id", lit("3").as("grp"), lit(i * 1.5).as("v")))
+      mv.refresh()
+    }
+    // storage stays live-files-sized however many refreshes ran
+    assert(onDisk() === mv.mv.snapshot().inputFiles.length.toLong,
+      s"retention left stranded view files (${onDisk()} on disk)")
+    // the view itself is untouched by its own vacuuming
+    val maintained = mv.view().orderBy($"grp")
+      .as[(String, Double, Long)].collect().toSeq
+    val recomputed = t.snapshot().groupBy($"grp")
+      .agg(round(sum($"v".cast("decimal(12,4)")), 4).cast("double"),
+        count(lit(1)))
+      .orderBy($"grp").as[(String, Double, Long)].collect().toSeq
+    assert(maintained === recomputed)
+  }
+
   test("extremes mat view survives a DELETE that retires a group's max") {
     import graft.tables.IncrementalMatView
     val dir = tmp()

@@ -544,6 +544,39 @@ class OperatorsSpec extends SparkSpec {
       "distributed path diverged from the driver fast path")
   }
 
+  test("first-admitted-wins admission refuses later smaller-id near-dups") {
+    def text(i: Long) =
+      s"faw${i} alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stage = java.nio.file.Files.createTempDirectory("graft_faw_")
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    // batch 1: doc 10 admitted (no near-dups anywhere)
+    val b1 = Seq((10L, text(0))).toDF("doc_id", "text")
+    val v1 = Dedup.admitBatch(spark, idx, cl, b1, batchId = 0L,
+      admitted = Some(Seq.empty[Long].toDF("doc_id")))
+    assert(v1.as[(Long, Long, String)].collect().toSet
+      === Set((10L, 10L, "keep")))
+    val admitted = Seq(10L).toDF("doc_id")
+    // batch 2, OUT OF ORDER: doc 5 near-dups the admitted doc 10 and
+    // has the SMALLER id. Default rule would admit it (global min);
+    // first-admitted-wins drops it with 10 as canonical. A fresh doc
+    // in the same batch still keeps.
+    val b2 = Seq((5L, text(0)),
+      (20L, "totally different words with no overlap at all here " +
+        "nothing shared whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    val v2 = Dedup.admitBatch(spark, idx, cl, b2, batchId = 1L,
+      admitted = Some(admitted))
+    assert(v2.as[(Long, Long, String)].collect().toSet
+      === Set((5L, 10L, "drop"), (20L, 20L, "keep")))
+    // replay with the post-cycle admitted set: verdicts unchanged
+    // (the original survivor canonicalizes to itself)
+    val v2r = Dedup.admitBatch(spark, idx, cl, b2, batchId = 1L,
+      admitted = Some(admitted.unionByName(Seq(20L).toDF("doc_id"))))
+    assert(v2r.as[(Long, Long, String)].collect().toSet
+      === Set((5L, 10L, "drop"), (20L, 20L, "keep")))
+  }
+
   test("clusters state maintenance compacts and vacuums without " +
       "changing verdicts; replay stays idempotent") {
     val path = java.nio.file.Files
