@@ -309,7 +309,8 @@ object Streams {
       checkpoint: String, indexPath: String, clustersPath: String,
       curated: graft.tables.GraftTable,
       maxFilesPerTrigger: Int = Int.MaxValue,
-      firstAdmittedWins: Boolean = false): Long = {
+      firstAdmittedWins: Boolean = false,
+      auditPath: Option[String] = None): Long = {
     val schema = curated.snapshot().schema
     val cp = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(cp)
@@ -333,12 +334,21 @@ object Streams {
           if (firstAdmittedWins)
             Some(curated.snapshot().select(col("doc_id")))
           else None
-        val verdicts = graft.operators.Dedup.admitBatch(spark,
-          indexPath, clustersPath, batch, batchId = id, admitted = adm)
+        // with an audit path, verdicts additionally persist to the
+        // audit GraftTable — its own exactly-once layer on the same
+        // epoch id (a replayed epoch logs nothing twice)
+        val verdicts = auditPath match {
+          case Some(ap) => graft.operators.Dedup.admitBatchLogged(
+            spark, indexPath, clustersPath, ap, batch, batchId = id,
+            admitted = adm)
+          case None => graft.operators.Dedup.admitBatch(spark,
+            indexPath, clustersPath, batch, batchId = id, admitted = adm)
+        }
         val kept = batch.join(
           verdicts.where(col("action") === "keep").select(col("doc_id")),
           Seq("doc_id"))
         curated.appendIfNew(kept, id, appId = checkpoint)
+        verdicts.unpersist() // no-op for the unlogged (lazy) variant
         batch.unpersist(); ()
       }
       .start()

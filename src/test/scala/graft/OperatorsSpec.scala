@@ -577,6 +577,40 @@ class OperatorsSpec extends SparkSpec {
       === Set((5L, 10L, "drop"), (20L, 20L, "keep")))
   }
 
+  test("admission audit trail persists verdicts exactly-once and " +
+      "time-travels") {
+    def text(i: Long) =
+      s"audit${i} alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stage = java.nio.file.Files.createTempDirectory("graft_audit_")
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    val audit = stage.resolve("audit").toString
+    val b1 = Seq((1L, text(0)), (2L, text(0) + " omega"))
+      .toDF("doc_id", "text")
+    val v1 = Dedup.admitBatchLogged(spark, idx, cl, audit, b1,
+      batchId = 0L)
+    val auditT = graft.tables.GraftTable.load(spark, audit)
+    val logged = auditT.snapshot()
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(logged === v1.as[(Long, Long, String)].collect().toSet
+      .map((t: (Long, Long, String)) => (0L, t._1, t._2, t._3)))
+    assert(logged.map(r => (r._2, r._4)) ===
+      Set((1L, "keep"), (2L, "drop")))
+    // a replayed batch logs nothing twice
+    Dedup.admitBatchLogged(spark, idx, cl, audit, b1, batchId = 0L)
+    assert(auditT.snapshot().count() === 2)
+    val afterB1 = auditT.latestVersion
+    // a second batch appends under its own id; the audit TIME-TRAVELS
+    val b2 = Seq((3L, "totally different content with no shingles " +
+      "shared at all against anything earlier")).toDF("doc_id", "text")
+    Dedup.admitBatchLogged(spark, idx, cl, audit, b2, batchId = 1L)
+    assert(auditT.snapshot().count() === 3)
+    assert(auditT.snapshot()
+      .where($"batch_id" === 1L && $"action" === "keep").count() === 1)
+    assert(auditT.snapshotAt(afterB1).count() === 2,
+      "audit history must replay the per-batch ledger")
+  }
+
   test("clusters state maintenance compacts and vacuums without " +
       "changing verdicts; replay stays idempotent") {
     val path = java.nio.file.Files
