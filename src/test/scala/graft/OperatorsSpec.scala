@@ -577,6 +577,42 @@ class OperatorsSpec extends SparkSpec {
       === Set((5L, 10L, "drop"), (20L, 20L, "keep")))
   }
 
+  test("sweepCurated retires cross-cycle near-dup slip-throughs " +
+      "idempotently") {
+    def text(i: Long) =
+      s"sweep${i} alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stage = java.nio.file.Files.createTempDirectory("graft_sweep_")
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    // out-of-order default-rule admission: doc 10 admitted first,
+    // then its smaller-id near-dup 5 also admits (the documented
+    // caveat) — the curated table ends up holding both
+    val b1 = Seq((10L, text(0))).toDF("doc_id", "text")
+    val b2 = Seq((5L, text(0) + " omega"),
+      (20L, "completely unrelated content with nothing shared at all " +
+        "against any earlier document whatsoever"))
+      .toDF("doc_id", "text")
+    Dedup.admitBatch(spark, idx, cl, b1, batchId = 0L)
+    Dedup.admitBatch(spark, idx, cl, b2, batchId = 1L)
+    val curated = graft.tables.GraftTable.create(spark,
+      stage.resolve("curated").toString,
+      Seq((10L, text(0)), (5L, text(0) + " omega"),
+        (20L, "completely unrelated content with nothing shared at " +
+          "all against any earlier document whatsoever"))
+        .toDF("doc_id", "text"))
+    val retired = Dedup.sweepCurated(spark, curated, cl)
+      .as[Long].collect().toSet
+    // min curated member per cluster survives — the batch algorithms'
+    // label — so the sweep retires 10, not 5
+    assert(retired === Set(10L))
+    assert(curated.snapshot().select($"doc_id").as[Long].collect().toSet
+      === Set(5L, 20L))
+    // idempotent: a second sweep finds nothing and commits nothing
+    val v = curated.latestVersion
+    assert(Dedup.sweepCurated(spark, curated, cl).count() === 0)
+    assert(curated.latestVersion === v)
+  }
+
   test("admission audit trail persists verdicts exactly-once and " +
       "time-travels") {
     def text(i: Long) =
