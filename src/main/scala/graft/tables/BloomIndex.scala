@@ -77,9 +77,18 @@ private[tables] object BloomIndex {
       .groupBy(col("__f"), col("c"), col("w"))
       .agg(expr("bit_or(bit)").as("bits"))
     val wanted = filesAbs.map(plain).toSet
-    // global sort + toLocalIterator: rows arrive grouped by file, so
-    // sidecars assemble and flush one file at a time
-    val it = words.orderBy("__f", "c", "w").toLocalIterator()
+    // hash-partition by FILE into few partitions, sorted within: each
+    // file's words land contiguously in exactly one partition, so
+    // sidecars still assemble and flush one file at a time while
+    // toLocalIterator — which runs ONE sequential job PER partition —
+    // touches a handful of partitions, not shuffle.partitions many.
+    // (A global orderBy here cost a range-sampling pass plus ~32
+    // sequential mini-jobs per append — dominating small appends.)
+    // Driver memory stays one partition's aggregated words
+    // (files/nParts × cols × mBits/8 bytes).
+    val nParts = math.max(1, math.min(32, filesAbs.size / 64 + 1))
+    val it = words.repartition(nParts, col("__f"))
+      .sortWithinPartitions("__f", "c", "w").toLocalIterator()
     var curFile: String = null
     val colsMap = scala.collection.mutable.Map.empty[String, Array[Long]]
     val flushed = scala.collection.mutable.Set.empty[String]
@@ -238,5 +247,29 @@ private[tables] object BloomIndex {
     filesAbs.filter(f => points.forall { case (c, lits) =>
       lits.exists(l => mayContainMemo(f, c, l))
     })
+  }
+
+  /** Direct value-set prune for internal point probes (the
+    * incremental-dedup signature fetch): which of `filesAbs` may
+    * contain ANY of `lits` in `colName`? Same sidecars, same
+    * conservative answers, but no Catalyst expression round-trip —
+    * bucket ids hash once per literal, per-file work is bit tests.
+    */
+  def pruneValues(colName: String, lits: Seq[Literal],
+      filesAbs: Seq[String]): Seq[String] = {
+    if (lits.isEmpty) return Seq.empty
+    val bucketMemo = new java.util.HashMap[(Literal, Int), Seq[Int]]()
+    filesAbs.filter { f =>
+      load(f) match {
+        case Some((bits, cols)) => cols.get(colName) match {
+          case Some(arr) => lits.exists(l =>
+            bucketMemo.computeIfAbsent((l, bits), k =>
+              bucketsOf(k._1, k._2))
+              .forall(b => (arr(b / 64) & (1L << (b % 64))) != 0L))
+          case None => true
+        }
+        case None => true
+      }
+    }
   }
 }

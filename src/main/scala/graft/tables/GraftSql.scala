@@ -300,10 +300,15 @@ object GraftSql {
       // checkpoint lives under the view root (vacuum only reclaims
       // files/cdc/dv entries, so it is inert to table maintenance)
       val root = tableByName(spark, ident).root.toAbsolutePath.toString
-      if (continuousQueries.containsKey(root))
+      // a crashed loop must not wedge the view: only an ACTIVE query
+      // refuses a restart; a dead registration is dropped and the
+      // START proceeds (its checkpoint resumes the stream cleanly)
+      val existing = continuousQueries.get(root)
+      if (existing != null && existing.isActive)
         throw new IllegalArgumentException(
           s"continuous refresh already running for $ident; " +
             s"STOP REFRESH MATERIALIZED VIEW $ident first")
+      if (existing != null) continuousQueries.remove(root, existing)
       val interval = Option(every).map(_.trim).filter(_.nonEmpty)
         .getOrElse("1 second")
       val q = IncrementalMatView.continuous(spark, root,

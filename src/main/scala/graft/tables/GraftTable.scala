@@ -1543,6 +1543,46 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     (df, keep.size, c.files.size)
   }
 
+  /** Lean BLOOM-only point-IN read for internal probes on a
+    * hash-uniform STRING key (the incremental-dedup signature fetch,
+    * the exact ledger): min/max stats cannot prune such a key, so
+    * this path consults ONLY the bloom sidecars, directly against
+    * the literal values — no Catalyst analysis round-trip, no
+    * N-literal expression build. Missing sidecars / undeclared
+    * column answer "may contain" (all files), as everywhere.
+    * Returns (frame, files read, files total).
+    */
+  private[graft] def snapshotBloomInWithCount(key: String,
+      values: Seq[String]): (DataFrame, Int, Int) = {
+    val c = readCommit(latestVersion)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(c.schemaJson).asInstanceOf[StructType]
+    val cm = c.columnMap.getOrElse(Map.empty)
+    val pk = physName(cm, key)
+    val declared = c.properties.getOrElse(Map.empty)
+      .get("graft.bloom.columns")
+      .exists(_.split(",").map(_.trim).map(n => cm.getOrElse(n, n))
+        .contains(pk))
+    val keep =
+      if (!declared || c.files.isEmpty) c.files
+      else {
+        val lits = values.map(v =>
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v),
+            org.apache.spark.sql.types.StringType))
+        val keptAbs = BloomIndex.pruneValues(pk, lits,
+          c.files.map(abs)).toSet
+        c.files.filter(f => keptAbs.contains(abs(f)))
+      }
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFilesDvAware(keep, schema, dvAt(latestVersion),
+        columnMapAt(latestVersion))
+    (df, keep.size, c.files.size)
+  }
+
   def snapshotPrunedIn(key: String, values: Array[Double]): DataFrame =
     snapshotPrunedInWithCount(key, values)._1
 
