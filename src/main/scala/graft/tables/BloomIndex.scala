@@ -68,30 +68,45 @@ private[tables] object BloomIndex {
         struct(lit(c).as("c"),
           pmod(xxhash64(lit(s), col(s"`$c`")), lit(mBits.toLong)).as("b"))))
     }: _*)
-    val words = raw
+    val buckets = raw
       .select(col("_metadata.file_path").as("__f"), explode(pairs).as("p"))
       .where(col("p").isNotNull)
-      .select(col("__f"), col("p.c").as("c"),
-        (col("p.b") / 64).cast("int").as("w"),
-        expr("shiftleft(1L, int(p.b % 64))").as("bit"))
-      .groupBy(col("__f"), col("c"), col("w"))
-      .agg(expr("bit_or(bit)").as("bits"))
+      .select(col("__f"), col("p.c").as("c"), col("p.b").as("b"))
     val wanted = filesAbs.map(plain).toSet
-    // hash-partition by FILE into few partitions, sorted within: each
-    // file's words land contiguously in exactly one partition, so
-    // sidecars still assemble and flush one file at a time while
-    // toLocalIterator — which runs ONE sequential job PER partition —
-    // touches a handful of partitions, not shuffle.partitions many.
-    // (A global orderBy here cost a range-sampling pass plus ~32
-    // sequential mini-jobs per append — dominating small appends.)
-    // Driver memory stays one partition's aggregated words
-    // (files/nParts × cols × mBits/8 bytes).
+    // ONE shuffle, one aggregation: hash-partition by FILE into a few
+    // partitions (a file never spans two), then fold each partition's
+    // buckets into per-(file, column) bit arrays inside the task —
+    // complete per file by construction — and stream the finished
+    // filters to the driver partition-at-a-time. The earlier
+    // groupBy + sort + iterate chain cost ~4 jobs per append (and a
+    // range-sampling pass), which dominated small indexed writes.
+    // Executor memory per task = its files × cols × mBits/8 bytes;
+    // driver memory = one partition's finished filters.
     val nParts = math.max(1, math.min(32, filesAbs.size / 64 + 1))
-    val it = words.repartition(nParts, col("__f"))
-      .sortWithinPartitions("__f", "c", "w").toLocalIterator()
+    val mBitsLocal = mBits
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val enc: Encoder[(String, String, Array[Long])] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING,
+        spark.implicits.newLongArrayEncoder)
+    val it = buckets.repartition(nParts, col("__f"))
+      .mapPartitions { rows =>
+        val m = scala.collection.mutable.HashMap
+          .empty[(String, String), Array[Long]]
+        rows.foreach { r =>
+          val arr = m.getOrElseUpdate((r.getString(0), r.getString(1)),
+            new Array[Long](mBitsLocal / 64))
+          val b = r.getLong(2)
+          arr((b / 64).toInt) |= 1L << (b % 64)
+        }
+        // emit SORTED by file so a file's columns arrive contiguously
+        // at the driver (interleaved insertion order would flush a
+        // file before all its columns landed)
+        m.toSeq.sortBy(_._1).iterator
+          .map { case ((f, c), arr) => (f, c, arr) }
+      }.toLocalIterator()
+    val flushed = scala.collection.mutable.Set.empty[String]
     var curFile: String = null
     val colsMap = scala.collection.mutable.Map.empty[String, Array[Long]]
-    val flushed = scala.collection.mutable.Set.empty[String]
     def flush(): Unit =
       if (curFile != null && wanted.contains(curFile)) {
         writeSidecar(curFile, mBits, colsMap)
@@ -99,12 +114,12 @@ private[tables] object BloomIndex {
         flushed += curFile
       }
     while (it.hasNext) {
-      val r = it.next()
-      val f = plain(r.getString(0))
+      val (f0, c, arr) = it.next()
+      val f = plain(f0)
+      // rows for one file arrive contiguously (LinkedHashMap insertion
+      // order within its single partition), so flush on file change
       if (f != curFile) { flush(); curFile = f; colsMap.clear() }
-      val arr = colsMap.getOrElseUpdate(r.getString(1),
-        new Array[Long](mBits / 64))
-      arr(r.getInt(2)) |= r.getLong(3)
+      colsMap(c) = arr
     }
     flush()
     // a file that produced no (column, bucket) rows — empty file, or
