@@ -102,10 +102,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           val spark = org.apache.spark.sql.SparkSession.active
           def str(i: Int): String = exprs(i).eval()
             .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+          // resolution contract: a string holding a path separator IS
+          // a ledger path; anything else resolves as a registered
+          // table name. (A blanket try/catch here would swallow real
+          // resolution failures — a corrupt log on a registered name
+          // must surface, not silently degrade to a path lookup.)
+          val arg0 = str(0)
           val path =
-            try graft.tables.GraftSql.tableByName(spark, str(0))
+            if (arg0.contains("/") || arg0.contains("\\")) arg0
+            else graft.tables.GraftSql.tableByName(spark, arg0)
               .root.toString
-            catch { case _: Exception => str(0) }
           val metric = if (exprs.length == 2) str(1) else "auc"
           read(spark, path, metric).queryExecution.analyzed
         }))

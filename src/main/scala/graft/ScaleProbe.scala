@@ -129,9 +129,14 @@ object ScaleProbe {
       .withColumn("doc_id", col("doc_id") + 2000000000L)
     val stage = java.nio.file.Files.createTempDirectory("graft_curprobe_")
     val raw = stage.resolve("raw").toString
+    val corpusRows = corpus.count() // outside every timing window
     val t0 = System.nanoTime()
+    // seed with batchId = -1 (plain appends): the stream's first
+    // epoch is id 0, and a seed recorded AT 0 under the same index
+    // appIds would make the cycle's own index appends no-op — the
+    // timed cycle must include the real indexing work
     graft.operators.Dedup.incrementalIndex(spark,
-      stage.resolve("idx").toString, corpus, batchId = 0L)
+      stage.resolve("idx").toString, corpus, batchId = -1L)
     val curated = graft.tables.GraftTable.create(spark,
       stage.resolve("curated").toString, corpus)
     val t1 = System.nanoTime()
@@ -139,9 +144,8 @@ object ScaleProbe {
     graft.streaming.Streams.curationStream(spark, raw,
       stage.resolve("cp").toString, stage.resolve("idx").toString,
       stage.resolve("clusters").toString, curated)
-    val admitted = curated.rowCount.map(_ - corpus.count())
-      .getOrElse(-1L)
     val t2 = System.nanoTime()
+    val admitted = curated.rowCount.map(_ - corpusRows).getOrElse(-1L)
     println(s"""{"metric":"curate_probe","corpus":"$corpusDir","batch":"$batchDir","seed_sec":${(t1 - t0) / 1e9},"cycle_sec":${(t2 - t1) / 1e9},"admitted":$admitted}""")
   }
 

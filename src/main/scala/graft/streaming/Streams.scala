@@ -340,7 +340,11 @@ object Streams {
         val verdicts = auditPath match {
           case Some(ap) => graft.operators.Dedup.admitBatchLogged(
             spark, indexPath, clustersPath, ap, batch, batchId = id,
-            admitted = adm)
+            admitted = adm,
+            // per-checkpoint audit watermark: a checkpoint reset (or
+            // a second pipeline sharing the audit table) restarts its
+            // OWN id sequence without masking earlier pipelines'
+            auditAppId = s"audit:$checkpoint")
           case None => graft.operators.Dedup.admitBatch(spark,
             indexPath, clustersPath, batch, batchId = id, admitted = adm)
         }

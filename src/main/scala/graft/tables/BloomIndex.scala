@@ -73,34 +73,48 @@ private[tables] object BloomIndex {
       .where(col("p").isNotNull)
       .select(col("__f"), col("p.c").as("c"), col("p.b").as("b"))
     val wanted = filesAbs.map(plain).toSet
-    // ONE shuffle, one aggregation: hash-partition by FILE into a few
-    // partitions (a file never spans two), then fold each partition's
-    // buckets into per-(file, column) bit arrays inside the task —
-    // complete per file by construction — and stream the finished
-    // filters to the driver partition-at-a-time. The earlier
-    // groupBy + sort + iterate chain cost ~4 jobs per append (and a
-    // range-sampling pass), which dominated small indexed writes.
-    // Executor memory per task = its files × cols × mBits/8 bytes;
-    // driver memory = one partition's finished filters.
-    val nParts = math.max(1, math.min(32, filesAbs.size / 64 + 1))
+    // TWO-level fold, one shuffle of PARTIAL FILTERS: every input
+    // partition folds its buckets into per-(file, column) bit arrays
+    // map-side, so raw bucket tuples never cross the wire — the
+    // shuffle carries at most inputPartitions × filesPerPartition ×
+    // cols arrays of mBits/8 bytes — then the
+    // file-hash-partitioned reduce ORs partials per (file, column)
+    // and streams finished filters to the driver sorted by file.
+    // This replaced a groupBy + sort + iterate chain (~4 jobs, a
+    // range-sampling pass, and 32 sequential iterator mini-jobs)
+    // that dominated small indexed writes. nParts caps at the FILE
+    // count — a file's reduce must be one task, so more buys nothing.
+    val nParts = math.max(1, math.min(32, filesAbs.size))
     val mBitsLocal = mBits
     import org.apache.spark.sql.{Encoder, Encoders}
     implicit val enc: Encoder[(String, String, Array[Long])] =
       Encoders.tuple(Encoders.STRING, Encoders.STRING,
         spark.implicits.newLongArrayEncoder)
-    val it = buckets.repartition(nParts, col("__f"))
+    val partials = buckets.mapPartitions { rows =>
+      val m = scala.collection.mutable.HashMap
+        .empty[(String, String), Array[Long]]
+      rows.foreach { r =>
+        val arr = m.getOrElseUpdate((r.getString(0), r.getString(1)),
+          new Array[Long](mBitsLocal / 64))
+        val b = r.getLong(2)
+        arr((b / 64).toInt) |= 1L << (b % 64)
+      }
+      m.iterator.map { case ((f, c), arr) => (f, c, arr) }
+    }
+    val it = partials.repartition(nParts, col("_1"))
       .mapPartitions { rows =>
         val m = scala.collection.mutable.HashMap
           .empty[(String, String), Array[Long]]
-        rows.foreach { r =>
-          val arr = m.getOrElseUpdate((r.getString(0), r.getString(1)),
-            new Array[Long](mBitsLocal / 64))
-          val b = r.getLong(2)
-          arr((b / 64).toInt) |= 1L << (b % 64)
+        rows.foreach { case (f, c, part) =>
+          m.get((f, c)) match {
+            case Some(acc) =>
+              var i = 0
+              while (i < acc.length) { acc(i) |= part(i); i += 1 }
+            case None => m.put((f, c), part)
+          }
         }
-        // emit SORTED by file so a file's columns arrive contiguously
-        // at the driver (interleaved insertion order would flush a
-        // file before all its columns landed)
+        // SORTED by file: a file's columns then arrive contiguously
+        // at the driver, so flush-on-file-change is sound
         m.toSeq.sortBy(_._1).iterator
           .map { case ((f, c), arr) => (f, c, arr) }
       }.toLocalIterator()
@@ -116,8 +130,6 @@ private[tables] object BloomIndex {
     while (it.hasNext) {
       val (f0, c, arr) = it.next()
       val f = plain(f0)
-      // rows for one file arrive contiguously (LinkedHashMap insertion
-      // order within its single partition), so flush on file change
       if (f != curFile) { flush(); curFile = f; colsMap.clear() }
       colsMap(c) = arr
     }

@@ -300,28 +300,38 @@ object GraftSql {
       // checkpoint lives under the view root (vacuum only reclaims
       // files/cdc/dv entries, so it is inert to table maintenance)
       val root = tableByName(spark, ident).root.toAbsolutePath.toString
-      // a crashed loop must not wedge the view: only an ACTIVE query
-      // refuses a restart; a dead registration is dropped and the
-      // START proceeds (its checkpoint resumes the stream cleanly)
-      val existing = continuousQueries.get(root)
-      if (existing != null && existing.isActive)
-        throw new IllegalArgumentException(
-          s"continuous refresh already running for $ident; " +
-            s"STOP REFRESH MATERIALIZED VIEW $ident first")
-      if (existing != null) continuousQueries.remove(root, existing)
-      val interval = Option(every).map(_.trim).filter(_.nonEmpty)
-        .getOrElse("1 second")
-      val q = IncrementalMatView.continuous(spark, root,
-        java.nio.file.Paths.get(root, "_continuous_cp").toString,
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
-      continuousQueries.put(root, q)
+      // check-and-start under the registry lock: two concurrent
+      // STARTs must not both pass the liveness check and double-drive
+      // the refresh loop. A crashed loop must not wedge the view
+      // either: only an ACTIVE query refuses a restart — a dead
+      // registration is dropped and the START proceeds (its
+      // checkpoint resumes the stream cleanly).
+      continuousQueries.synchronized {
+        val existing = continuousQueries.get(root)
+        if (existing != null && existing.isActive)
+          throw new IllegalArgumentException(
+            s"continuous refresh already running for $ident; " +
+              s"STOP REFRESH MATERIALIZED VIEW $ident first")
+        if (existing != null) continuousQueries.remove(root, existing)
+        val interval = Option(every).map(_.trim).filter(_.nonEmpty)
+          .getOrElse("1 second")
+        val q = IncrementalMatView.continuous(spark, root,
+          java.nio.file.Paths.get(root, "_continuous_cp").toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
+        continuousQueries.put(root, q)
+      }
       emptyResult(spark)
     case StopRefreshMatView(ident) =>
       val root = tableByName(spark, ident).root.toAbsolutePath.toString
-      val q = continuousQueries.remove(root)
+      val q = continuousQueries.get(root)
       if (q == null) throw new IllegalArgumentException(
         s"no continuous refresh running for $ident")
+      // deregister only AFTER a successful stop: a stop() that throws
+      // (an epoch failure surfacing here) leaves the registration in
+      // place, so a later START still refuses while the stream may
+      // yet be running instead of double-driving the view
       q.stop()
+      continuousQueries.remove(root, q)
       refreshName(spark, ident)
       emptyResult(spark)
     case RefreshMatView(ident) =>

@@ -1554,7 +1554,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   private[graft] def snapshotBloomInWithCount(key: String,
       values: Seq[String]): (DataFrame, Int, Int) = {
-    val c = readCommit(latestVersion)
+    // version pinned ONCE: a concurrent commit (nightly maintenance
+    // compacting the index under a running probe) must not mix a new
+    // version's DVs / column map with this version's file list
+    val v = latestVersion
+    val c = readCommit(v)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(c.schemaJson).asInstanceOf[StructType]
     val cm = c.columnMap.getOrElse(Map.empty)
@@ -1566,9 +1570,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val keep =
       if (!declared || c.files.isEmpty) c.files
       else {
-        val lits = values.map(v =>
+        val lits = values.map(v0 =>
           org.apache.spark.sql.catalyst.expressions.Literal(
-            org.apache.spark.unsafe.types.UTF8String.fromString(v),
+            org.apache.spark.unsafe.types.UTF8String.fromString(v0),
             org.apache.spark.sql.types.StringType))
         val keptAbs = BloomIndex.pruneValues(pk, lits,
           c.files.map(abs)).toSet
@@ -1578,8 +1582,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       if (keep.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readFilesDvAware(keep, schema, dvAt(latestVersion),
-        columnMapAt(latestVersion))
+      else readFilesDvAware(keep, schema, dvAt(v), columnMapAt(v))
     (df, keep.size, c.files.size)
   }
 
