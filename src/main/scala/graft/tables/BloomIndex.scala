@@ -82,9 +82,11 @@ private[tables] object BloomIndex {
     // and streams finished filters to the driver sorted by file.
     // This replaced a groupBy + sort + iterate chain (~4 jobs, a
     // range-sampling pass, and 32 sequential iterator mini-jobs)
-    // that dominated small indexed writes. nParts caps at the FILE
-    // count — a file's reduce must be one task, so more buys nothing.
-    val nParts = math.max(1, math.min(32, filesAbs.size))
+    // that dominated small indexed writes. Reduce partitions hold
+    // ~64 files each (a file's reduce is one task either way, and
+    // toLocalIterator pays ONE sequential job per partition — many
+    // tiny partitions would dominate small appends again).
+    val nParts = math.max(1, math.min(32, filesAbs.size / 64 + 1))
     val mBitsLocal = mBits
     import org.apache.spark.sql.{Encoder, Encoders}
     implicit val enc: Encoder[(String, String, Array[Long])] =
@@ -101,7 +103,7 @@ private[tables] object BloomIndex {
       }
       m.iterator.map { case ((f, c), arr) => (f, c, arr) }
     }
-    val it = partials.repartition(nParts, col("_1"))
+    val merged = partials.repartition(nParts, col("_1"))
       .mapPartitions { rows =>
         val m = scala.collection.mutable.HashMap
           .empty[(String, String), Array[Long]]
@@ -114,10 +116,21 @@ private[tables] object BloomIndex {
           }
         }
         // SORTED by file: a file's columns then arrive contiguously
-        // at the driver, so flush-on-file-change is sound
+        // at the driver, so flush-on-file-change is sound (collect
+        // concatenates partitions in order; a file never spans two)
         m.toSeq.sortBy(_._1).iterator
           .map { case ((f, c), arr) => (f, c, arr) }
-      }.toLocalIterator()
+      }
+    // small result sets (files × cols filters ≤ ~64 MB) land in ONE
+    // collect job; only corpus-scale rebuilds pay the partition-at-a-
+    // time iterator to bound driver memory
+    val it: Iterator[(String, String, Array[Long])] =
+      if (filesAbs.size.toLong * math.max(1, use.size) <= 4096)
+        merged.collect().iterator
+      else {
+        import scala.jdk.CollectionConverters._
+        merged.toLocalIterator().asScala
+      }
     val flushed = scala.collection.mutable.Set.empty[String]
     var curFile: String = null
     val colsMap = scala.collection.mutable.Map.empty[String, Array[Long]]
