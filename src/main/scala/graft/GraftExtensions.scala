@@ -96,8 +96,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"$name(ledger[, metric]) takes 1 or 2 arguments, " +
               s"got ${exprs.length}")
           require(exprs.forall(x => x.foldable && x.deterministic &&
-            x.dataType == org.apache.spark.sql.types.StringType),
-            s"$name arguments must be string literals " +
+            x.dataType == org.apache.spark.sql.types.StringType &&
+            x.eval() != null),
+            s"$name arguments must be non-null string literals " +
               "(ledger table name or path, then an optional metric name)")
           val spark = org.apache.spark.sql.SparkSession.active
           def str(i: Int): String = exprs(i).eval()

@@ -121,11 +121,14 @@ private[tables] object BloomIndex {
         m.toSeq.sortBy(_._1).iterator
           .map { case ((f, c), arr) => (f, c, arr) }
       }
-    // small result sets (files × cols filters ≤ ~64 MB) land in ONE
-    // collect job; only corpus-scale rebuilds pay the partition-at-a-
-    // time iterator to bound driver memory
+    // small result sets land in ONE collect job; only larger builds
+    // pay the partition-at-a-time iterator to bound driver memory.
+    // The budget is BYTES (filters × mBits/8 ≤ 64 MB), not a filter
+    // count — graft.bloom.bits is user-settable, so a count-only
+    // gate would collect gigabytes under a large configured filter
     val it: Iterator[(String, String, Array[Long])] =
-      if (filesAbs.size.toLong * math.max(1, use.size) <= 4096)
+      if (filesAbs.size.toLong * math.max(1, use.size) *
+          (mBits / 8L) <= (64L << 20))
         merged.collect().iterator
       else {
         import scala.jdk.CollectionConverters._
@@ -238,24 +241,14 @@ private[tables] object BloomIndex {
     */
   def mayContain(dataFileAbs: String, colName: String,
       value: Literal): Boolean =
-    load(dataFileAbs) match {
-      case Some((bits, cols)) => cols.get(colName) match {
-        case Some(arr) => bucketsOf(value, bits).forall(b =>
-          (arr(b / 64) & (1L << (b % 64))) != 0L)
-        case None => true
-      }
-      case None => true
-    }
+    pruneValues(colName, Seq(value), Seq(dataFileAbs)).nonEmpty
 
   /** Point conjuncts a bloom can refute: `col = lit` and
     * `col IN (lits)` over indexed columns. Returns the files that MAY
     * match every such conjunct (non-point shapes are ignored here —
-    * the stats layer already handled them).
-    *
-    * Bucket ids are memoized PER LITERAL per filter size (not per
-    * (file, literal)): a large `IN` probe — the incremental-dedup
-    * signature fetch pushes one bsig per batch band row — hashes each
-    * value 4 times total, and the per-file work is pure bit tests.
+    * the stats layer already handled them). Each conjunct is one
+    * [[pruneValues]] pass — THE probe implementation, shared with the
+    * lean internal fetches.
     */
   def prune(conds: Seq[Expression], indexed: Set[String],
       filesAbs: Seq[String]): Seq[String] = {
@@ -271,29 +264,18 @@ private[tables] object BloomIndex {
             v.asInstanceOf[Literal].value != null) =>
         (a.name, vs.map(_.asInstanceOf[Literal]))
     }
-    if (points.isEmpty) return filesAbs
-    val bucketMemo = new java.util.HashMap[(Literal, Int), Seq[Int]]()
-    def mayContainMemo(f: String, c: String, l: Literal): Boolean =
-      load(f) match {
-        case Some((bits, cols)) => cols.get(c) match {
-          case Some(arr) =>
-            bucketMemo.computeIfAbsent((l, bits), k =>
-              bucketsOf(k._1, k._2))
-              .forall(b => (arr(b / 64) & (1L << (b % 64))) != 0L)
-          case None => true
-        }
-        case None => true
-      }
-    filesAbs.filter(f => points.forall { case (c, lits) =>
-      lits.exists(l => mayContainMemo(f, c, l))
-    })
+    points.foldLeft(filesAbs) { case (fs, (c, lits)) =>
+      pruneValues(c, lits, fs)
+    }
   }
 
-  /** Direct value-set prune for internal point probes (the
-    * incremental-dedup signature fetch): which of `filesAbs` may
-    * contain ANY of `lits` in `colName`? Same sidecars, same
-    * conservative answers, but no Catalyst expression round-trip —
-    * bucket ids hash once per literal, per-file work is bit tests.
+  /** THE memoized bloom probe, shared by every caller: which of
+    * `filesAbs` may contain ANY of `lits` in `colName`? Bucket ids
+    * are memoized PER LITERAL per filter size — a large probe set
+    * (the incremental-dedup signature fetch pushes one bsig per
+    * batch band row) hashes each value 4 times total; per-file work
+    * is pure bit tests. A missing sidecar, undeclared column or
+    * damaged filter answers "may contain" — only ever conservative.
     */
   def pruneValues(colName: String, lits: Seq[Literal],
       filesAbs: Seq[String]): Seq[String] = {

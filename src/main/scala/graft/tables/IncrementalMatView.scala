@@ -333,9 +333,25 @@ class IncrementalMatView private (spark: SparkSession,
     */
   private def outCol(kind: String, v: String): org.apache.spark.sql.Column =
     kind match {
+      // where the non-null count is maintained (AVG measures), a sum
+      // whose every non-null contribution retired surfaces as NULL —
+      // what SUM over the all-null remainder recomputes to — instead
+      // of the signed fold's decimal zero. (Views without avgCols
+      // lack m_nn and keep the zero in that edge: the fold cannot
+      // distinguish cancelled-to-zero from genuinely zero without a
+      // maintained non-null count.)
+      case "sum" if avgCols.contains(v) =>
+        when(col(s"m_nn_$v") > 0,
+          round(col(s"m_sum_$v"), 4).cast("double")).as(s"sum_$v")
       case "sum" => round(col(s"m_sum_$v"), 4).cast("double").as(s"sum_$v")
-      case "avg" => (round(col(s"m_sum_$v"), 4).cast("double") /
-        col(s"m_nn_$v")).as(s"avg_$v")
+      // NULL, not NaN, when the group's non-null count folded to 0
+      // (every non-null value deleted while null-valued rows keep the
+      // group alive): the signed sum cancels to decimal ZERO — not
+      // NULL — so an unguarded quotient would emit 0.0/0 = NaN where
+      // AVG over the remaining all-null group recomputes to NULL
+      case "avg" => when(col(s"m_nn_$v") > 0,
+        round(col(s"m_sum_$v"), 4).cast("double") / col(s"m_nn_$v"))
+        .as(s"avg_$v")
       case "min" => round(col(s"m_min_$v"), 4).cast("double").as(s"min_$v")
       case "max" => round(col(s"m_max_$v"), 4).cast("double").as(s"max_$v")
       case "cnt" => col("m_cnt").as("n_rows")

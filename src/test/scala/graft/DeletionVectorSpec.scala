@@ -232,6 +232,31 @@ class DeletionVectorSpec extends SparkSpec {
     assert(mv.view().where($"grp" === "9").count() === 0)
   }
 
+  test("maintained AVG folds to NULL, not NaN, when every non-null " +
+      "value of a surviving group retires") {
+    import graft.tables.IncrementalMatView
+    val dir = tmp()
+    // group g: one non-null and one null measure row — deleting the
+    // non-null one leaves the group ALIVE (m_cnt 1) with a signed sum
+    // that cancels to decimal ZERO, not NULL; the view must emit NULL
+    // (what AVG over the all-null remainder recomputes to), not 0/0
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "g", Some(5.0)), (2L, "g", None), (3L, "h", Some(7.0)))
+        .toDF("id", "grp", "v"))
+    val mv = IncrementalMatView.create(spark, t, tmp(), Seq("grp"),
+      Seq("v"), extremes = false, derived = Nil, dims = Nil,
+      avgCols = Seq("v"), outputs = Nil)
+    t.delete($"id" === 1L)
+    mv.refresh()
+    val got = mv.view()
+      .select($"grp", $"sum_v", $"n_rows", $"avg_v")
+      .as[(String, Option[Double], Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(("g", None, 1L, None), ("h", Some(7.0), 1L, Some(7.0))),
+      s"got $got")
+    assert(!got.exists(_._4.exists(_.isNaN)), "AVG emitted NaN")
+  }
+
   test("mat view retention property bounds the view's own storage") {
     import graft.tables.IncrementalMatView
     val dir = tmp()
