@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * to FP reordering, and a maintained view is bit-identical to a
   * recompute. A multi-measure view maintains all its measures from
   * ONE pass over the feed (one delta aggregation, one fold), not one
-  * maintenance pipeline per measure. AVG measures (`avgCols`) are the
-  * SUM/COUNT pair in disguise: the view additionally maintains the
-  * measure's NON-NULL count (abelian, same signed fold) and
-  * [[view]] projects the quotient — no new maintenance machinery.
+  * maintenance pipeline per measure. Every measure's NON-NULL count
+  * also rides the fold (abelian, same signed deltas): it backs AVG
+  * (`avgCols` — [[view]] projects maintained-sum / maintained-count,
+  * no new machinery) and keeps SUM recompute-exact in the
+  * all-contributions-retired edge (the signed fold cancels to
+  * decimal zero; the count knows the group's non-null values are
+  * gone, so the view surfaces NULL like a recompute would).
   *
   * With `extremes = true` the view also maintains MIN/MAX of every
   * measure — NON-abelian aggregates with no delta inverse, handled by
@@ -83,6 +86,22 @@ class IncrementalMatView private (spark: SparkSession,
     dims.map { case (p, fk, dk, jt) =>
       (GraftTable.load(spark, p), fk, dk, jt) }
 
+  /** Measures whose NON-NULL count (`m_nn_v`) is maintained: every
+    * measure for a view CREATED from this code on (the count is what
+    * lets a sum whose contributions all retired surface as NULL — a
+    * recompute's answer — instead of the signed fold's decimal
+    * zero), and whatever counts a LOADED view's stored schema
+    * actually holds (a legacy view maintained them only for its AVG
+    * measures, or not at all — its maintenance must keep folding the
+    * columns that exist).
+    */
+  private lazy val nnCols: Seq[String] =
+    if (mv == null) valueCols
+    else {
+      val cs = mv.snapshot().columns.toSet
+      valueCols.filter(v => cs.contains(s"m_nn_$v"))
+    }
+
   /** Project DERIVED key/measure columns (name → SQL expr over the
     * source row) onto a source-shaped frame — snapshots AND the
     * change feed run through the same projection, so a derived
@@ -130,10 +149,10 @@ class IncrementalMatView private (spark: SparkSession,
       min(dec38(col(v))).cast("decimal(38,4)").as(s"m_min_$v"),
       max(dec38(col(v))).cast("decimal(38,4)").as(s"m_max_$v")))
     else Nil
-    // AVG = maintained SUM / maintained NON-NULL COUNT: the per-
-    // measure count (COUNT(v), not COUNT(*)) is itself an abelian
-    // aggregate, so it folds with the same signed deltas as the sums
-    val nn = avgCols.map(v => count(col(v)).as(s"m_nn_$v"))
+    // per-measure NON-NULL COUNT (COUNT(v), not COUNT(*)): an abelian
+    // aggregate folding with the same signed deltas as the sums;
+    // backs AVG and the NULL-when-all-retired sum semantics
+    val nn = nnCols.map(v => count(col(v)).as(s"m_nn_$v"))
     val aggs = base ++ ext ++ nn
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -259,7 +278,7 @@ class IncrementalMatView private (spark: SparkSession,
           .cast("decimal(38,4)").as(s"m_min_$v"),
         max(when(sign > 0, dec38(col(v))))
           .cast("decimal(38,4)").as(s"m_max_$v")))
-    else Nil) ++ avgCols.map(v =>
+    else Nil) ++ nnCols.map(v =>
       sum(when(col(v).isNotNull, sign).otherwise(0))
         .cast("long").as(s"m_nn_$v"))
     val delta = foldFeed
@@ -277,7 +296,7 @@ class IncrementalMatView private (spark: SparkSession,
       valueCols.flatMap(v => Seq(
         min(col(s"m_min_$v")).cast("decimal(38,4)").as(s"m_min_$v"),
         max(col(s"m_max_$v")).cast("decimal(38,4)").as(s"m_max_$v")))
-    else Nil) ++ avgCols.map(v =>
+    else Nil) ++ nnCols.map(v =>
       sum(col(s"m_nn_$v")).cast("long").as(s"m_nn_$v"))
     val folded = mvOld.unionByName(delta)
       .groupBy(keys.map(col): _*)
@@ -333,14 +352,12 @@ class IncrementalMatView private (spark: SparkSession,
     */
   private def outCol(kind: String, v: String): org.apache.spark.sql.Column =
     kind match {
-      // where the non-null count is maintained (AVG measures), a sum
-      // whose every non-null contribution retired surfaces as NULL —
-      // what SUM over the all-null remainder recomputes to — instead
-      // of the signed fold's decimal zero. (Views without avgCols
-      // lack m_nn and keep the zero in that edge: the fold cannot
-      // distinguish cancelled-to-zero from genuinely zero without a
-      // maintained non-null count.)
-      case "sum" if avgCols.contains(v) =>
+      // where the non-null count is maintained (every view created
+      // from this code on; legacy views only where their schema has
+      // it), a sum whose every non-null contribution retired
+      // surfaces as NULL — what SUM over the all-null remainder
+      // recomputes to — instead of the signed fold's decimal zero
+      case "sum" if nnCols.contains(v) =>
         when(col(s"m_nn_$v") > 0,
           round(col(s"m_sum_$v"), 4).cast("double")).as(s"sum_$v")
       case "sum" => round(col(s"m_sum_$v"), 4).cast("double").as(s"sum_$v")

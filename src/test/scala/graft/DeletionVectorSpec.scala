@@ -255,6 +255,18 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got === Seq(("g", None, 1L, None), ("h", Some(7.0), 1L, Some(7.0))),
       s"got $got")
     assert(!got.exists(_._4.exists(_.isNaN)), "AVG emitted NaN")
+    // a PLAIN (no-AVG) view maintains the non-null count too now:
+    // the same edge surfaces SUM as NULL, not the fold's 0.0
+    val t2 = GraftTable.create(spark, tmp(),
+      Seq((1L, "g", Some(5.0)), (2L, "g", None), (3L, "h", Some(7.0)))
+        .toDF("id", "grp", "v"))
+    val mv2 = IncrementalMatView.create(spark, t2, tmp(), Seq("grp"),
+      Seq("v"), extremes = false)
+    t2.delete($"id" === 1L)
+    mv2.refresh()
+    assert(mv2.view().where($"grp" === "g").select($"sum_v")
+      .as[Option[Double]].head() === None,
+      "plain view's cancelled sum must surface as NULL")
   }
 
   test("mat view retention property bounds the view's own storage") {

@@ -774,7 +774,8 @@ class GraftSqlSpec extends SparkSpec {
       // maintained state
       val mv0 = spark.table("gs_mv")
       assert(mv0.columns.toSet === Set("o_orderstatus", "m_sum_o_totalprice",
-        "m_cnt", "m_min_o_totalprice", "m_max_o_totalprice"))
+        "m_cnt", "m_min_o_totalprice", "m_max_o_totalprice",
+        "m_nn_o_totalprice"))
       // DML the source, refresh THROUGH SQL, compare to recompute
       GraftSql.sql(spark,
         "DELETE FROM gs_mvsrc WHERE o_orderstatus = 'P' AND o_custkey % 3 = 0")
