@@ -117,13 +117,12 @@ object GraftSql {
   private val StopRefreshMatView =
     """(?is)\s*STOP\s+REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*""".r
 
-  /** Running continuous-refresh queries, keyed by the view table's
-    * absolute root — session-process scoped, like the streams they
-    * hold. STOP removes and stops; a second START on the same view
-    * refuses instead of silently double-driving the refresh loop.
+  /** Continuous-refresh arbitration: a JVM-local query map PLUS a
+    * heartbeat lease file under each view root, so double-start
+    * refusal and `STOP REFRESH` work ACROSS sessions and stale
+    * crash debris expires ([[ContinuousRegistry]]).
     */
-  private val continuousQueries = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.streaming.StreamingQuery]()
+  private[tables] val continuousRegistry = new ContinuousRegistry
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case DescribeHistoryLimit(ident, n) =>
@@ -300,38 +299,18 @@ object GraftSql {
       // checkpoint lives under the view root (vacuum only reclaims
       // files/cdc/dv entries, so it is inert to table maintenance)
       val root = tableByName(spark, ident).root.toAbsolutePath.toString
-      // check-and-start under the registry lock: two concurrent
-      // STARTs must not both pass the liveness check and double-drive
-      // the refresh loop. A crashed loop must not wedge the view
-      // either: only an ACTIVE query refuses a restart — a dead
-      // registration is dropped and the START proceeds (its
-      // checkpoint resumes the stream cleanly).
-      continuousQueries.synchronized {
-        val existing = continuousQueries.get(root)
-        if (existing != null && existing.isActive)
-          throw new IllegalArgumentException(
-            s"continuous refresh already running for $ident; " +
-              s"STOP REFRESH MATERIALIZED VIEW $ident first")
-        if (existing != null) continuousQueries.remove(root, existing)
-        val interval = Option(every).map(_.trim).filter(_.nonEmpty)
-          .getOrElse("1 second")
-        val q = IncrementalMatView.continuous(spark, root,
-          java.nio.file.Paths.get(root, "_continuous_cp").toString,
-          org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
-        continuousQueries.put(root, q)
-      }
+      // the registry refuses a double-start (live local query OR a
+      // fresh lease from ANOTHER session), expires stale crash
+      // debris, and heartbeats the lease per refresh epoch
+      continuousRegistry.start(spark, root,
+        Option(every).map(_.trim).filter(_.nonEmpty).getOrElse("1 second"))
       emptyResult(spark)
     case StopRefreshMatView(ident) =>
       val root = tableByName(spark, ident).root.toAbsolutePath.toString
-      val q = continuousQueries.get(root)
-      if (q == null) throw new IllegalArgumentException(
-        s"no continuous refresh running for $ident")
-      // deregister only AFTER a successful stop: a stop() that throws
-      // (an epoch failure surfacing here) leaves the registration in
-      // place, so a later START still refuses while the stream may
-      // yet be running instead of double-driving the view
-      q.stop()
-      continuousQueries.remove(root, q)
+      // owning session: synchronous stop + lease release. Any other
+      // session: the lease is released and the owner self-terminates
+      // at its next heartbeat (cross-session STOP).
+      continuousRegistry.stop(root)
       refreshName(spark, ident)
       emptyResult(spark)
     case RefreshMatView(ident) =>
@@ -437,20 +416,27 @@ object GraftSql {
             values += a; derived(a) = e.trim; byNorm(normExpr(e)) = a; a
         }
       }
+    // an explicit alias on the select item names the view's output
+    // column verbatim (it rides the stored kind as "sum|alias"), so
+    // the consumable view matches the declared SQL instead of
+    // silently renaming `SUM(x) AS total` to sum_x
+    def out(kind: String, alias: String): String =
+      if (alias == null) kind else s"$kind|$alias"
     splitTopLevel(sel).foreach {
       case AggRe(fn, inner, alias) if balanced(inner) => fn.toUpperCase match {
         case "COUNT" =>
           if (inner.trim != "*") fail(s"COUNT($inner)")
-          outputs += (("cnt", ""))
+          outputs += ((out("cnt", alias), ""))
         case "SUM" =>
-          outputs += (("sum", measureOf("SUM", inner, alias)))
+          outputs += ((out("sum", alias), measureOf("SUM", inner, alias)))
         case "AVG" =>
           val m = measureOf("AVG", inner, alias)
           avgs += m
-          outputs += (("avg", m))
+          outputs += ((out("avg", alias), m))
         case mm => // MIN | MAX
           extremes = true
-          outputs += ((mm.toLowerCase, measureOf(mm, inner, alias)))
+          outputs += ((out(mm.toLowerCase, alias),
+            measureOf(mm, inner, alias)))
       }
       case AliasRe(e, alias) =>
         // a compound aggregate (SUM(a)+SUM(b) AS z) falls through the
@@ -474,8 +460,27 @@ object GraftSql {
       "every GROUP BY item must be selected as a key")
     require(values.nonEmpty,
       "CREATE MATERIALIZED VIEW needs at least one SUM/AVG/MIN/MAX measure")
-    (keys, values.toSeq, extremes, derived.toSeq, avgs.toSeq,
-      outputs.toSeq)
+    // EXACT repeats of one select item (COUNT(*) twice, the same
+    // AVG listed twice) collapse to one output column; two DISTINCT
+    // items that would surface under the same column name (SUM(x) AS
+    // a, MIN(x) AS a) are refused — a view emitting duplicate names
+    // makes every downstream name-based select ambiguous
+    val uniqueOuts = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      outputs.foreach(seen += _)
+      seen.toSeq
+    }
+    def displayName(o: (String, String)): String = o._1.split("\\|", 2) match {
+      case Array(_, a) => a
+      case Array(k) => if (k == "cnt") "n_rows" else s"${k}_${o._2}"
+    }
+    val names = keys ++ uniqueOuts.map(displayName)
+    names.groupBy(identity).collectFirst { case (n, ds) if ds.size > 1 =>
+      throw new IllegalArgumentException(
+        s"duplicate output column '$n' in CREATE MATERIALIZED VIEW " +
+          "select list; alias the items apart")
+    }
+    (keys, values.toSeq, extremes, derived.toSeq, avgs.toSeq, uniqueOuts)
   }
 
   /** Parse the maintainable JOIN chain: `[LEFT] JOIN dim ON a = b`

@@ -70,7 +70,8 @@ class IncrementalMatView private (spark: SparkSession,
     "dim join type must be 'left' or 'inner'")
   require(avgCols.forall(valueCols.contains),
     "every AVG measure must be a maintained measure column")
-  require(outputs.forall { case (k, v) =>
+  require(outputs.forall { case (k0, v) =>
+    val k = IncrementalMatView.baseKind(k0)
     (k == "cnt" && v.isEmpty) ||
       (k == "sum" && valueCols.contains(v)) ||
       (k == "avg" && avgCols.contains(v)) ||
@@ -387,7 +388,15 @@ class IncrementalMatView private (spark: SparkSession,
     */
   def view(): DataFrame = {
     val outs =
-      if (outputs.nonEmpty) outputs.map { case (k, v) => outCol(k, v) }
+      if (outputs.nonEmpty) outputs.map { case (k0, v) =>
+        // "kind|alias" honors the select item's declared AS name —
+        // the view's column is what the SQL definition said it is
+        val k = IncrementalMatView.baseKind(k0)
+        IncrementalMatView.outAlias(k0) match {
+          case Some(a) => outCol(k, v).as(a)
+          case None => outCol(k, v)
+        }
+      }
       else (valueCols.map(v => outCol("sum", v)) :+ outCol("cnt", "")) ++
         (if (extremes) valueCols.flatMap(v =>
           Seq(outCol("min", v), outCol("max", v))) else Nil) ++
@@ -417,6 +426,20 @@ object IncrementalMatView {
   private[tables] val RetainHoursProp = "graft.mv.retain.hours"
 
   private[tables] def dimVersionKey(i: Int): String = s"mvDimVersion$i"
+
+  /** An outputs entry's kind may carry the select item's declared
+    * alias as "kind|alias" (SQL `SUM(x) AS total` → ("sum|total",
+    * "x")); plain kinds surface under the default sum_x/avg_x/…
+    * names.
+    */
+  private[tables] def baseKind(kind: String): String =
+    kind.split("\\|", 2)(0)
+
+  private[tables] def outAlias(kind: String): Option[String] =
+    kind.split("\\|", 2) match {
+      case Array(_, a) if a.nonEmpty => Some(a)
+      case _ => None
+    }
 
   private def encodeDims(d: Seq[(String, String, String, String)]): String = {
     val enc = java.util.Base64.getEncoder
@@ -579,7 +602,8 @@ object IncrementalMatView {
     */
   def continuous(spark: SparkSession, mvPath: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      beforeEpoch: Option[() => Unit] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val view = load(spark, mvPath)
     spark.readStream.format("graft-table")
@@ -592,7 +616,12 @@ object IncrementalMatView {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (_: DataFrame, _: Long) => view.refresh(); () }
+      // beforeEpoch runs ahead of every refresh — the cross-session
+      // registry's lease heartbeat rides here; its throw terminates
+      // the loop at an epoch boundary (refresh is watermark-
+      // idempotent, so that is always a safe stop point)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        beforeEpoch.foreach(_.apply()); view.refresh(); () }
       .start()
   }
 

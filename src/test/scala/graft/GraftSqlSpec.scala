@@ -1020,4 +1020,103 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gs_mvj")
     }
   }
+
+  test("materialized view honors select-item aliases and refuses " +
+      "ambiguous duplicates") {
+    val (t, _) = registered("gs_mvalias")
+    try {
+      val mvDir = Files.createTempDirectory("graft_sqlmval_")
+        .resolve("mv").toString
+      spark.sql("DROP TABLE IF EXISTS gs_mval")
+      GraftSql.sql(spark,
+        s"CREATE MATERIALIZED VIEW gs_mval LOCATION '$mvDir' AS " +
+          "SELECT o_orderstatus, SUM(o_totalprice) AS total, " +
+          "AVG(o_totalprice) AS mean, COUNT(*) AS n, COUNT(*) AS n " +
+          "FROM gs_mvalias GROUP BY o_orderstatus")
+      // aliases name the view's columns verbatim (not sum_x/avg_x),
+      // and the exact-duplicate COUNT(*) AS n collapsed to one column
+      val view = IncrementalMatView.load(spark, mvDir).view()
+      assert(view.columns.toSeq ===
+        Seq("o_orderstatus", "total", "mean", "n"))
+      GraftSql.sql(spark, "DELETE FROM gs_mvalias WHERE o_custkey % 3 = 0")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gs_mval")
+      val maintained = IncrementalMatView.load(spark, mvDir).view()
+        .orderBy($"o_orderstatus")
+        .as[(String, Double, Double, Long)].collect().toSeq
+      val recomputed = t.snapshot().groupBy($"o_orderstatus")
+        .agg(round(sum($"o_totalprice".cast("decimal(12,4)")), 4)
+            .cast("double"),
+          round(sum($"o_totalprice".cast("decimal(12,4)")), 4)
+            .cast("double") / count($"o_totalprice"),
+          count(lit(1)))
+        .orderBy($"o_orderstatus")
+        .as[(String, Double, Double, Long)].collect().toSeq
+      assert(maintained === recomputed, "aliased view diverged")
+      // two DISTINCT items colliding on one output name are refused
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          "CREATE MATERIALIZED VIEW gs_mval2 LOCATION '/tmp/zz' AS " +
+            "SELECT o_orderstatus, SUM(o_totalprice) AS a, " +
+            "MIN(o_totalprice) AS a FROM gs_mvalias GROUP BY o_orderstatus")
+      }
+      assert(e.getMessage.contains("duplicate output column"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_mvalias")
+      spark.sql("DROP TABLE IF EXISTS gs_mval")
+    }
+  }
+
+  test("continuous-refresh lease arbitrates across sessions: fresh " +
+      "lease refuses, cross-session STOP releases, stale lease expires") {
+    val (t, _) = registered("gs_mvlease")
+    try {
+      val mvDir = Files.createTempDirectory("graft_sqlmvlease_")
+        .resolve("mv").toString
+      spark.sql("DROP TABLE IF EXISTS gs_mvl")
+      GraftSql.sql(spark,
+        s"CREATE MATERIALIZED VIEW gs_mvl LOCATION '$mvDir' AS " +
+          "SELECT o_orderstatus, SUM(o_totalprice), COUNT(*) " +
+          "FROM gs_mvlease GROUP BY o_orderstatus")
+      val root = java.nio.file.Paths.get(mvDir).toAbsolutePath.toString
+      // session A (its own registry — a fresh map, as a second JVM
+      // would hold) starts the loop and heartbeats its lease
+      val regA = new graft.tables.ContinuousRegistry
+      val qA = regA.start(spark, root, "1 second")
+      try {
+        // session B cannot see A's query object — only the lease.
+        // START from B must refuse while the lease is fresh.
+        val regB = new graft.tables.ContinuousRegistry
+        val eb = intercept[IllegalArgumentException] {
+          regB.start(spark, root, "1 second")
+        }
+        assert(eb.getMessage.contains("lease held by session"))
+        // cross-session STOP from B releases the lease; A's loop
+        // observes the loss at its next heartbeat and self-terminates
+        assert(!regB.stop(root), "foreign stop should be asynchronous")
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (qA.isActive && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        assert(!qA.isActive, "owner loop did not self-terminate " +
+          "after its lease was released")
+        // with the lease gone, B starts cleanly...
+        val qB = regB.start(spark, root, "1 second")
+        assert(qB.isActive)
+        assert(regB.stop(root), "owning stop should be synchronous")
+        // ...and a STALE lease (crash debris: file present, no
+        // heartbeats) expires instead of wedging the restart
+        val lease = java.nio.file.Paths.get(root,
+          "_continuous_lease.json")
+        java.nio.file.Files.writeString(lease,
+          s"""{"owner":"dead-session","ts":${System.currentTimeMillis() - 3600000L}}""")
+        val qC = regB.start(spark, root, "1 second")
+        assert(qC.isActive, "stale lease must not block a restart")
+        regB.stop(root)
+        assert(!java.nio.file.Files.exists(lease),
+          "owning stop must release the lease file")
+      } finally if (qA.isActive) qA.stop()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_mvlease")
+      spark.sql("DROP TABLE IF EXISTS gs_mvl")
+    }
+  }
 }
