@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_minhash_portable" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
     "dedup_incremental" -> (Dedup.incrementalScenario _),
     "dedup_incremental_probe" -> (Dedup.incrementalProbeScenario _),
+    "dedup_forget" -> (Dedup.forgetScenario _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPortable(s, d)),
     "dedup_cluster_survivors" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivors(s, d)),
@@ -429,6 +430,49 @@ object SparkEntry {
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
         |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |hp AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x,
+        |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 2147483647 AS y
+        |  FROM posts),
+        |sig AS (
+        |  SELECT doc_id, i,
+        |    MIN((((i * 1103515245 + 12345) % 2147483647) * x + y) % 2147483647) AS m
+        |  FROM hp, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i),
+        |bandsig AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+        |common AS (
+        |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, COUNT(*) AS nc
+        |  FROM posts pa JOIN posts pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+        |SELECT c.doc_a, c.doc_b, CAST(nc AS INTEGER) AS n_common,
+        |  CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) AS jaccard
+        |FROM cand c
+        |JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+        |JOIN sizes sa ON c.doc_a = sa.doc_id
+        |JOIN sizes sb ON c.doc_b = sb.doc_id
+        |WHERE CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) >= 0.6""".stripMargin,
+    // forget ≡ the incremental probe against a corpus that never
+    // held the forgotten slice (doc_id % 10 = 1, indexed docs only):
+    // the same relational replay minus those documents
+    "dedup_forget" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents WHERE doc_id % 10 <> 1),
         |sh AS (
         |  SELECT doc_id,
         |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh

@@ -505,6 +505,25 @@ object Similarity {
     if (vacuumRetainHours >= 0) t.vacuumRetainHours(vacuumRetainHours)
   }
 
+  /** FORGET path for the persisted IVF index — the ANN twin of
+    * [[Dedup.forgetDocs]]: a corpus DELETE must propagate into the
+    * cell table or the deleted vectors keep surfacing as neighbors
+    * (served content that no longer exists) and their embeddings are
+    * retained indefinitely. MERGE-DELETE on vec_id; the rewrite is
+    * partition-aligned (only the cells holding retired vectors
+    * rewrite, pruned by the merge key-envelope probe), centroids are
+    * untouched (they are statistics, not member content — the cell
+    * geometry survives). Idempotent: a replay matches nothing.
+    */
+  def forgetVectors(spark: SparkSession, indexPath: String,
+      retired: DataFrame): Unit = {
+    import graft.tables.GraftTable
+    val t = GraftTable.load(spark,
+      java.nio.file.Paths.get(indexPath, "assignments").toString)
+    t.merge(retired.select(col("vec_id")).distinct(), "vec_id",
+      Seq(GraftTable.MatchedDelete()), None)
+  }
+
   /** Top-k cosine query against the persisted index: probe cells
     * resolve DRIVER-SIDE over the ≤k collected centroids (exact
     * integer distances), and the registered scan reads ONLY the

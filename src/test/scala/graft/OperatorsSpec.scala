@@ -1009,4 +1009,123 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(out.find(_.getString(0) == "id").get.getAs[Double]("max_num") === 3.0)
   }
+
+  test("forgetDocs purges a doc from the index and clusters; its " +
+      "former near-dup then admits with a fresh canonical") {
+    def text(i: Long) =
+      s"forget$i alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stage = java.nio.file.Files.createTempDirectory("graft_forget_")
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    // doc 1 admitted, doc 2 drops as its near-dup (canonical 1)
+    val v1 = Dedup.admitBatch(spark, idx, cl,
+      Seq((1L, text(0))).toDF("doc_id", "text"), batchId = 0L)
+    assert(v1.as[(Long, Long, String)].collect().toSet
+      === Set((1L, 1L, "keep")))
+    val b2 = Seq((2L, text(0) + " omega")).toDF("doc_id", "text")
+    assert(Dedup.admitBatch(spark, idx, cl, b2, batchId = 1L)
+      .as[(Long, Long, String)].collect().toSet
+      === Set((2L, 1L, "drop")))
+    // GDPR: doc 1 retires; the forget propagates into sigs, shingles
+    // and the clusters state (component re-roots to the new min, 2)
+    val retired = Seq(1L).toDF("doc_id")
+    Dedup.forgetDocs(spark, idx, retired, Some(cl)).unpersist()
+    def sigsT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "sigs").toString)
+    def shT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "shingles").toString)
+    assert(sigsT.snapshot().where($"doc_id" === 1L).count() === 0,
+      "forgotten doc's signatures survived")
+    assert(shT.snapshot().where($"doc_id" === 1L).count() === 0,
+      "forgotten doc's shingles survived")
+    assert(Dedup.clustersView(spark, cl)
+      .as[(Long, Long, Int)].collect().toSet === Set((2L, 2L, 1)),
+      "component did not re-root to the surviving minimum")
+    // the former near-dup re-admits as its OWN canonical...
+    assert(Dedup.admitBatch(spark, idx, cl, b2, batchId = 2L)
+      .as[(Long, Long, String)].collect().toSet
+      === Set((2L, 2L, "keep")))
+    // ...and a fresh near-dup canonicalizes to 2, never to deleted 1
+    assert(Dedup.admitBatch(spark, idx, cl,
+        Seq((3L, text(0) + " omega psi")).toDF("doc_id", "text"),
+        batchId = 3L)
+      .as[(Long, Long, String)].collect().toSet
+      === Set((3L, 2L, "drop")))
+    // replay of the forget: deletes nothing, state unchanged
+    val sigRows = sigsT.snapshot().count()
+    val clusters = Dedup.clustersView(spark, cl)
+      .as[(Long, Long, Int)].collect().toSet
+    Dedup.forgetDocs(spark, idx, retired, Some(cl)).unpersist()
+    assert(sigsT.snapshot().count() === sigRows)
+    assert(Dedup.clustersView(spark, cl)
+      .as[(Long, Long, Int)].collect().toSet === clusters)
+  }
+
+  test("forgetDocs audit trail is exactly-once under replay") {
+    def text(i: Long) = s"fa$i lorem ipsum dolor sit amet consectetur " +
+      "adipiscing elit sed do eiusmod tempor"
+    val stage = java.nio.file.Files.createTempDirectory("graft_forgeta_")
+    val idx = stage.resolve("idx").toString
+    val audit = stage.resolve("audit").toString
+    Dedup.incrementalIndex(spark, idx,
+      Seq((1L, text(1)), (2L, text(2))).toDF("doc_id", "text"),
+      batchId = 0L)
+    Dedup.forgetDocs(spark, idx, Seq(1L).toDF("doc_id"),
+      auditPath = Some(audit), batchId = 7L).unpersist()
+    Dedup.forgetDocs(spark, idx, Seq(1L).toDF("doc_id"),
+      auditPath = Some(audit), batchId = 7L).unpersist()
+    val t = graft.tables.GraftTable.load(spark, audit)
+    assert(t.snapshot().as[(Long, Long)].collect().toSeq
+      === Seq((7L, 1L)), "replayed forget double-logged")
+  }
+
+  test("forgetExact retires a deleted canonical so identical content " +
+      "re-seeds the ledger") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_forgetx_")
+    val idx = stage.resolve("ledger").toString
+    Dedup.incrementalExact(spark, idx,
+      Seq((1L, "same text"), (5L, "other text")).toDF("doc_id", "text"))
+      .count()
+    // doc 7 duplicates the stored content → canonical 1
+    assert(Dedup.incrementalExact(spark, idx,
+        Seq((7L, "same text")).toDF("doc_id", "text"))
+      .as[(Long, Long, String)].collect().map(r => (r._1, r._2)).toSet
+      === Set((7L, 1L)))
+    Dedup.forgetExact(spark, idx, Seq(1L).toDF("doc_id"))
+    // the content re-seeds fresh (no dup against the deleted doc)...
+    assert(Dedup.incrementalExact(spark, idx,
+        Seq((9L, "same text")).toDF("doc_id", "text")).count() === 0)
+    // ...and later copies dedupe against the NEW canonical
+    assert(Dedup.incrementalExact(spark, idx,
+        Seq((11L, "same text")).toDF("doc_id", "text"))
+      .as[(Long, Long, String)].collect().map(r => (r._1, r._2)).toSet
+      === Set((11L, 9L)))
+  }
+
+  test("forgetVectors removes retired vectors from the IVF cells") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_forget_").toString
+    Similarity.ivfIndexBuild(spark, path, emb.filter($"vec_id" % 4 =!= 0))
+    Similarity.ivfIndexIngest(spark, path, emb.filter($"vec_id" % 4 === 0))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val before = Similarity.ivfIndexQuery(spark, path, q, k = 5,
+      excludeVecId = 0L).select($"vec_id").as[Long].collect().toSeq
+    val gone = before.head
+    Similarity.forgetVectors(spark, path, Seq(gone).toDF("vec_id"))
+    val t = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(path, "assignments").toString)
+    assert(t.snapshot().where($"vec_id" === gone).count() === 0,
+      "forgotten vector survived in the cell table")
+    val after = Similarity.ivfIndexQuery(spark, path, q, k = 5,
+      excludeVecId = 0L).select($"vec_id").as[Long].collect().toSeq
+    assert(!after.contains(gone), "forgotten vector still served")
+    assert(after.size === 5)
+    // replay: nothing left to delete, serving unchanged
+    Similarity.forgetVectors(spark, path, Seq(gone).toDF("vec_id"))
+    assert(Similarity.ivfIndexQuery(spark, path, q, k = 5,
+      excludeVecId = 0L).select($"vec_id").as[Long].collect().toSeq
+      === after)
+  }
 }
