@@ -269,6 +269,102 @@ private[tables] object BloomIndex {
     }
   }
 
+  /** DISTRIBUTED twin of [[pruneValues]] for probe sets too large to
+    * collect driver-side: the keys stay a DataFrame — each partition
+    * hashes its keys through the SAME write-side expression chain
+    * (`xxhash64(seed, col)`; the raw 64-bit hashes are filter-size
+    * independent, the mod applies per file) and tests the
+    * not-yet-hit files' sidecar filters, short-circuiting a file on
+    * its first hit and the whole partition once every file is hit.
+    * The only driver traffic is ONE hit-bitset (⌈files/64⌉ longs)
+    * per partition, OR-folded here — no key ever reaches the
+    * driver. Sidecar parses ride the process-wide memoized cache,
+    * so an executor reads each filter once however many partitions
+    * it runs; executors resolve the sidecars through the same
+    * shared-storage paths as the data files. A missing/damaged
+    * sidecar or undeclared column answers "may contain" — only ever
+    * conservative, exactly like the driver-side probe.
+    */
+  def pruneValuesDistributed(colName: String,
+      keys: org.apache.spark.sql.DataFrame,
+      filesAbs: Seq[String]): Seq[String] = {
+    if (filesAbs.isEmpty) return Seq.empty
+    val files = filesAbs.toArray
+    val n = files.length
+    val colNameLocal = colName
+    val spark = keys.sparkSession
+    implicit val enc: org.apache.spark.sql.Encoder[Array[Long]] =
+      spark.implicits.newLongArrayEncoder
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.types.StringType
+    val words = keys
+      .select(org.apache.spark.sql.functions
+        .col(keys.columns.head).cast("string"))
+      .mapPartitions { it =>
+        // per-file filter for the probed column; files with no
+        // usable filter are hit (kept) immediately — conservative
+        val fl: Array[(Int, Array[Long])] = files.map(f =>
+          load(f).flatMap { case (bits, cols) =>
+            cols.get(colNameLocal).map(arr => (bits, arr))
+          }.orNull)
+        val hit = new Array[Boolean](n)
+        var remaining = 0
+        var i = 0
+        while (i < n) {
+          if (fl(i) == null) hit(i) = true else remaining += 1
+          i += 1
+        }
+        val exprs = seeds.map(s => XxHash64(
+          Seq(Literal(s), BoundReference(0, StringType, true)), 42L)).toArray
+        val row = new GenericInternalRow(1)
+        val hs = new Array[Long](exprs.length)
+        while (it.hasNext && remaining > 0) {
+          val r = it.next()
+          val k = r.getString(0)
+          if (k != null) {
+            row.update(0,
+              org.apache.spark.unsafe.types.UTF8String.fromString(k))
+            var s = 0
+            while (s < exprs.length) {
+              hs(s) = exprs(s).eval(row).asInstanceOf[Long]; s += 1
+            }
+            var j = 0
+            while (j < n) {
+              if (!hit(j)) {
+                val (bits, arr) = fl(j)
+                var all = true
+                s = 0
+                while (all && s < hs.length) {
+                  val m0 = hs(s) % bits
+                  val b = (if (m0 < 0) m0 + bits else m0).toInt
+                  if ((arr(b / 64) & (1L << (b % 64))) == 0L) all = false
+                  s += 1
+                }
+                if (all) { hit(j) = true; remaining -= 1 }
+              }
+              j += 1
+            }
+          }
+        }
+        val out = new Array[Long]((n + 63) / 64)
+        i = 0
+        while (i < n) {
+          if (hit(i)) out(i >>> 6) |= 1L << (i & 63)
+          i += 1
+        }
+        Iterator.single(out)
+      }(enc)
+      .collect()
+    val acc = new Array[Long]((n + 63) / 64)
+    words.foreach { w =>
+      var i = 0
+      while (i < acc.length) { acc(i) |= w(i); i += 1 }
+    }
+    filesAbs.zipWithIndex.collect {
+      case (f, i) if (acc(i >>> 6) & (1L << (i & 63))) != 0L => f
+    }
+  }
+
   /** THE memoized bloom probe, shared by every caller: which of
     * `filesAbs` may contain ANY of `lits` in `colName`? Bucket ids
     * are memoized PER LITERAL per filter size — a large probe set

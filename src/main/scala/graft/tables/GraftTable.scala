@@ -1586,6 +1586,40 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     (df, keep.size, c.files.size)
   }
 
+  /** Distributed twin of [[snapshotBloomInWithCount]] for probe key
+    * sets too large to collect driver-side: the keys stay a
+    * DataFrame and the per-file sidecar consult fans out over the
+    * key partitions ([[BloomIndex.pruneValuesDistributed]]) — the
+    * driver only ever holds one hit-bitset per partition. Same
+    * conservative contract; same version pinning.
+    */
+  private[graft] def snapshotBloomInDistributedWithCount(key: String,
+      keys: DataFrame): (DataFrame, Int, Int) = {
+    val v = latestVersion
+    val c = readCommit(v)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(c.schemaJson).asInstanceOf[StructType]
+    val cm = c.columnMap.getOrElse(Map.empty)
+    val pk = physName(cm, key)
+    val declared = c.properties.getOrElse(Map.empty)
+      .get("graft.bloom.columns")
+      .exists(_.split(",").map(_.trim).map(n => cm.getOrElse(n, n))
+        .contains(pk))
+    val keep =
+      if (!declared || c.files.isEmpty) c.files
+      else {
+        val keptAbs = BloomIndex.pruneValuesDistributed(pk, keys,
+          c.files.map(abs)).toSet
+        c.files.filter(f => keptAbs.contains(abs(f)))
+      }
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFilesDvAware(keep, schema, dvAt(v), columnMapAt(v))
+    (df, keep.size, c.files.size)
+  }
+
   def snapshotPrunedIn(key: String, values: Array[Double]): DataFrame =
     snapshotPrunedInWithCount(key, values)._1
 

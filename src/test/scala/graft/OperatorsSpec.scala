@@ -803,6 +803,46 @@ class OperatorsSpec extends SparkSpec {
         "bloom scoping is dead")
   }
 
+  test("over-budget band probes prune sig files executor-side with " +
+      "identical results") {
+    def text(i: Long) =
+      s"distsig${i} alpha${i} beta${i} gamma${i} delta${i} epsilon${i} " +
+        s"zeta${i} eta${i} theta${i} iota${i}"
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, text(i))).toDF("doc_id", "text")
+    def build(): String = {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_idx_dsig_").toString
+      Dedup.incrementalIndex(spark, idx, mk(0L until 50L), batchId = 0L)
+      Dedup.incrementalIndex(spark, idx, mk(50L until 100L), batchId = 1L)
+      idx
+    }
+    val probe = Seq((100L, text(10L)), (101L, text(11L)))
+      .toDF("doc_id", "text")
+    // reference: the driver-collect path on a fresh index
+    val (outA, stA) = Dedup.incrementalDedupWithStats(
+      spark, build(), probe, batchId = 2L)
+    val pairsA = outA.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    // a 1-byte budget rejects ANY driver collect — the probe must
+    // take the executor-side consult and prune exactly the same
+    val saved = Dedup.candidateKeyByteBudget
+    Dedup.candidateKeyByteBudget = 1L
+    try {
+      val (outB, stB) = Dedup.incrementalDedupWithStats(
+        spark, build(), probe, batchId = 2L)
+      val pairsB = outB.select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      assert(pairsB === pairsA, "distributed probe changed the pairs")
+      assert(stB.sigFilesTotal >= 2)
+      assert(stB.sigFilesRead < stB.sigFilesTotal,
+        s"distributed probe read all ${stB.sigFilesTotal} sig files — " +
+          "executor-side bloom scoping is dead")
+      assert(stB.sigFilesRead === stA.sigFilesRead,
+        "driver and executor consults disagreed on the kept files")
+    } finally Dedup.candidateKeyByteBudget = saved
+  }
+
   test("incremental exact ledger probe reads only bloom-admitted files") {
     def mk(ids: Seq[Long], tag: String) =
       ids.map(i => (i, s"$tag body $i")).toDF("doc_id", "text")
