@@ -297,9 +297,17 @@ private[tables] object BloomIndex {
       spark.implicits.newLongArrayEncoder
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
     import org.apache.spark.sql.types.StringType
+    // the write-side sidecar hashed the column's NATIVE internal
+    // representation; a silent cast-to-string here would hash a
+    // DIFFERENT byte sequence for any non-string key and prune files
+    // that actually match (lost rows). Mirror the driver twin's
+    // Seq[String] signature: string keys only, enforced.
+    require(keys.schema.head.dataType == StringType,
+      s"pruneValuesDistributed probes string-keyed sidecars; got " +
+        s"${keys.schema.head.dataType.simpleString} for '$colName' — " +
+        "cast (and declare the index over) a string column instead")
     val words = keys
-      .select(org.apache.spark.sql.functions
-        .col(keys.columns.head).cast("string"))
+      .select(org.apache.spark.sql.functions.col(keys.columns.head))
       .mapPartitions { it =>
         // per-file filter for the probed column; files with no
         // usable filter are hit (kept) immediately — conservative

@@ -14,16 +14,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * anywhere but the starting session had nothing to stop. The
   * arbitration therefore lives WHERE everything else here lives — in
   * storage: a heartbeat LEASE file under the view root
-  * (`_continuous_lease.json`, atomic tmp+move publish like every
-  * other sidecar).
+  * (`_continuous_lease.json`).
   *
   * Contract:
-  *  - START takes the lease (refusing while another session's lease
-  *    is FRESH — younger than the stale window) and re-asserts it on
-  *    every refresh epoch (the heartbeat).
+  *  - START takes the lease ATOMICALLY (hard-link claim — link(2)
+  *    fails if the slot exists, the same primitive the commit log
+  *    uses, GraftTable.writeCommit) after refusing while another
+  *    session's lease is FRESH. Two concurrent STARTs racing for an
+  *    absent (or just-expired) lease resolve to EXACTLY ONE winner:
+  *    the loser's link fails and it refuses immediately — no
+  *    last-write-wins window, no redundant loop ever starts.
+  *  - The lease carries ITS OWN stale window, scaled to the trigger
+  *    interval (max(configured, 3× interval)): a healthy
+  *    `EVERY '5 minutes'` loop heartbeats every 5 minutes, so a flat
+  *    60 s window would read stale ~80% of the time and the
+  *    double-start refusal would be toothless for any interval over
+  *    a minute. Readers honor the WRITER's window (it rides in the
+  *    file), so the refusal holds however the two sessions'
+  *    configurations differ.
   *  - A crashed loop stops heartbeating; once the lease is stale a
-  *    later START takes over cleanly — crash debris never wedges a
-  *    restart.
+  *    later START takes over cleanly (the stale file is atomically
+  *    moved aside, then the slot re-claimed by link — concurrent
+  *    takeovers again resolve to one winner). Crash debris never
+  *    wedges a restart.
   *  - STOP from the owning session stops the query and releases the
   *    lease. STOP from ANY OTHER session releases the lease file; the
   *    owner's next heartbeat sees the loss and self-terminates
@@ -46,13 +59,18 @@ private[graft] final class ContinuousRegistry {
 
   private val local = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  // stale window this session claimed each root's lease under: the
+  // heartbeat re-writes the SAME window the claim advertised
+  private val claimedStale = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Start the continuous loop for the view at `root` (absolute
     * path). Refuses while a live local query or a fresh foreign
-    * lease exists.
+    * lease exists; claims the lease atomically (exactly one of any
+    * number of concurrent STARTs wins).
     */
   def start(spark: SparkSession, root: String,
       interval: String): StreamingQuery = {
-    val stale = staleMs(spark, root)
+    val stale = math.max(staleMs(spark, root), 3L * intervalMillis(interval))
     synchronized {
       local.get(root) match {
         case q: StreamingQuery if q.isActive =>
@@ -68,19 +86,14 @@ private[graft] final class ContinuousRegistry {
           local.remove(root, q)
         case _ => ()
       }
-      readLease(root) match {
-        case Some((o, ts)) if o != ownerId &&
-            System.currentTimeMillis() - ts < stale =>
-          throw new IllegalArgumentException(
-            s"continuous refresh already running for $root " +
-              s"(lease held by session $o; STOP REFRESH releases it, " +
-              s"or it expires ${stale} ms after the last heartbeat)")
-        case _ => ()
-      }
+      // the atomic claim: refuse on a fresh foreign lease, move a
+      // stale one aside, then hard-link the slot — concurrent STARTs
+      // (this process or another) resolve to exactly one winner
+      claimLease(root, stale)
+      claimedStale.put(root, stale)
       local.put(root, Starting)
     }
     try {
-      writeLease(root)
       val q = IncrementalMatView.continuous(spark, root,
         Paths.get(root, "_continuous_cp").toString,
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval),
@@ -101,16 +114,19 @@ private[graft] final class ContinuousRegistry {
     */
   private def heartbeat(root: String): Unit =
     readLease(root) match {
-      case Some((o, _)) if o == ownerId => writeLease(root)
+      case Some(l) if l.owner == ownerId => writeLease(root,
+        Option(claimedStale.get(root)).map(_.longValue).getOrElse(l.staleMs))
       case _ => throw new IllegalStateException(
         s"continuous-refresh lease for $root was released or taken " +
           "over by another session; stopping this loop")
     }
 
-  /** Stop the loop for `root`. Owning session: synchronous stop +
-    * lease release (returns true). Foreign fresh lease: release it —
-    * the owner self-terminates at its next heartbeat (returns false:
-    * asynchronous). No query and no lease: error.
+  /** Stop the loop for `root`. Owning session with a LIVE query:
+    * synchronous stop + lease release (returns true). Anything else
+    * while a FOREIGN lease exists — no local registration, or a dead
+    * local query after a crash/takeover — releases the lease file so
+    * the foreign owner self-terminates at its next heartbeat
+    * (returns false: asynchronous). No query and no lease: error.
     */
   def stop(root: String): Boolean = {
     val q = synchronized {
@@ -123,7 +139,13 @@ private[graft] final class ContinuousRegistry {
       }
     }
     q match {
-      case Some(query) =>
+      // a DEAD local query whose lease now belongs to another session
+      // (this session crashed mid-loop, a foreign START took over) is
+      // NOT ours to stop synchronously: stopping the dead query does
+      // nothing to the live foreign loop. Fall through to the
+      // async foreign-release path instead of reporting success.
+      case Some(query) if query.isActive ||
+          readLease(root).forall(_.owner == ownerId) =>
         // deregister only AFTER a successful stop: a stop() that
         // throws leaves the registration in place, so a later START
         // still refuses while the stream may yet be running
@@ -131,7 +153,8 @@ private[graft] final class ContinuousRegistry {
         synchronized { local.remove(root, query) }
         releaseIfOwned(root)
         true
-      case None =>
+      case other =>
+        other.foreach(dead => synchronized { local.remove(root, dead) })
         if (readLease(root).isEmpty) throw new IllegalArgumentException(
           s"no continuous refresh running for $root")
         Files.deleteIfExists(leasePath(root))
@@ -139,19 +162,59 @@ private[graft] final class ContinuousRegistry {
     }
   }
 
-  private def writeLease(root: String): Unit = {
+  /** Refuse / take over / claim, atomically. Called under the
+    * registry lock; cross-PROCESS atomicity comes from link(2).
+    */
+  private def claimLease(root: String, stale: Long): Unit = {
+    readLease(root) match {
+      case Some(l) if l.owner != ownerId &&
+          System.currentTimeMillis() - l.ts < math.max(stale, l.staleMs) =>
+        throw new IllegalArgumentException(
+          s"continuous refresh already running for $root " +
+            s"(lease held by session ${l.owner}; STOP REFRESH releases " +
+            s"it, or it expires ${math.max(stale, l.staleMs)} ms after " +
+            "the last heartbeat)")
+      case Some(_) =>
+        // stale debris (or our own leftover): move it aside — atomic,
+        // so of N concurrent takeovers exactly one move succeeds; the
+        // losers just find the slot absent (or already re-claimed)
+        val tomb = leasePath(root).resolveSibling(
+          s"_continuous_lease.$ownerId.expired")
+        try Files.move(leasePath(root), tomb,
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => () }
+        finally Files.deleteIfExists(tomb)
+      case None => ()
+    }
     val target = leasePath(root)
     val tmp = target.resolveSibling(
       target.getFileName.toString + s".$ownerId.tmp")
-    Files.writeString(tmp,
-      s"""{"owner":"$ownerId","ts":${System.currentTimeMillis()}}""")
+    Files.writeString(tmp, leaseJson(stale))
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"continuous refresh already running for $root " +
+            "(another session claimed the lease concurrently)")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def leaseJson(stale: Long): String =
+    s"""{"owner":"$ownerId","ts":${System.currentTimeMillis()},""" +
+      s""""staleMs":$stale}"""
+
+  private def writeLease(root: String, stale: Long): Unit = {
+    val target = leasePath(root)
+    val tmp = target.resolveSibling(
+      target.getFileName.toString + s".$ownerId.tmp")
+    Files.writeString(tmp, leaseJson(stale))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def releaseIfOwned(root: String): Unit =
     readLease(root) match {
-      case Some((o, _)) if o == ownerId =>
+      case Some(l) if l.owner == ownerId =>
         Files.deleteIfExists(leasePath(root))
       case _ => ()
     }
@@ -160,13 +223,15 @@ private[graft] final class ContinuousRegistry {
 private[graft] object ContinuousRegistry {
   private case object Starting
 
-  /** Lease freshness window: a lease older than this is crash debris
+  /** Lease freshness floor: a lease older than max(this, the lease's
+    * own advertised window — 3× its trigger interval) is crash debris
     * and a new START takes over. Overridable per view through
-    * TBLPROPERTIES (`graft.mv.lease.staleMs`); the default outlasts
-    * many missed 1-second heartbeats without making takeover slow.
+    * TBLPROPERTIES (`graft.mv.lease.staleMs`).
     */
   val DefaultStaleMs = 60000L
   private[graft] val StaleMsProp = "graft.mv.lease.staleMs"
+
+  private case class Lease(owner: String, ts: Long, staleMs: Long)
 
   private def leasePath(root: String): Path =
     Paths.get(root, "_continuous_lease.json")
@@ -176,11 +241,20 @@ private[graft] object ContinuousRegistry {
       .map(_.trim.toLong).getOrElse(DefaultStaleMs)
     catch { case scala.util.control.NonFatal(_) => DefaultStaleMs }
 
-  /** (owner, heartbeat millis), or None when no/unreadable lease —
-    * an unreadable lease reads as absent (the writer's atomic move
-    * means this is a vanished-mid-read race, not a torn file).
+  /** Trigger-interval milliseconds ("5 minutes", "1 second", …);
+    * unparseable intervals contribute nothing (the flat floor
+    * stands — Trigger.ProcessingTime will reject them anyway).
     */
-  private def readLease(root: String): Option[(String, Long)] =
+  private[graft] def intervalMillis(interval: String): Long =
+    try scala.concurrent.duration.Duration(interval).toMillis
+    catch { case scala.util.control.NonFatal(_) => 0L }
+
+  /** The lease, or None when absent/unreadable — an unreadable lease
+    * reads as absent (writers publish atomically, so this is a
+    * vanished-mid-read race, not a torn file). A pre-r13 lease with
+    * no staleMs field reads under the flat default.
+    */
+  private def readLease(root: String): Option[Lease] =
     try {
       val p = leasePath(root)
       if (!Files.exists(p)) None
@@ -189,7 +263,9 @@ private[graft] object ContinuousRegistry {
         for {
           o <- """"owner":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
           t <- """"ts":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
-        } yield (o, t)
+        } yield Lease(o, t,
+          """"staleMs":(\d+)""".r.findFirstMatchIn(s)
+            .map(_.group(1).toLong).getOrElse(DefaultStaleMs))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }
