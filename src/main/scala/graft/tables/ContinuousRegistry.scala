@@ -121,12 +121,13 @@ private[graft] final class ContinuousRegistry {
           "over by another session; stopping this loop")
     }
 
-  /** Stop the loop for `root`. Owning session with a LIVE query:
-    * synchronous stop + lease release (returns true). Anything else
-    * while a FOREIGN lease exists — no local registration, or a dead
-    * local query after a crash/takeover — releases the lease file so
-    * the foreign owner self-terminates at its next heartbeat
-    * (returns false: asynchronous). No query and no lease: error.
+  /** Stop the loop for `root`. Local query whose lease is OURS (or
+    * absent): synchronous stop + lease release (returns true).
+    * Anything under a FOREIGN lease — no local registration, or a
+    * local query (live zombie or dead) displaced by a takeover —
+    * stops any local query, then releases the lease file so the
+    * foreign owner self-terminates at its next heartbeat (returns
+    * false: asynchronous). No query and no lease: error.
     */
   def stop(root: String): Boolean = {
     val q = synchronized {
@@ -139,13 +140,15 @@ private[graft] final class ContinuousRegistry {
       }
     }
     q match {
-      // a DEAD local query whose lease now belongs to another session
-      // (this session crashed mid-loop, a foreign START took over) is
-      // NOT ours to stop synchronously: stopping the dead query does
-      // nothing to the live foreign loop. Fall through to the
-      // async foreign-release path instead of reporting success.
-      case Some(query) if query.isActive ||
-          readLease(root).forall(_.owner == ownerId) =>
+      // a local query (live OR dead) whose lease now belongs to
+      // another session is NOT ours to stop synchronously: a live
+      // one is a zombie that would die at its next heartbeat anyway,
+      // a dead one already did, and either way the FOREIGN loop is
+      // the one driving the view. Stop the local query, release the
+      // foreign lease so its owner self-terminates at its next
+      // heartbeat, and report false (asynchronous) — never a false
+      // synchronous success while a foreign loop keeps refreshing.
+      case Some(query) if readLease(root).forall(_.owner == ownerId) =>
         // deregister only AFTER a successful stop: a stop() that
         // throws leaves the registration in place, so a later START
         // still refuses while the stream may yet be running
@@ -154,7 +157,10 @@ private[graft] final class ContinuousRegistry {
         releaseIfOwned(root)
         true
       case other =>
-        other.foreach(dead => synchronized { local.remove(root, dead) })
+        other.foreach { query =>
+          if (query.isActive) query.stop()
+          synchronized { local.remove(root, query) }
+        }
         if (readLease(root).isEmpty) throw new IllegalArgumentException(
           s"no continuous refresh running for $root")
         Files.deleteIfExists(leasePath(root))
@@ -174,16 +180,45 @@ private[graft] final class ContinuousRegistry {
             s"(lease held by session ${l.owner}; STOP REFRESH releases " +
             s"it, or it expires ${math.max(stale, l.staleMs)} ms after " +
             "the last heartbeat)")
-      case Some(_) =>
+      case Some(observed) =>
         // stale debris (or our own leftover): move it aside — atomic,
         // so of N concurrent takeovers exactly one move succeeds; the
-        // losers just find the slot absent (or already re-claimed)
+        // losers just find the slot absent (or already re-claimed).
+        // The move alone is NOT enough: between our read above and
+        // the move, a concurrent winner may have already re-claimed
+        // the slot, so the file we displaced could be its FRESH
+        // lease. Verify the tomb holds the very lease we observed
+        // stale (owner AND ts); a fresh foreign lease goes back and
+        // we refuse — never delete another session's live claim.
         val tomb = leasePath(root).resolveSibling(
           s"_continuous_lease.$ownerId.expired")
-        try Files.move(leasePath(root), tomb,
-          StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.io.IOException => () }
-        finally Files.deleteIfExists(tomb)
+        val moved =
+          try { Files.move(leasePath(root), tomb,
+            StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: java.io.IOException => false }
+        if (moved) {
+          val entombed = readLeaseAt(tomb)
+          val isObserved = entombed.exists(e =>
+            e.owner == observed.owner && e.ts == observed.ts)
+          if (isObserved || entombed.forall(_.owner == ownerId)) {
+            // genuine debris (or our own / unreadable leftover)
+            Files.deleteIfExists(tomb)
+          } else {
+            // we displaced a concurrent winner's fresh claim: restore
+            // it and refuse. If a third session claimed the briefly
+            // empty slot meanwhile, the move-back fails — then the
+            // slot is owned, the displaced session self-terminates at
+            // its next heartbeat (owner mismatch), and we still
+            // refuse: in every interleaving exactly one loop survives.
+            try Files.move(tomb, leasePath(root),
+              StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.io.IOException =>
+              Files.deleteIfExists(tomb) }
+            throw new IllegalArgumentException(
+              s"continuous refresh already running for $root " +
+                "(another session claimed the lease concurrently)")
+          }
+        }
       case None => ()
     }
     val target = leasePath(root)
@@ -203,13 +238,55 @@ private[graft] final class ContinuousRegistry {
     s"""{"owner":"$ownerId","ts":${System.currentTimeMillis()},""" +
       s""""staleMs":$stale}"""
 
+  /** Heartbeat re-assertion, with the SAME link-based compare-and-
+    * swap discipline as [[claimLease]] — not a blind
+    * REPLACE_EXISTING: between heartbeat's ownership read and the
+    * write, a foreign STOP+claim can land, and clobbering it would
+    * invert the takeover (the NEW owner dies at ITS next heartbeat
+    * while the lapsed zombie survives). So: atomically move OUR
+    * current lease aside, verify it is still ours, then link the
+    * refresh into the empty slot. Any interleaving where the slot
+    * holds (or gains) a foreign lease throws — this loop
+    * self-terminates, the foreign owner survives: the intended
+    * takeover direction.
+    */
   private def writeLease(root: String, stale: Long): Unit = {
     val target = leasePath(root)
+    val tomb = target.resolveSibling(
+      target.getFileName.toString + s".$ownerId.hb")
+    try Files.move(target, tomb, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.io.IOException =>
+      // slot vanished since the ownership read: cross-session STOP
+      // or a takeover mid-flight — the loss path
+      throw new IllegalStateException(
+        s"continuous-refresh lease for $root was released or taken " +
+          "over by another session; stopping this loop")
+    }
+    if (!readLeaseAt(tomb).exists(_.owner == ownerId)) {
+      // a foreign claim landed between the read and our move: not
+      // ours to refresh — restore it and terminate this loop
+      try Files.move(tomb, target, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException => Files.deleteIfExists(tomb) }
+      throw new IllegalStateException(
+        s"continuous-refresh lease for $root was taken over by " +
+          "another session; stopping this loop")
+    }
     val tmp = target.resolveSibling(
       target.getFileName.toString + s".$ownerId.tmp")
-    Files.writeString(tmp, leaseJson(stale))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.writeString(tmp, leaseJson(stale))
+      try Files.createLink(target, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        // a concurrent START claimed the briefly empty slot — it won
+        // the race fairly (it saw no lease); defer to it and die
+        throw new IllegalStateException(
+          s"continuous-refresh lease for $root was claimed by " +
+            "another session; stopping this loop")
+      }
+    } finally {
+      Files.deleteIfExists(tmp)
+      Files.deleteIfExists(tomb)
+    }
   }
 
   private def releaseIfOwned(root: String): Unit =
@@ -255,8 +332,10 @@ private[graft] object ContinuousRegistry {
     * no staleMs field reads under the flat default.
     */
   private def readLease(root: String): Option[Lease] =
+    readLeaseAt(leasePath(root))
+
+  private def readLeaseAt(p: Path): Option[Lease] =
     try {
-      val p = leasePath(root)
       if (!Files.exists(p)) None
       else {
         val s = Files.readString(p)

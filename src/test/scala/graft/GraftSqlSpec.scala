@@ -1119,4 +1119,119 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gs_mvl")
     }
   }
+
+  test("continuous-refresh lease races: concurrent STARTs resolve to " +
+      "exactly one winner (absent AND just-expired lease), the " +
+      "window scales with the trigger interval, and STOP under a " +
+      "foreign lease is asynchronous") {
+    val (t, _) = registered("gs_mvrace")
+    try {
+      val mvDir = Files.createTempDirectory("graft_sqlmvrace_")
+        .resolve("mv").toString
+      spark.sql("DROP TABLE IF EXISTS gs_mvr")
+      GraftSql.sql(spark,
+        s"CREATE MATERIALIZED VIEW gs_mvr LOCATION '$mvDir' AS " +
+          "SELECT o_orderstatus, SUM(o_totalprice), COUNT(*) " +
+          "FROM gs_mvrace GROUP BY o_orderstatus")
+      val root = java.nio.file.Paths.get(mvDir).toAbsolutePath.toString
+      val lease = java.nio.file.Paths.get(root, "_continuous_lease.json")
+
+      // --- RACE 1: N concurrent STARTs on an ABSENT lease ---
+      def race(): (Int, Seq[graft.tables.ContinuousRegistry]) = {
+        val regs = (1 to 4).map(_ => new graft.tables.ContinuousRegistry)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val threads = regs.map { r =>
+          val th = new Thread(() => {
+            gate.await()
+            try { r.start(spark, root, "1 second"); wins.incrementAndGet(); () }
+            catch { case _: IllegalArgumentException => () }
+          })
+          th.start(); th
+        }
+        gate.countDown()
+        threads.foreach(_.join(120000))
+        (wins.get(), regs)
+      }
+      val (wins1, regs1) = race()
+      assert(wins1 === 1, s"concurrent STARTs on an absent lease: " +
+        s"$wins1 winners (expected exactly 1)")
+      // the winner's registry stops synchronously; losers hold nothing
+      assert(regs1.map(r =>
+        try { if (r.stop(root)) 1 else 0 }
+        catch { case _: IllegalArgumentException => 0 }).sum === 1,
+        "exactly one registry should own the started loop")
+
+      // --- RACE 2: N concurrent STARTs on a JUST-EXPIRED lease ---
+      java.nio.file.Files.writeString(lease,
+        s"""{"owner":"dead-session","ts":${System.currentTimeMillis() - 3600000L},"staleMs":60000}""")
+      val (wins2, regs2) = race()
+      assert(wins2 === 1, s"concurrent stale takeovers: $wins2 winners")
+      regs2.foreach(r =>
+        try { r.stop(root); () }
+        catch { case _: IllegalArgumentException => () })
+
+      // --- INTERVAL-SCALED WINDOW (no staleMs property set) ---
+      // a lease 90 s old is past the 60 s flat floor, but:
+      // (a) the WRITER advertised a 5-minute loop (staleMs=900000):
+      //     even a 1-second claimer must honor it and refuse
+      java.nio.file.Files.writeString(lease,
+        s"""{"owner":"other-session","ts":${System.currentTimeMillis() - 90000L},"staleMs":900000}""")
+      val regC = new graft.tables.ContinuousRegistry
+      val e1 = intercept[IllegalArgumentException] {
+        regC.start(spark, root, "1 second")
+      }
+      assert(e1.getMessage.contains("lease held by session"),
+        "reader must honor the WRITER's advertised window")
+      // (b) the CLAIMER runs EVERY '5 minutes': its own window is
+      //     3× the interval, so the same 90 s lease refuses too
+      java.nio.file.Files.writeString(lease,
+        s"""{"owner":"other-session","ts":${System.currentTimeMillis() - 90000L},"staleMs":60000}""")
+      val e2 = intercept[IllegalArgumentException] {
+        regC.start(spark, root, "5 minutes")
+      }
+      assert(e2.getMessage.contains("lease held by session"),
+        "a 5-minute claimer must scale its own window past 90 s")
+      // (c) a 1-second claimer against the same 90 s / 60 s lease
+      //     takes over cleanly (90 s > max(60 s, 3 s))
+      val qC = regC.start(spark, root, "1 second")
+      assert(qC.isActive, "expired lease must not block the restart")
+      assert(regC.stop(root))
+
+      // --- STOP UNDER A FOREIGN LEASE: asynchronous, lease released ---
+      // live local ZOMBIE (long interval so its heartbeat lags):
+      // a foreign takeover overwrites the lease; stop() must not
+      // report synchronous success while the foreign loop drives
+      val regD = new graft.tables.ContinuousRegistry
+      val qD = regD.start(spark, root, "1 minute")
+      assert(qD.isActive)
+      java.nio.file.Files.writeString(lease,
+        s"""{"owner":"foreign-session","ts":${System.currentTimeMillis()},"staleMs":60000}""")
+      assert(!regD.stop(root),
+        "stop under a foreign lease must be asynchronous (false)")
+      assert(!qD.isActive, "the local zombie must still be stopped")
+      assert(!java.nio.file.Files.exists(lease),
+        "the foreign lease must be released so its owner self-terminates")
+
+      // DEAD local query under a foreign lease: same contract. Start
+      // a fast loop, let a foreign takeover kill it via heartbeat,
+      // then stop() — false, lease deleted
+      val regE = new graft.tables.ContinuousRegistry
+      val qE = regE.start(spark, root, "1 second")
+      java.nio.file.Files.writeString(lease,
+        s"""{"owner":"foreign-session","ts":${System.currentTimeMillis() + 3600000L},"staleMs":60000}""")
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (qE.isActive && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(!qE.isActive,
+        "zombie loop did not self-terminate after the takeover")
+      assert(!regE.stop(root),
+        "stop of a dead query under a foreign lease must return false")
+      assert(!java.nio.file.Files.exists(lease),
+        "the foreign lease must be released")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_mvrace")
+      spark.sql("DROP TABLE IF EXISTS gs_mvr")
+    }
+  }
 }

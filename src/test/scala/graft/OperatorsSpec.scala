@@ -1142,6 +1142,141 @@ class OperatorsSpec extends SparkSpec {
       === Set((11L, 9L)))
   }
 
+  test("forgetEverywhere retires a doc from EVERY surface in one " +
+      "call; a crash between content and sketch deletes replays to " +
+      "the same state; the whole call is idempotent") {
+    import graft.tables.GraftTable
+    def text(i: Long) =
+      s"fe$i alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stage = java.nio.file.Files.createTempDirectory("graft_fe_")
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    val ledger = stage.resolve("ledger").toString
+    val audit = stage.resolve("audit").toString
+    // corpus: 1 admitted, 2 drops as 1's near-dup, 3 distinct
+    val corpusDf = Seq((1L, text(0)), (2L, text(0) + " omega"),
+      (3L, "totally different content with its own distinct words here"))
+      .toDF("doc_id", "text")
+    val corpusT = GraftTable.create(spark,
+      stage.resolve("corpus").toString, corpusDf)
+    val verdicts = Dedup.admitBatch(spark, idx, cl, corpusDf, batchId = 0L)
+    val curatedT = GraftTable.create(spark,
+      stage.resolve("curated").toString,
+      corpusDf.join(verdicts.where($"action" === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    assert(curatedT.snapshot().where($"doc_id" === 1L).count() === 1,
+      "setup: the doc to forget must be curated")
+    Dedup.incrementalExact(spark, ledger, corpusDf).count()
+    val retired = Seq(1L).toDF("doc_id")
+    // simulated CRASH between content and sketch deletes: only the
+    // content surfaces committed before the process died...
+    Dedup.forgetEverywhere(spark, retired,
+      corpus = Some(corpusT), curated = Some(curatedT)).unpersist()
+    assert(corpusT.snapshot().where($"doc_id" === 1L).count() === 0)
+    // ...then the REPLAY runs the full call — every step idempotent
+    Dedup.forgetEverywhere(spark, retired,
+      corpus = Some(corpusT), curated = Some(curatedT),
+      indexPath = Some(idx), clustersPath = Some(cl),
+      ledgerPath = Some(ledger), auditPath = Some(audit),
+      batchId = 7L).unpersist()
+    // NO surface returns the doc
+    assert(corpusT.snapshot().where($"doc_id" === 1L).count() === 0)
+    assert(curatedT.snapshot().where($"doc_id" === 1L).count() === 0)
+    def sub(s: String) = GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, s).toString).snapshot()
+    assert(sub("sigs").where($"doc_id" === 1L).count() === 0)
+    assert(sub("shingles").where($"doc_id" === 1L).count() === 0)
+    assert(Dedup.clustersView(spark, cl)
+      .where($"doc_id" === 1L || $"cluster_id" === 1L).count() === 0,
+      "no surviving cluster assignment may name the forgotten doc")
+    // probe surface: fresh near-dup content canonicalizes to the
+    // re-rooted survivor (2), never the forgotten doc
+    assert(Dedup.admitBatch(spark, idx, cl,
+        Seq((9L, text(0) + " psi")).toDF("doc_id", "text"), batchId = 1L)
+      .as[(Long, Long, String)].collect().toSet === Set((9L, 2L, "drop")))
+    // ledger surface: the forgotten doc's exact content re-seeds
+    assert(Dedup.incrementalExact(spark, ledger,
+      Seq((11L, text(0))).toDF("doc_id", "text")).count() === 0)
+    // audit: exactly one record, and a full replay changes NOTHING
+    def auditRows = GraftTable.load(spark, audit).snapshot()
+      .select($"batch_id", $"doc_id").as[(Long, Long)].collect().toSeq
+    assert(auditRows === Seq((7L, 1L)))
+    val before = (corpusT.snapshot().count(), curatedT.snapshot().count(),
+      sub("sigs").count(), sub("shingles").count(),
+      Dedup.clustersView(spark, cl).as[(Long, Long, Int)].collect().toSet)
+    Dedup.forgetEverywhere(spark, retired,
+      corpus = Some(corpusT), curated = Some(curatedT),
+      indexPath = Some(idx), clustersPath = Some(cl),
+      ledgerPath = Some(ledger), auditPath = Some(audit),
+      batchId = 7L).unpersist()
+    assert((corpusT.snapshot().count(), curatedT.snapshot().count(),
+      sub("sigs").count(), sub("shingles").count(),
+      Dedup.clustersView(spark, cl).as[(Long, Long, Int)].collect().toSet)
+      === before, "replayed forget changed state")
+    assert(auditRows === Seq((7L, 1L)), "replayed forget double-logged")
+  }
+
+  test("forgetEverywhere audits LAST: a failing ledger purge leaves " +
+      "no audit record; the repaired replay logs exactly once") {
+    import graft.tables.GraftTable
+    val stage = java.nio.file.Files.createTempDirectory("graft_feord_")
+    val idx = stage.resolve("idx").toString
+    val ledger = stage.resolve("ledger")
+    val audit = stage.resolve("audit").toString
+    Dedup.incrementalIndex(spark, idx,
+      Seq((1L, "ord lorem ipsum dolor sit amet consectetur adipiscing"))
+        .toDF("doc_id", "text"), batchId = 0L)
+    // corrupt ledger: _graft_log exists but is an unreadable FILE, so
+    // forgetExact's load throws AFTER the sketch deletes committed
+    java.nio.file.Files.createDirectories(ledger)
+    java.nio.file.Files.writeString(ledger.resolve("_graft_log"),
+      "not a log")
+    intercept[Throwable] {
+      Dedup.forgetEverywhere(spark, Seq(1L).toDF("doc_id"),
+        indexPath = Some(idx), ledgerPath = Some(ledger.toString),
+        auditPath = Some(audit), batchId = 3L)
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(audit, "_graft_log")),
+      "audit record certified an INCOMPLETE pass (ledger still held " +
+        "the retired canonicals)")
+    // repair (drop the dead ledger surface) and replay: audit lands once
+    Dedup.forgetEverywhere(spark, Seq(1L).toDF("doc_id"),
+      indexPath = Some(idx), auditPath = Some(audit), batchId = 3L)
+      .unpersist()
+    assert(GraftTable.load(spark, audit).snapshot()
+      .select($"batch_id", $"doc_id").as[(Long, Long)].collect().toSeq
+      === Seq((3L, 1L)))
+  }
+
+  test("forgetEverywhere with no sketch index still repairs the " +
+      "clusters state and audits") {
+    import graft.tables.GraftTable
+    val stage = java.nio.file.Files.createTempDirectory("graft_fenc_")
+    val cl = stage.resolve("cl").toString
+    val audit = stage.resolve("audit").toString
+    Dedup.incrementalClusters(spark, cl,
+      Seq((1L, 2L), (2L, 4L)).toDF("doc_a", "doc_b")).unpersist()
+    Dedup.forgetEverywhere(spark, Seq(1L).toDF("doc_id"),
+      clustersPath = Some(cl), auditPath = Some(audit), batchId = 5L)
+      .unpersist()
+    // component {1,2,4} re-roots to 2 with 1 gone
+    assert(Dedup.clustersView(spark, cl)
+      .as[(Long, Long, Int)].collect().toSet
+      === Set((2L, 2L, 1), (4L, 2L, 0)))
+    assert(GraftTable.load(spark, audit).snapshot()
+      .select($"batch_id", $"doc_id").as[(Long, Long)].collect().toSeq
+      === Seq((5L, 1L)))
+    // replay: state unchanged, no double-log
+    Dedup.forgetEverywhere(spark, Seq(1L).toDF("doc_id"),
+      clustersPath = Some(cl), auditPath = Some(audit), batchId = 5L)
+      .unpersist()
+    assert(Dedup.clustersView(spark, cl)
+      .as[(Long, Long, Int)].collect().toSet
+      === Set((2L, 2L, 1), (4L, 2L, 0)))
+    assert(GraftTable.load(spark, audit).snapshot().count() === 1)
+  }
+
   test("forgetVectors removes retired vectors from the IVF cells") {
     val emb = Tables.load(spark, sf, "embeddings")
     val path = java.nio.file.Files
