@@ -485,15 +485,107 @@ object Similarity {
       .append(assignToCents(vecs, cents))
   }
 
+  /** Cell-size skew of the persisted IVF index: the largest cell's
+    * row count over the MEAN cell size with EMPTY cells counted in
+    * the mean (k from the centroids table, not from the non-empty
+    * partitions — a forget-hollowed cell that lost every member
+    * vanishes from the partition list but still warps the geometry).
+    * Balanced = 1.0; drift that bloats one cell or forgets that
+    * hollow others both push it up. O(cells) commit-log metadata
+    * (partitionsInfo's stats-derived counts); falls back to ONE
+    * groupBy-count scan only when live deletion vectors make footer
+    * counts dishonest — a maintenance-window cost, never a serve cost.
+    */
+  private[graft] def cellSkew(spark: SparkSession,
+      indexPath: String): Double = {
+    val t = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(indexPath, "assignments").toString)
+    val info = t.partitionsInfo().select(col("num_rows")).collect()
+    val counts: Seq[Long] =
+      if (info.exists(_.isNullAt(0)))
+        t.snapshot().groupBy(col("cent_id")).count()
+          .select(col("count")).collect().map(_.getLong(0)).toSeq
+      else info.map(_.getLong(0)).toSeq
+    val k = loadCents(spark, indexPath).size
+    val total = counts.sum
+    if (total == 0L || k == 0 || counts.isEmpty) 1.0
+    else counts.max.toDouble * k / total.toDouble
+  }
+
+  /** RE-TRAIN + re-assign the persisted IVF index — the rebalance
+    * an append-only IVF eventually needs: ingestion assigns against
+    * FROZEN centroids, so distribution drift bloats the cells near
+    * the new mass while forgets hollow others, and probe latency
+    * (scan ∝ largest probed cell) and recall (nprobe cells cover a
+    * shrinking fraction of the mass) degrade unboundedly. Centroids
+    * re-train with the same exact-integer Lloyd as the build over a
+    * DETERMINISTIC hash-sample of the current members (capped —
+    * k-means never needs the full 100 TB corpus), then EVERY member
+    * re-assigns map-side against the ≤k new centroid literals: one
+    * projection over the corpus, one partition-aligned OVERWRITE
+    * commit. No Math.random anywhere: the sample is
+    * xxhash64(vec_id) % m == 0, so the same index state always
+    * rebalances to the same geometry.
+    *
+    * Serving stays LIVE throughout: the assignments rewrite keeps the
+    * same cent_id space (0..k-1), so a query racing the rebalance
+    * reads either wholly-old or wholly-new assignments (snapshot
+    * isolation); between the assignments commit and the centroids
+    * commit it may pick probe cells with the old geometry over new
+    * partitions — an approximate answer from valid cells, never an
+    * error or an empty result. A concurrent ingest racing the
+    * OVERWRITE resolves through ordinary conflict detection (the
+    * overwrite claims the whole table; the loser retries against the
+    * new geometry).
+    */
+  def rebalanceIndex(spark: SparkSession, indexPath: String,
+      iters: Int = 2, sampleCap: Long = 65536L): Unit = {
+    import spark.implicits._
+    import graft.tables.GraftTable
+    val asgT = GraftTable.load(spark,
+      java.nio.file.Paths.get(indexPath, "assignments").toString)
+    val members = asgT.snapshot()
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val total = asgT.rowCount.getOrElse(members.count())
+    val m = math.max(1L, (total + sampleCap - 1L) / sampleCap)
+    val sample = if (m <= 1L) members
+      else members.where(pmod(xxhash64(col("vec_id")), lit(m)) === 0L)
+    val k = loadCents(spark, indexPath).size
+    val (cents, assignedSample) = kmeansFitOf(spark, sample, k, iters)
+    assignedSample.unpersist() // Lloyd's corpus cache — not needed
+    // assignments FIRST (the big commit), centroids second: the
+    // in-between window serves old-geometry probes over new cells —
+    // degraded recall for one query, never a miss on a valid cent_id
+    asgT.overwrite(assignToCents(members, cents))
+    GraftTable.load(spark,
+        java.nio.file.Paths.get(indexPath, "centroids").toString)
+      .overwrite(cents.toDF("cent_id", "cent"))
+  }
+
   /** Periodic MAINTENANCE for the persisted IVF index: continuous
     * ingestion appends one small file per touched cent_id partition
     * per batch; bin-pack them (compaction is partition-aligned, so
     * the cent_id layout — and with it the probe's partition pruning —
     * survives). Ordinary GraftTable commit: concurrent ingests
     * resolve through conflict detection.
+    *
+    * Rebalance trigger: when [[cellSkew]] (O(cells) metadata) reaches
+    * `rebalanceSkewThreshold`, the maintenance cycle re-trains and
+    * re-assigns ([[rebalanceIndex]]) BEFORE compacting — drift and
+    * forget-hollowing now have a bounded lifetime of one maintenance
+    * window instead of degrading recall/latency forever. Pass a
+    * non-positive threshold to opt out. Returns whether a rebalance
+    * ran.
     */
   def maintainIndex(spark: SparkSession, indexPath: String,
-      vacuumRetainHours: Double = -1.0): Unit = {
+      vacuumRetainHours: Double = -1.0,
+      rebalanceSkewThreshold: Double = 4.0,
+      rebalanceIters: Int = 2,
+      rebalanceSampleCap: Long = 65536L): Boolean = {
+    val rebalance = rebalanceSkewThreshold > 0.0 &&
+      cellSkew(spark, indexPath) >= rebalanceSkewThreshold
+    if (rebalance)
+      rebalanceIndex(spark, indexPath, rebalanceIters, rebalanceSampleCap)
     val t = graft.tables.GraftTable.load(spark,
       java.nio.file.Paths.get(indexPath, "assignments").toString)
     t.compactToSize()
@@ -503,6 +595,7 @@ object Similarity {
     // concurrent readers) instead of leaving them to a separate
     // vacuum schedule
     if (vacuumRetainHours >= 0) t.vacuumRetainHours(vacuumRetainHours)
+    rebalance
   }
 
   /** FORGET path for the persisted IVF index — the ANN twin of

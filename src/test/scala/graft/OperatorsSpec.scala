@@ -947,13 +947,94 @@ class OperatorsSpec extends SparkSpec {
     def parquetCount(): Long = java.nio.file.Files
       .walk(assignDir).filter(_.toString.endsWith(".parquet")).count()
     val filesBefore = parquetCount()
-    Similarity.maintainIndex(spark, idx, vacuumRetainHours = 0.0)
+    // compaction in ISOLATION: rebalance opts out so the byte-
+    // identical-results assertion below tests bin-packing alone
+    assert(!Similarity.maintainIndex(spark, idx, vacuumRetainHours = 0.0,
+      rebalanceSkewThreshold = 0.0))
     assert(parquetCount() < filesBefore,
       "maintenance vacuum reclaimed no stranded files")
     val after = Similarity.ivfIndexQuery(spark, idx, q,
       excludeVecId = 0L).collect().toSeq
     assert(after === before,
       "compaction changed the served ANN results")
+  }
+
+  test("IVF rebalance: a drift-bloated, forget-hollowed index " +
+      "re-trains past the skew threshold — skew drops, the recall " +
+      "floor holds, and the re-trained geometry is deterministic") {
+    // deterministic synthetic corpus, 4-dim: 8 seed regions at
+    // ±10·one-hot, per-member integer jitter (no randomness anywhere)
+    def vec(region: Int, j: Int): Seq[Float] = {
+      val sign = if (region < 4) 10f else -10f
+      Seq.tabulate(4)(d =>
+        (if (d == region % 4) sign else 0f) + ((j * (d + 3)) % 5) * 0.01f)
+    }
+    def rows(ids: Seq[Long], region: Long => Int) =
+      ids.map(i => (i, s"r${region(i)}", vec(region(i), i.toInt)))
+        .toDF("vec_id", "label", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>"))
+    def buildSkewed(): String = {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_rebal_").toString
+      // seed: ids 1000..1079, one of 8 regions each — balanced build
+      val seedIds = (1000L until 1080L)
+      Similarity.ivfIndexBuild(spark, idx,
+        rows(seedIds, i => (i % 8).toInt), nCentroids = 8)
+      // DRIFT: 200 new vectors (low ids — the deterministic Lloyd
+      // re-init must see the new mass) in ONE new off-center blob —
+      // frozen geometry piles them ALL into the nearest old cell
+      Similarity.ivfIndexIngest(spark, idx,
+        rows(0L until 200L, _ => 0)
+          .withColumn("embedding",
+            transform($"embedding", x => x + lit(5.0f).cast("float"))))
+      // HOLLOW: forget two whole seed regions
+      Similarity.forgetVectors(spark, idx,
+        rows(seedIds, i => (i % 8).toInt)
+          .where($"label".isin("r1", "r2")).select($"vec_id"))
+      idx
+    }
+    val idx = buildSkewed()
+    val skewBefore = Similarity.cellSkew(spark, idx)
+    assert(skewBefore >= 4.0,
+      s"setup: drift+hollow should push skew past the threshold " +
+        s"(got $skewBefore)")
+    assert(Similarity.maintainIndex(spark, idx, vacuumRetainHours = 0.0),
+      "maintenance must trigger a rebalance past the skew threshold")
+    val skewAfter = Similarity.cellSkew(spark, idx)
+    assert(skewAfter < skewBefore,
+      s"rebalance did not reduce skew ($skewBefore -> $skewAfter)")
+    // recall floor vs BRUTE FORCE over the surviving members, for a
+    // query inside the drifted mass (the part a frozen geometry
+    // serves worst)
+    val members = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "assignments").toString).snapshot()
+    val qv = members.where($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    val got = Similarity.ivfIndexQuery(spark, idx, qv, k = 10,
+      nprobe = 4, excludeVecId = 0L)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    graft.functions.VectorExprs.register(spark)
+    // brute force with the SAME rounding + tie rule as ivfIndexQuery,
+    // so set comparison never trips on 1e-7 cosine ties
+    val want = members.where($"vec_id" =!= 0L)
+      .select($"vec_id",
+        round(graft.functions.VectorExprs.vec_cosine($"embedding",
+            typedLit(qv.toSeq)).cast("decimal(18,12)"), 6)
+          .cast("double").as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert((got & want).size >= 7,
+      s"recall@10 after rebalance below floor: ${(got & want).size}/10")
+    // determinism: the identical skewed state re-trains to the
+    // identical geometry (hash-sampled Lloyd, no randomness)
+    val idx2 = buildSkewed()
+    Similarity.rebalanceIndex(spark, idx2)
+    def cents(p: String) = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(p, "centroids").toString)
+      .snapshot().collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+    assert(cents(idx) === cents(idx2),
+      "identical index states rebalanced to different geometries")
   }
 
   test("connected components converges in O(log n) rounds on a chain") {
