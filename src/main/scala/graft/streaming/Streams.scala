@@ -299,17 +299,23 @@ object Streams {
     * the survivorship caveat on [[graft.operators.Dedup.admitBatch]]
     * — with UNORDERED arrival, splitting a cycle can admit both
     * members of a near-dup pair whose smaller id arrives later
-    * (each was the survivor at its own admission time). Feed
-    * ascending-id batches, or set `firstAdmittedWins` — each batch
-    * then screens against the curated table's pre-append ids and a
-    * cluster with an already-admitted member never admits another,
-    * whatever the arrival order.
+    * (each was the survivor at its own admission time).
+    *
+    * `firstAdmittedWins` (DEFAULT since r14 — the safe survivorship
+    * mode): each batch screens against the curated table's
+    * pre-append ids and a cluster with an already-admitted member
+    * never admits another, whatever the arrival order — the curated
+    * table holds at most one member per cluster across out-of-order
+    * cycles. Pass `false` for the legacy global-min rule (verdicts a
+    * pure function of the pair set, independent of arrival order —
+    * what a relational replay oracle can check), which double-admits
+    * when a smaller-id near-dup arrives after its partner.
     */
   def curationStream(spark: SparkSession, rawDir: String,
       checkpoint: String, indexPath: String, clustersPath: String,
       curated: graft.tables.GraftTable,
       maxFilesPerTrigger: Int = Int.MaxValue,
-      firstAdmittedWins: Boolean = false,
+      firstAdmittedWins: Boolean = true,
       auditPath: Option[String] = None): Long = {
     val schema = curated.snapshot().schema
     val cp = java.nio.file.Paths.get(checkpoint)
@@ -383,13 +389,20 @@ object Streams {
     val cp = stage.resolve("cp").toString
     val idx = stage.resolve("idx").toString
     val clusters = stage.resolve("clusters").toString
+    // the scenario opts INTO the legacy global-min rule: its verdicts
+    // are a pure function of the pair set (arrival-order-free), which
+    // is what the DuckDB oracle replays relationally; the
+    // firstAdmittedWins default is covered by StreamingSpec
     graft.sources.Ingest.stageBatch(
       docs.filter(col("doc_id") % 5 =!= 0), raw, "b1")
-    curationStream(spark, raw, cp, idx, clusters, curated)
+    curationStream(spark, raw, cp, idx, clusters, curated,
+      firstAdmittedWins = false)
     graft.sources.Ingest.stageBatch(
       docs.filter(col("doc_id") % 5 === 0), raw, "b2")
-    curationStream(spark, raw, cp, idx, clusters, curated)
-    curationStream(spark, raw, cp, idx, clusters, curated) // replay
+    curationStream(spark, raw, cp, idx, clusters, curated,
+      firstAdmittedWins = false)
+    curationStream(spark, raw, cp, idx, clusters, curated,
+      firstAdmittedWins = false) // replay
     curated.snapshot().select(col("doc_id"), col("n_chars"))
   }
 

@@ -300,12 +300,20 @@ private[tables] object BloomIndex {
     // the write-side sidecar hashed the column's NATIVE internal
     // representation; a silent cast-to-string here would hash a
     // DIFFERENT byte sequence for any non-string key and prune files
-    // that actually match (lost rows). Mirror the driver twin's
-    // Seq[String] signature: string keys only, enforced.
-    require(keys.schema.head.dataType == StringType,
-      s"pruneValuesDistributed probes string-keyed sidecars; got " +
-        s"${keys.schema.head.dataType.simpleString} for '$colName' — " +
-        "cast (and declare the index over) a string column instead")
+    // that actually match (LOST ROWS). A non-string probe therefore
+    // degrades to keep-all — conservative and correct (every kept
+    // file is scanned; extra files only cost I/O), where a hard
+    // refusal would crash the one probe shape that reaches here (an
+    // over-budget key set on a future non-string index). The scale
+    // fix for such an index is string-cast sidecars at WRITE time.
+    if (keys.schema.head.dataType != StringType) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[graft] pruneValuesDistributed: non-string key type " +
+          s"${keys.schema.head.dataType.simpleString} for '$colName' — " +
+          "sidecars hash native bytes, so pruning is skipped " +
+          "(keeping all candidate files; correct, just unpruned)")
+      return filesAbs
+    }
     val words = keys
       .select(org.apache.spark.sql.functions.col(keys.columns.head))
       .mapPartitions { it =>

@@ -47,6 +47,26 @@ class BloomIndexSpec extends SparkSpec {
     assert(t.snapshot().where($"id" === 500L).count() === 0)
   }
 
+  test("distributed probe on a NON-STRING key degrades to keep-all " +
+      "(correct, unpruned) instead of crashing or wrong-pruning") {
+    val t = overlappingTable(tmp())
+    t.rebuildBloomIndex()
+    val all = t.snapshotInfo(t.latestVersion).files.size
+    // sanity: the sidecars are live — the string-keyed driver path
+    // would prune; the distributed path with LONG keys must NOT
+    // (sidecars hashed native longs; hashing a cast would wrong-prune)
+    val keys = spark.range(500, 502).select($"id")
+    val (df, kept, total) =
+      t.snapshotBloomInDistributedWithCount("id", keys)
+    assert(total === all)
+    assert(kept === all,
+      s"non-string distributed probe must keep ALL files, kept $kept/$all")
+    // and the scan over the kept files is simply the full snapshot —
+    // nothing lost, nothing phantom
+    assert(df.count() === 800)
+    assert(df.where($"id".isin(500L, 501L)).count() === 2)
+  }
+
   test("MERGE probe prunes to bloom resolution on unclustered tables") {
     val path = tmp()
     val t = overlappingTable(path)

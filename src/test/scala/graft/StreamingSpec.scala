@@ -876,14 +876,15 @@ class StreamingSpec extends SparkSpec {
     assert(bounded.latestVersion === v, "bounded replay must be a no-op")
   }
 
-  test("firstAdmittedWins curation refuses out-of-order near-dups " +
-      "the default rule double-admits") {
+  test("firstAdmittedWins curation (the default) refuses out-of-order " +
+      "near-dups the legacy global-min rule double-admits") {
     def doc(id: Long, text: String) =
       (id, text, "en", "web", text.length.toLong)
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     // OUT-OF-ORDER arrival: the near-dup with the SMALLER id (5)
-    // lands a cycle after its partner (10) was admitted
-    def run(firstWins: Boolean): Set[Long] = {
+    // lands a cycle after its partner (10) was admitted.
+    // firstWins = None exercises the DEFAULT parameters.
+    def run(firstWins: Option[Boolean]): Set[Long] = {
       val stage = Files.createTempDirectory("graft_curfw_")
       val raw = stage.resolve("raw")
       java.nio.file.Files.createDirectories(raw)
@@ -896,21 +897,31 @@ class StreamingSpec extends SparkSpec {
         graft.sources.Ingest.stageBatch(
           rows.toDF("doc_id", "text", "lang", "source", "n_chars")
             .coalesce(1), raw.toString, p)
-        Streams.curationStream(spark, raw.toString,
-          stage.resolve("cp").toString, stage.resolve("idx").toString,
-          stage.resolve("cl").toString, curated,
-          firstAdmittedWins = firstWins)
+        firstWins match {
+          case Some(fw) => Streams.curationStream(spark, raw.toString,
+            stage.resolve("cp").toString, stage.resolve("idx").toString,
+            stage.resolve("cl").toString, curated,
+            firstAdmittedWins = fw)
+          case None => Streams.curationStream(spark, raw.toString,
+            stage.resolve("cp").toString, stage.resolve("idx").toString,
+            stage.resolve("cl").toString, curated)
+        }
+        ()
       }
       cycle(Seq(doc(10, base)), "c1")
       cycle(Seq(doc(5, base + " omega")), "c2")
       curated.snapshot().select($"doc_id").as[Long].collect().toSet
     }
-    // default (global-min) survivorship: doc 5 is its cluster's min,
-    // so BOTH members end up curated — the documented caveat
-    assert(run(firstWins = false) === Set(10L, 5L))
+    // legacy (global-min) survivorship, opt-in: doc 5 is its
+    // cluster's min, so BOTH members end up curated — the caveat
+    assert(run(firstWins = Some(false)) === Set(10L, 5L))
     // first-admitted-wins: the cluster already holds admitted doc 10,
     // so the late smaller-id near-dup drops
-    assert(run(firstWins = true) === Set(10L))
+    assert(run(firstWins = Some(true)) === Set(10L))
+    // ...and first-admitted-wins is the DEFAULT: the same
+    // out-of-order feed with no survivorship argument stays safe
+    assert(run(firstWins = None) === Set(10L),
+      "default curation survivorship must be first-admitted-wins")
   }
 
   test("streaming evolving ingest: column arrives mid-stream, sink evolves") {
