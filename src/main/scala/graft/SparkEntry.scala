@@ -121,6 +121,7 @@ object SparkEntry {
     "tbl_merge_identity" -> (TableOps.mergeIdentity _),
     "mv_incremental" -> (TableOps.mvIncremental _),
     "mv_incremental_avg" -> (TableOps.mvIncrementalAvg _),
+    "mv_incremental_approx" -> (TableOps.mvIncrementalApprox _),
     "mv_incremental_minmax" -> (TableOps.mvIncrementalMinMax _),
     "mv_incremental_multi" -> (TableOps.mvIncrementalMulti _),
     "mv_incremental_lineitem" -> (TableOps.mvIncrementalLineitem _),
@@ -1190,6 +1191,28 @@ object SparkEntry {
         |SELECT o_orderstatus,
         |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_o_totalprice,
         |  COUNT(*) AS n_rows
+        |FROM live GROUP BY o_orderstatus""".stripMargin,
+    "mv_incremental_approx" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders),
+        |del AS (
+        |  SELECT * FROM upd
+        |  WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)),
+        |app AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |fin AS (SELECT * FROM del UNION ALL SELECT * FROM app),
+        |live AS (SELECT * FROM fin WHERE NOT (o_totalprice < 1000.0))
+        |SELECT o_orderstatus,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_o_totalprice,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderpriority) AS adc_o_orderpriority
         |FROM live GROUP BY o_orderstatus""".stripMargin,
     "mv_incremental_avg" ->
       """WITH upd AS (

@@ -505,6 +505,36 @@ object TableOps {
     mv.view()
   }
 
+  /** [[mvIncremental]] with a maintained APPROX_COUNT_DISTINCT
+    * measure (r14): the per-group HLL sketch folds union-wise on the
+    * append and routes the delete/update-touched groups through the
+    * affected-group recompute. The measure domain is tiny
+    * (o_orderpriority, ≤5 per group), where the DataSketches HLL is
+    * still in its EXACT small-cardinality mode — so the DuckDB
+    * oracle checks it as plain COUNT(DISTINCT), an exact equality,
+    * not a tolerance band.
+    */
+  def mvIncrementalApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val mvPath = Files.createTempDirectory("graft_mvh_").resolve("mv").toString
+    val mv = graft.tables.IncrementalMatView.create(spark, t, mvPath,
+      Seq("o_orderstatus"), Seq("o_totalprice"), extremes = false,
+      derived = Nil, dims = Nil, avgCols = Nil, outputs = Nil,
+      approxCols = Seq("o_orderpriority"))
+    t.update(col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" ->
+        round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+          .cast("double")))
+    t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0)
+    val orders = Tables.load(spark, sfDir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N")))
+    t.deleteMor(col("o_totalprice") < lit(1000.0))
+    mv.refresh()
+    mv.view()
+  }
+
   /** [[mvIncremental]] with a maintained AVG measure: AVG is the
     * SUM/non-null-COUNT pair, both abelian, so it folds through the
     * same DML storm with no recompute path — the oracle recomputes

@@ -282,13 +282,14 @@ object GraftSql {
       emptyResult(spark)
     case CreateMatView(ident, location, selectList, srcIdent, joins,
         groupBy) =>
-      val (keys, values, extremes, derived, avgs, outputs) =
+      val (keys, values, extremes, derived, avgs, outputs, approxes) =
         parseMvDefinition(selectList, groupBy)
       val dims =
         if (joins == null || joins.trim.isEmpty) Nil
         else parseMvJoins(spark, joins)
       IncrementalMatView.create(spark, tableByName(spark, srcIdent),
-        location, keys, values, extremes, derived, dims, avgs, outputs)
+        location, keys, values, extremes, derived, dims, avgs, outputs,
+        approxes)
       spark.sql(s"CREATE TABLE $ident USING `graft-table` " +
         s"OPTIONS (path '$location')")
       emptyResult(spark)
@@ -374,14 +375,15 @@ object GraftSql {
     */
   private def parseMvDefinition(sel: String, groupByRaw: String)
       : (Seq[String], Seq[String], Boolean, Seq[(String, String)],
-         Seq[String], Seq[(String, String)]) = {
-    val AggRe = """(?is)\s*(SUM|MIN|MAX|COUNT|AVG)\s*\((.+)\)\s*(?:AS\s+`?(\w+)`?\s*)?""".r
+         Seq[String], Seq[(String, String)], Seq[String]) = {
+    val AggRe = """(?is)\s*(APPROX_COUNT_DISTINCT|SUM|MIN|MAX|COUNT|AVG)\s*\((.+)\)\s*(?:AS\s+`?(\w+)`?\s*)?""".r
     val AliasRe = """(?is)\s*(.+?)\s+AS\s+`?(\w+)`?\s*""".r
     val BareRe = """(?is)\s*`?(\w+)`?\s*""".r
     def fail(item: String): Nothing = throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW supports group keys (bare or expr AS " +
         "alias), SUM/AVG(col|expr AS alias), MIN/MAX(col|aggregated " +
-        s"expr) and COUNT(*); cannot maintain '$item'")
+        "expr), APPROX_COUNT_DISTINCT(col|expr AS alias) and " +
+        s"COUNT(*); cannot maintain '$item'")
     // the greedy inner capture of AggRe can swallow past a ')' on
     // malformed/compound items (SUM(a) + SUM(b)); an unbalanced
     // capture means the item was not a single aggregate call
@@ -401,21 +403,29 @@ object GraftSql {
     val byNorm = scala.collection.mutable.HashMap.empty[String, String]
     val keyCandidates = scala.collection.mutable.LinkedHashSet.empty[String]
     val avgs = scala.collection.mutable.LinkedHashSet.empty[String]
+    val approxes = scala.collection.mutable.LinkedHashSet.empty[String]
     val outputs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var extremes = false
-    // resolve an aggregate's operand to its measure name, registering
-    // a derived measure (alias required) on first sight
-    def measureOf(fn: String, inner: String, alias: String): String =
+    // resolve an aggregate's operand to its measure name in `target`
+    // (sum measures or approx-distinct measures — the two maintained
+    // state families), registering a derived measure (alias
+    // required) on first sight; a measure already registered by the
+    // OTHER family joins this one under its existing name
+    def measureInto(target: scala.collection.mutable.LinkedHashSet[String],
+        fn: String, inner: String, alias: String): String =
       inner match {
-        case BareRe(c) => values += c; byNorm(normExpr(c)) = c; c
+        case BareRe(c) => target += c; byNorm(normExpr(c)) = c; c
         case e => byNorm.get(normExpr(e)) match {
-          case Some(m) if values.contains(m) => m // already a measure
+          case Some(m) if values.contains(m) || approxes.contains(m) =>
+            target += m; m // already a measure
           case _ =>
             val a = Option(alias).getOrElse(fail(
               s"$fn($e) — a derived measure needs an AS alias"))
-            values += a; derived(a) = e.trim; byNorm(normExpr(e)) = a; a
+            target += a; derived(a) = e.trim; byNorm(normExpr(e)) = a; a
         }
       }
+    def measureOf(fn: String, inner: String, alias: String): String =
+      measureInto(values, fn, inner, alias)
     // an explicit alias on the select item names the view's output
     // column verbatim (it rides the stored kind as "sum|alias"), so
     // the consumable view matches the declared SQL instead of
@@ -433,6 +443,9 @@ object GraftSql {
           val m = measureOf("AVG", inner, alias)
           avgs += m
           outputs += ((out("avg", alias), m))
+        case "APPROX_COUNT_DISTINCT" =>
+          outputs += ((out("adc", alias),
+            measureInto(approxes, "APPROX_COUNT_DISTINCT", inner, alias)))
         case mm => // MIN | MAX
           extremes = true
           outputs += ((out(mm.toLowerCase, alias),
@@ -458,8 +471,9 @@ object GraftSql {
     }
     require(keys.nonEmpty && keys.forall(k => keyCandidates.contains(k)),
       "every GROUP BY item must be selected as a key")
-    require(values.nonEmpty,
-      "CREATE MATERIALIZED VIEW needs at least one SUM/AVG/MIN/MAX measure")
+    require(values.nonEmpty || approxes.nonEmpty,
+      "CREATE MATERIALIZED VIEW needs at least one SUM/AVG/MIN/MAX/" +
+        "APPROX_COUNT_DISTINCT measure")
     // EXACT repeats of one select item (COUNT(*) twice, the same
     // AVG listed twice) collapse to one output column; two DISTINCT
     // items that would surface under the same column name (SUM(x) AS
@@ -480,7 +494,8 @@ object GraftSql {
         s"duplicate output column '$n' in CREATE MATERIALIZED VIEW " +
           "select list; alias the items apart")
     }
-    (keys, values.toSeq, extremes, derived.toSeq, avgs.toSeq, uniqueOuts)
+    (keys, values.toSeq, extremes, derived.toSeq, avgs.toSeq, uniqueOuts,
+      approxes.toSeq)
   }
 
   /** Parse the maintainable JOIN chain: `[LEFT] JOIN dim ON a = b`

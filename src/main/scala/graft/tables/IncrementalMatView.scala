@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * decimal zero; the count knows the group's non-null values are
   * gone, so the view surfaces NULL like a recompute would).
   *
+  * `approxCols` measures maintain a per-group HLL SKETCH (mergeable
+  * DataSketches binary) backing APPROX_COUNT_DISTINCT outputs: sketch
+  * union is abelian, so insert-only feeds fold exactly like SUM; a
+  * sketch has no inverse, so deletions route the touched groups
+  * through the same affected-group recompute machinery as MIN/MAX —
+  * the one lever that makes EVERY non-invertible aggregate
+  * maintainable.
+  *
   * With `extremes = true` the view also maintains MIN/MAX of every
   * measure — NON-abelian aggregates with no delta inverse, handled by
   * AFFECTED-GROUP RECOMPUTE: a batch's insert-only groups still fold
@@ -63,9 +71,11 @@ class IncrementalMatView private (spark: SparkSession,
     derived: Seq[(String, String)] = Nil,
     dims: Seq[(String, String, String, String)] = Nil,
     avgCols: Seq[String] = Nil,
-    outputs: Seq[(String, String)] = Nil) {
+    outputs: Seq[(String, String)] = Nil,
+    approxCols: Seq[String] = Nil) {
   import IncrementalMatView._
-  require(valueCols.nonEmpty, "at least one measure column")
+  require(valueCols.nonEmpty || approxCols.nonEmpty,
+    "at least one measure column")
   require(dims.forall(d => d._4 == "left" || d._4 == "inner"),
     "dim join type must be 'left' or 'inner'")
   require(avgCols.forall(valueCols.contains),
@@ -75,8 +85,9 @@ class IncrementalMatView private (spark: SparkSession,
     (k == "cnt" && v.isEmpty) ||
       (k == "sum" && valueCols.contains(v)) ||
       (k == "avg" && avgCols.contains(v)) ||
+      (k == "adc" && approxCols.contains(v)) ||
       ((k == "min" || k == "max") && extremes && valueCols.contains(v)) },
-    "outputs must name maintained measures with sum/avg/min/max/cnt")
+    "outputs must name maintained measures with sum/avg/min/max/adc/cnt")
 
   /** Dimension tables joined into the view:
     * (table, factKey, dimKey, joinType). Loaded once per handle;
@@ -154,7 +165,13 @@ class IncrementalMatView private (spark: SparkSession,
     // aggregate folding with the same signed deltas as the sums;
     // backs AVG and the NULL-when-all-retired sum semantics
     val nn = nnCols.map(v => count(col(v)).as(s"m_nn_$v"))
-    val aggs = base ++ ext ++ nn
+    // APPROX-DISTINCT measures: a mergeable HLL sketch (DataSketches
+    // binary) per group — union-mergeable (abelian under ∪, so
+    // insert-only feeds FOLD like SUM), but NOT invertible, so any
+    // deletion routes the group through the affected-group recompute
+    // exactly as MIN/MAX do
+    val hll = approxCols.map(v => hll_sketch_agg(col(v)).as(s"m_hll_$v"))
+    val aggs = base ++ ext ++ nn ++ hll
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -245,15 +262,18 @@ class IncrementalMatView private (spark: SparkSession,
       .when(col("_change_type").isin("delete", "update_preimage"), -1)
       .otherwise(0)
     // groups a deletion touches: their MIN/MAX cannot be folded (the
-    // retired value may have been the extreme) — recomputed below.
-    // Without extremes every group folds; the affected set is empty.
+    // retired value may have been the extreme), and neither can an
+    // HLL sketch (union has no inverse) — recomputed below. Without
+    // extremes or approx measures every group folds; the affected
+    // set is empty.
+    val needsAffected = extremes || approxCols.nonEmpty
     val affected =
-      if (!extremes) spark.emptyDataFrame
+      if (!needsAffected) spark.emptyDataFrame
       else feed.where(col("_change_type")
           .isin("delete", "update_preimage"))
         .select(keys.map(col): _*).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val anyAffected = extremes && affected.limit(1).count() > 0
+    val anyAffected = needsAffected && affected.limit(1).count() > 0
     // NULL-SAFE affected-group routing: a Seq-based join drops
     // null-keyed groups on the floor (null = null is null), which
     // would FOLD a null-keyed group's deletion instead of recomputing
@@ -281,7 +301,11 @@ class IncrementalMatView private (spark: SparkSession,
           .cast("decimal(38,4)").as(s"m_max_$v")))
     else Nil) ++ nnCols.map(v =>
       sum(when(col(v).isNotNull, sign).otherwise(0))
-        .cast("long").as(s"m_nn_$v"))
+        .cast("long").as(s"m_nn_$v")) ++ approxCols.map(v =>
+      // positive rows only (negatives define affected groups, which
+      // never reach this fold) — the delta sketch unions into the
+      // stored one
+      hll_sketch_agg(when(sign > 0, col(v))).as(s"m_hll_$v"))
     val delta = foldFeed
       .groupBy(keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
@@ -298,7 +322,9 @@ class IncrementalMatView private (spark: SparkSession,
         min(col(s"m_min_$v")).cast("decimal(38,4)").as(s"m_min_$v"),
         max(col(s"m_max_$v")).cast("decimal(38,4)").as(s"m_max_$v")))
     else Nil) ++ nnCols.map(v =>
-      sum(col(s"m_nn_$v")).cast("long").as(s"m_nn_$v"))
+      sum(col(s"m_nn_$v")).cast("long").as(s"m_nn_$v")) ++
+      approxCols.map(v =>
+        hll_union_agg(col(s"m_hll_$v")).as(s"m_hll_$v"))
     val folded = mvOld.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(foldAggs.head, foldAggs.tail: _*)
@@ -323,7 +349,7 @@ class IncrementalMatView private (spark: SparkSession,
       }
     mv.overwrite(nullableFrame(merged),
       Map(SourceVersionKey -> to) ++ dimVersionMetrics(dimVs))
-    if (extremes && affected != null) affected.unpersist()
+    if (needsAffected && affected != null) affected.unpersist()
     applyRetention()
     to
   }
@@ -372,6 +398,12 @@ class IncrementalMatView private (spark: SparkSession,
         .as(s"avg_$v")
       case "min" => round(col(s"m_min_$v"), 4).cast("double").as(s"min_$v")
       case "max" => round(col(s"m_max_$v"), 4).cast("double").as(s"max_$v")
+      // APPROX_COUNT_DISTINCT from the maintained sketch; a group
+      // whose values were all null holds a null sketch — the exact
+      // COUNT(DISTINCT) answer there is 0, so surface that (estimate
+      // is EXACT while the sketch is in its small-cardinality mode)
+      case "adc" => coalesce(
+        hll_sketch_estimate(col(s"m_hll_$v")), lit(0L)).as(s"adc_$v")
       case "cnt" => col("m_cnt").as("n_rows")
       case other => throw new IllegalArgumentException(
         s"unknown view output kind '$other'")
@@ -400,7 +432,8 @@ class IncrementalMatView private (spark: SparkSession,
       else (valueCols.map(v => outCol("sum", v)) :+ outCol("cnt", "")) ++
         (if (extremes) valueCols.flatMap(v =>
           Seq(outCol("min", v), outCol("max", v))) else Nil) ++
-        avgCols.map(v => outCol("avg", v))
+        avgCols.map(v => outCol("avg", v)) ++
+        approxCols.map(v => outCol("adc", v))
     mv.snapshot().select((keys.map(col) ++ outs): _*)
   }
 }
@@ -423,6 +456,7 @@ object IncrementalMatView {
   private val PropDims = "graft.mv.dims"
   private val PropAvgs = "graft.mv.avgs"
   private val PropOutputs = "graft.mv.outputs"
+  private val PropApprox = "graft.mv.approx"
   private[tables] val RetainHoursProp = "graft.mv.retain.hours"
 
   private[tables] def dimVersionKey(i: Int): String = s"mvDimVersion$i"
@@ -529,10 +563,28 @@ object IncrementalMatView {
       derived: Seq[(String, String)],
       dims: Seq[(String, String, String, String)],
       avgCols: Seq[String],
-      outputs: Seq[(String, String)]): IncrementalMatView = {
+      outputs: Seq[(String, String)]): IncrementalMatView =
+    create(spark, source, mvPath, keys, valueCols, extremes, derived,
+      dims, avgCols, outputs, Nil)
+
+  /** [[create]] plus `approxCols`: measures maintained as mergeable
+    * per-group HLL sketches backing APPROX_COUNT_DISTINCT outputs —
+    * insert feeds FOLD (sketch union is abelian), deletes route the
+    * touched groups through the same affected-group recompute as
+    * MIN/MAX (a sketch has no inverse). Need not be numeric and need
+    * not be sum measures.
+    */
+  def create(spark: SparkSession, source: GraftTable, mvPath: String,
+      keys: Seq[String], valueCols: Seq[String],
+      extremes: Boolean,
+      derived: Seq[(String, String)],
+      dims: Seq[(String, String, String, String)],
+      avgCols: Seq[String],
+      outputs: Seq[(String, String)],
+      approxCols: Seq[String]): IncrementalMatView = {
     val v = source.latestVersion
     val handle = new IncrementalMatView(spark, source, null, keys,
-      valueCols, extremes, derived, dims, avgCols, outputs)
+      valueCols, extremes, derived, dims, avgCols, outputs, approxCols)
     // dim versions captured BEFORE the initial scan joins them: a dim
     // committing mid-create is then recorded LOW and the first
     // refresh recomputes (same TOCTOU posture as refresh())
@@ -562,9 +614,11 @@ object IncrementalMatView {
       (if (avgCols.isEmpty) Map.empty[String, String]
        else Map(PropAvgs -> avgCols.mkString(","))) ++
       (if (outputs.isEmpty) Map.empty[String, String]
-       else Map(PropOutputs -> encodeDerived(outputs))))
+       else Map(PropOutputs -> encodeDerived(outputs))) ++
+      (if (approxCols.isEmpty) Map.empty[String, String]
+       else Map(PropApprox -> approxCols.mkString(","))))
     new IncrementalMatView(spark, source, mv, keys, valueCols,
-      extremes, derived, dims, avgCols, outputs)
+      extremes, derived, dims, avgCols, outputs, approxCols)
   }
 
   /** Re-open a maintained view from the definition stored in its own
@@ -580,12 +634,15 @@ object IncrementalMatView {
     new IncrementalMatView(spark,
       GraftTable.load(spark, req(PropSource)), mv,
       req(PropKeys).split(",").toSeq,
-      req(PropValues).split(",").toSeq,
+      // an approx-only view stores an empty measure list — "" must
+      // not round-trip into a phantom measure named ""
+      req(PropValues).split(",").toSeq.filter(_.nonEmpty),
       req(PropExtremes).toBoolean,
       props.get(PropDerived).map(decodeDerived).getOrElse(Nil),
       props.get(PropDims).map(decodeDims).getOrElse(Nil),
       props.get(PropAvgs).map(_.split(",").toSeq).getOrElse(Nil),
-      props.get(PropOutputs).map(decodeDerived).getOrElse(Nil))
+      props.get(PropOutputs).map(decodeDerived).getOrElse(Nil),
+      props.get(PropApprox).map(_.split(",").toSeq).getOrElse(Nil))
   }
 
   /** CONTINUOUSLY maintained view — the Delta-Live-Tables shape: a

@@ -817,6 +817,83 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("materialized view SQL maintains APPROX_COUNT_DISTINCT as a " +
+      "mergeable HLL sketch through a DML storm; small domains exact") {
+    val (t, _) = registered("gs_mvhsrc")
+    try {
+      val mvDir = Files.createTempDirectory("graft_sqlmvh_")
+        .resolve("mv").toString
+      spark.sql("DROP TABLE IF EXISTS gs_mvh")
+      GraftSql.sql(spark,
+        s"CREATE MATERIALIZED VIEW gs_mvh LOCATION '$mvDir' AS " +
+          "SELECT o_orderstatus, SUM(o_totalprice) AS s, " +
+          "APPROX_COUNT_DISTINCT(o_custkey) AS custs, " +
+          "APPROX_COUNT_DISTINCT(o_orderpriority) AS prios, COUNT(*) " +
+          "FROM gs_mvhsrc GROUP BY o_orderstatus")
+      // maintained state holds the sketch bytes
+      assert(spark.table("gs_mvh").schema("m_hll_o_custkey").dataType
+        === org.apache.spark.sql.types.BinaryType)
+      // DML STORM: insert-only fold (append), then deletes + an
+      // update (affected-group recompute — sketches have no inverse)
+      val orders = Tables.load(spark, sf, "orders")
+      t.append(orders.filter($"o_orderkey" % 50 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 20000000L)
+        .withColumn("o_custkey", $"o_custkey" + 900000L)
+        .withColumn("o_orderstatus", lit("N")))
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gs_mvh")
+      GraftSql.sql(spark,
+        "DELETE FROM gs_mvhsrc WHERE o_custkey % 5 = 1")
+      GraftSql.sql(spark,
+        "UPDATE gs_mvhsrc SET o_custkey = o_custkey + 1000000 " +
+          "WHERE o_orderpriority = '1-URGENT'")
+      GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gs_mvh")
+      val maintained = graft.tables.IncrementalMatView.load(spark, mvDir)
+        .view().select($"o_orderstatus", $"custs", $"prios")
+        .orderBy($"o_orderstatus")
+        .as[(String, Long, Long)].collect().toSeq
+      val exact = t.snapshot().groupBy($"o_orderstatus")
+        .agg(countDistinct($"o_custkey"), countDistinct($"o_orderpriority"))
+        .orderBy($"o_orderstatus")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(maintained.map(_._1) === exact.map(_._1),
+        "maintained groups diverged from recompute")
+      // custkey domain (~1k/group): within standard HLL tolerance of
+      // the EXACT count (lgK=12 → rsd ~1.6%; allow 5%)
+      maintained.zip(exact).foreach { case ((g, mc, mp), (_, ec, ep)) =>
+        assert(math.abs(mc - ec).toDouble <= math.max(2.0, 0.05 * ec),
+          s"group $g: maintained approx $mc vs exact $ec out of tolerance")
+        // priority domain (≤5/group): the sketch is still in its
+        // exact small-cardinality mode — equality, not tolerance
+        assert(mp === ep, s"group $g: small-domain adc $mp != exact $ep")
+      }
+      // maintained ≡ a from-scratch recompute OF THE SAME DEFINITION
+      // (same sketch machinery, fresh build) — the maintenance added
+      // no drift beyond the sketch's own estimate
+      val mv2Dir = Files.createTempDirectory("graft_sqlmvh2_")
+        .resolve("mv").toString
+      spark.sql("DROP TABLE IF EXISTS gs_mvh2")
+      GraftSql.sql(spark,
+        s"CREATE MATERIALIZED VIEW gs_mvh2 LOCATION '$mv2Dir' AS " +
+          "SELECT o_orderstatus, SUM(o_totalprice) AS s, " +
+          "APPROX_COUNT_DISTINCT(o_custkey) AS custs, " +
+          "APPROX_COUNT_DISTINCT(o_orderpriority) AS prios, COUNT(*) " +
+          "FROM gs_mvhsrc GROUP BY o_orderstatus")
+      val fresh = graft.tables.IncrementalMatView.load(spark, mv2Dir)
+        .view().select($"o_orderstatus", $"custs", $"prios")
+        .orderBy($"o_orderstatus")
+        .as[(String, Long, Long)].collect().toSeq
+      maintained.zip(fresh).foreach { case ((g, mc, mp), (_, fc, fp)) =>
+        assert(math.abs(mc - fc).toDouble <= math.max(2.0, 0.02 * fc),
+          s"group $g: maintained $mc drifted from fresh sketch $fc")
+        assert(mp === fp)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gs_mvhsrc")
+      spark.sql("DROP TABLE IF EXISTS gs_mvh")
+      spark.sql("DROP TABLE IF EXISTS gs_mvh2")
+    }
+  }
+
   test("materialized view SQL maintains AVG as the sum/count pair") {
     val (t, _) = registered("gs_mvavgsrc")
     try {
