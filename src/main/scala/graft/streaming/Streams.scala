@@ -343,16 +343,21 @@ object Streams {
         // with an audit path, verdicts additionally persist to the
         // audit GraftTable — its own exactly-once layer on the same
         // epoch id (a replayed epoch logs nothing twice)
+        // per-checkpoint watermark scope for BOTH the audit and the
+        // index appends: each pipeline (one checkpoint = one epoch-id
+        // sequence from 0) keys its own exactly-once ledgers, so two
+        // curationStreams sharing one index never mistake each
+        // other's batch 0 for a replay (which would silently skip an
+        // index append — lost signatures, near-dups admitted forever)
         val verdicts = auditPath match {
           case Some(ap) => graft.operators.Dedup.admitBatchLogged(
             spark, indexPath, clustersPath, ap, batch, batchId = id,
             admitted = adm,
-            // per-checkpoint audit watermark: a checkpoint reset (or
-            // a second pipeline sharing the audit table) restarts its
-            // OWN id sequence without masking earlier pipelines'
-            auditAppId = s"audit:$checkpoint")
+            auditAppId = s"audit:$checkpoint",
+            pipelineId = s":$checkpoint")
           case None => graft.operators.Dedup.admitBatch(spark,
-            indexPath, clustersPath, batch, batchId = id, admitted = adm)
+            indexPath, clustersPath, batch, batchId = id, admitted = adm,
+            pipelineId = s":$checkpoint")
         }
         val kept = batch.join(
           verdicts.where(col("action") === "keep").select(col("doc_id")),

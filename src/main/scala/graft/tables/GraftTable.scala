@@ -4105,6 +4105,42 @@ object GraftTable {
     * tuple recorded per-file in the commit log — the metadata behind
     * [[GraftTable.overwritePartitions]] and exact partition pruning.
     */
+  /** CREATE-OR-LOAD, race-safe: the check-then-create shape every
+    * lazily-initialized state table uses (dedup index subtables,
+    * clusters state, ledgers, audit trails) is a cross-process race
+    * — two concurrent initializers can both pass the absent check,
+    * and the slower create fails ("table already exists" on the log
+    * dir, or a CommitConflictException on the version-0 claim). The
+    * loser here LOADS what the winner created instead of surfacing
+    * the race; its already-written seed files (if any) are ordinary
+    * unreferenced orphans, reported by fsck and reclaimed by vacuum.
+    */
+  def createIfAbsent(spark: SparkSession, path: String, df: DataFrame,
+      props: Map[String, String] = Map.empty): GraftTable = {
+    val log = Paths.get(path).resolve("_graft_log")
+    // the creator makes the log directory BEFORE its version-0
+    // commit lands — a loser arriving inside that window must wait
+    // it out, not serve a versionless table
+    def loadReady(): GraftTable = {
+      val t = load(spark, path)
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (t.latestVersion < 0L && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      require(t.latestVersion >= 0L,
+        s"table at $path never finished initializing (empty log)")
+      t
+    }
+    if (Files.exists(log)) return loadReady()
+    try {
+      val t = create(spark, path, df)
+      if (props.nonEmpty) t.setProperties(props)
+      t
+    } catch {
+      case _: IllegalArgumentException | _: CommitConflictException
+          if Files.exists(log) => loadReady()
+    }
+  }
+
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       generated: Map[String, String] = Map.empty,

@@ -59,6 +59,131 @@ class ConflictResolutionSpec extends SparkSpec {
     }
   }
 
+  test("admission racing a GDPR forget on one dedup index " +
+      "serializes: both land or the loser retries cleanly, and the " +
+      "final state matches the (unique) serial outcome") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // a few iterations to hit different interleavings; every
+    // iteration must satisfy the same invariants
+    (0 until 3).foreach { iter =>
+      val stage = Files.createTempDirectory(s"graft_race_af$iter")
+      val idx = stage.resolve("idx").toString
+      val cl = stage.resolve("cl").toString
+      // doc 1 admitted, doc 2 drops as its near-dup: clusters {1,2}→1
+      Dedup.admitBatch(spark, idx, cl,
+        Seq((1L, base)).toDF("doc_id", "text"), batchId = 0L)
+      Dedup.admitBatch(spark, idx, cl,
+        Seq((2L, base + " omega")).toDF("doc_id", "text"), batchId = 1L)
+      // RACE: admit doc 30 (near-dup of the component) vs forget of
+      // the canonical 1. Any failure must be the clean retryable
+      // conflict; the retried loser then lands against fresh state.
+      val ops: Seq[() => Unit] = Seq(
+        () => { Dedup.admitBatch(spark, idx, cl,
+          Seq((30L, base + " psi")).toDF("doc_id", "text"),
+          batchId = 2L).unpersist(); () },
+        () => { Dedup.forgetDocs(spark, idx, Seq(1L).toDF("doc_id"),
+          Some(cl)).unpersist(); () })
+      val outcomes = Await.result(Future.sequence(ops.map(op => Future {
+        try { op(); None }
+        catch { case e: CommitConflictException => Some(op) }
+      })), 300.seconds)
+      // loser (if any) retries once, sequentially — every step is
+      // idempotent/watermarked, so the replay converges
+      outcomes.flatten.foreach(op => op())
+      // BOTH serial orders end in the same state — assert exactly it:
+      // no surface names doc 1; the component is {2, 30} rooted at 2;
+      // doc 30's admission was not lost
+      def sub(s: String) = GraftTable.load(spark,
+        java.nio.file.Paths.get(idx, s).toString).snapshot()
+      assert(sub("sigs").where($"doc_id" === 1L).count() === 0,
+        s"iter $iter: forgotten doc's signatures survived the race")
+      assert(sub("shingles").where($"doc_id" === 1L).count() === 0)
+      assert(sub("sigs").where($"doc_id" === 30L).count() > 0,
+        s"iter $iter: the racing admission's signatures were lost")
+      assert(Dedup.clustersView(spark, cl)
+        .as[(Long, Long, Int)].collect().toSet
+        === Set((2L, 2L, 1), (30L, 2L, 0)),
+        s"iter $iter: clusters diverged from the serial outcome " +
+          "(a retired doc may be named as root)")
+    }
+  }
+
+  test("two curation pipelines sharing one index: every admission " +
+      "lands exactly once (per-pipeline watermark scope), and each " +
+      "screens against the other's index entries") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.streaming.Streams
+    def doc(id: Long, text: String) =
+      (id, text, "en", "web", text.length.toLong)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val stage = Files.createTempDirectory("graft_race_2p_")
+    val curated = GraftTable.create(spark,
+      stage.resolve("curated").toString,
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    def pipeline(name: String, rows: Seq[(Long, String, String, String, Long)])
+        : () => Unit = {
+      val raw = stage.resolve(s"raw_$name")
+      java.nio.file.Files.createDirectories(raw)
+      graft.sources.Ingest.stageBatch(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        raw.toString, "b1")
+      () => { Streams.curationStream(spark, raw.toString,
+        stage.resolve(s"cp_$name").toString, idx, cl, curated); () }
+    }
+    val runA = pipeline("a", Seq(doc(1, base),
+      doc(7, s"unique seven $base reversed".split(" ").reverse.mkString(" "))))
+    val runB = pipeline("b", Seq(doc(11, other), doc(17,
+      "completely different words entirely novel content here " +
+        "nothing shared with anything prior at all")))
+    // CONCURRENT epoch 0 on both pipelines — same index, same
+    // clusters, same curated table, distinct checkpoints. A cluster
+    // merge race may conflict; the retried stream replays through
+    // its exactly-once layers and converges.
+    val outcomes = Await.result(Future.sequence(Seq(runA, runB).map(r =>
+      Future {
+        try { r(); None }
+        catch { case e: Throwable
+            if Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .take(8).exists(_.isInstanceOf[CommitConflictException]) =>
+          Some(r)
+        }
+      })), 300.seconds)
+    outcomes.flatten.foreach(r => r())
+    // no lost admission: all four distinct docs curated exactly once
+    val ids = curated.snapshot().groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(ids.keySet === Set(1L, 7L, 11L, 17L),
+      s"lost/spurious admissions: ${ids.keySet}")
+    assert(ids.values.forall(_ === 1L), s"duplicated admission: $ids")
+    // no lost INDEX append (the shared-watermark bug): every doc's
+    // signatures are present, so pipeline A's cycle-2 near-dup of a
+    // PIPELINE-B doc is screened out
+    val sigs = GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "sigs").toString).snapshot()
+    Seq(1L, 7L, 11L, 17L).foreach(d =>
+      assert(sigs.where($"doc_id" === d).count() > 0,
+        s"doc $d's index append was lost (watermark collision)"))
+    val rawA2 = stage.resolve("raw_a")
+    graft.sources.Ingest.stageBatch(
+      Seq(doc(21, other + " eleven")).toDF(
+        "doc_id", "text", "lang", "source", "n_chars"),
+      rawA2.toString, "b2")
+    graft.streaming.Streams.curationStream(spark, rawA2.toString,
+      stage.resolve("cp_a").toString, idx, cl, curated)
+    assert(curated.snapshot().where($"doc_id" === 21L).count() === 0,
+      "pipeline A failed to screen against pipeline B's index entries")
+  }
+
   test("write-write overlap on the same files is detected") {
     val t = seedTable(tmp())
     val aFiles = t.candidateFiles($"p" === "A").toSet
