@@ -146,7 +146,16 @@ object ScaleProbe {
       stage.resolve("clusters").toString, curated)
     val t2 = System.nanoTime()
     val admitted = curated.rowCount.map(_ - corpusRows).getOrElse(-1L)
-    println(s"""{"metric":"curate_probe","corpus":"$corpusDir","batch":"$batchDir","seed_sec":${(t1 - t0) / 1e9},"cycle_sec":${(t2 - t1) / 1e9},"admitted":$admitted}""")
+    // per-stage split of the cycle (r14): screen (band probe + index
+    // appends), cluster fold, verdict+glue (admit minus those two),
+    // curated append; the remainder vs cycle_sec is stream machinery
+    // (source listing, checkpointing, epoch planning)
+    val st = graft.streaming.Streams.lastEpochStages
+    def g(k: String): Double = st.getOrElse(k, -1.0)
+    val stagesJson = s""""screen_sec":${g("screen_sec")},""" +
+      s""""cluster_sec":${g("cluster_sec")},""" +
+      s""""admit_sec":${g("admit_sec")},"append_sec":${g("append_sec")}"""
+    println(s"""{"metric":"curate_probe","corpus":"$corpusDir","batch":"$batchDir","seed_sec":${(t1 - t0) / 1e9},"cycle_sec":${(t2 - t1) / 1e9},$stagesJson,"admitted":$admitted}""")
   }
 
   /** Fixed-trickle maintained-view refresh against a growing fact

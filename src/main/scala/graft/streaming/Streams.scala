@@ -18,6 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Last curation epoch's per-stage wall times (seconds) — the
+    * scale-probe DIAGNOSTIC: admit = screening + cluster fold +
+    * verdict materialization (its screen/cluster split rides in from
+    * Dedup.lastAdmitStages), append = kept-join + exactly-once
+    * curated append. Last-write-wins; not part of any contract.
+    */
+  @volatile private[graft] var lastEpochStages: Map[String, Double] =
+    Map.empty
+
   /** Tumbling 1-hour event-time window aggregate (batch form;
     * date_trunc is the oracle-portable spelling of window()).
     * Batch/stream parity holds under whole-hour-offset session
@@ -330,6 +339,7 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", cp.resolve("stream").toString)
       .foreachBatch { (df: DataFrame, id: Long) =>
+        val e0 = System.nanoTime()
         val batch = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // firstAdmittedWins: the curated table's PRE-APPEND ids are
@@ -359,10 +369,15 @@ object Streams {
             indexPath, clustersPath, batch, batchId = id, admitted = adm,
             pipelineId = s":$checkpoint")
         }
+        val e1 = System.nanoTime()
         val kept = batch.join(
           verdicts.where(col("action") === "keep").select(col("doc_id")),
           Seq("doc_id"))
         curated.appendIfNew(kept, id, appId = checkpoint)
+        val e2 = System.nanoTime()
+        lastEpochStages = graft.operators.Dedup.lastAdmitStages ++
+          Map("admit_sec" -> (e1 - e0) / 1e9,
+            "append_sec" -> (e2 - e1) / 1e9)
         verdicts.unpersist() // no-op for the unlogged (lazy) variant
         batch.unpersist(); ()
       }
