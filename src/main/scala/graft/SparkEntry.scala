@@ -94,6 +94,7 @@ object SparkEntry {
     "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
+    "tbl_merge_evolve" -> (TableOps.mergeEvolve _),
     "tbl_merge_sync" -> (TableOps.mergeSync _),
     "tbl_deep_clone" -> (TableOps.deepCloneScenario _),
     "ml_run_ledger" -> (TableOps.runLedgerScenario _),
@@ -1111,6 +1112,22 @@ object SparkEntry {
         |SELECT * FROM src
         |UNION ALL
         |SELECT o.* FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey""".stripMargin,
+    // schema-evolving merge: the source-only o_channel column joins
+    // the schema; pre-merge rows surface null for it
+    "tbl_merge_evolve" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority,
+        |    'online' AS o_channel
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority, 'batch'
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT o.*, CAST(NULL AS VARCHAR) AS o_channel
+        |FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey""".stripMargin,
     // sync merge: matched rows take the source version, fresh source
     // keys insert, unmatched 'O' rows downgrade priority, unmatched
     // 'P' rows delete (the BY SOURCE clauses), 'F' strays survive

@@ -63,6 +63,29 @@ object TableOps {
     t.snapshot()
   }
 
+  /** MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge; the schema-drift
+    * form of the reference's upsert at 01-Fraud-Delta.py:218-241):
+    * the source carries a column the table lacks (`o_channel`) — the
+    * merge ADDS it to the target schema in the same commit, matched
+    * and inserted rows take the source value, and every pre-merge row
+    * surfaces null for it.
+    */
+  def mergeEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val src = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_channel", lit("online"))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_channel", lit("batch")))
+    t.merge(src, Seq("o_orderkey"),
+      Seq(GraftTable.MatchedUpdate()), Some(GraftTable.NotMatchedInsert()),
+      Nil, evolveSchema = true)
+    t.snapshot()
+  }
+
   /** MERGE sync (Delta's `WHEN NOT MATCHED BY SOURCE`, the form the
     * reference's upsert at 01-Fraud-Delta.py:218-241 graduates into
     * for SCD/sync pipelines): ONE statement upserts the source AND

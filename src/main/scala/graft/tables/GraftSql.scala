@@ -1056,7 +1056,11 @@ object GraftSql {
             s"$other (DELETE and UPDATE SET are supported; UPDATE SET * " +
             "cannot exist — there is no source row)")
       }
-    target.table.merge(srcDf, tgtKeys, matched, notMatched, bySource)
+    // MERGE WITH SCHEMA EVOLUTION: Spark's parser carries the flag on
+    // MergeIntoTable; source-only columns evolve the target schema in
+    // the same commit (GraftTable.merge's evolveSchema path)
+    target.table.merge(srcDf, tgtKeys, matched, notMatched, bySource,
+      evolveSchema = m.withSchemaEvolution)
     refresh(spark, target)
   }
 

@@ -1810,6 +1810,23 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     else StructType(updated ++ fresh)
   }
 
+  /** Physical-name additions for the columns `schema` ADDS over
+    * `base`'s schema: an evolve-added column whose name matches ANY
+    * physical name a past commit used (e.g. a previously DROPPED
+    * column) gets a fresh physical name — otherwise old files' stale
+    * bytes would resurface under the new logical column. Shared by
+    * every schema-evolving write path (append, MERGE).
+    */
+  private def freshColumnMap(schema: StructType, base: Long): Map[String, String] = {
+    val addedCols = schema.fieldNames
+      .filterNot(n => base >= 0 && schemaAt(base).fieldNames.contains(n))
+    if (addedCols.isEmpty || base < 0) Map.empty
+    else {
+      val used = usedPhysicalNames(base)
+      addedCols.filter(used.contains).map(n => n -> s"${n}__c${base + 1}").toMap
+    }
+  }
+
   /** Align `df` to the target schema's column set, CASTING each
     * present column to the schema's type — the upcast that lets a
     * narrower batch (int into a long column) land on every write path.
@@ -1835,20 +1852,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     enforceConstraints(dfIn)
     val schema = checkSchema(dfIn, evolve)
     val aligned = alignTo(dfIn, schema)
-    // evolve-added columns whose name matches ANY physical name a past
-    // commit used (e.g. a previously DROPPED column) get a fresh
-    // physical name — otherwise old files' stale bytes would resurface
-    // under the new logical column
-    val baseCm = columnMapAt(base)
-    val addedCols = schema.fieldNames
-      .filterNot(n => base >= 0 && schemaAt(base).fieldNames.contains(n))
-    val fresh =
-      if (addedCols.isEmpty || base < 0) Map.empty[String, String]
-      else {
-        val used = usedPhysicalNames(base)
-        addedCols.filter(used.contains).map(n => n -> s"${n}__c${base + 1}").toMap
-      }
-    val cm = baseCm ++ fresh
+    val fresh = freshColumnMap(schema, base)
+    val cm = columnMapAt(base) ++ fresh
     val w = writeData(aligned, partitionColumnsAt(base), cm,
       bucketSpecAt(base))
     val added = w.files
@@ -2418,7 +2423,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       newPartValues: Map[String, Map[String, String]] = Map.empty,
       dvOut: (Long, Seq[String]) => Option[Seq[String]] = null,
       conflictRemoves: Option[Set[String]] = None,
-      idHwBefore: Long = -2L): Long = {
+      idHwBefore: Long = -2L,
+      newColumnMap: Option[Map[String, String]] = None): Long = {
     val dvFn: (Long, Seq[String]) => Option[Seq[String]] =
       if (dvOut != null) dvOut
       else (b, untouched) => Some(liveDvs(dvAt(b), untouched, filesAt(b)))
@@ -2429,7 +2435,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       try {
         return commit(op, b, untouched ++ adds, schema, metrics, newStats,
           cdcFiles = cdcFiles, dv = dvFn(b, untouched),
-          newPartValues = newPartValues)
+          newPartValues = newPartValues, newColumnMap = newColumnMap)
       } catch {
         case e: CommitConflictException =>
           attempts += 1
@@ -2690,11 +2696,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def merge(source: DataFrame, keys: Seq[String],
       matched0: Seq[GraftTable.MatchedClause],
       notMatched0: Option[GraftTable.NotMatchedInsert],
-      bySource0: Seq[GraftTable.NotMatchedBySourceClause]): Long = {
+      bySource0: Seq[GraftTable.NotMatchedBySourceClause],
+      evolveSchema: Boolean = false): Long = {
     import GraftTable.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate, NotMatchedInsert}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val base = latestVersion
-    val schema = schemaAt(base)
+    // MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge): source-only
+    // columns are ADDED to the target schema (nullable — every
+    // pre-merge row surfaces null), name-matched wider source types
+    // widen the target column, and the merge commits the evolved
+    // schema atomically with its row changes. Existing files are
+    // untouched: the evolved-schema read surfaces null for the new
+    // columns, exactly as evolve-append does. A re-added previously
+    // dropped name takes a FRESH physical name so old files' stale
+    // bytes cannot resurface.
+    val schema = if (evolveSchema) checkSchema(source, evolve = true)
+      else schemaAt(base)
+    val freshCm = if (evolveSchema) freshColumnMap(schema, base)
+      else Map.empty[String, String]
+    val cm = columnMapAt(base) ++ freshCm
     // GENERATED ALWAYS identity semantics under MERGE (Delta's rules):
     // the SOURCE must not supply the identity column (and cannot join
     // on it — matching would need source ids); matched rows KEEP the
@@ -2850,7 +2870,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         case _ => filesAt(base)
       }
     val hit = if (probeFiles.isEmpty) Set.empty[String] else {
-      val withFile = scanWithPos(probeFiles, schema, dvAt(base), columnMapAt(base))
+      val withFile = scanWithPos(probeFiles, schema, dvAt(base), cm)
         .withColumnRenamed("__fp", "__file")
       // no broadcast hint: the planner (and AQE) picks the join — a
       // corpus-sized source must not be forced through the driver
@@ -2870,7 +2890,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val touched = matchHits(probeFiles, hit)
     val tgtRows = if (touched.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readFilesDvAware(touched, schema, dvAt(base), columnMapAt(base))
+    else readFilesDvAware(touched, schema, dvAt(base), cm)
     // one left join exposes each target row with its (optional)
     // source match as a struct; clause resolution is pure projection
     val srcStruct = src.select(keys.zipWithIndex.map { case (k, i) =>
@@ -2931,6 +2951,9 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       val updates = matched.zipWithIndex.collect { case (MatchedUpdate(_, set), i) =>
         val v = set match {
           case None if isGen(f) && !srcHas(f) => col(f)
+          // evolution's SET * expands over the SOURCE columns (Delta
+          // semantics): a target-only column keeps its value
+          case None if evolveSchema && !srcHas(f) => col(f)
           case None => col(s"src.$f").cast(schema(f).dataType)
           case Some(m) => m.getOrElse(f, col(f))
         }
@@ -2979,7 +3002,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       // the inserted row (Delta's insert semantics), same as append
       val base0 = ni.values match {
         case None => accepted.select(insertFields.map(fl =>
-          if (isGen(fl.name) && !srcHas(fl.name))
+          if (!srcHas(fl.name) &&
+              (isGen(fl.name) || evolveSchema))
+            // INSERT * over a source missing the column: generated
+            // columns recompute below; evolution's target-only
+            // columns land null (Delta semantics)
             lit(null).cast(fl.dataType).as(fl.name)
           else col(fl.name)).toIndexedSeq: _*)
         case Some(m) => accepted.select(insertFields.map(fl =>
@@ -3013,7 +3040,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       case None => newTouched.drop("__action")
     }
     enforceConstraints(newData)
-    val w = writeData(newData)
+    val w = writeData(newData, partitionColumnsAt(base), cm,
+      bucketSpecAt(base))
     // write-time CDC with EXACT tags (the file-diff fallback can only
     // say "upsert"): updated rows get pre+post images, deleted rows
     // 'delete', fresh source rows 'insert'
@@ -3050,7 +3078,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       collectStats(w.files,
         rewriteStampZone(touched, base, sessionValues = true)),
       cdcFiles = Some(cdc), newPartValues = w.partValues,
-      idHwBefore = if (identityColumn.isDefined) idHwBefore else -2L))
+      idHwBefore = if (identityColumn.isDefined) idHwBefore else -2L,
+      newColumnMap = if (freshCm.isEmpty) None else Some(cm)))
     finally idCleanup()
   }
 

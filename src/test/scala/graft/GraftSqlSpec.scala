@@ -70,6 +70,29 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_merge")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION INTO evolves the target schema " +
+      "in the same commit") {
+    val (t, _) = registered("gs_emerge")
+    try {
+      val src = Tables.load(spark, sf, "orders")
+        .where($"o_orderkey" % 10 === 0)
+        .withColumn("o_channel", lit("online"))
+      src.createOrReplaceTempView("gs_emerge_src")
+      GraftSql.sql(spark,
+        """MERGE WITH SCHEMA EVOLUTION INTO gs_emerge t
+          |USING gs_emerge_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val snap = t.snapshot()
+      assert(snap.columns.contains("o_channel"))
+      assert(snap.count() === Tables.load(spark, sf, "orders").count())
+      assert(snap.where($"o_channel" === "online").count() === src.count())
+      assert(snap.where($"o_channel".isNull).count() ===
+        snap.count() - src.count())
+    } finally spark.sql("DROP TABLE IF EXISTS gs_emerge")
+  }
+
   test("MERGE with conditional UPDATE / DELETE / qualified assignments") {
     val (t, _) = registered("gs_cmerge")
     try {

@@ -114,6 +114,68 @@ class GraftTableSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate join keys"))
   }
 
+  test("merge WITH SCHEMA EVOLUTION adds source-only columns; " +
+      "pre-merge rows surface null") {
+    import graft.tables.GraftTable.{MatchedUpdate, NotMatchedInsert}
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "old"), (2L, "keep")).toDF("id", "v"))
+    // without the flag the extra source column is IGNORED (schema
+    // enforcement holds — the pre-evolution behavior)
+    t.merge(Seq((1L, "new0", 1.0)).toDF("id", "v", "score"), "id")
+    assert(t.snapshot().columns.toSeq === Seq("id", "v"))
+    t.merge(Seq((1L, "new", 7.5), (3L, "ins", 9.0)).toDF("id", "v", "score"),
+      Seq("id"), Seq(MatchedUpdate()), Some(NotMatchedInsert()), Nil,
+      evolveSchema = true)
+    val snap = t.snapshot()
+    assert(snap.columns.toSeq === Seq("id", "v", "score"))
+    val out = snap.orderBy("id").as[(Long, String, Option[Double])].collect()
+    assert(out === Array((1L, "new", Some(7.5)), (2L, "keep", None),
+      (3L, "ins", Some(9.0))))
+  }
+
+  test("merge evolution: SET * / INSERT * over a source MISSING a " +
+      "target column keeps it on updates, nulls it on inserts") {
+    import graft.tables.GraftTable.{MatchedUpdate, NotMatchedInsert}
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "old", 5.0), (2L, "keep", 6.0)).toDF("id", "v", "score"))
+    t.merge(Seq((1L, "new"), (3L, "ins")).toDF("id", "v"),
+      Seq("id"), Seq(MatchedUpdate()), Some(NotMatchedInsert()), Nil,
+      evolveSchema = true)
+    val out = t.snapshot().orderBy("id")
+      .as[(Long, String, Option[Double])].collect()
+    assert(out === Array((1L, "new", Some(5.0)), (2L, "keep", Some(6.0)),
+      (3L, "ins", None)))
+  }
+
+  test("merge evolution re-adding a DROPPED column does not resurrect " +
+      "old bytes") {
+    import graft.tables.GraftTable.{MatchedUpdate, NotMatchedInsert}
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a", 111.0), (2L, "b", 222.0)).toDF("id", "v", "score"))
+    t.dropColumn("score")
+    t.merge(Seq((1L, "a2", 9.0)).toDF("id", "v", "score"),
+      Seq("id"), Seq(MatchedUpdate()), Some(NotMatchedInsert()), Nil,
+      evolveSchema = true)
+    val out = t.snapshot().orderBy("id")
+      .as[(Long, String, Option[Double])].collect()
+    // the re-added column takes a FRESH physical name: any file
+    // surviving from before the drop must read null, never 222.0
+    assert(out === Array((1L, "a2", Some(9.0)), (2L, "b", None)))
+  }
+
+  test("merge evolution widens a matched column's type") {
+    import graft.tables.GraftTable.{MatchedUpdate, NotMatchedInsert}
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 5), (2L, 6)).toDF("id", "x")) // x: int
+    t.merge(Seq((1L, 10L), (3L, 7L)).toDF("id", "x"), Seq("id"),
+      Seq(MatchedUpdate()), Some(NotMatchedInsert()), Nil,
+      evolveSchema = true)
+    assert(t.snapshot().schema("x").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val out = t.snapshot().orderBy("id").as[(Long, Long)].collect()
+    assert(out === Array((1L, 10L), (2L, 6L), (3L, 7L)))
+  }
+
   test("time travel reads pre-delete state; history records ops") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     t.delete($"id" === 1)
