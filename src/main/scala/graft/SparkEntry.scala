@@ -92,6 +92,7 @@ object SparkEntry {
     "text_heavy_hitters" -> (TextAnalysis.heavyHitterLangs _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
+    "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
     "tbl_merge_evolve" -> (TableOps.mergeEvolve _),
@@ -1099,6 +1100,32 @@ object SparkEntry {
         |  , 8) AS score
         |FROM tl, stats
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // domain-mix solver: weights w=idx%4+1, binding domain caps the
+    // total (t_star), ppm rates sample via the md5 residue — all
+    // integer arithmetic, bit-exact across engines
+    "text_domain_mix" ->
+      """WITH dom AS (
+        |  SELECT source, COUNT(*) AS avail_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS avail_chars,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 + 1 AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM dom),
+        |tstar AS (
+        |  SELECT MIN((avail_chars * w_total) // w) AS t_star FROM dom, tot),
+        |plan AS (
+        |  SELECT d.source, d.w, d.avail_docs, d.avail_chars,
+        |    (d.w * t.t_star) // tt.w_total AS need_chars,
+        |    (((d.w * t.t_star) // tt.w_total) * 1000000) // d.avail_chars
+        |      AS rate_ppm
+        |  FROM dom d, tstar t, tot tt)
+        |SELECT p.source, p.w, p.avail_docs, p.avail_chars, p.need_chars,
+        |  p.rate_ppm, COUNT(*) AS picked_docs,
+        |  CAST(SUM(doc.n_chars) AS BIGINT) AS picked_chars,
+        |  CAST(SUM(doc.doc_id) AS BIGINT) AS picked_docid_sum
+        |FROM documents doc JOIN plan p ON doc.source = p.source
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 1000000 < p.rate_ppm
+        |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
     // §C — final table state after each DML scenario
     "tbl_merge_upsert" ->
       """WITH src AS (

@@ -151,6 +151,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("residue"))
   }
 
+  /** Domain-mixing plan + materialization — the training-mix solver
+    * (Pile/DoReMi-shaped): given a target WEIGHT per source domain
+    * (here derived from the source id, w = idx%4+1, so the oracle
+    * replays it without a side table), solve for the largest total
+    * char budget T the corpus can serve at those proportions
+    * (T = min over domains of availᵈ·W/wᵈ — the binding domain caps
+    * the whole mix), derive each domain's exact need and sampling
+    * rate, and materialize the sample with the content-stable md5
+    * residue — the SAME docs survive on any engine or cluster size.
+    * All arithmetic is integer (DIV + ppm rates), so DuckDB replays
+    * it bit-exactly.
+    *
+    * Scale shape: one O(domains)-row aggregate, two 1-row scalar
+    * cross-joins (broadcast), one broadcast join of the 20-row plan
+    * onto the corpus, one map-side filter — no driver loop, no RNG,
+    * no shuffle of the corpus beyond the final per-domain rollup.
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val domains = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("avail_docs"),
+        sum(col("n_chars")).as("avail_chars"))
+      .withColumn("w",
+        regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1)
+    val wTot = domains.agg(sum(col("w")).as("w_total"))
+    val dom2 = domains.crossJoin(broadcast(wTot))
+    val tStar = dom2.agg(
+      min(expr("(avail_chars * w_total) DIV w")).as("t_star"))
+    val plan = dom2.crossJoin(broadcast(tStar))
+      .withColumn("need_chars", expr("(w * t_star) DIV w_total"))
+      .withColumn("rate_ppm",
+        expr("(need_chars * 1000000) DIV avail_chars"))
+      .select("source", "w", "avail_docs", "avail_chars", "need_chars",
+        "rate_ppm")
+    docs.join(broadcast(plan), "source")
+      .withColumn("residue",
+        Tables.md5Residue(col("doc_id").cast("string")) % 1000000L)
+      .filter(col("residue") < col("rate_ppm"))
+      .groupBy(col("source"), col("w"), col("avail_docs"),
+        col("avail_chars"), col("need_chars"), col("rate_ppm"))
+      .agg(count(lit(1)).as("picked_docs"),
+        sum(col("n_chars")).as("picked_chars"),
+        sum(col("doc_id")).as("picked_docid_sum"))
+  }
+
   /** Sequence packing plan — assign docs to fixed-token-budget bins
     * (the pretraining batch-packing layout): within each stratum
     * (lang — one packed stream per sub-corpus, which is how mixing

@@ -269,6 +269,38 @@ class OperatorsSpec extends SparkSpec {
     assert(again === sample.select($"doc_id").as[Long].collect().toSet)
   }
 
+  test("domain mix: binding domain caps the budget, rates track " +
+      "weights, sample is deterministic") {
+    val plan = TextAnalysis.domainMix(spark, sf).cache()
+    val rows = plan.select($"source", $"w", $"avail_chars", $"need_chars",
+      $"rate_ppm", $"picked_docs", $"avail_docs")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 20)
+    // the solver never asks a domain for more than it has, and the
+    // BINDING domain is sampled at (or within one floor step of) 100%
+    rows.foreach { case (s, _, avail, need, ppm, picked, availDocs) =>
+      assert(need <= avail, s"$s overdrawn: $need > $avail")
+      assert(ppm <= 1000000L && picked <= availDocs)
+    }
+    assert(rows.map(_._5).max >= 999000L,
+      "no binding domain near rate 1.0 — the budget solve is not tight")
+    // need_chars per unit weight is equal across domains (±1 floor)
+    val perW = rows.map(r => r._4.toDouble / r._2)
+    assert(perW.max - perW.min <= 1.0, s"uneven per-weight need: $perW")
+    // the 20-row mix plan joins the corpus via BROADCAST — the corpus
+    // side must never shuffle on source at 100 TB
+    val phys = plan.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"plan join is not broadcast:\n$phys")
+    // deterministic: a re-run picks the identical per-domain sample
+    val again = TextAnalysis.domainMix(spark, sf)
+      .select($"source", $"picked_docs", $"picked_docid_sum")
+      .as[(String, Long, Long)].collect().toSet
+    assert(again === plan.select($"source", $"picked_docs",
+      $"picked_docid_sum").as[(String, Long, Long)].collect().toSet)
+    plan.unpersist()
+  }
+
   test("pack bins preserve tokens and form contiguous doc ranges") {
     val bins = TextAnalysis.packBins(spark, sf).cache()
     val docs = Tables.load(spark, sf, "documents")
