@@ -105,6 +105,7 @@ object SparkEntry {
     "tbl_partition_overwrite" -> (TableOps.partitionOverwrite _),
     "tbl_replace_where" -> (TableOps.replaceWhereScenario _),
     "tbl_delete_dv" -> (TableOps.deleteMorScenario _),
+    "tbl_update_dv" -> (TableOps.updateMorScenario _),
     "tbl_delete_dv_purge" -> (TableOps.deleteMorPurge _),
     "tbl_update_where" -> (TableOps.updateWhere _),
     "tbl_time_travel" -> (TableOps.timeTravel _),
@@ -1215,6 +1216,21 @@ object SparkEntry {
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'P' AND o_custkey % 7 = 0)
         |  AND NOT (o_totalprice < 5000.0)""".stripMargin,
+    // sequential MoR updates: the price bump first, then the priority
+    // downgrade — the second sees the first's post-update rows
+    "tbl_update_dv" ->
+      """WITH u1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderstatus = 'P' AND o_custkey % 7 = 0
+        |    THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority
+        |FROM u1""".stripMargin,
     "mv_incremental" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

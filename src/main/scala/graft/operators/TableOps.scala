@@ -216,6 +216,24 @@ object TableOps {
     t.snapshot()
   }
 
+  /** MERGE-ON-READ update via DELETION VECTORS: two sequential
+    * `updateMor` calls tombstone the touched rows and append the
+    * post-update rows — zero existing data files rewritten; the
+    * second call's scan masks the first's tombstones, so updates
+    * compose sequentially (its predicate can re-hit the first call's
+    * appended rows).
+    */
+  def updateMorScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = scratch(spark, sfDir)
+    t.updateMor(col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" ->
+        round(dec(col("o_totalprice")) * lit(1.1).cast("decimal(2,1)"), 2)
+          .cast("double")))
+    t.updateMor(col("o_orderstatus") === "P" && col("o_custkey") % 7 === 0,
+      Map("o_orderpriority" -> lit("5-LOW")))
+    t.snapshot()
+  }
+
   /** REORG ... APPLY (PURGE) analog: after merge-on-read deletes,
     * purge rewrites ONLY the tombstoned files and drops the DVs —
     * same logical state, now readable through the file-granular

@@ -2523,6 +2523,84 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     } finally victims.unpersist()
   }
 
+  /** MERGE-ON-READ UPDATE via DELETION VECTORS (Delta's DV-backed
+    * update): tombstone the matching rows' (file, position) pairs and
+    * APPEND the post-update rows as fresh files — zero existing files
+    * rewritten, O(updated rows) written. The point-update shape at
+    * 100 TB: an UPDATE touching one row per file otherwise rewrites
+    * the whole fleet under copy-on-write. Assignment semantics match
+    * [[update]] exactly (one projection — every SET sees pre-update
+    * values; generated columns whose inputs were assigned recompute);
+    * write-time CDC carries exact pre/post images. Same reader-
+    * feature gate as [[deleteMor]]; [[purgeDvs]]/[[compact]]
+    * materialize the table back to plain copy-on-write.
+    */
+  def updateMor(cond: Column, set0: Map[String, Column]): Long = {
+    val base = latestVersion
+    val schema = schemaAt(base)
+    val set = resolveAssignments(schema, set0, "UPDATE SET")
+    // stats/partition/bloom-pruned victim scan: files provably free
+    // of matching rows are never opened (the same blast-radius
+    // pre-prune as the copy-on-write paths)
+    val victims = scanWithPos(candidateFiles(cond), schema, dvAt(base),
+      columnMapAt(base))
+      .where(coalesce(cond, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = victims.count()
+      if (n == 0)
+        return commitResolved("UPDATE_DV", base, Set.empty, Nil,
+          Some(cond), readsTable = false, schema,
+          Map("numUpdatedRows" -> 0L), cdcFiles = Some(Nil),
+          dvOut = (_, _) => None)
+      val newDv = writeDv(
+        victims.select(col("__fp").as("file_path"), col("__pos").as("pos")))
+      // ONE projection: every assignment sees the pre-update row even
+      // when another assignment targets a column it references
+      val applied0 = victims.select(schema.fieldNames.map { f =>
+        set.get(f) match {
+          case Some(e) => e.as(f)
+          case None => col(s"`$f`").as(f)
+        }
+      }.toIndexedSeq: _*)
+      val applied = generatedColumns.foldLeft(applied0) {
+        case (d, (gc, genExpr)) =>
+          val inputsAssigned = !set.contains(gc) &&
+            referencedColumns(genExpr).exists(r =>
+              set.keys.exists(_.equalsIgnoreCase(r)))
+          if (!inputsAssigned) d else d.withColumn(gc, expr(genExpr))
+      }
+      enforceConstraints(applied)
+      val w = writeData(applied)
+      val cdc = writeCdc(
+        victims.drop("__fp", "__pos")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied
+            .withColumn("_change_type", lit("update_postimage"))))
+      // conflict write-set = the tombstoned files: a racer rewriting
+      // one would resurrect the pre-update rows alongside our appends
+      val masked = victims.select(col("__fp")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val maskedRel = matchHits(filesAt(base), masked)
+      val gensTouched = generatedColumns.exists { case (gc, genExpr) =>
+        set.keys.exists(_.equalsIgnoreCase(gc)) ||
+          referencedColumns(genExpr).exists(r =>
+            set.keys.exists(_.equalsIgnoreCase(r)))
+      }
+      commitResolved("UPDATE_DV", base, Set.empty, w.files,
+        Some(cond), readsTable = false, schema,
+        Map("numUpdatedRows" -> n,
+          "numAddedDvFiles" -> newDv.size.toLong,
+          "numAddedFiles" -> w.files.size.toLong),
+        collectStats(w.files,
+          rewriteStampZone(maskedRel, base, sessionValues = gensTouched)),
+        cdcFiles = Some(cdc),
+        dvOut = (b, _) => Some(dvAt(b) ++ newDv),
+        conflictRemoves = Some(maskedRel.toSet),
+        newPartValues = w.partValues)
+    } finally victims.unpersist()
+  }
+
   /** REORG TABLE ... APPLY (PURGE) analog: materialize the deletion
     * vectors by rewriting ONLY the files that carry tombstones, then
     * drop the DVs — no logical change, the table just becomes plain

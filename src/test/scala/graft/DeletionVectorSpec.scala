@@ -37,6 +37,63 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.snapshotAt(0).count() === 100)
   }
 
+  test("updateMor rewrites zero data files; assignments see " +
+      "pre-update values; CDC exact") {
+    val dir = tmp()
+    val df = spark.range(0, 100).select($"id", ($"id" % 10).as("grp"),
+      ($"id" * 2).cast("long").as("x"))
+    val t = GraftTable.create(spark, dir, df.repartition(4))
+    val before = dataFiles(dir)
+    // swap-shaped assignment: x = x + grp, grp = x — both must see the
+    // PRE-update row (the update() projection contract)
+    t.updateMor($"grp" === 3, Map("x" -> ($"x" + $"grp"), "grp" -> $"x")): Unit
+    assert(dataFiles(dir).intersect(before) === before,
+      "merge-on-read update must not rewrite existing data files")
+    val got = t.snapshot().where($"id" % 10 === 3)
+      .orderBy($"id").select($"id", $"grp", $"x")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, grp, x) =>
+      assert(x === id * 2 + 3, s"id=$id x=$x")
+      assert(grp === id * 2, s"id=$id grp=$grp")
+    }
+    assert(t.snapshot().count() === 100, "row count is update-invariant")
+    // exact CDC: 10 pre + 10 post images at the update version
+    val feed = t.changeFeed(t.latestVersion - 1, t.latestVersion)
+    assert(feed.where($"_change_type" === "update_preimage").count() === 10)
+    assert(feed.where($"_change_type" === "update_postimage").count() === 10)
+    // masked rows stay dead through a later DV delete + purge
+    t.deleteMor($"id" === 3): Unit
+    assert(t.snapshot().count() === 99)
+    t.purgeDvs(): Unit
+    assert(t.snapshot().count() === 99)
+    assert(t.snapshot().where($"id" === 13).select($"x").as[Long].head()
+      === 29)
+  }
+
+  test("updateMor with no matches is a no-op; conflicts with a racer " +
+      "rewriting a tombstoned file") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 40).select($"id", ($"id" % 4).as("grp")).repartition(2))
+    val v = t.latestVersion
+    t.updateMor($"id" === 9999L, Map("grp" -> lit(0L))): Unit
+    assert(t.latestVersion === v + 1)
+    assert(t.snapshot().count() === 40)
+    // a COW update staged against the pre-updateMor base must
+    // conflict (its file rewrite would resurrect the pre-update rows
+    // our tombstones retired) — the DV-set check catches it
+    val base = t.latestVersion
+    t.updateMor($"id" === 7, Map("grp" -> lit(99L))): Unit
+    val e = intercept[graft.tables.CommitConflictException] {
+      t.checkDmlConflicts("UPDATE", base, t.latestVersion,
+        t.candidateFiles($"id" === 7).toSet, Some($"id" === 7),
+        readsTable = false)
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+    assert(t.snapshot().where($"id" === 7).select($"grp").as[Long].head()
+      === 99L)
+  }
+
   test("deleteMor with no live matches is a no-op commit") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir,
