@@ -106,6 +106,7 @@ object SparkEntry {
     "tbl_replace_where" -> (TableOps.replaceWhereScenario _),
     "tbl_delete_dv" -> (TableOps.deleteMorScenario _),
     "tbl_update_dv" -> (TableOps.updateMorScenario _),
+    "tbl_merge_dv" -> (TableOps.mergeMorScenario _),
     "tbl_delete_dv_purge" -> (TableOps.deleteMorPurge _),
     "tbl_update_where" -> (TableOps.updateWhere _),
     "tbl_time_travel" -> (TableOps.timeTravel _),
@@ -1138,6 +1139,23 @@ object SparkEntry {
         |    o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 100 = 0)
         |SELECT * FROM src
+        |UNION ALL
+        |SELECT o.* FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey""".stripMargin,
+    // merge-on-read merge: matched 'F' rows delete, other matched
+    // rows take the source's bumped price, fresh keys insert
+    "tbl_merge_dv" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT s.* FROM src s JOIN orders o ON o.o_orderkey = s.o_orderkey
+        |WHERE o.o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT s.* FROM src s ANTI JOIN orders o ON o.o_orderkey = s.o_orderkey
         |UNION ALL
         |SELECT o.* FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey""".stripMargin,
     // schema-evolving merge: the source-only o_channel column joins

@@ -63,6 +63,29 @@ object TableOps {
     t.snapshot()
   }
 
+  /** MERGE-ON-READ MERGE via deletion vectors (the DV form of the
+    * reference's upsert, 01-Fraud-Delta.py:218-241): matched 'F' rows
+    * are tombstone-DELETEd, other matched rows tombstone + re-append
+    * with the source's bumped price, fresh keys insert — zero
+    * existing files rewritten (the 100 TB upsert shape: a daily merge
+    * touching one row per file writes the delta, not the fleet).
+    */
+  def mergeMorScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.tables.GraftTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    val t = scratch(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val src = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N")))
+    t.mergeMor(src, Seq("o_orderkey"),
+      Seq(MatchedDelete(Some(col("o_orderstatus") === "F")),
+        MatchedUpdate()),
+      Some(NotMatchedInsert()))
+    t.snapshot()
+  }
+
   /** MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge; the schema-drift
     * form of the reference's upsert at 01-Fraud-Delta.py:218-241):
     * the source carries a column the table lacks (`o_channel`) — the

@@ -296,21 +296,33 @@ private[tables] object BloomIndex {
     implicit val enc: org.apache.spark.sql.Encoder[Array[Long]] =
       spark.implicits.newLongArrayEncoder
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
-    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     // the write-side sidecar hashed the column's NATIVE internal
-    // representation; a silent cast-to-string here would hash a
-    // DIFFERENT byte sequence for any non-string key and prune files
-    // that actually match (LOST ROWS). A non-string probe therefore
-    // degrades to keep-all — conservative and correct (every kept
-    // file is scanned; extra files only cost I/O), where a hard
+    // representation, so the probe must feed XxHash64 the SAME
+    // internal value — a silent cast would hash a DIFFERENT byte
+    // sequence and prune files that actually match (LOST ROWS).
+    // String/long/int keys convert external→internal exactly
+    // (UTF8String / identity), so they probe natively; any other key
+    // type degrades to keep-all — conservative and correct (every
+    // kept file is scanned; extra files only cost I/O), where a hard
     // refusal would crash the one probe shape that reaches here (an
-    // over-budget key set on a future non-string index). The scale
-    // fix for such an index is string-cast sidecars at WRITE time.
-    if (keys.schema.head.dataType != StringType) {
+    // over-budget key set on an exotic-typed index).
+    val keyType = keys.schema.head.dataType
+    val conv: org.apache.spark.sql.Row => AnyRef = keyType match {
+      case StringType => r =>
+        if (r.isNullAt(0)) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))
+      case LongType => r =>
+        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      case IntegerType => r =>
+        if (r.isNullAt(0)) null else java.lang.Integer.valueOf(r.getInt(0))
+      case _ => null
+    }
+    if (conv == null) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"[graft] pruneValuesDistributed: non-string key type " +
-          s"${keys.schema.head.dataType.simpleString} for '$colName' — " +
-          "sidecars hash native bytes, so pruning is skipped " +
+        s"[graft] pruneValuesDistributed: unsupported key type " +
+          s"${keyType.simpleString} for '$colName' — sidecars hash " +
+          "native bytes, so pruning is skipped " +
           "(keeping all candidate files; correct, just unpruned)")
       return filesAbs
     }
@@ -331,15 +343,14 @@ private[tables] object BloomIndex {
           i += 1
         }
         val exprs = seeds.map(s => XxHash64(
-          Seq(Literal(s), BoundReference(0, StringType, true)), 42L)).toArray
+          Seq(Literal(s), BoundReference(0, keyType, true)), 42L)).toArray
         val row = new GenericInternalRow(1)
         val hs = new Array[Long](exprs.length)
         while (it.hasNext && remaining > 0) {
           val r = it.next()
-          val k = r.getString(0)
+          val k = conv(r)
           if (k != null) {
-            row.update(0,
-              org.apache.spark.unsafe.types.UTF8String.fromString(k))
+            row.update(0, k)
             var s = 0
             while (s < exprs.length) {
               hs(s) = exprs(s).eval(row).asInstanceOf[Long]; s += 1

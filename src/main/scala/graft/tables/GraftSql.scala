@@ -760,16 +760,21 @@ object GraftSql {
         GraftPlans.ofRows(spark, substituteTimeTravel(spark, p))
       case d: DeleteFromTable =>
         val target = resolveTarget(spark, d.table)
-        target.table.delete(rewriteTarget(d.condition, target))
+        val cond = rewriteTarget(d.condition, target)
+        // graft.enableDeletionVectors=true (Delta's table-property
+        // switch): DML tombstones rows instead of rewriting files
+        if (dvMode(target.table)) target.table.deleteMor(cond)
+        else target.table.delete(cond)
         refresh(spark, target)
         emptyResult(spark)
       case u: UpdateTable =>
         val target = resolveTarget(spark, u.table)
         val set = u.assignments.map(a =>
           attrName(a.key) -> rewriteTarget(a.value, target)).toMap
-        target.table.update(
-          u.condition.map(rewriteTarget(_, target))
-            .getOrElse(org.apache.spark.sql.functions.lit(true)), set)
+        val cond = u.condition.map(rewriteTarget(_, target))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        if (dvMode(target.table)) target.table.updateMor(cond, set)
+        else target.table.update(cond, set)
         refresh(spark, target)
         emptyResult(spark)
       case m: MergeIntoTable =>
@@ -1059,8 +1064,12 @@ object GraftSql {
     // MERGE WITH SCHEMA EVOLUTION: Spark's parser carries the flag on
     // MergeIntoTable; source-only columns evolve the target schema in
     // the same commit (GraftTable.merge's evolveSchema path)
-    target.table.merge(srcDf, tgtKeys, matched, notMatched, bySource,
-      evolveSchema = m.withSchemaEvolution)
+    if (dvMode(target.table))
+      target.table.mergeMor(srcDf, tgtKeys, matched, notMatched, bySource,
+        evolveSchema = m.withSchemaEvolution)
+    else
+      target.table.merge(srcDf, tgtKeys, matched, notMatched, bySource,
+        evolveSchema = m.withSchemaEvolution)
     refresh(spark, target)
   }
 
@@ -1088,6 +1097,14 @@ object GraftSql {
     * a post-DML `spark.table(name)` keeps reading the old snapshot's
     * file list.
     */
+  /** Table-property switch for merge-on-read DML (Delta's
+    * `enableDeletionVectors` analog): SQL DELETE/UPDATE tombstone
+    * rows via DVs instead of copy-on-write rewriting files.
+    */
+  private def dvMode(t: GraftTable): Boolean =
+    t.properties.get("graft.enableDeletionVectors")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
   private def refresh(spark: SparkSession, target: Target): Unit =
     target.catalogName.foreach(n =>
       try spark.catalog.refreshTable(n) catch { case _: Exception => () })

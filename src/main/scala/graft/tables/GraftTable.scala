@@ -2775,7 +2775,39 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       matched0: Seq[GraftTable.MatchedClause],
       notMatched0: Option[GraftTable.NotMatchedInsert],
       bySource0: Seq[GraftTable.NotMatchedBySourceClause],
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false): Long =
+    merge(source, keys, matched0, notMatched0, bySource0, evolveSchema,
+      mor = false)
+
+  /** MERGE-ON-READ MERGE via DELETION VECTORS — the third leg of the
+    * DV DML trio ([[deleteMor]], [[updateMor]]): rows a matched or
+    * BY SOURCE clause accepts are TOMBSTONED by (file, position) and
+    * the post-update rows + NOT MATCHED inserts append as fresh
+    * files — zero existing files rewritten, O(changed rows) written.
+    * At 100 TB a daily upsert touching one row per file rewrites the
+    * whole fleet under copy-on-write; merge-on-read writes the delta.
+    * Clause semantics, schema evolution, generated/identity columns,
+    * CDC images and the source-key conflict envelope are identical to
+    * [[merge]]; the write-write conflict set is the tombstoned files
+    * (a racer rewriting one would resurrect our pre-merge rows).
+    * Same reader-feature gate as [[deleteMor]];
+    * [[purgeDvs]]/[[compact]] materialize back to copy-on-write.
+    */
+  def mergeMor(source: DataFrame, keys: Seq[String],
+      matched0: Seq[GraftTable.MatchedClause] = Seq(GraftTable.MatchedUpdate()),
+      notMatched0: Option[GraftTable.NotMatchedInsert] =
+        Some(GraftTable.NotMatchedInsert()),
+      bySource0: Seq[GraftTable.NotMatchedBySourceClause] = Nil,
+      evolveSchema: Boolean = false): Long =
+    merge(source, keys, matched0, notMatched0, bySource0, evolveSchema,
+      mor = true)
+
+  private def merge(source: DataFrame, keys: Seq[String],
+      matched0: Seq[GraftTable.MatchedClause],
+      notMatched0: Option[GraftTable.NotMatchedInsert],
+      bySource0: Seq[GraftTable.NotMatchedBySourceClause],
+      evolveSchema: Boolean,
+      mor: Boolean): Long = {
     import GraftTable.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate, NotMatchedInsert}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val base = latestVersion
@@ -2966,9 +2998,14 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       allHits.distinct().collect().map(_.getString(0)).toSet
     }
     val touched = matchHits(probeFiles, hit)
-    val tgtRows = if (touched.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readFilesDvAware(touched, schema, dvAt(base), cm)
+    // merge-on-read keeps each target row's physical address
+    // (__fp/__pos) in scope so accepted rows can be tombstoned
+    // instead of rewritten (scanWithPos handles the empty file set)
+    val tgtRows =
+      if (mor) scanWithPos(touched, schema, dvAt(base), cm)
+      else if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFilesDvAware(touched, schema, dvAt(base), cm)
     // one left join exposes each target row with its (optional)
     // source match as a struct; clause resolution is pure projection
     val srcStruct = src.select(keys.zipWithIndex.map { case (k, i) =>
@@ -3113,13 +3150,32 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           Map(identityKey -> (idHwBefore + n)), cleanup)
       case _ => (insertsRaw, Map.empty[String, Long], () => ())
     }
+    // merge-on-read appends ONLY the post-update rows (untouched rows
+    // stay live in their files, accepted rows are tombstoned below);
+    // copy-on-write rewrites every surviving row of the touched files
+    val keptRows = if (mor)
+      newTouched.where(col("__action").isin(updateIdx.map(Integer.valueOf): _*))
+    else newTouched
     val newData = inserts match {
-      case Some(i) => newTouched.drop("__action").unionByName(i)
-      case None => newTouched.drop("__action")
+      case Some(i) => keptRows.drop("__action").unionByName(i)
+      case None => keptRows.drop("__action")
     }
     enforceConstraints(newData)
     val w = writeData(newData, partitionColumnsAt(base), cm,
       bucketSpecAt(base))
+    // merge-on-read tombstones: every accepted matched/BY SOURCE
+    // row's physical address — O(accepted rows) written
+    val morIdx = (deleteIdx ++ updateIdx).map(Integer.valueOf)
+    val morVictims = if (!mor || morIdx.isEmpty) None
+      else Some(tagged.where(col("__action").isin(morIdx: _*)))
+    val newDv = morVictims.map(v => writeDv(
+      v.select(col("__fp").as("file_path"), col("__pos").as("pos"))))
+      .getOrElse(Nil)
+    // write-write conflict set = the tombstoned files: a racer
+    // rewriting one would resurrect our pre-merge rows
+    val maskedRel = morVictims.map(v => matchHits(filesAt(base),
+      v.select(col("__fp")).distinct()
+        .collect().map(_.getString(0)).toSet)).getOrElse(Nil)
     // write-time CDC with EXACT tags (the file-diff fallback can only
     // say "upsert"): updated rows get pre+post images, deleted rows
     // 'delete', fresh source rows 'insert'
@@ -3147,18 +3203,34 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // whole-table read semantics — a concurrent append conflicts
     // instead of commuting (its rows might have been deleted/updated
     // had they been present at read time).
-    try maybeAutoCompact(commitResolved("MERGE", base,
-      touched.toSet, w.files,
-      if (bySource.isEmpty) readCond else None,
-      readsTable = readsTable || bySource.nonEmpty, schema,
-      Map("numRewrittenFiles" -> touched.size.toLong,
-        "numProbedFiles" -> probeFiles.size.toLong) ++ idMetrics,
-      collectStats(w.files,
-        rewriteStampZone(touched, base, sessionValues = true)),
-      cdcFiles = Some(cdc), newPartValues = w.partValues,
-      idHwBefore = if (identityColumn.isDefined) idHwBefore else -2L,
-      newColumnMap = if (freshCm.isEmpty) None else Some(cm)))
-    finally idCleanup()
+    try {
+      if (mor)
+        commitResolved("MERGE_DV", base, Set.empty, w.files,
+          if (bySource.isEmpty) readCond else None,
+          readsTable = readsTable || bySource.nonEmpty, schema,
+          Map("numProbedFiles" -> probeFiles.size.toLong,
+            "numAddedDvFiles" -> newDv.size.toLong,
+            "numAddedFiles" -> w.files.size.toLong) ++ idMetrics,
+          collectStats(w.files,
+            rewriteStampZone(maskedRel, base, sessionValues = true)),
+          cdcFiles = Some(cdc),
+          dvOut = (b, _) => Some(dvAt(b) ++ newDv),
+          conflictRemoves = Some(maskedRel.toSet),
+          newPartValues = w.partValues,
+          idHwBefore = if (identityColumn.isDefined) idHwBefore else -2L,
+          newColumnMap = if (freshCm.isEmpty) None else Some(cm))
+      else maybeAutoCompact(commitResolved("MERGE", base,
+        touched.toSet, w.files,
+        if (bySource.isEmpty) readCond else None,
+        readsTable = readsTable || bySource.nonEmpty, schema,
+        Map("numRewrittenFiles" -> touched.size.toLong,
+          "numProbedFiles" -> probeFiles.size.toLong) ++ idMetrics,
+        collectStats(w.files,
+          rewriteStampZone(touched, base, sessionValues = true)),
+        cdcFiles = Some(cdc), newPartValues = w.partValues,
+        idHwBefore = if (identityColumn.isDefined) idHwBefore else -2L,
+        newColumnMap = if (freshCm.isEmpty) None else Some(cm)))
+    } finally idCleanup()
   }
 
   /** Recorded-zone groups of a BINPACK rewrite's input files — the

@@ -47,24 +47,31 @@ class BloomIndexSpec extends SparkSpec {
     assert(t.snapshot().where($"id" === 500L).count() === 0)
   }
 
-  test("distributed probe on a NON-STRING key degrades to keep-all " +
-      "(correct, unpruned) instead of crashing or wrong-pruning") {
+  test("distributed probe hashes LONG keys natively (prunes, agrees " +
+      "with the driver probe); unsupported types degrade to keep-all") {
     val t = overlappingTable(tmp())
     t.rebuildBloomIndex()
     val all = t.snapshotInfo(t.latestVersion).files.size
-    // sanity: the sidecars are live — the string-keyed driver path
-    // would prune; the distributed path with LONG keys must NOT
-    // (sidecars hashed native longs; hashing a cast would wrong-prune)
+    // long keys hash the SAME internal value the write side hashed,
+    // so the distributed probe prunes exactly like the driver path
     val keys = spark.range(500, 502).select($"id")
     val (df, kept, total) =
       t.snapshotBloomInDistributedWithCount("id", keys)
     assert(total === all)
-    assert(kept === all,
-      s"non-string distributed probe must keep ALL files, kept $kept/$all")
-    // and the scan over the kept files is simply the full snapshot —
-    // nothing lost, nothing phantom
-    assert(df.count() === 800)
+    val driverKept = t.candidateFiles($"id".isin(500L, 501L)).size
+    assert(kept === driverKept,
+      s"distributed long probe kept $kept files, driver kept $driverKept")
+    assert(kept < all, "long keys must prune below the full file set")
+    // nothing lost: both probe keys' rows survive the pruned scan
     assert(df.where($"id".isin(500L, 501L)).count() === 2)
+    // an unsupported key type (double) keeps ALL files — hashing a
+    // cast would hash different bytes than the write side and
+    // wrong-prune (lost rows); keep-all is correct, just unpruned
+    val dkeys = spark.range(500, 502).select($"id".cast("double").as("id"))
+    val (ddf, dkept, _) = t.snapshotBloomInDistributedWithCount("id", dkeys)
+    assert(dkept === all,
+      s"unsupported-type probe must keep ALL files, kept $dkept/$all")
+    assert(ddf.count() === 800)
   }
 
   test("MERGE probe prunes to bloom resolution on unclustered tables") {

@@ -94,6 +94,70 @@ class DeletionVectorSpec extends SparkSpec {
       === 99L)
   }
 
+  test("mergeMor appends only the delta, tombstones accepted rows, " +
+      "and lands the copy-on-write merge's exact state") {
+    import graft.tables.GraftTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    def seed(dir: String) = GraftTable.create(spark, dir,
+      spark.range(0, 100).select($"id", ($"id" % 10).as("grp"),
+        ($"id" * 2).as("x")).repartition(4))
+    val (morDir, cowDir) = (tmp(), tmp())
+    val (morT, cowT) = (seed(morDir), seed(cowDir))
+    // matched grp<5 → update from source; matched grp>=8 → delete;
+    // matched 5..7 → no clause accepts, row survives untouched;
+    // ids 100..109 → inserts
+    val src = spark.range(90, 110).select($"id",
+      ($"id" % 10).as("grp"), lit(-1L).as("x"))
+    val clauses = Seq(
+      MatchedUpdate(Some($"grp" < 5), Some(Map("x" -> $"src.x"))),
+      MatchedDelete(Some($"grp" >= 8)))
+    val before = dataFiles(morDir)
+    morT.mergeMor(src, Seq("id"), clauses, Some(NotMatchedInsert())): Unit
+    cowT.merge(src, Seq("id"), clauses, Some(NotMatchedInsert())): Unit
+    assert(dataFiles(morDir).intersect(before) === before,
+      "merge-on-read MERGE must only append files, never rewrite")
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.orderBy($"id").as[(Long, Long, Long)].collect().toSeq
+    assert(key(morT.snapshot()) === key(cowT.snapshot()),
+      "MoR and CoW merges must land the same logical state")
+    assert(morT.history().select($"operation").as[String].collect()
+      .contains("MERGE_DV"))
+    // CDC exact: 5 updates (90-94), 2 deletes (98,99), 10 inserts
+    val feed = morT.changeFeed(morT.latestVersion - 1, morT.latestVersion)
+    assert(feed.where($"_change_type" === "update_preimage").count() === 5)
+    assert(feed.where($"_change_type" === "update_postimage").count() === 5)
+    assert(feed.where($"_change_type" === "delete").count() === 2)
+    assert(feed.where($"_change_type" === "insert").count() === 10)
+    // unaccepted matched rows (95-97) survive untouched in place
+    assert(morT.snapshot().where($"id" === 96).select($"x").as[Long]
+      .head() === 192)
+    // purge materializes to the identical state
+    morT.purgeDvs(): Unit
+    assert(key(morT.snapshot()) === key(cowT.snapshot()))
+  }
+
+  test("mergeMor stacks on earlier DVs and conflicts with a racer " +
+      "rewriting a tombstoned file") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 40).select($"id", ($"id" % 4).as("grp")).repartition(2))
+    t.deleteMor($"id" < 5): Unit
+    // upsert over already-masked ids: 0..4 are DEAD (tombstoned), so
+    // they are NOT MATCHED and re-insert; 5..9 update in place
+    val base = t.latestVersion
+    val src = spark.range(0, 10).select($"id", lit(77L).as("grp"))
+    t.mergeMor(src, Seq("id")): Unit
+    assert(t.snapshot().count() === 40, "5 re-inserts + 5 updates")
+    assert(t.snapshot().where($"grp" === 77).count() === 10)
+    // a COW rewrite staged against the pre-merge base of a tombstoned
+    // file must conflict (it would resurrect the pre-update rows)
+    val e = intercept[graft.tables.CommitConflictException] {
+      t.checkDmlConflicts("UPDATE", base, t.latestVersion,
+        t.candidateFiles($"id" === 7).toSet, Some($"id" === 7),
+        readsTable = false)
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+  }
+
   test("deleteMor with no live matches is a no-op commit") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir,
@@ -271,6 +335,9 @@ class DeletionVectorSpec extends SparkSpec {
       .select($"id", lit("9").as("grp"), lit(3.5).as("v")))
     t.deleteMor($"v" < 20.0)
     t.merge(Seq((42L, "7", 12.25), (500L, "7", 99.5)).toDF("id", "grp", "v"), "id")
+    // merge-on-read MERGE: its write-time CDC must fold identically
+    t.mergeMor(Seq((43L, "8", 1.75), (501L, "8", 2.5)).toDF("id", "grp", "v"),
+      Seq("id"))
     assert(mv.refresh() === t.latestVersion)
     val maintained = mv.view().orderBy($"grp")
       .as[(String, Double, Long)].collect().toSeq

@@ -70,6 +70,59 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_merge")
   }
 
+  test("graft.enableDeletionVectors routes SQL DELETE/UPDATE through " +
+      "merge-on-read") {
+    val (t, dir) = registered("gs_dvdml")
+    try {
+      GraftSql.sql(spark,
+        "ALTER TABLE gs_dvdml SET TBLPROPERTIES " +
+          "('graft.enableDeletionVectors' = 'true')")
+      import scala.jdk.CollectionConverters._
+      def files() = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir).resolve("files"))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+      val before = files()
+      val nP = t.snapshot().where($"o_orderstatus" === "P").count()
+      GraftSql.sql(spark, "DELETE FROM gs_dvdml WHERE o_orderstatus = 'P'")
+      assert(files() === before, "DV DELETE must not rewrite data files")
+      val tt = GraftTable.load(spark, dir)
+      assert(tt.snapshot().where($"o_orderstatus" === "P").count() === 0)
+      GraftSql.sql(spark,
+        "UPDATE gs_dvdml SET o_orderpriority = '5-LOW' " +
+          "WHERE o_custkey % 7 = 0")
+      assert(files().intersect(before) === before,
+        "DV UPDATE must only APPEND files, never rewrite")
+      val t2 = GraftTable.load(spark, dir)
+      assert(t2.snapshot()
+        .where($"o_custkey" % 7 === 0 && $"o_orderpriority" =!= "5-LOW")
+        .count() === 0)
+      assert(t2.snapshot().where($"o_orderstatus" === "P").count() === 0)
+      assert(t2.snapshot().count() ===
+        Tables.load(spark, sf, "orders").count() - nP)
+      assert(t2.history().select($"operation").as[String].collect()
+        .count(op => op == "DELETE_DV" || op == "UPDATE_DV") === 2)
+      // MERGE routes through merge-on-read under the same property
+      val afterDml = files()
+      spark.range(0, 5).select(($"id" + 1).as("o_orderkey"),
+          lit("0-RUSH").as("o_orderpriority"))
+        .createOrReplaceTempView("gs_dvdml_src")
+      GraftSql.sql(spark,
+        """MERGE INTO gs_dvdml t USING gs_dvdml_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_orderpriority = s.o_orderpriority
+          |""".stripMargin)
+      assert(files().intersect(afterDml) === afterDml,
+        "DV MERGE must only APPEND files, never rewrite")
+      val t3 = GraftTable.load(spark, dir)
+      assert(t3.history().select($"operation").as[String].collect()
+        .contains("MERGE_DV"))
+      assert(t3.snapshot()
+        .where($"o_orderkey".between(1, 5) &&
+          $"o_orderpriority" =!= "0-RUSH").count() === 0)
+      assert(t3.snapshot().count() === t2.snapshot().count())
+    } finally spark.sql("DROP TABLE IF EXISTS gs_dvdml")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION INTO evolves the target schema " +
       "in the same commit") {
     val (t, _) = registered("gs_emerge")
