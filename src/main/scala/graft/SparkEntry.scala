@@ -713,7 +713,8 @@ object SparkEntry {
         |  CAST(round(MIN(CAST(tokens AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_tokens,
         |  CAST(round(MAX(CAST(tokens AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_tokens,
         |  CAST(round(MIN(CAST(n_chars AS DECIMAL(12,4))), 4) AS DOUBLE) AS min_n_chars,
-        |  CAST(round(MAX(CAST(n_chars AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_n_chars
+        |  CAST(round(MAX(CAST(n_chars AS DECIMAL(12,4))), 4) AS DOUBLE) AS max_n_chars,
+        |  COUNT(DISTINCT n_chars // 100) AS adc_len_centile
         |FROM tok GROUP BY source, lang""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,

@@ -598,6 +598,74 @@ object Similarity {
     rebalance
   }
 
+  /** CONTINUOUS maintenance for the persisted IVF index — the
+    * Delta-Live-Tables posture applied to the ANN story: a streaming
+    * query over the assignments table's registered CDC stream drives
+    * one [[maintainIndex]] cycle per micro-batch (the rows are only
+    * the TRIGGER — never acted on, so no read job runs; change
+    * detection is commit-log metadata), so ingest-driven drift meets
+    * its skew-triggered rebalance within one trigger interval of
+    * landing instead of waiting for a human-scheduled nightly job.
+    * Cross-session arbitration is the SAME lease registry the
+    * maintained views use (atomic hard-link claim, per-epoch
+    * heartbeat CAS, interval-scaled stale window): of any number of
+    * sessions starting maintenance on one index, exactly one loop
+    * survives — two concurrent rebalances would thrash the geometry
+    * and double the compaction I/O. Maintenance commits are ordinary
+    * GraftTable commits, so a crash replays idempotently and a cycle
+    * racing a concurrent ingest resolves through conflict detection.
+    * The loop settles: a cycle that changed nothing commits nothing,
+    * so it does not re-trigger itself.
+    */
+  def continuousMaintain(spark: SparkSession, indexPath: String,
+      interval: String = "10 seconds",
+      vacuumRetainHours: Double = -1.0,
+      rebalanceSkewThreshold: Double = 4.0,
+      rebalanceIters: Int = 2,
+      rebalanceSampleCap: Long = 65536L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val root = java.nio.file.Paths.get(indexPath).toAbsolutePath.toString
+    val asgPath = java.nio.file.Paths.get(indexPath, "assignments").toString
+    graft.tables.GraftSql.continuousRegistry.start(spark, root, interval,
+      beforeEpoch => spark.readStream.format("graft-table")
+        .option("path", asgPath)
+        // CDC mode: rebalance OVERWRITEs and forget MERGEs surface as
+        // ordinary trigger batches instead of refusing the stream
+        .option("mode", "cdc")
+        .load()
+        .writeStream
+        .option("checkpointLocation", java.nio.file.Paths
+          .get(root, "_continuous_maintain_cp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(interval))
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          beforeEpoch()
+          // a cycle racing a concurrent ingest loses conflict
+          // resolution cleanly — skip to the next trigger (the
+          // ingest's commit re-fires the stream anyway) instead of
+          // killing the loop; heartbeat throws above DO propagate
+          // (they are the cross-session stop/takeover signal)
+          try maintainIndex(spark, indexPath, vacuumRetainHours,
+            rebalanceSkewThreshold, rebalanceIters, rebalanceSampleCap)
+          catch { case e: graft.tables.CommitConflictException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"[graft] continuous maintenance cycle for $indexPath " +
+                s"lost a commit race; retrying next trigger: ${e.getMessage}")
+          }
+          ()
+        }
+        .start())
+  }
+
+  /** Stop this session's continuous maintenance loop for `indexPath`
+    * (or, under a foreign lease, release it so the owning session's
+    * loop self-terminates at its next heartbeat — returns false then;
+    * the registry's cross-session STOP semantics, verbatim).
+    */
+  def stopContinuousMaintain(indexPath: String): Boolean =
+    graft.tables.GraftSql.continuousRegistry.stop(
+      java.nio.file.Paths.get(indexPath).toAbsolutePath.toString)
+
   /** FORGET path for the persisted IVF index — the ANN twin of
     * [[Dedup.forgetDocs]]: a corpus DELETE must propagate into the
     * cell table or the deleted vectors keep surfacing as neighbors

@@ -266,11 +266,20 @@ object TextAnalysis {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvcorpus_")
     TableOps.copyTree(template, dir.resolve("t"))
     val t = graft.tables.GraftTable.load(spark, dir.resolve("t").toString)
+    // the APPROX_COUNT_DISTINCT leg: distinct char-length CENTILES
+    // per sub-corpus (how many length buckets it spans — the "is this
+    // slice homogeneous?" signal next to the sums). Maintained as a
+    // mergeable HLL sketch: appends fold, deletes route through the
+    // affected-group recompute; the tiny per-group domain keeps the
+    // sketch exact, so the oracle checks plain COUNT(DISTINCT)
     val mv = graft.tables.IncrementalMatView.create(spark, t,
       dir.resolve("mv").toString, Seq("source", "lang"),
       Seq("tokens", "n_chars"), extremes = true,
       derived = Seq("tokens" ->
-        "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS DOUBLE)"))
+        "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS DOUBLE)",
+        "len_centile" -> "CAST(n_chars DIV 100 AS INT)"),
+      dims = Nil, avgCols = Nil, outputs = Nil,
+      approxCols = Seq("len_centile"))
     t.delete(col("n_chars") > 900 && col("doc_id") % 3 === 0)
     t.append(docs.filter(col("doc_id") % 10 === 7)
       .withColumn("doc_id", col("doc_id") + 100000000L))

@@ -296,18 +296,24 @@ private[tables] object BloomIndex {
     implicit val enc: org.apache.spark.sql.Encoder[Array[Long]] =
       spark.implicits.newLongArrayEncoder
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampType}
     // the write-side sidecar hashed the column's NATIVE internal
     // representation, so the probe must feed XxHash64 the SAME
     // internal value — a silent cast would hash a DIFFERENT byte
     // sequence and prune files that actually match (LOST ROWS).
-    // String/long/int keys convert external→internal exactly
-    // (UTF8String / identity), so they probe natively; any other key
-    // type degrades to keep-all — conservative and correct (every
-    // kept file is scanned; extra files only cost I/O), where a hard
-    // refusal would crash the one probe shape that reaches here (an
-    // over-budget key set on an exotic-typed index).
+    // Atomic key types convert external→internal exactly
+    // (UTF8String / identity / epoch days / epoch micros / Decimal),
+    // so they probe natively; anything else degrades to keep-all —
+    // conservative and correct (every kept file is scanned; extra
+    // files only cost I/O), where a hard refusal would crash the one
+    // probe shape that reaches here (an over-budget key set on an
+    // exotic-typed index). Callers are responsible for TYPE
+    // AGREEMENT with the indexed column ([[GraftTable
+    // .snapshotBloomInDistributedWithCount]] keep-alls a mismatch) —
+    // the sidecar records no type, and a long probe against a
+    // string-hashed filter would refute files that match.
     val keyType = keys.schema.head.dataType
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     val conv: org.apache.spark.sql.Row => AnyRef = keyType match {
       case StringType => r =>
         if (r.isNullAt(0)) null
@@ -316,6 +322,44 @@ private[tables] object BloomIndex {
         if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
       case IntegerType => r =>
         if (r.isNullAt(0)) null else java.lang.Integer.valueOf(r.getInt(0))
+      case ShortType => r =>
+        if (r.isNullAt(0)) null else java.lang.Short.valueOf(r.getShort(0))
+      case ByteType => r =>
+        if (r.isNullAt(0)) null else java.lang.Byte.valueOf(r.getByte(0))
+      case DoubleType => r =>
+        if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+      case FloatType => r =>
+        if (r.isNullAt(0)) null else java.lang.Float.valueOf(r.getFloat(0))
+      case BooleanType => r =>
+        if (r.isNullAt(0)) null else java.lang.Boolean.valueOf(r.getBoolean(0))
+      case BinaryType => r =>
+        if (r.isNullAt(0)) null else r.getAs[Array[Byte]](0)
+      case dt: DecimalType => r =>
+        if (r.isNullAt(0)) null
+        else org.apache.spark.sql.types.Decimal(
+          r.getDecimal(0), dt.precision, dt.scale)
+      // Row surfaces either the legacy java.sql or the java8 types
+      // depending on spark.sql.datetime.java8API.enabled — accept both
+      case DateType => r =>
+        if (r.isNullAt(0)) null
+        else r.get(0) match {
+          case d: java.sql.Date =>
+            java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(d))
+          case d: java.time.LocalDate =>
+            java.lang.Integer.valueOf(DateTimeUtils.localDateToDays(d))
+          case other => throw new IllegalStateException(
+            s"unexpected DateType external value: ${other.getClass}")
+        }
+      case TimestampType => r =>
+        if (r.isNullAt(0)) null
+        else r.get(0) match {
+          case t: java.sql.Timestamp =>
+            java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(t))
+          case t: java.time.Instant =>
+            java.lang.Long.valueOf(DateTimeUtils.instantToMicros(t))
+          case other => throw new IllegalStateException(
+            s"unexpected TimestampType external value: ${other.getClass}")
+        }
       case _ => null
     }
     if (conv == null) {

@@ -69,7 +69,22 @@ private[graft] final class ContinuousRegistry {
     * number of concurrent STARTs wins).
     */
   def start(spark: SparkSession, root: String,
-      interval: String): StreamingQuery = {
+      interval: String): StreamingQuery =
+    start(spark, root, interval, beforeEpoch =>
+      IncrementalMatView.continuous(spark, root,
+        Paths.get(root, "_continuous_cp").toString,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval),
+        beforeEpoch = Some(beforeEpoch)))
+
+  /** Generalized form: the lease/heartbeat arbitration wrapped around
+    * ANY caller-supplied loop (the ANN index's continuous maintenance
+    * rides here too, not just maintained views). `loop` receives the
+    * per-epoch heartbeat and must invoke it ahead of each cycle — its
+    * throw is the cross-session stop/takeover signal and must
+    * propagate (terminating the stream at an epoch boundary).
+    */
+  def start(spark: SparkSession, root: String, interval: String,
+      loop: (() => Unit) => StreamingQuery): StreamingQuery = {
     val stale = math.max(staleMs(spark, root), 3L * intervalMillis(interval))
     synchronized {
       local.get(root) match {
@@ -94,10 +109,7 @@ private[graft] final class ContinuousRegistry {
       local.put(root, Starting)
     }
     try {
-      val q = IncrementalMatView.continuous(spark, root,
-        Paths.get(root, "_continuous_cp").toString,
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval),
-        beforeEpoch = Some(() => heartbeat(root)))
+      val q = loop(() => heartbeat(root))
       local.put(root, q)
       q
     } catch {

@@ -122,7 +122,7 @@ object GraftSql {
     * refusal and `STOP REFRESH` work ACROSS sessions and stale
     * crash debris expires ([[ContinuousRegistry]]).
     */
-  private[tables] val continuousRegistry = new ContinuousRegistry
+  private[graft] val continuousRegistry = new ContinuousRegistry
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case DescribeHistoryLimit(ident, n) =>

@@ -1605,8 +1605,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .get("graft.bloom.columns")
       .exists(_.split(",").map(_.trim).map(n => cm.getOrElse(n, n))
         .contains(pk))
+    // TYPE AGREEMENT: sidecars hashed the COLUMN's internal bytes; a
+    // probe whose key type differs (long keys against a string
+    // column) would hash different bytes and refute files that match
+    // — lost rows. Mismatches keep all files: correct, just unpruned.
+    val typeAgrees = schema.fields.find(_.name == key)
+      .forall { f =>
+        val ok = f.dataType == keys.schema.head.dataType
+        if (!ok) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[graft] distributed bloom probe on '$key': probe type " +
+            s"${keys.schema.head.dataType.simpleString} != column " +
+            s"type ${f.dataType.simpleString} — keeping all files")
+        ok
+      }
     val keep =
-      if (!declared || c.files.isEmpty) c.files
+      if (!declared || !typeAgrees || c.files.isEmpty) c.files
       else {
         val keptAbs = BloomIndex.pruneValuesDistributed(pk, keys,
           c.files.map(abs)).toSet
@@ -3300,7 +3313,22 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   def compact(numFiles: Int = 1): Long = {
     val base = latestVersion
-    binpackZoneGroups(filesAt(base), base) match {
+    val zoneGroups = binpackZoneGroups(filesAt(base), base)
+    // ALREADY PACKED (and no DVs to purge): a byte-identical rewrite
+    // would only churn the log — and a CDC-triggered maintenance loop
+    // reacting to its own COMPACT commits would rewrite the table
+    // forever. The achievable floor is one file per writer-zone group
+    // AND one per partition tuple (compaction never merges across
+    // either boundary), both O(files) commit-log metadata.
+    if (!hasDvs(base)) {
+      val pv = readCommit(base).partValues.getOrElse(Map.empty)
+      val partGroups =
+        if (partitionColumnsAt(base).isEmpty) 1
+        else filesAt(base).flatMap(pv.get).distinct.size
+      val floor = math.max(zoneGroups.map(_.size).getOrElse(1), partGroups)
+      if (filesAt(base).size <= math.max(numFiles, floor)) return base
+    }
+    zoneGroups match {
       case Some(groups) =>
         val (files, pv, stats) = binpackGrouped(groups, base, numFiles)
         commitResolved("COMPACT", base, filesAt(base).toSet, files,
@@ -3386,6 +3414,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     */
   def clusterBy(numFiles: Int, keys: String*): Long = {
     val base = latestVersion
+    // ALREADY CLUSTERED (single key, no DVs to purge): file count AT
+    // the target — fewer files than requested is a SPLIT request
+    // (finer pruning granularity), not a satisfied layout — and
+    // per-file [min,max] key ranges pairwise disjoint: the rewrite
+    // would reproduce the same layout, and a CDC-triggered
+    // maintenance loop would re-trigger off its own CLUSTER commits
+    // forever. Multi-key or stats-less layouts rewrite as before.
+    if (keys.size == 1 && !hasDvs(base) &&
+        filesAt(base).size == numFiles) {
+      val stats = readCommit(base).stats.getOrElse(Map.empty)
+      val ranges = filesAt(base).flatMap(f => stats.get(f).flatMap(s =>
+        for (mn <- s.mins.get(keys.head); mx <- s.maxs.get(keys.head))
+          yield (mn, mx)))
+      if (ranges.size == filesAt(base).size &&
+          ranges.sortBy(_._1).sliding(2).forall {
+            case Seq((_, aMax), (bMin, _)) => aMax < bMin
+            case _ => true
+          }) return base
+    }
     val data = snapshotAt(base)
       .repartitionByRange(numFiles, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)

@@ -48,8 +48,10 @@ class BloomIndexSpec extends SparkSpec {
   }
 
   test("distributed probe hashes LONG keys natively (prunes, agrees " +
-      "with the driver probe); unsupported types degrade to keep-all") {
+      "with the driver probe); type mismatches degrade to keep-all") {
     val t = overlappingTable(tmp())
+    t.setProperties(Map("graft.bloom.columns" -> "id, x",
+      "graft.bloom.bits" -> "4096"))
     t.rebuildBloomIndex()
     val all = t.snapshotInfo(t.latestVersion).files.size
     // long keys hash the SAME internal value the write side hashed,
@@ -64,14 +66,71 @@ class BloomIndexSpec extends SparkSpec {
     assert(kept < all, "long keys must prune below the full file set")
     // nothing lost: both probe keys' rows survive the pruned scan
     assert(df.where($"id".isin(500L, 501L)).count() === 2)
-    // an unsupported key type (double) keeps ALL files — hashing a
-    // cast would hash different bytes than the write side and
-    // wrong-prune (lost rows); keep-all is correct, just unpruned
+    // a key type that DISAGREES with the column (double keys against
+    // the long column) keeps ALL files — the sidecar hashed long
+    // bytes, so hashing doubles would refute files that match
+    // (lost rows); keep-all is correct, just unpruned
     val dkeys = spark.range(500, 502).select($"id".cast("double").as("id"))
     val (ddf, dkept, _) = t.snapshotBloomInDistributedWithCount("id", dkeys)
     assert(dkept === all,
-      s"unsupported-type probe must keep ALL files, kept $dkept/$all")
+      s"type-mismatched probe must keep ALL files, kept $dkept/$all")
     assert(ddf.count() === 800)
+    // a DOUBLE column probed with double keys prunes natively
+    val xkeys = spark.range(500, 502).select(($"id" * 1.0).as("x"))
+    val (xdf, xkept, _) = t.snapshotBloomInDistributedWithCount("x", xkeys)
+    val xDriver = t.candidateFiles($"x".isin(500.0, 501.0)).size
+    assert(xkept === xDriver,
+      s"distributed double probe kept $xkept files, driver kept $xDriver")
+    assert(xkept < all, "double keys must prune below the full file set")
+    assert(xdf.where($"x".isin(500.0, 501.0)).count() === 2)
+  }
+
+  test("distributed probe hashes DATE and TIMESTAMP keys natively: " +
+      "agrees with the driver probe, loses no rows") {
+    val path = tmp()
+    // 800 distinct days / hours dealt round-robin into 8 files: every
+    // file spans the whole range, so stats keep all and only the
+    // bloom prunes. Write-side sidecars hash via codegen'd xxhash64
+    // over the NATIVE internal values (epoch days int / micros long);
+    // the probe must reproduce those exact bytes from external Rows.
+    val t = GraftTable.create(spark, path,
+      spark.range(0, 800).select(
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          $"id".cast("int")).as("d"),
+        timestamp_seconds($"id" * 3600L).as("ts"),
+        ($"id" % 8).as("slot")).repartition(8, $"slot").drop("slot"))
+    t.setProperties(Map("graft.bloom.columns" -> "d, ts",
+      "graft.bloom.bits" -> "4096"))
+    t.rebuildBloomIndex()
+    val all = t.snapshotInfo(t.latestVersion).files.size
+    assert(all >= 4, s"need several overlapping files, got $all")
+    // DATE keys (external java.sql.Date / LocalDate Rows → epoch days)
+    val dkeys = spark.range(500, 502).select(
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        $"id".cast("int")).as("d"))
+    val (ddf, dkept, dtotal) =
+      t.snapshotBloomInDistributedWithCount("d", dkeys)
+    assert(dtotal === all)
+    // ids 500, 501 land on 2021-05-15/16 (2020 is a leap year)
+    val dLits = Seq(java.sql.Date.valueOf("2021-05-15"),
+      java.sql.Date.valueOf("2021-05-16"))
+    val dDriver = t.candidateFiles($"d".isin(dLits: _*)).size
+    assert(dkept === dDriver,
+      s"distributed date probe kept $dkept files, driver kept $dDriver")
+    assert(dkept < all, "date keys must prune below the full file set")
+    assert(ddf.where($"d".isin(dLits: _*)).count() === 2)
+    // TIMESTAMP keys (external Timestamp / Instant Rows → epoch micros)
+    val tkeys = spark.range(500, 502)
+      .select(timestamp_seconds($"id" * 3600L).as("ts"))
+    val (tdf, tkept, _) =
+      t.snapshotBloomInDistributedWithCount("ts", tkeys)
+    val tsLits = Seq(500L, 501L).map(h =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L)))
+    val tDriver = t.candidateFiles($"ts".isin(tsLits: _*)).size
+    assert(tkept === tDriver,
+      s"distributed ts probe kept $tkept files, driver kept $tDriver")
+    assert(tkept < all, "ts keys must prune below the full file set")
+    assert(tdf.where($"ts".isin(tsLits: _*)).count() === 2)
   }
 
   test("MERGE probe prunes to bloom resolution on unclustered tables") {

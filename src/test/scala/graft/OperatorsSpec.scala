@@ -645,6 +645,118 @@ class OperatorsSpec extends SparkSpec {
     assert(curated.latestVersion === v)
   }
 
+  test("maintainIndex is the one nightly front door: sweeps the " +
+      "curated table, bin-packs clusters + curated, reclaims strands") {
+    def text(i: Long) =
+      s"nightly${i} alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stage = java.nio.file.Files.createTempDirectory("graft_nightly_")
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    val cur = stage.resolve("curated").toString
+    // the sweepCurated scenario: out-of-order default-rule admission
+    // leaves both 10 and its smaller-id near-dup 5 in the curated set
+    Dedup.admitBatch(spark, idx, cl,
+      Seq((10L, text(0))).toDF("doc_id", "text"), batchId = 0L)
+    Dedup.admitBatch(spark, idx, cl,
+      Seq((5L, text(0) + " omega"),
+        (20L, "completely unrelated content with nothing shared at " +
+          "all against any earlier document whatsoever"))
+        .toDF("doc_id", "text"), batchId = 1L)
+    graft.tables.GraftTable.create(spark, cur,
+      Seq((10L, text(0)), (5L, text(0) + " omega"),
+        (20L, "completely unrelated content with nothing shared at " +
+          "all against any earlier document whatsoever"))
+        .toDF("doc_id", "text"))
+    // curatedPath without clustersPath is a caller bug, not a silent
+    // no-sweep
+    intercept[IllegalArgumentException] {
+      Dedup.maintainIndex(spark, idx, curatedPath = Some(cur))
+    }
+    def parquets(dir: String): Long = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir))
+      .filter(_.toString.endsWith(".parquet")).count()
+    Dedup.maintainIndex(spark, idx, targetDocsPerFile = 25L,
+      vacuumRetainHours = 0.0, clustersPath = Some(cl),
+      curatedPath = Some(cur))
+    // swept: min curated member per cluster survives
+    val curT = graft.tables.GraftTable.load(spark, cur)
+    assert(curT.snapshot().select($"doc_id").as[Long].collect().toSet
+      === Set(5L, 20L))
+    // the sweep's merge-stranded curated versions were vacuumed by
+    // the SAME call: only the final bin-packed files remain
+    assert(parquets(cur) === curT.snapshot().inputFiles.length.toLong)
+    assert(parquets(cl) === graft.tables.GraftTable.load(spark, cl)
+      .snapshot().inputFiles.length.toLong)
+    // admission verdicts read identically after full maintenance
+    val v = Dedup.admitBatch(spark, idx, cl,
+      Seq((7L, text(0) + " tau"), (30L, "fresh singleton nothing " +
+        "in common with anything admitted before at all"))
+        .toDF("doc_id", "text"), batchId = 2L)
+    assert(v.as[(Long, Long, String)].collect().toSet
+      === Set((7L, 5L, "drop"), (30L, 30L, "keep")))
+  }
+
+  test("continuous dedup maintenance: the lease-arbitrated loop " +
+      "sweeps the curated table within a trigger interval and settles") {
+    def text(i: Long) =
+      s"contnightly${i} alpha beta gamma delta epsilon zeta eta theta iota"
+    val stage = java.nio.file.Files.createTempDirectory("graft_contn_")
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    val cur = stage.resolve("curated").toString
+    // out-of-order default-rule admission leaves BOTH 10 and its
+    // smaller-id near-dup 5 curated — the slip-through the sweep fixes
+    Dedup.admitBatch(spark, idx, cl,
+      Seq((10L, text(0))).toDF("doc_id", "text"), batchId = 0L)
+    Dedup.admitBatch(spark, idx, cl,
+      Seq((5L, text(0) + " omega"),
+        (20L, "completely unrelated content sharing nothing with any " +
+          "other admitted document whatsoever"))
+        .toDF("doc_id", "text"), batchId = 1L)
+    val curT = graft.tables.GraftTable.create(spark, cur,
+      Seq((10L, text(0)), (5L, text(0) + " omega"),
+        (20L, "completely unrelated content sharing nothing with any " +
+          "other admitted document whatsoever"))
+        .toDF("doc_id", "text"))
+    val q = Dedup.continuousMaintain(spark, idx, interval = "1 second",
+      targetDocsPerFile = 25L, clustersPath = Some(cl),
+      curatedPath = Some(cur))
+    try {
+      intercept[IllegalArgumentException] {
+        Dedup.continuousMaintain(spark, idx, interval = "1 second")
+      }
+      val deadline = System.currentTimeMillis() + 90000L
+      def curatedIds = curT.snapshot()
+        .select($"doc_id").as[Long].collect().toSet
+      while (curatedIds != Set(5L, 20L) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250L)
+      assert(curatedIds === Set(5L, 20L),
+        "continuous maintenance never swept the curated slip-through")
+      // settles: once swept, clustered and packed, cycles stop
+      // committing (no self-trigger off its own maintenance commits)
+      val shT = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(idx, "shingles").toString)
+      val settleDeadline = System.currentTimeMillis() + 60000L
+      var last = (shT.latestVersion, curT.latestVersion)
+      var stable = false
+      while (!stable && System.currentTimeMillis() < settleDeadline) {
+        Thread.sleep(3000L)
+        val now = (shT.latestVersion, curT.latestVersion)
+        stable = now == last
+        last = now
+      }
+      assert(stable, "maintenance loop kept committing on a settled index")
+    } finally {
+      assert(Dedup.stopContinuousMaintain(idx))
+    }
+    assert(!q.isActive)
+    // admission still reads identically through the maintained index
+    assert(Dedup.admitBatch(spark, idx, cl,
+      Seq((7L, text(0) + " tau")).toDF("doc_id", "text"), batchId = 2L)
+      .as[(Long, Long, String)].collect().toSet === Set((7L, 5L, "drop")))
+  }
+
   test("admission audit trail persists verdicts exactly-once and " +
       "time-travels") {
     def text(i: Long) =
@@ -1069,6 +1181,81 @@ class OperatorsSpec extends SparkSpec {
       "identical index states rebalanced to different geometries")
   }
 
+  test("continuous IVF maintenance: the lease-arbitrated loop " +
+      "rebalances drift within a trigger interval, settles, and " +
+      "refuses a second loop") {
+    def vec(region: Int, j: Int): Seq[Float] = {
+      val sign = if (region < 4) 10f else -10f
+      Seq.tabulate(4)(d =>
+        (if (d == region % 4) sign else 0f) + ((j * (d + 3)) % 5) * 0.01f)
+    }
+    def rows(ids: Seq[Long], region: Long => Int) =
+      ids.map(i => (i, s"r${region(i)}", vec(region(i), i.toInt)))
+        .toDF("vec_id", "label", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cont_").toString
+    Similarity.ivfIndexBuild(spark, idx,
+      rows(1000L until 1080L, i => (i % 8).toInt), nCentroids = 8)
+    val centsT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "centroids").toString)
+    val centsV0 = centsT.latestVersion
+    // NO vacuum inside the loop: this spec reads (cellSkew, the
+    // probe) CONCURRENTLY with maintenance commits, and retain-0
+    // reclaim would yank files from under a planned scan — the
+    // documented reader-window contract; the batch maintenance spec
+    // covers the vacuum leg
+    val q = Similarity.continuousMaintain(spark, idx,
+      interval = "1 second")
+    try {
+      // the lease refuses a second loop on the same index
+      intercept[IllegalArgumentException] {
+        Similarity.continuousMaintain(spark, idx, interval = "1 second")
+      }
+      // DRIFT lands while the loop runs: one off-center blob piles
+      // into a single frozen cell — skew crosses the threshold and
+      // the NEXT maintenance cycle must rebalance
+      Similarity.ivfIndexIngest(spark, idx,
+        rows(0L until 200L, _ => 0)
+          .withColumn("embedding",
+            transform($"embedding", x => x + lit(5.0f).cast("float"))))
+      val deadline = System.currentTimeMillis() + 90000L
+      while (centsT.latestVersion == centsV0 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250L)
+      assert(centsT.latestVersion > centsV0,
+        "continuous maintenance never re-trained the drifted index")
+      assert(Similarity.cellSkew(spark, idx) < 4.0,
+        "rebalance left the index over the skew threshold")
+      // serving stays live against the maintained index
+      assert(Similarity.ivfIndexQuery(spark, idx, vec(0, 0), k = 5)
+        .count() === 5)
+      // the loop SETTLES: once balanced and packed, a cycle commits
+      // nothing, so it stops re-triggering itself off its own commits
+      val asgT = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(idx, "assignments").toString)
+      val settleDeadline = System.currentTimeMillis() + 60000L
+      var v1 = asgT.latestVersion
+      var stable = false
+      while (!stable && System.currentTimeMillis() < settleDeadline) {
+        Thread.sleep(3000L)
+        val v2 = asgT.latestVersion
+        stable = v2 == v1
+        v1 = v2
+      }
+      assert(stable, "maintenance loop kept committing on a settled index")
+    } finally {
+      assert(Similarity.stopContinuousMaintain(idx),
+        "owner stop must be synchronous")
+    }
+    assert(!q.isActive)
+    // the slot is free again: a fresh loop starts and stops cleanly
+    val q2 = Similarity.continuousMaintain(spark, idx,
+      interval = "1 second", rebalanceSkewThreshold = 0.0)
+    try assert(q2.isActive)
+    finally assert(Similarity.stopContinuousMaintain(idx))
+  }
+
   test("connected components converges in O(log n) rounds on a chain") {
     // a 1000-node path is the star-contraction worst case the
     // diameter-bound algorithm choked on: 999 propagation rounds
@@ -1280,6 +1467,18 @@ class OperatorsSpec extends SparkSpec {
     assert(curatedT.snapshot().where($"doc_id" === 1L).count() === 1,
       "setup: the doc to forget must be curated")
     Dedup.incrementalExact(spark, ledger, corpusDf).count()
+    // the docs' embeddings live in a persisted ANN index too — the
+    // front door must purge that surface as well (vec_id = doc_id)
+    val ivf = stage.resolve("ivf").toString
+    Similarity.ivfIndexBuild(spark, ivf,
+      Seq((1L, "d", Seq(1f, 0f, 0f, 0f)), (2L, "d", Seq(0f, 1f, 0f, 0f)),
+        (3L, "d", Seq(0f, 0f, 1f, 0f)), (4L, "d", Seq(0f, 0f, 0f, 1f)))
+        .toDF("vec_id", "label", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")),
+      nCentroids = 2)
+    def ivfVecs = GraftTable.load(spark,
+        java.nio.file.Paths.get(ivf, "assignments").toString)
+      .snapshot().select($"vec_id").as[Long].collect().toSet
     val retired = Seq(1L).toDF("doc_id")
     // simulated CRASH between content and sketch deletes: only the
     // content surfaces committed before the process died...
@@ -1291,10 +1490,12 @@ class OperatorsSpec extends SparkSpec {
       corpus = Some(corpusT), curated = Some(curatedT),
       indexPath = Some(idx), clustersPath = Some(cl),
       ledgerPath = Some(ledger), auditPath = Some(audit),
-      batchId = 7L).unpersist()
+      batchId = 7L, ivfIndexPath = Some(ivf)).unpersist()
     // NO surface returns the doc
     assert(corpusT.snapshot().where($"doc_id" === 1L).count() === 0)
     assert(curatedT.snapshot().where($"doc_id" === 1L).count() === 0)
+    assert(ivfVecs === Set(2L, 3L, 4L),
+      "the ANN index must purge exactly the retired doc's vector")
     def sub(s: String) = GraftTable.load(spark,
       java.nio.file.Paths.get(idx, s).toString).snapshot()
     assert(sub("sigs").where($"doc_id" === 1L).count() === 0)
@@ -1315,15 +1516,15 @@ class OperatorsSpec extends SparkSpec {
       .select($"batch_id", $"doc_id").as[(Long, Long)].collect().toSeq
     assert(auditRows === Seq((7L, 1L)))
     val before = (corpusT.snapshot().count(), curatedT.snapshot().count(),
-      sub("sigs").count(), sub("shingles").count(),
+      sub("sigs").count(), sub("shingles").count(), ivfVecs,
       Dedup.clustersView(spark, cl).as[(Long, Long, Int)].collect().toSet)
     Dedup.forgetEverywhere(spark, retired,
       corpus = Some(corpusT), curated = Some(curatedT),
       indexPath = Some(idx), clustersPath = Some(cl),
       ledgerPath = Some(ledger), auditPath = Some(audit),
-      batchId = 7L).unpersist()
+      batchId = 7L, ivfIndexPath = Some(ivf)).unpersist()
     assert((corpusT.snapshot().count(), curatedT.snapshot().count(),
-      sub("sigs").count(), sub("shingles").count(),
+      sub("sigs").count(), sub("shingles").count(), ivfVecs,
       Dedup.clustersView(spark, cl).as[(Long, Long, Int)].collect().toSet)
       === before, "replayed forget changed state")
     assert(auditRows === Seq((7L, 1L)), "replayed forget double-logged")
