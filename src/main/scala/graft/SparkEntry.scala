@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_cluster_survivors" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivors(s, d)),
     "dedup_incremental_clusters" -> (Dedup.incrementalClustersScenario _),
     "dedup_admission" -> (Dedup.admissionScenario _),
+    "dedup_admission_gated" -> (Dedup.admissionGatedScenario _),
     "stream_curation" -> (graft.streaming.Streams.curationScenario _),
     // §I text analysis
     "text_quality" -> (TextAnalysis.quality _),
@@ -566,6 +567,63 @@ object SparkEntry {
         |  COALESCE(l.root, b.doc_id) AS canonical_id,
         |  CASE WHEN COALESCE(l.root, b.doc_id) = b.doc_id
         |    THEN 'keep' ELSE 'drop' END AS action
+        |FROM batch b LEFT JOIN lab l ON b.doc_id = l.doc_id""".stripMargin,
+    "dedup_admission_gated" ->
+      """WITH RECURSIVE docs0 AS (
+        |  SELECT * FROM documents WHERE n_chars >= 100),
+        |w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM docs0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |hp AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x,
+        |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 2147483647 AS y
+        |  FROM posts),
+        |sig AS (
+        |  SELECT doc_id, i,
+        |    MIN((((i * 1103515245 + 12345) % 2147483647) * x + y) % 2147483647) AS m
+        |  FROM hp, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i),
+        |bandsig AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+        |common AS (
+        |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, COUNT(*) AS nc
+        |  FROM posts pa JOIN posts pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b FROM cand c
+        |  JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+        |  JOIN sizes sa ON c.doc_a = sa.doc_id
+        |  JOIN sizes sb ON c.doc_b = sb.doc_id
+        |  WHERE CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) >= 0.6),
+        |undirected AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        |  UNION
+        |  SELECT e.u, r.label FROM undirected e JOIN reach r ON e.v = r.u),
+        |lab AS (SELECT u AS doc_id, MIN(label) AS root FROM reach GROUP BY u),
+        |batch AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id,
+        |  CASE WHEN NOT COALESCE(b.n_chars >= 100, FALSE) THEN b.doc_id
+        |    ELSE COALESCE(l.root, b.doc_id) END AS canonical_id,
+        |  CASE WHEN NOT COALESCE(b.n_chars >= 100, FALSE) THEN 'reject'
+        |    WHEN COALESCE(l.root, b.doc_id) = b.doc_id THEN 'keep'
+        |    ELSE 'drop' END AS action
         |FROM batch b LEFT JOIN lab l ON b.doc_id = l.doc_id""".stripMargin,
     "stream_curation" ->
       """WITH RECURSIVE base AS (

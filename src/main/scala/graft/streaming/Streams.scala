@@ -319,13 +319,21 @@ object Streams {
     * pure function of the pair set, independent of arrival order —
     * what a relational replay oracle can check), which double-admits
     * when a smaller-id near-dup arrives after its partner.
+    *
+    * `qualityGate` (a boolean Column over the incoming docs' own
+    * columns — length floors, langid/quality-score thresholds):
+    * failing docs get audited `reject` verdicts and never enter the
+    * dedup index or the curated table — the quality-BEFORE-dedup
+    * admission order every C4/Gopher-style pipeline runs (see
+    * [[graft.operators.Dedup.admitBatch]]'s gate contract).
     */
   def curationStream(spark: SparkSession, rawDir: String,
       checkpoint: String, indexPath: String, clustersPath: String,
       curated: graft.tables.GraftTable,
       maxFilesPerTrigger: Int = Int.MaxValue,
       firstAdmittedWins: Boolean = true,
-      auditPath: Option[String] = None): Long = {
+      auditPath: Option[String] = None,
+      qualityGate: Option[org.apache.spark.sql.Column] = None): Long = {
     val schema = curated.snapshot().schema
     val cp = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(cp)
@@ -364,10 +372,10 @@ object Streams {
             spark, indexPath, clustersPath, ap, batch, batchId = id,
             admitted = adm,
             auditAppId = s"audit:$checkpoint",
-            pipelineId = s":$checkpoint")
+            pipelineId = s":$checkpoint", gate = qualityGate)
           case None => graft.operators.Dedup.admitBatch(spark,
             indexPath, clustersPath, batch, batchId = id, admitted = adm,
-            pipelineId = s":$checkpoint")
+            pipelineId = s":$checkpoint", gate = qualityGate)
         }
         val e1 = System.nanoTime()
         val kept = batch.join(

@@ -924,6 +924,67 @@ class StreamingSpec extends SparkSpec {
       "default curation survivorship must be first-admitted-wins")
   }
 
+  test("quality-gated curation rejects failing docs BEFORE dedup: " +
+      "they never index, never curate, and audit as reject") {
+    def doc(id: Long, text: String) =
+      (id, text, "en", "web", text.length.toLong)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert(base.length < 60, "setup: the short doc must fail the gate")
+    val stage = Files.createTempDirectory("graft_curgate_")
+    val raw = stage.resolve("raw")
+    java.nio.file.Files.createDirectories(raw)
+    val curated = graft.tables.GraftTable.create(spark,
+      stage.resolve("curated").toString,
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def cycle(rows: Seq[(Long, String, String, String, Long)],
+        p: String): Unit = {
+      graft.sources.Ingest.stageBatch(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1), raw.toString, p)
+      Streams.curationStream(spark, raw.toString,
+        stage.resolve("cp").toString, stage.resolve("idx").toString,
+        stage.resolve("cl").toString, curated,
+        auditPath = Some(stage.resolve("audit").toString),
+        qualityGate = Some($"n_chars" >= 60L))
+      ()
+    }
+    // cycle 1: a SHORT near-dup precursor (fails the gate) + a long
+    // fresh doc. Without the gate, doc 5 would be admitted and later
+    // poison cycle 2's verdict as a canonical.
+    cycle(Seq(doc(5, base),
+      doc(20, "completely different words entirely novel content " +
+        "nothing shared with anything prior at all here")), "g1")
+    // cycle 2: the LONG near-dup of the rejected doc's content — the
+    // rejected doc never entered the index, so this one KEEPS
+    cycle(Seq(doc(10, base + " omega upsilon")), "g2")
+    assert(curated.snapshot().select($"doc_id").as[Long].collect().toSet
+      === Set(20L, 10L),
+      "gate-passers must curate; the rejected doc must not block them")
+    // the rejected doc is on NO dedup surface
+    val sigs = graft.tables.GraftTable.load(spark,
+      stage.resolve("idx").resolve("sigs").toString).snapshot()
+    assert(sigs.where($"doc_id" === 5L).count() === 0,
+      "a rejected doc must never enter the index")
+    // ...but IS accounted for: an exactly-once audited reject verdict
+    val audit = graft.tables.GraftTable.load(spark,
+      stage.resolve("audit").toString)
+    def rejects = audit.snapshot().where($"action" === "reject")
+      .select($"doc_id", $"canonical_id").as[(Long, Long)]
+      .collect().toSeq
+    assert(rejects === Seq((5L, 5L)))
+    // replay changes nothing and double-logs nothing
+    val v = (curated.latestVersion, audit.latestVersion)
+    Streams.curationStream(spark, raw.toString,
+      stage.resolve("cp").toString, stage.resolve("idx").toString,
+      stage.resolve("cl").toString, curated,
+      auditPath = Some(stage.resolve("audit").toString),
+      qualityGate = Some($"n_chars" >= 60L))
+    assert((curated.latestVersion, audit.latestVersion) === v,
+      "gated replay must be a no-op")
+    assert(rejects === Seq((5L, 5L)))
+  }
+
   test("streaming evolving ingest: column arrives mid-stream, sink evolves") {
     val stage = Files.createTempDirectory("graft_sevo_")
     val raw = stage.resolve("raw").toString
