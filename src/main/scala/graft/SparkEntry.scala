@@ -172,6 +172,7 @@ object SparkEntry {
     "ann_incremental" -> ((s: SparkSession, d: String) => Similarity.annIncremental(s, d)),
     "ann_incremental_serve" -> ((s: SparkSession, d: String) => Similarity.annIncrementalServe(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
     // §F ML
@@ -2000,6 +2001,75 @@ object SparkEntry {
         |SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
         |FROM a3 GROUP BY cent_id""".stripMargin,
+    "dedup_semantic" ->
+      """WITH RECURSIVE qe AS (
+        |  SELECT vec_id, label, embedding,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |dim AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id, qv AS cent
+        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 16)),
+        |a1 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c0 c) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a1 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a2 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c1 c) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a2 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a3 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c2 c) WHERE rn = 1),
+        |ae AS (
+        |  SELECT a3.vec_id, a3.cent_id, qe.embedding
+        |  FROM a3 JOIN qe ON a3.vec_id = qe.vec_id),
+        |cp AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(b.embedding) + 1)]))) AS cs
+        |  FROM ae a JOIN ae b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+        |pairs AS (
+        |  SELECT vec_a, vec_b FROM cp
+        |  WHERE CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) >= 0.3),
+        |undirected AS (
+        |  SELECT vec_a AS u, vec_b AS v FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        |  UNION
+        |  SELECT e.u, r.label FROM undirected e JOIN reach r ON e.v = r.u),
+        |lab AS (SELECT u AS vec_id, MIN(label) AS root FROM reach GROUP BY u)
+        |SELECT e.vec_id,
+        |  COALESCE(l.root, e.vec_id) AS canonical_id,
+        |  CASE WHEN COALESCE(l.root, e.vec_id) = e.vec_id
+        |    THEN 'keep' ELSE 'drop' END AS action
+        |FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.vec_id""".stripMargin,
     "multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -263,6 +263,52 @@ object Similarity {
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
   }
 
+  /** SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023): k-means
+    * cluster the embedding space (the same exact-integer Lloyd as
+    * [[embeddingKmeans]]), find near-duplicate pairs ONLY within each
+    * cluster (full-precision cosine ≥ τ, decimal-rounded like every
+    * cosine here), resolve pairs to connected components and keep the
+    * minimum vec_id per component — every vector gets a (vec_id,
+    * canonical_id, keep/drop) verdict. The within-cluster restriction
+    * IS the method's approximation (cross-cluster near-dups are
+    * missed by design) and the oracle replays exactly it, so the
+    * check is exact.
+    *
+    * Scale shape: the pairwise step is O(Σ clusterᵢ²), not O(n²) —
+    * k grows with the corpus so clusters stay bounded; the self-join
+    * shuffles once on cent_id and only (vec_id, embedding) pairs
+    * cross; components resolve over the (sparse) near-dup graph only.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+      nCentroids: Int = 16, iters: Int = 2,
+      tau: Double = 0.3): DataFrame = {
+    VectorExprs.register(spark)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (_, assignedRaw) = kmeansFitOf(spark, emb, nCentroids, iters)
+    val a = assignedRaw
+      .select(col("cent_id"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+    val b = assignedRaw
+      .select(col("cent_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))
+    val pairs = a.join(b, Seq("cent_id"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(vec_cosine(col("emb_a"), col("emb_b"))
+          .cast("decimal(18,12)"), 6).cast("double").as("cs"))
+      .where(col("cs") >= tau)
+    val cc = Dedup.connectedComponents(
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    emb.select(col("vec_id"))
+      .join(cc.select(col("doc_id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("canonical_id"))
+      .withColumn("action",
+        when(col("canonical_id") === col("vec_id"), "keep")
+          .otherwise("drop"))
+  }
+
   def annIvfTrained(spark: SparkSession, sfDir: String, k: Int = 10,
       nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     import spark.implicits._

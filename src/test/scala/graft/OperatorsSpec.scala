@@ -1256,6 +1256,29 @@ class OperatorsSpec extends SparkSpec {
     finally assert(Similarity.stopContinuousMaintain(idx))
   }
 
+  test("semantic dedup: one verdict per vector, canonicals are kept " +
+      "component minima, deterministic across runs") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val n = emb.count()
+    def run() = Similarity.semanticDedup(spark, sf)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val v = run()
+    assert(v.length.toLong === n, "every vector verdicts exactly once")
+    assert(v.map(_._1).distinct.length === v.length)
+    // the canonical is the component MINIMUM: never larger than the
+    // member, and itself always a keeper
+    assert(v.forall { case (id, canon, _) => canon <= id })
+    val keeps = v.filter(_._3 == "keep").map(_._1).toSet
+    assert(v.map(_._2).toSet.subsetOf(keeps),
+      "every canonical must itself be kept")
+    assert(v.forall { case (id, canon, a) =>
+      (a == "keep") == (id == canon) })
+    // near-dups exist on this corpus at τ=0.3 — the verdict is not
+    // a trivial all-keep
+    assert(v.exists(_._3 == "drop"), "expected at least one semantic drop")
+    assert(run() === v, "semantic dedup must be deterministic")
+  }
+
   test("connected components converges in O(log n) rounds on a chain") {
     // a 1000-node path is the star-contraction worst case the
     // diameter-bound algorithm choked on: 999 propagation rounds
