@@ -80,6 +80,7 @@ object SparkEntry {
     "stream_curation" -> (graft.streaming.Streams.curationScenario _),
     // §I text analysis
     "text_quality" -> (TextAnalysis.quality _),
+    "text_gopher_rules" -> (TextAnalysis.gopherRules _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -734,6 +735,35 @@ object SparkEntry {
         |    AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.3
         |    AS INTEGER) AS keep_flag
         |FROM documents""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER) AS n_nonspace_chars,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.'))
+        |      + len(regexp_extract_all(text, '…')) AS INTEGER) AS n_symbols,
+        |    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS INTEGER) AS n_alpha_words,
+        |    CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS INTEGER) AS n_bullet_lines,
+        |    CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS INTEGER) AS n_ellipsis_lines
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_nonspace_chars, n_symbols,
+        |  n_alpha_words, n_lines, n_bullet_lines, n_ellipsis_lines,
+        |  CAST(n_nonspace_chars AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+        |  CAST(n_symbols AS DOUBLE) / greatest(n_words, 1) AS symbol_ratio,
+        |  CAST(n_alpha_words AS DOUBLE) / greatest(n_words, 1) AS alpha_word_frac,
+        |  CAST(n_bullet_lines AS DOUBLE) / greatest(n_lines, 1) AS bullet_frac,
+        |  CAST(n_ellipsis_lines AS DOUBLE) / greatest(n_lines, 1) AS ellipsis_frac,
+        |  CAST(n_words >= 50 AND n_words <= 100000
+        |    AND CAST(n_nonspace_chars AS DOUBLE) / greatest(n_words, 1) >= 3.0
+        |    AND CAST(n_nonspace_chars AS DOUBLE) / greatest(n_words, 1) <= 10.0
+        |    AND CAST(n_symbols AS DOUBLE) / greatest(n_words, 1) < 0.1
+        |    AND CAST(n_bullet_lines AS DOUBLE) / greatest(n_lines, 1) < 0.9
+        |    AND CAST(n_ellipsis_lines AS DOUBLE) / greatest(n_lines, 1) < 0.3
+        |    AND CAST(n_alpha_words AS DOUBLE) / greatest(n_words, 1) > 0.8
+        |    AS INTEGER) AS gopher_flag
+        |FROM m""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang AS lang_tagged,
         |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|in|that|with)\b')) AS INTEGER) AS s_en,

@@ -44,6 +44,53 @@ object TextAnalysis {
           col("punct_ratio") < lit(0.3)).cast("int"))
   }
 
+  /** GOPHER-rule document filter (Rae et al. 2021 §A1.1, the
+    * MassiveText quality bundle next to [[quality]]'s C4-ish ratios):
+    * word count bounds, mean word length in [3,10], symbol-to-word
+    * ratio (# and ellipsis), fraction of bullet-led / ellipsis-ended
+    * lines, fraction of words carrying an alphabetic character. Every
+    * metric is a codegen'd regexp/length expression (no HOF lambdas,
+    * no UDF) and integer-over-integer division, so the doubles replay
+    * bit-identically in the relational oracle. The flag applies the
+    * published thresholds (synthetic gate docs are mostly shorter
+    * than Gopher's 50-word floor — the METRICS are the product; the
+    * flag is their conjunction).
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val t = col("text")
+    d.select(
+      col("doc_id"),
+      nMatches(t, "\\S+").as("n_words"),
+      length(regexp_replace(t, "\\s+", "")).as("n_nonspace_chars"),
+      (nMatches(t, "#") + nMatches(t, "\\.\\.\\.") + nMatches(t, "…"))
+        .as("n_symbols"),
+      nMatches(t, "\\S*[A-Za-z]\\S*").as("n_alpha_words"),
+      size(split(t, "\n", -1)).as("n_lines"),
+      nMatches(t, "(?m)^\\s*[-*•]").as("n_bullet_lines"),
+      nMatches(t, "(?m)(\\.\\.\\.|…)$").as("n_ellipsis_lines"))
+      .withColumn("mean_word_len",
+        col("n_nonspace_chars").cast("double") /
+          greatest(col("n_words"), lit(1)))
+      .withColumn("symbol_ratio",
+        col("n_symbols").cast("double") / greatest(col("n_words"), lit(1)))
+      .withColumn("alpha_word_frac",
+        col("n_alpha_words").cast("double") /
+          greatest(col("n_words"), lit(1)))
+      .withColumn("bullet_frac",
+        col("n_bullet_lines").cast("double") /
+          greatest(col("n_lines"), lit(1)))
+      .withColumn("ellipsis_frac",
+        col("n_ellipsis_lines").cast("double") /
+          greatest(col("n_lines"), lit(1)))
+      .withColumn("gopher_flag",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") < 0.1 && col("bullet_frac") < 0.9 &&
+          col("ellipsis_frac") < 0.3 &&
+          col("alpha_word_frac") > 0.8).cast("int"))
+  }
+
   /** Marker-token language ID: count hits of per-language marker
     * regexes, predict the argmax (deterministic tie-break by
     * en>de>fr>es priority). An n-gram-frequency heuristic in the
