@@ -116,6 +116,21 @@ object GraftSql {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+CONTINUOUS(?:\s+EVERY\s+'([^']+)')?\s*""".r
   private val StopRefreshMatView =
     """(?is)\s*STOP\s+REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*""".r
+  // index-maintenance SQL (the ops spelling of Dedup.maintainIndex /
+  // Similarity.maintainIndex and their lease-arbitrated continuous
+  // loops): targets are PATHS (indexes are path-rooted state, not
+  // catalog tables)
+  private val MaintainDedupIndexContinuous =
+    """(?is)\s*MAINTAIN\s+DEDUP\s+INDEX\s+'([^']+)'((?:\s+(?:CLUSTERS|CURATED)\s+'[^']+')*)\s+CONTINUOUS(?:\s+EVERY\s+'([^']+)')?\s*""".r
+  private val MaintainDedupIndex =
+    """(?is)\s*MAINTAIN\s+DEDUP\s+INDEX\s+'([^']+)'((?:\s+(?:CLUSTERS|CURATED)\s+'[^']+')*)\s*""".r
+  private val MaintainAnnIndexContinuous =
+    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'\s+CONTINUOUS(?:\s+EVERY\s+'([^']+)')?\s*""".r
+  private val MaintainAnnIndex =
+    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'\s*""".r
+  private val StopMaintainIndex =
+    """(?is)\s*STOP\s+MAINTAIN\s+INDEX\s+'([^']+)'\s*""".r
+  private val MaintainOpt = """(?is)(CLUSTERS|CURATED)\s+'([^']+)'""".r
 
   /** Continuous-refresh arbitration: a JVM-local query map PLUS a
     * heartbeat lease file under each view root, so double-start
@@ -125,6 +140,31 @@ object GraftSql {
   private[graft] val continuousRegistry = new ContinuousRegistry
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case MaintainDedupIndexContinuous(path, opts, every) =>
+      val m = MaintainOpt.findAllMatchIn(Option(opts).getOrElse(""))
+        .map(x => x.group(1).toUpperCase -> x.group(2)).toMap
+      graft.operators.Dedup.continuousMaintain(spark, path,
+        interval = Option(every).getOrElse("10 seconds"),
+        clustersPath = m.get("CLUSTERS"), curatedPath = m.get("CURATED"))
+      emptyResult(spark)
+    case MaintainDedupIndex(path, opts) =>
+      val m = MaintainOpt.findAllMatchIn(Option(opts).getOrElse(""))
+        .map(x => x.group(1).toUpperCase -> x.group(2)).toMap
+      graft.operators.Dedup.maintainIndex(spark, path,
+        clustersPath = m.get("CLUSTERS"), curatedPath = m.get("CURATED"))
+      emptyResult(spark)
+    case MaintainAnnIndexContinuous(path, every) =>
+      graft.operators.Similarity.continuousMaintain(spark, path,
+        interval = Option(every).getOrElse("10 seconds"))
+      emptyResult(spark)
+    case MaintainAnnIndex(path) =>
+      graft.operators.Similarity.maintainIndex(spark, path): Unit
+      emptyResult(spark)
+    case StopMaintainIndex(path) =>
+      // one registry for both index families, keyed by the index root
+      continuousRegistry.stop(
+        java.nio.file.Paths.get(path).toAbsolutePath.toString): Unit
+      emptyResult(spark)
     case DescribeHistoryLimit(ident, n) =>
       tableByName(spark, ident).history(n.toInt)
     case DescribeHistory(ident) => tableByName(spark, ident).history()
@@ -570,7 +610,10 @@ object GraftSql {
          CreateBucketedCtas(_, _, _, _, _) |
          ShowPartitionsSql(_) | FsckTable(_) |
          CreateMatView(_, _, _, _, _, _) | RefreshMatView(_) |
-         RefreshMatViewContinuous(_, _) | StopRefreshMatView(_) => true
+         RefreshMatViewContinuous(_, _) | StopRefreshMatView(_) |
+         MaintainDedupIndexContinuous(_, _, _) | MaintainDedupIndex(_, _) |
+         MaintainAnnIndexContinuous(_, _) | MaintainAnnIndex(_) |
+         StopMaintainIndex(_) => true
     case _ => false
   }
 
@@ -659,6 +702,11 @@ object GraftSql {
     text match {
       case CreatePartitionedCtas(_, _, _, _) |
            CreateBucketedCtas(_, _, _, _, _) => return true
+      // index maintenance targets a PATH (no catalog ident to
+      // resolve); the statement shape is unambiguously graft's
+      case MaintainDedupIndexContinuous(_, _, _) | MaintainDedupIndex(_, _) |
+           MaintainAnnIndexContinuous(_, _) | MaintainAnnIndex(_) |
+           StopMaintainIndex(_) => return true
       case _ =>
     }
     val ident = text match {

@@ -113,6 +113,16 @@ class ExtensionsSpec extends SparkSpec {
         "(91000001, 3, 'O', 11.5, '1996-01-01 00:00:00', '1-URGENT')")
       assert(s2.table("gp_orders")
         .where(col("o_orderkey") === 91000001L).count() === 1)
+      // MAINTAIN INDEX routes through the injected parser too (the
+      // target is a PATH, so the claim is shape-based, not catalog)
+      val ivf = java.nio.file.Files.createTempDirectory("graft_pivf_")
+        .resolve("ivf").toString
+      graft.operators.Similarity.ivfIndexBuild(s2, ivf,
+        s2.range(0, 8).selectExpr("id AS vec_id", "'x' AS label",
+          "CAST(array(CAST(id % 4 AS FLOAT), 1.0F, 0.0F, 0.0F) " +
+            "AS ARRAY<FLOAT>) AS embedding"),
+        nCentroids = 2)
+      s2.sql(s"MAINTAIN ANN INDEX '$ivf'")
       // non-graft SQL is untouched
       assert(s2.sql("SELECT 1 + 1").head.getInt(0) === 2)
       // DML on a non-graft target falls through to Spark's own

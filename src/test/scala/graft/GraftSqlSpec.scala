@@ -1010,6 +1010,50 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("MAINTAIN INDEX SQL: one-shot dedup front door sweeps + packs; " +
+      "continuous ANN loop starts under the lease and STOPs") {
+    import graft.operators.{Dedup, Similarity}
+    def text(i: Long) =
+      s"sqlmaint${i} alpha beta gamma delta epsilon zeta eta theta iota"
+    val stage = Files.createTempDirectory("graft_sqlmaint_")
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    val cur = stage.resolve("curated").toString
+    Dedup.admitBatch(spark, idx, cl,
+      Seq((10L, text(0))).toDF("doc_id", "text"), batchId = 0L)
+    Dedup.admitBatch(spark, idx, cl,
+      Seq((5L, text(0) + " omega")).toDF("doc_id", "text"), batchId = 1L)
+    graft.tables.GraftTable.create(spark, cur,
+      Seq((10L, text(0)), (5L, text(0) + " omega"))
+        .toDF("doc_id", "text"))
+    // one-shot nightly front door via the SQL dispatcher (the
+    // injected parser routes the same text here — ExtensionsSpec
+    // covers the injection generically)
+    GraftSql.sql(spark,
+      s"MAINTAIN DEDUP INDEX '$idx' CLUSTERS '$cl' CURATED '$cur'")
+    assert(graft.tables.GraftTable.load(spark, cur).snapshot()
+      .select($"doc_id").as[Long].collect().toSet === Set(5L),
+      "SQL maintenance must sweep the curated slip-through")
+    // continuous ANN maintenance: start via SQL, refuse a double
+    // start, stop via SQL (same lease registry as the MV loops)
+    val ivf = stage.resolve("ivf").toString
+    Similarity.ivfIndexBuild(spark, ivf,
+      (0L until 8L).map(i => (i, "x",
+        Seq.tabulate(4)(d => if (d == (i % 4).toInt) 1f else 0f)))
+        .toDF("vec_id", "label", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")),
+      nCentroids = 2)
+    GraftSql.sql(spark, s"MAINTAIN ANN INDEX '$ivf' CONTINUOUS EVERY '1 second'")
+    try {
+      val dup = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, s"MAINTAIN ANN INDEX '$ivf' CONTINUOUS")
+      }
+      assert(dup.getMessage.contains("already running"))
+    } finally GraftSql.sql(spark, s"STOP MAINTAIN INDEX '$ivf'")
+    // one-shot ANN maintenance parses and runs too
+    GraftSql.sql(spark, s"MAINTAIN ANN INDEX '$ivf'")
+  }
+
   test("REFRESH MATERIALIZED VIEW CONTINUOUS converges under DML " +
       "with no manual refresh") {
     val (t, _) = registered("gs_mvcsrc")
