@@ -44,6 +44,42 @@ object TextAnalysis {
           col("punct_ratio") < lit(0.3)).cast("int"))
   }
 
+  /** [[quality]]'s keep rule as a REUSABLE GATE over a bare text
+    * column — the shape [[Dedup.admitBatch]]/`curationStream`'s
+    * `qualityGate` wants (one boolean Column, no metrics frame to
+    * join). Spec-pinned ≡ the quality frame's `keep_flag`, so the
+    * two spellings cannot drift.
+    */
+  def qualityGateCol(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val nWords = nMatches(text, wordPat)
+    val punctRatio = nMatches(text, punctPat).cast("double") /
+      greatest(length(text), lit(1))
+    nWords >= 5 && nWords <= 10000 && punctRatio < 0.3
+  }
+
+  /** [[gopherRules]]'s conjunction flag as a reusable gate column
+    * (spec-pinned ≡ the metrics frame's `gopher_flag`).
+    */
+  def gopherGateCol(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val nWords = nMatches(text, "\\S+")
+    val nw = greatest(nWords, lit(1))
+    val meanLen = length(regexp_replace(text, "\\s+", ""))
+      .cast("double") / nw
+    val symbolRatio = (nMatches(text, "#") +
+      nMatches(text, "\\.\\.\\.") + nMatches(text, "…"))
+      .cast("double") / nw
+    val alphaFrac = nMatches(text, "\\S*[A-Za-z]\\S*").cast("double") / nw
+    val nLines = greatest(size(split(text, "\n", -1)), lit(1))
+    val bulletFrac = nMatches(text, "(?m)^\\s*[-*•]").cast("double") / nLines
+    val ellipsisFrac =
+      nMatches(text, "(?m)(\\.\\.\\.|…)$").cast("double") / nLines
+    nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 && symbolRatio < 0.1 &&
+      bulletFrac < 0.9 && ellipsisFrac < 0.3 && alphaFrac > 0.8
+  }
+
   /** GOPHER-rule document filter (Rae et al. 2021 §A1.1, the
     * MassiveText quality bundle next to [[quality]]'s C4-ish ratios):
     * word count bounds, mean word length in [3,10], symbol-to-word

@@ -1256,6 +1256,37 @@ class OperatorsSpec extends SparkSpec {
     finally assert(Similarity.stopContinuousMaintain(idx))
   }
 
+  test("gate column builders match their metric frames' flags " +
+      "(drift guard)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val q = TextAnalysis.quality(spark, sf)
+      .select($"doc_id", $"keep_flag".as("want"))
+    val qg = docs.select($"doc_id",
+      TextAnalysis.qualityGateCol($"text").cast("int").as("got"))
+    assert(q.join(qg, Seq("doc_id"))
+      .where($"want" =!= $"got" ||
+        $"want".isNull =!= $"got".isNull).count() === 0,
+      "qualityGateCol drifted from quality()'s keep_flag")
+    val g = TextAnalysis.gopherRules(spark, sf)
+      .select($"doc_id", $"gopher_flag".as("want"))
+    val gg = docs.select($"doc_id",
+      TextAnalysis.gopherGateCol($"text").cast("int").as("got"))
+    assert(g.join(gg, Seq("doc_id"))
+      .where($"want" =!= $"got" ||
+        $"want".isNull =!= $"got".isNull).count() === 0,
+      "gopherGateCol drifted from gopherRules()'s gopher_flag")
+    // the builders compose straight into the admission gate
+    val verdictActions = Dedup.admitBatch(spark,
+      java.nio.file.Files.createTempDirectory("graft_gatecol_")
+        .resolve("idx").toString,
+      java.nio.file.Files.createTempDirectory("graft_gatecol_")
+        .resolve("cl").toString,
+      docs.limit(50), batchId = 0L,
+      gate = Some(TextAnalysis.qualityGateCol($"text")))
+      .select($"action").distinct().as[String].collect().toSet
+    assert(verdictActions.subsetOf(Set("keep", "drop", "reject")))
+  }
+
   test("semantic dedup: one verdict per vector, canonicals are kept " +
       "component minima, deterministic across runs") {
     val emb = Tables.load(spark, sf, "embeddings")
