@@ -117,6 +117,22 @@ class ExplainAuditSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup plan: the pairwise stage joins on cent_id — " +
+      "no cartesian product, no pinned sf-proportional broadcast") {
+    withStaticPlans {
+      val df = SparkEntry.queries("dedup_semantic")(spark, sf)
+      assert(badBroadcastHints(df).isEmpty,
+        "dedup_semantic pins a broadcast over an sf-proportional side")
+      val cartesian = df.queryExecution.executedPlan.collect {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(cartesian.isEmpty,
+        s"dedup_semantic plans ${cartesian.map(_.nodeName).mkString(",")}" +
+          " — the within-cluster restriction must be an equi-join key")
+    }
+  }
+
   test("the broadcast-hint detector actually fires on broadcast(customer)") {
     withStaticPlans {
       val orders = Tables.load(spark, sf, "orders")
