@@ -174,6 +174,7 @@ object SparkEntry {
     "ann_incremental_serve" -> ((s: SparkSession, d: String) => Similarity.annIncrementalServe(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
+    "ann_ivfpq_serve" -> (Similarity.ivfPqServeScenario _),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
     // §F ML
@@ -2031,6 +2032,101 @@ object SparkEntry {
         |SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
         |FROM a3 GROUP BY cent_id""".stripMargin,
+    "ann_ivfpq_serve" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label, embedding,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |dim AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id, qv AS cent
+        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 16)),
+        |a1 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c0 c) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a1 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a2 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c1 c) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a2 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a3 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])
+        |                  for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c2 c) WHERE rn = 1),
+        |qv0 AS (SELECT qv FROM qe WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cent_id FROM c2, qv0 q
+        |  ORDER BY list_sum([(c2.cent[i] - q.qv[i]) * (c2.cent[i] - q.qv[i])
+        |                     for i in range(1, len(q.qv) + 1)]), cent_id
+        |  LIMIT 4),
+        |members AS (
+        |  SELECT a3.vec_id FROM a3 JOIN probe USING (cent_id)
+        |  WHERE a3.vec_id <> 0),
+        |params AS (SELECT (SELECT len(embedding) FROM embeddings LIMIT 1) // 8 AS sub),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv
+        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 16)),
+        |sdim AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s),
+        |cb AS (
+        |  SELECT sdim.s, seeds.j,
+        |    list_slice(qv, sdim.s * params.sub + 1, sdim.s * params.sub + params.sub) AS cent
+        |  FROM seeds, sdim, params),
+        |subv AS (
+        |  SELECT vec_id, sdim.s,
+        |    list_slice(qv, sdim.s * params.sub + 1, sdim.s * params.sub + params.sub) AS sv
+        |  FROM qe, sdim, params),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT v.vec_id, v.s, c.j,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        |        list_sum([(v.sv[i] - c.cent[i]) * (v.sv[i] - c.cent[i]) for i in range(1, len(v.sv) + 1)]), c.j) AS rn
+        |    FROM subv v JOIN cb c ON v.s = c.s) WHERE rn = 1),
+        |qsub AS (
+        |  SELECT sdim.s,
+        |    list_slice(q.qv, sdim.s * params.sub + 1, sdim.s * params.sub + params.sub) AS sv
+        |  FROM qv0 q, sdim, params),
+        |dt AS (
+        |  SELECT c.s, c.j AS code,
+        |    list_sum([(x.sv[i] - c.cent[i]) * (x.sv[i] - c.cent[i]) for i in range(1, len(x.sv) + 1)]) AS d
+        |  FROM cb c JOIN qsub x ON c.s = x.s),
+        |short AS (
+        |  SELECT codes.vec_id, SUM(dt.d) AS ad
+        |  FROM codes JOIN dt USING (s, code) JOIN members USING (vec_id)
+        |  GROUP BY codes.vec_id
+        |  ORDER BY ad, codes.vec_id LIMIT 50),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |rr AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              for i in range(1, len(q.qe) + 1)]))) AS cs
+        |  FROM embeddings e JOIN short ON e.vec_id = short.vec_id, q)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM rr ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "dedup_semantic" ->
       """WITH RECURSIVE qe AS (
         |  SELECT vec_id, label, embedding,

@@ -168,6 +168,71 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.count() === Similarity.embeddingNearDupLsh(spark, sf, threshold = 0.4).count())
   }
 
+  test("persisted IVF+PQ index: probed-cell partition pruning, ADC " +
+      "shortlist, exact rerank — recall floor vs brute force holds") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_spec_").resolve("idx").toString
+    Similarity.ivfPqIndexBuild(spark, idx, emb)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val res = Similarity.ivfPqIndexQuery(spark, idx, q, excludeVecId = 0L)
+    val rows = res.collect()
+    assert(rows.length === 10)
+    // the cascade's recall vs the exact brute-force top-10: the PQ
+    // shortlist sits UNDER the IVF probe, so it can only lose from
+    // the probed cells — the floor matches the flat-IVF spec's
+    val brute = Similarity.annTopKBrute(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val got = rows.map(_.getLong(0)).toSet
+    assert(got.intersect(brute).size >= 4,
+      s"IVF+PQ recalled ${got.intersect(brute).size}/10 of brute force")
+    // BOTH stages' scans (code ranking + exact rerank) read ONLY the
+    // probed cells' partitions; unwrap AQE (the join plan adapts)
+    val t = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "assignments").toString)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allScans(r.child)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(res.queryExecution.executedPlan).filter(
+      _.relation.location.inputFiles.headOption
+        .exists(_.contains("assignments")))
+    assert(scans.nonEmpty, "no assignments scan found in the plan")
+    val total = t.snapshotInfo(t.latestVersion).files.size
+    scans.foreach { scan =>
+      assert(scan.metrics("numFiles").value < total,
+        s"IVF+PQ probe read ${scan.metrics("numFiles").value} of $total " +
+          "files — no partition pruning")
+    }
+    // determinism
+    assert(Similarity.ivfPqIndexQuery(spark, idx, q, excludeVecId = 0L)
+      .collect().toSeq === rows.toSeq)
+    // REBALANCE preserves the codes column (codes are codebook-
+    // relative, not cell-relative) and the index keeps serving
+    Similarity.rebalanceIndex(spark, idx)
+    assert(t.snapshot().columns.contains("codes"),
+      "rebalance stripped the PQ codes column")
+    assert(Similarity.ivfPqIndexQuery(spark, idx, q, excludeVecId = 0L)
+      .count() === 10)
+    // INGEST encodes against the stored codebook: a fresh copy of the
+    // query vector lands findable at cosine 1.0
+    Similarity.ivfPqIndexIngest(spark, idx,
+      Seq((999990L, 7, q)).toDF("vec_id", "label", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")))
+    val top = Similarity.ivfPqIndexQuery(spark, idx, q, excludeVecId = 0L)
+      .collect().head
+    assert(top.getLong(0) === 999990L && top.getDouble(2) === 1.0,
+      s"ingested exact-match vector not served first: $top")
+  }
+
   test("IVF ANN recalls most of brute-force top-10") {
     val brute = Similarity.annTopKBrute(spark, sf).select($"vec_id").as[Long].collect().toSet
     val ivf = Similarity.annIvf(spark, sf).select($"vec_id").as[Long].collect().toSet
