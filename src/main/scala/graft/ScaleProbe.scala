@@ -47,6 +47,10 @@ object ScaleProbe {
         sys.env("SPARK_GRAFT_BATCH_DIR"))
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "ivfpq") {
+      ivfPqProbe(spark, corpusDir)
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -79,6 +83,36 @@ object ScaleProbe {
     val t2 = System.nanoTime()
     println(s"""{"metric":"scale_probe","corpus":"$corpusDir","batch":"$batchDir","index_sec":${(t1 - t0) / 1e9},"probe_sec":${(t2 - t1) / 1e9},"pairs":$n,"sh_files_total":${st.shingleFilesTotal},"sh_files_read":${st.shingleFilesRead},"sig_files_total":${st.sigFilesTotal},"sig_files_read":${st.sigFilesRead}}""")
     spark.stop()
+  }
+
+  /** IVF+PQ SERVE latency against a growing index
+    * (SPARK_GRAFT_PROBE=ivfpq): build once over the corpus
+    * embeddings with SPARK_GRAFT_CENTROIDS cells (scale k WITH the
+    * corpus — the IVF design point is constant expected cell size,
+    * so serve cost tracks cell size + k·dim driver math, not corpus
+    * size), then time the steady-state serve (probe + code-only ADC
+    * + exact re-rank), min over 3 runs after one warm-up (sidecar +
+    * centroid caches are process state a real server holds).
+    */
+  private def ivfPqProbe(spark: SparkSession, corpusDir: String): Unit = {
+    val emb = Tables.load(spark, corpusDir, "embeddings")
+    val k = sys.env.getOrElse("SPARK_GRAFT_CENTROIDS", "16").toInt
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpqprobe_").resolve("idx").toString
+    val t0 = System.nanoTime()
+    graft.operators.Similarity.ivfPqIndexBuild(spark, idx, emb,
+      nCentroids = k)
+    val t1 = System.nanoTime()
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    def serve(): Long = graft.operators.Similarity
+      .ivfPqIndexQuery(spark, idx, qv, excludeVecId = 0L).count()
+    serve() // warm-up
+    val times = (1 to 3).map { _ =>
+      val s = System.nanoTime(); serve(); (System.nanoTime() - s) / 1e9
+    }
+    val n = emb.count()
+    println(s"""{"metric":"ivfpq_probe","corpus":"$corpusDir","n_vecs":$n,"n_centroids":$k,"build_sec":${(t1 - t0) / 1e9},"serve_sec":${times.min}}""")
   }
 
   /** The full ADMISSION step (screen → cluster → verdict) for a
