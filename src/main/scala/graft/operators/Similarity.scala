@@ -285,10 +285,38 @@ object Similarity {
     VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
     val (_, assignedRaw) = kmeansFitOf(spark, emb, nCentroids, iters)
-    val a = assignedRaw
+    semanticVerdictsOf(assignedRaw, tau)
+  }
+
+  /** [[semanticDedup]] against a PERSISTED IVF(-PQ) index's own
+    * cells: the clustering is the index's maintained geometry —
+    * vectors that arrived through `ivfIndexIngest`/`ivfPqIndexIngest`
+    * are already assigned, and a skew-triggered rebalance refreshes
+    * the geometry the next verdict set rides. No retraining, no
+    * corpus re-scan: the dedup pass is the within-cell pairwise join
+    * plus components, exactly the batch operator's shape. Spec-pinned
+    * ≡ [[semanticDedup]] when the index was built over the same
+    * corpus with the same Lloyd parameters.
+    */
+  def semanticDedupIndexed(spark: SparkSession, indexPath: String,
+      tau: Double = 0.3): DataFrame = {
+    VectorExprs.register(spark)
+    semanticVerdictsOf(graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(indexPath, "assignments").toString)
+      .snapshot(), tau)
+  }
+
+  /** Shared verdict kernel: within-cell cosine pairs ≥ τ over an
+    * assigned (vec_id, embedding, cent_id) frame → connected
+    * components → min-id canonical per component, one verdict per
+    * member vector.
+    */
+  private def semanticVerdictsOf(assigned: DataFrame,
+      tau: Double): DataFrame = {
+    val a = assigned
       .select(col("cent_id"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"))
-    val b = assignedRaw
+    val b = assigned
       .select(col("cent_id"), col("vec_id").as("vec_b"),
         col("embedding").as("emb_b"))
     val pairs = a.join(b, Seq("cent_id"))
@@ -299,7 +327,7 @@ object Similarity {
       .where(col("cs") >= tau)
     val cc = Dedup.connectedComponents(
       pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-    emb.select(col("vec_id"))
+    assigned.select(col("vec_id"))
       .join(cc.select(col("doc_id").as("vec_id"), col("cluster_id")),
         Seq("vec_id"), "left")
       .select(col("vec_id"),

@@ -1373,6 +1373,16 @@ class OperatorsSpec extends SparkSpec {
     // a trivial all-keep
     assert(v.exists(_._3 == "drop"), "expected at least one semantic drop")
     assert(run() === v, "semantic dedup must be deterministic")
+    // the INDEXED form rides a persisted IVF index's own cells: an
+    // index built over the same corpus with the same Lloyd
+    // parameters yields the IDENTICAL verdict set — semantic dedup
+    // composes with the incremental ingest/rebalance lifecycle
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_semidx_").resolve("idx").toString
+    Similarity.ivfIndexBuild(spark, idx, emb)
+    assert(Similarity.semanticDedupIndexed(spark, idx)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq === v,
+      "indexed semantic dedup diverged from the batch operator")
   }
 
   test("connected components converges in O(log n) rounds on a chain") {
