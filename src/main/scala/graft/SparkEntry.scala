@@ -174,6 +174,7 @@ object SparkEntry {
     "ann_incremental_serve" -> ((s: SparkSession, d: String) => Similarity.annIncrementalServe(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
+    "dedup_semantic_indexed" -> (Similarity.semanticDedupIndexedScenario _),
     "ann_ivfpq_serve" -> (Similarity.ivfPqServeScenario _),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
@@ -221,7 +222,10 @@ object SparkEntry {
       // the maintained clustering's final state over all 3 batches IS
       // the one-shot clustering of the full pair set
       ("dedup_incremental_clusters" ->
-        oracleSqlMain("dedup_cluster_survivors"))
+        oracleSqlMain("dedup_cluster_survivors")) +
+      // the index-riding verdict pass rides the SAME Lloyd geometry
+      // as the batch operator, so the same relational replay checks it
+      ("dedup_semantic_indexed" -> oracleSqlMain("dedup_semantic"))
 
   private lazy val oracleSqlMain: Map[String, String] = Map(
     "q_total_amount" ->
