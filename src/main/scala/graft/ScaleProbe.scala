@@ -184,7 +184,8 @@ object ScaleProbe {
     // appends), cluster fold, verdict+glue (admit minus those two),
     // curated append; the remainder vs cycle_sec is stream machinery
     // (source listing, checkpointing, epoch planning)
-    val st = graft.streaming.Streams.lastEpochStages
+    val st = graft.streaming.Streams.lastEpochStages(
+      stage.resolve("cp").toString)
     def g(k: String): Double = st.getOrElse(k, -1.0)
     val stagesJson = s""""screen_sec":${g("screen_sec")},""" +
       s""""cluster_sec":${g("cluster_sec")},""" +

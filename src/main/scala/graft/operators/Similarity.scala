@@ -258,9 +258,18 @@ object Similarity {
   def embeddingKmeans(spark: SparkSession, sfDir: String,
       nCentroids: Int = 16, iters: Int = 2): DataFrame = {
     val (_, assigned) = kmeansFit(spark, sfDir, nCentroids, iters)
-    assigned.groupBy(col("cent_id"))
+    // materialize the (≤k-row) cluster pane, then RELEASE the Lloyd
+    // corpus cache — returning a lazy frame over it would leak one
+    // corpus-sized block-manager entry per invocation (the bench
+    // process calls this repeatedly; accumulated caches evict-churn
+    // every later query)
+    val out = assigned.groupBy(col("cent_id"))
       .agg(count(lit(1)).cast("long").as("n_vecs"),
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assigned.unpersist()
+    out
   }
 
   /** SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023): k-means
@@ -285,7 +294,13 @@ object Similarity {
     VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
     val (_, assignedRaw) = kmeansFitOf(spark, emb, nCentroids, iters)
-    semanticVerdictsOf(assignedRaw, tau)
+    // materialize the verdicts (3 narrow columns per vector), then
+    // release the corpus-sized Lloyd cache — see embeddingKmeans
+    val out = semanticVerdictsOf(assignedRaw, tau)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assignedRaw.unpersist()
+    out
   }
 
   /** [[semanticDedup]] against a PERSISTED IVF(-PQ) index's own
@@ -427,11 +442,15 @@ object Similarity {
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
     val dim = qemb.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0,
+      s"PQ needs dim divisible by m: dim=$dim, m=$m")
     val sub = dim / m
     // codebook: subvectors of the first ksub vectors (driver holds
     // ksub·dim longs); j is the codebook index within each subspace
     val seeds = qemb.orderBy(col("vec_id")).limit(ksub)
       .select(col("qv")).collect().map(_.getSeq[Long](0))
+    require(seeds.length >= ksub,
+      s"PQ needs at least ksub=$ksub seed vectors, got ${seeds.length}")
     val codebook = for (s <- 0 until m; j <- 0 until ksub)
       yield (s, j, seeds(j).slice(s * sub, (s + 1) * sub))
     val cbDf = broadcast(codebook.toDF("s", "j", "cent"))
@@ -608,9 +627,20 @@ object Similarity {
       java.nio.file.Paths.get(indexPath, "centroids").toString,
       cents.toDF("cent_id", "cent"))
     val dim = assignedRaw.select(size(col("qv"))).head().getInt(0)
+    // FAISS's divisibility requirement: dim % m != 0 would silently
+    // exclude the trailing dimensions from every PQ code — the ADC
+    // shortlist would be biased and the exact re-rank only repairs
+    // ordering WITHIN that biased shortlist
+    require(dim % m == 0,
+      s"IVF+PQ needs dim divisible by m: dim=$dim, m=$m")
     val sub = dim / m
     val seedQv = assignedRaw.orderBy(col("vec_id")).limit(ksub)
       .select(col("qv")).collect().map(_.getSeq[Long](0))
+    // a corpus smaller than the codebook cannot seed ksub entries —
+    // fail with the contract, not an IndexOutOfBoundsException
+    require(seedQv.length >= ksub,
+      s"IVF+PQ needs at least ksub=$ksub seed vectors, " +
+        s"got ${seedQv.length}")
     val codebook = for (s <- 0 until m; j <- 0 until ksub)
       yield (s, j, seedQv(j).slice(s * sub, (s + 1) * sub))
     GraftTable.create(spark,
@@ -751,9 +781,13 @@ object Similarity {
     * vanishes from the partition list but still warps the geometry).
     * Balanced = 1.0; drift that bloats one cell or forgets that
     * hollow others both push it up. O(cells) commit-log metadata
-    * (partitionsInfo's stats-derived counts); falls back to ONE
-    * groupBy-count scan only when live deletion vectors make footer
-    * counts dishonest — a maintenance-window cost, never a serve cost.
+    * (partitionsInfo's stats-derived counts); under live deletion
+    * vectors (footer counts dishonest) the counts come from footer
+    * rows MINUS the DV tombstones — one O(dv) aggregation over the
+    * tombstone parquet, still never a corpus read. Only a stats-less
+    * legacy layout falls back to ONE groupBy-count scan, and that
+    * fallback logs itself (a maintenance *metadata* probe silently
+    * going O(corpus) deserves a trace).
     */
   private[graft] def cellSkew(spark: SparkSession,
       indexPath: String): Double = {
@@ -762,8 +796,13 @@ object Similarity {
     val info = t.partitionsInfo().select(col("num_rows")).collect()
     val counts: Seq[Long] =
       if (info.exists(_.isNullAt(0)))
-        t.snapshot().groupBy(col("cent_id")).count()
-          .select(col("count")).collect().map(_.getLong(0)).toSeq
+        t.partitionRowCountsDvAdjusted().getOrElse {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"[graft] cellSkew($indexPath): no footer stats — " +
+              "falling back to a full groupBy-count scan")
+          t.snapshot().groupBy(col("cent_id")).count()
+            .select(col("count")).collect().map(_.getLong(0)).toSeq
+        }
       else info.map(_.getLong(0)).toSeq
     val k = loadCents(spark, indexPath).size
     val total = counts.sum

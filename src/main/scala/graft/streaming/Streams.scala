@@ -18,14 +18,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** Last curation epoch's per-stage wall times (seconds) — the
-    * scale-probe DIAGNOSTIC: admit = screening + cluster fold +
-    * verdict materialization (its screen/cluster split rides in from
+  /** Last curation epoch's per-stage wall times (seconds), KEYED BY
+    * checkpoint (one checkpoint = one pipeline) — the scale-probe
+    * DIAGNOSTIC: admit = screening + cluster fold + verdict
+    * materialization (its screen/cluster split rides in from
     * Dedup.lastAdmitStages), append = kept-join + exactly-once
-    * curated append. Last-write-wins; not part of any contract.
+    * curated append. Keyed so concurrent pipelines never read each
+    * other's batch timings; not part of any contract.
     */
-  @volatile private[graft] var lastEpochStages: Map[String, Double] =
-    Map.empty
+  private val epochStages =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+
+  private[graft] def lastEpochStages(checkpoint: String): Map[String, Double] =
+    Option(epochStages.get(checkpoint)).getOrElse(Map.empty)
 
   /** Tumbling 1-hour event-time window aggregate (batch form;
     * date_trunc is the oracle-portable spelling of window()).
@@ -383,9 +388,10 @@ object Streams {
           Seq("doc_id"))
         curated.appendIfNew(kept, id, appId = checkpoint)
         val e2 = System.nanoTime()
-        lastEpochStages = graft.operators.Dedup.lastAdmitStages ++
-          Map("admit_sec" -> (e1 - e0) / 1e9,
-            "append_sec" -> (e2 - e1) / 1e9)
+        epochStages.put(checkpoint,
+          graft.operators.Dedup.lastAdmitStages(s":$checkpoint") ++
+            Map("admit_sec" -> (e1 - e0) / 1e9,
+              "append_sec" -> (e2 - e1) / 1e9))
         verdicts.unpersist() // no-op for the unlogged (lazy) variant
         batch.unpersist(); ()
       }

@@ -1219,6 +1219,41 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .toDF("partition", "num_files", "num_rows")
   }
 
+  /** Per-partition LIVE row counts with active deletion vectors
+    * honored from metadata alone: footer counts minus each file's
+    * distinct DV tombstones — one aggregation over the DV parquet
+    * (O(dv), orders of magnitude smaller than the data it masks),
+    * NEVER a data scan. The maintenance-metadata twin of
+    * [[partitionsInfo]], whose row counts go null under live DVs.
+    * None when any live file lacks footer stats (pre-stats legacy
+    * commits) — the caller falls back to its scan.
+    */
+  private[graft] def partitionRowCountsDvAdjusted()
+      : Option[Seq[Long]] = {
+    val c = readCommit(latestVersion)
+    val pcols = c.partitionBy.getOrElse(Nil)
+    require(pcols.nonEmpty, "not a partitioned table")
+    val pv = c.partValues.getOrElse(Map.empty)
+    val stats = c.stats.getOrElse(Map.empty)
+    if (c.files.exists(f => stats.get(f).flatMap(_.rows).isEmpty))
+      return None
+    // distinct tombstones per masked file — dvPairFrame's dedup is
+    // the same dedup the scan mask applies, so the subtraction agrees
+    // with what a groupBy-count over the masked snapshot would return
+    val tomb: Map[String, Long] =
+      if (!hasDvs(latestVersion)) Map.empty
+      else dvPairFrame(dvAt(latestVersion))
+        .groupBy(col("__fp")).count().collect()
+        .map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
+    Some(c.files
+      .groupBy(f => pcols.map(p =>
+        pv.get(f).flatMap(_.get(p)).getOrElse("?")).mkString("/"))
+      .map { case (_, fs) =>
+        fs.map(f => stats(f).rows.get -
+          tomb.getOrElse(normPath(abs(f)), 0L)).sum
+      }.toSeq)
+  }
+
   /** FSCK analog: reconcile the commit log against the filesystem.
     * `missing` = a file a read within the retention window depends on
     * (the current version's data + deletion vectors, plus retained
@@ -3317,15 +3352,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // ALREADY PACKED (and no DVs to purge): a byte-identical rewrite
     // would only churn the log — and a CDC-triggered maintenance loop
     // reacting to its own COMPACT commits would rewrite the table
-    // forever. The achievable floor is one file per writer-zone group
-    // AND one per partition tuple (compaction never merges across
-    // either boundary), both O(files) commit-log metadata.
+    // forever. The achievable floor is one file per DISTINCT
+    // (writer-zone, partition-tuple) PAIR among current files: the
+    // zone and partition boundaries CROSS (binpackGrouped splits per
+    // zone AND partitioned writes split per partition), so max() of
+    // the two counts under-counts and the early-return would never
+    // fire on a multi-zone partitioned table. O(files) metadata.
     if (!hasDvs(base)) {
-      val pv = readCommit(base).partValues.getOrElse(Map.empty)
-      val partGroups =
-        if (partitionColumnsAt(base).isEmpty) 1
-        else filesAt(base).flatMap(pv.get).distinct.size
-      val floor = math.max(zoneGroups.map(_.size).getOrElse(1), partGroups)
+      val c = readCommit(base)
+      val pv = c.partValues.getOrElse(Map.empty)
+      val stats = c.stats.getOrElse(Map.empty)
+      val zoneOf: String => Option[String] =
+        if (tzDependentGens.isEmpty) _ => None
+        else f => stats.get(f).flatMap(_.tz).orElse(writerTimeZone)
+      val floor = filesAt(base)
+        .map(f => (zoneOf(f), pv.get(f))).distinct.size
       if (filesAt(base).size <= math.max(numFiles, floor)) return base
     }
     zoneGroups match {
@@ -3420,9 +3461,20 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // per-file [min,max] key ranges pairwise disjoint: the rewrite
     // would reproduce the same layout, and a CDC-triggered
     // maintenance loop would re-trigger off its own CLUSTER commits
-    // forever. Multi-key or stats-less layouts rewrite as before.
+    // forever. UNDER-target counts are also accepted when the base
+    // commit is itself a CLUSTER: repartitionByRange(n) emits fewer
+    // non-empty partitions than n when the key has fewer distinct
+    // values (or heavy skew), so a re-cluster of a just-clustered
+    // layout can never reach the requested count either — without
+    // this, continuousMaintain re-clusters such a table every cycle
+    // forever. A fresh under-target layout from any OTHER op (e.g.
+    // compact(1) then clusterBy(8)) still rewrites — the split
+    // request is genuine there. Multi-key or stats-less layouts
+    // rewrite as before.
     if (keys.size == 1 && !hasDvs(base) &&
-        filesAt(base).size == numFiles) {
+        (filesAt(base).size == numFiles ||
+          (filesAt(base).size < numFiles &&
+            readCommit(base).operation == "CLUSTER"))) {
       val stats = readCommit(base).stats.getOrElse(Map.empty)
       val ranges = filesAt(base).flatMap(f => stats.get(f).flatMap(s =>
         for (mn <- s.mins.get(keys.head); mx <- s.maxs.get(keys.head))

@@ -480,6 +480,39 @@ class GeneratedColumnsSpec extends SparkSpec {
       "derivation wrongly pruned the foreign-zone file")
   }
 
+  test("compact settles on a multi-zone PARTITIONED table: the " +
+      "already-packed floor is distinct (zone, partition) pairs") {
+    // zone and partition boundaries CROSS: binpackGrouped splits per
+    // writer zone AND the partitioned write splits per partition, so
+    // 2 zones × 2 partitions floor at 4 files — max(2, 2) = 2 would
+    // never be reached and a CDC-triggered maintenance loop would
+    // rewrite the identical layout every trigger
+    def batch(s1: String, s2: String) =
+      Seq((s1, "a", 1L), (s2, "b", 2L)).toDF("s", "p", "v")
+        .select($"s".cast("timestamp").as("ts"), $"p", $"v")
+    val t = GraftTable.create(spark, tmp(),
+      batch("2020-06-01 10:00:00", "2020-06-02 10:00:00"),
+      partitionBy = Seq("p"), generated = Map("y" -> "year(ts)"))
+    t.append(batch("2020-07-01 10:00:00", "2020-07-02 10:00:00"))
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      t.append(batch("2022-01-01 05:00:00", "2022-01-02 05:00:00"))
+      t.append(batch("2022-02-01 05:00:00", "2022-02-02 05:00:00"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    assert(t.snapshotInfo(t.latestVersion).files.size === 8)
+    t.compact(1)
+    val v = t.latestVersion
+    val info = t.snapshotInfo(v)
+    assert(info.files.size === 4,
+      s"expected one file per (zone, partition) pair, got ${info.files.size}")
+    // the early-return FIRES at the floor: a second compact commits
+    // nothing (the settle a continuous maintenance loop needs)
+    assert(t.compact(1) === v,
+      "re-compact of an at-floor multi-zone partitioned layout must settle")
+    assert(t.snapshot().count() === 8)
+  }
+
   test("shallow clone carries generation spec and identity high water") {
     val src = tmp()
     val t = GraftTable.create(spark, src,

@@ -535,6 +535,29 @@ class GraftTableSpec extends SparkSpec {
     assert(clone.fsck().where($"issue" === "missing").count() > 0)
   }
 
+  test("clusterBy settles under-target: a just-clustered layout " +
+      "whose key cannot fill the requested count stops re-clustering") {
+    // 2 distinct keys → repartitionByRange(4) can only emit 2
+    // non-empty partitions, so the requested count is unreachable —
+    // without the CLUSTER-base acceptance, a maintenance loop
+    // re-clusters (and re-commits) the identical layout forever
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 100L).map(i => (i % 2, i)).toDF("k", "v").repartition(6))
+    t.clusterBy(4, "k")
+    val v1 = t.latestVersion
+    val n1 = t.snapshotInfo(v1).files.size
+    assert(n1 < 4, s"setup: expected an under-target layout, got $n1")
+    assert(t.clusterBy(4, "k") === v1,
+      "re-cluster of a just-clustered under-target layout must settle")
+    // a fresh under-target layout from any OTHER op still rewrites:
+    // fewer files than requested is a genuine split request there
+    t.compact(1)
+    val v2 = t.latestVersion
+    assert(t.clusterBy(4, "k") > v2,
+      "a compacted single file must still honor a split request")
+    assert(t.snapshot().count() === 100)
+  }
+
   test("clusterBy keeps data and bounds per-file key ranges") {
     val orders = Tables.load(spark, sf, "orders")
     val t = GraftTable.create(spark, tmp(), orders)

@@ -1352,6 +1352,62 @@ class OperatorsSpec extends SparkSpec {
     assert(verdictActions.subsetOf(Set("keep", "drop", "reject")))
   }
 
+  test("cellSkew under live deletion vectors: footer counts minus DV " +
+      "tombstones from metadata alone — no corpus read, scan-equal") {
+    def vec(region: Int, j: Int): Seq[Float] =
+      Seq.tabulate(4)(d =>
+        (if (d == region % 4) 10f else 0f) + ((j * (d + 3)) % 5) * 0.01f)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_skewdv_").resolve("idx").toString
+    Similarity.ivfIndexBuild(spark,
+      idx,
+      (0L until 80L).map(i => (i, s"r${i % 4}", vec((i % 4).toInt, i.toInt)))
+        .toDF("vec_id", "label", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")),
+      nCentroids = 4)
+    val asgT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "assignments").toString)
+    // MoR delete: tombstones only, footer counts now overcount — the
+    // honest-metadata path must subtract the DV entries per file
+    asgT.deleteMor($"vec_id" % 7 === 0L)
+    // the reference value, from an explicit DV-masked scan
+    val counts = asgT.snapshot().groupBy($"cent_id").count()
+      .select($"count").as[Long].collect()
+    val want = counts.max.toDouble * 4 / counts.sum
+    assert(Similarity.cellSkew(spark, idx) === want,
+      "DV-adjusted metadata skew diverged from the scan value")
+    // STRONG no-corpus-read assert: hide the assignments DATA files;
+    // footer counts live in the commit log and tombstone counts in
+    // dv/, so the metadata path still answers — any scan would throw
+    val filesDir = java.nio.file.Paths.get(idx, "assignments", "files")
+    val hidden = java.nio.file.Paths.get(idx, "assignments", "files_hidden")
+    java.nio.file.Files.move(filesDir, hidden)
+    try assert(Similarity.cellSkew(spark, idx) === want,
+      "cellSkew read the corpus under live DVs")
+    finally java.nio.file.Files.move(hidden, filesDir)
+  }
+
+  test("quality-gated admission evaluates the arrival batch ONCE " +
+      "(gate verdict rides a persisted column, both branches read it)") {
+    val acc = spark.sparkContext.longAccumulator("graft_gate_evals")
+    val bump = udf((id: Long) => { acc.add(1L); id })
+    val raw = Tables.load(spark, sf, "documents").limit(60)
+    val n = raw.count()
+    val docs = raw.withColumn("doc_id", bump($"doc_id"))
+    val st = java.nio.file.Files.createTempDirectory("graft_gate1x_")
+    val verdicts = Dedup.admitBatch(spark,
+      st.resolve("idx").toString, st.resolve("cl").toString, docs,
+      batchId = 0L, gate = Some($"n_chars" >= 100L))
+    val rows = verdicts.collect()
+    assert(rows.length.toLong === n, "one verdict per batch doc")
+    assert(rows.map(_.getString(2)).toSet.contains("reject"),
+      "setup: the gate must actually reject something")
+    assert(acc.value === n,
+      s"arrival batch evaluated ${acc.value}/$n times — the gated " +
+        "split must cost ONE batch scan, not one per branch")
+    verdicts.unpersist()
+  }
+
   test("semantic dedup: one verdict per vector, canonicals are kept " +
       "component minima, deterministic across runs") {
     val emb = Tables.load(spark, sf, "embeddings")
