@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_incremental_clusters" -> (Dedup.incrementalClustersScenario _),
     "dedup_admission" -> (Dedup.admissionScenario _),
     "dedup_admission_gated" -> (Dedup.admissionGatedScenario _),
+    "dedup_admission_semantic" -> (Dedup.admissionSemanticScenario _),
     "stream_curation" -> (graft.streaming.Streams.curationScenario _),
     // §I text analysis
     "text_quality" -> (TextAnalysis.quality _),
@@ -619,6 +620,117 @@ object SparkEntry {
         |undirected AS (
         |  SELECT doc_a AS u, doc_b AS v FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        |  UNION
+        |  SELECT e.u, r.label FROM undirected e JOIN reach r ON e.v = r.u),
+        |lab AS (SELECT u AS doc_id, MIN(label) AS root FROM reach GROUP BY u),
+        |batch AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id,
+        |  CASE WHEN NOT COALESCE(b.n_chars >= 100, FALSE) THEN b.doc_id
+        |    ELSE COALESCE(l.root, b.doc_id) END AS canonical_id,
+        |  CASE WHEN NOT COALESCE(b.n_chars >= 100, FALSE) THEN 'reject'
+        |    WHEN COALESCE(l.root, b.doc_id) = b.doc_id THEN 'keep'
+        |    ELSE 'drop' END AS action
+        |FROM batch b LEFT JOIN lab l ON b.doc_id = l.doc_id""".stripMargin,
+    "dedup_admission_semantic" ->
+      """WITH RECURSIVE docs0 AS (
+        |  SELECT * FROM documents WHERE n_chars >= 100),
+        |w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM docs0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |hp AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x,
+        |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 2147483647 AS y
+        |  FROM posts),
+        |sig AS (
+        |  SELECT doc_id, i,
+        |    MIN((((i * 1103515245 + 12345) % 2147483647) * x + y) % 2147483647) AS m
+        |  FROM hp, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i),
+        |bandsig AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandsig a JOIN bandsig b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+        |common AS (
+        |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, COUNT(*) AS nc
+        |  FROM posts pa JOIN posts pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |lexpairs AS (
+        |  SELECT c.doc_a, c.doc_b FROM cand c
+        |  JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+        |  JOIN sizes sa ON c.doc_a = sa.doc_id
+        |  JOIN sizes sb ON c.doc_b = sb.doc_id
+        |  WHERE CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) >= 0.6),
+        |qe AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    [CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) for i in range(1, len(e.embedding) + 1)] AS qv
+        |  FROM embeddings e JOIN docs0 d ON e.vec_id = d.doc_id),
+        |dim AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+        |seedq AS (SELECT * FROM qe WHERE vec_id % 5 <> 0),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id, qv AS cent
+        |  FROM (SELECT vec_id, qv FROM seedq ORDER BY vec_id LIMIT 16)),
+        |a1 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i]) for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM seedq e, c0 c) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a1 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a2 AS (
+        |  SELECT vec_id, qv, cent_id FROM (
+        |    SELECT e.vec_id, e.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i]) for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM seedq e, c1 c) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cent_id, list(m ORDER BY i) AS cent FROM (
+        |    SELECT a.cent_id, dim.i,
+        |      CAST(floor(CAST(SUM(a.qv[dim.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |    FROM a2 a, dim GROUP BY a.cent_id, dim.i) GROUP BY cent_id),
+        |a3 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([(e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i]) for i in range(1, len(e.qv) + 1)]), c.cent_id) AS rn
+        |    FROM qe e, c2 c) WHERE rn = 1),
+        |ae AS (
+        |  SELECT a3.vec_id, a3.cent_id, qe.embedding
+        |  FROM a3 JOIN qe ON a3.vec_id = qe.vec_id),
+        |semraw AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(b.embedding) + 1)]))) AS cs
+        |  FROM ae a JOIN ae b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 5 = 0),
+        |sempairs AS (
+        |  SELECT DISTINCT least(va, vb) AS doc_a, greatest(va, vb) AS doc_b
+        |  FROM semraw
+        |  WHERE CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) >= 0.3),
+        |allpairs AS (
+        |  SELECT doc_a, doc_b FROM lexpairs
+        |  UNION SELECT doc_a, doc_b FROM sempairs),
+        |undirected AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM allpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM allpairs),
         |reach(u, label) AS (
         |  SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
         |  UNION

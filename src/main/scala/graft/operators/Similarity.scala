@@ -217,10 +217,14 @@ object Similarity {
     kmeansFitOf(spark, Tables.load(spark, sfDir, "embeddings"),
       nCentroids, iters)
 
-  private[graft] def kmeansFitOf(spark: SparkSession, emb: DataFrame,
+  private[graft] def kmeansFitOf(spark: SparkSession, emb0: DataFrame,
       nCentroids: Int, iters: Int)
       : (Seq[(Int, Seq[Long])], DataFrame) = {
     VectorExprs.register(spark)
+    // label is a passenger column (carried for the serving layer's
+    // result rows) — a label-less feed trains and assigns identically
+    val emb = if (emb0.columns.contains("label")) emb0
+      else emb0.withColumn("label", lit(null).cast("string"))
     val qemb = emb.select(col("vec_id"), col("label"), col("embedding"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
@@ -341,25 +345,84 @@ object Similarity {
     semanticDedupIndexed(spark, stage.resolve("idx").toString)
   }
 
+  /** Hot-cell quadratic guard (default cap for every semantic-dedup
+    * entry point): within-cell pairing is O(c²) per cell, and while
+    * rebalance bounds *skew*, a legitimately dense semantic cluster
+    * (boilerplate-like embedding mass — exactly what dedup exists to
+    * find) makes one cell quadratic with no cap. 64k² ≈ 4G candidate
+    * pairs is past any sane per-cell budget, and corpora below it
+    * are untouched.
+    */
+  val defaultMaxCellSize: Int = 65536
+
+  /** Restrict the LOW-ID side of within-cell pairing to each
+    * over-cap cell's HUB — its `maxCellSize` lowest vec_ids — so a
+    * dense cell costs O(c · cap) candidate pairs instead of O(c²)
+    * (the [[Dedup]] family's `maxShingleDf` treatment, applied to
+    * cells). Correctness shape: verdicts come from CONNECTED
+    * COMPONENTS, which need a spanning candidate structure, not all
+    * pairs — for the homogeneous dense mass that makes a cell
+    * quadratic (every member a near-dup of every other), each member
+    * still pairs with the cell's minimum-id member, so components
+    * and min-id canonicals are IDENTICAL to the uncapped kernel.
+    * Survivor pairs are exact-rescored (full-precision cosine ≥ τ)
+    * as always; what a cap can lose is pairs between two non-hub
+    * members whose groups never touch the hub — the documented
+    * approximation, mirror of Lloyd-subsplit/ADC-prefilter schemes
+    * that also cannot bound the all-identical case. Cells at or
+    * under the cap are EXACTLY the uncapped kernel (every rank ≤
+    * cap). One O(cells) count aggregate decides; balanced corpora
+    * never pay the window.
+    */
+  private def capCells(assigned: DataFrame, maxCellSize: Int): DataFrame = {
+    if (maxCellSize <= 0 || maxCellSize == Int.MaxValue) return assigned
+    val over = assigned.groupBy(col("cent_id")).count()
+      .where(col("count") > maxCellSize).select(col("cent_id"))
+      .collect().map(_.get(0))
+    if (over.isEmpty) assigned
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[graft] semantic dedup: ${over.length} cell(s) over " +
+          s"$maxCellSize members — pairing against each cell's " +
+          s"lowest-$maxCellSize hub (O(c*cap), not O(c^2))")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cent_id")).orderBy(col("vec_id"))
+      val hub = assigned.where(col("cent_id").isin(over: _*))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= maxCellSize).drop("__r")
+      assigned.where(!col("cent_id").isin(over: _*)).unionByName(hub)
+    }
+  }
+
+  /** Within-cell cosine pairs ≥ τ over an assigned (vec_id,
+    * embedding, cent_id) frame, hot cells hub-capped ([[capCells]]).
+    * Orientation vec_a < vec_b (each pair once: the hub holds the
+    * cell's LOWEST ids, so the a-leg is always the hub leg).
+    */
+  private[graft] def semanticPairsOf(assigned: DataFrame, tau: Double,
+      maxCellSize: Int = defaultMaxCellSize): DataFrame = {
+    val a = capCells(assigned, maxCellSize)
+      .select(col("cent_id"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+    val b = assigned
+      .select(col("cent_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))
+    a.join(b, Seq("cent_id"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(vec_cosine(col("emb_a"), col("emb_b"))
+          .cast("decimal(18,12)"), 6).cast("double").as("cs"))
+      .where(col("cs") >= tau)
+  }
+
   /** Shared verdict kernel: within-cell cosine pairs ≥ τ over an
     * assigned (vec_id, embedding, cent_id) frame → connected
     * components → min-id canonical per component, one verdict per
     * member vector.
     */
   private def semanticVerdictsOf(assigned: DataFrame,
-      tau: Double): DataFrame = {
-    val a = assigned
-      .select(col("cent_id"), col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a"))
-    val b = assigned
-      .select(col("cent_id"), col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b"))
-    val pairs = a.join(b, Seq("cent_id"))
-      .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(vec_cosine(col("emb_a"), col("emb_b"))
-          .cast("decimal(18,12)"), 6).cast("double").as("cs"))
-      .where(col("cs") >= tau)
+      tau: Double, maxCellSize: Int = defaultMaxCellSize): DataFrame = {
+    val pairs = semanticPairsOf(assigned, tau, maxCellSize)
     val cc = Dedup.connectedComponents(
       pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     assigned.select(col("vec_id"))
@@ -370,6 +433,48 @@ object Similarity {
       .withColumn("action",
         when(col("canonical_id") === col("vec_id"), "keep")
           .otherwise("drop"))
+  }
+
+  /** SEMANTIC SCREEN for admission control ([[Dedup.admitBatch]]'s
+    * embedding leg): assign an arriving batch MAP-SIDE against a
+    * persisted IVF index's stored centroids, then surface cosine ≥ τ
+    * pairs between the batch and the index's members of the TOUCHED
+    * cells only — the stored read prunes to those cells' partitions
+    * (≤k driver ints), so per-batch semantic I/O is O(batch + touched
+    * cells), never O(corpus). Intra-batch pairs surface too (the
+    * batch joins its own cell population), each pair once
+    * (least/greatest + distinct). Hot cells hub-cap exactly like the
+    * batch kernel ([[capCells]] over stored ∪ batch). Returns
+    * (doc_a, doc_b) with doc_a < doc_b, at least one side from the
+    * batch. READ-ONLY — the caller ingests the batch separately
+    * (exactly-once, [[ivfIndexIngest]]).
+    */
+  private[graft] def semanticScreenPairs(spark: SparkSession,
+      indexPath: String, batchVecs: DataFrame, tau: Double,
+      maxCellSize: Int = defaultMaxCellSize): DataFrame = {
+    VectorExprs.register(spark)
+    val cents = loadCents(spark, indexPath)
+    val batchAsg = assignToCents(batchVecs, cents)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val touched = batchAsg.select(col("cent_id")).distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0)))
+    val stored = spark.read.format("graft-table")
+      .load(java.nio.file.Paths.get(indexPath, "assignments").toString)
+      .where(col("cent_id").isin(touched.toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val all = capCells(stored.unionByName(batchAsg), maxCellSize)
+      .select(col("cent_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))
+    batchAsg
+      .select(col("cent_id"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      .join(all, Seq("cent_id"))
+      .where(col("vec_a") =!= col("vec_b"))
+      .where(round(vec_cosine(col("emb_a"), col("emb_b"))
+        .cast("decimal(18,12)"), 6).cast("double") >= tau)
+      .select(least(col("vec_a"), col("vec_b")).as("doc_a"),
+        greatest(col("vec_a"), col("vec_b")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   def annIvfTrained(spark: SparkSession, sfDir: String, k: Int = 10,
@@ -586,21 +691,58 @@ object Similarity {
     assignedRaw.unpersist()
   }
 
+  /** Idempotency key for exactly-once IVF ingest ([[ivfIndexIngest]]
+    * with `batchId` ≥ 0 — the admission path's index append). */
+  val ivfIngestAppId = "graft-ivf-ingest"
+
+  /** Conform an ingest frame to the index's stored schema: columns
+    * the index declares but the batch lacks (label on a label-less
+    * feed) land null; column order normalizes. A genuinely foreign
+    * extra column still fails the append's schema check.
+    */
+  private def conformToIndex(rows: DataFrame,
+      t: graft.tables.GraftTable): DataFrame = {
+    val schema = t.snapshot().schema
+    schema.fields.foldLeft(rows) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** INCREMENTAL ingestion into a built index: new vectors assign
     * MAP-SIDE against the ≤k stored centroid literals (no retrain, no
     * corpus re-scan — one projection + a partition-aligned append).
     * The assignment rule is the same exact-integer argmin the build
     * used, so an ingested vector lands exactly where a full rebuild
-    * would put it.
+    * would put it. `batchId` ≥ 0 makes the append IDEMPOTENT under
+    * replay (appendIfNew keyed by `appId` — pass a per-pipeline id
+    * when several batch-id sequences share one index, the
+    * sigs/shingles lesson).
     */
   def ivfIndexIngest(spark: SparkSession, indexPath: String,
-      vecs: DataFrame): Unit = {
+      vecs: DataFrame, batchId: Long = -1L,
+      appId: String = ivfIngestAppId): Unit = {
     val cents = loadCents(spark, indexPath)
-    graft.tables.GraftTable
-      .load(spark,
-        java.nio.file.Paths.get(indexPath, "assignments").toString)
-      .append(assignToCents(vecs, cents))
+    val t = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(indexPath, "assignments").toString)
+    val rows = conformToIndex(assignToCents(vecs, cents), t)
+    if (batchId >= 0L) t.appendIfNew(rows, batchId, appId = appId): Unit
+    else t.append(rows): Unit
   }
+
+  /** Family-dispatching ingest front door: an IVF+PQ index (a `pq`
+    * subtable exists) additionally PQ-encodes the batch against the
+    * stored codebook; a flat IVF index assigns only. Both exactly-once
+    * under `batchId` ≥ 0 — the one call admission needs without
+    * knowing which index family it screens against.
+    */
+  def indexIngest(spark: SparkSession, indexPath: String,
+      vecs: DataFrame, batchId: Long = -1L,
+      appId: String = ivfIngestAppId): Unit =
+    if (java.nio.file.Files.exists(java.nio.file.Paths
+        .get(indexPath, "pq", "_graft_log")))
+      ivfPqIndexIngest(spark, indexPath, vecs, batchId, appId)
+    else ivfIndexIngest(spark, indexPath, vecs, batchId, appId)
 
   /** PERSISTED IVF+PQ index (Jégou et al.'s IVFADC, the industrial
     * ANN layout): the coarse quantizer is the trained-IVF build
@@ -689,7 +831,8 @@ object Similarity {
     * codes exactly as) a full rebuild would put it.
     */
   def ivfPqIndexIngest(spark: SparkSession, indexPath: String,
-      vecs: DataFrame): Unit = {
+      vecs: DataFrame, batchId: Long = -1L,
+      appId: String = ivfIngestAppId): Unit = {
     VectorExprs.register(spark)
     val cents = loadCents(spark, indexPath)
     val cb = graft.tables.GraftTable.load(spark,
@@ -700,9 +843,12 @@ object Similarity {
     val sub = cb.head._3.length
     val codes = pqEncode(
       vecs.withColumn("qv", quantize(col("embedding"))), cb, m, sub)
-    graft.tables.GraftTable.load(spark,
-        java.nio.file.Paths.get(indexPath, "assignments").toString)
-      .append(assignToCents(vecs, cents).join(codes, Seq("vec_id")))
+    val t = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(indexPath, "assignments").toString)
+    val rows = conformToIndex(
+      assignToCents(vecs, cents).join(codes, Seq("vec_id")), t)
+    if (batchId >= 0L) t.appendIfNew(rows, batchId, appId = appId): Unit
+    else t.append(rows): Unit
   }
 
   /** Top-k query against the persisted IVF+PQ index: probe cells

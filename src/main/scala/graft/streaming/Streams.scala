@@ -331,6 +331,16 @@ object Streams {
     * dedup index or the curated table — the quality-BEFORE-dedup
     * admission order every C4/Gopher-style pipeline runs (see
     * [[graft.operators.Dedup.admitBatch]]'s gate contract).
+    *
+    * `ivfIndexPath` (a BUILT IVF/IVF+PQ index whose schema the
+    * arriving docs' `embedding` column feeds): every micro-batch
+    * additionally screens SEMANTICALLY against the index — map-side
+    * centroid assignment, within-cell cosine ≥ `semanticTau`
+    * verdicts, pairs folded into the same clustering, batch vectors
+    * ingested exactly-once per epoch — so semantic near-dups drop at
+    * the gate instead of accumulating until the nightly SemDeDup
+    * pass (see [[graft.operators.Dedup.admitBatch]]'s semantic
+    * contract).
     */
   def curationStream(spark: SparkSession, rawDir: String,
       checkpoint: String, indexPath: String, clustersPath: String,
@@ -338,7 +348,9 @@ object Streams {
       maxFilesPerTrigger: Int = Int.MaxValue,
       firstAdmittedWins: Boolean = true,
       auditPath: Option[String] = None,
-      qualityGate: Option[org.apache.spark.sql.Column] = None): Long = {
+      qualityGate: Option[org.apache.spark.sql.Column] = None,
+      ivfIndexPath: Option[String] = None,
+      semanticTau: Double = 0.3): Long = {
     val schema = curated.snapshot().schema
     val cp = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(cp)
@@ -377,10 +389,12 @@ object Streams {
             spark, indexPath, clustersPath, ap, batch, batchId = id,
             admitted = adm,
             auditAppId = s"audit:$checkpoint",
-            pipelineId = s":$checkpoint", gate = qualityGate)
+            pipelineId = s":$checkpoint", gate = qualityGate,
+            ivfIndexPath = ivfIndexPath, semanticTau = semanticTau)
           case None => graft.operators.Dedup.admitBatch(spark,
             indexPath, clustersPath, batch, batchId = id, admitted = adm,
-            pipelineId = s":$checkpoint", gate = qualityGate)
+            pipelineId = s":$checkpoint", gate = qualityGate,
+            ivfIndexPath = ivfIndexPath, semanticTau = semanticTau)
         }
         val e1 = System.nanoTime()
         val kept = batch.join(

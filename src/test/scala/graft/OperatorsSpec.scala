@@ -1408,6 +1408,49 @@ class OperatorsSpec extends SparkSpec {
     verdicts.unpersist()
   }
 
+  test("semantic hot-cell cap: a dense cell's candidate pairs bound " +
+      "at O(c*cap) and the verdict components survive the cap") {
+    // the adversarial shape: 300 near-identical vectors (boilerplate
+    // embedding mass) land in ONE cell — uncapped pairing is O(c²)
+    def jit(i: Long, d: Int): Float = ((i * (d + 3)) % 7).toFloat * 0.001f
+    val dense = (0L until 300L).map(i =>
+      (i, Seq.tabulate(8)(d => (if (d == 0) 10f else 0f) + jit(i, d)), 0))
+    // a second, heterogeneous over-cap cell: two interleaved groups
+    // (even ids on axis 2, odd on axis 3 — cross-cosine ≈ 0 < τ)
+    val hetero = (1000L until 1200L).map(i =>
+      (i, Seq.tabulate(8)(d =>
+        (if (d == (if (i % 2 == 0) 2 else 3)) 10f else 0f) + jit(i, d)), 1))
+    val assigned = (dense ++ hetero)
+      .toDF("vec_id", "embedding", "cent_id")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    graft.functions.VectorExprs.register(spark)
+    val uncapped = Similarity.semanticPairsOf(assigned, 0.3,
+      maxCellSize = Int.MaxValue)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val capped = Similarity.semanticPairsOf(assigned, 0.3,
+      maxCellSize = 50)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    // bounded candidates: each member pairs with ≤ cap hub members,
+    // so the dense cell costs ≤ c·cap pairs, not c²/2
+    assert(uncapped.size > 40000,
+      s"setup: the dense cell must be genuinely quadratic, " +
+        s"got ${uncapped.size}")
+    assert(capped.size <= 500L * 50L,
+      s"cap leaked past O(c*cap): ${capped.size} pairs")
+    assert(capped.subsetOf(uncapped), "the cap must only REMOVE pairs")
+    // recall floor — and for homogeneous/hub-covered mass, EQUALITY:
+    // connected components (what the verdicts are made of) are
+    // identical, because every member still pairs with its cell's
+    // minimum-id hub members
+    def components(pairs: Set[(Long, Long)]): Map[Long, Long] =
+      Dedup.connectedComponents(
+        pairs.toSeq.toDF("doc_a", "doc_b"))
+        .select($"doc_id", $"cluster_id").as[(Long, Long)]
+        .collect().toMap
+    assert(components(capped) === components(uncapped),
+      "capped components diverged from the uncapped kernel")
+  }
+
   test("semantic dedup: one verdict per vector, canonicals are kept " +
       "component minima, deterministic across runs") {
     val emb = Tables.load(spark, sf, "embeddings")

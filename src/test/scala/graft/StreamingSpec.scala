@@ -820,6 +820,78 @@ class StreamingSpec extends SparkSpec {
     assert(curated.latestVersion === v, "replay must be a no-op")
   }
 
+  test("curation stream with a semantic screen: an embedding near-dup " +
+      "of an earlier batch's doc drops at the gate, index exactly-once") {
+    val stage = Files.createTempDirectory("graft_cursem_")
+    val raw = stage.resolve("raw")
+    java.nio.file.Files.createDirectories(raw)
+    def doc(id: Long, text: String, v: Seq[Float]) =
+      (id, text, text.length.toLong, v)
+    def land(rows: Seq[(Long, String, Long, Seq[Float])], p: String): Unit =
+      graft.sources.Ingest.stageBatch(
+        rows.toDF("doc_id", "text", "n_chars", "embedding")
+          .withColumn("embedding", $"embedding".cast("array<float>")),
+        raw.toString, p)
+    // a BUILT IVF index over a 30-vector seed mass along axes 0..2 —
+    // far from the arrivals' axis-3 direction (cosine ≈ 0 ≪ τ)
+    val ivf = stage.resolve("ivf").toString
+    graft.operators.Similarity.ivfIndexBuild(spark, ivf,
+      (1000L until 1030L).map(i => (i, s"r${i % 3}",
+        Seq.tabulate(4)(d => (if (d == (i % 3).toInt) 10f else 0f) +
+          ((i * (d + 3)) % 5) * 0.01f)))
+        .toDF("vec_id", "label", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")),
+      nCentroids = 3)
+    val curated = graft.tables.GraftTable.create(spark,
+      stage.resolve("curated").toString,
+      Seq.empty[(Long, String, Long, Seq[Float])]
+        .toDF("doc_id", "text", "n_chars", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")))
+    val cp = stage.resolve("cp").toString
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    val audit = stage.resolve("audit").toString
+    // cycle 1: doc 10 — lexically and semantically fresh
+    land(Seq(doc(10L,
+      "the quick brown fox jumps over the lazy dog again today",
+      Seq(0f, 0f, 0f, 10f))), "b1")
+    Streams.curationStream(spark, raw.toString, cp, idx, cl, curated,
+      auditPath = Some(audit), ivfIndexPath = Some(ivf))
+    assert(curated.snapshot().select($"doc_id").as[Long].collect().toSet
+      === Set(10L))
+    // cycle 2: doc 20 shares NOT ONE 3-shingle with doc 10 (the
+    // lexical screen is blind to it) but its embedding is a near-copy
+    // — the semantic screen must drop it against the admitted doc 10
+    land(Seq(doc(20L,
+      "completely different words describing unrelated things entirely now",
+      Seq(0f, 0f, 0.5f, 10f))), "b2")
+    Streams.curationStream(spark, raw.toString, cp, idx, cl, curated,
+      auditPath = Some(audit), ivfIndexPath = Some(ivf))
+    assert(curated.snapshot().select($"doc_id").as[Long].collect().toSet
+      === Set(10L), "the semantic near-dup must not reach the corpus")
+    val v20 = graft.tables.GraftTable.load(spark, audit).snapshot()
+      .where($"doc_id" === 20L)
+      .select($"canonical_id", $"action").as[(Long, String)].collect()
+    assert(v20.toSeq === Seq((10L, "drop")),
+      s"doc 20 must drop against admitted doc 10, got ${v20.toSeq}")
+    // the screen's index append is exactly-once per epoch: 30 seed
+    // vectors + the two arrivals, no duplicates — and a replay cycle
+    // (no new files) appends nothing and commits nothing
+    val asg = graft.tables.GraftTable.load(spark,
+      stage.resolve("ivf").resolve("assignments").toString)
+    val vIdx = asg.latestVersion
+    val vCur = curated.latestVersion
+    Streams.curationStream(spark, raw.toString, cp, idx, cl, curated,
+      auditPath = Some(audit), ivfIndexPath = Some(ivf))
+    assert(asg.latestVersion === vIdx && curated.latestVersion === vCur,
+      "replay must be a no-op on index and corpus alike")
+    val ids = asg.snapshot().select($"vec_id").as[Long].collect()
+    assert(ids.length === 32 && ids.distinct.length === 32,
+      s"expected 30 seed + 2 arrivals exactly once, got ${ids.length}")
+    assert(ids.toSet.contains(20L),
+      "dropped docs' vectors still index (the sigs/shingles posture)")
+  }
+
   test("bounded-batch curation lands the single-epoch curated set " +
       "and replays exactly-once") {
     def doc(id: Long, text: String) =
