@@ -120,6 +120,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, p, m) => graft.ml.RiskPipeline.latestRuns(s, p, m))
     registryTvf("best_runs",
       (s, p, m) => graft.ml.RiskPipeline.bestRuns(s, p, m))
+    // ann_search('<index path>', array(...), k[, nprobe]) — ANN
+    // retrieval as a real TVF, so nearest-neighbor lookups compose
+    // inside ordinary SQL (joins, CTEs) exactly like table_changes().
+    // Dispatches on the index family: an IVF+PQ index answers through
+    // the ADC shortlist + exact re-rank, a flat IVF index through the
+    // probed-cell exact scan. Returns (vec_id, label, cos_sim).
+    e.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("ann_search"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.operators.Similarity", "ann_search"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length >= 2 && exprs.length <= 4,
+          "ann_search(index_path, query_vector[, k[, nprobe]]) takes " +
+            s"2 to 4 arguments, got ${exprs.length}")
+        require(exprs.forall(x => x.foldable && x.deterministic),
+          "ann_search arguments must be literals (a path string, an " +
+            "array(...) query vector, then optional integer k and nprobe)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = exprs.head.eval()
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+        // the query vector accepts any numeric array literal — one
+        // Catalyst cast normalizes to the float[] the index stores
+        val arr = org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs(1), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val qv = arr.toFloatArray().toSeq
+        def intArg(i: Int, dflt: Int): Int =
+          if (exprs.length > i)
+            exprs(i).eval().asInstanceOf[Number].intValue
+          else dflt
+        val k = intArg(2, 10)
+        val nprobe = intArg(3, 4)
+        val out =
+          if (java.nio.file.Files.exists(java.nio.file.Paths
+              .get(path, "pq", "_graft_log")))
+            graft.operators.Similarity.ivfPqIndexQuery(spark, path, qv,
+              k = k, nprobe = nprobe)
+          else graft.operators.Similarity.ivfIndexQuery(spark, path, qv,
+            k = k, nprobe = nprobe)
+        out.queryExecution.analyzed
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("top_k_items"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

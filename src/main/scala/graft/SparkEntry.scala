@@ -173,6 +173,7 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
     "ann_incremental" -> ((s: SparkSession, d: String) => Similarity.annIncremental(s, d)),
     "ann_incremental_serve" -> ((s: SparkSession, d: String) => Similarity.annIncrementalServe(s, d)),
+    "ann_sql_lifecycle" -> (Similarity.annSqlLifecycleScenario _),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "dedup_semantic_indexed" -> (Similarity.semanticDedupIndexedScenario _),
@@ -219,6 +220,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlMain +
       ("ann_incremental_serve" -> oracleSqlMain("ann_incremental")) +
+      // the SQL-statement lifecycle builds/ingests/maintains the SAME
+      // index state over the same split, so the same replay checks it
+      ("ann_sql_lifecycle" -> oracleSqlMain("ann_incremental")) +
       ("dedup_incremental_probe" -> oracleSqlMain("dedup_incremental")) +
       // the maintained clustering's final state over all 3 batches IS
       // the one-shot clustering of the full pair set

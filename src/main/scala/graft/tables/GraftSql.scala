@@ -131,6 +131,32 @@ object GraftSql {
   private val StopMaintainIndex =
     """(?is)\s*STOP\s+MAINTAIN\s+INDEX\s+'([^']+)'\s*""".r
   private val MaintainOpt = """(?is)(CLUSTERS|CURATED)\s+'([^']+)'""".r
+  // index CREATION + INGESTION SQL (closing the loop with MAINTAIN:
+  // the SQL-first operator can now build, feed, maintain and — via
+  // the ann_search() TVF — query an index without touching the Scala
+  // API). Index targets are PATHS; the source is a registered table
+  // name or a quoted path (graft table if a log exists, else parquet)
+  private val CreateDedupIndex =
+    """(?is)\s*CREATE\s+DEDUP\s+INDEX\s+'([^']+)'\s+ON\s+(?:'([^']+)'|([\w.`]+))\s*""".r
+  private val CreateAnnIndex =
+    """(?is)\s*CREATE\s+ANN\s+INDEX\s+'([^']+)'\s+ON\s+(?:'([^']+)'|([\w.`]+))(\s+USING\s+IVF_PQ)?\s*""".r
+  private val IngestDedupIndex =
+    """(?is)\s*INGEST\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))\s*""".r
+  private val IngestAnnIndex =
+    """(?is)\s*INGEST\s+INTO\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))\s*""".r
+
+  /** Resolve a CREATE/INGEST INDEX source: quoted path → graft table
+    * (a `_graft_log` exists) or plain parquet dir; bare identifier →
+    * registered table.
+    */
+  private def indexSourceFrame(spark: SparkSession, path: String,
+      ident: String): DataFrame =
+    if (path != null) {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, "_graft_log")))
+        GraftTable.load(spark, path).snapshot()
+      else spark.read.parquet(path)
+    } else tableByName(spark, ident).snapshot()
 
   /** Continuous-refresh arbitration: a JVM-local query map PLUS a
     * heartbeat lease file under each view root, so double-start
@@ -140,6 +166,29 @@ object GraftSql {
   private[graft] val continuousRegistry = new ContinuousRegistry
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case CreateDedupIndex(idxPath, srcPath, srcIdent) =>
+      // seed WITHOUT probing (bulk back-fill shape) and WITHOUT an
+      // epoch watermark: batchId -1 appends plainly, so a later
+      // curation pipeline's own epoch 0 is never mistaken for a
+      // replay of the seed
+      graft.operators.Dedup.incrementalIndex(spark, idxPath,
+        indexSourceFrame(spark, srcPath, srcIdent))
+      emptyResult(spark)
+    case CreateAnnIndex(idxPath, srcPath, srcIdent, usingPq) =>
+      val src = indexSourceFrame(spark, srcPath, srcIdent)
+      if (usingPq != null)
+        graft.operators.Similarity.ivfPqIndexBuild(spark, idxPath, src)
+      else graft.operators.Similarity.ivfIndexBuild(spark, idxPath, src)
+      emptyResult(spark)
+    case IngestDedupIndex(idxPath, srcPath, srcIdent) =>
+      graft.operators.Dedup.incrementalIndex(spark, idxPath,
+        indexSourceFrame(spark, srcPath, srcIdent))
+      emptyResult(spark)
+    case IngestAnnIndex(idxPath, srcPath, srcIdent) =>
+      // family-dispatching: an IVF+PQ index additionally encodes
+      graft.operators.Similarity.indexIngest(spark, idxPath,
+        indexSourceFrame(spark, srcPath, srcIdent))
+      emptyResult(spark)
     case MaintainDedupIndexContinuous(path, opts, every) =>
       val m = MaintainOpt.findAllMatchIn(Option(opts).getOrElse(""))
         .map(x => x.group(1).toUpperCase -> x.group(2)).toMap
@@ -613,7 +662,9 @@ object GraftSql {
          RefreshMatViewContinuous(_, _) | StopRefreshMatView(_) |
          MaintainDedupIndexContinuous(_, _, _) | MaintainDedupIndex(_, _) |
          MaintainAnnIndexContinuous(_, _) | MaintainAnnIndex(_) |
-         StopMaintainIndex(_) => true
+         StopMaintainIndex(_) |
+         CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
+         IngestDedupIndex(_, _, _) | IngestAnnIndex(_, _, _) => true
     case _ => false
   }
 
@@ -707,6 +758,13 @@ object GraftSql {
       case MaintainDedupIndexContinuous(_, _, _) | MaintainDedupIndex(_, _) |
            MaintainAnnIndexContinuous(_, _) | MaintainAnnIndex(_) |
            StopMaintainIndex(_) => return true
+      // index create/ingest with a QUOTED source path is shape-claimed
+      // (no catalog ident to resolve); the bare-identifier form below
+      // requires the source to resolve as a registered graft table
+      case CreateDedupIndex(_, p, _) if p != null => return true
+      case CreateAnnIndex(_, p, _, _) if p != null => return true
+      case IngestDedupIndex(_, p, _) if p != null => return true
+      case IngestAnnIndex(_, p, _) if p != null => return true
       case _ =>
     }
     val ident = text match {
@@ -737,6 +795,10 @@ object GraftSql {
       case FsckTable(i) => Some(i)
       // the view's SOURCE must be a graft table; the view ident is new
       case CreateMatView(_, _, _, srcIdent, _, _) => Some(srcIdent)
+      case CreateDedupIndex(_, _, i) => Some(i)
+      case CreateAnnIndex(_, _, i, _) => Some(i)
+      case IngestDedupIndex(_, _, i) => Some(i)
+      case IngestAnnIndex(_, _, i) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)
       case RefreshMatView(i) => Some(i)

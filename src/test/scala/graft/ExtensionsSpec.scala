@@ -190,6 +190,94 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL index lifecycle: CREATE -> INGEST -> MAINTAIN -> " +
+      "ann_search(), pure SQL, TVF composing in a join") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = Sessions.tune(SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions), 4).getOrCreate()
+    try {
+      // seed corpus: 24 labeled vectors along axes 0..3
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqlidx_")
+        .resolve("emb").toString
+      graft.tables.GraftTable.create(s2, dir,
+        s2.range(0, 24).selectExpr("id AS vec_id",
+          "concat('r', id % 4) AS label",
+          "CAST(array(CAST(id % 4 AS FLOAT), 1.0F, 0.5F, 0.0F) " +
+            "AS ARRAY<FLOAT>) AS embedding"))
+      s2.sql("DROP TABLE IF EXISTS gp_emb")
+      s2.sql(s"CREATE TABLE gp_emb USING `graft-table` OPTIONS (path '$dir')")
+      val ivf = java.nio.file.Files.createTempDirectory("graft_sqlidx_")
+        .resolve("ivf").toString
+      // CREATE from the registered table (bare-identifier source)
+      s2.sql(s"CREATE ANN INDEX '$ivf' ON gp_emb")
+      // INGEST from a quoted plain-parquet path — and the arrivals
+      // carry NO label column (conform-to-index null fill)
+      val arrivals = java.nio.file.Files
+        .createTempDirectory("graft_sqlidx_").resolve("new").toString
+      s2.range(100, 108).selectExpr("id AS vec_id",
+        "CAST(array(0.0F, 0.0F, 0.0F, " +
+          "CAST(10.0 + (id - 100) * 0.01 AS FLOAT)) " +
+          "AS ARRAY<FLOAT>) AS embedding")
+        .write.parquet(arrivals)
+      s2.sql(s"INGEST INTO ANN INDEX '$ivf' FROM '$arrivals'")
+      s2.sql(s"MAINTAIN ANN INDEX '$ivf'")
+      // ann_search composes inside an ordinary join; the ingested
+      // vectors (nearest the query by cosine) must surface
+      val got = s2.sql(
+        s"""SELECT s.vec_id, s.cos_sim, t.label
+           |FROM ann_search('$ivf', array(0.0, 0.0, 0.0, 10.0), 5) s
+           |LEFT JOIN gp_emb t ON s.vec_id = t.vec_id""".stripMargin)
+        .collect()
+      assert(got.length === 5)
+      assert(got.map(_.getLong(0)).forall(id => id >= 100L && id < 108L),
+        s"expected the ingested near-axis-3 vectors on top, got " +
+          got.map(_.getLong(0)).mkString(","))
+      // TVF result ≡ the API query (same path, same parameters)
+      val api = graft.operators.Similarity.ivfIndexQuery(s2, ivf,
+        Seq(0f, 0f, 0f, 10f), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val tvf = s2.sql(
+        s"SELECT * FROM ann_search('$ivf', array(0.0, 0.0, 0.0, 10.0), 5)")
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(tvf === api, "ann_search diverged from the API query")
+      // DEDUP leg of the lifecycle, same statements: the SQL-built
+      // index probes identically to an API-built one
+      val docsDir = java.nio.file.Files
+        .createTempDirectory("graft_sqlidx_").resolve("docs").toString
+      Tables.load(s2, sf, "documents")
+        .where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+        .write.parquet(docsDir)
+      val dIdx = java.nio.file.Files
+        .createTempDirectory("graft_sqlidx_").resolve("didx").toString
+      s2.sql(s"CREATE DEDUP INDEX '$dIdx' ON '$docsDir'")
+      s2.sql(s"MAINTAIN DEDUP INDEX '$dIdx'")
+      val batch = Tables.load(s2, sf, "documents")
+        .where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      val sqlPairs = graft.operators.Dedup
+        .incrementalProbe(s2, dIdx, batch)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val apiIdx = java.nio.file.Files
+        .createTempDirectory("graft_sqlidx_").resolve("aidx").toString
+      graft.operators.Dedup.incrementalIndex(s2, apiIdx,
+        Tables.load(s2, sf, "documents")
+          .where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
+      val apiPairs = graft.operators.Dedup
+        .incrementalProbe(s2, apiIdx, batch)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sqlPairs === apiPairs,
+        "SQL-created dedup index probes differently from the API build")
+      s2.sql("DROP TABLE IF EXISTS gp_emb")
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("latest_runs()/best_runs() TVFs serve the registry and compose") {
     import org.apache.spark.sql.SparkSession
     val prev = spark

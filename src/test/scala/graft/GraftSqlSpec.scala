@@ -1054,6 +1054,49 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.sql(spark, s"MAINTAIN ANN INDEX '$ivf'")
   }
 
+  test("CREATE/INGEST INDEX SQL: both families build and feed; the " +
+      "IVF_PQ variant persists a codebook and serves through ADC") {
+    import graft.operators.Similarity
+    val stage = Files.createTempDirectory("graft_sqlcreate_")
+    // an IVF+PQ index from a registered table (dim 8 = m·1 subspaces,
+    // 24 ≥ ksub=16 seeds)
+    val srcDir = stage.resolve("emb").toString
+    graft.tables.GraftTable.create(spark, srcDir,
+      spark.range(0, 24).selectExpr("id AS vec_id",
+        "concat('r', id % 4) AS label",
+        "CAST(array(CAST(id % 4 AS FLOAT), 1.0F, 0.5F, 0.25F, " +
+          "0.0F, 0.0F, 0.0F, 0.0F) AS ARRAY<FLOAT>) AS embedding"))
+    spark.sql("DROP TABLE IF EXISTS gs_embsrc")
+    spark.sql(s"CREATE TABLE gs_embsrc USING `graft-table` " +
+      s"OPTIONS (path '$srcDir')")
+    try {
+      val pq = stage.resolve("pq_idx").toString
+      GraftSql.sql(spark, s"CREATE ANN INDEX '$pq' ON gs_embsrc USING IVF_PQ")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(pq, "pq", "_graft_log")),
+        "USING IVF_PQ must persist the codebook subtable")
+      // INGEST dispatches by family: the arrivals get PQ codes too
+      val arrivals = stage.resolve("arrivals").toString
+      spark.range(100, 104).selectExpr("id AS vec_id",
+        "concat('n', id) AS label",
+        "CAST(array(0.0F, 0.0F, 0.0F, 0.0F, 0.0F, 0.0F, 0.0F, 10.0F) " +
+          "AS ARRAY<FLOAT>) AS embedding")
+        .write.parquet(arrivals)
+      GraftSql.sql(spark, s"INGEST INTO ANN INDEX '$pq' FROM '$arrivals'")
+      val asg = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(pq, "assignments").toString).snapshot()
+      assert(asg.count() === 28)
+      assert(asg.where($"vec_id" >= 100L && $"codes".isNull).count() === 0,
+        "PQ-family ingest must encode codes for arrivals")
+      // the served cascade reaches the ingested vectors
+      val top = Similarity.ivfPqIndexQuery(spark, pq,
+        Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 10f), k = 3)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(top.forall(_ >= 100L),
+        s"ADC cascade must surface the ingested axis-7 vectors, got $top")
+    } finally spark.sql("DROP TABLE IF EXISTS gs_embsrc")
+  }
+
   test("REFRESH MATERIALIZED VIEW CONTINUOUS converges under DML " +
       "with no manual refresh") {
     val (t, _) = registered("gs_mvcsrc")
