@@ -190,6 +190,7 @@ object SparkEntry {
     // §J multimodal
     "multimodal_features" -> (Multimodal.extractFeatures _),
     "multimodal_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "multimodal_frame_neardup" -> ((s: SparkSession, d: String) => Multimodal.frameNearDup(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2329,6 +2330,49 @@ object SparkEntry {
         |  CAST(bsum % 100000 AS BIGINT) AS duration_ms,
         |  CAST(bsum AS DOUBLE) / greatest(n, 1) AS mean_byte
         |FROM m""".stripMargin,
+    "multimodal_frame_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |f0 AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest((n + 127) // 128, 1))) AS fi
+        |  FROM m),
+        |f AS (
+        |  SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |    substring(text, CAST(fi * 128 + 1 AS INTEGER), 64) AS fc
+        |  FROM f0),
+        |toks AS (
+        |  SELECT media_id, frame_idx,
+        |    unnest(list_distinct([substring(fc, i, 4) for i in range(1, len(fc) - 2)])) AS t
+        |  FROM f WHERE length(fc) >= 4),
+        |hs AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT media_id, frame_idx, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hs, (SELECT unnest(range(0, 60)) AS b)
+        |  GROUP BY media_id, frame_idx, b),
+        |sig AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY media_id, frame_idx),
+        |blocked AS (
+        |  SELECT media_id, frame_idx, sh, blk, (sh >> (blk * 15)) & 32767 AS bval
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS blk)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS media_a, a.frame_idx AS frame_a,
+        |    b.media_id AS media_b, b.frame_idx AS frame_b,
+        |    a.sh AS sa, b.sh AS sb
+        |  FROM blocked a JOIN blocked b
+        |    ON a.blk = b.blk AND a.bval = b.bval
+        |    AND (a.media_id < b.media_id OR
+        |         (a.media_id = b.media_id AND a.frame_idx < b.frame_idx)))
+        |SELECT media_a, frame_a, media_b, frame_b,
+        |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "multimodal_framesample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -84,6 +84,96 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Portable 60-bit SimHash per sampled frame — the signature leg of
+    * [[frameNearDup]], exposed for the brute-force equivalence spec.
+    * Tokens are the frame content's distinct character 4-grams (the
+    * byte-level analog of word shingles — a real codec would emit
+    * perceptual features into the same column), hashed with the same
+    * md5 residue as the portable text kernels, so the whole pipeline
+    * replays in the DuckDB oracle. Frames shorter than one 4-gram
+    * carry no signature (and so never pair).
+    */
+  private[graft] def frameSignatures(spark: SparkSession, sfDir: String,
+      frameSize: Int = 64, stride: Int = 128): DataFrame = {
+    val nBits = 60
+    val docs = Tables.load(spark, sfDir, "documents")
+    // frame extraction stays DECLARATIVE (the stub payload is the
+    // text's bytes, so a frame is a substring): sequence+substring
+    // keep the explosion inside whole-stage codegen, unlike the
+    // flatMap in frameSample — this is the hot path of a pairwise
+    // operator, not a one-row-in/many-out demo
+    val frames = docs
+      .where(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        explode(sequence(lit(0),
+          greatest(ceil(length(col("text")).cast("double") / stride)
+            .cast("int") - 1, lit(0)))).as("frame_idx"),
+        col("text"))
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"substring(text, frame_idx * $stride + 1, $frameSize)")
+          .as("fc"))
+      .where(length(col("fc")) >= 4)
+    val posts = frames.select(col("media_id"), col("frame_idx"),
+      explode(expr("array_distinct(transform(sequence(0, length(fc) - 4), " +
+        "i -> substring(fc, i + 1, 4)))")).as("t"))
+      .select(col("media_id"), col("frame_idx"),
+        Tables.md5Residue(col("t")).as("h"))
+    val bitAggs = (0 until nBits).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val bitSums = posts.groupBy(col("media_id"), col("frame_idx"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    val simhashCol = (0 until nBits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    bitSums.select(col("media_id"), col("frame_idx"),
+      simhashCol.as("simhash"))
+  }
+
+  /** FRAME-LEVEL NEAR-DUP — the operator that makes the multimodal
+    * column a first-class dedup citizen: sampled frames (the
+    * [[frameSample]] grid over the opaque payload) sketch to portable
+    * SimHash signatures and pair via the block-rotation trick (4
+    * blocks × 15 bits covers maxHamming=3 by pigeonhole), exactly the
+    * [[Dedup.simhashPortable]] kernel applied per (asset, frame).
+    * Cross-asset pairs find reused footage/boilerplate media; same-
+    * asset pairs find internal repetition. Scale shape: frame
+    * explosion and sketching are map-side, the only shuffles are the
+    * signature aggregate and the 15-bit block equi-join — far pairs
+    * die inside the join condition before the pair-dedup shuffle.
+    * Returns (media_a, frame_a, media_b, frame_b, hamming), each
+    * unordered frame pair once.
+    */
+  def frameNearDup(spark: SparkSession, sfDir: String,
+      frameSize: Int = 64, stride: Int = 128,
+      maxHamming: Int = 3): DataFrame = {
+    val nBits = 60
+    val nBlocks = maxHamming + 1
+    val blockBits = nBits / nBlocks
+    val sigs = frameSignatures(spark, sfDir, frameSize, stride)
+    val blocked = sigs.select(col("media_id"), col("frame_idx"),
+      col("simhash"),
+      explode(array((0 until nBlocks).map { blk =>
+        struct(lit(blk).as("blk"),
+          shiftrightunsigned(col("simhash"), blk * blockBits)
+            .bitwiseAND((1L << blockBits) - 1L).as("bval"))
+      }: _*)).as("bk"))
+    val a = blocked.as("a"); val b = blocked.as("b")
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    a.join(b, col("a.bk") === col("b.bk") &&
+        (col("a.media_id") < col("b.media_id") ||
+          (col("a.media_id") === col("b.media_id") &&
+            col("a.frame_idx") < col("b.frame_idx"))) &&
+        ham <= maxHamming)
+      .select(col("a.media_id").as("media_a"),
+        col("a.frame_idx").as("frame_a"),
+        col("b.media_id").as("media_b"),
+        col("b.frame_idx").as("frame_b"),
+        ham.cast("int").as("hamming"))
+      .dropDuplicates("media_a", "frame_a", "media_b", "frame_b")
+  }
+
   /** Feature extraction over the media table: mapPartitions over the
     * typed Dataset — one decode batch per partition, partitioning
     * preserved (no shuffle), columnar in/out.

@@ -421,6 +421,33 @@ class OperatorsSpec extends SparkSpec {
       $"byte_sum" > $"frame_len" * 255).count() === 0)
   }
 
+  test("frame near-dup block join equals brute-force hamming over " +
+      "the frame signatures") {
+    val sigs = Multimodal.frameSignatures(spark, sf).cache()
+    val got = Multimodal.frameNearDup(spark, sf)
+      .select($"media_a", $"frame_a", $"media_b", $"frame_b", $"hamming")
+      .as[(Long, Int, Long, Int, Int)].collect().toSet
+    // brute force: ALL frame pairs within hamming 3, no block trick
+    val a = sigs.select($"media_id".as("ma"), $"frame_idx".as("fa"),
+      $"simhash".as("sa"))
+    val b = sigs.select($"media_id".as("mb"), $"frame_idx".as("fb"),
+      $"simhash".as("sb"))
+    val want = a.crossJoin(b)
+      .where($"ma" < $"mb" || ($"ma" === $"mb" && $"fa" < $"fb"))
+      .withColumn("hamming",
+        bit_count($"sa".bitwiseXOR($"sb")).cast("int"))
+      .where($"hamming" <= 3)
+      .select($"ma", $"fa", $"mb", $"fb", $"hamming")
+      .as[(Long, Int, Long, Int, Int)].collect().toSet
+    assert(got === want,
+      s"block join lost ${(want -- got).size} / invented ${(got -- want).size}")
+    assert(got.nonEmpty, "the corpus should contain near-dup frames")
+    // self-equal frames never pair with themselves
+    assert(got.forall { case (ma, fa, mb, fb, _) =>
+      ma < mb || (ma == mb && fa < fb) })
+    sigs.unpersist()
+  }
+
   test("langid marker scorer is confident on english-marker docs") {
     val df = operators.TextAnalysis.langId(spark, sf)
     // deterministic: prediction always set, one of the 4 classes
