@@ -183,6 +183,7 @@ object SparkEntry {
     // §F ML
     "ml_risk_score" -> (graft.ml.RiskPipeline.score _),
     "ml_score_fixed" -> (graft.ml.RiskPipeline.scoreFixed _),
+    "ml_gbt_fixed" -> (graft.ml.RiskPipeline.gbtScoreFixed _),
     "ml_risk_features" -> (graft.ml.RiskPipeline.featureFrame _),
     "ml_confusion_value" -> (graft.ml.RiskPipeline.confusionValue _),
     "feature_store_customer" -> (graft.ml.RiskPipeline.customerFeatures _),
@@ -2491,6 +2492,34 @@ object SparkEntry {
         |  FROM f WHERE issue_year > 1997)
         |SELECT o_orderkey, bad_flag, score,
         |  CAST(score > 1.0 AS INTEGER) AS prediction
+        |FROM scored""".stripMargin,
+    "ml_gbt_fixed" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS n_lines,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey),
+        |f AS (
+        |  SELECT o_orderkey, o_orderpriority, c_mktsegment, o_totalprice, c_acctbal,
+        |    COALESCE(li.n_lines, 0.0) AS n_lines, COALESCE(li.sum_qty, 0.0) AS sum_qty,
+        |    CAST(o_orderstatus <> 'F' AS INTEGER) AS bad_flag,
+        |    CAST(year(o_orderdate) AS INTEGER) AS issue_year
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  LEFT JOIN li ON o_orderkey = li.l_orderkey),
+        |scored AS (
+        |  SELECT o_orderkey, bad_flag,
+        |    CAST(round(
+        |      CASE WHEN o_totalprice <= 150000 THEN
+        |        CASE WHEN n_lines <= 3 THEN CAST(-0.40 AS DECIMAL(3,2)) ELSE CAST(0.10 AS DECIMAL(3,2)) END
+        |      ELSE
+        |        CASE WHEN c_acctbal <= 0 THEN CAST(0.60 AS DECIMAL(3,2)) ELSE CAST(0.30 AS DECIMAL(3,2)) END
+        |      END
+        |      + CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN CAST(0.20 AS DECIMAL(3,2))
+        |        ELSE CASE WHEN sum_qty <= 50 THEN CAST(-0.10 AS DECIMAL(3,2)) ELSE CAST(0.05 AS DECIMAL(3,2)) END END
+        |      + CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(0.05 AS DECIMAL(3,2)) ELSE CAST(-0.03 AS DECIMAL(3,2)) END,
+        |      6) AS DOUBLE) AS margin
+        |  FROM f WHERE issue_year > 1997)
+        |SELECT o_orderkey, bad_flag, margin,
+        |  CAST(margin > 0.0 AS INTEGER) AS prediction
         |FROM scored""".stripMargin,
     "ml_risk_features" ->
       """WITH li AS (

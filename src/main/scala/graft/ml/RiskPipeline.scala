@@ -158,6 +158,74 @@ object RiskPipeline {
       .select(col("o_orderkey"), col("bad_flag"), col("prediction"))
   }
 
+  /** Translate a TRAINED decision tree into a Catalyst Column: the
+    * transform path of a tree model IS a nested CASE expression, so
+    * scoring needs no model object at all — it inlines into any
+    * DataFrame plan (whole-stage codegen'd) and replays relationally.
+    * `featureOf` maps the model's vector slot back to its source
+    * column (identity for a plain numeric VectorAssembler).
+    */
+  def treeColumn(node: org.apache.spark.ml.tree.Node,
+      featureOf: Int => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = node match {
+    case l: org.apache.spark.ml.tree.LeafNode => lit(l.prediction)
+    case n: org.apache.spark.ml.tree.InternalNode =>
+      val goLeft = n.split match {
+        case c: org.apache.spark.ml.tree.ContinuousSplit =>
+          featureOf(c.featureIndex) <= lit(c.threshold)
+        case c: org.apache.spark.ml.tree.CategoricalSplit =>
+          featureOf(c.featureIndex)
+            .isin(c.leftCategories.map(x => x: Any).toIndexedSeq: _*)
+        case other => throw new IllegalArgumentException(
+          s"unsupported split type ${other.getClass.getName}")
+      }
+      when(goLeft, treeColumn(n.leftChild, featureOf))
+        .otherwise(treeColumn(n.rightChild, featureOf))
+  }
+
+  /** A trained GBT ensemble's MARGIN as one Column: Σ weightᵢ ·
+    * treeᵢ(x), term order = tree order (the same dot-product order
+    * the model's own transform uses). Prediction = margin > 0 for
+    * the logistic-loss classifier.
+    */
+  def ensembleMarginColumn(
+      model: org.apache.spark.ml.classification.GBTClassificationModel,
+      featureOf: Int => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    model.trees.zip(model.treeWeights).map { case (t, w) =>
+      treeColumn(t.rootNode, featureOf) * lit(w)
+    }.reduce(_ + _)
+
+  /** Deterministic FIXED-TREE GBT scoring — the [[scoreFixed]]
+    * treatment for the tree-ensemble family: a pinned 3-tree ensemble
+    * (weights pre-multiplied into decimal leaf values) over the same
+    * feature frame, margin = Σ leaves (decimal-exact), prediction =
+    * margin > 0. Training stays rows-only ([[gbtScore]]); everything
+    * `GBTClassificationModel.transform` actually executes — nested
+    * threshold CASEs and the weighted sum — replays bit-identically
+    * in the DuckDB oracle. MlSpec pins the translation machinery
+    * ([[treeColumn]]/[[ensembleMarginColumn]]) equal to a REAL
+    * trained model's transform.
+    */
+  def gbtScoreFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    def leaf(s: String) = lit(s).cast("decimal(3,2)")
+    val t1 = when(col("o_totalprice") <= 150000.0,
+        when(col("n_lines") <= 3.0, leaf("-0.40")).otherwise(leaf("0.10")))
+      .otherwise(when(col("c_acctbal") <= 0.0, leaf("0.60"))
+        .otherwise(leaf("0.30")))
+    val t2 = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        leaf("0.20"))
+      .otherwise(when(col("sum_qty") <= 50.0, leaf("-0.10"))
+        .otherwise(leaf("0.05")))
+    val t3 = when(col("c_mktsegment") === "BUILDING", leaf("0.05"))
+      .otherwise(leaf("-0.03"))
+    val margin = round(t1 + t2 + t3, 6).cast("double")
+    featureFrame(spark, sfDir).filter(col("issue_year") > 1997)
+      .select(col("o_orderkey"), col("bad_flag").cast("int").as("bad_flag"),
+        margin.as("margin"))
+      .withColumn("prediction", (col("margin") > 0.0).cast("int"))
+  }
+
   /** CrossValidator + ParamGridBuilder tuning (03-Fraud-ML.py:149-161). */
   def tuned(spark: SparkSession, sfDir: String): Double = {
     val data = featureFrame(spark, sfDir)

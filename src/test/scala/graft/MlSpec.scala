@@ -37,6 +37,35 @@ class MlSpec extends SparkSpec {
     assert(scored.where(!$"prediction".isin(0.0, 1.0)).count() === 0)
   }
 
+  test("a trained GBT's transform IS the nested-CASE column: the " +
+      "fixed-tree translation scores every row like the model") {
+    import org.apache.spark.ml.classification.GBTClassifier
+    import org.apache.spark.ml.feature.VectorAssembler
+    val cols = Array("o_totalprice", "c_acctbal", "n_lines", "sum_qty")
+    val data = RiskPipeline.featureFrame(spark, sf)
+      .select((cols.map(col) ++ Seq(col("o_orderkey"), col("bad_flag"))).toIndexedSeq: _*)
+      .cache()
+    val assembled = new VectorAssembler().setInputCols(cols)
+      .setOutputCol("features").transform(data)
+    val model = new GBTClassifier().setMaxIter(3).setMaxDepth(3)
+      .setSeed(42L).setLabelCol("bad_flag").setFeaturesCol("features")
+      .fit(assembled)
+    // the model's own transform...
+    val theirs = model.transform(assembled)
+      .select($"o_orderkey", $"prediction".cast("int").as("want"))
+    // ...vs the ensemble translated into ONE Column over the raw
+    // feature columns — no vector, no model object, plan-inlined
+    val margin = RiskPipeline.ensembleMarginColumn(model, i => col(cols(i)))
+    val mine = data.select($"o_orderkey",
+      (margin > 0.0).cast("int").as("got"))
+    val diff = theirs.join(mine, Seq("o_orderkey"))
+      .where($"want" =!= $"got").count()
+    assert(diff === 0,
+      s"$diff rows scored differently from the trained model")
+    assert(model.trees.length === 3, "sanity: the ensemble trained")
+    data.unpersist()
+  }
+
   test("confusion value covers the label×prediction grid") {
     val cm = RiskPipeline.confusionValue(spark, sf)
     assert(cm.count() <= 4 && cm.count() >= 2)
