@@ -51,6 +51,10 @@ object ScaleProbe {
       ivfPqProbe(spark, corpusDir)
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "semadmit") {
+      semAdmitProbe(spark, corpusDir, sys.env("SPARK_GRAFT_BATCH_DIR"))
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -113,6 +117,47 @@ object ScaleProbe {
     }
     val n = emb.count()
     println(s"""{"metric":"ivfpq_probe","corpus":"$corpusDir","n_vecs":$n,"n_centroids":$k,"build_sec":${(t1 - t0) / 1e9},"serve_sec":${times.min}}""")
+  }
+
+  /** SEMANTIC admission (SPARK_GRAFT_PROBE=semadmit): the full gate —
+    * lexical screen + within-cell SEMANTIC screen against a built IVF
+    * index — for a FIXED embedding-carrying batch against a growing
+    * corpus, k scaled with the corpus (SPARK_GRAFT_CENTROIDS — the
+    * IVF design point is constant expected cell size). The semantic
+    * leg reads only the batch's TOUCHED cells' partitions, so with
+    * cell size held constant the admission step should be ~flat in
+    * corpus size.
+    */
+  private def semAdmitProbe(spark: SparkSession, corpusDir: String,
+      batchDir: String): Unit = {
+    import graft.operators.{Dedup, Similarity}
+    val k = sys.env.getOrElse("SPARK_GRAFT_CENTROIDS", "16").toInt
+    def docsWithEmb(dir: String) =
+      Tables.load(spark, dir, "documents").join(
+        Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("label"),
+            col("embedding")), Seq("doc_id"))
+    val corpus = docsWithEmb(corpusDir)
+    val batch = docsWithEmb(batchDir)
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+    val stage = java.nio.file.Files.createTempDirectory("graft_semadm_")
+    val idx = stage.resolve("idx").toString
+    val ivf = stage.resolve("ivf").toString
+    val clusters = stage.resolve("clusters").toString
+    val t0 = System.nanoTime()
+    Dedup.incrementalIndex(spark, idx, corpus, batchId = 0L)
+    Similarity.ivfIndexBuild(spark, ivf,
+      corpus.select(col("doc_id").as("vec_id"), col("label"),
+        col("embedding")), nCentroids = k)
+    val t1 = System.nanoTime()
+    val verdicts = Dedup.admitBatch(spark, idx, clusters, batch,
+      batchId = 1L, ivfIndexPath = Some(ivf))
+    val counts = verdicts.groupBy(col("action")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t2 = System.nanoTime()
+    val st = Dedup.lastAdmitStages("")
+    println(s"""{"metric":"semadmit_probe","corpus":"$corpusDir","batch":"$batchDir","n_centroids":$k,"build_sec":${(t1 - t0) / 1e9},"admit_sec":${(t2 - t1) / 1e9},"screen_sec":${st.getOrElse("screen_sec", -1.0)},"cluster_sec":${st.getOrElse("cluster_sec", -1.0)},"kept":${counts.getOrElse("keep", 0L)},"dropped":${counts.getOrElse("drop", 0L)}}""")
   }
 
   /** The full ADMISSION step (screen → cluster → verdict) for a
