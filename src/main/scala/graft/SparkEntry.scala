@@ -192,6 +192,7 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.extractFeatures _),
     "multimodal_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "multimodal_frame_neardup" -> ((s: SparkSession, d: String) => Multimodal.frameNearDup(s, d)),
+    "multimodal_frame_ann" -> ((s: SparkSession, d: String) => Multimodal.frameAnnTopK(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2374,6 +2375,34 @@ object SparkEntry {
         |SELECT media_a, frame_a, media_b, frame_b,
         |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "multimodal_frame_ann" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |f0 AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest((n + 127) // 128, 1))) AS fi
+        |  FROM m),
+        |f AS (
+        |  SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |    substring(text, CAST(fi * 128 + 1 AS INTEGER), 64) AS fc
+        |  FROM f0),
+        |emb AS (
+        |  SELECT media_id, frame_idx,
+        |    [CAST(len([x for x in [unicode(c) for c in string_split(fc, '')] if x // 32 = b]) AS DOUBLE) for b in range(0, 8)] AS e
+        |  FROM f WHERE length(fc) > 0),
+        |q AS (SELECT e FROM emb WHERE media_id = 0 AND frame_idx = 0),
+        |scored AS (
+        |  SELECT emb.media_id, emb.frame_idx,
+        |    list_sum([emb.e[i] * q.e[i] for i in range(1, 9)]) /
+        |    (sqrt(list_sum([emb.e[i] * emb.e[i] for i in range(1, 9)])) *
+        |     sqrt(list_sum([q.e[i] * q.e[i] for i in range(1, 9)]))) AS cs
+        |  FROM emb, q
+        |  WHERE NOT (emb.media_id = 0 AND emb.frame_idx = 0))
+        |SELECT media_id, frame_idx,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM scored ORDER BY cos_sim DESC, media_id, frame_idx
+        |LIMIT 10""".stripMargin,
     "multimodal_framesample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

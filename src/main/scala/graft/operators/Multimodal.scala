@@ -84,6 +84,70 @@ object Multimodal {
       }.toDF()
   }
 
+  /** The sampled-frame grid as (media_id, frame_idx, fc) — the shared
+    * declarative extraction under [[frameSignatures]] and
+    * [[frameEmbeddings]] (sequence+substring, whole-stage codegen; the
+    * stub payload is the text's bytes, so a frame is a substring).
+    */
+  private def frameGrid(spark: SparkSession, sfDir: String,
+      frameSize: Int, stride: Int): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .where(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        explode(sequence(lit(0),
+          greatest(ceil(length(col("text")).cast("double") / stride)
+            .cast("int") - 1, lit(0)))).as("frame_idx"),
+        col("text"))
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"substring(text, frame_idx * $stride + 1, $frameSize)")
+          .as("fc"))
+
+  /** Deterministic per-frame EMBEDDINGS — the bridge from the
+    * multimodal column to the SIMILARITY machinery: each sampled
+    * frame embeds as its 8 byte-class counts (value div 32 buckets),
+    * EXACT small integers carried as floats so every downstream
+    * cosine replays bit-identically (a real perceptual encoder slots
+    * into the same (id, embedding) shape). vec_id = media_id·2¹⁶ +
+    * frame_idx, so frame vectors feed ivfIndexBuild / annTopK /
+    * semantic dedup unchanged.
+    */
+  private[graft] def frameEmbeddings(spark: SparkSession, sfDir: String,
+      frameSize: Int = 64, stride: Int = 128): DataFrame =
+    frameGrid(spark, sfDir, frameSize, stride)
+      .where(length(col("fc")) > 0)
+      .select(col("media_id"), col("frame_idx"),
+        (col("media_id") * 65536L + col("frame_idx")).as("vec_id"),
+        expr("cast(transform(sequence(0, 7), b -> cast(size(filter(" +
+          "transform(sequence(1, length(fc)), i -> ascii(substring(fc, i, 1)))," +
+          " x -> x div 32 = b)) as float)) as array<float>)")
+          .as("embedding"))
+
+  /** FRAME-LEVEL SIMILARITY SEARCH: exact top-k cosine neighbors of a
+    * query frame over every sampled frame's embedding — reused
+    * retrieval semantics ([[graft.operators.Similarity]]'s brute
+    * kernel shape: map-side cosine against a broadcast query vector,
+    * one top-k), so "find frames like this one" composes with the
+    * same decimal-rounded, id-tie-broken contract as the document ANN
+    * family; the IVF composition (frame embeddings feeding
+    * ivfIndexBuild/ivfIndexQuery) is spec-pinned.
+    */
+  def frameAnnTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      queryMedia: Long = 0L, queryFrame: Int = 0): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val emb = frameEmbeddings(spark, sfDir)
+    val q = emb.where(col("media_id") === queryMedia &&
+        col("frame_idx") === queryFrame)
+      .select(col("embedding")).head().getSeq[Float](0)
+    emb.where(!(col("media_id") === queryMedia &&
+        col("frame_idx") === queryFrame))
+      .select(col("media_id"), col("frame_idx"),
+        round(graft.functions.VectorExprs
+          .vec_cosine(col("embedding"), typedLit(q))
+          .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("media_id"), col("frame_idx"))
+      .limit(k)
+  }
+
   /** Portable 60-bit SimHash per sampled frame — the signature leg of
     * [[frameNearDup]], exposed for the brute-force equivalence spec.
     * Tokens are the frame content's distinct character 4-grams (the
@@ -96,22 +160,7 @@ object Multimodal {
   private[graft] def frameSignatures(spark: SparkSession, sfDir: String,
       frameSize: Int = 64, stride: Int = 128): DataFrame = {
     val nBits = 60
-    val docs = Tables.load(spark, sfDir, "documents")
-    // frame extraction stays DECLARATIVE (the stub payload is the
-    // text's bytes, so a frame is a substring): sequence+substring
-    // keep the explosion inside whole-stage codegen, unlike the
-    // flatMap in frameSample — this is the hot path of a pairwise
-    // operator, not a one-row-in/many-out demo
-    val frames = docs
-      .where(length(col("text")) > 0)
-      .select(col("doc_id").as("media_id"),
-        explode(sequence(lit(0),
-          greatest(ceil(length(col("text")).cast("double") / stride)
-            .cast("int") - 1, lit(0)))).as("frame_idx"),
-        col("text"))
-      .select(col("media_id"), col("frame_idx"),
-        expr(s"substring(text, frame_idx * $stride + 1, $frameSize)")
-          .as("fc"))
+    val frames = frameGrid(spark, sfDir, frameSize, stride)
       .where(length(col("fc")) >= 4)
     val posts = frames.select(col("media_id"), col("frame_idx"),
       explode(expr("array_distinct(transform(sequence(0, length(fc) - 4), " +

@@ -427,6 +427,49 @@ object TextAnalysis {
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** RefinedWeb-style EXACT LINE/PARAGRAPH DEDUP across the corpus —
+    * the keep-one cousin of [[stripBoilerplate]]: every line
+    * duplicated anywhere in the corpus keeps exactly its FIRST
+    * occurrence (minimum (doc_id, position) — deterministic under
+    * any partitioning) and every later copy strips, within-document
+    * repeats included; lines shorter than `minLen` chars never
+    * participate (structural fragments — blank lines, separators —
+    * keep everywhere, matching the published heuristic), and
+    * documents reassemble in original line order. Contrast with
+    * stripBoilerplate, which removes ≥k-doc template lines from ALL
+    * docs: here the corpus retains each duplicated passage exactly
+    * once, the dedup posture (content preserved) rather than the
+    * cleaning posture (chrome removed).
+    *
+    * Scale shape: only (line, doc_id, pos) triples shuffle — one
+    * groupBy over dedupable lines for the first-occurrence map, one
+    * equi-join back, one per-doc reassembly group; no cross-doc
+    * traffic beyond the line key.
+    */
+  def paragraphDedup(docs: DataFrame, minLen: Int = 16): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val first = lines.where(length(col("line")) >= minLen)
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id").as("doc_id"), col("idx").as("idx")))
+        .as("f"))
+    val kept = lines.join(first, Seq("line"), "left")
+      .where(col("f").isNull ||
+        (col("f.doc_id") === col("doc_id") && col("f.idx") === col("idx")))
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("__kept"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("__total"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__total") - coalesce(col("__kept"), lit(0L)))
+          .cast("int").as("n_removed"))
+  }
+
   /** BM25 keyword ranking over the corpus — the lexical-retrieval
     * baseline every RAG/training-data pipeline needs next to the ANN
     * family. Corpus statistics (N, avgdl, per-term document

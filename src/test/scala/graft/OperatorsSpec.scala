@@ -448,6 +448,34 @@ class OperatorsSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("frame embeddings feed the IVF index machinery unchanged: " +
+      "build, partition-pruned query, brute-force score agreement") {
+    val emb = Multimodal.frameEmbeddings(spark, sf)
+      .select($"vec_id", concat(lit("m"), $"media_id").as("label"),
+        $"embedding")
+    val n = emb.count()
+    assert(n > 50, s"setup: expected a real frame corpus, got $n")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_frameivf_").resolve("idx").toString
+    Similarity.ivfIndexBuild(spark, idx, emb, nCentroids = 8)
+    val q = emb.where($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    val got = Similarity.ivfIndexQuery(spark, idx, q, k = 10,
+      excludeVecId = 0L)
+      .select($"cos_sim").as[Double].collect()
+    assert(got.length === 10)
+    // byte-class histograms are degenerate (many exact cosine ties),
+    // so assert on SCORES, which are tie-free facts: the IVF answer's
+    // best equals the brute best, and being a probed-cell SUBSET its
+    // k-th best never beats brute's k-th
+    val brute = Multimodal.frameAnnTopK(spark, sf)
+      .select($"cos_sim").as[Double].collect()
+    assert(got.head === brute.head,
+      "IVF top-1 score diverged from brute force")
+    assert(got.last <= brute.last + 1e-12,
+      "a probed-cell subset cannot out-score brute force at rank k")
+  }
+
   test("langid marker scorer is confident on english-marker docs") {
     val df = operators.TextAnalysis.langId(spark, sf)
     // deterministic: prediction always set, one of the 4 classes
@@ -474,6 +502,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) === "unique doc\nno chrome here")
     assert(out(5L) === s"$bp\nwiki body") // wiki source: bp count = 1 there
     assert(out(6L) === "")
+  }
+
+  test("paragraphDedup keeps each duplicated line exactly once, at " +
+      "its first occurrence, preserving order and short lines") {
+    val para = "this exact paragraph repeats across several documents"
+    val docs = Seq(
+      (1L, s"intro one\n$para\nbody A\n--\n$para"), // within-doc repeat
+      (2L, s"$para\nbody B\n--"),
+      (3L, s"body C\n$para"),
+      (4L, "unique doc\nno duplicates here at all")
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.paragraphDedup(docs, minLen = 16)
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the FIRST occurrence — doc 1, position 1 — survives; the
+    // within-doc repeat at position 4 and the copies in docs 2-3 strip
+    assert(out(1L)._1 === s"intro one\n$para\nbody A\n--")
+    assert(out(1L)._2 === 1)
+    // the short "--" separator (< minLen) keeps EVERYWHERE
+    assert(out(2L)._1 === "body B\n--")
+    assert(out(2L)._2 === 1)
+    assert(out(3L) === (("body C", 1)))
+    assert(out(4L) === (("unique doc\nno duplicates here at all", 0)))
+    // dedup posture, not cleaning: the paragraph survives corpus-wide
+    // exactly once
+    val copies = out.values.map(_._1)
+      .map(t => t.split("\n").count(_ == para)).sum
+    assert(copies === 1)
   }
 
   test("connected components on an empty pair set is the empty frame") {
