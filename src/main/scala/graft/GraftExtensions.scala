@@ -162,6 +162,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             k = k, nprobe = nprobe)
         out.queryExecution.analyzed
       }))
+    // dedup_probe('<index path>', <batch table|'path'>[, min_jaccard])
+    // — the READ-ONLY dedup screen as a TVF, the ann_search symmetry
+    // for the lexical family: returns the (doc_a, doc_b, n_common,
+    // jaccard) pairs a batch would surface against the persisted
+    // index, composing in joins/CTEs (screen-then-filter, dry-run
+    // admission reports) without indexing anything.
+    e.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dedup_probe"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.operators.Dedup", "dedup_probe"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "dedup_probe(index_path, batch[, min_jaccard]) takes 2 or 3 " +
+            s"arguments, got ${exprs.length}")
+        require(exprs.take(2).forall(x => x.foldable && x.deterministic &&
+          x.dataType == org.apache.spark.sql.types.StringType &&
+          x.eval() != null),
+          "dedup_probe's first two arguments must be non-null string " +
+            "literals (index path, then a batch table name or path)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        def str(i: Int): String = exprs(i).eval()
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+        val src = str(1)
+        val batch =
+          if (src.contains("/") || src.contains("\\"))
+            graft.tables.GraftSql.indexSourceFrame(spark, src, null)
+          else graft.tables.GraftSql.indexSourceFrame(spark, null, src)
+        val mj = if (exprs.length == 3)
+          exprs(2).eval().asInstanceOf[Number].doubleValue else 0.6
+        graft.operators.Dedup.incrementalProbe(spark, str(0), batch,
+          minJaccard = mj).queryExecution.analyzed
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("top_k_items"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

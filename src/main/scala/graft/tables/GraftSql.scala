@@ -147,9 +147,10 @@ object GraftSql {
 
   /** Resolve a CREATE/INGEST INDEX source: quoted path → graft table
     * (a `_graft_log` exists) or plain parquet dir; bare identifier →
-    * registered table.
+    * registered table. Shared with the dedup_probe() TVF (same
+    * resolution contract as the index statements).
     */
-  private def indexSourceFrame(spark: SparkSession, path: String,
+  private[graft] def indexSourceFrame(spark: SparkSession, path: String,
       ident: String): DataFrame =
     if (path != null) {
       if (java.nio.file.Files.exists(

@@ -271,6 +271,21 @@ class ExtensionsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(sqlPairs === apiPairs,
         "SQL-created dedup index probes differently from the API build")
+      // dedup_probe() — the lexical family's retrieval TVF: the same
+      // read-only screen from pure SQL, composing in a join
+      val batchDir = java.nio.file.Files
+        .createTempDirectory("graft_sqlidx_").resolve("batch").toString
+      batch.write.parquet(batchDir)
+      val tvfPairs = s2.sql(
+        s"SELECT doc_a, doc_b FROM dedup_probe('$dIdx', '$batchDir')")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(tvfPairs === apiPairs,
+        "dedup_probe() diverged from the API probe")
+      val joined = s2.sql(
+        s"""SELECT count(*) FROM dedup_probe('$dIdx', '$batchDir') p
+           |JOIN parquet.`$batchDir` d ON p.doc_b = d.doc_id""".stripMargin)
+        .head().getLong(0)
+      assert(joined >= 0L) // composes: analyzed, planned, executed
       s2.sql("DROP TABLE IF EXISTS gp_emb")
     } finally {
       SparkSession.setActiveSession(prev)

@@ -1491,6 +1491,46 @@ class OperatorsSpec extends SparkSpec {
     verdicts.unpersist()
   }
 
+  test("semantic screen's stored read prunes to the batch's touched " +
+      "cells' partitions (plan-asserted numFiles)") {
+    def vec(region: Int, j: Int): Seq[Float] =
+      Seq.tabulate(4)(d =>
+        (if (d == region % 4) (if (region < 4) 10f else -10f) else 0f) +
+          ((j * (d + 3)) % 5) * 0.01f)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_semprune_").resolve("idx").toString
+    Similarity.ivfIndexBuild(spark, idx,
+      (0L until 80L).map(i => (i, s"r${i % 8}", vec((i % 8).toInt, i.toInt)))
+        .toDF("vec_id", "label", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")),
+      nCentroids = 8)
+    val total = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(idx, "assignments").toString)
+      .snapshotInfo(0L).files.size
+    assert(total >= 8, s"setup: expected >= 8 partition files, got $total")
+    // a batch entirely inside region 0's cell must not read the corpus
+    val batch = (9000L until 9005L).map(i => (i, vec(0, i.toInt)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = Similarity.semanticScreenPairs(spark, idx, batch,
+        tau = 0.3, maxCellSize = Int.MaxValue)
+      val scans = pairs.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected the stored-cells file scan")
+      pairs.collect()
+      scans.foreach { s =>
+        val n = s.metrics("numFiles").value
+        assert(n < total,
+          s"stored read scanned $n of $total files — touched-cell " +
+            "partition pruning is dead")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("semantic hot-cell cap: a dense cell's candidate pairs bound " +
       "at O(c*cap) and the verdict components survive the cap") {
     // the adversarial shape: 300 near-identical vectors (boilerplate
