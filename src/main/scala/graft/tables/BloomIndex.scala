@@ -301,14 +301,13 @@ private[tables] object BloomIndex {
     // representation, so the probe must feed XxHash64 the SAME
     // internal value — a silent cast would hash a DIFFERENT byte
     // sequence and prune files that actually match (LOST ROWS).
-    // Atomic key types convert external→internal exactly
-    // (UTF8String / identity / epoch days / epoch micros / Decimal),
-    // so they probe natively; anything else degrades to keep-all —
-    // conservative and correct (every kept file is scanned; extra
-    // files only cost I/O), where a hard refusal would crash the one
-    // probe shape that reaches here (an over-budget key set on an
-    // exotic-typed index). Callers are responsible for TYPE
-    // AGREEMENT with the indexed column ([[GraftTable
+    // Atomic key types convert external→internal on dedicated paths
+    // (UTF8String / identity / epoch days / epoch micros / Decimal);
+    // every OTHER type — arrays, structs, maps — converts through
+    // Catalyst's own external→internal converter, so complex-typed
+    // bloom columns prune natively too (previously the one keep-all
+    // shape). Callers are responsible for TYPE AGREEMENT with the
+    // indexed column ([[GraftTable
     // .snapshotBloomInDistributedWithCount]] keep-alls a mismatch) —
     // the sidecar records no type, and a long probe against a
     // string-hashed filter would refute files that match.
@@ -360,15 +359,20 @@ private[tables] object BloomIndex {
           case other => throw new IllegalStateException(
             s"unexpected TimestampType external value: ${other.getClass}")
         }
-      case _ => null
-    }
-    if (conv == null) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"[graft] pruneValuesDistributed: unsupported key type " +
-          s"${keyType.simpleString} for '$colName' — sidecars hash " +
-          "native bytes, so pruning is skipped " +
-          "(keeping all candidate files; correct, just unpruned)")
-      return filesAbs
+      case _ =>
+        // every remaining type — arrays, structs, maps, nested
+        // combinations — converts external→internal through
+        // Catalyst's OWN converter, producing exactly the
+        // ArrayData/InternalRow/MapData value the write side's
+        // codegen'd xxhash64 hashed (XxHash64 is the engine's
+        // hash-partitioning expression: it hashes every type). The
+        // hand-rolled atomic paths above stay — they avoid the
+        // converter allocation on the hot simple-key shapes — and
+        // this generic tail closes what used to be a keep-all
+        // (complex-typed bloom columns never pruned distributed)
+        val c = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(keyType)
+        r => if (r.isNullAt(0)) null else c(r.get(0)).asInstanceOf[AnyRef]
     }
     val words = keys
       .select(org.apache.spark.sql.functions.col(keys.columns.head))

@@ -85,6 +85,34 @@ class BloomIndexSpec extends SparkSpec {
     assert(xdf.where($"x".isin(500.0, 501.0)).count() === 2)
   }
 
+  test("distributed probe hashes ARRAY keys through Catalyst's own " +
+      "converter: complex-typed bloom columns prune, lose no rows") {
+    // round-robin slots: every file spans the id range, so only the
+    // bloom can prune. The sidecar hashed the ARRAY's internal
+    // ArrayData via codegen'd xxhash64; the probe must reproduce
+    // those bytes from external Seq rows — previously this type
+    // degraded to keep-all
+    val t = GraftTable.create(spark, tmp(),
+      spark.range(0, 800).select($"id",
+        array($"id", $"id" + 1000L).as("tags"),
+        ($"id" % 8).as("slot")).repartition(8, $"slot").drop("slot"))
+    t.setProperties(Map("graft.bloom.columns" -> "tags",
+      "graft.bloom.bits" -> "4096"))
+    t.rebuildBloomIndex()
+    val all = t.snapshotInfo(t.latestVersion).files.size
+    assert(all >= 4, s"need several overlapping files, got $all")
+    val keys = spark.range(500, 502)
+      .select(array($"id", $"id" + 1000L).as("tags"))
+    val (df, kept, total) =
+      t.snapshotBloomInDistributedWithCount("tags", keys)
+    assert(total === all)
+    assert(kept < all,
+      s"array-typed probe must prune below the full set, kept $kept/$all")
+    // nothing lost: both probed arrays' rows survive the pruned scan
+    assert(df.where($"id".isin(500L, 501L)).count() === 2,
+      "complex-key pruning lost rows")
+  }
+
   test("distributed probe hashes DATE and TIMESTAMP keys natively: " +
       "agrees with the driver probe, loses no rows") {
     val path = tmp()
