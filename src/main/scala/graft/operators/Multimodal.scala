@@ -115,11 +115,16 @@ object Multimodal {
       frameSize: Int = 64, stride: Int = 128): DataFrame =
     frameGrid(spark, sfDir, frameSize, stride)
       .where(length(col("fc")) > 0)
+      // the byte array materializes ONCE per frame — interpreted HOFs
+      // have no subexpression elimination, so inlining it under the
+      // 8-bucket transform would decode the frame 8× (measured ~2× on
+      // the whole query at sf0.1)
+      .withColumn("__bytes", expr(
+        "transform(sequence(1, length(fc)), i -> ascii(substring(fc, i, 1)))"))
       .select(col("media_id"), col("frame_idx"),
         (col("media_id") * 65536L + col("frame_idx")).as("vec_id"),
         expr("cast(transform(sequence(0, 7), b -> cast(size(filter(" +
-          "transform(sequence(1, length(fc)), i -> ascii(substring(fc, i, 1)))," +
-          " x -> x div 32 = b)) as float)) as array<float>)")
+          "__bytes, x -> x div 32 = b)) as float)) as array<float>)")
           .as("embedding"))
 
   /** FRAME-LEVEL SIMILARITY SEARCH: exact top-k cosine neighbors of a

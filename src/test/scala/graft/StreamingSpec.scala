@@ -892,6 +892,62 @@ class StreamingSpec extends SparkSpec {
       "dropped docs' vectors still index (the sigs/shingles posture)")
   }
 
+  test("bounded-pacing semantic curation: every micro-batch ingests " +
+      "the IVF index exactly once on its own epoch id") {
+    val stage = Files.createTempDirectory("graft_cursemp_")
+    val raw = stage.resolve("raw")
+    java.nio.file.Files.createDirectories(raw)
+    def land(id: Long, text: String, v: Seq[Float], part: String): Unit =
+      graft.sources.Ingest.stageBatch(
+        Seq((id, text, text.length.toLong, v))
+          .toDF("doc_id", "text", "n_chars", "embedding")
+          .withColumn("embedding", $"embedding".cast("array<float>")),
+        raw.toString, part)
+    val ivf = stage.resolve("ivf").toString
+    graft.operators.Similarity.ivfIndexBuild(spark, ivf,
+      (1000L until 1030L).map(i => (i, s"r${i % 3}",
+        Seq.tabulate(4)(d => (if (d == (i % 3).toInt) 10f else 0f) +
+          ((i * (d + 3)) % 5) * 0.01f)))
+        .toDF("vec_id", "label", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")),
+      nCentroids = 3)
+    val curated = graft.tables.GraftTable.create(spark,
+      stage.resolve("curated").toString,
+      Seq.empty[(Long, String, Long, Seq[Float])]
+        .toDF("doc_id", "text", "n_chars", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>")))
+    // a 3-file backlog paced ONE file per trigger: doc 20 is a
+    // lexically-fresh embedding near-copy of doc 10 (must drop
+    // against it at its own epoch), doc 30 is fresh on both axes
+    land(10L, "the quick brown fox jumps over the lazy dog today",
+      Seq(0f, 0f, 0f, 10f), "f1")
+    land(20L, "completely different words describing unrelated things here",
+      Seq(0f, 0f, 0.4f, 10f), "f2")
+    land(30L, "a genuinely novel document about nothing seen before now",
+      Seq(0f, 7f, 7f, 0f), "f3")
+    Streams.curationStream(spark, raw.toString,
+      stage.resolve("cp").toString, stage.resolve("idx").toString,
+      stage.resolve("cl").toString, curated,
+      maxFilesPerTrigger = 1, ivfIndexPath = Some(ivf))
+    assert(curated.snapshot().select($"doc_id").as[Long].collect().toSet
+      === Set(10L, 30L),
+      "the paced semantic near-dup must drop at its own epoch")
+    val asg = graft.tables.GraftTable.load(spark,
+      stage.resolve("ivf").resolve("assignments").toString)
+    val ids = asg.snapshot().select($"vec_id").as[Long].collect()
+    assert(ids.length === 33 && ids.distinct.length === 33,
+      s"expected 30 seed + 3 paced arrivals exactly once, got ${ids.length}")
+    // replay: the bounded stream re-runs with no new files — nothing
+    // re-ingests, nothing re-appends
+    val (vIdx, vCur) = (asg.latestVersion, curated.latestVersion)
+    Streams.curationStream(spark, raw.toString,
+      stage.resolve("cp").toString, stage.resolve("idx").toString,
+      stage.resolve("cl").toString, curated,
+      maxFilesPerTrigger = 1, ivfIndexPath = Some(ivf))
+    assert(asg.latestVersion === vIdx && curated.latestVersion === vCur,
+      "bounded replay must be a no-op on index and corpus")
+  }
+
   test("bounded-batch curation lands the single-epoch curated set " +
       "and replays exactly-once") {
     def doc(id: Long, text: String) =
