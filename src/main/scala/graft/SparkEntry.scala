@@ -92,6 +92,7 @@ object SparkEntry {
     "mv_corpus_stats" -> (TextAnalysis.corpusStatsMaintained _),
     "text_bm25_rank" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25Rank(s, d)),
+    "text_perplexity" -> (TextAnalysis.textPerplexity _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitterLangs _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
@@ -1316,6 +1317,33 @@ object SparkEntry {
         |  , 8) AS score
         |FROM tl, stats
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // bigram-LM perplexity: exact integer counts, per-pair ln terms
+    // rounded to DECIMAL(28,12) before the (order-insensitive) sum,
+    // mean as one double quotient — bit-exact across engines
+    "text_perplexity" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |posts AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tl
+        |        WHERE len(w) >= 2)),
+        |uni AS (
+        |  SELECT t AS w1, COUNT(*) AS c1
+        |  FROM (SELECT unnest(w) AS t FROM tl) GROUP BY t),
+        |vocab AS (
+        |  SELECT COUNT(DISTINCT t) AS v
+        |  FROM (SELECT unnest(w) AS t FROM tl)),
+        |bi AS (
+        |  SELECT w1, w2, COUNT(*) AS c2 FROM posts GROUP BY w1, w2),
+        |terms AS (
+        |  SELECT p.doc_id,
+        |    CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12)) AS t
+        |  FROM posts p JOIN bi USING (w1, w2) JOIN uni USING (w1), vocab)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(-CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS nll
+        |FROM terms GROUP BY doc_id""".stripMargin,
     // domain-mix solver: weights w=idx%4+1, binding domain caps the
     // total (t_star), ppm rates sample via the md5 residue — all
     // integer arithmetic, bit-exact across engines

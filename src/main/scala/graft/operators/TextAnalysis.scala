@@ -470,6 +470,59 @@ object TextAnalysis {
           .cast("int").as("n_removed"))
   }
 
+  /** CCNet-style LANGUAGE-MODEL PERPLEXITY quality scoring (Wenzek et
+    * al. 2020's filter, the signal next to the rule-based
+    * quality/Gopher panes): a bigram LM with add-one smoothing trains
+    * on the corpus itself (exact integer unigram/bigram counts — the
+    * wiki-LM stand-in this environment affords; a real pipeline
+    * points the same counts at its reference corpus) and every doc
+    * scores its average negative log-likelihood — low = templated/
+    * repetitive text, high = noise, the two tails CCNet trims.
+    *
+    * Engine-portable determinism: each pair's ln((c2+1)/(c1+V))
+    * term ROUNDS TO DECIMAL(28,12) before the per-doc sum, so the
+    * aggregation is order-insensitive (decimal addition is exact) —
+    * the one trick that makes a float-log aggregate replayable — and
+    * the final mean rounds to 6. Scale shape: counts are map-side
+    * partial aggregates to vocab-sized tables; each doc's pairs join
+    * those tables by key (the method's true cost at 100 TB: two
+    * shuffles of the pair postings, no corpus broadcast).
+    */
+  def textPerplexity(spark: SparkSession, sfDir: String): DataFrame =
+    textPerplexityOf(Tables.load(spark, sfDir, "documents"))
+
+  def textPerplexityOf(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+    val posts = toks.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uniTokens = toks.select(explode(col("w")).as("w1"))
+    val uni = uniTokens.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = uniTokens.select(countDistinct(col("w1")).as("v"))
+    val bi = posts.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val terms = posts
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(vocab) // one scalar row
+      .select(col("doc_id"),
+        round(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")), 12)
+          .cast("decimal(28,12)").as("t"))
+    terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        // the decimal sum is exact; convert to double BEFORE the
+        // division so both engines run the same IEEE quotient
+        // (decimal division scale rules differ between engines)
+        round(-sum(col("t")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("nll"))
+  }
+
   /** BM25 keyword ranking over the corpus — the lexical-retrieval
     * baseline every RAG/training-data pipeline needs next to the ANN
     * family. Corpus statistics (N, avgdl, per-term document

@@ -476,6 +476,34 @@ class OperatorsSpec extends SparkSpec {
       "a probed-cell subset cannot out-score brute force at rank k")
   }
 
+  test("perplexity scorer: predictable bigrams score low, novel " +
+      "bigrams high; pair accounting exact; deterministic") {
+    // docs 1-3 cycle ONE bigram pattern (the LM learns it cold);
+    // doc 9's bigrams each occur once (maximally surprising)
+    val docs = Seq(
+      (1L, "alpha beta " * 20),
+      (2L, "alpha beta " * 20),
+      (3L, "alpha beta " * 20),
+      (9L, "qqq www eee rrr ttt yyy uuu iii ooo ppp"),
+      (10L, "solo")) // < 2 tokens: no pairs, no row
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.textPerplexityOf(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(!out.contains(10L), "a 1-token doc has no bigram row")
+    assert(out(1L)._1 === 39L, "n_pairs = tokens - 1")
+    assert(out(9L)._1 === 9L)
+    assert(out(1L)._2 < out(9L)._2,
+      s"templated text must score LOWER nll than novel text " +
+        s"(${out(1L)._2} vs ${out(9L)._2})")
+    assert(out(1L) === out(2L) && out(2L) === out(3L),
+      "identical docs must score identically")
+    val again = operators.TextAnalysis.textPerplexityOf(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(again === out, "perplexity must be deterministic")
+  }
+
   test("langid marker scorer is confident on english-marker docs") {
     val df = operators.TextAnalysis.langId(spark, sf)
     // deterministic: prediction always set, one of the 4 classes
