@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_admission" -> (Dedup.admissionScenario _),
     "dedup_admission_gated" -> (Dedup.admissionGatedScenario _),
     "dedup_admission_semantic" -> (Dedup.admissionSemanticScenario _),
+    "dedup_window_coverage" -> ((s: SparkSession, d: String) => Dedup.windowDupCoverage(s, d)),
     "stream_curation" -> (graft.streaming.Streams.curationScenario _),
     // §I text analysis
     "text_quality" -> (TextAnalysis.quality _),
@@ -1317,6 +1318,28 @@ object SparkEntry {
         |  , 8) AS score
         |FROM tl, stats
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // exact-substring dup coverage: fixed-L token windows, content-
+    // matched corpus-wide, per-doc covered-position accounting
+    "dedup_window_coverage" ->
+      """WITH tl AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |    array_to_string(w[i:i+9], ' ') AS win
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+        |        FROM tl WHERE len(w) >= 10)),
+        |dup AS (SELECT win FROM win GROUP BY win HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, i + d.d AS pos
+        |  FROM win JOIN dup USING (win),
+        |    (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS d) d),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_covered, 0) AS BIGINT) AS n_covered,
+        |  CAST(COALESCE(a.n_covered, 0) AS DOUBLE) /
+        |    CAST(greatest(len(w), 1) AS DOUBLE) AS dup_frac
+        |FROM tl t LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // bigram-LM perplexity: exact integer counts, per-pair ln terms
     // rounded to DECIMAL(28,12) before the (order-insensitive) sum,
     // mean as one double quotient — bit-exact across engines

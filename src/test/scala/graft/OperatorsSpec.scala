@@ -476,6 +476,38 @@ class OperatorsSpec extends SparkSpec {
       "a probed-cell subset cannot out-score brute force at rank k")
   }
 
+  test("window-dup coverage marks exactly the corpus-repeated " +
+      "positions: full copies, partial runs, within-doc repeats") {
+    // an operator variant over a constructed frame isn't exposed —
+    // stage a corpus as the documents table of a temp sf dir
+    val words = (1 to 30).map(i => s"w$i")
+    val run = words.take(10).mkString(" ") // one shared 10-token run
+    val docs = Seq(
+      (1L, words.mkString(" ")),  // 30 tokens
+      (2L, words.mkString(" ")),  // exact copy of 1: all covered
+      (3L, run + " zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10"), // run + 10 unique
+      (4L, "aa1 aa2 aa3 aa4 aa5"),                              // < L tokens
+      (5L, (1 to 3).flatMap(_ => Seq("r1 r2 r3 r4 r5 r6 r7 r8 r9 r10")).mkString(" "))) // within-doc repeat
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_windup_")
+    docs.write.parquet(dir.resolve("documents.parquet").toString)
+    val out = Dedup.windowDupCoverage(spark, dir.toString)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1 and 2 are exact copies: every window duplicated, full
+    // coverage on both
+    assert(out(1L) === ((30L, 30L, 1.0)))
+    assert(out(2L) === ((30L, 30L, 1.0)))
+    // doc 3 shares ONLY the 10-token run (present in docs 1/2/3):
+    // positions 1..10 covered of 20
+    assert(out(3L) === ((20L, 10L, 0.5)))
+    // sub-L docs carry no windows: zero coverage, frac 0
+    assert(out(4L) === ((5L, 0L, 0.0)))
+    // WITHIN-doc repetition counts as duplication (the memorization
+    // signal): doc 5 repeats its own 10-token run 3x — full coverage
+    assert(out(5L) === ((30L, 30L, 1.0)))
+  }
+
   test("perplexity scorer: predictable bigrams score low, novel " +
       "bigrams high; pair accounting exact; deterministic") {
     // docs 1-3 cycle ONE bigram pattern (the LM learns it cold);
