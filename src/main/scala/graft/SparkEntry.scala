@@ -94,6 +94,8 @@ object SparkEntry {
     "text_bm25_rank" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25Rank(s, d)),
     "text_perplexity" -> (TextAnalysis.textPerplexity _),
+    "text_dsir_weight" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirWeight(s, d)),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitterLangs _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
@@ -1340,6 +1342,34 @@ object SparkEntry {
         |  CAST(COALESCE(a.n_covered, 0) AS DOUBLE) /
         |    CAST(greatest(len(w), 1) AS DOUBLE) AS dup_frac
         |FROM tl t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // DSIR hashed-feature importance: md5-residue token buckets,
+    // add-one-smoothed log-ratios rounded to decimal, exact decimal
+    // dot per doc, one double quotient at the end
+    "text_dsir_weight" ->
+      """WITH posts AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |        FROM documents)),
+        |raw_cnt AS (SELECT b, COUNT(*) AS c_raw FROM posts GROUP BY b),
+        |tgt_cnt AS (SELECT b, COUNT(*) AS c_tgt FROM posts
+        |            WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT COUNT(*) AS n_raw,
+        |          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+        |        FROM posts),
+        |ratios AS (
+        |  SELECT r.b,
+        |    CAST(round(ln((CAST(COALESCE(t.c_tgt, 0) + 1 AS DOUBLE) /
+        |        CAST(n_tgt + 1024 AS DOUBLE)) /
+        |      (CAST(r.c_raw + 1 AS DOUBLE) /
+        |        CAST(n_raw + 1024 AS DOUBLE))), 12) AS DECIMAL(20,12)) AS rr
+        |  FROM raw_cnt r LEFT JOIN tgt_cnt t ON r.b = t.b, tot),
+        |db AS (SELECT doc_id, b, COUNT(*) AS n FROM posts GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(n AS DECIMAL(10,0)) * rr) AS DOUBLE) /
+        |    CAST(greatest(SUM(n), 1) AS DOUBLE), 6) AS weight
+        |FROM db JOIN ratios USING (b) GROUP BY doc_id""".stripMargin,
     // bigram-LM perplexity: exact integer counts, per-pair ln terms
     // rounded to DECIMAL(28,12) before the (order-insensitive) sum,
     // mean as one double quotient — bit-exact across engines

@@ -470,6 +470,66 @@ object TextAnalysis {
           .cast("int").as("n_removed"))
   }
 
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by how much its HASHED token-feature distribution looks like a
+    * TARGET slice's (here the `lang = targetLang` sub-corpus — a real
+    * pipeline points the target counts at its curated/wiki corpus).
+    * Features are md5-residue token buckets (the paper's hashed
+    * n-grams, B buckets); per-bucket log-ratios
+    * ln(p̂_target(b)/p̂_raw(b)) come from exact integer counts with
+    * add-one smoothing, and a doc's weight is its buckets' counts
+    * dotted with those ratios — positive = target-like, the rank
+    * importance resampling draws by. Same engine-portable trick as
+    * [[textPerplexity]]: the per-bucket ratio rounds to
+    * DECIMAL(28,12), the per-doc dot rides exact integer×decimal
+    * products, so the whole score replays bit-identically.
+    *
+    * Scale shape: both count panes are map-side partial aggregates to
+    * B-row tables; the B-row ratio table BROADCASTS onto the doc
+    * bucket counts (one row per (doc, distinct bucket)) — no corpus
+    * shuffle beyond the per-doc bucket aggregation.
+    */
+  def dsirWeight(spark: SparkSession, sfDir: String,
+      targetLang: String = "en", buckets: Int = 1024): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val posts = d.select(col("doc_id"), col("lang"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("t"))
+      .select(col("doc_id"), col("lang"),
+        pmod(Tables.md5Residue(col("t")), lit(buckets.toLong)).as("b"))
+    val rawCnt = posts.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    val tgtCnt = posts.where(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val totals = posts.agg(count(lit(1)).as("n_raw"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_tgt"))
+    // log-ratio per bucket, add-one smoothed, decimal-rounded — the
+    // B-row table every doc's counts dot against
+    val ratios = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .crossJoin(totals)
+      .select(col("b"),
+        round(log(((coalesce(col("c_tgt"), lit(0L)) + 1).cast("double") /
+            (col("n_tgt") + buckets).cast("double")) /
+          ((col("c_raw") + 1).cast("double") /
+            (col("n_raw") + buckets).cast("double"))), 12)
+          .cast("decimal(28,12)").as("r"))
+    val docBuckets = posts.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    // per-doc dot product in EXACT decimals: count decimal(10,0) ×
+    // ratio decimal(20,12) stays within 38 digits (an unconstrained
+    // long×decimal product would hit Spark's precision cap and lose
+    // exactness); one double conversion at the very end
+    docBuckets.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n").cast("decimal(10,0)") *
+          col("r").cast("decimal(20,12)")).as("__w"),
+        sum(col("n")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__w").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
   /** CCNet-style LANGUAGE-MODEL PERPLEXITY quality scoring (Wenzek et
     * al. 2020's filter, the signal next to the rule-based
     * quality/Gopher panes): a bigram LM with add-one smoothing trains

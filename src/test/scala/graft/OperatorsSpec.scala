@@ -508,6 +508,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L) === ((30L, 30L, 1.0)))
   }
 
+  test("DSIR importance: target-distribution-like docs outweigh " +
+      "non-target docs, whatever their label") {
+    // two disjoint vocabularies; doc 21 is LABELED de but speaks the
+    // en vocabulary — importance must follow the CONTENT distribution
+    val enWords = (1 to 12).map(i => s"target$i")
+    val deWords = (1 to 12).map(i => s"andere$i")
+    // every doc cycles the WHOLE vocabulary (offset by seed): a
+    // one-word doc would skew the raw counts of its own word and
+    // make the importance self-referential
+    def sent(ws: Seq[String], seed: Int) =
+      (0 until 24).map(j => ws((j + seed) % ws.size)).mkString(" ")
+    val docs = ((1L to 10L).map(i => (i, sent(enWords, i.toInt), "en")) ++
+      (11L to 20L).map(i => (i, sent(deWords, i.toInt), "de")) ++
+      Seq((21L, sent(enWords, 21), "de")))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("web"))
+      .withColumn("n_chars", length($"text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_")
+    docs.write.parquet(dir.resolve("documents.parquet").toString)
+    val w = operators.TextAnalysis.dsirWeight(spark, dir.toString)
+      .select($"doc_id", $"weight").as[(Long, Double)].collect().toMap
+    val enAvg = (1L to 10L).map(w).sum / 10
+    val deAvg = (11L to 20L).map(w).sum / 10
+    assert(enAvg > deAvg,
+      s"target-vocab docs must outweigh non-target ($enAvg vs $deAvg)")
+    assert((11L to 20L).forall(i => w(21L) > w(i)),
+      "the mislabeled target-LIKE doc must outweigh every true " +
+        "non-target doc — importance follows content, not labels")
+    assert(w(21L) > 0 && deAvg < 0,
+      "signs: target-like positive, non-target negative")
+  }
+
   test("perplexity scorer: predictable bigrams score low, novel " +
       "bigrams high; pair accounting exact; deterministic") {
     // docs 1-3 cycle ONE bigram pattern (the LM learns it cold);
