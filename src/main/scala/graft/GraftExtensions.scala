@@ -153,14 +153,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else dflt
         val k = intArg(2, 10)
         val nprobe = intArg(3, 4)
-        val out =
-          if (java.nio.file.Files.exists(java.nio.file.Paths
-              .get(path, "pq", "_graft_log")))
-            graft.operators.Similarity.ivfPqIndexQuery(spark, path, qv,
-              k = k, nprobe = nprobe)
-          else graft.operators.Similarity.ivfIndexQuery(spark, path, qv,
-            k = k, nprobe = nprobe)
-        out.queryExecution.analyzed
+        graft.operators.Similarity.indexQuery(spark, path, qv,
+          k = k, nprobe = nprobe).queryExecution.analyzed
       }))
     // dedup_probe('<index path>', <batch table|'path'>[, min_jaccard])
     // — the READ-ONLY dedup screen as a TVF, the ann_search symmetry
@@ -181,6 +175,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           x.eval() != null),
           "dedup_probe's first two arguments must be non-null string " +
             "literals (index path, then a batch table name or path)")
+        require(exprs.length < 3 ||
+          (exprs(2).foldable && exprs(2).deterministic),
+          "dedup_probe's min_jaccard must be a numeric literal")
         val spark = org.apache.spark.sql.SparkSession.active
         def str(i: Int): String = exprs(i).eval()
           .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
@@ -189,8 +186,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (src.contains("/") || src.contains("\\"))
             graft.tables.GraftSql.indexSourceFrame(spark, src, null)
           else graft.tables.GraftSql.indexSourceFrame(spark, null, src)
+        // plain fractional SQL literals parse as DECIMAL (whose
+        // internal Decimal is NOT a java.lang.Number) — one Catalyst
+        // cast normalizes every numeric literal to a double
         val mj = if (exprs.length == 3)
-          exprs(2).eval().asInstanceOf[Number].doubleValue else 0.6
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(2),
+            org.apache.spark.sql.types.DoubleType).eval()
+            .asInstanceOf[Double]
+        else 0.6
         graft.operators.Dedup.incrementalProbe(spark, str(0), batch,
           minJaccard = mj).queryExecution.analyzed
       }))

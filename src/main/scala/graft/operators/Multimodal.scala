@@ -140,9 +140,15 @@ object Multimodal {
       queryMedia: Long = 0L, queryFrame: Int = 0): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val emb = frameEmbeddings(spark, sfDir)
-    val q = emb.where(col("media_id") === queryMedia &&
+    val qRows = emb.where(col("media_id") === queryMedia &&
         col("frame_idx") === queryFrame)
-      .select(col("embedding")).head().getSeq[Float](0)
+      .select(col("embedding")).take(1)
+    // a missing query frame answers EMPTY (matching the relational
+    // oracle, whose query CTE is just empty then) — not a crash
+    if (qRows.isEmpty)
+      return emb.limit(0).select(col("media_id"), col("frame_idx"),
+        lit(0.0).as("cos_sim"))
+    val q = qRows.head.getSeq[Float](0)
     emb.where(!(col("media_id") === queryMedia &&
         col("frame_idx") === queryFrame))
       .select(col("media_id"), col("frame_idx"),

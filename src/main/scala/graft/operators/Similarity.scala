@@ -262,18 +262,18 @@ object Similarity {
   def embeddingKmeans(spark: SparkSession, sfDir: String,
       nCentroids: Int = 16, iters: Int = 2): DataFrame = {
     val (_, assigned) = kmeansFit(spark, sfDir, nCentroids, iters)
-    // materialize the (≤k-row) cluster pane, then RELEASE the Lloyd
-    // corpus cache — returning a lazy frame over it would leak one
-    // corpus-sized block-manager entry per invocation (the bench
-    // process calls this repeatedly; accumulated caches evict-churn
-    // every later query)
+    // localize the (≤k-row) cluster pane, then RELEASE the Lloyd
+    // corpus cache — returning a lazy (or persisted-but-never-
+    // released) frame would leak one block-manager entry per
+    // invocation; the bench process calls this repeatedly and
+    // accumulated caches evict-churn every later query
     val out = assigned.groupBy(col("cent_id"))
       .agg(count(lit(1)).cast("long").as("n_vecs"),
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    val rows = out.collect().toIndexedSeq
     assigned.unpersist()
-    out
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      out.schema)
   }
 
   /** SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023): k-means
@@ -298,11 +298,15 @@ object Similarity {
     VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
     val (_, assignedRaw) = kmeansFitOf(spark, emb, nCentroids, iters)
-    // materialize the verdicts (3 narrow columns per vector), then
-    // release the corpus-sized Lloyd cache — see embeddingKmeans
+    // the connected components inside the verdict kernel EXECUTE here
+    // (per-round localCheckpoint), while the Lloyd corpus cache is
+    // still warm; after that the cache's job is done — release it and
+    // return the lazy verdict plan (consumption re-derives the
+    // map-side assignment in one corpus pass; verdicts are corpus-
+    // sized, so a driver collect is not an option, and a returned
+    // persisted frame would leak one entry per bench invocation)
     val out = semanticVerdictsOf(assignedRaw, tau)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    out.count() // drives the CC rounds against the warm cache
     assignedRaw.unpersist()
     out
   }
@@ -697,17 +701,45 @@ object Similarity {
 
   /** Conform an ingest frame to the index's stored schema: columns
     * the index declares but the batch lacks (label on a label-less
-    * feed) land null; column order normalizes. A genuinely foreign
-    * extra column still fails the append's schema check.
+    * feed) land null; column order normalizes. A genuinely FOREIGN
+    * extra column refuses loudly — silently projecting it away would
+    * accept a misspelled column (its intended slot null-filled) with
+    * no error.
     */
   private def conformToIndex(rows: DataFrame,
       t: graft.tables.GraftTable): DataFrame = {
     val schema = t.snapshot().schema
+    val extra = rows.columns.filterNot(schema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"ingest frame carries column(s) the index does not declare: " +
+        s"${extra.mkString(", ")} (index schema: " +
+        s"${schema.fieldNames.mkString(", ")})")
     schema.fields.foldLeft(rows) { (d, f) =>
       if (d.columns.contains(f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** Whether the index at `path` is the IVF+PQ family (a persisted
+    * codebook subtable exists) — the ONE family-dispatch predicate
+    * [[indexIngest]], [[indexQuery]] and the ann_search TVF share.
+    */
+  def isPqIndex(indexPath: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(indexPath, "pq", "_graft_log"))
+
+  /** Family-dispatching query front door: IVF+PQ indexes answer
+    * through the ADC shortlist + exact re-rank, flat IVF through the
+    * probed-cell exact scan — the serve-side twin of [[indexIngest]].
+    */
+  def indexQuery(spark: SparkSession, indexPath: String,
+      queryVec: Seq[Float], k: Int = 10, nprobe: Int = 4,
+      excludeVecId: Long = -1L): DataFrame =
+    if (isPqIndex(indexPath))
+      ivfPqIndexQuery(spark, indexPath, queryVec, k = k, nprobe = nprobe,
+        excludeVecId = excludeVecId)
+    else ivfIndexQuery(spark, indexPath, queryVec, k = k, nprobe = nprobe,
+      excludeVecId = excludeVecId)
 
   /** INCREMENTAL ingestion into a built index: new vectors assign
     * MAP-SIDE against the ≤k stored centroid literals (no retrain, no
@@ -739,8 +771,7 @@ object Similarity {
   def indexIngest(spark: SparkSession, indexPath: String,
       vecs: DataFrame, batchId: Long = -1L,
       appId: String = ivfIngestAppId): Unit =
-    if (java.nio.file.Files.exists(java.nio.file.Paths
-        .get(indexPath, "pq", "_graft_log")))
+    if (isPqIndex(indexPath))
       ivfPqIndexIngest(spark, indexPath, vecs, batchId, appId)
     else ivfIndexIngest(spark, indexPath, vecs, batchId, appId)
 

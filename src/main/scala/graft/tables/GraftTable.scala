@@ -3462,19 +3462,24 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // would reproduce the same layout, and a CDC-triggered
     // maintenance loop would re-trigger off its own CLUSTER commits
     // forever. UNDER-target counts are also accepted when the base
-    // commit is itself a CLUSTER: repartitionByRange(n) emits fewer
-    // non-empty partitions than n when the key has fewer distinct
-    // values (or heavy skew), so a re-cluster of a just-clustered
-    // layout can never reach the requested count either — without
-    // this, continuousMaintain re-clusters such a table every cycle
-    // forever. A fresh under-target layout from any OTHER op (e.g.
-    // compact(1) then clusterBy(8)) still rewrites — the split
-    // request is genuine there. Multi-key or stats-less layouts
-    // rewrite as before.
+    // commit is itself a CLUSTER whose RECORDED REQUEST was at least
+    // this large: repartitionByRange(n) emits fewer non-empty
+    // partitions than n when the key has fewer distinct values (or
+    // heavy skew), so a re-cluster of a just-clustered layout can
+    // never reach the requested count either — without this,
+    // continuousMaintain re-clusters such a table every cycle
+    // forever. The request rides the commit metrics
+    // (requestedFiles), so a GENUINE finer-split request
+    // (clusterBy(16) after clusterBy(4)) still rewrites — as does a
+    // fresh under-target layout from any other op (compact(1) then
+    // clusterBy(8)) or a pre-metric legacy CLUSTER commit.
+    // Multi-key or stats-less layouts rewrite as before.
     if (keys.size == 1 && !hasDvs(base) &&
         (filesAt(base).size == numFiles ||
           (filesAt(base).size < numFiles &&
-            readCommit(base).operation == "CLUSTER"))) {
+            readCommit(base).operation == "CLUSTER" &&
+            readCommit(base).metrics
+              .getOrElse("requestedFiles", -1L) >= numFiles))) {
       val stats = readCommit(base).stats.getOrElse(Map.empty)
       val ranges = filesAt(base).flatMap(f => stats.get(f).flatMap(s =>
         for (mn <- s.mins.get(keys.head); mx <- s.maxs.get(keys.head))
@@ -3491,7 +3496,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val w = writeData(data)
     commitResolved("CLUSTER", base, filesAt(base).toSet, w.files,
       None, readsTable = false, schemaAt(base),
-      Map("numRemovedFiles" -> filesAt(base).size.toLong),
+      // requestedFiles feeds the next call's under-target settle
+      // check: fewer-than-requested output is acceptable ONLY when
+      // an equal-or-coarser request already produced this layout
+      Map("numRemovedFiles" -> filesAt(base).size.toLong,
+        "requestedFiles" -> numFiles.toLong),
       collectStats(w.files, partitionStampZones(filesAt(base), base, w.partValues)),
       dvOut = (_, _) => Some(Nil), newPartValues = w.partValues)
   }

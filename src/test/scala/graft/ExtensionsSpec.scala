@@ -281,6 +281,13 @@ class ExtensionsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(tvfPairs === apiPairs,
         "dedup_probe() diverged from the API probe")
+      // the 3-arg form with a PLAIN fractional literal (parses as
+      // DECIMAL — must cast, not ClassCastException)
+      val tvfPairs3 = s2.sql(
+        s"SELECT doc_a, doc_b FROM dedup_probe('$dIdx', '$batchDir', 0.6)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(tvfPairs3 === apiPairs,
+        "dedup_probe(.., 0.6) diverged from the default-threshold probe")
       val joined = s2.sql(
         s"""SELECT count(*) FROM dedup_probe('$dIdx', '$batchDir') p
            |JOIN parquet.`$batchDir` d ON p.doc_b = d.doc_id""".stripMargin)

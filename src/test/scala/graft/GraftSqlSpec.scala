@@ -1094,6 +1094,19 @@ class GraftSqlSpec extends SparkSpec {
         .select($"vec_id").as[Long].collect().toSet
       assert(top.forall(_ >= 100L),
         s"ADC cascade must surface the ingested axis-7 vectors, got $top")
+      // a FOREIGN column refuses loudly (silently projecting it away
+      // would accept a misspelled column with its slot null-filled)
+      val badArrivals = stage.resolve("bad_arrivals").toString
+      spark.range(200, 202).selectExpr("id AS vec_id",
+        "concat('b', id) AS labl", // misspelled
+        "CAST(array(0.0F, 0.0F, 0.0F, 0.0F, 0.0F, 0.0F, 0.0F, 1.0F) " +
+          "AS ARRAY<FLOAT>) AS embedding")
+        .write.parquet(badArrivals)
+      val err = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          s"INGEST INTO ANN INDEX '$pq' FROM '$badArrivals'")
+      }
+      assert(err.getMessage.contains("labl"), err.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS gs_embsrc")
   }
 

@@ -549,6 +549,15 @@ class GraftTableSpec extends SparkSpec {
     assert(n1 < 4, s"setup: expected an under-target layout, got $n1")
     assert(t.clusterBy(4, "k") === v1,
       "re-cluster of a just-clustered under-target layout must settle")
+    // a FINER request than the recorded one still rewrites — the
+    // settle only covers equal-or-coarser repeats (the recorded
+    // requestedFiles metric gates it), so a genuine granularity
+    // upgrade is never silently ignored
+    val v1b = t.clusterBy(8, "k")
+    assert(v1b > v1,
+      "a finer split request must rewrite, not settle on the old layout")
+    assert(t.clusterBy(8, "k") === v1b,
+      "the repeated finer request settles once recorded")
     // a fresh under-target layout from any OTHER op still rewrites:
     // fewer files than requested is a genuine split request there
     t.compact(1)
