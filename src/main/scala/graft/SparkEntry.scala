@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPortable(s, d)),
     "dedup_cluster_survivors" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivors(s, d)),
+    "dedup_cluster_best" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivorsByQuality(s, d)),
     "dedup_incremental_clusters" -> (Dedup.incrementalClustersScenario _),
     "dedup_admission" -> (Dedup.admissionScenario _),
     "dedup_admission_gated" -> (Dedup.admissionGatedScenario _),
@@ -379,6 +380,48 @@ object SparkEntry {
         |SELECT u AS doc_id, MIN(label) AS cluster_id,
         |  CAST(u = MIN(label) AS INTEGER) AS is_survivor
         |FROM reach GROUP BY u""".stripMargin,
+    "dedup_cluster_best" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+        |  FROM w WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6),
+        |undirected AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        |  UNION
+        |  SELECT e.u, r.label FROM undirected e JOIN reach r ON e.v = r.u),
+        |lab AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+        |nw AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+        |  FROM documents),
+        |best AS (
+        |  SELECT cluster_id, doc_id AS best_id FROM (
+        |    SELECT l.cluster_id, l.doc_id,
+        |      row_number() OVER (PARTITION BY l.cluster_id
+        |        ORDER BY n.n_words DESC, l.doc_id) AS rn
+        |    FROM lab l JOIN nw n ON l.doc_id = n.doc_id) WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  COALESCE(b.best_id, d.doc_id) AS survivor_id,
+        |  CAST(COALESCE(b.best_id, d.doc_id) = d.doc_id AS INTEGER) AS is_best
+        |FROM documents d
+        |LEFT JOIN lab l ON d.doc_id = l.doc_id
+        |LEFT JOIN best b ON l.cluster_id = b.cluster_id""".stripMargin,
     "dedup_cross_split_leaks" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w

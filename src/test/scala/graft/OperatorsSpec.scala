@@ -476,6 +476,32 @@ class OperatorsSpec extends SparkSpec {
       "a probed-cell subset cannot out-score brute force at rank k")
   }
 
+  test("quality survivorship elects the longest cluster member, " +
+      "ties to the smaller id, singletons elect themselves") {
+    val base = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, base),                              // 5 words
+      (2L, base + " zeta eta"),                // near-dup of 1, LONGER
+      (3L, "completely unrelated text entirely"), // singleton
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five six seven")  // exact copy: tie
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qbest_")
+    docs.write.parquet(dir.resolve("documents.parquet").toString)
+    val out = Dedup.clusterSurvivorsByQuality(spark, dir.toString)
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the LONGER member wins even with the larger id — the min-id
+    // rule would have elected doc 1
+    assert(out(1L) === ((2L, 0)), s"got ${out(1L)}")
+    assert(out(2L) === ((2L, 1)))
+    // singleton: its own survivor
+    assert(out(3L) === ((3L, 1)))
+    // equal quality: ties break to the SMALLER id (deterministic)
+    assert(out(4L) === ((4L, 1)))
+    assert(out(5L) === ((4L, 0)))
+  }
+
   test("window-dup coverage marks exactly the corpus-repeated " +
       "positions: full copies, partial runs, within-doc repeats") {
     // an operator variant over a constructed frame isn't exposed —
