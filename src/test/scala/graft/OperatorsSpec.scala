@@ -911,6 +911,37 @@ class OperatorsSpec extends SparkSpec {
     assert(curated.latestVersion === v)
   }
 
+  test("quality-scored sweepCurated keeps the BEST curated member, " +
+      "not the min id; unknown quality ranks lowest; idempotent") {
+    def text(i: Long) =
+      s"qsweep${i} alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stage = java.nio.file.Files.createTempDirectory("graft_qsweep_")
+    val idx = stage.resolve("idx").toString
+    val cl = stage.resolve("cl").toString
+    Dedup.admitBatch(spark, idx, cl,
+      Seq((5L, text(0)), (10L, text(0) + " omega"),
+        (30L, text(0) + " sigma"))
+        .toDF("doc_id", "text"), batchId = 0L)
+    val curated = graft.tables.GraftTable.create(spark,
+      stage.resolve("curated").toString,
+      Seq((5L, text(0)), (10L, text(0) + " omega"),
+        (30L, text(0) + " sigma")).toDF("doc_id", "text"))
+    // doc 10 is the HIGHEST-quality member despite the larger id;
+    // doc 30 is absent from the quality frame (ranks lowest)
+    val quality = Seq((5L, 0.2), (10L, 0.9)).toDF("doc_id", "q")
+    val retired = Dedup.sweepCurated(spark, curated, cl,
+      quality = Some(quality)).as[Long].collect().toSet
+    assert(retired === Set(5L, 30L),
+      s"the best member must survive the quality sweep, got $retired")
+    assert(curated.snapshot().select($"doc_id").as[Long].collect().toSet
+      === Set(10L))
+    // idempotent under the same policy
+    val v = curated.latestVersion
+    assert(Dedup.sweepCurated(spark, curated, cl,
+      quality = Some(quality)).count() === 0)
+    assert(curated.latestVersion === v)
+  }
+
   test("maintainIndex is the one nightly front door: sweeps the " +
       "curated table, bin-packs clusters + curated, reclaims strands") {
     def text(i: Long) =
