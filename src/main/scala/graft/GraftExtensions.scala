@@ -120,23 +120,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, p, m) => graft.ml.RiskPipeline.latestRuns(s, p, m))
     registryTvf("best_runs",
       (s, p, m) => graft.ml.RiskPipeline.bestRuns(s, p, m))
-    // ann_search('<index path>', array(...), k[, nprobe]) — ANN
-    // retrieval as a real TVF, so nearest-neighbor lookups compose
+    // ann_search('<index path>', array(...), k[, nprobe[, filter]]) —
+    // ANN retrieval as a real TVF, so nearest-neighbor lookups compose
     // inside ordinary SQL (joins, CTEs) exactly like table_changes().
     // Dispatches on the index family: an IVF+PQ index answers through
     // the ADC shortlist + exact re-rank, a flat IVF index through the
-    // probed-cell exact scan. Returns (vec_id, label, cos_sim).
+    // probed-cell exact scan. The optional 5th argument is a
+    // PREDICATE as a SQL-text literal (like dedup_probe's threshold),
+    // pushed into the cell scan before scoring with selectivity-
+    // scaled probe expansion. Returns (vec_id, label, cos_sim).
     e.injectTableFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("ann_search"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.operators.Similarity", "ann_search"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length >= 2 && exprs.length <= 4,
-          "ann_search(index_path, query_vector[, k[, nprobe]]) takes " +
-            s"2 to 4 arguments, got ${exprs.length}")
+        require(exprs.length >= 2 && exprs.length <= 5,
+          "ann_search(index_path, query_vector[, k[, nprobe[, filter]]]) " +
+            s"takes 2 to 5 arguments, got ${exprs.length}")
         require(exprs.forall(x => x.foldable && x.deterministic),
           "ann_search arguments must be literals (a path string, an " +
-            "array(...) query vector, then optional integer k and nprobe)")
+            "array(...) query vector, optional integer k and nprobe, " +
+            "then an optional filter predicate as a SQL string)")
+        require(exprs.head.dataType ==
+          org.apache.spark.sql.types.StringType && exprs.head.eval() != null,
+          "ann_search's index path must be a non-null string literal")
         val spark = org.apache.spark.sql.SparkSession.active
         val path = exprs.head.eval()
           .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
@@ -147,14 +154,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.types.FloatType)).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val qv = arr.toFloatArray().toSeq
-        def intArg(i: Int, dflt: Int): Int =
-          if (exprs.length > i)
-            exprs(i).eval().asInstanceOf[Number].intValue
-          else dflt
-        val k = intArg(2, 10)
-        val nprobe = intArg(3, 4)
+        // plain fractional SQL literals eval to Decimal (not a
+        // java.lang.Number) — one Catalyst cast normalizes every
+        // numeric literal, and the null check refuses non-numerics
+        // loudly instead of an opaque ClassCastException
+        def intArg(i: Int, dflt: Int, name: String): Int =
+          if (exprs.length > i) {
+            val v = org.apache.spark.sql.catalyst.expressions.Cast(
+              exprs(i), org.apache.spark.sql.types.IntegerType).eval()
+            require(v != null,
+              s"ann_search's $name must be a numeric literal")
+            v.asInstanceOf[Number].intValue
+          } else dflt
+        val k = intArg(2, 10, "k")
+        val nprobe = intArg(3, 4, "nprobe")
+        val filter = if (exprs.length > 4) {
+          require(exprs(4).dataType ==
+            org.apache.spark.sql.types.StringType && exprs(4).eval() != null,
+            "ann_search's filter must be a non-null SQL-text string " +
+              "literal (a predicate over the index's stored columns)")
+          Some(org.apache.spark.sql.functions.expr(exprs(4).eval()
+            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString))
+        } else None
         graft.operators.Similarity.indexQuery(spark, path, qv,
-          k = k, nprobe = nprobe).queryExecution.analyzed
+          k = k, nprobe = nprobe, filter = filter)
+          .queryExecution.analyzed
       }))
     // dedup_probe('<index path>', <batch table|'path'>[, min_jaccard])
     // — the READ-ONLY dedup screen as a TVF, the ann_search symmetry
@@ -189,11 +214,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // plain fractional SQL literals parse as DECIMAL (whose
         // internal Decimal is NOT a java.lang.Number) — one Catalyst
         // cast normalizes every numeric literal to a double
-        val mj = if (exprs.length == 3)
-          org.apache.spark.sql.catalyst.expressions.Cast(exprs(2),
+        val mj = if (exprs.length == 3) {
+          // the cast returns NULL for a non-numeric literal, and
+          // null.asInstanceOf[Double] silently unboxes to 0.0 — check
+          // before unboxing so a typo'd threshold fails loudly instead
+          // of surfacing every candidate pair
+          val v = org.apache.spark.sql.catalyst.expressions.Cast(exprs(2),
             org.apache.spark.sql.types.DoubleType).eval()
-            .asInstanceOf[Double]
-        else 0.6
+          require(v != null,
+            "dedup_probe's min_jaccard must be a numeric literal")
+          v.asInstanceOf[Double]
+        } else 0.6
         graft.operators.Dedup.incrementalProbe(spark, str(0), batch,
           minJaccard = mj).queryExecution.analyzed
       }))

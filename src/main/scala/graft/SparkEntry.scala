@@ -179,6 +179,7 @@ object SparkEntry {
     "ann_incremental" -> ((s: SparkSession, d: String) => Similarity.annIncremental(s, d)),
     "ann_incremental_serve" -> ((s: SparkSession, d: String) => Similarity.annIncrementalServe(s, d)),
     "ann_sql_lifecycle" -> (Similarity.annSqlLifecycleScenario _),
+    "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFilteredScenario(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "dedup_semantic_indexed" -> (Similarity.semanticDedupIndexedScenario _),
@@ -1975,6 +1976,26 @@ object SparkEntry {
         |     sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
         |              for i in range(1, len(q.qe) + 1)]))) AS cs
         |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // filtered ANN against the served index: label = 7 is ~10%
+    // selective, so the selectivity-scaled probe expansion
+    // (ceil(4 · total/matching) ≈ 40 cells) saturates past the
+    // 16-cell geometry — the served answer is then EXACTLY
+    // filter-then-brute-force top-k, which this replays. (The
+    // un-saturated partial-probe regime is spec-pinned instead.)
+    "ann_filtered" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              for i in range(1, len(q.qe) + 1)]))) AS cs
+        |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 7)
         |SELECT vec_id, label,
         |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
         |FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,

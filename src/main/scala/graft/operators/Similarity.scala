@@ -391,10 +391,30 @@ object Similarity {
           s"lowest-$maxCellSize hub (O(c*cap), not O(c^2))")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cent_id")).orderBy(col("vec_id"))
-      val hub = assigned.where(col("cent_id").isin(over: _*))
-        .withColumn("__r", row_number().over(w))
-        .where(col("__r") <= maxCellSize).drop("__r")
-      assigned.where(!col("cent_id").isin(over: _*)).unionByName(hub)
+      if (over.length <= 64) {
+        val hub = assigned.where(col("cent_id").isin(over: _*))
+          .withColumn("__r", row_number().over(w))
+          .where(col("__r") <= maxCellSize).drop("__r")
+        assigned.where(!col("cent_id").isin(over: _*)).unionByName(hub)
+      } else {
+        // many hot cells: an O(|over|)-literal In predicate evaluated
+        // per row is a pathological plan — mark membership through a
+        // broadcast join on a (cent_id) frame instead
+        val spark = assigned.sparkSession
+        val dt = assigned.schema("cent_id").dataType
+        val overDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            over.map(org.apache.spark.sql.Row(_)).toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cent_id", dt))))
+          .withColumn("__over", lit(true))
+        val marked = assigned.join(broadcast(overDf), Seq("cent_id"), "left")
+        val hub = marked.where(col("__over")).drop("__over")
+          .withColumn("__r", row_number().over(w))
+          .where(col("__r") <= maxCellSize).drop("__r")
+        marked.where(col("__over").isNull).drop("__over")
+          .unionByName(hub)
+      }
     }
   }
 
@@ -734,12 +754,37 @@ object Similarity {
     */
   def indexQuery(spark: SparkSession, indexPath: String,
       queryVec: Seq[Float], k: Int = 10, nprobe: Int = 4,
-      excludeVecId: Long = -1L): DataFrame =
+      excludeVecId: Long = -1L,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     if (isPqIndex(indexPath))
       ivfPqIndexQuery(spark, indexPath, queryVec, k = k, nprobe = nprobe,
-        excludeVecId = excludeVecId)
+        excludeVecId = excludeVecId, filter = filter)
     else ivfIndexQuery(spark, indexPath, queryVec, k = k, nprobe = nprobe,
-      excludeVecId = excludeVecId)
+      excludeVecId = excludeVecId, filter = filter)
+
+  /** FILTERED-SEARCH probe expansion: a metadata predicate shrinks
+    * each probed cell's usable population, so a fixed nprobe would
+    * return fewer than k filtered survivors exactly when the filter
+    * is selective. Scale nprobe by the predicate's measured
+    * selectivity — ceil(nprobe · total / matching), exact integer
+    * arithmetic over exact counts (engine-portable: an oracle replays
+    * the same expansion relationally), capped at the cell count. The
+    * counting pass reads ONLY the filter's columns (column pruning);
+    * a filter matching nothing probes everything and returns empty
+    * rather than guessing.
+    */
+  private def filteredNprobe(spark: SparkSession, asgPath: String,
+      filter: Option[org.apache.spark.sql.Column], nprobe: Int,
+      nCells: Int): Int = filter match {
+    case None => nprobe
+    case Some(f) =>
+      val r = spark.read.format("graft-table").load(asgPath)
+        .agg(count(lit(1)).as("t"), count(when(f, 1)).as("m")).head()
+      val total = r.getLong(0); val matching = r.getLong(1)
+      if (matching <= 0L) nCells
+      else math.min(nCells.toLong,
+        (nprobe.toLong * total + matching - 1L) / matching).toInt
+  }
 
   /** INCREMENTAL ingestion into a built index: new vectors assign
     * MAP-SIDE against the ≤k stored centroid literals (no retrain, no
@@ -889,17 +934,28 @@ object Similarity {
     * full-precision cosine re-ranks just the `shortlist` survivors —
     * the two-stage cascade with partition pruning under it.
     */
+  /** `filter` semantics match [[ivfIndexQuery]]: the predicate runs
+    * on the probed cells BEFORE the ADC ranking, so the shortlist is
+    * built from filtered candidates only (k holds as long as the
+    * expanded probe window holds ≥ shortlist matches) and the code
+    * scan still never touches the raw embeddings of non-matching rows.
+    */
   def ivfPqIndexQuery(spark: SparkSession, indexPath: String,
       queryVec: Seq[Float], k: Int = 10, nprobe: Int = 4,
-      shortlist: Int = 50, excludeVecId: Long = -1L): DataFrame = {
+      shortlist: Int = 50, excludeVecId: Long = -1L,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     VectorExprs.register(spark)
     val cents = loadCents(spark, indexPath)
+    val asgPathPq =
+      java.nio.file.Paths.get(indexPath, "assignments").toString
+    val nprobeEff = filteredNprobe(spark, asgPathPq, filter, nprobe,
+      cents.size)
     val qQv = queryVec.map(x => math.floor(x.toDouble * 1000000.0).toLong)
     val probe = cents.map { case (cid, cent) =>
       (cent.zip(qQv).map { case (a, b) =>
         val diff = a - b; diff * diff }.sum, cid)
-    }.sorted.take(nprobe).map(_._2)
+    }.sorted.take(nprobeEff).map(_._2)
     val cb = graft.tables.GraftTable.load(spark,
         java.nio.file.Paths.get(indexPath, "pq").toString)
       .snapshot().collect()
@@ -912,9 +968,9 @@ object Similarity {
       (s, j, acc)
     }
     val dtDf = broadcast(dt.toSeq.toDF("s", "code", "d"))
-    val asg = spark.read.format("graft-table")
-      .load(java.nio.file.Paths.get(indexPath, "assignments").toString)
+    val probed = spark.read.format("graft-table").load(asgPathPq)
       .where(col("cent_id").isin(probe.map(Integer.valueOf): _*))
+    val asg = filter.fold(probed)(f => probed.where(f))
       .filter(col("vec_id") =!= excludeVecId)
     val approx = asg
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
@@ -985,6 +1041,81 @@ object Similarity {
     val total = counts.sum
     if (total == 0L || k == 0 || counts.isEmpty) 1.0
     else counts.max.toDouble * k / total.toDouble
+  }
+
+  /** Sampled RECALL@k probe for the persisted IVF index — the quality
+    * metric cell-size skew cannot see: symmetric between-centroid
+    * drift (new mass landing mid-way between frozen centroids) keeps
+    * cells balanced while splitting true neighborhoods across cells,
+    * so nprobe-cell search silently loses neighbors. A DETERMINISTIC
+    * hash-sample of the stored vectors (xxhash64(vec_id) % m == 0,
+    * capped at `corpusCap`) stands in for the corpus; its `nQueries`
+    * lowest-id members become query vectors; ground truth is exact
+    * cosine top-k over the sample, the IVF answer is top-k within
+    * each query's nprobe probed cells, and the metric is the mean
+    * per-query overlap fraction. O(sample² /-ish) work bounded by
+    * corpusCap — never a corpus scan beyond the one sample filter
+    * pass — and a pure function of the index state (no randomness),
+    * so the same geometry always probes to the same recall.
+    */
+  def indexRecall(spark: SparkSession, indexPath: String, k: Int = 10,
+      nprobe: Int = 4, nQueries: Int = 16,
+      corpusCap: Long = 4096L): Double = {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val cents = loadCents(spark, indexPath)
+    val t = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(indexPath, "assignments").toString)
+    val asg = t.snapshot()
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val total = t.rowCount.getOrElse(asg.count())
+    val m = math.max(1L, (total + corpusCap - 1L) / corpusCap)
+    val sample = (if (m <= 1L) asg
+      else asg.where(pmod(xxhash64(col("vec_id")), lit(m)) === 0L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qRows = sample.orderBy(col("vec_id")).limit(nQueries)
+        .select(col("vec_id"), col("embedding")).collect()
+      if (qRows.isEmpty) return 1.0
+      // per-query probe cells: driver math over the ≤k centroid
+      // literals — the same exact-integer distances the serve path uses
+      val probePairs = qRows.toIndexedSeq.flatMap { r =>
+        val qv = r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000000.0).toLong)
+        cents.map { case (cid, c) =>
+          (c.zip(qv).map { case (a, b) =>
+            val d = a - b; d * d }.sum, cid)
+        }.sorted.take(nprobe).map { case (_, cid) => (r.getLong(0), cid) }
+      }
+      val qDf = broadcast(qRows.toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .toDF("query_id", "qe"))
+      // ONE sample scan scores every query (broadcast query pane);
+      // decimal-rounded cosine + id tie-break, the family contract
+      val scored = sample.join(qDf)
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("cent_id"),
+          round(vec_cosine(col("embedding"), col("qe"))
+            .cast("decimal(18,12)"), 6).cast("double").as("cs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cs").desc, col("vec_id"))
+      def topk(df: DataFrame): Map[Long, Set[Long]] =
+        df.withColumn("__r", row_number().over(w))
+          .where(col("__r") <= k)
+          .select(col("query_id"), col("vec_id")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val gt = topk(scored)
+      val probeDf = broadcast(probePairs.toDF("query_id", "cent_id"))
+      val ivf = topk(scored.join(probeDf, Seq("query_id", "cent_id")))
+      val recalls = gt.toSeq.map { case (q, truth) =>
+        if (truth.isEmpty) 1.0
+        else ivf.getOrElse(q, Set.empty)
+          .count(truth.contains).toDouble / truth.size
+      }
+      recalls.sum / recalls.size
+    } finally sample.unpersist(): Unit
   }
 
   /** RE-TRAIN + re-assign the persisted IVF index — the rebalance
@@ -1059,9 +1190,46 @@ object Similarity {
       vacuumRetainHours: Double = -1.0,
       rebalanceSkewThreshold: Double = 4.0,
       rebalanceIters: Int = 2,
-      rebalanceSampleCap: Long = 65536L): Boolean = {
-    val rebalance = rebalanceSkewThreshold > 0.0 &&
-      cellSkew(spark, indexPath) >= rebalanceSkewThreshold
+      rebalanceSampleCap: Long = 65536L,
+      recallFloor: Double = -1.0): Boolean =
+    maintainIndexStats(spark, indexPath, vacuumRetainHours,
+      rebalanceSkewThreshold, rebalanceIters, rebalanceSampleCap,
+      recallFloor).rebalanced
+
+  /** One maintenance cycle's observed state: the skew and (when a
+    * recall floor is armed) sampled recall@k that drove the decision,
+    * plus whether a rebalance ran. MAINTAIN ANN INDEX surfaces this
+    * as its result row.
+    */
+  case class MaintainStats(rebalanced: Boolean, cellSkew: Double,
+      recall: Option[Double])
+
+  /** [[maintainIndex]] returning the cycle's metrics. `recallFloor`
+    * in (0, 1] arms the RECALL TRIGGER: a sampled [[indexRecall]]
+    * probe runs each cycle and a rebalance fires when it drops below
+    * the floor EVEN IF cellSkew is quiet — the drift mode where new
+    * mass lands symmetrically between frozen centroids (cells stay
+    * balanced, neighborhoods split across cells) is invisible to the
+    * skew metric but caught here. Non-positive floor (the default)
+    * skips the probe entirely, so skew-only maintenance pays nothing.
+    */
+  def maintainIndexStats(spark: SparkSession, indexPath: String,
+      vacuumRetainHours: Double = -1.0,
+      rebalanceSkewThreshold: Double = 4.0,
+      rebalanceIters: Int = 2,
+      rebalanceSampleCap: Long = 65536L,
+      recallFloor: Double = -1.0,
+      recallK: Int = 10, recallNprobe: Int = 4,
+      recallQueries: Int = 16, recallCorpusCap: Long = 4096L)
+      : MaintainStats = {
+    val skew = cellSkew(spark, indexPath)
+    val recall = if (recallFloor > 0.0)
+      Some(indexRecall(spark, indexPath, recallK, recallNprobe,
+        recallQueries, recallCorpusCap))
+    else None
+    val rebalance =
+      (rebalanceSkewThreshold > 0.0 && skew >= rebalanceSkewThreshold) ||
+        recall.exists(_ < recallFloor)
     if (rebalance)
       rebalanceIndex(spark, indexPath, rebalanceIters, rebalanceSampleCap)
     val t = graft.tables.GraftTable.load(spark,
@@ -1073,7 +1241,7 @@ object Similarity {
     // concurrent readers) instead of leaving them to a separate
     // vacuum schedule
     if (vacuumRetainHours >= 0) t.vacuumRetainHours(vacuumRetainHours)
-    rebalance
+    MaintainStats(rebalance, skew, recall)
   }
 
   /** CONTINUOUS maintenance for the persisted IVF index — the
@@ -1100,7 +1268,8 @@ object Similarity {
       vacuumRetainHours: Double = -1.0,
       rebalanceSkewThreshold: Double = 4.0,
       rebalanceIters: Int = 2,
-      rebalanceSampleCap: Long = 65536L)
+      rebalanceSampleCap: Long = 65536L,
+      recallFloor: Double = -1.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val root = java.nio.file.Paths.get(indexPath).toAbsolutePath.toString
     val asgPath = java.nio.file.Paths.get(indexPath, "assignments").toString
@@ -1124,7 +1293,8 @@ object Similarity {
           // killing the loop; heartbeat throws above DO propagate
           // (they are the cross-session stop/takeover signal)
           try maintainIndex(spark, indexPath, vacuumRetainHours,
-            rebalanceSkewThreshold, rebalanceIters, rebalanceSampleCap)
+            rebalanceSkewThreshold, rebalanceIters, rebalanceSampleCap,
+            recallFloor)
           catch { case e: graft.tables.CommitConflictException =>
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"[graft] continuous maintenance cycle for $indexPath " +
@@ -1169,21 +1339,33 @@ object Similarity {
     * probed cells' partitions. `excludeVecId` drops the query vector
     * itself from results.
     */
+  /** `filter` (a predicate over the index's stored columns — label,
+    * any metadata the ingest carried) runs INSIDE the probed-cell
+    * scan, BEFORE scoring and the top-k: the predicate pushes into
+    * the partition-pruned read (parquet row-group stats apply), and
+    * nprobe expands by the measured selectivity ([[filteredNprobe]])
+    * so the post-filter k still holds — filtered retrieval, the
+    * first capability a real ANN user reaches for.
+    */
   def ivfIndexQuery(spark: SparkSession, indexPath: String,
       queryVec: Seq[Float], k: Int = 10, nprobe: Int = 4,
-      excludeVecId: Long = -1L): DataFrame = {
+      excludeVecId: Long = -1L,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     VectorExprs.register(spark)
     val cents = loadCents(spark, indexPath)
+    val asgPath = java.nio.file.Paths.get(indexPath, "assignments").toString
+    val nprobeEff = filteredNprobe(spark, asgPath, filter, nprobe,
+      cents.size)
     val qQv = queryVec.map(x => math.floor(x.toDouble * 1000000.0).toLong)
     val probe = cents.map { case (cid, cent) =>
       val d = cent.zip(qQv).map { case (a, b) =>
         val diff = a - b; diff * diff }.sum
       (d, cid)
-    }.sorted.take(nprobe).map(_._2)
+    }.sorted.take(nprobeEff).map(_._2)
     val qCol = typedLit(queryVec)
-    spark.read.format("graft-table")
-      .load(java.nio.file.Paths.get(indexPath, "assignments").toString)
+    val cells = spark.read.format("graft-table").load(asgPath)
       .where(col("cent_id").isin(probe.map(Integer.valueOf): _*))
+    filter.fold(cells)(f => cells.where(f))
       .filter(col("vec_id") =!= excludeVecId)
       .select(col("vec_id"), col("label"),
         round(vec_cosine(col("embedding"), qCol).cast("decimal(18,12)"), 6)
@@ -1234,7 +1416,13 @@ object Similarity {
         s"CREATE ANN INDEX '$ivf' ON '$seedDir'")
       graft.tables.GraftSql.sql(spark,
         s"INGEST INTO ANN INDEX '$ivf' FROM '$arrDir'")
-      graft.tables.GraftSql.sql(spark, s"MAINTAIN ANN INDEX '$ivf'")
+      // compaction-only maintain: this scenario shares ann_incremental's
+      // oracle (a seed-trained Lloyd replay), so a skew-triggered
+      // rebalance here — possible if a future corpus/centroid config
+      // crosses the default threshold — would silently diverge the
+      // served geometry from the oracle's
+      graft.tables.GraftSql.sql(spark,
+        s"MAINTAIN ANN INDEX '$ivf' REBALANCE THRESHOLD 0")
       (ivf, emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toSeq)
     })
@@ -1257,7 +1445,13 @@ object Similarity {
     */
   def annIncrementalServe(spark: SparkSession, sfDir: String,
       k: Int = 10): DataFrame = {
-    val (path, q) = servedIndexes.computeIfAbsent(sfDir, _ => {
+    val (path, q) = serveStage(spark, sfDir)
+    ivfIndexQuery(spark, path, q, k = k, excludeVecId = 0L)
+  }
+
+  private def serveStage(spark: SparkSession,
+      sfDir: String): (String, Seq[Float]) =
+    servedIndexes.computeIfAbsent(sfDir, _ => {
       val emb = Tables.load(spark, sfDir, "embeddings")
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivfserve_").toString
@@ -1266,6 +1460,21 @@ object Similarity {
       (p, emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toSeq)
     })
-    ivfIndexQuery(spark, path, q, k = k, excludeVecId = 0L)
+
+  /** FILTERED retrieval scenario against the served index: the same
+    * staged state and query as [[annIncrementalServe]], restricted to
+    * `label = 7` — a ~10%-selective predicate, so [[filteredNprobe]]'s
+    * expansion (ceil(4 · total/matching) ≈ 40 cells) saturates past
+    * the 16-cell geometry and the served answer is EXACTLY
+    * filter-then-brute-force top-k — which is what the oracle replays
+    * relationally. The un-saturated regime (selective-but-wide
+    * predicates probing a strict subset of cells) is spec-pinned
+    * against a manual probe-window replay.
+    */
+  def annFilteredScenario(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    val (path, q) = serveStage(spark, sfDir)
+    ivfIndexQuery(spark, path, q, k = k, excludeVecId = 0L,
+      filter = Some(col("label") === 7))
   }
 }

@@ -125,9 +125,11 @@ object GraftSql {
   private val MaintainDedupIndex =
     """(?is)\s*MAINTAIN\s+DEDUP\s+INDEX\s+'([^']+)'((?:\s+(?:CLUSTERS|CURATED)\s+'[^']+')*)\s*""".r
   private val MaintainAnnIndexContinuous =
-    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'\s+CONTINUOUS(?:\s+EVERY\s+'([^']+)')?\s*""".r
+    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'((?:\s+(?:REBALANCE\s+THRESHOLD|RECALL\s+FLOOR)\s+[0-9.eE+-]+)*)\s+CONTINUOUS(?:\s+EVERY\s+'([^']+)')?\s*""".r
   private val MaintainAnnIndex =
-    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'\s*""".r
+    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'((?:\s+(?:REBALANCE\s+THRESHOLD|RECALL\s+FLOOR)\s+[0-9.eE+-]+)*)\s*""".r
+  private val AnnMaintOpt =
+    """(?is)(REBALANCE\s+THRESHOLD|RECALL\s+FLOOR)\s+([0-9.eE+-]+)""".r
   private val StopMaintainIndex =
     """(?is)\s*STOP\s+MAINTAIN\s+INDEX\s+'([^']+)'\s*""".r
   private val MaintainOpt = """(?is)(CLUSTERS|CURATED)\s+'([^']+)'""".r
@@ -158,6 +160,14 @@ object GraftSql {
         GraftTable.load(spark, path).snapshot()
       else spark.read.parquet(path)
     } else tableByName(spark, ident).snapshot()
+
+  /** Parse MAINTAIN ANN INDEX's option tail into normalized
+    * (OPTION NAME → value) pairs.
+    */
+  private def annMaintOpts(opts: String): Map[String, Double] =
+    AnnMaintOpt.findAllMatchIn(Option(opts).getOrElse(""))
+      .map(x => x.group(1).toUpperCase.replaceAll("\\s+", " ")
+        -> x.group(2).toDouble).toMap
 
   /** Continuous-refresh arbitration: a JVM-local query map PLUS a
     * heartbeat lease file under each view root, so double-start
@@ -203,13 +213,24 @@ object GraftSql {
       graft.operators.Dedup.maintainIndex(spark, path,
         clustersPath = m.get("CLUSTERS"), curatedPath = m.get("CURATED"))
       emptyResult(spark)
-    case MaintainAnnIndexContinuous(path, every) =>
+    case MaintainAnnIndexContinuous(path, opts, every) =>
+      val m = annMaintOpts(opts)
       graft.operators.Similarity.continuousMaintain(spark, path,
-        interval = Option(every).getOrElse("10 seconds"))
+        interval = Option(every).getOrElse("10 seconds"),
+        rebalanceSkewThreshold = m.getOrElse("REBALANCE THRESHOLD", 4.0),
+        recallFloor = m.getOrElse("RECALL FLOOR", -1.0))
       emptyResult(spark)
-    case MaintainAnnIndex(path) =>
-      graft.operators.Similarity.maintainIndex(spark, path): Unit
-      emptyResult(spark)
+    case MaintainAnnIndex(path, opts) =>
+      // the cycle's observed state IS the statement's result row:
+      // skew, sampled recall (when a RECALL FLOOR armed the probe),
+      // and whether a rebalance ran
+      val m = annMaintOpts(opts)
+      val st = graft.operators.Similarity.maintainIndexStats(spark, path,
+        rebalanceSkewThreshold = m.getOrElse("REBALANCE THRESHOLD", 4.0),
+        recallFloor = m.getOrElse("RECALL FLOOR", -1.0))
+      import spark.implicits._
+      Seq((st.rebalanced, st.cellSkew, st.recall))
+        .toDF("rebalanced", "cell_skew", "recall")
     case StopMaintainIndex(path) =>
       // one registry for both index families, keyed by the index root
       continuousRegistry.stop(

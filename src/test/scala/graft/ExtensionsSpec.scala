@@ -300,6 +300,94 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: predicate inside the cell scan, selectivity-" +
+      "scaled probe expansion, TVF filter arg ≡ API ≡ ground truth") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = Sessions.tune(SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions), 4).getOrCreate()
+    try {
+      graft.functions.VectorExprs.register(s2)
+      // 40 vectors in 4 natural clusters (axis c + small id jitter),
+      // labels 0..9 by id — every (cell, label) stratum is populated
+      val src = s2.range(0, 40).selectExpr("id AS vec_id",
+        "CAST(id % 10 AS INT) AS label",
+        "CAST(array(" +
+          "CAST(CASE WHEN id % 4 = 0 THEN 10.0 + id * 0.001 ELSE 0.0 END AS FLOAT), " +
+          "CAST(CASE WHEN id % 4 = 1 THEN 10.0 + id * 0.001 ELSE 0.0 END AS FLOAT), " +
+          "CAST(CASE WHEN id % 4 = 2 THEN 10.0 + id * 0.001 ELSE 0.0 END AS FLOAT), " +
+          "CAST(CASE WHEN id % 4 = 3 THEN 10.0 + id * 0.001 ELSE 1.0 END AS FLOAT)) " +
+          "AS ARRAY<FLOAT>) AS embedding")
+      val ivf = java.nio.file.Files.createTempDirectory("graft_fann_")
+        .resolve("ivf").toString
+      Similarity.ivfIndexBuild(s2, ivf, src, nCentroids = 4)
+      val q = Seq(10f, 0f, 0f, 0f)
+      def bruteFiltered(pred: org.apache.spark.sql.Column, k: Int) =
+        src.where(pred)
+          .select(col("vec_id"), col("label"),
+            round(graft.functions.VectorExprs
+              .vec_cosine(col("embedding"), typedLit(q))
+              .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(k).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      // (a) 10%-selective predicate, nprobe=1: expansion ceil(40/4)=10
+      // saturates past the 4 cells — the filtered answer must be
+      // EXACTLY k rows and ≡ filter-then-brute-force ground truth
+      val api = Similarity.ivfIndexQuery(s2, ivf, q, k = 3, nprobe = 1,
+        filter = Some(col("label") === 3)).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(api.length === 3, "post-filter k must hold")
+      assert(api === bruteFiltered(col("label") === 3, 3))
+      val tvf = s2.sql(
+        s"""SELECT * FROM ann_search('$ivf',
+           |array(10.0, 0.0, 0.0, 0.0), 3, 1, 'label = 3')""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(tvf === api, "ann_search filter arg diverged from the API")
+      // (b) un-saturated regime: 50%-selective predicate expands
+      // nprobe 1 → ceil(40/20) = 2 of 4 cells — replay the expanded
+      // probe window manually and demand exact agreement
+      val cents = Similarity.loadCents(s2, ivf)
+      val qQv = q.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      val probe2 = cents.map { case (cid, c) =>
+        (c.zip(qQv).map { case (a, b) => val d = a - b; d * d }.sum, cid)
+      }.sorted.take(2).map(_._2)
+      assert(probe2.length === 2 && cents.length === 4)
+      val asg = s2.read.format("graft-table")
+        .load(java.nio.file.Paths.get(ivf, "assignments").toString)
+      val expected2 = asg
+        .where(col("cent_id").isin(probe2.map(Integer.valueOf): _*) &&
+          col("label") < 5)
+        .select(col("vec_id"), col("label"),
+          round(graft.functions.VectorExprs
+            .vec_cosine(col("embedding"), typedLit(q))
+            .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val got2 = Similarity.ivfIndexQuery(s2, ivf, q, k = 5, nprobe = 1,
+        filter = Some(col("label") < 5)).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(got2 === expected2,
+        "un-saturated filtered probe diverged from the window replay")
+      assert(got2.length === 5, "expanded window must still hold k")
+      // (c) a filter matching NOTHING returns empty, not an error
+      assert(Similarity.ivfIndexQuery(s2, ivf, q, k = 3,
+        filter = Some(col("label") === 99)).count() === 0L)
+      // (d) non-string filter literal refuses loudly
+      val err = intercept[Exception] { s2.sql(
+        s"SELECT * FROM ann_search('$ivf', array(1.0), 3, 1, 42)") }
+      assert(err.getMessage.contains("filter"), err.getMessage)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("latest_runs()/best_runs() TVFs serve the registry and compose") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
