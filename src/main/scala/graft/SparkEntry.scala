@@ -97,6 +97,7 @@ object SparkEntry {
     "text_perplexity" -> (TextAnalysis.textPerplexity _),
     "text_dsir_weight" -> ((s: SparkSession, d: String) =>
       TextAnalysis.dsirWeight(s, d)),
+    "text_paragraph_dedup" -> (TextAnalysis.paragraphDedupScenario _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitterLangs _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
@@ -1365,20 +1366,23 @@ object SparkEntry {
         |FROM tl, stats
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // exact-substring dup coverage: fixed-L token windows, content-
-    // matched corpus-wide, per-doc covered-position accounting
+    // matched corpus-wide through a 120-bit md5 key pair (the
+    // hash-keyed shuffle the Spark plan uses — replayed, not assumed),
+    // per-doc covered-position accounting
     "dedup_window_coverage" ->
       """WITH tl AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
         |  FROM documents),
         |win AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
-        |    array_to_string(w[i:i+9], ' ') AS win
+        |    CAST(concat('0x', substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(concat('0x', substr(md5(array_to_string(w[i:i+9], ' ')), 16, 15)) AS BIGINT) AS h2
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
         |        FROM tl WHERE len(w) >= 10)),
-        |dup AS (SELECT win FROM win GROUP BY win HAVING COUNT(*) >= 2),
+        |dup AS (SELECT h1, h2 FROM win GROUP BY h1, h2 HAVING COUNT(*) >= 2),
         |cov AS (
         |  SELECT DISTINCT doc_id, i + d.d AS pos
-        |  FROM win JOIN dup USING (win),
+        |  FROM win JOIN dup USING (h1, h2),
         |    (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS d) d),
         |agg AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
@@ -1386,6 +1390,38 @@ object SparkEntry {
         |  CAST(COALESCE(a.n_covered, 0) AS DOUBLE) /
         |    CAST(greatest(len(w), 1) AS DOUBLE) AS dup_frac
         |FROM tl t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // RefinedWeb keep-first line dedup over the synthesized two-line
+    // corpus: first occurrence by min (doc_id, idx) per 120-bit
+    // md5-keyed line (the hash-keyed shuffle replayed, not assumed);
+    // short lines (< 16 chars) carry NULL keys and keep everywhere
+    "text_paragraph_dedup" ->
+      """WITH src AS (
+        |  SELECT d.doc_id, concat(d.text, chr(10), s.text) AS text
+        |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 50),
+        |ls AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM src),
+        |l AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx, ls[i] AS line
+        |      FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        |            FROM ls)),
+        |h AS (SELECT doc_id, idx, line,
+        |    CASE WHEN len(line) >= 16 THEN
+        |      CAST(concat('0x', substr(md5(line), 1, 15)) AS BIGINT) END AS h1,
+        |    CASE WHEN len(line) >= 16 THEN
+        |      CAST(concat('0x', substr(md5(line), 16, 15)) AS BIGINT) END AS h2
+        |  FROM l),
+        |f AS (SELECT h1, h2, doc_id AS fdoc, idx AS fidx FROM (
+        |    SELECT h1, h2, doc_id, idx, row_number() OVER (
+        |      PARTITION BY h1, h2 ORDER BY doc_id, idx) AS rn
+        |    FROM h WHERE h1 IS NOT NULL) WHERE rn = 1),
+        |kept AS (SELECT h.doc_id, h.idx, h.line
+        |  FROM h LEFT JOIN f ON h.h1 = f.h1 AND h.h2 = f.h2
+        |  WHERE f.fdoc IS NULL OR (f.fdoc = h.doc_id AND f.fidx = h.idx)),
+        |r AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+        |    COUNT(*) AS kept FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(len(str_split(s.text, chr(10))) - COALESCE(r.kept, 0)
+        |    AS INTEGER) AS n_removed
+        |FROM src s LEFT JOIN r USING (doc_id)""".stripMargin,
     // DSIR hashed-feature importance: md5-residue token buckets,
     // add-one-smoothed log-ratios rounded to decimal, exact decimal
     // dot per doc, one double quotient at the end

@@ -441,19 +441,28 @@ object TextAnalysis {
     * once, the dedup posture (content preserved) rather than the
     * cleaning posture (chrome removed).
     *
-    * Scale shape: only (line, doc_id, pos) triples shuffle — one
-    * groupBy over dedupable lines for the first-occurrence map, one
-    * equi-join back, one per-doc reassembly group; no cross-doc
-    * traffic beyond the line key.
+    * Scale shape: dedupable lines hash MAP-SIDE to a 120-bit key pair
+    * (two independent 60-bit md5 residues — collision odds 2⁻¹²⁰,
+    * negligible at any corpus size), so the first-occurrence groupBy
+    * and the equi-join back shuffle 16 bytes per line instead of the
+    * raw text; the only text-carrying shuffle left is the per-doc
+    * reassembly group, whose key is doc_id. Lines under `minLen`
+    * carry NULL keys (equi-joins never match null), so they keep
+    * everywhere without a branch.
     */
   def paragraphDedup(docs: DataFrame, minLen: Int = 16): DataFrame = {
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("h1", when(length(col("line")) >= minLen,
+        graft.Tables.md5Residue(col("line"))))
+      .withColumn("h2", when(length(col("line")) >= minLen,
+        graft.Tables.md5Residue(col("line"), 16)))
     val first = lines.where(length(col("line")) >= minLen)
-      .groupBy(col("line"))
+      .groupBy(col("h1"), col("h2"))
       .agg(min(struct(col("doc_id").as("doc_id"), col("idx").as("idx")))
         .as("f"))
-    val kept = lines.join(first, Seq("line"), "left")
+    val kept = lines
+      .join(first, Seq("h1", "h2"), "left")
       .where(col("f").isNull ||
         (col("f.doc_id") === col("doc_id") && col("f.idx") === col("idx")))
     val reassembled = kept.groupBy(col("doc_id"))
@@ -468,6 +477,24 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("__total") - coalesce(col("__kept"), lit(0L)))
           .cast("int").as("n_removed"))
+  }
+
+  /** Driver scenario for [[paragraphDedup]]: the corpus text carries
+    * no newlines, so build a deterministic multi-line corpus — each
+    * doc's own text plus the text of doc (doc_id % 50) as a second
+    * line — giving every one of the 50 donor lines ~n/50 copies
+    * across the corpus plus whatever exact dups the corpus itself
+    * has. Pure relational derivation, so the oracle replays corpus
+    * construction and dedup alike.
+    */
+  def paragraphDedupScenario(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val donors = d.select(col("doc_id").as("sid"), col("text").as("stext"))
+    val docs = d.join(donors, col("sid") === pmod(col("doc_id"), lit(50L)))
+      .select(col("doc_id"),
+        concat(col("text"), lit("\n"), col("stext")).as("text"))
+    paragraphDedup(docs)
   }
 
   /** DSIR importance weighting (Xie et al. 2023, "Data Selection for

@@ -650,6 +650,73 @@ class OperatorsSpec extends SparkSpec {
     assert(copies === 1)
   }
 
+  test("hash-keyed shuffles (windowDupCoverage, paragraphDedup) are " +
+      "value-identical to the text-keyed forms") {
+    import org.apache.spark.sql.functions._
+    // windowDupCoverage: the 120-bit md5 key pair stands in for the
+    // raw window string — replay the TEXT-keyed pipeline and demand
+    // identical per-doc coverage
+    val l = 10
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+          .as("w"))
+    val wins = toks.where(size(col("w")) >= l)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${l - 1}), " +
+          s"i -> struct(i as i, array_join(slice(w, i, $l), ' ') as win))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.win").as("win"))
+    val dup = wins.groupBy(col("win")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("win"))
+    val covered = wins.join(dup, Seq("win"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (l - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    val textKeyed = toks
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashKeyed = Dedup.windowDupCoverage(spark, sf, l)
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashKeyed === textKeyed,
+      "hash-keyed window coverage diverged from the text-keyed form")
+    // paragraphDedup: same demand over a corpus with cross-doc and
+    // within-doc duplicated lines (the scenario's two-line synthesis)
+    val d = Tables.load(spark, sf, "documents").limit(200)
+    val donors = d.select(col("doc_id").as("sid"), col("text").as("stext"))
+    val docs = d.join(donors, col("sid") === pmod(col("doc_id"), lit(50L)))
+      .select(col("doc_id"),
+        concat(col("text"), lit("\n"), col("stext")).as("text"))
+    val linesT = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val firstT = linesT.where(length(col("line")) >= 16)
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id").as("doc_id"), col("idx").as("idx")))
+        .as("f"))
+    val keptT = linesT.join(firstT, Seq("line"), "left")
+      .where(col("f").isNull ||
+        (col("f.doc_id") === col("doc_id") && col("f.idx") === col("idx")))
+    val reT = keptT.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+    val expectedPd = docs.select(col("doc_id"))
+      .join(reT, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val gotPd = operators.TextAnalysis.paragraphDedup(docs)
+      .select(col("doc_id"), col("clean_text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(gotPd === expectedPd,
+      "hash-keyed paragraphDedup diverged from the text-keyed form")
+  }
+
   test("connected components on an empty pair set is the empty frame") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val out = Dedup.connectedComponents(empty)
