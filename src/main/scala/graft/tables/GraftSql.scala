@@ -125,11 +125,11 @@ object GraftSql {
   private val MaintainDedupIndex =
     """(?is)\s*MAINTAIN\s+DEDUP\s+INDEX\s+'([^']+)'((?:\s+(?:CLUSTERS|CURATED)\s+'[^']+')*)\s*""".r
   private val MaintainAnnIndexContinuous =
-    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'((?:\s+(?:REBALANCE\s+THRESHOLD|RECALL\s+FLOOR)\s+[0-9.eE+-]+)*)\s+CONTINUOUS(?:\s+EVERY\s+'([^']+)')?\s*""".r
+    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'((?:\s+(?:REBALANCE\s+THRESHOLD|RECALL\s+(?:FLOOR|NPROBE|QUERIES))\s+[0-9.eE+-]+)*)\s+CONTINUOUS(?:\s+EVERY\s+'([^']+)')?\s*""".r
   private val MaintainAnnIndex =
-    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'((?:\s+(?:REBALANCE\s+THRESHOLD|RECALL\s+FLOOR)\s+[0-9.eE+-]+)*)\s*""".r
+    """(?is)\s*MAINTAIN\s+ANN\s+INDEX\s+'([^']+)'((?:\s+(?:REBALANCE\s+THRESHOLD|RECALL\s+(?:FLOOR|NPROBE|QUERIES))\s+[0-9.eE+-]+)*)\s*""".r
   private val AnnMaintOpt =
-    """(?is)(REBALANCE\s+THRESHOLD|RECALL\s+FLOOR)\s+([0-9.eE+-]+)""".r
+    """(?is)(REBALANCE\s+THRESHOLD|RECALL\s+(?:FLOOR|NPROBE|QUERIES))\s+([0-9.eE+-]+)""".r
   private val StopMaintainIndex =
     """(?is)\s*STOP\s+MAINTAIN\s+INDEX\s+'([^']+)'\s*""".r
   private val MaintainOpt = """(?is)(CLUSTERS|CURATED)\s+'([^']+)'""".r
@@ -227,7 +227,9 @@ object GraftSql {
       val m = annMaintOpts(opts)
       val st = graft.operators.Similarity.maintainIndexStats(spark, path,
         rebalanceSkewThreshold = m.getOrElse("REBALANCE THRESHOLD", 4.0),
-        recallFloor = m.getOrElse("RECALL FLOOR", -1.0))
+        recallFloor = m.getOrElse("RECALL FLOOR", -1.0),
+        recallNprobe = m.getOrElse("RECALL NPROBE", 4.0).toInt,
+        recallQueries = m.getOrElse("RECALL QUERIES", 16.0).toInt)
       import spark.implicits._
       Seq((st.rebalanced, st.cellSkew, st.recall))
         .toDF("rebalanced", "cell_skew", "recall")

@@ -1467,6 +1467,64 @@ class OperatorsSpec extends SparkSpec {
       "compaction changed the served ANN results")
   }
 
+  test("recall-triggered maintenance: symmetric between-centroid " +
+      "drift (skew flat, recall degraded) fires the rebalance and " +
+      "recall recovers") {
+    import org.apache.spark.sql.functions._
+    // unit-direction corpus in the (x,y) plane — cosine ranking IS
+    // angular ranking, and near-unit norms keep the integer-L2
+    // assignment angular too. Two seed clusters at ~0° and ~90°
+    // (ids 100..115), then a DRIFT cluster lands at ~45°: the frozen
+    // centroids split it at the bisector — 24 members a hair below
+    // (ids 8..31), 8 a hair above (ids 0..7) — so cells stay
+    // BALANCED (skew 32·2/48 ≈ 1.33, far under the 4.0 threshold)
+    // while every drift member's true neighborhood straddles cells.
+    def dir(theta: Double): Seq[Float] =
+      Seq(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)
+    val q = math.Pi / 4
+    val rows =
+      (0L until 8L).map(i => (i, "drift_hi", dir(q + 0.010 + i * 0.0005))) ++
+      (8L until 32L).map(i => (i, "drift_lo", dir(q - 0.010 - (i - 8) * 0.0005))) ++
+      (100L until 108L).map(i => (i, "a", dir((i - 100) * 0.001))) ++
+      (108L until 116L).map(i => (i, "b", dir(math.Pi / 2 - (i - 108) * 0.001)))
+    val seed = rows.filter(_._1 >= 100L)
+      .toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val drift = rows.filter(_._1 < 100L)
+      .toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_recall_").resolve("ivf").toString
+    Similarity.ivfIndexBuild(spark, idx, seed, nCentroids = 2)
+    Similarity.ivfIndexIngest(spark, idx, drift)
+    // the probe sees it: queries are the 8 lowest-id members (the
+    // minority drift side); ground truth top-10 mixes both sides,
+    // nprobe=1 serves only the query's own cell → recall well under 1
+    val recallBefore = Similarity.indexRecall(spark, idx, k = 10,
+      nprobe = 1, nQueries = 8)
+    assert(recallBefore < 0.85,
+      s"setup: split neighborhood should degrade recall ($recallBefore)")
+    // skew-only maintenance stays quiet (the drift is symmetric)...
+    val quiet = Similarity.maintainIndexStats(spark, idx)
+    assert(!quiet.rebalanced && quiet.cellSkew < 4.0 && quiet.recall.isEmpty,
+      s"skew-only cycle must not fire on balanced cells (${quiet.cellSkew})")
+    // ...while an armed RECALL FLOOR fires — through the SQL surface,
+    // whose result row carries the cycle's observed metrics
+    val st = graft.tables.GraftSql.sql(spark,
+      s"MAINTAIN ANN INDEX '$idx' RECALL FLOOR 0.85 " +
+        "RECALL NPROBE 1 RECALL QUERIES 8").head()
+    assert(st.getBoolean(0), "recall floor must trigger the rebalance")
+    assert(st.getDouble(1) < 4.0, "skew was quiet — the recall fired it")
+    assert(st.getDouble(2) < 0.85 && st.getDouble(2) === recallBefore,
+      "the result row must carry the observed (pre-rebalance) recall")
+    // post-rebalance the re-trained geometry heals the split: the
+    // drift cluster lives in ONE cell and nprobe=1 recall recovers
+    val recallAfter = Similarity.indexRecall(spark, idx, k = 10,
+      nprobe = 1, nQueries = 8)
+    assert(recallAfter >= 0.95,
+      s"rebalance must recover recall ($recallBefore -> $recallAfter)")
+  }
+
   test("IVF rebalance: a drift-bloated, forget-hollowed index " +
       "re-trains past the skew threshold — skew drops, the recall " +
       "floor holds, and the re-trained geometry is deterministic") {
