@@ -146,6 +146,12 @@ object GraftSql {
     """(?is)\s*INGEST\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))\s*""".r
   private val IngestAnnIndex =
     """(?is)\s*INGEST\s+INTO\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))\s*""".r
+  // ADMISSION as a statement — the whole screen-verdict-ingest cycle
+  // (Dedup.admitBatch: lexical probe, optional quality GATE, optional
+  // SEMANTIC screen against a built ANN index, exactly-once appends
+  // under BATCH) from pure SQL; the verdict frame IS the result rows
+  private val AdmitIntoDedupIndex =
+    """(?is)\s*ADMIT\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+CLUSTERS\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+GATE\s*\((.+?)\))?(?:\s+SEMANTIC\s+INDEX\s+'([^']+)')?(?:\s+BATCH\s+(\d+))?\s*""".r
 
   /** Resolve a CREATE/INGEST INDEX source: quoted path → graft table
     * (a `_graft_log` exists) or plain parquet dir; bare identifier →
@@ -200,6 +206,20 @@ object GraftSql {
       graft.operators.Similarity.indexIngest(spark, idxPath,
         indexSourceFrame(spark, srcPath, srcIdent))
       emptyResult(spark)
+    case AdmitIntoDedupIndex(idxPath, clustersPath, srcPath, srcIdent,
+        gateText, semPath, batchTxt) =>
+      val out = graft.operators.Dedup.admitBatch(spark, idxPath,
+        clustersPath, indexSourceFrame(spark, srcPath, srcIdent),
+        batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L),
+        gate = Option(gateText)
+          .map(g => org.apache.spark.sql.functions.expr(g)),
+        ivfIndexPath = Option(semPath))
+      // a gated admission returns its own persisted frame and the SQL
+      // caller has no handle to release it — unpersist here; the plan
+      // recomputes deterministically from the COMMITTED clusters state
+      // plus the source on consumption (no-op for the ungated path)
+      out.unpersist()
+      out
     case MaintainDedupIndexContinuous(path, opts, every) =>
       val m = MaintainOpt.findAllMatchIn(Option(opts).getOrElse(""))
         .map(x => x.group(1).toUpperCase -> x.group(2)).toMap

@@ -1487,4 +1487,88 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gs_mvr")
     }
   }
+
+  test("ADMIT INTO DEDUP INDEX: the whole admission cycle from pure " +
+      "SQL — gate rejects, lexical and semantic near-dups drop, and " +
+      "a replayed BATCH id is a no-op") {
+    val root = Files.createTempDirectory("graft_admit_sql_")
+    def dirOf(n: String) = root.resolve(n).toString
+    def emb(dom: Int, dom2: Int = -1): Seq[Float] =
+      Seq.tabulate(8)(d =>
+        (if (d == dom) 10f else 0f) + (if (d == dom2) 10f else 0f))
+    def frame(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>"))
+    // 16-doc seed corpus: distinct texts, one-hot embedding directions
+    val seed = frame((0 until 16).map { i =>
+      (1000L + i, s"seed document number $i with a distinct sentence " +
+        s"about topic ${('a' + i).toChar} and unique words " +
+        s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", emb(i % 8))
+    })
+    seed.write.parquet(dirOf("seed"))
+    seed.selectExpr("doc_id AS vec_id", "embedding")
+      .write.parquet(dirOf("seedvecs"))
+    val didx = dirOf("didx"); val aidx = dirOf("aidx")
+    val cl = dirOf("clusters")
+    GraftSql.sql(spark, s"CREATE DEDUP INDEX '$didx' ON '${dirOf("seed")}'")
+    GraftSql.sql(spark, s"CREATE ANN INDEX '$aidx' ON '${dirOf("seedvecs")}'")
+    // batch 0: three novel docs (novel text AND novel directions)
+    val t2 = "batch doc two has its own specific set of words " +
+      "q2a q2b q2c q2d q2e q2f q2g"
+    frame(Seq(
+      (1L, "batch doc one carries words q1a q1b q1c q1d q1e q1f q1g " +
+        "entirely its own", emb(0, 1)),
+      (2L, t2, emb(2, 3)),
+      (3L, "batch doc three also unique tokens q3a q3b q3c q3d q3e " +
+        "q3f q3g here", emb(4, 5)))).write.parquet(dirOf("b0"))
+    val v0 = GraftSql.sql(spark,
+      s"ADMIT INTO DEDUP INDEX '$didx' CLUSTERS '$cl' " +
+        s"FROM '${dirOf("b0")}' SEMANTIC INDEX '$aidx' BATCH 0")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(v0.keySet === Set(1L, 2L, 3L))
+    assert(v0.values.forall(_._2 == "keep"),
+      s"novel content must admit: $v0")
+    // batch 1: 11 is a SEMANTIC near-dup of 1 (same direction, fresh
+    // text — the lexical screen alone would miss it); 13 is a LEXICAL
+    // copy of 2 (same text, fresh direction); 12 is novel; 14 fails
+    // the GATE
+    frame(Seq(
+      (11L, "completely different words r1a r1b r1c r1d r1e r1f r1g " +
+        "from doc one", emb(0, 1)),
+      (12L, "novel second batch doc with words r2a r2b r2c r2d r2e " +
+        "r2f r2g", emb(6, 7)),
+      (13L, t2, emb(5)),
+      (14L, "junk", emb(7)))).write.parquet(dirOf("b1"))
+    val admit1 = s"ADMIT INTO DEDUP INDEX '$didx' CLUSTERS '$cl' " +
+      s"FROM '${dirOf("b1")}' GATE (length(text) >= 12) " +
+      s"SEMANTIC INDEX '$aidx' BATCH 1"
+    val v1 = GraftSql.sql(spark, admit1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(v1(11L) === ((1L, "drop")),
+      s"semantic near-dup must drop against its admitted twin: $v1")
+    assert(v1(13L)._2 === "drop" && v1(13L)._1 === 2L,
+      s"lexical copy must drop against its admitted twin: $v1")
+    assert(v1(12L)._2 === "keep", s"novel doc must keep: $v1")
+    assert(v1(14L) === ((14L, "reject")),
+      s"gate failure must reject before any screening: $v1")
+    // replayed BATCH id: identical verdicts, nothing re-lands
+    def annCount = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(aidx, "assignments").toString)
+      .snapshot().count()
+    def clusterState = graft.operators.Dedup.clustersView(spark, cl)
+      .select($"doc_id", $"cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (nBefore, csBefore) = (annCount, clusterState)
+    assert(nBefore === 16L + 3L + 3L,
+      "screened batch vectors ingest exactly-once (gate-rejects never)")
+    val v1b = GraftSql.sql(spark, admit1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(v1b === v1, "replayed batch must re-verdict identically")
+    assert(annCount === nBefore, "replayed batch must re-land nothing")
+    assert(clusterState === csBefore,
+      "replayed batch must not move the maintained clustering")
+  }
 }
