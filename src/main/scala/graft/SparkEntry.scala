@@ -200,6 +200,8 @@ object SparkEntry {
     "multimodal_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "multimodal_frame_neardup" -> ((s: SparkSession, d: String) => Multimodal.frameNearDup(s, d)),
     "multimodal_frame_ann" -> ((s: SparkSession, d: String) => Multimodal.frameAnnTopK(s, d)),
+    "multimodal_frame_ann_indexed" -> ((s: SparkSession, d: String) =>
+      Multimodal.frameAnnIndexedScenario(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -240,7 +242,12 @@ object SparkEntry {
         oracleSqlMain("dedup_cluster_survivors")) +
       // the index-riding verdict pass rides the SAME Lloyd geometry
       // as the batch operator, so the same relational replay checks it
-      ("dedup_semantic_indexed" -> oracleSqlMain("dedup_semantic"))
+      ("dedup_semantic_indexed" -> oracleSqlMain("dedup_semantic")) +
+      // the SQL-staged frame index probes EVERY cell, so its served
+      // answer is exactly the brute-force frame top-k — the same
+      // oracle checks the whole lifecycle, geometry-independent
+      ("multimodal_frame_ann_indexed" ->
+        oracleSqlMain("multimodal_frame_ann"))
 
   private lazy val oracleSqlMain: Map[String, String] = Map(
     "q_total_amount" ->
