@@ -66,12 +66,20 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_cross_split_leaks" -> ((s: SparkSession, d: String) => Dedup.crossSplitLeaks(s, d)),
-    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    // the production 64-perm/16-band layout in the PORTABLE hash
+    // family, so the row is oracle-checked end-to-end (the xxhash64
+    // fast path, Dedup.minhashLsh, stays spec-covered)
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashPortable(s, d, numPerm = 64, bands = 16)),
     "dedup_minhash_portable" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
     "dedup_incremental" -> (Dedup.incrementalScenario _),
     "dedup_incremental_probe" -> (Dedup.incrementalProbeScenario _),
     "dedup_forget" -> (Dedup.forgetScenario _),
-    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    // the 3-block/20-bit maxHamming=2 configuration of the portable
+    // kernel — oracle-checked (the xxhash64 64-bit fast path,
+    // Dedup.simhash, stays spec-covered)
+    "dedup_simhash" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashPortable(s, d, maxHamming = 2)),
     "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPortable(s, d)),
     "dedup_cluster_survivors" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivors(s, d)),
     "dedup_cluster_best" -> ((s: SparkSession, d: String) => Dedup.clusterSurvivorsByQuality(s, d)),
@@ -186,7 +194,11 @@ object SparkEntry {
     "dedup_semantic_indexed" -> (Similarity.semanticDedupIndexedScenario _),
     "ann_ivfpq_serve" -> (Similarity.ivfPqServeScenario _),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
-    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupLsh(s, d)),
+    // md5-bit hyperplanes + integer projections: the whole LSH
+    // replays in the oracle (the xxhash64 fast path,
+    // Similarity.embeddingNearDupLsh, stays spec-covered)
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingNearDupLshPortable(s, d)),
     // §F ML
     "ml_risk_score" -> (graft.ml.RiskPipeline.score _),
     "ml_score_fixed" -> (graft.ml.RiskPipeline.scoreFixed _),
@@ -248,6 +260,87 @@ object SparkEntry {
       // oracle checks the whole lifecycle, geometry-independent
       ("multimodal_frame_ann_indexed" ->
         oracleSqlMain("multimodal_frame_ann"))
+
+  /** Portable banded-minhash oracle parameterized by the family's
+    * (numPerm, bands) layout — ONE relational replay checks both the
+    * 16/4 portable spelling and the production 64/16 layout.
+    */
+  private def minhashPortableOracleSql(numPerm: Int, bands: Int,
+      tau: String): String = {
+    val r = numPerm / bands
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+       |  FROM w WHERE len(w) >= 3),
+       |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |hp AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x,
+       |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 2147483647 AS y
+       |  FROM posts),
+       |sig AS (
+       |  SELECT doc_id, i,
+       |    MIN((((i * 1103515245 + 12345) % 2147483647) * x + y) % 2147483647) AS m
+       |  FROM hp, (SELECT unnest(range(0, $numPerm)) AS i)
+       |  GROUP BY doc_id, i),
+       |bandsig AS (
+       |  SELECT doc_id, i // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
+       |  FROM sig GROUP BY doc_id, i // $r),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandsig a JOIN bandsig b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |common AS (
+       |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, COUNT(*) AS nc
+       |  FROM posts pa JOIN posts pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+       |SELECT c.doc_a, c.doc_b, CAST(nc AS INTEGER) AS n_common,
+       |  CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) AS jaccard
+       |FROM cand c
+       |JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+       |JOIN sizes sa ON c.doc_a = sa.doc_id
+       |JOIN sizes sb ON c.doc_b = sb.doc_id
+       |WHERE CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) >= $tau""".stripMargin
+  }
+
+  /** Portable 60-bit SimHash oracle parameterized by the hamming
+    * radius (blocks = maxHamming + 1 by pigeonhole).
+    */
+  private def simhashPortableOracleSql(maxHamming: Int): String = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 60 / nBlocks
+    val mask = (1L << blockBits) - 1L
+    s"""WITH posts AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+       |  FROM posts),
+       |bits AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hs, (SELECT unnest(range(0, 60)) AS b)
+       |  GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |blocked AS (
+       |  SELECT doc_id, simhash, blk, (simhash >> (blk * $blockBits)) & $mask AS bval
+       |  FROM sig, (SELECT unnest(range(0, $nBlocks)) AS blk)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM blocked a JOIN blocked b
+       |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming""".stripMargin
+  }
 
   private lazy val oracleSqlMain: Map[String, String] = Map(
     "q_total_amount" ->
@@ -462,45 +555,50 @@ object SparkEntry {
         |FROM pairs JOIN splits x ON doc_a = x.doc_id
         |           JOIN splits y ON doc_b = y.doc_id
         |WHERE x.split <> y.split""".stripMargin,
-    "dedup_minhash_portable" ->
-      """WITH w AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) AS sh
-        |  FROM w WHERE len(w) >= 3),
-        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    "dedup_minhash_portable" -> minhashPortableOracleSql(16, 4, "0.6"),
+    // the SAME relational replay at the production 64/16 layout
+    "dedup_minhash_lsh" -> minhashPortableOracleSql(64, 16, "0.6"),
+    "dedup_simhash" -> simhashPortableOracleSql(2),
+    // md5-bit hyperplanes over 10^6-scaled integer projections (a
+    // float projection sum would be order-sensitive in the last ULP
+    // and could flip borderline sign bits between engines), banded
+    // 4×4, exact cosine verification with the family's rounding
+    "dedup_embedding_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding) + 1)])) AS nrm
+        |  FROM embeddings),
+        |posts AS (
+        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS d,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+        |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM e)),
         |hp AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x,
-        |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 2147483647 AS y
+        |  SELECT vec_id, vq,
+        |    CAST(concat('0x', substr(md5(CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |  FROM posts),
-        |sig AS (
-        |  SELECT doc_id, i,
-        |    MIN((((i * 1103515245 + 12345) % 2147483647) * x + y) % 2147483647) AS m
-        |  FROM hp, (SELECT unnest(range(0, 16)) AS i)
-        |  GROUP BY doc_id, i),
+        |proj AS (
+        |  SELECT vec_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN vq ELSE -vq END) AS p
+        |  FROM hp, (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS j)
+        |  GROUP BY vec_id, j),
         |bandsig AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
-        |  FROM sig GROUP BY doc_id, i // 4),
+        |  SELECT vec_id, j // 4 AS band,
+        |    string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bsig
+        |  FROM proj GROUP BY vec_id, j // 4),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM bandsig a JOIN bandsig b
-        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-        |common AS (
-        |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, COUNT(*) AS nc
-        |  FROM posts pa JOIN posts pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
-        |SELECT c.doc_a, c.doc_b, CAST(nc AS INTEGER) AS n_common,
-        |  CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) AS jaccard
-        |FROM cand c
-        |JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
-        |JOIN sizes sa ON c.doc_a = sa.doc_id
-        |JOIN sizes sb ON c.doc_b = sb.doc_id
-        |WHERE CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) >= 0.6""".stripMargin,
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    list_sum([CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) for i in range(1, len(ea.embedding) + 1)]) /
+        |      (ea.nrm * eb.nrm) AS cs
+        |  FROM cand c JOIN e ea ON c.vec_a = ea.vec_id
+        |              JOIN e eb ON c.vec_b = eb.vec_id)
+        |SELECT vec_a, vec_b,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM scored
+        |WHERE CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) >= 0.3""".stripMargin,
     // incremental probe ≡ the batch family restricted to pairs
     // touching the incremental batch (doc_id % 5 = 0)
     "dedup_incremental" ->
@@ -873,32 +971,7 @@ object SparkEntry {
         |  WHERE d.doc_id % 5 = 0 AND d.doc_id = COALESCE(l.root, d.doc_id))
         |SELECT c.doc_id, d.n_chars
         |FROM curated c JOIN base d ON c.doc_id = d.doc_id""".stripMargin,
-    "dedup_simhash_portable" ->
-      """WITH posts AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
-        |  FROM documents),
-        |hs AS (
-        |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
-        |  FROM posts),
-        |bits AS (
-        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM hs, (SELECT unnest(range(0, 60)) AS b)
-        |  GROUP BY doc_id, b),
-        |sig AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |blocked AS (
-        |  SELECT doc_id, simhash, blk, (simhash >> (blk * 15)) & 32767 AS bval
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS blk)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.simhash AS sa, b.simhash AS sb
-        |  FROM blocked a JOIN blocked b
-        |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "dedup_simhash_portable" -> simhashPortableOracleSql(3),
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars_m,

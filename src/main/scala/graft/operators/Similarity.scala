@@ -134,6 +134,56 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** [[embeddingNearDupLsh]] with a PORTABLE hash family and EXACT
+    * projection arithmetic, so the ENTIRE pipeline — hyperplane
+    * signs, bit signatures, band bucketing, cosine verification —
+    * replays bit-identically in the DuckDB oracle. Hyperplane j's
+    * sign for dimension d is BIT j of the dimension's md5 residue
+    * (one digest per posting row serves all nBits planes), and the
+    * per-plane projection sums the 10⁶-scaled INTEGER coordinates —
+    * a float sum's last-ULP order-sensitivity would flip borderline
+    * sign bits between engines; integer sums cannot. The xxhash64
+    * variant stays the fast path; this is the cross-engine-verifiable
+    * spelling (the [[Dedup.minhashPortable]] posture applied to the
+    * embedding family).
+    */
+  def embeddingNearDupLshPortable(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, nBits: Int = 16, bands: Int = 4): DataFrame = {
+    require(nBits <= 60, "portable hyperplane family carries 60 bits")
+    val r = nBits / bands
+    VectorExprs.register(spark)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
+    val posts = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"),
+        Tables.md5Residue(col("d").cast("string")).as("h"),
+        floor(col("v").cast("double") * 1000000.0).cast("long").as("vq"))
+    val projAggs = (0 until nBits).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1,
+        col("vq")).otherwise(-col("vq"))).as(s"p$j")
+    }
+    val projections = posts.groupBy(col("vec_id"))
+      .agg(projAggs.head, projAggs.tail: _*)
+    val bits = (0 until nBits).map(j =>
+      when(col(s"p$j") >= 0, 1).otherwise(0).as(s"bit$j"))
+    val sig = projections.join(emb, Seq("vec_id"))
+      .select((Seq(col("vec_id"), col("embedding"), col("nrm")) ++ bits): _*)
+    val banded = sig.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("", (0 until r).map(i => col(s"bit${b * r + i}")): _*).as("bsig"))): _*))
+        .as("bk"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round((vec_dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).cast("decimal(18,12)"), 6)
+          .cast("double").as("cos_sim"))
+      .dropDuplicates("vec_a", "vec_b")
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Int8-quantized top-k (scalar quantization, the memory-bound
     * scale path): each vector is quantized per-vector to 8-bit codes
     * (q_i = round(v_i / amax · 127), half-up), similarity is the

@@ -168,6 +168,22 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.count() === Similarity.embeddingNearDupLsh(spark, sf, threshold = 0.4).count())
   }
 
+  test("portable hyperplane LSH near-dup recalls the exact near-dup " +
+      "pairs and verifies with exact cosine") {
+    val exact = Similarity.embeddingNearDup(spark, sf, threshold = 0.4)
+      .select($"vec_a", $"vec_b")
+    val lsh = Similarity
+      .embeddingNearDupLshPortable(spark, sf, threshold = 0.4)
+    // every surfaced pair is exact-verified at the threshold...
+    assert(lsh.where($"cos_sim" < 0.4).count() === 0)
+    // ...and the md5-bit family recalls like the xxhash one
+    val pairs = lsh.select($"vec_a", $"vec_b")
+    val n = exact.count()
+    val recalled = exact.intersect(pairs).count()
+    assert(n === 0 || recalled.toDouble / n >= 0.3,
+      s"portable LSH recalled $recalled of $n")
+  }
+
   test("persisted IVF+PQ index: probed-cell partition pruning, ADC " +
       "shortlist, exact rerank — recall floor vs brute force holds") {
     val emb = Tables.load(spark, sf, "embeddings")
