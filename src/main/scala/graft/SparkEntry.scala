@@ -189,6 +189,7 @@ object SparkEntry {
     "ann_incremental_serve" -> ((s: SparkSession, d: String) => Similarity.annIncrementalServe(s, d)),
     "ann_sql_lifecycle" -> (Similarity.annSqlLifecycleScenario _),
     "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFilteredScenario(s, d)),
+    "ann_filtered_pq" -> ((s: SparkSession, d: String) => Similarity.annFilteredPqScenario(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "dedup_semantic_indexed" -> (Similarity.semanticDedupIndexedScenario _),
@@ -2331,6 +2332,62 @@ object SparkEntry {
         |              for i in range(1, len(q.qvec) + 1)]))) AS cs
         |  FROM embeddings e JOIN a3 USING (vec_id) JOIN probe USING (cent_id), q
         |  WHERE e.vec_id <> 0)
+        |SELECT vec_id, label,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // filtered ADC cascade against the served IVF+PQ index: the
+    // ~10%-selective predicate saturates the probe expansion past the
+    // 16-cell geometry, so the replay is geometry-independent —
+    // PQ-encode the filtered corpus, ADC-shortlist 25 (BELOW the
+    // match count, so the code stage genuinely decides), exact-rerank
+    "ann_filtered_pq" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label, embedding,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings),
+        |params AS (SELECT (SELECT len(embedding) FROM embeddings LIMIT 1) // 8 AS sub),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv
+        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 16)),
+        |sdim AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s),
+        |cb AS (
+        |  SELECT sdim.s, seeds.j,
+        |    list_slice(qv, sdim.s * params.sub + 1, sdim.s * params.sub + params.sub) AS cent
+        |  FROM seeds, sdim, params),
+        |subv AS (
+        |  SELECT vec_id, sdim.s,
+        |    list_slice(qv, sdim.s * params.sub + 1, sdim.s * params.sub + params.sub) AS sv
+        |  FROM qe, sdim, params
+        |  WHERE qe.label = 7 AND qe.vec_id <> 0),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT v.vec_id, v.s, c.j,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        |        list_sum([(v.sv[i] - c.cent[i]) * (v.sv[i] - c.cent[i]) for i in range(1, len(v.sv) + 1)]), c.j) AS rn
+        |    FROM subv v JOIN cb c ON v.s = c.s) WHERE rn = 1),
+        |qsub AS (
+        |  SELECT sdim.s,
+        |    list_slice(q.qv, sdim.s * params.sub + 1, sdim.s * params.sub + params.sub) AS sv
+        |  FROM (SELECT qv FROM qe WHERE vec_id = 0) q, sdim, params),
+        |dt AS (
+        |  SELECT c.s, c.j AS code,
+        |    list_sum([(x.sv[i] - c.cent[i]) * (x.sv[i] - c.cent[i]) for i in range(1, len(x.sv) + 1)]) AS d
+        |  FROM cb c JOIN qsub x ON c.s = x.s),
+        |approx AS (
+        |  SELECT codes.vec_id, CAST(SUM(dt.d) AS BIGINT) AS approx_dist
+        |  FROM codes JOIN dt USING (s, code) GROUP BY codes.vec_id),
+        |short AS (SELECT vec_id FROM approx ORDER BY approx_dist, vec_id LIMIT 25),
+        |q2 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q2.qvec[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(e.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(q2.qvec[i] AS DOUBLE) * CAST(q2.qvec[i] AS DOUBLE)
+        |              for i in range(1, len(q2.qvec) + 1)]))) AS cs
+        |  FROM embeddings e JOIN short USING (vec_id), q2)
         |SELECT vec_id, label,
         |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
         |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,

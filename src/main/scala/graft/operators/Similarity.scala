@@ -1045,16 +1045,38 @@ object Similarity {
     * latency), query vector 0's embedding excluding itself.
     */
   def ivfPqServeScenario(spark: SparkSession, sfDir: String): DataFrame = {
+    val (path, qv) = pqServeStage(spark, sfDir)
+    ivfPqIndexQuery(spark, path, qv, excludeVecId = 0L)
+  }
+
+  private def pqServeStage(spark: SparkSession,
+      sfDir: String): (String, Seq[Float]) = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val stage = ivfPqStages.computeIfAbsent(sfDir, _ => {
       val st = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
       ivfPqIndexBuild(spark, st.resolve("idx").toString, emb)
       st
     })
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
-    ivfPqIndexQuery(spark, stage.resolve("idx").toString, qv,
-      excludeVecId = 0L)
+    (stage.resolve("idx").toString,
+      emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toSeq)
+  }
+
+  /** FILTERED retrieval against the served IVF+PQ index — the
+    * [[annFilteredScenario]] posture on the ADC cascade: `label = 7`
+    * (~10% selective) saturates the probe expansion past the 16-cell
+    * geometry, so the ADC stage ranks ALL filtered members' codes and
+    * the result is geometry-independent — the oracle replays
+    * PQ-encode → ADC shortlist (capped BELOW the match count, so the
+    * code stage genuinely decides) → exact cosine re-rank, without
+    * needing the Lloyd replay. The partial-probe filtered regime is
+    * covered by the flat-IVF spec (same [[filteredNprobe]] kernel).
+    */
+  def annFilteredPqScenario(spark: SparkSession, sfDir: String,
+      k: Int = 10, shortlist: Int = 25): DataFrame = {
+    val (path, qv) = pqServeStage(spark, sfDir)
+    ivfPqIndexQuery(spark, path, qv, k = k, shortlist = shortlist,
+      excludeVecId = 0L, filter = Some(col("label") === 7))
   }
 
   /** Cell-size skew of the persisted IVF index: the largest cell's

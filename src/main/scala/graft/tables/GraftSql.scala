@@ -705,10 +705,11 @@ object GraftSql {
          CreateMatView(_, _, _, _, _, _) | RefreshMatView(_) |
          RefreshMatViewContinuous(_, _) | StopRefreshMatView(_) |
          MaintainDedupIndexContinuous(_, _, _) | MaintainDedupIndex(_, _) |
-         MaintainAnnIndexContinuous(_, _) | MaintainAnnIndex(_) |
+         MaintainAnnIndexContinuous(_, _, _) | MaintainAnnIndex(_, _) |
          StopMaintainIndex(_) |
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
-         IngestDedupIndex(_, _, _) | IngestAnnIndex(_, _, _) => true
+         IngestDedupIndex(_, _, _) | IngestAnnIndex(_, _, _) |
+         AdmitIntoDedupIndex(_, _, _, _, _, _, _) => true
     case _ => false
   }
 
@@ -775,6 +776,17 @@ object GraftSql {
       case FsckTable(_) => Some(StructType(Seq(
         StructField("issue", StringType),
         StructField("path", StringType))))
+      // the CONTINUOUS form must match FIRST (its one-shot prefix
+      // also matches the plain pattern) and returns nothing
+      case MaintainAnnIndexContinuous(_, _, _) => None
+      case MaintainAnnIndex(_, _) => Some(StructType(Seq(
+        StructField("rebalanced", BooleanType, nullable = false),
+        StructField("cell_skew", DoubleType, nullable = false),
+        StructField("recall", DoubleType))))
+      case AdmitIntoDedupIndex(_, _, _, _, _, _, _) => Some(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("canonical_id", LongType),
+        StructField("action", StringType))))
       case _ => None
     }
   }
@@ -800,8 +812,12 @@ object GraftSql {
       // index maintenance targets a PATH (no catalog ident to
       // resolve); the statement shape is unambiguously graft's
       case MaintainDedupIndexContinuous(_, _, _) | MaintainDedupIndex(_, _) |
-           MaintainAnnIndexContinuous(_, _) | MaintainAnnIndex(_) |
+           MaintainAnnIndexContinuous(_, _, _) | MaintainAnnIndex(_, _) |
            StopMaintainIndex(_) => return true
+      // admission with a QUOTED source is shape-claimed; the bare-
+      // identifier source resolves below like CREATE/INGEST INDEX
+      case AdmitIntoDedupIndex(_, _, p, _, _, _, _) if p != null =>
+        return true
       // index create/ingest with a QUOTED source path is shape-claimed
       // (no catalog ident to resolve); the bare-identifier form below
       // requires the source to resolve as a registered graft table
@@ -843,6 +859,7 @@ object GraftSql {
       case CreateAnnIndex(_, _, i, _) => Some(i)
       case IngestDedupIndex(_, _, i) => Some(i)
       case IngestAnnIndex(_, _, i) => Some(i)
+      case AdmitIntoDedupIndex(_, _, _, i, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)
       case RefreshMatView(i) => Some(i)

@@ -224,6 +224,15 @@ class ExtensionsSpec extends SparkSpec {
         .write.parquet(arrivals)
       s2.sql(s"INGEST INTO ANN INDEX '$ivf' FROM '$arrivals'")
       s2.sql(s"MAINTAIN ANN INDEX '$ivf'")
+      // the OPTION-carrying form routes through the injected parser
+      // too and surfaces the cycle's metrics row (a silent arity
+      // mismatch between the statement regex and the parser's claim
+      // list would fall through to Spark's parser and throw)
+      val mrow = s2.sql(s"MAINTAIN ANN INDEX '$ivf' REBALANCE THRESHOLD 0")
+        .head()
+      assert(!mrow.getBoolean(0) && mrow.getDouble(1) > 0.0 &&
+        mrow.isNullAt(2),
+        "metrics row must carry (rebalanced=false, skew, null recall)")
       // ann_search composes inside an ordinary join; the ingested
       // vectors (nearest the query by cosine) must surface
       val got = s2.sql(
