@@ -51,6 +51,10 @@ object ScaleProbe {
       ivfPqProbe(spark, corpusDir)
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "annfilter") {
+      annFilterProbe(spark, corpusDir)
+      spark.stop(); return
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "semadmit") {
       semAdmitProbe(spark, corpusDir, sys.env("SPARK_GRAFT_BATCH_DIR"))
       spark.stop(); return
@@ -236,6 +240,35 @@ object ScaleProbe {
       s""""cluster_sec":${g("cluster_sec")},""" +
       s""""admit_sec":${g("admit_sec")},"append_sec":${g("append_sec")}"""
     println(s"""{"metric":"curate_probe","corpus":"$corpusDir","batch":"$batchDir","seed_sec":${(t1 - t0) / 1e9},"cycle_sec":${(t2 - t1) / 1e9},$stagesJson,"admitted":$admitted}""")
+  }
+
+  /** FILTERED-SERVE probe (SPARK_GRAFT_PROBE=annfilter): build the
+    * IVF index over the corpus embeddings once (outside the window),
+    * then time the filtered query — the selectivity counting pass
+    * (reads only the filter column) plus the probed-cell scan — for a
+    * ~10%-selective predicate, best of 3. The count is one map-side
+    * column aggregate and the probe scan is cell-local, so the serve
+    * should grow well below corpus growth.
+    */
+  private def annFilterProbe(spark: SparkSession,
+      corpusDir: String): Unit = {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, corpusDir, "embeddings")
+    val rows = emb.count()
+    val stage = java.nio.file.Files.createTempDirectory("graft_annf_")
+    val idx = stage.resolve("idx").toString
+    Similarity.ivfIndexBuild(spark, idx, emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    def once(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = Similarity.ivfIndexQuery(spark, idx, q, k = 10,
+        excludeVecId = 0L, filter = Some(col("label") === 7)).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    once() // warm footers/codegen
+    val samples = (1 to 3).map(_ => once())
+    println(s"""{"metric":"annfilter_probe","corpus":"$corpusDir","corpus_rows":$rows,"serve_sec":${samples.map(_._1).min},"result_rows":${samples.head._2}}""")
   }
 
   /** Fixed-trickle maintained-view refresh against a growing fact

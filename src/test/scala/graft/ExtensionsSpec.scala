@@ -297,6 +297,20 @@ class ExtensionsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(tvfPairs3 === apiPairs,
         "dedup_probe(.., 0.6) diverged from the default-threshold probe")
+      // the batch source as a REGISTERED TABLE name (the non-path
+      // resolution contract, same as CREATE/INGEST INDEX sources)
+      val batchTblDir = java.nio.file.Files
+        .createTempDirectory("graft_sqlidx_").resolve("btbl").toString
+      graft.tables.GraftTable.create(s2, batchTblDir, batch)
+      s2.sql("DROP TABLE IF EXISTS gp_batch")
+      s2.sql(s"CREATE TABLE gp_batch USING `graft-table` " +
+        s"OPTIONS (path '$batchTblDir')")
+      val tvfPairsTbl = s2.sql(
+        s"SELECT doc_a, doc_b FROM dedup_probe('$dIdx', 'gp_batch')")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(tvfPairsTbl === apiPairs,
+        "dedup_probe over a registered table diverged from the path form")
+      s2.sql("DROP TABLE IF EXISTS gp_batch")
       val joined = s2.sql(
         s"""SELECT count(*) FROM dedup_probe('$dIdx', '$batchDir') p
            |JOIN parquet.`$batchDir` d ON p.doc_b = d.doc_id""".stripMargin)
