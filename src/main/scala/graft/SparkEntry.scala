@@ -109,6 +109,8 @@ object SparkEntry {
     "text_heavy_hitters" -> (TextAnalysis.heavyHitterLangs _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
+    "text_export_shards" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.exportShardsManifest(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
@@ -1413,6 +1415,24 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY lang, CAST(FLOOR(tokens_before / 2048) AS BIGINT)""".stripMargin,
+    // shard export: GLOBAL exclusive token cumsum over doc_id order,
+    // shard = tokens_before div budget (the Spark plan computes it as
+    // a distributed bucket-prefix sum — value-identical, spec-pinned)
+    "text_export_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d)
+        |SELECT tokens_before // 2048 AS shard_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY tokens_before // 2048""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,

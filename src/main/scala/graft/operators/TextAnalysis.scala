@@ -308,6 +308,66 @@ object TextAnalysis {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** TRAINING-SHARD EXPORT packing — the pipeline-exit step that
+    * turns a curated corpus into fixed-token-budget shards: every doc
+    * gets its GLOBAL exclusive token prefix (docs ordered by doc_id,
+    * the deterministic export order) and shard_id =
+    * tokens_before div shardTokens — the standard "concatenate and
+    * cut every N tokens" training-data layout, one manifest row per
+    * shard. Per-doc frame: (doc_id, n_tokens, tokens_before,
+    * shard_id).
+    *
+    * Scale shape — the DISTRIBUTED PREFIX SUM, not a global window: a
+    * single `Window.orderBy(doc_id)` cumsum plans as ONE task over
+    * the whole corpus (the classic export bottleneck). Instead docs
+    * bucket by doc_id div `bucketSize`; per-bucket token subtotals
+    * aggregate map-side to an O(corpus/bucketSize)-row pane whose
+    * prefix folds on the driver, and the per-doc cumsum is a window
+    * WITHIN each bounded bucket plus the bucket's broadcast prefix —
+    * every stage distributes, no task sees more than `bucketSize`
+    * rows serially. Value-identical to the global window (spec).
+    */
+  def exportShards(docs: DataFrame, shardTokens: Long = 2048L,
+      bucketSize: Long = 4096L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("__b", expr(s"doc_id div ${bucketSize}L"))
+    // O(buckets) driver pane: per-bucket subtotals, prefix-folded
+    val subtotals = d.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val prefix = subtotals.map { case (b, s) =>
+      val p = acc; acc += s; (b, p) }
+    val prefixDf = broadcast(prefix.toIndexedSeq.toDF("__b", "__prefix"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.join(prefixDf, Seq("__b"))
+      .withColumn("tokens_before",
+        col("__prefix") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        col("shard_id"))
+  }
+
+  /** Driver scenario for [[exportShards]]: the per-shard MANIFEST
+    * (the artifact an export run hands to the trainer) over the
+    * documents table.
+    */
+  def exportShardsManifest(spark: SparkSession, sfDir: String,
+      shardTokens: Long = 2048L): DataFrame =
+    exportShards(Tables.load(spark, sfDir, "documents"), shardTokens)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
   /** Corpus accounting rollup: docs / chars / whitespace tokens per
     * (lang, source) — the bookkeeping query behind token budgets.
     */

@@ -733,6 +733,41 @@ class OperatorsSpec extends SparkSpec {
       "hash-keyed paragraphDedup diverged from the text-keyed form")
   }
 
+  test("exportShards: the bucket-prefix distributed cumsum is value-" +
+      "identical to the global-window form and shards are contiguous") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    // bucketSize 64 over a 500-doc corpus forces MANY buckets, so the
+    // driver prefix fold genuinely composes with the in-bucket windows
+    val got = operators.TextAnalysis
+      .exportShards(docs, shardTokens = 2048L, bucketSize = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", expr("tokens_before div 2048L"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected,
+      "distributed prefix sum diverged from the global-window cumsum")
+    // shards are a CONTIGUOUS partition of the export order: shard k's
+    // first doc follows shard k-1's last
+    val manifest = operators.TextAnalysis
+      .exportShardsManifest(spark, sf)
+      .orderBy(col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(manifest.nonEmpty)
+    manifest.sliding(2).foreach {
+      case Array((_, _, lastA), (_, firstB, _)) =>
+        assert(firstB > lastA, "shard doc ranges must be contiguous")
+      case _ =>
+    }
+  }
+
   test("connected components on an empty pair set is the empty frame") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val out = Dedup.connectedComponents(empty)
