@@ -143,9 +143,15 @@ object GraftSql {
   private val CreateAnnIndex =
     """(?is)\s*CREATE\s+ANN\s+INDEX\s+'([^']+)'\s+ON\s+(?:'([^']+)'|([\w.`]+))(\s+USING\s+IVF_PQ)?\s*""".r
   private val IngestDedupIndex =
-    """(?is)\s*INGEST\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))\s*""".r
+    """(?is)\s*INGEST\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BATCH\s+(\d+))?\s*""".r
   private val IngestAnnIndex =
-    """(?is)\s*INGEST\s+INTO\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))\s*""".r
+    """(?is)\s*INGEST\s+INTO\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BATCH\s+(\d+))?\s*""".r
+  // index INTROSPECTION: one metrics row per index — the ops glance
+  // (family, size, skew) without touching the Scala API
+  private val DescribeAnnIndex =
+    """(?is)\s*DESCRIBE\s+ANN\s+INDEX\s+'([^']+)'\s*""".r
+  private val DescribeDedupIndex =
+    """(?is)\s*DESCRIBE\s+DEDUP\s+INDEX\s+'([^']+)'\s*""".r
   // ADMISSION as a statement — the whole screen-verdict-ingest cycle
   // (Dedup.admitBatch: lexical probe, optional quality GATE, optional
   // SEMANTIC screen against a built ANN index, exactly-once appends
@@ -197,15 +203,38 @@ object GraftSql {
         graft.operators.Similarity.ivfPqIndexBuild(spark, idxPath, src)
       else graft.operators.Similarity.ivfIndexBuild(spark, idxPath, src)
       emptyResult(spark)
-    case IngestDedupIndex(idxPath, srcPath, srcIdent) =>
+    case IngestDedupIndex(idxPath, srcPath, srcIdent, batchTxt) =>
+      // BATCH arms the same per-table exactly-once watermarks as the
+      // API path — a replayed statement re-lands nothing
       graft.operators.Dedup.incrementalIndex(spark, idxPath,
-        indexSourceFrame(spark, srcPath, srcIdent))
+        indexSourceFrame(spark, srcPath, srcIdent),
+        batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L))
       emptyResult(spark)
-    case IngestAnnIndex(idxPath, srcPath, srcIdent) =>
+    case IngestAnnIndex(idxPath, srcPath, srcIdent, batchTxt) =>
       // family-dispatching: an IVF+PQ index additionally encodes
       graft.operators.Similarity.indexIngest(spark, idxPath,
-        indexSourceFrame(spark, srcPath, srcIdent))
+        indexSourceFrame(spark, srcPath, srcIdent),
+        batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L))
       emptyResult(spark)
+    case DescribeAnnIndex(path) =>
+      val cents = graft.operators.Similarity.loadCents(spark, path)
+      val t = GraftTable.load(spark,
+        java.nio.file.Paths.get(path, "assignments").toString)
+      val rows = t.rowCount.getOrElse(t.snapshot().count())
+      import spark.implicits._
+      Seq((if (graft.operators.Similarity.isPqIndex(path)) "ivf_pq"
+           else "ivf_flat",
+        cents.size, rows, graft.operators.Similarity.cellSkew(spark, path)))
+        .toDF("family", "cells", "num_vectors", "cell_skew")
+    case DescribeDedupIndex(path) =>
+      def count(sub: String): Long = {
+        val t = GraftTable.load(spark,
+          java.nio.file.Paths.get(path, sub).toString)
+        t.rowCount.getOrElse(t.snapshot().count())
+      }
+      import spark.implicits._
+      Seq((count("sigs"), count("shingles")))
+        .toDF("num_sig_rows", "num_shingle_postings")
     case AdmitIntoDedupIndex(idxPath, clustersPath, srcPath, srcIdent,
         gateText, semPath, batchTxt) =>
       val out = graft.operators.Dedup.admitBatch(spark, idxPath,
@@ -708,7 +737,8 @@ object GraftSql {
          MaintainAnnIndexContinuous(_, _, _) | MaintainAnnIndex(_, _) |
          StopMaintainIndex(_) |
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
-         IngestDedupIndex(_, _, _) | IngestAnnIndex(_, _, _) |
+         IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
+         DescribeAnnIndex(_) | DescribeDedupIndex(_) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _) => true
     case _ => false
   }
@@ -787,6 +817,14 @@ object GraftSql {
         StructField("doc_id", LongType),
         StructField("canonical_id", LongType),
         StructField("action", StringType))))
+      case DescribeAnnIndex(_) => Some(StructType(Seq(
+        StructField("family", StringType),
+        StructField("cells", IntegerType, nullable = false),
+        StructField("num_vectors", LongType, nullable = false),
+        StructField("cell_skew", DoubleType, nullable = false))))
+      case DescribeDedupIndex(_) => Some(StructType(Seq(
+        StructField("num_sig_rows", LongType, nullable = false),
+        StructField("num_shingle_postings", LongType, nullable = false))))
       case _ => None
     }
   }
@@ -813,7 +851,8 @@ object GraftSql {
       // resolve); the statement shape is unambiguously graft's
       case MaintainDedupIndexContinuous(_, _, _) | MaintainDedupIndex(_, _) |
            MaintainAnnIndexContinuous(_, _, _) | MaintainAnnIndex(_, _) |
-           StopMaintainIndex(_) => return true
+           StopMaintainIndex(_) |
+           DescribeAnnIndex(_) | DescribeDedupIndex(_) => return true
       // admission with a QUOTED source is shape-claimed; the bare-
       // identifier source resolves below like CREATE/INGEST INDEX
       case AdmitIntoDedupIndex(_, _, p, _, _, _, _) if p != null =>
@@ -823,8 +862,8 @@ object GraftSql {
       // requires the source to resolve as a registered graft table
       case CreateDedupIndex(_, p, _) if p != null => return true
       case CreateAnnIndex(_, p, _, _) if p != null => return true
-      case IngestDedupIndex(_, p, _) if p != null => return true
-      case IngestAnnIndex(_, p, _) if p != null => return true
+      case IngestDedupIndex(_, p, _, _) if p != null => return true
+      case IngestAnnIndex(_, p, _, _) if p != null => return true
       case _ =>
     }
     val ident = text match {
@@ -857,8 +896,8 @@ object GraftSql {
       case CreateMatView(_, _, _, srcIdent, _, _) => Some(srcIdent)
       case CreateDedupIndex(_, _, i) => Some(i)
       case CreateAnnIndex(_, _, i, _) => Some(i)
-      case IngestDedupIndex(_, _, i) => Some(i)
-      case IngestAnnIndex(_, _, i) => Some(i)
+      case IngestDedupIndex(_, _, i, _) => Some(i)
+      case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)

@@ -1488,6 +1488,53 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("INGEST INTO ... INDEX BATCH is exactly-once from SQL, and " +
+      "DESCRIBE [ANN|DEDUP] INDEX surfaces the metrics row") {
+    val root = Files.createTempDirectory("graft_ingest_sql_")
+    def dirOf(n: String) = root.resolve(n).toString
+    // ANN leg
+    val seed = spark.range(0, 24).selectExpr("id AS vec_id",
+      "CAST(id % 3 AS INT) AS label",
+      "CAST(array(CAST(id % 4 AS FLOAT), 1.0F, 0.5F, 0.0F) " +
+        "AS ARRAY<FLOAT>) AS embedding")
+    seed.write.parquet(dirOf("seed"))
+    spark.range(100, 108).selectExpr("id AS vec_id",
+      "CAST(id % 3 AS INT) AS label",
+      "CAST(array(0.0F, 0.0F, 1.0F, CAST(id - 100 AS FLOAT)) " +
+        "AS ARRAY<FLOAT>) AS embedding").write.parquet(dirOf("arr"))
+    val ivf = dirOf("ivf")
+    GraftSql.sql(spark, s"CREATE ANN INDEX '$ivf' ON '${dirOf("seed")}'")
+    val ingest = s"INGEST INTO ANN INDEX '$ivf' FROM '${dirOf("arr")}' BATCH 0"
+    GraftSql.sql(spark, ingest)
+    def annRows = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(ivf, "assignments").toString)
+      .snapshot().count()
+    assert(annRows === 32L)
+    GraftSql.sql(spark, ingest) // replayed BATCH id: re-lands nothing
+    assert(annRows === 32L,
+      "replayed INGEST BATCH must be exactly-once from SQL")
+    val d = GraftSql.sql(spark, s"DESCRIBE ANN INDEX '$ivf'").head()
+    assert(d.getString(0) === "ivf_flat")
+    assert(d.getInt(1) > 0 && d.getLong(2) === 32L && d.getDouble(3) > 0.0)
+    // DEDUP leg
+    val didx = dirOf("didx")
+    Tables.load(spark, sf, "documents").where($"doc_id" % 5 =!= 0)
+      .write.parquet(dirOf("docs"))
+    Tables.load(spark, sf, "documents").where($"doc_id" % 5 === 0)
+      .write.parquet(dirOf("batch"))
+    GraftSql.sql(spark, s"CREATE DEDUP INDEX '$didx' ON '${dirOf("docs")}'")
+    val dIngest =
+      s"INGEST INTO DEDUP INDEX '$didx' FROM '${dirOf("batch")}' BATCH 0"
+    GraftSql.sql(spark, dIngest)
+    def sigRows = GraftSql.sql(spark, s"DESCRIBE DEDUP INDEX '$didx'")
+      .head()
+    val before = sigRows
+    assert(before.getLong(0) > 0L && before.getLong(1) > 0L)
+    GraftSql.sql(spark, dIngest) // replay
+    assert(sigRows === before,
+      "replayed dedup INGEST BATCH must re-land nothing")
+  }
+
   test("ADMIT INTO DEDUP INDEX: the whole admission cycle from pure " +
       "SQL — gate rejects, lexical and semantic near-dups drop, and " +
       "a replayed BATCH id is a no-op") {
