@@ -812,6 +812,19 @@ object Similarity {
     else ivfIndexQuery(spark, indexPath, queryVec, k = k, nprobe = nprobe,
       excludeVecId = excludeVecId, filter = filter)
 
+  // (index path, committed version, predicate SQL) → (total,
+  // matching): the counts are a pure function of that key, so the
+  // steady-state filtered serve pays the counting scan once per
+  // (index version, filter shape) instead of per query. Bounded —
+  // clears wholesale past 256 shapes (a serving layer reuses a
+  // handful; unbounded filter text would otherwise leak).
+  private val selectivityMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
+      (Long, Long)]()
+  // counting-scan observability for the memo spec
+  private[graft] val selectivityScans =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** FILTERED-SEARCH probe expansion: a metadata predicate shrinks
     * each probed cell's usable population, so a fixed nprobe would
     * return fewer than k filtered survivors exactly when the filter
@@ -819,18 +832,29 @@ object Similarity {
     * selectivity — ceil(nprobe · total / matching), exact integer
     * arithmetic over exact counts (engine-portable: an oracle replays
     * the same expansion relationally), capped at the cell count. The
-    * counting pass reads ONLY the filter's columns (column pruning);
-    * a filter matching nothing probes everything and returns empty
-    * rather than guessing.
+    * counting pass reads ONLY the filter's columns (column pruning)
+    * and MEMOIZES per (index path, committed version, predicate SQL)
+    * — an ingest or rebalance bumps the version and naturally
+    * invalidates. A filter matching nothing probes everything and
+    * returns empty rather than guessing.
     */
   private def filteredNprobe(spark: SparkSession, asgPath: String,
       filter: Option[org.apache.spark.sql.Column], nprobe: Int,
       nCells: Int): Int = filter match {
     case None => nprobe
     case Some(f) =>
-      val r = spark.read.format("graft-table").load(asgPath)
-        .agg(count(lit(1)).as("t"), count(when(f, 1)).as("m")).head()
-      val total = r.getLong(0); val matching = r.getLong(1)
+      val version = graft.tables.GraftTable.load(spark, asgPath)
+        .latestVersion
+      if (selectivityMemo.size > 256) selectivityMemo.clear()
+      // Column.toString is the expression's canonical text — stable
+      // for equal constructions, the memo's predicate identity
+      val (total, matching) = selectivityMemo.computeIfAbsent(
+        (asgPath, version, f.toString), _ => {
+          selectivityScans.incrementAndGet()
+          val r = spark.read.format("graft-table").load(asgPath)
+            .agg(count(lit(1)).as("t"), count(when(f, 1)).as("m")).head()
+          (r.getLong(0), r.getLong(1))
+        })
       if (matching <= 0L) nCells
       else math.min(nCells.toLong,
         (nprobe.toLong * total + matching - 1L) / matching).toInt

@@ -398,6 +398,21 @@ class ExtensionsSpec extends SparkSpec {
       assert(got2 === expected2,
         "un-saturated filtered probe diverged from the window replay")
       assert(got2.length === 5, "expanded window must still hold k")
+      // (b2) the selectivity counting pass memoizes per (index
+      // version, predicate): an identical re-query pays no counting
+      // scan; an ingest bumps the version and re-counts
+      val scans0 = Similarity.selectivityScans.get()
+      Similarity.ivfIndexQuery(s2, ivf, q, k = 3, nprobe = 1,
+        filter = Some(col("label") === 3)).collect()
+      assert(Similarity.selectivityScans.get() === scans0,
+        "identical filtered re-query must reuse the memoized counts")
+      Similarity.ivfIndexIngest(s2, ivf, s2.range(900, 902).selectExpr(
+        "id AS vec_id", "CAST(id % 10 AS INT) AS label",
+        "CAST(array(1.0F, 2.0F, 3.0F, 4.0F) AS ARRAY<FLOAT>) AS embedding"))
+      Similarity.ivfIndexQuery(s2, ivf, q, k = 3, nprobe = 1,
+        filter = Some(col("label") === 3)).collect()
+      assert(Similarity.selectivityScans.get() === scans0 + 1,
+        "a version bump must invalidate the memoized selectivity")
       // (c) a filter matching NOTHING returns empty, not an error
       assert(Similarity.ivfIndexQuery(s2, ivf, q, k = 3,
         filter = Some(col("label") === 99)).count() === 0L)
