@@ -157,7 +157,7 @@ object GraftSql {
   // SEMANTIC screen against a built ANN index, exactly-once appends
   // under BATCH) from pure SQL; the verdict frame IS the result rows
   private val AdmitIntoDedupIndex =
-    """(?is)\s*ADMIT\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+CLUSTERS\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+GATE\s*\((.+?)\))?(?:\s+SEMANTIC\s+INDEX\s+'([^']+)')?(?:\s+BATCH\s+(\d+))?\s*""".r
+    """(?is)\s*ADMIT\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+CLUSTERS\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+GATE\s*\((.+?)\))?(?:\s+SEMANTIC\s+INDEX\s+'([^']+)')?(?:\s+AUDIT\s+'([^']+)')?(?:\s+BATCH\s+(\d+))?\s*""".r
 
   /** Resolve a CREATE/INGEST INDEX source: quoted path → graft table
     * (a `_graft_log` exists) or plain parquet dir; bare identifier →
@@ -236,17 +236,33 @@ object GraftSql {
       Seq((count("sigs"), count("shingles")))
         .toDF("num_sig_rows", "num_shingle_postings")
     case AdmitIntoDedupIndex(idxPath, clustersPath, srcPath, srcIdent,
-        gateText, semPath, batchTxt) =>
-      val out = graft.operators.Dedup.admitBatch(spark, idxPath,
-        clustersPath, indexSourceFrame(spark, srcPath, srcIdent),
-        batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L),
-        gate = Option(gateText)
-          .map(g => org.apache.spark.sql.functions.expr(g)),
-        ivfIndexPath = Option(semPath))
-      // a gated admission returns its own persisted frame and the SQL
-      // caller has no handle to release it — unpersist here; the plan
-      // recomputes deterministically from the COMMITTED clusters state
-      // plus the source on consumption (no-op for the ungated path)
+        gateText, semPath, auditPath, batchTxt) =>
+      val batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L)
+      val gate = Option(gateText)
+        .map(g => org.apache.spark.sql.functions.expr(g))
+      val out = Option(auditPath) match {
+        case Some(ap) =>
+          // the audited form persists the verdict ledger exactly-once
+          // per batch id — its watermark needs one, so AUDIT requires
+          // BATCH (the API contract, surfaced as a statement error)
+          require(batchId >= 0L,
+            "ADMIT INTO ... AUDIT requires a BATCH <id> (the audit " +
+              "ledger's exactly-once watermark is batch-keyed)")
+          graft.operators.Dedup.admitBatchLogged(spark, idxPath,
+            clustersPath, ap, indexSourceFrame(spark, srcPath, srcIdent),
+            batchId = batchId, gate = gate,
+            ivfIndexPath = Option(semPath))
+        case None =>
+          graft.operators.Dedup.admitBatch(spark, idxPath,
+            clustersPath, indexSourceFrame(spark, srcPath, srcIdent),
+            batchId = batchId, gate = gate,
+            ivfIndexPath = Option(semPath))
+      }
+      // a gated/logged admission returns its own persisted frame and
+      // the SQL caller has no handle to release it — unpersist here;
+      // the plan recomputes deterministically from the COMMITTED
+      // clusters/audit state plus the source on consumption (no-op
+      // for the ungated direct path)
       out.unpersist()
       out
     case MaintainDedupIndexContinuous(path, opts, every) =>
@@ -739,7 +755,7 @@ object GraftSql {
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
-         AdmitIntoDedupIndex(_, _, _, _, _, _, _) => true
+         AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
   }
 
@@ -813,7 +829,7 @@ object GraftSql {
         StructField("rebalanced", BooleanType, nullable = false),
         StructField("cell_skew", DoubleType, nullable = false),
         StructField("recall", DoubleType))))
-      case AdmitIntoDedupIndex(_, _, _, _, _, _, _) => Some(StructType(Seq(
+      case AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => Some(StructType(Seq(
         StructField("doc_id", LongType),
         StructField("canonical_id", LongType),
         StructField("action", StringType))))
@@ -855,7 +871,7 @@ object GraftSql {
            DescribeAnnIndex(_) | DescribeDedupIndex(_) => return true
       // admission with a QUOTED source is shape-claimed; the bare-
       // identifier source resolves below like CREATE/INGEST INDEX
-      case AdmitIntoDedupIndex(_, _, p, _, _, _, _) if p != null =>
+      case AdmitIntoDedupIndex(_, _, p, _, _, _, _, _) if p != null =>
         return true
       // index create/ingest with a QUOTED source path is shape-claimed
       // (no catalog ident to resolve); the bare-identifier form below
@@ -898,7 +914,7 @@ object GraftSql {
       case CreateAnnIndex(_, _, i, _) => Some(i)
       case IngestDedupIndex(_, _, i, _) => Some(i)
       case IngestAnnIndex(_, _, i, _) => Some(i)
-      case AdmitIntoDedupIndex(_, _, _, i, _, _, _) => Some(i)
+      case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)
       case RefreshMatView(i) => Some(i)

@@ -1617,5 +1617,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(annCount === nBefore, "replayed batch must re-land nothing")
     assert(clusterState === csBefore,
       "replayed batch must not move the maintained clustering")
+    // AUDIT clause: the verdict ledger persists exactly-once per
+    // batch id, queryable like any graft table; replay logs nothing
+    val audit = dirOf("audit")
+    frame(Seq((21L, "third batch doc words s1a s1b s1c s1d s1e s1f",
+      emb(1, 2)))).write.parquet(dirOf("b2"))
+    val admit2 = s"ADMIT INTO DEDUP INDEX '$didx' CLUSTERS '$cl' " +
+      s"FROM '${dirOf("b2")}' AUDIT '$audit' BATCH 2"
+    val v2 = GraftSql.sql(spark, admit2)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(v2 === Set((21L, "keep")))
+    GraftSql.sql(spark, admit2) // replay: audit logs nothing twice
+    val ledger = graft.tables.GraftTable.load(spark, audit).snapshot()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ledger === Seq((2L, 21L)),
+      s"audit must hold exactly one batch-2 verdict row: $ledger")
+    // AUDIT without BATCH refuses loudly (the watermark needs an id)
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"ADMIT INTO DEDUP INDEX '$didx' CLUSTERS " +
+        s"'$cl' FROM '${dirOf("b2")}' AUDIT '$audit'")
+    }
+    assert(err.getMessage.contains("BATCH"), err.getMessage)
   }
 }
