@@ -1203,6 +1203,9 @@ object Similarity {
           .groupBy(_.getLong(0))
           .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val gt = topk(scored)
+      // a 1-member sample has no (query, candidate) pairs at all —
+      // nothing measurable, report perfect rather than NaN
+      if (gt.isEmpty) return 1.0
       val probeDf = broadcast(probePairs.toDF("query_id", "cent_id"))
       val ivf = topk(scored.join(probeDf, Seq("query_id", "cent_id")))
       val recalls = gt.toSeq.map { case (q, truth) =>

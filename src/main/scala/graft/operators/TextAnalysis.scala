@@ -339,6 +339,13 @@ object TextAnalysis {
     val subtotals = d.groupBy(col("__b"))
       .agg(sum(col("n_tokens")).as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // `div` truncates toward zero, so a NEGATIVE doc_id would land in
+    // a bucket that breaks the bucket/in-bucket order alignment the
+    // prefix sum depends on — refuse loudly (the check rides the
+    // already-collected pane, no extra scan)
+    require(subtotals.headOption.forall(_._1 >= 0L),
+      "exportShards needs non-negative doc_ids (bucket order would " +
+        "misalign under div's truncation toward zero)")
     var acc = 0L
     val prefix = subtotals.map { case (b, s) =>
       val p = acc; acc += s; (b, p) }
