@@ -420,6 +420,29 @@ class ExtensionsSpec extends SparkSpec {
       val err = intercept[Exception] { s2.sql(
         s"SELECT * FROM ann_search('$ivf', array(1.0), 3, 1, 42)") }
       assert(err.getMessage.contains("filter"), err.getMessage)
+      // (e) the filter arg dispatches through the IVF+PQ family too:
+      // the ADC cascade ranks filtered candidates only, TVF ≡ API
+      val pqSrc = s2.range(0, 32).selectExpr("id AS vec_id",
+        "CAST(id % 10 AS INT) AS label",
+        "CAST(array(CAST(id % 4 AS FLOAT), 1.0F, 0.5F, 0.0F, 0.0F, " +
+          "0.0F, 0.0F, CAST(id AS FLOAT) * 0.01F) " +
+          "AS ARRAY<FLOAT>) AS embedding")
+      val pq = java.nio.file.Files.createTempDirectory("graft_fann_")
+        .resolve("pq").toString
+      Similarity.ivfPqIndexBuild(s2, pq, pqSrc, nCentroids = 4)
+      val apiPq = Similarity.ivfPqIndexQuery(s2, pq,
+        Seq(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), k = 2, nprobe = 1,
+        filter = Some(col("label") === 3)).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val tvfPq = s2.sql(
+        s"""SELECT * FROM ann_search('$pq',
+           |array(10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+           |2, 1, 'label = 3')""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(tvfPq === apiPq,
+        "filtered ann_search must dispatch identically on IVF+PQ")
+      assert(tvfPq.length === 2, "post-filter k must hold on the " +
+        "ADC cascade (labels 3/13/23 give 3 matches)")
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
