@@ -111,6 +111,8 @@ object SparkEntry {
     "text_pack_bins" -> ((s: SparkSession, d: String) => TextAnalysis.packBins(s, d)),
     "text_export_shards" -> ((s: SparkSession, d: String) =>
       TextAnalysis.exportShardsManifest(s, d)),
+    "text_export_shards_incremental" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.exportShardsIncrementalScenario(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
@@ -262,7 +264,11 @@ object SparkEntry {
       // answer is exactly the brute-force frame top-k — the same
       // oracle checks the whole lifecycle, geometry-independent
       ("multimodal_frame_ann_indexed" ->
-        oracleSqlMain("multimodal_frame_ann"))
+        oracleSqlMain("multimodal_frame_ann")) +
+      // three monotone batches + a replay accumulate to the one-shot
+      // export, so the same manifest replay checks the incremental path
+      ("text_export_shards_incremental" ->
+        oracleSqlMain("text_export_shards"))
 
   /** Portable banded-minhash oracle parameterized by the family's
     * (numPerm, bands) layout — ONE relational replay checks both the

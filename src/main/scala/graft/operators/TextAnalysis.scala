@@ -328,7 +328,19 @@ object TextAnalysis {
     * rows serially. Value-identical to the global window (spec).
     */
   def exportShards(docs: DataFrame, shardTokens: Long = 2048L,
-      bucketSize: Long = 4096L): DataFrame = {
+      bucketSize: Long = 4096L): DataFrame =
+    tokenPrefix(docs, bucketSize, startOffset = 0L)
+      .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        col("shard_id"))
+
+  /** The distributed-prefix-sum kernel under [[exportShards]] and
+    * [[exportShardsIngest]]: per-doc exclusive token prefix in doc_id
+    * order, shifted by `startOffset` (the stored corpus total on the
+    * incremental path).
+    */
+  private def tokenPrefix(docs: DataFrame, bucketSize: Long,
+      startOffset: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val d = docs.select(col("doc_id"),
@@ -346,7 +358,7 @@ object TextAnalysis {
     require(subtotals.headOption.forall(_._1 >= 0L),
       "exportShards needs non-negative doc_ids (bucket order would " +
         "misalign under div's truncation toward zero)")
-    var acc = 0L
+    var acc = startOffset
     val prefix = subtotals.map { case (b, s) =>
       val p = acc; acc += s; (b, p) }
     val prefixDf = broadcast(prefix.toIndexedSeq.toDF("__b", "__prefix"))
@@ -357,9 +369,114 @@ object TextAnalysis {
     d.join(prefixDf, Seq("__b"))
       .withColumn("tokens_before",
         col("__prefix") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+  }
+
+  /** Idempotency keys for the incremental export's two appends. */
+  val exportAssignAppId = "graft-export-assign"
+  val exportStateAppId = "graft-export-state"
+
+  /** INCREMENTAL shard export — the continuous form of
+    * [[exportShards]] for a corpus that keeps ingesting: each arriving
+    * batch assigns its docs global shard positions CONTINUING from
+    * the stored corpus total (one tiny state row per batch — offset
+    * reads are O(batches), never a corpus re-scan), and the per-doc
+    * assignments land in a GraftTable exactly-once per `batchId`
+    * (both the assignments and the state row ride `appendIfNew`
+    * watermarks, so a crash between the two commits replays exactly
+    * the missing side and a full replay is a no-op). Batches must
+    * arrive doc_id-MONOTONE (min doc_id above the stored max) — the
+    * property that makes the accumulated state equal the one-shot
+    * [[exportShards]] over the whole corpus, checked loudly.
+    * Returns the batch's per-doc assignment frame.
+    */
+  def exportShardsIngest(spark: SparkSession, exportPath: String,
+      docs: DataFrame, batchId: Long, shardTokens: Long = 2048L,
+      bucketSize: Long = 4096L): DataFrame = {
+    import graft.tables.GraftTable
+    require(batchId >= 0L, "exportShardsIngest needs a batchId >= 0")
+    val statePath = java.nio.file.Paths.get(exportPath, "state").toString
+    val asgPath = java.nio.file.Paths.get(exportPath, "assignments")
+      .toString
+    val hasState = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(statePath, "_graft_log"))
+    // state as of STRICTLY EARLIER batches: a replay of batch k then
+    // recomputes from exactly the offset its first attempt saw — the
+    // monotone check passes again and both appendIfNew watermarks
+    // skip (or land the crash-missing side), never a double-advance
+    val (offset0, maxDoc0) = if (!hasState) (0L, -1L) else {
+      val r = GraftTable.load(spark, statePath).snapshot()
+        .where(col("batch_id") < batchId)
+        .agg(coalesce(max(col("end_offset")), lit(0L)),
+          coalesce(max(col("max_doc")), lit(-1L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id")),
+      count(lit(1))).head()
+    require(bounds.getLong(2) > 0L, "exportShardsIngest: empty batch")
+    require(bounds.getLong(0) > maxDoc0,
+      s"exportShardsIngest needs doc_id-monotone batches: batch min " +
+        s"${bounds.getLong(0)} is not above the stored max $maxDoc0 " +
+        "(out-of-order arrivals would break one-shot equivalence)")
+    val assigned = tokenPrefix(docs, bucketSize, offset0)
       .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
         col("shard_id"))
+      .withColumn("batch_id", lit(batchId))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val endOffset = assigned
+        .agg(max(col("tokens_before") + col("n_tokens"))).head().getLong(0)
+      // assignments FIRST, state second: a crash between the commits
+      // replays against the OLD offset, appendIfNew skips the landed
+      // assignments, and the state row lands on the retry — the
+      // fail-safe order (state-first would double-advance the offset)
+      val asgT = GraftTable.createIfAbsent(spark, asgPath,
+        assigned.limit(0))
+      asgT.appendIfNew(assigned, batchId, appId = exportAssignAppId)
+      import spark.implicits._
+      val stateRow = Seq((batchId, endOffset, bounds.getLong(1)))
+        .toDF("batch_id", "end_offset", "max_doc")
+      val stT = GraftTable.createIfAbsent(spark, statePath,
+        stateRow.limit(0))
+      stT.appendIfNew(stateRow, batchId, appId = exportStateAppId)
+      // localize the (batch-sized) result off the cache before release
+      val rows = assigned.drop("batch_id").collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        assigned.drop("batch_id").schema)
+    } finally assigned.unpersist(): Unit
+  }
+
+  private val exportStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[exportShardsIngest]]: the corpus arrives
+    * in 3 doc_id-monotone batches plus a replay of the last; the
+    * accumulated assignments must equal the one-shot export, so the
+    * per-shard manifest shares [[exportShardsManifest]]'s oracle.
+    */
+  def exportShardsIncrementalScenario(spark: SparkSession,
+      sfDir: String, shardTokens: Long = 2048L): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_export_").toString
+    exportShardsIngest(spark, stage,
+      docs.where(col("doc_id") < 170), 0L, shardTokens)
+    exportShardsIngest(spark, stage,
+      docs.where(col("doc_id") >= 170 && col("doc_id") < 340), 1L,
+      shardTokens)
+    exportShardsIngest(spark, stage,
+      docs.where(col("doc_id") >= 340), 2L, shardTokens)
+    // replay of the last batch: both watermarks skip, state unchanged
+    exportShardsIngest(spark, stage,
+      docs.where(col("doc_id") >= 340), 2L, shardTokens)
+    graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(stage, "assignments").toString)
+      .snapshot()
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
   }
 
   /** Driver scenario for [[exportShards]]: the per-shard MANIFEST

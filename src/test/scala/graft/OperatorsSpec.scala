@@ -768,6 +768,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("exportShardsIngest: monotone batches accumulate to the one-" +
+      "shot export, mid-sequence replay is a no-op, out-of-order " +
+      "arrivals refuse") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_expinc_").toString
+    def ingest(pred: org.apache.spark.sql.Column, id: Long) =
+      operators.TextAnalysis.exportShardsIngest(spark, stage,
+        docs.where(pred), id)
+    ingest($"doc_id" < 100, 0L)
+    ingest($"doc_id" >= 100 && $"doc_id" < 300, 1L)
+    ingest($"doc_id" >= 300, 2L)
+    def asgT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(stage, "assignments").toString)
+    def stT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(stage, "state").toString)
+    val (nBefore, stBefore) =
+      (asgT.snapshot().count(), stT.snapshot().count())
+    // replay of a MID-SEQUENCE batch: the offset reads state as of
+    // strictly-earlier batches, so the monotone check passes again
+    // and both watermarks skip — nothing re-lands
+    val replay = ingest($"doc_id" >= 100 && $"doc_id" < 300, 1L)
+    assert(replay.count() > 0, "replay still returns the verdict frame")
+    assert(asgT.snapshot().count() === nBefore &&
+      stT.snapshot().count() === stBefore,
+      "replayed batch must re-land nothing in either table")
+    // accumulated state ≡ the one-shot export over the whole corpus
+    val acc = asgT.snapshot()
+      .select($"doc_id", $"n_tokens", $"tokens_before", $"shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val oneShot = operators.TextAnalysis.exportShards(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(acc === oneShot,
+      "incremental accumulation diverged from the one-shot export")
+    // an overlapping (non-monotone) batch refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      ingest($"doc_id" < 50, 3L)
+    }
+    assert(err.getMessage.contains("monotone"), err.getMessage)
+  }
+
   test("connected components on an empty pair set is the empty frame") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val out = Dedup.connectedComponents(empty)
