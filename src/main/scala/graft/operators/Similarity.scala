@@ -1046,11 +1046,15 @@ object Similarity {
       .where(col("cent_id").isin(probe.map(Integer.valueOf): _*))
     val asg = filter.fold(probed)(f => probed.where(f))
       .filter(col("vec_id") =!= excludeVecId)
+    // a shortlist below k would silently truncate the answer to
+    // shortlist rows — the cascade's contract is "k of the probed
+    // cells", so the shortlist widens to at least k
+    val shortlistEff = math.max(shortlist, k)
     val approx = asg
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(dtDf, Seq("s", "code"))
       .groupBy(col("vec_id")).agg(sum(col("d")).as("approx_dist"))
-      .orderBy(col("approx_dist"), col("vec_id")).limit(shortlist)
+      .orderBy(col("approx_dist"), col("vec_id")).limit(shortlistEff)
     val qCol = typedLit(queryVec)
     asg.join(approx.select(col("vec_id")), Seq("vec_id"))
       .select(col("vec_id"), col("label"),

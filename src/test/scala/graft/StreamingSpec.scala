@@ -820,6 +820,58 @@ class StreamingSpec extends SparkSpec {
     assert(curated.latestVersion === v, "replay must be a no-op")
   }
 
+  test("pipeline-exit composition: per-cycle curated admissions " +
+      "export into training shards, accumulating to the one-shot pack") {
+    val stage = Files.createTempDirectory("graft_curexp_")
+    val raw = stage.resolve("raw")
+    java.nio.file.Files.createDirectories(raw)
+    def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    def land(rows: Seq[(Long, String, String, String, Long)], p: String): Unit =
+      graft.sources.Ingest.stageBatch(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        raw.toString, p)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val curated = graft.tables.GraftTable.create(spark,
+      stage.resolve("curated").toString,
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val cp = stage.resolve("cp").toString
+    // cycle 1 admits 1 and 7 (2 is an intra-batch near-dup of 1);
+    // cycle 2 drops the near-dup 10 and admits 11
+    land(Seq(doc(1, base), doc(2, base + " omega"),
+      doc(7, s"unique seven $base nine ten eleven twelve thirteen"
+        .split(" ").reverse.mkString(" "))), "b1")
+    Streams.curationStream(spark, raw.toString, cp,
+      stage.resolve("idx").toString, stage.resolve("cl").toString, curated)
+    val exp = stage.resolve("exp").toString
+    // per-cycle EXPORT of exactly the cycle's admissions — the curated
+    // feed is doc_id-monotone here, the incremental export's contract
+    operators.TextAnalysis.exportShardsIngest(spark, exp,
+      curated.snapshot(), 0L, shardTokens = 16L)
+    land(Seq(doc(10, base + " sigma"),
+      doc(11, "completely different words entirely novel content here " +
+        "nothing shared with anything prior at all")), "b2")
+    Streams.curationStream(spark, raw.toString, cp,
+      stage.resolve("idx").toString, stage.resolve("cl").toString, curated)
+    operators.TextAnalysis.exportShardsIngest(spark, exp,
+      curated.snapshot().where($"doc_id" > 7L), 1L, shardTokens = 16L)
+    val asg = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp, "assignments").toString).snapshot()
+    // every admitted doc packs exactly once, dropped docs never do...
+    assert(asg.select($"doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 7L, 11L))
+    // ...and the accumulated assignments ≡ the one-shot pack of the
+    // final curated corpus — curation and export compose end-to-end
+    val acc = asg.select($"doc_id", $"tokens_before", $"shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = operators.TextAnalysis
+      .exportShards(curated.snapshot(), shardTokens = 16L)
+      .select($"doc_id", $"tokens_before", $"shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(acc === oneShot,
+      "per-cycle export diverged from the one-shot pack")
+  }
+
   test("curation stream with a semantic screen: an embedding near-dup " +
       "of an earlier batch's doc drops at the gate, index exactly-once") {
     val stage = Files.createTempDirectory("graft_cursem_")
