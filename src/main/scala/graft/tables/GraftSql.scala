@@ -146,6 +146,12 @@ object GraftSql {
     """(?is)\s*INGEST\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BATCH\s+(\d+))?\s*""".r
   private val IngestAnnIndex =
     """(?is)\s*INGEST\s+INTO\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BATCH\s+(\d+))?\s*""".r
+  // the pipeline exit as a statement: exactly-once incremental shard
+  // export (TextAnalysis.exportShardsIngest) — BATCH is mandatory
+  // (the state/assignment watermarks are batch-keyed); the batch's
+  // per-doc assignments are the result rows
+  private val ExportShardsSql =
+    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?\s+BATCH\s+(\d+)\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -216,6 +222,10 @@ object GraftSql {
         indexSourceFrame(spark, srcPath, srcIdent),
         batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L))
       emptyResult(spark)
+    case ExportShardsSql(toPath, srcPath, srcIdent, budgetTxt, batchTxt) =>
+      graft.operators.TextAnalysis.exportShardsIngest(spark, toPath,
+        indexSourceFrame(spark, srcPath, srcIdent), batchTxt.toLong,
+        shardTokens = Option(budgetTxt).map(_.toLong).getOrElse(2048L))
     case DescribeAnnIndex(path) =>
       val cents = graft.operators.Similarity.loadCents(spark, path)
       val t = GraftTable.load(spark,
@@ -755,6 +765,7 @@ object GraftSql {
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
+         ExportShardsSql(_, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
   }
@@ -841,6 +852,11 @@ object GraftSql {
       case DescribeDedupIndex(_) => Some(StructType(Seq(
         StructField("num_sig_rows", LongType, nullable = false),
         StructField("num_shingle_postings", LongType, nullable = false))))
+      case ExportShardsSql(_, _, _, _, _) => Some(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_tokens", LongType),
+        StructField("tokens_before", LongType),
+        StructField("shard_id", LongType))))
       case _ => None
     }
   }
@@ -869,10 +885,11 @@ object GraftSql {
            MaintainAnnIndexContinuous(_, _, _) | MaintainAnnIndex(_, _) |
            StopMaintainIndex(_) |
            DescribeAnnIndex(_) | DescribeDedupIndex(_) => return true
-      // admission with a QUOTED source is shape-claimed; the bare-
-      // identifier source resolves below like CREATE/INGEST INDEX
+      // admission/export with a QUOTED source is shape-claimed; the
+      // bare-identifier source resolves below like CREATE/INGEST INDEX
       case AdmitIntoDedupIndex(_, _, p, _, _, _, _, _) if p != null =>
         return true
+      case ExportShardsSql(_, p, _, _, _) if p != null => return true
       // index create/ingest with a QUOTED source path is shape-claimed
       // (no catalog ident to resolve); the bare-identifier form below
       // requires the source to resolve as a registered graft table
@@ -915,6 +932,7 @@ object GraftSql {
       case IngestDedupIndex(_, _, i, _) => Some(i)
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
+      case ExportShardsSql(_, _, i, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)
       case RefreshMatView(i) => Some(i)

@@ -1535,6 +1535,39 @@ class GraftSqlSpec extends SparkSpec {
       "replayed dedup INGEST BATCH must re-land nothing")
   }
 
+  test("EXPORT SHARDS SQL: exactly-once batch export, per-doc rows, " +
+      "accumulating to the one-shot pack") {
+    val root = Files.createTempDirectory("graft_export_sql_")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.where($"doc_id" < 100).write.parquet(root.resolve("b0").toString)
+    docs.where($"doc_id" >= 100).write.parquet(root.resolve("b1").toString)
+    val exp = root.resolve("exp").toString
+    val r0 = GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp' " +
+      s"FROM '${root.resolve("b0")}' BUDGET 512 BATCH 0")
+    assert(r0.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "tokens_before", "shard_id"))
+    assert(r0.count() === 100L)
+    val again = s"EXPORT SHARDS TO '$exp' " +
+      s"FROM '${root.resolve("b1")}' BUDGET 512 BATCH 1"
+    GraftSql.sql(spark, again)
+    def asg = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp, "assignments").toString).snapshot()
+    val total = docs.count()
+    assert(asg.count() === total)
+    GraftSql.sql(spark, again) // replayed BATCH re-lands nothing
+    assert(asg.count() === total,
+      "replayed EXPORT SHARDS BATCH must be exactly-once")
+    // the accumulated table ≡ the one-shot pack at the same budget
+    val acc = asg.select($"doc_id", $"tokens_before", $"shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = graft.operators.TextAnalysis
+      .exportShards(docs, shardTokens = 512L)
+      .select($"doc_id", $"tokens_before", $"shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(acc === oneShot,
+      "SQL batch exports diverged from the one-shot pack")
+  }
+
   test("ADMIT INTO DEDUP INDEX: the whole admission cycle from pure " +
       "SQL — gate rejects, lexical and semantic near-dups drop, and " +
       "a replayed BATCH id is a no-op") {
