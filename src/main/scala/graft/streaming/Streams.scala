@@ -367,6 +367,10 @@ object Streams {
         val e0 = System.nanoTime()
         val batch = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // a lost commit race inside the admission releases the
+        // arrival cache too — Spark retries the epoch, and a strand
+        // per retry is exactly the admitBatch failure-path lesson
+        try {
         // firstAdmittedWins: the curated table's PRE-APPEND ids are
         // this batch's admitted set — at most one member per cluster
         // survives across epochs, whatever the arrival order (see
@@ -406,8 +410,9 @@ object Streams {
           graft.operators.Dedup.lastAdmitStages(s":$checkpoint") ++
             Map("admit_sec" -> (e1 - e0) / 1e9,
               "append_sec" -> (e2 - e1) / 1e9))
-        verdicts.unpersist() // no-op for the unlogged (lazy) variant
-        batch.unpersist(); ()
+        verdicts.unpersist(): Unit // no-op for the unlogged (lazy) variant
+        } finally batch.unpersist()
+        ()
       }
       .start()
     q.awaitTermination()
