@@ -2912,6 +2912,12 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // concurrently-changing source must not answer differently per
     // branch)
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // any failure from here to the success-path releases (a dup-key
+    // refusal, a write error) frees the persisted source/blast-radius
+    // frames instead of stranding them per retry; unpersist is
+    // idempotent, so the catch may overlap the success path harmlessly
+    var taggedRef: Option[DataFrame] = None
+    try {
     // Delta semantics: a target row matched by MULTIPLE source rows is
     // an error, not a silent row multiplication through the join.
     // Null keys are exempt — they never equi-match a target row, so
@@ -3096,6 +3102,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // persist the blast radius once instead of re-shuffling per branch
     val tagged = joined.withColumn("__action", action)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    taggedRef = Some(tagged)
     val survivors = if (deleteIdx.isEmpty) tagged
       else tagged.where(!col("__action").isin(deleteIdx.map(Integer.valueOf): _*))
     // generated-column MERGE semantics (Delta's): a source that does
@@ -3279,6 +3286,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         idHwBefore = if (identityColumn.isDefined) idHwBefore else -2L,
         newColumnMap = if (freshCm.isEmpty) None else Some(cm)))
     } finally idCleanup()
+    } catch { case t: Throwable =>
+      src.unpersist()
+      taggedRef.foreach(_.unpersist())
+      throw t
+    }
   }
 
   /** Recorded-zone groups of a BINPACK rewrite's input files — the
