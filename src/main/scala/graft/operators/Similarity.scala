@@ -279,6 +279,10 @@ object Similarity {
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a failure mid-Lloyd releases the corpus cache instead of
+    // stranding it (the SUCCESS return hands the persisted frame to
+    // the caller, whose contract is to unpersist when done)
+    try {
     // init: first nCentroids vectors by vec_id (deterministic seed)
     var cents: Seq[(Int, Seq[Long])] = qemb.orderBy(col("vec_id"))
       .limit(nCentroids).select(col("qv")).collect()
@@ -303,6 +307,10 @@ object Similarity {
       }.sortBy(_._1)
     }
     (cents, assign())
+    } catch { case t: Throwable =>
+      qemb.unpersist()
+      throw t
+    }
   }
 
   /** Distributed document/embedding clustering as a first-class

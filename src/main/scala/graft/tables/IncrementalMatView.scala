@@ -273,6 +273,10 @@ class IncrementalMatView private (spark: SparkSession,
           .isin("delete", "update_preimage"))
         .select(keys.map(col): _*).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a refresh losing a commit race (routine under CONTINUOUS) must
+    // release the affected-set cache instead of stranding one entry
+    // per retry
+    try {
     val anyAffected = needsAffected && affected.limit(1).count() > 0
     // NULL-SAFE affected-group routing: a Seq-based join drops
     // null-keyed groups on the floor (null = null is null), which
@@ -349,7 +353,9 @@ class IncrementalMatView private (spark: SparkSession,
       }
     mv.overwrite(nullableFrame(merged),
       Map(SourceVersionKey -> to) ++ dimVersionMetrics(dimVs))
-    if (needsAffected && affected != null) affected.unpersist()
+    } finally {
+      if (needsAffected && affected != null) affected.unpersist(): Unit
+    }
     applyRetention()
     to
   }
