@@ -391,7 +391,7 @@ object TextAnalysis {
     */
   def exportShardsIngest(spark: SparkSession, exportPath: String,
       docs: DataFrame, batchId: Long, shardTokens: Long = 2048L,
-      bucketSize: Long = 4096L): DataFrame = {
+      bucketSize: Long = 4096L, pipelineId: String = ""): DataFrame = {
     import graft.tables.GraftTable
     require(batchId >= 0L, "exportShardsIngest needs a batchId >= 0")
     val statePath = java.nio.file.Paths.get(exportPath, "state").toString
@@ -432,13 +432,18 @@ object TextAnalysis {
       // fail-safe order (state-first would double-advance the offset)
       val asgT = GraftTable.createIfAbsent(spark, asgPath,
         assigned.limit(0))
-      asgT.appendIfNew(assigned, batchId, appId = exportAssignAppId)
+      // per-pipeline watermark namespaces (the sigs/shingles lesson):
+      // two id sequences sharing one export path must not mistake
+      // each other's batch 0 for a replay
+      asgT.appendIfNew(assigned, batchId,
+        appId = exportAssignAppId + pipelineId)
       import spark.implicits._
       val stateRow = Seq((batchId, endOffset, bounds.getLong(1)))
         .toDF("batch_id", "end_offset", "max_doc")
       val stT = GraftTable.createIfAbsent(spark, statePath,
         stateRow.limit(0))
-      stT.appendIfNew(stateRow, batchId, appId = exportStateAppId)
+      stT.appendIfNew(stateRow, batchId,
+        appId = exportStateAppId + pipelineId)
       // localize the (batch-sized) result off the cache before release
       val rows = assigned.drop("batch_id").collect().toIndexedSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
