@@ -492,6 +492,34 @@ class OperatorsSpec extends SparkSpec {
       "a probed-cell subset cannot out-score brute force at rank k")
   }
 
+  test("frame embeddings feed the IVF+PQ machinery unchanged: " +
+      "built, code-ranked, exact-reranked") {
+    // the r16-candidate composition: the 8-dim byte-class frame
+    // embeddings divide evenly into m=8 subspaces, so the IVFADC
+    // layout applies to frames with no adapter
+    val emb = Multimodal.frameEmbeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_framepq_").resolve("idx").toString
+    Similarity.ivfPqIndexBuild(spark, idx, emb, nCentroids = 8)
+    val q = emb.where($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    val got = Similarity.ivfPqIndexQuery(spark, idx, q, k = 10,
+      excludeVecId = 0L)
+      .select($"cos_sim").as[Double].collect()
+    assert(got.length === 10)
+    val brute = Multimodal.frameAnnTopK(spark, sf)
+      .select($"cos_sim").as[Double].collect()
+    // exact-duplicate frames exist in this corpus, so the query's
+    // twins carry ADC distance 0, top the shortlist, and the exact
+    // re-rank recovers the brute top score; the rank-k subset bound
+    // holds as for the flat composition
+    assert(got.head === brute.head,
+      "ADC cascade top-1 score diverged from brute force")
+    assert(got.last <= brute.last + 1e-12,
+      "a shortlist subset cannot out-score brute force at rank k")
+  }
+
   test("quality survivorship elects the longest cluster member, " +
       "ties to the smaller id, singletons elect themselves") {
     val base = "alpha beta gamma delta epsilon"
