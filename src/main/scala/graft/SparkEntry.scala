@@ -113,6 +113,17 @@ object SparkEntry {
       TextAnalysis.exportShardsManifest(s, d)),
     "text_export_shards_incremental" -> ((s: SparkSession, d: String) =>
       TextAnalysis.exportShardsIncrementalScenario(s, d)),
+    "text_export_shards_shuffled" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.exportShardsShuffled(Tables.load(s, d, "documents"))
+        .groupBy(org.apache.spark.sql.functions.col("shard_id"))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).cast("int").as("n_docs"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("n_tokens")).as("shard_tokens"),
+          org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col("doc_id")).as("first_doc"),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("doc_id")).as("last_doc"))),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
@@ -1432,6 +1443,26 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id, n_tokens,
         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d)
+        |SELECT tokens_before // 2048 AS shard_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY tokens_before // 2048""".stripMargin,
+    // shuffle-then-pack: the cumsum runs over the (md5(doc_id),
+    // doc_id) permutation — the oracle's GLOBAL window over that
+    // order IS the equivalence check for the hash-bucket-aligned
+    // distributed spelling
+    "text_export_shards_shuffled" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
         |  FROM d)
         |SELECT tokens_before // 2048 AS shard_id,

@@ -340,36 +340,71 @@ object TextAnalysis {
     * incremental path).
     */
   private def tokenPrefix(docs: DataFrame, bucketSize: Long,
+      startOffset: Long): DataFrame =
+    prefixSum(tokenCounts(docs)
+        .withColumn("__b", expr(s"doc_id div ${bucketSize}L")),
+      Seq("doc_id"), startOffset)
+
+  private def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tokens"))
+
+  /** Distributed exclusive prefix sum of n_tokens over an input
+    * carrying an ORDER-ALIGNED bucket column `__b` (bucket order =
+    * global `orderCols` order): per-bucket subtotals aggregate
+    * map-side to an O(buckets) driver pane whose prefix folds
+    * locally, then bounded in-bucket windows add the broadcast bucket
+    * prefix — never a one-task global window.
+    */
+  private def prefixSum(d: DataFrame, orderCols: Seq[String],
       startOffset: Long): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = d.sparkSession
     import spark.implicits._
-    val d = docs.select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-          .cast("long").as("n_tokens"))
-      .withColumn("__b", expr(s"doc_id div ${bucketSize}L"))
-    // O(buckets) driver pane: per-bucket subtotals, prefix-folded
     val subtotals = d.groupBy(col("__b"))
       .agg(sum(col("n_tokens")).as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    // `div` truncates toward zero, so a NEGATIVE doc_id would land in
-    // a bucket that breaks the bucket/in-bucket order alignment the
-    // prefix sum depends on — refuse loudly (the check rides the
+    // `div` truncates toward zero, so a NEGATIVE order key would land
+    // in a bucket that breaks the bucket/in-bucket order alignment
+    // the prefix sum depends on — refuse loudly (the check rides the
     // already-collected pane, no extra scan)
     require(subtotals.headOption.forall(_._1 >= 0L),
-      "exportShards needs non-negative doc_ids (bucket order would " +
-        "misalign under div's truncation toward zero)")
+      "exportShards needs non-negative order keys (bucket order " +
+        "would misalign under div's truncation toward zero)")
     var acc = startOffset
     val prefix = subtotals.map { case (b, s) =>
       val p = acc; acc += s; (b, p) }
     val prefixDf = broadcast(prefix.toIndexedSeq.toDF("__b", "__prefix"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__b")).orderBy(col("doc_id"))
+      .partitionBy(col("__b")).orderBy(orderCols.map(col): _*)
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     d.join(prefixDf, Seq("__b"))
       .withColumn("tokens_before",
         col("__prefix") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
   }
+
+  /** [[exportShards]] in SHUFFLED order — the standard shuffle-then-
+    * pack step before training: the export order is (md5 residue of
+    * doc_id, doc_id), a deterministic pseudo-random permutation, so
+    * consecutive shards MIX the corpus instead of preserving ingest
+    * order (adjacent-document correlation is what the shuffle
+    * exists to break). Same distributed prefix sum: buckets are
+    * RANGES of the 60-bit hash (h div 2⁴⁸ — 4096 order-aligned
+    * buckets), in-bucket windows order by (h, doc_id); the hash is
+    * the engine-portable md5 residue, so the oracle replays the
+    * permutation and the cumsum exactly.
+    */
+  def exportShardsShuffled(docs: DataFrame,
+      shardTokens: Long = 2048L): DataFrame =
+    prefixSum(tokenCounts(docs)
+        .withColumn("__h",
+          graft.Tables.md5Residue(col("doc_id").cast("string")))
+        .withColumn("__b", expr(s"__h div ${1L << 48}L")),
+      Seq("__h", "doc_id"), startOffset = 0L)
+      .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        col("shard_id"))
 
   /** Idempotency keys for the incremental export's two appends. */
   val exportAssignAppId = "graft-export-assign"
