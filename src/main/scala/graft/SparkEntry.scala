@@ -230,6 +230,8 @@ object SparkEntry {
     "multimodal_frame_ann" -> ((s: SparkSession, d: String) => Multimodal.frameAnnTopK(s, d)),
     "multimodal_frame_ann_indexed" -> ((s: SparkSession, d: String) =>
       Multimodal.frameAnnIndexedScenario(s, d)),
+    "multimodal_frame_ann_pq" -> ((s: SparkSession, d: String) =>
+      Multimodal.frameAnnPqScenario(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1445,7 +1447,7 @@ object SparkEntry {
         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
         |  FROM d)
-        |SELECT tokens_before // 2048 AS shard_id,
+        |SELECT CAST(tokens_before // 2048 AS BIGINT) AS shard_id,
         |  CAST(COUNT(*) AS INTEGER) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
@@ -1465,7 +1467,7 @@ object SparkEntry {
         |    COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
         |  FROM d)
-        |SELECT tokens_before // 2048 AS shard_id,
+        |SELECT CAST(tokens_before // 2048 AS BIGINT) AS shard_id,
         |  CAST(COUNT(*) AS INTEGER) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
@@ -2778,6 +2780,68 @@ object SparkEntry {
         |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
         |FROM scored ORDER BY cos_sim DESC, media_id, frame_idx
         |LIMIT 10""".stripMargin,
+    // frame ANN on the IVF+PQ path: relational replay of the WHOLE
+    // ADC cascade over the frame grid — codebook = first 16 seed
+    // frames' (media_id % 4 ≠ 0) quantized subvectors (sub = 1 at
+    // dim 8 / m 8), codes = per-subspace argmin, ADC shortlist of 25
+    // by exact integer distance, exact cosine re-rank of just the
+    // shortlist; the Spark side probes EVERY cell so geometry never
+    // enters, but the CODE stage genuinely decides the shortlist
+    "multimodal_frame_ann_pq" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |f0 AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest((n + 127) // 128, 1))) AS fi
+        |  FROM m),
+        |f AS (
+        |  SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |    substring(text, CAST(fi * 128 + 1 AS INTEGER), 64) AS fc
+        |  FROM f0),
+        |emb AS (
+        |  SELECT media_id, frame_idx, media_id * 65536 + frame_idx AS vec_id,
+        |    [CAST(len([x for x in [unicode(c) for c in string_split(fc, '')] if x // 32 = b]) AS DOUBLE) for b in range(0, 8)] AS e
+        |  FROM f WHERE length(fc) > 0),
+        |qe AS (
+        |  SELECT media_id, frame_idx, vec_id, e,
+        |    [CAST(floor(e[i] * 1000000.0) AS BIGINT) for i in range(1, 9)] AS qv
+        |  FROM emb),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv
+        |  FROM (SELECT vec_id, qv FROM qe WHERE media_id % 4 <> 0 ORDER BY vec_id LIMIT 16) s0),
+        |sdim AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s),
+        |cb AS (
+        |  SELECT sdim.s, seeds.j, qv[sdim.s + 1] AS cent FROM seeds, sdim),
+        |subv AS (
+        |  SELECT vec_id, sdim.s, qv[sdim.s + 1] AS sv
+        |  FROM qe, sdim WHERE vec_id <> 0),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT v.vec_id, v.s, c.j,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        |        (v.sv - c.cent) * (v.sv - c.cent), c.j) AS rn
+        |    FROM subv v JOIN cb c ON v.s = c.s) c0 WHERE rn = 1),
+        |qsub AS (
+        |  SELECT sdim.s, q.qv[sdim.s + 1] AS sv
+        |  FROM (SELECT qv FROM qe WHERE vec_id = 0) q, sdim),
+        |dt AS (
+        |  SELECT c.s, c.j AS code, (x.sv - c.cent) * (x.sv - c.cent) AS d
+        |  FROM cb c JOIN qsub x ON c.s = x.s),
+        |approx AS (
+        |  SELECT codes.vec_id, CAST(SUM(dt.d) AS BIGINT) AS approx_dist
+        |  FROM codes JOIN dt USING (s, code) GROUP BY codes.vec_id),
+        |short AS (SELECT vec_id FROM approx ORDER BY approx_dist, vec_id LIMIT 25),
+        |q2 AS (SELECT e AS qvec FROM qe WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT t.media_id, t.frame_idx, t.vec_id,
+        |    list_sum([t.e[i] * q2.qvec[i] for i in range(1, 9)]) /
+        |    (sqrt(list_sum([t.e[i] * t.e[i] for i in range(1, 9)])) *
+        |     sqrt(list_sum([q2.qvec[i] * q2.qvec[i] for i in range(1, 9)]))) AS cs
+        |  FROM qe t JOIN short USING (vec_id), q2)
+        |SELECT media_id, frame_idx,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "multimodal_framesample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -281,6 +281,52 @@ object Multimodal {
         col("cos_sim"))
   }
 
+  private val framePqStages =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Float])]()
+
+  /** [[frameAnnIndexedScenario]] on the IVF+PQ path — the ADC cascade
+    * over the multimodal frame grid: the frame-embedding corpus
+    * stages once per process through `CREATE ANN INDEX ... USING
+    * IVF_PQ` (media_id % 4 ≠ 0 frames train the coarse quantizer AND
+    * the 16-seed codebook) + `INGEST` of the held-out quarter
+    * (conform-encoded against the STORED codebook), and every
+    * invocation serves through [[graft.operators.Similarity
+    * .ivfPqIndexQuery]]: all-cells probe (geometry-independent) with
+    * the shortlist capped BELOW the candidate count, so the CODE
+    * ranking genuinely decides the shortlist and the exact re-rank
+    * genuinely repairs it — the oracle replays PQ-encode → ADC →
+    * shortlist → exact cosine relationally over the same frame grid.
+    */
+  def frameAnnPqScenario(spark: SparkSession, sfDir: String,
+      k: Int = 10, shortlist: Int = 25): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (ivf, q) = framePqStages.computeIfAbsent(sfDir, _ => {
+      val emb = frameEmbeddings(spark, sfDir)
+      val st = java.nio.file.Files.createTempDirectory("graft_framepq_")
+      val seedDir = st.resolve("seed").toString
+      val arrDir = st.resolve("arr").toString
+      emb.where(col("media_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding")).write.parquet(seedDir)
+      emb.where(col("media_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding")).write.parquet(arrDir)
+      val ivf = st.resolve("ivfpq").toString
+      graft.tables.GraftSql.sql(spark,
+        s"CREATE ANN INDEX '$ivf' ON '$seedDir' USING IVF_PQ")
+      graft.tables.GraftSql.sql(spark,
+        s"INGEST INTO ANN INDEX '$ivf' FROM '$arrDir'")
+      graft.tables.GraftSql.sql(spark,
+        s"MAINTAIN ANN INDEX '$ivf' REBALANCE THRESHOLD 0")
+      (ivf, emb.where(col("media_id") === 0L && col("frame_idx") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toSeq)
+    })
+    graft.operators.Similarity
+      .ivfPqIndexQuery(spark, ivf, q, k = k, nprobe = 1 << 16,
+        shortlist = shortlist, excludeVecId = 0L)
+      .select(expr("vec_id div 65536").cast("long").as("media_id"),
+        expr("vec_id % 65536").cast("int").as("frame_idx"),
+        col("cos_sim"))
+  }
+
   /** Feature extraction over the media table: mapPartitions over the
     * typed Dataset — one decode batch per partition, partitioning
     * preserved (no shuffle), columnar in/out.

@@ -851,15 +851,19 @@ object Similarity {
       nCells: Int): Int = filter match {
     case None => nprobe
     case Some(f) =>
-      val version = graft.tables.GraftTable.load(spark, asgPath)
-        .latestVersion
+      val t = graft.tables.GraftTable.load(spark, asgPath)
+      val version = t.latestVersion
       if (selectivityMemo.size > 256) selectivityMemo.clear()
       // Column.toString is the expression's canonical text — stable
       // for equal constructions, the memo's predicate identity
       val (total, matching) = selectivityMemo.computeIfAbsent(
         (asgPath, version, f.toString), _ => {
           selectivityScans.incrementAndGet()
-          val r = spark.read.format("graft-table").load(asgPath)
+          // count over the PINNED snapshot of the memo-key version —
+          // a concurrent ingest committing between the version read
+          // and the scan must not cache post-ingest counts under the
+          // pre-ingest key (wrong selectivity until the next bump)
+          val r = t.snapshotAt(version)
             .agg(count(lit(1)).as("t"), count(when(f, 1)).as("m")).head()
           (r.getLong(0), r.getLong(1))
         })

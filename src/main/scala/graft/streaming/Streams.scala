@@ -388,7 +388,14 @@ object Streams {
         // curationStreams sharing one index never mistake each
         // other's batch 0 for a replay (which would silently skip an
         // index append — lost signatures, near-dups admitted forever)
-        val verdicts = auditPath match {
+        // the verdicts frame from the logged variant arrives
+        // PERSISTED — release it on EVERY exit (a throw in the kept
+        // join / append / bookkeeping below would otherwise strand it
+        // per streaming retry, the same failure-path leak class the
+        // arrival-cache finally closes)
+        var verdicts: Option[DataFrame] = None
+        try {
+        verdicts = Some(auditPath match {
           case Some(ap) => graft.operators.Dedup.admitBatchLogged(
             spark, indexPath, clustersPath, ap, batch, batchId = id,
             admitted = adm,
@@ -399,10 +406,11 @@ object Streams {
             indexPath, clustersPath, batch, batchId = id, admitted = adm,
             pipelineId = s":$checkpoint", gate = qualityGate,
             ivfIndexPath = ivfIndexPath, semanticTau = semanticTau)
-        }
+        })
         val e1 = System.nanoTime()
         val kept = batch.join(
-          verdicts.where(col("action") === "keep").select(col("doc_id")),
+          verdicts.get.where(col("action") === "keep")
+            .select(col("doc_id")),
           Seq("doc_id"))
         curated.appendIfNew(kept, id, appId = checkpoint)
         val e2 = System.nanoTime()
@@ -410,7 +418,10 @@ object Streams {
           graft.operators.Dedup.lastAdmitStages(s":$checkpoint") ++
             Map("admit_sec" -> (e1 - e0) / 1e9,
               "append_sec" -> (e2 - e1) / 1e9))
-        verdicts.unpersist(): Unit // no-op for the unlogged (lazy) variant
+        } finally {
+          // no-op for the unlogged (lazy) variant
+          verdicts.foreach(_.unpersist(): Unit)
+        }
         } finally batch.unpersist()
         ()
       }

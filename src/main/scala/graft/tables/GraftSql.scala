@@ -146,12 +146,20 @@ object GraftSql {
     """(?is)\s*INGEST\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BATCH\s+(\d+))?\s*""".r
   private val IngestAnnIndex =
     """(?is)\s*INGEST\s+INTO\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BATCH\s+(\d+))?\s*""".r
-  // the pipeline exit as a statement: exactly-once incremental shard
-  // export (TextAnalysis.exportShardsIngest) — BATCH is mandatory
-  // (the state/assignment watermarks are batch-keyed); the batch's
-  // per-doc assignments are the result rows
+  // the pipeline exit as a statement, all three forms:
+  //   BATCH <id>  → exactly-once incremental export
+  //     (TextAnalysis.exportShardsIngest); the batch's per-doc
+  //     assignments are the result rows
+  //   (no BATCH)  → one-shot pack (exportShards) — lands the per-doc
+  //     assignments as a GraftTable at <to>/assignments and returns
+  //     the per-shard MANIFEST rows (the trainer's artifact)
+  //   SHUFFLED    → one-shot in training order (exportShardsShuffled:
+  //     the deterministic md5 permutation that breaks adjacent-doc
+  //     correlation before packing)
+  // BUDGET = tokens per shard; BUCKET SIZE = docs per prefix-sum
+  // bucket (the scale knob for the distributed cumsum's panes)
   private val ExportShardsSql =
-    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?\s+BATCH\s+(\d+)\s*""".r
+    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+BUCKET\s+SIZE\s+(\d+))?(?:\s+BATCH\s+(\d+))?(\s+SHUFFLED)?\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -222,10 +230,36 @@ object GraftSql {
         indexSourceFrame(spark, srcPath, srcIdent),
         batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L))
       emptyResult(spark)
-    case ExportShardsSql(toPath, srcPath, srcIdent, budgetTxt, batchTxt) =>
-      graft.operators.TextAnalysis.exportShardsIngest(spark, toPath,
-        indexSourceFrame(spark, srcPath, srcIdent), batchTxt.toLong,
-        shardTokens = Option(budgetTxt).map(_.toLong).getOrElse(2048L))
+    case ExportShardsSql(toPath, srcPath, srcIdent, budgetTxt, bucketTxt,
+        batchTxt, shuffled) =>
+      val budget = Option(budgetTxt).map(_.toLong).getOrElse(2048L)
+      val bucket = Option(bucketTxt).map(_.toLong).getOrElse(4096L)
+      val src = indexSourceFrame(spark, srcPath, srcIdent)
+      if (batchTxt != null) {
+        require(shuffled == null,
+          "EXPORT SHARDS: SHUFFLED is a one-shot training-order form — " +
+            "the incremental BATCH export is doc_id-ordered by contract")
+        graft.operators.TextAnalysis.exportShardsIngest(spark, toPath,
+          src, batchTxt.toLong, shardTokens = budget,
+          bucketSize = bucket)
+      } else {
+        require(shuffled == null || bucketTxt == null,
+          "EXPORT SHARDS SHUFFLED buckets by hash range — BUCKET SIZE " +
+            "applies only to the doc_id-ordered forms")
+        val assigned =
+          if (shuffled != null) graft.operators.TextAnalysis
+            .exportShardsShuffled(src, shardTokens = budget)
+          else graft.operators.TextAnalysis
+            .exportShards(src, shardTokens = budget, bucketSize = bucket)
+        // land the per-doc assignments in the SAME layout the
+        // incremental form uses, idempotently (a re-run overwrites);
+        // the manifest is what the statement returns
+        val t = GraftTable.createIfAbsent(spark,
+          java.nio.file.Paths.get(toPath, "assignments").toString,
+          assigned.limit(0))
+        t.overwrite(assigned): Unit
+        graft.operators.TextAnalysis.shardManifest(assigned)
+      }
     case DescribeAnnIndex(path) =>
       val cents = graft.operators.Similarity.loadCents(spark, path)
       val t = GraftTable.load(spark,
@@ -765,7 +799,7 @@ object GraftSql {
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
-         ExportShardsSql(_, _, _, _, _) |
+         ExportShardsSql(_, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
   }
@@ -852,11 +886,18 @@ object GraftSql {
       case DescribeDedupIndex(_) => Some(StructType(Seq(
         StructField("num_sig_rows", LongType, nullable = false),
         StructField("num_shingle_postings", LongType, nullable = false))))
-      case ExportShardsSql(_, _, _, _, _) => Some(StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("n_tokens", LongType),
-        StructField("tokens_before", LongType),
-        StructField("shard_id", LongType))))
+      case ExportShardsSql(_, _, _, _, _, batchTxt, _) =>
+        if (batchTxt != null) Some(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_tokens", LongType),
+          StructField("tokens_before", LongType),
+          StructField("shard_id", LongType))))
+        else Some(StructType(Seq(
+          StructField("shard_id", LongType),
+          StructField("n_docs", IntegerType, nullable = false),
+          StructField("shard_tokens", LongType),
+          StructField("first_doc", LongType),
+          StructField("last_doc", LongType))))
       case _ => None
     }
   }
@@ -889,7 +930,7 @@ object GraftSql {
       // bare-identifier source resolves below like CREATE/INGEST INDEX
       case AdmitIntoDedupIndex(_, _, p, _, _, _, _, _) if p != null =>
         return true
-      case ExportShardsSql(_, p, _, _, _) if p != null => return true
+      case ExportShardsSql(_, p, _, _, _, _, _) if p != null => return true
       // index create/ingest with a QUOTED source path is shape-claimed
       // (no catalog ident to resolve); the bare-identifier form below
       // requires the source to resolve as a registered graft table
@@ -932,7 +973,7 @@ object GraftSql {
       case IngestDedupIndex(_, _, i, _) => Some(i)
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
-      case ExportShardsSql(_, _, i, _, _) => Some(i)
+      case ExportShardsSql(_, _, i, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)
       case RefreshMatView(i) => Some(i)

@@ -1568,6 +1568,56 @@ class GraftSqlSpec extends SparkSpec {
       "SQL batch exports diverged from the one-shot pack")
   }
 
+  test("EXPORT SHARDS SQL one-shot + SHUFFLED + BUCKET SIZE: manifest " +
+      "result rows ≡ the API frames, assignments land as a GraftTable, " +
+      "re-run overwrites, BATCH+SHUFFLED refuses") {
+    val root = Files.createTempDirectory("graft_export_sql1_")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.parquet(root.resolve("src").toString)
+    val src = root.resolve("src").toString
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select($"shard_id", $"n_docs".cast("long"), $"shard_tokens",
+        $"first_doc", $"last_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // one-shot: manifest rows ≡ the API manifest; BUCKET SIZE only
+    // changes the plan's pane shape, never the values
+    val exp1 = root.resolve("exp1").toString
+    val m1 = GraftSql.sql(spark,
+      s"EXPORT SHARDS TO '$exp1' FROM '$src' BUDGET 512 BUCKET SIZE 64")
+    assert(m1.columns.toSeq ===
+      Seq("shard_id", "n_docs", "shard_tokens", "first_doc", "last_doc"))
+    assert(cells(m1) === cells(operators.TextAnalysis.shardManifest(
+      operators.TextAnalysis.exportShards(docs, shardTokens = 512L))))
+    // the per-doc assignments landed as a GraftTable in the
+    // incremental form's layout; a re-run OVERWRITES (idempotent)
+    def asg1 = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp1, "assignments").toString).snapshot()
+    assert(asg1.count() === docs.count())
+    GraftSql.sql(spark,
+      s"EXPORT SHARDS TO '$exp1' FROM '$src' BUDGET 512 BUCKET SIZE 64")
+    assert(asg1.count() === docs.count(),
+      "re-run one-shot export must overwrite, not append")
+    // SHUFFLED: manifest ≡ the API's hash-permutation pack
+    val exp2 = root.resolve("exp2").toString
+    val m2 = GraftSql.sql(spark,
+      s"EXPORT SHARDS TO '$exp2' FROM '$src' BUDGET 512 SHUFFLED")
+    assert(cells(m2) === cells(operators.TextAnalysis.shardManifest(
+      operators.TextAnalysis.exportShardsShuffled(docs,
+        shardTokens = 512L))))
+    // the grammar refuses the contradictory forms loudly
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"EXPORT SHARDS TO '$exp2' FROM '$src' BATCH 0 SHUFFLED")
+    }
+    assert(e1.getMessage.contains("SHUFFLED"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"EXPORT SHARDS TO '$exp2' FROM '$src' BUCKET SIZE 64 SHUFFLED")
+    }
+    assert(e2.getMessage.contains("BUCKET SIZE"), e2.getMessage)
+  }
+
   test("ADMIT INTO DEDUP INDEX: the whole admission cycle from pure " +
       "SQL — gate rejects, lexical and semantic near-dups drop, and " +
       "a replayed BATCH id is a no-op") {

@@ -796,6 +796,52 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("prefixSum: the bucket-of-buckets fold (driver pane O(√n)) is " +
+      "value-identical to the global window across MANY super-buckets") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val d = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("__b", expr("doc_id div 8L"))
+    // superSize 4 over 500 docs → ~16 super-buckets: the super-pane
+    // prefix genuinely composes with the bounded per-bucket windows
+    val got = operators.TextAnalysis
+      .prefixSum(d, Seq("doc_id"), startOffset = 7L, superSize = 4L)
+      .select(col("doc_id"), col("tokens_before"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = d
+      .withColumn("tokens_before",
+        lit(7L) + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("tokens_before"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      "two-level prefix fold diverged from the global-window cumsum")
+  }
+
+  test("exportShardsIngest: a NEW batch with an id below a landed " +
+      "higher id refuses even when its doc range is monotone") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_expooo_").toString
+    operators.TextAnalysis.exportShardsIngest(spark, stage,
+      docs.where($"doc_id" < 100), 0L)
+    operators.TextAnalysis.exportShardsIngest(spark, stage,
+      docs.where($"doc_id" >= 300), 2L)
+    // batch 1 arrives LATE: its docs sit above batch 0's max, so the
+    // doc_id-monotone check vs strictly-earlier state would pass —
+    // but its tokens_before would overlap batch 2's landed range
+    val err = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.exportShardsIngest(spark, stage,
+        docs.where($"doc_id" >= 100 && $"doc_id" < 300), 1L)
+    }
+    assert(err.getMessage.contains("max landed batch"), err.getMessage)
+  }
+
   test("exportShardsIngest: monotone batches accumulate to the one-" +
       "shot export, mid-sequence replay is a no-op, out-of-order " +
       "arrivals refuse") {

@@ -56,7 +56,17 @@ for name in sorted(os.listdir(out_dir)):
     bad = None
     for c in g.columns:
         gv, ev = g[c], e[c]
-        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+        # The driver's gate hashes string-rendered cells, so an integer
+        # column that the oracle serializes as float (e.g. DuckDB
+        # HUGEINT -> pandas float64) hashes "0.0" vs Spark's "0" and
+        # FAILS there. Predict that here instead of float-coercing.
+        gk, ek = gv.dtype.kind, ev.dtype.kind
+        if (gk in "iu" and ek == "f") or (gk == "f" and ek in "iu"):
+            bad = (f"col {c}: int/float dtype drift (spark {gv.dtype} vs "
+                   f"oracle {ev.dtype}) — CAST the oracle column to BIGINT "
+                   f"(driver hash gate would fail)")
+            break
+        if gk == "f" or ek == "f":
             eq = (gv.astype(float).fillna(1e308) == ev.astype(float).fillna(1e308))
         else:
             eq = gv.astype(str).fillna("<null>") == ev.astype(str).fillna("<null>")
