@@ -232,6 +232,8 @@ object SparkEntry {
       Multimodal.frameAnnIndexedScenario(s, d)),
     "multimodal_frame_ann_pq" -> ((s: SparkSession, d: String) =>
       Multimodal.frameAnnPqScenario(s, d)),
+    "multimodal_frame_ann_filtered" -> ((s: SparkSession, d: String) =>
+      Multimodal.frameAnnFilteredScenario(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2780,6 +2782,37 @@ object SparkEntry {
         |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
         |FROM scored ORDER BY cos_sim DESC, media_id, frame_idx
         |LIMIT 10""".stripMargin,
+    // FILTERED frame retrieval: the ~10%-selective media filter
+    // saturates the selectivity-scaled probe expansion past the
+    // 16-cell geometry (spec-asserted), so the served answer is
+    // exactly filter-then-brute-force over the frame grid
+    "multimodal_frame_ann_filtered" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |f0 AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest((n + 127) // 128, 1))) AS fi
+        |  FROM m),
+        |f AS (
+        |  SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |    substring(text, CAST(fi * 128 + 1 AS INTEGER), 64) AS fc
+        |  FROM f0),
+        |emb AS (
+        |  SELECT media_id, frame_idx, media_id * 65536 + frame_idx AS vec_id,
+        |    [CAST(len([x for x in [unicode(c) for c in string_split(fc, '')] if x // 32 = b]) AS DOUBLE) for b in range(0, 8)] AS e
+        |  FROM f WHERE length(fc) > 0),
+        |q AS (SELECT e FROM emb WHERE media_id = 0 AND frame_idx = 0),
+        |scored AS (
+        |  SELECT emb.media_id, emb.frame_idx, emb.vec_id,
+        |    list_sum([emb.e[i] * q.e[i] for i in range(1, 9)]) /
+        |    (sqrt(list_sum([emb.e[i] * emb.e[i] for i in range(1, 9)])) *
+        |     sqrt(list_sum([q.e[i] * q.e[i] for i in range(1, 9)]))) AS cs
+        |  FROM emb, q
+        |  WHERE emb.media_id % 10 = 3 AND emb.vec_id <> 0)
+        |SELECT media_id, frame_idx,
+        |  CAST(round(CAST(cs AS DECIMAL(18,12)), 6) AS DOUBLE) AS cos_sim
+        |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // frame ANN on the IVF+PQ path: relational replay of the WHOLE
     // ADC cascade over the frame grid — codebook = first 16 seed
     // frames' (media_id % 4 ≠ 0) quantized subvectors (sub = 1 at

@@ -281,6 +281,33 @@ object Multimodal {
         col("cos_sim"))
   }
 
+  /** FILTERED retrieval against the persisted frame index — r16's two
+    * capabilities composed: the `filter` predicate (media_id ≡ 3 mod
+    * 10 over the packed vec_id, ~10% of frames) runs INSIDE the
+    * probed-cell scan of the [[frameAnnIndexedScenario]]-staged flat
+    * IVF, and [[graft.operators.Similarity.filteredNprobe]]'s
+    * selectivity-scaled expansion (ceil(4 · total/matching) at ~10%
+    * selectivity) covers every cell of the 16-cell geometry — so the
+    * served answer is exactly filter-then-brute-force and the
+    * relational oracle applies. The saturation arithmetic is
+    * spec-asserted against the live frame counts, so a testdata
+    * distribution drift that un-saturates the probe fails the spec
+    * rather than silently weakening the oracle.
+    */
+  def frameAnnFilteredScenario(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    frameAnnIndexedScenario(spark, sfDir, k) // ensure the stage exists
+    val (ivf, q) = frameIdxStages.get(sfDir)
+    graft.operators.Similarity
+      .ivfIndexQuery(spark, ivf, q, k = k, nprobe = 4,
+        excludeVecId = 0L,
+        filter = Some(expr("(vec_id div 65536) % 10 = 3")))
+      .select(expr("vec_id div 65536").cast("long").as("media_id"),
+        expr("vec_id % 65536").cast("int").as("frame_idx"),
+        col("cos_sim"))
+  }
+
   private val framePqStages =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Float])]()
 

@@ -520,6 +520,38 @@ class OperatorsSpec extends SparkSpec {
       "a shortlist subset cannot out-score brute force at rank k")
   }
 
+  test("filtered frame retrieval: the media filter saturates the " +
+      "probe expansion past the cell geometry, answer ≡ " +
+      "filter-then-brute-force") {
+    graft.functions.VectorExprs.register(spark)
+    val emb = Multimodal.frameEmbeddings(spark, sf)
+    // the saturation arithmetic the serve will compute, asserted on
+    // the LIVE counts: testdata drift that un-saturates the probe
+    // must fail here, not silently weaken the driver oracle
+    val total = emb.count()
+    val matching = emb.where($"media_id" % 10 === 3).count()
+    assert(matching > 10L, s"setup: filter keeps a real population")
+    assert((4L * total + matching - 1L) / matching >= 16L,
+      s"ceil(4·$total/$matching) must cover the 16-cell geometry")
+    val got = Multimodal.frameAnnFilteredScenario(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSet
+    val q = emb.where($"media_id" === 0L && $"frame_idx" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val expected = emb
+      .where($"media_id" % 10 === 3 && $"vec_id" =!= 0L)
+      .select($"media_id", $"frame_idx",
+        round(graft.functions.VectorExprs
+          .vec_cosine($"embedding", typedLit(q))
+          .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"media_id", $"frame_idx")
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSet
+    assert(got === expected,
+      "filtered frame serve diverged from filter-then-brute-force")
+  }
+
   test("quality survivorship elects the longest cluster member, " +
       "ties to the smaller id, singletons elect themselves") {
     val base = "alpha beta gamma delta epsilon"
