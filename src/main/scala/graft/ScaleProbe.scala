@@ -59,6 +59,10 @@ object ScaleProbe {
       semAdmitProbe(spark, corpusDir, sys.env("SPARK_GRAFT_BATCH_DIR"))
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "export") {
+      exportProbe(spark, corpusDir, sys.env("SPARK_GRAFT_BATCH_DIR"))
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -91,6 +95,44 @@ object ScaleProbe {
     val t2 = System.nanoTime()
     println(s"""{"metric":"scale_probe","corpus":"$corpusDir","batch":"$batchDir","index_sec":${(t1 - t0) / 1e9},"probe_sec":${(t2 - t1) / 1e9},"pairs":$n,"sh_files_total":${st.shingleFilesTotal},"sh_files_read":${st.shingleFilesRead},"sig_files_total":${st.sigFilesTotal},"sig_files_read":${st.sigFilesRead}}""")
     spark.stop()
+  }
+
+  /** INCREMENTAL SHARD EXPORT steady-state (SPARK_GRAFT_PROBE=
+    * export): a FIXED batch ingests into an export whose LANDED
+    * corpus grows 10× — the asymmetric regime that would expose any
+    * O(landed) term in the per-batch cost (the offset/guard read is
+    * an O(batches) state aggregate, the prefix sum is O(batch), and
+    * the returned slice rides the stats-pruned candidate fetch that
+    * reads only this batch's files). Per-batch time should be ~flat
+    * in landed-corpus size.
+    */
+  private def exportProbe(spark: SparkSession, corpusDir: String,
+      batchDir: String): Unit = {
+    val corpus = Tables.load(spark, corpusDir, "documents")
+    val batch = Tables.load(spark, batchDir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_exportprobe_").toString
+    // land the corpus as 4 doc_id-monotone batches (the continuous
+    // pipeline's steady-state debris: multi-file assignment/state
+    // tables, 4 landed state rows)
+    val mm = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (mm.getAs[Number](0).longValue,
+      mm.getAs[Number](1).longValue)
+    val step = (hi - lo) / 4 + 1
+    val t0 = System.nanoTime()
+    (0 until 4).foreach { i =>
+      graft.operators.TextAnalysis.exportShardsIngest(spark, path,
+        corpus.filter(col("doc_id") >= lo + i * step &&
+          col("doc_id") < lo + (i + 1) * step), batchId = i.toLong)
+        .count(): Unit
+    }
+    val t1 = System.nanoTime()
+    val n = graft.operators.TextAnalysis
+      .exportShardsIngest(spark, path, batch, batchId = 4L).count()
+    val t2 = System.nanoTime()
+    println(s"""{"metric":"export_probe","corpus":"$corpusDir","batch":"$batchDir","stage_sec":${(t1 - t0) / 1e9},"batch_sec":${(t2 - t1) / 1e9},"batch_rows":$n}""")
   }
 
   /** IVF+PQ SERVE latency against a growing index

@@ -525,8 +525,12 @@ object TextAnalysis {
       // return the TABLE-BACKED batch slice — the commits already
       // landed distributed, so the result never rides a driver
       // collect (a production-sized batch must not materialize on
-      // the driver on the RETURN path of a distributed operator)
-      GraftTable.load(spark, asgPath).snapshot()
+      // the driver on the RETURN path of a distributed operator);
+      // the stats-pruned candidate fetch reads ONLY this batch's
+      // files (each append's footers carry batch_id min = max = id),
+      // so the return path is O(batch), not O(landed corpus)
+      GraftTable.load(spark, asgPath)
+        .snapshotCandidates(col("batch_id") === batchId)
         .where(col("batch_id") === batchId)
         .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
           col("shard_id"))
