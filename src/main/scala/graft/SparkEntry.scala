@@ -114,16 +114,14 @@ object SparkEntry {
     "text_export_shards_incremental" -> ((s: SparkSession, d: String) =>
       TextAnalysis.exportShardsIncrementalScenario(s, d)),
     "text_export_shards_shuffled" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.exportShardsShuffled(Tables.load(s, d, "documents"))
-        .groupBy(org.apache.spark.sql.functions.col("shard_id"))
-        .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).cast("int").as("n_docs"),
-          org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.col("n_tokens")).as("shard_tokens"),
-          org.apache.spark.sql.functions.min(
-            org.apache.spark.sql.functions.col("doc_id")).as("first_doc"),
-          org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.col("doc_id")).as("last_doc"))),
+      TextAnalysis.shardManifest(
+        TextAnalysis.exportShardsShuffled(Tables.load(s, d, "documents")))),
+    "text_export_shards_shuffled_epoch" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.shardManifest(TextAnalysis.exportShardsShuffled(
+        Tables.load(s, d, "documents"), seed = 1L))),
+    "text_export_shards_bpe" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.shardManifest(TextAnalysis.exportShards(
+        Tables.load(s, d, "documents"), tokenizer = "bpe"))),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
@@ -1447,6 +1445,41 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id, n_tokens,
         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d)
+        |SELECT CAST(tokens_before // 2048 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY tokens_before // 2048""".stripMargin,
+    // the bpe-tokenizer budget measure: same pack plan, the GPT-2ish
+    // pre-tokenization regex as the per-doc count
+    "text_export_shards_bpe" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d)
+        |SELECT CAST(tokens_before // 2048 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY tokens_before // 2048""".stripMargin,
+    // the seed-1 EPOCH reshuffle: same global-window replay over the
+    // '1:'-prefixed md5 permutation
+    "text_export_shards_shuffled_epoch" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(concat('1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
         |  FROM d)
         |SELECT CAST(tokens_before // 2048 AS BIGINT) AS shard_id,

@@ -328,8 +328,8 @@ object TextAnalysis {
     * rows serially. Value-identical to the global window (spec).
     */
   def exportShards(docs: DataFrame, shardTokens: Long = 2048L,
-      bucketSize: Long = 4096L): DataFrame =
-    tokenPrefix(docs, bucketSize, startOffset = 0L)
+      bucketSize: Long = 4096L, tokenizer: String = "ws"): DataFrame =
+    tokenPrefix(docs, bucketSize, startOffset = 0L, tokenizer)
       .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
         col("shard_id"))
@@ -340,15 +340,30 @@ object TextAnalysis {
     * incremental path).
     */
   private def tokenPrefix(docs: DataFrame, bucketSize: Long,
-      startOffset: Long): DataFrame =
-    prefixSum(tokenCounts(docs)
+      startOffset: Long, tokenizer: String = "ws"): DataFrame =
+    prefixSum(tokenCounts(docs, tokenizer)
         .withColumn("__b", expr(s"doc_id div ${bucketSize}L")),
       Seq("doc_id"), startOffset)
 
-  private def tokenCounts(docs: DataFrame): DataFrame =
+  /** The budget-accounting measure behind the export family: `ws`
+    * (whitespace runs — the default the oracles replay) or `bpe`
+    * (the GPT-2-style pre-tokenization shape shared with
+    * [[tokenCount]]) — a pipeline that budgets shards in model
+    * tokens rather than words picks `bpe` without touching the
+    * packing plan (the measure is one map-side regexp either way).
+    */
+  private def tokenCounts(docs: DataFrame,
+      tokenizer: String = "ws"): DataFrame = {
+    val pat = tokenizer match {
+      case "ws" => "\\S+"
+      case "bpe" => bpePat
+      case other => throw new IllegalArgumentException(
+        s"exportShards: unknown tokenizer '$other' (expected ws|bpe)")
+    }
     docs.select(col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
         .cast("long").as("n_tokens"))
+  }
 
   /** Distributed exclusive prefix sum of n_tokens over an input
     * carrying an ORDER-ALIGNED bucket column `__b` (bucket order =
@@ -421,16 +436,27 @@ object TextAnalysis {
     * the engine-portable md5 residue, so the oracle replays the
     * permutation and the cumsum exactly.
     */
+  /** `seed` re-parameterizes the permutation — the EPOCH RESHUFFLE a
+    * trainer wants (a fresh deterministic order per epoch, replayable
+    * by seed): seed 0 hashes the bare doc_id (the legacy spelling the
+    * standing oracle replays), any other seed prefixes `"<seed>:"`
+    * before hashing, so epochs draw independent md5 orders while each
+    * stays engine-portable.
+    */
   def exportShardsShuffled(docs: DataFrame,
-      shardTokens: Long = 2048L): DataFrame =
-    prefixSum(tokenCounts(docs)
-        .withColumn("__h",
-          graft.Tables.md5Residue(col("doc_id").cast("string")))
+      shardTokens: Long = 2048L, seed: Long = 0L,
+      tokenizer: String = "ws"): DataFrame = {
+    val hashIn =
+      if (seed == 0L) col("doc_id").cast("string")
+      else concat(lit(s"$seed:"), col("doc_id").cast("string"))
+    prefixSum(tokenCounts(docs, tokenizer)
+        .withColumn("__h", graft.Tables.md5Residue(hashIn))
         .withColumn("__b", expr(s"__h div ${1L << 48}L")),
       Seq("__h", "doc_id"), startOffset = 0L)
       .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
         col("shard_id"))
+  }
 
   /** Idempotency keys for the incremental export's two appends. */
   val exportAssignAppId = "graft-export-assign"

@@ -157,9 +157,12 @@ object GraftSql {
   //     the deterministic md5 permutation that breaks adjacent-doc
   //     correlation before packing)
   // BUDGET = tokens per shard; BUCKET SIZE = docs per prefix-sum
-  // bucket (the scale knob for the distributed cumsum's panes)
+  // bucket (the scale knob for the distributed cumsum's panes);
+  // TOKENIZER ws|bpe = the budget-accounting measure (one-shot forms
+  // only — an incremental export's stored offsets are measure-bound);
+  // SEED reparameterizes the SHUFFLED permutation (epoch reshuffle)
   private val ExportShardsSql =
-    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+BUCKET\s+SIZE\s+(\d+))?(?:\s+BATCH\s+(\d+))?(\s+SHUFFLED)?\s*""".r
+    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+BUCKET\s+SIZE\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+BATCH\s+(\d+))?(\s+SHUFFLED)?(?:\s+SEED\s+(\d+))?\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -231,14 +234,22 @@ object GraftSql {
         batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L))
       emptyResult(spark)
     case ExportShardsSql(toPath, srcPath, srcIdent, budgetTxt, bucketTxt,
-        batchTxt, shuffled) =>
+        tokTxt, batchTxt, shuffled, seedTxt) =>
       val budget = Option(budgetTxt).map(_.toLong).getOrElse(2048L)
       val bucket = Option(bucketTxt).map(_.toLong).getOrElse(4096L)
+      val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
       val src = indexSourceFrame(spark, srcPath, srcIdent)
+      require(seedTxt == null || shuffled != null,
+        "EXPORT SHARDS: SEED reparameterizes the SHUFFLED permutation " +
+          "— it has no meaning for the doc_id-ordered forms")
       if (batchTxt != null) {
         require(shuffled == null,
           "EXPORT SHARDS: SHUFFLED is a one-shot training-order form — " +
             "the incremental BATCH export is doc_id-ordered by contract")
+        require(tokTxt == null,
+          "EXPORT SHARDS: TOKENIZER applies to the one-shot forms — " +
+            "an incremental export's stored offsets are bound to the " +
+            "measure they accumulated under")
         graft.operators.TextAnalysis.exportShardsIngest(spark, toPath,
           src, batchTxt.toLong, shardTokens = budget,
           bucketSize = bucket)
@@ -248,9 +259,12 @@ object GraftSql {
             "applies only to the doc_id-ordered forms")
         val assigned =
           if (shuffled != null) graft.operators.TextAnalysis
-            .exportShardsShuffled(src, shardTokens = budget)
+            .exportShardsShuffled(src, shardTokens = budget,
+              seed = Option(seedTxt).map(_.toLong).getOrElse(0L),
+              tokenizer = tok)
           else graft.operators.TextAnalysis
-            .exportShards(src, shardTokens = budget, bucketSize = bucket)
+            .exportShards(src, shardTokens = budget, bucketSize = bucket,
+              tokenizer = tok)
         // land the per-doc assignments in the SAME layout the
         // incremental form uses, idempotently (a re-run overwrites);
         // the manifest is what the statement returns
@@ -799,7 +813,7 @@ object GraftSql {
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
-         ExportShardsSql(_, _, _, _, _, _, _) |
+         ExportShardsSql(_, _, _, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
   }
@@ -886,7 +900,7 @@ object GraftSql {
       case DescribeDedupIndex(_) => Some(StructType(Seq(
         StructField("num_sig_rows", LongType, nullable = false),
         StructField("num_shingle_postings", LongType, nullable = false))))
-      case ExportShardsSql(_, _, _, _, _, batchTxt, _) =>
+      case ExportShardsSql(_, _, _, _, _, _, batchTxt, _, _) =>
         if (batchTxt != null) Some(StructType(Seq(
           StructField("doc_id", LongType),
           StructField("n_tokens", LongType),
@@ -930,7 +944,8 @@ object GraftSql {
       // bare-identifier source resolves below like CREATE/INGEST INDEX
       case AdmitIntoDedupIndex(_, _, p, _, _, _, _, _) if p != null =>
         return true
-      case ExportShardsSql(_, p, _, _, _, _, _) if p != null => return true
+      case ExportShardsSql(_, p, _, _, _, _, _, _, _) if p != null =>
+        return true
       // index create/ingest with a QUOTED source path is shape-claimed
       // (no catalog ident to resolve); the bare-identifier form below
       // requires the source to resolve as a registered graft table
@@ -973,7 +988,7 @@ object GraftSql {
       case IngestDedupIndex(_, _, i, _) => Some(i)
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
-      case ExportShardsSql(_, _, i, _, _, _, _) => Some(i)
+      case ExportShardsSql(_, _, i, _, _, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)
       case RefreshMatView(i) => Some(i)

@@ -1616,6 +1616,29 @@ class GraftSqlSpec extends SparkSpec {
         s"EXPORT SHARDS TO '$exp2' FROM '$src' BUCKET SIZE 64 SHUFFLED")
     }
     assert(e2.getMessage.contains("BUCKET SIZE"), e2.getMessage)
+    // TOKENIZER + SEED spellings ≡ the API frames; misuse refuses
+    val exp3 = root.resolve("exp3").toString
+    val m3 = GraftSql.sql(spark,
+      s"EXPORT SHARDS TO '$exp3' FROM '$src' BUDGET 512 TOKENIZER bpe")
+    assert(cells(m3) === cells(operators.TextAnalysis.shardManifest(
+      operators.TextAnalysis.exportShards(docs, shardTokens = 512L,
+        tokenizer = "bpe"))))
+    val exp4 = root.resolve("exp4").toString
+    val m4 = GraftSql.sql(spark,
+      s"EXPORT SHARDS TO '$exp4' FROM '$src' BUDGET 512 SHUFFLED SEED 7")
+    assert(cells(m4) === cells(operators.TextAnalysis.shardManifest(
+      operators.TextAnalysis.exportShardsShuffled(docs,
+        shardTokens = 512L, seed = 7L))))
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"EXPORT SHARDS TO '$exp4' FROM '$src' SEED 7")
+    }
+    assert(e3.getMessage.contains("SEED"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"EXPORT SHARDS TO '$exp4' FROM '$src' TOKENIZER bpe BATCH 0")
+    }
+    assert(e4.getMessage.contains("TOKENIZER"), e4.getMessage)
   }
 
   test("ADMIT INTO DEDUP INDEX: the whole admission cycle from pure " +

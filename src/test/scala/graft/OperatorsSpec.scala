@@ -854,6 +854,74 @@ class OperatorsSpec extends SparkSpec {
       "two-level prefix fold diverged from the global-window cumsum")
   }
 
+  test("exportShardsShuffled seeds: epoch reshuffle draws a fresh " +
+      "deterministic permutation per seed, seed 0 is the legacy order, " +
+      "each seed ≡ its global-window replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("tokens_before"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val s0 = rows(operators.TextAnalysis.exportShardsShuffled(docs))
+    val s1 = rows(operators.TextAnalysis
+      .exportShardsShuffled(docs, seed = 1L))
+    val s1b = rows(operators.TextAnalysis
+      .exportShardsShuffled(docs, seed = 1L))
+    assert(s1 === s1b, "same seed must replay the identical export")
+    assert(s0 !== s1, "different seeds must draw different permutations")
+    // seed 1 ≡ the global-window cumsum over the '1:'-prefixed order
+    val h = expr("conv(substring(md5(concat('1:', CAST(doc_id AS " +
+      "STRING))), 1, 15), 16, 10)").cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("__h", h)
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", expr("tokens_before div 2048L"))
+      .select(col("doc_id"), col("tokens_before"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(s1 === expected,
+      "seeded shuffle diverged from its global-window replay")
+  }
+
+  test("exportShards TOKENIZER bpe: the budget measure swaps without " +
+      "touching the pack plan — ≡ global window over bpe counts") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val got = operators.TextAnalysis
+      .exportShards(docs, tokenizer = "bpe")
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", expr("tokens_before div 2048L"))
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === expected,
+      "bpe-budgeted export diverged from the global-window cumsum")
+    val err = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.exportShards(docs, tokenizer = "nope")
+        .count()
+    }
+    assert(err.getMessage.contains("tokenizer"), err.getMessage)
+  }
+
   test("exportShardsIngest: a NEW batch with an id below a landed " +
       "higher id refuses even when its doc range is monotone") {
     import org.apache.spark.sql.functions._
