@@ -122,6 +122,8 @@ object SparkEntry {
     "text_export_shards_bpe" -> ((s: SparkSession, d: String) =>
       TextAnalysis.shardManifest(TextAnalysis.exportShards(
         Tables.load(s, d, "documents"), tokenizer = "bpe"))),
+    "text_export_shards_materialized" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.exportShardsMaterializedScenario(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
@@ -281,6 +283,11 @@ object SparkEntry {
       // three monotone batches + a replay accumulate to the one-shot
       // export, so the same manifest replay checks the incremental path
       ("text_export_shards_incremental" ->
+        oracleSqlMain("text_export_shards")) +
+      // the materialized scenario RE-DERIVES the manifest from the
+      // landed shard content (token counts re-run on the written
+      // text), so the same replay checks the write's integrity
+      ("text_export_shards_materialized" ->
         oracleSqlMain("text_export_shards"))
 
   /** Portable banded-minhash oracle parameterized by the family's

@@ -458,6 +458,35 @@ object TextAnalysis {
         col("shard_id"))
   }
 
+  /** MATERIALIZED shard export — the step after assignment that a
+    * trainer actually consumes: the shard CONTENT lands as parquet
+    * partitioned by shard_id (one directory per shard, rows ordered
+    * by tokens_before inside each file — the training read order),
+    * plus the per-doc assignment columns for provenance. Scale shape:
+    * the text moves exactly twice — once through the doc_id equi-join
+    * that attaches it to its assignment row (the prefix sum itself
+    * never carries text, the r16 hash-keyed-shuffle lesson), once
+    * through the shard_id repartition that co-locates each shard for
+    * its partition-aligned write; both are plain hash shuffles, no
+    * global sort. A re-run overwrites (idempotent). Returns the
+    * per-shard manifest.
+    */
+  def exportShardsMaterialize(docs: DataFrame, outPath: String,
+      shardTokens: Long = 2048L, bucketSize: Long = 4096L,
+      tokenizer: String = "ws", shuffled: Boolean = false,
+      seed: Long = 0L): DataFrame = {
+    val assigned =
+      if (shuffled) exportShardsShuffled(docs, shardTokens, seed,
+        tokenizer)
+      else exportShards(docs, shardTokens, bucketSize, tokenizer)
+    assigned
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("tokens_before"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outPath)
+    shardManifest(assigned)
+  }
+
   /** Idempotency keys for the incremental export's two appends. */
   val exportAssignAppId = "graft-export-assign"
   val exportStateAppId = "graft-export-state"
@@ -608,6 +637,35 @@ object TextAnalysis {
         sum(col("n_tokens")).as("shard_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+
+  private val materializeStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[exportShardsMaterialize]]: stage the
+    * materialized export once per process, then RE-DERIVE the
+    * manifest from the LANDED content — token counts re-run on the
+    * materialized text and doc ranges re-aggregate from the shard
+    * directories, so the shared manifest oracle checks the write's
+    * content integrity end-to-end, not just the assignment math.
+    */
+  def exportShardsMaterializedScenario(spark: SparkSession,
+      sfDir: String, shardTokens: Long = 2048L): DataFrame = {
+    val out = materializeStages.computeIfAbsent(s"$sfDir:$shardTokens",
+      { _ =>
+        val p = java.nio.file.Files.createTempDirectory("graft_expmat_")
+        exportShardsMaterialize(Tables.load(spark, sfDir, "documents"),
+          p.resolve("shards").toString, shardTokens)
+        p
+      })
+    spark.read.parquet(out.resolve("shards").toString)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 
   /** Driver scenario for [[exportShards]]: the per-shard MANIFEST
     * over the documents table.

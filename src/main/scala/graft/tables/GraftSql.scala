@@ -160,9 +160,12 @@ object GraftSql {
   // bucket (the scale knob for the distributed cumsum's panes);
   // TOKENIZER ws|bpe = the budget-accounting measure (one-shot forms
   // only — an incremental export's stored offsets are measure-bound);
-  // SEED reparameterizes the SHUFFLED permutation (epoch reshuffle)
+  // SEED reparameterizes the SHUFFLED permutation (epoch reshuffle);
+  // MATERIALIZE additionally lands the shard CONTENT under
+  // <to>/shards (parquet partitioned by shard_id, training order
+  // inside each file) — the artifact a trainer consumes
   private val ExportShardsSql =
-    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+BUCKET\s+SIZE\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+BATCH\s+(\d+))?(\s+SHUFFLED)?(?:\s+SEED\s+(\d+))?\s*""".r
+    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+BUCKET\s+SIZE\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+BATCH\s+(\d+))?(\s+SHUFFLED)?(?:\s+SEED\s+(\d+))?(\s+MATERIALIZE)?\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -234,7 +237,7 @@ object GraftSql {
         batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L))
       emptyResult(spark)
     case ExportShardsSql(toPath, srcPath, srcIdent, budgetTxt, bucketTxt,
-        tokTxt, batchTxt, shuffled, seedTxt) =>
+        tokTxt, batchTxt, shuffled, seedTxt, mat) =>
       val budget = Option(budgetTxt).map(_.toLong).getOrElse(2048L)
       val bucket = Option(bucketTxt).map(_.toLong).getOrElse(4096L)
       val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
@@ -250,9 +253,22 @@ object GraftSql {
           "EXPORT SHARDS: TOKENIZER applies to the one-shot forms — " +
             "an incremental export's stored offsets are bound to the " +
             "measure they accumulated under")
+        require(mat == null,
+          "EXPORT SHARDS: MATERIALIZE is a one-shot form — an " +
+            "incremental export materializes at the end of the " +
+            "sequence, not per batch")
         graft.operators.TextAnalysis.exportShardsIngest(spark, toPath,
           src, batchTxt.toLong, shardTokens = budget,
           bucketSize = bucket)
+      } else if (mat != null) {
+        require(shuffled == null || bucketTxt == null,
+          "EXPORT SHARDS SHUFFLED buckets by hash range — BUCKET SIZE " +
+            "applies only to the doc_id-ordered forms")
+        graft.operators.TextAnalysis.exportShardsMaterialize(src,
+          java.nio.file.Paths.get(toPath, "shards").toString,
+          shardTokens = budget, bucketSize = bucket, tokenizer = tok,
+          shuffled = shuffled != null,
+          seed = Option(seedTxt).map(_.toLong).getOrElse(0L))
       } else {
         require(shuffled == null || bucketTxt == null,
           "EXPORT SHARDS SHUFFLED buckets by hash range — BUCKET SIZE " +
@@ -813,7 +829,7 @@ object GraftSql {
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
-         ExportShardsSql(_, _, _, _, _, _, _, _, _) |
+         ExportShardsSql(_, _, _, _, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
   }
@@ -900,7 +916,7 @@ object GraftSql {
       case DescribeDedupIndex(_) => Some(StructType(Seq(
         StructField("num_sig_rows", LongType, nullable = false),
         StructField("num_shingle_postings", LongType, nullable = false))))
-      case ExportShardsSql(_, _, _, _, _, _, batchTxt, _, _) =>
+      case ExportShardsSql(_, _, _, _, _, _, batchTxt, _, _, _) =>
         if (batchTxt != null) Some(StructType(Seq(
           StructField("doc_id", LongType),
           StructField("n_tokens", LongType),
@@ -944,7 +960,7 @@ object GraftSql {
       // bare-identifier source resolves below like CREATE/INGEST INDEX
       case AdmitIntoDedupIndex(_, _, p, _, _, _, _, _) if p != null =>
         return true
-      case ExportShardsSql(_, p, _, _, _, _, _, _, _) if p != null =>
+      case ExportShardsSql(_, p, _, _, _, _, _, _, _, _) if p != null =>
         return true
       // index create/ingest with a QUOTED source path is shape-claimed
       // (no catalog ident to resolve); the bare-identifier form below
@@ -988,7 +1004,7 @@ object GraftSql {
       case IngestDedupIndex(_, _, i, _) => Some(i)
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
-      case ExportShardsSql(_, _, i, _, _, _, _, _, _) => Some(i)
+      case ExportShardsSql(_, _, i, _, _, _, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)
       case RefreshMatView(i) => Some(i)

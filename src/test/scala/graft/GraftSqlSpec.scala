@@ -1639,6 +1639,22 @@ class GraftSqlSpec extends SparkSpec {
         s"EXPORT SHARDS TO '$exp4' FROM '$src' TOKENIZER bpe BATCH 0")
     }
     assert(e4.getMessage.contains("TOKENIZER"), e4.getMessage)
+    // MATERIALIZE: shard content lands under <to>/shards, manifest
+    // rows returned; refuses the incremental form
+    val exp5 = root.resolve("exp5").toString
+    val m5 = GraftSql.sql(spark,
+      s"EXPORT SHARDS TO '$exp5' FROM '$src' BUDGET 512 MATERIALIZE")
+    assert(cells(m5) === cells(operators.TextAnalysis.shardManifest(
+      operators.TextAnalysis.exportShards(docs, shardTokens = 512L))))
+    assert(spark.read
+      .parquet(java.nio.file.Paths.get(exp5, "shards").toString)
+      .count() === docs.count(),
+      "MATERIALIZE must land every doc's content")
+    val e5 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"EXPORT SHARDS TO '$exp5' FROM '$src' BATCH 1 MATERIALIZE")
+    }
+    assert(e5.getMessage.contains("MATERIALIZE"), e5.getMessage)
   }
 
   test("ADMIT INTO DEDUP INDEX: the whole admission cycle from pure " +

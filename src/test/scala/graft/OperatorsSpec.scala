@@ -922,6 +922,46 @@ class OperatorsSpec extends SparkSpec {
     assert(err.getMessage.contains("tokenizer"), err.getMessage)
   }
 
+  test("exportShardsMaterialize: shard content lands partitioned by " +
+      "shard_id in training order, manifest ≡ the assignment manifest, " +
+      "re-run overwrites") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_expmat_spec_").resolve("shards").toString
+    def manifestCells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard_id"), col("n_docs").cast("long"),
+        col("shard_tokens"), col("first_doc"), col("last_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val m = operators.TextAnalysis.exportShardsMaterialize(docs, out)
+    assert(manifestCells(m) === manifestCells(
+      operators.TextAnalysis.exportShardsManifest(spark, sf)))
+    // every doc landed exactly once, with its text intact
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    assert(back.select(col("doc_id"), md5(col("text"))).distinct()
+      .intersectAll(docs.select(col("doc_id"), md5(col("text"))))
+      .count() === docs.count(),
+      "materialized text must match the source byte-for-byte")
+    // TRAINING ORDER: inside each shard directory the physical row
+    // order is tokens_before-ascending (one writer task per shard,
+    // sortWithinPartitions — the order a trainer streams)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.length > 1, "setup: expected several shards")
+    shardDirs.take(3).foreach { d =>
+      val seq = spark.read.parquet(d.toString)
+        .select(col("tokens_before")).collect().map(_.getLong(0))
+      assert(seq.sameElements(seq.sorted),
+        s"${d.getName}: physical order must be training order")
+    }
+    // idempotent re-run: overwrite, not append
+    operators.TextAnalysis.exportShardsMaterialize(docs, out)
+    assert(spark.read.parquet(out).count() === docs.count(),
+      "re-run must overwrite the materialized export")
+  }
+
   test("exportShardsIngest: a NEW batch with an id below a landed " +
       "higher id refuses even when its doc range is monotone") {
     import org.apache.spark.sql.functions._
