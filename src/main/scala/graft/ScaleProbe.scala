@@ -123,10 +123,14 @@ object ScaleProbe {
     val step = (hi - lo) / 4 + 1
     val t0 = System.nanoTime()
     (0 until 4).foreach { i =>
-      graft.operators.TextAnalysis.exportShardsIngest(spark, path,
-        corpus.filter(col("doc_id") >= lo + i * step &&
-          col("doc_id") < lo + (i + 1) * step), batchId = i.toLong)
-        .count(): Unit
+      val slice = corpus.filter(col("doc_id") >= lo + i * step &&
+        col("doc_id") < lo + (i + 1) * step)
+      // equal-WIDTH id ranges can be empty on a skewed id
+      // distribution; skip instead of tripping the empty-batch
+      // refusal (increasing batch ids may legally skip values)
+      if (slice.limit(1).count() > 0)
+        graft.operators.TextAnalysis.exportShardsIngest(spark, path,
+          slice, batchId = i.toLong).count(): Unit
     }
     val t1 = System.nanoTime()
     val n = graft.operators.TextAnalysis

@@ -237,24 +237,16 @@ object Multimodal {
   private val frameIdxStages =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Float])]()
 
-  /** [[frameAnnTopK]] served from a PERSISTED index — the
-    * `ann_sql_lifecycle` pattern applied to the multimodal column:
-    * the frame-embedding grid stages once per process through the SQL
-    * statements (CREATE ANN INDEX on the media_id % 4 ≠ 0 frames,
-    * INGEST the held-out quarter, MAINTAIN compaction-only), and
-    * every invocation serves the query frame through the ordinary
-    * probed-cell [[graft.operators.Similarity.ivfIndexQuery]]. The
-    * probe window covers EVERY cell, so the served answer is exactly
-    * the brute-force top-k over the same frames — the oracle checks
-    * the whole lifecycle (build, conform-ingest, maintain, read)
-    * end-to-end, geometry-independent; the partition-pruned nprobe<k
-    * regime is spec-pinned separately (frame-IVF composition,
-    * OperatorsSpec "frame embeddings feed the IVF index machinery").
+  /** Stage the SQL-lifecycle flat frame index once per (process,
+    * sfDir) — the shared staging both the indexed and the filtered
+    * frame scenarios serve from (the `pqServeStage` pattern): CREATE
+    * on the media_id % 4 ≠ 0 frames, INGEST the held-out quarter,
+    * compaction-only MAINTAIN. Returns (index path, query embedding).
     */
-  def frameAnnIndexedScenario(spark: SparkSession, sfDir: String,
-      k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val (ivf, q) = frameIdxStages.computeIfAbsent(sfDir, _ => {
+  private def frameIdxStage(spark: SparkSession,
+      sfDir: String): (String, Seq[Float]) =
+    frameIdxStages.computeIfAbsent(sfDir, _ => {
+      import org.apache.spark.sql.functions.col
       val emb = frameEmbeddings(spark, sfDir)
       val st = java.nio.file.Files.createTempDirectory("graft_frameidx_")
       val seedDir = st.resolve("seed").toString
@@ -273,6 +265,25 @@ object Multimodal {
       (ivf, emb.where(col("media_id") === 0L && col("frame_idx") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toSeq)
     })
+
+  /** [[frameAnnTopK]] served from a PERSISTED index — the
+    * `ann_sql_lifecycle` pattern applied to the multimodal column:
+    * the frame-embedding grid stages once per process through the SQL
+    * statements (CREATE ANN INDEX on the media_id % 4 ≠ 0 frames,
+    * INGEST the held-out quarter, MAINTAIN compaction-only), and
+    * every invocation serves the query frame through the ordinary
+    * probed-cell [[graft.operators.Similarity.ivfIndexQuery]]. The
+    * probe window covers EVERY cell, so the served answer is exactly
+    * the brute-force top-k over the same frames — the oracle checks
+    * the whole lifecycle (build, conform-ingest, maintain, read)
+    * end-to-end, geometry-independent; the partition-pruned nprobe<k
+    * regime is spec-pinned separately (frame-IVF composition,
+    * OperatorsSpec "frame embeddings feed the IVF index machinery").
+    */
+  def frameAnnIndexedScenario(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (ivf, q) = frameIdxStage(spark, sfDir)
     graft.operators.Similarity
       .ivfIndexQuery(spark, ivf, q, k = k, nprobe = 1 << 16,
         excludeVecId = 0L)
@@ -297,8 +308,7 @@ object Multimodal {
   def frameAnnFilteredScenario(spark: SparkSession, sfDir: String,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.functions.col
-    frameAnnIndexedScenario(spark, sfDir, k) // ensure the stage exists
-    val (ivf, q) = frameIdxStages.get(sfDir)
+    val (ivf, q) = frameIdxStage(spark, sfDir)
     graft.operators.Similarity
       .ivfIndexQuery(spark, ivf, q, k = k, nprobe = 4,
         excludeVecId = 0L,

@@ -469,7 +469,9 @@ object TextAnalysis {
     * through the shard_id repartition that co-locates each shard for
     * its partition-aligned write; both are plain hash shuffles, no
     * global sort. A re-run overwrites (idempotent). Returns the
-    * per-shard manifest.
+    * per-shard manifest RE-DERIVED from the landed files — the
+    * assignment pipeline runs exactly ONCE (the write); the manifest
+    * is a data-local read-back, which also makes it a write receipt.
     */
   def exportShardsMaterialize(docs: DataFrame, outPath: String,
       shardTokens: Long = 2048L, bucketSize: Long = 4096L,
@@ -484,8 +486,18 @@ object TextAnalysis {
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("tokens_before"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outPath)
-    shardManifest(assigned)
+    shardManifest(materializedAssignments(docs.sparkSession, outPath))
   }
+
+  /** The per-doc assignment columns read back from a materialized
+    * export — the partition-column shard_id normalized to the
+    * assignment frames' BIGINT.
+    */
+  def materializedAssignments(spark: SparkSession,
+      outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        col("shard_id").cast("long").as("shard_id"))
 
   /** Idempotency keys for the incremental export's two appends. */
   val exportAssignAppId = "graft-export-assign"
@@ -503,7 +515,12 @@ object TextAnalysis {
     * arrive doc_id-MONOTONE (min doc_id above the stored max) — the
     * property that makes the accumulated state equal the one-shot
     * [[exportShards]] over the whole corpus, checked loudly.
-    * Returns the batch's per-doc assignment frame.
+    * Returns the batch's per-doc assignment frame as a LIVE
+    * table-backed read (stats-pruned to this batch's files) — never a
+    * driver materialization. Like any lazy table read, it sees the
+    * files of the version it was planned over: a consumer that holds
+    * it across later compact+vacuum cycles should materialize (or
+    * re-read the table) rather than cache the plan.
     */
   def exportShardsIngest(spark: SparkSession, exportPath: String,
       docs: DataFrame, batchId: Long, shardTokens: Long = 2048L,

@@ -179,6 +179,25 @@ object GraftSql {
   private val AdmitIntoDedupIndex =
     """(?is)\s*ADMIT\s+INTO\s+DEDUP\s+INDEX\s+'([^']+)'\s+CLUSTERS\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+GATE\s*\((.+?)\))?(?:\s+SEMANTIC\s+INDEX\s+'([^']+)')?(?:\s+AUDIT\s+'([^']+)')?(?:\s+BATCH\s+(\d+))?\s*""".r
 
+  /** Land a one-shot export's per-doc assignments at
+    * `<to>/assignments` in the SAME 5-column layout the incremental
+    * form writes (batch_id = -1 marks the one-shot rows), idempotently
+    * (a re-run overwrites). Returns the landed table's snapshot, so a
+    * caller's manifest aggregates over the committed files instead of
+    * re-running the assignment pipeline.
+    */
+  private def landOneShotAssignments(spark: SparkSession, toPath: String,
+      assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val landed = assigned.withColumn("batch_id", lit(-1L))
+    val t = GraftTable.createIfAbsent(spark,
+      java.nio.file.Paths.get(toPath, "assignments").toString,
+      landed.limit(0))
+    t.overwrite(landed): Unit
+    t.snapshot().select(col("doc_id"), col("n_tokens"),
+      col("tokens_before"), col("shard_id"))
+  }
+
   /** Resolve a CREATE/INGEST INDEX source: quoted path → graft table
     * (a `_graft_log` exists) or plain parquet dir; bare identifier →
     * registered table. Shared with the dedup_probe() TVF (same
@@ -264,11 +283,19 @@ object GraftSql {
         require(shuffled == null || bucketTxt == null,
           "EXPORT SHARDS SHUFFLED buckets by hash range — BUCKET SIZE " +
             "applies only to the doc_id-ordered forms")
-        graft.operators.TextAnalysis.exportShardsMaterialize(src,
-          java.nio.file.Paths.get(toPath, "shards").toString,
-          shardTokens = budget, bucketSize = bucket, tokenizer = tok,
-          shuffled = shuffled != null,
-          seed = Option(seedTxt).map(_.toLong).getOrElse(0L))
+        val manifest = graft.operators.TextAnalysis
+          .exportShardsMaterialize(src,
+            java.nio.file.Paths.get(toPath, "shards").toString,
+            shardTokens = budget, bucketSize = bucket, tokenizer = tok,
+            shuffled = shuffled != null,
+            seed = Option(seedTxt).map(_.toLong).getOrElse(0L))
+        // ALSO land the assignments table in the shared one-shot
+        // layout, derived from the landed content (data-local — the
+        // assignment pipeline is never re-run)
+        landOneShotAssignments(spark, toPath,
+          graft.operators.TextAnalysis.materializedAssignments(spark,
+            java.nio.file.Paths.get(toPath, "shards").toString))
+        manifest
       } else {
         require(shuffled == null || bucketTxt == null,
           "EXPORT SHARDS SHUFFLED buckets by hash range — BUCKET SIZE " +
@@ -281,14 +308,10 @@ object GraftSql {
           else graft.operators.TextAnalysis
             .exportShards(src, shardTokens = budget, bucketSize = bucket,
               tokenizer = tok)
-        // land the per-doc assignments in the SAME layout the
-        // incremental form uses, idempotently (a re-run overwrites);
-        // the manifest is what the statement returns
-        val t = GraftTable.createIfAbsent(spark,
-          java.nio.file.Paths.get(toPath, "assignments").toString,
-          assigned.limit(0))
-        t.overwrite(assigned): Unit
-        graft.operators.TextAnalysis.shardManifest(assigned)
+        // the manifest aggregates over the LANDED table, so the
+        // assignment pipeline runs exactly once (the overwrite)
+        graft.operators.TextAnalysis.shardManifest(
+          landOneShotAssignments(spark, toPath, assigned))
       }
     case DescribeAnnIndex(path) =>
       val cents = graft.operators.Similarity.loadCents(spark, path)

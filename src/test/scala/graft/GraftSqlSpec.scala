@@ -1598,6 +1598,12 @@ class GraftSqlSpec extends SparkSpec {
       s"EXPORT SHARDS TO '$exp1' FROM '$src' BUDGET 512 BUCKET SIZE 64")
     assert(asg1.count() === docs.count(),
       "re-run one-shot export must overwrite, not append")
+    // the landed layout is the incremental form's 5-column schema
+    // (batch_id = -1 marks one-shot rows) — genuinely interoperable
+    assert(asg1.columns.toSet === Set("doc_id", "n_tokens",
+      "tokens_before", "shard_id", "batch_id"))
+    assert(asg1.select($"batch_id").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(-1L))
     // SHUFFLED: manifest ≡ the API's hash-permutation pack
     val exp2 = root.resolve("exp2").toString
     val m2 = GraftSql.sql(spark,

@@ -62,8 +62,11 @@ for name in sorted(os.listdir(out_dir)):
         # FAILS there. Predict that here instead of float-coercing.
         gk, ek = gv.dtype.kind, ev.dtype.kind
         if (gk in "iu" and ek == "f") or (gk == "f" and ek in "iu"):
+            fix = ("CAST the oracle column to BIGINT" if gk in "iu"
+                   else "CAST the oracle column to DOUBLE, or make the "
+                        "Spark column integral")
             bad = (f"col {c}: int/float dtype drift (spark {gv.dtype} vs "
-                   f"oracle {ev.dtype}) — CAST the oracle column to BIGINT "
+                   f"oracle {ev.dtype}) — {fix} "
                    f"(driver hash gate would fail)")
             break
         if gk == "f" or ek == "f":
