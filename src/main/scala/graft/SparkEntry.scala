@@ -124,6 +124,16 @@ object SparkEntry {
         Tables.load(s, d, "documents"), tokenizer = "bpe"))),
     "text_export_shards_materialized" -> ((s: SparkSession, d: String) =>
       TextAnalysis.exportShardsMaterializedScenario(s, d)),
+    "text_pack_sequences" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packSequences(Tables.load(s, d, "documents"))),
+    "text_seq_manifest" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.seqManifest(Tables.load(s, d, "documents"))),
+    "text_mixture_resample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.mixtureResampleScenario(s, d)),
+    "text_export_shards_mixture" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.exportShardsMixtureScenario(s, d)),
+    "stream_export_shards" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Streams.exportStreamScenario(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
@@ -288,7 +298,11 @@ object SparkEntry {
       // landed shard content (token counts re-run on the written
       // text), so the same replay checks the write's integrity
       ("text_export_shards_materialized" ->
-        oracleSqlMain("text_export_shards"))
+        oracleSqlMain("text_export_shards")) +
+      // three streamed cycles accumulate to the one-shot export (the
+      // engine's epoch ids ride the exporter's batch-id contract), so
+      // the same manifest replay checks the streaming sink
+      ("stream_export_shards" -> oracleSqlMain("text_export_shards"))
 
   /** Portable banded-minhash oracle parameterized by the family's
     * (numPerm, bands) layout — ONE relational replay checks both the
@@ -1456,6 +1470,110 @@ object SparkEntry {
         |  FROM d)
         |SELECT CAST(tokens_before // 2048 AS BIGINT) AS shard_id,
         |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY tokens_before // 2048""".stripMargin,
+    // sequence packing: per-doc span over the seqLen=512 cuts of the
+    // concatenated stream — pure integer arithmetic on the cumsum
+    // (the GREATEST guard keeps a zero-token doc a one-seq span);
+    // every output CASTs because the window SUM is HUGEINT in DuckDB
+    "text_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |  CAST(tokens_before AS BIGINT) AS tokens_before,
+        |  CAST(tokens_before // 512 AS BIGINT) AS start_seq,
+        |  CAST(tokens_before % 512 AS BIGINT) AS start_offset,
+        |  CAST((tokens_before + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT) AS end_seq,
+        |  CAST((tokens_before + GREATEST(n_tokens, 1) - 1) // 512
+        |    - tokens_before // 512 + 1 AS BIGINT) AS n_seqs
+        |FROM c""".stripMargin,
+    // per-sequence manifest: each doc unnests to the sequences it
+    // overlaps; fill = intersection of the doc's token interval with
+    // the sequence's [seq*512, (seq+1)*512) window
+    "text_seq_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before,
+        |    CAST(UNNEST(generate_series(CAST(tokens_before // 512 AS BIGINT),
+        |      CAST((tokens_before + n_tokens - 1) // 512 AS BIGINT))) AS BIGINT) AS seq_id
+        |  FROM c WHERE n_tokens > 0)
+        |SELECT seq_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(LEAST((seq_id + 1) * 512, tokens_before + n_tokens)
+        |    - GREATEST(seq_id * 512, tokens_before)) AS BIGINT) AS filled_tokens,
+        |  CAST(SUM(CASE WHEN tokens_before < seq_id * 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM s GROUP BY seq_id""".stripMargin,
+    // mixture resampling: the md5 coin (residue < frac * 2^60) and
+    // the per-domain repetition counts replay exactly — thresholds
+    // are 0.5 * 2^60 (en) and 0.25 * 2^60 (zh), es fixed 3, fr
+    // dropped, default 1 (de)
+    "text_mixture_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(concat('mix0:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang
+        |      WHEN 'en' THEN 0 + CASE WHEN h < 576460752303423488 THEN 1 ELSE 0 END
+        |      WHEN 'zh' THEN 2 + CASE WHEN h < 288230376151711744 THEN 1 ELSE 0 END
+        |      WHEN 'es' THEN 3
+        |      WHEN 'fr' THEN 0
+        |      ELSE 1 END AS n_reps
+        |  FROM d)
+        |SELECT doc_id, lang,
+        |  CAST(UNNEST(generate_series(0, n_reps - 1)) AS BIGINT) AS rep
+        |FROM r WHERE n_reps > 0""".stripMargin,
+    // the mixture pipeline exit: reps unnest, every (doc, rep) copy
+    // draws an independent md5 position, global-window cumsum over
+    // that permutation, manifest per 2048-token shard
+    "text_export_shards_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(concat('mix0:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE lang
+        |      WHEN 'en' THEN 0 + CASE WHEN h < 576460752303423488 THEN 1 ELSE 0 END
+        |      WHEN 'zh' THEN 2 + CASE WHEN h < 288230376151711744 THEN 1 ELSE 0 END
+        |      WHEN 'es' THEN 3
+        |      WHEN 'fr' THEN 0
+        |      ELSE 1 END AS n_reps
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(UNNEST(generate_series(0, n_reps - 1)) AS BIGINT) AS rep
+        |  FROM r WHERE n_reps > 0),
+        |p AS (
+        |  SELECT doc_id, rep, n_tokens,
+        |    CAST(concat('0x', substr(md5(concat('mixshuf0:', CAST(doc_id AS VARCHAR), ':', CAST(rep AS VARCHAR))), 1, 15)) AS BIGINT) AS h2
+        |  FROM x),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY h2, doc_id, rep
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM p)
+        |SELECT CAST(tokens_before // 2048 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_copies,
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY tokens_before // 2048""".stripMargin,

@@ -353,16 +353,16 @@ object TextAnalysis {
     * packing plan (the measure is one map-side regexp either way).
     */
   private def tokenCounts(docs: DataFrame,
-      tokenizer: String = "ws"): DataFrame = {
-    val pat = tokenizer match {
-      case "ws" => "\\S+"
-      case "bpe" => bpePat
-      case other => throw new IllegalArgumentException(
-        s"exportShards: unknown tokenizer '$other' (expected ws|bpe)")
-    }
+      tokenizer: String = "ws"): DataFrame =
     docs.select(col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
-        .cast("long").as("n_tokens"))
+      size(regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
+        lit(0))).cast("long").as("n_tokens"))
+
+  private def tokenPattern(tokenizer: String): String = tokenizer match {
+    case "ws" => "\\S+"
+    case "bpe" => bpePat
+    case other => throw new IllegalArgumentException(
+      s"exportShards: unknown tokenizer '$other' (expected ws|bpe)")
   }
 
   /** Distributed exclusive prefix sum of n_tokens over an input
@@ -691,6 +691,153 @@ object TextAnalysis {
       shardTokens: Long = 2048L): DataFrame =
     shardManifest(
       exportShards(Tables.load(spark, sfDir, "documents"), shardTokens))
+
+  /** FIXED-LENGTH SEQUENCE PACKING — the step between shard export
+    * and the training loop: the concatenated token stream (docs in
+    * doc_id order) cuts at every `seqLen` tokens and each doc maps to
+    * its SPAN of training sequences: (start_seq, start_offset,
+    * end_seq, n_seqs). A doc whose tokens cross a cut CONTINUES into
+    * the next sequence — the standard packed-pretraining layout where
+    * attention masks (not padding) separate documents; this frame is
+    * exactly the metadata those masks and any doc-provenance lookup
+    * need. Rides the same distributed prefix sum as [[exportShards]]
+    * (never a one-task global window); everything after the cumsum is
+    * map-side integer arithmetic. A zero-token doc degenerates to a
+    * zero-width span at its stream position (n_seqs = 1, the GREATEST
+    * guard), so the frame stays total.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long = 512L,
+      bucketSize: Long = 4096L, tokenizer: String = "ws"): DataFrame = {
+    require(seqLen >= 1L, "packSequences needs seqLen >= 1")
+    tokenPrefix(docs, bucketSize, startOffset = 0L, tokenizer)
+      .withColumn("start_seq", expr(s"tokens_before div ${seqLen}L"))
+      .withColumn("start_offset", expr(s"tokens_before % ${seqLen}L"))
+      .withColumn("end_seq", expr(
+        s"(tokens_before + greatest(n_tokens, 1L) - 1L) div ${seqLen}L"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        col("start_seq"), col("start_offset"), col("end_seq"),
+        col("n_seqs"))
+  }
+
+  /** Per-SEQUENCE manifest over [[packSequences]] — one row per
+    * training sequence: how many docs it holds, how many tokens fill
+    * it (== seqLen everywhere but the ragged tail), and whether a doc
+    * CARRIES IN from the previous sequence (n_carry_in — the
+    * cross-boundary count an attention-mask builder needs). Scale
+    * shape: each doc explodes to its O(n_tokens/seqLen + 1) sequence
+    * ids map-side — the explosion is linear in corpus tokens — and
+    * the rollup is one hash aggregation on seq_id.
+    */
+  def seqManifest(docs: DataFrame, seqLen: Long = 512L,
+      bucketSize: Long = 4096L, tokenizer: String = "ws"): DataFrame =
+    packSequences(docs, seqLen, bucketSize, tokenizer)
+      .where(col("n_tokens") > 0L)
+      .withColumn("seq_id",
+        explode(sequence(col("start_seq"), col("end_seq"))))
+      .withColumn("fill_start",
+        greatest(col("seq_id") * seqLen, col("tokens_before")))
+      .withColumn("fill_end",
+        least((col("seq_id") + 1L) * seqLen,
+          col("tokens_before") + col("n_tokens")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("fill_end") - col("fill_start")).as("filled_tokens"),
+        sum(when(col("tokens_before") < col("seq_id") * seqLen, lit(1L))
+          .otherwise(lit(0L))).as("n_carry_in"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  /** DOMAIN-MIXTURE RESAMPLING with repetition — the "epochs per
+    * domain" step (the LLaMA/DoReMi-style mixture): every doc in
+    * domain d replicates `weights(d)` times in expectation — the
+    * integer part deterministically, the fractional part by an
+    * engine-portable md5 coin (residue < frac·2⁶⁰), so the SAME docs
+    * up/down-sample on every run and an oracle can replay the draw
+    * exactly. Weight 0 excludes the domain; unlisted domains take
+    * `defaultWeight`. Output = the input columns plus `rep`
+    * (0..n_reps-1) — one row per training copy, ready to feed the
+    * shuffled export. Scale shape: one broadcast join against the
+    * O(domains) weight table, the coin and the explode are map-side;
+    * output size is Σ w(d)·|d|, exactly the mixture's token budget.
+    */
+  def mixtureResample(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, byCol: String = "lang",
+      seed: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require((weights.valuesIterator ++ Iterator(defaultWeight))
+      .forall(_ >= 0.0), "mixtureResample needs non-negative weights")
+    def split(w: Double): (Long, Long) = {
+      val base = math.floor(w).toLong
+      ((base, ((w - base) * (1L << 60).toDouble).toLong))
+    }
+    val (defBase, defThr) = split(defaultWeight)
+    val wdf = broadcast(weights.toSeq.map { case (k, w) =>
+      val (b, t) = split(w); (k, b, t)
+    }.toDF(byCol, "__base", "__thr"))
+    docs.join(wdf, Seq(byCol), "left")
+      .withColumn("__h", Tables.md5Residue(
+        concat(lit(s"mix$seed:"), col("doc_id").cast("string"))))
+      .withColumn("__reps",
+        coalesce(col("__base"), lit(defBase)) +
+          when(col("__h") < coalesce(col("__thr"), lit(defThr)), lit(1L))
+            .otherwise(lit(0L)))
+      .where(col("__reps") > 0L)
+      .withColumn("rep", explode(sequence(lit(0L), col("__reps") - 1L)))
+      .select(docs.columns.map(col).toIndexedSeq :+ col("rep"): _*)
+  }
+
+  /** The mixture pipeline exit — [[mixtureResample]] composed with
+    * the shuffled shard pack: every training COPY (doc, rep) takes an
+    * independent md5 position in the export permutation (copies of
+    * the same doc scatter across shards instead of clumping), then
+    * the same distributed prefix sum cuts fixed-token shards. Per-copy
+    * frame: (doc_id, rep, n_tokens, tokens_before, shard_id).
+    */
+  def exportShardsMixture(docs: DataFrame, weights: Map[String, Double],
+      shardTokens: Long = 2048L, defaultWeight: Double = 1.0,
+      seed: Long = 0L, tokenizer: String = "ws"): DataFrame = {
+    val rs = mixtureResample(docs, weights, defaultWeight, seed = seed)
+    val counted = rs.select(col("doc_id"), col("rep"),
+      size(regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
+        lit(0))).cast("long").as("n_tokens"))
+    prefixSum(counted
+        .withColumn("__h", Tables.md5Residue(concat(
+          lit(s"mixshuf$seed:"), col("doc_id").cast("string"),
+          lit(":"), col("rep").cast("string"))))
+        .withColumn("__b", expr(s"__h div ${1L << 48}L")),
+      Seq("__h", "doc_id", "rep"), startOffset = 0L)
+      .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
+      .select(col("doc_id"), col("rep"), col("n_tokens"),
+        col("tokens_before"), col("shard_id"))
+  }
+
+  /** The fixed mixture the driver scenarios pin (one weight of each
+    * shape): en downsamples by an md5 coin (0.5), zh takes 2 copies +
+    * a 0.25 coin, es takes exactly 3, fr drops, everything else
+    * (de) rides the default 1.0.
+    */
+  val scenarioMixture: Map[String, Double] =
+    Map("en" -> 0.5, "zh" -> 2.25, "es" -> 3.0, "fr" -> 0.0)
+
+  /** Driver scenario for [[mixtureResample]]: the per-copy frame
+    * (doc_id, lang, rep) under [[scenarioMixture]].
+    */
+  def mixtureResampleScenario(spark: SparkSession,
+      sfDir: String): DataFrame =
+    mixtureResample(Tables.load(spark, sfDir, "documents"),
+      scenarioMixture)
+      .select(col("doc_id"), col("lang"), col("rep"))
+
+  /** Driver scenario for [[exportShardsMixture]]: the per-shard
+    * manifest of the mixture-resampled, shuffle-packed export.
+    */
+  def exportShardsMixtureScenario(spark: SparkSession,
+      sfDir: String): DataFrame =
+    shardManifest(exportShardsMixture(
+      Tables.load(spark, sfDir, "documents"), scenarioMixture))
+      .withColumnRenamed("n_docs", "n_copies")
 
   /** Corpus accounting rollup: docs / chars / whitespace tokens per
     * (lang, source) — the bookkeeping query behind token budgets.

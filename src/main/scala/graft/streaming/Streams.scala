@@ -470,6 +470,87 @@ object Streams {
     curated.snapshot().select(col("doc_id"), col("n_chars"))
   }
 
+  /** STREAMING shard export — the pipeline exit
+    * ([[graft.operators.TextAnalysis.exportShardsIngest]]) as a
+    * Structured Streaming sink: each AvailableNow micro-batch of
+    * arriving docs lands its per-doc shard assignments exactly-once
+    * under the stream's OWN epoch id (the engine's batch ids are
+    * monotone per checkpoint, exactly the exporter's id contract), so
+    * a sink-side crash replays the epoch into appendIfNew watermarks
+    * that skip what already landed — the assignments table
+    * accumulates to the one-shot [[graft.operators.TextAnalysis
+    * .exportShards]] over everything that ever arrived (spec). The
+    * doc_id-MONOTONE arrival contract carries over: each staged cycle
+    * must sit above the previous one's max doc_id (the exporter
+    * refuses loudly otherwise), the natural shape for an
+    * append-only upstream that assigns increasing ids.
+    */
+  def exportStream(spark: SparkSession, rawDir: String,
+      checkpoint: String, exportPath: String,
+      shardTokens: Long = 2048L, bucketSize: Long = 4096L,
+      maxFilesPerTrigger: Int = Int.MaxValue): Unit = {
+    val cp = java.nio.file.Paths.get(checkpoint)
+    java.nio.file.Files.createDirectories(cp)
+    val schema = spark.read.parquet(rawDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(rawDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp.resolve("stream").toString)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        // an empty epoch (a cycle with no new files) must not reach
+        // the exporter's empty-batch refusal — skipping it is safe
+        // because an empty batch assigns nothing and advances nothing
+        if (!df.isEmpty)
+          graft.operators.TextAnalysis.exportShardsIngest(spark,
+            exportPath, df, id, shardTokens, bucketSize,
+            pipelineId = s":$checkpoint"): Unit
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  private val exportStreamStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[exportStream]]: the corpus arrives as 3
+    * doc_id-monotone cycles plus an empty replay cycle; the
+    * accumulated assignments must equal the one-shot export, so the
+    * manifest shares the `text_export_shards` oracle. Staged once per
+    * process (the `sqlLifecycleStages` convention) so repeated
+    * invocations time the manifest serve.
+    */
+  def exportStreamScenario(spark: SparkSession, sfDir: String,
+      shardTokens: Long = 2048L): DataFrame = {
+    val stage = exportStreamStages.computeIfAbsent(
+      s"$sfDir:$shardTokens", { _ =>
+        val docs = Tables.load(spark, sfDir, "documents")
+        val p = java.nio.file.Files.createTempDirectory("graft_expstr_")
+        val raw = p.resolve("raw").toString
+        val cp = p.resolve("cp").toString
+        val exp = p.resolve("export").toString
+        graft.sources.Ingest.stageBatch(
+          docs.where(col("doc_id") < 170), raw, "b1")
+        exportStream(spark, raw, cp, exp, shardTokens)
+        graft.sources.Ingest.stageBatch(
+          docs.where(col("doc_id") >= 170 && col("doc_id") < 340),
+          raw, "b2")
+        exportStream(spark, raw, cp, exp, shardTokens)
+        graft.sources.Ingest.stageBatch(
+          docs.where(col("doc_id") >= 340), raw, "b3")
+        exportStream(spark, raw, cp, exp, shardTokens)
+        // a cycle with nothing new: no epoch fires, nothing lands
+        exportStream(spark, raw, cp, exp, shardTokens)
+        p
+      })
+    graft.operators.TextAnalysis.shardManifest(
+      graft.tables.GraftTable.load(spark,
+        stage.resolve("export").resolve("assignments").toString)
+        .snapshot())
+  }
+
   /** STREAMING twin of the evolving autoloader
     * (graft.sources.Ingest.incrementalLoadEvolving — Auto Loader's
     * cloudFiles schemaLocation/schemaEvolutionMode/_rescued_data

@@ -166,6 +166,21 @@ object GraftSql {
   // inside each file) — the artifact a trainer consumes
   private val ExportShardsSql =
     """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+BUCKET\s+SIZE\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+BATCH\s+(\d+))?(\s+SHUFFLED)?(?:\s+SEED\s+(\d+))?(\s+MATERIALIZE)?\s*""".r
+  // the MIXTURE form of the pipeline exit: per-domain weights
+  // (repetition with an md5 coin for the fractional part —
+  // TextAnalysis.mixtureResample) feed the per-copy shuffled pack
+  // (exportShardsMixture); DEFAULT is the weight of unlisted domains,
+  // SEED redraws both the coin and the permutation (epoch reshuffle).
+  // Inherently one-shot and hash-ordered, so BATCH / SHUFFLED /
+  // BUCKET SIZE / MATERIALIZE never appear in this spelling
+  private val ExportShardsMixtureSql =
+    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?\s+MIXTURE\s*\(([^)]*)\)(?:\s+DEFAULT\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?\s*""".r
+  private val MixtureWeight = """(?is)'([^']+)'\s+([0-9.]+)""".r
+  // sequence packing as a statement: the per-doc span frame (the
+  // attention-mask/provenance metadata), or with MANIFEST the
+  // per-sequence rollup — a pure query, no landing
+  private val PackSequencesSql =
+    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(\s+MANIFEST)?\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -255,6 +270,45 @@ object GraftSql {
         indexSourceFrame(spark, srcPath, srcIdent),
         batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L))
       emptyResult(spark)
+    case ExportShardsMixtureSql(toPath, srcPath, srcIdent, budgetTxt,
+        tokTxt, weightsTxt, defTxt, seedTxt) =>
+      val weights = MixtureWeight.findAllMatchIn(weightsTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      require(weights.nonEmpty,
+        "EXPORT SHARDS MIXTURE needs at least one 'domain' weight pair")
+      // a weight-list typo must refuse, not silently drop the pair
+      val rest = MixtureWeight.replaceAllIn(weightsTxt, "")
+      require(rest.replaceAll("[,\\s]", "").isEmpty,
+        s"EXPORT SHARDS MIXTURE: cannot parse weight list at " +
+          s"'${rest.trim}' (expected 'domain' <weight> pairs)")
+      val assigned = graft.operators.TextAnalysis.exportShardsMixture(
+        indexSourceFrame(spark, srcPath, srcIdent), weights,
+        shardTokens = Option(budgetTxt).map(_.toLong).getOrElse(2048L),
+        defaultWeight = Option(defTxt).map(_.toDouble).getOrElse(1.0),
+        seed = Option(seedTxt).map(_.toLong).getOrElse(0L),
+        tokenizer = Option(tokTxt).map(_.toLowerCase).getOrElse("ws"))
+      // land the PER-COPY assignments (rep rides along for
+      // provenance) in the one-shot layout, manifest over the landed
+      // table — the assignment pipeline runs exactly once
+      val landedMix = assigned.withColumn("batch_id",
+        org.apache.spark.sql.functions.lit(-1L))
+      val mixT = GraftTable.createIfAbsent(spark,
+        java.nio.file.Paths.get(toPath, "assignments").toString,
+        landedMix.limit(0))
+      mixT.overwrite(landedMix): Unit
+      graft.operators.TextAnalysis.shardManifest(
+        mixT.snapshot().select(col("doc_id"), col("n_tokens"),
+          col("tokens_before"), col("shard_id")))
+        .withColumnRenamed("n_docs", "n_copies")
+    case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, manifest) =>
+      val len = Option(lenTxt).map(_.toLong).getOrElse(512L)
+      val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
+      val src = indexSourceFrame(spark, srcPath, srcIdent)
+      if (manifest != null)
+        graft.operators.TextAnalysis.seqManifest(src, seqLen = len,
+          tokenizer = tok)
+      else graft.operators.TextAnalysis.packSequences(src, seqLen = len,
+        tokenizer = tok)
     case ExportShardsSql(toPath, srcPath, srcIdent, budgetTxt, bucketTxt,
         tokTxt, batchTxt, shuffled, seedTxt, mat) =>
       val budget = Option(budgetTxt).map(_.toLong).getOrElse(2048L)
@@ -852,6 +906,8 @@ object GraftSql {
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
+         ExportShardsMixtureSql(_, _, _, _, _, _, _, _) |
+         PackSequencesSql(_, _, _, _, _) |
          ExportShardsSql(_, _, _, _, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
@@ -939,6 +995,31 @@ object GraftSql {
       case DescribeDedupIndex(_) => Some(StructType(Seq(
         StructField("num_sig_rows", LongType, nullable = false),
         StructField("num_shingle_postings", LongType, nullable = false))))
+      // the MIXTURE form must match FIRST (its prefix also resembles
+      // the plain export spelling)
+      case ExportShardsMixtureSql(_, _, _, _, _, _, _, _) =>
+        Some(StructType(Seq(
+          StructField("shard_id", LongType),
+          StructField("n_copies", IntegerType, nullable = false),
+          StructField("shard_tokens", LongType),
+          StructField("first_doc", LongType),
+          StructField("last_doc", LongType))))
+      case PackSequencesSql(_, _, _, _, manifest) =>
+        if (manifest != null) Some(StructType(Seq(
+          StructField("seq_id", LongType),
+          StructField("n_docs", IntegerType, nullable = false),
+          StructField("filled_tokens", LongType),
+          StructField("n_carry_in", LongType),
+          StructField("first_doc", LongType),
+          StructField("last_doc", LongType))))
+        else Some(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_tokens", LongType),
+          StructField("tokens_before", LongType),
+          StructField("start_seq", LongType),
+          StructField("start_offset", LongType),
+          StructField("end_seq", LongType),
+          StructField("n_seqs", LongType))))
       case ExportShardsSql(_, _, _, _, _, _, batchTxt, _, _, _) =>
         if (batchTxt != null) Some(StructType(Seq(
           StructField("doc_id", LongType),
@@ -982,6 +1063,10 @@ object GraftSql {
       // admission/export with a QUOTED source is shape-claimed; the
       // bare-identifier source resolves below like CREATE/INGEST INDEX
       case AdmitIntoDedupIndex(_, _, p, _, _, _, _, _) if p != null =>
+        return true
+      case ExportShardsMixtureSql(_, p, _, _, _, _, _, _) if p != null =>
+        return true
+      case PackSequencesSql(p, _, _, _, _) if p != null =>
         return true
       case ExportShardsSql(_, p, _, _, _, _, _, _, _, _) if p != null =>
         return true
@@ -1027,6 +1112,8 @@ object GraftSql {
       case IngestDedupIndex(_, _, i, _) => Some(i)
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
+      case ExportShardsMixtureSql(_, _, i, _, _, _, _, _) => Some(i)
+      case PackSequencesSql(_, i, _, _, _) => Some(i)
       case ExportShardsSql(_, _, i, _, _, _, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)

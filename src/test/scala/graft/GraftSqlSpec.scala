@@ -1663,6 +1663,72 @@ class GraftSqlSpec extends SparkSpec {
     assert(e5.getMessage.contains("MATERIALIZE"), e5.getMessage)
   }
 
+  test("EXPORT SHARDS MIXTURE + PACK SEQUENCES SQL: manifests and " +
+      "span frames ≡ the API, per-copy assignments land with rep, " +
+      "weight-list typos refuse") {
+    val root = Files.createTempDirectory("graft_mixsql_")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.parquet(root.resolve("src").toString)
+    val src = root.resolve("src").toString
+    val weights = operators.TextAnalysis.scenarioMixture
+    // MIXTURE: manifest result rows ≡ the API composition
+    val exp = root.resolve("exp").toString
+    val m = GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp' FROM '$src' " +
+      "BUDGET 512 MIXTURE ('en' 0.5, 'zh' 2.25, 'es' 3.0, 'fr' 0.0)")
+    assert(m.columns.toSeq === Seq("shard_id", "n_copies",
+      "shard_tokens", "first_doc", "last_doc"))
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select($"shard_id", $"n_copies".cast("long"), $"shard_tokens",
+        $"first_doc", $"last_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(cells(m) === cells(operators.TextAnalysis.shardManifest(
+        operators.TextAnalysis.exportShardsMixture(docs, weights,
+          shardTokens = 512L))
+      .withColumnRenamed("n_docs", "n_copies")),
+      "MIXTURE manifest diverged from the API composition")
+    // the landed assignments carry the rep column (per-copy
+    // provenance) and a re-run overwrites
+    def asg = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp, "assignments").toString).snapshot()
+    assert(asg.columns.toSet === Set("doc_id", "rep", "n_tokens",
+      "tokens_before", "shard_id", "batch_id"))
+    val n = asg.count()
+    assert(n > docs.count(), "upsampling must replicate copies")
+    GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp' FROM '$src' " +
+      "BUDGET 512 MIXTURE ('en' 0.5, 'zh' 2.25, 'es' 3.0, 'fr' 0.0)")
+    assert(asg.count() === n, "re-run MIXTURE export must overwrite")
+    // DEFAULT + SEED spellings route through
+    val exp2 = root.resolve("exp2").toString
+    val m2 = GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp2' FROM " +
+      s"'$src' MIXTURE ('fr' 2.0) DEFAULT 0.0 SEED 3")
+    assert(cells(m2) === cells(operators.TextAnalysis.shardManifest(
+        operators.TextAnalysis.exportShardsMixture(docs,
+          Map("fr" -> 2.0), defaultWeight = 0.0, seed = 3L))
+      .withColumnRenamed("n_docs", "n_copies")))
+    // a malformed weight list refuses instead of dropping pairs
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp2' FROM '$src' " +
+        "MIXTURE ('en' 0.5, oops)")
+    }
+    assert(e.getMessage.contains("weight list"), e.getMessage)
+    // PACK SEQUENCES: span frame and MANIFEST rollup ≡ the API
+    val spans = GraftSql.sql(spark,
+      s"PACK SEQUENCES FROM '$src' LENGTH 128")
+    assert(spans.columns.toSeq === Seq("doc_id", "n_tokens",
+      "tokens_before", "start_seq", "start_offset", "end_seq", "n_seqs"))
+    assert(spans.collect().map(_.toSeq).toSet ===
+      operators.TextAnalysis.packSequences(docs, seqLen = 128L)
+        .collect().map(_.toSeq).toSet,
+      "PACK SEQUENCES diverged from the API span frame")
+    val man = GraftSql.sql(spark,
+      s"PACK SEQUENCES FROM '$src' LENGTH 128 MANIFEST")
+    assert(man.collect().map(_.toSeq).toSet ===
+      operators.TextAnalysis.seqManifest(docs, seqLen = 128L)
+        .collect().map(_.toSeq).toSet,
+      "PACK SEQUENCES MANIFEST diverged from the API rollup")
+  }
+
   test("ADMIT INTO DEDUP INDEX: the whole admission cycle from pure " +
       "SQL — gate rejects, lexical and semantic near-dups drop, and " +
       "a replayed BATCH id is a no-op") {

@@ -962,6 +962,148 @@ class OperatorsSpec extends SparkSpec {
       "re-run must overwrite the materialized export")
   }
 
+  test("packSequences: spans tile the concatenated token stream — " +
+      "≡ global-window arithmetic, contiguous, offsets in range") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val got = operators.TextAnalysis
+      .packSequences(docs, seqLen = 512L, bucketSize = 64L)
+    val rows = got.orderBy(col("doc_id")).collect()
+    // span arithmetic: tokens_before decomposes into (start_seq,
+    // start_offset), end_seq covers the doc's last token
+    rows.foreach { r =>
+      val (nt, tb, ss, so, es, ns) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(tb === ss * 512L + so, s"doc ${r.getLong(0)}: bad offset")
+      assert(so >= 0L && so < 512L)
+      assert(es === (tb + math.max(nt, 1L) - 1L) / 512L)
+      assert(ns === es - ss + 1L && ns >= 1L)
+    }
+    // contiguity: each doc starts exactly where the previous ended
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) === a.getLong(2) + a.getLong(1),
+          "token stream must be contiguous across docs")
+      case _ =>
+    }
+    // ≡ the global-window cumsum (small bucketSize forces many buckets)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    rows.foreach(r => assert(r.getLong(2) === expected(r.getLong(0)),
+      "distributed sequence packing diverged from the global window"))
+  }
+
+  test("seqManifest: every sequence but the ragged tail fills to " +
+      "seqLen, fills sum to the corpus total, carry-in ≤ 1") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val m = operators.TextAnalysis.seqManifest(docs, seqLen = 512L)
+      .orderBy(col("seq_id")).collect()
+    assert(m.length > 2, "setup: expected several sequences")
+    // seq ids are dense 0..N-1
+    m.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong, "sequence ids must be dense") }
+    m.init.foreach { r =>
+      assert(r.getLong(2) === 512L,
+        s"seq ${r.getLong(0)}: every non-tail sequence is full") }
+    assert(m.last.getLong(2) <= 512L)
+    val corpusTokens = docs.agg(sum(
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long"))).head().getLong(0)
+    assert(m.map(_.getLong(2)).sum === corpusTokens,
+      "sequence fills must sum to the corpus token total")
+    // at most one doc can carry across any boundary
+    m.foreach(r => assert(r.getLong(3) <= 1L, "carry-in is 0 or 1"))
+    // a sequence holding d docs with c carrying in starts d - c docs
+    val starts = m.map(r => r.getInt(1).toLong - r.getLong(3)).sum
+    assert(starts === docs.where(
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))) > 0)
+      .count(), "every nonempty doc starts in exactly one sequence")
+  }
+
+  test("mixtureResample: per-domain repetition counts follow the " +
+      "weights, the md5 coin is deterministic, seeds redraw it") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val weights = operators.TextAnalysis.scenarioMixture
+    val rs = operators.TextAnalysis.mixtureResample(docs, weights)
+    val perDoc = rs.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(!perDoc.values.exists(_._1 == "fr"), "weight 0 excludes fr")
+    perDoc.values.foreach {
+      case ("es", n) => assert(n === 3L, "es takes exactly 3 copies")
+      case ("de", n) => assert(n === 1L, "default weight rides de")
+      case ("en", n) => assert(n === 1L, "a kept en doc appears once")
+      case ("zh", n) => assert(n === 2L || n === 3L, "zh takes 2 + coin")
+      case (l, _) => fail(s"unexpected lang $l")
+    }
+    // the en coin keeps roughly half (exact set pinned by the oracle;
+    // here: nonempty, strict subset, deterministic across runs)
+    val enIn = docs.where(col("lang") === "en").count()
+    val enKept = perDoc.count(_._2._1 == "en")
+    assert(enKept > 0 && enKept < enIn, "en must genuinely downsample")
+    val again = operators.TextAnalysis.mixtureResample(docs, weights)
+      .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(again === perDoc, "the md5 coin must replay identically")
+    val reseeded = operators.TextAnalysis
+      .mixtureResample(docs, weights, seed = 1L)
+      .where(col("lang") === "en").select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(reseeded !== perDoc.filter(_._2._1 == "en").keySet,
+      "a new seed must draw a different en keep-set")
+    intercept[IllegalArgumentException] {
+      operators.TextAnalysis.mixtureResample(docs, Map("en" -> -0.5))
+    }
+  }
+
+  test("exportShardsMixture: every training copy takes an independent " +
+      "md5 position — ≡ the global-window replay over (h2, doc, rep)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val weights = operators.TextAnalysis.scenarioMixture
+    val got = operators.TextAnalysis.exportShardsMixture(docs, weights)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    val rs = operators.TextAnalysis.mixtureResample(docs, weights)
+      .select(col("doc_id"), col("rep"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("__h", expr("conv(substring(md5(concat('mixshuf0:', " +
+        "CAST(doc_id AS STRING), ':', CAST(rep AS STRING))), 1, 15), " +
+        "16, 10)").cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__h"), col("doc_id"), col("rep"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = rs
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", expr("tokens_before div 2048L"))
+      .select(col("doc_id"), col("rep"), col("tokens_before"),
+        col("shard_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected,
+      "mixture export diverged from its global-window replay")
+    // copies of the SAME doc scatter: some multi-copy doc lands in
+    // more than one shard (the permutation hashes (doc, rep), not doc)
+    val multi = got.groupBy(_._1).filter(_._2.size > 1)
+    assert(multi.exists(_._2.map(_._4).size > 1),
+      "copies of one doc must scatter across shards")
+  }
+
   test("exportShardsIngest: a NEW batch with an id below a landed " +
       "higher id refuses even when its doc range is monotone") {
     import org.apache.spark.sql.functions._

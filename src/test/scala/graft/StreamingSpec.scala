@@ -872,6 +872,45 @@ class StreamingSpec extends SparkSpec {
       "per-cycle export diverged from the one-shot pack")
   }
 
+  test("exportStream: streamed cycles accumulate to the one-shot " +
+      "pack, an empty cycle lands nothing, a restart is a no-op") {
+    val stage = Files.createTempDirectory("graft_expstr_spec_")
+    val raw = stage.resolve("raw")
+    java.nio.file.Files.createDirectories(raw)
+    def doc(id: Long) = (id,
+      (0 to (id % 7).toInt).map(i => s"w$id-$i").mkString(" "))
+    def land(ids: Range, p: String): Unit =
+      graft.sources.Ingest.stageBatch(
+        ids.map(i => doc(i.toLong)).toDF("doc_id", "text"),
+        raw.toString, p)
+    val cp = stage.resolve("cp").toString
+    val exp = stage.resolve("exp").toString
+    land(0 until 40, "b1")
+    Streams.exportStream(spark, raw.toString, cp, exp, shardTokens = 16L)
+    land(40 until 90, "b2")
+    Streams.exportStream(spark, raw.toString, cp, exp, shardTokens = 16L)
+    def asgT = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp, "assignments").toString)
+    val v = asgT.latestVersion
+    // an empty cycle: no new files → no epoch fires, nothing lands
+    Streams.exportStream(spark, raw.toString, cp, exp, shardTokens = 16L)
+    assert(asgT.latestVersion === v, "empty cycle must land nothing")
+    // accumulated assignments ≡ the one-shot pack of everything that
+    // arrived — the streamed sink IS the incremental exporter
+    val acc = asgT.snapshot()
+      .select($"doc_id", $"tokens_before", $"shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val oneShot = operators.TextAnalysis.exportShards(
+        (0 until 90).map(i => doc(i.toLong)).toDF("doc_id", "text"),
+        shardTokens = 16L)
+      .select($"doc_id", $"tokens_before", $"shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(acc === oneShot,
+      "streamed export diverged from the one-shot pack")
+  }
+
   test("curation stream with a semantic screen: an embedding near-dup " +
       "of an earlier batch's doc drops at the gate, index exactly-once") {
     val stage = Files.createTempDirectory("graft_cursem_")
