@@ -128,6 +128,8 @@ object SparkEntry {
       TextAnalysis.packSequences(Tables.load(s, d, "documents"))),
     "text_seq_manifest" -> ((s: SparkSession, d: String) =>
       TextAnalysis.seqManifest(Tables.load(s, d, "documents"))),
+    "text_pack_sequences_materialized" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packSequencesMaterializedScenario(s, d)),
     "text_mixture_resample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.mixtureResampleScenario(s, d)),
     "text_export_shards_mixture" -> ((s: SparkSession, d: String) =>
@@ -302,7 +304,12 @@ object SparkEntry {
       // three streamed cycles accumulate to the one-shot export (the
       // engine's epoch ids ride the exporter's batch-id contract), so
       // the same manifest replay checks the streaming sink
-      ("stream_export_shards" -> oracleSqlMain("text_export_shards"))
+      ("stream_export_shards" -> oracleSqlMain("text_export_shards")) +
+      // the materialized pack RE-DERIVES its manifest from the landed
+      // sequence text + provenance arrays, so the same per-sequence
+      // replay checks the training-batch write's integrity
+      ("text_pack_sequences_materialized" ->
+        oracleSqlMain("text_seq_manifest"))
 
   /** Portable banded-minhash oracle parameterized by the family's
     * (numPerm, bands) layout — ONE relational replay checks both the

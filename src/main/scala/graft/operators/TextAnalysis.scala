@@ -748,6 +748,98 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
 
+  /** MATERIALIZED sequence packing — the training batches themselves:
+    * every fixed-length sequence lands as ONE row (seq_id, seq_text,
+    * doc_ids, n_carry_in) with its token content assembled across the
+    * doc fragments that tile it, in stream order — the artifact a
+    * trainer's data loader actually reads (docs separated inside a
+    * sequence by position, attention masks built from the carry-in /
+    * doc_ids provenance). Whitespace-token measure only: fragments
+    * slice the doc's token array and rejoin single-spaced, so
+    * re-tokenizing the landed text reproduces the fill counts exactly
+    * (a subword measure would need token-id slicing — the decode stub
+    * boundary, refused loudly). Scale shape: text moves twice (the
+    * doc_id equi-join onto spans, the seq_id shuffle into sequence
+    * rows); each doc explodes to O(n_tokens/seqLen + 1) fragments
+    * map-side; the landed layout is range-partitioned by seq_id with
+    * rows sorted inside files (the sequential read order), never one
+    * directory per sequence. Re-runs overwrite. Returns the per-
+    * sequence manifest RE-DERIVED from the landed content (token
+    * counts re-run on the written text, doc ranges from the landed
+    * provenance arrays) — a write receipt, not a replay of the
+    * assignment math.
+    */
+  def packSequencesMaterialize(docs: DataFrame, outPath: String,
+      seqLen: Long = 512L, bucketSize: Long = 4096L): DataFrame = {
+    val spark = docs.sparkSession
+    val spans = packSequences(docs, seqLen, bucketSize)
+      .where(col("n_tokens") > 0L)
+    val frags = spans
+      .join(docs.select(col("doc_id"),
+        split(col("text"), "\\s+").as("__toks")), Seq("doc_id"))
+      .withColumn("seq_id",
+        explode(sequence(col("start_seq"), col("end_seq"))))
+      .withColumn("__fs",
+        greatest(col("seq_id") * seqLen, col("tokens_before")))
+      .withColumn("__fe", least((col("seq_id") + 1L) * seqLen,
+        col("tokens_before") + col("n_tokens")))
+      .withColumn("__frag", concat_ws(" ", slice(col("__toks"),
+        (col("__fs") - col("tokens_before") + 1L).cast("int"),
+        (col("__fe") - col("__fs")).cast("int"))))
+      .withColumn("__carry", col("tokens_before") < col("seq_id") * seqLen)
+    frags.groupBy(col("seq_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tokens_before"),
+            col("__frag")))),
+          x => x.getField("__frag"))).as("seq_text"),
+        transform(
+          array_sort(collect_list(struct(col("tokens_before"),
+            col("doc_id")))),
+          x => x.getField("doc_id")).as("doc_ids"),
+        max(when(col("__carry"), lit(1L)).otherwise(lit(0L)))
+          .as("n_carry_in"))
+      .repartitionByRange(col("seq_id"))
+      .sortWithinPartitions(col("seq_id"))
+      .write.mode("overwrite").parquet(outPath)
+    materializedSeqManifest(spark, outPath)
+  }
+
+  /** The per-sequence manifest read back from a materialized pack:
+    * fill counts RE-TOKENIZED from the landed text, doc ranges from
+    * the landed provenance arrays — everything content-derivable is
+    * re-derived, so the shared seq-manifest oracle checks the write's
+    * integrity end-to-end.
+    */
+  def materializedSeqManifest(spark: SparkSession,
+      outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .select(col("seq_id"),
+        size(col("doc_ids")).cast("int").as("n_docs"),
+        size(regexp_extract_all(col("seq_text"), lit("\\S+"), lit(0)))
+          .cast("long").as("filled_tokens"),
+        col("n_carry_in"),
+        array_min(col("doc_ids")).as("first_doc"),
+        array_max(col("doc_ids")).as("last_doc"))
+
+  private val seqMatStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[packSequencesMaterialize]]: stage the
+    * materialized pack once per process, re-derive the manifest from
+    * the landed rows — shares the `text_seq_manifest` oracle.
+    */
+  def packSequencesMaterializedScenario(spark: SparkSession,
+      sfDir: String, seqLen: Long = 512L): DataFrame = {
+    val out = seqMatStages.computeIfAbsent(s"$sfDir:$seqLen", { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_seqmat_")
+      packSequencesMaterialize(Tables.load(spark, sfDir, "documents"),
+        p.resolve("seqs").toString, seqLen)
+      p
+    })
+    materializedSeqManifest(spark, out.resolve("seqs").toString)
+  }
+
   /** DOMAIN-MIXTURE RESAMPLING with repetition — the "epochs per
     * domain" step (the LLaMA/DoReMi-style mixture): every doc in
     * domain d replicates `weights(d)` times in expectation — the

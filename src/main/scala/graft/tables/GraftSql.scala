@@ -177,10 +177,13 @@ object GraftSql {
     """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?\s+MIXTURE\s*\(([^)]*)\)(?:\s+DEFAULT\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?\s*""".r
   private val MixtureWeight = """(?is)'([^']+)'\s+([0-9.]+)""".r
   // sequence packing as a statement: the per-doc span frame (the
-  // attention-mask/provenance metadata), or with MANIFEST the
-  // per-sequence rollup — a pure query, no landing
+  // attention-mask/provenance metadata), with MANIFEST the
+  // per-sequence rollup (both pure queries, no landing), or with
+  // MATERIALIZE TO the training batches themselves — sequence rows
+  // with assembled token content land at the path and the statement
+  // returns the manifest RE-DERIVED from the landed text
   private val PackSequencesSql =
-    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(\s+MANIFEST)?\s*""".r
+    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(\s+MANIFEST)?(?:\s+MATERIALIZE\s+TO\s+'([^']+)')?\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -300,11 +303,22 @@ object GraftSql {
         mixT.snapshot().select(col("doc_id"), col("n_tokens"),
           col("tokens_before"), col("shard_id")))
         .withColumnRenamed("n_docs", "n_copies")
-    case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, manifest) =>
+    case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, manifest,
+        matPath) =>
       val len = Option(lenTxt).map(_.toLong).getOrElse(512L)
       val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
       val src = indexSourceFrame(spark, srcPath, srcIdent)
-      if (manifest != null)
+      if (matPath != null) {
+        require(manifest == null,
+          "PACK SEQUENCES: MATERIALIZE already returns the manifest " +
+            "re-derived from the landed content — drop MANIFEST")
+        require(tok == "ws",
+          "PACK SEQUENCES MATERIALIZE assembles content by slicing " +
+            "whitespace tokens — a subword measure would need " +
+            "token-id slicing (metadata-only forms accept TOKENIZER)")
+        graft.operators.TextAnalysis.packSequencesMaterialize(src,
+          matPath, seqLen = len)
+      } else if (manifest != null)
         graft.operators.TextAnalysis.seqManifest(src, seqLen = len,
           tokenizer = tok)
       else graft.operators.TextAnalysis.packSequences(src, seqLen = len,
@@ -907,7 +921,7 @@ object GraftSql {
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
          ExportShardsMixtureSql(_, _, _, _, _, _, _, _) |
-         PackSequencesSql(_, _, _, _, _) |
+         PackSequencesSql(_, _, _, _, _, _) |
          ExportShardsSql(_, _, _, _, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
@@ -1004,8 +1018,8 @@ object GraftSql {
           StructField("shard_tokens", LongType),
           StructField("first_doc", LongType),
           StructField("last_doc", LongType))))
-      case PackSequencesSql(_, _, _, _, manifest) =>
-        if (manifest != null) Some(StructType(Seq(
+      case PackSequencesSql(_, _, _, _, manifest, matPath) =>
+        if (manifest != null || matPath != null) Some(StructType(Seq(
           StructField("seq_id", LongType),
           StructField("n_docs", IntegerType, nullable = false),
           StructField("filled_tokens", LongType),
@@ -1066,7 +1080,7 @@ object GraftSql {
         return true
       case ExportShardsMixtureSql(_, p, _, _, _, _, _, _) if p != null =>
         return true
-      case PackSequencesSql(p, _, _, _, _) if p != null =>
+      case PackSequencesSql(p, _, _, _, _, _) if p != null =>
         return true
       case ExportShardsSql(_, p, _, _, _, _, _, _, _, _) if p != null =>
         return true
@@ -1113,7 +1127,7 @@ object GraftSql {
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
       case ExportShardsMixtureSql(_, _, i, _, _, _, _, _) => Some(i)
-      case PackSequencesSql(_, i, _, _, _) => Some(i)
+      case PackSequencesSql(_, i, _, _, _, _) => Some(i)
       case ExportShardsSql(_, _, i, _, _, _, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)

@@ -1727,6 +1727,27 @@ class GraftSqlSpec extends SparkSpec {
       operators.TextAnalysis.seqManifest(docs, seqLen = 128L)
         .collect().map(_.toSeq).toSet,
       "PACK SEQUENCES MANIFEST diverged from the API rollup")
+    // MATERIALIZE TO: training batches land, the statement returns
+    // the manifest re-derived from the landed content; contradictory
+    // and unsupported-measure forms refuse
+    val seqOut = root.resolve("seqs").toString
+    val mat = GraftSql.sql(spark,
+      s"PACK SEQUENCES FROM '$src' LENGTH 128 MATERIALIZE TO '$seqOut'")
+    assert(mat.collect().map(_.toSeq).toSet ===
+      man.collect().map(_.toSeq).toSet,
+      "MATERIALIZE manifest diverged from the metadata rollup")
+    assert(spark.read.parquet(seqOut).columns.toSet ===
+      Set("seq_id", "seq_text", "doc_ids", "n_carry_in"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' LENGTH 128 " +
+        s"MANIFEST MATERIALIZE TO '$seqOut'")
+    }
+    assert(e2.getMessage.contains("MANIFEST"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' TOKENIZER bpe " +
+        s"MATERIALIZE TO '$seqOut'")
+    }
+    assert(e3.getMessage.contains("whitespace"), e3.getMessage)
   }
 
   test("ADMIT INTO DEDUP INDEX: the whole admission cycle from pure " +

@@ -1028,6 +1028,51 @@ class OperatorsSpec extends SparkSpec {
       .count(), "every nonempty doc starts in exactly one sequence")
   }
 
+  test("packSequencesMaterialize: landed sequences reconstruct the " +
+      "token stream exactly, manifest ≡ the metadata rollup, re-run " +
+      "overwrites") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_seqmat_spec_").resolve("seqs").toString
+    val m = operators.TextAnalysis
+      .packSequencesMaterialize(docs, out, seqLen = 128L)
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("seq_id"), col("n_docs").cast("long"),
+        col("filled_tokens"), col("n_carry_in"), col("first_doc"),
+        col("last_doc"))
+      .collect().map(_.toSeq).toSet
+    assert(cells(m) === cells(
+      operators.TextAnalysis.seqManifest(docs, seqLen = 128L)),
+      "re-derived manifest diverged from the metadata rollup")
+    // EXACT stream reconstruction: the landed sequence texts, joined
+    // in seq_id order, equal the docs' token streams joined in doc_id
+    // order (single-spaced normalization on both sides)
+    val gotStream = spark.read.parquet(out).orderBy(col("seq_id"))
+      .select(col("seq_text")).collect().map(_.getString(0))
+      .mkString(" ")
+    val expStream = docs.where(
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))) > 0)
+      .orderBy(col("doc_id"))
+      .select(concat_ws(" ",
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+      .collect().map(_.getString(0)).mkString(" ")
+    assert(gotStream === expStream,
+      "landed sequences must reconstruct the token stream exactly")
+    // every sequence row is one training batch: provenance arrays are
+    // doc_id-ordered and carry_in matches a nonzero start offset
+    val rows = spark.read.parquet(out).collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("doc_ids"))
+      assert(ids.sorted === ids, "doc_ids must ride in stream order")
+    }
+    // re-run overwrites (idempotent)
+    operators.TextAnalysis.packSequencesMaterialize(docs, out,
+      seqLen = 128L)
+    assert(spark.read.parquet(out).count() === rows.length.toLong,
+      "re-run must overwrite the materialized sequences")
+  }
+
   test("mixtureResample: per-domain repetition counts follow the " +
       "weights, the md5 coin is deterministic, seeds redraw it") {
     import org.apache.spark.sql.functions._
