@@ -63,6 +63,10 @@ object ScaleProbe {
       exportProbe(spark, corpusDir, sys.env("SPARK_GRAFT_BATCH_DIR"))
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "seqpack") {
+      seqPackProbe(spark, corpusDir)
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -137,6 +141,28 @@ object ScaleProbe {
       .exportShardsIngest(spark, path, batch, batchId = 4L).count()
     val t2 = System.nanoTime()
     println(s"""{"metric":"export_probe","corpus":"$corpusDir","batch":"$batchDir","stage_sec":${(t1 - t0) / 1e9},"batch_sec":${(t2 - t1) / 1e9},"batch_rows":$n}""")
+  }
+
+  /** SEQUENCE-PACK linearity (SPARK_GRAFT_PROBE=seqpack): the pack is
+    * a one-shot corpus transform, so the scale claim is PER-ROW cost
+    * flat across a 10× corpus — no superlinear term hiding in the
+    * prefix sum, the fragment explosion, or the per-sequence
+    * collect_list assembly (each group is bounded by the docs that
+    * tile one seqLen window, never corpus-sized). Times the metadata
+    * pass and the materialized pack separately.
+    */
+  private def seqPackProbe(spark: SparkSession, corpusDir: String): Unit = {
+    val docs = Tables.load(spark, corpusDir, "documents")
+    val rows = docs.count()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_seqpackprobe_").resolve("seqs").toString
+    val t0 = System.nanoTime()
+    val spans = graft.operators.TextAnalysis.packSequences(docs).count()
+    val t1 = System.nanoTime()
+    val nSeqs = graft.operators.TextAnalysis
+      .packSequencesMaterialize(docs, out).count()
+    val t2 = System.nanoTime()
+    println(s"""{"metric":"seqpack_probe","corpus":"$corpusDir","docs":$rows,"spans":$spans,"sequences":$nSeqs,"metadata_sec":${(t1 - t0) / 1e9},"materialize_sec":${(t2 - t1) / 1e9}}""")
   }
 
   /** IVF+PQ SERVE latency against a growing index

@@ -123,6 +123,21 @@ class ExtensionsSpec extends SparkSpec {
             "AS ARRAY<FLOAT>) AS embedding"),
         nCentroids = 2)
       s2.sql(s"MAINTAIN ANN INDEX '$ivf'")
+      // the pipeline-exit statements claim by quoted-path shape too:
+      // PACK SEQUENCES returns span rows, EXPORT SHARDS MIXTURE
+      // returns the per-copy manifest — both through plain spark.sql
+      val docsDir = java.nio.file.Files
+        .createTempDirectory("graft_pseq_").resolve("docs").toString
+      Tables.load(s2, sf, "documents")
+        .where(col("doc_id") < 50).write.parquet(docsDir)
+      assert(s2.sql(s"PACK SEQUENCES FROM '$docsDir' LENGTH 64")
+        .count() === 50)
+      val mexp = java.nio.file.Files
+        .createTempDirectory("graft_pmix_").resolve("exp").toString
+      assert(s2.sql(s"EXPORT SHARDS TO '$mexp' FROM '$docsDir' " +
+        "MIXTURE ('en' 2.0)").columns.toSeq ===
+        Seq("shard_id", "n_copies", "shard_tokens", "first_doc",
+          "last_doc"))
       // non-graft SQL is untouched
       assert(s2.sql("SELECT 1 + 1").head.getInt(0) === 2)
       // DML on a non-graft target falls through to Spark's own
