@@ -536,6 +536,28 @@ object TextAnalysis {
     // recomputes from exactly the offset its first attempt saw — the
     // monotone check passes again and both appendIfNew watermarks
     // skip (or land the crash-missing side), never a double-advance
+    // one export path is OWNED by one id sequence: the state rows
+    // carry their pipeline namespace and a different pipeline
+    // targeting the same path refuses loudly. Without this, a second
+    // pipeline whose batch 0 collides with a landed id would read
+    // isReplay=true, skip the out-of-order guard, compute offsets
+    // from batch_id < 0 state (= 0), and appendIfNew under its OWN
+    // namespace would land overlapping token ranges — the silent
+    // corruption the monotone guard exists to refuse.
+    val legacyState = hasState && !GraftTable.load(spark, statePath)
+      .snapshot().columns.contains("pipeline")
+    if (hasState) {
+      val st = GraftTable.load(spark, statePath).snapshot()
+      val owners =
+        (if (legacyState) st.select(lit("").as("pipeline"))
+         else st.select(col("pipeline")))
+          .distinct().collect().map(_.getString(0))
+      require(owners.isEmpty || owners.sameElements(Array(pipelineId)),
+        s"exportShardsIngest: export path $exportPath is owned by " +
+          s"pipeline '${owners.mkString(",")}' — a second id sequence " +
+          "('" + pipelineId + "') must export to its own path " +
+          "(colliding batch ids would silently overlap token ranges)")
+    }
     val (offset0, maxDoc0) = if (!hasState) (0L, -1L) else {
       val r = GraftTable.load(spark, statePath).snapshot()
         .agg(
@@ -588,8 +610,14 @@ object TextAnalysis {
       asgT.appendIfNew(assigned, batchId,
         appId = exportAssignAppId + pipelineId)
       import spark.implicits._
-      val stateRow = Seq((batchId, endOffset, bounds.getLong(1)))
-        .toDF("batch_id", "end_offset", "max_doc")
+      // state rows carry the owning pipeline (the path-ownership
+      // refusal above); a legacy table without the column keeps its
+      // 3-column shape — it can only have passed the check as ""
+      val stateRow0 = Seq((batchId, endOffset, bounds.getLong(1),
+          pipelineId))
+        .toDF("batch_id", "end_offset", "max_doc", "pipeline")
+      val stateRow =
+        if (legacyState) stateRow0.drop("pipeline") else stateRow0
       val stT = GraftTable.createIfAbsent(spark, statePath,
         stateRow.limit(0))
       stT.appendIfNew(stateRow, batchId,
@@ -731,6 +759,25 @@ object TextAnalysis {
     */
   def seqManifest(docs: DataFrame, seqLen: Long = 512L,
       bucketSize: Long = 4096L, tokenizer: String = "ws"): DataFrame =
+    seqFragments(docs, seqLen, bucketSize, tokenizer)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("fill_end") - col("fill_start")).as("filled_tokens"),
+        sum(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))
+          .as("n_carry_in"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  /** The shared fragment explode under [[seqManifest]] and
+    * [[packSequencesMaterialize]]: one row per (doc, sequence it
+    * overlaps), with the fill window [fill_start, fill_end) — the
+    * intersection of the doc's token interval with the sequence's —
+    * and the carry-in flag (the doc started in an earlier sequence).
+    * Both consumers MUST share this arithmetic: a manifest computed
+    * from one definition over content from another silently diverges.
+    */
+  private def seqFragments(docs: DataFrame, seqLen: Long,
+      bucketSize: Long, tokenizer: String): DataFrame =
     packSequences(docs, seqLen, bucketSize, tokenizer)
       .where(col("n_tokens") > 0L)
       .withColumn("seq_id",
@@ -740,13 +787,8 @@ object TextAnalysis {
       .withColumn("fill_end",
         least((col("seq_id") + 1L) * seqLen,
           col("tokens_before") + col("n_tokens")))
-      .groupBy(col("seq_id"))
-      .agg(count(lit(1)).cast("int").as("n_docs"),
-        sum(col("fill_end") - col("fill_start")).as("filled_tokens"),
-        sum(when(col("tokens_before") < col("seq_id") * seqLen, lit(1L))
-          .otherwise(lit(0L))).as("n_carry_in"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
+      .withColumn("carry_in",
+        col("tokens_before") < col("seq_id") * seqLen)
 
   /** MATERIALIZED sequence packing — the training batches themselves:
     * every fixed-length sequence lands as ONE row (seq_id, seq_text,
@@ -772,21 +814,18 @@ object TextAnalysis {
   def packSequencesMaterialize(docs: DataFrame, outPath: String,
       seqLen: Long = 512L, bucketSize: Long = 4096L): DataFrame = {
     val spark = docs.sparkSession
-    val spans = packSequences(docs, seqLen, bucketSize)
-      .where(col("n_tokens") > 0L)
-    val frags = spans
+    // the token ARRAY must use the same measure as the token COUNTS
+    // driving the offsets: regexp_extract_all("\S+"), never
+    // split("\s+") — split yields a leading EMPTY element on
+    // leading-whitespace text, which would shift every slice by one
+    // and silently drop the doc's last token from the landed batch
+    val frags = seqFragments(docs, seqLen, bucketSize, "ws")
       .join(docs.select(col("doc_id"),
-        split(col("text"), "\\s+").as("__toks")), Seq("doc_id"))
-      .withColumn("seq_id",
-        explode(sequence(col("start_seq"), col("end_seq"))))
-      .withColumn("__fs",
-        greatest(col("seq_id") * seqLen, col("tokens_before")))
-      .withColumn("__fe", least((col("seq_id") + 1L) * seqLen,
-        col("tokens_before") + col("n_tokens")))
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+          .as("__toks")), Seq("doc_id"))
       .withColumn("__frag", concat_ws(" ", slice(col("__toks"),
-        (col("__fs") - col("tokens_before") + 1L).cast("int"),
-        (col("__fe") - col("__fs")).cast("int"))))
-      .withColumn("__carry", col("tokens_before") < col("seq_id") * seqLen)
+        (col("fill_start") - col("tokens_before") + 1L).cast("int"),
+        (col("fill_end") - col("fill_start")).cast("int"))))
     frags.groupBy(col("seq_id"))
       .agg(
         concat_ws(" ", transform(
@@ -797,7 +836,7 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("tokens_before"),
             col("doc_id")))),
           x => x.getField("doc_id")).as("doc_ids"),
-        max(when(col("__carry"), lit(1L)).otherwise(lit(0L)))
+        max(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))
           .as("n_carry_in"))
       .repartitionByRange(col("seq_id"))
       .sortWithinPartitions(col("seq_id"))
@@ -890,10 +929,18 @@ object TextAnalysis {
   def exportShardsMixture(docs: DataFrame, weights: Map[String, Double],
       shardTokens: Long = 2048L, defaultWeight: Double = 1.0,
       seed: Long = 0L, tokenizer: String = "ws"): DataFrame = {
-    val rs = mixtureResample(docs, weights, defaultWeight, seed = seed)
-    val counted = rs.select(col("doc_id"), col("rep"),
-      size(regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
-        lit(0))).cast("long").as("n_tokens"))
+    // tokenize ONCE per doc, then resample the slim counted frame —
+    // the regexp over full text is the dominant per-row cost, and a
+    // weight-w domain would otherwise re-run it w times per doc (and
+    // carry the text column through the repetition explode for
+    // nothing)
+    val rs = mixtureResample(
+      docs.select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit(tokenPattern(tokenizer)), lit(0)))
+          .cast("long").as("n_tokens")),
+      weights, defaultWeight, seed = seed)
+    val counted = rs.select(col("doc_id"), col("rep"), col("n_tokens"))
     prefixSum(counted
         .withColumn("__h", Tables.md5Residue(concat(
           lit(s"mixshuf$seed:"), col("doc_id").cast("string"),

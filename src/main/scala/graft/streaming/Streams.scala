@@ -488,11 +488,17 @@ object Streams {
   def exportStream(spark: SparkSession, rawDir: String,
       checkpoint: String, exportPath: String,
       shardTokens: Long = 2048L, bucketSize: Long = 4096L,
-      maxFilesPerTrigger: Int = Int.MaxValue): Unit = {
+      maxFilesPerTrigger: Int = Int.MaxValue,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = {
     val cp = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(cp)
-    val schema = spark.read.parquet(rawDir).schema
-    val q = spark.readStream.schema(schema)
+    // a continuous pipeline starting BEFORE the first file lands
+    // passes the schema explicitly — batch inference over an empty
+    // raw dir has nothing to infer from (and re-lists the dir on
+    // every restart)
+    val sch = schema.getOrElse(spark.read.parquet(rawDir).schema)
+    val q = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(rawDir)
       .writeStream

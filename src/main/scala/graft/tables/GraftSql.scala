@@ -275,33 +275,34 @@ object GraftSql {
       emptyResult(spark)
     case ExportShardsMixtureSql(toPath, srcPath, srcIdent, budgetTxt,
         tokTxt, weightsTxt, defTxt, seedTxt) =>
-      val weights = MixtureWeight.findAllMatchIn(weightsTxt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val pairs = MixtureWeight.findAllMatchIn(weightsTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      val weights = pairs.toMap
       require(weights.nonEmpty,
         "EXPORT SHARDS MIXTURE needs at least one 'domain' weight pair")
-      // a weight-list typo must refuse, not silently drop the pair
+      // a weight-list typo must refuse, not silently drop the pair —
+      // neither an unparseable tail nor a duplicated domain (last
+      // pair would silently win through the map)
       val rest = MixtureWeight.replaceAllIn(weightsTxt, "")
       require(rest.replaceAll("[,\\s]", "").isEmpty,
         s"EXPORT SHARDS MIXTURE: cannot parse weight list at " +
           s"'${rest.trim}' (expected 'domain' <weight> pairs)")
+      require(weights.size == pairs.size,
+        "EXPORT SHARDS MIXTURE: duplicate domain in the weight list (" +
+          pairs.map(_._1).diff(weights.keys.toSeq).distinct
+            .mkString(",") + ")")
       val assigned = graft.operators.TextAnalysis.exportShardsMixture(
         indexSourceFrame(spark, srcPath, srcIdent), weights,
         shardTokens = Option(budgetTxt).map(_.toLong).getOrElse(2048L),
         defaultWeight = Option(defTxt).map(_.toDouble).getOrElse(1.0),
         seed = Option(seedTxt).map(_.toLong).getOrElse(0L),
         tokenizer = Option(tokTxt).map(_.toLowerCase).getOrElse("ws"))
-      // land the PER-COPY assignments (rep rides along for
-      // provenance) in the one-shot layout, manifest over the landed
-      // table — the assignment pipeline runs exactly once
-      val landedMix = assigned.withColumn("batch_id",
-        org.apache.spark.sql.functions.lit(-1L))
-      val mixT = GraftTable.createIfAbsent(spark,
-        java.nio.file.Paths.get(toPath, "assignments").toString,
-        landedMix.limit(0))
-      mixT.overwrite(landedMix): Unit
+      // land the PER-COPY assignments in the shared one-shot layout
+      // (the helper lands every column of the frame, so rep rides
+      // along for provenance), manifest over the landed table — the
+      // assignment pipeline runs exactly once
       graft.operators.TextAnalysis.shardManifest(
-        mixT.snapshot().select(col("doc_id"), col("n_tokens"),
-          col("tokens_before"), col("shard_id")))
+        landOneShotAssignments(spark, toPath, assigned))
         .withColumnRenamed("n_docs", "n_copies")
     case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, manifest,
         matPath) =>

@@ -1706,12 +1706,19 @@ class GraftSqlSpec extends SparkSpec {
         operators.TextAnalysis.exportShardsMixture(docs,
           Map("fr" -> 2.0), defaultWeight = 0.0, seed = 3L))
       .withColumnRenamed("n_docs", "n_copies")))
-    // a malformed weight list refuses instead of dropping pairs
+    // a malformed weight list refuses instead of dropping pairs —
+    // unparseable tails AND duplicated domains (last-wins through the
+    // map would silently discard the first weight)
     val e = intercept[IllegalArgumentException] {
       GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp2' FROM '$src' " +
         "MIXTURE ('en' 0.5, oops)")
     }
     assert(e.getMessage.contains("weight list"), e.getMessage)
+    val eDup = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp2' FROM '$src' " +
+        "MIXTURE ('en' 3.0, 'en' 0.5)")
+    }
+    assert(eDup.getMessage.contains("duplicate domain"), eDup.getMessage)
     // PACK SEQUENCES: span frame and MANIFEST rollup ≡ the API
     val spans = GraftSql.sql(spark,
       s"PACK SEQUENCES FROM '$src' LENGTH 128")

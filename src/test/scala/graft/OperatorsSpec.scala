@@ -1071,6 +1071,46 @@ class OperatorsSpec extends SparkSpec {
       seqLen = 128L)
     assert(spark.read.parquet(out).count() === rows.length.toLong,
       "re-run must overwrite the materialized sequences")
+    // leading/multiple whitespace must not shift the fragment slice:
+    // the token ARRAY and the token COUNTS must share the \S+ measure
+    // (split("\s+") emits a leading EMPTY element and silently drops
+    // the doc's last token)
+    val tricky = Seq((1L, "  alpha beta"), (2L, "gamma  delta epsilon"))
+      .toDF("doc_id", "text")
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_seqws_spec_").resolve("seqs").toString
+    operators.TextAnalysis.packSequencesMaterialize(tricky, out2,
+      seqLen = 3L)
+    val got2 = spark.read.parquet(out2).orderBy(col("seq_id"))
+      .select(col("seq_text")).collect().map(_.getString(0))
+      .mkString(" ")
+    assert(got2 === "alpha beta gamma delta epsilon",
+      "whitespace-irregular docs must reconstruct token-exactly")
+  }
+
+  test("exportShardsIngest: a second id sequence targeting the same " +
+      "export path refuses instead of overlapping token ranges") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_expown_").toString
+    operators.TextAnalysis.exportShardsIngest(spark, stage,
+      docs.where($"doc_id" < 100), 0L)
+    // a second pipeline's batch 0 collides with the landed id: the
+    // isReplay read would skip the out-of-order guard and land
+    // token ranges overlapping the owner's batch 0
+    val err = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.exportShardsIngest(spark, stage,
+        docs.where($"doc_id" >= 100 && $"doc_id" < 200), 0L,
+        pipelineId = ":other")
+    }
+    assert(err.getMessage.contains("owned by"), err.getMessage)
+    // the owning sequence continues unharmed
+    operators.TextAnalysis.exportShardsIngest(spark, stage,
+      docs.where($"doc_id" >= 100 && $"doc_id" < 200), 1L)
+    assert(graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(stage, "assignments").toString)
+      .snapshot().count() === 200L)
   }
 
   test("mixtureResample: per-domain repetition counts follow the " +

@@ -887,11 +887,34 @@ class StreamingSpec extends SparkSpec {
     val exp = stage.resolve("exp").toString
     land(0 until 40, "b1")
     Streams.exportStream(spark, raw.toString, cp, exp, shardTokens = 16L)
+    // CRASH-REPLAY of a NON-EMPTY epoch: snapshot the checkpoint
+    // before the b2 cycle, run it, then restore the checkpoint and
+    // run again — the engine re-delivers b2 under the SAME epoch id
+    // and the sink's appendIfNew watermarks must re-land nothing
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    val cpSaved = stage.resolve("cp_saved")
+    copyDir(java.nio.file.Paths.get(cp), cpSaved)
     land(40 until 90, "b2")
     Streams.exportStream(spark, raw.toString, cp, exp, shardTokens = 16L)
     def asgT = graft.tables.GraftTable.load(spark,
       java.nio.file.Paths.get(exp, "assignments").toString)
     val v = asgT.latestVersion
+    val nRows = asgT.snapshot().count()
+    // roll the checkpoint back to before the b2 epoch and re-run:
+    // epoch 1 replays WITH b2's data, exactly-once skips the appends
+    java.nio.file.Files.walk(java.nio.file.Paths.get(cp))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    copyDir(cpSaved, java.nio.file.Paths.get(cp))
+    Streams.exportStream(spark, raw.toString, cp, exp, shardTokens = 16L)
+    assert(asgT.snapshot().count() === nRows,
+      "a replayed non-empty epoch must re-land nothing")
     // an empty cycle: no new files → no epoch fires, nothing lands
     Streams.exportStream(spark, raw.toString, cp, exp, shardTokens = 16L)
     assert(asgT.latestVersion === v, "empty cycle must land nothing")
