@@ -188,6 +188,11 @@ object GraftSql {
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
     """(?is)\s*DESCRIBE\s+ANN\s+INDEX\s+'([^']+)'\s*""".r
+  // the export ledger as a statement: one row per landed batch
+  // (id, running token offset, doc-id watermark, owning pipeline) —
+  // the ops glance over a continuous export's exactly-once state
+  private val DescribeExport =
+    """(?is)\s*DESCRIBE\s+EXPORT\s+'([^']+)'\s*""".r
   private val DescribeDedupIndex =
     """(?is)\s*DESCRIBE\s+DEDUP\s+INDEX\s+'([^']+)'\s*""".r
   // ADMISSION as a statement — the whole screen-verdict-ingest cycle
@@ -392,6 +397,33 @@ object GraftSql {
            else "ivf_flat",
         cents.size, rows, graft.operators.Similarity.cellSkew(spark, path)))
         .toDF("family", "cells", "num_vectors", "cell_skew")
+    case DescribeExport(path) =>
+      import spark.implicits._
+      val stPath = java.nio.file.Paths.get(path, "state").toString
+      val asgPath = java.nio.file.Paths.get(path, "assignments").toString
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(stPath, "_graft_log"))) {
+        val st = GraftTable.load(spark, stPath).snapshot()
+        (if (st.columns.contains("pipeline")) st
+         else st.withColumn("pipeline",
+           org.apache.spark.sql.functions.lit("")))
+          .select(col("batch_id"), col("end_offset"), col("max_doc"),
+            col("pipeline"))
+          .orderBy(col("batch_id"))
+      } else {
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(asgPath, "_graft_log")),
+          s"DESCRIBE EXPORT: no export at $path (neither a state " +
+            "ledger nor landed assignments)")
+        // one-shot layout: a single synthetic ledger row derived
+        // from the landed assignments (one aggregate over the table)
+        val r = GraftTable.load(spark, asgPath).snapshot()
+          .agg(org.apache.spark.sql.functions.max(
+            col("tokens_before") + col("n_tokens")),
+            org.apache.spark.sql.functions.max(col("doc_id"))).head()
+        Seq((-1L, r.getLong(0), r.getLong(1), ""))
+          .toDF("batch_id", "end_offset", "max_doc", "pipeline")
+      }
     case DescribeDedupIndex(path) =>
       def count(sub: String): Long = {
         val t = GraftTable.load(spark,
@@ -921,6 +953,7 @@ object GraftSql {
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
+         DescribeExport(_) |
          ExportShardsMixtureSql(_, _, _, _, _, _, _, _) |
          PackSequencesSql(_, _, _, _, _, _) |
          ExportShardsSql(_, _, _, _, _, _, _, _, _, _) |
@@ -1010,6 +1043,11 @@ object GraftSql {
       case DescribeDedupIndex(_) => Some(StructType(Seq(
         StructField("num_sig_rows", LongType, nullable = false),
         StructField("num_shingle_postings", LongType, nullable = false))))
+      case DescribeExport(_) => Some(StructType(Seq(
+        StructField("batch_id", LongType),
+        StructField("end_offset", LongType),
+        StructField("max_doc", LongType),
+        StructField("pipeline", StringType))))
       // the MIXTURE form must match FIRST (its prefix also resembles
       // the plain export spelling)
       case ExportShardsMixtureSql(_, _, _, _, _, _, _, _) =>
@@ -1074,7 +1112,8 @@ object GraftSql {
       case MaintainDedupIndexContinuous(_, _, _) | MaintainDedupIndex(_, _) |
            MaintainAnnIndexContinuous(_, _, _) | MaintainAnnIndex(_, _) |
            StopMaintainIndex(_) |
-           DescribeAnnIndex(_) | DescribeDedupIndex(_) => return true
+           DescribeAnnIndex(_) | DescribeDedupIndex(_) |
+           DescribeExport(_) => return true
       // admission/export with a QUOTED source is shape-claimed; the
       // bare-identifier source resolves below like CREATE/INGEST INDEX
       case AdmitIntoDedupIndex(_, _, p, _, _, _, _, _) if p != null =>

@@ -1728,6 +1728,23 @@ class GraftSqlSpec extends SparkSpec {
       operators.TextAnalysis.packSequences(docs, seqLen = 128L)
         .collect().map(_.toSeq).toSet,
       "PACK SEQUENCES diverged from the API span frame")
+    // DESCRIBE EXPORT over the one-shot layout: one synthetic ledger
+    // row derived from the landed assignments
+    val desc1 = GraftSql.sql(spark, s"DESCRIBE EXPORT '$exp'").collect()
+    assert(desc1.length === 1 && desc1.head.getLong(0) === -1L)
+    assert(desc1.head.getLong(1) > 0L, "end_offset from landed rows")
+    // and over an incremental export: the real per-batch state rows
+    val incExp = root.resolve("incexp").toString
+    GraftSql.sql(spark,
+      s"EXPORT SHARDS TO '$incExp' FROM '$src' BUDGET 512 BATCH 0")
+    val desc2 = GraftSql.sql(spark, s"DESCRIBE EXPORT '$incExp'")
+    assert(desc2.columns.toSeq ===
+      Seq("batch_id", "end_offset", "max_doc", "pipeline"))
+    assert(desc2.collect().map(_.getLong(0)).toSeq === Seq(0L))
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"DESCRIBE EXPORT '${root.resolve("nowhere")}'")
+    }
     val man = GraftSql.sql(spark,
       s"PACK SEQUENCES FROM '$src' LENGTH 128 MANIFEST")
     assert(man.collect().map(_.toSeq).toSet ===
