@@ -133,6 +133,40 @@ class ExplainAuditSpec extends SparkSpec {
     }
   }
 
+  test("export/pack plans: every window is PARTITIONED — the one-task " +
+      "global cumsum (the classic export bottleneck) can never rot " +
+      "back in, and no stage plans a cartesian") {
+    withStaticPlans {
+      val docs = Tables.load(spark, sf, "documents")
+      val ta = operators.TextAnalysis
+      val frames = Map(
+        "exportShards" -> ta.exportShards(docs),
+        "exportShardsShuffled" -> ta.exportShardsShuffled(docs),
+        "packSequences" -> ta.packSequences(docs),
+        "seqManifest" -> ta.seqManifest(docs),
+        "packBins" -> ta.packBins(spark, sf),
+        "exportShardsMixture" ->
+          ta.exportShardsMixture(docs, ta.scenarioMixture))
+      frames.foreach { case (name, df) =>
+        val global = df.queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(global.isEmpty,
+          s"$name: UNPARTITIONED Window in the physical plan — this " +
+            "serializes the whole corpus through one task")
+        val cartesian = df.queryExecution.executedPlan.collect {
+          case c: CartesianProductExec => c
+          case b: BroadcastNestedLoopJoinExec => b
+        }
+        assert(cartesian.isEmpty,
+          s"$name plans ${cartesian.map(_.nodeName).mkString(",")}")
+        assert(badBroadcastHints(df).isEmpty,
+          s"$name pins a broadcast over an sf-proportional side")
+      }
+    }
+  }
+
   test("the broadcast-hint detector actually fires on broadcast(customer)") {
     withStaticPlans {
       val orders = Tables.load(spark, sf, "orders")
