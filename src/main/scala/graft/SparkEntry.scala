@@ -215,6 +215,8 @@ object SparkEntry {
     "ann_incremental" -> ((s: SparkSession, d: String) => Similarity.annIncremental(s, d)),
     "ann_incremental_serve" -> ((s: SparkSession, d: String) => Similarity.annIncrementalServe(s, d)),
     "ann_sql_lifecycle" -> (Similarity.annSqlLifecycleScenario _),
+    "ann_batch_indexed" -> ((s: SparkSession, d: String) =>
+      Similarity.annBatchIndexedScenario(s, d)),
     "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFilteredScenario(s, d)),
     "ann_filtered_pq" -> ((s: SparkSession, d: String) => Similarity.annFilteredPqScenario(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
@@ -309,7 +311,11 @@ object SparkEntry {
       // sequence text + provenance arrays, so the same per-sequence
       // replay checks the training-batch write's integrity
       ("text_pack_sequences_materialized" ->
-        oracleSqlMain("text_seq_manifest"))
+        oracleSqlMain("text_seq_manifest")) +
+      // the all-cells-probed, query-excluding batch serve over the
+      // staged index is exactly the brute-force batch, so the same
+      // relational top-k replay checks the routed path end-to-end
+      ("ann_batch_indexed" -> oracleSqlMain("ann_topk_batch"))
 
   /** Portable banded-minhash oracle parameterized by the family's
     * (numPerm, bands) layout — ONE relational replay checks both the

@@ -1489,6 +1489,90 @@ object Similarity {
       .limit(k)
   }
 
+  /** INDEX-BACKED BATCH SERVE — a whole FRAME of query vectors
+    * against the persisted flat-IVF index in ONE distributed plan
+    * (the retrieval join batch inference runs: embed a batch, top-k
+    * for each). Per query the geometry is EXACTLY [[ivfIndexQuery]]'s:
+    * integer-quantized L2 against the ≤k stored centroid literals
+    * picks the nprobe nearest cells MAP-SIDE (an array_sort over k
+    * candidate structs — no driver loop over queries, no join for the
+    * routing), the probed (query, cell) pairs equi-join the
+    * cent_id-partitioned assignments pruned to the UNION of probed
+    * cells (an O(nCells) driver pane, bounded by the geometry, never
+    * the query count), and a per-query window takes the cosine top-k.
+    * Scale shape: queries never broadcast as a whole, the index side
+    * reads only probed partitions, the only shuffles are the cent_id
+    * join and the query_id-partitioned window.
+    */
+  def indexQueryBatch(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 4,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    VectorExprs.register(spark)
+    val cents = loadCents(spark, indexPath)
+    val asgPath = java.nio.file.Paths.get(indexPath, "assignments")
+      .toString
+    val nprobeEff = math.min(
+      filteredNprobe(spark, asgPath, filter, nprobe, cents.size),
+      cents.size)
+    // the same (distance, cent_id) ranking as the single-vector path,
+    // evaluated map-side per query row over the centroid literals
+    val candidates = array(cents.map { case (cid, v) =>
+      struct(intL2(col("__qv"), typedLit(v)).as("d"),
+        lit(cid).as("cent_id"))
+    }.toIndexedSeq: _*)
+    val probed = queries
+      .withColumn("__qv", quantize(col("embedding")))
+      .withColumn("cent_id", explode(
+        slice(array_sort(candidates), 1, nprobeEff)
+          .getField("cent_id")))
+      .select(col("query_id"), col("embedding").as("__qe"),
+        col("cent_id"))
+    // prune the index read to the UNION of probed cells — a bounded
+    // O(nCells) driver pane (the geometry's size, NOT the batch's)
+    val cellSet = probed.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0))
+    val cells0 = spark.read.format("graft-table").load(asgPath)
+      .where(col("cent_id").isin(cellSet.map(Integer.valueOf)
+        .toIndexedSeq: _*))
+    val cells = filter.fold(cells0)(f => cells0.where(f))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val joined = probed.join(cells, Seq("cent_id"))
+    // query-by-example batches (query_id = a corpus vec_id) drop the
+    // query row itself; batches with their OWN id space pass false —
+    // an id collision there is not an identity
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
+     else joined)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(vec_cosine(col("embedding"), col("__qe"))
+          .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Driver scenario for [[indexQueryBatch]]: the first 5 vectors
+    * query the SQL-staged served index (seed + ingest) with an
+    * all-cells probe and a corpus-side filter excluding the query
+    * ids — the saturated regime where the index-backed batch is
+    * exactly the brute-force batch, so [[annTopKBatch]]'s relational
+    * oracle checks the whole routed path (the nprobe < cells regime
+    * is spec-pinned against the single-vector server per query).
+    */
+  def annBatchIndexedScenario(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 5): DataFrame = {
+    val (path, _) = serveStage(spark, sfDir)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    indexQueryBatch(spark, path,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k = k, nprobe = Int.MaxValue,
+      filter = Some(col("vec_id") >= nQueries))
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rank"))
+  }
+
   /** Driver scenario: build on the 75% slice (vec_id % 4 ≠ 0),
     * incrementally ingest the rest, query vector 0's embedding —
     * which itself arrived through the INGEST path. The oracle

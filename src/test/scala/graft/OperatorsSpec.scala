@@ -962,6 +962,36 @@ class OperatorsSpec extends SparkSpec {
       "re-run must overwrite the materialized export")
   }
 
+  test("indexQueryBatch: the routed batch equals the single-vector " +
+      "server per query at the SAME pruned nprobe (the regime the " +
+      "saturated driver oracle cannot see)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_batchq_").resolve("idx").toString
+    Similarity.ivfIndexBuild(spark, idx, emb)
+    val queries = emb.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val batch = Similarity.indexQueryBatch(spark, idx, queries,
+      k = 5, nprobe = 2)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    (0L until 4L).foreach { q =>
+      val qv = emb.where($"vec_id" === q).select($"embedding")
+        .head().getSeq[Float](0).toSeq
+      val single = Similarity.ivfIndexQuery(spark, idx, qv, k = 5,
+        nprobe = 2, excludeVecId = q)
+        .select($"vec_id", $"cos_sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) === single,
+        s"query $q: batch serve diverged from the single-vector serve")
+    }
+  }
+
   test("packSequences: spans tile the concatenated token stream — " +
       "≡ global-window arithmetic, contiguous, offsets in range") {
     import org.apache.spark.sql.functions._
