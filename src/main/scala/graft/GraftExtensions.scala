@@ -181,6 +181,69 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           k = k, nprobe = nprobe, filter = filter)
           .queryExecution.analyzed
       }))
+    // ann_search_batch('<index path>', <queries table|'path'>[, k[,
+    // nprobe[, filter]]]) — the INDEX-BACKED BATCH serve as a TVF: a
+    // whole frame of query vectors (a table or path carrying
+    // query_id|vec_id + embedding) retrieves per-query top-k in one
+    // distributed plan (Similarity.indexQueryBatch), composing in
+    // joins/CTEs — the retrieval join batch inference runs. Returns
+    // (query_id, vec_id, label, cos_sim, rank).
+    e.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "ann_search_batch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.operators.Similarity", "ann_search_batch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length >= 2 && exprs.length <= 5,
+          "ann_search_batch(index_path, queries[, k[, nprobe[, " +
+            s"filter]]]) takes 2 to 5 arguments, got ${exprs.length}")
+        require(exprs.take(2).forall(x => x.foldable && x.deterministic &&
+          x.dataType == org.apache.spark.sql.types.StringType &&
+          x.eval() != null),
+          "ann_search_batch's first two arguments must be non-null " +
+            "string literals (index path, then a queries table name " +
+            "or path)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        def str(i: Int): String = exprs(i).eval()
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+        val src = str(1)
+        val queries0 =
+          if (src.contains("/") || src.contains("\\"))
+            graft.tables.GraftSql.indexSourceFrame(spark, src, null)
+          else graft.tables.GraftSql.indexSourceFrame(spark, null, src)
+        val queries =
+          if (queries0.columns.contains("query_id")) queries0
+          else if (queries0.columns.contains("vec_id"))
+            queries0.withColumnRenamed("vec_id", "query_id")
+          else throw new IllegalArgumentException(
+            "ann_search_batch's queries must carry a query_id (or " +
+              "vec_id) column next to embedding")
+        def intArg(i: Int, dflt: Int, name: String): Int =
+          if (exprs.length > i) {
+            val v = org.apache.spark.sql.catalyst.expressions.Cast(
+              exprs(i), org.apache.spark.sql.types.IntegerType).eval()
+            require(v != null,
+              s"ann_search_batch's $name must be a numeric literal")
+            v.asInstanceOf[Number].intValue
+          } else dflt
+        val k = intArg(2, 10, "k")
+        val nprobe = intArg(3, 4, "nprobe")
+        val filter = if (exprs.length > 4) {
+          require(exprs(4).dataType ==
+            org.apache.spark.sql.types.StringType && exprs(4).eval() != null,
+            "ann_search_batch's filter must be a non-null SQL-text " +
+              "string literal (a predicate over the index's stored " +
+              "columns)")
+          Some(org.apache.spark.sql.functions.expr(exprs(4).eval()
+            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString))
+        } else None
+        graft.operators.Similarity.indexQueryBatch(spark, str(0),
+          queries.select(org.apache.spark.sql.functions.col("query_id"),
+            org.apache.spark.sql.functions.col("embedding")),
+          k = k, nprobe = nprobe, filter = filter)
+          .queryExecution.analyzed
+      }))
     // dedup_probe('<index path>', <batch table|'path'>[, min_jaccard])
     // — the READ-ONLY dedup screen as a TVF, the ann_search symmetry
     // for the lexical family: returns the (doc_a, doc_b, n_common,

@@ -267,6 +267,25 @@ class ExtensionsSpec extends SparkSpec {
         s"SELECT * FROM ann_search('$ivf', array(0.0, 0.0, 0.0, 10.0), 5)")
         .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
       assert(tvf === api, "ann_search diverged from the API query")
+      // the BATCH TVF: a frame of query vectors against the same
+      // index ≡ the batch API (vec_id-named id columns normalize)
+      val qDir = java.nio.file.Files
+        .createTempDirectory("graft_sqlidx_").resolve("q").toString
+      s2.range(100, 102).selectExpr("id AS vec_id",
+        "CAST(array(0.0F, 0.0F, 0.0F, 10.0F) AS ARRAY<FLOAT>) " +
+          "AS embedding").write.parquet(qDir)
+      val bt = s2.sql(
+        s"SELECT * FROM ann_search_batch('$ivf', '$qDir', 5)")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      val bapi = graft.operators.Similarity.indexQueryBatch(s2, ivf,
+        s2.read.parquet(qDir).selectExpr("vec_id AS query_id",
+          "embedding"), k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(bt === bapi, "ann_search_batch diverged from the API batch")
+      assert(bt.nonEmpty && !bt.exists(x => x._1 == x._2),
+        "query-by-example ids must exclude themselves")
       // DEDUP leg of the lifecycle, same statements: the SQL-built
       // index probes identically to an API-built one
       val docsDir = java.nio.file.Files
