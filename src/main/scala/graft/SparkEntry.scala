@@ -217,6 +217,8 @@ object SparkEntry {
     "ann_sql_lifecycle" -> (Similarity.annSqlLifecycleScenario _),
     "ann_batch_indexed" -> ((s: SparkSession, d: String) =>
       Similarity.annBatchIndexedScenario(s, d)),
+    "ann_batch_indexed_pq" -> ((s: SparkSession, d: String) =>
+      Similarity.annBatchIndexedPqScenario(s, d)),
     "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFilteredScenario(s, d)),
     "ann_filtered_pq" -> ((s: SparkSession, d: String) => Similarity.annFilteredPqScenario(s, d)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) => Similarity.embeddingKmeans(s, d)),
@@ -315,7 +317,11 @@ object SparkEntry {
       // the all-cells-probed, query-excluding batch serve over the
       // staged index is exactly the brute-force batch, so the same
       // relational top-k replay checks the routed path end-to-end
-      ("ann_batch_indexed" -> oracleSqlMain("ann_topk_batch"))
+      ("ann_batch_indexed" -> oracleSqlMain("ann_topk_batch")) +
+      // the PQ leg saturates BOTH stages (all cells, shortlist passes
+      // everything) so the exact re-rank is brute-force-equivalent —
+      // the same replay checks the routed ADC plumbing
+      ("ann_batch_indexed_pq" -> oracleSqlMain("ann_topk_batch"))
 
   /** Portable banded-minhash oracle parameterized by the family's
     * (numPerm, bands) layout — ONE relational replay checks both the

@@ -1507,7 +1507,17 @@ object Similarity {
   def indexQueryBatch(spark: SparkSession, indexPath: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 4,
       filter: Option[org.apache.spark.sql.Column] = None,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, shortlist: Int = 50): DataFrame =
+    if (isPqIndex(indexPath))
+      ivfPqIndexQueryBatch(spark, indexPath, queries, k, nprobe,
+        shortlist, filter, excludeSelf)
+    else ivfIndexQueryBatch(spark, indexPath, queries, k, nprobe,
+      filter, excludeSelf)
+
+  private def ivfIndexQueryBatch(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, nprobe: Int,
+      filter: Option[org.apache.spark.sql.Column],
+      excludeSelf: Boolean): DataFrame = {
     VectorExprs.register(spark)
     val cents = loadCents(spark, indexPath)
     val asgPath = java.nio.file.Paths.get(indexPath, "assignments")
@@ -1550,6 +1560,114 @@ object Similarity {
           .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** The IVF+PQ leg of [[indexQueryBatch]] — the ADC cascade over a
+    * query FRAME: each query's per-code distance table (the LUT the
+    * single-vector server builds on the driver) evaluates MAP-SIDE as
+    * an array of integer sub-L2 expressions over the collected
+    * codebook literals (m·codes rows — bounded by the geometry, not
+    * the corpus); the probed (query, cell) pairs carry that LUT
+    * through ONE cent_id equi-join against the partition-pruned code
+    * rows, every joined row's ADC distance folds its code bytes
+    * through the LUT (a bounded m-step fold), a per-query window
+    * keeps the shortlist by CODE distance, and the exact cosine
+    * re-rank repairs it to top-k. Same tie-breaks as the
+    * single-vector server, so the two agree row-for-row at equal
+    * parameters (spec).
+    */
+  private def ivfPqIndexQueryBatch(spark: SparkSession,
+      indexPath: String, queries: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int, filter: Option[org.apache.spark.sql.Column],
+      excludeSelf: Boolean): DataFrame = {
+    VectorExprs.register(spark)
+    val cents = loadCents(spark, indexPath)
+    val asgPath = java.nio.file.Paths.get(indexPath, "assignments")
+      .toString
+    val nprobeEff = math.min(
+      filteredNprobe(spark, asgPath, filter, nprobe, cents.size),
+      cents.size)
+    val candidates = array(cents.map { case (cid, v) =>
+      struct(intL2(col("__qv"), typedLit(v)).as("d"),
+        lit(cid).as("cent_id"))
+    }.toIndexedSeq: _*)
+    // the codebook collects once — m·codes sub-centroids, geometry-
+    // sized — and becomes per-query LUT slot expressions ordered by
+    // s·codesPer + code (dense code ids, checked)
+    val cb = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(indexPath, "pq").toString)
+      .snapshot().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .sortBy(x => (x._1, x._2))
+    val sub = cb.head._3.length
+    val m = cb.map(_._1).max + 1
+    val codesPer = cb.count(_._1 == 0)
+    require(cb.map(x => (x._1, x._2)).sameElements(
+      for (s <- 0 until m; j <- 0 until codesPer) yield (s, j)),
+      "ivfPqIndexQueryBatch needs a dense (subspace, code) codebook")
+    val lut = array(cb.map { case (s, _, cent) =>
+      intL2(slice(col("__qv"), s * sub + 1, sub), typedLit(cent))
+    }.toIndexedSeq: _*)
+    val probed = queries
+      .withColumn("__qv", quantize(col("embedding")))
+      .withColumn("__lut", lut)
+      .withColumn("cent_id", explode(
+        slice(array_sort(candidates), 1, nprobeEff)
+          .getField("cent_id")))
+      .select(col("query_id"), col("embedding").as("__qe"),
+        col("__lut"), col("cent_id"))
+    val cellSet = probed.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0))
+    val cells0 = spark.read.format("graft-table").load(asgPath)
+      .where(col("cent_id").isin(cellSet.map(Integer.valueOf)
+        .toIndexedSeq: _*))
+    val cells = filter.fold(cells0)(f => cells0.where(f))
+    val joined0 = probed.join(cells, Seq("cent_id"))
+    val joined =
+      if (excludeSelf) joined0.filter(col("vec_id") =!= col("query_id"))
+      else joined0
+    val shortlistEff = math.max(shortlist, k)
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    joined
+      .withColumn("approx_dist", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, s) => element_at(col("__lut"),
+            (s * codesPer + c + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("__ar", row_number().over(wApprox))
+      .filter(col("__ar") <= shortlistEff)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(vec_cosine(col("embedding"), col("__qe"))
+          .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Driver scenario for the PQ leg of [[indexQueryBatch]]: the same
+    * first-5 query frame against the staged IVF+PQ index with an
+    * all-cells probe AND a saturated shortlist — the CODE stage
+    * passes everything through and the exact re-rank makes the
+    * answer brute-force-equivalent, so [[annTopKBatch]]'s oracle
+    * checks the routed ADC plumbing end-to-end (the
+    * shortlist-genuinely-decides regime is spec-pinned per query
+    * against the single-vector ADC server).
+    */
+  def annBatchIndexedPqScenario(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 5): DataFrame = {
+    val (path, _) = pqServeStage(spark, sfDir)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    indexQueryBatch(spark, path,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k = k, nprobe = Int.MaxValue, shortlist = Int.MaxValue,
+      filter = Some(col("vec_id") >= nQueries))
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rank"))
   }
 
   /** Driver scenario for [[indexQueryBatch]]: the first 5 vectors

@@ -992,6 +992,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("indexQueryBatch PQ: the batch ADC cascade equals the single-" +
+      "vector server per query at the SAME pruned nprobe and a " +
+      "shortlist the CODE stage genuinely decides") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_batchpq_").resolve("idx").toString
+    Similarity.ivfPqIndexBuild(spark, idx, emb)
+    val queries = emb.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val batch = Similarity.indexQueryBatch(spark, idx, queries,
+      k = 5, nprobe = 2, shortlist = 8)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    (0L until 4L).foreach { q =>
+      val qv = emb.where($"vec_id" === q).select($"embedding")
+        .head().getSeq[Float](0).toSeq
+      val single = Similarity.ivfPqIndexQuery(spark, idx, qv, k = 5,
+        nprobe = 2, shortlist = 8, excludeVecId = q)
+        .select($"vec_id", $"cos_sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) === single,
+        s"query $q: batch ADC diverged from the single-vector cascade")
+    }
+  }
+
   test("packSequences: spans tile the concatenated token stream — " +
       "≡ global-window arithmetic, contiguous, offsets in range") {
     import org.apache.spark.sql.functions._
