@@ -120,6 +120,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, p, m) => graft.ml.RiskPipeline.latestRuns(s, p, m))
     registryTvf("best_runs",
       (s, p, m) => graft.ml.RiskPipeline.bestRuns(s, p, m))
+    // shared literal-argument parsing for the retrieval TVFs — plain
+    // fractional SQL literals eval to Decimal (not a
+    // java.lang.Number), so one Catalyst cast normalizes every
+    // numeric literal, and the null check refuses non-numerics loudly
+    // instead of an opaque ClassCastException
+    def tvfIntArg(fname: String,
+        exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        i: Int, dflt: Int, name: String): Int =
+      if (exprs.length > i) {
+        require(exprs(i).foldable && exprs(i).deterministic,
+          s"$fname's $name must be a numeric literal")
+        val v = org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs(i), org.apache.spark.sql.types.IntegerType).eval()
+        require(v != null, s"$fname's $name must be a numeric literal")
+        v.asInstanceOf[Number].intValue
+      } else dflt
+    def tvfFilterArg(fname: String,
+        exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        i: Int): Option[org.apache.spark.sql.Column] =
+      if (exprs.length > i) {
+        require(exprs(i).foldable && exprs(i).deterministic &&
+          exprs(i).dataType == org.apache.spark.sql.types.StringType &&
+          exprs(i).eval() != null,
+          s"$fname's filter must be a non-null SQL-text string " +
+            "literal (a predicate over the index's stored columns)")
+        Some(org.apache.spark.sql.functions.expr(exprs(i).eval()
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString))
+      } else None
     // ann_search('<index path>', array(...), k[, nprobe[, filter]]) —
     // ANN retrieval as a real TVF, so nearest-neighbor lookups compose
     // inside ordinary SQL (joins, CTEs) exactly like table_changes().
@@ -154,49 +183,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.types.FloatType)).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val qv = arr.toFloatArray().toSeq
-        // plain fractional SQL literals eval to Decimal (not a
-        // java.lang.Number) — one Catalyst cast normalizes every
-        // numeric literal, and the null check refuses non-numerics
-        // loudly instead of an opaque ClassCastException
-        def intArg(i: Int, dflt: Int, name: String): Int =
-          if (exprs.length > i) {
-            val v = org.apache.spark.sql.catalyst.expressions.Cast(
-              exprs(i), org.apache.spark.sql.types.IntegerType).eval()
-            require(v != null,
-              s"ann_search's $name must be a numeric literal")
-            v.asInstanceOf[Number].intValue
-          } else dflt
-        val k = intArg(2, 10, "k")
-        val nprobe = intArg(3, 4, "nprobe")
-        val filter = if (exprs.length > 4) {
-          require(exprs(4).dataType ==
-            org.apache.spark.sql.types.StringType && exprs(4).eval() != null,
-            "ann_search's filter must be a non-null SQL-text string " +
-              "literal (a predicate over the index's stored columns)")
-          Some(org.apache.spark.sql.functions.expr(exprs(4).eval()
-            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-            .toString))
-        } else None
+        val k = tvfIntArg("ann_search", exprs, 2, 10, "k")
+        val nprobe = tvfIntArg("ann_search", exprs, 3, 4, "nprobe")
+        val filter = tvfFilterArg("ann_search", exprs, 4)
         graft.operators.Similarity.indexQuery(spark, path, qv,
           k = k, nprobe = nprobe, filter = filter)
           .queryExecution.analyzed
       }))
     // ann_search_batch('<index path>', <queries table|'path'>[, k[,
-    // nprobe[, filter]]]) — the INDEX-BACKED BATCH serve as a TVF: a
-    // whole frame of query vectors (a table or path carrying
-    // query_id|vec_id + embedding) retrieves per-query top-k in one
-    // distributed plan (Similarity.indexQueryBatch), composing in
-    // joins/CTEs — the retrieval join batch inference runs. Returns
-    // (query_id, vec_id, label, cos_sim, rank).
+    // nprobe[, filter[, exclude_self]]]]) — the INDEX-BACKED BATCH
+    // serve as a TVF: a whole frame of query vectors (a table or path
+    // carrying query_id|vec_id + embedding) retrieves per-query top-k
+    // in one distributed plan (Similarity.indexQueryBatch), composing
+    // in joins/CTEs — the retrieval join batch inference runs.
+    // exclude_self (default true) drops corpus rows whose vec_id
+    // equals the query's id — pass false when the batch carries its
+    // OWN id space (an id collision there is not an identity).
+    // Returns (query_id, vec_id, label, cos_sim, rank).
     e.injectTableFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier(
         "ann_search_batch"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.operators.Similarity", "ann_search_batch"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length >= 2 && exprs.length <= 5,
+        require(exprs.length >= 2 && exprs.length <= 6,
           "ann_search_batch(index_path, queries[, k[, nprobe[, " +
-            s"filter]]]) takes 2 to 5 arguments, got ${exprs.length}")
+            s"filter[, exclude_self]]]]) takes 2 to 6 arguments, " +
+            s"got ${exprs.length}")
         require(exprs.take(2).forall(x => x.foldable && x.deterministic &&
           x.dataType == org.apache.spark.sql.types.StringType &&
           x.eval() != null),
@@ -211,6 +224,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (src.contains("/") || src.contains("\\"))
             graft.tables.GraftSql.indexSourceFrame(spark, src, null)
           else graft.tables.GraftSql.indexSourceFrame(spark, null, src)
+        require(queries0.columns.contains("embedding"),
+          "ann_search_batch's queries must carry an embedding column")
         val queries =
           if (queries0.columns.contains("query_id")) queries0
           else if (queries0.columns.contains("vec_id"))
@@ -218,30 +233,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else throw new IllegalArgumentException(
             "ann_search_batch's queries must carry a query_id (or " +
               "vec_id) column next to embedding")
-        def intArg(i: Int, dflt: Int, name: String): Int =
-          if (exprs.length > i) {
-            val v = org.apache.spark.sql.catalyst.expressions.Cast(
-              exprs(i), org.apache.spark.sql.types.IntegerType).eval()
-            require(v != null,
-              s"ann_search_batch's $name must be a numeric literal")
-            v.asInstanceOf[Number].intValue
-          } else dflt
-        val k = intArg(2, 10, "k")
-        val nprobe = intArg(3, 4, "nprobe")
-        val filter = if (exprs.length > 4) {
-          require(exprs(4).dataType ==
-            org.apache.spark.sql.types.StringType && exprs(4).eval() != null,
-            "ann_search_batch's filter must be a non-null SQL-text " +
-              "string literal (a predicate over the index's stored " +
-              "columns)")
-          Some(org.apache.spark.sql.functions.expr(exprs(4).eval()
-            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-            .toString))
-        } else None
+        val k = tvfIntArg("ann_search_batch", exprs, 2, 10, "k")
+        val nprobe = tvfIntArg("ann_search_batch", exprs, 3, 4, "nprobe")
+        val filter = tvfFilterArg("ann_search_batch", exprs, 4)
+        val exclSelf = if (exprs.length > 5) {
+          require(exprs(5).foldable && exprs(5).deterministic &&
+            exprs(5).dataType == org.apache.spark.sql.types.BooleanType &&
+            exprs(5).eval() != null,
+            "ann_search_batch's exclude_self must be a boolean literal")
+          exprs(5).eval().asInstanceOf[Boolean]
+        } else true
         graft.operators.Similarity.indexQueryBatch(spark, str(0),
           queries.select(org.apache.spark.sql.functions.col("query_id"),
-            org.apache.spark.sql.functions.col("embedding")),
-          k = k, nprobe = nprobe, filter = filter)
+            // any numeric array normalizes to the float[] the index
+            // stores — a SQL-built array<double> frame must work, not
+            // fail deep in the plan with a kernel type error
+            org.apache.spark.sql.functions.col("embedding")
+              .cast("array<float>").as("embedding")),
+          k = k, nprobe = nprobe, filter = filter,
+          excludeSelf = exclSelf)
           .queryExecution.analyzed
       }))
     // dedup_probe('<index path>', <batch table|'path'>[, min_jaccard])

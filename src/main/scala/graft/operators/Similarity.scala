@@ -1514,6 +1514,43 @@ object Similarity {
     else ivfIndexQueryBatch(spark, indexPath, queries, k, nprobe,
       filter, excludeSelf)
 
+  /** Shared routing for both batch legs: per-query nprobe cells rank
+    * MAP-SIDE over the centroid literals (the single-vector server's
+    * exact integer rule), the union of probed cells collects as a
+    * bounded O(nCells) driver pane, and the partition-pruned
+    * assignments come back alongside the exploded (query, cell)
+    * pairs. `extra` names the per-query columns each leg carries
+    * through the join (the raw query vector, the PQ distance LUT).
+    *
+    * CONTRACT: `queries` must be a DETERMINISTIC frame with UNIQUE
+    * query_id. The routing plan evaluates once to freeze the probed-
+    * cell set and again at execution — a nondeterministic source
+    * could route outside the frozen set and silently lose candidates;
+    * a duplicated id would merge two embeddings' candidate pools into
+    * one ranked window.
+    */
+  private def batchRouted(spark: SparkSession, asgPath: String,
+      cents: Seq[(Int, Seq[Long])], nprobeEff: Int, queries: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column])
+      : (DataFrame, DataFrame) = {
+    val candidates = array(cents.map { case (cid, v) =>
+      struct(intL2(col("__qv"), typedLit(v)).as("d"),
+        lit(cid).as("cent_id"))
+    }.toIndexedSeq: _*)
+    val probed = queries
+      .withColumn("__qv", quantize(col("embedding")))
+      .withColumn("cent_id", explode(
+        slice(array_sort(candidates), 1, nprobeEff)
+          .getField("cent_id")))
+      .select(Seq(col("query_id"), col("cent_id")) ++ extra: _*)
+    val cellSet = probed.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0))
+    val cells = spark.read.format("graft-table").load(asgPath)
+      .where(col("cent_id").isin(cellSet.map(Integer.valueOf)
+        .toIndexedSeq: _*))
+    (probed, cells)
+  }
+
   private def ivfIndexQueryBatch(spark: SparkSession, indexPath: String,
       queries: DataFrame, k: Int, nprobe: Int,
       filter: Option[org.apache.spark.sql.Column],
@@ -1525,26 +1562,8 @@ object Similarity {
     val nprobeEff = math.min(
       filteredNprobe(spark, asgPath, filter, nprobe, cents.size),
       cents.size)
-    // the same (distance, cent_id) ranking as the single-vector path,
-    // evaluated map-side per query row over the centroid literals
-    val candidates = array(cents.map { case (cid, v) =>
-      struct(intL2(col("__qv"), typedLit(v)).as("d"),
-        lit(cid).as("cent_id"))
-    }.toIndexedSeq: _*)
-    val probed = queries
-      .withColumn("__qv", quantize(col("embedding")))
-      .withColumn("cent_id", explode(
-        slice(array_sort(candidates), 1, nprobeEff)
-          .getField("cent_id")))
-      .select(col("query_id"), col("embedding").as("__qe"),
-        col("cent_id"))
-    // prune the index read to the UNION of probed cells — a bounded
-    // O(nCells) driver pane (the geometry's size, NOT the batch's)
-    val cellSet = probed.select(col("cent_id")).distinct()
-      .collect().map(_.getInt(0))
-    val cells0 = spark.read.format("graft-table").load(asgPath)
-      .where(col("cent_id").isin(cellSet.map(Integer.valueOf)
-        .toIndexedSeq: _*))
+    val (probed, cells0) = batchRouted(spark, asgPath, cents, nprobeEff,
+      queries, Seq(col("embedding").as("__qe")))
     val cells = filter.fold(cells0)(f => cells0.where(f))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -1587,10 +1606,6 @@ object Similarity {
     val nprobeEff = math.min(
       filteredNprobe(spark, asgPath, filter, nprobe, cents.size),
       cents.size)
-    val candidates = array(cents.map { case (cid, v) =>
-      struct(intL2(col("__qv"), typedLit(v)).as("d"),
-        lit(cid).as("cent_id"))
-    }.toIndexedSeq: _*)
     // the codebook collects once — m·codes sub-centroids, geometry-
     // sized — and becomes per-query LUT slot expressions ordered by
     // s·codesPer + code (dense code ids, checked)
@@ -1608,21 +1623,16 @@ object Similarity {
     val lut = array(cb.map { case (s, _, cent) =>
       intL2(slice(col("__qv"), s * sub + 1, sub), typedLit(cent))
     }.toIndexedSeq: _*)
-    val probed = queries
-      .withColumn("__qv", quantize(col("embedding")))
-      .withColumn("__lut", lut)
-      .withColumn("cent_id", explode(
-        slice(array_sort(candidates), 1, nprobeEff)
-          .getField("cent_id")))
-      .select(col("query_id"), col("embedding").as("__qe"),
-        col("__lut"), col("cent_id"))
-    val cellSet = probed.select(col("cent_id")).distinct()
-      .collect().map(_.getInt(0))
-    val cells0 = spark.read.format("graft-table").load(asgPath)
-      .where(col("cent_id").isin(cellSet.map(Integer.valueOf)
-        .toIndexedSeq: _*))
+    val (probed, cells0) = batchRouted(spark, asgPath, cents, nprobeEff,
+      queries, Seq(lut.as("__lut")))
     val cells = filter.fold(cells0)(f => cells0.where(f))
-    val joined0 = probed.join(cells, Seq("cent_id"))
+    // CODE-ONLY approx stage: the rows that ride the shortlist window
+    // carry (query_id, vec_id, approx_dist) — never the LUT, the
+    // codes, or an embedding (the cascade's whole point is that the
+    // wide columns move only for the shortlist's survivors)
+    val joined0 = probed.join(
+      cells.select(col("cent_id"), col("vec_id"), col("codes")),
+      Seq("cent_id"))
     val joined =
       if (excludeSelf) joined0.filter(col("vec_id") =!= col("query_id"))
       else joined0
@@ -1633,14 +1643,23 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    joined
+    val survivors = joined
       .withColumn("approx_dist", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (c, s) => element_at(col("__lut"),
             (s * codesPer + c + 1).cast("int"))),
         lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("vec_id"), col("approx_dist"))
       .withColumn("__ar", row_number().over(wApprox))
       .filter(col("__ar") <= shortlistEff)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank: only the survivors fetch their stored vectors
+    // and the query vector
+    survivors
+      .join(cells.select(col("vec_id"), col("label"), col("embedding")),
+        Seq("vec_id"))
+      .join(queries.select(col("query_id"),
+        col("embedding").as("__qe")), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         round(vec_cosine(col("embedding"), col("__qe"))
           .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))

@@ -286,6 +286,19 @@ class ExtensionsSpec extends SparkSpec {
       assert(bt === bapi, "ann_search_batch diverged from the API batch")
       assert(bt.nonEmpty && !bt.exists(x => x._1 == x._2),
         "query-by-example ids must exclude themselves")
+      // an OWN-id-space batch: exclude_self = false keeps the corpus
+      // row whose vec_id collides with a query id (it is NOT the
+      // query), and a SQL-built array<double> embedding normalizes
+      val qDir2 = java.nio.file.Files
+        .createTempDirectory("graft_sqlidx_").resolve("q2").toString
+      s2.range(100, 101).selectExpr("id AS query_id",
+        "array(0.0, 0.0, 0.0, 10.0) AS embedding") // double array
+        .write.parquet(qDir2)
+      val own = s2.sql("SELECT * FROM ann_search_batch(" +
+        s"'$ivf', '$qDir2', 5, 16, 'vec_id >= 0', false)")
+        .collect().map(_.getLong(1)).toSet
+      assert(own.contains(100L),
+        "exclude_self=false must keep the colliding corpus row")
       // DEDUP leg of the lifecycle, same statements: the SQL-built
       // index probes identically to an API-built one
       val docsDir = java.nio.file.Files
