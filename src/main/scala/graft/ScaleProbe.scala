@@ -67,6 +67,10 @@ object ScaleProbe {
       seqPackProbe(spark, corpusDir)
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "annbatch") {
+      annBatchProbe(spark, corpusDir)
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -163,6 +167,37 @@ object ScaleProbe {
       .packSequencesMaterialize(docs, out).count()
     val t2 = System.nanoTime()
     println(s"""{"metric":"seqpack_probe","corpus":"$corpusDir","docs":$rows,"spans":$spans,"sequences":$nSeqs,"metadata_sec":${(t1 - t0) / 1e9},"materialize_sec":${(t2 - t1) / 1e9}}""")
+  }
+
+  /** BATCH-SERVE latency against a growing index
+    * (SPARK_GRAFT_PROBE=annbatch): a FIXED 16-query frame retrieves
+    * top-k through the index-backed batch serve while the corpus
+    * grows 10× and the cell count scales WITH it
+    * (SPARK_GRAFT_CENTROIDS — the IVF design point is constant
+    * expected cell size), so the steady-state serve should track
+    * cell size + geometry-sized driver math, not corpus size. Build
+    * is outside the window; min over 3 after a warm-up.
+    */
+  private def annBatchProbe(spark: SparkSession,
+      corpusDir: String): Unit = {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, corpusDir, "embeddings")
+    val k = sys.env.getOrElse("SPARK_GRAFT_CENTROIDS", "16").toInt
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_annbatch_").resolve("idx").toString
+    val t0 = System.nanoTime()
+    Similarity.ivfIndexBuild(spark, idx, emb, nCentroids = k)
+    val t1 = System.nanoTime()
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serve(): Long = Similarity
+      .indexQueryBatch(spark, idx, queries, k = 10, nprobe = 4).count()
+    serve() // warm footers/codegen
+    val times = (1 to 3).map { _ =>
+      val s = System.nanoTime(); serve(); (System.nanoTime() - s) / 1e9
+    }
+    val n = emb.count()
+    println(s"""{"metric":"annbatch_probe","corpus":"$corpusDir","n_vecs":$n,"n_centroids":$k,"n_queries":16,"build_sec":${(t1 - t0) / 1e9},"serve_sec":${times.min}}""")
   }
 
   /** IVF+PQ SERVE latency against a growing index
