@@ -136,6 +136,8 @@ object SparkEntry {
       TextAnalysis.exportShardsMixtureScenario(s, d)),
     "stream_export_shards" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.exportStreamScenario(s, d)),
+    "text_vocab_induct" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabInduct(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
@@ -1651,6 +1653,22 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY tokens_before // 2048""".stripMargin,
+    // vocabulary induction: word-internal char n-grams scored by
+    // coverage (count * (len-1)), deterministic top-V cut by
+    // (score desc, gram)
+    "text_vocab_induct" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |w2 AS (
+        |  SELECT word, n FROM w CROSS JOIN (SELECT UNNEST([2,3,4,5]) AS n) t
+        |  WHERE length(word) >= n),
+        |g AS (
+        |  SELECT substr(word, CAST(UNNEST(generate_series(1, length(word) - n + 1)) AS INT), CAST(n AS INT)) AS gram
+        |  FROM w2)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(COUNT(*) * (length(gram) - 1) AS BIGINT) AS score
+        |FROM g GROUP BY gram ORDER BY score DESC, gram LIMIT 64""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,

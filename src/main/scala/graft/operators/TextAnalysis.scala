@@ -978,6 +978,41 @@ object TextAnalysis {
       Tables.load(spark, sfDir, "documents"), scenarioMixture))
       .withColumnRenamed("n_docs", "n_copies")
 
+  /** VOCABULARY INDUCTION — the subword-vocab selection step next to
+    * the BPE-ish token counter: every word-internal character n-gram
+    * (n ∈ [minN, maxN]) scores by COVERAGE — count · (len−1), the
+    * characters a vocab entry saves over single-char tokens — and the
+    * top-`vocabSize` by (score, gram) is the induced vocabulary (the
+    * greedy frequency-coverage heuristic WordPiece-style selection
+    * starts from; a real BPE's iterative merges are sequentially
+    * dependent and belong in a driver loop, but the SELECTION signal
+    * is this relational score). Scale shape: the n-gram explosion is
+    * map-side and linear in corpus characters (≤ (maxN−minN+1)
+    * positions per char), the count is one partial-aggregated hash
+    * agg on the gram, and the top-V is a TakeOrdered over
+    * vocab-candidate-sized data — no shuffle carries raw text.
+    * Deterministic: ties at the cut break by the gram itself.
+    */
+  def vocabInduct(spark: SparkSession, sfDir: String, minN: Int = 2,
+      maxN: Int = 5, vocabSize: Int = 64): DataFrame = {
+    require(minN >= 1 && maxN >= minN, "vocabInduct needs 1 <= minN <= maxN")
+    Tables.load(spark, sfDir, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("word"))
+      .select(col("word"),
+        explode(sequence(lit(minN), lit(maxN))).as("n"))
+      .where(length(col("word")) >= col("n"))
+      .select(col("word"), col("n"),
+        explode(sequence(lit(1), length(col("word")) - col("n") + 1))
+          .as("s"))
+      .select(expr("substring(word, s, n)").as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("score", col("cnt") * (length(col("gram")) - 1))
+      .orderBy(col("score").desc, col("gram"))
+      .limit(vocabSize)
+  }
+
   /** Corpus accounting rollup: docs / chars / whitespace tokens per
     * (lang, source) — the bookkeeping query behind token budgets.
     */

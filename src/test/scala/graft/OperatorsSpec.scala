@@ -1173,6 +1173,33 @@ class OperatorsSpec extends SparkSpec {
       .snapshot().count() === 200L)
   }
 
+  test("vocabInduct: top-V char n-grams score by coverage, lengths " +
+      "stay in range, the cut is deterministic") {
+    import org.apache.spark.sql.functions._
+    val v = operators.TextAnalysis.vocabInduct(spark, sf).collect()
+    assert(v.length === 64)
+    v.foreach { r =>
+      val (g, cnt, score) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(g.length >= 2 && g.length <= 5, s"gram $g out of range")
+      assert(score === cnt * (g.length - 1), s"$g: score must be " +
+        "coverage = count * (len - 1)")
+    }
+    // ordered by the selection criterion; the boundary tie-breaks on
+    // the gram itself, so a re-run cuts identically
+    v.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) > b.getLong(2) ||
+          (a.getLong(2) == b.getLong(2) &&
+            a.getString(0) < b.getString(0)),
+          "vocab must order by (score desc, gram)")
+      case _ =>
+    }
+    val again = operators.TextAnalysis.vocabInduct(spark, sf).collect()
+    assert(v.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "vocab induction must be deterministic")
+  }
+
   test("mixtureResample: per-domain repetition counts follow the " +
       "weights, the md5 coin is deterministic, seeds redraw it") {
     import org.apache.spark.sql.functions._
