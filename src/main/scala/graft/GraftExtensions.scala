@@ -219,11 +219,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         def str(i: Int): String = exprs(i).eval()
           .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-        val src = str(1)
+        // path-vs-table routing is shared with dedup_probe: a
+        // separator OR an existing filesystem entry means path (so a
+        // single-segment relative dir is never misrouted to a
+        // table-not-found error)
         val queries0 =
-          if (src.contains("/") || src.contains("\\"))
-            graft.tables.GraftSql.indexSourceFrame(spark, src, null)
-          else graft.tables.GraftSql.indexSourceFrame(spark, null, src)
+          graft.tables.GraftSql.sourceFrameAuto(spark, str(1))
         require(queries0.columns.contains("embedding"),
           "ann_search_batch's queries must carry an embedding column")
         val queries =
@@ -279,11 +280,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         def str(i: Int): String = exprs(i).eval()
           .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-        val src = str(1)
-        val batch =
-          if (src.contains("/") || src.contains("\\"))
-            graft.tables.GraftSql.indexSourceFrame(spark, src, null)
-          else graft.tables.GraftSql.indexSourceFrame(spark, null, src)
+        val batch = graft.tables.GraftSql.sourceFrameAuto(spark, str(1))
         // plain fractional SQL literals parse as DECIMAL (whose
         // internal Decimal is NOT a java.lang.Number) — one Catalyst
         // cast normalizes every numeric literal to a double

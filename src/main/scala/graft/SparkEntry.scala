@@ -31,7 +31,8 @@ object SparkEntry {
     "q_pivot_status_month" -> (Analytics.pivotStatusMonth _),
     "q_rollup_priority" -> (Analytics.rollupPriority _),
     "q4_priority_exists" -> (Analytics.priorityExists _),
-    "q_cust_no_orders" -> (Analytics.customersNoOrders _),
+    "q_cust_no_orders" -> ((s: SparkSession, d: String) =>
+      Analytics.customersNoOrders(s, d)),
     "q17_small_qty_revenue" -> (Analytics.smallQtyRevenue _),
     "q14_promo_share" -> (Analytics.promoShare _),
     "q7_nation_volume" -> (Analytics.nationVolume _),
@@ -134,6 +135,9 @@ object SparkEntry {
       TextAnalysis.mixtureResampleScenario(s, d)),
     "text_export_shards_mixture" -> ((s: SparkSession, d: String) =>
       TextAnalysis.exportShardsMixtureScenario(s, d)),
+    "text_export_shards_mixture_materialized" ->
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.exportShardsMixtureMaterializedScenario(s, d)),
     "stream_export_shards" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.exportStreamScenario(s, d)),
     "text_vocab_induct" -> ((s: SparkSession, d: String) =>
@@ -316,6 +320,12 @@ object SparkEntry {
       // replay checks the training-batch write's integrity
       ("text_pack_sequences_materialized" ->
         oracleSqlMain("text_seq_manifest")) +
+      // the materialized mixture RE-DERIVES its manifest from each
+      // copy's landed shard content (token counts re-run on the
+      // written text), so the assignment-manifest replay checks the
+      // write-receipt end-to-end
+      ("text_export_shards_mixture_materialized" ->
+        oracleSqlMain("text_export_shards_mixture")) +
       // the all-cells-probed, query-excluding batch serve over the
       // staged index is exactly the brute-force batch, so the same
       // relational top-k replay checks the routed path end-to-end
@@ -1138,7 +1148,8 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
     "q_cust_no_orders" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
     "q17_small_qty_revenue" ->
       """WITH pa AS (

@@ -322,10 +322,18 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"))
   }
 
-  /** NOT EXISTS as a left-anti join: customers with no orders. */
-  def customersNoOrders(spark: SparkSession, sfDir: String): DataFrame = {
+  /** NOT EXISTS as a left-anti join: LAPSED customers — no orders on
+    * or after the cutoff (the dated predicate keeps the driver row
+    * non-vacuous at every test SF, where the synthetic data gives
+    * every customer SOME order; the date filter pushes into the
+    * orders scan before the anti-join's shuffle).
+    */
+  def customersNoOrders(spark: SparkSession, sfDir: String,
+      cutoff: String = "2000-01-01"): DataFrame = {
     val c = Tables.load(spark, sfDir, "customer")
-    val o = Tables.load(spark, sfDir, "orders").select(col("o_custkey"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit(cutoff).cast("date"))
+      .select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))

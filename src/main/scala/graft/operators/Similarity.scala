@@ -1522,10 +1522,17 @@ object Similarity {
     * pairs. `extra` names the per-query columns each leg carries
     * through the join (the raw query vector, the PQ distance LUT).
     *
-    * CONTRACT: `queries` must be a DETERMINISTIC frame with UNIQUE
-    * query_id. The routing plan evaluates once to freeze the probed-
-    * cell set and again at execution — a nondeterministic source
-    * could route outside the frozen set and silently lose candidates;
+    * SINGLE EVALUATION, enforced: the routed pane materializes
+    * through an eager localCheckpoint BEFORE anything reads it — the
+    * collected cell set and the execution-time join consume the same
+    * frozen rows, so a nondeterministic queries source (sample(), a
+    * rand-derived view) can no longer route outside the collected set
+    * and silently lose candidates, and the query scan runs exactly
+    * once however many downstream joins read the pane (blocks release
+    * on GC; an executor loss under the truncated lineage fails loudly
+    * rather than silently re-drawing the source). The UNIQUE-query_id
+    * half of the old comment-contract is now a runtime check over the
+    * already-materialized pane: per query exactly nprobe routed rows —
     * a duplicated id would merge two embeddings' candidate pools into
     * one ranked window.
     */
@@ -1543,6 +1550,14 @@ object Similarity {
         slice(array_sort(candidates), 1, nprobeEff)
           .getField("cent_id")))
       .select(Seq(col("query_id"), col("cent_id")) ++ extra: _*)
+      .localCheckpoint(true)
+    val g = probed
+      .agg(count(lit(1)), countDistinct(col("query_id"))).head()
+    require(g.getLong(0) == g.getLong(1) * nprobeEff,
+      s"indexQueryBatch needs a unique query_id per query row: " +
+        s"${g.getLong(0)} routed rows over ${g.getLong(1)} distinct " +
+        s"ids at nprobe $nprobeEff (a duplicated id would merge two " +
+        "embeddings' candidate pools)")
     val cellSet = probed.select(col("cent_id")).distinct()
       .collect().map(_.getInt(0))
     val cells = spark.read.format("graft-table").load(asgPath)
@@ -1623,8 +1638,11 @@ object Similarity {
     val lut = array(cb.map { case (s, _, cent) =>
       intL2(slice(col("__qv"), s * sub + 1, sub), typedLit(cent))
     }.toIndexedSeq: _*)
+    // the raw query vector rides the routed pane next to the LUT, so
+    // the exact re-rank below reads the CHECKPOINTED pane instead of
+    // re-evaluating the queries frame a third time
     val (probed, cells0) = batchRouted(spark, asgPath, cents, nprobeEff,
-      queries, Seq(lut.as("__lut")))
+      queries, Seq(lut.as("__lut"), col("embedding").as("__qe")))
     val cells = filter.fold(cells0)(f => cells0.where(f))
     // CODE-ONLY approx stage: the rows that ride the shortlist window
     // carry (query_id, vec_id, approx_dist) — never the LUT, the
@@ -1658,8 +1676,8 @@ object Similarity {
     survivors
       .join(cells.select(col("vec_id"), col("label"), col("embedding")),
         Seq("vec_id"))
-      .join(queries.select(col("query_id"),
-        col("embedding").as("__qe")), Seq("query_id"))
+      .join(probed.select(col("query_id"), col("__qe"))
+        .dropDuplicates("query_id"), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         round(vec_cosine(col("embedding"), col("__qe"))
           .cast("decimal(18,12)"), 6).cast("double").as("cos_sim"))

@@ -431,10 +431,15 @@ object TextAnalysis {
     * consecutive shards MIX the corpus instead of preserving ingest
     * order (adjacent-document correlation is what the shuffle
     * exists to break). Same distributed prefix sum: buckets are
-    * RANGES of the 60-bit hash (h div 2⁴⁸ — 4096 order-aligned
-    * buckets), in-bucket windows order by (h, doc_id); the hash is
-    * the engine-portable md5 residue, so the oracle replays the
-    * permutation and the cumsum exactly.
+    * RANGES of the 60-bit hash (h div width), in-bucket windows order
+    * by (h, doc_id); the hash is the engine-portable md5 residue, so
+    * the oracle replays the permutation and the cumsum exactly. The
+    * bucket COUNT scales with the corpus ([[hashBucketWidth]]):
+    * auto-sized so each in-bucket window holds ~4096 docs in
+    * expectation at ANY corpus size (a fixed divisor would pin the
+    * fan-out and grow the per-task window with the corpus), or pinned
+    * by `hashBuckets` (the `BUCKET COUNT` SQL knob); the bucketing is
+    * value-invisible either way — only the plan's parallelism moves.
     */
   /** `seed` re-parameterizes the permutation — the EPOCH RESHUFFLE a
     * trainer wants (a fresh deterministic order per epoch, replayable
@@ -445,17 +450,46 @@ object TextAnalysis {
     */
   def exportShardsShuffled(docs: DataFrame,
       shardTokens: Long = 2048L, seed: Long = 0L,
-      tokenizer: String = "ws"): DataFrame = {
+      tokenizer: String = "ws", hashBuckets: Long = 0L): DataFrame = {
     val hashIn =
       if (seed == 0L) col("doc_id").cast("string")
       else concat(lit(s"$seed:"), col("doc_id").cast("string"))
-    prefixSum(tokenCounts(docs, tokenizer)
+    val counted = tokenCounts(docs, tokenizer)
+    val width = hashBucketWidth(counted, hashBuckets)
+    prefixSum(counted
         .withColumn("__h", graft.Tables.md5Residue(hashIn))
-        .withColumn("__b", expr(s"__h div ${1L << 48}L")),
+        .withColumn("__b", expr(s"__h div ${width}L")),
       Seq("__h", "doc_id"), startOffset = 0L)
       .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
         col("shard_id"))
+  }
+
+  /** Width of the md5-hash-RANGE buckets the shuffled/mixture exports
+    * feed to [[prefixSum]]: the 60-bit residue space divides into B
+    * order-aligned ranges, B = the next power of two at or above the
+    * requested bucket count (a power of two divides 2⁶⁰ exactly, so
+    * every bucket is the same width and bucket order = hash order —
+    * the alignment the prefix sum depends on). `hashBuckets` 0 = AUTO:
+    * B grows with the corpus (rows / targetPerBucket) so the serial
+    * in-bucket window stays ~targetPerBucket rows in expectation at
+    * ANY scale — 4096 buckets at the old fixed-shift sizes, ~2²⁵
+    * buckets at 10¹¹ docs. The sizing count runs over the SLIM counted
+    * frame with every derived column pruned (Catalyst drops the
+    * tokenize under count), so auto-sizing costs one metadata-cheap
+    * pass, and the chosen width never changes VALUES — only how the
+    * cumsum's work distributes.
+    */
+  private def hashBucketWidth(counted: DataFrame, hashBuckets: Long,
+      targetPerBucket: Long = 4096L): Long = {
+    require(hashBuckets >= 0L,
+      "hash-range exports need a non-negative bucket count")
+    val target =
+      if (hashBuckets > 0L) hashBuckets
+      else math.max(1L, counted.count() / targetPerBucket)
+    var b = 1L
+    while (b < target && b < (1L << 59)) b <<= 1
+    (1L << 60) / b
   }
 
   /** MATERIALIZED shard export — the step after assignment that a
@@ -476,10 +510,10 @@ object TextAnalysis {
   def exportShardsMaterialize(docs: DataFrame, outPath: String,
       shardTokens: Long = 2048L, bucketSize: Long = 4096L,
       tokenizer: String = "ws", shuffled: Boolean = false,
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L, hashBuckets: Long = 0L): DataFrame = {
     val assigned =
       if (shuffled) exportShardsShuffled(docs, shardTokens, seed,
-        tokenizer)
+        tokenizer, hashBuckets)
       else exportShards(docs, shardTokens, bucketSize, tokenizer)
     assigned
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
@@ -544,13 +578,25 @@ object TextAnalysis {
     // from batch_id < 0 state (= 0), and appendIfNew under its OWN
     // namespace would land overlapping token ranges — the silent
     // corruption the monotone guard exists to refuse.
-    val legacyState = hasState && !GraftTable.load(spark, statePath)
-      .snapshot().columns.contains("pipeline")
+    // a LEGACY-ORIGIN state table (created before the pipeline
+    // column, or still carrying null-pipeline rows from that era) is
+    // ADOPTED by the first pipeline that touches it: its null rows
+    // are ownership wildcards and the next state append backfills the
+    // column (evolve) with the adopter's id — but the exactly-once
+    // watermark namespace stays the LEGACY one forever, because the
+    // pre-adoption batches landed under it and a replayed old id
+    // checked against a fresh namespace would double-land its rows
+    val legacyOrigin = hasState && {
+      val st = GraftTable.load(spark, statePath).snapshot()
+      !st.columns.contains("pipeline") ||
+        st.where(col("pipeline").isNull).limit(1).count() > 0L
+    }
     if (hasState) {
       val st = GraftTable.load(spark, statePath).snapshot()
       val owners =
-        (if (legacyState) st.select(lit("").as("pipeline"))
-         else st.select(col("pipeline")))
+        (if (st.columns.contains("pipeline"))
+           st.where(col("pipeline").isNotNull).select(col("pipeline"))
+         else st.limit(0).select(lit("").as("pipeline")))
           .distinct().collect().map(_.getString(0))
       require(owners.isEmpty || owners.sameElements(Array(pipelineId)),
         s"exportShardsIngest: export path $exportPath is owned by " +
@@ -558,6 +604,7 @@ object TextAnalysis {
           "('" + pipelineId + "') must export to its own path " +
           "(colliding batch ids would silently overlap token ranges)")
     }
+    val nsId = if (legacyOrigin) "" else pipelineId
     val (offset0, maxDoc0) = if (!hasState) (0L, -1L) else {
       val r = GraftTable.load(spark, statePath).snapshot()
         .agg(
@@ -608,20 +655,20 @@ object TextAnalysis {
       // two id sequences sharing one export path must not mistake
       // each other's batch 0 for a replay
       asgT.appendIfNew(assigned, batchId,
-        appId = exportAssignAppId + pipelineId)
+        appId = exportAssignAppId + nsId)
       import spark.implicits._
-      // state rows carry the owning pipeline (the path-ownership
-      // refusal above); a legacy table without the column keeps its
-      // 3-column shape — it can only have passed the check as ""
-      val stateRow0 = Seq((batchId, endOffset, bounds.getLong(1),
+      // state rows ALWAYS carry the owning pipeline — an adopted
+      // legacy table backfills the column on this append (schema
+      // evolves additively; its pre-adoption rows read null and stay
+      // ownership wildcards for THIS owner only, since the non-null
+      // owner set now refuses everyone else)
+      val stateRow = Seq((batchId, endOffset, bounds.getLong(1),
           pipelineId))
         .toDF("batch_id", "end_offset", "max_doc", "pipeline")
-      val stateRow =
-        if (legacyState) stateRow0.drop("pipeline") else stateRow0
       val stT = GraftTable.createIfAbsent(spark, statePath,
         stateRow.limit(0))
       stT.appendIfNew(stateRow, batchId,
-        appId = exportStateAppId + pipelineId)
+        appId = exportStateAppId + nsId, evolve = true)
       // return the TABLE-BACKED batch slice — the commits already
       // landed distributed, so the result never rides a driver
       // collect (a production-sized batch must not materialize on
@@ -928,7 +975,8 @@ object TextAnalysis {
     */
   def exportShardsMixture(docs: DataFrame, weights: Map[String, Double],
       shardTokens: Long = 2048L, defaultWeight: Double = 1.0,
-      seed: Long = 0L, tokenizer: String = "ws"): DataFrame = {
+      seed: Long = 0L, tokenizer: String = "ws",
+      hashBuckets: Long = 0L): DataFrame = {
     // tokenize ONCE per doc, then resample the slim counted frame —
     // the regexp over full text is the dominant per-row cost, and a
     // weight-w domain would otherwise re-run it w times per doc (and
@@ -941,15 +989,91 @@ object TextAnalysis {
           .cast("long").as("n_tokens")),
       weights, defaultWeight, seed = seed)
     val counted = rs.select(col("doc_id"), col("rep"), col("n_tokens"))
+    // bucket count sizes to the COPY count (the resampled stream is
+    // what the cumsum distributes over), pruned to a slim count
+    val width = hashBucketWidth(counted, hashBuckets)
     prefixSum(counted
         .withColumn("__h", Tables.md5Residue(concat(
           lit(s"mixshuf$seed:"), col("doc_id").cast("string"),
           lit(":"), col("rep").cast("string"))))
-        .withColumn("__b", expr(s"__h div ${1L << 48}L")),
+        .withColumn("__b", expr(s"__h div ${width}L")),
       Seq("__h", "doc_id", "rep"), startOffset = 0L)
       .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
       .select(col("doc_id"), col("rep"), col("n_tokens"),
         col("tokens_before"), col("shard_id"))
+  }
+
+  /** MATERIALIZED mixture export — the missing composition between
+    * the mixture exit and the trainer's loader: each training COPY's
+    * text lands in its assigned shard, in training order (parquet
+    * partitioned by shard_id, rows ordered by tokens_before inside
+    * each file), alongside the per-copy provenance (doc_id, rep).
+    * Same twice-moved-text shape as [[exportShardsMaterialize]]: the
+    * text attaches through ONE doc_id equi-join — once per copy, the
+    * prefix sum itself never carries it — then the shard_id
+    * repartition co-locates each shard for its partition-aligned
+    * write; both plain hash shuffles, no global sort. Re-runs
+    * overwrite. Returns the per-shard manifest RE-DERIVED from the
+    * landed content (token counts re-run on the written text, ranges
+    * from the landed provenance) — a write receipt, not a replay of
+    * the assignment math.
+    */
+  def exportShardsMixtureMaterialize(docs: DataFrame,
+      weights: Map[String, Double], outPath: String,
+      shardTokens: Long = 2048L, defaultWeight: Double = 1.0,
+      seed: Long = 0L, tokenizer: String = "ws",
+      hashBuckets: Long = 0L): DataFrame = {
+    exportShardsMixture(docs, weights, shardTokens, defaultWeight,
+      seed, tokenizer, hashBuckets)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("tokens_before"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outPath)
+    mixtureMaterializedManifest(docs.sparkSession, outPath, tokenizer)
+  }
+
+  /** The per-copy assignment columns read back from a materialized
+    * mixture export — n_tokens RE-TOKENIZED from the landed text (the
+    * content-integrity leg of the write receipt), the partition-column
+    * shard_id normalized to the assignment frames' BIGINT.
+    */
+  def materializedMixtureAssignments(spark: SparkSession,
+      outPath: String, tokenizer: String = "ws"): DataFrame =
+    spark.read.parquet(outPath)
+      .select(col("doc_id"), col("rep"),
+        size(regexp_extract_all(col("text"),
+          lit(tokenPattern(tokenizer)), lit(0)))
+          .cast("long").as("n_tokens"),
+        col("tokens_before"),
+        col("shard_id").cast("long").as("shard_id"))
+
+  /** Per-shard manifest over the landed mixture content (copy counts
+    * named n_copies — the mixture family's convention).
+    */
+  def mixtureMaterializedManifest(spark: SparkSession, outPath: String,
+      tokenizer: String = "ws"): DataFrame =
+    shardManifest(
+      materializedMixtureAssignments(spark, outPath, tokenizer))
+      .withColumnRenamed("n_docs", "n_copies")
+
+  private val mixtureMatStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[exportShardsMixtureMaterialize]]: stage
+    * the landed mixture once per process, re-derive the manifest from
+    * the landed content — shares `text_export_shards_mixture`'s
+    * oracle (the write receipt must equal the assignment manifest).
+    */
+  def exportShardsMixtureMaterializedScenario(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val out = mixtureMatStages.computeIfAbsent(sfDir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_mixmat_")
+      exportShardsMixtureMaterialize(
+        Tables.load(spark, sfDir, "documents"), scenarioMixture,
+        p.resolve("shards").toString)
+      p
+    })
+    mixtureMaterializedManifest(spark, out.resolve("shards").toString)
   }
 
   /** The fixed mixture the driver scenarios pin (one weight of each

@@ -493,6 +493,13 @@ object Streams {
       : Unit = {
     val cp = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(cp)
+    // the pipeline identity derives from the CANONICAL checkpoint
+    // path, not the raw string: respelling the same location
+    // (relative vs absolute, trailing slash, ./ segments) must not
+    // change the ownership identity or the appendIfNew watermark
+    // namespace — that would lock a restarted export out of its own
+    // state table
+    val pipelineId = ":" + cp.toAbsolutePath.normalize.toString
     // a continuous pipeline starting BEFORE the first file lands
     // passes the schema explicitly — batch inference over an empty
     // raw dir has nothing to infer from (and re-lists the dir on
@@ -511,7 +518,7 @@ object Streams {
         if (!df.isEmpty)
           graft.operators.TextAnalysis.exportShardsIngest(spark,
             exportPath, df, id, shardTokens, bucketSize,
-            pipelineId = s":$checkpoint"): Unit
+            pipelineId = pipelineId): Unit
         ()
       }
       .start()

@@ -164,17 +164,23 @@ object GraftSql {
   // MATERIALIZE additionally lands the shard CONTENT under
   // <to>/shards (parquet partitioned by shard_id, training order
   // inside each file) — the artifact a trainer consumes
+  // BUCKET COUNT pins the SHUFFLED form's hash-range fan-out (0/absent
+  // = auto-sized to the corpus — see TextAnalysis.hashBucketWidth);
+  // the doc_id-ordered forms size their fan-out by BUCKET SIZE instead
   private val ExportShardsSql =
-    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+BUCKET\s+SIZE\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+BATCH\s+(\d+))?(\s+SHUFFLED)?(?:\s+SEED\s+(\d+))?(\s+MATERIALIZE)?\s*""".r
+    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+BUCKET\s+SIZE\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+BATCH\s+(\d+))?(\s+SHUFFLED)?(?:\s+SEED\s+(\d+))?(?:\s+BUCKET\s+COUNT\s+(\d+))?(\s+MATERIALIZE)?\s*""".r
   // the MIXTURE form of the pipeline exit: per-domain weights
   // (repetition with an md5 coin for the fractional part —
   // TextAnalysis.mixtureResample) feed the per-copy shuffled pack
   // (exportShardsMixture); DEFAULT is the weight of unlisted domains,
   // SEED redraws both the coin and the permutation (epoch reshuffle).
   // Inherently one-shot and hash-ordered, so BATCH / SHUFFLED /
-  // BUCKET SIZE / MATERIALIZE never appear in this spelling
+  // BUCKET SIZE never appear in this spelling; BUCKET COUNT pins the
+  // hash-range fan-out (absent = auto-sized to the copy count) and
+  // MATERIALIZE additionally lands each copy's shard CONTENT under
+  // <to>/shards in training order — the artifact a trainer reads
   private val ExportShardsMixtureSql =
-    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?\s+MIXTURE\s*\(([^)]*)\)(?:\s+DEFAULT\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?\s*""".r
+    """(?is)\s*EXPORT\s+SHARDS\s+TO\s+'([^']+)'\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+BUDGET\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?\s+MIXTURE\s*\(([^)]*)\)(?:\s+DEFAULT\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?(?:\s+BUCKET\s+COUNT\s+(\d+))?(\s+MATERIALIZE)?\s*""".r
   private val MixtureWeight = """(?is)'([^']+)'\s+([0-9.]+)""".r
   // sequence packing as a statement: the per-doc span frame (the
   // attention-mask/provenance metadata), with MANIFEST the
@@ -220,6 +226,71 @@ object GraftSql {
     t.snapshot().select(col("doc_id"), col("n_tokens"),
       col("tokens_before"), col("shard_id"))
   }
+
+  /** The one-shot DESCRIBE EXPORT ledger row — O(files) commit-log
+    * metadata plus at most ONE file's rows, never a corpus aggregate
+    * (the introspection-statement contract DESCRIBE DETAIL/INDEX
+    * already honor): max_doc comes straight from the footer stats,
+    * and end_offset reads only the file(s) holding the global max
+    * tokens_before — the prefix sum is monotone in export order, so
+    * the last-positioned row's tokens_before + n_tokens IS the corpus
+    * token total. Tables without usable stats (pre-stats logs, active
+    * deletion vectors) fall back to the full aggregate — correctness
+    * never rides the fast path; an EMPTY assignments table refuses
+    * with a descriptive message instead of surfacing null aggregates.
+    * Stats travel as doubles, exact through 2⁵³ — far above any real
+    * doc id or token offset (100 TB of text ≈ 2·10¹³ tokens).
+    * Returns (ledger frame, files read, files total) so specs pin
+    * the pruning.
+    */
+  private[graft] def oneShotExportLedger(spark: SparkSession,
+      asgPath: String): (DataFrame, Int, Int) = {
+    import spark.implicits._
+    val t = GraftTable.load(spark, asgPath)
+    val mkRow = (endOffset: Long, maxDoc: Long) =>
+      Seq((-1L, endOffset, maxDoc, ""))
+        .toDF("batch_id", "end_offset", "max_doc", "pipeline")
+    (t.columnMaxStat("doc_id"), t.columnMaxStat("tokens_before")) match {
+      case (Some(md), Some(mtb)) =>
+        val (pruned, read, total) = t.snapshotCandidatesWithCount(
+          col("tokens_before") >= org.apache.spark.sql.functions
+            .lit(mtb.toLong))
+        val r = pruned.agg(org.apache.spark.sql.functions.max(
+          col("tokens_before") + col("n_tokens"))).head()
+        require(!r.isNullAt(0),
+          s"DESCRIBE EXPORT: the landed assignments at $asgPath hold " +
+            "zero rows — nothing to describe (run the export first)")
+        (mkRow(r.getLong(0), md.toLong), read, total)
+      case _ =>
+        val snap = t.snapshot()
+        val r = snap.agg(
+          org.apache.spark.sql.functions.max(
+            col("tokens_before") + col("n_tokens")),
+          org.apache.spark.sql.functions.max(col("doc_id"))).head()
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"DESCRIBE EXPORT: the landed assignments at $asgPath hold " +
+            "zero rows — nothing to describe (run the export first)")
+        (mkRow(r.getLong(0), r.getLong(1)), -1, -1)
+    }
+  }
+
+  /** Resolve a TVF source string that may be EITHER a registered
+    * table name or a filesystem path (ann_search_batch, dedup_probe):
+    * an explicit separator OR an existing filesystem entry routes to
+    * path resolution (graft table when a `_graft_log` exists, plain
+    * parquet otherwise); everything else resolves as a table name.
+    * The existence probe is what keeps a SINGLE-SEGMENT relative
+    * directory ('queries_dir') from being misrouted to a confusing
+    * table-not-found error; when a registered name collides with a
+    * real local directory the path evidence wins — quote an absolute
+    * path to disambiguate.
+    */
+  private[graft] def sourceFrameAuto(spark: SparkSession,
+      src: String): DataFrame =
+    if (src.contains("/") || src.contains("\\") ||
+        java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+      indexSourceFrame(spark, src, null)
+    else indexSourceFrame(spark, null, src)
 
   /** Resolve a CREATE/INGEST INDEX source: quoted path → graft table
     * (a `_graft_log` exists) or plain parquet dir; bare identifier →
@@ -279,7 +350,7 @@ object GraftSql {
         batchId = Option(batchTxt).map(_.toLong).getOrElse(-1L))
       emptyResult(spark)
     case ExportShardsMixtureSql(toPath, srcPath, srcIdent, budgetTxt,
-        tokTxt, weightsTxt, defTxt, seedTxt) =>
+        tokTxt, weightsTxt, defTxt, seedTxt, bucketCntTxt, mixMat) =>
       val pairs = MixtureWeight.findAllMatchIn(weightsTxt)
         .map(m => m.group(1) -> m.group(2).toDouble).toSeq
       val weights = pairs.toMap
@@ -296,19 +367,38 @@ object GraftSql {
         "EXPORT SHARDS MIXTURE: duplicate domain in the weight list (" +
           pairs.map(_._1).diff(weights.keys.toSeq).distinct
             .mkString(",") + ")")
-      val assigned = graft.operators.TextAnalysis.exportShardsMixture(
-        indexSourceFrame(spark, srcPath, srcIdent), weights,
-        shardTokens = Option(budgetTxt).map(_.toLong).getOrElse(2048L),
-        defaultWeight = Option(defTxt).map(_.toDouble).getOrElse(1.0),
-        seed = Option(seedTxt).map(_.toLong).getOrElse(0L),
-        tokenizer = Option(tokTxt).map(_.toLowerCase).getOrElse("ws"))
-      // land the PER-COPY assignments in the shared one-shot layout
-      // (the helper lands every column of the frame, so rep rides
-      // along for provenance), manifest over the landed table — the
-      // assignment pipeline runs exactly once
-      graft.operators.TextAnalysis.shardManifest(
-        landOneShotAssignments(spark, toPath, assigned))
-        .withColumnRenamed("n_docs", "n_copies")
+      val budget = Option(budgetTxt).map(_.toLong).getOrElse(2048L)
+      val defW = Option(defTxt).map(_.toDouble).getOrElse(1.0)
+      val seed = Option(seedTxt).map(_.toLong).getOrElse(0L)
+      val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
+      val hb = Option(bucketCntTxt).map(_.toLong).getOrElse(0L)
+      val src = indexSourceFrame(spark, srcPath, srcIdent)
+      if (mixMat != null) {
+        // land each copy's shard CONTENT under <to>/shards, then the
+        // per-copy assignments RE-DERIVED from the landed text (the
+        // write-receipt pattern — the assignment pipeline runs once)
+        val manifest = graft.operators.TextAnalysis
+          .exportShardsMixtureMaterialize(src, weights,
+            java.nio.file.Paths.get(toPath, "shards").toString,
+            shardTokens = budget, defaultWeight = defW, seed = seed,
+            tokenizer = tok, hashBuckets = hb)
+        landOneShotAssignments(spark, toPath,
+          graft.operators.TextAnalysis.materializedMixtureAssignments(
+            spark, java.nio.file.Paths.get(toPath, "shards").toString,
+            tok))
+        manifest
+      } else {
+        val assigned = graft.operators.TextAnalysis.exportShardsMixture(
+          src, weights, shardTokens = budget, defaultWeight = defW,
+          seed = seed, tokenizer = tok, hashBuckets = hb)
+        // land the PER-COPY assignments in the shared one-shot layout
+        // (the helper lands every column of the frame, so rep rides
+        // along for provenance), manifest over the landed table — the
+        // assignment pipeline runs exactly once
+        graft.operators.TextAnalysis.shardManifest(
+          landOneShotAssignments(spark, toPath, assigned))
+          .withColumnRenamed("n_docs", "n_copies")
+      }
     case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, manifest,
         matPath) =>
       val len = Option(lenTxt).map(_.toLong).getOrElse(512L)
@@ -330,14 +420,19 @@ object GraftSql {
       else graft.operators.TextAnalysis.packSequences(src, seqLen = len,
         tokenizer = tok)
     case ExportShardsSql(toPath, srcPath, srcIdent, budgetTxt, bucketTxt,
-        tokTxt, batchTxt, shuffled, seedTxt, mat) =>
+        tokTxt, batchTxt, shuffled, seedTxt, bucketCntTxt, mat) =>
       val budget = Option(budgetTxt).map(_.toLong).getOrElse(2048L)
       val bucket = Option(bucketTxt).map(_.toLong).getOrElse(4096L)
       val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
+      val hb = Option(bucketCntTxt).map(_.toLong).getOrElse(0L)
       val src = indexSourceFrame(spark, srcPath, srcIdent)
       require(seedTxt == null || shuffled != null,
         "EXPORT SHARDS: SEED reparameterizes the SHUFFLED permutation " +
           "— it has no meaning for the doc_id-ordered forms")
+      require(bucketCntTxt == null || shuffled != null,
+        "EXPORT SHARDS: BUCKET COUNT pins the SHUFFLED form's " +
+          "hash-range fan-out — the doc_id-ordered forms size their " +
+          "buckets by BUCKET SIZE")
       if (batchTxt != null) {
         require(shuffled == null,
           "EXPORT SHARDS: SHUFFLED is a one-shot training-order form — " +
@@ -362,7 +457,8 @@ object GraftSql {
             java.nio.file.Paths.get(toPath, "shards").toString,
             shardTokens = budget, bucketSize = bucket, tokenizer = tok,
             shuffled = shuffled != null,
-            seed = Option(seedTxt).map(_.toLong).getOrElse(0L))
+            seed = Option(seedTxt).map(_.toLong).getOrElse(0L),
+            hashBuckets = hb)
         // ALSO land the assignments table in the shared one-shot
         // layout, derived from the landed content (data-local — the
         // assignment pipeline is never re-run)
@@ -378,7 +474,7 @@ object GraftSql {
           if (shuffled != null) graft.operators.TextAnalysis
             .exportShardsShuffled(src, shardTokens = budget,
               seed = Option(seedTxt).map(_.toLong).getOrElse(0L),
-              tokenizer = tok)
+              tokenizer = tok, hashBuckets = hb)
           else graft.operators.TextAnalysis
             .exportShards(src, shardTokens = budget, bucketSize = bucket,
               tokenizer = tok)
@@ -415,14 +511,7 @@ object GraftSql {
           java.nio.file.Paths.get(asgPath, "_graft_log")),
           s"DESCRIBE EXPORT: no export at $path (neither a state " +
             "ledger nor landed assignments)")
-        // one-shot layout: a single synthetic ledger row derived
-        // from the landed assignments (one aggregate over the table)
-        val r = GraftTable.load(spark, asgPath).snapshot()
-          .agg(org.apache.spark.sql.functions.max(
-            col("tokens_before") + col("n_tokens")),
-            org.apache.spark.sql.functions.max(col("doc_id"))).head()
-        Seq((-1L, r.getLong(0), r.getLong(1), ""))
-          .toDF("batch_id", "end_offset", "max_doc", "pipeline")
+        oneShotExportLedger(spark, asgPath)._1
       }
     case DescribeDedupIndex(path) =>
       def count(sub: String): Long = {
@@ -954,9 +1043,9 @@ object GraftSql {
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
          DescribeExport(_) |
-         ExportShardsMixtureSql(_, _, _, _, _, _, _, _) |
+         ExportShardsMixtureSql(_, _, _, _, _, _, _, _, _, _) |
          PackSequencesSql(_, _, _, _, _, _) |
-         ExportShardsSql(_, _, _, _, _, _, _, _, _, _) |
+         ExportShardsSql(_, _, _, _, _, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
   }
@@ -1050,7 +1139,7 @@ object GraftSql {
         StructField("pipeline", StringType))))
       // the MIXTURE form must match FIRST (its prefix also resembles
       // the plain export spelling)
-      case ExportShardsMixtureSql(_, _, _, _, _, _, _, _) =>
+      case ExportShardsMixtureSql(_, _, _, _, _, _, _, _, _, _) =>
         Some(StructType(Seq(
           StructField("shard_id", LongType),
           StructField("n_copies", IntegerType, nullable = false),
@@ -1073,7 +1162,7 @@ object GraftSql {
           StructField("start_offset", LongType),
           StructField("end_seq", LongType),
           StructField("n_seqs", LongType))))
-      case ExportShardsSql(_, _, _, _, _, _, batchTxt, _, _, _) =>
+      case ExportShardsSql(_, _, _, _, _, _, batchTxt, _, _, _, _) =>
         if (batchTxt != null) Some(StructType(Seq(
           StructField("doc_id", LongType),
           StructField("n_tokens", LongType),
@@ -1118,11 +1207,11 @@ object GraftSql {
       // bare-identifier source resolves below like CREATE/INGEST INDEX
       case AdmitIntoDedupIndex(_, _, p, _, _, _, _, _) if p != null =>
         return true
-      case ExportShardsMixtureSql(_, p, _, _, _, _, _, _) if p != null =>
+      case ExportShardsMixtureSql(_, p, _, _, _, _, _, _, _, _) if p != null =>
         return true
       case PackSequencesSql(p, _, _, _, _, _) if p != null =>
         return true
-      case ExportShardsSql(_, p, _, _, _, _, _, _, _, _) if p != null =>
+      case ExportShardsSql(_, p, _, _, _, _, _, _, _, _, _) if p != null =>
         return true
       // index create/ingest with a QUOTED source path is shape-claimed
       // (no catalog ident to resolve); the bare-identifier form below
@@ -1166,9 +1255,9 @@ object GraftSql {
       case IngestDedupIndex(_, _, i, _) => Some(i)
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
-      case ExportShardsMixtureSql(_, _, i, _, _, _, _, _) => Some(i)
+      case ExportShardsMixtureSql(_, _, i, _, _, _, _, _, _, _) => Some(i)
       case PackSequencesSql(_, i, _, _, _, _) => Some(i)
-      case ExportShardsSql(_, _, i, _, _, _, _, _, _, _) => Some(i)
+      case ExportShardsSql(_, _, i, _, _, _, _, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)
       case RefreshMatView(i) => Some(i)

@@ -734,6 +734,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
+  /** Column MAXIMUM from commit-log footer stats alone — zero scan,
+    * the metadata fast path behind O(files) introspection statements
+    * (DESCRIBE EXPORT's one-shot ledger). None when any current file
+    * lacks the stat (pre-stats logs, CONVERT adoptions, string-typed
+    * columns) or when deletion vectors are active (a tombstoned max
+    * row would mislead); column-mapped tables resolve the LOGICAL
+    * name through the physical mapping the stats are keyed by.
+    */
+  private[graft] def columnMaxStat(name: String): Option[Double] = {
+    if (latestVersion < 0) return None
+    val c = readCommit(latestVersion)
+    if (c.dv.exists(_.nonEmpty)) return None
+    val phys = c.columnMap.getOrElse(Map.empty).getOrElse(name, name)
+    val stats = c.stats.getOrElse(Map.empty)
+    val maxs = c.files.map(f => stats.get(f).flatMap(_.maxs.get(phys)))
+    if (maxs.isEmpty || maxs.exists(_.isEmpty)) None
+    else Some(maxs.flatten.max)
+  }
+
   /** Commit against an explicit BASE version: the new commit claims
     * exactly base+1. If a concurrent writer committed after `base`
     * was read, the hard-link claim fails → CommitConflictException —

@@ -1663,6 +1663,141 @@ class GraftSqlSpec extends SparkSpec {
     assert(e5.getMessage.contains("MATERIALIZE"), e5.getMessage)
   }
 
+  test("EXPORT SHARDS BUCKET COUNT: pins the SHUFFLED fan-out without " +
+      "moving values, composes with MIXTURE and MATERIALIZE, refuses " +
+      "the doc_id-ordered forms") {
+    val root = Files.createTempDirectory("graft_bktcnt_")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.parquet(root.resolve("src").toString)
+    val src = root.resolve("src").toString
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("shard_id", df.columns(1), "shard_tokens", "first_doc",
+        "last_doc")
+      .collect().map(r => (r.getLong(0), r.get(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val exp1 = root.resolve("exp1").toString
+    val m1 = GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp1' FROM " +
+      s"'$src' BUDGET 512 SHUFFLED BUCKET COUNT 64")
+    assert(cells(m1) === cells(operators.TextAnalysis.shardManifest(
+      operators.TextAnalysis.exportShardsShuffled(docs,
+        shardTokens = 512L))),
+      "a pinned bucket count moved SHUFFLED export values")
+    val exp2 = root.resolve("exp2").toString
+    val m2 = GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp2' FROM " +
+      "'" + src + "' BUDGET 512 MIXTURE ('en' 0.5, 'zh' 2.25, " +
+      "'es' 3.0, 'fr' 0.0) BUCKET COUNT 64")
+    assert(cells(m2) === cells(operators.TextAnalysis.shardManifest(
+        operators.TextAnalysis.exportShardsMixture(docs,
+          operators.TextAnalysis.scenarioMixture, shardTokens = 512L))
+      .withColumnRenamed("n_docs", "n_copies")),
+      "a pinned bucket count moved MIXTURE export values")
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"EXPORT SHARDS TO '$exp1' FROM '$src' BUCKET COUNT 64")
+    }
+    assert(err.getMessage.contains("BUCKET COUNT"), err.getMessage)
+  }
+
+  test("EXPORT SHARDS MIXTURE MATERIALIZE: per-copy content lands " +
+      "under <to>/shards, manifest is the write receipt, assignments " +
+      "land with rep in the shared layout") {
+    val root = Files.createTempDirectory("graft_mixmat_sql_")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.parquet(root.resolve("src").toString)
+    val src = root.resolve("src").toString
+    val exp = root.resolve("exp").toString
+    val m = GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp' FROM " +
+      "'" + src + "' BUDGET 512 MIXTURE ('en' 0.5, 'zh' 2.25, " +
+      "'es' 3.0, 'fr' 0.0) MATERIALIZE")
+    assert(m.columns.toSeq === Seq("shard_id", "n_copies",
+      "shard_tokens", "first_doc", "last_doc"))
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select($"shard_id", $"n_copies".cast("long"), $"shard_tokens",
+        $"first_doc", $"last_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val api = operators.TextAnalysis.shardManifest(
+        operators.TextAnalysis.exportShardsMixture(docs,
+          operators.TextAnalysis.scenarioMixture, shardTokens = 512L))
+      .withColumnRenamed("n_docs", "n_copies")
+    assert(cells(m) === cells(api),
+      "materialized mixture manifest diverged from the assignments")
+    // content landed per copy; assignments table carries rep
+    val landed = spark.read
+      .parquet(java.nio.file.Paths.get(exp, "shards").toString)
+    val nCopies = operators.TextAnalysis.exportShardsMixture(docs,
+      operators.TextAnalysis.scenarioMixture, shardTokens = 512L)
+      .count()
+    assert(landed.count() === nCopies)
+    val asg = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp, "assignments").toString).snapshot()
+    assert(asg.columns.contains("rep"),
+      "per-copy assignments must carry rep provenance")
+    assert(asg.count() === nCopies)
+  }
+
+  test("DESCRIBE EXPORT one-shot: the ledger row derives from footer " +
+      "stats + a pruned single-file read, never a corpus aggregate; " +
+      "an empty assignments table refuses descriptively") {
+    val root = Files.createTempDirectory("graft_descexp_")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.parquet(root.resolve("src").toString)
+    val exp = root.resolve("exp").toString
+    GraftSql.sql(spark, s"EXPORT SHARDS TO '$exp' FROM " +
+      s"'${root.resolve("src")}' BUDGET 512")
+    val asgPath = java.nio.file.Paths.get(exp, "assignments").toString
+    val asg = graft.tables.GraftTable.load(spark, asgPath).snapshot()
+    val full = asg.agg(
+      org.apache.spark.sql.functions.max($"tokens_before" + $"n_tokens"),
+      org.apache.spark.sql.functions.max($"doc_id")).head()
+    // the statement's ledger row ≡ the full-scan spelling
+    val viaSql = GraftSql.sql(spark, s"DESCRIBE EXPORT '$exp'").head()
+    assert(viaSql.getLong(1) === full.getLong(0), "end_offset diverged")
+    assert(viaSql.getLong(2) === full.getLong(1), "max_doc diverged")
+    // pruning, pinned on a CONTROLLED multi-file landing: range-
+    // partitioned files put the global max tokens_before in ONE file
+    val wide = root.resolve("wide").toString
+    val wideAsg = java.nio.file.Paths.get(wide, "assignments").toString
+    graft.tables.GraftTable.create(spark, wideAsg,
+      asg.repartitionByRange(8, $"tokens_before"))
+    val (frame, read, total) =
+      GraftSql.oneShotExportLedger(spark, wideAsg)
+    val r = frame.head()
+    assert(r.getLong(1) === full.getLong(0), "pruned end_offset diverged")
+    assert(r.getLong(2) === full.getLong(1), "pruned max_doc diverged")
+    assert(total > 1, s"setup: expected a multi-file landing, got $total")
+    assert(read >= 0 && read < total,
+      s"DESCRIBE EXPORT read $read of $total files — the stats-pruned " +
+        "path must not scan the corpus")
+    // empty landing: descriptive refusal, not an NPE
+    val empty = root.resolve("empty").toString
+    graft.tables.GraftTable.create(spark,
+      java.nio.file.Paths.get(empty, "assignments").toString,
+      asg.limit(0))
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"DESCRIBE EXPORT '$empty'").collect()
+    }
+    assert(err.getMessage.contains("zero rows"), err.getMessage)
+  }
+
+  test("sourceFrameAuto: a single-segment relative directory resolves " +
+      "as a PATH, not a registered-table lookup") {
+    val rel = "graft_relsrc_spec_dir"
+    val p = java.nio.file.Paths.get(rel)
+    try {
+      Tables.load(spark, sf, "documents").limit(5)
+        .write.mode("overwrite").parquet(p.toAbsolutePath.toString)
+      val got = GraftSql.sourceFrameAuto(spark, rel)
+      assert(got.count() === 5L,
+        "a bare relative dir must resolve to its parquet content")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("EXPORT SHARDS MIXTURE + PACK SEQUENCES SQL: manifests and " +
       "span frames ≡ the API, per-copy assignments land with rep, " +
       "weight-list typos refuse") {

@@ -1173,6 +1173,183 @@ class OperatorsSpec extends SparkSpec {
       .snapshot().count() === 200L)
   }
 
+  test("exportShardsShuffled hash buckets: a NON-default bucket count " +
+      "(and the auto-sized default) are value-identical to the global-" +
+      "window replay — the fan-out knob never moves values") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("tokens_before"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val auto = rows(operators.TextAnalysis.exportShardsShuffled(docs))
+    // a NON-default shift: 64 hash-range buckets instead of the
+    // auto-sized count (and than the old fixed 4096)
+    val b64 = rows(operators.TextAnalysis
+      .exportShardsShuffled(docs, hashBuckets = 64L))
+    val b4096 = rows(operators.TextAnalysis
+      .exportShardsShuffled(docs, hashBuckets = 4096L))
+    assert(b64 === auto, "bucket count 64 moved export values")
+    assert(b4096 === auto, "the legacy 4096 shift moved export values")
+    // a non-power-of-two request rounds UP (the next pow2 divides the
+    // 60-bit space exactly — order alignment needs equal widths)
+    val b100 = rows(operators.TextAnalysis
+      .exportShardsShuffled(docs, hashBuckets = 100L))
+    assert(b100 === auto, "rounded bucket count moved export values")
+    // the mixture composition honors the same knob
+    val weights = operators.TextAnalysis.scenarioMixture
+    def mixRows(hb: Long) = operators.TextAnalysis
+      .exportShardsMixture(docs, weights, hashBuckets = hb)
+      .select(col("doc_id"), col("rep"), col("tokens_before"),
+        col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(mixRows(64L) === mixRows(0L),
+      "mixture bucket count moved export values")
+  }
+
+  test("exportShardsIngest: a LEGACY state table (no pipeline column) " +
+      "is adopted by the first pipeline that touches it; a second " +
+      "pipeline is then refused") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_expadopt_").toString
+    operators.TextAnalysis.exportShardsIngest(spark, stage,
+      docs.where($"doc_id" < 100), 0L)
+    // rebuild the state table in the PRE-pipeline-column 3-col shape
+    // (what an r16-era export left on disk)
+    val stPath = java.nio.file.Paths.get(stage, "state")
+    val legacyRows = graft.tables.GraftTable
+      .load(spark, stPath.toString).snapshot()
+      .select($"batch_id", $"end_offset", $"max_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(stPath)
+    graft.tables.GraftTable.create(spark, stPath.toString,
+      legacyRows.toIndexedSeq
+        .toDF("batch_id", "end_offset", "max_doc"))
+    // a non-default pipeline ADOPTS the legacy export (the r17
+    // coercion to owner "" would refuse its rightful continuation)
+    operators.TextAnalysis.exportShardsIngest(spark, stage,
+      docs.where($"doc_id" >= 100 && $"doc_id" < 200), 1L,
+      pipelineId = ":adopter")
+    val st = graft.tables.GraftTable.load(spark, stPath.toString)
+      .snapshot()
+    assert(st.columns.contains("pipeline"),
+      "adoption must backfill the pipeline column on the next append")
+    assert(st.where($"pipeline" === ":adopter").count() === 1L)
+    // the adopter's replay is still a no-op (legacy-namespace
+    // watermarks carry the exactly-once contract across adoption)
+    operators.TextAnalysis.exportShardsIngest(spark, stage,
+      docs.where($"doc_id" >= 100 && $"doc_id" < 200), 1L,
+      pipelineId = ":adopter")
+    assert(graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(stage, "assignments").toString)
+      .snapshot().count() === 200L)
+    // adoption is single-owner: everyone else now refuses
+    val err = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.exportShardsIngest(spark, stage,
+        docs.where($"doc_id" >= 200 && $"doc_id" < 300), 2L,
+        pipelineId = ":other")
+    }
+    assert(err.getMessage.contains("owned by"), err.getMessage)
+  }
+
+  test("exportShardsMixtureMaterialize: each copy's content lands in " +
+      "training order, the re-derived manifest ≡ the assignment " +
+      "manifest, re-run overwrites") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val weights = operators.TextAnalysis.scenarioMixture
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_mixmat_spec_").resolve("shards")
+      .toString
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard_id"), col("n_copies").cast("long"),
+        col("shard_tokens"), col("first_doc"), col("last_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val m = operators.TextAnalysis
+      .exportShardsMixtureMaterialize(docs, weights, out)
+    val assignManifest = operators.TextAnalysis.shardManifest(
+        operators.TextAnalysis.exportShardsMixture(docs, weights))
+      .withColumnRenamed("n_docs", "n_copies")
+    assert(cells(m) === cells(assignManifest),
+      "write-receipt manifest diverged from the assignment manifest")
+    // every training COPY landed exactly once with its text intact
+    val back = spark.read.parquet(out)
+    val nCopies = operators.TextAnalysis
+      .exportShardsMixture(docs, weights).count()
+    assert(back.count() === nCopies)
+    assert(back.select(col("doc_id"), col("rep")).distinct().count()
+      === nCopies, "one landed row per (doc, rep) copy")
+    // training order inside each shard directory
+    val shardDirs = new java.io.File(
+        out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.length > 1, "setup: expected several shards")
+    shardDirs.take(3).foreach { d =>
+      val seq = spark.read.parquet(d.toString)
+        .select(col("tokens_before")).collect().map(_.getLong(0))
+      assert(seq.sameElements(seq.sorted),
+        s"${d.getName}: physical order must be training order")
+    }
+    operators.TextAnalysis
+      .exportShardsMixtureMaterialize(docs, weights, out)
+    assert(spark.read.parquet(out).count() === nCopies,
+      "re-run must overwrite the materialized mixture")
+  }
+
+  test("indexQueryBatch guard: a duplicated query_id refuses loudly; " +
+      "a nondeterministic queries source answers correctly (the " +
+      "routed pane is frozen before the cell set collects)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_batchguard_").resolve("idx").toString
+    Similarity.ivfIndexBuild(spark, idx, emb)
+    // duplicated id: two embeddings under one query_id would merge
+    // candidate pools into one ranked window — refuse, never rank
+    val dup = emb.where($"vec_id" < 2)
+      .select(lit(0L).as("query_id"), $"embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.indexQueryBatch(spark, idx, dup, k = 3, nprobe = 2)
+        .count()
+    }
+    assert(err.getMessage.contains("query_id"), err.getMessage)
+    // a NONDETERMINISTIC source (rand-derived filter) — the r17 shape
+    // that could route outside the frozen cell set and silently lose
+    // candidates — now freezes via the checkpointed pane: every
+    // returned row's query is answered exactly as the single-vector
+    // server answers it
+    val nd = emb.where(rand(seed = 42L) < 0.5 && $"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.indexQueryBatch(spark, idx, nd,
+      k = 3, nprobe = 2)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(got.nonEmpty, "setup: the sampled batch must keep queries")
+    got.keys.foreach { q =>
+      val qv = emb.where($"vec_id" === q).select($"embedding")
+        .head().getSeq[Float](0).toSeq
+      val single = Similarity.ivfIndexQuery(spark, idx, qv, k = 3,
+        nprobe = 2, excludeVecId = q)
+        .select($"vec_id", $"cos_sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(q) === single,
+        s"query $q: frozen-pane batch serve diverged from the " +
+          "single-vector serve")
+    }
+  }
+
   test("vocabInduct: top-V char n-grams score by coverage, lengths " +
       "stay in range, the cut is deterministic") {
     import org.apache.spark.sql.functions._
