@@ -926,6 +926,129 @@ object TextAnalysis {
     materializedSeqManifest(spark, out.resolve("seqs").toString)
   }
 
+  /** WHOLE-TOKEN VOCABULARY for the token-ID pipeline exit: the top-V
+    * tokens (under the chosen pre-tokenization measure) by corpus
+    * frequency, ids 1..V assigned by dense rank over (count desc,
+    * token) — deterministic, engine-portable (a SQL ROW_NUMBER
+    * replays it), id 0 reserved for UNK. Scale shape: the token count
+    * is one partial-aggregated hash agg over the exploded tokens, the
+    * top-V cut is a distributed TakeOrdered, and the rank window runs
+    * over the already-cut VOCAB-sized pane (bounded by V, never the
+    * corpus token domain).
+    */
+  def tokenVocab(docs: DataFrame, vocabSize: Int = 512,
+      tokenizer: String = "ws"): DataFrame = {
+    require(vocabSize >= 1, "tokenVocab needs vocabSize >= 1")
+    val top = docs
+      .select(explode(regexp_extract_all(col("text"),
+        lit(tokenPattern(tokenizer)), lit(0))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    top.withColumn("id", row_number().over(w).cast("long"))
+      .select(col("token"), col("id"), col("cnt"))
+  }
+
+  /** MATERIALIZED TOKEN-ID sequence packing — the artifact a
+    * trainer's data loader ultimately reads: every fixed-length
+    * sequence lands as ONE row (seq_id, token_ids, doc_ids,
+    * n_carry_in) whose content is the ID array of the doc fragments
+    * tiling it in stream order, ids from a token→id vocabulary
+    * (`vocab` — token/id columns, e.g. [[tokenVocab]]'s output or any
+    * externally trained table; absent → the top-`vocabSize` induced
+    * whole-token vocab), out-of-vocabulary tokens to id 0 (UNK).
+    * Unlike the text materializer, ANY pre-tokenization measure works
+    * — id slicing needs no textual re-assembly, so the `bpe` measure
+    * the metadata forms accept finally lands a consumable artifact.
+    * Scale shape: the vocabulary rides ONE broadcast 1-row map column
+    * (bounded by V; probes are per-token map lookups — a
+    * production-sized V trades this literal map for the same
+    * broadcast-join spelling), fragments explode map-side exactly as
+    * [[seqFragments]], token arrays cross the doc_id join once, and
+    * the landed layout is range-partitioned by seq_id with rows
+    * sorted inside files. Re-runs overwrite. Returns the per-sequence
+    * manifest RE-DERIVED from the landed arrays (fill counts = array
+    * lengths, an id checksum over the landed ids) — a write receipt.
+    */
+  def packTokensMaterialize(docs: DataFrame, outPath: String,
+      seqLen: Long = 128L, vocabSize: Int = 512,
+      tokenizer: String = "ws", bucketSize: Long = 4096L,
+      vocab: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val vdf = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
+    val vmap = broadcast(vdf.agg(map_from_entries(
+      collect_list(struct(col("token"), col("id")))).as("__vmap")))
+    val frags = seqFragments(docs, seqLen, bucketSize, tokenizer)
+      .join(docs.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
+          lit(0)).as("__toks")), Seq("doc_id"))
+      .crossJoin(vmap)
+      .withColumn("__frag_ids", transform(
+        slice(col("__toks"),
+          (col("fill_start") - col("tokens_before") + 1L).cast("int"),
+          (col("fill_end") - col("fill_start")).cast("int")),
+        t => coalesce(element_at(col("__vmap"), t), lit(0L))))
+    frags.groupBy(col("seq_id"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("tokens_before"),
+            col("__frag_ids")))),
+          x => x.getField("__frag_ids"))).as("token_ids"),
+        transform(
+          array_sort(collect_list(struct(col("tokens_before"),
+            col("doc_id")))),
+          x => x.getField("doc_id")).as("doc_ids"),
+        // at most one doc can carry INTO a sequence (only the first
+        // fragment can have started earlier), so max ≡ count — the
+        // text materializer's spelling, kept aligned
+        max(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))
+          .as("n_carry_in"))
+      .repartitionByRange(col("seq_id"))
+      .sortWithinPartitions(col("seq_id"))
+      .write.mode("overwrite").parquet(outPath)
+    materializedTokenManifest(spark, outPath)
+  }
+
+  /** The per-sequence manifest read back from a materialized token-ID
+    * pack: fill counts are the landed ARRAY LENGTHS, the id checksum
+    * sums the landed ids — everything content-derivable is
+    * re-derived, so the oracle (which replays the vocabulary ranking,
+    * the id lookup and the slicing relationally) checks the landed
+    * ids end-to-end, not just the span math.
+    */
+  def materializedTokenManifest(spark: SparkSession,
+      outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .select(col("seq_id"),
+        size(col("doc_ids")).cast("int").as("n_docs"),
+        size(col("token_ids")).cast("long").as("filled_tokens"),
+        col("n_carry_in"),
+        aggregate(col("token_ids"), lit(0L), (a, x) => a + x)
+          .as("ids_sum"),
+        array_min(col("doc_ids")).as("first_doc"),
+        array_max(col("doc_ids")).as("last_doc"))
+
+  private val tokenMatStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[packTokensMaterialize]]: stage the token-ID
+    * pack once per process (seqLen 128, induced 512-token vocab), read
+    * the manifest back from the landed arrays.
+    */
+  def packTokensMaterializedScenario(spark: SparkSession,
+      sfDir: String, seqLen: Long = 128L,
+      vocabSize: Int = 512): DataFrame = {
+    val out = tokenMatStages.computeIfAbsent(
+      s"$sfDir:$seqLen:$vocabSize", { _ =>
+        val p = java.nio.file.Files.createTempDirectory("graft_tokmat_")
+        packTokensMaterialize(Tables.load(spark, sfDir, "documents"),
+          p.resolve("seqs").toString, seqLen, vocabSize)
+        p
+      })
+    materializedTokenManifest(spark, out.resolve("seqs").toString)
+  }
+
   /** DOMAIN-MIXTURE RESAMPLING with repetition — the "epochs per
     * domain" step (the LLaMA/DoReMi-style mixture): every doc in
     * domain d replicates `weights(d)` times in expectation — the

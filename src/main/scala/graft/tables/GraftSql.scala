@@ -184,12 +184,16 @@ object GraftSql {
   private val MixtureWeight = """(?is)'([^']+)'\s+([0-9.]+)""".r
   // sequence packing as a statement: the per-doc span frame (the
   // attention-mask/provenance metadata), with MANIFEST the
-  // per-sequence rollup (both pure queries, no landing), or with
+  // per-sequence rollup (both pure queries, no landing), with
   // MATERIALIZE TO the training batches themselves — sequence rows
   // with assembled token content land at the path and the statement
-  // returns the manifest RE-DERIVED from the landed text
+  // returns the manifest RE-DERIVED from the landed text — and with
+  // MATERIALIZE TO ... IDS the token-ID form (arrays of vocabulary
+  // ids instead of text; VOCAB SIZE caps the induced whole-token
+  // vocabulary, UNK = 0) — the form that accepts ANY tokenizer,
+  // since id slicing needs no textual re-assembly
   private val PackSequencesSql =
-    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(\s+MANIFEST)?(?:\s+MATERIALIZE\s+TO\s+'([^']+)')?\s*""".r
+    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(\s+MANIFEST)?(?:\s+MATERIALIZE\s+TO\s+'([^']+)')?(\s+IDS)?(?:\s+VOCAB\s+SIZE\s+(\d+))?\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -400,20 +404,32 @@ object GraftSql {
           .withColumnRenamed("n_docs", "n_copies")
       }
     case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, manifest,
-        matPath) =>
+        matPath, ids, vsTxt) =>
       val len = Option(lenTxt).map(_.toLong).getOrElse(512L)
       val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
       val src = indexSourceFrame(spark, srcPath, srcIdent)
+      require(ids == null || matPath != null,
+        "PACK SEQUENCES: IDS lands token-id sequence content — give " +
+          "it a MATERIALIZE TO '<path>' target")
+      require(vsTxt == null || ids != null,
+        "PACK SEQUENCES: VOCAB SIZE parameterizes the IDS form's " +
+          "induced vocabulary — add IDS")
       if (matPath != null) {
         require(manifest == null,
           "PACK SEQUENCES: MATERIALIZE already returns the manifest " +
             "re-derived from the landed content — drop MANIFEST")
-        require(tok == "ws",
-          "PACK SEQUENCES MATERIALIZE assembles content by slicing " +
-            "whitespace tokens — a subword measure would need " +
-            "token-id slicing (metadata-only forms accept TOKENIZER)")
-        graft.operators.TextAnalysis.packSequencesMaterialize(src,
-          matPath, seqLen = len)
+        if (ids != null)
+          graft.operators.TextAnalysis.packTokensMaterialize(src,
+            matPath, seqLen = len, tokenizer = tok,
+            vocabSize = Option(vsTxt).map(_.toInt).getOrElse(512))
+        else {
+          require(tok == "ws",
+            "PACK SEQUENCES MATERIALIZE assembles content by slicing " +
+              "whitespace tokens — a subword measure needs token-id " +
+              "slicing: add IDS (or use the metadata-only forms)")
+          graft.operators.TextAnalysis.packSequencesMaterialize(src,
+            matPath, seqLen = len)
+        }
       } else if (manifest != null)
         graft.operators.TextAnalysis.seqManifest(src, seqLen = len,
           tokenizer = tok)
@@ -1044,7 +1060,7 @@ object GraftSql {
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
          DescribeExport(_) |
          ExportShardsMixtureSql(_, _, _, _, _, _, _, _, _, _) |
-         PackSequencesSql(_, _, _, _, _, _) |
+         PackSequencesSql(_, _, _, _, _, _, _, _) |
          ExportShardsSql(_, _, _, _, _, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
@@ -1146,8 +1162,16 @@ object GraftSql {
           StructField("shard_tokens", LongType),
           StructField("first_doc", LongType),
           StructField("last_doc", LongType))))
-      case PackSequencesSql(_, _, _, _, manifest, matPath) =>
-        if (manifest != null || matPath != null) Some(StructType(Seq(
+      case PackSequencesSql(_, _, _, _, manifest, matPath, ids, _) =>
+        if (ids != null && matPath != null) Some(StructType(Seq(
+          StructField("seq_id", LongType),
+          StructField("n_docs", IntegerType, nullable = false),
+          StructField("filled_tokens", LongType),
+          StructField("n_carry_in", LongType),
+          StructField("ids_sum", LongType),
+          StructField("first_doc", LongType),
+          StructField("last_doc", LongType))))
+        else if (manifest != null || matPath != null) Some(StructType(Seq(
           StructField("seq_id", LongType),
           StructField("n_docs", IntegerType, nullable = false),
           StructField("filled_tokens", LongType),
@@ -1209,7 +1233,7 @@ object GraftSql {
         return true
       case ExportShardsMixtureSql(_, p, _, _, _, _, _, _, _, _) if p != null =>
         return true
-      case PackSequencesSql(p, _, _, _, _, _) if p != null =>
+      case PackSequencesSql(p, _, _, _, _, _, _, _) if p != null =>
         return true
       case ExportShardsSql(_, p, _, _, _, _, _, _, _, _, _) if p != null =>
         return true
@@ -1256,7 +1280,7 @@ object GraftSql {
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
       case ExportShardsMixtureSql(_, _, i, _, _, _, _, _, _, _) => Some(i)
-      case PackSequencesSql(_, i, _, _, _, _) => Some(i)
+      case PackSequencesSql(_, i, _, _, _, _, _, _) => Some(i)
       case ExportShardsSql(_, _, i, _, _, _, _, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)

@@ -1736,6 +1736,43 @@ class GraftSqlSpec extends SparkSpec {
     assert(asg.count() === nCopies)
   }
 
+  test("PACK SEQUENCES ... MATERIALIZE TO ... IDS: token-id training " +
+      "batches land from SQL with any TOKENIZER; misuse refuses") {
+    val root = Files.createTempDirectory("graft_packids_sql_")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.parquet(root.resolve("src").toString)
+    val src = root.resolve("src").toString
+    val out = root.resolve("seqs").toString
+    val m = GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' LENGTH " +
+      s"128 TOKENIZER bpe MATERIALIZE TO '$out' IDS VOCAB SIZE 256")
+    assert(m.columns.toSeq === Seq("seq_id", "n_docs", "filled_tokens",
+      "n_carry_in", "ids_sum", "first_doc", "last_doc"))
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val out2 = root.resolve("seqs2").toString
+    val api = operators.TextAnalysis.packTokensMaterialize(docs, out2,
+      seqLen = 128L, vocabSize = 256, tokenizer = "bpe")
+    assert(cells(m) === cells(api),
+      "SQL IDS pack diverged from the API token-id pack")
+    // misuse refuses: IDS without a target, VOCAB SIZE without IDS,
+    // a subword TEXT materialization still points at IDS
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' IDS")
+    }
+    assert(e1.getMessage.contains("MATERIALIZE"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"PACK SEQUENCES FROM '$src' MANIFEST VOCAB SIZE 9")
+    }
+    assert(e2.getMessage.contains("IDS"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' TOKENIZER bpe " +
+        s"MATERIALIZE TO '${root.resolve("x")}'")
+    }
+    assert(e3.getMessage.contains("IDS"), e3.getMessage)
+  }
+
   test("DESCRIBE EXPORT one-shot: the ledger row derives from footer " +
       "stats + a pruned single-file read, never a corpus aggregate; " +
       "an empty assignments table refuses descriptively") {

@@ -1260,6 +1260,57 @@ class OperatorsSpec extends SparkSpec {
     assert(err.getMessage.contains("owned by"), err.getMessage)
   }
 
+  test("packTokensMaterialize: landed token-id arrays re-derive the " +
+      "sequence manifest, the vocabulary ranks by (count desc, token) " +
+      "with UNK 0, and subword measures are accepted") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_tokmat_s_")
+    val out = root.resolve("seqs").toString
+    val m = operators.TextAnalysis.packTokensMaterialize(docs, out,
+      seqLen = 128L, vocabSize = 512)
+    // span math ≡ the metadata manifest at the same seqLen (fill
+    // counts are ARRAY LENGTHS on the landed side)
+    def spans(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("seq_id"), col("n_docs").cast("long"),
+        col("filled_tokens"), col("n_carry_in").cast("long"),
+        col("first_doc"), col("last_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(spans(m) === spans(
+      operators.TextAnalysis.seqManifest(docs, seqLen = 128L)),
+      "token-id pack diverged from the metadata manifest's span math")
+    // id semantics: every landed id ∈ [0, V]; the rank-1 token's id
+    // appears exactly as often as the token does corpus-wide (the
+    // vocabulary lookup is checked through the landed content)
+    val landed = spark.read.parquet(out)
+      .select(explode(col("token_ids")).as("i"))
+    assert(landed.where(col("i") < 0L || col("i") > 512L).count() === 0L)
+    val vocab = operators.TextAnalysis.tokenVocab(docs, 512)
+    val top = vocab.where(col("id") === 1L).head()
+    assert(landed.where(col("i") === 1L).count() === top.getLong(2),
+      "rank-1 id count must equal the rank-1 token's corpus count")
+    // a tiny vocab sends almost everything to UNK but never changes
+    // the span math
+    val out1 = root.resolve("seqs1").toString
+    val m1 = operators.TextAnalysis.packTokensMaterialize(docs, out1,
+      seqLen = 128L, vocabSize = 1)
+    assert(spans(m1) === spans(m), "vocab size must not move spans")
+    assert(spark.read.parquet(out1)
+      .select(explode(col("token_ids")).as("i"))
+      .where(col("i") === 0L).count() > 0L, "OOV must map to UNK 0")
+    // the bpe measure lands (id slicing needs no text re-assembly):
+    // total filled tokens == the corpus bpe token total
+    val out2 = root.resolve("seqs2").toString
+    val m2 = operators.TextAnalysis.packTokensMaterialize(docs, out2,
+      seqLen = 128L, vocabSize = 512, tokenizer = "bpe")
+    val bpeTotal = docs.select(sum(size(regexp_extract_all(col("text"),
+      lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")))
+      .head().getLong(0)
+    assert(m2.agg(sum(col("filled_tokens"))).head().getLong(0)
+      === bpeTotal, "bpe pack must land every bpe token exactly once")
+  }
+
   test("exportShardsMixtureMaterialize: each copy's content lands in " +
       "training order, the re-derived manifest ≡ the assignment " +
       "manifest, re-run overwrites") {
