@@ -144,6 +144,8 @@ object SparkEntry {
       graft.streaming.Streams.exportStreamScenario(s, d)),
     "text_vocab_induct" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabInduct(s, d)),
+    "text_vocab_segment" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabSegmentScenario(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
@@ -1719,6 +1721,39 @@ object SparkEntry {
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(COUNT(*) * (length(gram) - 1) AS BIGINT) AS score
         |FROM g GROUP BY gram ORDER BY score DESC, gram LIMIT 64""".stripMargin,
+    // APPLYING the induced vocabulary: the greedy longest-match
+    // WordPiece encode replays as a recursive CTE — each DISTINCT
+    // word's cursor advances by the longest induced gram that fits
+    // (5→2), else one character; vp_tokens sums the per-word counts
+    // back over every word instance
+    "text_vocab_segment" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |wu AS (SELECT DISTINCT word FROM w),
+        |g AS (
+        |  SELECT gram FROM (
+        |    SELECT substr(word, CAST(UNNEST(generate_series(1, length(word) - n + 1)) AS INT), CAST(n AS INT)) AS gram
+        |    FROM (SELECT word, n FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents) t0
+        |          CROSS JOIN (SELECT UNNEST([2,3,4,5]) AS n) t WHERE length(word) >= n))
+        |  GROUP BY gram ORDER BY COUNT(*) * (length(gram) - 1) DESC, gram LIMIT 64),
+        |seg AS (
+        |  SELECT word, CAST(1 AS INT) AS pos, CAST(0 AS BIGINT) AS cnt FROM wu
+        |  UNION ALL
+        |  SELECT word, pos + step, cnt + 1 FROM (
+        |    SELECT word, pos, cnt,
+        |      CASE WHEN length(word) - pos + 1 >= 5 AND substr(word, pos, 5) IN (SELECT gram FROM g) THEN 5
+        |           WHEN length(word) - pos + 1 >= 4 AND substr(word, pos, 4) IN (SELECT gram FROM g) THEN 4
+        |           WHEN length(word) - pos + 1 >= 3 AND substr(word, pos, 3) IN (SELECT gram FROM g) THEN 3
+        |           WHEN length(word) - pos + 1 >= 2 AND substr(word, pos, 2) IN (SELECT gram FROM g) THEN 2
+        |           ELSE 1 END AS step
+        |    FROM seg WHERE pos <= length(word))),
+        |done AS (SELECT word, cnt FROM seg WHERE pos > length(word))
+        |SELECT d.doc_id, CAST(COALESCE(SUM(s.cnt), 0) AS BIGINT) AS vp_tokens
+        |FROM documents d
+        |LEFT JOIN w ON d.doc_id = w.doc_id
+        |LEFT JOIN done s ON w.word = s.word
+        |GROUP BY d.doc_id""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,

@@ -328,8 +328,9 @@ object TextAnalysis {
     * rows serially. Value-identical to the global window (spec).
     */
   def exportShards(docs: DataFrame, shardTokens: Long = 2048L,
-      bucketSize: Long = 4096L, tokenizer: String = "ws"): DataFrame =
-    tokenPrefix(docs, bucketSize, startOffset = 0L, tokenizer)
+      bucketSize: Long = 4096L, tokenizer: String = "ws",
+      vpGrams: Seq[String] = Nil): DataFrame =
+    tokenPrefix(docs, bucketSize, startOffset = 0L, tokenizer, vpGrams)
       .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
         col("shard_id"))
@@ -340,21 +341,31 @@ object TextAnalysis {
     * incremental path).
     */
   private def tokenPrefix(docs: DataFrame, bucketSize: Long,
-      startOffset: Long, tokenizer: String = "ws"): DataFrame =
-    prefixSum(tokenCounts(docs, tokenizer)
+      startOffset: Long, tokenizer: String = "ws",
+      vpGrams: Seq[String] = Nil): DataFrame =
+    prefixSum(tokenCounts(docs, tokenizer, vpGrams)
         .withColumn("__b", expr(s"doc_id div ${bucketSize}L")),
       Seq("doc_id"), startOffset)
 
   /** The budget-accounting measure behind the export family: `ws`
-    * (whitespace runs — the default the oracles replay) or `bpe`
+    * (whitespace runs — the default the oracles replay), `bpe`
     * (the GPT-2-style pre-tokenization shape shared with
-    * [[tokenCount]]) — a pipeline that budgets shards in model
-    * tokens rather than words picks `bpe` without touching the
-    * packing plan (the measure is one map-side regexp either way).
+    * [[tokenCount]]), or `vp` (the greedy-encode count under an
+    * induced gram vocabulary — [[vocabSegments]], grams supplied via
+    * `vpGrams`) — a pipeline that budgets shards in model tokens
+    * rather than words swaps the measure without touching the packing
+    * plan (one map-side expression either way).
     */
   private def tokenCounts(docs: DataFrame,
-      tokenizer: String = "ws"): DataFrame =
-    docs.select(col("doc_id"),
+      tokenizer: String = "ws",
+      vpGrams: Seq[String] = Nil): DataFrame =
+    if (tokenizer == "vp") {
+      require(vpGrams.nonEmpty,
+        "the vp measure needs the induced gram vocabulary (vpGrams — " +
+          "e.g. vocabInduct's output)")
+      vocabSegments(docs, vpGrams)
+        .withColumnRenamed("vp_tokens", "n_tokens")
+    } else docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
         lit(0))).cast("long").as("n_tokens"))
 
@@ -362,7 +373,9 @@ object TextAnalysis {
     case "ws" => "\\S+"
     case "bpe" => bpePat
     case other => throw new IllegalArgumentException(
-      s"exportShards: unknown tokenizer '$other' (expected ws|bpe)")
+      s"exportShards: unknown tokenizer '$other' for this form " +
+        "(expected ws|bpe; the vp greedy-encode measure rides the " +
+        "metadata pack forms via vpGrams)")
   }
 
   /** Distributed exclusive prefix sum of n_tokens over an input
@@ -782,9 +795,10 @@ object TextAnalysis {
     * guard), so the frame stays total.
     */
   def packSequences(docs: DataFrame, seqLen: Long = 512L,
-      bucketSize: Long = 4096L, tokenizer: String = "ws"): DataFrame = {
+      bucketSize: Long = 4096L, tokenizer: String = "ws",
+      vpGrams: Seq[String] = Nil): DataFrame = {
     require(seqLen >= 1L, "packSequences needs seqLen >= 1")
-    tokenPrefix(docs, bucketSize, startOffset = 0L, tokenizer)
+    tokenPrefix(docs, bucketSize, startOffset = 0L, tokenizer, vpGrams)
       .withColumn("start_seq", expr(s"tokens_before div ${seqLen}L"))
       .withColumn("start_offset", expr(s"tokens_before % ${seqLen}L"))
       .withColumn("end_seq", expr(
@@ -805,8 +819,9 @@ object TextAnalysis {
     * the rollup is one hash aggregation on seq_id.
     */
   def seqManifest(docs: DataFrame, seqLen: Long = 512L,
-      bucketSize: Long = 4096L, tokenizer: String = "ws"): DataFrame =
-    seqFragments(docs, seqLen, bucketSize, tokenizer)
+      bucketSize: Long = 4096L, tokenizer: String = "ws",
+      vpGrams: Seq[String] = Nil): DataFrame =
+    seqFragments(docs, seqLen, bucketSize, tokenizer, vpGrams)
       .groupBy(col("seq_id"))
       .agg(count(lit(1)).cast("int").as("n_docs"),
         sum(col("fill_end") - col("fill_start")).as("filled_tokens"),
@@ -824,8 +839,9 @@ object TextAnalysis {
     * from one definition over content from another silently diverges.
     */
   private def seqFragments(docs: DataFrame, seqLen: Long,
-      bucketSize: Long, tokenizer: String): DataFrame =
-    packSequences(docs, seqLen, bucketSize, tokenizer)
+      bucketSize: Long, tokenizer: String,
+      vpGrams: Seq[String] = Nil): DataFrame =
+    packSequences(docs, seqLen, bucketSize, tokenizer, vpGrams)
       .where(col("n_tokens") > 0L)
       .withColumn("seq_id",
         explode(sequence(col("start_seq"), col("end_seq"))))
@@ -1241,9 +1257,17 @@ object TextAnalysis {
     * Deterministic: ties at the cut break by the gram itself.
     */
   def vocabInduct(spark: SparkSession, sfDir: String, minN: Int = 2,
+      maxN: Int = 5, vocabSize: Int = 64): DataFrame =
+    vocabInductFrame(Tables.load(spark, sfDir, "documents"), minN,
+      maxN, vocabSize)
+
+  /** [[vocabInduct]] over an arbitrary documents frame (the SQL
+    * TOKENIZER vp path induces over its own source).
+    */
+  def vocabInductFrame(docs: DataFrame, minN: Int = 2,
       maxN: Int = 5, vocabSize: Int = 64): DataFrame = {
     require(minN >= 1 && maxN >= minN, "vocabInduct needs 1 <= minN <= maxN")
-    Tables.load(spark, sfDir, "documents")
+    docs
       .select(explode(regexp_extract_all(lower(col("text")),
         lit("[a-z0-9]+"), lit(0))).as("word"))
       .select(col("word"),
@@ -1259,6 +1283,91 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("gram"))
       .limit(vocabSize)
   }
+
+  /** APPLY the induced vocabulary — the WordPiece-style ENCODE step
+    * that connects [[vocabInduct]]'s selection to the token-count /
+    * packing family: every word segments by GREEDY LONGEST MATCH
+    * against the gram vocabulary (at each position take the longest
+    * vocab gram that fits, else one character — the standard greedy
+    * WordPiece inference; Wu et al. 2016), and `vp_tokens` is the
+    * doc's total segment count under that measure. Pure built-ins —
+    * the per-word scan is a codegen'd `aggregate` fold over character
+    * positions (each step probes ≤ maxN−minN+1 map entries), the
+    * vocabulary rides ONE broadcast 1-row map column (bounded by V;
+    * a production-sized V would trade the literal map probe for a
+    * hashed custom expression, same plan shape) — map-side only,
+    * zero shuffle, no UDF.
+    */
+  def vocabSegments(docs: DataFrame, grams: Seq[String], minN: Int = 2,
+      maxN: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(grams.nonEmpty,
+      "vocabSegments needs the induced gram vocabulary")
+    require(minN >= 1 && maxN >= minN,
+      "vocabSegments needs 1 <= minN <= maxN")
+    val gmapDf = broadcast(grams.toDF("gram")
+      .agg(map_from_entries(collect_list(struct(col("gram"), lit(1))))
+        .as("__gmap")))
+    docs.crossJoin(gmapDf)
+      .select(col("doc_id"),
+        aggregate(
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+            lit(0)),
+          lit(0L),
+          (acc, w) => acc + vpSegCount(w, col("__gmap"), minN, maxN))
+          .as("vp_tokens"))
+  }
+
+  /** The greedy longest-match segment COUNT of one word: an
+    * `aggregate` fold over character positions carrying (next match
+    * position, segments so far) — positions the cursor has jumped
+    * over fall through untouched, so the fold is exactly the
+    * imperative greedy scan, spelled relationally (codegen'd, no
+    * recursion, bounded by word length).
+    */
+  private def vpSegCount(word: Column, gmap: Column, minN: Int,
+      maxN: Int): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(1).as("pos"), lit(0L).as("cnt")),
+      (st, i) => {
+        val pos = st.getField("pos")
+        val rem = length(word) - pos + lit(1)
+        val step = (maxN to minN by -1)
+          .foldLeft(when(lit(false), lit(1))) { (acc, n) =>
+            acc.when(rem >= lit(n) &&
+              element_at(gmap, word.substr(pos, lit(n))).isNotNull,
+              lit(n))
+          }.otherwise(lit(1))
+        when(i =!= pos, st).otherwise(
+          struct((pos + step).as("pos"),
+            (st.getField("cnt") + lit(1L)).as("cnt")))
+      },
+      st => st.getField("cnt"))
+
+  private val vpGramStages =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** The induced gram vocabulary for a test-data dir, collected once
+    * per (process, sfDir) — O(vocabSize) strings, the
+    * `sqlLifecycleStages` convention so the bench times the encode,
+    * not the induction.
+    */
+  private[graft] def inducedGrams(spark: SparkSession,
+      sfDir: String): Seq[String] =
+    vpGramStages.computeIfAbsent(sfDir, { _ =>
+      vocabInduct(spark, sfDir).select(col("gram")).collect()
+        .map(_.getString(0)).toIndexedSeq
+    })
+
+  /** Driver scenario for [[vocabSegments]]: per-doc greedy-encode
+    * token counts under the induced top-64 gram vocabulary.
+    */
+  def vocabSegmentScenario(spark: SparkSession,
+      sfDir: String): DataFrame =
+    vocabSegments(Tables.load(spark, sfDir, "documents"),
+      inducedGrams(spark, sfDir))
 
   /** Corpus accounting rollup: docs / chars / whitespace tokens per
     * (lang, source) — the bookkeeping query behind token budgets.

@@ -414,6 +414,20 @@ object GraftSql {
       require(vsTxt == null || ids != null,
         "PACK SEQUENCES: VOCAB SIZE parameterizes the IDS form's " +
           "induced vocabulary — add IDS")
+      // TOKENIZER vp = the greedy-encode measure under the gram
+      // vocabulary INDUCED from this statement's own source (the
+      // metadata forms; the content forms slice token/id arrays and
+      // the vp measure has no array spelling)
+      val vpGrams: Seq[String] =
+        if (tok == "vp") {
+          require(matPath == null,
+            "PACK SEQUENCES: the vp measure counts greedy-encoded " +
+              "segments — it has no content-array spelling, so the " +
+              "MATERIALIZE forms take ws (text) or ws|bpe (IDS)")
+          graft.operators.TextAnalysis.vocabInductFrame(src)
+            .select(col("gram")).collect().map(_.getString(0))
+            .toIndexedSeq
+        } else Nil
       if (matPath != null) {
         require(manifest == null,
           "PACK SEQUENCES: MATERIALIZE already returns the manifest " +
@@ -432,9 +446,9 @@ object GraftSql {
         }
       } else if (manifest != null)
         graft.operators.TextAnalysis.seqManifest(src, seqLen = len,
-          tokenizer = tok)
+          tokenizer = tok, vpGrams = vpGrams)
       else graft.operators.TextAnalysis.packSequences(src, seqLen = len,
-        tokenizer = tok)
+        tokenizer = tok, vpGrams = vpGrams)
     case ExportShardsSql(toPath, srcPath, srcIdent, budgetTxt, bucketTxt,
         tokTxt, batchTxt, shuffled, seedTxt, bucketCntTxt, mat) =>
       val budget = Option(budgetTxt).map(_.toLong).getOrElse(2048L)

@@ -1773,6 +1773,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("IDS"), e3.getMessage)
   }
 
+  test("PACK SEQUENCES TOKENIZER vp: the greedy-encode measure from " +
+      "pure SQL (grams induced from the statement's source); content " +
+      "forms refuse it") {
+    val root = Files.createTempDirectory("graft_packvp_sql_")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.parquet(root.resolve("src").toString)
+    val src = root.resolve("src").toString
+    val m = GraftSql.sql(spark,
+      s"PACK SEQUENCES FROM '$src' LENGTH 128 TOKENIZER vp MANIFEST")
+    val grams = operators.TextAnalysis
+      .vocabInductFrame(docs).select($"gram").collect()
+      .map(_.getString(0)).toIndexedSeq
+    val api = operators.TextAnalysis.seqManifest(docs, seqLen = 128L,
+      tokenizer = "vp", vpGrams = grams)
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq).toSet
+    assert(cells(m) === cells(api),
+      "SQL vp manifest diverged from the API encode")
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' TOKENIZER vp " +
+        s"MATERIALIZE TO '${root.resolve("x")}' IDS")
+    }
+    assert(err.getMessage.contains("vp"), err.getMessage)
+  }
+
   test("DESCRIBE EXPORT one-shot: the ledger row derives from footer " +
       "stats + a pruned single-file read, never a corpus aggregate; " +
       "an empty assignments table refuses descriptively") {

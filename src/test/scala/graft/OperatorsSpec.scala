@@ -1428,6 +1428,52 @@ class OperatorsSpec extends SparkSpec {
       "vocab induction must be deterministic")
   }
 
+  test("vocabSegments: greedy longest-match over the induced grams " +
+      "agrees with an imperative reference scan; the vp measure " +
+      "threads the metadata pack forms") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val grams = operators.TextAnalysis.inducedGrams(spark, sf)
+    val got = operators.TextAnalysis.vocabSegments(docs, grams)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gset = grams.toSet
+    val expected = docs.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val words = "[a-z0-9]+".r
+          .findAllIn(r.getString(1).toLowerCase).toSeq
+        val cnt = words.map { w =>
+          var pos = 0; var c = 0L
+          while (pos < w.length) {
+            val step = (5 to 2 by -1).find(n => pos + n <= w.length &&
+              gset(w.substring(pos, pos + n))).getOrElse(1)
+            pos += step; c += 1
+          }
+          c
+        }.sum
+        r.getLong(0) -> cnt
+      }.toMap
+    assert(got === expected,
+      "relational greedy encode diverged from the imperative scan")
+    assert(got.values.sum > 0L, "setup: the corpus must encode")
+    // the vp measure rides the metadata pack family unchanged: the
+    // packed stream's token total IS the encode total
+    val packed = operators.TextAnalysis.packSequences(docs,
+      seqLen = 128L, tokenizer = "vp", vpGrams = grams)
+    assert(packed.agg(sum(col("n_tokens"))).head().getLong(0)
+      === expected.values.sum)
+    val manifestTotal = operators.TextAnalysis.seqManifest(docs,
+      seqLen = 128L, tokenizer = "vp", vpGrams = grams)
+      .agg(sum(col("filled_tokens"))).head().getLong(0)
+    assert(manifestTotal === expected.values.sum,
+      "vp-measured manifest must fill exactly the encode total")
+    // no grams → loud refusal
+    val err = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.packSequences(docs, tokenizer = "vp")
+        .count()
+    }
+    assert(err.getMessage.contains("vpGrams"), err.getMessage)
+  }
+
   test("mixtureResample: per-domain repetition counts follow the " +
       "weights, the md5 coin is deterministic, seeds redraw it") {
     import org.apache.spark.sql.functions._
