@@ -71,6 +71,10 @@ object ScaleProbe {
       annBatchProbe(spark, corpusDir)
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "shufexport") {
+      shufExportProbe(spark, corpusDir)
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -167,6 +171,29 @@ object ScaleProbe {
       .packSequencesMaterialize(docs, out).count()
     val t2 = System.nanoTime()
     println(s"""{"metric":"seqpack_probe","corpus":"$corpusDir","docs":$rows,"spans":$spans,"sequences":$nSeqs,"metadata_sec":${(t1 - t0) / 1e9},"materialize_sec":${(t2 - t1) / 1e9}}""")
+  }
+
+  /** SHUFFLED/MIXTURE export fan-out (SPARK_GRAFT_PROBE=shufexport):
+    * the hash-range bucket count now grows with the corpus (the r17
+    * fixed div 2⁴⁸ pinned 4096 buckets forever — an in-bucket window
+    * of n/4096 rows serialized per task at any n), so the scale claim
+    * is PER-ROW cost ~flat across a 10× corpus: the auto-sized width
+    * keeps every serial window ~4096 rows, the pane folds stay
+    * O(√buckets), and only genuinely linear work (tokenize, shuffle)
+    * grows. Times the shuffled one-shot and the mixture composition.
+    */
+  private def shufExportProbe(spark: SparkSession,
+      corpusDir: String): Unit = {
+    val docs = Tables.load(spark, corpusDir, "documents")
+    val rows = docs.count()
+    val t0 = System.nanoTime()
+    val n = graft.operators.TextAnalysis.exportShardsShuffled(docs)
+      .count()
+    val t1 = System.nanoTime()
+    val nMix = graft.operators.TextAnalysis.exportShardsMixture(docs,
+      graft.operators.TextAnalysis.scenarioMixture).count()
+    val t2 = System.nanoTime()
+    println(s"""{"metric":"shufexport_probe","corpus":"$corpusDir","docs":$rows,"assigned":$n,"mix_copies":$nMix,"shuffled_sec":${(t1 - t0) / 1e9},"mixture_sec":${(t2 - t1) / 1e9}}""")
   }
 
   /** BATCH-SERVE latency against a growing index

@@ -1551,15 +1551,17 @@ object Similarity {
           .getField("cent_id")))
       .select(Seq(col("query_id"), col("cent_id")) ++ extra: _*)
       .localCheckpoint(true)
-    val g = probed
-      .agg(count(lit(1)), countDistinct(col("query_id"))).head()
+    // ONE pass over the checkpointed pane serves both the guard and
+    // the probed-cell set (collect_set is bounded by the geometry)
+    val g = probed.agg(count(lit(1)),
+      countDistinct(col("query_id")),
+      collect_set(col("cent_id"))).head()
     require(g.getLong(0) == g.getLong(1) * nprobeEff,
       s"indexQueryBatch needs a unique query_id per query row: " +
         s"${g.getLong(0)} routed rows over ${g.getLong(1)} distinct " +
         s"ids at nprobe $nprobeEff (a duplicated id would merge two " +
         "embeddings' candidate pools)")
-    val cellSet = probed.select(col("cent_id")).distinct()
-      .collect().map(_.getInt(0))
+    val cellSet = g.getSeq[Int](2).toArray
     val cells = spark.read.format("graft-table").load(asgPath)
       .where(col("cent_id").isin(cellSet.map(Integer.valueOf)
         .toIndexedSeq: _*))

@@ -139,6 +139,7 @@ class ExplainAuditSpec extends SparkSpec {
     withStaticPlans {
       val docs = Tables.load(spark, sf, "documents")
       val ta = operators.TextAnalysis
+      val grams = ta.inducedGrams(spark, sf)
       val frames = Map(
         "exportShards" -> ta.exportShards(docs),
         "exportShardsShuffled" -> ta.exportShardsShuffled(docs),
@@ -146,7 +147,24 @@ class ExplainAuditSpec extends SparkSpec {
         "seqManifest" -> ta.seqManifest(docs),
         "packBins" -> ta.packBins(spark, sf),
         "exportShardsMixture" ->
-          ta.exportShardsMixture(docs, ta.scenarioMixture))
+          ta.exportShardsMixture(docs, ta.scenarioMixture),
+        "packSequencesVp" -> ta.packSequences(docs, seqLen = 128L,
+          tokenizer = "vp", vpGrams = grams),
+        "vocabSegments" -> ta.vocabSegments(docs, grams))
+      // a nested-loop join is allowed ONLY when its broadcast side is
+      // provably ONE row (a global aggregate with no grouping keys —
+      // the scalar-broadcast idiom the vocabulary map column rides);
+      // anything else is a genuine cartesian regression
+      def scalarSide(
+          p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+              if a.groupingExpressions.isEmpty => true
+          // a reused broadcast is a LEAF — look through to the
+          // exchange it reuses
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+              if scalarSide(r.child) => true
+        }.isDefined
       frames.foreach { case (name, df) =>
         val global = df.queryExecution.executedPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
@@ -157,7 +175,8 @@ class ExplainAuditSpec extends SparkSpec {
             "serializes the whole corpus through one task")
         val cartesian = df.queryExecution.executedPlan.collect {
           case c: CartesianProductExec => c
-          case b: BroadcastNestedLoopJoinExec => b
+          case b: BroadcastNestedLoopJoinExec
+              if !b.children.exists(scalarSide) => b
         }
         assert(cartesian.isEmpty,
           s"$name plans ${cartesian.map(_.nodeName).mkString(",")}")
