@@ -142,6 +142,8 @@ object SparkEntry {
         TextAnalysis.exportShardsMixtureMaterializedScenario(s, d)),
     "stream_export_shards" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.exportStreamScenario(s, d)),
+    "stream_export_epochs" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Streams.epochExportScenario(s, d)),
     "text_vocab_induct" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabInduct(s, d)),
     "text_vocab_segment" -> ((s: SparkSession, d: String) =>
@@ -1705,6 +1707,36 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY tokens_before // 2048""".stripMargin,
+    // the streaming epoch export: each requested epoch lands the
+    // full seed-reshuffled pack exactly-once — the oracle replays
+    // both permutations (epoch 0 = bare md5, epoch 1 = '1:' prefix)
+    // and unions the per-(epoch, shard) manifests
+    "stream_export_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |e0 AS (
+        |  SELECT 0 AS epoch, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM (SELECT doc_id, n_tokens,
+        |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |    FROM d) t0),
+        |e1 AS (
+        |  SELECT 1 AS epoch, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM (SELECT doc_id, n_tokens,
+        |      CAST(concat('0x', substr(md5(concat('1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |    FROM d) t1),
+        |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(tokens_before // 2048 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM u GROUP BY epoch, tokens_before // 2048""".stripMargin,
     // vocabulary induction: word-internal char n-grams scored by
     // coverage (count * (len-1)), deterministic top-V cut by
     // (score desc, gram)

@@ -525,6 +525,120 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** STREAMING EPOCH EXPORT — per-epoch training-order regeneration
+    * under the exactly-once sink contract: epoch REQUESTS (rows
+    * carrying an `epoch` id — the trainer's "give me epoch k" signal)
+    * arrive as a file stream, and each requested epoch lands the FULL
+    * seed-reshuffled export of the corpus
+    * ([[graft.operators.TextAnalysis.exportShardsShuffled]] at
+    * seed = epoch — an independent deterministic permutation per
+    * epoch) into one assignments GraftTable, tagged by epoch.
+    * Exactly-once is per EPOCH, not per stream batch: every epoch
+    * rides its OWN `appendIfNew` watermark namespace, so a replayed
+    * request re-lands nothing AND out-of-order requests (epoch 5
+    * before 3) both land — a shared monotone watermark would silently
+    * drop the late one. A crash between two epochs of one micro-batch
+    * replays the cycle; the landed epoch skips, the missing one
+    * lands. Scale shape: each epoch is the one-shot shuffled pack
+    * (corpus-scaled hash-range fan-out), the request stream adds only
+    * the engine's epoch machinery.
+    */
+  def epochExportStream(spark: SparkSession, requestsDir: String,
+      checkpoint: String, docs: DataFrame, exportPath: String,
+      shardTokens: Long = 2048L, tokenizer: String = "ws",
+      hashBuckets: Long = 0L): Unit = {
+    import graft.tables.GraftTable
+    val cp = java.nio.file.Paths.get(checkpoint)
+    java.nio.file.Files.createDirectories(cp)
+    val asgPath = java.nio.file.Paths.get(exportPath, "assignments")
+      .toString
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("epoch",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(requestsDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp.resolve("stream").toString)
+      .foreachBatch { (reqs: DataFrame, _: Long) =>
+        val epochs = reqs.select(col("epoch")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        epochs.foreach { e =>
+          val assigned = graft.operators.TextAnalysis
+            .exportShardsShuffled(docs, shardTokens, seed = e,
+              tokenizer, hashBuckets)
+            .withColumn("epoch", lit(e))
+          val t = GraftTable.createIfAbsent(spark, asgPath,
+            assigned.limit(0))
+          t.appendIfNew(assigned, 0L, appId = s"graft-epoch-export:$e")
+            : Unit
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Per-(epoch, shard) manifest over a landed epoch export. */
+  def epochManifest(spark: SparkSession, exportPath: String): DataFrame =
+    graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(exportPath, "assignments").toString)
+      .snapshot()
+      .groupBy(col("epoch"), col("shard_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  private val epochExportStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[epochExportStream]]: epochs 0 and 1
+    * requested across two cycles, plus a replay cycle re-requesting
+    * epoch 1 (re-lands nothing); the per-(epoch, shard) manifest must
+    * equal the two one-shot seeded exports — the oracle replays both
+    * permutations and unions them.
+    */
+  def epochExportScenario(spark: SparkSession, sfDir: String,
+      shardTokens: Long = 2048L): DataFrame = {
+    val stage = epochExportStages.computeIfAbsent(
+      s"$sfDir:$shardTokens", { _ =>
+        import spark.implicits._
+        val docs = Tables.load(spark, sfDir, "documents")
+        val p = java.nio.file.Files.createTempDirectory("graft_epochs_")
+        val reqs = p.resolve("reqs").toString
+        val cp = p.resolve("cp").toString
+        val exp = p.resolve("export").toString
+        def request(name: String, epochs: Long*): Unit =
+          epochs.toSeq.toDF("epoch").write
+            .parquet(p.resolve("reqs_stage").resolve(name).toString)
+        // files move into the watched dir whole (write-then-move, the
+        // file-source discipline)
+        def publish(name: String): Unit = {
+          val src = p.resolve("reqs_stage").resolve(name)
+          val dst = java.nio.file.Paths.get(reqs)
+          java.nio.file.Files.createDirectories(dst)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(src).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f,
+                dst.resolve(s"$name-$i.parquet"))
+            }
+        }
+        request("c1", 0L); publish("c1")
+        epochExportStream(spark, reqs, cp, docs, exp, shardTokens)
+        request("c2", 1L); publish("c2")
+        epochExportStream(spark, reqs, cp, docs, exp, shardTokens)
+        // the replay cycle: a fresh request FILE re-naming epoch 1 —
+        // the stream consumes it, the epoch watermark skips it
+        request("c3", 1L); publish("c3")
+        epochExportStream(spark, reqs, cp, docs, exp, shardTokens)
+        p
+      })
+    epochManifest(spark, stage.resolve("export").toString)
+  }
+
   private val exportStreamStages =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 

@@ -872,6 +872,64 @@ class StreamingSpec extends SparkSpec {
       "per-cycle export diverged from the one-shot pack")
   }
 
+  test("epochExportStream: each requested epoch lands its full " +
+      "seed-reshuffled export exactly-once; out-of-order epoch " +
+      "requests both land; a replayed request re-lands nothing") {
+    val stage = Files.createTempDirectory("graft_epochstr_spec_")
+    val docs = Tables.load(spark, sf, "documents")
+    val reqs = stage.resolve("reqs").toString
+    java.nio.file.Files.createDirectories(stage.resolve("reqs"))
+    val cp = stage.resolve("cp").toString
+    val exp = stage.resolve("export").toString
+    def request(name: String, epochs: Long*): Unit = {
+      val tmp = stage.resolve(s"stage_$name")
+      epochs.toSeq.toDF("epoch").write.parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmp).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f,
+            stage.resolve("reqs").resolve(s"$name-$i.parquet"))
+        }
+    }
+    // OUT-OF-ORDER: epoch 5 arrives before epoch 3 — per-epoch
+    // watermark namespaces must land both (a shared monotone
+    // watermark would silently drop 3)
+    request("c1", 5L)
+    Streams.epochExportStream(spark, reqs, cp, docs, exp,
+      shardTokens = 512L)
+    request("c2", 3L)
+    Streams.epochExportStream(spark, reqs, cp, docs, exp,
+      shardTokens = 512L)
+    val asg = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp, "assignments").toString).snapshot()
+    assert(asg.select($"epoch").distinct().as[Long].collect().toSet
+      === Set(3L, 5L), "both out-of-order epochs must land")
+    // each landed epoch ≡ its one-shot seeded export
+    Seq(3L, 5L).foreach { e =>
+      val landed = asg.where($"epoch" === e)
+        .select($"doc_id", $"tokens_before", $"shard_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val oneShot = operators.TextAnalysis
+        .exportShardsShuffled(docs, shardTokens = 512L, seed = e)
+        .select($"doc_id", $"tokens_before", $"shard_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(landed === oneShot,
+        s"epoch $e diverged from the one-shot seeded export")
+    }
+    // a replayed request (fresh file, same epoch id) re-lands nothing
+    val n = asg.count()
+    request("c3", 5L)
+    Streams.epochExportStream(spark, reqs, cp, docs, exp,
+      shardTokens = 512L)
+    assert(graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp, "assignments").toString)
+      .snapshot().count() === n,
+      "a replayed epoch request must re-land nothing")
+  }
+
   test("exportStream: streamed cycles accumulate to the one-shot " +
       "pack, an empty cycle lands nothing, a restart is a no-op") {
     val stage = Files.createTempDirectory("graft_expstr_spec_")
