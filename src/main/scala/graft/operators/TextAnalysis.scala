@@ -497,12 +497,29 @@ object TextAnalysis {
       targetPerBucket: Long = 4096L): Long = {
     require(hashBuckets >= 0L,
       "hash-range exports need a non-negative bucket count")
+    // NOTE: auto-sizing runs the count at FRAME-CONSTRUCTION time
+    // (the width must be a literal in the plan) — a caller building
+    // many shuffled frames over one source (the epoch stream) should
+    // count once and pass autoHashBuckets(n) explicitly
     val target =
       if (hashBuckets > 0L) hashBuckets
       else math.max(1L, counted.count() / targetPerBucket)
+    (1L << 60) / nextPow2(target)
+  }
+
+  /** The bucket count auto-sizing resolves to for an `n`-row stream:
+    * the next power of two at or above n / targetPerBucket — exposed
+    * so multi-frame callers (per-epoch regeneration) can count once
+    * and pin it across frames.
+    */
+  private[graft] def autoHashBuckets(n: Long,
+      targetPerBucket: Long = 4096L): Long =
+    nextPow2(math.max(1L, n / targetPerBucket))
+
+  private def nextPow2(target: Long): Long = {
     var b = 1L
     while (b < target && b < (1L << 59)) b <<= 1
-    (1L << 60) / b
+    b
   }
 
   /** MATERIALIZED shard export — the step after assignment that a

@@ -498,8 +498,26 @@ object Streams {
     // (relative vs absolute, trailing slash, ./ segments) must not
     // change the ownership identity or the appendIfNew watermark
     // namespace — that would lock a restarted export out of its own
-    // state table
-    val pipelineId = ":" + cp.toAbsolutePath.normalize.toString
+    // state table. MIGRATION: an export whose state was landed under
+    // the pre-canonicalization RAW spelling (":" + the verbatim
+    // checkpoint string) keeps that identity — switching it to the
+    // canonical id would be exactly the lock-out this fix prevents.
+    val pipelineId = {
+      val canonical = ":" + cp.toAbsolutePath.normalize.toString
+      val raw = ":" + checkpoint
+      val statePath = java.nio.file.Paths.get(exportPath, "state")
+      if (raw != canonical &&
+          java.nio.file.Files.exists(statePath.resolve("_graft_log"))) {
+        val st = graft.tables.GraftTable
+          .load(spark, statePath.toString).snapshot()
+        val owners =
+          if (st.columns.contains("pipeline"))
+            st.where(col("pipeline").isNotNull).select(col("pipeline"))
+              .distinct().collect().map(_.getString(0)).toSeq
+          else Seq.empty[String]
+        if (owners == Seq(raw)) raw else canonical
+      } else canonical
+    }
     // a continuous pipeline starting BEFORE the first file lands
     // passes the schema explicitly — batch inference over an empty
     // raw dir has nothing to infer from (and re-lists the dir on
@@ -552,6 +570,11 @@ object Streams {
     java.nio.file.Files.createDirectories(cp)
     val asgPath = java.nio.file.Paths.get(exportPath, "assignments")
       .toString
+    // auto-size the hash-range fan-out ONCE for the whole run — each
+    // epoch's frame would otherwise re-count the same corpus
+    val hb = if (hashBuckets == 0L)
+      graft.operators.TextAnalysis.autoHashBuckets(docs.count())
+    else hashBuckets
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("epoch",
@@ -561,12 +584,16 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", cp.resolve("stream").toString)
       .foreachBatch { (reqs: DataFrame, _: Long) =>
-        val epochs = reqs.select(col("epoch")).distinct()
+        // a null epoch in a request file must not wedge the stream
+        // (the failed micro-batch would replay the same poisoned file
+        // on every restart) — skip it; a null requests nothing
+        val epochs = reqs.where(col("epoch").isNotNull)
+          .select(col("epoch")).distinct()
           .collect().map(_.getLong(0)).sorted
         epochs.foreach { e =>
           val assigned = graft.operators.TextAnalysis
             .exportShardsShuffled(docs, shardTokens, seed = e,
-              tokenizer, hashBuckets)
+              tokenizer, hb)
             .withColumn("epoch", lit(e))
           val t = GraftTable.createIfAbsent(spark, asgPath,
             assigned.limit(0))

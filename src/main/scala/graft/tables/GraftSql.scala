@@ -280,19 +280,31 @@ object GraftSql {
 
   /** Resolve a TVF source string that may be EITHER a registered
     * table name or a filesystem path (ann_search_batch, dedup_probe):
-    * an explicit separator OR an existing filesystem entry routes to
-    * path resolution (graft table when a `_graft_log` exists, plain
-    * parquet otherwise); everything else resolves as a table name.
-    * The existence probe is what keeps a SINGLE-SEGMENT relative
-    * directory ('queries_dir') from being misrouted to a confusing
-    * table-not-found error; when a registered name collides with a
-    * real local directory the path evidence wins — quote an absolute
-    * path to disambiguate.
+    * an explicit separator routes to path resolution (graft table
+    * when a `_graft_log` exists, plain parquet otherwise); a
+    * separator-free name resolves as a REGISTERED table first — a
+    * same-named directory incidentally present in the driver's cwd
+    * must never silently shadow a user's view — and only a name the
+    * catalog does NOT know falls back to the filesystem probe (which
+    * is what keeps a single-segment relative directory
+    * ('queries_dir') from dying on a confusing table-not-found
+    * error).
     */
   private[graft] def sourceFrameAuto(spark: SparkSession,
       src: String): DataFrame =
-    if (src.contains("/") || src.contains("\\") ||
-        java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+    if (src.contains("/") || src.contains("\\"))
+      indexSourceFrame(spark, src, null)
+    else if (spark.catalog.tableExists(src))
+      // a registered graft table resolves through the shared ident
+      // path; a TEMP VIEW (no catalog metadata, no commit log)
+      // resolves as its plain frame — either way the catalog name
+      // wins over incidental same-named cwd content
+      try indexSourceFrame(spark, null, src)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.table(src)
+      }
+    else if (java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
       indexSourceFrame(spark, src, null)
     else indexSourceFrame(spark, null, src)
 
@@ -375,6 +387,9 @@ object GraftSql {
       val defW = Option(defTxt).map(_.toDouble).getOrElse(1.0)
       val seed = Option(seedTxt).map(_.toLong).getOrElse(0L)
       val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
+      require(tok != "vp",
+        "EXPORT SHARDS MIXTURE: TOKENIZER vp applies to the plain " +
+          "one-shot form (the mixture takes ws|bpe)")
       val hb = Option(bucketCntTxt).map(_.toLong).getOrElse(0L)
       val src = indexSourceFrame(spark, srcPath, srcIdent)
       if (mixMat != null) {
@@ -482,6 +497,9 @@ object GraftSql {
         require(shuffled == null || bucketTxt == null,
           "EXPORT SHARDS SHUFFLED buckets by hash range — BUCKET SIZE " +
             "applies only to the doc_id-ordered forms")
+        require(tok != "vp",
+          "EXPORT SHARDS MATERIALIZE: TOKENIZER vp applies to the " +
+            "plain one-shot form (the content forms take ws|bpe)")
         val manifest = graft.operators.TextAnalysis
           .exportShardsMaterialize(src,
             java.nio.file.Paths.get(toPath, "shards").toString,
@@ -500,6 +518,19 @@ object GraftSql {
         require(shuffled == null || bucketTxt == null,
           "EXPORT SHARDS SHUFFLED buckets by hash range — BUCKET SIZE " +
             "applies only to the doc_id-ordered forms")
+        // TOKENIZER vp (the greedy-encode measure) rides the plain
+        // one-shot only, with the grams induced from this statement's
+        // own source — the SQL-level spelling of the Scala vpGrams
+        // argument; the other forms name their supported measures
+        require(tok != "vp" || shuffled == null,
+          "EXPORT SHARDS: TOKENIZER vp applies to the plain one-shot " +
+            "form (SHUFFLED/MIXTURE/BATCH/MATERIALIZE take ws|bpe)")
+        val vpGrams: Seq[String] =
+          if (tok == "vp")
+            graft.operators.TextAnalysis.vocabInductFrame(src)
+              .select(col("gram")).collect().map(_.getString(0))
+              .toIndexedSeq
+          else Nil
         val assigned =
           if (shuffled != null) graft.operators.TextAnalysis
             .exportShardsShuffled(src, shardTokens = budget,
@@ -507,7 +538,7 @@ object GraftSql {
               tokenizer = tok, hashBuckets = hb)
           else graft.operators.TextAnalysis
             .exportShards(src, shardTokens = budget, bucketSize = bucket,
-              tokenizer = tok)
+              tokenizer = tok, vpGrams = vpGrams)
         // the manifest aggregates over the LANDED table, so the
         // assignment pipeline runs exactly once (the overwrite)
         graft.operators.TextAnalysis.shardManifest(

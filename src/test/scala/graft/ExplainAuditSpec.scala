@@ -152,19 +152,31 @@ class ExplainAuditSpec extends SparkSpec {
           tokenizer = "vp", vpGrams = grams),
         "vocabSegments" -> ta.vocabSegments(docs, grams))
       // a nested-loop join is allowed ONLY when its broadcast side is
-      // provably ONE row (a global aggregate with no grouping keys —
-      // the scalar-broadcast idiom the vocabulary map column rides);
-      // anything else is a genuine cartesian regression
+      // provably ONE row: the side's EFFECTIVE ROOT — stripped of
+      // cardinality-preserving/reducing unary wrappers (projects,
+      // filters, codegen plumbing, the exchange itself, reused
+      // exchanges) — must BE a global aggregate with no grouping
+      // keys. Merely CONTAINING a scalar aggregate somewhere below a
+      // join would not bound the broadcast's row count.
       def scalarSide(
-          p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-        p.collectFirst {
+          p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+        import org.apache.spark.sql.execution._
+        def strip(q: SparkPlan): SparkPlan = q match {
+          case w: WholeStageCodegenExec => strip(w.child)
+          case i: InputAdapter => strip(i.child)
+          case pr: ProjectExec => strip(pr.child)
+          case f: FilterExec => strip(f.child)
+          case c: ColumnarToRowExec => strip(c.child)
+          case r: exchange.ReusedExchangeExec => strip(r.child)
+          case e: exchange.BroadcastExchangeExec => strip(e.child)
+          case other => other
+        }
+        strip(p) match {
           case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
               if a.groupingExpressions.isEmpty => true
-          // a reused broadcast is a LEAF — look through to the
-          // exchange it reuses
-          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-              if scalarSide(r.child) => true
-        }.isDefined
+          case _ => false
+        }
+      }
       frames.foreach { case (name, df) =>
         val global = df.queryExecution.executedPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec

@@ -1796,6 +1796,23 @@ class GraftSqlSpec extends SparkSpec {
         s"MATERIALIZE TO '${root.resolve("x")}' IDS")
     }
     assert(err.getMessage.contains("vp"), err.getMessage)
+    // EXPORT SHARDS gets the same SQL-level vp spelling on its plain
+    // one-shot (grams induced from the source); the other forms
+    // refuse with a statement-level message, not a Scala-arg error
+    val expVp = root.resolve("expvp").toString
+    val mVp = GraftSql.sql(spark,
+      s"EXPORT SHARDS TO '$expVp' FROM '$src' BUDGET 512 TOKENIZER vp")
+    def mCells(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq).toSet
+    assert(mCells(mVp) === mCells(operators.TextAnalysis.shardManifest(
+      operators.TextAnalysis.exportShards(docs, shardTokens = 512L,
+        tokenizer = "vp", vpGrams = grams))),
+      "SQL vp export diverged from the API encode-measured pack")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"EXPORT SHARDS TO '$expVp' FROM '$src' " +
+        "TOKENIZER vp SHUFFLED")
+    }
+    assert(e2.getMessage.contains("one-shot"), e2.getMessage)
   }
 
   test("DESCRIBE EXPORT one-shot: the ledger row derives from footer " +
@@ -1843,7 +1860,8 @@ class GraftSqlSpec extends SparkSpec {
   }
 
   test("sourceFrameAuto: a single-segment relative directory resolves " +
-      "as a PATH, not a registered-table lookup") {
+      "as a PATH — unless a registered table claims the name, which " +
+      "always wins over incidental cwd content") {
     val rel = "graft_relsrc_spec_dir"
     val p = java.nio.file.Paths.get(rel)
     try {
@@ -1852,6 +1870,13 @@ class GraftSqlSpec extends SparkSpec {
       val got = GraftSql.sourceFrameAuto(spark, rel)
       assert(got.count() === 5L,
         "a bare relative dir must resolve to its parquet content")
+      // a same-named REGISTERED view must never be silently shadowed
+      // by a directory that happens to sit in the driver's cwd
+      Tables.load(spark, sf, "documents").limit(3)
+        .createOrReplaceTempView(rel)
+      try assert(GraftSql.sourceFrameAuto(spark, rel).count() === 3L,
+        "a registered view must win over a same-named local dir")
+      finally spark.catalog.dropTempView(rel): Unit
     } finally {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p))
