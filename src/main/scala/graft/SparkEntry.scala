@@ -133,6 +133,8 @@ object SparkEntry {
       TextAnalysis.packSequencesMaterializedScenario(s, d)),
     "text_pack_tokens_materialized" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packTokensMaterializedScenario(s, d)),
+    "text_pack_tokens_mixture" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packTokensMixtureScenario(s, d)),
     "text_mixture_resample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.mixtureResampleScenario(s, d)),
     "text_export_shards_mixture" -> ((s: SparkSession, d: String) =>
@@ -1590,6 +1592,61 @@ object SparkEntry {
         |  SELECT seq_id, doc_id, tokens_before, COUNT(*) AS n_tok, SUM(id) AS s_ids
         |  FROM st GROUP BY seq_id, doc_id, tokens_before)
         |SELECT seq_id, CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS filled_tokens,
+        |  CAST(SUM(CASE WHEN tokens_before < seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
+        |  CAST(SUM(s_ids) AS BIGINT) AS ids_sum,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM sd GROUP BY seq_id""".stripMargin,
+    // the COMPLETE mixture training artifact: reps → md5 coin →
+    // per-copy permutation → cumsum (the mixture replay) composed
+    // with the id lookup + per-token sequence mapping (the token-pack
+    // replay) — each copy's token stream joins the base corpus's
+    // per-token id/position table, every token maps to its seq cut
+    "text_pack_tokens_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS toks,
+        |    CAST(concat('0x', substr(md5(concat('mix0:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, toks,
+        |    CASE lang
+        |      WHEN 'en' THEN 0 + CASE WHEN h < 576460752303423488 THEN 1 ELSE 0 END
+        |      WHEN 'zh' THEN 2 + CASE WHEN h < 288230376151711744 THEN 1 ELSE 0 END
+        |      WHEN 'es' THEN 3
+        |      WHEN 'fr' THEN 0
+        |      ELSE 1 END AS n_reps
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, toks, CAST(UNNEST(generate_series(0, n_reps - 1)) AS BIGINT) AS rep
+        |  FROM r WHERE n_reps > 0),
+        |p AS (
+        |  SELECT doc_id, rep, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(concat('mixshuf0:', CAST(doc_id AS VARCHAR), ':', CAST(rep AS VARCHAR))), 1, 15)) AS BIGINT) AS h2
+        |  FROM x),
+        |c AS (
+        |  SELECT doc_id, rep, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY h2, doc_id, rep
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM p),
+        |tok AS (
+        |  SELECT doc_id, UNNEST(toks) AS token,
+        |    CAST(UNNEST(generate_series(1, CAST(len(toks) AS INT))) AS BIGINT) AS pos
+        |  FROM d WHERE len(toks) > 0),
+        |vc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        |vocab AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
+        |  FROM vc ORDER BY cnt DESC, token LIMIT 512),
+        |ids AS (
+        |  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+        |  FROM tok t LEFT JOIN vocab v USING (token)),
+        |st AS (
+        |  SELECT c.doc_id, c.rep, c.tokens_before,
+        |    CAST((c.tokens_before + i.pos - 1) // 128 AS BIGINT) AS seq_id, i.id
+        |  FROM c JOIN ids i ON c.doc_id = i.doc_id),
+        |sd AS (
+        |  SELECT seq_id, doc_id, rep, tokens_before, COUNT(*) AS n_tok, SUM(id) AS s_ids
+        |  FROM st GROUP BY seq_id, doc_id, rep, tokens_before)
+        |SELECT seq_id, CAST(COUNT(*) AS INTEGER) AS n_copies,
         |  CAST(SUM(n_tok) AS BIGINT) AS filled_tokens,
         |  CAST(SUM(CASE WHEN tokens_before < seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
         |  CAST(SUM(s_ids) AS BIGINT) AS ids_sum,

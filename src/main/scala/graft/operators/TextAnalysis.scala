@@ -1082,6 +1082,133 @@ object TextAnalysis {
     materializedTokenManifest(spark, out.resolve("seqs").toString)
   }
 
+  /** The COMPLETE mixture training artifact — [[exportShardsMixture]]
+    * composed with [[packTokensMaterialize]]: every training COPY
+    * (doc, rep) takes its independent md5 position in the epoch
+    * permutation, the concatenated COPY stream cuts at every `seqLen`
+    * tokens, and each fixed-length sequence lands as ONE row
+    * (seq_id, token_ids, doc_ids, reps, n_carry_in) of vocabulary
+    * IDs — the batch a loader feeds a trainer after the
+    * epochs-per-domain mixture, in one operator. The vocabulary
+    * induces from the BASE corpus (or any supplied token/id table) —
+    * repetition must not bias the id assignment. Scale shape: the
+    * mixture coin/explode and the per-copy routing are map-side, the
+    * prefix sum rides the corpus-scaled hash-range fan-out, token
+    * arrays cross the doc_id join once per copy-fragment, the
+    * vocabulary is one broadcast 1-row map column, and the landed
+    * layout is range-partitioned by seq_id. Re-runs overwrite.
+    * Returns the manifest RE-DERIVED from the landed arrays.
+    */
+  def packTokensMixtureMaterialize(docs: DataFrame,
+      weights: Map[String, Double], outPath: String,
+      seqLen: Long = 128L, vocabSize: Int = 512,
+      defaultWeight: Double = 1.0, seed: Long = 0L,
+      tokenizer: String = "ws", hashBuckets: Long = 0L,
+      vocab: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    require(seqLen >= 1L, "packTokensMixtureMaterialize needs seqLen >= 1")
+    val vdf = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
+    val vmap = broadcast(vdf.agg(map_from_entries(
+      collect_list(struct(col("token"), col("id")))).as("__vmap")))
+    // per-copy counted stream in mixture order — EXACTLY
+    // exportShardsMixture's spelling, so the same relational replay
+    // (reps → coin → per-copy hash → cumsum) holds
+    val rs = mixtureResample(
+      docs.select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit(tokenPattern(tokenizer)), lit(0)))
+          .cast("long").as("n_tokens")),
+      weights, defaultWeight, seed = seed)
+    val counted = rs.select(col("doc_id"), col("rep"), col("n_tokens"))
+    val width = hashBucketWidth(counted, hashBuckets)
+    val prefixed = prefixSum(counted
+        .withColumn("__h", Tables.md5Residue(concat(
+          lit(s"mixshuf$seed:"), col("doc_id").cast("string"),
+          lit(":"), col("rep").cast("string"))))
+        .withColumn("__b", expr(s"__h div ${width}L")),
+      Seq("__h", "doc_id", "rep"), startOffset = 0L)
+    val frags = prefixed
+      .where(col("n_tokens") > 0L)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"tokens_before div ${seqLen}L"),
+        expr(s"(tokens_before + n_tokens - 1L) div ${seqLen}L"))))
+      .withColumn("fill_start",
+        greatest(col("seq_id") * seqLen, col("tokens_before")))
+      .withColumn("fill_end",
+        least((col("seq_id") + 1L) * seqLen,
+          col("tokens_before") + col("n_tokens")))
+      .withColumn("carry_in",
+        col("tokens_before") < col("seq_id") * seqLen)
+      .join(docs.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
+          lit(0)).as("__toks")), Seq("doc_id"))
+      .crossJoin(vmap)
+      .withColumn("__frag_ids", transform(
+        slice(col("__toks"),
+          (col("fill_start") - col("tokens_before") + 1L).cast("int"),
+          (col("fill_end") - col("fill_start")).cast("int")),
+        t => coalesce(element_at(col("__vmap"), t), lit(0L))))
+    frags.groupBy(col("seq_id"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("tokens_before"),
+            col("__frag_ids")))),
+          x => x.getField("__frag_ids"))).as("token_ids"),
+        transform(
+          array_sort(collect_list(struct(col("tokens_before"),
+            col("doc_id"), col("rep")))),
+          x => x.getField("doc_id")).as("doc_ids"),
+        transform(
+          array_sort(collect_list(struct(col("tokens_before"),
+            col("doc_id"), col("rep")))),
+          x => x.getField("rep")).as("reps"),
+        // at most one copy can carry INTO a sequence (only the first
+        // fragment can have started earlier): max ≡ count
+        max(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))
+          .as("n_carry_in"))
+      .repartitionByRange(col("seq_id"))
+      .sortWithinPartitions(col("seq_id"))
+      .write.mode("overwrite").parquet(outPath)
+    materializedMixtureTokenManifest(spark, outPath)
+  }
+
+  /** Manifest read back from a landed mixture token pack (copy
+    * counts, array-length fills, id checksum, doc range) — the write
+    * receipt the mixture-composed oracle checks end-to-end.
+    */
+  def materializedMixtureTokenManifest(spark: SparkSession,
+      outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .select(col("seq_id"),
+        size(col("doc_ids")).cast("int").as("n_copies"),
+        size(col("token_ids")).cast("long").as("filled_tokens"),
+        col("n_carry_in"),
+        aggregate(col("token_ids"), lit(0L), (a, x) => a + x)
+          .as("ids_sum"),
+        array_min(col("doc_ids")).as("first_doc"),
+        array_max(col("doc_ids")).as("last_doc"))
+
+  private val mixTokenStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[packTokensMixtureMaterialize]]: stage the
+    * mixture token pack once per process (scenario mixture, seqLen
+    * 128, induced 512-token vocab), read the manifest back from the
+    * landed arrays.
+    */
+  def packTokensMixtureScenario(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val out = mixTokenStages.computeIfAbsent(sfDir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_mixtok_")
+      packTokensMixtureMaterialize(
+        Tables.load(spark, sfDir, "documents"), scenarioMixture,
+        p.resolve("seqs").toString)
+      p
+    })
+    materializedMixtureTokenManifest(spark,
+      out.resolve("seqs").toString)
+  }
+
   /** DOMAIN-MIXTURE RESAMPLING with repetition — the "epochs per
     * domain" step (the LLaMA/DoReMi-style mixture): every doc in
     * domain d replicates `weights(d)` times in expectation — the

@@ -1428,6 +1428,51 @@ class OperatorsSpec extends SparkSpec {
       "vocab induction must be deterministic")
   }
 
+  test("packTokensMixtureMaterialize: every training copy's tokens " +
+      "land exactly once in mixture order, provenance arrays align, " +
+      "non-tail sequences are exactly full, re-run overwrites") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val w = operators.TextAnalysis.scenarioMixture
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_mixtok_spec_").resolve("seqs").toString
+    val m = operators.TextAnalysis
+      .packTokensMixtureMaterialize(docs, w, out)
+    // conservation: the landed fills are exactly the mixture stream's
+    // token total — every copy's tokens land once, none twice
+    val total = operators.TextAnalysis.exportShardsMixture(docs, w)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(m.agg(sum(col("filled_tokens"))).head().getLong(0) === total)
+    // all but the ragged tail are exactly full
+    val fills = m.select(col("seq_id"), col("filled_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    fills.dropRight(1).foreach { case (s, f) =>
+      assert(f === 128L, s"sequence $s must be exactly full") }
+    // provenance arrays align per sequence; ids bounded by the vocab
+    val landed = spark.read.parquet(out)
+    assert(landed.where(size(col("doc_ids")) =!= size(col("reps")))
+      .count() === 0L, "doc_ids and reps must align")
+    assert(landed.select(explode(col("token_ids")).as("i"))
+      .where(col("i") < 0L || col("i") > 512L).count() === 0L)
+    // a repeated domain (es, weight 3) contributes 3 copies of each
+    // of its docs across the landed provenance
+    val esDoc = docs.where(col("lang") === "es")
+      .select(col("doc_id")).head().getLong(0)
+    val reps = landed
+      .select(explode(arrays_zip(col("doc_ids"), col("reps"))).as("z"))
+      .select(col("z.doc_ids").as("d"), col("z.reps").as("r"))
+      .where(col("d") === esDoc).select(col("r")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(reps === Set(0L, 1L, 2L),
+      "an es doc must land once per repetition copy")
+    // re-run overwrites
+    operators.TextAnalysis.packTokensMixtureMaterialize(docs, w, out)
+    assert(operators.TextAnalysis
+      .materializedMixtureTokenManifest(spark, out)
+      .agg(sum(col("filled_tokens"))).head().getLong(0) === total,
+      "re-run must overwrite the landed pack")
+  }
+
   test("vocabSegments: greedy longest-match over the induced grams " +
       "agrees with an imperative reference scan; the vp measure " +
       "threads the metadata pack forms") {
