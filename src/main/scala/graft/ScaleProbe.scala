@@ -75,6 +75,10 @@ object ScaleProbe {
       shufExportProbe(spark, corpusDir)
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "tokpack") {
+      tokPackProbe(spark, corpusDir)
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -194,6 +198,33 @@ object ScaleProbe {
       graft.operators.TextAnalysis.scenarioMixture).count()
     val t2 = System.nanoTime()
     println(s"""{"metric":"shufexport_probe","corpus":"$corpusDir","docs":$rows,"assigned":$n,"mix_copies":$nMix,"shuffled_sec":${(t1 - t0) / 1e9},"mixture_sec":${(t2 - t1) / 1e9}}""")
+  }
+
+  /** TOKEN-ID PACK linearity (SPARK_GRAFT_PROBE=tokpack): the
+    * token-ID materializations are one-shot corpus transforms, so the
+    * scale claim is PER-ROW cost ~flat across a 10× corpus — no
+    * superlinear term in the vocabulary induction (corpus-token-domain
+    * hash agg + vocab-sized rank), the broadcast map lookup, the
+    * fragment explosion, or the per-sequence id assembly. Times the
+    * plain token pack and the mixture composition separately.
+    */
+  private def tokPackProbe(spark: SparkSession,
+      corpusDir: String): Unit = {
+    val docs = Tables.load(spark, corpusDir, "documents")
+    val rows = docs.count()
+    val out1 = java.nio.file.Files
+      .createTempDirectory("graft_tokpackprobe_").resolve("a").toString
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_tokpackprobe_").resolve("b").toString
+    val t0 = System.nanoTime()
+    val n1 = graft.operators.TextAnalysis
+      .packTokensMaterialize(docs, out1).count()
+    val t1 = System.nanoTime()
+    val n2 = graft.operators.TextAnalysis
+      .packTokensMixtureMaterialize(docs,
+        graft.operators.TextAnalysis.scenarioMixture, out2).count()
+    val t2 = System.nanoTime()
+    println(s"""{"metric":"tokpack_probe","corpus":"$corpusDir","docs":$rows,"seqs":$n1,"mix_seqs":$n2,"pack_sec":${(t1 - t0) / 1e9},"mixture_pack_sec":${(t2 - t1) / 1e9}}""")
   }
 
   /** BATCH-SERVE latency against a growing index
