@@ -858,10 +858,26 @@ object TextAnalysis {
   private def seqFragments(docs: DataFrame, seqLen: Long,
       bucketSize: Long, tokenizer: String,
       vpGrams: Seq[String] = Nil): DataFrame =
-    packSequences(docs, seqLen, bucketSize, tokenizer, vpGrams)
+    fragmentWindows(
+      packSequences(docs, seqLen, bucketSize, tokenizer, vpGrams),
+      seqLen)
+
+  /** THE fill-window arithmetic, shared by every consumer (the
+    * doc_id-ordered fragments above AND the mixture token pack's
+    * copy stream): one row per (stream row, sequence it overlaps)
+    * over any frame carrying (tokens_before, n_tokens), with the
+    * fill window [fill_start, fill_end) and the carry-in flag.
+    * A manifest computed from one definition over content from
+    * another would silently diverge — this helper is the single
+    * definition.
+    */
+  private def fragmentWindows(prefixed: DataFrame,
+      seqLen: Long): DataFrame =
+    prefixed
       .where(col("n_tokens") > 0L)
-      .withColumn("seq_id",
-        explode(sequence(col("start_seq"), col("end_seq"))))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"tokens_before div ${seqLen}L"),
+        expr(s"(tokens_before + n_tokens - 1L) div ${seqLen}L"))))
       .withColumn("fill_start",
         greatest(col("seq_id") * seqLen, col("tokens_before")))
       .withColumn("fill_end",
@@ -1127,18 +1143,7 @@ object TextAnalysis {
           lit(":"), col("rep").cast("string"))))
         .withColumn("__b", expr(s"__h div ${width}L")),
       Seq("__h", "doc_id", "rep"), startOffset = 0L)
-    val frags = prefixed
-      .where(col("n_tokens") > 0L)
-      .withColumn("seq_id", explode(sequence(
-        expr(s"tokens_before div ${seqLen}L"),
-        expr(s"(tokens_before + n_tokens - 1L) div ${seqLen}L"))))
-      .withColumn("fill_start",
-        greatest(col("seq_id") * seqLen, col("tokens_before")))
-      .withColumn("fill_end",
-        least((col("seq_id") + 1L) * seqLen,
-          col("tokens_before") + col("n_tokens")))
-      .withColumn("carry_in",
-        col("tokens_before") < col("seq_id") * seqLen)
+    val frags = fragmentWindows(prefixed, seqLen)
       .join(docs.select(col("doc_id"),
         regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
           lit(0)).as("__toks")), Seq("doc_id"))

@@ -342,6 +342,30 @@ object Streams {
     * pass (see [[graft.operators.Dedup.admitBatch]]'s semantic
     * contract).
     */
+  /** The curation pipeline's identity for a checkpoint: the CANONICAL
+    * absolute path (respelling the same location must not change the
+    * ownership identity or any watermark namespace — the exportStream
+    * lesson), EXCEPT when the index already carries admission
+    * watermarks under the pre-canonicalization RAW spelling — that
+    * pipeline keeps its raw identity (switching it would be exactly
+    * the lock-out the canonicalization prevents). Returns
+    * (pipelineId, curated-append appId) — the appId is the id without
+    * the ':' prefix, the historical spelling.
+    */
+  private[graft] def curationPipelineId(spark: SparkSession,
+      checkpoint: String, indexPath: String): (String, String) = {
+    val canonical = java.nio.file.Paths.get(checkpoint)
+      .toAbsolutePath.normalize.toString
+    val sigsPath = java.nio.file.Paths.get(indexPath, "sigs")
+    val legacy = checkpoint != canonical &&
+      java.nio.file.Files.exists(sigsPath.resolve("_graft_log")) &&
+      graft.tables.GraftTable.load(spark, sigsPath.toString)
+        .lastStreamBatchId(
+          graft.operators.Dedup.incrSigsAppId + ":" + checkpoint) >= 0L
+    val base = if (legacy) checkpoint else canonical
+    (":" + base, base)
+  }
+
   def curationStream(spark: SparkSession, rawDir: String,
       checkpoint: String, indexPath: String, clustersPath: String,
       curated: graft.tables.GraftTable,
@@ -354,6 +378,8 @@ object Streams {
     val schema = curated.snapshot().schema
     val cp = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(cp)
+    val (pipelineId, curatedAppId) =
+      curationPipelineId(spark, checkpoint, indexPath)
     val q = spark.readStream.schema(schema)
       // the explicit option (even at the take-everything default)
       // pins the pacing so a session default or future source change
@@ -399,12 +425,12 @@ object Streams {
           case Some(ap) => graft.operators.Dedup.admitBatchLogged(
             spark, indexPath, clustersPath, ap, batch, batchId = id,
             admitted = adm,
-            auditAppId = s"audit:$checkpoint",
-            pipelineId = s":$checkpoint", gate = qualityGate,
+            auditAppId = s"audit$pipelineId",
+            pipelineId = pipelineId, gate = qualityGate,
             ivfIndexPath = ivfIndexPath, semanticTau = semanticTau)
           case None => graft.operators.Dedup.admitBatch(spark,
             indexPath, clustersPath, batch, batchId = id, admitted = adm,
-            pipelineId = s":$checkpoint", gate = qualityGate,
+            pipelineId = pipelineId, gate = qualityGate,
             ivfIndexPath = ivfIndexPath, semanticTau = semanticTau)
         })
         val e1 = System.nanoTime()
@@ -412,10 +438,10 @@ object Streams {
           verdicts.get.where(col("action") === "keep")
             .select(col("doc_id")),
           Seq("doc_id"))
-        curated.appendIfNew(kept, id, appId = checkpoint)
+        curated.appendIfNew(kept, id, appId = curatedAppId)
         val e2 = System.nanoTime()
         epochStages.put(checkpoint,
-          graft.operators.Dedup.lastAdmitStages(s":$checkpoint") ++
+          graft.operators.Dedup.lastAdmitStages(pipelineId) ++
             Map("admit_sec" -> (e1 - e0) / 1e9,
               "append_sec" -> (e2 - e1) / 1e9))
         } finally {
@@ -570,6 +596,27 @@ object Streams {
     java.nio.file.Files.createDirectories(cp)
     val asgPath = java.nio.file.Paths.get(exportPath, "assignments")
       .toString
+    // one pipeline (canonical checkpoint identity) OWNS an epoch-
+    // export path: the per-epoch watermarks ('graft-epoch-export:<e>')
+    // are table-global, so a SECOND pipeline's epoch k would silently
+    // skip behind the owner's landed epoch — a trainer would read
+    // pipeline A's permutation as pipeline B's data (the silent-
+    // corruption class exportShardsIngest refuses). A pre-guard
+    // export is adopted by the first pipeline that touches it.
+    locally {
+      import spark.implicits._
+      val pid = cp.toAbsolutePath.normalize.toString
+      val ownerT = GraftTable.createIfAbsent(spark,
+        java.nio.file.Paths.get(exportPath, "owner").toString,
+        Seq(pid).toDF("pipeline"))
+      val owners = ownerT.snapshot().select(col("pipeline"))
+        .distinct().collect().map(_.getString(0))
+      require(owners.sameElements(Array(pid)),
+        s"epochExportStream: the epoch export at $exportPath is " +
+          s"owned by pipeline '${owners.mkString(",")}' — a second " +
+          "pipeline must export to its own path (its epochs would " +
+          "silently skip behind the owner's landed epoch watermarks)")
+    }
     // auto-size the hash-range fan-out ONCE for the whole run — each
     // epoch's frame would otherwise re-count the same corpus
     val hb = if (hashBuckets == 0L)
@@ -636,30 +683,19 @@ object Streams {
         val reqs = p.resolve("reqs").toString
         val cp = p.resolve("cp").toString
         val exp = p.resolve("export").toString
+        // requests land whole via the SHARED write-then-move staging
+        // (Ingest.stageBatch — the file-source discipline every
+        // streaming scenario here uses)
         def request(name: String, epochs: Long*): Unit =
-          epochs.toSeq.toDF("epoch").write
-            .parquet(p.resolve("reqs_stage").resolve(name).toString)
-        // files move into the watched dir whole (write-then-move, the
-        // file-source discipline)
-        def publish(name: String): Unit = {
-          val src = p.resolve("reqs_stage").resolve(name)
-          val dst = java.nio.file.Paths.get(reqs)
-          java.nio.file.Files.createDirectories(dst)
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(src).iterator().asScala.toSeq
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.move(f,
-                dst.resolve(s"$name-$i.parquet"))
-            }
-        }
-        request("c1", 0L); publish("c1")
+          graft.sources.Ingest.stageBatch(
+            epochs.toSeq.toDF("epoch"), reqs, name)
+        request("c1", 0L)
         epochExportStream(spark, reqs, cp, docs, exp, shardTokens)
-        request("c2", 1L); publish("c2")
+        request("c2", 1L)
         epochExportStream(spark, reqs, cp, docs, exp, shardTokens)
         // the replay cycle: a fresh request FILE re-naming epoch 1 —
         // the stream consumes it, the epoch watermark skips it
-        request("c3", 1L); publish("c3")
+        request("c3", 1L)
         epochExportStream(spark, reqs, cp, docs, exp, shardTokens)
         p
       })

@@ -278,6 +278,15 @@ object GraftSql {
     }
   }
 
+  /** The gram vocabulary a `TOKENIZER vp` statement induces from its
+    * own source — ONE definition for every SQL spelling (PACK
+    * SEQUENCES and EXPORT SHARDS must never induce two different
+    * vocabularies for the same source).
+    */
+  private def statementVpGrams(src: DataFrame): Seq[String] =
+    graft.operators.TextAnalysis.vocabInductFrame(src)
+      .select(col("gram")).collect().map(_.getString(0)).toIndexedSeq
+
   /** Resolve a TVF source string that may be EITHER a registered
     * table name or a filesystem path (ann_search_batch, dedup_probe):
     * an explicit separator routes to path resolution (graft table
@@ -296,13 +305,17 @@ object GraftSql {
       indexSourceFrame(spark, src, null)
     else if (spark.catalog.tableExists(src))
       // a registered graft table resolves through the shared ident
-      // path; a TEMP VIEW (no catalog metadata, no commit log)
+      // path; anything else the catalog knows (a TEMP VIEW, a plain
+      // parquet catalog table — neither has a graft commit log)
       // resolves as its plain frame — either way the catalog name
-      // wins over incidental same-named cwd content
+      // wins over incidental same-named cwd content. The fallback
+      // catches every resolution failure (the ident path throws
+      // AnalysisException for views, IllegalArgumentException for
+      // non-graft providers) — spark.table then serves it or raises
+      // its own clean error.
       try indexSourceFrame(spark, null, src)
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.table(src)
+        case scala.util.control.NonFatal(_) => spark.table(src)
       }
     else if (java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
       indexSourceFrame(spark, src, null)
@@ -439,9 +452,7 @@ object GraftSql {
             "PACK SEQUENCES: the vp measure counts greedy-encoded " +
               "segments — it has no content-array spelling, so the " +
               "MATERIALIZE forms take ws (text) or ws|bpe (IDS)")
-          graft.operators.TextAnalysis.vocabInductFrame(src)
-            .select(col("gram")).collect().map(_.getString(0))
-            .toIndexedSeq
+          statementVpGrams(src)
         } else Nil
       if (matPath != null) {
         require(manifest == null,
@@ -526,11 +537,7 @@ object GraftSql {
           "EXPORT SHARDS: TOKENIZER vp applies to the plain one-shot " +
             "form (SHUFFLED/MIXTURE/BATCH/MATERIALIZE take ws|bpe)")
         val vpGrams: Seq[String] =
-          if (tok == "vp")
-            graft.operators.TextAnalysis.vocabInductFrame(src)
-              .select(col("gram")).collect().map(_.getString(0))
-              .toIndexedSeq
-          else Nil
+          if (tok == "vp") statementVpGrams(src) else Nil
         val assigned =
           if (shuffled != null) graft.operators.TextAnalysis
             .exportShardsShuffled(src, shardTokens = budget,

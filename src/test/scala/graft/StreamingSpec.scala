@@ -881,17 +881,9 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(stage.resolve("reqs"))
     val cp = stage.resolve("cp").toString
     val exp = stage.resolve("export").toString
-    def request(name: String, epochs: Long*): Unit = {
-      val tmp = stage.resolve(s"stage_$name")
-      epochs.toSeq.toDF("epoch").write.parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(tmp).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          java.nio.file.Files.move(f,
-            stage.resolve("reqs").resolve(s"$name-$i.parquet"))
-        }
-    }
+    def request(name: String, epochs: Long*): Unit =
+      graft.sources.Ingest.stageBatch(
+        epochs.toSeq.toDF("epoch"), reqs, name)
     // OUT-OF-ORDER: epoch 5 arrives before epoch 3 — per-epoch
     // watermark namespaces must land both (a shared monotone
     // watermark would silently drop 3)
@@ -928,6 +920,56 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(exp, "assignments").toString)
       .snapshot().count() === n,
       "a replayed epoch request must re-land nothing")
+  }
+
+  test("epochExportStream ownership: a second pipeline targeting the " +
+      "same epoch-export path refuses instead of silently skipping " +
+      "behind the owner's epoch watermarks") {
+    val stage = Files.createTempDirectory("graft_epochown_spec_")
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val reqs = stage.resolve("reqs").toString
+    val exp = stage.resolve("export").toString
+    graft.sources.Ingest.stageBatch(Seq(0L).toDF("epoch"), reqs, "c1")
+    Streams.epochExportStream(spark, reqs,
+      stage.resolve("cpA").toString, docs, exp, shardTokens = 512L)
+    // pipeline B: same export path, its OWN checkpoint — its epoch 0
+    // would skip behind A's watermark and the trainer would read A's
+    // permutation as B's data; refuse loudly instead
+    graft.sources.Ingest.stageBatch(Seq(0L).toDF("epoch"), reqs, "c2")
+    // the guard fires BEFORE any stream starts — a plain refusal
+    val err = intercept[IllegalArgumentException] {
+      Streams.epochExportStream(spark, reqs,
+        stage.resolve("cpB").toString, docs, exp, shardTokens = 512L)
+    }
+    assert(err.getMessage.contains("owned by"), err.getMessage)
+    // the owner continues unharmed (consumes c2's request as epoch 0
+    // replay — re-lands nothing)
+    Streams.epochExportStream(spark, reqs,
+      stage.resolve("cpA").toString, docs, exp, shardTokens = 512L)
+  }
+
+  test("curationPipelineId: respelling a checkpoint resolves to the " +
+      "same canonical identity; a legacy raw-namespace index keeps " +
+      "its raw identity (no lock-out)") {
+    val stage = Files.createTempDirectory("graft_curid_spec_")
+    val idx = stage.resolve("idx").toString
+    val rel = stage.resolve("ck").toString
+    // fresh index: relative-ish and absolute spellings of one
+    // location resolve identically (the canonical id)
+    val (a, _) = Streams.curationPipelineId(spark, rel, idx)
+    val (b, _) = Streams.curationPipelineId(spark, rel + "/./", idx)
+    assert(a === b, "respelling the checkpoint must not change the id")
+    // a LEGACY index (admission watermarks under the raw ':<string>'
+    // namespace, the r17 spelling) keeps the raw identity
+    val raw = "graft_curid_rel_ck"
+    val docs = Tables.load(spark, sf, "documents").limit(20)
+    graft.operators.Dedup.incrementalIndex(spark, idx, docs,
+      batchId = 0L, pipelineId = ":" + raw)
+    val (legacyId, legacyApp) =
+      Streams.curationPipelineId(spark, raw, idx)
+    assert(legacyId === ":" + raw,
+      "a legacy raw-namespace pipeline must keep its identity")
+    assert(legacyApp === raw)
   }
 
   test("exportStream: streamed cycles accumulate to the one-shot " +
