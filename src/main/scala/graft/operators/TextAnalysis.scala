@@ -1002,7 +1002,9 @@ object TextAnalysis {
   /** MATERIALIZED TOKEN-ID sequence packing — the artifact a
     * trainer's data loader ultimately reads: every fixed-length
     * sequence lands as ONE row (seq_id, token_ids, doc_ids,
-    * n_carry_in) whose content is the ID array of the doc fragments
+    * doc_starts, n_carry_in — the start offsets are the in-sequence
+    * boundary positions an attention/loss-mask builder consumes)
+    * whose content is the ID array of the doc fragments
     * tiling it in stream order, ids from a token→id vocabulary
     * (`vocab` — token/id columns, e.g. [[tokenVocab]]'s output or any
     * externally trained table; absent → the top-`vocabSize` induced
@@ -1048,6 +1050,15 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("tokens_before"),
             col("doc_id")))),
           x => x.getField("doc_id")).as("doc_ids"),
+        // each doc's START OFFSET inside the sequence — with doc_ids
+        // these are the boundary positions an attention/loss-mask
+        // builder consumes directly (fragments tile the sequence, so
+        // starts are the exclusive prefix sums of fragment lengths)
+        transform(
+          array_sort(collect_list(struct(col("tokens_before"),
+            (col("fill_start") - col("seq_id") * seqLen)
+              .as("__start")))),
+          x => x.getField("__start")).as("doc_starts"),
         // at most one doc can carry INTO a sequence (only the first
         // fragment can have started earlier), so max ≡ count — the
         // text materializer's spelling, kept aligned
@@ -1103,8 +1114,8 @@ object TextAnalysis {
     * (doc, rep) takes its independent md5 position in the epoch
     * permutation, the concatenated COPY stream cuts at every `seqLen`
     * tokens, and each fixed-length sequence lands as ONE row
-    * (seq_id, token_ids, doc_ids, reps, n_carry_in) of vocabulary
-    * IDs — the batch a loader feeds a trainer after the
+    * (seq_id, token_ids, doc_ids, reps, doc_starts, n_carry_in) of
+    * vocabulary IDs — the batch a loader feeds a trainer after the
     * epochs-per-domain mixture, in one operator. The vocabulary
     * induces from the BASE corpus (or any supplied token/id table) —
     * repetition must not bias the id assignment. Scale shape: the
@@ -1167,6 +1178,13 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("tokens_before"),
             col("doc_id"), col("rep")))),
           x => x.getField("rep")).as("reps"),
+        // per-copy start offsets inside the sequence (the mask
+        // boundary positions), aligned with doc_ids/reps
+        transform(
+          array_sort(collect_list(struct(col("tokens_before"),
+            (col("fill_start") - col("seq_id") * seqLen)
+              .as("__start")))),
+          x => x.getField("__start")).as("doc_starts"),
         // at most one copy can carry INTO a sequence (only the first
         // fragment can have started earlier): max ≡ count
         max(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))

@@ -1290,6 +1290,23 @@ class OperatorsSpec extends SparkSpec {
     val top = vocab.where(col("id") === 1L).head()
     assert(landed.where(col("i") === 1L).count() === top.getLong(2),
       "rank-1 id count must equal the rank-1 token's corpus count")
+    // doc_starts are the mask boundaries: aligned with doc_ids,
+    // starting at 0 (fragments tile the sequence), strictly
+    // increasing, all inside the fill
+    val landed0 = spark.read.parquet(out)
+    assert(landed0.where(size(col("doc_starts")) =!= size(col("doc_ids")))
+      .count() === 0L, "doc_starts must align with doc_ids")
+    assert(landed0.where(element_at(col("doc_starts"), 1) =!= 0L)
+      .count() === 0L, "the first fragment must start at offset 0")
+    landed0.select(col("seq_id"), col("doc_starts"),
+      size(col("token_ids")).as("fill")).collect().foreach { r =>
+      val starts = r.getSeq[Long](1)
+      assert(starts.sliding(2).forall(p =>
+        p.length < 2 || p(0) < p(1)),
+        s"seq ${r.getLong(0)}: starts must strictly increase")
+      assert(starts.forall(_ < r.getInt(2)),
+        s"seq ${r.getLong(0)}: starts must sit inside the fill")
+    }
     // a tiny vocab sends almost everything to UNK but never changes
     // the span math
     val out1 = root.resolve("seqs1").toString
@@ -1450,8 +1467,11 @@ class OperatorsSpec extends SparkSpec {
       assert(f === 128L, s"sequence $s must be exactly full") }
     // provenance arrays align per sequence; ids bounded by the vocab
     val landed = spark.read.parquet(out)
-    assert(landed.where(size(col("doc_ids")) =!= size(col("reps")))
-      .count() === 0L, "doc_ids and reps must align")
+    assert(landed.where(size(col("doc_ids")) =!= size(col("reps")) ||
+        size(col("doc_starts")) =!= size(col("doc_ids")))
+      .count() === 0L, "doc_ids, reps and doc_starts must align")
+    assert(landed.where(element_at(col("doc_starts"), 1) =!= 0L)
+      .count() === 0L, "the first fragment must start at offset 0")
     assert(landed.select(explode(col("token_ids")).as("i"))
       .where(col("i") < 0L || col("i") > 512L).count() === 0L)
     // a repeated domain (es, weight 3) contributes 3 copies of each
