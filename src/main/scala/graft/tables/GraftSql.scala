@@ -278,6 +278,61 @@ object GraftSql {
     }
   }
 
+  /** The DESCRIBE EXPORT ledger for an EPOCH-export layout
+    * ([[graft.streaming.Streams.epochExportStream]]'s epoch-tagged
+    * assignments): one row per landed epoch — (batch_id = epoch,
+    * end_offset = that epoch's token total, max_doc, pipeline = the
+    * owner marker). O(epochs) metadata + at most one file's rows per
+    * epoch: each epoch lands as one append so every file is
+    * single-epoch, per-file footer stats give each epoch's max
+    * tokens_before and max doc_id directly, and only the file holding
+    * the epoch's last-positioned row is read for its `+ n_tokens`
+    * (the prefix sum is monotone per epoch). Stats-less tables fall
+    * back to one grouped aggregate. Returns (frame, files read,
+    * files total) so specs pin the pruning.
+    */
+  private[graft] def epochExportLedger(spark: SparkSession,
+      path: String): (DataFrame, Int, Int) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val asgPath = java.nio.file.Paths.get(path, "assignments").toString
+    val t = GraftTable.load(spark, asgPath)
+    val ownerPath = java.nio.file.Paths.get(path, "owner")
+    val owner =
+      if (java.nio.file.Files.exists(ownerPath.resolve("_graft_log")))
+        GraftTable.load(spark, ownerPath.toString).snapshot()
+          .select(col("pipeline")).head().getString(0)
+      else ""
+    (t.perKeyMaxStat("epoch", "tokens_before"),
+        t.perKeyMaxStat("epoch", "doc_id")) match {
+      case (Some(maxTb), Some(maxDoc)) =>
+        var read = 0; var total = 0
+        val rows = maxTb.toSeq.sortBy(_._1).map { case (e, m) =>
+          val (pruned, r, tot) = t.snapshotCandidatesWithCount(
+            col("epoch") === e &&
+              col("tokens_before") >= lit(m.toLong))
+          read += r; total = tot
+          val end = pruned.where(col("epoch") === e &&
+              col("tokens_before") >= lit(m.toLong))
+            .agg(org.apache.spark.sql.functions.max(
+              col("tokens_before") + col("n_tokens"))).head().getLong(0)
+          (e, end, maxDoc(e).toLong, owner)
+        }
+        (rows.toDF("batch_id", "end_offset", "max_doc", "pipeline")
+          .orderBy(col("batch_id")), read, total)
+      case _ =>
+        (t.snapshot().groupBy(col("epoch").as("batch_id"))
+          .agg(org.apache.spark.sql.functions.max(
+            col("tokens_before") + col("n_tokens")).as("end_offset"),
+            org.apache.spark.sql.functions.max(col("doc_id"))
+              .as("max_doc"))
+          .withColumn("pipeline", lit(owner))
+          .select(col("batch_id"), col("end_offset"), col("max_doc"),
+            col("pipeline"))
+          .orderBy(col("batch_id")), -1, -1)
+    }
+  }
+
   /** The gram vocabulary a `TOKENIZER vp` statement induces from its
     * own source — ONE definition for every SQL spelling (PACK
     * SEQUENCES and EXPORT SHARDS must never induce two different
@@ -579,7 +634,10 @@ object GraftSql {
           java.nio.file.Paths.get(asgPath, "_graft_log")),
           s"DESCRIBE EXPORT: no export at $path (neither a state " +
             "ledger nor landed assignments)")
-        oneShotExportLedger(spark, asgPath)._1
+        if (GraftTable.load(spark, asgPath).snapshot().columns
+            .contains("epoch"))
+          epochExportLedger(spark, path)._1
+        else oneShotExportLedger(spark, asgPath)._1
       }
     case DescribeDedupIndex(path) =>
       def count(sub: String): Long = {

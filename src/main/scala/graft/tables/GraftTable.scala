@@ -748,9 +748,58 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     if (c.dv.exists(_.nonEmpty)) return None
     val phys = c.columnMap.getOrElse(Map.empty).getOrElse(name, name)
     val stats = c.stats.getOrElse(Map.empty)
-    val maxs = c.files.map(f => stats.get(f).flatMap(_.maxs.get(phys)))
+    // a ZERO-ROW file (the createIfAbsent placeholder) has no column
+    // stats and no rows to describe — skip it rather than abort
+    val maxs = c.files.map(f => stats.get(f) match {
+      case Some(st) if st.rows.contains(0L) => Some(None)
+      case Some(st) => st.maxs.get(phys).map(m => Some(m))
+      case None => None
+    })
     if (maxs.isEmpty || maxs.exists(_.isEmpty)) None
-    else Some(maxs.flatten.max)
+    else {
+      val xs = maxs.flatten.flatten
+      if (xs.isEmpty) None else Some(xs.max)
+    }
+  }
+
+  /** Per-KEY column maxima from footer stats alone, for tables whose
+    * files are each single-key (every file's key min == max — the
+    * layout one append per key leaves, e.g. per-epoch export
+    * appends): key → max(valCol) across that key's files. None when
+    * any file lacks the stats, SPANS keys, or deletion vectors are
+    * active — callers fall back to the full aggregate, so correctness
+    * never rides this fast path.
+    */
+  private[graft] def perKeyMaxStat(keyCol: String,
+      valCol: String): Option[Map[Long, Double]] = {
+    if (latestVersion < 0) return None
+    val c = readCommit(latestVersion)
+    if (c.dv.exists(_.nonEmpty)) return None
+    val cm = c.columnMap.getOrElse(Map.empty)
+    val k = cm.getOrElse(keyCol, keyCol)
+    val v = cm.getOrElse(valCol, valCol)
+    val stats = c.stats.getOrElse(Map.empty)
+    // outer None = abort the fast path (missing or key-spanning
+    // stats); inner None = a zero-row placeholder file, skipped
+    val perFile: Seq[Option[Option[(Long, Double)]]] = c.files.map { f =>
+      stats.get(f) match {
+        case Some(st) if st.rows.contains(0L) => Some(None)
+        case Some(st) =>
+          (st.mins.get(k), st.maxs.get(k), st.maxs.get(v)) match {
+            case (Some(kmin), Some(kmax), Some(vmax)) if kmin == kmax =>
+              Some(Some(kmin.toLong -> vmax))
+            case _ => None
+          }
+        case None => None
+      }
+    }
+    if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+    else {
+      val xs = perFile.flatten.flatten
+      if (xs.isEmpty) None
+      else Some(xs.groupBy(_._1)
+        .map { case (key, ys) => key -> ys.map(_._2).max })
+    }
   }
 
   /** Commit against an explicit BASE version: the new commit claims

@@ -948,6 +948,47 @@ class StreamingSpec extends SparkSpec {
       stage.resolve("cpA").toString, docs, exp, shardTokens = 512L)
   }
 
+  test("DESCRIBE EXPORT on an epoch layout: one ledger row per landed " +
+      "epoch from per-file stats + one pruned read each, values ≡ the " +
+      "grouped aggregate, owner reported") {
+    val stage = Files.createTempDirectory("graft_epochdesc_spec_")
+    val docs = Tables.load(spark, sf, "documents").limit(80)
+    val reqs = stage.resolve("reqs").toString
+    val cp = stage.resolve("cp").toString
+    val exp = stage.resolve("export").toString
+    graft.sources.Ingest.stageBatch(Seq(5L, 3L).toDF("epoch"), reqs, "c1")
+    Streams.epochExportStream(spark, reqs, cp, docs, exp,
+      shardTokens = 512L)
+    val ledger = graft.tables.GraftSql.sql(spark,
+      s"DESCRIBE EXPORT '$exp'").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(ledger.map(_._1).toSeq === Seq(3L, 5L))
+    // values ≡ the full grouped aggregate
+    val asg = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp, "assignments").toString).snapshot()
+    val full = asg.groupBy($"epoch")
+      .agg(org.apache.spark.sql.functions.max(
+        $"tokens_before" + $"n_tokens"),
+        org.apache.spark.sql.functions.max($"doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    ledger.foreach { case (e, end, md, owner) =>
+      assert((end, md) === full(e), s"epoch $e ledger diverged")
+      assert(owner.nonEmpty, "the owner marker must be reported")
+    }
+    // the fast path engaged and PRUNED: each epoch's read admits its
+    // own file plus the zero-row createIfAbsent placeholder (which
+    // carries no stats to prune on and no rows to pay for) — strictly
+    // fewer than an unpruned per-epoch full scan
+    val (_, read, total) =
+      graft.tables.GraftSql.epochExportLedger(spark, exp)
+    assert(total > 1, s"setup: expected a multi-file landing, got $total")
+    assert(read >= 0 && read < total * ledger.length,
+      s"epoch ledger read $read of $total files x ${ledger.length} " +
+        "epochs — the stats path must prune the per-epoch reads")
+  }
+
   test("curationPipelineId: respelling a checkpoint resolves to the " +
       "same canonical identity; a legacy raw-namespace index keeps " +
       "its raw identity (no lock-out)") {
