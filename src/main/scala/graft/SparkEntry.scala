@@ -150,6 +150,8 @@ object SparkEntry {
       TextAnalysis.vocabInduct(s, d)),
     "text_vocab_segment" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabSegmentScenario(s, d)),
+    "text_vocab_coverage" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabCoverage(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §C transactional table layer (GraftTable)
     "tbl_merge_upsert" -> (TableOps.mergeUpsert _),
@@ -1843,6 +1845,22 @@ object SparkEntry {
         |LEFT JOIN w ON d.doc_id = w.doc_id
         |LEFT JOIN done s ON w.word = s.word
         |GROUP BY d.doc_id""".stripMargin,
+    // vocabulary coverage: the top-512 whole-token vocab's per-lang
+    // OOV accounting — exact integer counts, one double quotient
+    "text_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT lang, UNNEST(regexp_extract_all(text, '\S+')) AS token
+        |  FROM documents),
+        |vc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        |vocab AS (
+        |  SELECT token FROM vc ORDER BY cnt DESC, token LIMIT 512),
+        |j AS (
+        |  SELECT lang, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN vocab v USING (token))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+        |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM j GROUP BY lang""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,

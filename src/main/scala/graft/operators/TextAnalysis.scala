@@ -1232,6 +1232,33 @@ object TextAnalysis {
       out.resolve("seqs").toString)
   }
 
+  /** VOCABULARY COVERAGE — the pipeline diagnostic between
+    * [[tokenVocab]] and the token-ID packs: per sub-corpus (lang),
+    * how many tokens the vocabulary covers and the OOV rate that
+    * lands as UNK ids — the "is this vocab big enough / is this
+    * slice under-served" report a team reads before committing to a
+    * vocab size. Exact integer counts, one double quotient at the
+    * end (bit-replayable). Scale: explode map-side, ONE broadcast
+    * join against the vocab-bounded token table, partial-aggregated
+    * rollup by lang.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String,
+      vocabSize: Int = 512, tokenizer: String = "ws"): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val vocab = tokenVocab(docs, vocabSize, tokenizer)
+      .select(col("token"), lit(1).as("__in"))
+    docs.select(col("lang"),
+        explode(regexp_extract_all(col("text"),
+          lit(tokenPattern(tokenizer)), lit(0))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("__in").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("total_tokens"))
+  }
+
   /** DOMAIN-MIXTURE RESAMPLING with repetition — the "epochs per
     * domain" step (the LLaMA/DoReMi-style mixture): every doc in
     * domain d replicates `weights(d)` times in expectation — the

@@ -1539,6 +1539,31 @@ class OperatorsSpec extends SparkSpec {
     assert(err.getMessage.contains("vpGrams"), err.getMessage)
   }
 
+  test("vocabCoverage: OOV accounting is exact — totals equal the " +
+      "corpus token counts, a full vocabulary drives OOV to zero, " +
+      "and rates fall monotonically with vocab size") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    def oov(v: Int): (Long, Long) = {
+      val r = operators.TextAnalysis.vocabCoverage(spark, sf, v)
+        .agg(sum(col("total_tokens")), sum(col("oov_tokens"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val corpusTotal = docs.select(sum(size(regexp_extract_all(
+      col("text"), lit("\\S+"), lit(0))).cast("long"))).head().getLong(0)
+    val (t64, o64) = oov(64)
+    val (t512, o512) = oov(512)
+    assert(t64 === corpusTotal && t512 === corpusTotal,
+      "coverage totals must equal the corpus token count")
+    assert(o512 <= o64, "OOV must fall as the vocabulary grows")
+    // a vocabulary at least as large as the distinct-token domain
+    // covers everything
+    val nDistinct = docs.select(explode(regexp_extract_all(col("text"),
+      lit("\\S+"), lit(0))).as("t")).distinct().count().toInt
+    val (_, oAll) = oov(nDistinct)
+    assert(oAll === 0L, "a full vocabulary must drive OOV to zero")
+  }
+
   test("mixtureResample: per-domain repetition counts follow the " +
       "weights, the md5 coin is deterministic, seeds redraw it") {
     import org.apache.spark.sql.functions._
