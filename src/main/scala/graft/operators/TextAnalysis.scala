@@ -862,6 +862,19 @@ object TextAnalysis {
       packSequences(docs, seqLen, bucketSize, tokenizer, vpGrams),
       seqLen)
 
+  /** THE doc-start-offset aggregation (the mask boundary positions a
+    * loader consumes), shared by both token packs — like
+    * [[fragmentWindows]], one definition so the two artifacts can
+    * never silently diverge: each fragment's start inside its
+    * sequence, ordered by stream position.
+    */
+  private def docStartsAgg(
+      seqLen: Long): org.apache.spark.sql.Column =
+    transform(
+      array_sort(collect_list(struct(col("tokens_before"),
+        (col("fill_start") - col("seq_id") * seqLen).as("__start")))),
+      x => x.getField("__start")).as("doc_starts")
+
   /** THE fill-window arithmetic, shared by every consumer (the
     * doc_id-ordered fragments above AND the mixture token pack's
     * copy stream): one row per (stream row, sequence it overlaps)
@@ -1054,11 +1067,7 @@ object TextAnalysis {
         // these are the boundary positions an attention/loss-mask
         // builder consumes directly (fragments tile the sequence, so
         // starts are the exclusive prefix sums of fragment lengths)
-        transform(
-          array_sort(collect_list(struct(col("tokens_before"),
-            (col("fill_start") - col("seq_id") * seqLen)
-              .as("__start")))),
-          x => x.getField("__start")).as("doc_starts"),
+        docStartsAgg(seqLen),
         // at most one doc can carry INTO a sequence (only the first
         // fragment can have started earlier), so max ≡ count — the
         // text materializer's spelling, kept aligned
@@ -1180,11 +1189,7 @@ object TextAnalysis {
           x => x.getField("rep")).as("reps"),
         // per-copy start offsets inside the sequence (the mask
         // boundary positions), aligned with doc_ids/reps
-        transform(
-          array_sort(collect_list(struct(col("tokens_before"),
-            (col("fill_start") - col("seq_id") * seqLen)
-              .as("__start")))),
-          x => x.getField("__start")).as("doc_starts"),
+        docStartsAgg(seqLen),
         // at most one copy can carry INTO a sequence (only the first
         // fragment can have started earlier): max ≡ count
         max(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))

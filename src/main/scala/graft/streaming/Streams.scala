@@ -342,26 +342,47 @@ object Streams {
     * pass (see [[graft.operators.Dedup.admitBatch]]'s semantic
     * contract).
     */
+  /** One spelling of a checkpoint location: the REAL path where the
+    * filesystem can resolve it (symlinked respellings of one physical
+    * directory must share an identity — the Spark stream under them
+    * already shares its batch-id sequence), else the normalized
+    * absolute path.
+    */
+  private def canonicalPath(p: String): String = {
+    val path = java.nio.file.Paths.get(p)
+    try path.toRealPath().toString
+    catch {
+      case _: java.io.IOException =>
+        path.toAbsolutePath.normalize.toString
+    }
+  }
+
   /** The curation pipeline's identity for a checkpoint: the CANONICAL
-    * absolute path (respelling the same location must not change the
-    * ownership identity or any watermark namespace — the exportStream
-    * lesson), EXCEPT when the index already carries admission
-    * watermarks under the pre-canonicalization RAW spelling — that
-    * pipeline keeps its raw identity (switching it would be exactly
-    * the lock-out the canonicalization prevents). Returns
-    * (pipelineId, curated-append appId) — the appId is the id without
-    * the ':' prefix, the historical spelling.
+    * path (respelling the same location — relative, ./-segmented, or
+    * symlinked — must not change the ownership identity or any
+    * watermark namespace — the exportStream lesson), EXCEPT when the
+    * index already carries admission watermarks under the
+    * pre-canonicalization RAW spelling — that pipeline keeps its raw
+    * identity (switching it would be exactly the lock-out the
+    * canonicalization prevents). The legacy probe checks BOTH halves
+    * of the fail-safe append order (shingles land first, sigs
+    * second), so a pipeline that crashed between the two is still
+    * recognized. Returns (pipelineId, curated-append appId) — the
+    * appId is the id without the ':' prefix, the historical spelling.
     */
   private[graft] def curationPipelineId(spark: SparkSession,
       checkpoint: String, indexPath: String): (String, String) = {
-    val canonical = java.nio.file.Paths.get(checkpoint)
-      .toAbsolutePath.normalize.toString
-    val sigsPath = java.nio.file.Paths.get(indexPath, "sigs")
+    val canonical = canonicalPath(checkpoint)
+    def rawWatermark(sub: String, appIdBase: String): Boolean = {
+      val p = java.nio.file.Paths.get(indexPath, sub)
+      java.nio.file.Files.exists(p.resolve("_graft_log")) &&
+        graft.tables.GraftTable.load(spark, p.toString)
+          .lastStreamBatchId(appIdBase + ":" + checkpoint) >= 0L
+    }
     val legacy = checkpoint != canonical &&
-      java.nio.file.Files.exists(sigsPath.resolve("_graft_log")) &&
-      graft.tables.GraftTable.load(spark, sigsPath.toString)
-        .lastStreamBatchId(
-          graft.operators.Dedup.incrSigsAppId + ":" + checkpoint) >= 0L
+      (rawWatermark("sigs", graft.operators.Dedup.incrSigsAppId) ||
+        rawWatermark("shingles",
+          graft.operators.Dedup.incrShinglesAppId))
     val base = if (legacy) checkpoint else canonical
     (":" + base, base)
   }
@@ -529,7 +550,7 @@ object Streams {
     // checkpoint string) keeps that identity — switching it to the
     // canonical id would be exactly the lock-out this fix prevents.
     val pipelineId = {
-      val canonical = ":" + cp.toAbsolutePath.normalize.toString
+      val canonical = ":" + canonicalPath(checkpoint)
       val raw = ":" + checkpoint
       val statePath = java.nio.file.Paths.get(exportPath, "state")
       if (raw != canonical &&
@@ -601,14 +622,33 @@ object Streams {
     // are table-global, so a SECOND pipeline's epoch k would silently
     // skip behind the owner's landed epoch — a trainer would read
     // pipeline A's permutation as pipeline B's data (the silent-
-    // corruption class exportShardsIngest refuses). A pre-guard
-    // export is adopted by the first pipeline that touches it.
+    // corruption class exportShardsIngest refuses). An ownerless
+    // path is claimable ONLY while nothing has landed — adopting a
+    // path with landed epochs would bless exactly that corruption
+    // for whoever touches it first, so it refuses with the manual
+    // migration step instead.
     locally {
       import spark.implicits._
-      val pid = cp.toAbsolutePath.normalize.toString
+      val pid = canonicalPath(checkpoint)
+      val ownerPath = java.nio.file.Paths.get(exportPath, "owner")
+      val hasOwner = java.nio.file.Files.exists(
+        ownerPath.resolve("_graft_log"))
+      if (!hasOwner &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(asgPath, "_graft_log"))) {
+        val landed = GraftTable.load(spark, asgPath)
+          .rowCount.getOrElse(
+            GraftTable.load(spark, asgPath).snapshot().count())
+        require(landed == 0L,
+          s"epochExportStream: the export at $exportPath has landed " +
+            "epochs but no owner marker — claiming it blind could " +
+            "serve another pipeline's permutation as this one's " +
+            "data; the original owner must create <path>/owner (a " +
+            "one-row GraftTable with its canonical checkpoint in a " +
+            "'pipeline' column) to migrate")
+      }
       val ownerT = GraftTable.createIfAbsent(spark,
-        java.nio.file.Paths.get(exportPath, "owner").toString,
-        Seq(pid).toDF("pipeline"))
+        ownerPath.toString, Seq(pid).toDF("pipeline"))
       val owners = ownerT.snapshot().select(col("pipeline"))
         .distinct().collect().map(_.getString(0))
       require(owners.sameElements(Array(pid)),

@@ -248,9 +248,10 @@ object GraftSql {
     * the pruning.
     */
   private[graft] def oneShotExportLedger(spark: SparkSession,
-      asgPath: String): (DataFrame, Int, Int) = {
+      asgPath: String, preloaded: Option[GraftTable] = None)
+      : (DataFrame, Int, Int) = {
     import spark.implicits._
-    val t = GraftTable.load(spark, asgPath)
+    val t = preloaded.getOrElse(GraftTable.load(spark, asgPath))
     val mkRow = (endOffset: Long, maxDoc: Long) =>
       Seq((-1L, endOffset, maxDoc, ""))
         .toDF("batch_id", "end_offset", "max_doc", "pipeline")
@@ -292,11 +293,18 @@ object GraftSql {
     * files total) so specs pin the pruning.
     */
   private[graft] def epochExportLedger(spark: SparkSession,
-      path: String): (DataFrame, Int, Int) = {
+      path: String, preloaded: Option[GraftTable] = None)
+      : (DataFrame, Int, Int) = {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
     val asgPath = java.nio.file.Paths.get(path, "assignments").toString
-    val t = GraftTable.load(spark, asgPath)
+    val t = preloaded.getOrElse(GraftTable.load(spark, asgPath))
+    // the zero-landed state refuses like the one-shot leg — a crash
+    // between the placeholder create and the first epoch append must
+    // not print a silent empty ledger
+    require(!t.rowCount.contains(0L),
+      s"DESCRIBE EXPORT: the landed assignments at $asgPath hold " +
+        "zero rows — nothing to describe (run the export first)")
     val ownerPath = java.nio.file.Paths.get(path, "owner")
     val owner =
       if (java.nio.file.Files.exists(ownerPath.resolve("_graft_log")))
@@ -364,13 +372,15 @@ object GraftSql {
       // parquet catalog table — neither has a graft commit log)
       // resolves as its plain frame — either way the catalog name
       // wins over incidental same-named cwd content. The fallback
-      // catches every resolution failure (the ident path throws
-      // AnalysisException for views, IllegalArgumentException for
-      // non-graft providers) — spark.table then serves it or raises
-      // its own clean error.
+      // catches exactly the two NOT-A-GRAFT-TABLE shapes (the ident
+      // path throws AnalysisException for views, IllegalArgument for
+      // non-graft providers) — anything else (corrupt log, storage
+      // failure) propagates with its real cause instead of being
+      // masked behind spark.table's second-hand error.
       try indexSourceFrame(spark, null, src)
       catch {
-        case scala.util.control.NonFatal(_) => spark.table(src)
+        case _: org.apache.spark.sql.AnalysisException |
+            _: IllegalArgumentException => spark.table(src)
       }
     else if (java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
       indexSourceFrame(spark, src, null)
@@ -634,10 +644,12 @@ object GraftSql {
           java.nio.file.Paths.get(asgPath, "_graft_log")),
           s"DESCRIBE EXPORT: no export at $path (neither a state " +
             "ledger nor landed assignments)")
-        if (GraftTable.load(spark, asgPath).snapshot().columns
-            .contains("epoch"))
-          epochExportLedger(spark, path)._1
-        else oneShotExportLedger(spark, asgPath)._1
+        // load ONCE; both ledgers take the handle (this statement's
+        // whole point is O(files) metadata cost)
+        val asgT = GraftTable.load(spark, asgPath)
+        if (asgT.snapshot().columns.contains("epoch"))
+          epochExportLedger(spark, path, Some(asgT))._1
+        else oneShotExportLedger(spark, asgPath, Some(asgT))._1
       }
     case DescribeDedupIndex(path) =>
       def count(sub: String): Long = {
