@@ -945,6 +945,10 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("tokens_before"),
             col("doc_id")))),
           x => x.getField("doc_id")).as("doc_ids"),
+        // the same mask-boundary offsets the token packs land (in
+        // TOKEN positions — the landed text is single-spaced, so a
+        // loader re-tokenizing it can cut at these directly)
+        docStartsAgg(seqLen),
         max(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))
           .as("n_carry_in"))
       .repartitionByRange(col("seq_id"))

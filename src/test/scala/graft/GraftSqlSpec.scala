@@ -1983,7 +1983,7 @@ class GraftSqlSpec extends SparkSpec {
       man.collect().map(_.toSeq).toSet,
       "MATERIALIZE manifest diverged from the metadata rollup")
     assert(spark.read.parquet(seqOut).columns.toSet ===
-      Set("seq_id", "seq_text", "doc_ids", "n_carry_in"))
+      Set("seq_id", "seq_text", "doc_ids", "doc_starts", "n_carry_in"))
     val e2 = intercept[IllegalArgumentException] {
       GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' LENGTH 128 " +
         s"MANIFEST MATERIALIZE TO '$seqOut'")
