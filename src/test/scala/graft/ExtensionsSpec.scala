@@ -299,6 +299,18 @@ class ExtensionsSpec extends SparkSpec {
         .collect().map(_.getLong(1)).toSet
       assert(own.contains(100L),
         "exclude_self=false must keep the colliding corpus row")
+      // a TEMP VIEW as the queries source: the catalog name resolves
+      // (r18 sourceFrameAuto) — ≡ the path spelling of the same frame
+      s2.read.parquet(qDir).createOrReplaceTempView("graft_batch_q_view")
+      try {
+        val viaView = s2.sql(
+          "SELECT * FROM ann_search_batch(" +
+            s"'$ivf', 'graft_batch_q_view', 5)")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+        assert(viaView === bt,
+          "a temp-view queries source diverged from the path spelling")
+      } finally s2.catalog.dropTempView("graft_batch_q_view"): Unit
       // DEDUP leg of the lifecycle, same statements: the SQL-built
       // index probes identically to an API-built one
       val docsDir = java.nio.file.Files
