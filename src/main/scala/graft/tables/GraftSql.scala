@@ -191,9 +191,13 @@ object GraftSql {
   // MATERIALIZE TO ... IDS the token-ID form (arrays of vocabulary
   // ids instead of text; VOCAB SIZE caps the induced whole-token
   // vocabulary, UNK = 0) — the form that accepts ANY tokenizer,
-  // since id slicing needs no textual re-assembly
+  // since id slicing needs no textual re-assembly. MIXTURE composes
+  // the epochs-per-domain resample + per-copy shuffle INTO the
+  // token-ID pack (packTokensMixtureMaterialize — the complete
+  // loader artifact); it requires MATERIALIZE + IDS and takes the
+  // mixture form's DEFAULT/SEED knobs
   private val PackSequencesSql =
-    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(\s+MANIFEST)?(?:\s+MATERIALIZE\s+TO\s+'([^']+)')?(\s+IDS)?(?:\s+VOCAB\s+SIZE\s+(\d+))?\s*""".r
+    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+MIXTURE\s*\(([^)]*)\))?(?:\s+DEFAULT\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?(\s+MANIFEST)?(?:\s+MATERIALIZE\s+TO\s+'([^']+)')?(\s+IDS)?(?:\s+VOCAB\s+SIZE\s+(\d+))?\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -341,6 +345,30 @@ object GraftSql {
     }
   }
 
+  /** Parse a MIXTURE clause's weight list — one definition for both
+    * mixture spellings (EXPORT SHARDS and PACK SEQUENCES). A typo
+    * must refuse, not silently drop the pair: neither an unparseable
+    * tail nor a duplicated domain (the last pair would silently win
+    * through the map).
+    */
+  private def parseMixtureWeights(weightsTxt: String,
+      stmt: String): Map[String, Double] = {
+    val pairs = MixtureWeight.findAllMatchIn(weightsTxt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    val weights = pairs.toMap
+    require(weights.nonEmpty,
+      s"$stmt needs at least one 'domain' weight pair")
+    val rest = MixtureWeight.replaceAllIn(weightsTxt, "")
+    require(rest.replaceAll("[,\\s]", "").isEmpty,
+      s"$stmt: cannot parse weight list at '${rest.trim}' " +
+        "(expected 'domain' <weight> pairs)")
+    require(weights.size == pairs.size,
+      s"$stmt: duplicate domain in the weight list (" +
+        pairs.map(_._1).diff(weights.keys.toSeq).distinct
+          .mkString(",") + ")")
+    weights
+  }
+
   /** The gram vocabulary a `TOKENIZER vp` statement induces from its
     * own source — ONE definition for every SQL spelling (PACK
     * SEQUENCES and EXPORT SHARDS must never induce two different
@@ -445,22 +473,8 @@ object GraftSql {
       emptyResult(spark)
     case ExportShardsMixtureSql(toPath, srcPath, srcIdent, budgetTxt,
         tokTxt, weightsTxt, defTxt, seedTxt, bucketCntTxt, mixMat) =>
-      val pairs = MixtureWeight.findAllMatchIn(weightsTxt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-      val weights = pairs.toMap
-      require(weights.nonEmpty,
-        "EXPORT SHARDS MIXTURE needs at least one 'domain' weight pair")
-      // a weight-list typo must refuse, not silently drop the pair —
-      // neither an unparseable tail nor a duplicated domain (last
-      // pair would silently win through the map)
-      val rest = MixtureWeight.replaceAllIn(weightsTxt, "")
-      require(rest.replaceAll("[,\\s]", "").isEmpty,
-        s"EXPORT SHARDS MIXTURE: cannot parse weight list at " +
-          s"'${rest.trim}' (expected 'domain' <weight> pairs)")
-      require(weights.size == pairs.size,
-        "EXPORT SHARDS MIXTURE: duplicate domain in the weight list (" +
-          pairs.map(_._1).diff(weights.keys.toSeq).distinct
-            .mkString(",") + ")")
+      val weights = parseMixtureWeights(weightsTxt,
+        "EXPORT SHARDS MIXTURE")
       val budget = Option(budgetTxt).map(_.toLong).getOrElse(2048L)
       val defW = Option(defTxt).map(_.toDouble).getOrElse(1.0)
       val seed = Option(seedTxt).map(_.toLong).getOrElse(0L)
@@ -496,8 +510,8 @@ object GraftSql {
           landOneShotAssignments(spark, toPath, assigned))
           .withColumnRenamed("n_docs", "n_copies")
       }
-    case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, manifest,
-        matPath, ids, vsTxt) =>
+    case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, mixTxt,
+        defTxt, seedTxt, manifest, matPath, ids, vsTxt) =>
       val len = Option(lenTxt).map(_.toLong).getOrElse(512L)
       val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
       val src = indexSourceFrame(spark, srcPath, srcIdent)
@@ -507,6 +521,28 @@ object GraftSql {
       require(vsTxt == null || ids != null,
         "PACK SEQUENCES: VOCAB SIZE parameterizes the IDS form's " +
           "induced vocabulary — add IDS")
+      require(mixTxt != null || (defTxt == null && seedTxt == null),
+        "PACK SEQUENCES: DEFAULT and SEED parameterize the MIXTURE " +
+          "form — add MIXTURE ('domain' <w>, ...)")
+      if (mixTxt != null) {
+        // the COMPLETE loader artifact from SQL: resample → per-copy
+        // shuffle → fixed-length token-ID sequences in one statement
+        require(matPath != null && ids != null,
+          "PACK SEQUENCES MIXTURE lands the mixture token pack — " +
+            "give it MATERIALIZE TO '<path>' IDS")
+        require(tok != "vp",
+          "PACK SEQUENCES MIXTURE: the vp measure has no " +
+            "content-array spelling (IDS content takes ws|bpe)")
+        return graft.operators.TextAnalysis
+          .packTokensMixtureMaterialize(src,
+            parseMixtureWeights(mixTxt, "PACK SEQUENCES MIXTURE"),
+            matPath, seqLen = len,
+            vocabSize = Option(vsTxt).map(_.toInt).getOrElse(512),
+            defaultWeight =
+              Option(defTxt).map(_.toDouble).getOrElse(1.0),
+            seed = Option(seedTxt).map(_.toLong).getOrElse(0L),
+            tokenizer = tok)
+      }
       // TOKENIZER vp = the greedy-encode measure under the gram
       // vocabulary INDUCED from this statement's own source (the
       // metadata forms; the content forms slice token/id arrays and
@@ -1182,7 +1218,7 @@ object GraftSql {
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
          DescribeExport(_) |
          ExportShardsMixtureSql(_, _, _, _, _, _, _, _, _, _) |
-         PackSequencesSql(_, _, _, _, _, _, _, _) |
+         PackSequencesSql(_, _, _, _, _, _, _, _, _, _, _) |
          ExportShardsSql(_, _, _, _, _, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
@@ -1284,10 +1320,12 @@ object GraftSql {
           StructField("shard_tokens", LongType),
           StructField("first_doc", LongType),
           StructField("last_doc", LongType))))
-      case PackSequencesSql(_, _, _, _, manifest, matPath, ids, _) =>
+      case PackSequencesSql(_, _, _, _, mixTxt, _, _, manifest, matPath, ids, _) =>
         if (ids != null && matPath != null) Some(StructType(Seq(
           StructField("seq_id", LongType),
-          StructField("n_docs", IntegerType, nullable = false),
+          // the mixture form counts training COPIES
+          StructField(if (mixTxt != null) "n_copies" else "n_docs",
+            IntegerType, nullable = false),
           StructField("filled_tokens", LongType),
           StructField("n_carry_in", LongType),
           StructField("ids_sum", LongType),
@@ -1355,7 +1393,7 @@ object GraftSql {
         return true
       case ExportShardsMixtureSql(_, p, _, _, _, _, _, _, _, _) if p != null =>
         return true
-      case PackSequencesSql(p, _, _, _, _, _, _, _) if p != null =>
+      case PackSequencesSql(p, _, _, _, _, _, _, _, _, _, _) if p != null =>
         return true
       case ExportShardsSql(_, p, _, _, _, _, _, _, _, _, _) if p != null =>
         return true
@@ -1402,7 +1440,7 @@ object GraftSql {
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
       case ExportShardsMixtureSql(_, _, i, _, _, _, _, _, _, _) => Some(i)
-      case PackSequencesSql(_, i, _, _, _, _, _, _) => Some(i)
+      case PackSequencesSql(_, i, _, _, _, _, _, _, _, _, _) => Some(i)
       case ExportShardsSql(_, _, i, _, _, _, _, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)

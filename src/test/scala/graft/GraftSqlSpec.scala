@@ -1773,6 +1773,40 @@ class GraftSqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("IDS"), e3.getMessage)
   }
 
+  test("PACK SEQUENCES MIXTURE ... IDS: the complete loader artifact " +
+      "from one statement ≡ the API composition; misuse refuses") {
+    val root = Files.createTempDirectory("graft_packmix_sql_")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.parquet(root.resolve("src").toString)
+    val src = root.resolve("src").toString
+    val out = root.resolve("seqs").toString
+    val m = GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' LENGTH " +
+      "128 MIXTURE ('en' 0.5, 'zh' 2.25, 'es' 3.0, 'fr' 0.0) SEED 0 " +
+      s"MATERIALIZE TO '$out' IDS VOCAB SIZE 256")
+    assert(m.columns.toSeq === Seq("seq_id", "n_copies",
+      "filled_tokens", "n_carry_in", "ids_sum", "first_doc",
+      "last_doc"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val out2 = root.resolve("seqs2").toString
+    val api = operators.TextAnalysis.packTokensMixtureMaterialize(docs,
+      operators.TextAnalysis.scenarioMixture, out2, seqLen = 128L,
+      vocabSize = 256)
+    assert(cells(m) === cells(api),
+      "SQL mixture pack diverged from the API composition")
+    // misuse refuses: MIXTURE without the token-ID landing form,
+    // DEFAULT/SEED without MIXTURE
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' " +
+        "MIXTURE ('en' 0.5) MANIFEST")
+    }
+    assert(e1.getMessage.contains("MATERIALIZE"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' SEED 3 MANIFEST")
+    }
+    assert(e2.getMessage.contains("MIXTURE"), e2.getMessage)
+  }
+
   test("PACK SEQUENCES TOKENIZER vp: the greedy-encode measure from " +
       "pure SQL (grams induced from the statement's source); content " +
       "forms refuse it") {
