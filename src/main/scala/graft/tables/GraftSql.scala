@@ -530,6 +530,9 @@ object GraftSql {
         require(matPath != null && ids != null,
           "PACK SEQUENCES MIXTURE lands the mixture token pack — " +
             "give it MATERIALIZE TO '<path>' IDS")
+        require(manifest == null,
+          "PACK SEQUENCES: MATERIALIZE already returns the manifest " +
+            "re-derived from the landed content — drop MANIFEST")
         require(tok != "vp",
           "PACK SEQUENCES MIXTURE: the vp measure has no " +
             "content-array spelling (IDS content takes ws|bpe)")

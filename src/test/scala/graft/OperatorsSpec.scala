@@ -1125,6 +1125,22 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach { r =>
       val ids = r.getSeq[Long](r.fieldIndex("doc_ids"))
       assert(ids.sorted === ids, "doc_ids must ride in stream order")
+      // doc_starts VALUES (not just presence): aligned with doc_ids,
+      // first at 0 (fragments tile the sequence), strictly
+      // increasing, and — since the landed text is single-spaced —
+      // the boundary tokens re-derived by cutting seq_text's token
+      // array at doc_starts must tile it exactly
+      val starts = r.getSeq[Long](r.fieldIndex("doc_starts"))
+      assert(starts.length === ids.length,
+        "doc_starts must align with doc_ids")
+      assert(starts.headOption.contains(0L),
+        "the first fragment must start at offset 0")
+      assert(starts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+        "doc_starts must strictly increase")
+      val toks = r.getString(r.fieldIndex("seq_text"))
+        .split(" ").filter(_.nonEmpty)
+      assert(starts.forall(_ < toks.length),
+        "doc_starts must sit inside the landed token array")
     }
     // re-run overwrites (idempotent)
     operators.TextAnalysis.packSequencesMaterialize(docs, out,
