@@ -75,6 +75,10 @@ object ScaleProbe {
       shufExportProbe(spark, corpusDir)
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "vppack") {
+      vpPackProbe(spark, corpusDir)
+      spark.stop(); return
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "tokpack") {
       tokPackProbe(spark, corpusDir)
       spark.stop(); return
@@ -225,6 +229,33 @@ object ScaleProbe {
         graft.operators.TextAnalysis.scenarioMixture, out2).count()
     val t2 = System.nanoTime()
     println(s"""{"metric":"tokpack_probe","corpus":"$corpusDir","docs":$rows,"seqs":$n1,"mix_seqs":$n2,"pack_sec":${(t1 - t0) / 1e9},"mixture_pack_sec":${(t2 - t1) / 1e9}}""")
+  }
+
+  /** SUBWORD pack across a growing corpus
+    * (SPARK_GRAFT_PROBE=vppack): the r19 greedy-encode exit — (a) the
+    * encode-only pass (gram induction + per-char fold emitting
+    * segment ids, the new map-side linear term) and (b) the full
+    * subword pack materialization (encode + doc_id prefix sum + id
+    * slicing + per-sequence assembly). Both should scale ~linearly in
+    * corpus characters; nothing here may grow with the vocab beyond
+    * the broadcast map.
+    */
+  private def vpPackProbe(spark: SparkSession,
+      corpusDir: String): Unit = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, corpusDir, "documents")
+    val rows = docs.count()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_vppackprobe_").resolve("a").toString
+    val t0 = System.nanoTime()
+    val vdf = TextAnalysis.gramVocab(docs, 64)
+    val segTotal = TextAnalysis.vocabSegmentIds(docs, vdf)
+      .agg(sum(size(col("vp_ids")))).head().getLong(0)
+    val t1 = System.nanoTime()
+    val n1 = TextAnalysis.packTokensMaterialize(docs, out,
+      vocabSize = 64, tokenizer = "vp").count()
+    val t2 = System.nanoTime()
+    println(s"""{"metric":"vppack_probe","corpus":"$corpusDir","docs":$rows,"segments":$segTotal,"seqs":$n1,"encode_sec":${(t1 - t0) / 1e9},"pack_sec":${(t2 - t1) / 1e9}}""")
   }
 
   /** BATCH-SERVE latency against a growing index

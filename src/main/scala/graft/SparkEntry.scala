@@ -32,7 +32,7 @@ object SparkEntry {
     "q_rollup_priority" -> (Analytics.rollupPriority _),
     "q4_priority_exists" -> (Analytics.priorityExists _),
     "q_cust_no_orders" -> ((s: SparkSession, d: String) =>
-      Analytics.customersNoOrders(s, d)),
+      Analytics.lapsedCustomers(s, d)),
     "q17_small_qty_revenue" -> (Analytics.smallQtyRevenue _),
     "q14_promo_share" -> (Analytics.promoShare _),
     "q7_nation_volume" -> (Analytics.nationVolume _),
@@ -131,10 +131,14 @@ object SparkEntry {
       TextAnalysis.seqManifest(Tables.load(s, d, "documents"))),
     "text_pack_sequences_materialized" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packSequencesMaterializedScenario(s, d)),
+    "text_pack_incremental" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packSequencesIncrementalScenario(s, d)),
     "text_pack_tokens_materialized" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packTokensMaterializedScenario(s, d)),
     "text_pack_tokens_mixture" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packTokensMixtureScenario(s, d)),
+    "text_pack_describe" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.describePackScenario(s, d)),
     "text_mixture_resample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.mixtureResampleScenario(s, d)),
     "text_export_shards_mixture" -> ((s: SparkSession, d: String) =>
@@ -144,12 +148,18 @@ object SparkEntry {
         TextAnalysis.exportShardsMixtureMaterializedScenario(s, d)),
     "stream_export_shards" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.exportStreamScenario(s, d)),
+    "stream_pack_sequences" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Streams.packStreamScenario(s, d)),
     "stream_export_epochs" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.epochExportScenario(s, d)),
     "text_vocab_induct" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabInduct(s, d)),
     "text_vocab_segment" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabSegmentScenario(s, d)),
+    "text_vocab_segment_ids" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabSegmentIdsScenario(s, d)),
+    "text_pack_tokens_vp" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packTokensVpScenario(s, d)),
     "text_vocab_coverage" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabCoverage(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
@@ -250,6 +260,7 @@ object SparkEntry {
     // §F ML
     "ml_risk_score" -> (graft.ml.RiskPipeline.score _),
     "ml_score_fixed" -> (graft.ml.RiskPipeline.scoreFixed _),
+    "ml_threshold_fixed" -> (graft.ml.RiskPipeline.thresholdFixed _),
     "ml_gbt_fixed" -> (graft.ml.RiskPipeline.gbtScoreFixed _),
     "ml_risk_features" -> (graft.ml.RiskPipeline.featureFrame _),
     "ml_confusion_value" -> (graft.ml.RiskPipeline.confusionValue _),
@@ -1562,6 +1573,56 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN tokens_before < seq_id * 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM s GROUP BY seq_id""".stripMargin,
+    // the STREAMING pack accumulates to EXACTLY the one-shot manifest
+    // (the exactly-once export sink at budget = seqLen IS the pack's
+    // continuation state) — same replay as text_seq_manifest
+    "stream_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before,
+        |    CAST(UNNEST(generate_series(CAST(tokens_before // 512 AS BIGINT),
+        |      CAST((tokens_before + n_tokens - 1) // 512 AS BIGINT))) AS BIGINT) AS seq_id
+        |  FROM c WHERE n_tokens > 0)
+        |SELECT seq_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(LEAST((seq_id + 1) * 512, tokens_before + n_tokens)
+        |    - GREATEST(seq_id * 512, tokens_before)) AS BIGINT) AS filled_tokens,
+        |  CAST(SUM(CASE WHEN tokens_before < seq_id * 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM s GROUP BY seq_id""".stripMargin,
+    // the incremental pack accumulates to EXACTLY the one-shot
+    // manifest (doc_id-monotone batches + stored-offset continuation)
+    // — same replay as text_seq_manifest
+    "text_pack_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before,
+        |    CAST(UNNEST(generate_series(CAST(tokens_before // 512 AS BIGINT),
+        |      CAST((tokens_before + n_tokens - 1) // 512 AS BIGINT))) AS BIGINT) AS seq_id
+        |  FROM c WHERE n_tokens > 0)
+        |SELECT seq_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(LEAST((seq_id + 1) * 512, tokens_before + n_tokens)
+        |    - GREATEST(seq_id * 512, tokens_before)) AS BIGINT) AS filled_tokens,
+        |  CAST(SUM(CASE WHEN tokens_before < seq_id * 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM s GROUP BY seq_id""".stripMargin,
     // token-ID sequence packing: the vocabulary ranks the top 512
     // whole tokens by (count desc, token), ids 1..512 by row_number,
     // UNK = 0; every token maps individually to its seqLen=128 cut of
@@ -1599,6 +1660,35 @@ object SparkEntry {
         |  CAST(SUM(s_ids) AS BIGINT) AS ids_sum,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sd GROUP BY seq_id""".stripMargin,
+    // DESCRIBE PACK serves the O(1) summary sidecar; the oracle
+    // re-aggregates the token-pack replay from scratch — landed
+    // totals checked against an independent recomputation
+    "text_pack_describe" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d),
+        |tok AS (
+        |  SELECT doc_id, tokens_before, UNNEST(toks) AS token,
+        |    CAST(UNNEST(generate_series(1, CAST(len(toks) AS INT))) AS BIGINT) AS pos
+        |  FROM c WHERE n_tokens > 0),
+        |vc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        |vocab AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
+        |  FROM vc ORDER BY cnt DESC, token LIMIT 512),
+        |st AS (
+        |  SELECT CAST((t.tokens_before + t.pos - 1) // 128 AS BIGINT) AS seq_id,
+        |    COALESCE(v.id, 0) AS id
+        |  FROM tok t LEFT JOIN vocab v USING (token))
+        |SELECT 'tokens' AS form, 'ws' AS tokenizer,
+        |  CAST(128 AS BIGINT) AS seq_len, CAST(512 AS BIGINT) AS vocab_size,
+        |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+        |  CAST(COUNT(*) AS BIGINT) AS filled_tokens,
+        |  CAST(SUM(id) AS BIGINT) AS ids_sum
+        |FROM st""".stripMargin,
     // the COMPLETE mixture training artifact: reps → md5 coin →
     // per-copy permutation → cumsum (the mixture replay) composed
     // with the id lookup + per-token sequence mapping (the token-pack
@@ -1845,6 +1935,108 @@ object SparkEntry {
         |LEFT JOIN w ON d.doc_id = w.doc_id
         |LEFT JOIN done s ON w.word = s.word
         |GROUP BY d.doc_id""".stripMargin,
+    // the greedy encode EMITTING IDS: the same recursive cursor, now
+    // carrying each step's matched PIECE; ids from the rank order of
+    // the induced grams (row_number over score desc, gram — exactly
+    // gramVocab's assignment), single-char fallbacks to 0
+    "text_vocab_segment_ids" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |wu AS (SELECT DISTINCT word FROM w),
+        |g AS (
+        |  SELECT gram, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, gram) AS BIGINT) AS id
+        |  FROM (
+        |    SELECT gram, COUNT(*) * (length(gram) - 1) AS score FROM (
+        |      SELECT substr(word, CAST(UNNEST(generate_series(1, length(word) - n + 1)) AS INT), CAST(n AS INT)) AS gram
+        |      FROM (SELECT word, n FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents) t0
+        |            CROSS JOIN (SELECT UNNEST([2,3,4,5]) AS n) t WHERE length(word) >= n))
+        |    GROUP BY gram ORDER BY score DESC, gram LIMIT 64)),
+        |seg AS (
+        |  SELECT word, CAST(1 AS INT) AS pos, CAST(0 AS INT) AS seg_idx, '' AS piece FROM wu
+        |  UNION ALL
+        |  SELECT word, pos + step, seg_idx + 1, substr(word, pos, step) FROM (
+        |    SELECT word, pos, seg_idx,
+        |      CASE WHEN length(word) - pos + 1 >= 5 AND substr(word, pos, 5) IN (SELECT gram FROM g) THEN 5
+        |           WHEN length(word) - pos + 1 >= 4 AND substr(word, pos, 4) IN (SELECT gram FROM g) THEN 4
+        |           WHEN length(word) - pos + 1 >= 3 AND substr(word, pos, 3) IN (SELECT gram FROM g) THEN 3
+        |           WHEN length(word) - pos + 1 >= 2 AND substr(word, pos, 2) IN (SELECT gram FROM g) THEN 2
+        |           ELSE 1 END AS step
+        |    FROM seg WHERE pos <= length(word))),
+        |pieces AS (
+        |  SELECT s.word, s.seg_idx, COALESCE(g.id, 0) AS id
+        |  FROM seg s LEFT JOIN g ON s.piece = g.gram
+        |  WHERE s.seg_idx >= 1),
+        |wsum AS (SELECT word, COUNT(*) AS n_segs, SUM(id) AS s_ids FROM pieces GROUP BY word)
+        |SELECT d.doc_id, CAST(COALESCE(SUM(u.n_segs), 0) AS BIGINT) AS vp_tokens,
+        |  CAST(COALESCE(SUM(u.s_ids), 0) AS BIGINT) AS ids_sum
+        |FROM documents d
+        |LEFT JOIN w ON d.doc_id = w.doc_id
+        |LEFT JOIN wsum u ON w.word = u.word
+        |GROUP BY d.doc_id""".stripMargin,
+    // the SUBWORD pack: gram induction + ranked ids + greedy cursor
+    // (the segment-id replay above) composed with the doc_id-ordered
+    // prefix sum and the per-token sequence mapping — the landed
+    // subword id arrays checked end to end via the ids_sum checksum
+    "text_pack_tokens_vp" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
+        |    CAST(UNNEST(generate_series(1, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT))) AS BIGINT) AS widx
+        |  FROM documents),
+        |wu AS (SELECT DISTINCT word FROM w),
+        |g AS (
+        |  SELECT gram, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, gram) AS BIGINT) AS id
+        |  FROM (
+        |    SELECT gram, COUNT(*) * (length(gram) - 1) AS score FROM (
+        |      SELECT substr(word, CAST(UNNEST(generate_series(1, length(word) - n + 1)) AS INT), CAST(n AS INT)) AS gram
+        |      FROM (SELECT word, n FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents) t0
+        |            CROSS JOIN (SELECT UNNEST([2,3,4,5]) AS n) t WHERE length(word) >= n))
+        |    GROUP BY gram ORDER BY score DESC, gram LIMIT 64)),
+        |seg AS (
+        |  SELECT word, CAST(1 AS INT) AS pos, CAST(0 AS INT) AS seg_idx, '' AS piece FROM wu
+        |  UNION ALL
+        |  SELECT word, pos + step, seg_idx + 1, substr(word, pos, step) FROM (
+        |    SELECT word, pos, seg_idx,
+        |      CASE WHEN length(word) - pos + 1 >= 5 AND substr(word, pos, 5) IN (SELECT gram FROM g) THEN 5
+        |           WHEN length(word) - pos + 1 >= 4 AND substr(word, pos, 4) IN (SELECT gram FROM g) THEN 4
+        |           WHEN length(word) - pos + 1 >= 3 AND substr(word, pos, 3) IN (SELECT gram FROM g) THEN 3
+        |           WHEN length(word) - pos + 1 >= 2 AND substr(word, pos, 2) IN (SELECT gram FROM g) THEN 2
+        |           ELSE 1 END AS step
+        |    FROM seg WHERE pos <= length(word))),
+        |pieces AS (
+        |  SELECT s.word, s.seg_idx, COALESCE(g.id, 0) AS id
+        |  FROM seg s LEFT JOIN g ON s.piece = g.gram
+        |  WHERE s.seg_idx >= 1),
+        |wsum AS (SELECT word, COUNT(*) AS n_segs FROM pieces GROUP BY word),
+        |wo AS (
+        |  SELECT w.doc_id, w.word, w.widx, u.n_segs,
+        |    COALESCE(SUM(u.n_segs) OVER (PARTITION BY w.doc_id ORDER BY w.widx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segs_before_word
+        |  FROM w JOIN wsum u USING (word)),
+        |dt AS (SELECT doc_id, SUM(n_segs) AS n_tokens FROM wo GROUP BY doc_id),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM dt),
+        |tok AS (
+        |  SELECT wo.doc_id, c.tokens_before,
+        |    wo.segs_before_word + p.seg_idx AS pos, p.id
+        |  FROM wo JOIN pieces p ON wo.word = p.word
+        |  JOIN c ON wo.doc_id = c.doc_id),
+        |st AS (
+        |  SELECT doc_id, tokens_before,
+        |    CAST((tokens_before + pos - 1) // 128 AS BIGINT) AS seq_id, id
+        |  FROM tok),
+        |sd AS (
+        |  SELECT seq_id, doc_id, tokens_before, COUNT(*) AS n_tok, SUM(id) AS s_ids
+        |  FROM st GROUP BY seq_id, doc_id, tokens_before)
+        |SELECT seq_id, CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS filled_tokens,
+        |  CAST(SUM(CASE WHEN tokens_before < seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
+        |  CAST(SUM(s_ids) AS BIGINT) AS ids_sum,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM sd GROUP BY seq_id""".stripMargin,
     // vocabulary coverage: the top-512 whole-token vocab's per-lang
     // OOV accounting — exact integer counts, one double quotient
     "text_vocab_coverage" ->
@@ -3381,6 +3573,49 @@ object SparkEntry {
         |SELECT o_orderkey, bad_flag, score,
         |  CAST(score > 1.0 AS INTEGER) AS prediction
         |FROM scored""".stripMargin,
+    // max-F1 threshold selection over the decimal-exact fixed scores:
+    // every distinct score is a candidate threshold (positive =
+    // score >= t), cumulative tp/pp over the score-desc pane, argmax
+    // F1 with ties to the smallest threshold — fMeasureByThreshold's
+    // sweep as pure relational arithmetic
+    "ml_threshold_fixed" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS n_lines,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey),
+        |f AS (
+        |  SELECT o_orderkey, o_orderpriority, c_mktsegment, o_totalprice, c_acctbal,
+        |    COALESCE(li.n_lines, 0.0) AS n_lines, COALESCE(li.sum_qty, 0.0) AS sum_qty,
+        |    CAST(o_orderstatus <> 'F' AS INTEGER) AS bad_flag,
+        |    CAST(year(o_orderdate) AS INTEGER) AS issue_year
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  LEFT JOIN li ON o_orderkey = li.l_orderkey),
+        |scored AS (
+        |  SELECT bad_flag,
+        |    CAST(round(
+        |      CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(0.8 AS DECIMAL(2,1)) ELSE CAST(0 AS DECIMAL(2,1)) END
+        |      + CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(0.5 AS DECIMAL(2,1)) ELSE CAST(0 AS DECIMAL(2,1)) END
+        |      + CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(0.3 AS DECIMAL(2,1)) ELSE CAST(0 AS DECIMAL(2,1)) END
+        |      + CAST(o_totalprice AS DECIMAL(12,4)) * CAST(0.000002 AS DECIMAL(7,6))
+        |      + CAST(c_acctbal AS DECIMAL(12,4)) * CAST(0.00005 AS DECIMAL(7,6))
+        |      + CAST(n_lines AS DECIMAL(10,1)) * CAST(0.01 AS DECIMAL(3,2))
+        |      + CAST(sum_qty AS DECIMAL(14,4)) * CAST(0.001 AS DECIMAL(4,3)), 6) AS DOUBLE) AS score
+        |  FROM f WHERE issue_year > 1997),
+        |ps AS (
+        |  SELECT score, COUNT(*) AS n, SUM(bad_flag) AS n_pos
+        |  FROM scored GROUP BY score),
+        |cum AS (
+        |  SELECT score,
+        |    SUM(n_pos) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    SUM(n) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM ps),
+        |tot AS (SELECT SUM(bad_flag) AS pos_total FROM scored)
+        |SELECT score AS threshold,
+        |  CAST(2 * tp AS DOUBLE) / CAST(2 * tp + (pp - tp) + (pos_total - tp) AS DOUBLE) AS f1,
+        |  CAST(tp AS BIGINT) AS tp, CAST(pp - tp AS BIGINT) AS fp,
+        |  CAST(pos_total - tp AS BIGINT) AS fn
+        |FROM cum, tot
+        |ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin,
     "ml_gbt_fixed" ->
       """WITH li AS (
         |  SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS n_lines,

@@ -125,6 +125,45 @@ object RiskPipeline {
     new BinaryClassificationEvaluator().setLabelCol("bad_flag")
       .setRawPredictionCol("prob_bad").evaluate(scored)
 
+  /** The max-F1 THRESHOLD SELECTION as pure relational arithmetic —
+    * the oracle-checkable twin of [[bestF1Threshold]] over
+    * [[scoreFixed]]'s decimal-exact scores (what
+    * `fMeasureByThreshold` computes downstream of the fitted model:
+    * every distinct score is a candidate threshold, positive =
+    * score ≥ threshold, argmax F1 with ties to the smallest
+    * threshold — the summary's own ordering). Scale shape: the
+    * corpus reduces through ONE hash aggregate to the distinct-score
+    * pane first; the cumulative sweep's window runs over THAT pane
+    * (bounded by the score formula's value domain, never corpus
+    * rows — a production sweep over unbounded raw scores would bin
+    * first, the BinaryClassificationMetrics numBins trade). Exact
+    * integer counts; one double division at the end, bit-replayable.
+    */
+  def thresholdFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = scoreFixed(spark, sfDir)
+      .select(col("score"), col("bad_flag"))
+    val perScore = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bad_flag").cast("long")).as("n_pos"))
+    val totals = broadcast(
+      perScore.agg(sum(col("n_pos")).as("__pos_total")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perScore.crossJoin(totals)
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("pp", sum(col("n")).over(w))
+      .withColumn("fp", col("pp") - col("tp"))
+      .withColumn("fn", col("__pos_total") - col("tp"))
+      .withColumn("f1", (lit(2L) * col("tp")).cast("double") /
+        (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+      .orderBy(col("f1").desc, col("score"))
+      .limit(1)
+      .select(col("score").as("threshold"), col("f1"), col("tp"),
+        col("fp"), col("fn"))
+  }
+
   /** Max-F1 threshold selection (03-Fraud-ML.py:172-179): sweep the
     * training summary's fMeasureByThreshold, return the argmax
     * threshold — applied to the fitted LR before scoring.

@@ -322,22 +322,33 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"))
   }
 
-  /** NOT EXISTS as a left-anti join: LAPSED customers — no orders on
-    * or after the cutoff (the dated predicate keeps the driver row
-    * non-vacuous at every test SF, where the synthetic data gives
-    * every customer SOME order; the date filter pushes into the
-    * orders scan before the anti-join's shuffle).
+  /** NOT EXISTS as a left-anti join: customers with no orders AT ALL
+    * (`cutoff` None — the original API semantics), or none on/after
+    * the cutoff date when one is supplied. The signature makes the
+    * dated variant an explicit caller choice instead of a silent
+    * default change; the scenario entry point is [[lapsedCustomers]].
     */
   def customersNoOrders(spark: SparkSession, sfDir: String,
-      cutoff: String = "2000-01-01"): DataFrame = {
+      cutoff: Option[String] = None): DataFrame = {
     val c = Tables.load(spark, sfDir, "customer")
-    val o = Tables.load(spark, sfDir, "orders")
-      .where(col("o_orderdate") >= lit(cutoff).cast("date"))
+    val o = cutoff.foldLeft(Tables.load(spark, sfDir, "orders")) {
+        (d, cut) => d.where(col("o_orderdate") >= lit(cut).cast("date"))
+      }
       .select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
   }
+
+  /** LAPSED customers — no orders on or after the cutoff (the dated
+    * predicate keeps the driver row non-vacuous at every test SF,
+    * where the synthetic data gives every customer SOME order; the
+    * date filter pushes into the orders scan before the anti-join's
+    * shuffle).
+    */
+  def lapsedCustomers(spark: SparkSession, sfDir: String,
+      cutoff: String = "2000-01-01"): DataFrame =
+    customersNoOrders(spark, sfDir, Some(cutoff))
 
   /** TPC-H Q17 shape — correlated scalar subquery (per-part avg
     * quantity) decorrelated into a pre-aggregated join: ONE pass

@@ -460,6 +460,12 @@ object TextAnalysis {
     * standing oracle replays), any other seed prefixes `"<seed>:"`
     * before hashing, so epochs draw independent md5 orders while each
     * stays engine-portable.
+    *
+    * NOTE: with `hashBuckets` = 0 (auto), sizing the fan-out runs ONE
+    * eager column-pruned COUNT job at frame-CONSTRUCTION time (the
+    * width must be a plan literal). A caller composing many frames
+    * over one source (an epoch loop, repeated SQL statements) should
+    * count once and pass [[autoHashBuckets]]'s result explicitly.
     */
   def exportShardsShuffled(docs: DataFrame,
       shardTokens: Long = 2048L, seed: Long = 0L,
@@ -681,11 +687,23 @@ object TextAnalysis {
       // fail-safe order (state-first would double-advance the offset)
       val asgT = GraftTable.createIfAbsent(spark, asgPath,
         assigned.limit(0))
+      // MIXED-ERA adoption guard: a release that appended under the
+      // SUFFIXED namespace while the state table was still
+      // legacy-shaped (3-column) leaves batches whose watermark lives
+      // at appId + pipelineId even though legacyOrigin forces nsId =
+      // ''. A replay of such a batch passes isReplay (the state row
+      // exists) but the '' watermark has never seen it — appending
+      // blind would re-land its token ranges. Check BOTH namespaces:
+      // covered under either means skip.
+      def suffixCovered(t: GraftTable, appIdBase: String): Boolean =
+        legacyOrigin && pipelineId.nonEmpty &&
+          t.lastStreamBatchId(appIdBase + pipelineId) >= batchId
       // per-pipeline watermark namespaces (the sigs/shingles lesson):
       // two id sequences sharing one export path must not mistake
       // each other's batch 0 for a replay
-      asgT.appendIfNew(assigned, batchId,
-        appId = exportAssignAppId + nsId)
+      if (!suffixCovered(asgT, exportAssignAppId))
+        asgT.appendIfNew(assigned, batchId,
+          appId = exportAssignAppId + nsId): Unit
       import spark.implicits._
       // state rows ALWAYS carry the owning pipeline — an adopted
       // legacy table backfills the column on this append (schema
@@ -697,8 +715,9 @@ object TextAnalysis {
         .toDF("batch_id", "end_offset", "max_doc", "pipeline")
       val stT = GraftTable.createIfAbsent(spark, statePath,
         stateRow.limit(0))
-      stT.appendIfNew(stateRow, batchId,
-        appId = exportStateAppId + nsId, evolve = true)
+      if (!suffixCovered(stT, exportStateAppId))
+        stT.appendIfNew(stateRow, batchId,
+          appId = exportStateAppId + nsId, evolve = true): Unit
       // return the TABLE-BACKED batch slice — the commits already
       // landed distributed, so the result never rides a driver
       // collect (a production-sized batch must not materialize on
@@ -815,7 +834,22 @@ object TextAnalysis {
       bucketSize: Long = 4096L, tokenizer: String = "ws",
       vpGrams: Seq[String] = Nil): DataFrame = {
     require(seqLen >= 1L, "packSequences needs seqLen >= 1")
-    tokenPrefix(docs, bucketSize, startOffset = 0L, tokenizer, vpGrams)
+    spanColumns(
+      tokenPrefix(docs, bucketSize, startOffset = 0L, tokenizer,
+        vpGrams), seqLen)
+  }
+
+  /** THE per-doc span arithmetic over any frame carrying
+    * (doc_id, n_tokens, tokens_before) — shared by the one-shot
+    * [[packSequences]] and the incremental [[packSequencesIngest]],
+    * one definition so a pack accumulated across batches can never
+    * silently diverge from the one-shot spans (the
+    * fragmentWindows/docStartsAgg discipline). Map-side integer
+    * arithmetic only.
+    */
+  private def spanColumns(prefixed: DataFrame,
+      seqLen: Long): DataFrame =
+    prefixed
       .withColumn("start_seq", expr(s"tokens_before div ${seqLen}L"))
       .withColumn("start_offset", expr(s"tokens_before % ${seqLen}L"))
       .withColumn("end_seq", expr(
@@ -824,6 +858,90 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
         col("start_seq"), col("start_offset"), col("end_seq"),
         col("n_seqs"))
+
+  /** INCREMENTAL sequence packing — the continuous form of
+    * [[packSequences]] for a corpus that keeps ingesting: each
+    * arriving batch's docs take spans CONTINUING from the stored
+    * corpus token total, so a sequence left PARTIALLY OPEN by batch
+    * k's last doc is filled by batch k+1's first (the carry the
+    * one-shot layout gets for free from the global cumsum). The
+    * continuation state IS the incremental exporter's
+    * (end_offset, max_doc, batch watermark) rows — this operator
+    * rides [[exportShardsIngest]] with budget = `seqLen` (a shard of
+    * seqLen tokens and a training sequence cut at every seqLen are
+    * the same arithmetic), inheriting the whole exactly-once
+    * contract: doc_id-monotone batches checked loudly, replays
+    * re-land nothing, crash between the two commits self-heals,
+    * one pipeline id owns the path. Returns the batch's span frame
+    * (the one-shot columns); the accumulated table must equal the
+    * one-shot [[packSequences]] over the union of batches.
+    */
+  def packSequencesIngest(spark: SparkSession, packPath: String,
+      docs: DataFrame, batchId: Long, seqLen: Long = 512L,
+      bucketSize: Long = 4096L, pipelineId: String = ""): DataFrame = {
+    require(seqLen >= 1L, "packSequencesIngest needs seqLen >= 1")
+    spanColumns(
+      exportShardsIngest(spark, packPath, docs, batchId,
+          shardTokens = seqLen, bucketSize, pipelineId)
+        .select(col("doc_id"), col("n_tokens"), col("tokens_before")),
+      seqLen)
+  }
+
+  /** The per-SEQUENCE manifest over an incremental pack's ACCUMULATED
+    * state — [[seqManifest]]'s rollup, but over the landed
+    * (doc_id, n_tokens, tokens_before) assignments instead of a
+    * fresh cumsum: the read that hands a trainer the mask/provenance
+    * metadata for everything packed so far. Shares [[fragmentWindows]]
+    * (the single fill-window definition), so it equals the one-shot
+    * manifest whenever the batches were doc_id-monotone — which the
+    * ingest enforces.
+    */
+  def packIngestManifest(spark: SparkSession, packPath: String,
+      seqLen: Long = 512L): DataFrame =
+    fragmentWindows(
+      graft.tables.GraftTable.load(spark,
+          java.nio.file.Paths.get(packPath, "assignments").toString)
+        .snapshot()
+        .select(col("doc_id"), col("n_tokens"), col("tokens_before")),
+      seqLen)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("fill_end") - col("fill_start")).as("filled_tokens"),
+        sum(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))
+          .as("n_carry_in"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  private val packIngestStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[packSequencesIngest]]: the corpus arrives
+    * in 3 doc_id-monotone batches plus a replay of the last (re-lands
+    * nothing); the batch splits are NOT aligned to seqLen, so
+    * sequences at both batch seams carry a doc across the boundary —
+    * the accumulated manifest must equal the one-shot
+    * [[seqManifest]], whose oracle it shares. Staged once per
+    * (process, sfDir) so the bench times the manifest serve.
+    */
+  def packSequencesIncrementalScenario(spark: SparkSession,
+      sfDir: String, seqLen: Long = 512L): DataFrame = {
+    val stage = packIngestStages.computeIfAbsent(s"$sfDir:$seqLen",
+      { _ =>
+        val docs = Tables.load(spark, sfDir, "documents")
+        val p = java.nio.file.Files.createTempDirectory("graft_packinc_")
+        packSequencesIngest(spark, p.toString,
+          docs.where(col("doc_id") < 170), 0L, seqLen)
+        packSequencesIngest(spark, p.toString,
+          docs.where(col("doc_id") >= 170 && col("doc_id") < 340), 1L,
+          seqLen)
+        packSequencesIngest(spark, p.toString,
+          docs.where(col("doc_id") >= 340), 2L, seqLen)
+        // replay of the last batch: both watermarks skip, state stays
+        packSequencesIngest(spark, p.toString,
+          docs.where(col("doc_id") >= 340), 2L, seqLen)
+        p
+      })
+    packIngestManifest(spark, stage.toString, seqLen)
   }
 
   /** Per-SEQUENCE manifest over [[packSequences]] — one row per
@@ -954,7 +1072,9 @@ object TextAnalysis {
       .repartitionByRange(col("seq_id"))
       .sortWithinPartitions(col("seq_id"))
       .write.mode("overwrite").parquet(outPath)
-    materializedSeqManifest(spark, outPath)
+    val manifest = materializedSeqManifest(spark, outPath)
+    writePackSummary(outPath, "text", "ws", seqLen, 0L, manifest)
+    manifest
   }
 
   /** The per-sequence manifest read back from a materialized pack:
@@ -1028,7 +1148,11 @@ object TextAnalysis {
     * whole-token vocab), out-of-vocabulary tokens to id 0 (UNK).
     * Unlike the text materializer, ANY pre-tokenization measure works
     * — id slicing needs no textual re-assembly, so the `bpe` measure
-    * the metadata forms accept finally lands a consumable artifact.
+    * the metadata forms accept finally lands a consumable artifact,
+    * and the `vp` measure lands true SUBWORD sequences: the doc's
+    * stream is its greedy-encode segment-id array under the induced
+    * gram vocabulary ([[gramVocab]]) or a supplied one — the
+    * UNK-heavy whole-token ceiling is gone.
     * Scale shape: the vocabulary rides ONE broadcast 1-row map column
     * (bounded by V; probes are per-token map lookups — a
     * production-sized V trades this literal map for the same
@@ -1044,19 +1168,41 @@ object TextAnalysis {
       tokenizer: String = "ws", bucketSize: Long = 4096L,
       vocab: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
-    val vdf = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
-    val vmap = broadcast(vdf.agg(map_from_entries(
-      collect_list(struct(col("token"), col("id")))).as("__vmap")))
-    val frags = seqFragments(docs, seqLen, bucketSize, tokenizer)
-      .join(docs.select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
-          lit(0)).as("__toks")), Seq("doc_id"))
-      .crossJoin(vmap)
-      .withColumn("__frag_ids", transform(
-        slice(col("__toks"),
+    val frags = if (tokenizer == "vp") {
+      // the SUBWORD form: the doc's token stream IS the greedy-encode
+      // segment-id array ([[vocabSegmentIds]] under the induced — or
+      // supplied — gram vocabulary), so the fill windows slice the id
+      // arrays directly (no token→id map; the ids were assigned at
+      // encode time, UNK already 0). Counts derive from the SAME
+      // arrays (size), so the prefix sum and the landed ids cannot
+      // diverge.
+      val vdf = vocab.getOrElse(gramVocab(docs, vocabSize))
+      val docIds = vocabSegmentIds(docs, vdf)
+      val counted = docIds.select(col("doc_id"),
+          size(col("vp_ids")).cast("long").as("n_tokens"))
+        .withColumn("__b", expr(s"doc_id div ${bucketSize}L"))
+      fragmentWindows(prefixSum(counted, Seq("doc_id"),
+          startOffset = 0L), seqLen)
+        .join(docIds.select(col("doc_id"),
+          col("vp_ids").as("__ids")), Seq("doc_id"))
+        .withColumn("__frag_ids", slice(col("__ids"),
           (col("fill_start") - col("tokens_before") + 1L).cast("int"),
-          (col("fill_end") - col("fill_start")).cast("int")),
-        t => coalesce(element_at(col("__vmap"), t), lit(0L))))
+          (col("fill_end") - col("fill_start")).cast("int")))
+    } else {
+      val vdf = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
+      val vmap = broadcast(vdf.agg(map_from_entries(
+        collect_list(struct(col("token"), col("id")))).as("__vmap")))
+      seqFragments(docs, seqLen, bucketSize, tokenizer)
+        .join(docs.select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
+            lit(0)).as("__toks")), Seq("doc_id"))
+        .crossJoin(vmap)
+        .withColumn("__frag_ids", transform(
+          slice(col("__toks"),
+            (col("fill_start") - col("tokens_before") + 1L).cast("int"),
+            (col("fill_end") - col("fill_start")).cast("int")),
+          t => coalesce(element_at(col("__vmap"), t), lit(0L))))
+    }
     frags.groupBy(col("seq_id"))
       .agg(
         flatten(transform(
@@ -1080,7 +1226,63 @@ object TextAnalysis {
       .repartitionByRange(col("seq_id"))
       .sortWithinPartitions(col("seq_id"))
       .write.mode("overwrite").parquet(outPath)
-    materializedTokenManifest(spark, outPath)
+    val manifest = materializedTokenManifest(spark, outPath)
+    writePackSummary(outPath, "tokens", tokenizer, seqLen,
+      vocab.map(_.count()).getOrElse(vocabSize.toLong), manifest)
+    manifest
+  }
+
+  /** ONE-ROW PACK SUMMARY sidecar (`_pack_summary.json`, underscore-
+    * prefixed so parquet readers skip it) — the DESCRIBE PACK ops
+    * glance: which form/measure/length/vocab produced this layout and
+    * the landed totals (sequence count, fill, id checksum). Written
+    * on the materialize path by aggregating the write-receipt
+    * manifest — one extra pass over the landed slim columns at write
+    * time buys an O(1) DESCRIBE forever after; the totals double as
+    * a landing fingerprint a re-run can be compared against.
+    */
+  private def writePackSummary(outPath: String, form: String,
+      tokenizer: String, seqLen: Long, vocabSize: Long,
+      manifest: DataFrame): Unit = {
+    val hasIds = manifest.columns.contains("ids_sum")
+    val r = manifest.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("filled_tokens")), lit(0L)).as("ft"),
+      (if (hasIds) coalesce(sum(col("ids_sum")), lit(0L))
+       else lit(0L)).as("is")).head()
+    val json = s"""{"form":"$form","tokenizer":"$tokenizer",""" +
+      s""""seq_len":$seqLen,"vocab_size":$vocabSize,""" +
+      s""""n_sequences":${r.getLong(0)},""" +
+      s""""filled_tokens":${r.getLong(1)},"ids_sum":${r.getLong(2)}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath, "_pack_summary.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    : Unit
+  }
+
+  /** Read a landed pack's one-row summary — refuses descriptively
+    * when the path holds no materialized pack.
+    */
+  def describePack(spark: SparkSession, path: String): DataFrame = {
+    val p = java.nio.file.Paths.get(path, "_pack_summary.json")
+    require(java.nio.file.Files.exists(p),
+      s"DESCRIBE PACK: no _pack_summary.json under $path — the path " +
+        "does not hold a materialized pack (run PACK SEQUENCES ... " +
+        "MATERIALIZE TO first)")
+    // the sidecar is underscore-prefixed so DATA readers skip it —
+    // which also hides it from Spark's own file index; it is one
+    // line, so read it on the driver and parse via a literal dataset
+    val line = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    import spark.implicits._
+    spark.read.schema(
+        "form STRING, tokenizer STRING, seq_len LONG, " +
+          "vocab_size LONG, n_sequences LONG, filled_tokens LONG, " +
+          "ids_sum LONG")
+      .json(spark.createDataset(Seq(line)))
+      .select(col("form"), col("tokenizer"), col("seq_len"),
+        col("vocab_size"), col("n_sequences"), col("filled_tokens"),
+        col("ids_sum"))
   }
 
   /** The per-sequence manifest read back from a materialized token-ID
@@ -1102,6 +1304,34 @@ object TextAnalysis {
         array_min(col("doc_ids")).as("first_doc"),
         array_max(col("doc_ids")).as("last_doc"))
 
+  /** The PRODUCTION-V spelling of the token→id lookup — the seam the
+    * pack docstrings promise: a vocabulary too large for a literal
+    * 1-row map column (≳10⁶ entries) trades the map probe for a
+    * posexplode → broadcast equi-join → ordered re-collect, value-
+    * identical by construction (OOV → 0, order restored from the
+    * exploded position). Kept package-private as the guarded
+    * alternative; the literal-map path stays the default below the
+    * broadcast threshold. The equivalence is spec-pinned.
+    */
+  private[graft] def tokenIdsByJoin(docsToks: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val ids = docsToks
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("__p", "__t")))
+      .join(broadcast(vocab.select(col("token").as("__t"),
+        col("id").cast("long").as("__id"))), Seq("__t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"),
+          coalesce(col("__id"), lit(0L)).as("__id")))),
+        x => x.getField("__id")).as("__ids"))
+    // zero-token docs have nothing to explode — reattach them with
+    // empty id arrays so the two spellings agree row-for-row
+    docsToks.select(col("doc_id"))
+      .join(ids, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__ids"), array_repeat(lit(0L), 0)).as("__ids"))
+  }
+
   private val tokenMatStages =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
@@ -1120,6 +1350,41 @@ object TextAnalysis {
         p
       })
     materializedTokenManifest(spark, out.resolve("seqs").toString)
+  }
+
+  /** Driver scenario for the SUBWORD pack — [[packTokensMaterialize]]
+    * under the `vp` measure (seqLen 128, induced top-64 gram
+    * vocabulary): stage once per process, read the manifest back from
+    * the landed id arrays. The oracle replays the gram induction, the
+    * greedy cursor, the id assignment, the doc_id-ordered prefix sum
+    * and the slicing — the complete subword loader artifact, checked
+    * end to end.
+    */
+  def packTokensVpScenario(spark: SparkSession, sfDir: String,
+      seqLen: Long = 128L, vocabSize: Int = 64): DataFrame = {
+    val out = tokenMatStages.computeIfAbsent(
+      s"$sfDir:vp:$seqLen:$vocabSize", { _ =>
+        val p = java.nio.file.Files.createTempDirectory("graft_vpmat_")
+        packTokensMaterialize(Tables.load(spark, sfDir, "documents"),
+          p.resolve("seqs").toString, seqLen, vocabSize,
+          tokenizer = "vp")
+        p
+      })
+    materializedTokenManifest(spark, out.resolve("seqs").toString)
+  }
+
+  /** Driver scenario for DESCRIBE PACK: stage the ws token pack once
+    * per process (shared with [[packTokensMaterializedScenario]]),
+    * then serve the O(1) summary THROUGH the SQL statement — the
+    * oracle re-aggregates the full pack replay, so the sidecar's
+    * totals are checked against an independent recomputation.
+    */
+  def describePackScenario(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    packTokensMaterializedScenario(spark, sfDir): Unit
+    val p = tokenMatStages.get(s"$sfDir:128:512")
+    graft.tables.GraftSql.sql(spark,
+      s"DESCRIBE PACK '${p.resolve("seqs")}'")
   }
 
   /** The COMPLETE mixture training artifact — [[exportShardsMixture]]
@@ -1201,7 +1466,10 @@ object TextAnalysis {
       .repartitionByRange(col("seq_id"))
       .sortWithinPartitions(col("seq_id"))
       .write.mode("overwrite").parquet(outPath)
-    materializedMixtureTokenManifest(spark, outPath)
+    val manifest = materializedMixtureTokenManifest(spark, outPath)
+    writePackSummary(outPath, "mixture_tokens", tokenizer, seqLen,
+      vocab.map(_.count()).getOrElse(vocabSize.toLong), manifest)
+    manifest
   }
 
   /** Manifest read back from a landed mixture token pack (copy
@@ -1314,6 +1582,10 @@ object TextAnalysis {
     * the same doc scatter across shards instead of clumping), then
     * the same distributed prefix sum cuts fixed-token shards. Per-copy
     * frame: (doc_id, rep, n_tokens, tokens_before, shard_id).
+    * NOTE: with `hashBuckets` = 0 (auto), sizing the fan-out runs ONE
+    * eager column-pruned COUNT of the resampled copy stream at
+    * frame-CONSTRUCTION time — multi-frame callers should pin
+    * [[autoHashBuckets]]'s result instead.
     */
   def exportShardsMixture(docs: DataFrame, weights: Map[String, Double],
       shardTokens: Long = 2048L, defaultWeight: Double = 1.0,
@@ -1487,6 +1759,33 @@ object TextAnalysis {
       .limit(vocabSize)
   }
 
+  /** The RANKED gram vocabulary — [[vocabInductFrame]]'s selection
+    * with ids 1..V assigned by dense rank over (score desc, gram),
+    * id 0 reserved for the single-character UNK fallback: the
+    * (token, id) table [[vocabSegmentIds]] encodes against and the
+    * `vp` token-ID pack lands. The rank window runs over the
+    * already-cut VOCAB-sized pane (bounded by V), like [[tokenVocab]].
+    */
+  def gramVocab(docs: DataFrame, vocabSize: Int = 64, minN: Int = 2,
+      maxN: Int = 5): DataFrame = {
+    val top = vocabInductFrame(docs, minN, maxN, vocabSize)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("gram"))
+    top.withColumn("id", row_number().over(w).cast("long"))
+      .select(col("gram").as("token"), col("id"), col("cnt"))
+  }
+
+  /** A rank-ordered gram list as the (token, id) frame the encode
+    * probes: ids are 1-based positions — exactly [[gramVocab]]'s
+    * rank assignment when the list is its gram column in order.
+    */
+  private def gramIdFrame(spark: SparkSession,
+      grams: Seq[String]): DataFrame = {
+    import spark.implicits._
+    grams.zipWithIndex.map { case (g, i) => (g, (i + 1).toLong) }
+      .toDF("token", "id")
+  }
+
   /** APPLY the induced vocabulary — the WordPiece-style ENCODE step
     * that connects [[vocabInduct]]'s selection to the token-count /
     * packing family: every word segments by GREEDY LONGEST MATCH
@@ -1494,24 +1793,22 @@ object TextAnalysis {
     * vocab gram that fits, else one character — the standard greedy
     * WordPiece inference; Wu et al. 2016), and `vp_tokens` is the
     * doc's total segment count under that measure. Pure built-ins —
-    * the per-word scan is a codegen'd `aggregate` fold over character
-    * positions (each step probes ≤ maxN−minN+1 map entries), the
+    * the per-word scan is an `aggregate` fold over character
+    * positions (each step probes ≤ maxN−minN+1 map entries; the
+    * higher-order-function lambda evaluates as an interpreted
+    * expression outside whole-stage codegen, but the pass stays
+    * map-side, zero-shuffle and linear in characters), the
     * vocabulary rides ONE broadcast 1-row map column (bounded by V;
     * a production-sized V would trade the literal map probe for a
-    * hashed custom expression, same plan shape) — map-side only,
-    * zero shuffle, no UDF.
+    * hashed custom expression, same plan shape) — no UDF.
     */
   def vocabSegments(docs: DataFrame, grams: Seq[String], minN: Int = 2,
       maxN: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     require(grams.nonEmpty,
       "vocabSegments needs the induced gram vocabulary")
     require(minN >= 1 && maxN >= minN,
       "vocabSegments needs 1 <= minN <= maxN")
-    val gmapDf = broadcast(grams.toDF("gram")
-      .agg(map_from_entries(collect_list(struct(col("gram"), lit(1))))
-        .as("__gmap")))
+    val gmapDf = gramMap(gramIdFrame(docs.sparkSession, grams))
     docs.crossJoin(gmapDf)
       .select(col("doc_id"),
         aggregate(
@@ -1522,12 +1819,66 @@ object TextAnalysis {
           .as("vp_tokens"))
   }
 
+  /** The greedy encode EMITTING SEGMENT IDS — the step that turns
+    * [[vocabSegments]]' count into a landable token-ID artifact:
+    * per doc, the concatenation of every word's greedy-longest-match
+    * segment ids under the supplied (token, id) gram vocabulary
+    * ([[gramVocab]]'s induced ranking or any externally trained
+    * table), single-character fallbacks to id 0 (UNK). The id array's
+    * LENGTH is by construction the [[vocabSegments]] count (one fold
+    * step per segment, shared step arithmetic — [[vpStep]]), so packs
+    * sliced from these arrays can never diverge from the vp token
+    * budget. Same plan shape as the count: one broadcast 1-row map
+    * column, map-side fold, zero shuffle, no UDF (the fold lambda is
+    * interpreted-expression eval, linear in characters).
+    */
+  def vocabSegmentIds(docs: DataFrame, vocab: DataFrame, minN: Int = 2,
+      maxN: Int = 5): DataFrame = {
+    require(minN >= 1 && maxN >= minN,
+      "vocabSegmentIds needs 1 <= minN <= maxN")
+    docs.crossJoin(gramMap(vocab))
+      .select(col("doc_id"),
+        flatten(transform(
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+            lit(0)),
+          w => vpSegIds(w, col("__gmap"), minN, maxN))).as("vp_ids"))
+  }
+
+  /** The 1-row broadcast gram→id map column both encode forms probe
+    * (one builder so the count and the ids always see the same
+    * vocabulary spelling).
+    */
+  private def gramMap(vocab: DataFrame): DataFrame =
+    broadcast(vocab.agg(map_from_entries(
+      collect_list(struct(col("token"),
+        col("id").cast("long").as("id")))).as("__gmap")))
+
+  /** ONE greedy step of the longest-match cursor: at `pos`, the
+    * longest vocab gram that fits as struct(len, id), else the
+    * single-character fallback struct(1, 0). THE shared arithmetic
+    * under [[vpSegCount]] and [[vpSegIds]] — two folds over one step
+    * definition, so the counted measure and the emitted ids cannot
+    * silently diverge.
+    */
+  private def vpStep(word: Column, pos: Column, gmap: Column,
+      minN: Int, maxN: Int): Column = {
+    val rem = length(word) - pos + lit(1)
+    (maxN to minN by -1)
+      .foldLeft(when(lit(false),
+        struct(lit(1).as("len"), lit(0L).as("id")))) { (acc, n) =>
+        acc.when(rem >= lit(n) &&
+          element_at(gmap, word.substr(pos, lit(n))).isNotNull,
+          struct(lit(n).as("len"),
+            element_at(gmap, word.substr(pos, lit(n))).as("id")))
+      }.otherwise(struct(lit(1).as("len"), lit(0L).as("id")))
+  }
+
   /** The greedy longest-match segment COUNT of one word: an
     * `aggregate` fold over character positions carrying (next match
     * position, segments so far) — positions the cursor has jumped
     * over fall through untouched, so the fold is exactly the
-    * imperative greedy scan, spelled relationally (codegen'd, no
-    * recursion, bounded by word length).
+    * imperative greedy scan, spelled relationally (no recursion,
+    * bounded by word length).
     */
   private def vpSegCount(word: Column, gmap: Column, minN: Int,
       maxN: Int): Column =
@@ -1536,18 +1887,34 @@ object TextAnalysis {
       struct(lit(1).as("pos"), lit(0L).as("cnt")),
       (st, i) => {
         val pos = st.getField("pos")
-        val rem = length(word) - pos + lit(1)
-        val step = (maxN to minN by -1)
-          .foldLeft(when(lit(false), lit(1))) { (acc, n) =>
-            acc.when(rem >= lit(n) &&
-              element_at(gmap, word.substr(pos, lit(n))).isNotNull,
-              lit(n))
-          }.otherwise(lit(1))
+        val step = vpStep(word, pos, gmap, minN, maxN)
         when(i =!= pos, st).otherwise(
-          struct((pos + step).as("pos"),
+          struct((pos + step.getField("len")).as("pos"),
             (st.getField("cnt") + lit(1L)).as("cnt")))
       },
       st => st.getField("cnt"))
+
+  /** The greedy longest-match segment IDS of one word — the same
+    * cursor fold as [[vpSegCount]] (one [[vpStep]] per segment),
+    * accumulating the matched gram's id (fallback 0) instead of a
+    * count. The per-step array append copies O(segments) ids, so a
+    * word's encode is O(len + segments²) — bounded by word length,
+    * still map-side linear over the corpus.
+    */
+  private def vpSegIds(word: Column, gmap: Column, minN: Int,
+      maxN: Int): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(1).as("pos"), array_repeat(lit(0L), 0).as("ids")),
+      (st, i) => {
+        val pos = st.getField("pos")
+        val step = vpStep(word, pos, gmap, minN, maxN)
+        when(i =!= pos, st).otherwise(
+          struct((pos + step.getField("len")).as("pos"),
+            concat(st.getField("ids"), array(step.getField("id")))
+              .as("ids")))
+      },
+      st => st.getField("ids"))
 
   private val vpGramStages =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
@@ -1571,6 +1938,20 @@ object TextAnalysis {
       sfDir: String): DataFrame =
     vocabSegments(Tables.load(spark, sfDir, "documents"),
       inducedGrams(spark, sfDir))
+
+  /** Driver scenario for [[vocabSegmentIds]]: the per-doc encode
+    * under the induced rank-ordered gram vocabulary, reduced to the
+    * gate-checkable pair (segment count, id checksum) — the oracle
+    * replays the greedy cursor AND the id assignment end to end.
+    */
+  def vocabSegmentIdsScenario(spark: SparkSession,
+      sfDir: String): DataFrame =
+    vocabSegmentIds(Tables.load(spark, sfDir, "documents"),
+        gramIdFrame(spark, inducedGrams(spark, sfDir)))
+      .select(col("doc_id"),
+        size(col("vp_ids")).cast("long").as("vp_tokens"),
+        aggregate(col("vp_ids"), lit(0L), (a, x) => a + x)
+          .as("ids_sum"))
 
   /** Corpus accounting rollup: docs / chars / whitespace tokens per
     * (lang, source) — the bookkeeping query behind token budgets.

@@ -605,8 +605,18 @@ object Streams {
     * drop the late one. A crash between two epochs of one micro-batch
     * replays the cycle; the landed epoch skips, the missing one
     * lands. Scale shape: each epoch is the one-shot shuffled pack
-    * (corpus-scaled hash-range fan-out), the request stream adds only
-    * the engine's epoch machinery.
+    * (corpus-scaled hash-range fan-out re-sized per request CYCLE —
+    * a long-lived stream over a growing corpus keeps its serial
+    * in-bucket windows ~constant), the request stream adds only the
+    * engine's epoch machinery. CORPUS SNAPSHOT semantics: each epoch
+    * permutes the corpus AS OF its landing cycle — epochs landed at
+    * different corpus states permute different corpora (correct
+    * under the per-epoch watermarks; the per-epoch `epoch_meta`
+    * ledger records which state each epoch saw). Note a plain
+    * parquet-backed `docs` frame PINS its file listing at
+    * construction — a caller re-invoking the stream over a growing
+    * corpus passes a fresh frame per invocation (a GraftTable
+    * snapshot likewise reflects the version it was loaded at).
     */
   def epochExportStream(spark: SparkSession, requestsDir: String,
       checkpoint: String, docs: DataFrame, exportPath: String,
@@ -657,11 +667,6 @@ object Streams {
           "pipeline must export to its own path (its epochs would " +
           "silently skip behind the owner's landed epoch watermarks)")
     }
-    // auto-size the hash-range fan-out ONCE for the whole run — each
-    // epoch's frame would otherwise re-count the same corpus
-    val hb = if (hashBuckets == 0L)
-      graft.operators.TextAnalysis.autoHashBuckets(docs.count())
-    else hashBuckets
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("epoch",
@@ -677,15 +682,41 @@ object Streams {
         val epochs = reqs.where(col("epoch").isNotNull)
           .select(col("epoch")).distinct()
           .collect().map(_.getLong(0)).sorted
-        epochs.foreach { e =>
-          val assigned = graft.operators.TextAnalysis
-            .exportShardsShuffled(docs, shardTokens, seed = e,
-              tokenizer, hb)
-            .withColumn("epoch", lit(e))
-          val t = GraftTable.createIfAbsent(spark, asgPath,
-            assigned.limit(0))
-          t.appendIfNew(assigned, 0L, appId = s"graft-epoch-export:$e")
-            : Unit
+        if (epochs.nonEmpty) {
+          // re-size the hash-range fan-out per CYCLE, not per
+          // process: a long-lived epoch series re-invokes this
+          // stream with a fresh docs frame as the corpus grows, and
+          // each invocation's bucket count must match ITS corpus or
+          // the serial in-bucket windows degrade proportionally. One
+          // column-pruned count per cycle (the epochs of one cycle
+          // see one corpus state); the count also lands in the
+          // per-epoch meta ledger below.
+          val nDocs = docs.count()
+          val hb = if (hashBuckets == 0L)
+            graft.operators.TextAnalysis.autoHashBuckets(nDocs)
+          else hashBuckets
+          epochs.foreach { e =>
+            val assigned = graft.operators.TextAnalysis
+              .exportShardsShuffled(docs, shardTokens, seed = e,
+                tokenizer, hb)
+              .withColumn("epoch", lit(e))
+            val t = GraftTable.createIfAbsent(spark, asgPath,
+              assigned.limit(0))
+            t.appendIfNew(assigned, 0L,
+              appId = s"graft-epoch-export:$e"): Unit
+            // the per-epoch META row — which corpus state and fan-out
+            // this epoch landed under (the ops/debug glance, and the
+            // observable the recount spec pins); same per-epoch
+            // exactly-once namespace as the assignments
+            import spark.implicits._
+            val metaT = GraftTable.createIfAbsent(spark,
+              java.nio.file.Paths.get(exportPath, "epoch_meta").toString,
+              Seq.empty[(Long, Long, Long)]
+                .toDF("epoch", "hash_buckets", "n_docs"))
+            metaT.appendIfNew(
+              Seq((e, hb, nDocs)).toDF("epoch", "hash_buckets", "n_docs"),
+              0L, appId = s"graft-epoch-meta:$e"): Unit
+          }
         }
         ()
       }
@@ -779,6 +810,46 @@ object Streams {
       graft.tables.GraftTable.load(spark,
         stage.resolve("export").resolve("assignments").toString)
         .snapshot())
+  }
+
+  private val packStreamStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** STREAMING sequence packing — [[exportStream]] run at budget =
+    * seqLen (a seqLen-token shard boundary and a training-sequence
+    * cut are the same arithmetic, so the exactly-once export sink IS
+    * the pack's continuation state) with the per-sequence manifest
+    * served from the accumulated assignments
+    * ([[graft.operators.TextAnalysis.packIngestManifest]]). Scenario:
+    * 3 doc_id-monotone cycles + one empty cycle; the manifest must
+    * equal the one-shot [[graft.operators.TextAnalysis.seqManifest]],
+    * whose oracle it shares.
+    */
+  def packStreamScenario(spark: SparkSession, sfDir: String,
+      seqLen: Long = 512L): DataFrame = {
+    val stage = packStreamStages.computeIfAbsent(s"$sfDir:$seqLen",
+      { _ =>
+        val docs = Tables.load(spark, sfDir, "documents")
+        val p = java.nio.file.Files.createTempDirectory("graft_packstr_")
+        val raw = p.resolve("raw").toString
+        val cp = p.resolve("cp").toString
+        val pack = p.resolve("pack").toString
+        graft.sources.Ingest.stageBatch(
+          docs.where(col("doc_id") < 170), raw, "b1")
+        exportStream(spark, raw, cp, pack, shardTokens = seqLen)
+        graft.sources.Ingest.stageBatch(
+          docs.where(col("doc_id") >= 170 && col("doc_id") < 340),
+          raw, "b2")
+        exportStream(spark, raw, cp, pack, shardTokens = seqLen)
+        graft.sources.Ingest.stageBatch(
+          docs.where(col("doc_id") >= 340), raw, "b3")
+        exportStream(spark, raw, cp, pack, shardTokens = seqLen)
+        // a cycle with nothing new: no epoch fires, nothing lands
+        exportStream(spark, raw, cp, pack, shardTokens = seqLen)
+        p
+      })
+    graft.operators.TextAnalysis.packIngestManifest(spark,
+      stage.resolve("pack").toString, seqLen)
   }
 
   /** STREAMING twin of the evolving autoloader

@@ -189,15 +189,20 @@ object GraftSql {
   // with assembled token content land at the path and the statement
   // returns the manifest RE-DERIVED from the landed text — and with
   // MATERIALIZE TO ... IDS the token-ID form (arrays of vocabulary
-  // ids instead of text; VOCAB SIZE caps the induced whole-token
-  // vocabulary, UNK = 0) — the form that accepts ANY tokenizer,
-  // since id slicing needs no textual re-assembly. MIXTURE composes
-  // the epochs-per-domain resample + per-copy shuffle INTO the
-  // token-ID pack (packTokensMixtureMaterialize — the complete
-  // loader artifact); it requires MATERIALIZE + IDS and takes the
-  // mixture form's DEFAULT/SEED knobs
+  // ids instead of text; VOCAB SIZE caps the induced vocabulary,
+  // UNK = 0) — the form that accepts ANY tokenizer, since id slicing
+  // needs no textual re-assembly: ws|bpe land whole-token ids,
+  // TOKENIZER vp lands SUBWORD ids (the greedy-encode segment ids
+  // under the induced gram vocabulary). VOCAB FROM <table|'path'>
+  // supplies an externally-trained (token, id) table instead of
+  // inducing one — a production tokenizer's vocab drives the pack
+  // without re-induction (grams for vp, whole tokens for ws|bpe).
+  // MIXTURE composes the epochs-per-domain resample + per-copy
+  // shuffle INTO the token-ID pack (packTokensMixtureMaterialize —
+  // the complete loader artifact); it requires MATERIALIZE + IDS and
+  // takes the mixture form's DEFAULT/SEED knobs
   private val PackSequencesSql =
-    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+MIXTURE\s*\(([^)]*)\))?(?:\s+DEFAULT\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?(\s+MANIFEST)?(?:\s+MATERIALIZE\s+TO\s+'([^']+)')?(\s+IDS)?(?:\s+VOCAB\s+SIZE\s+(\d+))?\s*""".r
+    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+MIXTURE\s*\(([^)]*)\))?(?:\s+DEFAULT\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?(\s+MANIFEST)?(?:\s+MATERIALIZE\s+TO\s+'([^']+)')?(\s+IDS)?(?:\s+VOCAB\s+SIZE\s+(\d+))?(?:\s+VOCAB\s+FROM\s+(?:'([^']+)'|([\w.`]+)))?\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -207,6 +212,11 @@ object GraftSql {
   // the ops glance over a continuous export's exactly-once state
   private val DescribeExport =
     """(?is)\s*DESCRIBE\s+EXPORT\s+'([^']+)'\s*""".r
+  // the materialized-pack ledger: ONE summary row from the
+  // _pack_summary.json sidecar the materializers land next to the
+  // sequence files — O(1), never a corpus aggregate
+  private val DescribePack =
+    """(?is)\s*DESCRIBE\s+PACK\s+'([^']+)'\s*""".r
   private val DescribeDedupIndex =
     """(?is)\s*DESCRIBE\s+DEDUP\s+INDEX\s+'([^']+)'\s*""".r
   // ADMISSION as a statement — the whole screen-verdict-ingest cycle
@@ -259,6 +269,22 @@ object GraftSql {
     val mkRow = (endOffset: Long, maxDoc: Long) =>
       Seq((-1L, endOffset, maxDoc, ""))
         .toDF("batch_id", "end_offset", "max_doc", "pipeline")
+    // the stats-less full aggregate — also the guard rail under the
+    // fast path: footer stats travel as DOUBLES, so a max above 2⁵³
+    // can round UP past the true value and the pruned filter comes
+    // back EMPTY on a non-empty table — that must fall through here,
+    // never NPE or mis-report "zero rows"
+    def fullAggregate(): (DataFrame, Int, Int) = {
+      val snap = t.snapshot()
+      val r = snap.agg(
+        org.apache.spark.sql.functions.max(
+          col("tokens_before") + col("n_tokens")),
+        org.apache.spark.sql.functions.max(col("doc_id"))).head()
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"DESCRIBE EXPORT: the landed assignments at $asgPath hold " +
+          "zero rows — nothing to describe (run the export first)")
+      (mkRow(r.getLong(0), r.getLong(1)), -1, -1)
+    }
     (t.columnMaxStat("doc_id"), t.columnMaxStat("tokens_before")) match {
       case (Some(md), Some(mtb)) =>
         val (pruned, read, total) = t.snapshotCandidatesWithCount(
@@ -266,20 +292,9 @@ object GraftSql {
             .lit(mtb.toLong))
         val r = pruned.agg(org.apache.spark.sql.functions.max(
           col("tokens_before") + col("n_tokens"))).head()
-        require(!r.isNullAt(0),
-          s"DESCRIBE EXPORT: the landed assignments at $asgPath hold " +
-            "zero rows — nothing to describe (run the export first)")
-        (mkRow(r.getLong(0), md.toLong), read, total)
-      case _ =>
-        val snap = t.snapshot()
-        val r = snap.agg(
-          org.apache.spark.sql.functions.max(
-            col("tokens_before") + col("n_tokens")),
-          org.apache.spark.sql.functions.max(col("doc_id"))).head()
-        require(!r.isNullAt(0) && !r.isNullAt(1),
-          s"DESCRIBE EXPORT: the landed assignments at $asgPath hold " +
-            "zero rows — nothing to describe (run the export first)")
-        (mkRow(r.getLong(0), r.getLong(1)), -1, -1)
+        if (r.isNullAt(0)) fullAggregate()
+        else (mkRow(r.getLong(0), md.toLong), read, total)
+      case _ => fullAggregate()
     }
   }
 
@@ -319,19 +334,35 @@ object GraftSql {
         t.perKeyMaxStat("epoch", "doc_id")) match {
       case (Some(maxTb), Some(maxDoc)) =>
         var read = 0; var total = 0
-        val rows = maxTb.toSeq.sortBy(_._1).map { case (e, m) =>
+        // footer stats are DOUBLES: a per-epoch max above 2⁵³ can
+        // round UP past the true value, the pruned filter comes back
+        // empty, and the null aggregate must fall through to the
+        // grouped full aggregate — never NPE on getLong
+        val fastRows = maxTb.toSeq.sortBy(_._1).map { case (e, m) =>
           val (pruned, r, tot) = t.snapshotCandidatesWithCount(
             col("epoch") === e &&
               col("tokens_before") >= lit(m.toLong))
           read += r; total = tot
-          val end = pruned.where(col("epoch") === e &&
+          val endRow = pruned.where(col("epoch") === e &&
               col("tokens_before") >= lit(m.toLong))
             .agg(org.apache.spark.sql.functions.max(
-              col("tokens_before") + col("n_tokens"))).head().getLong(0)
-          (e, end, maxDoc(e).toLong, owner)
+              col("tokens_before") + col("n_tokens"))).head()
+          if (endRow.isNullAt(0)) None
+          else Some((e, endRow.getLong(0), maxDoc(e).toLong, owner))
         }
-        (rows.toDF("batch_id", "end_offset", "max_doc", "pipeline")
-          .orderBy(col("batch_id")), read, total)
+        if (fastRows.forall(_.isDefined))
+          (fastRows.flatten
+            .toDF("batch_id", "end_offset", "max_doc", "pipeline")
+            .orderBy(col("batch_id")), read, total)
+        else (t.snapshot().groupBy(col("epoch").as("batch_id"))
+          .agg(org.apache.spark.sql.functions.max(
+            col("tokens_before") + col("n_tokens")).as("end_offset"),
+            org.apache.spark.sql.functions.max(col("doc_id"))
+              .as("max_doc"))
+          .withColumn("pipeline", lit(owner))
+          .select(col("batch_id"), col("end_offset"), col("max_doc"),
+            col("pipeline"))
+          .orderBy(col("batch_id")), -1, -1)
       case _ =>
         (t.snapshot().groupBy(col("epoch").as("batch_id"))
           .agg(org.apache.spark.sql.functions.max(
@@ -511,7 +542,8 @@ object GraftSql {
           .withColumnRenamed("n_docs", "n_copies")
       }
     case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, mixTxt,
-        defTxt, seedTxt, manifest, matPath, ids, vsTxt) =>
+        defTxt, seedTxt, manifest, matPath, ids, vsTxt, vfPath,
+        vfIdent) =>
       val len = Option(lenTxt).map(_.toLong).getOrElse(512L)
       val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
       val src = indexSourceFrame(spark, srcPath, srcIdent)
@@ -521,9 +553,23 @@ object GraftSql {
       require(vsTxt == null || ids != null,
         "PACK SEQUENCES: VOCAB SIZE parameterizes the IDS form's " +
           "induced vocabulary — add IDS")
+      require((vfPath == null && vfIdent == null) || ids != null,
+        "PACK SEQUENCES: VOCAB FROM supplies the IDS form's (token, " +
+          "id) table — add IDS")
+      require(vsTxt == null || (vfPath == null && vfIdent == null),
+        "PACK SEQUENCES: VOCAB SIZE caps an INDUCED vocabulary and " +
+          "VOCAB FROM supplies a trained one — pick one")
       require(mixTxt != null || (defTxt == null && seedTxt == null),
         "PACK SEQUENCES: DEFAULT and SEED parameterize the MIXTURE " +
           "form — add MIXTURE ('domain' <w>, ...)")
+      // an externally-trained (token, id) vocabulary: grams for the
+      // vp measure, whole tokens for ws|bpe — the pack encodes
+      // against it instead of re-inducing
+      val suppliedVocab: Option[DataFrame] =
+        if (vfPath != null || vfIdent != null)
+          Some(indexSourceFrame(spark, vfPath, vfIdent)
+            .select(col("token"), col("id")))
+        else None
       if (mixTxt != null) {
         // the COMPLETE loader artifact from SQL: resample → per-copy
         // shuffle → fixed-length token-ID sequences in one statement
@@ -544,20 +590,15 @@ object GraftSql {
             defaultWeight =
               Option(defTxt).map(_.toDouble).getOrElse(1.0),
             seed = Option(seedTxt).map(_.toLong).getOrElse(0L),
-            tokenizer = tok)
+            tokenizer = tok, vocab = suppliedVocab)
       }
       // TOKENIZER vp = the greedy-encode measure under the gram
       // vocabulary INDUCED from this statement's own source (the
-      // metadata forms; the content forms slice token/id arrays and
-      // the vp measure has no array spelling)
+      // metadata forms; the IDS content form encodes per-doc segment
+      // id arrays instead — packTokensMaterialize's vp branch)
       val vpGrams: Seq[String] =
-        if (tok == "vp") {
-          require(matPath == null,
-            "PACK SEQUENCES: the vp measure counts greedy-encoded " +
-              "segments — it has no content-array spelling, so the " +
-              "MATERIALIZE forms take ws (text) or ws|bpe (IDS)")
-          statementVpGrams(src)
-        } else Nil
+        if (tok == "vp" && matPath == null) statementVpGrams(src)
+        else Nil
       if (matPath != null) {
         require(manifest == null,
           "PACK SEQUENCES: MATERIALIZE already returns the manifest " +
@@ -565,7 +606,9 @@ object GraftSql {
         if (ids != null)
           graft.operators.TextAnalysis.packTokensMaterialize(src,
             matPath, seqLen = len, tokenizer = tok,
-            vocabSize = Option(vsTxt).map(_.toInt).getOrElse(512))
+            vocabSize = Option(vsTxt).map(_.toInt).getOrElse(
+              if (tok == "vp") 64 else 512),
+            vocab = suppliedVocab)
         else {
           require(tok == "ws",
             "PACK SEQUENCES MATERIALIZE assembles content by slicing " +
@@ -690,6 +733,8 @@ object GraftSql {
           epochExportLedger(spark, path, Some(asgT))._1
         else oneShotExportLedger(spark, asgPath, Some(asgT))._1
       }
+    case DescribePack(path) =>
+      graft.operators.TextAnalysis.describePack(spark, path)
     case DescribeDedupIndex(path) =>
       def count(sub: String): Long = {
         val t = GraftTable.load(spark,
@@ -1219,9 +1264,9 @@ object GraftSql {
          CreateDedupIndex(_, _, _) | CreateAnnIndex(_, _, _, _) |
          IngestDedupIndex(_, _, _, _) | IngestAnnIndex(_, _, _, _) |
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
-         DescribeExport(_) |
+         DescribeExport(_) | DescribePack(_) |
          ExportShardsMixtureSql(_, _, _, _, _, _, _, _, _, _) |
-         PackSequencesSql(_, _, _, _, _, _, _, _, _, _, _) |
+         PackSequencesSql(_, _, _, _, _, _, _, _, _, _, _, _, _) |
          ExportShardsSql(_, _, _, _, _, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
@@ -1314,6 +1359,14 @@ object GraftSql {
         StructField("end_offset", LongType),
         StructField("max_doc", LongType),
         StructField("pipeline", StringType))))
+      case DescribePack(_) => Some(StructType(Seq(
+        StructField("form", StringType),
+        StructField("tokenizer", StringType),
+        StructField("seq_len", LongType),
+        StructField("vocab_size", LongType),
+        StructField("n_sequences", LongType),
+        StructField("filled_tokens", LongType),
+        StructField("ids_sum", LongType))))
       // the MIXTURE form must match FIRST (its prefix also resembles
       // the plain export spelling)
       case ExportShardsMixtureSql(_, _, _, _, _, _, _, _, _, _) =>
@@ -1323,7 +1376,7 @@ object GraftSql {
           StructField("shard_tokens", LongType),
           StructField("first_doc", LongType),
           StructField("last_doc", LongType))))
-      case PackSequencesSql(_, _, _, _, mixTxt, _, _, manifest, matPath, ids, _) =>
+      case PackSequencesSql(_, _, _, _, mixTxt, _, _, manifest, matPath, ids, _, _, _) =>
         if (ids != null && matPath != null) Some(StructType(Seq(
           StructField("seq_id", LongType),
           // the mixture form counts training COPIES
@@ -1389,14 +1442,14 @@ object GraftSql {
            MaintainAnnIndexContinuous(_, _, _) | MaintainAnnIndex(_, _) |
            StopMaintainIndex(_) |
            DescribeAnnIndex(_) | DescribeDedupIndex(_) |
-           DescribeExport(_) => return true
+           DescribeExport(_) | DescribePack(_) => return true
       // admission/export with a QUOTED source is shape-claimed; the
       // bare-identifier source resolves below like CREATE/INGEST INDEX
       case AdmitIntoDedupIndex(_, _, p, _, _, _, _, _) if p != null =>
         return true
       case ExportShardsMixtureSql(_, p, _, _, _, _, _, _, _, _) if p != null =>
         return true
-      case PackSequencesSql(p, _, _, _, _, _, _, _, _, _, _) if p != null =>
+      case PackSequencesSql(p, _, _, _, _, _, _, _, _, _, _, _, _) if p != null =>
         return true
       case ExportShardsSql(_, p, _, _, _, _, _, _, _, _, _) if p != null =>
         return true
@@ -1443,7 +1496,7 @@ object GraftSql {
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
       case ExportShardsMixtureSql(_, _, i, _, _, _, _, _, _, _) => Some(i)
-      case PackSequencesSql(_, i, _, _, _, _, _, _, _, _, _) => Some(i)
+      case PackSequencesSql(_, i, _, _, _, _, _, _, _, _, _, _, _) => Some(i)
       case ExportShardsSql(_, _, i, _, _, _, _, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)

@@ -186,9 +186,19 @@ class ExplainAuditSpec extends SparkSpec {
           s"$name: UNPARTITIONED Window in the physical plan — this " +
             "serializes the whole corpus through one task")
         val cartesian = df.queryExecution.executedPlan.collect {
-          case c: CartesianProductExec => c
+          // the scalar-aggregate allowance applies to the BUILD side
+          // only: an unbounded streamed side against a 1-row
+          // broadcast is a per-row probe, but a scalar STREAMED side
+          // against an unbounded broadcast would replicate the whole
+          // corpus to every task — buildSide picks the right child
           case b: BroadcastNestedLoopJoinExec
-              if !b.children.exists(scalarSide) => b
+              if !scalarSide(b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                  b.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+                  b.right
+              }) => b
+          case c: CartesianProductExec => c
         }
         assert(cartesian.isEmpty,
           s"$name plans ${cartesian.map(_.nodeName).mkString(",")}")

@@ -1825,11 +1825,14 @@ class GraftSqlSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(cells(m) === cells(api),
       "SQL vp manifest diverged from the API encode")
+    // the TEXT content form still refuses vp (no textual re-assembly
+    // for a subword measure); the IDS form now LANDS it — the r19
+    // subword pack (SubwordPackSpec covers the positive path)
     val err = intercept[IllegalArgumentException] {
       GraftSql.sql(spark, s"PACK SEQUENCES FROM '$src' TOKENIZER vp " +
-        s"MATERIALIZE TO '${root.resolve("x")}' IDS")
+        s"MATERIALIZE TO '${root.resolve("x")}'")
     }
-    assert(err.getMessage.contains("vp"), err.getMessage)
+    assert(err.getMessage.contains("IDS"), err.getMessage)
     // EXPORT SHARDS gets the same SQL-level vp spelling on its plain
     // one-shot (grams induced from the source); the other forms
     // refuse with a statement-level message, not a Scala-arg error

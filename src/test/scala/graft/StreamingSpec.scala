@@ -922,6 +922,69 @@ class StreamingSpec extends SparkSpec {
       "a replayed epoch request must re-land nothing")
   }
 
+  test("epochExportStream re-sizes the hash-range fan-out per cycle: " +
+      "an epoch landed after a 40x corpus growth uses the grown " +
+      "bucket count; each epoch matches the one-shot export over the " +
+      "corpus AS OF its cycle") {
+    val stage = Files.createTempDirectory("graft_epochgrow_spec_")
+    val corpus = stage.resolve("corpus").toString
+    def addDocs(from: Long, until: Long): Unit =
+      spark.range(from, until)
+        .select($"id".as("doc_id"),
+          concat(lit("alpha beta doc "), $"id".cast("string"))
+            .as("text"))
+        .write.mode("append").parquet(corpus)
+    addDocs(0L, 500L)
+    // a parquet frame PINS its file listing at construction — the
+    // growing-corpus caller passes a fresh frame per invocation (the
+    // scaladoc's documented contract); the recount then sizes each
+    // cycle from the frame it was given
+    val docs1 = spark.read.parquet(corpus)
+    val reqs = stage.resolve("reqs").toString
+    java.nio.file.Files.createDirectories(stage.resolve("reqs"))
+    val cp = stage.resolve("cp").toString
+    val exp = stage.resolve("export").toString
+    def request(name: String, epochs: Long*): Unit =
+      graft.sources.Ingest.stageBatch(
+        epochs.toSeq.toDF("epoch"), reqs, name)
+    request("c1", 0L)
+    Streams.epochExportStream(spark, reqs, cp, docs1, exp,
+      shardTokens = 64L)
+    addDocs(500L, 20500L)
+    val docs = spark.read.parquet(corpus)
+    request("c2", 1L)
+    Streams.epochExportStream(spark, reqs, cp, docs, exp,
+      shardTokens = 64L)
+    // the meta ledger records the per-cycle sizing: the grown cycle
+    // must use the grown bucket count, not the stream-start one
+    val meta = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(exp, "epoch_meta").toString)
+      .snapshot().orderBy($"epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(meta.toSeq === Seq(
+      (0L, operators.TextAnalysis.autoHashBuckets(500L), 500L),
+      (1L, operators.TextAnalysis.autoHashBuckets(20500L), 20500L)))
+    assert(meta(1)._2 > meta(0)._2,
+      "setup: the growth must actually move the auto bucket count")
+    // snapshot semantics: epoch 0 permutes the SMALL corpus, epoch 1
+    // the GROWN one — each equals its one-shot export (and bucket
+    // sizing never moves values)
+    val asg = graft.tables.GraftTable.load(spark,
+      java.nio.file.Paths.get(exp, "assignments").toString).snapshot()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"tokens_before", $"shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(cells(asg.where($"epoch" === 0L)) ===
+      cells(operators.TextAnalysis.exportShardsShuffled(
+        docs.where($"doc_id" < 500L), shardTokens = 64L, seed = 0L)),
+      "epoch 0 must reflect the corpus as of its landing cycle")
+    assert(cells(asg.where($"epoch" === 1L)) ===
+      cells(operators.TextAnalysis.exportShardsShuffled(
+        docs, shardTokens = 64L, seed = 1L)),
+      "epoch 1 must reflect the grown corpus")
+  }
+
   test("epochExportStream ownership: a second pipeline targeting the " +
       "same epoch-export path refuses instead of silently skipping " +
       "behind the owner's epoch watermarks") {

@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The r19 subword exit: segment-ID emission, the vp token pack,
+  * externally-supplied vocabularies, the production broadcast-join
+  * seam, incremental sequence packing, and DESCRIBE PACK.
+  */
+class SubwordPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabSegmentIds: greedy longest-match emits the matched " +
+      "grams' ids in cursor order, single-char fallbacks to UNK 0") {
+    val docs = Seq(
+      (1L, "abcde xq"),     // abcd(1) + e-fallback(0); x(0), q(0)
+      (2L, "ABCD"),         // lowercased -> abcd(1)
+      (3L, "zzabzz"),       // z(0) z(0) ab(2) z(0) z(0)
+      (4L, "...!!!")        // no [a-z0-9] word at all -> empty
+    ).toDF("doc_id", "text")
+    val vocab = Seq(("abcd", 1L), ("ab", 2L), ("cd", 3L))
+      .toDF("token", "id")
+    val got = operators.TextAnalysis.vocabSegmentIds(docs, vocab)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toList).toMap
+    assert(got(1L) === List(1L, 0L, 0L, 0L))
+    assert(got(2L) === List(1L))
+    assert(got(3L) === List(0L, 0L, 2L, 0L, 0L))
+    assert(got(4L) === Nil)
+  }
+
+  test("vocabSegmentIds and vocabSegments share the step: array " +
+      "length == counted measure on the real corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val grams = operators.TextAnalysis.inducedGrams(spark, sf)
+    val counts = operators.TextAnalysis.vocabSegments(docs, grams)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ids = operators.TextAnalysis.vocabSegmentIdsScenario(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ids === counts,
+      "size(vp_ids) diverged from the vp_tokens count")
+    assert(counts.values.sum > 0L, "setup: the corpus must encode")
+  }
+
+  test("vp pack: a SUPPLIED gram vocabulary reproduces the induced " +
+      "pack bit-for-bit when the tables match") {
+    val docs = Tables.load(spark, sf, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_vpsup_")
+    val induced = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("a").toString, seqLen = 128L, vocabSize = 64,
+      tokenizer = "vp")
+    val vdf = operators.TextAnalysis.gramVocab(docs, 64)
+    val supplied = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("b").toString, seqLen = 128L, vocabSize = 64,
+      tokenizer = "vp", vocab = Some(vdf))
+    assert(supplied.collect().map(_.toSeq).toSet ===
+      induced.collect().map(_.toSeq).toSet,
+      "VOCAB FROM must be a drop-in for the induced ranking")
+    assert(induced.count() > 0L)
+  }
+
+  test("whole-token pack: a SUPPLIED (token, id) table reproduces " +
+      "the induced pack (the ws VOCAB FROM seam)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_wssup_")
+    val induced = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("a").toString, seqLen = 128L, vocabSize = 512)
+    val vdf = operators.TextAnalysis.tokenVocab(docs, 512)
+    val supplied = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("b").toString, seqLen = 128L, vocabSize = 512,
+      vocab = Some(vdf))
+    assert(supplied.collect().map(_.toSeq).toSet ===
+      induced.collect().map(_.toSeq).toSet)
+  }
+
+  test("the production-V broadcast-join spelling is value-identical " +
+      "to the literal-map probe at the full 512-token vocab") {
+    val docs = Tables.load(spark, sf, "documents")
+    val vdf = operators.TextAnalysis.tokenVocab(docs, 512)
+    val toks = docs.select($"doc_id",
+      regexp_extract_all($"text", lit("\\S+"), lit(0)).as("__toks"))
+    val vmap = broadcast(vdf.agg(map_from_entries(
+      collect_list(struct($"token", $"id"))).as("__vmap")))
+    val viaMap = toks.crossJoin(vmap)
+      .select($"doc_id", transform($"__toks",
+        t => coalesce(element_at($"__vmap", t), lit(0L))).as("__ids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      .toMap
+    val viaJoin = operators.TextAnalysis.tokenIdsByJoin(toks, vdf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      .toMap
+    assert(viaJoin === viaMap,
+      "the guarded broadcast-join seam drifted from the map probe")
+  }
+
+  test("PACK SEQUENCES ... IDS TOKENIZER vp lands the subword pack " +
+      "from SQL; VOCAB FROM drives it with a landed vocab table") {
+    val docs = Tables.load(spark, sf, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_vpsql_")
+    docs.write.parquet(root.resolve("src").toString)
+    val src = root.resolve("src").toString
+    val api = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("api").toString, seqLen = 128L, vocabSize = 64,
+      tokenizer = "vp").collect().map(_.toSeq).toSet
+    val viaSql = graft.tables.GraftSql.sql(spark,
+      s"PACK SEQUENCES FROM '$src' LENGTH 128 " +
+        s"TOKENIZER vp MATERIALIZE TO '${root.resolve("sql")}' IDS " +
+        "VOCAB SIZE 64").collect().map(_.toSeq).toSet
+    assert(viaSql === api, "the SQL spelling diverged from the API")
+    // a landed (token, id) parquet table drives the pack without
+    // re-induction
+    val vocabPath = root.resolve("vocab").toString
+    operators.TextAnalysis.gramVocab(docs, 64).write.parquet(vocabPath)
+    val viaFrom = graft.tables.GraftSql.sql(spark,
+      s"PACK SEQUENCES FROM '$src' LENGTH 128 " +
+        s"TOKENIZER vp MATERIALIZE TO '${root.resolve("from")}' IDS " +
+        s"VOCAB FROM '$vocabPath'").collect().map(_.toSeq).toSet
+    assert(viaFrom === api, "VOCAB FROM diverged from the induced pack")
+    // grammar guards: VOCAB FROM needs IDS; SIZE and FROM conflict
+    val e1 = intercept[IllegalArgumentException] {
+      graft.tables.GraftSql.sql(spark,
+        s"PACK SEQUENCES FROM '$src' VOCAB FROM '$vocabPath'")
+    }
+    assert(e1.getMessage.contains("add IDS"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.tables.GraftSql.sql(spark,
+        s"PACK SEQUENCES FROM '$src' MATERIALIZE " +
+          s"TO '${root.resolve("x")}' IDS VOCAB SIZE 64 " +
+          s"VOCAB FROM '$vocabPath'")
+    }
+    assert(e2.getMessage.contains("pick one"), e2.getMessage)
+  }
+
+  test("packSequencesIngest: batches accumulate to the one-shot " +
+      "spans, a sequence carries a doc across the batch seam, and a " +
+      "replay re-lands nothing") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = java.nio.file.Files.createTempDirectory("graft_pincspec_")
+    val b0 = operators.TextAnalysis.packSequencesIngest(spark,
+      p.toString, docs.where($"doc_id" < 170), 0L)
+    operators.TextAnalysis.packSequencesIngest(spark, p.toString,
+      docs.where($"doc_id" >= 170), 1L)
+    // replay of batch 1: both watermarks skip
+    operators.TextAnalysis.packSequencesIngest(spark, p.toString,
+      docs.where($"doc_id" >= 170), 1L)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    val oneShot = operators.TextAnalysis.packSequences(docs)
+    val landed = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(p.toString, "assignments").toString)
+      .snapshot()
+    assert(landed.count() === docs.count(), "replay must be a no-op")
+    assert(key(b0) === key(oneShot.where($"doc_id" < 170)),
+      "batch-0 spans must equal the one-shot prefix")
+    val manifest = operators.TextAnalysis.packIngestManifest(spark,
+      p.toString)
+    val oneShotManifest = operators.TextAnalysis.seqManifest(docs)
+    assert(manifest.collect().map(_.toSeq).toSet ===
+      oneShotManifest.collect().map(_.toSeq).toSet,
+      "accumulated manifest diverged from the one-shot rollup")
+    // the seam: the sequence holding batch 1's first doc also holds a
+    // batch-0 doc (the open partial sequence filled across batches)
+    val seamSeq = oneShot.where($"doc_id" === 170L)
+      .select($"start_seq").head().getLong(0)
+    val seamDocs = manifest.where($"seq_id" === seamSeq)
+      .select($"first_doc", $"last_doc").head()
+    assert(seamDocs.getLong(0) < 170L && seamDocs.getLong(1) >= 170L,
+      "the batch seam's sequence must span both batches — pick a " +
+        "corpus split that does not align to seqLen")
+  }
+
+  test("exportShardsIngest mixed-era adoption: a batch landed under " +
+      "the SUFFIXED namespace on a legacy-shaped table is recognized " +
+      "on replay — no duplicate token ranges") {
+    val docs = Tables.load(spark, sf, "documents")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_mixera_").toString
+    // simulate the prior release: 3-column state + watermarks under
+    // appId + pipelineId, table shape still legacy
+    val batch0 = docs.where($"doc_id" < 100)
+    val assigned = operators.TextAnalysis.exportShards(batch0, 2048L)
+      .withColumn("batch_id", lit(0L))
+    val asgPath = java.nio.file.Paths.get(stage, "assignments").toString
+    val stPath = java.nio.file.Paths.get(stage, "state").toString
+    val asgT = graft.tables.GraftTable.create(spark, asgPath,
+      assigned.limit(0))
+    asgT.appendIfNew(assigned, 0L,
+      appId = operators.TextAnalysis.exportAssignAppId + ":p")
+    val endOffset = assigned
+      .agg(max($"tokens_before" + $"n_tokens")).head().getLong(0)
+    val maxDoc = batch0.agg(max($"doc_id")).head().getLong(0)
+    val stT = graft.tables.GraftTable.create(spark, stPath,
+      Seq.empty[(Long, Long, Long)]
+        .toDF("batch_id", "end_offset", "max_doc"))
+    stT.appendIfNew(
+      Seq((0L, endOffset, maxDoc))
+        .toDF("batch_id", "end_offset", "max_doc"),
+      0L, appId = operators.TextAnalysis.exportStateAppId + ":p")
+    // the upgraded release replays batch 0 with the same pipeline id:
+    // legacyOrigin forces nsId '' — the suffixed watermark must still
+    // cover it (the silent re-land this guard exists to refuse)
+    operators.TextAnalysis.exportShardsIngest(spark, stage, batch0, 0L,
+      pipelineId = ":p")
+    assert(graft.tables.GraftTable.load(spark, asgPath)
+      .snapshot().count() === batch0.count(),
+      "mixed-era replay re-landed the batch — duplicate token ranges")
+    // and the pipeline continues normally from there
+    operators.TextAnalysis.exportShardsIngest(spark, stage,
+      docs.where($"doc_id" >= 100 && $"doc_id" < 200), 1L,
+      pipelineId = ":p")
+    assert(graft.tables.GraftTable.load(spark, asgPath)
+      .snapshot().count() === 200L)
+  }
+
+  test("ml_threshold_fixed: the relational sweep picks the brute-" +
+      "force argmax with ties to the smallest threshold") {
+    val scored = graft.ml.RiskPipeline.scoreFixed(spark, sf)
+      .select($"score", $"bad_flag").as[(Double, Int)].collect()
+    val posTotal = scored.count(_._2 == 1)
+    val brute = scored.map(_._1).distinct.map { t =>
+      val tp = scored.count(s => s._1 >= t && s._2 == 1)
+      val pp = scored.count(_._1 >= t)
+      val f1 = 2.0 * tp / (2.0 * tp + (pp - tp) + (posTotal - tp))
+      (t, f1, tp.toLong, (pp - tp).toLong, (posTotal - tp).toLong)
+    }.sortBy(x => (-x._2, x._1)).head
+    val got = graft.ml.RiskPipeline.thresholdFixed(spark, sf).head()
+    assert(got.getDouble(0) === brute._1)
+    assert(got.getLong(2) === brute._3 && got.getLong(3) === brute._4
+      && got.getLong(4) === brute._5)
+    assert(math.abs(got.getDouble(1) - brute._2) < 1e-12)
+  }
+
+  test("DESCRIBE PACK serves the landed summary in O(1) and refuses " +
+      "a path with no pack") {
+    val docs = Tables.load(spark, sf, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_dpack_")
+    val out = root.resolve("seqs").toString
+    val manifest = operators.TextAnalysis.packTokensMaterialize(docs,
+      out, seqLen = 128L, vocabSize = 64, tokenizer = "vp")
+    val row = graft.tables.GraftSql.sql(spark,
+      s"DESCRIBE PACK '$out'").head()
+    assert(row.getString(0) === "tokens" && row.getString(1) === "vp")
+    assert(row.getLong(2) === 128L && row.getLong(3) === 64L)
+    val agg = manifest.agg(count(lit(1)), sum($"filled_tokens"),
+      sum($"ids_sum")).head()
+    assert(row.getLong(4) === agg.getLong(0))
+    assert(row.getLong(5) === agg.getLong(1))
+    assert(row.getLong(6) === agg.getLong(2))
+    val err = intercept[IllegalArgumentException] {
+      graft.tables.GraftSql.sql(spark,
+        s"DESCRIBE PACK '${root.resolve("nothing")}'")
+    }
+    assert(err.getMessage.contains("no _pack_summary.json"),
+      err.getMessage)
+  }
+}
