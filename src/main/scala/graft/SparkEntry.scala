@@ -1684,7 +1684,8 @@ object SparkEntry {
         |    COALESCE(v.id, 0) AS id
         |  FROM tok t LEFT JOIN vocab v USING (token))
         |SELECT 'tokens' AS form, 'ws' AS tokenizer,
-        |  CAST(128 AS BIGINT) AS seq_len, CAST(512 AS BIGINT) AS vocab_size,
+        |  CAST(128 AS BIGINT) AS seq_len,
+        |  CAST((SELECT COUNT(*) FROM vocab) AS BIGINT) AS vocab_size,
         |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences,
         |  CAST(COUNT(*) AS BIGINT) AS filled_tokens,
         |  CAST(SUM(id) AS BIGINT) AS ids_sum

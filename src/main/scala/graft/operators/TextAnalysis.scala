@@ -373,9 +373,11 @@ object TextAnalysis {
     case "ws" => "\\S+"
     case "bpe" => bpePat
     case other => throw new IllegalArgumentException(
-      s"exportShards: unknown tokenizer '$other' for this form " +
-        "(expected ws|bpe; the vp greedy-encode measure rides the " +
-        "metadata pack forms via vpGrams)")
+      s"unknown tokenizer '$other' for this form (expected ws|bpe; " +
+        "the vp greedy-encode measure rides the metadata pack forms " +
+        "via vpGrams and lands content through packTokensMaterialize" +
+        "(tokenizer = \"vp\") — the mixture token pack does not " +
+        "support vp)")
   }
 
   /** Distributed exclusive prefix sum of n_tokens over an input
@@ -641,7 +643,8 @@ object TextAnalysis {
           "(colliding batch ids would silently overlap token ranges)")
     }
     val nsId = if (legacyOrigin) "" else pipelineId
-    val (offset0, maxDoc0) = if (!hasState) (0L, -1L) else {
+    val (offset0, maxDoc0, isReplay) =
+      if (!hasState) (0L, -1L, false) else {
       val r = GraftTable.load(spark, statePath).snapshot()
         .agg(
           coalesce(max(when(col("batch_id") < batchId,
@@ -663,7 +666,7 @@ object TextAnalysis {
         s"exportShardsIngest: batch $batchId is new but not above the " +
           s"max landed batch ${r.getLong(2)} — out-of-order NEW " +
           "batches would read a stale offset and overlap token ranges")
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), r.getLong(1), isReplay)
     }
     val bounds = docs.agg(min(col("doc_id")), max(col("doc_id")),
       count(lit(1))).head()
@@ -687,17 +690,25 @@ object TextAnalysis {
       // fail-safe order (state-first would double-advance the offset)
       val asgT = GraftTable.createIfAbsent(spark, asgPath,
         assigned.limit(0))
-      // MIXED-ERA adoption guard: a release that appended under the
+      // MIXED-ERA adoption guard: a release that appended under a
       // SUFFIXED namespace while the state table was still
       // legacy-shaped (3-column) leaves batches whose watermark lives
-      // at appId + pipelineId even though legacyOrigin forces nsId =
+      // at appId + <someId> even though legacyOrigin forces nsId =
       // ''. A replay of such a batch passes isReplay (the state row
       // exists) but the '' watermark has never seen it — appending
-      // blind would re-land its token ranges. Check BOTH namespaces:
-      // covered under either means skip.
+      // blind would re-land its token ranges. The state row's very
+      // EXISTENCE proves the batch fully landed (state commits
+      // SECOND), so on a legacy-origin table any replayed id skips
+      // both appends regardless of which namespace carried it — this
+      // also covers a batch landed by a DIFFERENT pre-upgrade
+      // pipeline id, which no namespace probe could name. (Residual:
+      // a pre-upgrade crash between the two commits replayed by a
+      // DIFFERENT id has no state row and no readable namespace —
+      // that recovery keeps needing the original pipeline id.)
       def suffixCovered(t: GraftTable, appIdBase: String): Boolean =
-        legacyOrigin && pipelineId.nonEmpty &&
-          t.lastStreamBatchId(appIdBase + pipelineId) >= batchId
+        legacyOrigin && (isReplay ||
+          (pipelineId.nonEmpty &&
+            t.lastStreamBatchId(appIdBase + pipelineId) >= batchId))
       // per-pipeline watermark namespaces (the sigs/shingles lesson):
       // two id sequences sharing one export path must not mistake
       // each other's batch 0 for a replay
@@ -1168,6 +1179,10 @@ object TextAnalysis {
       tokenizer: String = "ws", bucketSize: Long = 4096L,
       vocab: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
+    val vdf = vocab.getOrElse(
+      if (tokenizer == "vp") gramVocab(docs, vocabSize)
+      else tokenVocab(docs, vocabSize, tokenizer))
+    var encoded: Option[DataFrame] = None
     val frags = if (tokenizer == "vp") {
       // the SUBWORD form: the doc's token stream IS the greedy-encode
       // segment-id array ([[vocabSegmentIds]] under the induced — or
@@ -1175,9 +1190,13 @@ object TextAnalysis {
       // arrays directly (no token→id map; the ids were assigned at
       // encode time, UNK already 0). Counts derive from the SAME
       // arrays (size), so the prefix sum and the landed ids cannot
-      // diverge.
-      val vdf = vocab.getOrElse(gramVocab(docs, vocabSize))
+      // diverge. The encode (the family's dominant cost — an
+      // interpreted per-char fold) is PERSISTED for the write: the
+      // plan references it three times (the prefix sum's two scans +
+      // the __ids join) and must not run three times.
       val docIds = vocabSegmentIds(docs, vdf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      encoded = Some(docIds)
       val counted = docIds.select(col("doc_id"),
           size(col("vp_ids")).cast("long").as("n_tokens"))
         .withColumn("__b", expr(s"doc_id div ${bucketSize}L"))
@@ -1189,7 +1208,6 @@ object TextAnalysis {
           (col("fill_start") - col("tokens_before") + 1L).cast("int"),
           (col("fill_end") - col("fill_start")).cast("int")))
     } else {
-      val vdf = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
       val vmap = broadcast(vdf.agg(map_from_entries(
         collect_list(struct(col("token"), col("id")))).as("__vmap")))
       seqFragments(docs, seqLen, bucketSize, tokenizer)
@@ -1203,32 +1221,37 @@ object TextAnalysis {
             (col("fill_end") - col("fill_start")).cast("int")),
           t => coalesce(element_at(col("__vmap"), t), lit(0L))))
     }
-    frags.groupBy(col("seq_id"))
-      .agg(
-        flatten(transform(
-          array_sort(collect_list(struct(col("tokens_before"),
-            col("__frag_ids")))),
-          x => x.getField("__frag_ids"))).as("token_ids"),
-        transform(
-          array_sort(collect_list(struct(col("tokens_before"),
-            col("doc_id")))),
-          x => x.getField("doc_id")).as("doc_ids"),
-        // each doc's START OFFSET inside the sequence — with doc_ids
-        // these are the boundary positions an attention/loss-mask
-        // builder consumes directly (fragments tile the sequence, so
-        // starts are the exclusive prefix sums of fragment lengths)
-        docStartsAgg(seqLen),
-        // at most one doc can carry INTO a sequence (only the first
-        // fragment can have started earlier), so max ≡ count — the
-        // text materializer's spelling, kept aligned
-        max(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))
-          .as("n_carry_in"))
-      .repartitionByRange(col("seq_id"))
-      .sortWithinPartitions(col("seq_id"))
-      .write.mode("overwrite").parquet(outPath)
+    try {
+      frags.groupBy(col("seq_id"))
+        .agg(
+          flatten(transform(
+            array_sort(collect_list(struct(col("tokens_before"),
+              col("__frag_ids")))),
+            x => x.getField("__frag_ids"))).as("token_ids"),
+          transform(
+            array_sort(collect_list(struct(col("tokens_before"),
+              col("doc_id")))),
+            x => x.getField("doc_id")).as("doc_ids"),
+          // each doc's START OFFSET inside the sequence — with doc_ids
+          // these are the boundary positions an attention/loss-mask
+          // builder consumes directly (fragments tile the sequence, so
+          // starts are the exclusive prefix sums of fragment lengths)
+          docStartsAgg(seqLen),
+          // at most one doc can carry INTO a sequence (only the first
+          // fragment can have started earlier), so max ≡ count — the
+          // text materializer's spelling, kept aligned
+          max(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))
+            .as("n_carry_in"))
+        .repartitionByRange(col("seq_id"))
+        .sortWithinPartitions(col("seq_id"))
+        .write.mode("overwrite").parquet(outPath)
+    } finally encoded.foreach(_.unpersist(): Unit)
     val manifest = materializedTokenManifest(spark, outPath)
+    // the summary records the ACTUAL vocabulary size (one vocab-plan
+    // count on the write path — induced and supplied packs of
+    // identical content must describe identically)
     writePackSummary(outPath, "tokens", tokenizer, seqLen,
-      vocab.map(_.count()).getOrElse(vocabSize.toLong), manifest)
+      vdf.count(), manifest)
     manifest
   }
 
@@ -1339,16 +1362,25 @@ object TextAnalysis {
     * pack once per process (seqLen 128, induced 512-token vocab), read
     * the manifest back from the landed arrays.
     */
-  def packTokensMaterializedScenario(spark: SparkSession,
-      sfDir: String, seqLen: Long = 128L,
-      vocabSize: Int = 512): DataFrame = {
-    val out = tokenMatStages.computeIfAbsent(
+  /** The once-per-process ws token-pack stage, shared by the
+    * manifest scenario and the DESCRIBE PACK scenario — one key
+    * builder so the two can never disagree about where the stage
+    * lives.
+    */
+  private def wsTokenPackStage(spark: SparkSession, sfDir: String,
+      seqLen: Long, vocabSize: Int): java.nio.file.Path =
+    tokenMatStages.computeIfAbsent(
       s"$sfDir:$seqLen:$vocabSize", { _ =>
         val p = java.nio.file.Files.createTempDirectory("graft_tokmat_")
         packTokensMaterialize(Tables.load(spark, sfDir, "documents"),
           p.resolve("seqs").toString, seqLen, vocabSize)
         p
       })
+
+  def packTokensMaterializedScenario(spark: SparkSession,
+      sfDir: String, seqLen: Long = 128L,
+      vocabSize: Int = 512): DataFrame = {
+    val out = wsTokenPackStage(spark, sfDir, seqLen, vocabSize)
     materializedTokenManifest(spark, out.resolve("seqs").toString)
   }
 
@@ -1381,8 +1413,7 @@ object TextAnalysis {
     */
   def describePackScenario(spark: SparkSession,
       sfDir: String): DataFrame = {
-    packTokensMaterializedScenario(spark, sfDir): Unit
-    val p = tokenMatStages.get(s"$sfDir:128:512")
+    val p = wsTokenPackStage(spark, sfDir, 128L, 512)
     graft.tables.GraftSql.sql(spark,
       s"DESCRIBE PACK '${p.resolve("seqs")}'")
   }
@@ -1468,7 +1499,7 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(outPath)
     val manifest = materializedMixtureTokenManifest(spark, outPath)
     writePackSummary(outPath, "mixture_tokens", tokenizer, seqLen,
-      vocab.map(_.count()).getOrElse(vocabSize.toLong), manifest)
+      vdf.count(), manifest)
     manifest
   }
 
@@ -1802,12 +1833,16 @@ object TextAnalysis {
     * a production-sized V would trade the literal map probe for a
     * hashed custom expression, same plan shape) — no UDF.
     */
-  def vocabSegments(docs: DataFrame, grams: Seq[String], minN: Int = 2,
-      maxN: Int = 5): DataFrame = {
+  def vocabSegments(docs: DataFrame, grams: Seq[String], minN: Int = 0,
+      maxN: Int = 0): DataFrame = {
     require(grams.nonEmpty,
       "vocabSegments needs the induced gram vocabulary")
-    require(minN >= 1 && maxN >= minN,
-      "vocabSegments needs 1 <= minN <= maxN")
+    // 0 = derive the probe window from the vocabulary itself — a
+    // supplied table whose entries fall outside a fixed window would
+    // otherwise be silently unreachable (every occurrence landing as
+    // UNK with no warning)
+    val (lo, hi) = deriveProbeWindow(grams.iterator.map(_.length),
+      minN, maxN)
     val gmapDf = gramMap(gramIdFrame(docs.sparkSession, grams))
     docs.crossJoin(gmapDf)
       .select(col("doc_id"),
@@ -1815,8 +1850,32 @@ object TextAnalysis {
           regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
             lit(0)),
           lit(0L),
-          (acc, w) => acc + vpSegCount(w, col("__gmap"), minN, maxN))
+          (acc, w) => acc + vpSegCount(w, col("__gmap"), lo, hi))
           .as("vp_tokens"))
+  }
+
+  /** The greedy cursor's probe window: explicit when the caller set
+    * both bounds, otherwise the (min, max) entry length of the
+    * vocabulary itself — entries a fixed window would miss must
+    * never silently encode as UNK. Capped so an adversarial entry
+    * can't explode the per-position when-chain.
+    */
+  private def deriveProbeWindow(lengths: Iterator[Int], minN: Int,
+      maxN: Int): (Int, Int) = {
+    val (lo, hi) =
+      if (minN > 0 && maxN > 0) (minN, maxN)
+      else {
+        var mn = Int.MaxValue; var mx = 0
+        lengths.foreach { l => if (l < mn) mn = l; if (l > mx) mx = l }
+        require(mx > 0, "the gram vocabulary is empty")
+        (mn, mx)
+      }
+    require(lo >= 1 && hi >= lo,
+      s"vocab probe window needs 1 <= minN <= maxN (got $lo..$hi)")
+    require(hi <= 32,
+      s"vocab entries up to length $hi — the greedy probe chain is " +
+        "capped at 32 chars per entry (split longer merges upstream)")
+    (lo, hi)
   }
 
   /** The greedy encode EMITTING SEGMENT IDS — the step that turns
@@ -1832,16 +1891,27 @@ object TextAnalysis {
     * column, map-side fold, zero shuffle, no UDF (the fold lambda is
     * interpreted-expression eval, linear in characters).
     */
-  def vocabSegmentIds(docs: DataFrame, vocab: DataFrame, minN: Int = 2,
-      maxN: Int = 5): DataFrame = {
-    require(minN >= 1 && maxN >= minN,
-      "vocabSegmentIds needs 1 <= minN <= maxN")
+  def vocabSegmentIds(docs: DataFrame, vocab: DataFrame, minN: Int = 0,
+      maxN: Int = 0): DataFrame = {
+    // 0 = derive the probe window from the vocabulary (one O(V) agg)
+    // — an externally-trained table may carry entries of any length,
+    // and a fixed window would silently encode them as UNK
+    val (lo, hi) =
+      if (minN > 0 && maxN > 0) deriveProbeWindow(Iterator.empty,
+        minN, maxN)
+      else {
+        val r = vocab.agg(
+          min(length(col("token"))), max(length(col("token")))).head()
+        require(!r.isNullAt(0),
+          "vocabSegmentIds: the supplied vocabulary is empty")
+        deriveProbeWindow(Iterator(r.getInt(0), r.getInt(1)), 0, 0)
+      }
     docs.crossJoin(gramMap(vocab))
       .select(col("doc_id"),
         flatten(transform(
           regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
             lit(0)),
-          w => vpSegIds(w, col("__gmap"), minN, maxN))).as("vp_ids"))
+          w => vpSegIds(w, col("__gmap"), lo, hi))).as("vp_ids"))
   }
 
   /** The 1-row broadcast gram→id map column both encode forms probe

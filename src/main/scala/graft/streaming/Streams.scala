@@ -695,6 +695,11 @@ object Streams {
           val hb = if (hashBuckets == 0L)
             graft.operators.TextAnalysis.autoHashBuckets(nDocs)
           else hashBuckets
+          import spark.implicits._
+          val metaT = GraftTable.createIfAbsent(spark,
+            java.nio.file.Paths.get(exportPath, "epoch_meta").toString,
+            Seq.empty[(Long, Long, Long)]
+              .toDF("epoch", "hash_buckets", "n_docs"))
           epochs.foreach { e =>
             val assigned = graft.operators.TextAnalysis
               .exportShardsShuffled(docs, shardTokens, seed = e,
@@ -702,20 +707,36 @@ object Streams {
               .withColumn("epoch", lit(e))
             val t = GraftTable.createIfAbsent(spark, asgPath,
               assigned.limit(0))
-            t.appendIfNew(assigned, 0L,
-              appId = s"graft-epoch-export:$e"): Unit
-            // the per-epoch META row — which corpus state and fan-out
-            // this epoch landed under (the ops/debug glance, and the
-            // observable the recount spec pins); same per-epoch
-            // exactly-once namespace as the assignments
-            import spark.implicits._
-            val metaT = GraftTable.createIfAbsent(spark,
-              java.nio.file.Paths.get(exportPath, "epoch_meta").toString,
-              Seq.empty[(Long, Long, Long)]
-                .toDF("epoch", "hash_buckets", "n_docs"))
-            metaT.appendIfNew(
-              Seq((e, hb, nDocs)).toDF("epoch", "hash_buckets", "n_docs"),
-              0L, appId = s"graft-epoch-meta:$e"): Unit
+            val landedBefore =
+              t.lastStreamBatchId(s"graft-epoch-export:$e") >= 0L
+            if (!landedBefore)
+              t.appendIfNew(assigned, 0L,
+                appId = s"graft-epoch-export:$e"): Unit
+            // the per-epoch META row — which corpus state the epoch's
+            // LANDED content reflects (the ops/debug glance, and the
+            // observable the recount spec pins). A replayed epoch
+            // must NOT stamp the replay cycle's corpus: if the
+            // assignments landed in an earlier cycle (crash between
+            // the two appends, or a pre-meta-era epoch), the truthful
+            // state is re-derived from the landed rows themselves —
+            // each doc lands once per epoch, so the epoch's row count
+            // IS the corpus size its permutation covered.
+            if (metaT.lastStreamBatchId(s"graft-epoch-meta:$e") < 0L) {
+              val (mHb, mN) =
+                if (!landedBefore) (hb, nDocs)
+                else {
+                  val n = GraftTable.load(spark, asgPath)
+                    .snapshotCandidates(col("epoch") === e)
+                    .where(col("epoch") === e).count()
+                  (if (hashBuckets == 0L)
+                     graft.operators.TextAnalysis.autoHashBuckets(n)
+                   else hashBuckets, n)
+                }
+              metaT.appendIfNew(
+                Seq((e, mHb, mN))
+                  .toDF("epoch", "hash_buckets", "n_docs"),
+                0L, appId = s"graft-epoch-meta:$e"): Unit
+            }
           }
         }
         ()

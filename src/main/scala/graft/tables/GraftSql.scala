@@ -286,7 +286,14 @@ object GraftSql {
       (mkRow(r.getLong(0), r.getLong(1)), -1, -1)
     }
     (t.columnMaxStat("doc_id"), t.columnMaxStat("tokens_before")) match {
-      case (Some(md), Some(mtb)) =>
+      // the fast path REPORTS md directly, so md must be exact —
+      // doubles are exact through 2⁵³ only; above that the full
+      // aggregate is the truthful spelling (the tokens_before stat
+      // is only a pruning bound, but an inexact one can also come
+      // back rounded UP past the true max and empty the filter —
+      // the null guard below catches that side)
+      case (Some(md), Some(mtb))
+          if md.abs <= statExactCeiling && mtb.abs <= statExactCeiling =>
         val (pruned, read, total) = t.snapshotCandidatesWithCount(
           col("tokens_before") >= org.apache.spark.sql.functions
             .lit(mtb.toLong))
@@ -297,6 +304,13 @@ object GraftSql {
       case _ => fullAggregate()
     }
   }
+
+  /** Doubles represent integers exactly through 2⁵³ — footer stats
+    * above that may have rounded and must not be REPORTED as values
+    * (pruning with them is still safe only when a null-result guard
+    * backstops the read).
+    */
+  private val statExactCeiling: Double = 9007199254740992d
 
   /** The DESCRIBE EXPORT ledger for an EPOCH-export layout
     * ([[graft.streaming.Streams.epochExportStream]]'s epoch-tagged
@@ -332,7 +346,11 @@ object GraftSql {
       else ""
     (t.perKeyMaxStat("epoch", "tokens_before"),
         t.perKeyMaxStat("epoch", "doc_id")) match {
-      case (Some(maxTb), Some(maxDoc)) =>
+      // reported stats (max_doc) must be double-exact — above 2⁵³
+      // the grouped aggregate is the truthful spelling
+      case (Some(maxTb), Some(maxDoc))
+          if maxTb.valuesIterator.forall(_.abs <= statExactCeiling) &&
+            maxDoc.valuesIterator.forall(_.abs <= statExactCeiling) =>
         var read = 0; var total = 0
         // footer stats are DOUBLES: a per-epoch max above 2⁵³ can
         // round UP past the true value, the pruned filter comes back

@@ -28,6 +28,64 @@ class SubwordPackSpec extends SparkSpec {
     assert(got(4L) === Nil)
   }
 
+  test("vocabSegmentIds derives the probe window from the vocabulary " +
+      "itself: entries outside the induced [2,5] range (a 6-char " +
+      "piece, a 1-char piece) are reachable instead of silently UNK") {
+    val docs = Seq((1L, "ingest x kw"), (2L, "zingestz"))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("ingest", 5L), ("x", 9L), ("kw", 2L))
+      .toDF("token", "id")
+    val got = operators.TextAnalysis.vocabSegmentIds(docs, vocab)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toList).toMap
+    assert(got(1L) === List(5L, 9L, 2L))
+    // mid-word: z-fallback, the 6-char match, z-fallback — BUT 'z'
+    // falls back at length 1 while 'x' matches the 1-char vocab
+    // entry, so fallback and match stay distinguishable
+    assert(got(2L) === List(0L, 5L, 0L))
+    // a >32-char entry refuses loudly instead of an unbounded chain
+    val big = Seq(("a" * 33, 1L)).toDF("token", "id")
+    val err = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.vocabSegmentIds(docs, big).collect()
+    }
+    assert(err.getMessage.contains("capped"), err.getMessage)
+  }
+
+  test("exportShardsIngest mixed-era adoption covers a DIFFERENT " +
+      "pipeline id: a batch landed pre-upgrade under another id's " +
+      "suffixed namespace is still recognized on replay (the state " +
+      "row's existence proves the landing)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_mixera2_").toString
+    val batch0 = docs.where($"doc_id" < 100)
+    val assigned = operators.TextAnalysis.exportShards(batch0, 2048L)
+      .withColumn("batch_id", lit(0L))
+    val asgPath = java.nio.file.Paths.get(stage, "assignments").toString
+    val stPath = java.nio.file.Paths.get(stage, "state").toString
+    graft.tables.GraftTable.create(spark, asgPath, assigned.limit(0))
+      .appendIfNew(assigned, 0L,
+        appId = operators.TextAnalysis.exportAssignAppId + ":a")
+    val endOffset = assigned
+      .agg(max($"tokens_before" + $"n_tokens")).head().getLong(0)
+    val maxDoc = batch0.agg(max($"doc_id")).head().getLong(0)
+    graft.tables.GraftTable.create(spark, stPath,
+        Seq.empty[(Long, Long, Long)]
+          .toDF("batch_id", "end_offset", "max_doc"))
+      .appendIfNew(
+        Seq((0L, endOffset, maxDoc))
+          .toDF("batch_id", "end_offset", "max_doc"),
+        0L, appId = operators.TextAnalysis.exportStateAppId + ":a")
+    // the post-upgrade pipeline RENAMED its id (":b"): the suffixed
+    // ":a" watermark is unknowable, but the state row exists — the
+    // replay must re-land nothing
+    operators.TextAnalysis.exportShardsIngest(spark, stage, batch0, 0L,
+      pipelineId = ":b")
+    assert(graft.tables.GraftTable.load(spark, asgPath)
+      .snapshot().count() === batch0.count(),
+      "a cross-id mixed-era replay re-landed the batch")
+  }
+
   test("vocabSegmentIds and vocabSegments share the step: array " +
       "length == counted measure on the real corpus") {
     val docs = Tables.load(spark, sf, "documents")
