@@ -1790,6 +1790,98 @@ object TextAnalysis {
       .limit(vocabSize)
   }
 
+  /** TRUE BPE MERGE INDUCTION (Sennrich et al. 2016) — the
+    * sequentially-dependent half the relational [[vocabInduct]]
+    * score deliberately left to a driver loop: start from character
+    * symbols and repeatedly merge the most frequent ADJACENT pair,
+    * each round one DISTRIBUTED pair-count aggregate over the
+    * word-frequency table (the standard trainer working set:
+    * DISTINCT words weighted by corpus count — bounded by the word
+    * domain, never corpus rows; the driver holds only the argmax row
+    * and the merge list). Ties break (count desc, pair) so the merge
+    * sequence is deterministic and engine-portable. Returns the
+    * (token, id, cnt) vocabulary: the surviving base characters
+    * first (corpus char counts), then the merge tokens in MERGE
+    * ORDER (their winning pair counts) — ids 1..V, ready for
+    * [[vocabSegmentIds]] / `VOCAB FROM` (note the pack's inference
+    * is greedy longest-match — the WordPiece-style application of a
+    * BPE-induced vocabulary, documented at the seam). The symbol
+    * frame re-plans per merge; it is re-persisted each round and
+    * localCheckpoint'ed every 8 merges so the lineage stays bounded.
+    */
+  def bpeInduct(docs: DataFrame, numMerges: Int = 32,
+      minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numMerges >= 0, "bpeInduct needs numMerges >= 0")
+    var wf = docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // substring-by-index, not split(w, "") — Spark's split keeps a
+      // trailing empty element under its -1 limit
+      .select(col("cnt"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val charCounts = wf.select(col("cnt"), explode(col("syms")).as("c"))
+      .groupBy(col("c")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var done = false
+    var round = 0
+    while (round < numMerges && !done) {
+      val top = wf.where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((a + b, n))
+        val prev = wf
+        wf = wf.withColumn("syms", bpeMergeFold(col("syms"), a, b))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if ((round + 1) % 8 == 0) wf = wf.localCheckpoint(true)
+        else wf.count(): Unit
+        prev.unpersist(): Unit
+        round += 1
+      }
+    }
+    wf.unpersist(): Unit
+    val rows = (charCounts.toSeq ++ merges.toSeq).zipWithIndex
+      .map { case ((tok, n), i) => (tok, (i + 1).toLong, n) }
+    rows.toDF("token", "id", "cnt")
+  }
+
+  /** One BPE merge applied left-to-right over a symbol array — an
+    * `aggregate` fold carrying (emitted, pending): when the pending
+    * symbol is `a` and the current is `b` they fuse, consuming both
+    * (so `aaa` under a+a yields [aa, a] — the standard left-to-right
+    * convention); otherwise the pending symbol flushes.
+    */
+  private def bpeMergeFold(syms: Column, a: String,
+      b: String): Column =
+    aggregate(syms,
+      struct(array_repeat(lit(""), 0).as("out"),
+        lit(null).cast("string").as("pend")),
+      (st, s) => when(
+        st.getField("pend") === lit(a) && s === lit(b),
+        struct(concat(st.getField("out"), array(lit(a + b))).as("out"),
+          lit(null).cast("string").as("pend")))
+        .otherwise(struct(
+          when(st.getField("pend").isNull, st.getField("out"))
+            .otherwise(concat(st.getField("out"),
+              array(st.getField("pend")))).as("out"),
+          s.as("pend"))),
+      st => when(st.getField("pend").isNull, st.getField("out"))
+        .otherwise(concat(st.getField("out"),
+          array(st.getField("pend")))))
+
   /** The RANKED gram vocabulary — [[vocabInductFrame]]'s selection
     * with ids 1..V assigned by dense rank over (score desc, gram),
     * id 0 reserved for the single-character UNK fallback: the

@@ -188,6 +188,78 @@ class SubwordPackSpec extends SparkSpec {
     assert(e2.getMessage.contains("pick one"), e2.getMessage)
   }
 
+  test("bpeInduct: the driver-loop merge sequence equals an " +
+      "imperative reference BPE (Sennrich-style, left-to-right, " +
+      "ties by (count desc, pair)); the induced vocab feeds the " +
+      "subword pack end-to-end") {
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest newest"),
+      (2L, "newest newest widest widest widest low lowest"))
+      .toDF("doc_id", "text")
+    // imperative reference over the word-frequency dict
+    def refBpe(words: Map[String, Long], numMerges: Int,
+        minCount: Long): Seq[(String, Long)] = {
+      var wf = words.toSeq.map { case (w, c) =>
+        (w.map(_.toString).toVector, c) }
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      var i = 0; var done = false
+      while (i < numMerges && !done) {
+        val counts =
+          scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, c) <- wf; j <- 0 until syms.length - 1)
+          counts((syms(j), syms(j + 1))) =
+            counts.getOrElse((syms(j), syms(j + 1)), 0L) + c
+        val best = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+        best match {
+          case Some(((a, b), n)) if n >= minCount =>
+            out += ((a + b, n))
+            wf = wf.map { case (syms, c) =>
+              val buf = Vector.newBuilder[String]
+              var k = 0
+              while (k < syms.length) {
+                if (k + 1 < syms.length && syms(k) == a &&
+                    syms(k + 1) == b) { buf += (a + b); k += 2 }
+                else { buf += syms(k); k += 1 }
+              }
+              (buf.result(), c)
+            }
+            i += 1
+          case _ => done = true
+        }
+      }
+      out.toSeq
+    }
+    val words = Seq("low", "low", "low", "low", "lower", "lower",
+      "newest", "newest", "newest", "newest", "newest", "widest",
+      "widest", "widest", "lowest")
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    val expected = refBpe(words, 8, 2L)
+    val vocab = operators.TextAnalysis.bpeInduct(docs, 8, 2L)
+    val rows = vocab.orderBy($"id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nChars = words.keys.flatMap(_.toSeq).toSet.size
+    val gotMerges = rows.drop(nChars).map(r => (r._1, r._3)).toSeq
+    assert(gotMerges === expected,
+      "distributed merge sequence diverged from the reference BPE")
+    assert(rows.take(nChars).map(_._1).toSeq ===
+      words.keys.flatMap(_.toSeq).toSet.toSeq.sorted.map(_.toString),
+      "base characters must precede merges in rank order")
+    // the induced table drives the subword pack end-to-end, and the
+    // landed fill total equals the encode total under the same vocab
+    val root = java.nio.file.Files.createTempDirectory("graft_bpe_")
+    val m = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("seqs").toString, seqLen = 16L, tokenizer = "vp",
+      vocab = Some(vocab))
+    val landed = m.agg(sum($"filled_tokens")).head().getLong(0)
+    val encoded = operators.TextAnalysis
+      .vocabSegmentIds(docs, vocab)
+      .agg(sum(size($"vp_ids"))).head().getLong(0)
+    assert(landed === encoded,
+      "pack fills diverged from the encode under the BPE vocab")
+    assert(landed > 0L)
+  }
+
   test("packSequencesIngest: batches accumulate to the one-shot " +
       "spans, a sequence carries a doc across the batch seam, and a " +
       "replay re-lands nothing") {
