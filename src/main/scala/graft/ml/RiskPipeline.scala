@@ -145,13 +145,21 @@ object RiskPipeline {
     val perScore = scored.groupBy(col("score"))
       .agg(count(lit(1)).as("n"),
         sum(col("bad_flag").cast("long")).as("n_pos"))
-    val totals = broadcast(
-      perScore.agg(sum(col("n_pos")).as("__pos_total")))
+    // ONE pane: the positives total rides an unbounded frame over the
+    // same sorted distinct-score pane as the cumulative sweep — a
+    // separate scalar aggregate would re-evaluate the whole feature
+    // frame a second time
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc)
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    perScore.crossJoin(totals)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perScore
+      .withColumn("__pos_total", sum(col("n_pos")).over(wAll))
       .withColumn("tp", sum(col("n_pos")).over(w))
       .withColumn("pp", sum(col("n")).over(w))
       .withColumn("fp", col("pp") - col("tp"))

@@ -1179,9 +1179,13 @@ object TextAnalysis {
       tokenizer: String = "ws", bucketSize: Long = 4096L,
       vocab: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
+    // the vocabulary plan (a corpus-scale aggregation when induced)
+    // is referenced by the probe-window agg, the broadcast map AND
+    // the summary count — persist it so it runs once per write
     val vdf = vocab.getOrElse(
       if (tokenizer == "vp") gramVocab(docs, vocabSize)
       else tokenVocab(docs, vocabSize, tokenizer))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var encoded: Option[DataFrame] = None
     val frags = if (tokenizer == "vp") {
       // the SUBWORD form: the doc's token stream IS the greedy-encode
@@ -1247,11 +1251,12 @@ object TextAnalysis {
         .write.mode("overwrite").parquet(outPath)
     } finally encoded.foreach(_.unpersist(): Unit)
     val manifest = materializedTokenManifest(spark, outPath)
-    // the summary records the ACTUAL vocabulary size (one vocab-plan
-    // count on the write path — induced and supplied packs of
-    // identical content must describe identically)
-    writePackSummary(outPath, "tokens", tokenizer, seqLen,
+    // the summary records the ACTUAL vocabulary size (served from the
+    // persisted vocab — induced and supplied packs of identical
+    // content must describe identically)
+    try writePackSummary(outPath, "tokens", tokenizer, seqLen,
       vdf.count(), manifest)
+    finally vdf.unpersist(): Unit
     manifest
   }
 
@@ -1443,7 +1448,10 @@ object TextAnalysis {
       vocab: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     require(seqLen >= 1L, "packTokensMixtureMaterialize needs seqLen >= 1")
+    // persisted: the vocab plan serves the broadcast map AND the
+    // summary count — one corpus aggregation per write, not two
     val vdf = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vmap = broadcast(vdf.agg(map_from_entries(
       collect_list(struct(col("token"), col("id")))).as("__vmap")))
     // per-copy counted stream in mixture order — EXACTLY
@@ -1498,8 +1506,9 @@ object TextAnalysis {
       .sortWithinPartitions(col("seq_id"))
       .write.mode("overwrite").parquet(outPath)
     val manifest = materializedMixtureTokenManifest(spark, outPath)
-    writePackSummary(outPath, "mixture_tokens", tokenizer, seqLen,
+    try writePackSummary(outPath, "mixture_tokens", tokenizer, seqLen,
       vdf.count(), manifest)
+    finally vdf.unpersist(): Unit
     manifest
   }
 
@@ -1844,10 +1853,19 @@ object TextAnalysis {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((a + b, n))
         val prev = wf
-        wf = wf.withColumn("syms", bpeMergeFold(col("syms"), a, b))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if ((round + 1) % 8 == 0) wf = wf.localCheckpoint(true)
-        else wf.count(): Unit
+        val next = wf.withColumn("syms", bpeMergeFold(col("syms"), a, b))
+        // checkpoint rounds REPLACE the cache (a persist immediately
+        // shadowed by localCheckpoint would orphan its blocks for the
+        // process lifetime); dropping the old reference lets the
+        // context cleaner reclaim earlier checkpoint blocks
+        wf =
+          if ((round + 1) % 8 == 0) next.localCheckpoint(true)
+          else {
+            val p = next.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            p.count(): Unit
+            p
+          }
         prev.unpersist(): Unit
         round += 1
       }
@@ -1929,6 +1947,10 @@ object TextAnalysis {
       maxN: Int = 0): DataFrame = {
     require(grams.nonEmpty,
       "vocabSegments needs the induced gram vocabulary")
+    require((minN > 0) == (maxN > 0),
+      "vocabSegments: give BOTH probe bounds or neither (0, 0 = " +
+        "derive from the vocabulary) — a lone bound would be " +
+        "silently ignored")
     // 0 = derive the probe window from the vocabulary itself — a
     // supplied table whose entries fall outside a fixed window would
     // otherwise be silently unreachable (every occurrence landing as
@@ -1985,6 +2007,10 @@ object TextAnalysis {
     */
   def vocabSegmentIds(docs: DataFrame, vocab: DataFrame, minN: Int = 0,
       maxN: Int = 0): DataFrame = {
+    require((minN > 0) == (maxN > 0),
+      "vocabSegmentIds: give BOTH probe bounds or neither (0, 0 = " +
+        "derive from the vocabulary) — a lone bound would be " +
+        "silently ignored")
     // 0 = derive the probe window from the vocabulary (one O(V) agg)
     // — an externally-trained table may carry entries of any length,
     // and a fixed window would silently encode them as UNK

@@ -728,9 +728,14 @@ object Streams {
                   val n = GraftTable.load(spark, asgPath)
                     .snapshotCandidates(col("epoch") === e)
                     .where(col("epoch") === e).count()
+                  // auto mode re-derives the fan-out the landing
+                  // cycle used from the landed corpus size; a PINNED
+                  // count may have been re-configured since, so the
+                  // repair records -1 = unknown rather than attest
+                  // the replay cycle's setting
                   (if (hashBuckets == 0L)
                      graft.operators.TextAnalysis.autoHashBuckets(n)
-                   else hashBuckets, n)
+                   else -1L, n)
                 }
               metaT.appendIfNew(
                 Seq((e, mHb, mN))

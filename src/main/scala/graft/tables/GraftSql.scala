@@ -293,7 +293,7 @@ object GraftSql {
       // back rounded UP past the true max and empty the filter —
       // the null guard below catches that side)
       case (Some(md), Some(mtb))
-          if md.abs <= statExactCeiling && mtb.abs <= statExactCeiling =>
+          if md.abs < statExactCeiling && mtb.abs < statExactCeiling =>
         val (pruned, read, total) = t.snapshotCandidatesWithCount(
           col("tokens_before") >= org.apache.spark.sql.functions
             .lit(mtb.toLong))
@@ -305,10 +305,11 @@ object GraftSql {
     }
   }
 
-  /** Doubles represent integers exactly through 2⁵³ — footer stats
-    * above that may have rounded and must not be REPORTED as values
-    * (pruning with them is still safe only when a null-result guard
-    * backstops the read).
+  /** Doubles represent integers exactly through 2⁵³ — and a stat
+    * EQUAL to 2⁵³ is already ambiguous (a true 2⁵³+1 rounds down to
+    * it), so the guard is strict: stats at or above it must not be
+    * REPORTED as values (pruning with them is still safe only when a
+    * null-result guard backstops the read).
     */
   private val statExactCeiling: Double = 9007199254740992d
 
@@ -349,8 +350,8 @@ object GraftSql {
       // reported stats (max_doc) must be double-exact — above 2⁵³
       // the grouped aggregate is the truthful spelling
       case (Some(maxTb), Some(maxDoc))
-          if maxTb.valuesIterator.forall(_.abs <= statExactCeiling) &&
-            maxDoc.valuesIterator.forall(_.abs <= statExactCeiling) =>
+          if maxTb.valuesIterator.forall(_.abs < statExactCeiling) &&
+            maxDoc.valuesIterator.forall(_.abs < statExactCeiling) =>
         var read = 0; var total = 0
         // footer stats are DOUBLES: a per-epoch max above 2⁵³ can
         // round UP past the true value, the pruned filter comes back
