@@ -139,6 +139,8 @@ object SparkEntry {
       TextAnalysis.packTokensMixtureScenario(s, d)),
     "text_pack_describe" -> ((s: SparkSession, d: String) =>
       TextAnalysis.describePackScenario(s, d)),
+    "text_pack_tokens_incremental" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packTokensIncrementalScenario(s, d)),
     "text_mixture_resample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.mixtureResampleScenario(s, d)),
     "text_export_shards_mixture" -> ((s: SparkSession, d: String) =>
@@ -1629,6 +1631,42 @@ object SparkEntry {
     // the global stream, so the per-sequence rollup (counts + id
     // checksum) replays the id lookup AND the slicing relationally
     "text_pack_tokens_materialized" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM d),
+        |tok AS (
+        |  SELECT doc_id, tokens_before, UNNEST(toks) AS token,
+        |    CAST(UNNEST(generate_series(1, CAST(len(toks) AS INT))) AS BIGINT) AS pos
+        |  FROM c WHERE n_tokens > 0),
+        |vc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        |vocab AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
+        |  FROM vc ORDER BY cnt DESC, token LIMIT 512),
+        |ids AS (
+        |  SELECT t.doc_id, t.tokens_before, t.pos, COALESCE(v.id, 0) AS id
+        |  FROM tok t LEFT JOIN vocab v USING (token)),
+        |st AS (
+        |  SELECT doc_id, tokens_before,
+        |    CAST((tokens_before + pos - 1) // 128 AS BIGINT) AS seq_id, id
+        |  FROM ids),
+        |sd AS (
+        |  SELECT seq_id, doc_id, tokens_before, COUNT(*) AS n_tok, SUM(id) AS s_ids
+        |  FROM st GROUP BY seq_id, doc_id, tokens_before)
+        |SELECT seq_id, CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS filled_tokens,
+        |  CAST(SUM(CASE WHEN tokens_before < seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
+        |  CAST(SUM(s_ids) AS BIGINT) AS ids_sum,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM sd GROUP BY seq_id""".stripMargin,
+    // the INCREMENTAL token pack accumulates to EXACTLY the one-shot
+    // token-ID artifact (pinned full-corpus vocab + stored-offset
+    // continuation + read-side fragment assembly) — the same replay
+    // as text_pack_tokens_materialized
+    "text_pack_tokens_incremental" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
         |c AS (

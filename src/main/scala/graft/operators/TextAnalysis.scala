@@ -1423,6 +1423,151 @@ object TextAnalysis {
       s"DESCRIBE PACK '${p.resolve("seqs")}'")
   }
 
+  /** INCREMENTAL TOKEN-ID packing — the materialized token artifact
+    * under the exactly-once contract: each arriving batch lands its
+    * sequence FRAGMENTS (seq_id, doc_id, tokens_before, frag_ids,
+    * carry_in) exactly-once, with offsets CONTINUING from the stored
+    * corpus total (the ingest rides [[exportShardsIngest]] at budget
+    * = seqLen, inheriting the whole contract: doc_id-monotone
+    * refusal, replay no-op, crash self-heal, ownership). A sequence
+    * left partially open by batch k is COMPLETED by batch k+1's
+    * fragments — no landed row ever rewrites, because the artifact
+    * is fragment rows assembled at READ time
+    * ([[packTokensIngestManifest]] / a one-shot compaction), the
+    * only layout an append-only exactly-once sink can maintain for a
+    * boundary that keeps moving. The VOCABULARY is a training-run
+    * CONSTANT: batch 0 pins it (the supplied table, or an induction
+    * over batch 0 when none is given) into `<path>/vocab`, and every
+    * later batch encodes against the PINNED table — ids must never
+    * drift across batches (re-inducing per batch would re-number the
+    * vocabulary mid-corpus). Fragment rows are slim (ids only, no
+    * text); the read-side assembly is one hash aggregation on
+    * seq_id.
+    */
+  def packTokensIngest(spark: SparkSession, packPath: String,
+      docs: DataFrame, batchId: Long, seqLen: Long = 128L,
+      bucketSize: Long = 4096L, tokenizer: String = "ws",
+      vocab: Option[DataFrame] = None, vocabSize: Int = 512,
+      pipelineId: String = ""): DataFrame = {
+    import graft.tables.GraftTable
+    require(tokenizer == "ws" || tokenizer == "bpe",
+      "packTokensIngest pins a WHOLE-TOKEN vocabulary (ws|bpe); the " +
+        "vp subword measure needs the gram encode — supply its " +
+        "(token, id) table to the one-shot packTokensMaterialize")
+    val vocabPath = java.nio.file.Paths.get(packPath, "vocab").toString
+    val haveVocab = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(vocabPath, "_graft_log"))
+    val vdf =
+      if (haveVocab)
+        GraftTable.load(spark, vocabPath).snapshot()
+          .select(col("token"), col("id"))
+      else {
+        val v = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
+          .select(col("token"), col("id").cast("long").as("id"))
+        val t = GraftTable.createIfAbsent(spark, vocabPath, v.limit(0))
+        t.appendIfNew(v, 0L, appId = "graft-tokpack-vocab"): Unit
+        GraftTable.load(spark, vocabPath).snapshot()
+          .select(col("token"), col("id"))
+      }
+    // spans continue from the stored corpus total — the export state
+    // IS the pack's continuation state (budget = seqLen)
+    val spans = exportShardsIngest(spark, packPath, docs, batchId,
+      shardTokens = seqLen, bucketSize, pipelineId)
+    val vmap = broadcast(vdf.agg(map_from_entries(
+      collect_list(struct(col("token"), col("id")))).as("__vmap")))
+    val frags = fragmentWindows(
+        spans.select(col("doc_id"), col("n_tokens"),
+          col("tokens_before")), seqLen)
+      .join(docs.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
+          lit(0)).as("__toks")), Seq("doc_id"))
+      .crossJoin(vmap)
+      .withColumn("frag_ids", transform(
+        slice(col("__toks"),
+          (col("fill_start") - col("tokens_before") + 1L).cast("int"),
+          (col("fill_end") - col("fill_start")).cast("int")),
+        t => coalesce(element_at(col("__vmap"), t), lit(0L))))
+      .select(col("seq_id"), col("doc_id"), col("tokens_before"),
+        col("frag_ids"), col("carry_in"))
+      .withColumn("batch_id", lit(batchId))
+    val fragsT = GraftTable.createIfAbsent(spark,
+      java.nio.file.Paths.get(packPath, "fragments").toString,
+      frags.limit(0))
+    // fragments land LAST: a crash after the span commits replays
+    // into the span machinery's watermarks (both skip), recomputes
+    // the identical fragments from the strictly-earlier offsets, and
+    // lands exactly the missing side here
+    fragsT.appendIfNew(frags, batchId,
+      appId = "graft-tokpack-frags" + pipelineId): Unit
+    // the batch's landed slice, table-backed and stats-pruned — the
+    // return path is O(batch), never a driver collect
+    GraftTable.load(spark,
+        java.nio.file.Paths.get(packPath, "fragments").toString)
+      .snapshotCandidates(col("batch_id") === batchId)
+      .where(col("batch_id") === batchId)
+      .select(col("seq_id"), col("doc_id"), col("tokens_before"),
+        size(col("frag_ids")).cast("long").as("frag_tokens"),
+        col("carry_in"))
+  }
+
+  /** The per-sequence manifest assembled from an incremental pack's
+    * accumulated fragments — identical columns (and oracle) to
+    * [[materializedTokenManifest]], so N exactly-once batches must
+    * reproduce the one-shot pack byte-for-byte under the same pinned
+    * vocabulary. One hash aggregation on seq_id over slim id arrays.
+    */
+  def packTokensIngestManifest(spark: SparkSession,
+      packPath: String): DataFrame =
+    graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(packPath, "fragments").toString)
+      .snapshot()
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(size(col("frag_ids"))).cast("long").as("filled_tokens"),
+        max(when(col("carry_in"), lit(1L)).otherwise(lit(0L)))
+          .as("n_carry_in"),
+        sum(aggregate(col("frag_ids"), lit(0L), (a, x) => a + x))
+          .as("ids_sum"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("seq_id"), col("n_docs"), col("filled_tokens"),
+        col("n_carry_in"), col("ids_sum"), col("first_doc"),
+        col("last_doc"))
+
+  private val tokIngestStages =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Driver scenario for [[packTokensIngest]]: the corpus arrives in
+    * 3 doc_id-monotone batches plus a replay of the last, all under
+    * ONE pinned vocabulary (the full-corpus top-512 table — the
+    * training-run constant a real pipeline fixes before packing);
+    * the accumulated fragments must assemble to the one-shot token
+    * pack, so the manifest shares `text_pack_tokens_materialized`'s
+    * oracle. Staged once per process.
+    */
+  def packTokensIncrementalScenario(spark: SparkSession,
+      sfDir: String, seqLen: Long = 128L): DataFrame = {
+    val stage = tokIngestStages.computeIfAbsent(s"$sfDir:$seqLen",
+      { _ =>
+        val docs = Tables.load(spark, sfDir, "documents")
+        val pinned = tokenVocab(docs, 512)
+        val p = java.nio.file.Files.createTempDirectory("graft_tokinc_")
+        packTokensIngest(spark, p.toString,
+          docs.where(col("doc_id") < 170), 0L, seqLen,
+          vocab = Some(pinned))
+        packTokensIngest(spark, p.toString,
+          docs.where(col("doc_id") >= 170 && col("doc_id") < 340), 1L,
+          seqLen)
+        packTokensIngest(spark, p.toString,
+          docs.where(col("doc_id") >= 340), 2L, seqLen)
+        // replay of the last batch: every watermark skips
+        packTokensIngest(spark, p.toString,
+          docs.where(col("doc_id") >= 340), 2L, seqLen)
+        p
+      })
+    packTokensIngestManifest(spark, stage.toString)
+  }
+
   /** The COMPLETE mixture training artifact — [[exportShardsMixture]]
     * composed with [[packTokensMaterialize]]: every training COPY
     * (doc, rep) takes its independent md5 position in the epoch

@@ -150,7 +150,15 @@ class ExplainAuditSpec extends SparkSpec {
           ta.exportShardsMixture(docs, ta.scenarioMixture),
         "packSequencesVp" -> ta.packSequences(docs, seqLen = 128L,
           tokenizer = "vp", vpGrams = grams),
-        "vocabSegments" -> ta.vocabSegments(docs, grams))
+        "vocabSegments" -> ta.vocabSegments(docs, grams),
+        // a vocab-table encode (the rank window inside gramVocab runs
+        // over the already-cut 64-row pane and is audited separately;
+        // here the vocab arrives as a literal table, the VOCAB FROM
+        // shape)
+        "vocabSegmentIds" -> ta.vocabSegmentIds(docs,
+          spark.createDataFrame(grams.zipWithIndex
+            .map { case (g, i) => (g, (i + 1).toLong) })
+            .toDF("token", "id")))
       // a nested-loop join is allowed ONLY when its broadcast side is
       // provably ONE row: the side's EFFECTIVE ROOT — stripped of
       // cardinality-preserving/reducing unary wrappers (projects,

@@ -300,6 +300,57 @@ class SubwordPackSpec extends SparkSpec {
         "corpus split that does not align to seqLen")
   }
 
+  test("packTokensIngest: batches assemble to the one-shot token " +
+      "pack under a pinned vocabulary, the boundary sequence " +
+      "completes across batches, and a replay re-lands nothing") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pinned = operators.TextAnalysis.tokenVocab(docs, 512)
+    val p = java.nio.file.Files.createTempDirectory("graft_tokincspec_")
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" < 170), 0L, vocab = Some(pinned))
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 170 && $"doc_id" < 340), 1L)
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 340), 2L)
+    val fragsPath =
+      java.nio.file.Paths.get(p.toString, "fragments").toString
+    val n = graft.tables.GraftTable.load(spark, fragsPath)
+      .snapshot().count()
+    // replay of the last batch: spans, state and fragments all skip
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 340), 2L)
+    assert(graft.tables.GraftTable.load(spark, fragsPath)
+      .snapshot().count() === n, "replay must re-land nothing")
+    // accumulated fragments assemble to EXACTLY the one-shot pack
+    val inc = operators.TextAnalysis
+      .packTokensIngestManifest(spark, p.toString)
+      .collect().map(_.toSeq).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_tokos_")
+    val oneShot = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("seqs").toString, seqLen = 128L,
+      vocab = Some(pinned)).collect().map(_.toSeq).toSet
+    assert(inc === oneShot,
+      "incremental fragments diverged from the one-shot token pack")
+    // the batch seam: the sequence holding batch 1's first fragment
+    // also holds a batch-0 doc (the open sequence filled across)
+    val frags = graft.tables.GraftTable.load(spark, fragsPath)
+      .snapshot()
+    val seamSeq = frags.where($"batch_id" === 1L)
+      .agg(min($"seq_id")).head().getLong(0)
+    val seamBatches = frags.where($"seq_id" === seamSeq)
+      .select($"batch_id").distinct().count()
+    assert(seamBatches === 2L,
+      "the seam sequence must carry fragments from BOTH batches — " +
+        "pick a corpus split that does not align to seqLen")
+    // the vocabulary stayed PINNED: later batches encoded against
+    // batch 0's table, not a re-induction over their own slice
+    val landedVocab = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(p.toString, "vocab").toString)
+      .snapshot().collect().map(_.toSeq).toSet
+    assert(landedVocab ===
+      pinned.select($"token", $"id").collect().map(_.toSeq).toSet)
+  }
+
   test("exportShardsIngest mixed-era adoption: a batch landed under " +
       "the SUFFIXED namespace on a legacy-shaped table is recognized " +
       "on replay — no duplicate token ranges") {
