@@ -1181,11 +1181,16 @@ object TextAnalysis {
     val spark = docs.sparkSession
     // the vocabulary plan (a corpus-scale aggregation when induced)
     // is referenced by the probe-window agg, the broadcast map AND
-    // the summary count — persist it so it runs once per write
-    val vdf = vocab.getOrElse(
-      if (tokenizer == "vp") gramVocab(docs, vocabSize)
-      else tokenVocab(docs, vocabSize, tokenizer))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the summary count — persist it so it runs once per write. Only
+    // the INDUCED plan: Spark's cache is logical-plan-keyed, so
+    // persist/unpersist on a caller-SUPPLIED frame would evict the
+    // caller's own cache of it
+    val induced = vocab.isEmpty
+    val vdf = vocab.getOrElse {
+      (if (tokenizer == "vp") gramVocab(docs, vocabSize)
+       else tokenVocab(docs, vocabSize, tokenizer))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     var encoded: Option[DataFrame] = None
     val frags = if (tokenizer == "vp") {
       // the SUBWORD form: the doc's token stream IS the greedy-encode
@@ -1256,7 +1261,7 @@ object TextAnalysis {
     // content must describe identically)
     try writePackSummary(outPath, "tokens", tokenizer, seqLen,
       vdf.count(), manifest)
-    finally vdf.unpersist(): Unit
+    finally { if (induced) vdf.unpersist(): Unit }
     manifest
   }
 
@@ -1293,6 +1298,33 @@ object TextAnalysis {
     */
   def describePack(spark: SparkSession, path: String): DataFrame = {
     val p = java.nio.file.Paths.get(path, "_pack_summary.json")
+    val incMeta = java.nio.file.Paths.get(path, "_pack_meta.json")
+    // the INCREMENTAL layout has no frozen summary — its totals move
+    // with every batch, so the ledger serves the pinned constants
+    // from the meta sidecar plus a LIVE re-aggregation over the slim
+    // fragment arrays (the honest cost for a moving artifact)
+    if (!java.nio.file.Files.exists(p) &&
+        java.nio.file.Files.exists(incMeta)) {
+      val meta = new String(java.nio.file.Files.readAllBytes(incMeta),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def str(k: String): String =
+        ("\"" + k + "\":\"([^\"]+)\"").r.findFirstMatchIn(meta)
+          .map(_.group(1)).getOrElse("")
+      val seqLen = """"seq_len":(\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      val vocabT = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(path, "vocab").toString)
+      val vSize = vocabT.rowCount.getOrElse(vocabT.snapshot().count())
+      val r = packTokensIngestManifest(spark, path)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("filled_tokens")), lit(0L)).as("ft"),
+          coalesce(sum(col("ids_sum")), lit(0L)).as("is")).head()
+      import spark.implicits._
+      return Seq((str("form"), str("tokenizer"), seqLen, vSize,
+          r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("form", "tokenizer", "seq_len", "vocab_size",
+          "n_sequences", "filled_tokens", "ids_sum")
+    }
     require(java.nio.file.Files.exists(p),
       s"DESCRIBE PACK: no _pack_summary.json under $path — the path " +
         "does not hold a materialized pack (run PACK SEQUENCES ... " +
@@ -1450,22 +1482,71 @@ object TextAnalysis {
       vocab: Option[DataFrame] = None, vocabSize: Int = 512,
       pipelineId: String = ""): DataFrame = {
     import graft.tables.GraftTable
-    require(tokenizer == "ws" || tokenizer == "bpe",
-      "packTokensIngest pins a WHOLE-TOKEN vocabulary (ws|bpe); the " +
-        "vp subword measure needs the gram encode — supply its " +
-        "(token, id) table to the one-shot packTokensMaterialize")
+    // the stored offsets are MEASURE-BOUND (the EXPORT SHARDS BATCH
+    // posture): the span state counts ws tokens, so slicing any other
+    // measure's arrays against those windows would land silently
+    // wrong ids — refuse anything but ws (a subword pipeline packs
+    // one-shot under a vp vocabulary, or re-lands from scratch)
+    require(tokenizer == "ws",
+      "packTokensIngest: the incremental pack's stored offsets are " +
+        "measure-bound to ws — other measures (bpe subword slicing, " +
+        "the vp gram encode) take the one-shot packTokensMaterialize")
     val vocabPath = java.nio.file.Paths.get(packPath, "vocab").toString
+    // rows, not log existence: a crash between createIfAbsent's empty
+    // version-0 commit and the vocab append must re-land the rows on
+    // replay — an empty pinned vocabulary would encode the whole
+    // corpus as UNK forever, silently
     val haveVocab = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(vocabPath, "_graft_log"))
+        java.nio.file.Paths.get(vocabPath, "_graft_log")) && {
+      val t = GraftTable.load(spark, vocabPath)
+      t.rowCount.getOrElse(t.snapshot().count()) > 0L
+    }
+    // seqLen and the measure are PACK CONSTANTS: the landed fragments
+    // are cut at batch-time boundaries, so a later batch under a
+    // different length would corrupt every boundary sequence — pin
+    // them in a meta sidecar at batch 0 and refuse drift
+    val metaPath = java.nio.file.Paths.get(packPath, "_pack_meta.json")
+    if (haveVocab && java.nio.file.Files.exists(metaPath)) {
+      val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val pinnedLen = """"seq_len":(\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toLong)
+      require(pinnedLen.contains(seqLen),
+        s"packTokensIngest: this pack was pinned at seq_len " +
+          s"${pinnedLen.getOrElse(-1L)} — batch $batchId arrived " +
+          s"with seqLen $seqLen (a changed length would corrupt " +
+          "every boundary sequence)")
+    }
     val vdf =
-      if (haveVocab)
-        GraftTable.load(spark, vocabPath).snapshot()
+      if (haveVocab) {
+        val pinned = GraftTable.load(spark, vocabPath).snapshot()
           .select(col("token"), col("id"))
-      else {
+        // a vocabulary supplied AFTER the pin must MATCH it — ids
+        // encoding under a different table than the caller believes
+        // is the silent divergence this family refuses loudly
+        vocab.foreach { v =>
+          val supplied = v.select(col("token"),
+            col("id").cast("long").as("id"))
+            .collect().map(_.toSeq).toSet
+          val have = pinned.collect().map(_.toSeq).toSet
+          require(supplied == have,
+            "packTokensIngest: a vocabulary was supplied but this " +
+              "pack already pinned a DIFFERENT one at batch 0 — ids " +
+              "must never drift across batches (drop the vocab " +
+              "argument, or pack to a fresh path)")
+        }
+        pinned
+      } else {
         val v = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
           .select(col("token"), col("id").cast("long").as("id"))
         val t = GraftTable.createIfAbsent(spark, vocabPath, v.limit(0))
         t.appendIfNew(v, 0L, appId = "graft-tokpack-vocab"): Unit
+        // the pack constants, written idempotently next to the vocab
+        // (DESCRIBE PACK serves them; totals re-aggregate live)
+        java.nio.file.Files.write(metaPath,
+          (s"""{"form":"incremental_tokens","tokenizer":"$tokenizer",""" +
+            s""""seq_len":$seqLen}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
         GraftTable.load(spark, vocabPath).snapshot()
           .select(col("token"), col("id"))
       }
@@ -1593,10 +1674,14 @@ object TextAnalysis {
       vocab: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     require(seqLen >= 1L, "packTokensMixtureMaterialize needs seqLen >= 1")
-    // persisted: the vocab plan serves the broadcast map AND the
-    // summary count — one corpus aggregation per write, not two
-    val vdf = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted when INDUCED: the vocab plan serves the broadcast map
+    // AND the summary count — one corpus aggregation per write, not
+    // two (a caller-supplied frame is left alone: persist/unpersist
+    // on it would evict the caller's own plan-keyed cache)
+    val inducedVocab = vocab.isEmpty
+    val vdf = vocab.getOrElse(
+      tokenVocab(docs, vocabSize, tokenizer)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val vmap = broadcast(vdf.agg(map_from_entries(
       collect_list(struct(col("token"), col("id")))).as("__vmap")))
     // per-copy counted stream in mixture order — EXACTLY
@@ -1653,7 +1738,7 @@ object TextAnalysis {
     val manifest = materializedMixtureTokenManifest(spark, outPath)
     try writePackSummary(outPath, "mixture_tokens", tokenizer, seqLen,
       vdf.count(), manifest)
-    finally vdf.unpersist(): Unit
+    finally { if (inducedVocab) vdf.unpersist(): Unit }
     manifest
   }
 

@@ -202,7 +202,7 @@ object GraftSql {
   // the complete loader artifact); it requires MATERIALIZE + IDS and
   // takes the mixture form's DEFAULT/SEED knobs
   private val PackSequencesSql =
-    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+MIXTURE\s*\(([^)]*)\))?(?:\s+DEFAULT\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?(\s+MANIFEST)?(?:\s+MATERIALIZE\s+TO\s+'([^']+)')?(\s+IDS)?(?:\s+VOCAB\s+SIZE\s+(\d+))?(?:\s+VOCAB\s+FROM\s+(?:'([^']+)'|([\w.`]+)))?\s*""".r
+    """(?is)\s*PACK\s+SEQUENCES\s+FROM\s+(?:'([^']+)'|([\w.`]+))(?:\s+LENGTH\s+(\d+))?(?:\s+TOKENIZER\s+(\w+))?(?:\s+MIXTURE\s*\(([^)]*)\))?(?:\s+DEFAULT\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?(\s+MANIFEST)?(?:\s+MATERIALIZE\s+TO\s+'([^']+)')?(\s+IDS)?(?:\s+VOCAB\s+SIZE\s+(\d+))?(?:\s+VOCAB\s+FROM\s+(?:'([^']+)'|([\w.`]+)))?(?:\s+BATCH\s+(\d+))?\s*""".r
   // index INTROSPECTION: one metrics row per index — the ops glance
   // (family, size, skew) without touching the Scala API
   private val DescribeAnnIndex =
@@ -562,7 +562,7 @@ object GraftSql {
       }
     case PackSequencesSql(srcPath, srcIdent, lenTxt, tokTxt, mixTxt,
         defTxt, seedTxt, manifest, matPath, ids, vsTxt, vfPath,
-        vfIdent) =>
+        vfIdent, batchTxt) =>
       val len = Option(lenTxt).map(_.toLong).getOrElse(512L)
       val tok = Option(tokTxt).map(_.toLowerCase).getOrElse("ws")
       val src = indexSourceFrame(spark, srcPath, srcIdent)
@@ -589,6 +589,24 @@ object GraftSql {
           Some(indexSourceFrame(spark, vfPath, vfIdent)
             .select(col("token"), col("id")))
         else None
+      if (batchTxt != null) {
+        // the INCREMENTAL token pack: exactly-once fragments under a
+        // pinned vocabulary, offsets continuing from the stored total
+        require(matPath != null && ids != null,
+          "PACK SEQUENCES: BATCH is the incremental token-ID form — " +
+            "give it MATERIALIZE TO '<path>' IDS")
+        require(mixTxt == null,
+          "PACK SEQUENCES: the mixture pack is one-shot by contract " +
+            "(a per-batch mixture would re-draw the permutation) — " +
+            "drop MIXTURE or BATCH")
+        require(manifest == null,
+          "PACK SEQUENCES: the BATCH form returns the batch's landed " +
+            "fragment slice — drop MANIFEST")
+        return graft.operators.TextAnalysis.packTokensIngest(spark,
+          matPath, src, batchTxt.toLong, seqLen = len,
+          tokenizer = tok, vocab = suppliedVocab,
+          vocabSize = Option(vsTxt).map(_.toInt).getOrElse(512))
+      }
       if (mixTxt != null) {
         // the COMPLETE loader artifact from SQL: resample → per-copy
         // shuffle → fixed-length token-ID sequences in one statement
@@ -1285,7 +1303,7 @@ object GraftSql {
          DescribeAnnIndex(_) | DescribeDedupIndex(_) |
          DescribeExport(_) | DescribePack(_) |
          ExportShardsMixtureSql(_, _, _, _, _, _, _, _, _, _) |
-         PackSequencesSql(_, _, _, _, _, _, _, _, _, _, _, _, _) |
+         PackSequencesSql(_, _, _, _, _, _, _, _, _, _, _, _, _, _) |
          ExportShardsSql(_, _, _, _, _, _, _, _, _, _, _) |
          AdmitIntoDedupIndex(_, _, _, _, _, _, _, _) => true
     case _ => false
@@ -1395,8 +1413,14 @@ object GraftSql {
           StructField("shard_tokens", LongType),
           StructField("first_doc", LongType),
           StructField("last_doc", LongType))))
-      case PackSequencesSql(_, _, _, _, mixTxt, _, _, manifest, matPath, ids, _, _, _) =>
-        if (ids != null && matPath != null) Some(StructType(Seq(
+      case PackSequencesSql(_, _, _, _, mixTxt, _, _, manifest, matPath, ids, _, _, _, batchTxt) =>
+        if (batchTxt != null) Some(StructType(Seq(
+          StructField("seq_id", LongType),
+          StructField("doc_id", LongType),
+          StructField("tokens_before", LongType),
+          StructField("frag_tokens", LongType),
+          StructField("carry_in", BooleanType))))
+        else if (ids != null && matPath != null) Some(StructType(Seq(
           StructField("seq_id", LongType),
           // the mixture form counts training COPIES
           StructField(if (mixTxt != null) "n_copies" else "n_docs",
@@ -1468,7 +1492,7 @@ object GraftSql {
         return true
       case ExportShardsMixtureSql(_, p, _, _, _, _, _, _, _, _) if p != null =>
         return true
-      case PackSequencesSql(p, _, _, _, _, _, _, _, _, _, _, _, _) if p != null =>
+      case PackSequencesSql(p, _, _, _, _, _, _, _, _, _, _, _, _, _) if p != null =>
         return true
       case ExportShardsSql(_, p, _, _, _, _, _, _, _, _, _) if p != null =>
         return true
@@ -1515,7 +1539,7 @@ object GraftSql {
       case IngestAnnIndex(_, _, i, _) => Some(i)
       case AdmitIntoDedupIndex(_, _, _, i, _, _, _, _) => Some(i)
       case ExportShardsMixtureSql(_, _, i, _, _, _, _, _, _, _) => Some(i)
-      case PackSequencesSql(_, i, _, _, _, _, _, _, _, _, _, _, _) => Some(i)
+      case PackSequencesSql(_, i, _, _, _, _, _, _, _, _, _, _, _, _) => Some(i)
       case ExportShardsSql(_, _, i, _, _, _, _, _, _, _, _) => Some(i)
       case RefreshMatViewContinuous(i, _) => Some(i)
       case StopRefreshMatView(i) => Some(i)

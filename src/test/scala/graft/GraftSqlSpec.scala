@@ -1773,6 +1773,57 @@ class GraftSqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("IDS"), e3.getMessage)
   }
 
+  test("PACK SEQUENCES ... IDS BATCH: the incremental token pack " +
+      "from pure SQL — batches accumulate to the one-shot pack under " +
+      "the pinned vocabulary; misuse refuses") {
+    val root = Files.createTempDirectory("graft_packbatch_sql_")
+    val docs = Tables.load(spark, sf, "documents")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame)
+        : String = {
+      val p = root.resolve(name).toString
+      df.write.parquet(p); p
+    }
+    val b0 = stage("b0", docs.where($"doc_id" < 170))
+    val b1 = stage("b1",
+      docs.where($"doc_id" >= 170 && $"doc_id" < 340))
+    val b2 = stage("b2", docs.where($"doc_id" >= 340))
+    val vocabPath = stage("vocab",
+      operators.TextAnalysis.tokenVocab(docs, 512))
+    val pack = root.resolve("pack").toString
+    val r0 = GraftSql.sql(spark, s"PACK SEQUENCES FROM '$b0' LENGTH " +
+      s"128 MATERIALIZE TO '$pack' IDS VOCAB FROM '$vocabPath' BATCH 0")
+    assert(r0.columns.toSeq === Seq("seq_id", "doc_id",
+      "tokens_before", "frag_tokens", "carry_in"))
+    GraftSql.sql(spark, s"PACK SEQUENCES FROM '$b1' LENGTH 128 " +
+      s"MATERIALIZE TO '$pack' IDS BATCH 1")
+    GraftSql.sql(spark, s"PACK SEQUENCES FROM '$b2' LENGTH 128 " +
+      s"MATERIALIZE TO '$pack' IDS BATCH 2")
+    // a replayed statement re-lands nothing
+    GraftSql.sql(spark, s"PACK SEQUENCES FROM '$b2' LENGTH 128 " +
+      s"MATERIALIZE TO '$pack' IDS BATCH 2")
+    val inc = operators.TextAnalysis
+      .packTokensIngestManifest(spark, pack)
+      .collect().map(_.toSeq).toSet
+    val oneShot = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("oneshot").toString, seqLen = 128L,
+      vocab = Some(operators.TextAnalysis.tokenVocab(docs, 512)))
+      .collect().map(_.toSeq).toSet
+    assert(inc === oneShot,
+      "SQL-landed batches diverged from the one-shot token pack")
+    // misuse refuses: BATCH without the token-ID landing form,
+    // BATCH combined with the one-shot MIXTURE
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"PACK SEQUENCES FROM '$b0' BATCH 3")
+    }
+    assert(e1.getMessage.contains("IDS"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"PACK SEQUENCES FROM '$b0' " +
+        s"MIXTURE ('en' 0.5) MATERIALIZE TO '${root.resolve("x")}' " +
+        "IDS BATCH 3")
+    }
+    assert(e2.getMessage.contains("MIXTURE"), e2.getMessage)
+  }
+
   test("PACK SEQUENCES MIXTURE ... IDS: the complete loader artifact " +
       "from one statement ≡ the API composition; misuse refuses") {
     val root = Files.createTempDirectory("graft_packmix_sql_")

@@ -349,6 +349,42 @@ class SubwordPackSpec extends SparkSpec {
       .snapshot().collect().map(_.toSeq).toSet
     assert(landedVocab ===
       pinned.select($"token", $"id").collect().map(_.toSeq).toSet)
+    // DESCRIBE PACK serves the incremental layout: pinned constants
+    // from the meta sidecar, totals re-aggregated live
+    val row = graft.tables.GraftSql.sql(spark,
+      s"DESCRIBE PACK '${p.toString}'").head()
+    assert(row.getString(0) === "incremental_tokens")
+    assert(row.getString(1) === "ws")
+    assert(row.getLong(2) === 128L)
+    // vocab_size = the PINNED table's actual rows (the tiny corpus
+    // has fewer distinct tokens than the 512 cap)
+    assert(row.getLong(3) === pinned.count())
+    assert(row.getLong(4) === inc.size.toLong)
+    // the pack constants REFUSE drift: a changed seqLen would corrupt
+    // every boundary sequence, a different vocab would re-number ids
+    val e1 = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.packTokensIngest(spark, p.toString,
+        docs.where($"doc_id" >= 340), 3L, seqLen = 256L)
+    }
+    assert(e1.getMessage.contains("seq_len"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.packTokensIngest(spark, p.toString,
+        docs.where($"doc_id" >= 340), 3L,
+        vocab = Some(Seq(("zzz", 1L)).toDF("token", "id")))
+    }
+    assert(e2.getMessage.contains("DIFFERENT"), e2.getMessage)
+    // and the measure is ws-bound (the stored offsets' measure)
+    val e3 = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.packTokensIngest(spark, p.toString,
+        docs.where($"doc_id" >= 340), 3L, tokenizer = "bpe")
+    }
+    assert(e3.getMessage.contains("measure-bound"), e3.getMessage)
+    // a replay of batch 0 WITH the original vocab still passes (the
+    // crash-replay contract: supplying the same table is idempotent)
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" < 170), 0L, vocab = Some(pinned))
+    assert(graft.tables.GraftTable.load(spark, fragsPath)
+      .snapshot().count() === n)
   }
 
   test("exportShardsIngest mixed-era adoption: a batch landed under " +
