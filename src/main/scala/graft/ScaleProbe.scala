@@ -79,6 +79,10 @@ object ScaleProbe {
       vpPackProbe(spark, corpusDir)
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "tokincr") {
+      tokIncrProbe(spark, corpusDir, sys.env("SPARK_GRAFT_BATCH_DIR"))
+      spark.stop(); return
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "tokpack") {
       tokPackProbe(spark, corpusDir)
       spark.stop(); return
@@ -256,6 +260,34 @@ object ScaleProbe {
       vocabSize = 64, tokenizer = "vp").count()
     val t2 = System.nanoTime()
     println(s"""{"metric":"vppack_probe","corpus":"$corpusDir","docs":$rows,"segments":$segTotal,"seqs":$n1,"encode_sec":${(t1 - t0) / 1e9},"pack_sec":${(t2 - t1) / 1e9}}""")
+  }
+
+  /** INCREMENTAL TOKEN PACK batch cost against a growing landed
+    * corpus (SPARK_GRAFT_PROBE=tokincr): land the whole corpus as
+    * batch 0 of [[graft.operators.TextAnalysis.packTokensIngest]],
+    * then ingest a FIXED batch (the sf0.01 documents re-keyed above
+    * the corpus max) as batch 1 — the steady-state cost a continuous
+    * packing pipeline pays per cycle. The batch leg must track batch
+    * size, not landed-corpus size: offsets come from O(batches)
+    * state rows, the encode/fragment work is the batch's own, and
+    * the fragment append is one commit.
+    */
+  private def tokIncrProbe(spark: SparkSession, corpusDir: String,
+      batchDir: String): Unit = {
+    import graft.operators.TextAnalysis
+    val corpus = Tables.load(spark, corpusDir, "documents")
+    val batch = Tables.load(spark, batchDir, "documents")
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        col("text"))
+    val rows = corpus.count(); val bRows = batch.count()
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_tokincr_").toString
+    val t0 = System.nanoTime()
+    TextAnalysis.packTokensIngest(spark, p, corpus, 0L): Unit
+    val t1 = System.nanoTime()
+    TextAnalysis.packTokensIngest(spark, p, batch, 1L): Unit
+    val t2 = System.nanoTime()
+    println(s"""{"metric":"tokincr_probe","corpus":"$corpusDir","docs":$rows,"batch_docs":$bRows,"land_sec":${(t1 - t0) / 1e9},"batch_sec":${(t2 - t1) / 1e9}}""")
   }
 
   /** BATCH-SERVE latency against a growing index
