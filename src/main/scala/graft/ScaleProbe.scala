@@ -276,8 +276,10 @@ object ScaleProbe {
       batchDir: String): Unit = {
     import graft.operators.TextAnalysis
     val corpus = Tables.load(spark, corpusDir, "documents")
+    // +2e9 keeps the batch above any scale_up corpus key (replica
+    // offsets stay < 2e9) — the sibling probes' convention
     val batch = Tables.load(spark, batchDir, "documents")
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(2000000000L)).as("doc_id"),
         col("text"))
     val rows = corpus.count(); val bRows = batch.count()
     val p = java.nio.file.Files

@@ -1305,13 +1305,12 @@ object TextAnalysis {
     // fragment arrays (the honest cost for a moving artifact)
     if (!java.nio.file.Files.exists(p) &&
         java.nio.file.Files.exists(incMeta)) {
-      val meta = new String(java.nio.file.Files.readAllBytes(incMeta),
-        java.nio.charset.StandardCharsets.UTF_8)
-      def str(k: String): String =
-        ("\"" + k + "\":\"([^\"]+)\"").r.findFirstMatchIn(meta)
-          .map(_.group(1)).getOrElse("")
-      val seqLen = """"seq_len":(\d+)""".r.findFirstMatchIn(meta)
-        .map(_.group(1).toLong).getOrElse(-1L)
+      require(java.nio.file.Files.exists(java.nio.file.Paths
+          .get(path, "fragments", "_graft_log")),
+        s"DESCRIBE PACK: the pack at $path pinned its constants but " +
+          "no batch has landed fragments yet (batch 0 is in flight " +
+          "or crashed before its fragment append — replay it first)")
+      val meta = readPackMeta(spark, incMeta)
       val vocabT = graft.tables.GraftTable.load(spark,
         java.nio.file.Paths.get(path, "vocab").toString)
       val vSize = vocabT.rowCount.getOrElse(vocabT.snapshot().count())
@@ -1320,7 +1319,8 @@ object TextAnalysis {
           coalesce(sum(col("filled_tokens")), lit(0L)).as("ft"),
           coalesce(sum(col("ids_sum")), lit(0L)).as("is")).head()
       import spark.implicits._
-      return Seq((str("form"), str("tokenizer"), seqLen, vSize,
+      return Seq((meta.getString(0), meta.getString(1),
+          meta.getLong(2), vSize,
           r.getLong(0), r.getLong(1), r.getLong(2)))
         .toDF("form", "tokenizer", "seq_len", "vocab_size",
           "n_sequences", "filled_tokens", "ids_sum")
@@ -1343,6 +1343,26 @@ object TextAnalysis {
       .select(col("form"), col("tokenizer"), col("seq_len"),
         col("vocab_size"), col("n_sequences"), col("filled_tokens"),
         col("ids_sum"))
+  }
+
+  /** THE pack-meta sidecar parser — one schema'd read shared by the
+    * writer's consumers (DESCRIBE PACK and the ingest drift guard),
+    * so a format change fails loudly in one place instead of three
+    * regexes drifting. Returns (form, tokenizer, seq_len).
+    */
+  private[graft] def readPackMeta(spark: SparkSession,
+      metaPath: java.nio.file.Path): org.apache.spark.sql.Row = {
+    val line = new String(java.nio.file.Files.readAllBytes(metaPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    import spark.implicits._
+    val r = spark.read
+      .schema("form STRING, tokenizer STRING, seq_len LONG")
+      .json(spark.createDataset(Seq(line)))
+      .select(col("form"), col("tokenizer"), col("seq_len")).head()
+    require(!r.isNullAt(2),
+      s"unreadable pack meta at $metaPath — the sidecar must carry " +
+        "form/tokenizer/seq_len")
+    r
   }
 
   /** The per-sequence manifest read back from a materialized token-ID
@@ -1506,16 +1526,26 @@ object TextAnalysis {
     // different length would corrupt every boundary sequence — pin
     // them in a meta sidecar at batch 0 and refuse drift
     val metaPath = java.nio.file.Paths.get(packPath, "_pack_meta.json")
-    if (haveVocab && java.nio.file.Files.exists(metaPath)) {
-      val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val pinnedLen = """"seq_len":(\d+)""".r.findFirstMatchIn(meta)
-        .map(_.group(1).toLong)
-      require(pinnedLen.contains(seqLen),
+    def writeMeta(): Unit = {
+      java.nio.file.Files.createDirectories(metaPath.getParent): Unit
+      java.nio.file.Files.write(metaPath,
+        (s"""{"form":"incremental_tokens","tokenizer":"$tokenizer",""" +
+          s""""seq_len":$seqLen}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    if (haveVocab) {
+      // BACKFILL a missing sidecar (a pre-meta-era pack, or a crash
+      // between the meta write and the vocab append before the write
+      // was moved first): the first post-upgrade batch's constants
+      // become the pin — offsets were always measure-bound, and a
+      // caller that actually changed seqLen mid-pack was already
+      // corrupting boundaries silently; from here on it refuses
+      if (!java.nio.file.Files.exists(metaPath)) writeMeta()
+      val pinnedLen = readPackMeta(spark, metaPath).getLong(2)
+      require(pinnedLen == seqLen,
         s"packTokensIngest: this pack was pinned at seq_len " +
-          s"${pinnedLen.getOrElse(-1L)} — batch $batchId arrived " +
-          s"with seqLen $seqLen (a changed length would corrupt " +
-          "every boundary sequence)")
+          s"$pinnedLen — batch $batchId arrived with seqLen $seqLen " +
+          "(a changed length would corrupt every boundary sequence)")
     }
     val vdf =
       if (haveVocab) {
@@ -1523,13 +1553,16 @@ object TextAnalysis {
           .select(col("token"), col("id"))
         // a vocabulary supplied AFTER the pin must MATCH it — ids
         // encoding under a different table than the caller believes
-        // is the silent divergence this family refuses loudly
+        // is the silent divergence this family refuses loudly. The
+        // comparison is DISTRIBUTED (two anti-joins over the
+        // V-bounded tables) — a production vocab must not ride the
+        // driver once per batch
         vocab.foreach { v =>
           val supplied = v.select(col("token"),
             col("id").cast("long").as("id"))
-            .collect().map(_.toSeq).toSet
-          val have = pinned.collect().map(_.toSeq).toSet
-          require(supplied == have,
+          val drift = supplied.exceptAll(pinned).limit(1).count() +
+            pinned.exceptAll(supplied).limit(1).count()
+          require(drift == 0L,
             "packTokensIngest: a vocabulary was supplied but this " +
               "pack already pinned a DIFFERENT one at batch 0 — ids " +
               "must never drift across batches (drop the vocab " +
@@ -1539,14 +1572,23 @@ object TextAnalysis {
       } else {
         val v = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
           .select(col("token"), col("id").cast("long").as("id"))
-        val t = GraftTable.createIfAbsent(spark, vocabPath, v.limit(0))
-        t.appendIfNew(v, 0L, appId = "graft-tokpack-vocab"): Unit
-        // the pack constants, written idempotently next to the vocab
-        // (DESCRIBE PACK serves them; totals re-aggregate live)
-        java.nio.file.Files.write(metaPath,
-          (s"""{"form":"incremental_tokens","tokenizer":"$tokenizer",""" +
-            s""""seq_len":$seqLen}""" + "\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // an EMPTY vocabulary must refuse BEFORE the batch-0
+          // watermark commits — appendIfNew(0 rows) would make the
+          // pin unrepairable and every batch would encode as UNK
+          require(v.limit(1).count() > 0L,
+            "packTokensIngest: the batch-0 vocabulary is EMPTY " +
+              "(a mis-filtered VOCAB FROM table, or a batch with no " +
+              "tokens) — an empty pin would encode the whole corpus " +
+              "as UNK forever")
+          // meta FIRST: a crash between the two writes must leave the
+          // sidecar (idempotent constants), never a pinned vocab with
+          // no recorded constants
+          writeMeta()
+          val t = GraftTable.createIfAbsent(spark, vocabPath, v.limit(0))
+          t.appendIfNew(v, 0L, appId = "graft-tokpack-vocab"): Unit
+        } finally v.unpersist(): Unit
         GraftTable.load(spark, vocabPath).snapshot()
           .select(col("token"), col("id"))
       }
