@@ -162,6 +162,8 @@ object SparkEntry {
       TextAnalysis.vocabSegmentIdsScenario(s, d)),
     "text_pack_tokens_vp" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packTokensVpScenario(s, d)),
+    "text_pack_tokens_bpemerge" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packTokensBpeMergeScenario(s, d)),
     "text_vocab_coverage" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabCoverage(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
@@ -2076,6 +2078,96 @@ object SparkEntry {
         |  CAST(SUM(s_ids) AS BIGINT) AS ids_sum,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sd GROUP BY seq_id""".stripMargin,
+    // the MERGE-ORDER BPE pack: the FIXED literal tokenizer spec
+    // (36 base symbols + 16 merges in training order — the same
+    // literal the Spark scenario embeds) applied by an independent
+    // replay of the merge state machine — a recursive cursor over
+    // (merge_idx, scan position) carrying (current symbols, emitted,
+    // pending) with training's pending-fuse convention — then the id
+    // lookup, the doc_id-ordered prefix sum and the per-token
+    // sequence mapping: the landed merge-order id arrays checked end
+    // to end via the ids_sum checksum
+    "text_pack_tokens_bpemerge" ->
+      ("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
+        |    CAST(UNNEST(generate_series(1, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT))) AS BIGINT) AS widx
+        |  FROM documents),
+        |wu AS (SELECT DISTINCT word FROM w),
+        |v(token, id) AS (VALUES """.stripMargin +
+        (('a' to 'z') ++ ('0' to '9')).zipWithIndex
+          .map { case (c, i) => s"('$c',${i + 1})" }.mkString(",") + "," +
+        Seq("th" -> 37, "the" -> 38, "in" -> 39, "er" -> 40,
+          "an" -> 41, "on" -> 42, "re" -> 43, "at" -> 44, "en" -> 45,
+          "or" -> 46, "es" -> 47, "ti" -> 48, "and" -> 49,
+          "ing" -> 50, "tion" -> 51, "ed" -> 52, "so" -> 53,
+          "ort" -> 54)
+          .map { case (t, i) => s"('$t',$i)" }.mkString(",") + """),
+        |m(m_idx, a, b) AS (VALUES """.stripMargin +
+        Seq("t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r",
+          "a" -> "n", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+          "o" -> "r", "e" -> "s", "t" -> "i", "an" -> "d", "in" -> "g",
+          "ti" -> "on", "e" -> "d", "s" -> "o", "or" -> "t")
+          .zipWithIndex
+          .map { case ((a, b), i) => s"($i,'$a','$b')" }
+          .mkString(",") + """),
+        |enc AS (
+        |  SELECT word, 0 AS m_idx, CAST(1 AS INT) AS pos, string_split(word,'') AS cur,
+        |    CAST([] AS VARCHAR[]) AS out, CAST(NULL AS VARCHAR) AS pend
+        |  FROM wu
+        |  UNION ALL
+        |  SELECT word,
+        |    CASE WHEN pos <= len(cur) THEN e.m_idx ELSE e.m_idx + 1 END,
+        |    CASE WHEN pos <= len(cur) THEN pos + 1 ELSE 1 END,
+        |    CASE WHEN pos <= len(cur) THEN cur
+        |         ELSE (CASE WHEN pend IS NULL THEN out ELSE list_append(out, pend) END) END,
+        |    CASE WHEN pos <= len(cur) THEN
+        |         (CASE WHEN pend = a AND cur[pos] = b THEN list_append(out, a || b)
+        |               WHEN pend IS NULL THEN out
+        |               ELSE list_append(out, pend) END)
+        |         ELSE CAST([] AS VARCHAR[]) END,
+        |    CASE WHEN pos <= len(cur) THEN
+        |         (CASE WHEN pend = a AND cur[pos] = b THEN NULL ELSE cur[pos] END)
+        |         ELSE NULL END
+        |  FROM enc e JOIN m ON m.m_idx = e.m_idx
+        |  WHERE e.m_idx < 18),
+        |fin AS (SELECT word, cur FROM enc WHERE m_idx = 18 AND pos = 1),
+        |pieces AS (
+        |  SELECT word, CAST(UNNEST(generate_series(1, CAST(len(cur) AS INT))) AS INT) AS seg_idx,
+        |    UNNEST(cur) AS piece
+        |  FROM fin),
+        |pid AS (
+        |  SELECT p.word, p.seg_idx, COALESCE(v.id, 0) AS id
+        |  FROM pieces p LEFT JOIN v ON p.piece = v.token),
+        |wsum AS (SELECT word, COUNT(*) AS n_segs FROM pid GROUP BY word),
+        |wo AS (
+        |  SELECT w.doc_id, w.word, w.widx, u.n_segs,
+        |    COALESCE(SUM(u.n_segs) OVER (PARTITION BY w.doc_id ORDER BY w.widx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segs_before_word
+        |  FROM w JOIN wsum u USING (word)),
+        |dt AS (SELECT doc_id, SUM(n_segs) AS n_tokens FROM wo GROUP BY doc_id),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM dt),
+        |tok AS (
+        |  SELECT wo.doc_id, c.tokens_before,
+        |    wo.segs_before_word + p.seg_idx AS pos, p.id
+        |  FROM wo JOIN pid p ON wo.word = p.word
+        |  JOIN c ON wo.doc_id = c.doc_id),
+        |st AS (
+        |  SELECT doc_id, tokens_before,
+        |    CAST((tokens_before + pos - 1) // 128 AS BIGINT) AS seq_id, id
+        |  FROM tok),
+        |sd AS (
+        |  SELECT seq_id, doc_id, tokens_before, COUNT(*) AS n_tok, SUM(id) AS s_ids
+        |  FROM st GROUP BY seq_id, doc_id, tokens_before)
+        |SELECT seq_id, CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS filled_tokens,
+        |  CAST(SUM(CASE WHEN tokens_before < seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in,
+        |  CAST(SUM(s_ids) AS BIGINT) AS ids_sum,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM sd GROUP BY seq_id""".stripMargin),
     // vocabulary coverage: the top-512 whole-token vocab's per-lang
     // OOV accounting — exact integer counts, one double quotient
     "text_vocab_coverage" ->

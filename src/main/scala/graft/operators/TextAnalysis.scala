@@ -1192,18 +1192,22 @@ object TextAnalysis {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     var encoded: Option[DataFrame] = None
+    var resolvedTok = tokenizer
     val frags = if (tokenizer == "vp") {
-      // the SUBWORD form: the doc's token stream IS the greedy-encode
-      // segment-id array ([[vocabSegmentIds]] under the induced — or
-      // supplied — gram vocabulary), so the fill windows slice the id
-      // arrays directly (no token→id map; the ids were assigned at
-      // encode time, UNK already 0). Counts derive from the SAME
-      // arrays (size), so the prefix sum and the landed ids cannot
-      // diverge. The encode (the family's dominant cost — an
-      // interpreted per-char fold) is PERSISTED for the write: the
-      // plan references it three times (the prefix sum's two scans +
-      // the __ids join) and must not run three times.
-      val docIds = vocabSegmentIds(docs, vdf)
+      // the SUBWORD form: the doc's token stream IS its segment-id
+      // array under the induced — or supplied — vocabulary (greedy
+      // longest-match, or MERGE-ORDER when the table carries its
+      // merge pairs — [[segmentIdsFor]] routes; the summary records
+      // which ran). The fill windows slice the id arrays directly
+      // (no token→id map; the ids were assigned at encode time, UNK
+      // already 0). Counts derive from the SAME arrays (size), so
+      // the prefix sum and the landed ids cannot diverge. The encode
+      // is PERSISTED for the write: the plan references it three
+      // times (the prefix sum's two scans + the __ids join) and must
+      // not run three times.
+      val (docIds0, mode) = segmentIdsFor(docs, vdf)
+      resolvedTok = mode
+      val docIds = docIds0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       encoded = Some(docIds)
       val counted = docIds.select(col("doc_id"),
@@ -1259,7 +1263,7 @@ object TextAnalysis {
     // the summary records the ACTUAL vocabulary size (served from the
     // persisted vocab — induced and supplied packs of identical
     // content must describe identically)
-    try writePackSummary(outPath, "tokens", tokenizer, seqLen,
+    try writePackSummary(outPath, "tokens", resolvedTok, seqLen,
       vdf.count(), manifest)
     finally { if (induced) vdf.unpersist(): Unit }
     manifest
@@ -1457,6 +1461,57 @@ object TextAnalysis {
         packTokensMaterialize(Tables.load(spark, sfDir, "documents"),
           p.resolve("seqs").toString, seqLen, vocabSize,
           tokenizer = "vp")
+        p
+      })
+    materializedTokenManifest(spark, out.resolve("seqs").toString)
+  }
+
+  /** The FIXED literal BPE tokenizer spec the merge-order driver
+    * scenario and its DuckDB oracle SHARE: base symbols a-z (ids
+    * 1-26) and 0-9 (ids 27-36), then 16 hand-pinned English merges in
+    * training order (ids 37-52, each row carrying its left/right
+    * pair). A LITERAL spec — not induced — because the oracle must
+    * replay the ENCODE independently (merge application is the new
+    * surface; induction is the declared driver-loop posture with its
+    * own spec), and a static oracle SQL cannot re-run a per-SF
+    * induction loop.
+    */
+  private[graft] def fixedBpeVocab(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val chars = (('a' to 'z') ++ ('0' to '9')).zipWithIndex.map {
+      case (c, i) => (c.toString, (i + 1).toLong, null: String,
+        null: String) }
+    // the last two merges are the DIVERGENCE PROBE for this corpus:
+    // (o,r) fires before (s,o) can, so merge-order segments "sort"
+    // as [s, ort] while greedy longest-match takes the "so" token →
+    // [so, r, t] — the two applications measurably differ on the
+    // gate corpus, which is what the pack's routing exists for
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+      ("a", "n"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+      ("o", "r"), ("e", "s"), ("t", "i"), ("an", "d"), ("in", "g"),
+      ("ti", "on"), ("e", "d"), ("s", "o"), ("or", "t"))
+      .zipWithIndex.map { case ((a, b), i) =>
+      (a + b, (37 + i).toLong, a, b) }
+    (chars ++ merges).toDF("token", "id", "left", "right")
+  }
+
+  /** Driver scenario for the MERGE-ORDER BPE pack —
+    * [[packTokensMaterialize]] under the fixed literal tokenizer spec
+    * (seqLen 128): the vocabulary carries its merge pairs, so the
+    * encode routes through [[bpeSegmentIds]] (training-order merge
+    * application — the ids a production BPE tokenizer would emit),
+    * and the oracle replays the merge state machine, the id lookup,
+    * the doc_id-ordered prefix sum and the slicing end to end. Staged
+    * once per process.
+    */
+  def packTokensBpeMergeScenario(spark: SparkSession, sfDir: String,
+      seqLen: Long = 128L): DataFrame = {
+    val out = tokenMatStages.computeIfAbsent(
+      s"$sfDir:bpemerge:$seqLen", { _ =>
+        val p = java.nio.file.Files.createTempDirectory("graft_bpmmat_")
+        packTokensMaterialize(Tables.load(spark, sfDir, "documents"),
+          p.resolve("seqs").toString, seqLen,
+          tokenizer = "vp", vocab = Some(fixedBpeVocab(spark)))
         p
       })
     materializedTokenManifest(spark, out.resolve("seqs").toString)
@@ -2081,14 +2136,23 @@ object TextAnalysis {
     * domain, never corpus rows; the driver holds only the argmax row
     * and the merge list). Ties break (count desc, pair) so the merge
     * sequence is deterministic and engine-portable. Returns the
-    * (token, id, cnt) vocabulary: the surviving base characters
-    * first (corpus char counts), then the merge tokens in MERGE
-    * ORDER (their winning pair counts) — ids 1..V, ready for
-    * [[vocabSegmentIds]] / `VOCAB FROM` (note the pack's inference
-    * is greedy longest-match — the WordPiece-style application of a
-    * BPE-induced vocabulary, documented at the seam). The symbol
+    * (token, id, cnt, left, right) vocabulary: the surviving base
+    * characters first (corpus char counts, null pair), then the
+    * merge tokens in MERGE ORDER carrying their (left, right) pair —
+    * ids 1..V. A pack fed this table routes through the MERGE-ORDER
+    * encode ([[bpeSegmentIds]] — the application BPE defines),
+    * because the pair columns are present; stripped to (token, id)
+    * it instead applies greedy longest-match (the WordPiece-style
+    * inference, which can segment differently). The symbol
     * frame re-plans per merge; it is re-persisted each round and
     * localCheckpoint'ed every 8 merges so the lineage stays bounded.
+    *
+    * Merge-count posture (like the broadcast vocab map's ~10⁶-entry
+    * note): each round is one distributed pair-count pass, so the
+    * loop is O(numMerges) Spark jobs — fine to a few hundred merges;
+    * a production 32k-merge vocabulary wants incremental pair-count
+    * maintenance ([[bpeInductIncremental]] below maintains the pair
+    * table across rounds at delta cost ∝ affected words).
     */
   def bpeInduct(docs: DataFrame, numMerges: Int = 32,
       minPairCount: Long = 2L): DataFrame = {
@@ -2108,7 +2172,8 @@ object TextAnalysis {
       .groupBy(col("c")).agg(sum(col("cnt")).as("n"))
       .orderBy(col("c")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val merges = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var done = false
     var round = 0
     while (round < numMerges && !done) {
@@ -2123,7 +2188,7 @@ object TextAnalysis {
       else {
         val (a, b, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((a + b, n))
+        merges += ((a, b, n))
         val prev = wf
         val next = wf.withColumn("syms", bpeMergeFold(col("syms"), a, b))
         // checkpoint rounds REPLACE the cache (a persist immediately
@@ -2143,9 +2208,16 @@ object TextAnalysis {
       }
     }
     wf.unpersist(): Unit
-    val rows = (charCounts.toSeq ++ merges.toSeq).zipWithIndex
-      .map { case ((tok, n), i) => (tok, (i + 1).toLong, n) }
-    rows.toDF("token", "id", "cnt")
+    // merge rows CARRY THEIR PAIR (left, right) — the merge list IS
+    // the tokenizer: [[bpeSegmentIds]] replays it in training order,
+    // so the vocabulary frame must not collapse (a, b) into just the
+    // fused token. Base characters carry nulls.
+    val rows = (charCounts.toSeq.map { case (tok, n) =>
+        (tok, n, null: String, null: String) } ++
+      merges.toSeq.map { case (a, b, n) => (a + b, n, a, b) })
+      .zipWithIndex
+      .map { case ((tok, n, l, r), i) => (tok, (i + 1).toLong, n, l, r) }
+    rows.toDF("token", "id", "cnt", "left", "right")
   }
 
   /** One BPE merge applied left-to-right over a symbol array — an
@@ -2205,15 +2277,26 @@ object TextAnalysis {
     * against the gram vocabulary (at each position take the longest
     * vocab gram that fits, else one character — the standard greedy
     * WordPiece inference; Wu et al. 2016), and `vp_tokens` is the
-    * doc's total segment count under that measure. Pure built-ins —
-    * the per-word scan is an `aggregate` fold over character
-    * positions (each step probes ≤ maxN−minN+1 map entries; the
-    * higher-order-function lambda evaluates as an interpreted
-    * expression outside whole-stage codegen, but the pass stays
-    * map-side, zero-shuffle and linear in characters), the
-    * vocabulary rides ONE broadcast 1-row map column (bounded by V;
-    * a production-sized V would trade the literal map probe for a
-    * hashed custom expression, same plan shape) — no UDF.
+    * doc's total segment count under that measure. The scan is the
+    * native codegen'd kernel
+    * ([[graft.functions.VocabEncodeCount]] — one tight byte loop per
+    * row inside whole-stage codegen, probing a task-cached hash map
+    * built once from the broadcast vocabulary; the r19 probe measured
+    * the previous interpreted fold as ~100% of the subword pack's
+    * cost), spec-pinned ≡ the built-ins fold spelling
+    * ([[vocabSegmentsFold]]). The vocabulary rides ONE broadcast
+    * 1-row map column (bounded by V; beyond the broadcast ceiling the
+    * posexplode→join seam [[tokenIdsByJoin]] is the spelling) —
+    * map-side, zero shuffle, no UDF.
+    *
+    * BEHAVIOR NOTE (r19 → r20 re-landing boundary): since r19 the
+    * default probe window derives from the VOCABULARY (min/max entry
+    * length) instead of the historical fixed (2,5), and entries
+    * longer than 32 chars refuse. A caller-supplied gram list with
+    * entries outside [2,5] now MATCHES where pre-r19 runs landed UNK
+    * — re-running a standing vp artifact built with out-of-window
+    * grams will not reproduce its pre-r19 counts (pass minN/maxN
+    * explicitly to reproduce the old window).
     */
   def vocabSegments(docs: DataFrame, grams: Seq[String], minN: Int = 0,
       maxN: Int = 0): DataFrame = {
@@ -2229,8 +2312,26 @@ object TextAnalysis {
     // UNK with no warning)
     val (lo, hi) = deriveProbeWindow(grams.iterator.map(_.length),
       minN, maxN)
-    val gmapDf = gramMap(gramIdFrame(docs.sparkSession, grams))
-    docs.crossJoin(gmapDf)
+    graft.functions.VocabEncode.register(docs.sparkSession)
+    docs.crossJoin(gramMap(gramIdFrame(docs.sparkSession, grams)))
+      .select(col("doc_id"),
+        graft.functions.VocabEncode.vp_encode_count(col("text"),
+          col("__gmap"), lo, hi).as("vp_tokens"))
+  }
+
+  /** The pre-kernel BUILT-INS spelling of [[vocabSegments]] — an
+    * `aggregate` fold over character positions sharing [[vpStep]]
+    * with the id emitter. Kept as the kernel's equivalence reference
+    * (the WordShingles discipline: the native kernel must reproduce
+    * the declarative spelling byte-for-byte, spec-pinned).
+    */
+  private[graft] def vocabSegmentsFold(docs: DataFrame,
+      grams: Seq[String], minN: Int = 0, maxN: Int = 0): DataFrame = {
+    require(grams.nonEmpty,
+      "vocabSegmentsFold needs the induced gram vocabulary")
+    val (lo, hi) = deriveProbeWindow(grams.iterator.map(_.length),
+      minN, maxN)
+    docs.crossJoin(gramMap(gramIdFrame(docs.sparkSession, grams)))
       .select(col("doc_id"),
         aggregate(
           regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
@@ -2270,15 +2371,48 @@ object TextAnalysis {
     * segment ids under the supplied (token, id) gram vocabulary
     * ([[gramVocab]]'s induced ranking or any externally trained
     * table), single-character fallbacks to id 0 (UNK). The id array's
-    * LENGTH is by construction the [[vocabSegments]] count (one fold
-    * step per segment, shared step arithmetic — [[vpStep]]), so packs
+    * LENGTH is by construction the [[vocabSegments]] count (one
+    * kernel cursor per segment, shared scan logic), so packs
     * sliced from these arrays can never diverge from the vp token
     * budget. Same plan shape as the count: one broadcast 1-row map
-    * column, map-side fold, zero shuffle, no UDF (the fold lambda is
-    * interpreted-expression eval, linear in characters).
+    * column, map-side, zero shuffle, no UDF — the scan is the native
+    * codegen'd [[graft.functions.VocabEncodeIds]] kernel (one tight
+    * byte loop per row inside whole-stage codegen; the r19 probe
+    * measured the previous interpreted fold as ~100% of the subword
+    * pack's cost), spec-pinned ≡ the built-ins fold spelling
+    * ([[vocabSegmentIdsFold]]).
     */
   def vocabSegmentIds(docs: DataFrame, vocab: DataFrame, minN: Int = 0,
       maxN: Int = 0): DataFrame = {
+    val (lo, hi) = idsProbeWindow(vocab, minN, maxN)
+    graft.functions.VocabEncode.register(docs.sparkSession)
+    docs.crossJoin(gramMap(vocab))
+      .select(col("doc_id"),
+        graft.functions.VocabEncode.vp_encode_ids(col("text"),
+          col("__gmap"), lo, hi).as("vp_ids"))
+  }
+
+  /** The pre-kernel BUILT-INS spelling of [[vocabSegmentIds]] — the
+    * per-word `aggregate` fold over [[vpStep]]. Kept as the kernel's
+    * equivalence reference (spec-pinned byte-for-byte).
+    */
+  private[graft] def vocabSegmentIdsFold(docs: DataFrame,
+      vocab: DataFrame, minN: Int = 0, maxN: Int = 0): DataFrame = {
+    val (lo, hi) = idsProbeWindow(vocab, minN, maxN)
+    docs.crossJoin(gramMap(vocab))
+      .select(col("doc_id"),
+        flatten(transform(
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+            lit(0)),
+          w => vpSegIds(w, col("__gmap"), lo, hi))).as("vp_ids"))
+  }
+
+  /** The id-encode probe window: explicit bounds, or derived from the
+    * vocabulary table (one O(V) agg) — shared by the kernel and fold
+    * spellings so both see the same reachable entries.
+    */
+  private def idsProbeWindow(vocab: DataFrame, minN: Int,
+      maxN: Int): (Int, Int) = {
     require((minN > 0) == (maxN > 0),
       "vocabSegmentIds: give BOTH probe bounds or neither (0, 0 = " +
         "derive from the vocabulary) — a lone bound would be " +
@@ -2286,22 +2420,15 @@ object TextAnalysis {
     // 0 = derive the probe window from the vocabulary (one O(V) agg)
     // — an externally-trained table may carry entries of any length,
     // and a fixed window would silently encode them as UNK
-    val (lo, hi) =
-      if (minN > 0 && maxN > 0) deriveProbeWindow(Iterator.empty,
-        minN, maxN)
-      else {
-        val r = vocab.agg(
-          min(length(col("token"))), max(length(col("token")))).head()
-        require(!r.isNullAt(0),
-          "vocabSegmentIds: the supplied vocabulary is empty")
-        deriveProbeWindow(Iterator(r.getInt(0), r.getInt(1)), 0, 0)
-      }
-    docs.crossJoin(gramMap(vocab))
-      .select(col("doc_id"),
-        flatten(transform(
-          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
-            lit(0)),
-          w => vpSegIds(w, col("__gmap"), lo, hi))).as("vp_ids"))
+    if (minN > 0 && maxN > 0) deriveProbeWindow(Iterator.empty,
+      minN, maxN)
+    else {
+      val r = vocab.agg(
+        min(length(col("token"))), max(length(col("token")))).head()
+      require(!r.isNullAt(0),
+        "vocabSegmentIds: the supplied vocabulary is empty")
+      deriveProbeWindow(Iterator(r.getInt(0), r.getInt(1)), 0, 0)
+    }
   }
 
   /** The 1-row broadcast gram→id map column both encode forms probe
@@ -2312,6 +2439,80 @@ object TextAnalysis {
     broadcast(vocab.agg(map_from_entries(
       collect_list(struct(col("token"),
         col("id").cast("long").as("id")))).as("__gmap")))
+
+  /** MERGE-ORDER BPE encode — the application a BPE-trained
+    * vocabulary is DEFINED by: each word starts as characters, the
+    * vocabulary's merge list (rows whose `left`/`right` pair is
+    * non-null, in id order = training order) applies one
+    * left-to-right pass per merge — exactly what training did to
+    * that word — and the final symbols map to their ids (UNK 0).
+    * [[vocabSegmentIds]]' greedy longest-match can segment the SAME
+    * vocabulary differently ("abc" under {ab, bc} with (b, c) ranked
+    * first: greedy → [ab, c], merge-order → [a, bc]), so a pack that
+    * must reproduce a production BPE tokenizer's ids takes this path
+    * — [[packTokensMaterialize]] routes here automatically when the
+    * vocabulary carries its pairs ([[vocabCarriesMerges]]).
+    *
+    * Plan shape: identical to the greedy encode — ids ride the ONE
+    * broadcast 1-row map column, the scan is a native codegen'd
+    * kernel ([[graft.functions.BpeMergeEncodeIds]]), map-side, zero
+    * shuffle. The merge LIST rides the driver once (bounded by the
+    * training-run merge count — the numMerges posture documented on
+    * [[bpeInduct]]); each word's pass exits early once it collapses
+    * to one symbol.
+    */
+  def bpeSegmentIds(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    require(vocab.columns.contains("left") &&
+        vocab.columns.contains("right"),
+      "bpeSegmentIds needs a vocabulary carrying its merge pairs " +
+        "(left/right columns — bpeInduct's output shape); a plain " +
+        "(token, id) table applies greedy longest-match via " +
+        "vocabSegmentIds instead")
+    val mrows = vocab.where(col("left").isNotNull)
+      .select(col("id").cast("long"), col("left"), col("right"),
+        col("token"))
+      .orderBy(col("id")).collect()
+    require(mrows.nonEmpty,
+      "bpeSegmentIds: the vocabulary carries left/right columns but " +
+        "no merge rows — strip the columns (greedy longest-match) or " +
+        "supply the merge list")
+    mrows.foreach { r =>
+      require(!r.isNullAt(2) &&
+          r.getString(3) == r.getString(1) + r.getString(2),
+        s"bpeSegmentIds: merge row '${r.getString(3)}' must satisfy " +
+          "token = left || right with both sides non-null (got left=" +
+          s"'${r.getString(1)}', right='${Option(r.getString(2))
+            .getOrElse("NULL")}') — a mangled merge list would " +
+          "silently re-segment the whole corpus")
+    }
+    graft.functions.VocabEncode.register(docs.sparkSession)
+    docs.crossJoin(gramMap(vocab))
+      .select(col("doc_id"),
+        graft.functions.VocabEncode.bpe_encode_ids(col("text"),
+          col("__gmap"),
+          mrows.map(_.getString(1)).toSeq,
+          mrows.map(_.getString(2)).toSeq).as("vp_ids"))
+  }
+
+  /** The encode-routing seam: a vocabulary that CARRIES its merge
+    * pairs IS a BPE tokenizer spec and must be applied in merge
+    * order; one without applies greedy longest-match (WordPiece-
+    * style). One probe row decides (O(1) against the V-bounded
+    * table).
+    */
+  private[graft] def vocabCarriesMerges(vocab: DataFrame): Boolean =
+    vocab.columns.contains("left") && vocab.columns.contains("right") &&
+      vocab.where(col("left").isNotNull).limit(1).count() > 0L
+
+  /** The per-doc segment-id encode under EITHER application —
+    * returns the frame plus the resolved mode name ("vp" greedy /
+    * "vp_merge" merge-order) so pack summaries describe what
+    * actually ran.
+    */
+  private[graft] def segmentIdsFor(docs: DataFrame,
+      vocab: DataFrame): (DataFrame, String) =
+    if (vocabCarriesMerges(vocab)) (bpeSegmentIds(docs, vocab), "vp_merge")
+    else (vocabSegmentIds(docs, vocab), "vp")
 
   /** ONE greedy step of the longest-match cursor: at `pos`, the
     * longest vocab gram that fits as struct(len, id), else the

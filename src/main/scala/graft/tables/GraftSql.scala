@@ -192,11 +192,17 @@ object GraftSql {
   // ids instead of text; VOCAB SIZE caps the induced vocabulary,
   // UNK = 0) — the form that accepts ANY tokenizer, since id slicing
   // needs no textual re-assembly: ws|bpe land whole-token ids,
-  // TOKENIZER vp lands SUBWORD ids (the greedy-encode segment ids
-  // under the induced gram vocabulary). VOCAB FROM <table|'path'>
-  // supplies an externally-trained (token, id) table instead of
-  // inducing one — a production tokenizer's vocab drives the pack
-  // without re-induction (grams for vp, whole tokens for ws|bpe).
+  // TOKENIZER vp lands SUBWORD ids (segment ids under the induced
+  // gram vocabulary). VOCAB FROM <table|'path'> supplies an
+  // externally-trained (token, id) table instead of inducing one —
+  // a production tokenizer's vocab drives the pack without
+  // re-induction (grams for vp, whole tokens for ws|bpe). SCOPE: a
+  // plain (token, id) table applies by GREEDY LONGEST MATCH
+  // (WordPiece-style inference) — for a BPE-trained vocabulary that
+  // can segment differently than the tokenizer itself would; carry
+  // the merge pairs as left/right columns (bpeInduct's shape, or an
+  // exported merges.txt joined on) and the pack applies them in
+  // MERGE ORDER instead, reproducing the tokenizer's own ids.
   // MIXTURE composes the epochs-per-domain resample + per-copy
   // shuffle INTO the token-ID pack (packTokensMixtureMaterialize —
   // the complete loader artifact); it requires MATERIALIZE + IDS and
@@ -583,12 +589,18 @@ object GraftSql {
           "form — add MIXTURE ('domain' <w>, ...)")
       // an externally-trained (token, id) vocabulary: grams for the
       // vp measure, whole tokens for ws|bpe — the pack encodes
-      // against it instead of re-inducing
+      // against it instead of re-inducing. left/right MERGE-PAIR
+      // columns survive the projection: a table carrying them is a
+      // BPE tokenizer spec and routes the vp encode through the
+      // merge-order kernel (stripping them here would silently
+      // downgrade to greedy longest-match)
       val suppliedVocab: Option[DataFrame] =
-        if (vfPath != null || vfIdent != null)
-          Some(indexSourceFrame(spark, vfPath, vfIdent)
-            .select(col("token"), col("id")))
-        else None
+        if (vfPath != null || vfIdent != null) {
+          val vf = indexSourceFrame(spark, vfPath, vfIdent)
+          val keep = Seq("token", "id") ++
+            Seq("left", "right").filter(vf.columns.contains)
+          Some(vf.select(keep.map(col): _*))
+        } else None
       if (batchTxt != null) {
         // the INCREMENTAL token pack: exactly-once fragments under a
         // pinned vocabulary, offsets continuing from the stored total

@@ -471,4 +471,165 @@ class SubwordPackSpec extends SparkSpec {
     assert(err.getMessage.contains("no _pack_summary.json"),
       err.getMessage)
   }
+
+  test("the native vp_encode kernel is byte-identical to the " +
+      "built-ins fold spelling on the real corpus (ids AND counts, " +
+      "induced vocabulary)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val grams = operators.TextAnalysis.inducedGrams(spark, sf)
+    val vocab = operators.TextAnalysis.gramVocab(docs, 64)
+    val kIds = operators.TextAnalysis.vocabSegmentIds(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      .toMap
+    val fIds = operators.TextAnalysis.vocabSegmentIdsFold(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      .toMap
+    assert(kIds === fIds, "kernel ids diverged from the fold spelling")
+    val kCnt = operators.TextAnalysis.vocabSegments(docs, grams)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fCnt = operators.TextAnalysis
+      .vocabSegmentsFold(docs, grams)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kCnt === fCnt,
+      "kernel counts diverged from the fold spelling")
+    assert(kIds.values.map(_.size.toLong).sum ===
+      kCnt.values.sum, "ids length must equal the counted measure")
+    assert(kCnt.values.sum > 0L, "setup: the corpus must encode")
+  }
+
+  test("vp_encode kernel ≡ fold on adversarial input: unicode " +
+      "lowercasing (Kelvin sign, dotted İ, ß), multi-byte chars " +
+      "flanking word runs, 1-char and id-0 vocab entries, digits") {
+    // the Kelvin sign K lowercases to ASCII 'k'; İ (U+0130)
+    // lowercases to 'i' + combining dot — both INJECT word bytes the
+    // raw text does not carry, so the kernel must lowercase before
+    // scanning, exactly like lower() + the regex
+    val docs = Seq(
+      (1L, "Kelvin İstanbul straße"),
+      (2L, "汉字ab汉cd12字 xéy"),       // CJK flanks; é splits xy
+      (3L, "A1B2C3 zz00zz"),
+      (4L, ""), (5L, "...!!!   "),
+      (6L, "aaa abab kkk")
+    ).toDF("doc_id", "text")
+    // a 1-char entry, an entry with id 0 (an external table may map
+    // its UNK explicitly — must terminate and match the fold), and
+    // overlapping grams
+    val vocab = Seq(("ab", 7L), ("k", 3L), ("kelvin", 11L),
+      ("z", 0L), ("a", 5L), ("12", 9L), ("stra", 2L), ("e", 1L))
+      .toDF("token", "id")
+    val k = operators.TextAnalysis.vocabSegmentIds(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      .toMap
+    val f = operators.TextAnalysis.vocabSegmentIdsFold(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      .toMap
+    assert(k === f, "kernel diverged from the fold on unicode input")
+    // spot-pin the semantics, not just the equivalence: Kelvin sign
+    // lowercases into 'kelvin' (id 11), id-0 entry 'z' matches as a
+    // VOCAB hit (indistinguishable from UNK by id — by design)
+    assert(k(1L).startsWith(List(11L)), k(1L).toString)
+    assert(k(4L) === Nil && k(5L) === Nil)
+  }
+
+  /** Imperative merge-order reference encode — refBpe's own word
+    * loop, applied at inference: chars, then each pinned merge in
+    * training order (left-to-right, pending-fuse), then ids.
+    */
+  private def refMergeEncode(text: String,
+      merges: Seq[(String, String)],
+      ids: Map[String, Long]): List[Long] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toList.flatMap { w =>
+      var syms = w.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val buf = Vector.newBuilder[String]; var k = 0
+        while (k < syms.length) {
+          if (k + 1 < syms.length && syms(k) == a &&
+              syms(k + 1) == b) { buf += (a + b); k += 2 }
+          else { buf += syms(k); k += 1 }
+        }
+        syms = buf.result()
+      }
+      syms.map(s => ids.getOrElse(s, 0L))
+    }
+
+  test("bpeSegmentIds applies merges in TRAINING ORDER — equal to " +
+      "the imperative merge-order reference under a bpeInduct-" +
+      "trained vocabulary, and DIFFERENT from greedy longest-match " +
+      "where the two semantics diverge") {
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest newest"),
+      (2L, "newest newest widest widest widest low lowest"),
+      (3L, "aaa abab slowest westest"))
+      .toDF("doc_id", "text")
+    val vocab = operators.TextAnalysis.bpeInduct(docs, 8, 2L)
+    val vrows = vocab.collect()
+    val ids = vrows.map(r => (r.getString(0), r.getLong(1))).toMap
+    val merges = vrows.filter(!_.isNullAt(3))
+      .sortBy(_.getLong(1)).map(r => (r.getString(3), r.getString(4)))
+      .toSeq
+    assert(merges.nonEmpty, "setup: induction must emit merges")
+    val got = operators.TextAnalysis.bpeSegmentIds(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      .toMap
+    val texts = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    texts.foreach { case (d, t) =>
+      assert(got(d) === refMergeEncode(t, merges, ids),
+        s"doc $d diverged from the merge-order reference")
+    }
+    // the canonical divergence: vocab {ab, bc} with merge (b, c)
+    // ranked first — greedy takes [ab, c], merge-order [a, bc]
+    val dv = Seq(("a", 1L, null: String, null: String),
+      ("b", 2L, null: String, null: String),
+      ("c", 3L, null: String, null: String),
+      ("bc", 4L, "b", "c"), ("ab", 5L, null: String, null: String))
+      .toDF("token", "id", "left", "right")
+    val dd = Seq((1L, "abc")).toDF("doc_id", "text")
+    val mergeIds = operators.TextAnalysis.bpeSegmentIds(dd, dv)
+      .head().getSeq[Long](1).toList
+    val greedyIds = operators.TextAnalysis
+      .vocabSegmentIds(dd, dv.select($"token", $"id"))
+      .head().getSeq[Long](1).toList
+    assert(mergeIds === List(1L, 4L), mergeIds.toString)   // [a, bc]
+    assert(greedyIds === List(5L, 3L), greedyIds.toString) // [ab, c]
+    // a mangled merge row (token != left || right) refuses loudly
+    val bad = Seq(("xy", 1L, "a", "b")).toDF("token", "id", "left",
+      "right")
+    val err = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.bpeSegmentIds(dd, bad)
+    }
+    assert(err.getMessage.contains("left || right"), err.getMessage)
+  }
+
+  test("packTokensMaterialize AUTO-ROUTES to the merge-order encode " +
+      "when the vocabulary carries its pairs: landed ids equal the " +
+      "bpeSegmentIds stream, and the summary records vp_merge") {
+    val docs = Tables.load(spark, sf, "documents")
+    val vocab = operators.TextAnalysis.fixedBpeVocab(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_bpm_")
+    val m = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("seqs").toString, seqLen = 128L,
+      tokenizer = "vp", vocab = Some(vocab))
+    val enc = operators.TextAnalysis.bpeSegmentIds(docs, vocab)
+    val encTotals = enc.agg(sum(size($"vp_ids")),
+      sum(aggregate($"vp_ids", lit(0L), (a, x) => a + x))).head()
+    val mTotals = m.agg(sum($"filled_tokens"), sum($"ids_sum")).head()
+    assert(mTotals.getLong(0) === encTotals.getLong(0),
+      "pack fills diverged from the merge-order encode")
+    assert(mTotals.getLong(1) === encTotals.getLong(1),
+      "pack id checksum diverged from the merge-order encode")
+    assert(mTotals.getLong(1) > 0L)
+    val desc = operators.TextAnalysis.describePack(spark,
+      root.resolve("seqs").toString).head()
+    assert(desc.getString(1) === "vp_merge",
+      "the summary must record the RESOLVED encode mode")
+    // a pair-less projection of the same table routes greedy — the
+    // two applications genuinely differ on the real corpus
+    val greedy = operators.TextAnalysis.vocabSegmentIds(docs,
+      vocab.select($"token", $"id"))
+      .agg(sum(aggregate($"vp_ids", lit(0L), (a, x) => a + x))).head()
+    assert(greedy.getLong(0) !== mTotals.getLong(1),
+      "setup: greedy and merge-order should diverge on this corpus " +
+        "(if they ever coincide, pick different merges)")
+  }
 }
