@@ -139,6 +139,8 @@ object SparkEntry {
       TextAnalysis.packTokensMixtureScenario(s, d)),
     "text_pack_describe" -> ((s: SparkSession, d: String) =>
       TextAnalysis.describePackScenario(s, d)),
+    "text_pack_tokens_vp_incremental" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packTokensVpIncrementalScenario(s, d)),
     "text_pack_tokens_incremental" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packTokensIncrementalScenario(s, d)),
     "text_mixture_resample" -> ((s: SparkSession, d: String) =>
@@ -331,6 +333,13 @@ object SparkEntry {
       // export, so the same manifest replay checks the incremental path
       ("text_export_shards_incremental" ->
         oracleSqlMain("text_export_shards")) +
+      // the SUBWORD incremental pack (vp measure, pinned full-corpus
+      // gram vocab) accumulates to EXACTLY the one-shot subword pack,
+      // so its end-to-end replay (induction → rank ids → greedy
+      // cursor → prefix sum → slicing → ids_sum) checks the
+      // incremental path too
+      ("text_pack_tokens_vp_incremental" ->
+        oracleSqlMain("text_pack_tokens_vp")) +
       // the materialized scenario RE-DERIVES the manifest from the
       // landed shard content (token counts re-run on the written
       // text), so the same replay checks the write's integrity

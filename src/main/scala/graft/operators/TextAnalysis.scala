@@ -596,9 +596,18 @@ object TextAnalysis {
     */
   def exportShardsIngest(spark: SparkSession, exportPath: String,
       docs: DataFrame, batchId: Long, shardTokens: Long = 2048L,
-      bucketSize: Long = 4096L, pipelineId: String = ""): DataFrame = {
+      bucketSize: Long = 4096L, pipelineId: String = "",
+      counts: Option[DataFrame] = None): DataFrame = {
     import graft.tables.GraftTable
     require(batchId >= 0L, "exportShardsIngest needs a batchId >= 0")
+    // `counts` — an optional precomputed (doc_id, n_tokens) frame
+    // under the CALLER's measure (one row per batch doc): the vp
+    // incremental token pack passes its encode's array sizes here so
+    // the stored offsets are measure-consistent with the ids it
+    // slices, without re-running the encode as a count. Absent, the
+    // whitespace measure counts inline (the historical default —
+    // the stored offsets are measure-bound either way; mixing
+    // measures against one path is what the pack meta refuses).
     val statePath = java.nio.file.Paths.get(exportPath, "state").toString
     val asgPath = java.nio.file.Paths.get(exportPath, "assignments")
       .toString
@@ -668,14 +677,21 @@ object TextAnalysis {
           "batches would read a stale offset and overlap token ranges")
       (r.getLong(0), r.getLong(1), isReplay)
     }
-    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id")),
+    // bounds read the counts frame when supplied (slim, usually
+    // persisted by the caller) — same doc set as the batch by the
+    // counts contract
+    val cnts = counts.getOrElse(tokenCounts(docs))
+    val bounds = cnts.agg(min(col("doc_id")), max(col("doc_id")),
       count(lit(1))).head()
     require(bounds.getLong(2) > 0L, "exportShardsIngest: empty batch")
     require(bounds.getLong(0) > maxDoc0,
       s"exportShardsIngest needs doc_id-monotone batches: batch min " +
         s"${bounds.getLong(0)} is not above the stored max $maxDoc0 " +
         "(out-of-order arrivals would break one-shot equivalence)")
-    val assigned = tokenPrefix(docs, bucketSize, offset0)
+    val assigned = prefixSum(cnts
+        .select(col("doc_id"), col("n_tokens"))
+        .withColumn("__b", expr(s"doc_id div ${bucketSize}L")),
+      Seq("doc_id"), offset0)
       .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
         col("shard_id"))
@@ -1550,6 +1566,14 @@ object TextAnalysis {
     * vocabulary mid-corpus). Fragment rows are slim (ids only, no
     * text); the read-side assembly is one hash aggregation on
     * seq_id.
+    *
+    * MEASURES: `ws` (whitespace tokens) or `vp` (SUBWORD — each
+    * batch's docs encode against the pinned gram vocabulary, greedy
+    * or merge-order by the pin's shape, and the span state counts
+    * the encode's own array sizes, so the stored offsets are
+    * vp-measure-bound and the windows can never disagree with the
+    * ids they slice). Both the measure and seq_len pin in the meta
+    * sidecar at batch 0; drift refuses loudly.
     */
   def packTokensIngest(spark: SparkSession, packPath: String,
       docs: DataFrame, batchId: Long, seqLen: Long = 128L,
@@ -1558,14 +1582,19 @@ object TextAnalysis {
       pipelineId: String = ""): DataFrame = {
     import graft.tables.GraftTable
     // the stored offsets are MEASURE-BOUND (the EXPORT SHARDS BATCH
-    // posture): the span state counts ws tokens, so slicing any other
-    // measure's arrays against those windows would land silently
-    // wrong ids — refuse anything but ws (a subword pipeline packs
-    // one-shot under a vp vocabulary, or re-lands from scratch)
-    require(tokenizer == "ws",
+    // posture): `ws` counts whitespace tokens, `vp` counts the
+    // SUBWORD segments of the batch-0-pinned vocabulary (the span
+    // state rides the encode's own array sizes, so the windows and
+    // the ids it slices can never disagree). The measure is pinned in
+    // the meta sidecar and drift refuses below. `bpe` whole-token
+    // slicing stays one-shot (its regex measure has no pinned
+    // artifact to hold constant — nothing stops a caller re-counting
+    // under a different regex, so the guard can't be honest).
+    require(tokenizer == "ws" || tokenizer == "vp",
       "packTokensIngest: the incremental pack's stored offsets are " +
-        "measure-bound to ws — other measures (bpe subword slicing, " +
-        "the vp gram encode) take the one-shot packTokensMaterialize")
+        "measure-bound — ws (whitespace) or vp (subword under the " +
+        "pinned vocabulary); the bpe regex measure takes the " +
+        "one-shot packTokensMaterialize")
     val vocabPath = java.nio.file.Paths.get(packPath, "vocab").toString
     // rows, not log existence: a crash between createIfAbsent's empty
     // version-0 commit and the vocab append must re-land the rows on
@@ -1592,20 +1621,67 @@ object TextAnalysis {
       // BACKFILL a missing sidecar (a pre-meta-era pack, or a crash
       // between the meta write and the vocab append before the write
       // was moved first): the first post-upgrade batch's constants
-      // become the pin — offsets were always measure-bound, and a
-      // caller that actually changed seqLen mid-pack was already
-      // corrupting boundaries silently; from here on it refuses
-      if (!java.nio.file.Files.exists(metaPath)) writeMeta()
-      val pinnedLen = readPackMeta(spark, metaPath).getLong(2)
+      // become the pin — but NOT blindly: a replay arriving with the
+      // WRONG seqLen would pin the wrong constant and then refuse
+      // every CORRECT batch forever (the guard entrenching the error
+      // it exists to prevent), so the candidate is CROSS-CHECKED
+      // against the landed fragment geometry first (one aggregate
+      // over the fragments — the rare-backfill-path cost). The
+      // tokenizer has no geometric witness; it pins as supplied.
+      if (!java.nio.file.Files.exists(metaPath)) {
+        val fragLog = java.nio.file.Paths.get(packPath, "fragments",
+          "_graft_log")
+        if (java.nio.file.Files.exists(fragLog)) {
+          val landed = GraftTable.load(spark,
+            java.nio.file.Paths.get(packPath, "fragments").toString)
+            .snapshot()
+          val bad = landed.where(
+            (col("carry_in") =!=
+              (col("tokens_before") < col("seq_id") * seqLen)) ||
+            (!col("carry_in") &&
+              expr(s"tokens_before div ${seqLen}L") =!= col("seq_id")) ||
+            (greatest(col("seq_id") * seqLen, col("tokens_before")) +
+              size(col("frag_ids")) > (col("seq_id") + 1L) * seqLen))
+            .limit(1).count()
+          require(bad == 0L,
+            s"packTokensIngest: backfilling the missing meta sidecar " +
+              s"with seqLen $seqLen contradicts the landed fragment " +
+              "geometry (boundaries/carry flags don't tile at that " +
+              "length) — re-run with the pack's ORIGINAL seq_len so " +
+              "the pin records the truth")
+        }
+        writeMeta()
+      }
+      val pinnedMeta = readPackMeta(spark, metaPath)
+      require(pinnedMeta.getString(1) == tokenizer,
+        s"packTokensIngest: this pack was pinned at tokenizer " +
+          s"'${pinnedMeta.getString(1)}' — batch $batchId arrived " +
+          s"with '$tokenizer' (the stored offsets are measure-bound; " +
+          "a changed measure would slice wrong ids at every boundary)")
+      val pinnedLen = pinnedMeta.getLong(2)
       require(pinnedLen == seqLen,
         s"packTokensIngest: this pack was pinned at seq_len " +
           s"$pinnedLen — batch $batchId arrived with seqLen $seqLen " +
           "(a changed length would corrupt every boundary sequence)")
     }
+    // NORMALIZED vocabulary shape for pinning and drift compare:
+    // (token, id, left, right) with nulls where a table carries no
+    // merge pairs — so a pinned merge-order (BPE) vocabulary and a
+    // later pair-less supply of "the same" table compare UNEQUAL
+    // (stripping the pairs would silently downgrade every later
+    // batch's encode to greedy longest-match)
+    def normVocab(v: DataFrame): DataFrame = {
+      val l = if (v.columns.contains("left")) col("left")
+        else lit(null).cast("string")
+      val r = if (v.columns.contains("right")) col("right")
+        else lit(null).cast("string")
+      v.select(col("token"), col("id").cast("long").as("id"),
+        l.cast("string").as("left"), r.cast("string").as("right"))
+    }
     val vdf =
       if (haveVocab) {
-        val pinned = GraftTable.load(spark, vocabPath).snapshot()
-          .select(col("token"), col("id"))
+        val pinned = normVocab(
+          GraftTable.load(spark, vocabPath).snapshot())
         // a vocabulary supplied AFTER the pin must MATCH it — ids
         // encoding under a different table than the caller believes
         // is the silent divergence this family refuses loudly. The
@@ -1613,20 +1689,20 @@ object TextAnalysis {
         // V-bounded tables) — a production vocab must not ride the
         // driver once per batch
         vocab.foreach { v =>
-          val supplied = v.select(col("token"),
-            col("id").cast("long").as("id"))
+          val supplied = normVocab(v)
           val drift = supplied.exceptAll(pinned).limit(1).count() +
             pinned.exceptAll(supplied).limit(1).count()
           require(drift == 0L,
             "packTokensIngest: a vocabulary was supplied but this " +
               "pack already pinned a DIFFERENT one at batch 0 — ids " +
-              "must never drift across batches (drop the vocab " +
-              "argument, or pack to a fresh path)")
+              "(and any merge pairs) must never drift across batches " +
+              "(drop the vocab argument, or pack to a fresh path)")
         }
         pinned
       } else {
-        val v = vocab.getOrElse(tokenVocab(docs, vocabSize, tokenizer))
-          .select(col("token"), col("id").cast("long").as("id"))
+        val v = normVocab(vocab.getOrElse(
+            if (tokenizer == "vp") gramVocab(docs, vocabSize)
+            else tokenVocab(docs, vocabSize, tokenizer)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // an EMPTY vocabulary must refuse BEFORE the batch-0
@@ -1644,27 +1720,53 @@ object TextAnalysis {
           val t = GraftTable.createIfAbsent(spark, vocabPath, v.limit(0))
           t.appendIfNew(v, 0L, appId = "graft-tokpack-vocab"): Unit
         } finally v.unpersist(): Unit
-        GraftTable.load(spark, vocabPath).snapshot()
-          .select(col("token"), col("id"))
+        normVocab(GraftTable.load(spark, vocabPath).snapshot())
       }
-    // spans continue from the stored corpus total — the export state
-    // IS the pack's continuation state (budget = seqLen)
-    val spans = exportShardsIngest(spark, packPath, docs, batchId,
-      shardTokens = seqLen, bucketSize, pipelineId)
-    val vmap = broadcast(vdf.agg(map_from_entries(
-      collect_list(struct(col("token"), col("id")))).as("__vmap")))
-    val frags = fragmentWindows(
-        spans.select(col("doc_id"), col("n_tokens"),
-          col("tokens_before")), seqLen)
-      .join(docs.select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
-          lit(0)).as("__toks")), Seq("doc_id"))
-      .crossJoin(vmap)
-      .withColumn("frag_ids", transform(
-        slice(col("__toks"),
+    var encoded: Option[DataFrame] = None
+    val frags = (if (tokenizer == "vp") {
+      // the SUBWORD incremental form: encode the batch ONCE against
+      // the pinned vocabulary (greedy, or merge-order when the pin
+      // carries its pairs — the same [[segmentIdsFor]] routing as the
+      // one-shot pack), hand the encode's OWN array sizes to the span
+      // state as the measure (offsets and ids share one source), and
+      // slice the id arrays against the fill windows. The encode is
+      // persisted: the span bounds/prefix and the fragment join all
+      // reference it.
+      val docIds = segmentIdsFor(docs, vdf)._1
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      encoded = Some(docIds)
+      val spans = exportShardsIngest(spark, packPath, docs, batchId,
+        shardTokens = seqLen, bucketSize, pipelineId,
+        counts = Some(docIds.select(col("doc_id"),
+          size(col("vp_ids")).cast("long").as("n_tokens"))))
+      fragmentWindows(
+          spans.select(col("doc_id"), col("n_tokens"),
+            col("tokens_before")), seqLen)
+        .join(docIds.select(col("doc_id"), col("vp_ids").as("__ids")),
+          Seq("doc_id"))
+        .withColumn("frag_ids", slice(col("__ids"),
           (col("fill_start") - col("tokens_before") + 1L).cast("int"),
-          (col("fill_end") - col("fill_start")).cast("int")),
-        t => coalesce(element_at(col("__vmap"), t), lit(0L))))
+          (col("fill_end") - col("fill_start")).cast("int")))
+    } else {
+      // spans continue from the stored corpus total — the export
+      // state IS the pack's continuation state (budget = seqLen)
+      val spans = exportShardsIngest(spark, packPath, docs, batchId,
+        shardTokens = seqLen, bucketSize, pipelineId)
+      val vmap = broadcast(vdf.agg(map_from_entries(
+        collect_list(struct(col("token"), col("id")))).as("__vmap")))
+      fragmentWindows(
+          spans.select(col("doc_id"), col("n_tokens"),
+            col("tokens_before")), seqLen)
+        .join(docs.select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(tokenPattern(tokenizer)),
+            lit(0)).as("__toks")), Seq("doc_id"))
+        .crossJoin(vmap)
+        .withColumn("frag_ids", transform(
+          slice(col("__toks"),
+            (col("fill_start") - col("tokens_before") + 1L).cast("int"),
+            (col("fill_end") - col("fill_start")).cast("int")),
+          t => coalesce(element_at(col("__vmap"), t), lit(0L))))
+    })
       .select(col("seq_id"), col("doc_id"), col("tokens_before"),
         col("frag_ids"), col("carry_in"))
       .withColumn("batch_id", lit(batchId))
@@ -1675,8 +1777,9 @@ object TextAnalysis {
     // into the span machinery's watermarks (both skip), recomputes
     // the identical fragments from the strictly-earlier offsets, and
     // lands exactly the missing side here
-    fragsT.appendIfNew(frags, batchId,
+    try fragsT.appendIfNew(frags, batchId,
       appId = "graft-tokpack-frags" + pipelineId): Unit
+    finally encoded.foreach(_.unpersist(): Unit)
     // the batch's landed slice, table-backed and stats-pruned — the
     // return path is O(batch), never a driver collect
     GraftTable.load(spark,
@@ -1741,6 +1844,41 @@ object TextAnalysis {
         // replay of the last batch: every watermark skips
         packTokensIngest(spark, p.toString,
           docs.where(col("doc_id") >= 340), 2L, seqLen)
+        p
+      })
+    packTokensIngestManifest(spark, stage.toString)
+  }
+
+  /** Driver scenario for the SUBWORD incremental pack —
+    * [[packTokensIngest]] under the `vp` measure: the corpus arrives
+    * in 3 doc_id-monotone batches plus a replay, all encoding
+    * against ONE pinned gram vocabulary (the full-corpus top-64
+    * ranking — the training-run constant, supplied at batch 0 so the
+    * accumulated fragments must equal the one-shot subword pack);
+    * shares `text_pack_tokens_vp`'s end-to-end oracle (induction →
+    * rank ids → greedy cursor → prefix sum → slicing → ids_sum).
+    * Staged once per process.
+    */
+  def packTokensVpIncrementalScenario(spark: SparkSession,
+      sfDir: String, seqLen: Long = 128L): DataFrame = {
+    val stage = tokIngestStages.computeIfAbsent(s"$sfDir:vp:$seqLen",
+      { _ =>
+        val docs = Tables.load(spark, sfDir, "documents")
+        val pinned = gramVocab(docs, 64)
+        val p = java.nio.file.Files.createTempDirectory("graft_vpinc_")
+        packTokensIngest(spark, p.toString,
+          docs.where(col("doc_id") < 170), 0L, seqLen,
+          tokenizer = "vp", vocab = Some(pinned))
+        packTokensIngest(spark, p.toString,
+          docs.where(col("doc_id") >= 170 && col("doc_id") < 340), 1L,
+          seqLen, tokenizer = "vp")
+        packTokensIngest(spark, p.toString,
+          docs.where(col("doc_id") >= 340), 2L, seqLen,
+          tokenizer = "vp")
+        // replay of the last batch: every watermark skips
+        packTokensIngest(spark, p.toString,
+          docs.where(col("doc_id") >= 340), 2L, seqLen,
+          tokenizer = "vp")
         p
       })
     packTokensIngestManifest(spark, stage.toString)

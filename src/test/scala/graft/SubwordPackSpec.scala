@@ -343,10 +343,13 @@ class SubwordPackSpec extends SparkSpec {
       "the seam sequence must carry fragments from BOTH batches — " +
         "pick a corpus split that does not align to seqLen")
     // the vocabulary stayed PINNED: later batches encoded against
-    // batch 0's table, not a re-induction over their own slice
+    // batch 0's table, not a re-induction over their own slice (the
+    // landed table carries the normalized shape with null merge-pair
+    // columns — project to the id mapping for the compare)
     val landedVocab = graft.tables.GraftTable.load(spark,
         java.nio.file.Paths.get(p.toString, "vocab").toString)
-      .snapshot().collect().map(_.toSeq).toSet
+      .snapshot().select($"token", $"id").collect()
+      .map(_.toSeq).toSet
     assert(landedVocab ===
       pinned.select($"token", $"id").collect().map(_.toSeq).toSet)
     // DESCRIBE PACK serves the incremental layout: pinned constants
@@ -631,5 +634,103 @@ class SubwordPackSpec extends SparkSpec {
     assert(greedy.getLong(0) !== mTotals.getLong(1),
       "setup: greedy and merge-order should diverge on this corpus " +
         "(if they ever coincide, pick different merges)")
+  }
+
+  test("packTokensIngest vp: unaligned subword batches + a replay " +
+      "assemble to the one-shot vp pack under the pinned gram " +
+      "vocabulary; the measure pins and refuses drift both ways") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pinned = operators.TextAnalysis.gramVocab(docs, 64)
+    val p = java.nio.file.Files.createTempDirectory("graft_vpincs_")
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" < 170), 0L, 128L, tokenizer = "vp",
+      vocab = Some(pinned))
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 170 && $"doc_id" < 340), 1L, 128L,
+      tokenizer = "vp")
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 340), 2L, 128L, tokenizer = "vp")
+    // replay: every watermark skips
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 340), 2L, 128L, tokenizer = "vp")
+    val inc = operators.TextAnalysis
+      .packTokensIngestManifest(spark, p.toString)
+      .collect().map(_.toSeq).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_vpone_")
+    val oneShot = operators.TextAnalysis.packTokensMaterialize(docs,
+      root.resolve("seqs").toString, seqLen = 128L,
+      tokenizer = "vp", vocab = Some(pinned))
+      .collect().map(_.toSeq).toSet
+    assert(inc === oneShot,
+      "accumulated vp fragments diverged from the one-shot pack")
+    assert(inc.nonEmpty)
+    // measure drift refuses BOTH ways: a ws batch into the vp pack...
+    val e1 = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.packTokensIngest(spark, p.toString,
+        docs.where($"doc_id" >= 340), 3L, 128L)
+    }
+    assert(e1.getMessage.contains("tokenizer"), e1.getMessage)
+    // ...and a vp batch into a ws pack
+    val pws = java.nio.file.Files.createTempDirectory("graft_wsp_")
+    operators.TextAnalysis.packTokensIngest(spark, pws.toString,
+      docs.where($"doc_id" < 170), 0L, 128L)
+    val e2 = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.packTokensIngest(spark, pws.toString,
+        docs.where($"doc_id" >= 170), 1L, 128L, tokenizer = "vp")
+    }
+    assert(e2.getMessage.contains("tokenizer"), e2.getMessage)
+    // a later pair-LESS supply of a pinned merge-carrying vocabulary
+    // refuses (stripping pairs would downgrade the encode silently)
+    val pm = java.nio.file.Files.createTempDirectory("graft_vpm_")
+    val mvocab = operators.TextAnalysis.fixedBpeVocab(spark)
+    operators.TextAnalysis.packTokensIngest(spark, pm.toString,
+      docs.where($"doc_id" < 170), 0L, 128L, tokenizer = "vp",
+      vocab = Some(mvocab))
+    val e3 = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.packTokensIngest(spark, pm.toString,
+        docs.where($"doc_id" >= 170), 1L, 128L, tokenizer = "vp",
+        vocab = Some(mvocab.select($"token", $"id")))
+    }
+    assert(e3.getMessage.contains("merge pairs"), e3.getMessage)
+    // and the merge-carrying pin keeps encoding merge-order on later
+    // batches: accumulated == one-shot under the same spec
+    operators.TextAnalysis.packTokensIngest(spark, pm.toString,
+      docs.where($"doc_id" >= 170), 1L, 128L, tokenizer = "vp")
+    val incM = operators.TextAnalysis
+      .packTokensIngestManifest(spark, pm.toString)
+      .collect().map(_.toSeq).toSet
+    val rootM = java.nio.file.Files.createTempDirectory("graft_vpmo_")
+    val oneM = operators.TextAnalysis.packTokensMaterialize(docs,
+      rootM.resolve("seqs").toString, seqLen = 128L,
+      tokenizer = "vp", vocab = Some(mvocab))
+      .collect().map(_.toSeq).toSet
+    assert(incM === oneM,
+      "merge-order incremental fragments diverged from the one-shot")
+  }
+
+  test("packTokensIngest meta backfill CROSS-CHECKS the candidate " +
+      "seqLen against landed fragment geometry: the wrong length " +
+      "refuses instead of pinning a corrupt constant") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = java.nio.file.Files.createTempDirectory("graft_bfill_")
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" < 170), 0L, 128L)
+    // simulate a pre-meta-era pack: drop the sidecar
+    val meta = java.nio.file.Paths.get(p.toString, "_pack_meta.json")
+    java.nio.file.Files.delete(meta)
+    // a replay arriving with the WRONG seqLen must refuse the pin
+    val err = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.packTokensIngest(spark, p.toString,
+        docs.where($"doc_id" < 170), 0L, 64L)
+    }
+    assert(err.getMessage.contains("geometry"), err.getMessage)
+    assert(!java.nio.file.Files.exists(meta),
+      "a refused backfill must not leave a sidecar behind")
+    // the RIGHT seqLen re-pins and the replay lands nothing new
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" < 170), 0L, 128L)
+    assert(java.nio.file.Files.exists(meta))
+    assert(operators.TextAnalysis.readPackMeta(spark, meta)
+      .getLong(2) === 128L)
   }
 }
