@@ -87,6 +87,10 @@ object ScaleProbe {
       tokPackProbe(spark, corpusDir)
       spark.stop(); return
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") == "bpe") {
+      bpeProbe(spark, corpusDir)
+      spark.stop(); return
+    }
     val batchDir = sys.env("SPARK_GRAFT_BATCH_DIR")
     val corpus = Tables.load(spark, corpusDir, "documents")
     // the fixed batch: the batch-sf 20% slice, re-keyed far above any
@@ -260,6 +264,56 @@ object ScaleProbe {
       vocabSize = 64, tokenizer = "vp").count()
     val t2 = System.nanoTime()
     println(s"""{"metric":"vppack_probe","corpus":"$corpusDir","docs":$rows,"segments":$segTotal,"seqs":$n1,"encode_sec":${(t1 - t0) / 1e9},"pack_sec":${(t2 - t1) / 1e9}}""")
+  }
+
+  /** BPE TRAINER per-merge cost (SPARK_GRAFT_PROBE=bpe): the r20
+    * incremental pair-count loop — per-merge wall time should stay
+    * FLAT as the merge list grows (the delta work is ∝ words
+    * containing the winning pair, never the vocabulary), and the
+    * short run should beat the full-recount reference at the same
+    * merge count. Prints per-merge seconds at a short and a long
+    * merge budget plus the recount baseline at the short budget.
+    */
+  private def bpeProbe(spark: SparkSession,
+      corpusDir: String): Unit = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, corpusDir, "documents")
+    val shortM = 32
+    val longM = 256
+    val t0 = System.nanoTime()
+    val vShort = TextAnalysis.bpeInduct(docs, shortM, 2L)
+    val nShort = vShort.where(col("left").isNotNull).count()
+    val t1 = System.nanoTime()
+    val vLong = TextAnalysis.bpeInduct(docs, longM, 2L)
+    val nLong = vLong.where(col("left").isNotNull).count()
+    val t2 = System.nanoTime()
+    val vRec = TextAnalysis.bpeInductRecount(docs, shortM, 2L)
+    val nRec = vRec.where(col("left").isNotNull).count()
+    val t3 = System.nanoTime()
+    println(s"""{"metric":"bpe_probe","corpus":"$corpusDir","docs":${docs.count()},"merges_short":$nShort,"sec_short":${(t1 - t0) / 1e9},"merges_long":$nLong,"sec_long":${(t2 - t1) / 1e9},"per_merge_short":${(t1 - t0) / 1e9 / math.max(1L, nShort)},"per_merge_long":${(t2 - t1) / 1e9 / math.max(1L, nLong)},"recount_merges":$nRec,"recount_sec":${(t3 - t2) / 1e9}}""")
+    // the WIDE-WORD-DOMAIN leg — what the delta maintenance is FOR:
+    // the testdata vocabulary is ~310 distinct words (job overhead
+    // dominates both loops there), but a production trainer's word
+    // frame is millions of rows, and the recount loop re-folds and
+    // re-aggregates ALL of them every merge while the delta loop
+    // touches only words containing the winning pair. 200k distinct
+    // 64-char hex words (md5-derived, deterministic) make that
+    // visible: per-merge cost recount vs incremental at the same
+    // merge budget.
+    val wide = spark.range(200000L).select(col("id").as("doc_id"),
+      expr("concat(md5(cast(id as string)), " +
+        "md5(cast(id + 7 as string)))").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wide.count(): Unit
+    val w0 = System.nanoTime()
+    val wInc = TextAnalysis.bpeInduct(wide, 24, 2L)
+      .where(col("left").isNotNull).count()
+    val w1 = System.nanoTime()
+    val wRec = TextAnalysis.bpeInductRecount(wide, 24, 2L)
+      .where(col("left").isNotNull).count()
+    val w2 = System.nanoTime()
+    wide.unpersist(): Unit
+    println(s"""{"metric":"bpe_probe_wide","distinct_words":200000,"merges":$wInc,"incremental_sec":${(w1 - w0) / 1e9},"recount_merges":$wRec,"recount_sec":${(w2 - w1) / 1e9},"per_merge_incremental":${(w1 - w0) / 1e9 / math.max(1L, wInc)},"per_merge_recount":${(w2 - w1) / 1e9 / math.max(1L, wRec)}}""")
   }
 
   /** INCREMENTAL TOKEN PACK batch cost against a growing landed

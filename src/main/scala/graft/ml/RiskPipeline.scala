@@ -130,8 +130,15 @@ object RiskPipeline {
     * [[scoreFixed]]'s decimal-exact scores (what
     * `fMeasureByThreshold` computes downstream of the fitted model:
     * every distinct score is a candidate threshold, positive =
-    * score ≥ threshold, argmax F1 with ties to the smallest
-    * threshold — the summary's own ordering). Scale shape: the
+    * score ≥ threshold, argmax F1. TIE-BREAK: ties go to the
+    * SMALLEST threshold — a deliberate choice this operator and its
+    * oracle share, NOT the upstream summary's: Spark's
+    * `fMeasureByThreshold` enumerates thresholds in descending-score
+    * order, so a max-by over it would surface the LARGEST tied
+    * threshold; tied thresholds have identical F1 by definition, and
+    * the smaller one admits more positives at the same measure — but
+    * a caller reproducing 03-Fraud-ML.py:172-179 exactly should
+    * max-tie-break upward). Scale shape: the
     * corpus reduces through ONE hash aggregate to the distinct-score
     * pane first; the cumulative sweep's window runs over THAT pane
     * (bounded by the score formula's value domain, never corpus

@@ -1320,9 +1320,13 @@ object TextAnalysis {
     val p = java.nio.file.Paths.get(path, "_pack_summary.json")
     val incMeta = java.nio.file.Paths.get(path, "_pack_meta.json")
     // the INCREMENTAL layout has no frozen summary — its totals move
-    // with every batch, so the ledger serves the pinned constants
-    // from the meta sidecar plus a LIVE re-aggregation over the slim
-    // fragment arrays (the honest cost for a moving artifact)
+    // with every batch. The serve path folds the per-batch ROLLUP
+    // ledger (O(batches): n_sequences = max(max_seq)+1 over the
+    // gapless stream, fills/ids additive) WHEN the ledger covers
+    // every landed batch; a pack mid-crash-window (fragments landed,
+    // rollup append pending replay) or a pre-rollup-era pack falls
+    // back to the LIVE re-aggregation over the slim fragment arrays
+    // — the honest cost until the ledger self-heals.
     if (!java.nio.file.Files.exists(p) &&
         java.nio.file.Files.exists(incMeta)) {
       require(java.nio.file.Files.exists(java.nio.file.Paths
@@ -1334,14 +1338,44 @@ object TextAnalysis {
       val vocabT = graft.tables.GraftTable.load(spark,
         java.nio.file.Paths.get(path, "vocab").toString)
       val vSize = vocabT.rowCount.getOrElse(vocabT.snapshot().count())
-      val r = packTokensIngestManifest(spark, path)
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("filled_tokens")), lit(0L)).as("ft"),
-          coalesce(sum(col("ids_sum")), lit(0L)).as("is")).head()
+      val rollLog = java.nio.file.Paths.get(path, "rollups",
+        "_graft_log")
+      val stateLog = java.nio.file.Paths.get(path, "state",
+        "_graft_log")
+      val ledger: Option[(Long, Long, Long)] =
+        if (!java.nio.file.Files.exists(rollLog) ||
+            !java.nio.file.Files.exists(stateLog)) None
+        else {
+          val rolls = graft.tables.GraftTable.load(spark,
+            java.nio.file.Paths.get(path, "rollups").toString)
+            .snapshot()
+          // coverage: every landed batch (a state row commits only
+          // after its content) must have its rollup row — one
+          // anti-join over the two O(batches) tables
+          val missing = graft.tables.GraftTable.load(spark,
+              java.nio.file.Paths.get(path, "state").toString)
+            .snapshot().select(col("batch_id")).distinct()
+            .exceptAll(rolls.select(col("batch_id")).distinct())
+            .limit(1).count()
+          if (missing > 0L) None
+          else {
+            val r = rolls.agg(
+              max(col("max_seq")) + 1L,
+              coalesce(sum(col("filled_tokens")), lit(0L)),
+              coalesce(sum(col("ids_sum")), lit(0L))).head()
+            Some((r.getLong(0), r.getLong(1), r.getLong(2)))
+          }
+        }
+      val (n, ft, is) = ledger.getOrElse {
+        val r = packTokensIngestManifest(spark, path)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("filled_tokens")), lit(0L)).as("ft"),
+            coalesce(sum(col("ids_sum")), lit(0L)).as("is")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
       import spark.implicits._
       return Seq((meta.getString(0), meta.getString(1),
-          meta.getLong(2), vSize,
-          r.getLong(0), r.getLong(1), r.getLong(2)))
+          meta.getLong(2), vSize, n, ft, is))
         .toDF("form", "tokenizer", "seq_len", "vocab_size",
           "n_sequences", "filled_tokens", "ids_sum")
     }
@@ -1773,13 +1807,40 @@ object TextAnalysis {
     val fragsT = GraftTable.createIfAbsent(spark,
       java.nio.file.Paths.get(packPath, "fragments").toString,
       frags.limit(0))
-    // fragments land LAST: a crash after the span commits replays
-    // into the span machinery's watermarks (both skip), recomputes
-    // the identical fragments from the strictly-earlier offsets, and
-    // lands exactly the missing side here
+    // fragments land LAST among the content commits: a crash after
+    // the span commits replays into the span machinery's watermarks
+    // (both skip), recomputes the identical fragments from the
+    // strictly-earlier offsets, and lands exactly the missing side
     try fragsT.appendIfNew(frags, batchId,
       appId = "graft-tokpack-frags" + pipelineId): Unit
     finally encoded.foreach(_.unpersist(): Unit)
+    // the per-batch ROLLUP row (the epoch_meta pattern): one
+    // aggregate over THIS batch's landed slice (stats-pruned,
+    // O(batch)) so DESCRIBE PACK can fold O(batches) ledger rows
+    // instead of re-aggregating every fragment array per call.
+    // n_sequences folds as max(max_seq)+1 — the token stream is
+    // gapless from offset 0, so every seq id in [0, max] exists.
+    // Lands AFTER the fragments (a rollup row implies its fragments
+    // landed); a crash in between self-heals on replay — DESCRIBE
+    // falls back to the live re-aggregation until then.
+    val rollup = GraftTable.load(spark,
+        java.nio.file.Paths.get(packPath, "fragments").toString)
+      .snapshotCandidates(col("batch_id") === batchId)
+      .where(col("batch_id") === batchId)
+      .agg(max(col("seq_id")).as("max_seq"),
+        count(lit(1)).as("n_fragments"),
+        coalesce(sum(size(col("frag_ids")).cast("long")), lit(0L))
+          .as("filled_tokens"),
+        coalesce(sum(aggregate(col("frag_ids"), lit(0L),
+          (a, x) => a + x)), lit(0L)).as("ids_sum"))
+      .withColumn("batch_id", lit(batchId))
+      .select(col("batch_id"), col("max_seq"), col("n_fragments"),
+        col("filled_tokens"), col("ids_sum"))
+    val rollT = GraftTable.createIfAbsent(spark,
+      java.nio.file.Paths.get(packPath, "rollups").toString,
+      rollup.limit(0))
+    rollT.appendIfNew(rollup, batchId,
+      appId = "graft-tokpack-rollup" + pipelineId): Unit
     // the batch's landed slice, table-backed and stats-pruned — the
     // return path is O(batch), never a driver collect
     GraftTable.load(spark,
@@ -2268,10 +2329,10 @@ object TextAnalysis {
     * sequentially-dependent half the relational [[vocabInduct]]
     * score deliberately left to a driver loop: start from character
     * symbols and repeatedly merge the most frequent ADJACENT pair,
-    * each round one DISTRIBUTED pair-count aggregate over the
-    * word-frequency table (the standard trainer working set:
-    * DISTINCT words weighted by corpus count — bounded by the word
-    * domain, never corpus rows; the driver holds only the argmax row
+    * each round one bounded argmax over the MAINTAINED distributed
+    * pair-count table (the standard trainer working set: DISTINCT
+    * words weighted by corpus count — bounded by the word domain,
+    * never corpus rows; the driver holds only the argmax row
     * and the merge list). Ties break (count desc, pair) so the merge
     * sequence is deterministic and engine-portable. Returns the
     * (token, id, cnt, left, right) vocabulary: the surviving base
@@ -2285,41 +2346,162 @@ object TextAnalysis {
     * frame re-plans per merge; it is re-persisted each round and
     * localCheckpoint'ed every 8 merges so the lineage stays bounded.
     *
-    * Merge-count posture (like the broadcast vocab map's ~10⁶-entry
-    * note): each round is one distributed pair-count pass, so the
-    * loop is O(numMerges) Spark jobs — fine to a few hundred merges;
-    * a production 32k-merge vocabulary wants incremental pair-count
-    * maintenance ([[bpeInductIncremental]] below maintains the pair
-    * table across rounds at delta cost ∝ affected words).
+    * Merge-count posture: the pair-count table is MAINTAINED across
+    * rounds (the classic incremental BPE trainer): each merge
+    * subtracts the affected words' old adjacent-pair counts and adds
+    * their post-merge counts — the shuffle per round is ∝ words
+    * CONTAINING the winning pair, never the whole vocabulary, so the
+    * per-merge cost stays flat as the merge list grows (probe:
+    * SPARK_GRAFT_PROBE=bpe). The full-recount loop is kept as the
+    * spec's equivalence reference ([[bpeInductRecount]]). Remaining
+    * per-round floor: one filter scan of the distinct-word frame
+    * (map-side, no shuffle) + 3 bounded actions — a 32k-merge
+    * production run is 32k fast rounds, not 32k corpus-vocabulary
+    * re-aggregations.
     */
   def bpeInduct(docs: DataFrame, numMerges: Int = 32,
       minPairCount: Long = 2L): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
     require(numMerges >= 0, "bpeInduct needs numMerges >= 0")
-    var wf = docs.select(explode(regexp_extract_all(lower(col("text")),
-        lit("[a-z0-9]+"), lit(0))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      // substring-by-index, not split(w, "") — Spark's split keeps a
-      // trailing empty element under its -1 limit
-      .select(col("cnt"), expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .as("syms"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val charCounts = wf.select(col("cnt"), explode(col("syms")).as("c"))
-      .groupBy(col("c")).agg(sum(col("cnt")).as("n"))
-      .orderBy(col("c")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var wf = bpeWordFrame(docs).persist(lvl)
+    val charCounts = bpeCharCounts(wf)
+    // the maintained pair-count table — seeded once, then delta-
+    // updated per merge
+    var pc = bpePairCounts(wf).persist(lvl)
+    pc.count(): Unit
     val merges =
       scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var done = false
     var round = 0
     while (round < numMerges && !done) {
-      val top = wf.where(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
-        .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("n"))
+      val top = pc.orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((a, b, n))
+        // only words CONTAINING the winning adjacent pair change
+        // counts — the filter is a map-side scan of the persisted
+        // distinct-word frame; everything downstream is ∝ affected
+        val hasPair = exists(
+          zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (x, y) => x === lit(a) && y === lit(b)),
+          p => p)
+        val affected = wf.where(hasPair).persist(lvl)
+        val merged = affected
+          .withColumn("syms", bpeMergeFold(col("syms"), a, b))
+          .persist(lvl)
+        // pc' = pc − affected's old pairs + affected's new pairs;
+        // rows that reach 0 drop (a pair fully consumed by the merge)
+        val deltas = bpePairCounts(merged)
+          .union(bpePairCounts(affected)
+            .select(col("a"), col("b"), (-col("n")).as("n")))
+        val prevWf = wf; val prevPc = pc
+        val nextWf = wf.where(!hasPair).union(merged)
+        val nextPc = pc.union(deltas)
+          .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+          .where(col("n") > 0L)
+        // lineage truncates EVERY round here (not the recount loop's
+        // every-8 cadence): nextWf references wf TWICE (the
+        // unaffected branch and through merged), so an uncut plan
+        // DOUBLES per round — exponential by round 12 (measured as an
+        // OOM in plan stringification). The UNION also concatenates
+        // partitions, so the checkpointed frame must COALESCE back to
+        // the session fan-out or the task count doubles per round
+        // (measured: a 17k-task stage by round 12). localCheckpoint
+        // materializes exactly the bounded frames the persist+count
+        // cadence did (word-domain + pair-domain), with no shadowed
+        // persist to orphan; dropping the old references lets the
+        // context cleaner reclaim earlier checkpoint blocks. pc's
+        // partition count is pinned by its groupBy shuffle.
+        val fanOut = spark.sessionState.conf.numShufflePartitions
+        wf = nextWf.coalesce(fanOut).localCheckpoint(true)
+        pc = nextPc.localCheckpoint(true)
+        affected.unpersist(): Unit
+        merged.unpersist(): Unit
+        prevWf.unpersist(): Unit
+        prevPc.unpersist(): Unit
+        round += 1
+      }
+    }
+    wf.unpersist(): Unit
+    pc.unpersist(): Unit
+    bpeVocabRows(spark, charCounts, merges.toSeq)
+  }
+
+  /** The distinct-word trainer working set: (corpus count, symbol
+    * array) — one row per distinct word, symbols starting as
+    * characters. Substring-by-index, not split(w, "") — Spark's
+    * split keeps a trailing empty element under its -1 limit.
+    */
+  private def bpeWordFrame(docs: DataFrame): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+
+  /** Corpus-weighted counts of the base characters (the vocabulary's
+    * leading rows) — bounded by the 36-symbol char domain.
+    */
+  private def bpeCharCounts(wf: DataFrame): Array[(String, Long)] =
+    wf.select(col("cnt"), explode(col("syms")).as("c"))
+      .groupBy(col("c")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** Corpus-weighted ADJACENT-pair counts of a symbol frame — the
+    * quantity both trainer loops argmax over.
+    */
+  private def bpePairCounts(f: DataFrame): DataFrame =
+    f.where(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("n"))
+
+  /** The (token, id, cnt, left, right) vocabulary frame from the
+    * trainer outputs — merge rows CARRY THEIR PAIR (the merge list
+    * IS the tokenizer: [[bpeSegmentIds]] replays it in training
+    * order, so the frame must not collapse (a, b) into just the
+    * fused token); base characters carry nulls.
+    */
+  private def bpeVocabRows(spark: SparkSession,
+      charCounts: Array[(String, Long)],
+      merges: Seq[(String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    val rows = (charCounts.toSeq.map { case (tok, n) =>
+        (tok, n, null: String, null: String) } ++
+      merges.map { case (a, b, n) => (a + b, n, a, b) })
+      .zipWithIndex
+      .map { case ((tok, n, l, r), i) => (tok, (i + 1).toLong, n, l, r) }
+    rows.toDF("token", "id", "cnt", "left", "right")
+  }
+
+  /** The FULL-RECOUNT reference loop — [[bpeInduct]]'s original
+    * spelling (one pair-count aggregate over the whole word frame +
+    * one fold pass per merge): kept package-private as the
+    * incremental trainer's equivalence reference, spec-pinned to
+    * produce the identical merge sequence.
+    */
+  private[graft] def bpeInductRecount(docs: DataFrame,
+      numMerges: Int = 32, minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    require(numMerges >= 0, "bpeInductRecount needs numMerges >= 0")
+    var wf = bpeWordFrame(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val charCounts = bpeCharCounts(wf)
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    var round = 0
+    while (round < numMerges && !done) {
+      val top = bpePairCounts(wf)
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
@@ -2329,10 +2511,6 @@ object TextAnalysis {
         merges += ((a, b, n))
         val prev = wf
         val next = wf.withColumn("syms", bpeMergeFold(col("syms"), a, b))
-        // checkpoint rounds REPLACE the cache (a persist immediately
-        // shadowed by localCheckpoint would orphan its blocks for the
-        // process lifetime); dropping the old reference lets the
-        // context cleaner reclaim earlier checkpoint blocks
         wf =
           if ((round + 1) % 8 == 0) next.localCheckpoint(true)
           else {
@@ -2346,16 +2524,7 @@ object TextAnalysis {
       }
     }
     wf.unpersist(): Unit
-    // merge rows CARRY THEIR PAIR (left, right) — the merge list IS
-    // the tokenizer: [[bpeSegmentIds]] replays it in training order,
-    // so the vocabulary frame must not collapse (a, b) into just the
-    // fused token. Base characters carry nulls.
-    val rows = (charCounts.toSeq.map { case (tok, n) =>
-        (tok, n, null: String, null: String) } ++
-      merges.toSeq.map { case (a, b, n) => (a + b, n, a, b) })
-      .zipWithIndex
-      .map { case ((tok, n, l, r), i) => (tok, (i + 1).toLong, n, l, r) }
-    rows.toDF("token", "id", "cnt", "left", "right")
+    bpeVocabRows(spark, charCounts, merges.toSeq)
   }
 
   /** One BPE merge applied left-to-right over a symbol array — an

@@ -728,14 +728,16 @@ object Streams {
                   val n = GraftTable.load(spark, asgPath)
                     .snapshotCandidates(col("epoch") === e)
                     .where(col("epoch") === e).count()
-                  // auto mode re-derives the fan-out the landing
-                  // cycle used from the landed corpus size; a PINNED
-                  // count may have been re-configured since, so the
-                  // repair records -1 = unknown rather than attest
-                  // the replay cycle's setting
-                  (if (hashBuckets == 0L)
-                     graft.operators.TextAnalysis.autoHashBuckets(n)
-                   else -1L, n)
+                  // the landed corpus size is re-derivable from the
+                  // rows (each doc lands once per epoch), but the
+                  // LANDING cycle's bucket-count MODE is not: the
+                  // replay cycle running auto does not prove the
+                  // landing cycle wasn't pinned (and vice versa) —
+                  // the bucketing is value-invisible, so the rows
+                  // carry no witness either way. The repair records
+                  // -1 = unknown unconditionally rather than attest
+                  // a fan-out the landing cycle may never have used.
+                  (-1L, n)
                 }
               metaT.appendIfNew(
                 Seq((e, mHb, mN))

@@ -983,6 +983,28 @@ class StreamingSpec extends SparkSpec {
       cells(operators.TextAnalysis.exportShardsShuffled(
         docs, shardTokens = 64L, seed = 1L)),
       "epoch 1 must reflect the grown corpus")
+    // META REPAIR attests only what the landed rows can prove: the
+    // corpus size re-derives from the rows, but the landing cycle's
+    // bucket-count MODE has no witness (the bucketing is value-
+    // invisible), so a repaired row records hash_buckets = -1 even
+    // when the REPLAY cycle runs auto — never a fan-out the landing
+    // cycle may not have used
+    def rm(d: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(d))
+        java.nio.file.Files.list(d).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(d): Unit
+    }
+    rm(java.nio.file.Paths.get(exp, "epoch_meta"))
+    request("c3", 1L)
+    Streams.epochExportStream(spark, reqs, cp, docs, exp,
+      shardTokens = 64L)
+    val repaired = graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(exp, "epoch_meta").toString)
+      .snapshot().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(repaired.toSeq === Seq((1L, -1L, 20500L)),
+      "a repaired meta row must record -1 = unknown fan-out with " +
+        "the landed corpus size")
   }
 
   test("epochExportStream ownership: a second pipeline targeting the " +

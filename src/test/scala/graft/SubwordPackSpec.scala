@@ -708,6 +708,86 @@ class SubwordPackSpec extends SparkSpec {
       "merge-order incremental fragments diverged from the one-shot")
   }
 
+  test("DESCRIBE PACK's incremental serve folds the O(batches) " +
+      "rollup ledger, equals the live re-aggregation through a " +
+      "multi-batch + replay storm, and falls back live when a " +
+      "crash window leaves a batch un-rolled-up") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = java.nio.file.Files.createTempDirectory("graft_rollup_")
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" < 170), 0L, 128L)
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 170 && $"doc_id" < 340), 1L, 128L)
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 340), 2L, 128L)
+    // replay storm: every watermark (incl. the rollup's) skips
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 340), 2L, 128L)
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 170 && $"doc_id" < 340), 1L, 128L)
+    val rollsPath = java.nio.file.Paths.get(p.toString, "rollups")
+    assert(graft.tables.GraftTable.load(spark, rollsPath.toString)
+      .snapshot().count() === 3L,
+      "replays must not duplicate rollup rows")
+    val live = operators.TextAnalysis
+      .packTokensIngestManifest(spark, p.toString)
+      .agg(count(lit(1)), sum($"filled_tokens"), sum($"ids_sum"))
+      .head()
+    val served = operators.TextAnalysis.describePack(spark,
+      p.toString).head()
+    assert(served.getLong(4) === live.getLong(0), "n_sequences")
+    assert(served.getLong(5) === live.getLong(1), "filled_tokens")
+    assert(served.getLong(6) === live.getLong(2), "ids_sum")
+    // crash window: a landed batch whose rollup append never ran —
+    // simulate by dropping the rollups table; DESCRIBE must fall
+    // back to the live re-aggregation, same numbers
+    def rm(d: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(d))
+        java.nio.file.Files.list(d).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(d): Unit
+    }
+    rm(rollsPath)
+    val fallback = operators.TextAnalysis.describePack(spark,
+      p.toString).head()
+    assert(fallback.getLong(4) === live.getLong(0))
+    assert(fallback.getLong(5) === live.getLong(1))
+    assert(fallback.getLong(6) === live.getLong(2))
+    // a replay SELF-HEALS the ledger: the fresh rollup table re-lands
+    // the replayed batch's row (the others stay missing → still live
+    // fallback, still correct)
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 340), 2L, 128L)
+    assert(graft.tables.GraftTable.load(spark, rollsPath.toString)
+      .snapshot().count() === 1L)
+    val healed = operators.TextAnalysis.describePack(spark,
+      p.toString).head()
+    assert(healed.getLong(5) === live.getLong(1),
+      "partial ledger must not serve partial totals")
+  }
+
+  test("bpeInduct's maintained pair-count table reproduces the " +
+      "full-recount loop EXACTLY — merge sequence, counts and base " +
+      "chars — on the real corpus and on the classic corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val inc = operators.TextAnalysis.bpeInduct(docs, 16, 2L)
+      .collect().map(_.toSeq).toList
+    val rec = operators.TextAnalysis.bpeInductRecount(docs, 16, 2L)
+      .collect().map(_.toSeq).toList
+    assert(inc === rec,
+      "delta-maintained pair counts diverged from the full recount")
+    assert(inc.exists(r => r(3) != null),
+      "setup: the corpus must yield at least one merge")
+    val classic = Seq(
+      (1L, "low low low lower lower newest newest newest"),
+      (2L, "newest newest widest widest widest low lowest"))
+      .toDF("doc_id", "text")
+    val incC = operators.TextAnalysis.bpeInduct(classic, 12, 2L)
+      .collect().map(_.toSeq).toList
+    val recC = operators.TextAnalysis.bpeInductRecount(classic, 12, 2L)
+      .collect().map(_.toSeq).toList
+    assert(incC === recC)
+  }
+
   test("packTokensIngest meta backfill CROSS-CHECKS the candidate " +
       "seqLen against landed fragment geometry: the wrong length " +
       "refuses instead of pinning a corrupt constant") {
