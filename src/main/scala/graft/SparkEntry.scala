@@ -162,6 +162,8 @@ object SparkEntry {
       TextAnalysis.vocabSegmentScenario(s, d)),
     "text_vocab_segment_ids" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabSegmentIdsScenario(s, d)),
+    "text_vocab_segment_ids_1k" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabSegmentIds1kScenario(s, d)),
     "text_pack_tokens_vp" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packTokensVpScenario(s, d)),
     "text_pack_tokens_bpemerge" -> ((s: SparkSession, d: String) =>
@@ -340,6 +342,11 @@ object SparkEntry {
       // incremental path too
       ("text_pack_tokens_vp_incremental" ->
         oracleSqlMain("text_pack_tokens_vp")) +
+      // the non-toy-V encode gate: the identical end-to-end replay
+      // with the induction cut at 1000 grams instead of 64
+      ("text_vocab_segment_ids_1k" ->
+        oracleSqlMain("text_vocab_segment_ids")
+          .replace("LIMIT 64", "LIMIT 1000")) +
       // the materialized scenario RE-DERIVES the manifest from the
       // landed shard content (token counts re-run on the written
       // text), so the same replay checks the write's integrity

@@ -2888,14 +2888,15 @@ object TextAnalysis {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   /** The induced gram vocabulary for a test-data dir, collected once
-    * per (process, sfDir) — O(vocabSize) strings, the
+    * per (process, sfDir, size) — O(vocabSize) strings, the
     * `sqlLifecycleStages` convention so the bench times the encode,
     * not the induction.
     */
   private[graft] def inducedGrams(spark: SparkSession,
-      sfDir: String): Seq[String] =
-    vpGramStages.computeIfAbsent(sfDir, { _ =>
-      vocabInduct(spark, sfDir).select(col("gram")).collect()
+      sfDir: String, vocabSize: Int = 64): Seq[String] =
+    vpGramStages.computeIfAbsent(s"$sfDir:$vocabSize", { _ =>
+      vocabInduct(spark, sfDir, vocabSize = vocabSize)
+        .select(col("gram")).collect()
         .map(_.getString(0)).toIndexedSeq
     })
 
@@ -2916,6 +2917,21 @@ object TextAnalysis {
       sfDir: String): DataFrame =
     vocabSegmentIds(Tables.load(spark, sfDir, "documents"),
         gramIdFrame(spark, inducedGrams(spark, sfDir)))
+      .select(col("doc_id"),
+        size(col("vp_ids")).cast("long").as("vp_tokens"),
+        aggregate(col("vp_ids"), lit(0L), (a, x) => a + x)
+          .as("ids_sum"))
+
+  /** The NON-TOY-vocabulary encode gate: the same end-to-end replay
+    * as [[vocabSegmentIdsScenario]] under a top-1000 induced gram
+    * vocabulary — the hash-map probe and the id assignment exercised
+    * at a production-shaped V (the 64-gram gate mostly hits the
+    * single-char fallback), still V-bounded everywhere.
+    */
+  def vocabSegmentIds1kScenario(spark: SparkSession,
+      sfDir: String): DataFrame =
+    vocabSegmentIds(Tables.load(spark, sfDir, "documents"),
+        gramIdFrame(spark, inducedGrams(spark, sfDir, 1000)))
       .select(col("doc_id"),
         size(col("vp_ids")).cast("long").as("vp_tokens"),
         aggregate(col("vp_ids"), lit(0L), (a, x) => a + x)

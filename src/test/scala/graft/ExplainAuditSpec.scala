@@ -158,7 +158,12 @@ class ExplainAuditSpec extends SparkSpec {
         "vocabSegmentIds" -> ta.vocabSegmentIds(docs,
           spark.createDataFrame(grams.zipWithIndex
             .map { case (g, i) => (g, (i + 1).toLong) })
-            .toDF("token", "id")))
+            .toDF("token", "id")),
+        // the merge-order encode must keep the identical plan shape:
+        // one 1-row broadcast map build side, map-side kernel
+        // projection, zero extra shuffles
+        "bpeSegmentIds" -> ta.bpeSegmentIds(docs,
+          ta.fixedBpeVocab(spark)))
       // a nested-loop join is allowed ONLY when its broadcast side is
       // provably ONE row: the side's EFFECTIVE ROOT — stripped of
       // cardinality-preserving/reducing unary wrappers (projects,
