@@ -2095,7 +2095,7 @@ object SparkEntry {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sd GROUP BY seq_id""".stripMargin,
     // the MERGE-ORDER BPE pack: the FIXED literal tokenizer spec
-    // (36 base symbols + 16 merges in training order — the same
+    // (36 base symbols + 18 merges in training order — the same
     // literal the Spark scenario embeds) applied by an independent
     // replay of the merge state machine — a recursive cursor over
     // (merge_idx, scan position) carrying (current symbols, emitted,

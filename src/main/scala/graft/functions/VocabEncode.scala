@@ -36,9 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * unchanged. The kernel builds its probe-side hash map ONCE per task
   * from that MapData and caches it keyed by the map's backing buffer
   * (UnsafeMapData wrappers are re-allocated per row, so identity on
-  * the wrapper would rebuild per row); map entries with null ids are
-  * unreachable, exactly like the fold's `element_at(...).isNotNull`
-  * guard.
+  * the wrapper would rebuild per row) — every hit CONTENT-VERIFIED
+  * against a saved copy of the map bytes, because a reused row
+  * buffer can serve two different per-row maps at one address (see
+  * [[GramMapProbeBase]]); map entries with null ids are unreachable,
+  * exactly like the fold's `element_at(...).isNotNull` guard.
   */
 abstract class GramMapProbeBase extends BinaryExpression {
   def text: Expression
@@ -58,21 +60,40 @@ abstract class GramMapProbeBase extends BinaryExpression {
   /** One immutable holder so a racy re-read can never pair one map's
     * key with another's table (assignment of the reference is atomic;
     * expression instances deserialize per task, so contention is the
-    * exception, not the rule).
+    * exception, not the rule). `bytes` is a defensive COPY of the
+    * UnsafeMapData's serialized region taken at build time: the
+    * (baseObject, offset, size) triple alone is NOT a sound cache key
+    * — a per-row map written into a REUSED row buffer (e.g.
+    * `map(k, v)` with column arguments on the registered SQL surface)
+    * lands at the same address with the same byte size but different
+    * contents, and trusting the address would silently probe the
+    * previous row's vocabulary. Every hit therefore content-verifies
+    * against the copy (an 8-byte-stride compare, O(map bytes) per row
+    * — negligible against the probe loop at broadcast-vocab sizes,
+    * and strictly cheaper than the rebuild a miss costs; beyond the
+    * ~10⁶-entry map ceiling the broadcast-join seam is the production
+    * path anyway). Non-Unsafe MapData (literals, interpreted rows) is
+    * immutable per instance, so reference identity alone stays sound
+    * there (`bytes` null).
     */
   private final class Cached(val key: AnyRef, val off: Long,
-      val len: Int, val map: java.util.HashMap[UTF8String, java.lang.Long])
+      val len: Long, val bytes: Array[Byte],
+      val map: java.util.HashMap[UTF8String, java.lang.Long])
   @transient private var cached: Cached = null
 
   protected final def lookup(
       m: MapData): java.util.HashMap[UTF8String, java.lang.Long] = {
     val (key, off, len) = m match {
       case u: UnsafeMapData => (u.getBaseObject, u.getBaseOffset,
-        u.getSizeInBytes)
-      case other => (other.asInstanceOf[AnyRef], 0L, 0)
+        u.getSizeInBytes.toLong)
+      case other => (other.asInstanceOf[AnyRef], 0L, -1L)
     }
     val c = cached
-    if (c != null && (c.key eq key) && c.off == off && c.len == len)
+    if (c != null && (c.key eq key) && c.off == off && c.len == len &&
+        (c.bytes == null ||
+          org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+            key, off, c.bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)))
       return c.map
     val h = new java.util.HashMap[UTF8String, java.lang.Long](
       m.numElements() * 2)
@@ -87,7 +108,13 @@ abstract class GramMapProbeBase extends BinaryExpression {
           vals.getLong(i)): Unit
       i += 1
     }
-    cached = new Cached(key, off, len, h)
+    val copy = if (len < 0L) null else {
+      val a = new Array[Byte](len.toInt)
+      org.apache.spark.unsafe.Platform.copyMemory(key, off, a,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+      a
+    }
+    cached = new Cached(key, off, len, copy, h)
     h
   }
 

@@ -343,7 +343,18 @@ object TextAnalysis {
   private def tokenPrefix(docs: DataFrame, bucketSize: Long,
       startOffset: Long, tokenizer: String = "ws",
       vpGrams: Seq[String] = Nil): DataFrame =
-    prefixSum(tokenCounts(docs, tokenizer, vpGrams)
+    countsPrefix(tokenCounts(docs, tokenizer, vpGrams), bucketSize,
+      startOffset)
+
+  /** The counts-frame form of [[tokenPrefix]] — the ONE spelling of
+    * the doc_id bucketing (`__b = doc_id div bucketSize`) and the
+    * prefix-sum order, shared by the one-shot and incremental exits
+    * (a caller that already holds (doc_id, n_tokens) — a persisted
+    * encode, a supplied counts frame — enters here).
+    */
+  private def countsPrefix(cnts: DataFrame, bucketSize: Long,
+      startOffset: Long): DataFrame =
+    prefixSum(cnts.select(col("doc_id"), col("n_tokens"))
         .withColumn("__b", expr(s"doc_id div ${bucketSize}L")),
       Seq("doc_id"), startOffset)
 
@@ -688,10 +699,7 @@ object TextAnalysis {
       s"exportShardsIngest needs doc_id-monotone batches: batch min " +
         s"${bounds.getLong(0)} is not above the stored max $maxDoc0 " +
         "(out-of-order arrivals would break one-shot equivalence)")
-    val assigned = prefixSum(cnts
-        .select(col("doc_id"), col("n_tokens"))
-        .withColumn("__b", expr(s"doc_id div ${bucketSize}L")),
-      Seq("doc_id"), offset0)
+    val assigned = countsPrefix(cnts, bucketSize, offset0)
       .withColumn("shard_id", expr(s"tokens_before div ${shardTokens}L"))
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
         col("shard_id"))
@@ -1359,8 +1367,11 @@ object TextAnalysis {
             .limit(1).count()
           if (missing > 0L) None
           else {
+            // max_seq is NULL on a batch that landed zero fragments
+            // (every doc measured 0 tokens) — a ledger made entirely
+            // of such rows folds to 0 sequences, not an NPE
             val r = rolls.agg(
-              max(col("max_seq")) + 1L,
+              coalesce(max(col("max_seq")) + 1L, lit(0L)),
               coalesce(sum(col("filled_tokens")), lit(0L)),
               coalesce(sum(col("ids_sum")), lit(0L))).head()
             Some((r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -1518,9 +1529,10 @@ object TextAnalysis {
 
   /** The FIXED literal BPE tokenizer spec the merge-order driver
     * scenario and its DuckDB oracle SHARE: base symbols a-z (ids
-    * 1-26) and 0-9 (ids 27-36), then 16 hand-pinned English merges in
-    * training order (ids 37-52, each row carrying its left/right
-    * pair). A LITERAL spec — not induced — because the oracle must
+    * 1-26) and 0-9 (ids 27-36), then 18 hand-pinned English merges in
+    * training order (ids 37-54, each row carrying its left/right
+    * pair — the last two are the greedy-vs-merge-order divergence
+    * probe). A LITERAL spec — not induced — because the oracle must
     * replay the ENCODE independently (merge application is the new
     * surface; induction is the declared driver-loop posture with its
     * own spec), and a static oracle SQL cannot re-run a per-SF
@@ -1661,8 +1673,23 @@ object TextAnalysis {
       // it exists to prevent), so the candidate is CROSS-CHECKED
       // against the landed fragment geometry first (one aggregate
       // over the fragments — the rare-backfill-path cost). The
-      // tokenizer has no geometric witness; it pins as supplied.
+      // tokenizer needs no geometric witness: every sidecar-less
+      // pack PREDATES the vp measure (the meta write has landed
+      // first since the sidecar existed, and vp was refused before
+      // it did), so its stored offsets are necessarily ws-bound —
+      // a vp arrival refuses instead of pinning subword semantics
+      // onto whitespace offsets and then refusing every correct ws
+      // batch forever.
       if (!java.nio.file.Files.exists(metaPath)) {
+        require(tokenizer == "ws",
+          "packTokensIngest: this pack has landed batches but no " +
+            "meta sidecar — every pack the backfill path serves " +
+            "predates the vp measure, so its stored offsets are " +
+            s"ws-bound; a '$tokenizer' batch would land subword ids " +
+            "on top of whitespace offsets (re-run with tokenizer=ws; " +
+            "if this pack's sidecar was deleted after a vp creation, " +
+            "restore it — the measure is not derivable from the " +
+            "landed rows)")
         val fragLog = java.nio.file.Paths.get(packPath, "fragments",
           "_graft_log")
         if (java.nio.file.Files.exists(fragLog)) {
@@ -1822,7 +1849,15 @@ object TextAnalysis {
     // gapless from offset 0, so every seq id in [0, max] exists.
     // Lands AFTER the fragments (a rollup row implies its fragments
     // landed); a crash in between self-heals on replay — DESCRIBE
-    // falls back to the live re-aggregation until then.
+    // falls back to the live re-aggregation until then. The
+    // idempotency marker is PER BATCH (the epoch_meta convention),
+    // not a shared high-water watermark: batch k's rollup lost in
+    // the crash window while batch k+1's landed must still re-land
+    // on k's replay — under one shared watermark the interior batch
+    // could never heal and DESCRIBE would pay the live fallback
+    // forever. Ledgers begun under the earlier shared-watermark
+    // scheme are honored by its watermark read, so their landed
+    // rows never double.
     val rollup = GraftTable.load(spark,
         java.nio.file.Paths.get(packPath, "fragments").toString)
       .snapshotCandidates(col("batch_id") === batchId)
@@ -1839,8 +1874,10 @@ object TextAnalysis {
     val rollT = GraftTable.createIfAbsent(spark,
       java.nio.file.Paths.get(packPath, "rollups").toString,
       rollup.limit(0))
-    rollT.appendIfNew(rollup, batchId,
-      appId = "graft-tokpack-rollup" + pipelineId): Unit
+    if (rollT.lastStreamBatchId("graft-tokpack-rollup" + pipelineId)
+        < batchId)
+      rollT.appendIfNew(rollup, 0L,
+        appId = s"graft-tokpack-rollup$pipelineId:$batchId"): Unit
     // the batch's landed slice, table-backed and stats-pruned — the
     // return path is O(batch), never a driver collect
     GraftTable.load(spark,

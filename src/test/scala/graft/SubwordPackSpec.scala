@@ -763,6 +763,23 @@ class SubwordPackSpec extends SparkSpec {
       p.toString).head()
     assert(healed.getLong(5) === live.getLong(1),
       "partial ledger must not serve partial totals")
+    // INTERIOR batches heal too: batch 2's rollup already landed on
+    // the fresh ledger, yet replays of 0 and 1 must still re-land
+    // their rows (the marker is per batch — a shared high-water
+    // watermark would skip them forever and the ledger could never
+    // complete)
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" < 170), 0L, 128L)
+    operators.TextAnalysis.packTokensIngest(spark, p.toString,
+      docs.where($"doc_id" >= 170 && $"doc_id" < 340), 1L, 128L)
+    assert(graft.tables.GraftTable.load(spark, rollsPath.toString)
+      .snapshot().count() === 3L,
+      "interior-batch replays must heal the ledger")
+    val fullLedger = operators.TextAnalysis.describePack(spark,
+      p.toString).head()
+    assert(fullLedger.getLong(4) === live.getLong(0))
+    assert(fullLedger.getLong(5) === live.getLong(1))
+    assert(fullLedger.getLong(6) === live.getLong(2))
   }
 
   test("bpeInduct's maintained pair-count table reproduces the " +
@@ -798,6 +815,17 @@ class SubwordPackSpec extends SparkSpec {
     // simulate a pre-meta-era pack: drop the sidecar
     val meta = java.nio.file.Paths.get(p.toString, "_pack_meta.json")
     java.nio.file.Files.delete(meta)
+    // a sidecar-less pack predates the vp measure — a vp arrival
+    // must refuse instead of pinning subword semantics onto the
+    // ws-bound offsets (and then refusing every correct ws batch)
+    val eVp = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.packTokensIngest(spark, p.toString,
+        docs.where($"doc_id" >= 170), 1L, 128L, tokenizer = "vp")
+    }
+    assert(eVp.getMessage.contains("predates the vp measure"),
+      eVp.getMessage)
+    assert(!java.nio.file.Files.exists(meta),
+      "a refused vp backfill must not leave a sidecar behind")
     // a replay arriving with the WRONG seqLen must refuse the pin
     val err = intercept[IllegalArgumentException] {
       operators.TextAnalysis.packTokensIngest(spark, p.toString,
@@ -812,5 +840,68 @@ class SubwordPackSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(meta))
     assert(operators.TextAnalysis.readPackMeta(spark, meta)
       .getLong(2) === 128L)
+  }
+
+  test("DESCRIBE PACK serves a zero-sequence incremental pack (every " +
+      "landed batch measured 0 tokens) from the ledger without " +
+      "faulting, equal to the live fallback") {
+    val vocab = Seq(("ab", 1L), ("cd", 2L)).toDF("token", "id")
+    val docs = Seq((1L, "!!! ..."), (2L, "???"))
+      .toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_zfrag_")
+    operators.TextAnalysis.packTokensIngest(spark, p.toString, docs,
+      0L, 128L, tokenizer = "vp", vocab = Some(vocab))
+    // the rollup row landed with a NULL max_seq (no fragments) — the
+    // ledger fold must coalesce to 0 sequences, not NPE
+    val served = operators.TextAnalysis.describePack(spark,
+      p.toString).head()
+    assert(served.getLong(4) === 0L, "n_sequences")
+    assert(served.getLong(5) === 0L, "filled_tokens")
+    assert(served.getLong(6) === 0L, "ids_sum")
+  }
+
+  test("the kernel's probe cache CONTENT-VERIFIES: a reused row " +
+      "buffer serving a different map at the same address must not " +
+      "probe the stale vocabulary (per-row maps on the SQL surface)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val mt = MapType(StringType, LongType, valueContainsNull = false)
+    // ONE generated projection instance re-serializes every row into
+    // the SAME buffer: identical (baseObject, offset, sizeInBytes),
+    // different contents — the exact aliasing a per-row `map(k, v)`
+    // produces under whole-stage codegen
+    val proj = UnsafeProjection.create(Array[DataType](mt))
+    val kernel = graft.functions.VocabEncodeIds(Literal("ab"),
+      BoundReference(0, mt, nullable = false), 1, 5)
+    def mapOf(k: String, v: Long) = new ArrayBasedMapData(
+      new GenericArrayData(Array[Any](UTF8String.fromString(k))),
+      new GenericArrayData(Array[Any](v)))
+    val m1 = proj(InternalRow(mapOf("ab", 7L))).getMap(0)
+    assert(kernel.encodeIds(UTF8String.fromString("ab"), m1)
+      .toLongArray.toList === List(7L))
+    val m2 = proj(InternalRow(mapOf("cd", 9L))).getMap(0)
+    assert(kernel.encodeIds(UTF8String.fromString("ab"), m2)
+      .toLongArray.toList === List(0L, 0L),
+      "the stale cached vocabulary served for a changed map")
+    assert(kernel.encodeIds(UTF8String.fromString("cd"), m2)
+      .toLongArray.toList === List(9L))
+    // the broadcast fast path still caches: the same map content at
+    // the same address is a hit, byte-verified
+    val m3 = proj(InternalRow(mapOf("cd", 9L))).getMap(0)
+    assert(kernel.encodeIds(UTF8String.fromString("cd"), m3)
+      .toLongArray.toList === List(9L))
+    // end to end through the registered SQL function with per-row
+    // maps (equal-size keys so every row aliases the buffer shape)
+    graft.functions.VocabEncode.register(spark)
+    val rows = Seq(("ab", "ab", 1L), ("cd", "cd", 2L),
+        ("ab", "xx", 3L))
+      .toDF("text", "k", "v")
+      .selectExpr("vp_encode_ids(text, map(k, v), 1, 5) AS ids")
+      .collect().map(_.getSeq[Long](0).toList).toList
+    assert(rows === List(List(1L), List(2L), List(0L, 0L)),
+      "per-row maps must each probe their own vocabulary")
   }
 }
