@@ -80,6 +80,12 @@ abstract class GramMapProbeBase extends BinaryExpression {
       val len: Long, val bytes: Array[Byte],
       val map: java.util.HashMap[UTF8String, java.lang.Long])
   @transient private var cached: Cached = null
+  /** Build-count observable so the spec can pin the FAST PATH, not
+    * just the output: a rebuild produces identical ids, so without
+    * this a regression that rebuilds the map per row (collapsing the
+    * kernel back below the interpreted fold) would stay green.
+    */
+  @transient private[graft] var mapBuilds: Long = 0L
 
   protected final def lookup(
       m: MapData): java.util.HashMap[UTF8String, java.lang.Long] = {
@@ -95,6 +101,7 @@ abstract class GramMapProbeBase extends BinaryExpression {
             key, off, c.bytes,
             org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)))
       return c.map
+    mapBuilds += 1L
     val h = new java.util.HashMap[UTF8String, java.lang.Long](
       m.numElements() * 2)
     val keys = m.keyArray(); val vals = m.valueArray()

@@ -1855,9 +1855,12 @@ object TextAnalysis {
     // the crash window while batch k+1's landed must still re-land
     // on k's replay — under one shared watermark the interior batch
     // could never heal and DESCRIBE would pay the live fallback
-    // forever. Ledgers begun under the earlier shared-watermark
-    // scheme are honored by its watermark read, so their landed
-    // rows never double.
+    // forever. The append is gated on the batch's ROW not existing
+    // (marker and row commit atomically, so row-existence is the
+    // era-independent witness): ledgers begun under the earlier
+    // shared-watermark scheme heal their own crash-lost interior
+    // batches too, and landed rows never double; the per-batch
+    // marker stays as the concurrent-replay veto.
     val rollup = GraftTable.load(spark,
         java.nio.file.Paths.get(packPath, "fragments").toString)
       .snapshotCandidates(col("batch_id") === batchId)
@@ -1874,8 +1877,8 @@ object TextAnalysis {
     val rollT = GraftTable.createIfAbsent(spark,
       java.nio.file.Paths.get(packPath, "rollups").toString,
       rollup.limit(0))
-    if (rollT.lastStreamBatchId("graft-tokpack-rollup" + pipelineId)
-        < batchId)
+    if (rollT.snapshot().where(col("batch_id") === batchId)
+        .limit(1).count() == 0L)
       rollT.appendIfNew(rollup, 0L,
         appId = s"graft-tokpack-rollup$pipelineId:$batchId"): Unit
     // the batch's landed slice, table-backed and stats-pruned — the

@@ -889,10 +889,16 @@ class SubwordPackSpec extends SparkSpec {
     assert(kernel.encodeIds(UTF8String.fromString("cd"), m2)
       .toLongArray.toList === List(9L))
     // the broadcast fast path still caches: the same map content at
-    // the same address is a hit, byte-verified
+    // the same address is a byte-verified HIT — pinned through the
+    // build counter, because a rebuild-per-row regression would
+    // return identical ids and stay invisible to output assertions
+    assert(kernel.mapBuilds === 2L, "m1 and m2 each build once")
     val m3 = proj(InternalRow(mapOf("cd", 9L))).getMap(0)
     assert(kernel.encodeIds(UTF8String.fromString("cd"), m3)
       .toLongArray.toList === List(9L))
+    assert(kernel.mapBuilds === 2L,
+      "an unchanged map at the same address must be a cache hit, " +
+        "not a rebuild")
     // end to end through the registered SQL function with per-row
     // maps (equal-size keys so every row aliases the buffer shape)
     graft.functions.VocabEncode.register(spark)
