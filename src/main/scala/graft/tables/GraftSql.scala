@@ -346,10 +346,14 @@ object GraftSql {
       s"DESCRIBE EXPORT: the landed assignments at $asgPath hold " +
         "zero rows — nothing to describe (run the export first)")
     val ownerPath = java.nio.file.Paths.get(path, "owner")
+    // headOption shape: a crash between the owner table's zero-row
+    // placeholder create and its first pipeline append leaves a log
+    // with no rows — describe with an empty marker, don't fault
     val owner =
       if (java.nio.file.Files.exists(ownerPath.resolve("_graft_log")))
         GraftTable.load(spark, ownerPath.toString).snapshot()
-          .select(col("pipeline")).head().getString(0)
+          .select(col("pipeline")).limit(1).collect()
+          .headOption.map(_.getString(0)).getOrElse("")
       else ""
     (t.perKeyMaxStat("epoch", "tokens_before"),
         t.perKeyMaxStat("epoch", "doc_id")) match {
@@ -614,10 +618,14 @@ object GraftSql {
         require(manifest == null,
           "PACK SEQUENCES: the BATCH form returns the batch's landed " +
             "fragment slice — drop MANIFEST")
+        // default VOCAB SIZE must MATCH the one-shot IDS form (vp 64,
+        // whole-token 512): the two spellings of "the same pack" pin
+        // compatible vocabularies unless the caller overrides
         return graft.operators.TextAnalysis.packTokensIngest(spark,
           matPath, src, batchTxt.toLong, seqLen = len,
           tokenizer = tok, vocab = suppliedVocab,
-          vocabSize = Option(vsTxt).map(_.toInt).getOrElse(512))
+          vocabSize = Option(vsTxt).map(_.toInt).getOrElse(
+            if (tok == "vp") 64 else 512))
       }
       if (mixTxt != null) {
         // the COMPLETE loader artifact from SQL: resample → per-copy
@@ -1292,7 +1300,8 @@ object GraftSql {
   private[graft] def isUtilityStatement(text: String): Boolean = text match {
     case DescribeHistoryLimit(_, _) |
          DescribeHistory(_) | OptimizeZorder(_, _) | OptimizeWhere(_, _) |
-         Optimize(_) |
+         Optimize(_) | CopyInto(_, _) |
+         VacuumRetainHoursDry(_, _) | VacuumRetainHours(_, _) |
          VacuumRetainDry(_, _) | VacuumDry(_) |
          VacuumRetain(_, _) | Vacuum(_) | RestoreVersion(_, _) |
          RestoreTimestamp(_, _) | ShallowClone(_, _, _) |
@@ -1359,7 +1368,8 @@ object GraftSql {
     text match {
       case DescribeHistoryLimit(_, _) | DescribeHistory(_) =>
         Some(historySchema)
-      case VacuumRetainDry(_, _) | VacuumDry(_) => Some(StructType(Seq(
+      case VacuumRetainHoursDry(_, _) | VacuumRetainDry(_, _) |
+           VacuumDry(_) => Some(StructType(Seq(
         StructField("path", StringType),
         StructField("size_bytes", LongType, nullable = false))))
       case DescribeDetail(_) => Some(StructType(Seq(
@@ -1523,6 +1533,9 @@ object GraftSql {
       case OptimizeZorder(i, _) => Some(i)
       case OptimizeWhere(i, _) => Some(i)
       case Optimize(i) => Some(i)
+      case CopyInto(i, _) => Some(i)
+      case VacuumRetainHoursDry(i, _) => Some(i)
+      case VacuumRetainHours(i, _) => Some(i)
       case VacuumRetainDry(i, _) => Some(i)
       case VacuumDry(i) => Some(i)
       case VacuumRetain(i, _) => Some(i)
@@ -1657,7 +1670,10 @@ object GraftSql {
     * the reference's day-one write surface (01-Fraud-Delta.py:188-189
     * drives a streaming demo with exactly this statement in a loop).
     * Routed onto the TRANSACTIONAL paths: append for INSERT INTO,
-    * overwrite for INSERT OVERWRITE, replaceWhere for INSERT
+    * overwrite for INSERT OVERWRITE (overwritePartitions when the
+    * table is partitioned and the session runs
+    * spark.sql.sources.partitionOverwriteMode=dynamic — Spark's own
+    * INSERT OVERWRITE contract), replaceWhere for INSERT
     * OVERWRITE with a static PARTITION spec. Identity columns are
     * engine-assigned, generated columns computed when omitted —
     * the same write-time semantics as the Scala API.
@@ -1733,8 +1749,17 @@ object GraftSql {
       d.withColumn(n, v)
     }
     if (!i.overwrite) t.append(withStatic)
-    else if (static.isEmpty) t.overwrite(withStatic)
-    else {
+    else if (static.isEmpty) {
+      // Spark's partitionOverwriteMode=dynamic (the daily-reload
+      // idiom): INSERT OVERWRITE on a partitioned table replaces
+      // ONLY the partitions the incoming rows land in — a full-table
+      // overwrite here would silently drop every other partition
+      val dynamic = t.partitionColumns.nonEmpty &&
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+          "STATIC").equalsIgnoreCase("dynamic")
+      if (dynamic) t.overwritePartitions(withStatic)
+      else t.overwrite(withStatic)
+    } else {
       // INSERT OVERWRITE ... PARTITION (k=v): replace exactly that
       // slice — replaceWhere validates every incoming row against it
       val cond = static.map { case (n, v) => col(s"`$n`") <=> v }

@@ -1008,16 +1008,36 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
 
   /** Every physical column name any commit ≤ `v` ever used — the
     * collision set for fresh-name allocation (a re-added logical name
-    * must NOT resurrect a dropped physical column's bytes).
+    * must NOT resurrect a dropped physical column's bytes). Scans the
+    * LIVE commit files only — commits removed by log retention have
+    * their physical names rolled into the metrics-rollup sidecar
+    * (`phys:` keys) before deletion, so the set survives cleanup and
+    * the scan stays O(retained versions), not O(table lifetime).
+    * Returns None when the set is UNKNOWABLE: a rollup written by a
+    * release that predates name-rolling (no `physrolled` marker)
+    * deleted commits whose names are gone — the caller must then
+    * allocate unconditionally-fresh physical names rather than trust
+    * an under-covering set (a missed collision silently resurrects
+    * dropped bytes; over-fresh naming is always sound).
     */
-  private def usedPhysicalNames(v: Long): Set[String] =
-    (0L to v).flatMap { vv =>
+  private def usedPhysicalNames(v: Long): Option[Set[String]] = {
+    val rollup = readMetricsRollup()
+    if (Files.exists(rollupFile) && !rollup.contains(physRolledKey))
+      return None
+    Some((listVersions().filter(_ <= v).flatMap { vv =>
       val c = readCommit(vv)
       val s = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
         .asInstanceOf[StructType]
       val cm = c.columnMap.getOrElse(Map.empty)
       s.fieldNames.map(physName(cm, _))
-    }.toSet
+    } ++ rollup.keys.collect {
+      case k if k.startsWith(physKeyPrefix) =>
+        k.stripPrefix(physKeyPrefix)
+    }).toSet)
+  }
+
+  private val physKeyPrefix = "phys:"
+  private val physRolledKey = "physrolled"
 
   private def requireUnconstrained(base: Long, colName: String,
       op: String): Unit = {
@@ -1027,6 +1047,37 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     }
     require(hit.isEmpty,
       s"cannot $op column '$colName': referenced by CHECK constraint '${hit.get}'")
+  }
+
+  /** Generated/identity guard twin of [[requireUnconstrained]]: the
+    * generation specs and the identity marker are keyed by COLUMN
+    * NAME in commit metadata (like partition/bucket columns), so a
+    * rename or drop of the column itself — or of a column a
+    * generation expression derives from — would leave every later
+    * write unable to compute or validate the spec: injectWriteColumns
+    * re-adds the stale name (which checkSchema then rejects) or
+    * `expr(gen)` fails to resolve, bricking the table. Metadata-only
+    * column mapping cannot rewrite expression text, so these columns
+    * are rename/drop-immutable, the Delta posture.
+    */
+  private def requireNotGenerative(base: Long, colName: String,
+      op: String): Unit = {
+    val c = readCommit(base)
+    val gens = c.generated.getOrElse(Map.empty)
+    require(!gens.contains(colName),
+      s"cannot $op generated column '$colName' (its generation " +
+        s"expression [${gens.getOrElse(colName, "")}] is keyed by " +
+        "the name)")
+    val ref = gens.collectFirst {
+      case (g, e) if ("\\b" + java.util.regex.Pattern.quote(colName) +
+          "\\b").r.findFirstIn(e).isDefined => g
+    }
+    require(ref.isEmpty,
+      s"cannot $op column '$colName': generated column " +
+        s"'${ref.getOrElse("")}' derives from it")
+    require(!c.identityCol.contains(colName),
+      s"cannot $op identity column '$colName' (the high-water " +
+        "marker is keyed by the name)")
   }
 
   /** ALTER TABLE ... RENAME COLUMN analog: O(1) metadata commit, no
@@ -1049,6 +1100,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     require(!bucketSpecAt(base).exists(_._1.contains(field.name)),
       s"cannot rename bucket column '${field.name}'")
     requireUnconstrained(base, field.name, "rename")
+    requireNotGenerative(base, field.name, "rename")
     val phys = physName(cm, field.name)
     val cm2 = cm - field.name
     val cmNew = if (phys == newName) cm2 else cm2 + (newName -> phys)
@@ -1076,6 +1128,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     require(!bucketSpecAt(base).exists(_._1.contains(field.name)),
       s"cannot drop bucket column '${field.name}'")
     requireUnconstrained(base, field.name, "drop")
+    requireNotGenerative(base, field.name, "drop")
     val newSchema = StructType(schema.fields.filterNot(_.name == field.name))
     commit("DROP COLUMN", base, filesAt(base), newSchema,
       Map(), cdcFiles = Some(Nil),
@@ -1937,9 +1990,16 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val addedCols = schema.fieldNames
       .filterNot(n => base >= 0 && schemaAt(base).fieldNames.contains(n))
     if (addedCols.isEmpty || base < 0) Map.empty
-    else {
-      val used = usedPhysicalNames(base)
-      addedCols.filter(used.contains).map(n => n -> s"${n}__c${base + 1}").toMap
+    else usedPhysicalNames(base) match {
+      case Some(used) =>
+        addedCols.filter(used.contains)
+          .map(n => n -> s"${n}__c${base + 1}").toMap
+      case None =>
+        // the collision set was lost to a pre-name-rolling log
+        // cleanup: every added column gets a fresh physical name —
+        // cosmetically uglier files, but a resurrection can never
+        // slip through
+        addedCols.map(n => n -> s"${n}__c${base + 1}").toMap
     }
   }
 
@@ -2611,8 +2671,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
   def deleteMor(cond: Column): Long = {
     val base = latestVersion
     val schema = schemaAt(base)
-    // one scan feeds the tombstone write AND the CDC set
-    val victims = scanWithPos(filesAt(base), schema, dvAt(base), columnMapAt(base))
+    // one stats/partition/bloom-pruned scan feeds the tombstone
+    // write AND the CDC set — files provably free of matching rows
+    // never open (the same blast-radius pre-prune as updateMor and
+    // the copy-on-write paths; a selective point-delete is the DV
+    // workload, so the prune is the whole economy)
+    val victims = scanWithPos(candidateFiles(cond), schema, dvAt(base),
+      columnMapAt(base))
       .where(coalesce(cond, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -3783,8 +3848,28 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       case Some(a) =>
         val dead = versions.filter(_ < a)
         if (dead.isEmpty) return 0L
-        val rolled = dead.foldLeft(readMetricsRollup()) { (acc, v) =>
-          parseCommit(v).metrics.foldLeft(acc) { case (m, (k, x)) =>
+        // metric maxima AND physical column names roll forward: the
+        // dead commits' schemas are the fresh-name collision set
+        // ([[usedPhysicalNames]]) — deleting them without rolling the
+        // names would let a later evolve-append resurrect a dropped
+        // physical column's bytes. The marker key records that the
+        // ledger has rolled names SINCE ITS FIRST CLEANUP: a ledger
+        // begun by a pre-name-rolling release already lost names and
+        // must never acquire the marker (stamping it now would make
+        // usedPhysicalNames trust a set with a hole in it).
+        val prev = readMetricsRollup()
+        val seed =
+          if (Files.exists(rollupFile) && !prev.contains(physRolledKey))
+            prev
+          else prev.updated(physRolledKey, 1L)
+        val rolled = dead.foldLeft(seed) { (acc, v) =>
+          val c = parseCommit(v)
+          val cm = c.columnMap.getOrElse(Map.empty)
+          val withNames = org.apache.spark.sql.types.DataType
+            .fromJson(c.schemaJson).asInstanceOf[StructType].fieldNames
+            .foldLeft(acc)((m, n) =>
+              m.updated(physKeyPrefix + physName(cm, n), 1L))
+          c.metrics.foldLeft(withNames) { case (m, (k, x)) =>
             m.updated(k, math.max(m.getOrElse(k, Long.MinValue), x))
           }
         }
@@ -4553,7 +4638,6 @@ object GraftTable {
         .filterNot(seeded.schema.fieldNames.contains)
       require(missing.isEmpty,
         s"partitionBy/bucketBy names unknown column(s): ${missing.mkString(", ")}")
-      Files.createDirectories(t.logDir)
       // tz-dependent generation (a TIMESTAMP input): record the
       // materializing zone so readers can derive partition bounds
       // under it and writers under any other zone are refused
@@ -4570,6 +4654,16 @@ object GraftTable {
           spark.sessionState.conf.sessionLocalTimeZone)
         else Map.empty[String, String]
       val w = t.writeData(seeded, partitionBy, Map.empty, bkSpec)
+      // the log directory appears only AFTER the data write: a seed
+      // job that fails must leave NO commitless `_graft_log` behind
+      // (one would brick the path — create() refuses "already
+      // exists", load() serves a versionless table, createIfAbsent
+      // times out). The version-0 slot itself is claimed atomically
+      // by writeCommit's hard link, so a concurrent creator races to
+      // the commit and the loser's seed files are ordinary orphans
+      // (fsck/vacuum) — the deepClone DV-branch ordering, applied to
+      // CREATE
+      Files.createDirectories(t.logDir)
       t.commit("CREATE", -1L, w.files, seeded.schema,
         Map("numAddedFiles" -> w.files.size.toLong) ++
           hw.map(t.identityKey -> _).toMap,

@@ -63,6 +63,39 @@ class ColumnMappingSpec extends SparkSpec {
     assert(rows === Array((1L, None), (2L, None), (3L, Some("new"))))
   }
 
+  test("the fresh-name collision set survives log retention: a " +
+      "dropped physical name whose commits were pruned still forces " +
+      "a fresh name on re-add — no crash, no byte resurrection") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "secret", 1.0)).toDF("id", "payload", "x"))
+    t.dropColumn("payload")
+    // churn enough commits that retention has something to prune
+    (1 to 30).foreach(i => t.setProperties(Map("touch" -> i.toString)))
+    // age the early versions ON DISK, then retention-prune them
+    // (the CheckpointSpec recipe) — the drop commit and the original
+    // schema leave the log entirely
+    val aged = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    (0L to 24L).foreach { v =>
+      val p = java.nio.file.Paths.get(dir, "_graft_log", f"v$v%08d.json")
+      Files.writeString(p, Files.readString(p)
+        .replaceAll("\"timestampMs\":\\d+", s""""timestampMs":$aged"""))
+    }
+    val t2 = GraftTable.load(spark, dir)
+    t2.setProperties(Map("graft.logRetention.hours" -> "168"))
+    t2.vacuum()
+    // the collision set now rides the rollup sidecar: the evolving
+    // append must neither crash on a missing commit file nor map the
+    // re-added logical name onto the dropped physical bytes
+    val t3 = GraftTable.load(spark, dir)
+    t3.append(Seq((2L, 2.0, "new")).toDF("id", "x", "payload"),
+      evolve = true)
+    val rows = t3.snapshot().orderBy("id")
+      .select("id", "payload").as[(Long, Option[String])].collect()
+    assert(rows === Array((1L, None), (2L, Some("new"))),
+      "the pruned drop's physical bytes must never resurface")
+  }
+
   test("rename carries values through the change feed") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("id", "v"))
     t.renameColumn("v", "w")

@@ -113,6 +113,24 @@ class ExtensionsSpec extends SparkSpec {
         "(91000001, 3, 'O', 11.5, '1996-01-01 00:00:00', '1-URGENT')")
       assert(s2.table("gp_orders")
         .where(col("o_orderkey") === 91000001L).count() === 1)
+      // COPY INTO routes through the injected parser (Spark's own
+      // grammar has no COPY INTO — an unclaimed statement would
+      // ParseException instead of reaching GraftSql)
+      val ingest = java.nio.file.Files
+        .createTempDirectory("graft_parser_copy_").toString
+      Tables.load(s2, sf, "orders")
+        .where(col("o_orderkey") % 1000 === 7).limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + 95000000L)
+        .write.mode("overwrite").parquet(ingest)
+      val preCopy = s2.table("gp_orders").count()
+      s2.sql(s"COPY INTO gp_orders FROM '$ingest'")
+      assert(s2.table("gp_orders").count() > preCopy,
+        "COPY INTO through spark.sql must land the staged files")
+      // the wall-clock VACUUM forms route too — the DRY RUN returns
+      // typed rows (resultSchema must cover it or they'd be dropped)
+      assert(s2.sql("VACUUM gp_orders RETAIN 99 HOURS DRY RUN")
+        .columns.toSeq === Seq("path", "size_bytes"))
+      s2.sql("VACUUM gp_orders RETAIN 99 HOURS")
       // MAINTAIN INDEX routes through the injected parser too (the
       // target is a PATH, so the claim is shape-based, not catalog)
       val ivf = java.nio.file.Files.createTempDirectory("graft_pivf_")

@@ -527,4 +527,30 @@ class GeneratedColumnsSpec extends SparkSpec {
       .select("row_id", "x2").as[(Long, Double)].head()
     assert(row === ((1L, 10.0))) // hw carried (seed used id 0)
   }
+
+  test("generated/identity columns and generation INPUTS are " +
+      "rename/drop-immutable — a metadata-only rename cannot rewrite " +
+      "the expression text the specs are keyed by") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 5.0))
+        .toDF("id", "ts", "x"),
+      generated = Map("yr" -> "year(ts)"), identity = Some("id"))
+    // the generation input: renaming/dropping it would leave year(ts)
+    // unresolvable on every later write
+    intercept[IllegalArgumentException] { t.renameColumn("ts", "event_ts") }
+    intercept[IllegalArgumentException] { t.dropColumn("ts") }
+    // the generated column itself: injectWriteColumns would re-add
+    // the stale name and checkSchema would reject it
+    intercept[IllegalArgumentException] { t.renameColumn("yr", "y2") }
+    intercept[IllegalArgumentException] { t.dropColumn("yr") }
+    // the identity column: the high-water marker is keyed by the name
+    intercept[IllegalArgumentException] { t.renameColumn("id", "rid") }
+    intercept[IllegalArgumentException] { t.dropColumn("id") }
+    // an uninvolved column still renames, and writes stay healthy
+    t.renameColumn("x", "amount")
+    t.append(Seq((java.sql.Timestamp.valueOf("2025-07-01 00:00:00"),
+      7.0)).toDF("ts", "amount"))
+    assert(t.snapshot().where($"amount" === 7.0)
+      .select("yr").head().getInt(0) === 2025)
+  }
 }

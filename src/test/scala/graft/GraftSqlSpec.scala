@@ -799,6 +799,57 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gs_iowp")
   }
 
+  test("INSERT OVERWRITE under partitionOverwriteMode=dynamic " +
+      "replaces only the partitions the incoming rows land in — " +
+      "Spark's own INSERT OVERWRITE contract, not a full-table wipe") {
+    val dir = Files.createTempDirectory("graft_sql_dyn_")
+      .resolve("t").toString
+    val t = GraftTable.create(spark, dir,
+      Tables.load(spark, sf, "orders").repartition(4, $"o_orderkey"),
+      partitionBy = Seq("o_orderstatus"))
+    spark.sql("DROP TABLE IF EXISTS gs_dyn")
+    spark.sql(s"CREATE TABLE gs_dyn USING `graft-table` OPTIONS (path '$dir')")
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    try {
+      Tables.load(spark, sf, "orders")
+        .createOrReplaceTempView("graft_sql_dyn_src")
+      val others = t.snapshot().where($"o_orderstatus" =!= "P").count()
+      assert(others > 0, "setup: need rows outside the touched slice")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      GraftSql.sql(spark,
+        """INSERT OVERWRITE gs_dyn
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderdate, o_orderpriority
+          |FROM graft_sql_dyn_src
+          |WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0""".stripMargin)
+      // untouched partitions survive; the touched one was replaced
+      assert(t.snapshot().where($"o_orderstatus" =!= "P").count()
+        === others,
+        "dynamic overwrite must not drop untouched partitions")
+      assert(t.snapshot().where($"o_orderstatus" === "P" &&
+        $"o_orderkey" % 2 =!= 0).count() === 0)
+      // STATIC (the default) still replaces the whole table
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "static")
+      GraftSql.sql(spark,
+        """INSERT OVERWRITE gs_dyn
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderdate, o_orderpriority
+          |FROM graft_sql_dyn_src WHERE o_orderstatus = 'F'""".stripMargin)
+      assert(t.snapshot().where($"o_orderstatus" =!= "F").count() === 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.sql("DROP TABLE IF EXISTS gs_dyn")
+    }
+  }
+
   test("INSERT INTO ... REPLACE WHERE swaps the slice atomically") {
     val (t, _) = registered("gs_rw")
     try {
@@ -1822,6 +1873,17 @@ class GraftSqlSpec extends SparkSpec {
         "IDS BATCH 3")
     }
     assert(e2.getMessage.contains("MIXTURE"), e2.getMessage)
+    // the vp default VOCAB SIZE matches the one-shot IDS form (64):
+    // the two SQL spellings of "the same pack" must pin compatible
+    // vocabularies when the caller doesn't override
+    val vpPack = root.resolve("vppack").toString
+    GraftSql.sql(spark, s"PACK SEQUENCES FROM '$b0' LENGTH 128 " +
+      s"TOKENIZER vp MATERIALIZE TO '$vpPack' IDS BATCH 0")
+    assert(GraftTable.load(spark,
+        java.nio.file.Paths.get(vpPack, "vocab").toString)
+      .snapshot().count() === 64L,
+      "the BATCH form's default vp vocabulary must match the " +
+        "one-shot form's (top-64 gram cut)")
   }
 
   test("PACK SEQUENCES MIXTURE ... IDS: the complete loader artifact " +

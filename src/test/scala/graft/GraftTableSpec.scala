@@ -11,6 +11,19 @@ class GraftTableSpec extends SparkSpec {
   private def tmp(): String =
     Files.createTempDirectory("graft_spec_").resolve("t").toString
 
+  test("a failed CREATE seed job leaves no commitless log dir — the " +
+      "path stays creatable instead of bricked behind 'already exists'") {
+    val dir = tmp()
+    val bad = Seq((1L, "a")).toDF("id", "v")
+      .withColumn("boom", expr("raise_error('seed job failure')"))
+    intercept[Exception] { GraftTable.create(spark, dir, bad) }
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_graft_log")),
+      "a failed seed write must not claim the log directory")
+    // the retry simply works — no manual cleanup required
+    val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    assert(t.snapshot().count() === 1)
+  }
+
   test("create + snapshot round-trips data") {
     val orders = Tables.load(spark, sf, "orders")
     val t = GraftTable.create(spark, tmp(), orders)

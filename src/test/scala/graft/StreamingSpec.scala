@@ -1072,6 +1072,17 @@ class StreamingSpec extends SparkSpec {
     assert(read >= 0 && read < total * ledger.length,
       s"epoch ledger read $read of $total files x ${ledger.length} " +
         "epochs — the stats path must prune the per-epoch reads")
+    // a zero-row owner table (the crash window between the
+    // placeholder create and the first pipeline append) describes
+    // with an EMPTY marker instead of faulting on head()
+    graft.tables.GraftTable.load(spark,
+        java.nio.file.Paths.get(exp, "owner").toString)
+      .delete(org.apache.spark.sql.functions.lit(true))
+    val bare = graft.tables.GraftSql.sql(spark,
+      s"DESCRIBE EXPORT '$exp'").collect()
+    assert(bare.length === ledger.length)
+    assert(bare.forall(_.getString(3) === ""),
+      "a row-less owner must describe as an empty marker")
   }
 
   test("curationPipelineId: respelling a checkpoint resolves to the " +
