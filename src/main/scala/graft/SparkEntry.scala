@@ -547,7 +547,7 @@ object SparkEntry {
          |FROM silver s LEFT JOIN charges c ON s.o_orderkey = c.l_orderkey""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, COUNT(*) AS n_copies
-        |FROM documents GROUP BY md5(text)""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL GROUP BY md5(text)""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w

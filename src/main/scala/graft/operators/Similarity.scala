@@ -263,13 +263,23 @@ object Similarity {
     */
   private[graft] def kmeansFit(spark: SparkSession, sfDir: String,
       nCentroids: Int, iters: Int)
-      : (Seq[(Int, Seq[Long])], DataFrame) =
+      : (Seq[(Int, Seq[Long])], DataFrame, () => Unit) =
     kmeansFitOf(spark, Tables.load(spark, sfDir, "embeddings"),
       nCentroids, iters)
 
+  /** Returns (centroids, assigned frame, RELEASE thunk). The release
+    * thunk unpersists the quantized-corpus cache Lloyd trained over —
+    * callers MUST invoke it once the assignment frame's consumers
+    * have run. The thunk (not `assigned.unpersist()`) is the only
+    * correct release: the returned frame is DERIVED from the cached
+    * one (`withColumn`), and unpersisting a derived Dataset is a
+    * silent no-op (Spark's cache manager unpersists by plan identity,
+    * cascade only covers sameResult plans) — the leak every caller
+    * had before the thunk existed.
+    */
   private[graft] def kmeansFitOf(spark: SparkSession, emb0: DataFrame,
       nCentroids: Int, iters: Int)
-      : (Seq[(Int, Seq[Long])], DataFrame) = {
+      : (Seq[(Int, Seq[Long])], DataFrame, () => Unit) = {
     VectorExprs.register(spark)
     // label is a passenger column (carried for the serving layer's
     // result rows) — a label-less feed trains and assigns identically
@@ -306,7 +316,7 @@ object Similarity {
         (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
       }.sortBy(_._1)
     }
-    (cents, assign())
+    (cents, assign(), () => { qemb.unpersist(): Unit })
     } catch { case t: Throwable =>
       qemb.unpersist()
       throw t
@@ -319,7 +329,8 @@ object Similarity {
     */
   def embeddingKmeans(spark: SparkSession, sfDir: String,
       nCentroids: Int = 16, iters: Int = 2): DataFrame = {
-    val (_, assigned) = kmeansFit(spark, sfDir, nCentroids, iters)
+    val (_, assigned, release) = kmeansFit(spark, sfDir, nCentroids,
+      iters)
     // localize the (≤k-row) cluster pane, then RELEASE the Lloyd
     // corpus cache — returning a lazy (or persisted-but-never-
     // released) frame would leak one block-manager entry per
@@ -329,7 +340,7 @@ object Similarity {
       .agg(count(lit(1)).cast("long").as("n_vecs"),
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
     val rows = out.collect().toIndexedSeq
-    assigned.unpersist()
+    release()
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       out.schema)
   }
@@ -355,7 +366,8 @@ object Similarity {
       tau: Double = 0.3): DataFrame = {
     VectorExprs.register(spark)
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val (_, assignedRaw) = kmeansFitOf(spark, emb, nCentroids, iters)
+    val (_, assignedRaw, release) = kmeansFitOf(spark, emb,
+      nCentroids, iters)
     // the connected components inside the verdict kernel EXECUTE here
     // (per-round localCheckpoint), while the Lloyd corpus cache is
     // still warm; after that the cache's job is done — release it and
@@ -365,7 +377,7 @@ object Similarity {
     // persisted frame would leak one entry per bench invocation)
     val out = semanticVerdictsOf(assignedRaw, tau)
     out.count() // drives the CC rounds against the warm cache
-    assignedRaw.unpersist()
+    release()
     out
   }
 
@@ -536,8 +548,18 @@ object Similarity {
       maxCellSize: Int = defaultMaxCellSize): DataFrame = {
     VectorExprs.register(spark)
     val cents = loadCents(spark, indexPath)
+    // SINGLE EVALUATION (the batchRouted posture): the assignment
+    // pins through an eager localCheckpoint BEFORE the touched-cell
+    // set collects, so the collected set and the pair join consume
+    // the same frozen rows — a batch frame that re-evaluates
+    // differently (sample()/rand-derived, or recomputed cache blocks
+    // against a moved upstream) could otherwise route rows into
+    // cells outside `touched`, whose stored members were pruned
+    // away, and drop near-dup pairs with no error. Also saves the
+    // second batch scan+quantize the lazy spelling paid.
     val batchAsg = assignToCents(batchVecs, cents)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .localCheckpoint(true)
     val touched = batchAsg.select(col("cent_id")).distinct()
       .collect().map(r => Integer.valueOf(r.getInt(0)))
     val stored = spark.read.format("graft-table")
@@ -563,7 +585,8 @@ object Similarity {
       nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     import spark.implicits._
     VectorExprs.register(spark)
-    val (cents, assignedRaw) = kmeansFit(spark, sfDir, nCentroids, iters)
+    val (cents, assignedRaw, release) = kmeansFit(spark, sfDir,
+      nCentroids, iters)
     val assigned = assignedRaw
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
     val qRow = assignedRaw.filter(col("vec_id") === 0)
@@ -574,14 +597,21 @@ object Similarity {
       .withColumn("d", intL2(col("cent"), qQv))
       .orderBy(col("d"), col("cent_id")).limit(nprobe)
       .select(col("cent_id"))
-    // re-rank the probed candidates with exact full-precision cosine
-    assigned.join(broadcast(probeCells), Seq("cent_id"))
+    // re-rank the probed candidates with exact full-precision cosine;
+    // the ≤k result localizes so the Lloyd corpus cache releases
+    // before return (a lazy return over the cache would either leak
+    // it or re-scan the corpus on consumption)
+    val out = assigned.join(broadcast(probeCells), Seq("cent_id"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
         round(vec_cosine(col("embedding"), qVec).cast("decimal(18,12)"), 6)
           .cast("double").as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+    val rows = out.collect().toIndexedSeq
+    release()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      out.schema)
   }
 
   /** Two-stage retrieval (the standard ANN serving layout): a cheap
@@ -759,7 +789,8 @@ object Similarity {
       seed: DataFrame, nCentroids: Int = 16, iters: Int = 2): Unit = {
     import spark.implicits._
     import graft.tables.GraftTable
-    val (cents, assignedRaw) = kmeansFitOf(spark, seed, nCentroids, iters)
+    val (cents, assignedRaw, release) = kmeansFitOf(spark, seed,
+      nCentroids, iters)
     GraftTable.create(spark,
       java.nio.file.Paths.get(indexPath, "centroids").toString,
       cents.toDF("cent_id", "cent"))
@@ -770,7 +801,7 @@ object Similarity {
       partitionBy = Seq("cent_id"))
     // the assignments are materialized in the table now — release the
     // quantized-corpus cache kmeansFitOf persisted for Lloyd
-    assignedRaw.unpersist()
+    release()
   }
 
   /** Idempotency key for exactly-once IVF ingest ([[ivfIndexIngest]]
@@ -926,7 +957,8 @@ object Similarity {
     import spark.implicits._
     import graft.tables.GraftTable
     VectorExprs.register(spark)
-    val (cents, assignedRaw) = kmeansFitOf(spark, seed, nCentroids, iters)
+    val (cents, assignedRaw, release) = kmeansFitOf(spark, seed,
+      nCentroids, iters)
     GraftTable.create(spark,
       java.nio.file.Paths.get(indexPath, "centroids").toString,
       cents.toDF("cent_id", "cent"))
@@ -957,7 +989,7 @@ object Similarity {
           col("cent_id"))
         .join(codes, Seq("vec_id")),
       partitionBy = Seq("cent_id"))
-    assignedRaw.unpersist()
+    release()
   }
 
   /** PQ encode kernel (the annPqTopK encoder, shared by build and
@@ -1275,8 +1307,8 @@ object Similarity {
     else members.select(col("vec_id"), col("label"), col("embedding"))
       .where(pmod(xxhash64(col("vec_id")), lit(m)) === 0L)
     val k = loadCents(spark, indexPath).size
-    val (cents, assignedSample) = kmeansFitOf(spark, sample, k, iters)
-    assignedSample.unpersist() // Lloyd's corpus cache — not needed
+    val (cents, _, release) = kmeansFitOf(spark, sample, k, iters)
+    release() // Lloyd's sample cache — the re-assignment uses members
     // assignments FIRST (the big commit), centroids second: the
     // in-between window serves old-geometry probes over new cells —
     // degraded recall for one query, never a miss on a valid cent_id

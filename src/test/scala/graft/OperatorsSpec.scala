@@ -3245,4 +3245,83 @@ class OperatorsSpec extends SparkSpec {
       excludeVecId = 0L).select($"vec_id").as[Long].collect().toSeq
       === after)
   }
+
+  test("kmeansFitOf's release thunk clears the Lloyd corpus cache — " +
+      "unpersisting the derived assignment frame was a silent no-op") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    // track the SPECIFIC rdd ids the fit adds (a bare size compare is
+    // GC-flaky: stale localCheckpoint blocks from earlier tests can
+    // vanish mid-test)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (_, assigned, release) = Similarity.kmeansFitOf(spark, emb, 4, 1)
+    assigned.count()
+    def added() = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added().nonEmpty,
+      "setup: Lloyd must persist the quantized corpus")
+    // the historical bug: the returned frame is DERIVED (withColumn)
+    // from the cached plan, so unpersisting it releases nothing
+    assigned.unpersist()
+    assert(added().nonEmpty,
+      "setup: derived-frame unpersist is the no-op the thunk replaces")
+    release()
+    assert(added().isEmpty,
+      "release() must clear the Lloyd cache entry")
+  }
+
+  test("incrementalExact tolerates duplicate ledger rows (racing " +
+      "blind-appends): one deterministic min-canonical verdict per " +
+      "doc, not a fan-out of conflicting rows") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_exdup_").resolve("idx").toString
+    Dedup.incrementalExact(spark, idx,
+      Seq((10L, "race duplicate text")).toDF("doc_id", "text")).count()
+    // simulate the second racer landing the same novel hash under a
+    // different canonical
+    val h = Seq("race duplicate text").toDF("text")
+      .select(md5($"text")).head().getString(0)
+    graft.tables.GraftTable.load(spark, idx)
+      .append(Seq((h, 99L)).toDF("content_hash", "canonical_id"))
+    val out = Dedup.incrementalExact(spark, idx,
+      Seq((20L, "race duplicate text")).toDF("doc_id", "text"))
+      .select($"doc_id", $"canonical_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((20L, 10L)),
+      "duplicate ledger rows must collapse to ONE min-canonical " +
+        s"verdict, got ${out.toSeq}")
+  }
+
+  test("exact dedup excludes null texts — N unrelated null-text docs " +
+      "are not copies of one another (the incremental twin's guard)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_exnull_").toString
+    Seq((1L, "same text"), (2L, "same text"),
+        (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.exact(spark, dir).collect()
+    assert(out.length === 1, s"got ${out.length} groups")
+    assert(out.head.getLong(0) === 1L)
+    assert(out.head.getLong(2) === 2L, "the real pair groups; nulls drop")
+  }
+
+  test("candidate-id file pruning falls back to the full scan above " +
+      "the 2^53 double-exactness ceiling — near-dup pairs between " +
+      "huge doc_ids still surface") {
+    val big = 1L << 53
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bigid_").toString
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    Dedup.incrementalIndex(spark, idx,
+      Seq((big + 1L, text)).toDF("doc_id", "text"), batchId = 0L)
+    // identical text: every band signature matches deterministically,
+    // so the ONLY thing that can lose the pair is the file prune
+    val pairs = Dedup.incrementalDedup(spark, idx,
+      Seq((big + 3L, text)).toDF("doc_id", "text"),
+      batchId = 1L)
+    val got = pairs.select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.unpersist()
+    assert(got.toSeq === Seq((big + 1L, big + 3L)),
+      s"the huge-id near-dup pair must survive pruning, got ${got.toSeq}")
+  }
 }
