@@ -358,12 +358,12 @@ object RiskPipeline {
     val row = Seq((runId, js(params), js(metrics), modelPath,
       System.currentTimeMillis()))
       .toDF("run_id", "params", "metrics", "model_path", "logged_at")
-    val t =
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(ledgerPath, "_graft_log")))
-        GraftTable.load(spark, ledgerPath)
-      else GraftTable.create(spark, ledgerPath, row.limit(0))
-    t.appendIfNew(row, 0L, appId = s"mlrun:$runId")
+    // race-safe create-or-load: two concurrent FIRST runs logging to
+    // a fresh ledger both pass a bare exists() check and one create
+    // loses its row — createIfAbsent resolves the race (the loser
+    // loads what the winner created)
+    GraftTable.createIfAbsent(spark, ledgerPath, row.limit(0))
+      .appendIfNew(row, 0L, appId = s"mlrun:$runId")
   }
 
   // ---- model registry (ledger-driven) -----------------------------------

@@ -71,6 +71,11 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, sfDir)
       .select(col("media_id"), col("kind"), col("payload"))
+      // payload is declared nullable (a null-text document encodes to
+      // a null payload): a frameless asset yields zero frames, not a
+      // task-killing NPE in the typed flatMap — the same posture as
+      // frameGrid's length(text) > 0 filter
+      .where(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .flatMap { case (id, kind, p) =>
         Iterator.range(0, p.length, stride).zipWithIndex.map { case (off, idx) =>
@@ -86,8 +91,17 @@ object Multimodal {
 
   /** The sampled-frame grid as (media_id, frame_idx, fc) — the shared
     * declarative extraction under [[frameSignatures]] and
-    * [[frameEmbeddings]] (sequence+substring, whole-stage codegen; the
-    * stub payload is the text's bytes, so a frame is a substring).
+    * [[frameEmbeddings]] (sequence+substring, whole-stage codegen).
+    *
+    * STUB-DOMAIN scope: this twin cuts the text by CHARACTERS while
+    * [[frameSample]] (the byte-true path a real codec slots into)
+    * cuts the encoded payload by BYTES — the two grids coincide
+    * exactly on single-byte text, which is what the synthetic corpus
+    * and the specs pin; a multibyte corpus shifts the character grid
+    * off the byte grid, and [[frameEmbeddings]]'s 8 byte-class
+    * buckets (x div 32) cover codepoints < 256 only. A real binary
+    * payload replaces BOTH with the codec's own framing, so the
+    * divergence lives and dies with the stub.
     */
   private def frameGrid(spark: SparkSession, sfDir: String,
       frameSize: Int, stride: Int): DataFrame =
@@ -122,7 +136,18 @@ object Multimodal {
       .withColumn("__bytes", expr(
         "transform(sequence(1, length(fc)), i -> ascii(substring(fc, i, 1)))"))
       .select(col("media_id"), col("frame_idx"),
-        (col("media_id") * 65536L + col("frame_idx")).as("vec_id"),
+        // the 2^16 packing holds only while frame_idx < 65536 — a
+        // longer asset would silently collide its vec_ids with the
+        // NEXT media_id's frames (and the `div 65536` decode would
+        // attribute hits to the wrong asset), so overflow refuses
+        // loudly per row instead
+        (col("media_id") * 65536L +
+          when(col("frame_idx") < 65536, col("frame_idx"))
+            .otherwise(expr("raise_error(concat('frame_idx ', " +
+              "cast(frame_idx as string), ' overflows the 2^16 " +
+              "vec_id packing for media_id ', " +
+              "cast(media_id as string), ' - widen the packing or " +
+              "raise stride'))"))).as("vec_id"),
         expr("cast(transform(sequence(0, 7), b -> cast(size(filter(" +
           "__bytes, x -> x div 32 = b)) as float)) as array<float>)")
           .as("embedding"))
@@ -372,6 +397,8 @@ object Multimodal {
     import spark.implicits._
     val media = mediaTable(spark, sfDir)
     media.select(col("media_id"), col("kind"), col("payload"))
+      // nullable payload: skip the asset rather than NPE in the codec
+      .where(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, payload) =>
         val (w, h, d, m) = stubDecode(payload)

@@ -86,7 +86,20 @@ object Ingest {
         // empty frame with the right schema, from any known file
         if (all.isEmpty) throw new IllegalArgumentException(s"no parquet files in $rawDir")
         spark.read.parquet(all.head).limit(0)
-      } else spark.read.parquet(fresh: _*)
+      } else
+        // MATERIALIZE the batch BEFORE the ledger advances: the
+        // ledger is written eagerly below while the return is a
+        // frame — if that frame were lazy over the source files, any
+        // caller-side failure before its first action would lose the
+        // batch forever (the ledger already skips the files; the
+        // lazy plan was never run). Checkpointed, the rows survive
+        // in-session for the caller to retry against. A PROCESS
+        // crash in the window still loses the batch — the ledger is
+        // session-scoped at-least-materialized, not cross-process
+        // exactly-once; pipelines that need crash-exactly-once take
+        // the streaming twin (Streams.incrementalIngestEvolving),
+        // whose sink watermark commits WITH the rows.
+        spark.read.parquet(fresh: _*).localCheckpoint(true)
     Files.write(ledger, (seen ++ fresh).toSeq.sorted.asJava)
     out
   }
@@ -150,7 +163,10 @@ object Ingest {
       .parquet(fresh: _*)
     val (evolved, projection) =
       evolveAndProject(tracked, freshDf.schema, mode)
-    val out = freshDf.select(projection: _*)
+    // materialized before the ledger advances — the incrementalLoad
+    // contract: a lazy return over files the ledger already skips
+    // would lose the batch on any caller-side failure
+    val out = freshDf.select(projection: _*).localCheckpoint(true)
     // publish schema THEN ledger: a crash between the two re-reads
     // the batch against the already-evolved schema (idempotent —
     // evolution is a no-op union), never the reverse (rows silently
@@ -288,7 +304,22 @@ object Ingest {
     try st.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .zipWithIndex.foreach { case (p, i) =>
-        Files.move(p, Paths.get(rawDir, s"$prefix-$i.parquet"))
+        val target = Paths.get(rawDir, s"$prefix-$i.parquet")
+        // files must land WHOLE: a bare move degrades to copy+delete
+        // across filesystems (tmpfs staging → disk rawDir) and a
+        // concurrent ledger pass could list a torn file. Try the
+        // atomic rename; across filesystems, copy to a dotted temp
+        // name IN the target dir (invisible to the parquet listing)
+        // and rename within the same filesystem — always atomic.
+        try Files.move(p, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            val part = target.resolveSibling("." + target.getFileName)
+            Files.copy(p, part)
+            Files.move(part, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
       }
     finally st.close()
   }

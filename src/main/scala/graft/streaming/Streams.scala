@@ -98,6 +98,18 @@ object Streams {
     * passes; state is O(1) per key. Instant (µs precision) end to
     * end — java.sql.Timestamp would truncate to ms and drift from
     * the batch result.
+    *
+    * CLOSE-BY-SUCCESSOR posture (NoTimeout, a documented trade): a
+    * session emits only when a LATER event for the same key lands
+    * past the gap — a key that goes permanently quiet keeps its last
+    * session open in state (never emitted, state retained), which is
+    * what makes the emitted set a pure function of the event set and
+    * lets the batch twin (whose "open" tail sessions this operator's
+    * gate scenario aligns with) oracle it exactly. A production
+    * deployment that needs idle sessions flushed adds
+    * EventTimeTimeout against the watermark — that emission is
+    * WALL-CLOCK/watermark-dependent and no longer batch-replayable,
+    * which is why the oracle posture keeps NoTimeout.
     */
   def sessionizeStream(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -667,6 +679,12 @@ object Streams {
           "pipeline must export to its own path (its epochs would " +
           "silently skip behind the owner's landed epoch watermarks)")
     }
+    // request-file contract: `epoch` must be physical INT64 (what
+    // stageBatch lands). A foreign writer emitting INT32 fails the
+    // vectorized read INSIDE the stream and the poisoned file
+    // replays on every restart — unlike a null epoch (skipped
+    // below), a wrong physical type is not detectable row-wise, so
+    // the contract is documented rather than silently widened.
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("epoch",
@@ -687,12 +705,13 @@ object Streams {
           // process: a long-lived epoch series re-invokes this
           // stream with a fresh docs frame as the corpus grows, and
           // each invocation's bucket count must match ITS corpus or
-          // the serial in-bucket windows degrade proportionally. One
-          // column-pruned count per cycle (the epochs of one cycle
-          // see one corpus state); the count also lands in the
-          // per-epoch meta ledger below.
-          val nDocs = docs.count()
-          val hb = if (hashBuckets == 0L)
+          // the serial in-bucket windows degrade proportionally. The
+          // count is LAZY: at most one column-pruned scan per cycle,
+          // and a pure-replay cycle (every requested epoch already
+          // landed) pays none — its meta repair reads landed rows,
+          // never the live corpus.
+          lazy val nDocs = docs.count()
+          lazy val hb = if (hashBuckets == 0L)
             graft.operators.TextAnalysis.autoHashBuckets(nDocs)
           else hashBuckets
           import spark.implicits._
@@ -701,16 +720,21 @@ object Streams {
             Seq.empty[(Long, Long, Long)]
               .toDF("epoch", "hash_buckets", "n_docs"))
           epochs.foreach { e =>
-            val assigned = graft.operators.TextAnalysis
-              .exportShardsShuffled(docs, shardTokens, seed = e,
-                tokenizer, hb)
-              .withColumn("epoch", lit(e))
+            // schema-only frame for the create (bucket count is
+            // value-level, schema-invariant — 1L avoids forcing the
+            // lazy corpus count on a replay)
             val t = GraftTable.createIfAbsent(spark, asgPath,
-              assigned.limit(0))
+              graft.operators.TextAnalysis
+                .exportShardsShuffled(docs.limit(0), shardTokens,
+                  seed = e, tokenizer, 1L)
+                .withColumn("epoch", lit(e)).limit(0))
             val landedBefore =
               t.lastStreamBatchId(s"graft-epoch-export:$e") >= 0L
             if (!landedBefore)
-              t.appendIfNew(assigned, 0L,
+              t.appendIfNew(graft.operators.TextAnalysis
+                  .exportShardsShuffled(docs, shardTokens, seed = e,
+                    tokenizer, hb)
+                  .withColumn("epoch", lit(e)), 0L,
                 appId = s"graft-epoch-export:$e"): Unit
             // the per-epoch META row — which corpus state the epoch's
             // LANDED content reflects (the ops/debug glance, and the
@@ -967,7 +991,20 @@ object Streams {
     // files it matches (a column missing from an individual footer
     // reads null, Spark parquet semantics)
     val in = spark.readStream.schema(incoming).parquet(admitted.toString)
-    val appId = checkpoint
+    // sink watermark namespace: the CANONICAL checkpoint path — a
+    // respelled checkpoint (relative vs absolute, ./-segmented,
+    // symlinked) resolves to the same Spark stream checkpoint and
+    // batch-id sequence, so a raw-string appId would split the
+    // exactly-once namespace and re-land a replayed batch under the
+    // new spelling (the exportStream lesson). EXCEPT when the sink
+    // already carries a watermark under the raw pre-canonicalization
+    // spelling: that pipeline keeps its raw identity — switching
+    // would orphan its watermark, which is the same bug.
+    val canonicalCp = canonicalPath(checkpoint)
+    val appId =
+      if (checkpoint != canonicalCp &&
+          sink.lastStreamBatchId(checkpoint) >= 0L) checkpoint
+      else canonicalCp
     val q = in.select(projection: _*).writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",

@@ -3304,6 +3304,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head.getLong(2) === 2L, "the real pair groups; nulls drop")
   }
 
+  test("multimodal guards: a null payload yields zero frames (not an " +
+      "NPE), and frame_idx overflowing the 2^16 vec_id packing " +
+      "refuses instead of colliding with the next asset") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mmguard_").toString
+    Seq((1L, "hello world frame payload"),
+        (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // null payload: the typed flatMap skips the asset
+    val frames = Multimodal.frameSample(spark, dir)
+    assert(frames.where($"media_id" === 2L).count() === 0L)
+    assert(frames.where($"media_id" === 1L).count() > 0L)
+    assert(Multimodal.extractFeatures(spark, dir).count() === 1L)
+    // overflow: a 70k-frame asset at stride 1 crosses 65536
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_mmovf_").toString
+    Seq((1L, "x" * 70000)).toDF("doc_id", "text")
+      .write.parquet(s"$dir2/documents.parquet")
+    val e = intercept[Exception] {
+      // sum over vec_id, not count(): column pruning would strip the
+      // guarded projection from a row-count plan entirely
+      Multimodal.frameEmbeddings(spark, dir2, frameSize = 4,
+        stride = 1).agg(sum($"vec_id")).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflows the 2^16")),
+      s"expected the packing refusal, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("candidate-id file pruning falls back to the full scan above " +
       "the 2^53 double-exactness ceiling — near-dup pairs between " +
       "huge doc_ids still surface") {

@@ -174,4 +174,32 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getString(2).contains("oops"),
       "the original value must be rescued, not lost")
   }
+
+  test("incrementalLoad materializes the batch BEFORE the ledger " +
+      "advances: the returned rows survive source-file loss, so a " +
+      "caller-side failure can retry without losing the batch") {
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft_matload_")
+    val raw = stage.resolve("raw").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.parquet(raw)
+    val out = graft.sources.Ingest.incrementalLoad(spark, raw,
+      stage.resolve("cp").toString)
+    // the ledger has already skipped these files; destroy them — a
+    // LAZY return would now lose the batch forever (the retry sees
+    // nothing fresh and the plan's source is gone)
+    val st = Files.list(java.nio.file.Paths.get(raw))
+    try st.iterator().forEachRemaining(p => { Files.delete(p): Unit })
+    finally st.close()
+    assert(out.count() === 2L,
+      "the returned batch must be materialized, not a lazy plan " +
+        "over files the ledger already skips")
+    // the retry sees an empty dir (nothing fresh, no schema source)
+    // and refuses descriptively — the materialized return was the
+    // only copy
+    intercept[IllegalArgumentException] {
+      graft.sources.Ingest.incrementalLoad(spark, raw,
+        stage.resolve("cp").toString)
+    }: Unit
+  }
 }

@@ -1506,6 +1506,41 @@ class StreamingSpec extends SparkSpec {
     assert(sinkT.snapshot().count() === 4)
   }
 
+  test("streaming evolving ingest: the sink watermark namespace is " +
+      "the CANONICAL checkpoint path — a respelled checkpoint joins " +
+      "the same exactly-once namespace instead of splitting it") {
+    val stage = Files.createTempDirectory("graft_sevoc_")
+    val raw = stage.resolve("raw")
+    java.nio.file.Files.createDirectories(raw)
+    def land(df: org.apache.spark.sql.DataFrame, prefix: String): Unit =
+      graft.sources.Ingest.stageBatch(df, raw.toString, prefix)
+    val sinkT = graft.tables.GraftTable.create(spark,
+      stage.resolve("sink").toString,
+      Seq.empty[(Long, String)].toDF("id", "name")
+        .withColumn("_rescued_data", lit(null).cast("string")))
+    val canonical = stage.resolve("cp").toString
+    val respelled = stage.toString + "/./cp"
+    // cycle 1 under the RESPELLED spelling, cycle 2 under the plain
+    // one — same physical checkpoint, one batch-id sequence
+    land(Seq((1L, "a")).toDF("id", "name"), "b1")
+    Streams.incrementalIngestEvolving(spark, raw.toString, respelled,
+      sinkT)
+    land(Seq((2L, "b")).toDF("id", "name"), "b2")
+    Streams.incrementalIngestEvolving(spark, raw.toString, canonical,
+      sinkT)
+    assert(sinkT.snapshot().count() === 2)
+    // BOTH cycles' watermarks live under the canonical identity; the
+    // raw respelling holds none (a raw-string appId would have split
+    // them, and a replayed batch after a sink-side crash would have
+    // re-landed under the other spelling)
+    val canonicalReal = java.nio.file.Paths.get(canonical)
+      .toRealPath().toString
+    assert(sinkT.lastStreamBatchId(canonicalReal) >= 1L,
+      "both batches must land under the canonical namespace")
+    assert(sinkT.lastStreamBatchId(respelled) === -1L,
+      "the raw respelling must hold no watermark")
+  }
+
   test("streaming evolving ingest: rescue mode freezes schema, fail mode replays") {
     val stage = Files.createTempDirectory("graft_sevo2_")
     val raw = stage.resolve("raw")
