@@ -360,6 +360,52 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     Written(adopted.map(_._1), adopted.toMap)
   }
 
+  /** One-pass DML write (optimization guide §1.2/§2.3 — fewer passes
+    * over the touched files, one write job instead of two): stages
+    * the data rewrite AND the commit's write-time CDC change set from
+    * a SINGLE scan. `df` carries every output row tagged by `__tag`
+    * ("d" = rewritten data row, "c" = CDC row with `_change_type`
+    * set); `partitionBy("__tag")` lands the two classes in disjoint
+    * staging directories, adopted into `files/` and `cdc/`
+    * respectively. Callers gate on [[canCombineCdcWrite]] — the
+    * combined staging layout can't carry the table's own partition /
+    * bucket levels, and under column mapping data files store
+    * physical names while CDC files store logical ones, so those
+    * tables keep the two-pass spelling. The rewritten data files
+    * carry a physically present but ALL-NULL `_change_type` column:
+    * every read path scans under an explicit schema (it is
+    * invisible), and footer stats skip all-null columns (pruning is
+    * unaffected).
+    */
+  private def canCombineCdcWrite: Boolean =
+    partitionColumnsAt(latestVersion).isEmpty &&
+      bucketSpecAt(latestVersion).isEmpty &&
+      columnMapAt(latestVersion).isEmpty
+
+  private def writeDataWithCdc(df: DataFrame): (Written, Seq[String]) = {
+    val staging = root.resolve(s".staging-${UUID.randomUUID()}")
+    df.write.partitionBy("__tag").parquet(staging.toString)
+    Files.createDirectories(filesDir)
+    val cdcDir = root.resolve("cdc")
+    Files.createDirectories(cdcDir)
+    val parts = {
+      val s = Files.walk(staging)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally s.close()
+    }
+    val adopted = parts.map { p =>
+      val isCdc = p.getParent.getFileName.toString == "__tag=c"
+      val name = s"${UUID.randomUUID()}.parquet"
+      if (isCdc) { Files.move(p, cdcDir.resolve(name)); Left(s"cdc/$name") }
+      else { Files.move(p, filesDir.resolve(name)); Right(s"files/$name") }
+    }
+    deleteRecursively(staging)
+    val dataFiles = adopted.collect { case Right(f) => f }
+    writeBlooms(dataFiles)
+    (Written(dataFiles, Map.empty), adopted.collect { case Left(f) => f })
+  }
+
   /** Write a commit's row-level change set (tagged with
     * `_change_type`) under `cdc/` — Delta's write-time CHANGE DATA
     * FEED files. Cost is one extra write over the commit's blast
@@ -2257,13 +2303,35 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       s"replaceWhere: $bad incoming row(s) do not satisfy the predicate")
     val touched = touchedFiles(cond)
     val touchedDf = readFilesDvAware(touched, schema, dvAt(base), columnMapAt(base))
-    val wSurv = if (touched.isEmpty) Written(Nil, Map.empty)
-      else writeData(touchedDf.where(!coalesce(cond, lit(false))))
-    val wNew = writeData(aligned)
-    val cdc = writeCdc(
-      touchedDf.where(coalesce(cond, lit(false)))
-        .withColumn("_change_type", lit("delete"))
-        .unionByName(aligned.withColumn("_change_type", lit("insert"))))
+    // one-pass spellings where the layout allows (guide §1.2): the
+    // touched files feed survivors (data) + deleted images (CDC) in
+    // one tagged write, and the incoming slice feeds its data files +
+    // insert images in another — each input scanned once, two write
+    // jobs instead of three. CDC files legally split across commits'
+    // write calls (the commit records the concatenation).
+    val (wSurv, wNew, cdc) = if (canCombineCdcWrite) {
+      val (ws, cdcDel) = if (touched.isEmpty) (Written(Nil, Map.empty), Nil)
+        else writeDataWithCdc(touchedDf
+          .withColumn("_change_type",
+            when(coalesce(cond, lit(false)), lit("delete")))
+          .withColumn("__tag",
+            when(col("_change_type").isNotNull, lit("c")).otherwise(lit("d"))))
+      val (wn, cdcIns) = writeDataWithCdc(
+        aligned.withColumn("_change_type", lit(null).cast("string"))
+          .withColumn("__tag", lit("d"))
+          .unionByName(aligned
+            .withColumn("_change_type", lit("insert").cast("string"))
+            .withColumn("__tag", lit("c"))))
+      (ws, wn, cdcDel ++ cdcIns)
+    } else {
+      val ws = if (touched.isEmpty) Written(Nil, Map.empty)
+        else writeData(touchedDf.where(!coalesce(cond, lit(false))))
+      val wn = writeData(aligned)
+      (ws, wn, writeCdc(
+        touchedDf.where(coalesce(cond, lit(false)))
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(aligned.withColumn("_change_type", lit("insert")))))
+    }
     commitResolved("REPLACE_WHERE", base,
       touched.toSet, wSurv.files ++ wNew.files, Some(cond),
       readsTable = false, schema,
@@ -2638,12 +2706,25 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // survive into the rewrite nor re-appear in the CDC delete set
     val touchedDf = readFilesDvAware(touched, schemaAt(base), dvAt(base),
       columnMapAt(base))
-    val kept = touchedDf.where(!coalesce(cond, lit(false)))
-    val w = writeData(kept)
-    // write-time CDC: the deleted rows are exactly the cond-matching
-    // rows of the touched files — one extra pruned scan, no EXCEPT ALL
-    val cdc = writeCdc(touchedDf.where(coalesce(cond, lit(false)))
-      .withColumn("_change_type", lit("delete")))
+    // one-pass spelling where the layout allows it: every touched row
+    // lands exactly once — kept rows as data, cond rows as the CDC
+    // delete set — in a single scan + single tagged write (the old
+    // spelling scanned the touched files twice and ran two write jobs)
+    val (w, cdc) = if (canCombineCdcWrite) {
+      val tagged = touchedDf
+        .withColumn("_change_type",
+          when(coalesce(cond, lit(false)), lit("delete")))
+        .withColumn("__tag",
+          when(col("_change_type").isNotNull, lit("c")).otherwise(lit("d")))
+      writeDataWithCdc(tagged)
+    } else {
+      val kept = touchedDf.where(!coalesce(cond, lit(false)))
+      val wd = writeData(kept)
+      // write-time CDC: the deleted rows are exactly the cond-matching
+      // rows of the touched files — one extra pruned scan, no EXCEPT ALL
+      (wd, writeCdc(touchedDf.where(coalesce(cond, lit(false)))
+        .withColumn("_change_type", lit("delete"))))
+    }
     maybeAutoCompact(commitResolved("DELETE", base,
       touched.toSet, w.files, Some(cond), readsTable = false,
       schemaAt(base),
@@ -2752,12 +2833,26 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
           if (!inputsAssigned) d else d.withColumn(gc, expr(genExpr))
       }
       enforceConstraints(applied)
-      val w = writeData(applied)
-      val cdc = writeCdc(
-        victims.drop("__fp", "__pos")
-          .withColumn("_change_type", lit("update_preimage"))
+      // post-update rows and both CDC images all derive from the
+      // PERSISTED victims — one tagged write where the layout allows
+      // (guide §1.2: one write job instead of two over the same cache)
+      val (w, cdc) = if (canCombineCdcWrite) {
+        writeDataWithCdc(applied
+          .withColumn("_change_type", lit(null).cast("string"))
+          .withColumn("__tag", lit("d"))
+          .unionByName(victims.drop("__fp", "__pos")
+            .withColumn("_change_type", lit("update_preimage"))
+            .withColumn("__tag", lit("c")))
           .unionByName(applied
-            .withColumn("_change_type", lit("update_postimage"))))
+            .withColumn("_change_type", lit("update_postimage"))
+            .withColumn("__tag", lit("c"))))
+      } else {
+        (writeData(applied), writeCdc(
+          victims.drop("__fp", "__pos")
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(applied
+              .withColumn("_change_type", lit("update_postimage")))))
+      }
       // conflict write-set = the tombstoned files: a racer rewriting
       // one would resurrect the pre-update rows alongside our appends
       val masked = victims.select(col("__fp")).distinct()
@@ -2845,14 +2940,23 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // SET against it — a set-column appearing in cond (or in another
     // assignment) must see the pre-update value
     val marked = cur.withColumn("__hit", coalesce(cond, lit(false)))
+    // one-pass eligibility decided up front: the combined spelling
+    // carries a `__pre_<f>` copy of every column through the post-
+    // update projection so one scan can emit the rewrite AND the CDC
+    // pre/post images (guide §1.2 — the two-pass spelling scanned the
+    // touched files three times and ran two write jobs)
+    val combine = canCombineCdcWrite
+    val fields = schemaAt(base).fieldNames.toSeq
+    val preCols = if (combine) fields.map(f => col(s"`$f`").as(s"__pre_$f"))
+      else Nil
     // ONE projection: every assignment sees pre-update values even
     // when another assignment targets a column it references
-    val applied0 = marked.select((schemaAt(base).fieldNames.map { f =>
+    val applied0 = marked.select(((schemaAt(base).fieldNames.map { f =>
       set.get(f) match {
         case Some(e) => when(col("__hit"), e).otherwise(col(f)).as(f)
         case None => col(f)
       }
-    } :+ col("__hit")).toIndexedSeq: _*)
+    } :+ col("__hit")) ++ preCols).toIndexedSeq: _*)
     // generated columns whose SOURCE columns were assigned are
     // recomputed from the post-update values (Delta recomputes;
     // keeping the stale value would fail the implicit generation
@@ -2867,22 +2971,40 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         else d.withColumn(gc,
           when(col("__hit"), expr(genExpr)).otherwise(col(s"`$gc`")))
     }
-    val updated = applied.drop("__hit")
+    val updated = applied.drop("__hit").drop(fields.map(f => s"__pre_$f"): _*)
     // constraints hold on every write path, not just append/merge:
     // untouched files were validated when they landed; the rewritten
     // rows are what an UPDATE can push into a violating state
     enforceConstraints(updated)
-    val w = writeData(updated)
-    // write-time CDC: pre/post images of exactly the cond rows — two
-    // extra file-pruned scans at write, zero shuffles at read.
+    // write-time CDC: pre/post images of exactly the cond rows.
     // Delta semantics: identity assignments (SET x = x) still emit
     // pre/post pairs here; the EXCEPT ALL fallback cancels them, so
     // the two paths differ only for value-preserving updates
-    val cdc = writeCdc(
-      marked.where(col("__hit")).drop("__hit")
-        .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(applied.where(col("__hit")).drop("__hit")
-          .withColumn("_change_type", lit("update_postimage"))))
+    val (w, cdc) = if (combine) {
+      // single scan: each row explodes into the rewrite row (always)
+      // plus, for hit rows, the pre/post CDC images
+      val ctNull = lit(null).cast("string")
+      val dataS = struct((fields.map(f => col(s"`$f`")) :+
+        ctNull.as("_change_type")).toIndexedSeq: _*)
+      val preS = struct((fields.map(f => col(s"`__pre_$f`").as(f)) :+
+        lit("update_preimage").cast("string").as("_change_type")).toIndexedSeq: _*)
+      val postS = struct((fields.map(f => col(s"`$f`")) :+
+        lit("update_postimage").cast("string").as("_change_type")).toIndexedSeq: _*)
+      val tagged = applied.select(explode(
+          when(col("__hit"), array(dataS, preS, postS))
+            .otherwise(array(dataS))).as("__r"))
+        .select(col("__r.*"))
+        .withColumn("__tag",
+          when(col("_change_type").isNull, lit("d")).otherwise(lit("c")))
+      writeDataWithCdc(tagged)
+    } else {
+      // two extra file-pruned scans at write, zero shuffles at read
+      (writeData(updated), writeCdc(
+        marked.where(col("__hit")).drop("__hit")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied.where(col("__hit")).drop("__hit")
+            .withColumn("_change_type", lit("update_postimage")))))
+    }
     // session-clock generated values only materialize when the SET
     // touches a generated column (explicitly, or via its inputs and
     // the recompute) — an unrelated UPDATE keeps its inputs' zone
@@ -2941,6 +3063,22 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       notMatched0: Option[GraftTable.NotMatchedInsert]): Long =
     merge(source, keys, matched0, notMatched0, Nil)
 
+  /** [[merge]] with an explicit READ VERSION: the conflict base is
+    * pinned at `readVersion` instead of the entry-time latest, so a
+    * caller whose SOURCE values derive from a snapshot taken at
+    * `readVersion` (read → driver-side compute → merge) gets the
+    * serializable behavior the anchors pattern promises — a commit
+    * landing in the read→merge window that rewrites a file this merge
+    * also touches draws a [[CommitConflictException]] instead of the
+    * merge silently applying stale-read values on top of it.
+    */
+  def mergeFromRead(readVersion: Long, source: DataFrame,
+      keys: Seq[String],
+      matched0: Seq[GraftTable.MatchedClause],
+      notMatched0: Option[GraftTable.NotMatchedInsert]): Long =
+    merge(source, keys, matched0, notMatched0, Nil, evolveSchema = false,
+      mor = false, readVersion = readVersion)
+
   /** Full MERGE including `WHEN NOT MATCHED BY SOURCE` clauses: target
     * rows no source key matches can be DELETEd or UPDATEd in the same
     * statement (sync/SCD pipelines — "remove rows gone from the
@@ -2958,7 +3096,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       bySource0: Seq[GraftTable.NotMatchedBySourceClause],
       evolveSchema: Boolean = false): Long =
     merge(source, keys, matched0, notMatched0, bySource0, evolveSchema,
-      mor = false)
+      mor = false, readVersion = -1L)
 
   /** MERGE-ON-READ MERGE via DELETION VECTORS — the third leg of the
     * DV DML trio ([[deleteMor]], [[updateMor]]): rows a matched or
@@ -2981,17 +3119,21 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       bySource0: Seq[GraftTable.NotMatchedBySourceClause] = Nil,
       evolveSchema: Boolean = false): Long =
     merge(source, keys, matched0, notMatched0, bySource0, evolveSchema,
-      mor = true)
+      mor = true, readVersion = -1L)
 
   private def merge(source: DataFrame, keys: Seq[String],
       matched0: Seq[GraftTable.MatchedClause],
       notMatched0: Option[GraftTable.NotMatchedInsert],
       bySource0: Seq[GraftTable.NotMatchedBySourceClause],
       evolveSchema: Boolean,
-      mor: Boolean): Long = {
+      mor: Boolean,
+      readVersion: Long): Long = {
     import GraftTable.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate, NotMatchedInsert}
     require(keys.nonEmpty, "MERGE needs at least one key column")
-    val base = latestVersion
+    // an explicit readVersion pins the conflict base where the
+    // caller's source values were READ, so the read→merge window is
+    // inside the conflict-checked span (see [[mergeFromRead]])
+    val base = if (readVersion >= 0L) readVersion else latestVersion
     // MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge): source-only
     // columns are ADDED to the target schema (nullable — every
     // pre-merge row surfaces null), name-matched wider source types
@@ -3349,8 +3491,16 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       case None => keptRows.drop("__action")
     }
     enforceConstraints(newData)
-    val w = writeData(newData, partitionColumnsAt(base), cm,
-      bucketSpecAt(base))
+    // the CDC change set below derives from the SAME persisted
+    // `tagged`/`src` frames as the data rewrite — where the layout
+    // allows, land both in one tagged write (one write job instead
+    // of two; guide §1.2). The spelling must stay lazy: build the
+    // CDC frame first, write once.
+    // cm may gain FRESH entries during an evolving merge (a re-added
+    // dropped column maps to a new physical name) — those writes must
+    // go through the column-translating writeData, so the combined
+    // path additionally requires an empty effective column map
+    val combineMerge = canCombineCdcWrite && cm.isEmpty
     // merge-on-read tombstones: every accepted matched/BY SOURCE
     // row's physical address — O(accepted rows) written
     val morIdx = (deleteIdx ++ updateIdx).map(Integer.valueOf)
@@ -3379,7 +3529,16 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val insertedRows = inserts.map(tag(_, "insert"))
     val cdcAll = (Seq(updatedPre, updatedPost, deletedRows) ++ insertedRows)
       .reduce(_ unionByName _)
-    val cdc = writeCdc(cdcAll)
+    val (w, cdc) = if (combineMerge) {
+      val taggedAll = newData
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("__tag", lit("d"))
+        .unionByName(cdcAll.withColumn("__tag", lit("c")))
+      writeDataWithCdc(taggedAll)
+    } else {
+      (writeData(newData, partitionColumnsAt(base), cm,
+        bucketSpecAt(base)), writeCdc(cdcAll))
+    }
     tagged.unpersist()
     src.unpersist()
     // conflict read set: the source-key envelope computed above —
