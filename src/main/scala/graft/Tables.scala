@@ -19,6 +19,28 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a CPU-heavy SCAN across the cluster when its natural file
+    * parallelism is below the core count (optimization guide §2.5
+    * "input skew: one huge unsplittable file … repartition
+    * immediately after the read" / §6 input splits): the per-row cost
+    * of the sketch operators (shingling, n-gram explosion, minhash /
+    * simhash folds, PQ distance tables, perplexity models) is orders
+    * of magnitude above scan I/O, so a byte-sized split policy
+    * serializes the whole stage behind one small file — parquet
+    * cannot split a single row group, so the file-source knobs
+    * (`minPartitionNum`, `openCostInBytes`) cannot widen it either.
+    * Scale-adaptive by construction: the threshold derives from the
+    * session's core count and the scan's OWN split count, so a
+    * production corpus (thousands of input splits) passes through
+    * untouched — no shuffle is added at scale. Only for scan-shaped
+    * frames: `.rdd.getNumPartitions` on a post-shuffle plan would
+    * materialize AQE stages (i.e. run jobs) just to count partitions.
+    */
+  def spreadCpu(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** Exact decimal view of a money/measure column. Precision 12 keeps
     * triple products (price * (1-disc) * (1+tax)) within Spark's
     * 38-digit decimal cap with zero rounding.

@@ -31,7 +31,7 @@ object Multimodal {
     * the text (a deterministic opaque blob), kind cycles by id.
     */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "documents").select(
+    Tables.spreadCpu(Tables.load(spark, sfDir, "documents")).select(
       col("doc_id").as("media_id"),
       element_at(typedLit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
@@ -105,7 +105,7 @@ object Multimodal {
     */
   private def frameGrid(spark: SparkSession, sfDir: String,
       frameSize: Int, stride: Int): DataFrame =
-    Tables.load(spark, sfDir, "documents")
+    Tables.spreadCpu(Tables.load(spark, sfDir, "documents"))
       .where(length(col("text")) > 0)
       .select(col("doc_id").as("media_id"),
         explode(sequence(lit(0),
