@@ -368,42 +368,88 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     * set); `partitionBy("__tag")` lands the two classes in disjoint
     * staging directories, adopted into `files/` and `cdc/`
     * respectively. Callers gate on [[canCombineCdcWrite]] — the
-    * combined staging layout can't carry the table's own partition /
-    * bucket levels, and under column mapping data files store
-    * physical names while CDC files store logical ones, so those
-    * tables keep the two-pass spelling. The rewritten data files
-    * carry a physically present but ALL-NULL `_change_type` column:
-    * every read path scans under an explicit schema (it is
-    * invisible), and footer stats skip all-null columns (pruning is
-    * unaffected).
+    * combined staging layout can't carry a bucket level, and under
+    * column mapping data files store physical names while CDC files
+    * store logical ones, so those tables keep the two-pass spelling.
+    * PARTITIONED tables combine too: the staging carries the table's
+    * partition columns as a second `partitionBy` level under `__tag`
+    * (duplicated `__gp_<col>` copies, exactly the writeData layout),
+    * and data files' partition values parse from the staging
+    * directory names as usual — CDC files need no partition values
+    * (the two-pass writeCdc never recorded any either). A table whose
+    * OWN schema claims a reserved staging name (`_change_type`,
+    * `__tag`, or a `__pre_` prefix the combined UPDATE projection
+    * uses) keeps the two-pass spelling — the tagged projection would
+    * silently clobber (or ambiguously duplicate) the user's column.
+    * The rewritten data files carry a physically present but ALL-NULL
+    * `_change_type` column: every read path scans under an explicit
+    * schema (it is invisible), and footer stats skip all-null columns
+    * (pruning is unaffected).
     */
   private def canCombineCdcWrite: Boolean =
-    partitionColumnsAt(latestVersion).isEmpty &&
-      bucketSpecAt(latestVersion).isEmpty &&
-      columnMapAt(latestVersion).isEmpty
+    canCombineCdcWriteAt(latestVersion)
 
-  private def writeDataWithCdc(df: DataFrame): (Written, Seq[String]) = {
+  /** Version-pinned form: DML paths that stage against an older read
+    * version (mergeFromRead) evaluate the layout gate AT that version,
+    * so the write spelling and the staged snapshot can never disagree
+    * (the conflict matrix also rejects layout changes in (base,
+    * latest], but the gate must not depend on that non-local fact).
+    */
+  private def canCombineCdcWriteAt(v: Long): Boolean =
+    bucketSpecAt(v).isEmpty &&
+      columnMapAt(v).isEmpty &&
+      !schemaAt(v).fieldNames.exists(n =>
+        n == "_change_type" || n == "__tag" || n.startsWith("__pre_"))
+
+  private def writeDataWithCdc(df: DataFrame,
+      pcols: Seq[String] = Nil): (Written, Seq[String]) = {
     val staging = root.resolve(s".staging-${UUID.randomUUID()}")
-    df.write.partitionBy("__tag").parquet(staging.toString)
+    // partition columns ride as duplicated __gp_ copies below __tag
+    // (the writeData layout): the originals stay physically present
+    // in every file, and each data file's partition tuple parses from
+    // its staging directory names
+    val dup = pcols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__gp_$c", col(s"`$c`")))
+    dup.write.partitionBy("__tag" +: pcols.map("__gp_" + _): _*)
+      .parquet(staging.toString)
     Files.createDirectories(filesDir)
     val cdcDir = root.resolve("cdc")
     Files.createDirectories(cdcDir)
     val parts = {
       val s = Files.walk(staging)
       try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          Files.isRegularFile(p)).toList
       finally s.close()
     }
     val adopted = parts.map { p =>
-      val isCdc = p.getParent.getFileName.toString == "__tag=c"
+      val rel = staging.relativize(p)
+      val segs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+      val isCdc = segs.contains("__tag=c")
       val name = s"${UUID.randomUUID()}.parquet"
       if (isCdc) { Files.move(p, cdcDir.resolve(name)); Left(s"cdc/$name") }
-      else { Files.move(p, filesDir.resolve(name)); Right(s"files/$name") }
+      else {
+        val vals = segs.filter(_.contains('='))
+          .flatMap { seg =>
+            val i = seg.indexOf('=')
+            val k = seg.substring(0, i)
+            if (k == "__tag") None
+            else Some(k.stripPrefix("__gp_") ->
+              unescapePathName(seg.substring(i + 1)))
+          }.toMap
+        require(pcols.forall(vals.contains),
+          s"staging layout missing partition value(s) in $rel")
+        Files.move(p, filesDir.resolve(name))
+        Right((s"files/$name", vals))
+      }
     }
     deleteRecursively(staging)
-    val dataFiles = adopted.collect { case Right(f) => f }
+    val dataFiles = adopted.collect { case Right((f, _)) => f }
     writeBlooms(dataFiles)
-    (Written(dataFiles, Map.empty), adopted.collect { case Left(f) => f })
+    (Written(dataFiles,
+      if (pcols.isEmpty) Map.empty
+      else adopted.collect { case Right(fv) => fv }.toMap),
+      adopted.collect { case Left(f) => f })
   }
 
   /** Write a commit's row-level change set (tagged with
@@ -2305,23 +2351,29 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     val touchedDf = readFilesDvAware(touched, schema, dvAt(base), columnMapAt(base))
     // one-pass spellings where the layout allows (guide §1.2): the
     // touched files feed survivors (data) + deleted images (CDC) in
-    // one tagged write, and the incoming slice feeds its data files +
-    // insert images in another — each input scanned once, two write
-    // jobs instead of three. CDC files legally split across commits'
-    // write calls (the commit records the concatenation).
-    val (wSurv, wNew, cdc) = if (canCombineCdcWrite) {
+    // one tagged write (that input IS scanned once), and the incoming
+    // slice feeds its data files + insert images in another — two
+    // write jobs instead of three. NOTE the incoming frame is still
+    // EVALUATED twice (`aligned` unioned with itself inside the one
+    // job), same as the old two-pass path — a non-deterministic
+    // source can diverge between its data rows and its CDC insert
+    // images on either spelling. CDC files legally split across
+    // commits' write calls (the commit records the concatenation).
+    val (wSurv, wNew, cdc) = if (canCombineCdcWriteAt(base)) {
+      val pcols = partitionColumnsAt(base)
       val (ws, cdcDel) = if (touched.isEmpty) (Written(Nil, Map.empty), Nil)
         else writeDataWithCdc(touchedDf
           .withColumn("_change_type",
             when(coalesce(cond, lit(false)), lit("delete")))
           .withColumn("__tag",
-            when(col("_change_type").isNotNull, lit("c")).otherwise(lit("d"))))
+            when(col("_change_type").isNotNull, lit("c")).otherwise(lit("d"))),
+          pcols)
       val (wn, cdcIns) = writeDataWithCdc(
         aligned.withColumn("_change_type", lit(null).cast("string"))
           .withColumn("__tag", lit("d"))
           .unionByName(aligned
             .withColumn("_change_type", lit("insert").cast("string"))
-            .withColumn("__tag", lit("c"))))
+            .withColumn("__tag", lit("c"))), pcols)
       (ws, wn, cdcDel ++ cdcIns)
     } else {
       val ws = if (touched.isEmpty) Written(Nil, Map.empty)
@@ -2710,13 +2762,13 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // lands exactly once — kept rows as data, cond rows as the CDC
     // delete set — in a single scan + single tagged write (the old
     // spelling scanned the touched files twice and ran two write jobs)
-    val (w, cdc) = if (canCombineCdcWrite) {
+    val (w, cdc) = if (canCombineCdcWriteAt(base)) {
       val tagged = touchedDf
         .withColumn("_change_type",
           when(coalesce(cond, lit(false)), lit("delete")))
         .withColumn("__tag",
           when(col("_change_type").isNotNull, lit("c")).otherwise(lit("d")))
-      writeDataWithCdc(tagged)
+      writeDataWithCdc(tagged, partitionColumnsAt(base))
     } else {
       val kept = touchedDf.where(!coalesce(cond, lit(false)))
       val wd = writeData(kept)
@@ -2836,7 +2888,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       // post-update rows and both CDC images all derive from the
       // PERSISTED victims — one tagged write where the layout allows
       // (guide §1.2: one write job instead of two over the same cache)
-      val (w, cdc) = if (canCombineCdcWrite) {
+      val (w, cdc) = if (canCombineCdcWriteAt(base)) {
         writeDataWithCdc(applied
           .withColumn("_change_type", lit(null).cast("string"))
           .withColumn("__tag", lit("d"))
@@ -2845,7 +2897,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
             .withColumn("__tag", lit("c")))
           .unionByName(applied
             .withColumn("_change_type", lit("update_postimage"))
-            .withColumn("__tag", lit("c"))))
+            .withColumn("__tag", lit("c"))), partitionColumnsAt(base))
       } else {
         (writeData(applied), writeCdc(
           victims.drop("__fp", "__pos")
@@ -2945,7 +2997,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // update projection so one scan can emit the rewrite AND the CDC
     // pre/post images (guide §1.2 — the two-pass spelling scanned the
     // touched files three times and ran two write jobs)
-    val combine = canCombineCdcWrite
+    val combine = canCombineCdcWriteAt(base)
     val fields = schemaAt(base).fieldNames.toSeq
     val preCols = if (combine) fields.map(f => col(s"`$f`").as(s"__pre_$f"))
       else Nil
@@ -2996,7 +3048,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         .select(col("__r.*"))
         .withColumn("__tag",
           when(col("_change_type").isNull, lit("d")).otherwise(lit("c")))
-      writeDataWithCdc(tagged)
+      writeDataWithCdc(tagged, partitionColumnsAt(base))
     } else {
       // two extra file-pruned scans at write, zero shuffles at read
       (writeData(updated), writeCdc(
@@ -3196,15 +3248,8 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // Delta semantics: a target row matched by MULTIPLE source rows is
     // an error, not a silent row multiplication through the join.
     // Null keys are exempt — they never equi-match a target row, so
-    // any number of them are legitimate NOT MATCHED inserts
-    val dupKeys = src.where(keys.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(keys.map(col): _*).count()
-      .where(col("count") > 1).limit(1).collect()
-    if (dupKeys.nonEmpty)
-      throw new IllegalArgumentException(
-        s"MERGE source has duplicate join keys (e.g. ${keys.mkString(",")}=" +
-          s"${dupKeys(0).toSeq.init.mkString(",")}); " +
-          "each target row must match at most one source row")
+    // any number of them are legitimate NOT MATCHED inserts.
+    //
     // MERGE's read set is "target rows whose key tuple equals a
     // source key tuple" (the clause join; the NOT MATCHED anti-join
     // consults the same tuples). A per-key envelope of the matchable
@@ -3216,9 +3261,17 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // blanket ConcurrentAppendException. Keys whose type the stats
     // layer cannot interval-check drop out of the envelope (fewer
     // conjuncts is still a superset of the read set); if none remain
-    // the merge keeps whole-table-reader conflict semantics. One
-    // scalar job on the persisted source pays for letting
-    // key-disjoint merges, DML and maintenance land concurrently.
+    // the merge keeps whole-table-reader conflict semantics.
+    //
+    // ONE scalar job on the persisted source answers the dup-key
+    // check AND sizes the envelope (guide §1.2 — this ran as THREE
+    // driver actions per merge: a dup-key probe, a 65-tuple head and
+    // a min/max aggregate; at ~32 merges per dedup-storm scenario the
+    // probe chain was a measured fixed cost): group the matchable key
+    // tuples once, then aggregate the distinct-tuple count, the worst
+    // per-tuple multiplicity (plus an example tuple for the error)
+    // and each boundable key's min/max. Only the ≤64-tuple In-list
+    // spelling needs a second (tiny) collect for the tuples.
     val boundableKeys = keys.filter(k =>
       schema.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType) match {
         case Some(_: org.apache.spark.sql.types.NumericType) => true
@@ -3228,31 +3281,39 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         case _ => false // incl. a key the join will itself reject
       })
     val keyRows = src.select(keys.map(col): _*).distinct()
+    val tupleCounts = src
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+    val envAggs = Seq(count(lit(1)).as("__n"), max(col("__c")).as("__m"),
+      max_by(struct(keys.map(col): _*), col("__c")).as("__ex")) ++
+      boundableKeys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
+    val env = tupleCounts.agg(envAggs.head, envAggs.tail: _*).head()
+    val nTuples = env.getLong(0)
+    if (nTuples > 0 && env.getLong(1) > 1L)
+      throw new IllegalArgumentException(
+        s"MERGE source has duplicate join keys (e.g. ${keys.mkString(",")}=" +
+          s"${env.getStruct(2).toSeq.mkString(",")}); " +
+          "each target row must match at most one source row")
     val (readCond, readsTable) =
       if (boundableKeys.isEmpty) (None, true)
-      else {
-        val matchable = keyRows.where(keys.map(col(_).isNotNull).reduce(_ && _))
+      else if (nTuples == 0L) (None, false) // no matchable row: empty read set
+      else if (nTuples <= 64L) {
         // ≤64 distinct matchable tuples (the replayed-batch/upsert-few
         // shape): exact per-key In-lists are strictly tighter than the
         // range — a merge touching keys {3, 9M} must not conflict with
-        // an append at 5M. One tiny limit+collect on the persisted
-        // source decides which spelling applies.
-        val few = matchable.limit(65).collect()
-        if (few.isEmpty) (None, false) // no matchable row: empty read set
-        else if (few.length <= 64) {
-          val cond = boundableKeys.map { k =>
-            val i = keys.indexWhere(_.equalsIgnoreCase(k))
-            col(s"`$k`").isin(few.map(_.get(i)).distinct.toIndexedSeq: _*)
-          }.reduce(_ && _)
-          (Some(cond), false)
-        } else {
-          val aggs = boundableKeys.flatMap(k =>
-            Seq(min(col(s"`$k`")), max(col(s"`$k`"))))
-          val b = matchable.agg(aggs.head, aggs.tail: _*).collect()(0)
-          (Some(boundableKeys.zipWithIndex.map { case (k, i) =>
-            col(s"`$k`") >= lit(b.get(2 * i)) && col(s"`$k`") <= lit(b.get(2 * i + 1))
-          }.reduce(_ && _)), false)
-        }
+        // an append at 5M. One tiny collect over the (already grouped)
+        // tuples decides the spelling.
+        val few = tupleCounts.select(keys.map(col): _*).limit(65).collect()
+        val cond = boundableKeys.map { k =>
+          val i = keys.indexWhere(_.equalsIgnoreCase(k))
+          col(s"`$k`").isin(few.map(_.get(i)).distinct.toIndexedSeq: _*)
+        }.reduce(_ && _)
+        (Some(cond), false)
+      } else {
+        (Some(boundableKeys.zipWithIndex.map { case (k, i) =>
+          col(s"`$k`") >= lit(env.get(3 + 2 * i)) &&
+            col(s"`$k`") <= lit(env.get(3 + 2 * i + 1))
+        }.reduce(_ && _)), false)
       }
     // the touched-file probe needs only files that CAN hold a source
     // key — the same envelope that scopes conflict detection scopes
@@ -3500,7 +3561,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
     // dropped column maps to a new physical name) — those writes must
     // go through the column-translating writeData, so the combined
     // path additionally requires an empty effective column map
-    val combineMerge = canCombineCdcWrite && cm.isEmpty
+    val combineMerge = canCombineCdcWriteAt(base) && cm.isEmpty
     // merge-on-read tombstones: every accepted matched/BY SOURCE
     // row's physical address — O(accepted rows) written
     val morIdx = (deleteIdx ++ updateIdx).map(Integer.valueOf)
@@ -3534,7 +3595,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         .withColumn("_change_type", lit(null).cast("string"))
         .withColumn("__tag", lit("d"))
         .unionByName(cdcAll.withColumn("__tag", lit("c")))
-      writeDataWithCdc(taggedAll)
+      writeDataWithCdc(taggedAll, partitionColumnsAt(base))
     } else {
       (writeData(newData, partitionColumnsAt(base), cm,
         bucketSpecAt(base)), writeCdc(cdcAll))
@@ -4752,12 +4813,19 @@ object GraftTable {
     }
   }
 
+  /** `extraMetrics` ride the CREATE commit itself — a caller whose
+    * watermark must be transactional with the seed data (the
+    * maintained-view create) lands both in ONE commit instead of a
+    * create(empty)+overwrite pair (guide §1.2: one write job, one
+    * commit).
+    */
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       generated: Map[String, String] = Map.empty,
       identity: Option[String] = None,
       bucketBy: Seq[String] = Nil,
-      numBuckets: Int = 0): GraftTable = {
+      numBuckets: Int = 0,
+      extraMetrics: Map[String, Long] = Map.empty): GraftTable = {
     val root = Paths.get(path)
     val t = new GraftTable(spark, root)
     require(!Files.exists(t.logDir), s"table already exists at $path")
@@ -4825,7 +4893,7 @@ object GraftTable {
       Files.createDirectories(t.logDir)
       t.commit("CREATE", -1L, w.files, seeded.schema,
         Map("numAddedFiles" -> w.files.size.toLong) ++
-          hw.map(t.identityKey -> _).toMap,
+          hw.map(t.identityKey -> _).toMap ++ extraMetrics,
         t.collectStats(w.files),
         newPartValues = w.partValues,
         newProperties = tzProp,

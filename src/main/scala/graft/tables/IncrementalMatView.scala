@@ -638,12 +638,12 @@ object IncrementalMatView {
     // refresh recomputes (same TOCTOU posture as refresh())
     val dimVs = handle.dimVersions
     val initial = handle.aggregateOf(handle.prep(source.snapshotAt(v)))
-    // CREATE records no metrics — land the data through an OVERWRITE
-    // so the watermark is transactional with it
+    // the watermark metrics ride the CREATE commit itself — one write
+    // job and one commit instead of a create(empty)+overwrite pair
+    // (guide §1.2; the pair cost one extra write job per view create)
     val mv = GraftTable.create(spark, mvPath,
-      handle.nullableFrame(initial.limit(0)))
-    mv.overwrite(handle.nullableFrame(initial),
-      Map(SourceVersionKey -> v) ++
+      handle.nullableFrame(initial),
+      extraMetrics = Map(SourceVersionKey -> v) ++
         dimVs.zipWithIndex.map { case (dv, i) =>
           dimVersionKey(i) -> dv }.toMap)
     // the view is SELF-DESCRIBING: its definition rides in its own
