@@ -562,8 +562,16 @@ object Similarity {
       .localCheckpoint(true)
     val touched = batchAsg.select(col("cent_id")).distinct()
       .collect().map(r => Integer.valueOf(r.getInt(0)))
+    // VERSION-PINNED stored read: the returned pair plan reads the
+    // pre-ingest assignments whenever it is evaluated, so the caller
+    // no longer needs an eager materializing count between the screen
+    // and its own ingest (guide §1.2 — admitBatch paid one
+    // batch-sized count action per semantic screen for that ordering)
+    val asgPath = java.nio.file.Paths.get(indexPath, "assignments").toString
+    val asgV = graft.tables.GraftTable.load(spark, asgPath).latestVersion
     val stored = spark.read.format("graft-table")
-      .load(java.nio.file.Paths.get(indexPath, "assignments").toString)
+      .option("versionAsOf", asgV)
+      .load(asgPath)
       .where(col("cent_id").isin(touched.toIndexedSeq: _*))
       .select(col("vec_id"), col("embedding"), col("cent_id"))
     val all = capCells(stored.unionByName(batchAsg), maxCellSize)

@@ -2814,7 +2814,16 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .where(coalesce(cond, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = victims.count()
+      // ONE per-file aggregate answers the deleted-row count AND the
+      // tombstoned-file conflict set (guide §1.2 — this ran as a
+      // materializing count plus a separate distinct-collect); the
+      // aggregate consumes every victim partition, so it also
+      // materializes the cache before the dv/cdc writes. Conflict
+      // write-set = the files the tombstones mask: a racer rewriting
+      // one of them would resurrect our deleted rows.
+      val perFile = victims.groupBy(col("__fp"))
+        .agg(count(lit(1)).as("__n")).collect()
+      val n = perFile.iterator.map(_.getLong(1)).sum
       if (n == 0)
         return commitResolved("DELETE_DV", base, Set.empty, Nil,
           Some(cond), readsTable = false, schema,
@@ -2824,10 +2833,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
         victims.select(col("__fp").as("file_path"), col("__pos").as("pos")))
       val cdc = writeCdc(victims.drop("__fp", "__pos")
         .withColumn("_change_type", lit("delete")))
-      // conflict write-set = the files the tombstones mask: a racer
-      // rewriting one of them would resurrect our deleted rows
-      val masked = victims.select(col("__fp")).distinct()
-        .collect().map(_.getString(0)).toSet
+      val masked = perFile.iterator.map(_.getString(0)).toSet
       commitResolved("DELETE_DV", base, Set.empty, Nil,
         Some(cond), readsTable = false, schema,
         Map("numDeletedRows" -> n, "numAddedDvFiles" -> newDv.size.toLong),
@@ -2861,7 +2867,11 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       .where(coalesce(cond, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = victims.count()
+      // ONE per-file aggregate: row count + tombstoned-file conflict
+      // set, and the cache materializes under it (see deleteMor)
+      val perFile = victims.groupBy(col("__fp"))
+        .agg(count(lit(1)).as("__n")).collect()
+      val n = perFile.iterator.map(_.getLong(1)).sum
       if (n == 0)
         return commitResolved("UPDATE_DV", base, Set.empty, Nil,
           Some(cond), readsTable = false, schema,
@@ -2907,8 +2917,7 @@ class GraftTable private (val spark: SparkSession, val root: Path) {
       }
       // conflict write-set = the tombstoned files: a racer rewriting
       // one would resurrect the pre-update rows alongside our appends
-      val masked = victims.select(col("__fp")).distinct()
-        .collect().map(_.getString(0)).toSet
+      val masked = perFile.iterator.map(_.getString(0)).toSet
       val maskedRel = matchHits(filesAt(base), masked)
       val gensTouched = generatedColumns.exists { case (gc, genExpr) =>
         set.keys.exists(_.equalsIgnoreCase(gc)) ||
